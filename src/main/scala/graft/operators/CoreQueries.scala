@@ -1,0 +1,396 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Core SQL analytics block (SURVEY.md §2.B). Declarative
+  * DataFrame plans — Catalyst handles pushdown/pruning/join selection;
+  * we add explicit `broadcast()` hints on the small dimension tables so
+  * the plan stays shuffle-free on the dim side at any scale factor.
+  *
+  * Determinism-for-oracle rules (SURVEY.md §5): monetary sums rounded
+  * to 2dp, ratios to 6dp, temporal outputs formatted as strings, all
+  * top-k orderings fully tie-broken. Column names match the DuckDB
+  * oracle exactly (the driver sorts columns by name before hashing).
+  *
+  * Reference behavior mirrored: the query surface exercised by
+  * /root/reference/src/test/scala/.../BasicCreateAndInsertTest.scala
+  * (counts, partition-filtered scans) generalized to a TPC-H-ish set.
+  */
+object CoreQueries {
+
+  private def money(c: Column): Column = round(c, 2)
+
+  /** B1: pricing summary (grouped agg, partial-agg friendly). */
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        money(sum(col("l_quantity"))).as("sum_qty"),
+        money(sum(col("l_extendedprice"))).as("sum_base_price"),
+        money(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  round(avg(l_discount), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** B2: shipping-priority join + grouped topN. customer is small →
+    * broadcast; orders⋈lineitem shuffles on the join key only.
+    */
+  def q3Join(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val li   = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(money(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .select(
+        col("l_orderkey"),
+        col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3JoinSql: String =
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** B3: 5-way join; all dims broadcast, single shuffle on orderkey. */
+  def q5MultiJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+    val cust = Tables.customer(s, d)
+    val supp = Tables.supplier(s, d)
+    val nat  = Tables.nation(s, d)
+    val reg  = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(money(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5MultiJoinSql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** B4: selective filter + global agg (pushdown exercise: only 4
+    * columns of lineitem are read, filters reach the parquet scan).
+    */
+  def q6FilterAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(money(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_rows"))
+
+  val q6FilterAggSql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** B5: left semi join (EXISTS). Broadcast the filtered orders side
+    * is wrong at scale (orders is a fact table) — shuffle semi join on
+    * the key is the scalable plan; Catalyst picks it.
+    */
+  def qSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+    Tables.customer(s, d)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qSemiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** B6: left anti join (NOT EXISTS) — customers with no pending order. */
+  def qAntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  val qAntiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** B7: window rank — top-3 parts by retail price per brand.
+    * Single shuffle on p_brand; rank cast to long to match DuckDB.
+    */
+  def qWindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(s, d)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rnk"))
+      .orderBy(col("p_brand"), col("rnk"))
+  }
+
+  val qWindowRankSql: String =
+    """SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+      |  SELECT p_brand, p_partkey, p_retailprice,
+      |    row_number() OVER (PARTITION BY p_brand
+      |                       ORDER BY p_retailprice DESC, p_partkey) AS rnk
+      |  FROM part) t
+      |WHERE rnk <= 3
+      |ORDER BY p_brand, rnk""".stripMargin
+
+  /** B8: running sum per supplier ordered by ship date (cumulative
+    * frame; order fully tie-broken so both engines fold identically).
+    */
+  def qWindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("shipdate"),
+        round(sum(col("l_quantity")).over(w), 2).as("running_qty"))
+      .orderBy(col("l_suppkey"), col("shipdate"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  strftime(l_shipdate, '%Y-%m-%d') AS shipdate,
+      |  round(sum(l_quantity) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+      |ORDER BY l_suppkey, shipdate, l_orderkey, l_linenumber""".stripMargin
+
+  /** B9: rollup (multi-level aggregate in one pass). */
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(money(sum(col("l_quantity"))).as("sum_qty"),
+           count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("cnt"))
+      .orderBy(col("rf"), col("ls"))
+
+  val qRollupSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  /** B10: exact distinct counts. (At 100 TB prefer
+    * approx_count_distinct — HLL sketches merge map-side; exact
+    * distinct forces a full shuffle of the distinct keys. Exact kept
+    * here because the oracle must match bit-for-bit.)
+    */
+  def qDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+
+  val qDistinctSql: String =
+    """SELECT count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem""".stripMargin
+
+  /** B11: global top-k (TakeOrderedAndProject — no full sort; each
+    * partition keeps k rows, driver merges k·p rows).
+    */
+  def qTopK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  val qTopKSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** B12: scalar-subquery filter (above 1.1× average price). */
+  def qSubqueryAvg(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(s, d)
+    val thresh = part.agg((avg(col("p_retailprice"))).as("t"))
+    part.join(broadcast(thresh))
+      .filter(col("p_retailprice") > col("t"))
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val qSubqueryAvgSql: String =
+    """SELECT p_partkey, p_name, p_retailprice FROM part
+      |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+      |ORDER BY p_partkey""".stripMargin
+
+  /** B13: time-bucketed event aggregation (the batch shape of the
+    * streaming windowed agg in streaming/).
+    */
+  def qEventsWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           money(sum(col("value"))).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  val qEventsWindowSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin
+
+  /** B14: conditional (pivot-style) aggregation — one pass, no joins. */
+  def qConditionalAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        money(sum(when(col("l_linestatus") === "F", col("l_quantity")).otherwise(0.0))).as("qty_f"),
+        money(sum(when(col("l_linestatus") === "O", col("l_quantity")).otherwise(0.0))).as("qty_o"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
+  val qConditionalAggSql: String =
+    """SELECT l_returnflag,
+      |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 2) AS qty_f,
+      |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 2) AS qty_o,
+      |  count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** B15: as-of join — each 'error' event matched to the latest
+    * 'click' of the same user at-or-before it. Uses the generic
+    * [[AsOfJoin]] operator (union + single shuffle + window; never a
+    * per-key cross product).
+    */
+  def qAsOfJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_event_id"), col("user_id"), col("ts"))
+    AsOfJoin(errors, clicks, keys = Seq("user_id"), leftTs = "ts", rightTs = "ts")
+      .filter(col("click_event_id").isNotNull)
+      .select(
+        col("event_id"),
+        col("click_event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("err_ts"),
+        date_format(col("right_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsOfJoinSql: String =
+    """SELECT e.event_id, c.click_event_id,
+      |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS err_ts,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+      |ASOF JOIN (SELECT event_id AS click_event_id, user_id, ts FROM events
+      |           WHERE event_type = 'click') c
+      |  ON e.user_id = c.user_id AND e.ts >= c.ts
+      |ORDER BY e.event_id""".stripMargin
+
+  /** queries + oracles exported to SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"            -> (q1Agg _),
+    "q3_join"           -> (q3Join _),
+    "q5_multijoin"      -> (q5MultiJoin _),
+    "q6_filter_agg"     -> (q6FilterAgg _),
+    "q_semi_join"       -> (qSemiJoin _),
+    "q_anti_join"       -> (qAntiJoin _),
+    "q_window_rank"     -> (qWindowRank _),
+    "q_window_running"  -> (qWindowRunning _),
+    "q_rollup"          -> (qRollup _),
+    "q_distinct"        -> (qDistinct _),
+    "q_topk"            -> (qTopK _),
+    "q_subquery_avg"    -> (qSubqueryAvg _),
+    "q_events_window"   -> (qEventsWindow _),
+    "q_conditional_agg" -> (qConditionalAgg _),
+    "q_asof_join"       -> (qAsOfJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg"            -> q1AggSql,
+    "q3_join"           -> q3JoinSql,
+    "q5_multijoin"      -> q5MultiJoinSql,
+    "q6_filter_agg"     -> q6FilterAggSql,
+    "q_semi_join"       -> qSemiJoinSql,
+    "q_anti_join"       -> qAntiJoinSql,
+    "q_window_rank"     -> qWindowRankSql,
+    "q_window_running"  -> qWindowRunningSql,
+    "q_rollup"          -> qRollupSql,
+    "q_distinct"        -> qDistinctSql,
+    "q_topk"            -> qTopKSql,
+    "q_subquery_avg"    -> qSubqueryAvgSql,
+    "q_events_window"   -> qEventsWindowSql,
+    "q_conditional_agg" -> qConditionalAggSql,
+    "q_asof_join"       -> qAsOfJoinSql)
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{AsOfJoin, CoreQueries}
+import org.apache.spark.sql.functions._
+
+class CoreQueriesSpec extends SparkSpec {
+
+  test("every core query runs and returns rows at sf0.001") {
+    CoreQueries.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val n = df.count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q1 aggregates match a direct recomputation") {
+    val row = CoreQueries.q1Agg(spark, sfDir)
+      .filter(col("l_returnflag") === "N" && col("l_linestatus") === "O")
+      .collect().head
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp") &&
+        col("l_returnflag") === "N" && col("l_linestatus") === "O")
+    assert(row.getAs[Long]("count_order") === li.count())
+  }
+
+  test("as-of join picks the latest right row at-or-before left ts") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 5L, 11L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, 50L, 20L), (1L, 100L, 21L), (1L, 101L, 22L))
+      .toDF("k", "ts", "rid")
+    val out = AsOfJoin(left, right, Seq("k"), "ts", "ts")
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.get(1))).toMap
+    assert(out(10L) === 21L)  // equal ts matches
+    assert(out(11L) === null) // nothing at-or-before ts=5
+  }
+
+  test("as-of join respects keys") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 11L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, 50L, 20L), (2L, 60L, 21L)).toDF("k", "ts", "rid")
+    val out = AsOfJoin(left, right, Seq("k"), "ts", "ts")
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(10L -> 20L, 11L -> 21L))
+  }
+
+  test("top-k uses TakeOrderedAndProject (no full sort at scale)") {
+    val plan = CoreQueries.qTopK(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+  }
+
+  test("q5 broadcasts all dimension tables") {
+    val plan = CoreQueries.q5MultiJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
