@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the graft hot paths. Each generates a
+  * single static call into [[Hashing]], so they participate in
+  * whole-stage codegen (no UDF boxing, no Encoder round-trip) — the
+  * preference order mandated by SURVEY.md §3: builtin functions first,
+  * then a codegen'd Expression, never a Scala UDF in a hot loop.
+  */
+
+/** Portable polynomial hash of a string (see [[Hashing.polyHash]]). */
+case class PolyHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.polyHash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.polyHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+  override def prettyName: String = "graft_polyhash"
+}
+
+/** Winnowing fingerprint: sorted distinct window-minima of k-gram hashes
+  * (see [[Hashing.winnow]]).
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.winnow(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+  override def prettyName: String = "graft_winnow"
+}
+
+/** Cosine similarity of two array<float> columns in double precision. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Hashing.cosineF(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Hashing.cosineF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_cosine"
+}
+
+/** 64-bit SimHash of an array<long> of token hashes. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.simHash64(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.simHash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash"
+}
+
+/** MinHash-LSH band keys of an array<long> of shingle hashes. */
+case class MinHashBands(child: Expression, seed: Long, nHashes: Int, nBands: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nHashes % nBands == 0, "nHashes must divide into nBands")
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.minHashBandKeys(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], seed, nHashes, nBands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.minHashBandKeys($c, ${seed}L, $nHashes, $nBands)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_bands"
+}
+
+/** Sign-random-projection LSH signature of an array<float> vector; the
+  * hyperplanes are derived from the seed on each executor (no broadcast,
+  * no shuffle — the signature is a pure narrow map at any scale).
+  */
+case class LshSignature(child: Expression, seed: Long, nBits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nBits > 0 && nBits <= 63, "nBits in 1..63")
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.lshSignature(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], seed, nBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.lshSignature($c, ${seed}L, $nBits)")
+  override protected def withNewChildInternal(newChild: Expression): LshSignature =
+    copy(child = newChild)
+  override def prettyName: String = "graft_lsh_sig"
+}
+
+/** Column-API entry points (the public surface of this package). */
+object exprs {
+  private def col(e: Expression): Column = Shim.column(e)
+  private def ex(c: Column): Expression = Shim.expression(c)
+
+  def polyHash(c: Column): Column = col(PolyHash(ex(c)))
+  def winnowFp(c: Column, k: Int, w: Int): Column = col(WinnowFingerprint(ex(c), k, w))
+  def cosineSim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
+  def simHash(c: Column): Column = col(SimHash64(ex(c)))
+  def minHashBands(c: Column, seed: Long, nHashes: Int, nBands: Int): Column =
+    col(MinHashBands(ex(c), seed, nHashes, nBands))
+  def lshSig(c: Column, seed: Long, nBits: Int): Column = col(LshSignature(ex(c), seed, nBits))
+}

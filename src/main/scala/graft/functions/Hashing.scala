@@ -1,0 +1,198 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels invoked from generated code (the object compiles to
+  * static forwarders on class `Hashing`, so codegen emits a plain
+  * `graft.functions.Hashing.polyHash(...)` call and the expression stays
+  * inside the WholeStageCodegen span).
+  *
+  * `polyHash` / `winnow` are *portable*: the exact same arithmetic is
+  * expressible in ANSI-ish SQL (DuckDB `list_reduce`/`list_transform`),
+  * which is what makes fingerprints oracle-checkable. Internal-only
+  * hashes (minhash perms, simhash, LSH) use faster 64-bit mixing.
+  */
+object Hashing {
+
+  /** Portable polynomial rolling hash over Unicode code points:
+    * acc = (acc * 31 + cp) mod 1e9+7. Stays < 2^35, so the same value
+    * is computable in any engine with 64-bit integer SQL arithmetic.
+    */
+  def polyHash(s: UTF8String): Long = polyHashString(s.toString)
+
+  def polyHashString(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
+    * hash every k-gram of characters, slide a window of w consecutive
+    * k-gram hashes, keep the minimum of each window; return the sorted
+    * distinct minima. Selects ~2/(w+1) of hashes yet guarantees any
+    * match of length >= k + w - 1 shares a fingerprint.
+    */
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) { hs(i) = polyHashString(str.substring(i, i + k)); i += 1 }
+    if (m < w) {
+      var mn = hs(0); i = 1
+      while (i < m) { if (hs(i) < mn) mn = hs(i); i += 1 }
+      return new GenericArrayData(Array(mn))
+    }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var j = 0
+    val last = m - w
+    while (j <= last) {
+      var mn = hs(j)
+      var t = j + 1
+      while (t < j + w) { if (hs(t) < mn) mn = hs(t); t += 1 }
+      out.add(mn)
+      j += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var p = 0
+    while (it.hasNext) { arr(p) = it.next(); p += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Cosine similarity of two float vectors, accumulated in double,
+    * strictly left-to-right (index order) so independent engines doing
+    * sequential double accumulation agree to ~1 ulp. Returns NaN-free
+    * 0.0 for zero-norm inputs.
+    */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** 64-bit SimHash (Charikar'02) over a bag of 64-bit token hashes:
+    * for each bit position, vote +1/-1 by the token's bit; the sign of
+    * the tally is the output bit. Near-identical token sets land within
+    * a small Hamming distance.
+    */
+  def simHash64(hashes: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** splitmix64 — statistical 64-bit mixer (public-domain algorithm,
+    * Steele et al.); used to derive minhash permutations and LSH
+    * hyperplanes deterministically from (seed, index).
+    */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic standard-Gaussian from (seed, i) via Box-Muller on
+    * two mix64 draws (enough quality for LSH hyperplanes).
+    */
+  def gaussian(seed: Long, i: Long): Double = {
+    val u1 = (mix64(seed * 0x100000001b3L + 2 * i) >>> 11) * 1.1102230246251565e-16 // [0,1)
+    val u2 = (mix64(seed * 0x100000001b3L + 2 * i + 1) >>> 11) * 1.1102230246251565e-16
+    val r = math.sqrt(-2.0 * math.log(1.0 - u1)) // 1-u1 in (0,1] avoids log(0)
+    r * math.cos(2.0 * math.Pi * u2)
+  }
+
+  /** MinHash-LSH band keys from a doc's set of 64-bit shingle hashes.
+    * Permutation i is `min over shingles of mix64(h ^ mix64(seed+i))`
+    * (a universal-enough family); the nHashes minima are folded into
+    * nBands keys of r = nHashes/nBands rows each, band index mixed in
+    * so identical values in different bands never collide. Runs as a
+    * narrow per-row kernel: O(|shingles| * nHashes), no state.
+    */
+  def minHashBandKeys(hashes: ArrayData, seed: Long, nHashes: Int, nBands: Int): ArrayData = {
+    val n = hashes.numElements()
+    val rows = nHashes / nBands
+    val sig = new Array[Long](nHashes)
+    var i = 0
+    while (i < nHashes) {
+      val c = mix64(seed + i)
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = mix64(hashes.getLong(j) ^ c)
+        if (v < mn) mn = v
+        j += 1
+      }
+      sig(i) = mn
+      i += 1
+    }
+    val keys = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var acc = mix64(0xb0a4d5eedL + b)
+      var r = 0
+      while (r < rows) { acc = mix64(acc ^ sig(b * rows + r)); r += 1 }
+      keys(b) = acc
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  private val planeCache = new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Array[Double]]]()
+
+  /** nBits random hyperplanes in R^dim, derived purely from the seed —
+    * every executor materializes the identical planes with no broadcast.
+    */
+  def planes(seed: Long, nBits: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((seed, nBits, dim), { _ =>
+      Array.tabulate(nBits, dim)((b, d) => gaussian(seed + b * 1315423911L, d))
+    })
+
+  /** Sign-random-projection LSH signature: bit b = [vec . plane_b >= 0]. */
+  def lshSignature(vec: ArrayData, seed: Long, nBits: Int): Long = {
+    val dim = vec.numElements()
+    val ps = planes(seed, nBits, dim)
+    var sig = 0L
+    var b = 0
+    while (b < nBits) {
+      val p = ps(b)
+      var dot = 0.0
+      var i = 0
+      while (i < dim) { dot += vec.getFloat(i).toDouble * p(i); i += 1 }
+      if (dot >= 0.0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}

@@ -1,0 +1,196 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.exprs
+
+/** Deduplication operators (SURVEY.md §2.C1–C4). The family, in the
+  * order a 100 TB pipeline composes them:
+  *
+  *  - exact: one hash-groupBy — a single shuffle on the content hash.
+  *  - MinHash+LSH: candidate generation whose shuffle volume is
+  *    O(docs × bands), never O(docs²); within-bucket pair expansion is
+  *    capped, and candidates are then *verified* with exact Jaccard so
+  *    the output is exact above the threshold (LSH only affects recall,
+  *    which at 32 bands × 4 rows is ≈1 for J ≥ 0.5… see spec).
+  *  - SimHash: 64-bit sketch, Hamming-band buckets — same shape, denser
+  *    sketch (1 long vs 128 minima), coarser guarantee.
+  *  - n-gram Jaccard: the exact verifier run over an inverted shingle
+  *    index (co-occurrence join) — the ground truth the sketches
+  *    approximate. At 100 TB you run this only on LSH candidates.
+  */
+object Dedup {
+
+  val JaccardThreshold = 0.5
+  val Seed = 0x9a27L
+  /** Skew guard: a degenerate LSH bucket (e.g. a boilerplate shingle
+    * set shared by thousands of docs) contributes at most cap² pairs
+    * instead of stalling one reducer; real pipelines quarantine such
+    * buckets for template-dedup instead.
+    */
+  val BucketCap = 200
+
+  /** Distinct word-trigram shingles per doc, as one array column. */
+  private def shingleArr(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2), i =>
+          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+        .otherwise(array()))
+  }
+
+  /** (doc_id, shs: array<string>) — the shingle *set* per document. */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), shingleArr(col("text")).as("shs"))
+
+  /** C1 `dedup_exact`: content-hash groups. One partial-agg-friendly
+    * shuffle; `keeper` = min doc id is the row you'd retain.
+    */
+  def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .orderBy(col("keeper"))
+
+  val exactSql: String =
+    """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keeper
+      |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin
+
+  /** Exact Jaccard for a pair df carrying shingle arrays shs_a/shs_b. */
+  private def verified(pairs: DataFrame): DataFrame = {
+    val inter = size(array_intersect(col("shs_a"), col("shs_b")))
+    val union = size(col("shs_a")) + size(col("shs_b")) - inter
+    pairs
+      .withColumn("jaccard_raw", inter.cast("double") / union)
+      .filter(col("jaccard_raw") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private def joinShingleSets(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
+    val sets = docShingles(s, d)
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
+  }
+
+  /** All unordered pairs (a<b) from a sorted, capped id bucket. */
+  private def bucketPairs(ids: Column): Column = {
+    val capped = slice(array_sort(ids), 1, BucketCap)
+    flatten(transform(capped, (a, i) =>
+      transform(slice(capped, i + lit(2), lit(BucketCap)), b => struct(a.as("doc_a"), b.as("doc_b")))))
+  }
+
+  /** C2 `dedup_minhash`: shingle → 128-perm MinHash → 32 LSH band keys
+    * (codegen'd [[graft.functions.MinHashBands]]) → band-bucket join →
+    * capped pair expansion → exact-Jaccard verification. Shuffles:
+    * one explode/groupBy on band keys + one pair join — both keyed,
+    * both AQE-splittable. The oracle is the *exact* J ≥ 0.5 pair set;
+    * matching it is the recall-≈-1 evidence.
+    */
+  def minhash(s: SparkSession, d: String): DataFrame = {
+    val sigs = docShingles(s, d)
+      .select(col("doc_id"),
+        exprs.minHashBands(transform(col("shs"), sh => xxhash64(sh)), Seed, 128, 32).as("bands"))
+    val cand = sigs
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+    verified(joinShingleSets(s, d, cand))
+  }
+
+  /** C3 `dedup_simhash`: 64-bit SimHash over the trigram-shingle set
+    * (unigram bags are near-identical across small-vocab corpora, so
+    * the sketch hashes the same discriminative feature the Jaccard ops
+    * use), 4 × 16-bit Hamming bands for candidates, output pairs with
+    * Hamming ≤ 8. Not DuckDB-expressible (bit votes) → rows-only
+    * driver check; the spec asserts it recovers the exact-Jaccard
+    * pairs at sf0.001.
+    */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val sigs = docShingles(s, d)
+      .select(col("doc_id"),
+        exprs.simHash(transform(col("shs"), sh => xxhash64(sh))).as("sim"))
+    // 8 bands × 8 bits: a pair within Hamming ≤ 8 escapes only if every
+    // differing bit lands in a distinct band — high recall, and random
+    // pairs still collide at only ~8/256 of buckets (hamming filter
+    // discards those cheaply).
+    val bandCols = (0 to 7).map(b =>
+      shiftrightunsigned(col("sim"), b * 8).bitwiseAND(lit(0xFFL)))
+    val banded = sigs.select(
+      col("doc_id"), col("sim"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "key")))
+    val cand = banded
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(bucketPairs(col("xs"))).as("p"))
+      .select(col("p.doc_a.doc_id").as("doc_a"), col("p.doc_a.sim").as("sim_a"),
+              col("p.doc_b.doc_id").as("doc_b"), col("p.doc_b.sim").as("sim_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= 8)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** C4 `dedup_ngram_jaccard`: exact all-pairs Jaccard via an inverted
+    * shingle index — pairs are generated only for docs sharing a
+    * shingle (a keyed co-occurrence join), then aggregated to
+    * intersection counts. This is the ground-truth verifier; at 100 TB
+    * it runs per-LSH-candidate (C2), not globally.
+    */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingles(s, d).select(col("doc_id"), explode(col("shs")).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val cand = a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"))
+      // A pair needs |A∩B| ≥ t/(1+t) · max(|A|,|B|) to reach Jaccard t;
+      // pre-filtering on the raw count keeps the verify join tiny.
+      .filter(col("i") >= lit(8))
+      .select(col("doc_a"), col("doc_b"))
+    verified(joinShingleSets(s, d, cand))
+  }
+
+  /** Shared oracle for C2/C4: exact shingle-set Jaccard ≥ 0.5. */
+  val jaccardSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, ${TextOps.tokensSql} AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+       |    THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |    ELSE [] END) AS shs
+       |  FROM w),
+       |s AS (SELECT doc_id, unnest(shs) AS sh FROM g),
+       |sz AS (SELECT doc_id, len(shs) AS n FROM g),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
+       |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+       |WHERE i * 1.0 / (x.n + y.n - i) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"         -> (exact _),
+    "dedup_minhash"       -> (minhash _),
+    "dedup_simhash"       -> (simhash _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact"         -> exactSql,
+    "dedup_minhash"       -> jaccardSql,
+    "dedup_ngram_jaccard" -> jaccardSql)
+}

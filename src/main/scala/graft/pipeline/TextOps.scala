@@ -1,0 +1,169 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.exprs
+
+/** Text-analysis operators for the training-data pipeline (SURVEY.md
+  * §2.C8–C11). Everything is a narrow per-row map over `documents` —
+  * no shuffle at all until an output ORDER BY — so each op scales
+  * linearly with input splits at 100 TB. Arithmetic is written
+  * identically to the DuckDB oracle SQL (same expression tree, double
+  * ops in the same order) so results match bit-for-bit after rounding.
+  */
+object TextOps {
+
+  /** lower → split on non-alphanumeric runs → drop empties. The exact
+    * same tokenizer (regex + filter) is used by every text/dedup op and
+    * by the oracles — shingle sets must agree across engines.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** The DuckDB spelling of [[tokens]]. */
+  val tokensSql = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
+  private val stopFr = Seq("le", "la", "les", "et", "est", "un", "une", "du", "pour", "que")
+  private val stopEs = Seq("el", "los", "y", "es", "una", "lo", "para", "con", "por", "se")
+
+  private def sqlList(ws: Seq[String]) = ws.mkString("['", "', '", "']")
+  private def markerScore(toks: Column, ws: Seq[String]): Column =
+    size(array_intersect(array_distinct(toks), array(ws.map(lit): _*))).cast("long")
+
+  /** C8 `text_langid`: language ID by distinct-marker-word voting — the
+    * classic n-gram/stopword heuristic (cf. langid.py's feature voting)
+    * reduced to something two engines can agree on exactly. Ties break
+    * in fixed order en > de > fr > es; all-zero → 'und'.
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val df = Tables.documents(s, d).withColumn("toks", tokens(col("text")))
+      .withColumn("score_en", markerScore(col("toks"), stopEn))
+      .withColumn("score_de", markerScore(col("toks"), stopDe))
+      .withColumn("score_fr", markerScore(col("toks"), stopFr))
+      .withColumn("score_es", markerScore(col("toks"), stopEs))
+    df.select(
+      col("doc_id"), col("score_en"), col("score_de"), col("score_fr"), col("score_es"),
+      when(col("score_en") + col("score_de") + col("score_fr") + col("score_es") === 0, "und")
+        .when(col("score_en") >= col("score_de") && col("score_en") >= col("score_fr") &&
+              col("score_en") >= col("score_es"), "en")
+        .when(col("score_de") >= col("score_fr") && col("score_de") >= col("score_es"), "de")
+        .when(col("score_fr") >= col("score_es"), "fr")
+        .otherwise("es").as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String = {
+    def sc(ws: Seq[String]) =
+      s"len(list_intersect(list_distinct($tokensSql), ${sqlList(ws)}))"
+    s"""SELECT doc_id,
+       |  ${sc(stopEn)} AS score_en, ${sc(stopDe)} AS score_de,
+       |  ${sc(stopFr)} AS score_fr, ${sc(stopEs)} AS score_es,
+       |  CASE WHEN ${sc(stopEn)} + ${sc(stopDe)} + ${sc(stopFr)} + ${sc(stopEs)} = 0 THEN 'und'
+       |       WHEN ${sc(stopEn)} >= ${sc(stopDe)} AND ${sc(stopEn)} >= ${sc(stopFr)} AND ${sc(stopEn)} >= ${sc(stopEs)} THEN 'en'
+       |       WHEN ${sc(stopDe)} >= ${sc(stopFr)} AND ${sc(stopDe)} >= ${sc(stopEs)} THEN 'de'
+       |       WHEN ${sc(stopFr)} >= ${sc(stopEs)} THEN 'fr'
+       |       ELSE 'es' END AS lang_pred
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** C9 `text_quality`: length / punctuation / stopword-density
+    * heuristics (the Gopher/C4-style quality-filter family) plus a
+    * combined score. Ratios are rounded to 6 dp *before* entering the
+    * combined score so both engines fold the identical doubles.
+    */
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("punct_ratio", round(punct.cast("double") / col("n_chars"), 6))
+      .withColumn("stop_ratio", round(
+        size(filter(col("toks"), t => array_contains(array(stopEn.map(lit): _*), t)))
+          .cast("double") / greatest(col("n_words"), lit(1L)), 6))
+      .withColumn("quality_score", round(
+        least(lit(1.0), col("n_words") / lit(200.0)) *
+          (lit(1.0) - col("punct_ratio")) *
+          (lit(0.5) + lit(0.5) * col("stop_ratio")), 6))
+      .select("doc_id", "n_chars", "n_words", "punct_ratio", "stop_ratio", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  val qualitySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, length(text) AS n_chars,
+       |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+       |    $tokensSql AS toks
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_chars, len(toks) AS n_words,
+       |    round(punct * 1.0 / n_chars, 6) AS punct_ratio,
+       |    round(len(list_filter(toks, x -> list_contains(${sqlList(stopEn)}, x))) * 1.0
+       |          / greatest(len(toks), 1), 6) AS stop_ratio
+       |  FROM t)
+       |SELECT doc_id, n_chars, n_words, punct_ratio, stop_ratio,
+       |  round(least(1.0, n_words / 200.0) * (1.0 - punct_ratio)
+       |        * (0.5 + 0.5 * stop_ratio), 6) AS quality_score
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** C10 `text_tokens`: whitespace token count plus a BPE-ish regex
+    * count (alnum runs or single non-space symbols — the GPT-2 pattern
+    * family without the library dependency).
+    */
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ws_tokens",
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).cast("long"))
+      .withColumn("bpe_tokens",
+        regexp_count(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9\\s]")).cast("long"))
+      .withColumn("chars_per_token",
+        round(length(col("text")).cast("double") / greatest(col("bpe_tokens"), lit(1L)), 6))
+      .select("doc_id", "ws_tokens", "bpe_tokens", "chars_per_token")
+      .orderBy("doc_id")
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
+      |  round(length(text) * 1.0 / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')), 1), 6) AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** C11 `text_fingerprint`: winnowing fingerprints (k=8-char grams,
+    * window w=4) via the codegen'd [[graft.functions.WinnowFingerprint]]
+    * expression; exploded to one row per selected hash. The hash is the
+    * portable polynomial so DuckDB derives the identical fingerprints
+    * from scratch in SQL.
+    */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(exprs.winnowFp(col("text"), 8, 4)).as("fp"))
+      .orderBy("doc_id", "fp")
+
+  val fingerprintSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, list_transform(range(1, length(text) - 8 + 2), i ->
+      |    list_reduce(list_transform(string_split(substring(text, i, 8), ''), ch -> ascii(ch)::BIGINT),
+      |                (a, x) -> (a * 31 + x) % 1000000007)) AS hs
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, list_sort(list_distinct(
+      |    list_transform(range(1, len(hs) - 4 + 2), j -> list_min(hs[j:j+3])))) AS fps
+      |  FROM h)
+      |SELECT doc_id, unnest(fps) AS fp FROM m ORDER BY doc_id, fp""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid"      -> (langId _),
+    "text_quality"     -> (quality _),
+    "text_tokens"      -> (tokenCounts _),
+    "text_fingerprint" -> (fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "text_langid"      -> langIdSql,
+    "text_quality"     -> qualitySql,
+    "text_tokens"      -> tokenCountsSql,
+    "text_fingerprint" -> fingerprintSql)
+}

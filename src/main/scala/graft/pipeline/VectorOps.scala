@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.exprs
+
+/** Embedding similarity operators (SURVEY.md §2.C5–C7) over the
+  * `embeddings` table (vec_id, embedding array<float>, label).
+  *
+  * Cosines are computed by the codegen'd
+  * [[graft.functions.CosineSim]] expression — double accumulation in
+  * index order, so the DuckDB oracle (`list_dot_product` on DOUBLE[])
+  * lands on the same rounded value.
+  *
+  * Scale shape: the exact variants (C5 pair scan, C6 brute-force) are
+  * the correctness baseline and stay O(n·q) / O(n²); the LSH variant
+  * (C7) is the 100 TB path — signature is a narrow map, the join is
+  * keyed on (band, bits), and only candidates pay the full cosine.
+  */
+object VectorOps {
+
+  val CosThreshold = 0.46
+  val TopK = 5
+  val NQueries = 10
+  val LshSeed = 77L
+
+  private def emb(s: SparkSession, d: String, prefix: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id").as(s"${prefix}_id"), col("embedding").as(s"${prefix}_emb"))
+
+  /** C5 `dedup_embedding`: all pairs with cosine ≥ 0.46. Exact pair
+    * scan (range-partitioned self-join); the LSH machinery of C7 is the
+    * candidate generator you'd put in front at 100 TB.
+    */
+  def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+    val a = emb(s, d, "a")
+    val b = emb(s, d, "b")
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos_raw", exprs.cosineSim(col("a_emb"), col("b_emb")))
+      .filter(col("cos_raw") >= CosThreshold)
+      .select(col("a_id").as("vec_a"), col("b_id").as("vec_b"),
+        round(col("cos_raw"), 6).as("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val embeddingPairsSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(list_dot_product(a.v, b.v)
+       |        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.v, b.v)
+       |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= $CosThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** C6 `ann_bruteforce`: exact top-k neighbors for the query set
+    * (vec_id < 10), ranked on the 6-dp-rounded cosine with vec_id
+    * tie-break so rank order is engine-independent. The query side is
+    * broadcast — the corpus is never shuffled, which is the right shape
+    * when queries ≪ corpus.
+    */
+  def annBruteforce(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = emb(s, d, "n")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    broadcast(q).join(c, col("query_id") =!= col("n_id"))
+      .withColumn("cos_sim", round(exprs.cosineSim(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("n_id").as("neighbor_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annBruteforceSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sims AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    round(list_dot_product(q.v, n.v)
+       |          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS cos_sim
+       |  FROM e q JOIN e n ON q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < $NQueries)
+       |SELECT query_id, neighbor_id, cos_sim,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |FROM sims
+       |QUALIFY rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** C7 `ann_lsh`: sign-random-projection LSH — 32-bit signatures,
+    * 8 bands × 4 bits (8 hash tables); a corpus vector is a candidate
+    * iff it shares a band value with the query. Only candidates pay the exact cosine;
+    * the per-band join is keyed (shuffle ∝ candidates, not corpus²).
+    * Probabilistic recall → no SQL oracle (rows-only driver check);
+    * the spec measures recall against C6.
+    */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def banded(df: DataFrame, idc: String, embc: String): DataFrame = {
+      val sig = exprs.lshSig(col(embc), LshSeed, 32)
+      val bands = (0 to 7).map(b =>
+        shiftrightunsigned(sig, b * 4).bitwiseAND(lit(0xFL)))
+      df.select(col(idc), col(embc), posexplode(array(bands: _*)).as(Seq("band", "bits")))
+    }
+    val q = banded(
+      Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      "query_id", "q_emb")
+    val c = banded(emb(s, d, "n"), "n_id", "n_emb")
+    val cand = broadcast(q).join(c, Seq("band", "bits"))
+      .filter(col("query_id") =!= col("n_id"))
+      .select(col("query_id"), col("q_emb"), col("n_id"), col("n_emb"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    cand
+      .withColumn("cos_sim", round(exprs.cosineSim(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("n_id").as("neighbor_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_embedding" -> (embeddingPairs _),
+    "ann_bruteforce"  -> (annBruteforce _),
+    "ann_lsh"         -> (annLsh _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_embedding" -> embeddingPairsSql,
+    "ann_bruteforce"  -> annBruteforceSql)
+}

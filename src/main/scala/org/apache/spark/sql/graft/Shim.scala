@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column ⇄ Expression converters.
+  * Extension libraries conventionally host such shims inside the
+  * `org.apache.spark.sql` namespace — the reference does the same with
+  * its `org.apache.spark.sql.iceberg` package
+  * (reference: src/main/scala/org/apache/spark/sql/iceberg/...).
+  */
+object Shim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.{exprs, Hashing}
+import graft.pipeline.{Dedup, Multimodal, TextOps, VectorOps}
+
+class PipelineSpec extends SparkSpec {
+
+  test("polyHash matches the portable definition") {
+    // ((0*31+97)*31+98)*31+99 mod 1e9+7 — same value DuckDB's
+    // list_reduce oracle computes for 'abc'.
+    assert(Hashing.polyHashString("abc") === 96354L)
+    assert(Hashing.polyHashString("") === 0L)
+  }
+
+  test("winnow guarantees: minima of every window, sorted distinct") {
+    import spark.implicits._
+    val out = Seq("the quick brown fox jumps over the lazy dog")
+      .toDF("text")
+      .select(exprs.winnowFp(col("text"), 8, 4).as("fp"))
+      .collect().head.getSeq[Long](0)
+    assert(out.nonEmpty && out == out.sorted && out.distinct.size == out.size)
+    // every fingerprint must be the hash of some 8-gram of the input
+    val allHashes = "the quick brown fox jumps over the lazy dog"
+      .sliding(8).map(Hashing.polyHashString).toSet
+    assert(out.forall(allHashes.contains))
+  }
+
+  test("cosine expression: known vectors, double precision") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+                 (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
+                 (Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(exprs.cosineSim(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(got(0)) < 1e-15)
+    assert(math.abs(got(1) - 1.0) < 1e-15)
+    assert(got(2) === 0.0) // zero-norm guard
+  }
+
+  test("text ops cover every document exactly once") {
+    for (q <- Seq(TextOps.langId _, TextOps.quality _, TextOps.tokenCounts _)) {
+      val df = q(spark, sfDir)
+      assert(df.count() === 500)
+      assert(df.select("doc_id").distinct().count() === 500)
+    }
+  }
+
+  test("minhash+verify equals exact ngram jaccard (recall 1 at J>=0.5)") {
+    val lsh = Dedup.minhash(spark, sfDir).collect().toSet
+    val exact = Dedup.ngramJaccard(spark, sfDir).collect().toSet
+    assert(exact.nonEmpty, "expected planted near-dup pairs in testdata")
+    assert(lsh === exact)
+  }
+
+  test("simhash recovers most exact near-dup pairs, hamming bounded") {
+    val sim = Dedup.simhash(spark, sfDir).collect()
+    assert(sim.forall(_.getAs[Long]("hamming") <= 8))
+    val simPairs = sim.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val exact = Dedup.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val recall = simPairs.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"simhash recall $recall")
+  }
+
+  test("exact dedup groups cover all docs") {
+    val df = Dedup.exact(spark, sfDir)
+    assert(df.agg(sum("n_docs")).collect().head.getLong(0) === 500L)
+  }
+
+  test("ann bruteforce: k ranked neighbors per query, no self-match") {
+    val df = VectorOps.annBruteforce(spark, sfDir).collect()
+    val byQ = df.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size === VectorOps.NQueries)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to VectorOps.TopK))
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != q))
+      val sims = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ann lsh: candidates subset ranked exactly; recall vs bruteforce") {
+    val lsh = VectorOps.annLsh(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = VectorOps.annBruteforce(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"lsh recall $recall")
+  }
+
+  test("multimodal decode stub: features derived from payload bytes") {
+    val feats = Multimodal.mmDecodeStub(spark, sfDir).collect()
+    assert(feats.length === 500)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    feats.take(20).foreach { r =>
+      val text = docs(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_bytes") === text.getBytes("UTF-8").length.toLong)
+      assert(r.getAs[Long]("checksum") === Hashing.polyHashString(text))
+    }
+  }
+
+  test("pipeline hot paths stay inside whole-stage codegen") {
+    val df = TextOps.fingerprint(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark WholeStageCodegen spans in the plan rendering
+    assert(plan.contains("*(1)"), s"plan was:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+}
