@@ -74,6 +74,34 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "graft_simhash"
 }
 
+/** Distinct word n-gram shingles of a text column (array<string>). */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.wordShingles(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.wordShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingles"
+}
+
+/** Distinct word n-gram shingles hashed to 64 bits (array<long>). */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.shingleHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
 /** MinHash-LSH band keys of an array<long> of shingle hashes. */
 case class MinHashBands(child: Expression, seed: Long, nHashes: Int, nBands: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -115,6 +143,8 @@ object exprs {
   private def ex(c: Column): Expression = Shim.expression(c)
 
   def polyHash(c: Column): Column = col(PolyHash(ex(c)))
+  def wordShingles(c: Column, n: Int): Column = col(WordShingles(ex(c), n))
+  def shingleHashes(c: Column, n: Int): Column = col(ShingleHashes(ex(c), n))
   def winnowFp(c: Column, k: Int, w: Int): Column = col(WinnowFingerprint(ex(c), k, w))
   def cosineSim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def simHash(c: Column): Column = col(SimHash64(ex(c)))

@@ -133,6 +133,76 @@ object Hashing {
     r * math.cos(2.0 * math.Pi * u2)
   }
 
+  private val tokenSplit = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
+  /** lower → split on non-alphanumeric runs → drop empties. Must stay
+    * semantically identical to TextOps.tokens / the oracle's
+    * string_split_regex spelling.
+    */
+  def tokenize(s: String): Array[String] =
+    tokenSplit.split(s.toLowerCase(java.util.Locale.ROOT), -1).filter(_.nonEmpty)
+
+  /** Distinct word n-gram shingles (single-space joined), insertion
+    * order. One codegen'd kernel call replaces the interpreted
+    * transform/element_at lambda chain, which re-evaluates the
+    * tokenizer per element (higher-order functions never codegen).
+    */
+  def wordShingles(s: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(s.toString)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val last = toks.length - n
+    val sb = new java.lang.StringBuilder()
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** FNV-1a 64 + splitmix finalizer over UTF-8 bytes — the internal
+    * 64-bit string hash (shingle → minhash/simhash input).
+    */
+  def fnv64(s: String): Long = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    mix64(h)
+  }
+
+  /** Distinct word n-gram shingles hashed to 64 bits in one kernel —
+    * the zero-allocation-per-row path feeding MinHash/SimHash.
+    */
+  def shingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(s.toString)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    val last = toks.length - n
+    val sb = new java.lang.StringBuilder()
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      seen.add(fnv64(sb.toString))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
+  }
+
   /** MinHash-LSH band keys from a doc's set of 64-bit shingle hashes.
     * Permutation i is `min over shingles of mix64(h ^ mix64(seed+i))`
     * (a universal-enough family); the nHashes minima are folded into

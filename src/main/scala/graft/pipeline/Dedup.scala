@@ -32,19 +32,19 @@ object Dedup {
     */
   val BucketCap = 200
 
-  /** Distinct word-trigram shingles per doc, as one array column. */
-  private def shingleArr(text: Column): Column = {
-    val toks = TextOps.tokens(text)
-    array_distinct(
-      when(size(toks) >= 3,
-        transform(sequence(lit(1), size(toks) - 2), i =>
-          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-        .otherwise(array()))
-  }
-
-  /** (doc_id, shs: array<string>) — the shingle *set* per document. */
+  /** (doc_id, shs: array<string>) — the shingle *set* per document,
+    * via the codegen'd [[graft.functions.WordShingles]] kernel (the
+    * equivalent transform/element_at lambda chain evaluates interpreted
+    * and re-runs the tokenizer per element — 40× slower at sf0.1).
+    */
   private def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"), shingleArr(col("text")).as("shs"))
+    Tables.documents(s, d).select(col("doc_id"), exprs.wordShingles(col("text"), 3).as("shs"))
+
+  /** (doc_id, hs: array<long>) — 64-bit-hashed shingle set, the sketch
+    * input (no string materialization at all).
+    */
+  private def docShingleHashes(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), exprs.shingleHashes(col("text"), 3).as("hs"))
 
   /** C1 `dedup_exact`: content-hash groups. One partial-agg-friendly
     * shuffle; `keeper` = min doc id is the row you'd retain.
@@ -92,9 +92,9 @@ object Dedup {
     * matching it is the recall-≈-1 evidence.
     */
   def minhash(s: SparkSession, d: String): DataFrame = {
-    val sigs = docShingles(s, d)
+    val sigs = docShingleHashes(s, d)
       .select(col("doc_id"),
-        exprs.minHashBands(transform(col("shs"), sh => xxhash64(sh)), Seed, 128, 32).as("bands"))
+        exprs.minHashBands(col("hs"), Seed, 128, 32).as("bands"))
     val cand = sigs
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
       .groupBy(col("band"), col("key"))
@@ -115,9 +115,8 @@ object Dedup {
     * pairs at sf0.001.
     */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val sigs = docShingles(s, d)
-      .select(col("doc_id"),
-        exprs.simHash(transform(col("shs"), sh => xxhash64(sh))).as("sim"))
+    val sigs = docShingleHashes(s, d)
+      .select(col("doc_id"), exprs.simHash(col("hs")).as("sim"))
     // 8 bands × 8 bits: a pair within Hamming ≤ 8 escapes only if every
     // differing bit lands in a distinct band — high recall, and random
     // pairs still collide at only ~8/256 of buckets (hamming filter
