@@ -1,0 +1,96 @@
+package graft.lake
+
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.{exprs, Hashing}
+
+/** Column-dependency transforms (reference: utils/Transforms.scala,
+  * utils/ColumnDependenciesExprVisitor.scala). A transform must be
+  * computable both as a Spark Column (write path — materializing the
+  * derived partition column) and on the driver over plain Scala values
+  * (scan path — rewriting a src-column predicate into a dest-column
+  * value to prune partitions). Semantics:
+  *
+  *  - identity
+  *  - truncate[n]:  string → first n chars; integral → floor to a
+  *    multiple of n. Monotone ⇒ range predicates infer.
+  *  - bucket[n]:    integral → ((v mod n)+n) mod n; string →
+  *    ((polyHash mod n)+n) mod n. Equality-only inference. (Our own
+  *    hash spec — the capability matches Iceberg bucketing; the hash
+  *    function is graft's.)
+  *  - year/month/day/hour: timestamp → 1996 / 199604 / 19960412 /
+  *    1996041215 as ints — each monotone in the timestamp ⇒ range
+  *    predicates infer.
+  */
+object Deps {
+
+  private val TruncRe = """truncate\[(\d+)\]""".r
+  private val BucketRe = """bucket\[(\d+)\]""".r
+
+  /** True if the transform preserves ordering of its input (range
+    * predicates on src then translate to ranges on dest).
+    */
+  def monotone(transform: String): Boolean = transform match {
+    case BucketRe(_) => false
+    case _           => true
+  }
+
+  /** Spark-side column for the write path. */
+  def column(transform: String, src: Column): Column = transform match {
+    case "identity"   => src
+    case TruncRe(n)   => substring(src, 1, n.toInt) // string truncate
+    case BucketRe(n)  => pmod(exprs.polyHash(src.cast("string")), lit(n.toLong)).cast("int")
+    case "year"       => year(src).cast("int")
+    case "month"      => (year(src) * 100 + month(src)).cast("int")
+    case "day"        => (year(src) * 10000 + month(src) * 100 + dayofmonth(src)).cast("int")
+    case "hour"       => (year(src) * 1000000 + month(src) * 10000 + dayofmonth(src) * 100 + hour(src)).cast("int")
+    case t            => throw new IllegalArgumentException(s"unknown transform $t")
+  }
+
+  /** Integral truncate needs a different expression than string
+    * truncate; pick by the src column's resolved type at write time.
+    */
+  def columnTyped(transform: String, src: Column, isString: Boolean): Column = transform match {
+    case TruncRe(n) if !isString =>
+      (src - pmod(src, lit(n.toLong))).cast("long")
+    case _ => column(transform, src)
+  }
+
+  /** Driver-side evaluation over a plain Scala value (Long, Double,
+    * String, or epoch-micros Long for timestamps). Must agree exactly
+    * with [[columnTyped]].
+    */
+  def apply(transform: String, v: Any): Any = transform match {
+    case "identity" => v
+    case TruncRe(n) => v match {
+      case s: String => s.take(n.toInt)
+      case l: Long   => l - (((l % n.toInt) + n.toInt) % n.toInt)
+      case i: Int    => (i - (((i % n.toInt) + n.toInt) % n.toInt)).toLong
+      case other     => throw new IllegalArgumentException(s"truncate on $other")
+    }
+    case BucketRe(n) => v match {
+      case s: String => (((Hashing.polyHashString(s) % n.toInt) + n.toInt) % n.toInt).toInt
+      case l: Long   => (((Hashing.polyHashString(l.toString) % n.toInt) + n.toInt) % n.toInt).toInt
+      case i: Int    => (((Hashing.polyHashString(i.toString) % n.toInt) + n.toInt) % n.toInt).toInt
+      case other     => throw new IllegalArgumentException(s"bucket on $other")
+    }
+    case "year" | "month" | "day" | "hour" =>
+      val micros = v match {
+        case l: Long => l
+        case other   => throw new IllegalArgumentException(s"date transform on $other")
+      }
+      val t = Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+        .atZone(ZoneOffset.UTC)
+      transform match {
+        case "year"  => t.getYear
+        case "month" => t.getYear * 100 + t.getMonthValue
+        case "day"   => t.getYear * 10000 + t.getMonthValue * 100 + t.getDayOfMonth
+        case "hour"  => t.getYear * 1000000 + t.getMonthValue * 10000 + t.getDayOfMonth * 100 + t.getHour
+      }
+    case t => throw new IllegalArgumentException(s"unknown transform $t")
+  }
+}

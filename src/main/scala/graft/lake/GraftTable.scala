@@ -1,0 +1,416 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+
+/** A graft-managed table: Spark-native data plane (`df.write.parquet`)
+  * plus a snapshot control plane with the reference's semantics —
+  * snapshot-creating DML, time travel, metadata views, rollback,
+  * expiration, column-dependency pruning (reference:
+  * InsertIntoIcebergTable.scala, IcebergFileCommitProtocol.scala,
+  * parsing/IceParser.scala `as of`, utils/TableUtils.scala
+  * `$snapshots`).
+  *
+  * Commit protocol: write `meta/snapshot-<id>.json`, then atomically
+  * swing `meta/version-hint.txt` via rename — readers resolve the
+  * pointer once and plan entirely from that manifest (snapshot
+  * isolation, single-writer; same guarantee class as the reference's
+  * rename-based FileCommitProtocol).
+  *
+  * Layout:
+  * {{{
+  *   root/meta/version-hint.txt        — current snapshot id
+  *   root/meta/snapshot-<id>.json      — full manifest (see Snapshot)
+  *   root/data/<k=v>/…/<sid>-<file>    — hive-layout parquet data
+  * }}}
+  */
+final class GraftTable(val root: String, spark: SparkSession) {
+
+  private def metaDir = Paths.get(root, "meta")
+  private def dataDir = Paths.get(root, "data")
+
+  // ---- control plane ------------------------------------------------
+
+  def currentId: Long = {
+    val hint = metaDir.resolve("version-hint.txt")
+    new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toLong
+  }
+
+  def snapshot(id: Long): Snapshot =
+    SnapshotCodec.fromJson(new String(
+      Files.readAllBytes(metaDir.resolve(s"snapshot-$id.json")), StandardCharsets.UTF_8))
+
+  def current: Snapshot = snapshot(currentId)
+
+  def snapshotIds: Seq[Long] =
+    Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("snapshot-") =>
+        s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
+      .toSeq.sorted
+
+  def snapshots: Seq[Snapshot] = snapshotIds.map(snapshot)
+
+  private def commit(s: Snapshot): Unit = {
+    Files.createDirectories(metaDir)
+    Files.write(metaDir.resolve(s"snapshot-${s.id}.json"),
+      SnapshotCodec.toJson(s).getBytes(StandardCharsets.UTF_8))
+    val tmp = metaDir.resolve(s"version-hint.tmp")
+    Files.write(tmp, s.id.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, metaDir.resolve("version-hint.txt"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Strictly increasing commit timestamps even within one millisecond
+    * (time travel by timestamp must totally order snapshots).
+    */
+  private def nextTs(parent: Option[Snapshot]): Long =
+    math.max(System.currentTimeMillis(), parent.map(_.tsMillis + 1).getOrElse(0L))
+
+  def schema: StructType = DataType.fromJson(current.schemaJson).asInstanceOf[StructType]
+
+  // ---- write path ---------------------------------------------------
+
+  /** Materialize derived dependency columns, write hive-layout parquet
+    * into a staging dir, move files into data/, harvest footer stats.
+    */
+  private def writeFiles(
+      df0: DataFrame, partitionCols: Seq[String], deps: Seq[DepSpec],
+      snapId: Long): Seq[FileEntry] = {
+    val df = deps.foldLeft(df0) { (d, dep) =>
+      if (d.columns.contains(dep.dest)) d
+      else {
+        val isString = d.schema(dep.src).dataType == StringType
+        d.withColumn(dep.dest, Deps.columnTyped(dep.transform, col(dep.src), isString))
+      }
+    }
+    val staging = Paths.get(root, s".staging-${UUID.randomUUID()}")
+    val writer = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(staging.toString)
+
+    val moved = scala.collection.mutable.ArrayBuffer[FileEntry]()
+    val conf = new Configuration()
+    var seq = 0
+    Files.walk(staging).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq.sortBy(_.toString)
+      .foreach { p =>
+        val rel = staging.relativize(p) // k=v dirs + filename
+        val partVals = rel.iterator().asScala.map(_.toString).toSeq.dropRight(1)
+          .map { seg =>
+            val i = seg.indexOf('=')
+            seg.substring(0, i) -> unescapePath(seg.substring(i + 1))
+          }.toMap
+        val destDir = partVals.foldLeft(dataDir) { case (d, (k, v)) =>
+          d.resolve(s"$k=${escapePath(v)}") }
+        Files.createDirectories(destDir)
+        val dest = destDir.resolve(s"$snapId-$seq-${p.getFileName}")
+        seq += 1
+        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+        val (rows, bytes, stats) = footerStats(dest, conf)
+        moved += FileEntry(
+          Paths.get(root).relativize(dest).toString, partVals, rows, bytes, stats)
+      }
+    // remove the now-empty staging tree
+    Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    moved.toSeq
+  }
+
+  // Spark escapes special chars in partition dirs (Hive rules); values
+  // used in graft tables are alphanumeric, so pass-through with the
+  // single common case (%20) handled for safety.
+  private def unescapePath(s: String): String = s.replace("%20", " ")
+  private def escapePath(s: String): String = s.replace(" ", "%20")
+
+  /** Per-column min/max/nulls from the parquet footer — O(footer), no
+    * data read (reference: utils/ParquetMetrics.scala).
+    */
+  private def footerStats(p: Path, conf: Configuration): (Long, Long, Map[String, ColStat]) = {
+    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), conf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val md = reader.getFooter
+      val blocks = md.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      val agg = scala.collection.mutable.Map[String, (String, Any, Any, Long)]()
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        val st = c.getStatistics
+        if (st != null && st.hasNonNullValue) {
+          val (tpe, mn, mx): (String, Any, Any) =
+            c.getPrimitiveType.getPrimitiveTypeName match {
+              case PrimitiveTypeName.INT64 | PrimitiveTypeName.INT32 =>
+                ("long",
+                  st.genericGetMin.asInstanceOf[Number].longValue,
+                  st.genericGetMax.asInstanceOf[Number].longValue)
+              case PrimitiveTypeName.DOUBLE | PrimitiveTypeName.FLOAT =>
+                ("double",
+                  st.genericGetMin.asInstanceOf[Number].doubleValue,
+                  st.genericGetMax.asInstanceOf[Number].doubleValue)
+              case PrimitiveTypeName.BINARY =>
+                ("string",
+                  st.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8,
+                  st.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8)
+              case _ => (null, null, null)
+            }
+          if (tpe != null) {
+            agg.get(name) match {
+              case None => agg(name) = (tpe, mn, mx, st.getNumNulls)
+              case Some((t0, m0, x0, n0)) =>
+                val nmn = if (cmpAny(mn, m0) < 0) mn else m0
+                val nmx = if (cmpAny(mx, x0) > 0) mx else x0
+                agg(name) = (t0, nmn, nmx, n0 + st.getNumNulls)
+            }
+          }
+        }
+      }
+      val stats = agg.map { case (k, (t, mn, mx, nulls)) =>
+        k -> ColStat(t, mn.toString, mx.toString, nulls) }.toMap
+      (rows, Files.size(p), stats)
+    } finally reader.close()
+  }
+
+  private def cmpAny(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case _                      => 0
+  }
+
+  // ---- DML ----------------------------------------------------------
+
+  /** INSERT INTO — append snapshot (reference: InsertIntoIcebergTable
+    * append mode).
+    */
+  def append(df: DataFrame): GraftTable = {
+    val cur = current
+    val added = writeFiles(df, cur.partitionCols, cur.deps, cur.id + 1)
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "append", files = cur.files ++ added,
+      addedFiles = added.size, deletedFiles = 0))
+    this
+  }
+
+  /** INSERT OVERWRITE (whole table). */
+  def overwrite(df: DataFrame): GraftTable = {
+    val cur = current
+    val added = writeFiles(df, cur.partitionCols, cur.deps, cur.id + 1)
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "overwrite", files = added,
+      addedFiles = added.size, deletedFiles = cur.files.size))
+    this
+  }
+
+  /** INSERT OVERWRITE PARTITION (static single-partition overwrite —
+    * reference: single-partition overwrite with source predicates).
+    */
+  def overwritePartition(df: DataFrame, partSpec: Map[String, String]): GraftTable = {
+    val cur = current
+    val added = writeFiles(df, cur.partitionCols, cur.deps, cur.id + 1)
+    val badNew = added.filterNot(f => partSpec.forall(kv => f.partition.get(kv._1).contains(kv._2)))
+    require(badNew.isEmpty,
+      s"rows outside target partition $partSpec: ${badNew.map(_.partition)}")
+    val (dropped, kept) = cur.files.partition(
+      f => partSpec.forall(kv => f.partition.get(kv._1).contains(kv._2)))
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "overwrite-partition", files = kept ++ added,
+      addedFiles = added.size, deletedFiles = dropped.size))
+    this
+  }
+
+  /** Dynamic partition overwrite: replace exactly the partitions
+    * present in the incoming data.
+    */
+  def overwriteDynamic(df: DataFrame): GraftTable = {
+    val cur = current
+    val added = writeFiles(df, cur.partitionCols, cur.deps, cur.id + 1)
+    val touched = added.map(_.partition).toSet
+    val (dropped, kept) = cur.files.partition(f => touched.contains(f.partition))
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "overwrite-dynamic", files = kept ++ added,
+      addedFiles = added.size, deletedFiles = dropped.size))
+    this
+  }
+
+  /** Schema evolution: add a nullable column (old files read as null). */
+  def addColumn(name: String, dt: DataType): GraftTable = {
+    val cur = current
+    val newSchema = StructType(schema.fields :+ StructField(name, dt, nullable = true))
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "add-column", schemaJson = newSchema.json,
+      addedFiles = 0, deletedFiles = 0))
+    this
+  }
+
+  /** Roll the table back to an earlier snapshot's file set — recorded
+    * as a NEW snapshot (history is never rewritten).
+    */
+  def rollback(toId: Long): GraftTable = {
+    val cur = current
+    val target = snapshot(toId)
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "rollback", schemaJson = target.schemaJson, files = target.files,
+      addedFiles = 0, deletedFiles = 0))
+    this
+  }
+
+  /** Expire snapshots with id < keepFrom (current always retained).
+    * Returns orphaned data files (referenced only by expired
+    * snapshots); `delete=true` removes them and the expired manifests.
+    */
+  def expire(keepFrom: Long, delete: Boolean = true): Seq[String] = {
+    val cur = currentId
+    val (expired, retained) = snapshotIds.partition(id => id < keepFrom && id != cur)
+    val live = retained.flatMap(id => snapshot(id).files.map(_.path)).toSet
+    val orphans = expired.flatMap(id => snapshot(id).files.map(_.path)).distinct
+      .filterNot(live.contains).sorted
+    if (delete) {
+      orphans.foreach(rel => Files.deleteIfExists(Paths.get(root, rel)))
+      expired.foreach(id => Files.deleteIfExists(metaDir.resolve(s"snapshot-$id.json")))
+    }
+    orphans
+  }
+
+  // ---- read path ----------------------------------------------------
+
+  private def readFiles(files: Seq[FileEntry], schemaJson: String): DataFrame = {
+    val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    if (files.isEmpty) {
+      spark.createDataFrame(new java.util.ArrayList[Row](), sch)
+    } else {
+      val paths = files.map(f => Paths.get(root, f.path).toString)
+      spark.read
+        .schema(sch)
+        .option("basePath", dataDir.toString)
+        .parquet(paths: _*)
+        .select(sch.fieldNames.map(col): _*)
+    }
+  }
+
+  /** Full-table read of the current snapshot. */
+  def read(): DataFrame = { val c = current; readFiles(c.files, c.schemaJson) }
+
+  /** Time travel — `as of` a snapshot id (reference: IceParser's
+    * `as of` prefix clause).
+    */
+  def readAsOfId(id: Long): DataFrame = {
+    val s = snapshot(id); readFiles(s.files, s.schemaJson)
+  }
+
+  /** Time travel — `as of` a wall-clock timestamp: latest snapshot
+    * whose commit time ≤ ts.
+    */
+  def readAsOfTs(tsMillis: Long): DataFrame = {
+    val s = snapshots.filter(_.tsMillis <= tsMillis)
+    require(s.nonEmpty, s"no snapshot at or before $tsMillis")
+    val pick = s.maxBy(_.tsMillis)
+    readFiles(pick.files, pick.schemaJson)
+  }
+
+  /** Planning entry: driver-side pruning (partition values, column
+    * dependencies, footer min/max), then a scan over only the
+    * surviving files with the residual predicate applied by Catalyst.
+    */
+  def scan(pred: Column): DataFrame = {
+    val (files, _, _) = pruneFiles(pred)
+    readFiles(files, current.schemaJson).filter(pred)
+  }
+
+  /** The pruning decision itself (exposed for specs/metadata):
+    * (surviving files, #total, constraints used).
+    */
+  def pruneFiles(pred: Column): (Seq[FileEntry], Int, Map[String, Pruning.Constraint]) = {
+    val cur = current
+    val cs0 = Pruning.extract(pred)
+    val cs = Pruning.inferThroughDeps(cs0, cur.deps)
+    val partTypes: Map[String, DataType] =
+      schema.fields.map(f => f.name -> f.dataType).toMap
+    if (cs.values.exists(_.impossible)) (Seq.empty, cur.files.size, cs)
+    else (cur.files.filter(Pruning.fileSurvives(_, cs, partTypes)), cur.files.size, cs)
+  }
+
+  // ---- metadata views -----------------------------------------------
+
+  /** `` t$snapshots `` (reference: utils/TableUtils.scala). */
+  def snapshotsView: DataFrame = {
+    import spark.implicits._
+    snapshots.map(s => (s.id, s.parentId, s.operation,
+        s.addedFiles.toLong, s.deletedFiles.toLong, s.files.size.toLong, s.totalRows))
+      .toDF("snapshot_id", "parent_id", "operation",
+        "n_added_files", "n_deleted_files", "n_files", "n_rows")
+  }
+
+  /** `` t$files `` — current snapshot's file inventory. */
+  def filesView: DataFrame = {
+    import spark.implicits._
+    current.files.map(f =>
+        (f.path, f.partition.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("/"),
+          f.rows, f.bytes))
+      .toDF("file_path", "partition", "n_rows", "n_bytes")
+  }
+}
+
+object GraftTable {
+
+  /** CREATE TABLE … USING parquet OPTIONS(addTableManagement,
+    * columnDependencies …) PARTITIONED BY … — as an API (reference:
+    * planning/CreateTableRules.scala). Deletes any prior table at
+    * `root` (idempotent rebuilds for the driver contract).
+    */
+  def create(
+      spark: SparkSession, root: String, df: DataFrame,
+      partitionCols: Seq[String] = Seq.empty,
+      deps: Seq[DepSpec] = Seq.empty): GraftTable = {
+    val rootP = Paths.get(root)
+    if (Files.exists(rootP)) {
+      Files.walk(rootP).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    Files.createDirectories(rootP)
+    val t = new GraftTable(root, spark)
+    // resolve the full schema (incl. derived dep columns) by writing
+    val withDeps = deps.foldLeft(df) { (d, dep) =>
+      if (d.columns.contains(dep.dest)) d
+      else {
+        val isString = d.schema(dep.src).dataType == StringType
+        d.withColumn(dep.dest, Deps.columnTyped(dep.transform, col(dep.src), isString))
+      }
+    }
+    val files = t.writeFiles(df, partitionCols, deps, snapId = 1)
+    t.commit(Snapshot(
+      id = 1, parentId = -1L, tsMillis = System.currentTimeMillis(),
+      operation = "create", schemaJson = withDeps.schema.json,
+      partitionCols = partitionCols, deps = deps, files = files,
+      addedFiles = files.size, deletedFiles = 0))
+    t
+  }
+
+  /** Parse the reference's columnDependencies option string:
+    * `src=dest:transform[,src=dest:transform…]` (reference:
+    * utils/Transforms.scala option format).
+    */
+  def parseDeps(s: String): Seq[DepSpec] =
+    s.split(',').filter(_.nonEmpty).toSeq.map { part =>
+      val Array(src, rest) = part.trim.split("=", 2)
+      val Array(dest, tr) = rest.split(":", 2)
+      DepSpec(src.trim, dest.trim, tr.trim)
+    }
+}

@@ -1,0 +1,242 @@
+package graft.lake
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Driver-side file pruning: predicate → per-column constraints →
+  * partition-value tests, column-dependency inference, and min/max
+  * stats tests (reference: IceTableScanExec.scala prunes from Iceberg
+  * manifests + ParquetMetrics; planning/CreateTableRules rewrites
+  * predicates through columnDependencies).
+  *
+  * Extraction is *conservative*: any sub-expression it doesn't
+  * understand contributes no constraint (file kept). Only top-level
+  * conjuncts prune. Comparable domains: Long (ints + timestamp
+  * micros), Double, String.
+  */
+object Pruning {
+
+  /** Closed constraint for one column: optional eq-set (from =/IN) and
+    * an optional interval. `impossible` ⇒ the whole scan is empty.
+    */
+  final case class Constraint(
+      eqs: Option[Set[Any]] = None,
+      lo: Option[(Any, Boolean)] = None, // (bound, inclusive)
+      hi: Option[(Any, Boolean)] = None) {
+
+    def and(o: Constraint): Constraint = Constraint(
+      (eqs, o.eqs) match {
+        case (Some(a), Some(b)) => Some(a.intersect(b))
+        case (a, b)             => a.orElse(b)
+      },
+      tighter(lo, o.lo, isLo = true),
+      tighter(hi, o.hi, isLo = false))
+
+    def impossible: Boolean = {
+      val eqEmpty = eqs.exists(_.isEmpty)
+      val eqOut = eqs.exists(es => es.nonEmpty && !es.exists(inInterval))
+      val loHi = (for { (l, li) <- lo; (h, hi2) <- hi } yield {
+        val c = cmp(l, h)
+        c > 0 || (c == 0 && !(li && hi2))
+      }).getOrElse(false)
+      eqEmpty || eqOut || loHi
+    }
+
+    def inInterval(v: Any): Boolean = {
+      val okLo = lo.forall { case (b, inc) => val c = cmp(v, b); c > 0 || (c == 0 && inc) }
+      val okHi = hi.forall { case (b, inc) => val c = cmp(v, b); c < 0 || (c == 0 && inc) }
+      okLo && okHi
+    }
+
+    /** Does a value range [mn, mx] possibly satisfy this constraint? */
+    def overlaps(mn: Any, mx: Any): Boolean = {
+      val okEq = eqs.forall(_.exists(v => cmp(v, mn) >= 0 && cmp(v, mx) <= 0))
+      val okLo = lo.forall { case (b, inc) => val c = cmp(mx, b); c > 0 || (c == 0 && inc) }
+      val okHi = hi.forall { case (b, inc) => val c = cmp(mn, b); c < 0 || (c == 0 && inc) }
+      okEq && okLo && okHi
+    }
+
+    /** Does a single (partition) value satisfy this constraint? */
+    def accepts(v: Any): Boolean = eqs.forall(_.exists(e => cmp(e, v) == 0)) && inInterval(v)
+  }
+
+  private def tighter(a: Option[(Any, Boolean)], b: Option[(Any, Boolean)], isLo: Boolean) =
+    (a, b) match {
+      case (Some((av, ai)), Some((bv, bi))) =>
+        val c = cmp(av, bv)
+        if (c == 0) Some((av, ai && bi))
+        else if ((c > 0) == isLo) Some((av, ai))
+        else Some((bv, bi))
+      case (x, y) => x.orElse(y)
+    }
+
+  /** Total order across the three domains (mixed types never compared
+    * in practice — extraction normalizes per column).
+    */
+  def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+    case (x: Long, y: Double)   => java.lang.Double.compare(x.toDouble, y)
+    case (x: Double, y: Long)   => java.lang.Double.compare(x, y.toDouble)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => throw new IllegalArgumentException(s"incomparable: $a vs $b")
+  }
+
+  /** Normalize a foldable catalyst literal to Long / Double / String. */
+  private def litValue(e: Expression): Option[Any] =
+    if (!e.foldable) None
+    else (e.eval(null), e.dataType) match {
+      case (null, _)                 => None
+      case (v: UTF8String, _)        => Some(v.toString)
+      case (v: Long, _)              => Some(v)
+      case (v: Int, _)               => Some(v.toLong)
+      case (v: Short, _)             => Some(v.toLong)
+      case (v: Byte, _)              => Some(v.toLong)
+      case (v: Double, _)            => Some(v)
+      case (v: Float, _)             => Some(v.toDouble)
+      case (v: Boolean, _)           => Some(v.toString)
+      case _                         => None
+    }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute => Some(a.name)
+    case a: AttributeReference  => Some(a.name)
+    case Cast(c, _, _, _)       => attrName(c) // cast(col) comparisons still constrain col conservatively? no — skip
+    case _                      => None
+  }
+
+  /** Extract per-column constraints from the top-level conjuncts. */
+  def extract(pred: Column): Map[String, Constraint] = extract(Shim.expression(pred))
+
+  def extract(e: Expression): Map[String, Constraint] = e match {
+    // Columns built from unresolved attrs arrive as UnresolvedFunction
+    // nodes (the ColumnNode converter does not resolve operators to
+    // catalyst classes) — normalize them first.
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.length == 1 && f.arguments.length == 2 =>
+      val Seq(a, b) = f.arguments
+      f.nameParts.head.toLowerCase match {
+        case "and" => extract(And(a, b))
+        case "="   => extract(EqualTo(a, b))
+        case ">"   => extract(GreaterThan(a, b))
+        case ">="  => extract(GreaterThanOrEqual(a, b))
+        case "<"   => extract(LessThan(a, b))
+        case "<="  => extract(LessThanOrEqual(a, b))
+        case "in"  => extract(In(a, Seq(b)))
+        case _     => Map.empty
+      }
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.length == 1 && f.nameParts.head.equalsIgnoreCase("in") &&
+          f.arguments.length >= 2 =>
+      extract(In(f.arguments.head, f.arguments.tail))
+    case And(l, r) =>
+      val a = extract(l); val b = extract(r)
+      (a.keySet ++ b.keySet).map { k =>
+        k -> (a.get(k), b.get(k)) match {
+          case (k2, (Some(x), Some(y))) => k2 -> x.and(y)
+          case (k2, (x, y))             => k2 -> x.orElse(y).get
+        }
+      }.toMap
+    case EqualTo(a, v) if attrIsPlain(a) && litValue(v).isDefined =>
+      one(a, Constraint(eqs = Some(Set(litValue(v).get))))
+    case EqualTo(v, a) if attrIsPlain(a) && litValue(v).isDefined =>
+      one(a, Constraint(eqs = Some(Set(litValue(v).get))))
+    case GreaterThan(a, v) if attrIsPlain(a) && litValue(v).isDefined =>
+      one(a, Constraint(lo = Some((litValue(v).get, false))))
+    case GreaterThan(v, a) if attrIsPlain(a) && litValue(v).isDefined =>
+      one(a, Constraint(hi = Some((litValue(v).get, false))))
+    case GreaterThanOrEqual(a, v) if attrIsPlain(a) && litValue(v).isDefined =>
+      one(a, Constraint(lo = Some((litValue(v).get, true))))
+    case GreaterThanOrEqual(v, a) if attrIsPlain(a) && litValue(v).isDefined =>
+      one(a, Constraint(hi = Some((litValue(v).get, true))))
+    case LessThan(a, v) if attrIsPlain(a) && litValue(v).isDefined =>
+      one(a, Constraint(hi = Some((litValue(v).get, false))))
+    case LessThan(v, a) if attrIsPlain(a) && litValue(v).isDefined =>
+      one(a, Constraint(lo = Some((litValue(v).get, false))))
+    case LessThanOrEqual(a, v) if attrIsPlain(a) && litValue(v).isDefined =>
+      one(a, Constraint(hi = Some((litValue(v).get, true))))
+    case LessThanOrEqual(v, a) if attrIsPlain(a) && litValue(v).isDefined =>
+      one(a, Constraint(lo = Some((litValue(v).get, true))))
+    case In(a, vs) if attrIsPlain(a) && vs.forall(litValue(_).isDefined) =>
+      one(a, Constraint(eqs = Some(vs.flatMap(litValue).toSet)))
+    case _ => Map.empty // ORs, UDFs, casts-on-attr, …: no pruning
+  }
+
+  private def attrIsPlain(e: Expression): Boolean = e match {
+    case _: UnresolvedAttribute | _: AttributeReference => true
+    case _ => false
+  }
+  private def one(a: Expression, c: Constraint): Map[String, Constraint] =
+    attrName(a).map(n => Map(n -> c)).getOrElse(Map.empty)
+
+  /** Parse a partition-directory string value into the comparable
+    * domain of the given data type.
+    */
+  def parsePartitionValue(raw: String, dt: DataType): Any = dt match {
+    case LongType | IntegerType | ShortType | ByteType => raw.toLong
+    case DoubleType | FloatType                        => raw.toDouble
+    case _                                             => raw
+  }
+
+  /** Push constraints through column dependencies: a constraint on
+    * `src` becomes a constraint on `dest` (partition column). Equality
+    * sets always map; intervals map only through monotone transforms.
+    */
+  def inferThroughDeps(
+      cs: Map[String, Constraint], deps: Seq[DepSpec]): Map[String, Constraint] = {
+    val inferred = deps.flatMap { dep =>
+      cs.get(dep.src).flatMap { c =>
+        val eqMapped = c.eqs.map(_.map(v => toComparable(Deps.apply(dep.transform, fromComparable(v)))))
+        if (Deps.monotone(dep.transform)) {
+          val lo2 = c.lo.map { case (v, _) => (toComparable(Deps.apply(dep.transform, fromComparable(v))), true) }
+          val hi2 = c.hi.map { case (v, _) => (toComparable(Deps.apply(dep.transform, fromComparable(v))), true) }
+          Some(dep.dest -> Constraint(eqMapped, lo2, hi2))
+        } else {
+          eqMapped.map(es => dep.dest -> Constraint(eqs = Some(es)))
+        }
+      }
+    }.toMap
+    // inferred constraints are additive to any direct dest constraints
+    (cs.keySet ++ inferred.keySet).map { k =>
+      (cs.get(k), inferred.get(k)) match {
+        case (Some(a), Some(b)) => k -> a.and(b)
+        case (a, b)             => k -> a.orElse(b).get
+      }
+    }.toMap
+  }
+
+  private def toComparable(v: Any): Any = v match {
+    case i: Int    => i.toLong
+    case other     => other
+  }
+  private def fromComparable(v: Any): Any = v
+
+  /** Decide survival of one file given constraints, the partition
+    * schema, and footer stats.
+    */
+  def fileSurvives(
+      f: FileEntry,
+      cs: Map[String, Constraint],
+      partTypes: Map[String, DataType]): Boolean =
+    cs.forall { case (colName, c) =>
+      f.partition.get(colName) match {
+        case Some(raw) =>
+          c.accepts(parsePartitionValue(raw, partTypes.getOrElse(colName, StringType)))
+        case None =>
+          f.stats.get(colName) match {
+            case Some(st) if st.min != null && st.max != null =>
+              val (mn, mx) = st.tpe match {
+                case "long"   => (st.min.toLong, st.max.toLong)
+                case "double" => (st.min.toDouble, st.max.toDouble)
+                case _        => (st.min, st.max)
+              }
+              c.overlaps(mn, mx)
+            case _ => true // no stats → keep
+          }
+      }
+    }
+}

@@ -1,0 +1,359 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.Tables
+import graft.lake.{DepSpec, GraftTable}
+
+/** Lakehouse-management operators (SURVEY.md §2.A) exposed through the
+  * driver contract. Each query (re)builds a small graft table under
+  * target/lakework from the driver-generated source parquet, exercises
+  * one capability, and returns a result whose oracle is expressible in
+  * plain SQL *over the original tables* — so the whole control plane
+  * (snapshots, overwrite semantics, time travel, pruning, metadata) is
+  * checked end-to-end against DuckDB, not just smoke-tested.
+  *
+  * Writes use `repartition(partitionCols)` so each partition value
+  * lands in exactly one file — which makes file *counts* data-derived
+  * (`count(DISTINCT part)`) and therefore oracle-checkable too.
+  */
+object LakeQueries {
+
+  private def work(d: String, name: String): String =
+    s"/root/repo/target/lakework/$name-${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+
+  private def orders(s: SparkSession, d: String): DataFrame = Tables.orders(s, d)
+
+  private def byStatus(df: DataFrame): DataFrame = df.repartition(col("o_orderstatus"))
+
+  private val orderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  private def sel(df: DataFrame): DataFrame =
+    df.select(orderCols.map(col): _*).orderBy(col("o_orderkey"))
+
+  private val selSql = "o_orderkey, o_custkey, o_orderstatus, o_totalprice"
+
+  // ---- A1 create ----------------------------------------------------
+
+  def lakeCreate(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "create"),
+      Tables.nation(s, d).repartition(col("n_regionkey")), Seq("n_regionkey"))
+    t.read().select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  val lakeCreateSql =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+  // ---- A2 append ----------------------------------------------------
+
+  def lakeAppend(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val t = GraftTable.create(s, work(d, "append"),
+      byStatus(o.filter(col("o_orderkey") < 5000)), Seq("o_orderstatus"))
+    t.append(byStatus(o.filter(col("o_orderkey") >= 5000)))
+    sel(t.read())
+  }
+
+  val lakeAppendSql = s"SELECT $selSql FROM orders ORDER BY o_orderkey"
+
+  // ---- A3 overwrite (full table) ------------------------------------
+
+  def lakeOverwrite(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val t = GraftTable.create(s, work(d, "overwrite"), byStatus(o), Seq("o_orderstatus"))
+    t.overwrite(byStatus(o.filter(col("o_totalprice") > 200000)))
+    sel(t.read())
+  }
+
+  val lakeOverwriteSql =
+    s"SELECT $selSql FROM orders WHERE o_totalprice > 200000 ORDER BY o_orderkey"
+
+  // ---- A4 overwrite static partition --------------------------------
+
+  def lakeOverwritePartition(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val t = GraftTable.create(s, work(d, "ovwpart"), byStatus(o), Seq("o_orderstatus"))
+    val discounted = byStatus(
+      o.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0))
+    t.overwritePartition(discounted, Map("o_orderstatus" -> "F"))
+    sel(t.read())
+  }
+
+  val lakeOverwritePartitionSql =
+    s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+       |  CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1.0
+       |       ELSE o_totalprice END AS o_totalprice
+       |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---- A5 dynamic partition overwrite -------------------------------
+
+  def lakeOverwriteDynamic(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val t = GraftTable.create(s, work(d, "ovwdyn"), byStatus(o), Seq("o_orderstatus"))
+    t.overwriteDynamic(byStatus(
+      o.filter(col("o_orderstatus").isin("O", "P") && col("o_orderkey") < 1000)))
+    sel(t.read())
+  }
+
+  val lakeOverwriteDynamicSql =
+    s"""SELECT $selSql FROM orders
+       |WHERE o_orderstatus = 'F'
+       |   OR (o_orderstatus IN ('O', 'P') AND o_orderkey < 1000)
+       |ORDER BY o_orderkey""".stripMargin
+
+  // ---- A6/A7 time travel --------------------------------------------
+
+  private def twoSnapshotTable(s: SparkSession, d: String, name: String): GraftTable = {
+    val o = orders(s, d)
+    val t = GraftTable.create(s, work(d, name),
+      byStatus(o.filter(col("o_orderkey") < 3000)), Seq("o_orderstatus"))
+    t.append(byStatus(o.filter(col("o_orderkey") >= 3000)))
+    t
+  }
+
+  def lakeAsOfTs(s: SparkSession, d: String): DataFrame = {
+    val t = twoSnapshotTable(s, d, "asofts")
+    sel(t.readAsOfTs(t.snapshot(1).tsMillis))
+  }
+
+  def lakeAsOfId(s: SparkSession, d: String): DataFrame = {
+    val t = twoSnapshotTable(s, d, "asofid")
+    sel(t.readAsOfId(1))
+  }
+
+  val lakeAsOfSql =
+    s"SELECT $selSql FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey"
+
+  // ---- A8 $snapshots view -------------------------------------------
+
+  def lakeSnapshotsView(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val t = GraftTable.create(s, work(d, "snaps"),
+      byStatus(o.filter(col("o_orderkey") < 5000)), Seq("o_orderstatus"))
+    t.append(byStatus(o.filter(col("o_orderkey") >= 5000)))
+    t.overwrite(byStatus(o.filter(col("o_totalprice") > 300000)))
+    t.snapshotsView
+      .select("snapshot_id", "parent_id", "operation",
+        "n_added_files", "n_deleted_files", "n_files", "n_rows")
+      .orderBy("snapshot_id")
+  }
+
+  /** File counts are data-derived (1 file per partition value). */
+  val lakeSnapshotsViewSql =
+    """WITH lo AS (SELECT count(DISTINCT o_orderstatus) AS f, count(*) AS r
+       |           FROM orders WHERE o_orderkey < 5000),
+       |hi AS (SELECT count(DISTINCT o_orderstatus) AS f, count(*) AS r
+       |       FROM orders WHERE o_orderkey >= 5000),
+       |big AS (SELECT count(DISTINCT o_orderstatus) AS f, count(*) AS r
+       |        FROM orders WHERE o_totalprice > 300000)
+       |SELECT 1::BIGINT AS snapshot_id, -1::BIGINT AS parent_id, 'create' AS operation,
+       |       lo.f::BIGINT AS n_added_files, 0::BIGINT AS n_deleted_files,
+       |       lo.f::BIGINT AS n_files, lo.r::BIGINT AS n_rows FROM lo
+       |UNION ALL
+       |SELECT 2, 1, 'append', hi.f, 0, lo.f + hi.f, lo.r + hi.r FROM lo, hi
+       |UNION ALL
+       |SELECT 3, 2, 'overwrite', big.f, lo.f + hi.f, big.f, big.r FROM lo, hi, big
+       |ORDER BY snapshot_id""".stripMargin
+
+  // ---- A9 $files view -----------------------------------------------
+
+  def lakeFilesView(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "files"),
+      byStatus(orders(s, d)), Seq("o_orderstatus"))
+    t.filesView
+      .groupBy(col("partition"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"))
+      .orderBy(col("partition"))
+  }
+
+  val lakeFilesViewSql =
+    """SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+      |  1::BIGINT AS n_files, count(*) AS n_rows
+      |FROM orders GROUP BY o_orderstatus ORDER BY partition""".stripMargin
+
+  // ---- A10 rollback -------------------------------------------------
+
+  def lakeRollback(s: SparkSession, d: String): DataFrame = {
+    val t = twoSnapshotTable(s, d, "rollback")
+    t.rollback(1)
+    sel(t.read())
+  }
+
+  // rollback(1) restores the o_orderkey<3000 snapshot
+  val lakeRollbackSql = lakeAsOfSql
+
+  // ---- A11 expire + orphan listing ----------------------------------
+
+  def lakeExpire(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, d)
+    val t = GraftTable.create(s, work(d, "expire"),
+      byStatus(o.filter(col("o_orderkey") < 3000)), Seq("o_orderstatus"))
+    t.overwrite(byStatus(o.filter(col("o_orderkey") >= 3000)))
+    val orphans = t.expire(keepFrom = 2, delete = true)
+    Seq((orphans.size.toLong, t.snapshots.size.toLong, t.read().count()))
+      .toDF("n_orphans", "n_snapshots", "n_rows")
+  }
+
+  val lakeExpireSql =
+    """SELECT
+      |  (SELECT count(DISTINCT o_orderstatus) FROM orders WHERE o_orderkey < 3000)::BIGINT AS n_orphans,
+      |  1::BIGINT AS n_snapshots,
+      |  (SELECT count(*) FROM orders WHERE o_orderkey >= 3000)::BIGINT AS n_rows""".stripMargin
+
+  // ---- A12 dep: truncate --------------------------------------------
+
+  def lakeDepTruncate(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "deptrunc"),
+      orders(s, d).repartition(col("o_orderpriority")),
+      Seq("prio_t"), Seq(DepSpec("o_orderpriority", "prio_t", "truncate[1]")))
+    t.scan(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val lakeDepTruncateSql =
+    """SELECT o_orderkey, o_orderpriority FROM orders
+      |WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey""".stripMargin
+
+  // ---- A13 dep: bucket ----------------------------------------------
+
+  def lakeDepBucket(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "depbucket"),
+      orders(s, d).repartition(col("o_custkey")),
+      Seq("cust_b"), Seq(DepSpec("o_custkey", "cust_b", "bucket[8]")))
+    t.scan(col("o_custkey") === 42L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val lakeDepBucketSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_custkey = 42 ORDER BY o_orderkey""".stripMargin
+
+  // ---- A14 dep: month of timestamp ----------------------------------
+
+  def lakeDepDate(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "depdate"),
+      orders(s, d).repartition(col("o_orderdate")),
+      Seq("od_month"), Seq(DepSpec("o_orderdate", "od_month", "month")))
+    t.scan(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+           col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val lakeDepDateSql =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- A15 partition pruning ----------------------------------------
+
+  def lakePrunePartition(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "prunepart"),
+      byStatus(orders(s, d)), Seq("o_orderstatus"))
+    t.scan(col("o_orderstatus") === "F" && col("o_totalprice") > 100000)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val lakePrunePartitionSql =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- A16 min/max file pruning -------------------------------------
+
+  def lakePruneFiles(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "prunefiles"),
+      orders(s, d).repartitionByRange(8, col("o_orderkey")))
+    t.scan(col("o_orderkey") >= 1000L && col("o_orderkey") <= 2000L)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val lakePruneFilesSql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_orderkey BETWEEN 1000 AND 2000 ORDER BY o_orderkey""".stripMargin
+
+  // ---- A17 null scan (contradictory predicate) ----------------------
+
+  def lakeNullScan(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "nullscan"),
+      orders(s, d).repartitionByRange(4, col("o_orderkey")))
+    t.scan(col("o_orderkey") < 0L && col("o_orderkey") > 100L)
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  val lakeNullScanSql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_orderkey < 0 AND o_orderkey > 100""".stripMargin
+
+  // ---- A18 schema evolution: add column -----------------------------
+
+  def lakeAddColumn(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "addcol"),
+      Tables.nation(s, d).select(col("n_nationkey"), col("n_name")))
+    t.addColumn("note", StringType)
+    t.append(Tables.region(s, d).select(
+      (col("r_regionkey") + 100).as("n_nationkey"),
+      col("r_name").as("n_name"),
+      lit("seeded").as("note")))
+    t.read().orderBy(col("n_nationkey"))
+  }
+
+  val lakeAddColumnSql =
+    """SELECT n_nationkey, n_name, NULL::VARCHAR AS note FROM nation
+      |UNION ALL
+      |SELECT r_regionkey + 100, r_name, 'seeded' FROM region
+      |ORDER BY n_nationkey""".stripMargin
+
+  // ---- export -------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_create"              -> (lakeCreate _),
+    "lake_append"              -> (lakeAppend _),
+    "lake_overwrite"           -> (lakeOverwrite _),
+    "lake_overwrite_partition" -> (lakeOverwritePartition _),
+    "lake_overwrite_dynamic"   -> (lakeOverwriteDynamic _),
+    "lake_asof_ts"             -> (lakeAsOfTs _),
+    "lake_asof_id"             -> (lakeAsOfId _),
+    "lake_snapshots_view"      -> (lakeSnapshotsView _),
+    "lake_files_view"          -> (lakeFilesView _),
+    "lake_rollback"            -> (lakeRollback _),
+    "lake_expire"              -> (lakeExpire _),
+    "lake_dep_truncate"        -> (lakeDepTruncate _),
+    "lake_dep_bucket"          -> (lakeDepBucket _),
+    "lake_dep_date"            -> (lakeDepDate _),
+    "lake_prune_partition"     -> (lakePrunePartition _),
+    "lake_prune_files"         -> (lakePruneFiles _),
+    "lake_null_scan"           -> (lakeNullScan _),
+    "lake_add_column"          -> (lakeAddColumn _))
+
+  val oracles: Map[String, String] = Map(
+    "lake_create"              -> lakeCreateSql,
+    "lake_append"              -> lakeAppendSql,
+    "lake_overwrite"           -> lakeOverwriteSql,
+    "lake_overwrite_partition" -> lakeOverwritePartitionSql,
+    "lake_overwrite_dynamic"   -> lakeOverwriteDynamicSql,
+    "lake_asof_ts"             -> lakeAsOfSql,
+    "lake_asof_id"             -> lakeAsOfSql,
+    "lake_snapshots_view"      -> lakeSnapshotsViewSql,
+    "lake_files_view"          -> lakeFilesViewSql,
+    "lake_rollback"            -> lakeRollbackSql,
+    "lake_expire"              -> lakeExpireSql,
+    "lake_dep_truncate"        -> lakeDepTruncateSql,
+    "lake_dep_bucket"          -> lakeDepBucketSql,
+    "lake_dep_date"            -> lakeDepDateSql,
+    "lake_prune_partition"     -> lakePrunePartitionSql,
+    "lake_prune_files"         -> lakePruneFilesSql,
+    "lake_null_scan"           -> lakeNullScanSql,
+    "lake_add_column"          -> lakeAddColumnSql)
+}

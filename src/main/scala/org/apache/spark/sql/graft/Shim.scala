@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
 
 /** Bridge into Spark's `private[sql]` Column ⇄ Expression converters.
   * Extension libraries conventionally host such shims inside the
@@ -12,5 +12,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
   */
 object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column's node tree to a catalyst Expression.
+    * (`ExpressionUtils.expression` returns a lazy ColumnNodeExpression
+    * wrapper whose children are opaque — useless for tree walking.)
+    */
+  def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
 }

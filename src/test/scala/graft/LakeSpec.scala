@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.lake.{DepSpec, Deps, GraftTable, Pruning}
+
+class LakeSpec extends SparkSpec {
+
+  private def tmp(name: String) = s"/root/repo/target/laketest/$name"
+
+  private def ordersTable(name: String, parts: Seq[String] = Seq("o_orderstatus"),
+      deps: Seq[DepSpec] = Seq.empty): GraftTable = {
+    val o = Tables.orders(spark, sfDir).repartition(col(parts.headOption.getOrElse("o_orderstatus")))
+    GraftTable.create(spark, tmp(name), o, parts, deps)
+  }
+
+  test("create + read round-trips rows and schema") {
+    val t = ordersTable("roundtrip")
+    assert(t.read().count() === Tables.orders(spark, sfDir).count())
+    assert(t.schema.fieldNames.contains("o_orderstatus"))
+  }
+
+  test("append creates a new snapshot; old snapshot still readable") {
+    val o = Tables.orders(spark, sfDir)
+    val t = GraftTable.create(spark, tmp("appendiso"),
+      o.filter(col("o_orderkey") < 100).repartition(col("o_orderstatus")), Seq("o_orderstatus"))
+    val n1 = t.read().count()
+    t.append(o.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 200)
+      .repartition(col("o_orderstatus")))
+    assert(t.currentId === 2)
+    assert(t.readAsOfId(1).count() === n1) // snapshot isolation
+    assert(t.read().count() > n1)
+  }
+
+  test("partition pruning skips non-matching files") {
+    val t = ordersTable("prune1")
+    val (files, total, _) = t.pruneFiles(col("o_orderstatus") === "F")
+    assert(total === 3)
+    assert(files.size === 1)
+    assert(files.head.partition("o_orderstatus") === "F")
+  }
+
+  test("stats pruning: range files outside the predicate are skipped") {
+    val t = GraftTable.create(spark, tmp("prunestats"),
+      Tables.orders(spark, sfDir).repartitionByRange(8, col("o_orderkey")))
+    val (files, total, _) = t.pruneFiles(
+      col("o_orderkey") >= 100L && col("o_orderkey") <= 120L)
+    assert(total === 8)
+    assert(files.size <= 2, s"expected <=2 of 8 files, got ${files.size}")
+    // correctness: the pruned scan still returns every matching row
+    val n = t.scan(col("o_orderkey") >= 100L && col("o_orderkey") <= 120L).count()
+    val exp = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey").between(100, 120)).count()
+    assert(n === exp)
+  }
+
+  test("contradictory predicate plans a null scan (zero files)") {
+    val t = ordersTable("nullscan")
+    val (files, _, cs) = t.pruneFiles(col("o_orderkey") < 0L && col("o_orderkey") > 10L)
+    assert(files.isEmpty)
+    assert(cs("o_orderkey").impossible)
+    assert(t.scan(col("o_orderkey") < 0L && col("o_orderkey") > 10L).count() === 0)
+  }
+
+  test("column dependency truncate[1] prunes partitions from a src predicate") {
+    val t = GraftTable.create(spark, tmp("deptrunc"),
+      Tables.orders(spark, sfDir).repartition(col("o_orderpriority")),
+      Seq("prio_t"), Seq(DepSpec("o_orderpriority", "prio_t", "truncate[1]")))
+    val (files, total, _) = t.pruneFiles(col("o_orderpriority") === "1-URGENT")
+    assert(total === 5)
+    assert(files.size === 1)
+    assert(files.head.partition("prio_t") === "1")
+  }
+
+  test("column dependency month prunes via range predicates on the timestamp") {
+    val t = GraftTable.create(spark, tmp("depmonth"),
+      Tables.orders(spark, sfDir).repartition(4, col("o_orderdate")),
+      Seq("od_month"), Seq(DepSpec("o_orderdate", "od_month", "month")))
+    val pred = col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+      col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-03-01 00:00:00"))
+    val (files, total, _) = t.pruneFiles(pred)
+    assert(files.size < total)
+    assert(files.forall { f =>
+      val m = f.partition("od_month").toInt; m >= 199601 && m <= 199603 })
+  }
+
+  test("dep transforms agree between Spark column and driver evaluation") {
+    import spark.implicits._
+    for (tr <- Seq("truncate[4]", "bucket[8]")) {
+      val vals = Seq("1-URGENT", "5-LOW", "abc")
+      val sparkSide = vals.toDF("v")
+        .select(Deps.columnTyped(tr, col("v"), isString = true)).collect()
+        .map(r => r.get(0).toString)
+      val driverSide = vals.map(v => Deps.apply(tr, v).toString)
+      assert(sparkSide.toSeq === driverSide)
+    }
+    // month on a timestamp literal (epoch micros)
+    val micros = java.sql.Timestamp.valueOf("1996-04-12 15:00:00").getTime * 1000L
+    assert(Deps.apply("month", micros) === 199604)
+    assert(Deps.apply("day", micros) === 19960412)
+  }
+
+  test("time travel by timestamp picks the latest snapshot <= ts") {
+    val o = Tables.orders(spark, sfDir)
+    val t = GraftTable.create(spark, tmp("tt"),
+      o.filter(col("o_orderkey") < 50).repartition(col("o_orderstatus")), Seq("o_orderstatus"))
+    t.append(o.filter(col("o_orderkey") >= 50 && col("o_orderkey") < 90)
+      .repartition(col("o_orderstatus")))
+    val s1 = t.snapshot(1); val s2 = t.snapshot(2)
+    assert(s1.tsMillis < s2.tsMillis)
+    assert(t.readAsOfTs(s1.tsMillis).count() === s1.totalRows)
+    assert(t.readAsOfTs(s2.tsMillis).count() === s2.totalRows)
+  }
+
+  test("rollback restores files, expire drops orphans but keeps reads alive") {
+    val o = Tables.orders(spark, sfDir)
+    val t = GraftTable.create(spark, tmp("rbexp"),
+      o.filter(col("o_orderkey") < 50).repartition(col("o_orderstatus")), Seq("o_orderstatus"))
+    val n1 = t.read().count()
+    t.overwrite(o.filter(col("o_orderkey") >= 50 && col("o_orderkey") < 80)
+      .repartition(col("o_orderstatus")))
+    t.rollback(1)
+    assert(t.read().count() === n1)
+    assert(t.current.operation === "rollback")
+    // expire everything before the rollback snapshot: snapshot 2's
+    // files are orphaned (rollback re-references snapshot 1's files)
+    val orphans = t.expire(keepFrom = 3)
+    assert(orphans.nonEmpty)
+    assert(t.read().count() === n1) // current still fully readable
+  }
+
+  test("schema evolution: added column reads as null for old files") {
+    val t = GraftTable.create(spark, tmp("addcol"),
+      Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name")))
+    t.addColumn("note", StringType)
+    t.append(Tables.region(spark, sfDir).select(
+      (col("r_regionkey") + 100).as("n_nationkey"),
+      col("r_name").as("n_name"), lit("x").as("note")))
+    val rows = t.read().collect()
+    assert(rows.filter(_.getAs[Int]("n_nationkey") < 100).forall(_.getAs[String]("note") == null))
+    assert(rows.filter(_.getAs[Int]("n_nationkey") >= 100).forall(_.getAs[String]("note") == "x"))
+  }
+
+  test("pruning extraction is conservative on unsupported expressions") {
+    val cs = Pruning.extract(col("a") === 1L || col("b") === 2L)
+    assert(cs.isEmpty) // OR → no pruning, never wrong results
+  }
+}
