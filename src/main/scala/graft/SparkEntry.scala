@@ -14,11 +14,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ TextOps.queries ++ Dedup.queries ++
-      VectorOps.queries ++ Multimodal.queries ++ LakeQueries.queries
+      VectorOps.queries ++ Multimodal.queries ++ LakeQueries.queries ++
+      graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ TextOps.oracles ++ Dedup.oracles ++
-      VectorOps.oracles ++ Multimodal.oracles ++ LakeQueries.oracles
+      VectorOps.oracles ++ Multimodal.oracles ++ LakeQueries.oracles ++
+      graft.streaming.StreamOps.oracles
 }

@@ -315,6 +315,17 @@ object LakeQueries {
       |SELECT r_regionkey + 100, r_name, 'seeded' FROM region
       |ORDER BY n_nationkey""".stripMargin
 
+  // ---- A19 SQL surface: AS OF prefix + registered relations ---------
+
+  def lakeSqlAsOf(s: SparkSession, d: String): DataFrame = {
+    val t = twoSnapshotTable(s, d, "sqlasof")
+    graft.sql.GraftCatalog.register("graft_orders", t.root)
+    s.sql(s"""AS OF '1' SELECT $selSql FROM graft_orders ORDER BY o_orderkey""")
+  }
+
+  // as-of snapshot 1 = the o_orderkey<3000 subset
+  val lakeSqlAsOfSql = lakeAsOfSql
+
   // ---- export -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -335,7 +346,8 @@ object LakeQueries {
     "lake_prune_partition"     -> (lakePrunePartition _),
     "lake_prune_files"         -> (lakePruneFiles _),
     "lake_null_scan"           -> (lakeNullScan _),
-    "lake_add_column"          -> (lakeAddColumn _))
+    "lake_add_column"          -> (lakeAddColumn _),
+    "lake_sql_asof"            -> (lakeSqlAsOf _))
 
   val oracles: Map[String, String] = Map(
     "lake_create"              -> lakeCreateSql,
@@ -355,5 +367,6 @@ object LakeQueries {
     "lake_prune_partition"     -> lakePrunePartitionSql,
     "lake_prune_files"         -> lakePruneFilesSql,
     "lake_null_scan"           -> lakeNullScanSql,
-    "lake_add_column"          -> lakeAddColumnSql)
+    "lake_add_column"          -> lakeAddColumnSql,
+    "lake_sql_asof"            -> lakeSqlAsOfSql)
 }

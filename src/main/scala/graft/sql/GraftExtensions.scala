@@ -1,0 +1,119 @@
+package graft.sql
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.types.StructType
+
+import graft.functions._
+import graft.lake.GraftTable
+
+/** SQL-surface integration (SURVEY.md §2.A19; reference:
+  * planning/SparkSessionExtensions.scala injects IceParser + rules).
+  *
+  * Register with `.config("spark.sql.extensions",
+  * "graft.sql.GraftExtensions")`, then:
+  *
+  *  - `GraftCatalog.register(name, tableRoot)` exposes a graft table to
+  *    SQL: `SELECT * FROM name` reads the current snapshot.
+  *  - `AS OF '<snapshot-id | yyyy-MM-dd HH:mm:ss | epoch-millis>'
+  *    SELECT …` time-travels every graft relation in the query
+  *    (reference: parsing/IceParser.scala's `as of` prefix clause).
+  *  - graft expression functions are callable from SQL:
+  *    `graft_cosine(a, b)`, `graft_polyhash(s)`, `graft_shingles(s, 3)`,
+  *    `graft_simhash(arr)`, `graft_winnow(s, k, w)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+    GraftExtensions.functions.foreach(ext.injectFunction)
+  }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_polyhash"),
+      info("graft_polyhash", "portable polynomial hash of a string"),
+      (es: Seq[Expression]) => PolyHash(es.head)),
+    (FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "cosine similarity of two float arrays"),
+      (es: Seq[Expression]) => CosineSim(es(0), es(1))),
+    (FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "64-bit simhash of an array of token hashes"),
+      (es: Seq[Expression]) => SimHash64(es.head)),
+    (FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "distinct word n-gram shingles"),
+      (es: Seq[Expression]) => WordShingles(es.head, intArg(es(1)))),
+    (FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes", "hashed distinct word n-gram shingles"),
+      (es: Seq[Expression]) => ShingleHashes(es.head, intArg(es(1)))),
+    (FunctionIdentifier("graft_winnow"),
+      info("graft_winnow", "winnowing fingerprint (k-gram, window w)"),
+      (es: Seq[Expression]) => WinnowFingerprint(es.head, intArg(es(1)), intArg(es(2)))))
+
+  private def intArg(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue
+}
+
+/** Session-wide registry: SQL relation name → graft table root. */
+object GraftCatalog {
+  private val tables = new ConcurrentHashMap[String, String]()
+  def register(name: String, root: String): Unit = tables.put(name.toLowerCase, root)
+  def unregister(name: String): Unit = tables.remove(name.toLowerCase)
+  def lookup(name: String): Option[String] = Option(tables.get(name.toLowerCase))
+}
+
+/** Delegating parser that (1) strips a leading `AS OF '<spec>'` clause
+  * and (2) substitutes registered graft relations with their
+  * (time-travel) snapshot scans at parse time.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  private val AsOfRe =
+    """(?is)\s*as\s+of\s+'([^']+)'\s+(.*)""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case AsOfRe(spec, rest) => substitute(delegate.parsePlan(rest), Some(spec.trim))
+    case _                  => substitute(delegate.parsePlan(sqlText), None)
+  }
+
+  private def substitute(plan: LogicalPlan, asOf: Option[String]): LogicalPlan =
+    plan.transformUp {
+      case u: UnresolvedRelation if u.multipartIdentifier.length == 1 &&
+          GraftCatalog.lookup(u.multipartIdentifier.head).isDefined =>
+        val root = GraftCatalog.lookup(u.multipartIdentifier.head).get
+        val t = new GraftTable(root, session)
+        val df = asOf match {
+          case None => t.read()
+          case Some(spec) if spec.forall(_.isDigit) && spec.length < 10 =>
+            t.readAsOfId(spec.toLong) // short digit strings = snapshot id
+          case Some(spec) if spec.forall(_.isDigit) =>
+            t.readAsOfTs(spec.toLong) // long digit strings = epoch millis
+          case Some(spec) =>
+            val ts = java.sql.Timestamp.valueOf(
+              if (spec.contains(":")) spec else s"$spec 00:00:00")
+            t.readAsOfTs(ts.getTime)
+        }
+        Shim.logicalPlan(df)
+    }
+
+  override def parseExpression(s: String): Expression = delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String): TableIdentifier = delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String): FunctionIdentifier = delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String): Seq[String] = delegate.parseMultipartIdentifier(s)
+  override def parseTableSchema(s: String): StructType = delegate.parseTableSchema(s)
+  override def parseDataType(s: String): org.apache.spark.sql.types.DataType = delegate.parseDataType(s)
+  override def parseQuery(s: String): LogicalPlan = parsePlan(s)
+  override def parseRoutineParam(s: String): StructType = delegate.parseRoutineParam(s)
+}

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming operators (SURVEY.md §2.D). Each driver-facing
+  * query actually *streams*: `readStream` over the events parquet →
+  * stateful aggregation → memory sink, drained with
+  * `Trigger.AvailableNow` — then the materialized sink table is
+  * returned, so the DuckDB batch oracle checks the streaming result
+  * end-to-end.
+  *
+  * Scale notes: both queries are keyed stateful aggs — state is
+  * partitioned by (window/session, key) and scales with the number of
+  * open windows, not the stream length. In production the same plans
+  * run in append mode with the watermark bounding state (the specs
+  * exercise watermark semantics on a MemoryStream); complete-mode
+  * memory sink here is only the deterministic harness for a bounded
+  * replay.
+  */
+object StreamOps {
+
+  /** events.parquet carries TIMESTAMP(NANOS) → read `ts` as epoch-nanos
+    * long (legacy conf) and floor to micros, exactly like
+    * [[graft.Tables.events]] so oracles line up.
+    */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource wants a directory; stage a symlink to the
+    // source parquet (testdata is read-only).
+    val dir = java.nio.file.Paths.get(
+      s"/root/repo/target/streamwork/events-${math.abs(d.hashCode)}")
+    java.nio.file.Files.createDirectories(dir)
+    val link = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link)) {
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$d/events.parquet"))
+    }
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    s.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  private def drain(df: DataFrame, s: SparkSession, name: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** D1 `stream_window_agg`: hourly tumbling-window aggregation with a
+    * watermark (the batch twin of CoreQueries.qEventsWindow).
+    */
+  def windowAgg(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    drain(agg, s, s"graft_stream_window_${math.abs(d.hashCode)}")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val windowAggSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** D3 `stream_sessionize`: per-user sessions with a 30-minute
+    * inactivity gap via the native `session_window` stateful operator
+    * (merging session state, the scalable form of
+    * flatMapGroupsWithState sessionization — see StreamingSpec for the
+    * explicit-state variant).
+    */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+    drain(agg, s, s"graft_stream_session_${math.abs(d.hashCode)}")
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Gaps-and-islands batch oracle. Spark's session_window starts a new
+    * session when the gap is >= the 30-minute timeout (window end is
+    * exclusive), hence `>=` in the break condition.
+    */
+  val sessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |  count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_agg" -> (windowAgg _),
+    "stream_sessionize" -> (sessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "stream_window_agg" -> windowAggSql,
+    "stream_sessionize" -> sessionizeSql)
+}

@@ -18,4 +18,9 @@ object Shim {
     * wrapper whose children are opaque — useless for tree walking.)
     */
   def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
+
+  /** Unresolved logical plan behind a classic DataFrame. */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.logical
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.GraftTable
+import graft.sql.GraftCatalog
+
+class SqlSurfaceSpec extends SparkSpec {
+
+  private def mkTable(name: String): GraftTable = {
+    val o = Tables.orders(spark, sfDir)
+    val t = GraftTable.create(spark, s"/root/repo/target/laketest/sql-$name",
+      o.filter(col("o_orderkey") < 100).repartition(col("o_orderstatus")),
+      Seq("o_orderstatus"))
+    t.append(o.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 150)
+      .repartition(col("o_orderstatus")))
+    t
+  }
+
+  test("registered graft table is queryable from SQL (current snapshot)") {
+    val t = mkTable("cur")
+    GraftCatalog.register("t_cur", t.root)
+    val n = spark.sql("SELECT count(*) AS n FROM t_cur").collect().head.getLong(0)
+    assert(n === t.current.totalRows)
+  }
+
+  test("AS OF '<id>' prefix time-travels the relation") {
+    val t = mkTable("asof")
+    GraftCatalog.register("t_asof", t.root)
+    val n1 = spark.sql("AS OF '1' SELECT count(*) AS n FROM t_asof").collect().head.getLong(0)
+    assert(n1 === t.snapshot(1).totalRows)
+    val n2 = spark.sql("SELECT count(*) AS n FROM t_asof").collect().head.getLong(0)
+    assert(n2 === t.snapshot(2).totalRows)
+    assert(n2 > n1)
+  }
+
+  test("AS OF epoch-millis timestamp resolves to the right snapshot") {
+    val t = mkTable("asofts")
+    GraftCatalog.register("t_asofts", t.root)
+    val ts1 = t.snapshot(1).tsMillis
+    val n = spark.sql(s"AS OF '$ts1' SELECT count(*) AS n FROM t_asofts")
+      .collect().head.getLong(0)
+    assert(n === t.snapshot(1).totalRows)
+  }
+
+  test("graft functions are callable from SQL") {
+    val h = spark.sql("SELECT graft_polyhash('abc') AS h").collect().head.getLong(0)
+    assert(h === 96354L)
+    val c = spark.sql(
+      "SELECT graft_cosine(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c")
+      .collect().head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+    val sh = spark.sql("SELECT graft_shingles('a b c d', 3) AS s")
+      .collect().head.getSeq[String](0)
+    assert(sh === Seq("a b c", "b c d"))
+  }
+
+  test("non-graft SQL parses through the delegate untouched") {
+    assert(spark.sql("SELECT 1 + 1 AS x").collect().head.getInt(0) === 2)
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.lake.GraftTable
+import graft.streaming.StreamOps
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("D1: streaming windowed agg equals the batch aggregation") {
+    val streamed = StreamOps.windowAgg(spark, sfDir).collect()
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+      .collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("D2: dropDuplicatesWithinWatermark drops late duplicate keys") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val deduped = mem.toDF().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_stream").outputMode(OutputMode.Append).start()
+    mem.addData((1L, ts("2026-01-01 10:00:00")), (1L, ts("2026-01-01 10:01:00")),
+      (2L, ts("2026-01-01 10:00:30")))
+    q.processAllAvailable()
+    mem.addData((1L, ts("2026-01-01 10:02:00")), (3L, ts("2026-01-01 10:03:00")))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L)) // each id exactly once within the watermark
+  }
+
+  test("D3: flatMapGroupsWithState sessionization matches session_window") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Seq(
+      (1L, ts("2026-01-01 10:00:00")), (1L, ts("2026-01-01 10:10:00")),
+      (1L, ts("2026-01-01 11:00:00")), // > 30 min gap → new session
+      (2L, ts("2026-01-01 10:05:00")))
+
+    // explicit-state variant
+    val mem = MemoryStream[(Long, Timestamp)]
+    case class Sess(user: Long, start: Timestamp, n: Long)
+    val sessions = mem.toDS().groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Timestamp, Long)], (Long, Timestamp, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[List[(Timestamp, Long)]]) =>
+          // accumulate all rows (bounded replay), emit sessions at the end
+          val all = (state.getOption.getOrElse(Nil) ++ rows.map(r => (r._2, 1L)))
+            .sortBy(_._1.getTime)
+          state.update(all)
+          val gapMs = 30 * 60 * 1000L
+          val out = scala.collection.mutable.ListBuffer[(Long, Timestamp, Long)]()
+          var start: Timestamp = null; var last: Timestamp = null; var n = 0L
+          for ((t, _) <- all) {
+            if (start == null) { start = t; last = t; n = 1 }
+            else if (t.getTime - last.getTime >= gapMs) {
+              out += ((user, start, n)); start = t; last = t; n = 1
+            } else { last = t; n += 1 }
+          }
+          if (start != null) out += ((user, start, n))
+          out.iterator
+      }
+    val q = sessions.toDF("user_id", "session_start", "n_events")
+      .writeStream.format("memory").queryName("fmgws_sessions")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(events: _*)
+    q.processAllAvailable(); q.stop()
+    val explicit = spark.table("fmgws_sessions")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+
+    // native session_window over the same batch
+    val native = events.toDF("user_id", "ts")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+
+    assert(explicit === native)
+    assert(explicit.size === 3)
+  }
+
+  test("D4: streaming sink into a graft lake table via foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = "/root/repo/target/laketest/streamsink"
+    val t = GraftTable.create(spark, root,
+      Seq((0L, "seed")).toDF("id", "payload"))
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "payload").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        t.append(batch) // snapshot-per-microbatch append
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    mem.addData((1L, "a"), (2L, "b"))
+    q.awaitTermination()
+    assert(t.read().count() === 3)
+    assert(t.currentId === 2) // seed snapshot + one micro-batch commit
+  }
+}
