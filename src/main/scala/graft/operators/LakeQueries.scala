@@ -238,8 +238,11 @@ object LakeQueries {
   // ---- A14 dep: month of timestamp ----------------------------------
 
   def lakeDepDate(s: SparkSession, d: String): DataFrame = {
+    // repartition on the derived month so each month partition is one
+    // file (hash-repartitioning on the raw timestamp would make every
+    // task write into every month dir → thousands of tiny files)
     val t = GraftTable.create(s, work(d, "depdate"),
-      orders(s, d).repartition(col("o_orderdate")),
+      orders(s, d).repartition(graft.lake.Deps.column("month", col("o_orderdate"))),
       Seq("od_month"), Seq(DepSpec("o_orderdate", "od_month", "month")))
     t.scan(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
            col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
