@@ -1,0 +1,121 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.Hashing
+import graft.lake.{ColStat, FileEntry, Pruning}
+
+/** ScalaCheck properties for the driver-side pruning decision logic and
+  * the sketch kernels — the invariants the DuckDB oracles can't see
+  * (soundness of skipping, winnowing's match guarantee).
+  */
+object PruningProps extends Properties("Pruning") {
+
+  private val vals = Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L))
+
+  private case class P(op: String, bound: Long)
+  private val pred: Gen[List[P]] = Gen.listOfN(3,
+    for {
+      op <- Gen.oneOf("=", "<", "<=", ">", ">=")
+      b <- Gen.chooseNum(-1000L, 1000L)
+    } yield P(op, b))
+
+  private def evalRow(v: Long, ps: List[P]): Boolean = ps.forall {
+    case P("=", b)  => v == b
+    case P("<", b)  => v < b
+    case P("<=", b) => v <= b
+    case P(">", b)  => v > b
+    case P(">=", b) => v >= b
+    case _          => true
+  }
+
+  private def toConstraint(ps: List[P]): Pruning.Constraint =
+    ps.map {
+      case P("=", b)  => Pruning.Constraint(eqs = Some(Set[Any](b)))
+      case P("<", b)  => Pruning.Constraint(hi = Some((b, false)))
+      case P("<=", b) => Pruning.Constraint(hi = Some((b, true)))
+      case P(">", b)  => Pruning.Constraint(lo = Some((b, false)))
+      case P(">=", b) => Pruning.Constraint(lo = Some((b, true)))
+      case _          => Pruning.Constraint()
+    }.foldLeft(Pruning.Constraint())(_.and(_))
+
+  /** SOUNDNESS: a file whose rows contain ANY match must survive. */
+  property("never prunes a file containing a matching row") =
+    forAll(vals, pred) { (vs, ps) =>
+      val file = FileEntry("f", Map.empty, vs.size.toLong, 0L,
+        Map("c" -> ColStat("long", vs.min.toString, vs.max.toString, 0L)))
+      val c = toConstraint(ps)
+      val anyMatch = vs.exists(evalRow(_, ps))
+      val survives = !c.impossible &&
+        Pruning.fileSurvives(file, Map("c" -> c), Map.empty)
+      Prop(!anyMatch || survives) :| s"dropped a file with matches: $vs $ps"
+    }
+
+  /** A contradiction must be detected whenever no value can satisfy. */
+  property("impossible constraints reject every value") =
+    forAll(pred) { ps =>
+      val c = toConstraint(ps)
+      !c.impossible || (-1000L to 1000L).forall(v => !evalRow(v, ps))
+    }
+
+  /** Partition-value pruning agrees with direct evaluation. */
+  property("partition accepts() matches row evaluation") =
+    forAll(Gen.chooseNum(-1000L, 1000L), pred) { (v, ps) =>
+      val c = toConstraint(ps)
+      c.impossible || (c.accepts(v) == evalRow(v, ps))
+    }
+}
+
+object KernelProps extends Properties("Kernels") {
+
+  private val word = Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString)
+  private val text = Gen.listOfN(30, word).map(_.mkString(" "))
+
+  /** Winnowing guarantee (Schleimer'03): two strings sharing a
+    * substring of length >= k + w - 1 share at least one fingerprint.
+    */
+  property("winnow: shared long substring => shared fingerprint") =
+    forAll(text, text, text) { (a, common, b) =>
+      val k = 8; val w = 4
+      (common.length >= k + w - 1) ==> {
+        val s1 = a + " " + common
+        val s2 = common + " " + b
+        val f1 = Hashing.winnow(UTF8String.fromString(s1), k, w).toLongArray().toSet
+        val f2 = Hashing.winnow(UTF8String.fromString(s2), k, w).toLongArray().toSet
+        Prop(f1.intersect(f2).nonEmpty) :| s"no shared fingerprint for common='$common'"
+      }
+    }
+
+  private val hashSet = Gen.nonEmptyListOf(Gen.long).map(_.distinct)
+
+  /** MinHash bands are permutation-invariant and deterministic. */
+  property("minhash bands: order-invariant, deterministic") =
+    forAll(hashSet) { hs =>
+      val a = Hashing.minHashBandKeys(new GenericArrayData(hs.toArray), 7L, 128, 32)
+      val b = Hashing.minHashBandKeys(new GenericArrayData(scala.util.Random.shuffle(hs).toArray), 7L, 128, 32)
+      a.toLongArray().toSeq == b.toLongArray().toSeq
+    }
+
+  /** Identical token sets => identical simhash; hamming is symmetric. */
+  property("simhash: set-identity and determinism") =
+    forAll(hashSet) { hs =>
+      val a = Hashing.simHash64(new GenericArrayData(hs.toArray))
+      val b = Hashing.simHash64(new GenericArrayData(hs.reverse.toArray))
+      a == b
+    }
+
+  /** Cosine kernel bounds and symmetry on random float vectors. */
+  property("cosine in [-1,1] and symmetric") =
+    forAll(Gen.listOfN(16, Gen.chooseNum(-10f, 10f)),
+           Gen.listOfN(16, Gen.chooseNum(-10f, 10f))) { (x, y) =>
+      val a = new GenericArrayData(x.toArray)
+      val b = new GenericArrayData(y.toArray)
+      val c1 = Hashing.cosineF(a, b)
+      val c2 = Hashing.cosineF(b, a)
+      c1 >= -1.0000001 && c1 <= 1.0000001 && math.abs(c1 - c2) < 1e-12
+    }
+}
