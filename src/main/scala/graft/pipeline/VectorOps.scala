@@ -99,17 +99,31 @@ object VectorOps {
     */
   def annLsh(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def banded(df: DataFrame, idc: String, embc: String): DataFrame = {
+    def bandCols(embc: String) = {
       val sig = exprs.lshSig(col(embc), LshSeed, 32)
-      val bands = (0 to 7).map(b =>
-        shiftrightunsigned(sig, b * 4).bitwiseAND(lit(0xFL)))
-      df.select(col(idc), col(embc), posexplode(array(bands: _*)).as(Seq("band", "bits")))
+      (0 to 7).map(b => shiftrightunsigned(sig, b * 4).bitwiseAND(lit(0xFL)))
     }
-    val q = banded(
-      Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
-      "query_id", "q_emb")
-    val c = banded(emb(s, d, "n"), "n_id", "n_emb")
+    // corpus side: exact band values only (index stays linear in corpus)
+    val c = {
+      val df = emb(s, d, "n")
+      df.select(col("n_id"), col("n_emb"),
+        posexplode(array(bandCols("n_emb"): _*)).as(Seq("band", "bits")))
+    }
+    // query side: multiprobe — each band value plus its four 1-bit
+    // flips, so a near-neighbor differing by one projection bit in
+    // every band is still found; probing cost stays on the (small)
+    // query side, never on the corpus.
+    val q = {
+      val df = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val probed = bandCols("q_emb").zipWithIndex.flatMap { case (bc, b) =>
+        (Seq(bc) ++ (0 to 3).map(bit => bc.bitwiseXOR(lit(1L << bit))))
+          .map(v => struct(lit(b).as("band"), v.as("bits")))
+      }
+      df.select(col("query_id"), col("q_emb"),
+          explode(array(probed: _*)).as("p"))
+        .select(col("query_id"), col("q_emb"), col("p.band").as("band"), col("p.bits").as("bits"))
+    }
     val cand = broadcast(q).join(c, Seq("band", "bits"))
       .filter(col("query_id") =!= col("n_id"))
       .select(col("query_id"), col("q_emb"), col("n_id"), col("n_emb"))

@@ -87,7 +87,7 @@ class PipelineSpec extends SparkSpec {
     val exact = VectorOps.annBruteforce(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = lsh.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.4, s"lsh recall $recall")
+    assert(recall >= 0.8, s"lsh recall $recall")
   }
 
   test("multimodal decode stub: features derived from payload bytes") {
