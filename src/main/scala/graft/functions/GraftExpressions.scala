@@ -137,6 +137,26 @@ case class LshSignature(child: Expression, seed: Long, nBits: Int)
   override def prettyName: String = "graft_lsh_sig"
 }
 
+/** Nearest-centroid assignment for IVF indexing; centroids ride along
+  * as a plan constant (addReferenceObj) so the assignment is a pure
+  * narrow map over the corpus.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.nearestCentroid(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.nearestCentroid($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+  override def prettyName: String = "graft_nearest_centroid"
+}
+
 /** Column-API entry points (the public surface of this package). */
 object exprs {
   private def col(e: Expression): Column = Shim.column(e)
@@ -151,4 +171,6 @@ object exprs {
   def minHashBands(c: Column, seed: Long, nHashes: Int, nBands: Int): Column =
     col(MinHashBands(ex(c), seed, nHashes, nBands))
   def lshSig(c: Column, seed: Long, nBits: Int): Column = col(LshSignature(ex(c), seed, nBits))
+  def nearestCentroid(c: Column, cents: Array[Array[Double]]): Column =
+    col(NearestCentroid(ex(c), cents))
 }

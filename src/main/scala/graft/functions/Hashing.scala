@@ -249,6 +249,27 @@ object Hashing {
       Array.tabulate(nBits, dim)((b, d) => gaussian(seed + b * 1315423911L, d))
     })
 
+  /** Index of the centroid with maximal cosine to the vector (ties →
+    * lowest index). Centroids are pre-normalized, so argmax dot ≡
+    * argmax cosine for the ranking (vector norm is a common factor).
+    */
+  def nearestCentroid(vec: ArrayData, cents: Array[Array[Double]]): Int = {
+    val dim = vec.numElements()
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var dot = 0.0
+      var i = 0
+      val n = math.min(dim, ct.length)
+      while (i < n) { dot += vec.getFloat(i).toDouble * ct(i); i += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Sign-random-projection LSH signature: bit b = [vec . plane_b >= 0]. */
   def lshSignature(vec: ArrayData, seed: Long, nBits: Int): Long = {
     val dim = vec.numElements()

@@ -138,10 +138,83 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  val IvfLists = 16
+  val IvfProbes = 6
+
+  /** C13 `ann_ivf`: inverted-file ANN — a coarse quantizer (seeded
+    * k-means, 2 Lloyd iterations run *in Spark*) partitions the corpus
+    * into nlist inverted lists; a query probes its nprobe nearest
+    * centroids and pays exact cosine only inside those lists. The
+    * assignment is the codegen'd [[graft.functions.NearestCentroid]]
+    * narrow map, so indexing is one pass + one small agg per
+    * iteration; at 100 TB you train the quantizer on a sample and keep
+    * the assignment column materialized (it is exactly a graft-lake
+    * `bucket`-style partition column — probing = partition pruning).
+    * Probabilistic recall → rows-only driver check; spec measures
+    * recall against C6.
+    */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Tables.embeddings(s, d)
+
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    // deterministic init: the 16 vectors with the lowest vec_ids >= 100
+    var cents: Array[Array[Double]] = all.filter(col("vec_id") >= 100)
+      .orderBy(col("vec_id")).limit(IvfLists)
+      .collect().map(r => normalize(r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+    // 2 Lloyd iterations: assign (narrow map) → per-cluster mean (one agg)
+    for (_ <- 1 to 2) {
+      val assigned = all.select(
+        exprs.nearestCentroid(col("embedding"), cents).as("cluster"),
+        col("embedding"))
+      val means = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim")).agg(avg(col("x")).as("m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (k, rows) =>
+          k -> normalize(rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray) }
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+    }
+
+    val corpus = all.select(
+      col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      exprs.nearestCentroid(col("embedding"), cents).as("cluster"))
+
+    // query side: nprobe nearest centroids per query (tiny, driver-side)
+    val queries = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")).collect()
+    import s.implicits._
+    val probes = queries.flatMap { r =>
+      val qid = r.getLong(0)
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      cents.zipWithIndex
+        .map { case (c, i) => (i, c.zip(v).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (i, dot) => (-dot, i) }.take(IvfProbes)
+        .map { case (i, _) => (qid, i) }
+    }.toSeq.toDF("query_id", "cluster")
+    val qdf = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .join(broadcast(probes), "query_id")
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    broadcast(qdf).join(corpus, Seq("cluster"))
+      .filter(col("query_id") =!= col("n_id"))
+      .withColumn("cos_sim", round(exprs.cosineSim(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("n_id").as("neighbor_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding" -> (embeddingPairs _),
     "ann_bruteforce"  -> (annBruteforce _),
-    "ann_lsh"         -> (annLsh _))
+    "ann_lsh"         -> (annLsh _),
+    "ann_ivf"         -> (annIvf _))
 
   val oracles: Map[String, String] = Map(
     "dedup_embedding" -> embeddingPairsSql,

@@ -90,6 +90,17 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.8, s"lsh recall $recall")
   }
 
+  test("ann ivf: probed-list search recall vs bruteforce") {
+    val ivf = VectorOps.annIvf(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = VectorOps.annBruteforce(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf recall $recall")
+    // per-query output is still a ranked top-k
+    assert(ivf.size === VectorOps.NQueries * VectorOps.TopK)
+  }
+
   test("multimodal decode stub: features derived from payload bytes") {
     val feats = Multimodal.mmDecodeStub(spark, sfDir).collect()
     assert(feats.length === 500)
