@@ -90,6 +90,22 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   private def substitute(plan: LogicalPlan, asOf: Option[String]): LogicalPlan =
     plan.transformUp {
+      // `t$snapshots` / `t$files` metadata views (reference:
+      // TableUtils.SNAPSHOTSVIEW_SUFFIX — `` select * from `t$snapshots` ``)
+      case u: UnresolvedRelation if u.multipartIdentifier.length == 1 &&
+          u.multipartIdentifier.head.contains("$") && {
+            val base = u.multipartIdentifier.head.takeWhile(_ != '$')
+            GraftCatalog.lookup(base).isDefined
+          } =>
+        val full = u.multipartIdentifier.head
+        val base = full.takeWhile(_ != '$')
+        val t = new GraftTable(GraftCatalog.lookup(base).get, session)
+        full.drop(base.length) match {
+          case "$snapshots" => Shim.logicalPlan(t.snapshotsView)
+          case "$files"     => Shim.logicalPlan(t.filesView)
+          case other => throw new IllegalArgumentException(
+            s"unknown metadata view suffix '$other' on graft table '$base'")
+        }
       case u: UnresolvedRelation if u.multipartIdentifier.length == 1 &&
           GraftCatalog.lookup(u.multipartIdentifier.head).isDefined =>
         val root = GraftCatalog.lookup(u.multipartIdentifier.head).get

@@ -142,6 +142,16 @@ class LakeSpec extends SparkSpec {
     assert(rows.filter(_.getAs[Int]("n_nationkey") >= 100).forall(_.getAs[String]("note") == "x"))
   }
 
+  test("columnDependencies option string parses in the reference format") {
+    // reference: OPTIONS(columnDependencies 'src=dest:transform,...')
+    val deps = GraftTable.parseDeps(
+      "ss_sold_date_sk=ss_sold_month:truncate[2], o_custkey=b:bucket[8],o_orderdate=m:month")
+    assert(deps === Seq(
+      DepSpec("ss_sold_date_sk", "ss_sold_month", "truncate[2]"),
+      DepSpec("o_custkey", "b", "bucket[8]"),
+      DepSpec("o_orderdate", "m", "month")))
+  }
+
   test("pruning extraction is conservative on unsupported expressions") {
     val cs = Pruning.extract(col("a") === 1L || col("b") === 2L)
     assert(cs.isEmpty) // OR → no pruning, never wrong results

@@ -55,6 +55,16 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sh === Seq("a b c", "b c d"))
   }
 
+  test("`t$snapshots` and `t$files` metadata views are SQL-queryable") {
+    val t = mkTable("meta")
+    GraftCatalog.register("t_meta", t.root)
+    val snaps = spark.sql("SELECT snapshot_id, operation FROM `t_meta$snapshots` ORDER BY snapshot_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(snaps.toSeq === Seq((1L, "create"), (2L, "append")))
+    val nFiles = spark.sql("SELECT count(*) AS n FROM `t_meta$files`").collect().head.getLong(0)
+    assert(nFiles === t.current.files.size.toLong)
+  }
+
   test("non-graft SQL parses through the delegate untouched") {
     assert(spark.sql("SELECT 1 + 1 AS x").collect().head.getInt(0) === 2)
   }
