@@ -403,6 +403,26 @@ object GraftTable {
     t
   }
 
+  /** CREATE TABLE without data: commit snapshot-0 with the declared
+    * schema and no files (the SQL-DDL entry point; inserts fill it).
+    */
+  def createEmpty(
+      spark: SparkSession, root: String, schema: StructType,
+      partitionCols: Seq[String], deps: Seq[DepSpec]): GraftTable = {
+    val rootP = Paths.get(root)
+    if (Files.exists(rootP)) {
+      Files.walk(rootP).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    Files.createDirectories(rootP)
+    val t = new GraftTable(root, spark)
+    t.commit(Snapshot(
+      id = 1, parentId = -1L, tsMillis = System.currentTimeMillis(),
+      operation = "create", schemaJson = schema.json,
+      partitionCols = partitionCols, deps = deps, files = Seq.empty,
+      addedFiles = 0, deletedFiles = 0))
+    t
+  }
+
   /** Parse the reference's columnDependencies option string:
     * `src=dest:transform[,src=dest:transform…]` (reference:
     * utils/Transforms.scala option format).

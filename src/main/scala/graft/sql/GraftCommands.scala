@@ -1,0 +1,95 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.types._
+
+import graft.lake.{DepSpec, Deps, GraftTable}
+
+/** SQL DML commands for graft-managed tables (reference: the full
+  * BasicCreateAndInsertTest flow — CREATE TABLE … USING parquet
+  * OPTIONS(addTableManagement 'true', columnDependencies '…')
+  * PARTITIONED BY (…), `insert into`, `insert overwrite table …
+  * [partition (k='v')]` with source predicates; re-expressed as
+  * RunnableCommands substituted at parse time by [[GraftSqlParser]]).
+  */
+
+/** CREATE TABLE — commits an empty snapshot-0 with the declared schema
+  * (plus derived dependency columns) and registers the relation name.
+  */
+case class GraftCreateTableCommand(
+    name: String,
+    tableSchema: StructType,
+    partitionCols: Seq[String],
+    deps: Seq[DepSpec],
+    location: Option[String]) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = location.getOrElse(s"/root/repo/target/lakework/sql-$name")
+    val full = deps.foldLeft(tableSchema) { (sch, dep) =>
+      if (sch.fieldNames.contains(dep.dest)) sch
+      else StructType(sch.fields :+ StructField(dep.dest, destType(dep, sch), nullable = true))
+    }
+    GraftTable.createEmpty(session, root, full, partitionCols, deps)
+    GraftCatalog.register(name, root)
+    Seq.empty
+  }
+
+  private def destType(dep: DepSpec, sch: StructType): DataType = {
+    val src = sch(dep.src).dataType
+    dep.transform match {
+      case "identity"                         => src
+      case t if t.startsWith("truncate")      => if (src == StringType) StringType else LongType
+      case t if t.startsWith("bucket")        => IntegerType
+      case "year" | "month" | "day" | "hour"  => IntegerType
+      case other => throw new IllegalArgumentException(s"unknown transform $other")
+    }
+  }
+}
+
+/** INSERT INTO / INSERT OVERWRITE [PARTITION (k='v')] — hive positional
+  * semantics: the query supplies the non-derived, non-static columns in
+  * schema order; static partition values come from the PARTITION
+  * clause.
+  */
+case class GraftInsertCommand(
+    name: String,
+    overwrite: Boolean,
+    staticPartition: Map[String, String],
+    query: LogicalPlan) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    val t = new GraftTable(root, session)
+    val schema = t.schema
+    val depDests = t.current.deps.map(_.dest).toSet
+    val target = schema.fieldNames.toSeq
+      .filterNot(depDests.contains).filterNot(staticPartition.contains)
+    var df = Shim.ofRows(session, query)
+    require(df.columns.length == target.length,
+      s"INSERT arity ${df.columns.length} != expected ${target.length} (${target.mkString(",")})")
+    df = df.toDF(target: _*)
+      .select(target.map(n => col(n).cast(schema(n).dataType)): _*)
+    val normSpec = staticPartition.map { case (k, v) =>
+      k -> normalizeValue(v, schema(k).dataType) }
+    normSpec.foreach { case (k, v) =>
+      df = df.withColumn(k, lit(v).cast(schema(k).dataType)) }
+    if (!overwrite) t.append(df)
+    else if (normSpec.nonEmpty) t.overwritePartition(df, normSpec)
+    else t.overwrite(df)
+    Seq.empty
+  }
+
+  /** Align the PARTITION clause literal with the directory spelling the
+    * writer produces (e.g. '09' on an int column → "9").
+    */
+  private def normalizeValue(v: String, dt: DataType): String = dt match {
+    case LongType | IntegerType | ShortType | ByteType => v.trim.toLong.toString
+    case DoubleType | FloatType                        => v.trim.toDouble.toString
+    case _                                             => v
+  }
+}

@@ -90,6 +90,38 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   private def substitute(plan: LogicalPlan, asOf: Option[String]): LogicalPlan =
     plan.transformUp {
+      // INSERT INTO / INSERT OVERWRITE [PARTITION (…)] on a registered
+      // graft table → snapshot-creating command (reference:
+      // InsertIntoIcebergTable.scala)
+      case ins: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
+        ins.table match {
+          case u: UnresolvedRelation if u.multipartIdentifier.length == 1 &&
+              GraftCatalog.lookup(u.multipartIdentifier.head).isDefined =>
+            val static = ins.partitionSpec.collect { case (k, Some(v)) => k -> v }
+            GraftInsertCommand(
+              u.multipartIdentifier.head.toLowerCase, ins.overwrite, static, ins.query)
+          case _ => ins
+        }
+      // CREATE TABLE … OPTIONS(addTableManagement 'true',
+      // columnDependencies '…') PARTITIONED BY (…) (reference:
+      // planning/CreateTableRules.scala)
+      case ct: org.apache.spark.sql.catalyst.plans.logical.CreateTable
+          if tableOptions(ct.tableSpec).get("addtablemanagement").exists(_.equalsIgnoreCase("true")) =>
+        val name = ct.name match {
+          case id: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+            id.nameParts.last.toLowerCase
+          case other => throw new IllegalArgumentException(s"unsupported table name $other")
+        }
+        val opts = tableOptions(ct.tableSpec)
+        val deps = opts.get("columndependencies")
+          .map(GraftTable.parseDeps).getOrElse(Seq.empty)
+        val partCols = ct.partitioning.collect {
+          case t if t.name == "identity" => t.references.head.fieldNames.last
+        }
+        val schema = StructType(ct.columns.map(c =>
+          org.apache.spark.sql.types.StructField(c.name, c.dataType, nullable = true)))
+        GraftCreateTableCommand(name, schema, partCols.toSeq,
+          deps, tableLocation(ct.tableSpec))
       // `t$snapshots` / `t$files` metadata views (reference:
       // TableUtils.SNAPSHOTSVIEW_SUFFIX — `` select * from `t$snapshots` ``)
       case u: UnresolvedRelation if u.multipartIdentifier.length == 1 &&
@@ -122,6 +154,30 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             t.readAsOfTs(ts.getTime)
         }
         Shim.logicalPlan(df)
+    }
+
+  /** Properties + evaluated OPTIONS of a parsed table spec, lowercased. */
+  private def tableOptions(
+      spec: org.apache.spark.sql.catalyst.plans.logical.TableSpecBase): Map[String, String] =
+    spec match {
+      case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
+        val fromOpts = u.optionExpression.options.collect {
+          case (k, e) if e.foldable =>
+            k.toLowerCase -> String.valueOf(e.eval(null) match {
+              case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+              case other => other
+            })
+        }.toMap
+        u.properties.map { case (k, v) => k.toLowerCase -> v } ++ fromOpts
+      case _ => Map.empty
+    }
+
+  private def tableLocation(
+      spec: org.apache.spark.sql.catalyst.plans.logical.TableSpecBase): Option[String] =
+    spec match {
+      case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
+        u.location.orElse(tableOptions(spec).get("path"))
+      case _ => None
     }
 
   override def parseExpression(s: String): Expression = delegate.parseExpression(s)

@@ -19,6 +19,15 @@ object Shim {
     */
   def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
 
+  /** Materialize a DataFrame from a logical plan (analysis deferred to
+    * this call — used by graft RunnableCommands).
+    */
+  def ofRows(session: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Unresolved logical plan behind a classic DataFrame. */
   def logicalPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =

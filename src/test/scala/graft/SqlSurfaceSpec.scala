@@ -65,6 +65,65 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(nFiles === t.current.files.size.toLong)
   }
 
+  test("full reference DDL/DML flow in SQL: create, insert, overwrite partition, as of") {
+    GraftCatalog.unregister("sales_out")
+    // CREATE TABLE with management + a column dependency (truncate[1]
+    // of the priority is the partition column)
+    spark.sql(
+      """CREATE TABLE sales_out (
+        |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE,
+        |  o_orderpriority STRING)
+        |USING parquet
+        |OPTIONS (addTableManagement 'true',
+        |         columnDependencies 'o_orderpriority=prio_t:truncate[1]')
+        |PARTITIONED BY (prio_t)""".stripMargin)
+
+    // INSERT INTO from a temp view (snapshot 2)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+      .filter(col("o_orderkey") < 200).createOrReplaceTempView("src_orders")
+    spark.sql("INSERT INTO sales_out SELECT * FROM src_orders")
+    val n1 = spark.sql("SELECT count(*) AS n FROM sales_out").collect().head.getLong(0)
+    assert(n1 === Tables.orders(spark, sfDir).filter(col("o_orderkey") < 200).count())
+
+    // snapshot view via SQL after the insert
+    val ops = spark.sql("SELECT operation FROM `sales_out$snapshots` ORDER BY snapshot_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops === Seq("create", "append"))
+
+    // INSERT OVERWRITE a single static partition: priorities '1-…' get
+    // replaced with the subset having totalprice > 100000
+    spark.sql(
+      """INSERT OVERWRITE TABLE sales_out PARTITION (prio_t='1')
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM src_orders
+        |WHERE o_orderpriority LIKE '1-%' AND o_totalprice > 100000""".stripMargin)
+    val afterOvw = spark.sql(
+      "SELECT count(*) AS n FROM sales_out WHERE o_orderpriority LIKE '1-%'")
+      .collect().head.getLong(0)
+    val expected = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") < 200 && col("o_orderpriority").startsWith("1-") &&
+        col("o_totalprice") > 100000).count()
+    assert(afterOvw === expected)
+    // other partitions untouched
+    val others = spark.sql(
+      "SELECT count(*) AS n FROM sales_out WHERE NOT o_orderpriority LIKE '1-%'")
+      .collect().head.getLong(0)
+    assert(others === Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") < 200 && !col("o_orderpriority").startsWith("1-")).count())
+
+    // time travel back to the pre-overwrite snapshot
+    val nAsOf = spark.sql("AS OF '2' SELECT count(*) AS n FROM sales_out")
+      .collect().head.getLong(0)
+    assert(nAsOf === n1)
+
+    // dependency pruning works through the SQL scan path too
+    val t = new graft.lake.GraftTable(GraftCatalog.lookup("sales_out").get, spark)
+    val (files, total, _) = t.pruneFiles(col("o_orderpriority") === "3-MEDIUM")
+    assert(files.size < total)
+    assert(files.forall(_.partition("prio_t") == "3"))
+  }
+
   test("non-graft SQL parses through the delegate untouched") {
     assert(spark.sql("SELECT 1 + 1 AS x").collect().head.getInt(0) === 2)
   }
