@@ -33,6 +33,7 @@ import graft.lake.GraftTable
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+    ext.injectOptimizerRule(session => DepPredicateRule(session))
     GraftExtensions.functions.foreach(ext.injectFunction)
   }
 }
@@ -71,6 +72,10 @@ object GraftCatalog {
   def register(name: String, root: String): Unit = tables.put(name.toLowerCase, root)
   def unregister(name: String): Unit = tables.remove(name.toLowerCase)
   def lookup(name: String): Option[String] = Option(tables.get(name.toLowerCase))
+  def registeredRoots: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    tables.values.asScala.toSeq
+  }
 }
 
 /** Delegating parser that (1) strips a leading `AS OF '<spec>'` clause

@@ -124,6 +124,36 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(files.forall(_.partition("prio_t") == "3"))
   }
 
+  test("optimizer rule infers partition predicates from src-column filters in SQL") {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val t = graft.lake.GraftTable.create(spark,
+      "/root/repo/target/laketest/sql-deprule",
+      o.repartition(col("o_orderpriority")),
+      Seq("prio_t"), Seq(graft.lake.DepSpec("o_orderpriority", "prio_t", "truncate[1]")))
+    GraftCatalog.register("dep_orders", t.root)
+    val df = spark.sql(
+      "SELECT count(*) AS n FROM dep_orders WHERE o_orderpriority = '1-URGENT'")
+    val n = df.collect().head.getLong(0)
+    assert(n === Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT").count())
+    // the optimized plan gained the inferred prio_t predicate…
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("prio_t"), s"no inferred predicate in:\n$opt")
+    // …and the scan actually read only the matching partition's files
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val numFiles = scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value)
+    assert(numFiles.nonEmpty && numFiles.forall(_ == 1L),
+      s"expected 1 file scanned, got $numFiles of ${t.current.files.size}")
+  }
+
   test("non-graft SQL parses through the delegate untouched") {
     assert(spark.sql("SELECT 1 + 1 AS x").collect().head.getInt(0) === 2)
   }
