@@ -292,29 +292,23 @@ final class GraftTable(val root: String, spark: SparkSession) {
 
   // ---- read path ----------------------------------------------------
 
-  private def readFiles(files: Seq[FileEntry], schemaJson: String): DataFrame = {
-    val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    if (files.isEmpty) {
-      spark.createDataFrame(new java.util.ArrayList[Row](), sch)
-    } else {
-      val paths = files.map(f => Paths.get(root, f.path).toString)
-      spark.read
-        .schema(sch)
-        .option("basePath", dataDir.toString)
-        .parquet(paths: _*)
-        .select(sch.fieldNames.map(col): _*)
-    }
-  }
+  /** All reads plan through [[org.apache.spark.sql.graft.GraftFileIndex]]:
+    * the scan is a HadoopFsRelation whose file listing comes from the
+    * snapshot manifest — zero filesystem listing, manifest-provided
+    * file sizes, and graft pruning (partition values, column
+    * dependencies, footer stats) driven by Catalyst's pushed-down
+    * filters.
+    */
+  private def readSnapshot(s: Snapshot): DataFrame =
+    org.apache.spark.sql.graft.GraftFileIndex.relation(spark, root, s)
 
   /** Full-table read of the current snapshot. */
-  def read(): DataFrame = { val c = current; readFiles(c.files, c.schemaJson) }
+  def read(): DataFrame = readSnapshot(current)
 
   /** Time travel — `as of` a snapshot id (reference: IceParser's
     * `as of` prefix clause).
     */
-  def readAsOfId(id: Long): DataFrame = {
-    val s = snapshot(id); readFiles(s.files, s.schemaJson)
-  }
+  def readAsOfId(id: Long): DataFrame = readSnapshot(snapshot(id))
 
   /** Time travel — `as of` a wall-clock timestamp: latest snapshot
     * whose commit time ≤ ts.
@@ -322,18 +316,14 @@ final class GraftTable(val root: String, spark: SparkSession) {
   def readAsOfTs(tsMillis: Long): DataFrame = {
     val s = snapshots.filter(_.tsMillis <= tsMillis)
     require(s.nonEmpty, s"no snapshot at or before $tsMillis")
-    val pick = s.maxBy(_.tsMillis)
-    readFiles(pick.files, pick.schemaJson)
+    readSnapshot(s.maxBy(_.tsMillis))
   }
 
-  /** Planning entry: driver-side pruning (partition values, column
-    * dependencies, footer min/max), then a scan over only the
-    * surviving files with the residual predicate applied by Catalyst.
+  /** Filtered scan: pruning happens inside the FileIndex when Catalyst
+    * pushes the predicate down — this is just read().filter. (The
+    * driver-side decision is still exposed via [[pruneFiles]].)
     */
-  def scan(pred: Column): DataFrame = {
-    val (files, _, _) = pruneFiles(pred)
-    readFiles(files, current.schemaJson).filter(pred)
-  }
+  def scan(pred: Column): DataFrame = read().filter(pred)
 
   /** The pruning decision itself (exposed for specs/metadata):
     * (surviving files, #total, constraints used).

@@ -1,0 +1,110 @@
+package org.apache.spark.sql.graft
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.lake.{FileEntry, Pruning, Snapshot}
+
+/** A [[FileIndex]] that plans scans *entirely from a graft snapshot
+  * manifest* — no filesystem listing, ever (reference:
+  * IceTableScanExec.scala plans from Iceberg manifests). Catalyst
+  * pushes partition + data filters into `listFiles`, where graft's
+  * pruning runs: partition-value tests, column-dependency inference,
+  * and parquet-footer min/max skipping. At 100 TB this is the entire
+  * point of table metadata: planning cost is O(#files in manifest)
+  * with zero object-store LIST/HEAD calls, and file sizes come from
+  * the manifest so split planning needs no getFileStatus either.
+  */
+class GraftFileIndex(
+    spark: SparkSession,
+    tableRoot: String,
+    snapshot: Snapshot,
+    fullSchema: StructType) extends FileIndex {
+
+  private val partCols: Seq[String] = snapshot.partitionCols ++
+    snapshot.deps.map(_.dest).filterNot(snapshot.partitionCols.contains)
+  private val partFields = partCols.flatMap(c => fullSchema.fields.find(_.name == c))
+
+  override val partitionSchema: StructType = StructType(partFields)
+
+  override def rootPaths: Seq[Path] = Seq(new Path(s"$tableRoot/data"))
+
+  override def inputFiles: Array[String] =
+    snapshot.files.map(f => s"$tableRoot/${f.path}").toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = snapshot.files.map(_.bytes).sum
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val cs0 = (partitionFilters ++ dataFilters)
+      .map(Pruning.extract)
+      .foldLeft(Map.empty[String, Pruning.Constraint]) { (acc, m) =>
+        (acc.keySet ++ m.keySet).map { k =>
+          (acc.get(k), m.get(k)) match {
+            case (Some(a), Some(b)) => k -> a.and(b)
+            case (a, b)             => k -> a.orElse(b).get
+          }
+        }.toMap
+      }
+    val cs = Pruning.inferThroughDeps(cs0, snapshot.deps)
+    val types: Map[String, DataType] =
+      fullSchema.fields.map(f => f.name -> f.dataType).toMap
+    val survivors =
+      if (cs.values.exists(_.impossible)) Seq.empty[FileEntry]
+      else snapshot.files.filter(Pruning.fileSurvives(_, cs, types))
+
+    survivors.groupBy(_.partition).map { case (pvals, files) =>
+      val row = InternalRow.fromSeq(partFields.map { f =>
+        val raw = pvals.getOrElse(f.name,
+          throw new IllegalStateException(s"file missing partition value ${f.name}"))
+        castPartitionValue(raw, f.dataType)
+      })
+      PartitionDirectory(row, files.map(fe =>
+        new FileStatus(fe.bytes, false, 1, 128L * 1024 * 1024, snapshot.tsMillis,
+          new Path(s"$tableRoot/${fe.path}"))).toArray)
+    }.toSeq
+  }
+
+  private def castPartitionValue(raw: String, dt: DataType): Any = dt match {
+    case org.apache.spark.sql.types.LongType    => raw.toLong
+    case org.apache.spark.sql.types.IntegerType => raw.toInt
+    case org.apache.spark.sql.types.ShortType   => raw.toShort
+    case org.apache.spark.sql.types.DoubleType  => raw.toDouble
+    case org.apache.spark.sql.types.FloatType   => raw.toFloat
+    case org.apache.spark.sql.types.BooleanType => raw.toBoolean
+    case _                                      => UTF8String.fromString(raw)
+  }
+}
+
+object GraftFileIndex {
+
+  /** DataFrame over a snapshot, planned by [[GraftFileIndex]]. */
+  def relation(
+      spark: SparkSession, tableRoot: String, snapshot: Snapshot): DataFrame = {
+    val fullSchema = DataType.fromJson(snapshot.schemaJson).asInstanceOf[StructType]
+    val index = new GraftFileIndex(spark, tableRoot, snapshot, fullSchema)
+    val dataSchema = StructType(
+      fullSchema.fields.filterNot(f => index.partitionSchema.fieldNames.contains(f.name)))
+    val fsRelation = HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(spark.asInstanceOf[ClassicSession])
+    val plan = LogicalRelation(fsRelation)
+    // present columns in declared schema order (partition cols last in
+    // the relation output otherwise)
+    Shim.ofRows(spark, plan).select(fullSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+  }
+}

@@ -55,6 +55,23 @@ class LakeSpec extends SparkSpec {
     assert(n === exp)
   }
 
+  test("FileIndex prunes via pushed-down filters: stats skip visible in scan metrics") {
+    val t = GraftTable.create(spark, tmp("fidx"),
+      Tables.orders(spark, sfDir).repartitionByRange(8, col("o_orderkey")))
+    val df = t.scan(col("o_orderkey") >= 100L && col("o_orderkey") <= 120L)
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val numFiles = scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value)
+    assert(numFiles.nonEmpty && numFiles.forall(_ <= 2),
+      s"stats pruning not applied through pushed filters: $numFiles of 8")
+  }
+
   test("contradictory predicate plans a null scan (zero files)") {
     val t = ordersTable("nullscan")
     val (files, _, cs) = t.pruneFiles(col("o_orderkey") < 0L && col("o_orderkey") > 10L)
