@@ -48,9 +48,16 @@ final class GraftTable(val root: String, spark: SparkSession) {
     new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toLong
   }
 
+  /** Snapshots are immutable by (root, id) → cached process-wide so
+    * repeated planner calls (optimizer fixpoint, AQE replans) don't
+    * re-parse manifests. Expired snapshots may linger in cache until
+    * process exit — metadata-only, never affects data reads.
+    */
   def snapshot(id: Long): Snapshot =
-    SnapshotCodec.fromJson(new String(
-      Files.readAllBytes(metaDir.resolve(s"snapshot-$id.json")), StandardCharsets.UTF_8))
+    GraftTable.snapshotCache.computeIfAbsent((root, id), { _ =>
+      SnapshotCodec.fromJson(new String(
+        Files.readAllBytes(metaDir.resolve(s"snapshot-$id.json")), StandardCharsets.UTF_8))
+    })
 
   def current: Snapshot = snapshot(currentId)
 
@@ -361,6 +368,15 @@ final class GraftTable(val root: String, spark: SparkSession) {
 
 object GraftTable {
 
+  private[lake] val snapshotCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Snapshot]()
+
+  /** Tables are rebuilt in place by the driver-contract queries —
+    * invalidate any cached snapshots under this root.
+    */
+  private def invalidate(root: String): Unit =
+    snapshotCache.keySet.removeIf(_._1 == root)
+
   /** CREATE TABLE … USING parquet OPTIONS(addTableManagement,
     * columnDependencies …) PARTITIONED BY … — as an API (reference:
     * planning/CreateTableRules.scala). Deletes any prior table at
@@ -374,6 +390,7 @@ object GraftTable {
     if (Files.exists(rootP)) {
       Files.walk(rootP).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
+    invalidate(root)
     Files.createDirectories(rootP)
     val t = new GraftTable(root, spark)
     // resolve the full schema (incl. derived dep columns) by writing
@@ -403,6 +420,7 @@ object GraftTable {
     if (Files.exists(rootP)) {
       Files.walk(rootP).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
+    invalidate(root)
     Files.createDirectories(rootP)
     val t = new GraftTable(root, spark)
     t.commit(Snapshot(

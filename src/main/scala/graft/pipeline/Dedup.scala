@@ -148,7 +148,11 @@ object Dedup {
     * it runs per-LSH-candidate (C2), not globally.
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingles(s, d).select(col("doc_id"), explode(col("shs")).as("sh"))
+    // inverted index on 64-bit shingle hashes: long join/group keys
+    // shuffle ~3× less than the shingle strings; a hash collision can
+    // only ADD a candidate (never lose one), and the exact string-set
+    // verification filters those out.
+    val sh = docShingleHashes(s, d).select(col("doc_id"), explode(col("hs")).as("sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
     val cand = a.join(b, Seq("sh"))
