@@ -359,6 +359,46 @@ object CoreQueries {
       |  ON e.user_id = c.user_id AND e.ts >= c.ts
       |ORDER BY e.event_id""".stripMargin
 
+  /** B16: semi-structured access — JSON property extraction + agg
+    * (get_json_object is codegen'd; at scale prefer from_json with an
+    * explicit schema once the shape is known, so the parse happens once
+    * per row, not per extracted key).
+    */
+  def qJsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 6).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  val qJsonExtractSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** B17: cube — all grouping-set combinations in one pass. */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), substring(col("o_orderpriority"), 1, 1).as("prio"))
+      .agg(count(lit(1)).as("n"), money(sum(col("o_totalprice"))).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("prio"), lit("ALL")).as("prio"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("prio"))
+
+  val qCubeSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(substring(o_orderpriority, 1, 1), 'ALL') AS prio,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, substring(o_orderpriority, 1, 1))
+      |ORDER BY status, prio""".stripMargin
+
   /** queries + oracles exported to SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -375,7 +415,9 @@ object CoreQueries {
     "q_subquery_avg"    -> (qSubqueryAvg _),
     "q_events_window"   -> (qEventsWindow _),
     "q_conditional_agg" -> (qConditionalAgg _),
-    "q_asof_join"       -> (qAsOfJoin _))
+    "q_asof_join"       -> (qAsOfJoin _),
+    "q_json_extract"    -> (qJsonExtract _),
+    "q_cube"            -> (qCube _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg"            -> q1AggSql,
@@ -392,5 +434,7 @@ object CoreQueries {
     "q_subquery_avg"    -> qSubqueryAvgSql,
     "q_events_window"   -> qEventsWindowSql,
     "q_conditional_agg" -> qConditionalAggSql,
-    "q_asof_join"       -> qAsOfJoinSql)
+    "q_asof_join"       -> qAsOfJoinSql,
+    "q_json_extract"    -> qJsonExtractSql,
+    "q_cube"            -> qCubeSql)
 }

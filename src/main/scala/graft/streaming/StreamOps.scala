@@ -110,11 +110,44 @@ object StreamOps {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** D4 `stream_lake_sink`: the streaming → lakehouse hand-off — each
+    * micro-batch lands as one graft snapshot via foreachBatch (atomic
+    * commit per batch = exactly-once for an idempotent replay), then
+    * the *lake table* is read back and aggregated. Exercises
+    * streaming, snapshot DML, and the manifest scan path in one query.
+    */
+  def lakeSink(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.GraftTable
+    val root = s"/root/repo/target/lakework/streamsink-${math.abs(d.hashCode)}"
+    val src = eventsStream(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val t = GraftTable.createEmpty(s, root,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))),
+      Seq.empty, Seq.empty)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => t.append(batch); () }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    t.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val lakeSinkSql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> (windowAgg _),
-    "stream_sessionize" -> (sessionize _))
+    "stream_sessionize" -> (sessionize _),
+    "stream_lake_sink"  -> (lakeSink _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> windowAggSql,
-    "stream_sessionize" -> sessionizeSql)
+    "stream_sessionize" -> sessionizeSql,
+    "stream_lake_sink"  -> lakeSinkSql)
 }
