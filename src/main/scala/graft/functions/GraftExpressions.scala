@@ -157,6 +157,47 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   override def prettyName: String = "graft_nearest_centroid"
 }
 
+/** Z-order key over up to 4 integral columns (see [[Hashing.zorderKey]]);
+  * column min/max ride along as plan constants.
+  */
+case class ZOrderKey(children: Seq[Expression], mins: Array[Long], maxs: Array[Long])
+    extends Expression {
+  require(children.nonEmpty && children.size <= 4, "1..4 zorder columns")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = new Array[Long](children.size)
+    var i = 0
+    while (i < children.size) {
+      val v = children(i).eval(input)
+      vals(i) = if (v == null) mins(i) else v.asInstanceOf[Long]
+      i += 1
+    }
+    Hashing.zorderKey(vals, mins, maxs)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val minsRef = ctx.addReferenceObj("mins", mins, "long[]")
+    val maxsRef = ctx.addReferenceObj("maxs", maxs, "long[]")
+    val arr = ctx.freshName("zvals")
+    val evals = children.map(_.genCode(ctx))
+    val fills = evals.zipWithIndex.map { case (e, i) =>
+      s"""${e.code}
+         |$arr[$i] = ${e.isNull} ? $minsRef[$i] : ${e.value};""".stripMargin
+    }.mkString("\n")
+    ev.copy(
+      code = org.apache.spark.sql.catalyst.expressions.codegen.CodeBlock(
+        Seq(s"""long[] $arr = new long[${children.size}];
+               |$fills
+               |long ${ev.value} = graft.functions.Hashing.zorderKey($arr, $minsRef, $maxsRef);""".stripMargin),
+        Seq.empty),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZOrderKey = copy(children = newChildren)
+  override def prettyName: String = "graft_zorder"
+}
+
 /** Column-API entry points (the public surface of this package). */
 object exprs {
   private def col(e: Expression): Column = Shim.column(e)
@@ -173,4 +214,6 @@ object exprs {
   def lshSig(c: Column, seed: Long, nBits: Int): Column = col(LshSignature(ex(c), seed, nBits))
   def nearestCentroid(c: Column, cents: Array[Array[Double]]): Column =
     col(NearestCentroid(ex(c), cents))
+  def zorderKey(cs: Seq[Column], mins: Array[Long], maxs: Array[Long]): Column =
+    col(ZOrderKey(cs.map(ex), mins, maxs))
 }

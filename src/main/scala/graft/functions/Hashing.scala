@@ -249,6 +249,37 @@ object Hashing {
       Array.tabulate(nBits, dim)((b, d) => gaussian(seed + b * 1315423911L, d))
     })
 
+  /** Z-order (Morton) key: each value is scaled into 16-bit rank space
+    * within its column's [min, max], then the bits of up to 4 columns
+    * are interleaved. Range-partitioning + sorting on this key clusters
+    * files so per-file min/max ranges stay narrow on *every* input
+    * column — multi-column data skipping from one layout.
+    */
+  def zorderKey(vals: Array[Long], mins: Array[Long], maxs: Array[Long]): Long = {
+    val n = vals.length
+    var z = 0L
+    var c = 0
+    while (c < n) {
+      val lo = mins(c); val hi = maxs(c)
+      val range = hi - lo
+      val scaled =
+        if (range <= 0L) 0L
+        else {
+          val v = math.min(math.max(vals(c), lo), hi) - lo
+          // (v * 65535) / range without overflow for |v| < 2^47
+          if (range < (1L << 47)) v * 65535L / range
+          else v / (range / 65535L + 1L)
+        }
+      var b = 0
+      while (b < 16) {
+        z |= ((scaled >>> b) & 1L) << (b * n + c)
+        b += 1
+      }
+      c += 1
+    }
+    z
+  }
+
   /** Index of the centroid with maximal cosine to the vector (ties →
     * lowest index). Centroids are pre-normalized, so argmax dot ≡
     * argmax cosine for the ranking (vector norm is a common factor).

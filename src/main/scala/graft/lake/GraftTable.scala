@@ -267,6 +267,37 @@ final class GraftTable(val root: String, spark: SparkSession) {
     this
   }
 
+  /** OPTIMIZE … ZORDER BY: rewrite the table clustered on the Z-order
+    * (Morton) key of the given integral columns — after compaction each
+    * file covers a narrow min/max range on *every* listed column, so
+    * footer-stats pruning works for predicates on any of them. Column
+    * domains come from the existing manifest stats (no data pass).
+    * The helper `__zorder` column is written into the files but is not
+    * part of the table schema — reads never see it.
+    */
+  def optimizeZOrder(cols: Seq[String], nFiles: Int): GraftTable = {
+    val cur = current
+    val stats = cols.map { c =>
+      val mins = cur.files.flatMap(_.stats.get(c)).map(_.min.toLong)
+      val maxs = cur.files.flatMap(_.stats.get(c)).map(_.max.toLong)
+      require(mins.nonEmpty, s"no stats for zorder column $c")
+      (mins.min, maxs.max)
+    }
+    val zkey = graft.functions.exprs.zorderKey(
+      cols.map(c => col(c).cast("long")),
+      stats.map(_._1).toArray, stats.map(_._2).toArray)
+    val clustered = read()
+      .withColumn("__zorder", zkey)
+      .repartitionByRange(nFiles, col("__zorder"))
+      .sortWithinPartitions(col("__zorder"))
+    val added = writeFiles(clustered, cur.partitionCols, cur.deps, cur.id + 1)
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "optimize", files = added,
+      addedFiles = added.size, deletedFiles = cur.files.size))
+    this
+  }
+
   /** Roll the table back to an earlier snapshot's file set — recorded
     * as a NEW snapshot (history is never rewritten).
     */

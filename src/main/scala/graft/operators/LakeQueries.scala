@@ -318,6 +318,23 @@ object LakeQueries {
       |SELECT r_regionkey + 100, r_name, 'seeded' FROM region
       |ORDER BY n_nationkey""".stripMargin
 
+  // ---- A20 OPTIMIZE ZORDER: multi-column clustering compaction ------
+
+  def lakeZOrder(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "zorder"),
+      orders(s, d).repartitionByRange(8, col("o_orderkey")))
+    t.optimizeZOrder(Seq("o_custkey", "o_orderkey"), nFiles = 8)
+    // after clustering, a predicate on o_custkey (NOT the original
+    // layout column) prunes files via footer stats
+    t.scan(col("o_custkey") >= 100L && col("o_custkey") < 200L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val lakeZOrderSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_custkey >= 100 AND o_custkey < 200 ORDER BY o_orderkey""".stripMargin
+
   // ---- A19 SQL surface: AS OF prefix + registered relations ---------
 
   def lakeSqlAsOf(s: SparkSession, d: String): DataFrame = {
@@ -350,7 +367,8 @@ object LakeQueries {
     "lake_prune_files"         -> (lakePruneFiles _),
     "lake_null_scan"           -> (lakeNullScan _),
     "lake_add_column"          -> (lakeAddColumn _),
-    "lake_sql_asof"            -> (lakeSqlAsOf _))
+    "lake_sql_asof"            -> (lakeSqlAsOf _),
+    "lake_zorder"              -> (lakeZOrder _))
 
   val oracles: Map[String, String] = Map(
     "lake_create"              -> lakeCreateSql,
@@ -371,5 +389,6 @@ object LakeQueries {
     "lake_prune_files"         -> lakePruneFilesSql,
     "lake_null_scan"           -> lakeNullScanSql,
     "lake_add_column"          -> lakeAddColumnSql,
-    "lake_sql_asof"            -> lakeSqlAsOfSql)
+    "lake_sql_asof"            -> lakeSqlAsOfSql,
+    "lake_zorder"              -> lakeZOrderSql)
 }

@@ -159,6 +159,28 @@ class LakeSpec extends SparkSpec {
     assert(rows.filter(_.getAs[Int]("n_nationkey") >= 100).forall(_.getAs[String]("note") == "x"))
   }
 
+  test("optimize zorder clusters files for multi-column skipping") {
+    val t = GraftTable.create(spark, tmp("zorder"),
+      Tables.orders(spark, sfDir).repartitionByRange(8, col("o_orderkey")))
+    // before: layout is by o_orderkey → custkey predicates scan all files
+    val (before, totalB, _) = t.pruneFiles(
+      col("o_custkey") >= 100L && col("o_custkey") < 150L)
+    t.optimizeZOrder(Seq("o_custkey", "o_orderkey"), nFiles = 8)
+    assert(t.current.operation === "optimize")
+    val (after, totalA, _) = t.pruneFiles(
+      col("o_custkey") >= 100L && col("o_custkey") < 150L)
+    assert(after.size < totalA, s"zorder did not improve skipping: ${after.size}/$totalA")
+    assert(after.size <= before.size)
+    // and predicates on the other zorder column still prune
+    val (afterKey, _, _) = t.pruneFiles(
+      col("o_orderkey") >= 100L && col("o_orderkey") < 200L)
+    assert(afterKey.size < totalA)
+    // correctness unchanged
+    val n = t.scan(col("o_custkey") >= 100L && col("o_custkey") < 150L).count()
+    assert(n === Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") >= 100 && col("o_custkey") < 150).count())
+  }
+
   test("columnDependencies option string parses in the reference format") {
     // reference: OPTIONS(columnDependencies 'src=dest:transform,...')
     val deps = GraftTable.parseDeps(
