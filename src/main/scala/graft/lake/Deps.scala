@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{exprs, Hashing}
 
-/** Column-dependency transforms (reference: utils/Transforms.scala,
+/** Column-dependency transforms (reference: utils/Transforms.scala:30,
   * utils/ColumnDependenciesExprVisitor.scala). A transform must be
   * computable both as a Spark Column (write path — materializing the
   * derived partition column) and on the driver over plain Scala values

@@ -27,7 +27,7 @@ import org.apache.spark.sql.types._
   * swing `meta/version-hint.txt` via rename — readers resolve the
   * pointer once and plan entirely from that manifest (snapshot
   * isolation, single-writer; same guarantee class as the reference's
-  * rename-based FileCommitProtocol).
+  * rename-based FileCommitProtocol (IcebergFileCommitProtocol.scala:53,76-84 commitJob)).
   *
   * Layout:
   * {{{

@@ -37,7 +37,7 @@ final case class FileEntry(
     stats: Map[String, ColStat])
 
 /** A column dependency `src → dest : transform` (reference:
-  * utils/Transforms.scala, columnDependencies table option). Declares
+  * utils/Transforms.scala:30; Config.scala:77 COLUMN_DEPENDENCIES option). Declares
   * dest = transform(src) so predicates on src can be rewritten into
   * partition predicates on dest at scan time.
   */

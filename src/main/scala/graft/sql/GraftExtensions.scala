@@ -25,7 +25,7 @@ import graft.lake.GraftTable
   *    SQL: `SELECT * FROM name` reads the current snapshot.
   *  - `AS OF '<snapshot-id | yyyy-MM-dd HH:mm:ss | epoch-millis>'
   *    SELECT …` time-travels every graft relation in the query
-  *    (reference: parsing/IceParser.scala's `as of` prefix clause).
+  *    (reference: parsing/IceParser.scala:108-111 `asOfSelect`).
   *  - graft expression functions are callable from SQL:
   *    `graft_cosine(a, b)`, `graft_polyhash(s)`, `graft_shingles(s, 3)`,
   *    `graft_simhash(arr)`, `graft_winnow(s, k, w)`.
