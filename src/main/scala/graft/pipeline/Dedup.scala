@@ -186,7 +186,31 @@ object Dedup {
        |WHERE i * 1.0 / (x.n + y.n - i) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** C15 `dataset_similarity`: corpus-level near-duplication measure —
+    * MinHash signatures of two document sets (here: even vs odd doc
+    * ids) via the [[graft.functions.MinHashAgg]] distributed aggregate,
+    * plus exact set sizes. The Jaccard estimate is probabilistic
+    * (±1/√256 ≈ 0.06) → rows-only driver check; the spec bounds the
+    * error against the exact shingle-set Jaccard.
+    */
+  def datasetSimilarity(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.MinHashAgg.minHashAgg
+    val hs = docShingleHashes(s, d)
+      .withColumn("grp", (col("doc_id") % 2 === 0).cast("string"))
+    val sigs = hs.groupBy(col("grp"))
+      .agg(minHashAgg(col("hs"), Seed, 256).as("sig"),
+           count(lit(1)).as("n_docs"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Long](1), r.getLong(2))).toMap
+    val (sigA, nA) = sigs("true"); val (sigB, nB) = sigs("false")
+    val est = graft.functions.MinHashAgg.estimate(sigA, sigB)
+    import s.implicits._
+    Seq((nA, nB, math.round(est * 1e6) / 1e6))
+      .toDF("n_even_docs", "n_odd_docs", "est_jaccard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dataset_similarity"  -> (datasetSimilarity _),
     "dedup_exact"         -> (exact _),
     "dedup_minhash"       -> (minhash _),
     "dedup_simhash"       -> (simhash _),

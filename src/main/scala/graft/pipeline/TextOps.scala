@@ -155,13 +155,36 @@ object TextOps {
       |  FROM h)
       |SELECT doc_id, unnest(fps) AS fp FROM m ORDER BY doc_id, fp""".stripMargin
 
+  /** C14 `sample_split`: deterministic train/validation assignment by
+    * portable hash of the document id — the reproducible held-out
+    * split every training pipeline needs (stable under reshuffles,
+    * re-runs, and engine changes; no RNG state anywhere).
+    */
+  def sampleSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket", pmod(exprs.polyHash(col("doc_id").cast("string")), lit(100L)))
+      .withColumn("split", when(col("bucket") < 90, "train").otherwise("val"))
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+
+  val sampleSplitSql: String =
+    """SELECT doc_id,
+      |  list_reduce(list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+      |              ch -> ascii(ch)::BIGINT), (a, x) -> (a * 31 + x) % 1000000007) % 100 AS bucket,
+      |  CASE WHEN list_reduce(list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+      |              ch -> ascii(ch)::BIGINT), (a, x) -> (a * 31 + x) % 1000000007) % 100 < 90
+      |       THEN 'train' ELSE 'val' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_split"     -> (sampleSplit _),
     "text_langid"      -> (langId _),
     "text_quality"     -> (quality _),
     "text_tokens"      -> (tokenCounts _),
     "text_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "sample_split"     -> sampleSplitSql,
     "text_langid"      -> langIdSql,
     "text_quality"     -> qualitySql,
     "text_tokens"      -> tokenCountsSql,

@@ -113,6 +113,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sample split: deterministic, ~90/10, disjoint") {
+    val df = TextOps.sampleSplit(spark, sfDir).collect()
+    assert(df.length === 500)
+    val trainFrac = df.count(_.getAs[String]("split") == "train").toDouble / df.length
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac")
+    // re-run must produce the identical assignment
+    val again = TextOps.sampleSplit(spark, sfDir).collect()
+    assert(df.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("dataset minhash aggregate: estimate close to exact jaccard") {
+    val row = Dedup.datasetSimilarity(spark, sfDir).collect().head
+    val est = row.getAs[Double]("est_jaccard")
+    assert(row.getAs[Long]("n_even_docs") + row.getAs[Long]("n_odd_docs") === 500L)
+    // exact shingle-set jaccard between the two halves
+    val sets = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.exprs.wordShingles(col("text"), 3).as("shs"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getSeq[String](1).toSet))
+    val even = sets.filter(_._1 % 2 == 0).flatMap(_._2).toSet
+    val odd = sets.filter(_._1 % 2 == 1).flatMap(_._2).toSet
+    val exact = even.intersect(odd).size.toDouble / even.union(odd).size
+    assert(math.abs(est - exact) < 0.1, s"est $est vs exact $exact")
+  }
+
   test("pipeline hot paths stay inside whole-stage codegen") {
     val df = TextOps.fingerprint(spark, sfDir)
     df.collect() // materialize so AQE finalizes the physical plan
