@@ -399,6 +399,40 @@ object CoreQueries {
       |GROUP BY CUBE (o_orderstatus, substring(o_orderpriority, 1, 1))
       |ORDER BY status, prio""".stripMargin
 
+  /** B18: skew-safe exact distinct aggregation — the two-stage salted
+    * plan for hot group keys. `events` has only a handful of
+    * event_types over the whole stream, so a naive per-type exact
+    * distinct funnels every row of a hot type through one reducer;
+    * instead: stage 1 dedups (type, user) spread across reducers by the
+    * (high-cardinality) user key, stage 2 counts the now-small distinct
+    * sets, and the measure aggregates ride a separately-salted partial
+    * pass. Identical results to the naive plan — only the shuffle shape
+    * changes — so the oracle is the plain GROUP BY.
+    */
+  def qSkewSaltedAgg(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    // stage 1: distinct pairs, shuffled by (type, user) — no hot reducer
+    val distinctPairs = ev.select(col("event_type"), col("user_id")).distinct()
+    val userCounts = distinctPairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    // salted partial aggregation for the measures: 16-way salt splits a
+    // hot type across reducers, then the tiny partials combine
+    val partial = ev
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16L)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+    val measures = partial.groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n_events"), money(sum(col("pv"))).as("total_value"))
+    userCounts.join(measures, Seq("event_type"))
+      .select(col("event_type"), col("n_users"), col("n_events"), col("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val qSkewSaltedAggSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      |  count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** queries + oracles exported to SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -417,7 +451,8 @@ object CoreQueries {
     "q_conditional_agg" -> (qConditionalAgg _),
     "q_asof_join"       -> (qAsOfJoin _),
     "q_json_extract"    -> (qJsonExtract _),
-    "q_cube"            -> (qCube _))
+    "q_cube"            -> (qCube _),
+    "q_skew_salted_agg" -> (qSkewSaltedAgg _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg"            -> q1AggSql,
@@ -436,5 +471,6 @@ object CoreQueries {
     "q_conditional_agg" -> qConditionalAggSql,
     "q_asof_join"       -> qAsOfJoinSql,
     "q_json_extract"    -> qJsonExtractSql,
-    "q_cube"            -> qCubeSql)
+    "q_cube"            -> qCubeSql,
+    "q_skew_salted_agg" -> qSkewSaltedAggSql)
 }
