@@ -159,6 +159,22 @@ class LakeSpec extends SparkSpec {
     assert(rows.filter(_.getAs[Int]("n_nationkey") >= 100).forall(_.getAs[String]("note") == "x"))
   }
 
+  test("planning is metadata-only: a pruned file may not even exist on disk") {
+    val t = GraftTable.create(spark, tmp("metaonly"),
+      Tables.orders(spark, sfDir).repartitionByRange(8, col("o_orderkey")))
+    // delete the file holding the highest key range from DISK (manifest untouched)
+    val victim = t.current.files.maxBy(_.stats("o_orderkey").max.toLong)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(t.root, victim.path))
+    // a scan that prunes the victim never notices — no listing, no stat
+    val lowKeys = t.scan(col("o_orderkey") < 100L)
+    assert(lowKeys.count() ===
+      Tables.orders(spark, sfDir).filter(col("o_orderkey") < 100).count())
+    // a scan that needs the victim fails only at execution time
+    intercept[Exception] {
+      t.scan(col("o_orderkey") >= victim.stats("o_orderkey").min.toLong).count()
+    }
+  }
+
   test("optimize zorder clusters files for multi-column skipping") {
     val t = GraftTable.create(spark, tmp("zorder"),
       Tables.orders(spark, sfDir).repartitionByRange(8, col("o_orderkey")))
