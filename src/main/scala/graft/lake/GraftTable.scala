@@ -256,6 +256,72 @@ final class GraftTable(val root: String, spark: SparkSession) {
     this
   }
 
+  /** DELETE WHERE — copy-on-write. Candidate files are selected with
+    * the same metadata-only pruning as scans (partition values, column
+    * dependencies, footer min/max); files that cannot contain a
+    * matching row are carried into the new snapshot verbatim. Only
+    * candidates are read back, filtered (`NOT pred`, null-safe: a
+    * NULL predicate keeps the row, matching SQL DELETE), and
+    * rewritten. At 100 TB the rewrite is O(files-that-can-match) and
+    * planning is O(metadata) — the Iceberg copy-on-write model.
+    */
+  def delete(pred: Column): GraftTable = {
+    val cur = current
+    val (cands, _, _) = pruneFiles(pred)
+    val candPaths = cands.map(_.path).toSet
+    val kept = cur.files.filterNot(f => candPaths.contains(f.path))
+    val survivors = readSnapshot(cur.copy(files = cands))
+      .filter(!(pred <=> lit(true)))
+    val added =
+      if (cands.isEmpty) Seq.empty
+      else writeFiles(survivors, cur.partitionCols, cur.deps, cur.id + 1)
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "delete", files = kept ++ added,
+      addedFiles = added.size, deletedFiles = cands.size))
+    this
+  }
+
+  /** MERGE INTO … ON target.k = source.k WHEN MATCHED THEN UPDATE SET *
+    * WHEN NOT MATCHED THEN INSERT * — copy-on-write upsert.
+    *
+    * Candidate target files are pruned by the source's key bounds (one
+    * small agg over the source, then metadata-only min/max pruning):
+    * a matched target row's key is by definition within the source key
+    * range, so every file outside the range is provably untouched and
+    * survives verbatim. Candidates are anti-joined against the source
+    * keys (Spark broadcasts the small side automatically), unioned
+    * with the full source, and rewritten. Rewrite cost is
+    * O(files-overlapping-source-keys), not O(table).
+    */
+  def merge(source: DataFrame, keyCols: Seq[String]): GraftTable = {
+    val cur = current
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    val aggs = keyCols.flatMap(k => Seq(fmin(col(k)), fmax(col(k))))
+    val bounds = source.agg(aggs.head, aggs.tail: _*).head()
+    val cands =
+      if (bounds.anyNull) Seq.empty // empty source: nothing can match
+      else {
+        val pred = keyCols.zipWithIndex.map { case (k, i) =>
+          col(k) >= lit(bounds.get(2 * i)) && col(k) <= lit(bounds.get(2 * i + 1))
+        }.reduce(_ && _)
+        pruneFiles(pred)._1
+      }
+    val candPaths = cands.map(_.path).toSet
+    val kept = cur.files.filterNot(f => candPaths.contains(f.path))
+    val baseCols = source.columns.toSeq
+    val survivors = readSnapshot(cur.copy(files = cands))
+      .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .select(baseCols.map(col): _*)
+    val added = writeFiles(
+      survivors.unionByName(source), cur.partitionCols, cur.deps, cur.id + 1)
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "merge", files = kept ++ added,
+      addedFiles = added.size, deletedFiles = cands.size))
+    this
+  }
+
   /** Schema evolution: add a nullable column (old files read as null). */
   def addColumn(name: String, dt: DataType): GraftTable = {
     val cur = current

@@ -335,6 +335,53 @@ object LakeQueries {
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |WHERE o_custkey >= 100 AND o_custkey < 200 ORDER BY o_orderkey""".stripMargin
 
+  // ---- A21 DELETE WHERE (copy-on-write) ------------------------------
+
+  def lakeDelete(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "delete"),
+      byStatus(orders(s, d)), Seq("o_orderstatus"))
+    // partition-prunable conjunct ('O') + stats conjunct: only 'O'
+    // files are rewritten, 'F'/'P' files survive verbatim
+    t.delete(col("o_orderstatus") === "O" && col("o_totalprice") > 200000)
+    sel(t.read())
+  }
+
+  val lakeDeleteSql =
+    s"""SELECT $selSql FROM orders
+       |WHERE NOT (o_orderstatus = 'O' AND o_totalprice > 200000)
+       |ORDER BY o_orderkey""".stripMargin
+
+  // ---- A22 MERGE INTO (copy-on-write upsert) -------------------------
+
+  def lakeMerge(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val base = o.select(orderCols.map(col): _*)
+    // range-clustered layout → source key bounds prune candidate files
+    val t = GraftTable.create(s, work(d, "merge"),
+      base.repartitionByRange(8, col("o_orderkey")))
+    // updates: existing keys in [1000, 2000], price bumped;
+    // inserts: fresh negative keys derived from region (provably absent)
+    val updates = base.filter(col("o_orderkey").between(1000L, 2000L))
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    val inserts = Tables.region(s, d).select(
+      (-col("r_regionkey") - 1L).cast("long").as("o_orderkey"),
+      lit(0L).as("o_custkey"),
+      lit("N").as("o_orderstatus"),
+      lit(1.0).as("o_totalprice"))
+    t.merge(updates.unionByName(inserts), Seq("o_orderkey"))
+    sel(t.read())
+  }
+
+  val lakeMergeSql =
+    s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus,
+       |    CASE WHEN o_orderkey BETWEEN 1000 AND 2000
+       |         THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT -(r_regionkey + 1), 0, 'N', 1.0 FROM region
+       |) ORDER BY o_orderkey""".stripMargin
+
   // ---- A19 SQL surface: AS OF prefix + registered relations ---------
 
   def lakeSqlAsOf(s: SparkSession, d: String): DataFrame = {
@@ -368,7 +415,9 @@ object LakeQueries {
     "lake_null_scan"           -> (lakeNullScan _),
     "lake_add_column"          -> (lakeAddColumn _),
     "lake_sql_asof"            -> (lakeSqlAsOf _),
-    "lake_zorder"              -> (lakeZOrder _))
+    "lake_zorder"              -> (lakeZOrder _),
+    "lake_delete"              -> (lakeDelete _),
+    "lake_merge"               -> (lakeMerge _))
 
   val oracles: Map[String, String] = Map(
     "lake_create"              -> lakeCreateSql,
@@ -390,5 +439,7 @@ object LakeQueries {
     "lake_null_scan"           -> lakeNullScanSql,
     "lake_add_column"          -> lakeAddColumnSql,
     "lake_sql_asof"            -> lakeSqlAsOfSql,
-    "lake_zorder"              -> lakeZOrderSql)
+    "lake_zorder"              -> lakeZOrderSql,
+    "lake_delete"              -> lakeDeleteSql,
+    "lake_merge"               -> lakeMergeSql)
 }

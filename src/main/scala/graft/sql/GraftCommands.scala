@@ -93,3 +93,56 @@ case class GraftInsertCommand(
     case _                                             => v
   }
 }
+
+/** DELETE FROM t [WHERE pred] — copy-on-write snapshot delete
+  * ([[graft.lake.GraftTable.delete]]). The predicate is carried as an
+  * opaque [[org.apache.spark.sql.Column]] (not an Expression field):
+  * a LeafRunnableCommand has no children, so the analyzer would
+  * otherwise fail to resolve the predicate's attributes — it is
+  * resolved against the snapshot scan inside `delete` at run time.
+  */
+case class GraftDeleteCommand(
+    name: String,
+    condition: Option[org.apache.spark.sql.Column])
+    extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    val t = new GraftTable(root, session)
+    condition match {
+      case Some(c) => t.delete(c)
+      case None    => t.overwrite(t.read().limit(0))
+    }
+    Seq.empty
+  }
+}
+
+/** MERGE INTO t USING src ON t.k = src.k WHEN MATCHED THEN UPDATE SET *
+  * WHEN NOT MATCHED THEN INSERT * — the canonical upsert form, mapped
+  * onto [[graft.lake.GraftTable.merge]] (copy-on-write, source-key-
+  * bounds file pruning). The source query supplies the table's
+  * non-derived columns positionally (hive semantics, as with INSERT).
+  */
+case class GraftMergeCommand(
+    name: String,
+    keyCols: Seq[String],
+    source: LogicalPlan) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    val t = new GraftTable(root, session)
+    val schema = t.schema
+    val depDests = t.current.deps.map(_.dest).toSet
+    val target = schema.fieldNames.toSeq.filterNot(depDests.contains)
+    var df = Shim.ofRows(session, source)
+    require(df.columns.length == target.length,
+      s"MERGE source arity ${df.columns.length} != expected ${target.length} (${target.mkString(",")})")
+    df = df.toDF(target: _*)
+      .select(target.map(n => col(n).cast(schema(n).dataType)): _*)
+    keyCols.foreach(k => require(target.contains(k), s"unknown merge key $k"))
+    t.merge(df, keyCols)
+    Seq.empty
+  }
+}

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.graft.Shim
 import org.apache.spark.sql.types.StructType
@@ -88,9 +89,58 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val AsOfRe =
     """(?is)\s*as\s+of\s+'([^']+)'\s+(.*)""".r
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case AsOfRe(spec, rest) => substitute(delegate.parsePlan(rest), Some(spec.trim))
-    case _                  => substitute(delegate.parsePlan(sqlText), None)
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val (asOf, parsed) = sqlText match {
+      case AsOfRe(spec, rest) => (Some(spec.trim), delegate.parsePlan(rest))
+      case _                  => (None, delegate.parsePlan(sqlText))
+    }
+    // DELETE / MERGE target relations are rewritten at the root, before
+    // `substitute` (a bottom-up transform) would replace the target
+    // UnresolvedRelation with a snapshot scan.
+    parsed match {
+      case d: logical.DeleteFromTable =>
+        graftName(d.table) match {
+          case Some(name) => GraftDeleteCommand(name, Option(d.condition).map(Shim.column))
+          case None       => substitute(parsed, asOf)
+        }
+      case m: logical.MergeIntoTable if graftName(m.targetTable).isDefined =>
+        val name = graftName(m.targetTable).get
+        require(
+          m.matchedActions.forall(_.isInstanceOf[logical.UpdateStarAction]) &&
+            m.notMatchedActions.forall(_.isInstanceOf[logical.InsertStarAction]) &&
+            m.notMatchedBySourceActions.isEmpty,
+          "graft MERGE supports WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *")
+        GraftMergeCommand(name, mergeKeys(m.mergeCondition), substitute(m.sourceTable, asOf))
+      case p => substitute(p, asOf)
+    }
+  }
+
+  /** Registered graft-table name behind a (possibly aliased) relation. */
+  private def graftName(plan: LogicalPlan): Option[String] = plan match {
+    case logical.SubqueryAlias(_, child) => graftName(child)
+    case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
+      Some(u.multipartIdentifier.head.toLowerCase)
+        .filter(n => GraftCatalog.lookup(n).isDefined)
+    case _ => None
+  }
+
+  /** Equi-join key columns of a MERGE condition: conjuncts of
+    * `target.k = source.k` (same terminal column name on both sides).
+    */
+  private def mergeKeys(cond: Expression): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).map {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+          if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+        a.nameParts.last.toLowerCase
+      case other => throw new IllegalArgumentException(
+        s"graft MERGE condition must be conjunctive equi-join on same-named columns, got $other")
+    }.distinct
   }
 
   private def substitute(plan: LogicalPlan, asOf: Option[String]): LogicalPlan =

@@ -63,15 +63,34 @@ class GraftFileIndex(
       if (cs.values.exists(_.impossible)) Seq.empty[FileEntry]
       else snapshot.files.filter(Pruning.fileSurvives(_, cs, types))
 
-    survivors.groupBy(_.partition).map { case (pvals, files) =>
+    // Partition filters MUST be applied exactly: Catalyst removes
+    // row-level predicates on partition columns from the physical plan
+    // and trusts the FileIndex to enforce them (the conservative
+    // extractor above only accelerates; it never decides). Same
+    // name-bound interpreted evaluation as Spark's own
+    // PartitioningAwareFileIndex.prunePartitions.
+    val exactPartPred = partitionFilters.reduceOption(
+      org.apache.spark.sql.catalyst.expressions.And(_, _)).map { p =>
+      org.apache.spark.sql.catalyst.expressions.Predicate.createInterpreted(
+        p.transform {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            val i = partFields.indexWhere(_.name == a.name)
+            require(i >= 0, s"partition filter references non-partition column ${a.name}")
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i, partFields(i).dataType, nullable = true)
+        })
+    }
+
+    survivors.groupBy(_.partition).flatMap { case (pvals, files) =>
       val row = InternalRow.fromSeq(partFields.map { f =>
         val raw = pvals.getOrElse(f.name,
           throw new IllegalStateException(s"file missing partition value ${f.name}"))
         castPartitionValue(raw, f.dataType)
       })
-      PartitionDirectory(row, files.map(fe =>
+      if (!exactPartPred.forall(_.eval(row))) None
+      else Some(PartitionDirectory(row, files.map(fe =>
         new FileStatus(fe.bytes, false, 1, 128L * 1024 * 1024, snapshot.tsMillis,
-          new Path(s"$tableRoot/${fe.path}"))).toArray)
+          new Path(s"$tableRoot/${fe.path}"))).toArray))
     }.toSeq
   }
 

@@ -197,6 +197,66 @@ class LakeSpec extends SparkSpec {
       .filter(col("o_custkey") >= 100 && col("o_custkey") < 150).count())
   }
 
+  test("partition filters the extractor can't prune are still applied exactly") {
+    // Catalyst drops row-level predicates on partition columns and
+    // trusts the FileIndex — NOT/OR/!= shapes must filter correctly
+    val t = ordersTable("exactpart")
+    val all = t.read().count()
+    val o = t.read().filter(col("o_orderstatus") === "O").count()
+    assert(t.read().filter(col("o_orderstatus") =!= "O").count() === all - o)
+    assert(t.read().filter(!(col("o_orderstatus") === "O")).count() === all - o)
+    val f = t.read().filter(col("o_orderstatus") === "F").count()
+    assert(t.read().filter(
+      col("o_orderstatus") === "O" || col("o_orderstatus") === "F").count() === o + f)
+  }
+
+  test("delete is copy-on-write: non-candidate files survive verbatim") {
+    val o = Tables.orders(spark, sfDir)
+    val t = ordersTable("cowdelete")
+    val before = t.current.files.map(_.path).toSet
+    t.delete(col("o_orderstatus") === "O" && col("o_totalprice") > 200000)
+    val after = t.current.files
+    // 'F' and 'P' partitions cannot match → identical FileEntry paths
+    val untouched = after.filter(f => f.partition("o_orderstatus") != "O").map(_.path).toSet
+    assert(untouched.nonEmpty && untouched.subsetOf(before),
+      "non-matching partitions must not be rewritten")
+    // 'O' partition rewritten under the new snapshot id
+    assert(after.filter(_.partition("o_orderstatus") == "O").forall(_.path
+      .split("/").last.startsWith("2-")))
+    val exp = o.filter(!(col("o_orderstatus") === "O" && col("o_totalprice") > 200000)).count()
+    assert(t.read().count() === exp)
+    // deleting with a contradictory predicate rewrites nothing at all
+    val files2 = t.current.files.map(_.path).toSet
+    t.delete(col("o_orderkey") < 0L && col("o_orderkey") > 0L)
+    assert(t.current.files.map(_.path).toSet === files2)
+    assert(t.current.operation === "delete")
+  }
+
+  test("merge upserts: source key bounds prune the rewrite set") {
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val t = GraftTable.create(spark, tmp("cowmerge"),
+      base.repartitionByRange(8, col("o_orderkey")))
+    val before = t.current.files.map(_.path).toSet
+    val source = base.filter(col("o_orderkey").between(1L, 500L))
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .unionByName(spark.range(1).select(
+        lit(-7L).as("o_orderkey"), lit(0L).as("o_custkey"), lit(1.0).as("o_totalprice")))
+    t.merge(source, Seq("o_orderkey"))
+    val after = t.current.files
+    // files whose key range lies outside [-7, 500] survive verbatim
+    val survivors = after.map(_.path).toSet.intersect(before)
+    assert(survivors.nonEmpty, "high-key files should be pruned from the rewrite")
+    // updated rows carry the new price; inserted key present exactly once
+    val updated = t.read().filter(col("o_orderkey").between(1L, 500L))
+    val expUpdated = base.filter(col("o_orderkey").between(1L, 500L))
+    assert(updated.count() === expUpdated.count())
+    assert(updated.agg(sum(col("o_totalprice"))).head.getDouble(0) >
+      expUpdated.agg(sum(col("o_totalprice"))).head.getDouble(0))
+    assert(t.read().filter(col("o_orderkey") === -7L).count() === 1)
+    assert(t.read().count() === base.count() + 1)
+  }
+
   test("columnDependencies option string parses in the reference format") {
     // reference: OPTIONS(columnDependencies 'src=dest:transform,...')
     val deps = GraftTable.parseDeps(

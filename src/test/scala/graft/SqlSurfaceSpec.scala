@@ -154,6 +154,45 @@ class SqlSurfaceSpec extends SparkSpec {
       s"expected 1 file scanned, got $numFiles of ${t.current.files.size}")
   }
 
+  test("DELETE FROM in SQL creates a copy-on-write delete snapshot") {
+    val t = mkTable("sqldel")
+    GraftCatalog.register("t_sqldel", t.root)
+    val before = t.read().count()
+    val expGone = t.read().filter(col("o_orderstatus") === "O").count()
+    spark.sql("DELETE FROM t_sqldel WHERE o_orderstatus = 'O'")
+    assert(t.current.operation === "delete")
+    assert(t.read().count() === before - expGone)
+    assert(t.read().filter(col("o_orderstatus") === "O").count() === 0)
+    // unconditional DELETE truncates
+    spark.sql("DELETE FROM t_sqldel")
+    assert(t.read().count() === 0)
+  }
+
+  test("MERGE INTO … UPDATE SET * / INSERT * upserts via SQL") {
+    val t = mkTable("sqlmerge")
+    GraftCatalog.register("t_sqlmerge", t.root)
+    val before = t.read().count()
+    val cols = t.schema.fieldNames.mkString(", ")
+    // source: bump price on keys < 50, plus one brand-new key
+    spark.sql(
+      s"""MERGE INTO t_sqlmerge USING (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1.0 AS o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM t_sqlmerge WHERE o_orderkey < 50
+         |  UNION ALL
+         |  SELECT -1L, 0L, 'N', 1.0, TIMESTAMP '2020-01-01', 'x'
+         |) src ON t_sqlmerge.o_orderkey = src.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(t.current.operation === "merge")
+    assert(t.read().count() === before + 1)
+    assert(t.read().filter(col("o_orderkey") === -1L).count() === 1)
+    // AS OF still sees the pre-merge snapshot
+    val pre = spark.sql("AS OF '2' SELECT count(*) AS n FROM t_sqlmerge")
+      .collect().head.getLong(0)
+    assert(pre === before)
+  }
+
   test("non-graft SQL parses through the delegate untouched") {
     assert(spark.sql("SELECT 1 + 1 AS x").collect().head.getInt(0) === 2)
   }
