@@ -282,6 +282,37 @@ final class GraftTable(val root: String, spark: SparkSession) {
     this
   }
 
+  /** UPDATE … SET … WHERE — copy-on-write. Candidate files come from
+    * the same metadata-only pruning as [[delete]]; within a rewritten
+    * file, non-matching rows pass through unchanged (`CASE WHEN pred`).
+    * Derived dependency columns are dropped before the rewrite and
+    * recomputed by the write path, so updating a dependency *source*
+    * column keeps its partition-pruning column consistent (and rows
+    * migrate to their new partition directories).
+    */
+  def update(pred: Column, set: Map[String, Column]): GraftTable = {
+    val cur = current
+    import org.apache.spark.sql.functions.when
+    val (cands, _, _) = pruneFiles(pred)
+    val candPaths = cands.map(_.path).toSet
+    val kept = cur.files.filterNot(f => candPaths.contains(f.path))
+    val sch = schema
+    val depDests = cur.deps.map(_.dest).toSet.filterNot(set.keySet.contains)
+    val updated0 = set.foldLeft(readSnapshot(cur.copy(files = cands))) {
+      case (d, (k, v)) =>
+        d.withColumn(k, when(pred <=> lit(true), v.cast(sch(k).dataType)).otherwise(col(k)))
+    }
+    val updated = updated0.drop(depDests.toSeq: _*)
+    val added =
+      if (cands.isEmpty) Seq.empty
+      else writeFiles(updated, cur.partitionCols, cur.deps, cur.id + 1)
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "update", files = kept ++ added,
+      addedFiles = added.size, deletedFiles = cands.size))
+    this
+  }
+
   /** MERGE INTO … ON target.k = source.k WHEN MATCHED THEN UPDATE SET *
     * WHEN NOT MATCHED THEN INSERT * — copy-on-write upsert.
     *

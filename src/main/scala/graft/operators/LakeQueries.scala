@@ -351,6 +351,25 @@ object LakeQueries {
        |WHERE NOT (o_orderstatus = 'O' AND o_totalprice > 200000)
        |ORDER BY o_orderkey""".stripMargin
 
+  // ---- A23 UPDATE SET WHERE (copy-on-write) --------------------------
+
+  def lakeUpdate(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "update"),
+      byStatus(orders(s, d)), Seq("o_orderstatus"))
+    // only 'P' files rewritten; rows in them not matching the stats
+    // conjunct pass through unchanged
+    t.update(
+      col("o_orderstatus") === "P" && col("o_totalprice") > 150000,
+      Map("o_totalprice" -> (col("o_totalprice") + 1.0)))
+    sel(t.read())
+  }
+
+  val lakeUpdateSql =
+    s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+       |  CASE WHEN o_orderstatus = 'P' AND o_totalprice > 150000
+       |       THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+       |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // ---- A22 MERGE INTO (copy-on-write upsert) -------------------------
 
   def lakeMerge(s: SparkSession, d: String): DataFrame = {
@@ -417,7 +436,8 @@ object LakeQueries {
     "lake_sql_asof"            -> (lakeSqlAsOf _),
     "lake_zorder"              -> (lakeZOrder _),
     "lake_delete"              -> (lakeDelete _),
-    "lake_merge"               -> (lakeMerge _))
+    "lake_merge"               -> (lakeMerge _),
+    "lake_update"              -> (lakeUpdate _))
 
   val oracles: Map[String, String] = Map(
     "lake_create"              -> lakeCreateSql,
@@ -441,5 +461,6 @@ object LakeQueries {
     "lake_sql_asof"            -> lakeSqlAsOfSql,
     "lake_zorder"              -> lakeZOrderSql,
     "lake_delete"              -> lakeDeleteSql,
-    "lake_merge"               -> lakeMergeSql)
+    "lake_merge"               -> lakeMergeSql,
+    "lake_update"              -> lakeUpdateSql)
 }

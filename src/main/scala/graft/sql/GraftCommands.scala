@@ -118,6 +118,26 @@ case class GraftDeleteCommand(
   }
 }
 
+/** UPDATE t SET c = expr[, …] [WHERE pred] — copy-on-write update
+  * ([[graft.lake.GraftTable.update]]). Assignments and predicate are
+  * carried as opaque Columns (resolved against the snapshot scan at
+  * run time, see [[GraftDeleteCommand]]).
+  */
+case class GraftUpdateCommand(
+    name: String,
+    set: Seq[(String, org.apache.spark.sql.Column)],
+    condition: Option[org.apache.spark.sql.Column])
+    extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    val t = new GraftTable(root, session)
+    t.update(condition.getOrElse(lit(true)), set.toMap)
+    Seq.empty
+  }
+}
+
 /** MERGE INTO t USING src ON t.k = src.k WHEN MATCHED THEN UPDATE SET *
   * WHEN NOT MATCHED THEN INSERT * — the canonical upsert form, mapped
   * onto [[graft.lake.GraftTable.merge]] (copy-on-write, source-key-

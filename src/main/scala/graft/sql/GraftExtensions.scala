@@ -103,6 +103,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           case Some(name) => GraftDeleteCommand(name, Option(d.condition).map(Shim.column))
           case None       => substitute(parsed, asOf)
         }
+      case u: logical.UpdateTable if graftName(u.table).isDefined =>
+        val name = graftName(u.table).get
+        val sets = u.assignments.map { a =>
+          val key = a.key match {
+            case attr: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              attr.nameParts.last
+            case other => throw new IllegalArgumentException(
+              s"graft UPDATE supports simple column assignments, got $other")
+          }
+          key -> Shim.column(a.value)
+        }
+        GraftUpdateCommand(name, sets, u.condition.map(Shim.column))
       case m: logical.MergeIntoTable if graftName(m.targetTable).isDefined =>
         val name = graftName(m.targetTable).get
         require(

@@ -232,6 +232,26 @@ class LakeSpec extends SparkSpec {
     assert(t.current.operation === "delete")
   }
 
+  test("update is copy-on-write and recomputes derived dependency columns") {
+    val t = GraftTable.create(spark, tmp("cowupdate"),
+      Tables.orders(spark, sfDir).repartition(col("o_orderpriority")),
+      Seq("prio_t"), Seq(graft.lake.DepSpec("o_orderpriority", "prio_t", "truncate[1]")))
+    val before = t.current.files.map(_.path).toSet
+    // updating the dep SOURCE column must migrate rows to the new
+    // derived partition and keep pruning consistent
+    t.update(col("o_orderpriority") === "1-URGENT",
+      Map("o_orderpriority" -> lit("5-LOW")))
+    assert(t.current.operation === "update")
+    assert(t.read().filter(col("o_orderpriority") === "1-URGENT").count() === 0)
+    // rows migrated into the prio_t=5 partition; pruning still works
+    val (files, _, _) = t.pruneFiles(col("o_orderpriority") === "5-LOW")
+    assert(files.forall(_.partition("prio_t") == "5"))
+    // only the 1-URGENT partition was rewritten
+    val untouched = t.current.files.map(_.path).toSet.intersect(before)
+    assert(untouched.nonEmpty)
+    assert(t.read().count() === Tables.orders(spark, sfDir).count())
+  }
+
   test("merge upserts: source key bounds prune the rewrite set") {
     val base = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))

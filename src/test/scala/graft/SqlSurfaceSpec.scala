@@ -168,6 +168,17 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(t.read().count() === 0)
   }
 
+  test("UPDATE SET WHERE in SQL creates a copy-on-write update snapshot") {
+    val t = mkTable("sqlupd")
+    GraftCatalog.register("t_sqlupd", t.root)
+    val expBumped = t.read().filter(col("o_orderkey") < 20).count()
+    val sumBefore = t.read().agg(sum("o_totalprice")).head.getDouble(0)
+    spark.sql("UPDATE t_sqlupd SET o_totalprice = o_totalprice + 1.0 WHERE o_orderkey < 20")
+    assert(t.current.operation === "update")
+    val sumAfter = t.read().agg(sum("o_totalprice")).head.getDouble(0)
+    assert(math.abs(sumAfter - sumBefore - expBumped) < 1e-6)
+  }
+
   test("MERGE INTO … UPDATE SET * / INSERT * upserts via SQL") {
     val t = mkTable("sqlmerge")
     GraftCatalog.register("t_sqlmerge", t.root)
