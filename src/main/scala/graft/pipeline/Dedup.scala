@@ -186,6 +186,82 @@ object Dedup {
        |WHERE i * 1.0 / (x.n + y.n - i) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** C16 `dedup_clusters`: verified near-dup *pairs* → canonical
+    * *clusters* — the step a curation pipeline actually needs (keep
+    * one doc per component, drop the rest). Hash-min label
+    * propagation: every doc starts labeled with its own id; each
+    * round, a vertex takes the min label among itself and its
+    * neighbors; fixpoint = connected components, with cluster_id =
+    * min doc_id in the component.
+    *
+    * Scale: one shuffle per round (join on edge src + groupBy dst),
+    * rounds = graph diameter. Near-dup components are
+    * template/boilerplate clusters of tiny diameter (≤ ~3), so this
+    * converges in a handful of rounds even at 100 TB; lineage is cut
+    * per round with an eager checkpoint so the plan stays O(1) deep.
+    * (High-diameter graphs would want large-star/small-star; dedup
+    * graphs don't.) Termination test is sum(label): labels only ever
+    * decrease, so an unchanged sum IS the fixpoint — no second join
+    * to diff label sets.
+    */
+  def clusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true) // reused every round — don't recompute the verify join
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id").as("v"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var lastSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val prop = sym.join(labels, sym("src") === labels("v"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr"))
+      val next = labels.join(prop, labels("v") === prop("dst"), "left")
+        .select(labels("v"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val s2 = next.agg(sum(col("label"))).head.getLong(0)
+      converged = s2 == lastSum
+      lastSum = s2
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Recursive-CTE oracle: reach(v, r) = "r reaches v" over the
+    * symmetric verified-pair edges; cluster_id = min reacher.
+    */
+  val clustersSql: String =
+    s"""WITH RECURSIVE w AS (
+       |  SELECT doc_id, ${TextOps.tokensSql} AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+       |    THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |    ELSE [] END) AS shs
+       |  FROM w),
+       |s AS (SELECT doc_id, unnest(shs) AS sh FROM g),
+       |sz AS (SELECT doc_id, len(shs) AS n FROM g),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+       |  WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.r FROM reach r JOIN sym e ON e.src = r.v)
+       |SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+       |ORDER BY doc_id""".stripMargin
+
   /** C15 `dataset_similarity`: corpus-level near-duplication measure —
     * MinHash signatures of two document sets (here: even vs odd doc
     * ids) via the [[graft.functions.MinHashAgg]] distributed aggregate,
@@ -214,10 +290,12 @@ object Dedup {
     "dedup_exact"         -> (exact _),
     "dedup_minhash"       -> (minhash _),
     "dedup_simhash"       -> (simhash _),
-    "dedup_ngram_jaccard" -> (ngramJaccard _))
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_clusters"      -> (clusters _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact"         -> exactSql,
     "dedup_minhash"       -> jaccardSql,
-    "dedup_ngram_jaccard" -> jaccardSql)
+    "dedup_ngram_jaccard" -> jaccardSql,
+    "dedup_clusters"      -> clustersSql)
 }

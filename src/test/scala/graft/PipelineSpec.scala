@@ -54,6 +54,24 @@ class PipelineSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("dedup clusters: pair endpoints co-labeled, cluster_id = min member") {
+    val labels = Dedup.clusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // connected docs share a label (transitively, via propagation)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) === labels(b), s"pair ($a,$b) split across clusters") }
+    // every label is the min doc_id of its member set
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid === members.keys.min) }
+    // docs in no pair are singletons labeled with themselves
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    labels.filterNot(kv => paired.contains(kv._1)).foreach { case (v, l) =>
+      assert(v === l) }
+  }
+
   test("simhash recovers most exact near-dup pairs, hamming bounded") {
     val sim = Dedup.simhash(spark, sfDir).collect()
     assert(sim.forall(_.getAs[Long]("hamming") <= 8))
