@@ -176,17 +176,61 @@ object TextOps {
       |       THEN 'train' ELSE 'val' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** C17 `text_tfidf`: top-3 keywords per document by tf·idf
+    * (idf = ln(N/df)). Two partial-agg-friendly shuffles (doc×term
+    * counts, then term document-frequencies) + one term-keyed join +
+    * one per-doc window — every stage is keyed, none is O(corpus²).
+    * At 100 TB the df table is vocabulary-sized; the term join stays a
+    * shuffle join (AQE may broadcast if the vocab is small). Scores
+    * are rounded to 6 dp BEFORE ranking and ties broken by term, so
+    * the top-k set is deterministic and engine-independent.
+    */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("score", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val tfidfSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, round(tf * ln(n.n * 1.0 / df), 6) AS score
+       |  FROM tf JOIN df USING (term), n),
+       |rk AS (
+       |  SELECT doc_id, term, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+       |  FROM scored)
+       |SELECT doc_id, rk::BIGINT AS rk, term, score FROM rk
+       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_split"     -> (sampleSplit _),
     "text_langid"      -> (langId _),
     "text_quality"     -> (quality _),
     "text_tokens"      -> (tokenCounts _),
-    "text_fingerprint" -> (fingerprint _))
+    "text_fingerprint" -> (fingerprint _),
+    "text_tfidf"       -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
     "sample_split"     -> sampleSplitSql,
     "text_langid"      -> langIdSql,
     "text_quality"     -> qualitySql,
     "text_tokens"      -> tokenCountsSql,
-    "text_fingerprint" -> fingerprintSql)
+    "text_fingerprint" -> fingerprintSql,
+    "text_tfidf"       -> tfidfSql)
 }

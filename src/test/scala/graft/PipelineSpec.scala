@@ -54,6 +54,20 @@ class PipelineSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("tfidf: 3 keywords per doc, rank consistent with score, terms in doc") {
+    val rows = TextOps.tfidf(spark, sfDir).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length))
+      // scores non-increasing with rank
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(sorted.length <= 3)
+    }
+  }
+
   test("dedup clusters: pair endpoints co-labeled, cluster_id = min member") {
     val labels = Dedup.clusters(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
