@@ -298,11 +298,20 @@ final class GraftTable(val root: String, spark: SparkSession) {
     val kept = cur.files.filterNot(f => candPaths.contains(f.path))
     val sch = schema
     val depDests = cur.deps.map(_.dest).toSet.filterNot(set.keySet.contains)
-    val updated0 = set.foldLeft(readSnapshot(cur.copy(files = cands))) {
-      case (d, (k, v)) =>
-        d.withColumn(k, when(pred <=> lit(true), v.cast(sch(k).dataType)).otherwise(col(k)))
+    // SQL UPDATE semantics: the WHERE predicate and every SET expression
+    // are evaluated against the PRE-update row. A single projection over
+    // the original scan computes all of them at once — a sequential
+    // withColumn fold would make later assignments (and the predicate)
+    // see columns already rewritten by earlier ones.
+    val base = readSnapshot(cur.copy(files = cands))
+    val hit = pred <=> lit(true)
+    val projected = base.columns.toSeq.map { c =>
+      set.get(c) match {
+        case Some(v) => when(hit, v.cast(sch(c).dataType)).otherwise(col(c)).as(c)
+        case None    => col(c)
+      }
     }
-    val updated = updated0.drop(depDests.toSeq: _*)
+    val updated = base.select(projected: _*).drop(depDests.toSeq: _*)
     val added =
       if (cands.isEmpty) Seq.empty
       else writeFiles(updated, cur.partitionCols, cur.deps, cur.id + 1)

@@ -376,7 +376,7 @@ object CoreQueries {
 
   val qJsonExtractSql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 

@@ -252,6 +252,38 @@ class LakeSpec extends SparkSpec {
     assert(t.read().count() === Tables.orders(spark, sfDir).count())
   }
 
+  test("update evaluates all SET expressions against the pre-update row") {
+    // UPDATE SET status='done', marker=... WHERE status='pending' must
+    // apply BOTH assignments to rows matching the ORIGINAL status: a
+    // sequential rewrite that updates status first would make the
+    // predicate miss when guarding the second assignment.
+    val t = GraftTable.create(spark, tmp("cowupdmulti"),
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+    val pendCount = t.read().filter(col("o_orderstatus") === "O").count()
+    assert(pendCount > 0)
+    t.update(col("o_orderstatus") === "O",
+      Map("o_orderstatus" -> lit("F"), "o_totalprice" -> lit(-1.0)))
+    val marked = t.read().filter(col("o_totalprice") === -1.0)
+    assert(marked.count() === pendCount,
+      "second SET assignment must fire for every originally-matching row")
+    assert(t.read().filter(col("o_orderstatus") === "O").count() === 0)
+    // swap-style update: SET a=b, b=a must read the pre-update values
+    val t2 = GraftTable.create(spark, tmp("cowupdswap"),
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") * 1000L).as("o_alt")))
+    val beforeRows = t2.read().select(col("o_orderkey"), col("o_custkey"), col("o_alt"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    t2.update(lit(true), Map(
+      "o_custkey" -> col("o_alt"), "o_alt" -> col("o_custkey")))
+    t2.read().select(col("o_orderkey"), col("o_custkey"), col("o_alt"))
+      .collect().foreach { r =>
+        val (c0, s0) = beforeRows(r.getLong(0))
+        assert(r.getLong(1) === s0 && r.getLong(2) === c0, "swap must use pre-update values")
+      }
+  }
+
   test("merge upserts: source key bounds prune the rewrite set") {
     val base = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
