@@ -37,14 +37,20 @@ object Dedup {
     * equivalent transform/element_at lambda chain evaluates interpreted
     * and re-runs the tokenizer per element — 40× slower at sf0.1).
     */
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), exprs.wordShingles(col("text"), 3).as("shs"))
+
   private def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"), exprs.wordShingles(col("text"), 3).as("shs"))
+    shinglesOf(Tables.documents(s, d))
 
   /** (doc_id, hs: array<long>) — 64-bit-hashed shingle set, the sketch
     * input (no string materialization at all).
     */
+  private def shingleHashesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), exprs.shingleHashes(col("text"), 3).as("hs"))
+
   private def docShingleHashes(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"), exprs.shingleHashes(col("text"), 3).as("hs"))
+    shingleHashesOf(Tables.documents(s, d))
 
   /** C1 `dedup_exact`: content-hash groups. One partial-agg-friendly
     * shuffle; `keeper` = min doc id is the row you'd retain.
@@ -70,8 +76,8 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private def joinShingleSets(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
-    val sets = docShingles(s, d)
+  private def joinShingleSets(docs: DataFrame, cand: DataFrame): DataFrame = {
+    val sets = shinglesOf(docs)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
@@ -103,7 +109,7 @@ object Dedup {
       .select(explode(bucketPairs(col("ids"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-    verified(joinShingleSets(s, d, cand))
+    verified(joinShingleSets(Tables.documents(s, d), cand))
   }
 
   /** C3 `dedup_simhash`: 64-bit SimHash over the trigram-shingle set
@@ -147,23 +153,31 @@ object Dedup {
     * intersection counts. This is the ground-truth verifier; at 100 TB
     * it runs per-LSH-candidate (C2), not globally.
     */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardOf(Tables.documents(s, d))
+
+  def ngramJaccardOf(docs: DataFrame): DataFrame = {
     // inverted index on 64-bit shingle hashes: long join/group keys
     // shuffle ~3× less than the shingle strings; a hash collision can
     // only ADD a candidate (never lose one), and the exact string-set
     // verification filters those out.
-    val sh = docShingleHashes(s, d).select(col("doc_id"), explode(col("hs")).as("sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val sh = shingleHashesOf(docs)
+      .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("sh"))
     val cand = a.join(b, Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("i"))
-      // A pair needs |A∩B| ≥ t/(1+t) · max(|A|,|B|) to reach Jaccard t;
-      // pre-filtering on the raw count keeps the verify join tiny.
-      .filter(col("i") >= lit(8))
+      .agg(count(lit(1)).as("i"), max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+      // J ≥ t ⟺ (1+t)·|A∩B| ≥ t·(|A|+|B|): the tightest size-aware
+      // prefilter, exact even for 3-shingle docs (a constant floor
+      // would silently drop short near-dups). Hash-space i/n can only
+      // make it laxer (collisions merge elements), so no true pair is
+      // lost; the exact string-set verification prunes false admits.
+      .filter(col("i") * (1.0 + JaccardThreshold) >=
+              (col("n_a") + col("n_b")) * JaccardThreshold)
       .select(col("doc_a"), col("doc_b"))
-    verified(joinShingleSets(s, d, cand))
+    verified(joinShingleSets(docs, cand))
   }
 
   /** Shared oracle for C2/C4: exact shingle-set Jaccard ≥ 0.5. */
@@ -200,32 +214,34 @@ object Dedup {
     * converges in a handful of rounds even at 100 TB; lineage is cut
     * per round with an eager checkpoint so the plan stays O(1) deep.
     * (High-diameter graphs would want large-star/small-star; dedup
-    * graphs don't.) Termination test is sum(label): labels only ever
-    * decrease, so an unchanged sum IS the fixpoint — no second join
-    * to diff label sets.
+    * graphs don't.) Termination test is a changed-label count folded
+    * into the same round's aggregation — labels only ever decrease, so
+    * zero strict decreases IS the fixpoint. (A sum-of-labels check
+    * would be one job cheaper but overflows Long once Σid exceeds
+    * 2⁶³ — trivially reachable with snowflake-style 64-bit ids.)
     */
-  def clusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+  def clusters(s: SparkSession, d: String): DataFrame =
+    clustersOf(Tables.documents(s, d))
+
+  def clustersOf(docs: DataFrame): DataFrame = {
+    val pairs = ngramJaccardOf(docs).select(col("doc_a"), col("doc_b"))
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true) // reused every round — don't recompute the verify join
-    var labels = Tables.documents(s, d)
+    var labels = docs
       .select(col("doc_id").as("v"), col("doc_id").as("label"))
       .localCheckpoint(true)
-    var lastSum = labels.agg(sum(col("label"))).head.getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
       val prop = sym.join(labels, sym("src") === labels("v"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr"))
       val next = labels.join(prop, labels("v") === prop("dst"), "left")
-        .select(labels("v"),
+        .select(labels("v"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val s2 = next.agg(sum(col("label"))).head.getLong(0)
-      converged = s2 == lastSum
-      lastSum = s2
-      labels = next
+      converged = next.filter(col("label") < col("prev")).limit(1).count() == 0L
+      labels = next.select(col("v"), col("label"))
       rounds += 1
     }
     labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))

@@ -54,6 +54,47 @@ class PipelineSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("ngram jaccard keeps short-document near-dups (size-aware candidate filter)") {
+    import spark.implicits._
+    // Docs under ~13 words have < 8 shared shingles even at J ≥ 0.5;
+    // a constant intersection floor would silently drop them.
+    //  - 1 vs 2: 10-word doc vs its 9-word prefix → i=7, J=7/8
+    //  - 3 vs 4: identical 5-word docs → i=3, J=1
+    //  - 5 shares nothing
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+      (3L, "one two three four five"),
+      (4L, "one two three four five"),
+      (5L, "completely different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === Set((1L, 2L), (3L, 4L)))
+    assert(math.abs(got((1L, 2L)) - 0.875) < 1e-9)
+    assert(got((3L, 4L)) === 1.0)
+  }
+
+  test("clusters converge on huge id domains (changed-count termination)") {
+    import spark.implicits._
+    // ids near Long.MaxValue: Σ(label) overflows, so convergence must
+    // come from the changed-label count, not a label checksum.
+    val M = Long.MaxValue
+    val docs = Seq(
+      (M - 1, "alpha bravo charlie delta echo foxtrot golf"),
+      (M - 2, "alpha bravo charlie delta echo foxtrot golf"),
+      (M - 3, "uno dos tres cuatro cinco seis siete"),
+      (M - 4, "uno dos tres cuatro cinco seis siete"),
+      (M - 5, "nothing in common with anyone else at all")
+    ).toDF("doc_id", "text")
+    val labels = Dedup.clustersOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(
+      (M - 1) -> (M - 2), (M - 2) -> (M - 2),
+      (M - 3) -> (M - 4), (M - 4) -> (M - 4),
+      (M - 5) -> (M - 5)))
+  }
+
   test("tfidf: 3 keywords per doc, rank consistent with score, terms in doc") {
     val rows = TextOps.tfidf(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getLong(0))
