@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -30,11 +30,61 @@ object VectorOps {
     Tables.embeddings(s, d).select(
       col("vec_id").as(s"${prefix}_id"), col("embedding").as(s"${prefix}_emb"))
 
-  /** C5 `dedup_embedding`: all pairs with cosine ≥ 0.46. Exact pair
-    * scan (range-partitioned self-join); the LSH machinery of C7 is the
-    * candidate generator you'd put in front at 100 TB.
+  /** C5 `dedup_embedding`: pairs with cosine ≥ 0.46, computed as
+    * LSH-banded candidate generation + exact cosine verification —
+    * never an all-pairs scan. Sign-random-projection signatures
+    * (4 × 32 bits) are cut into 16 bands × 8 bits; the probe side
+    * explodes each band value plus its ≤2-bit flips, so a pair is a
+    * candidate iff some band differs in at most 2 of its 8 bits.
+    * Only id-pairs travel through the candidate join (embeddings are
+    * joined back just for the verify), so shuffle width stays O(ids).
+    *
+    * Sizing: at the worst in-gate pair (cos 0.4666, p_bit ≈ 0.654)
+    * a band matches with P ≈ 0.44, so 16 bands miss a true pair with
+    * P ≈ 1e-4 — and misses only ever cost recall, precision is exact.
+    * This threshold (0.46) is an aggressively low one for the sketch;
+    * at the 0.8+ thresholds real embedding dedup runs at, p_bit ≥ 0.8
+    * and the same 16 bands reach 1e-4 miss with zero probes (and
+    * far fewer background candidates). Candidate volume, not recall,
+    * is what the threshold buys.
     */
   def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+    // 16 band values (8 bits each) from 4 independent 32-bit signatures
+    def bandCols(embc: Column): Seq[Column] =
+      (0 until 4).flatMap { g =>
+        val sig = exprs.lshSig(embc, LshSeed + g, 32)
+        (0 until 4).map(b => shiftrightunsigned(sig, b * 8).bitwiseAND(lit(0xFFL)))
+      }
+    val idx = base.select(col("vec_id").as("b_id"),
+      posexplode(array(bandCols(col("embedding")): _*)).as(Seq("band", "bits")))
+    // ≤2-bit flip masks: 1 exact + 8 single + 28 double = 37 probes/band
+    val masks: Seq[Long] = 0L +:
+      ((0 until 8).map(i => 1L << i) ++
+       (for (i <- 0 until 8; j <- i + 1 until 8) yield (1L << i) | (1L << j)))
+    val probed = base.select(col("vec_id").as("a_id"),
+        posexplode(array(bandCols(col("embedding")): _*)).as(Seq("band", "bits0")))
+      .select(col("a_id"), col("band"),
+        explode(array(masks.map(m => col("bits0").bitwiseXOR(lit(m))): _*)).as("bits"))
+    val cand = probed.join(idx, Seq("band", "bits"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+              greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct()
+    cand
+      .join(emb(s, d, "a"), "a_id")
+      .join(emb(s, d, "b"), "b_id")
+      .withColumn("cos_raw", exprs.cosineSim(col("a_emb"), col("b_emb")))
+      .filter(col("cos_raw") >= CosThreshold)
+      .select(col("a_id").as("vec_a"), col("b_id").as("vec_b"),
+        round(col("cos_raw"), 6).as("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** The exact all-pairs scan — O(n²), the correctness oracle for
+    * [[embeddingPairs]]' recall. Spec-only: never shipped as the op.
+    */
+  private[graft] def embeddingPairsExact(s: SparkSession, d: String): DataFrame = {
     val a = emb(s, d, "a")
     val b = emb(s, d, "b")
     a.join(b, col("a_id") < col("b_id"))

@@ -142,6 +142,18 @@ class PipelineSpec extends SparkSpec {
     assert(df.agg(sum("n_docs")).collect().head.getLong(0) === 500L)
   }
 
+  test("embedding dedup: LSH-banded plan matches exact pair scan, no nested-loop join") {
+    val banded = VectorOps.embeddingPairs(spark, sfDir)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"candidate generation must be a keyed join, got:\n$plan")
+    val got = banded.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = VectorOps.embeddingPairsExact(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(got === exact, "recall must be 1 on the test corpus")
+  }
+
   test("ann bruteforce: k ranked neighbors per query, no self-match") {
     val df = VectorOps.annBruteforce(spark, sfDir).collect()
     val byQ = df.groupBy(_.getAs[Long]("query_id"))
