@@ -38,17 +38,44 @@ object Deps {
     case _           => true
   }
 
-  /** Spark-side column for the write path. */
+  /** Spark-side column for the write path.
+    *
+    * Date transforms are computed from epoch micros with
+    * timezone-independent arithmetic (UTC calendar fields): plain
+    * `year(ts)`/`month(ts)`/… render in the SESSION timezone, so in a
+    * non-UTC session the materialized partition value would disagree
+    * with the driver-side UTC inference in [[apply]] near day/hour
+    * boundaries — and pruning would silently skip matching files.
+    * `date_from_unix_date` + field extraction on DateType has no
+    * timezone input at all, so write path and inference agree in any
+    * session.
+    */
   def column(transform: String, src: Column): Column = transform match {
     case "identity"   => src
     case TruncRe(n)   => substring(src, 1, n.toInt) // string truncate
     case BucketRe(n)  => pmod(exprs.polyHash(src.cast("string")), lit(n.toLong)).cast("int")
-    case "year"       => year(src).cast("int")
-    case "month"      => (year(src) * 100 + month(src)).cast("int")
-    case "day"        => (year(src) * 10000 + month(src) * 100 + dayofmonth(src)).cast("int")
-    case "hour"       => (year(src) * 1000000 + month(src) * 10000 + dayofmonth(src) * 100 + hour(src)).cast("int")
+    case "year"       => year(utcDate(src)).cast("int")
+    case "month"      => (year(utcDate(src)) * 100 + month(utcDate(src))).cast("int")
+    case "day"        =>
+      (year(utcDate(src)) * 10000 + month(utcDate(src)) * 100 + dayofmonth(utcDate(src))).cast("int")
+    case "hour"       =>
+      (year(utcDate(src)) * 1000000 + month(utcDate(src)) * 10000 +
+        dayofmonth(utcDate(src)) * 100 + utcHourOfDay(src)).cast("int")
     case t            => throw new IllegalArgumentException(s"unknown transform $t")
   }
+
+  private val DayUs = 86400000000L
+
+  /** UTC calendar date of a timestamp — `(us - pmod)/day` is an exact
+    * small integer, so the double division is lossless.
+    */
+  private def utcDate(src: Column): Column = {
+    val us = unix_micros(src.cast("timestamp"))
+    date_from_unix_date(((us - pmod(us, lit(DayUs))) / lit(DayUs)).cast("int"))
+  }
+
+  private def utcHourOfDay(src: Column): Column =
+    (pmod(unix_micros(src.cast("timestamp")), lit(DayUs)) / lit(3600000000L)).cast("int")
 
   /** Integral truncate needs a different expression than string
     * truncate; pick by the src column's resolved type at write time.

@@ -108,93 +108,42 @@ final class GraftTable(val root: String, spark: SparkSession) {
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(staging.toString)
 
-    val moved = scala.collection.mutable.ArrayBuffer[FileEntry]()
-    val conf = new Configuration()
+    // Plan dest names on the driver (pure path arithmetic + O(#partitions)
+    // mkdirs), then MOVE FILES AND READ FOOTERS IN THE CLUSTER: per-file
+    // I/O scales with executors instead of serializing on the driver —
+    // at 10⁵ files the driver otherwise spends minutes per commit on
+    // object-store round-trips. The reference harvests at task commit
+    // for the same reason (IcebergFileCommitProtocol.scala:164,
+    // utils/ParquetMetrics.scala:180); the driver's only remaining
+    // per-commit work is the manifest write.
     var seq = 0
-    Files.walk(staging).iterator().asScala
+    val work = Files.walk(staging).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .toSeq.sortBy(_.toString)
-      .foreach { p =>
+      .map { p =>
         val rel = staging.relativize(p) // k=v dirs + filename
         val partVals = rel.iterator().asScala.map(_.toString).toSeq.dropRight(1)
           .map { seg =>
             val i = seg.indexOf('=')
-            seg.substring(0, i) -> unescapePath(seg.substring(i + 1))
+            seg.substring(0, i) -> GraftTable.unescapePath(seg.substring(i + 1))
           }.toMap
         val destDir = partVals.foldLeft(dataDir) { case (d, (k, v)) =>
-          d.resolve(s"$k=${escapePath(v)}") }
+          d.resolve(s"$k=${GraftTable.escapePath(v)}") }
         Files.createDirectories(destDir)
         val dest = destDir.resolve(s"$snapId-$seq-${p.getFileName}")
         seq += 1
-        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-        val (rows, bytes, stats) = footerStats(dest, conf)
-        moved += FileEntry(
-          Paths.get(root).relativize(dest).toString, partVals, rows, bytes, stats)
+        (p.toString, dest.toString, partVals)
       }
+    val rootStr = root
+    val moved =
+      if (work.isEmpty) Seq.empty[FileEntry]
+      else spark.sparkContext
+        .parallelize(work, math.min(work.size, spark.sparkContext.defaultParallelism))
+        .map { case (src, dest, pv) => GraftTable.moveAndStat(rootStr, src, dest, pv) }
+        .collect().toSeq // collect preserves the planned (path-sorted) order
     // remove the now-empty staging tree
     Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    moved.toSeq
-  }
-
-  // Spark escapes special chars in partition dirs (Hive rules); values
-  // used in graft tables are alphanumeric, so pass-through with the
-  // single common case (%20) handled for safety.
-  private def unescapePath(s: String): String = s.replace("%20", " ")
-  private def escapePath(s: String): String = s.replace(" ", "%20")
-
-  /** Per-column min/max/nulls from the parquet footer — O(footer), no
-    * data read (reference: utils/ParquetMetrics.scala).
-    */
-  private def footerStats(p: Path, conf: Configuration): (Long, Long, Map[String, ColStat]) = {
-    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), conf)
-    val reader = ParquetFileReader.open(in)
-    try {
-      val md = reader.getFooter
-      val blocks = md.getBlocks.asScala
-      val rows = blocks.map(_.getRowCount).sum
-      val agg = scala.collection.mutable.Map[String, (String, Any, Any, Long)]()
-      for (b <- blocks; c <- b.getColumns.asScala) {
-        val name = c.getPath.toDotString
-        val st = c.getStatistics
-        if (st != null && st.hasNonNullValue) {
-          val (tpe, mn, mx): (String, Any, Any) =
-            c.getPrimitiveType.getPrimitiveTypeName match {
-              case PrimitiveTypeName.INT64 | PrimitiveTypeName.INT32 =>
-                ("long",
-                  st.genericGetMin.asInstanceOf[Number].longValue,
-                  st.genericGetMax.asInstanceOf[Number].longValue)
-              case PrimitiveTypeName.DOUBLE | PrimitiveTypeName.FLOAT =>
-                ("double",
-                  st.genericGetMin.asInstanceOf[Number].doubleValue,
-                  st.genericGetMax.asInstanceOf[Number].doubleValue)
-              case PrimitiveTypeName.BINARY =>
-                ("string",
-                  st.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8,
-                  st.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8)
-              case _ => (null, null, null)
-            }
-          if (tpe != null) {
-            agg.get(name) match {
-              case None => agg(name) = (tpe, mn, mx, st.getNumNulls)
-              case Some((t0, m0, x0, n0)) =>
-                val nmn = if (cmpAny(mn, m0) < 0) mn else m0
-                val nmx = if (cmpAny(mx, x0) > 0) mx else x0
-                agg(name) = (t0, nmn, nmx, n0 + st.getNumNulls)
-            }
-          }
-        }
-      }
-      val stats = agg.map { case (k, (t, mn, mx, nulls)) =>
-        k -> ColStat(t, mn.toString, mx.toString, nulls) }.toMap
-      (rows, Files.size(p), stats)
-    } finally reader.close()
-  }
-
-  private def cmpAny(a: Any, b: Any): Int = (a, b) match {
-    case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
-    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
-    case (x: String, y: String) => x.compareTo(y)
-    case _                      => 0
+    moved
   }
 
   // ---- DML ----------------------------------------------------------
@@ -578,4 +527,87 @@ object GraftTable {
       val Array(dest, tr) = rest.split(":", 2)
       DepSpec(src.trim, dest.trim, tr.trim)
     }
+
+  // Hive partition-path escaping, via the same routines Spark's own
+  // dynamic-partition writer uses — %XX round-trips exactly (a
+  // %20-only substitute silently mis-decodes %3A, %25, …).
+  private[lake] def unescapePath(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
+  private[lake] def escapePath(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
+
+  /** Move one staged file to its final location and harvest its footer
+    * stats — runs INSIDE a cluster task (Hadoop FileSystem API, so any
+    * shared filesystem works), never on the driver. Reference does this
+    * harvest at task commit: IcebergFileCommitProtocol.scala:164.
+    */
+  private[lake] def moveAndStat(root: String, src: String, dest: String,
+      partVals: Map[String, String]): FileEntry = {
+    val conf = new Configuration()
+    val srcP = new org.apache.hadoop.fs.Path(src)
+    val destP = new org.apache.hadoop.fs.Path(dest)
+    val fs = destP.getFileSystem(conf)
+    if (!fs.rename(srcP, destP))
+      throw new java.io.IOException(s"rename $src -> $dest failed")
+    val (rows, bytes, stats) = footerStats(destP, fs, conf)
+    FileEntry(Paths.get(root).relativize(Paths.get(dest)).toString,
+      partVals, rows, bytes, stats)
+  }
+
+  /** Per-column min/max/nulls from the parquet footer — O(footer), no
+    * data read (reference: utils/ParquetMetrics.scala).
+    */
+  private[lake] def footerStats(p: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem,
+      conf: Configuration): (Long, Long, Map[String, ColStat]) = {
+    val in = HadoopInputFile.fromPath(p, conf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val md = reader.getFooter
+      val blocks = md.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      val agg = scala.collection.mutable.Map[String, (String, Any, Any, Long)]()
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        val st = c.getStatistics
+        if (st != null && st.hasNonNullValue) {
+          val (tpe, mn, mx): (String, Any, Any) =
+            c.getPrimitiveType.getPrimitiveTypeName match {
+              case PrimitiveTypeName.INT64 | PrimitiveTypeName.INT32 =>
+                ("long",
+                  st.genericGetMin.asInstanceOf[Number].longValue,
+                  st.genericGetMax.asInstanceOf[Number].longValue)
+              case PrimitiveTypeName.DOUBLE | PrimitiveTypeName.FLOAT =>
+                ("double",
+                  st.genericGetMin.asInstanceOf[Number].doubleValue,
+                  st.genericGetMax.asInstanceOf[Number].doubleValue)
+              case PrimitiveTypeName.BINARY =>
+                ("string",
+                  st.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8,
+                  st.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8)
+              case _ => (null, null, null)
+            }
+          if (tpe != null) {
+            agg.get(name) match {
+              case None => agg(name) = (tpe, mn, mx, st.getNumNulls)
+              case Some((t0, m0, x0, n0)) =>
+                val nmn = if (cmpAny(mn, m0) < 0) mn else m0
+                val nmx = if (cmpAny(mx, x0) > 0) mx else x0
+                agg(name) = (t0, nmn, nmx, n0 + st.getNumNulls)
+            }
+          }
+        }
+      }
+      val stats = agg.map { case (k, (t, mn, mx, nulls)) =>
+        k -> ColStat(t, mn.toString, mx.toString, nulls) }.toMap
+      (rows, fs.getFileStatus(p).getLen, stats)
+    } finally reader.close()
+  }
+
+  private def cmpAny(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case _                      => 0
+  }
 }

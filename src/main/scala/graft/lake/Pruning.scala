@@ -52,11 +52,15 @@ object Pruning {
       okLo && okHi
     }
 
-    /** Does a value range [mn, mx] possibly satisfy this constraint? */
-    def overlaps(mn: Any, mx: Any): Boolean = {
-      val okEq = eqs.forall(_.exists(v => cmp(v, mn) >= 0 && cmp(v, mx) <= 0))
-      val okLo = lo.forall { case (b, inc) => val c = cmp(mx, b); c > 0 || (c == 0 && inc) }
-      val okHi = hi.forall { case (b, inc) => val c = cmp(mn, b); c < 0 || (c == 0 && inc) }
+    /** Does a value range [mn, mx] possibly satisfy this constraint?
+      * `cp` lets stats-based callers compare in the ordering the range
+      * was computed under (parquet string stats are UTF-8 byte order,
+      * not String.compareTo's UTF-16 order).
+      */
+    def overlaps(mn: Any, mx: Any, cp: (Any, Any) => Int = cmp): Boolean = {
+      val okEq = eqs.forall(_.exists(v => cp(v, mn) >= 0 && cp(v, mx) <= 0))
+      val okLo = lo.forall { case (b, inc) => val c = cp(mx, b); c > 0 || (c == 0 && inc) }
+      val okHi = hi.forall { case (b, inc) => val c = cp(mn, b); c < 0 || (c == 0 && inc) }
       okEq && okLo && okHi
     }
 
@@ -173,14 +177,20 @@ object Pruning {
   private def one(a: Expression, c: Constraint): Map[String, Constraint] =
     attrName(a).map(n => Map(n -> c)).getOrElse(Map.empty)
 
+  /** Spark's directory name for a null partition value. */
+  val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
+
   /** Parse a partition-directory string value into the comparable
-    * domain of the given data type.
+    * domain of the given data type; the Hive null sentinel parses to
+    * null for every type (a bare toLong would throw and brick reads).
     */
-  def parsePartitionValue(raw: String, dt: DataType): Any = dt match {
-    case LongType | IntegerType | ShortType | ByteType => raw.toLong
-    case DoubleType | FloatType                        => raw.toDouble
-    case _                                             => raw
-  }
+  def parsePartitionValue(raw: String, dt: DataType): Any =
+    if (raw == HiveNullPartition) null
+    else dt match {
+      case LongType | IntegerType | ShortType | ByteType => raw.toLong
+      case DoubleType | FloatType                        => raw.toDouble
+      case _                                             => raw
+    }
 
   /** Push constraints through column dependencies: a constraint on
     * `src` becomes a constraint on `dest` (partition column). Equality
@@ -225,18 +235,49 @@ object Pruning {
     cs.forall { case (colName, c) =>
       f.partition.get(colName) match {
         case Some(raw) =>
-          c.accepts(parsePartitionValue(raw, partTypes.getOrElse(colName, StringType)))
+          val v = parsePartitionValue(raw, partTypes.getOrElse(colName, StringType))
+          // every extracted constraint shape (=, <, >, IN, AND of those)
+          // is null-rejecting, so a null partition value cannot match
+          v != null && c.accepts(v)
         case None =>
           f.stats.get(colName) match {
-            case Some(st) if st.min != null && st.max != null =>
-              val (mn, mx) = st.tpe match {
-                case "long"   => (st.min.toLong, st.max.toLong)
-                case "double" => (st.min.toDouble, st.max.toDouble)
-                case _        => (st.min, st.max)
+            case Some(st) if st.min != null && st.max != null &&
+                statsTrustworthy(partTypes.get(colName), st.tpe) =>
+              st.tpe match {
+                case "long"   => c.overlaps(st.min.toLong, st.max.toLong)
+                case "double" => c.overlaps(st.min.toDouble, st.max.toDouble)
+                case _        => c.overlaps(st.min, st.max, utf8Cmp)
               }
-              c.overlaps(mn, mx)
-            case _ => true // no stats → keep
+            case _ => true // no stats, or incomparable domain → keep
           }
       }
     }
+
+  /** Footer stats are tagged with the parquet *physical* type; pruning
+    * with them is only sound when the column's *logical* type shares
+    * the physical value domain. Decimals (unscaled int64/32), nanos
+    * timestamps, binary, etc. do not — a literal `3` compared against
+    * unscaled `400` (= 4.00) silently skips matching files.
+    */
+  private def statsTrustworthy(dt: Option[DataType], statTpe: String): Boolean =
+    dt.exists {
+      case LongType | IntegerType | ShortType | ByteType => statTpe == "long"
+      case TimestampType | DateType                      => statTpe == "long"
+      case DoubleType | FloatType                        => statTpe == "double"
+      case StringType                                    => statTpe == "string"
+      case _                                             => false
+    }
+
+  /** Unsigned UTF-8 byte order — parquet's BINARY stats ordering. */
+  private def utf8Cmp(a: Any, b: Any): Int = {
+    val x = a.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
 }

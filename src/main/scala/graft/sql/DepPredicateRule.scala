@@ -54,8 +54,18 @@ case class DepPredicateRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
         l.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.map(_.toString)
     }.flatten
+    // Match on path-component boundaries and prefer the longest root:
+    // a bare substring test would let /lake/t claim /lake/t2's scan
+    // (and pick nondeterministically among registrations), injecting
+    // another table's inferred predicates — silently wrong results.
     val root = rels.iterator.flatMap { p =>
-      GraftCatalog.registeredRoots.find(r => p.contains(r.stripPrefix("file:")))
+      GraftCatalog.registeredRoots
+        .filter { r =>
+          val r0 = r.stripPrefix("file:").stripSuffix("/")
+          val i = p.indexOf(r0)
+          i >= 0 && (i + r0.length == p.length || p.charAt(i + r0.length) == '/')
+        }
+        .sortBy(-_.length).headOption
     }.nextOption()
     // a stale registration (deleted table dir) must not break planning
     root.flatMap(r => scala.util.Try(new GraftTable(r, spark).current.deps).toOption)

@@ -94,15 +94,20 @@ class GraftFileIndex(
     }.toSeq
   }
 
-  private def castPartitionValue(raw: String, dt: DataType): Any = dt match {
-    case org.apache.spark.sql.types.LongType    => raw.toLong
-    case org.apache.spark.sql.types.IntegerType => raw.toInt
-    case org.apache.spark.sql.types.ShortType   => raw.toShort
-    case org.apache.spark.sql.types.DoubleType  => raw.toDouble
-    case org.apache.spark.sql.types.FloatType   => raw.toFloat
-    case org.apache.spark.sql.types.BooleanType => raw.toBoolean
-    case _                                      => UTF8String.fromString(raw)
-  }
+  // Hive null sentinel → null (the exact partition predicate evaluates
+  // three-valued against it); a bare toLong here would throw on any
+  // table that ever wrote a null partition value, bricking all reads.
+  private def castPartitionValue(raw: String, dt: DataType): Any =
+    if (raw == Pruning.HiveNullPartition) null
+    else dt match {
+      case org.apache.spark.sql.types.LongType    => raw.toLong
+      case org.apache.spark.sql.types.IntegerType => raw.toInt
+      case org.apache.spark.sql.types.ShortType   => raw.toShort
+      case org.apache.spark.sql.types.DoubleType  => raw.toDouble
+      case org.apache.spark.sql.types.FloatType   => raw.toFloat
+      case org.apache.spark.sql.types.BooleanType => raw.toBoolean
+      case _                                      => UTF8String.fromString(raw)
+    }
 }
 
 object GraftFileIndex {

@@ -51,7 +51,8 @@ object PruningProps extends Properties("Pruning") {
       val c = toConstraint(ps)
       val anyMatch = vs.exists(evalRow(_, ps))
       val survives = !c.impossible &&
-        Pruning.fileSurvives(file, Map("c" -> c), Map.empty)
+        Pruning.fileSurvives(file, Map("c" -> c),
+          Map("c" -> org.apache.spark.sql.types.LongType))
       Prop(!anyMatch || survives) :| s"dropped a file with matches: $vs $ps"
     }
 

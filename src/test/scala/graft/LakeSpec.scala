@@ -15,6 +15,49 @@ class LakeSpec extends SparkSpec {
     GraftTable.create(spark, tmp(name), o, parts, deps)
   }
 
+  test("null partition values round-trip and filter correctly") {
+    import spark.implicits._
+    val df = Seq((1L, Option("a")), (2L, Option.empty[String]),
+      (3L, Option("b")), (4L, Option.empty[String])).toDF("id", "k")
+    val t = GraftTable.create(spark, tmp("nullpart"), df, partitionCols = Seq("k"))
+    assert(t.read().count() === 4)
+    assert(t.read().filter(col("k").isNull).select("id").collect()
+      .map(_.getLong(0)).toSet === Set(2L, 4L))
+    assert(t.read().filter(col("k") === "a").select("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+    assert(t.scan(col("k").isNotNull).count() === 2)
+  }
+
+  test("partition values with Hive-escaped characters round-trip exactly") {
+    import spark.implicits._
+    val weird = Seq("a:b", "p%q", "x y", "m\nn")
+    val df = weird.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val t = GraftTable.create(spark, tmp("escpart"), df, partitionCols = Seq("k"))
+    assert(t.read().select("k").collect().map(_.getString(0)).toSet === weird.toSet)
+    weird.foreach { k =>
+      assert(t.read().filter(col("k") === k).count() === 1, s"exact filter on '$k'")
+    }
+  }
+
+  test("date dep transforms: write path equals driver inference in non-UTC sessions") {
+    import spark.implicits._
+    val oldTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      // boundary instants: epoch, ±1µs around a midnight, a leap day
+      val micros = Seq(0L, 86399999999L, 86400000000L, -1L,
+        1735689600000000L, 1709164800000000L + 3600000000L)
+      val df = micros.toDF("us").select(col("us"), timestamp_micros(col("us")).as("ts"))
+      for (tr <- Seq("year", "month", "day", "hour")) {
+        df.select(col("us"), Deps.columnTyped(tr, col("ts"), isString = false).as("d"))
+          .collect().foreach { r =>
+            assert(r.getInt(1) === Deps.apply(tr, r.getLong(0)),
+              s"$tr mismatch at ${r.getLong(0)}µs in non-UTC session")
+          }
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", oldTz)
+  }
+
   test("create + read round-trips rows and schema") {
     val t = ordersTable("roundtrip")
     assert(t.read().count() === Tables.orders(spark, sfDir).count())
