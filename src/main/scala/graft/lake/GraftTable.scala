@@ -517,6 +517,67 @@ object GraftTable {
     t
   }
 
+  /** Bring pre-existing hive-layout parquet under graft management
+    * WITHOUT rewriting a byte of data: `root/data` already holds the
+    * files (written by any engine); footer stats are harvested
+    * distributed, partition columns are inferred from the directory
+    * layout, and snapshot-1 is committed over the files in place —
+    * the `msck repair table` equivalent (reference:
+    * TestTables.scala:63-72 registers existing-path tables + repairs
+    * partitions). This is how 100 TB of existing parquet joins the
+    * manifest-planned scan path at the cost of one footer pass.
+    */
+  def adopt(spark: SparkSession, root: String): GraftTable = {
+    val rootP = Paths.get(root)
+    val dataP = rootP.resolve("data")
+    require(Files.isDirectory(dataP), s"adopt: $dataP is not a directory")
+    // fresh management state; data files untouched (re-adoption safe)
+    val metaP = rootP.resolve("meta")
+    if (Files.exists(metaP))
+      Files.walk(metaP).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    invalidate(root)
+    // one-time schema + partition-column inference (Spark types the
+    // k=v directory columns); afterwards all planning is manifest-only
+    val schema = spark.read.parquet(dataP.toString).schema
+    def partsOf(p: Path): Seq[(String, String)] =
+      dataP.relativize(p).iterator().asScala.map(_.toString).toSeq.dropRight(1)
+        .filter(_.contains('='))
+        .map { seg =>
+          val i = seg.indexOf('=')
+          seg.substring(0, i) -> unescapePath(seg.substring(i + 1))
+        }
+    val files = Files.walk(dataP).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq.sortBy(_.toString)
+    val work = files.map(p => (p.toString, partsOf(p).toMap))
+    val partCols = files.headOption.map(partsOf(_).map(_._1)).getOrElse(Seq.empty)
+    val rootStr = root
+    val entries =
+      if (work.isEmpty) Seq.empty[FileEntry]
+      else spark.sparkContext
+        .parallelize(work, math.min(work.size, spark.sparkContext.defaultParallelism))
+        .map { case (path, pv) => statEntry(rootStr, path, pv) }
+        .collect().toSeq
+    val t = new GraftTable(root, spark)
+    t.commit(Snapshot(
+      id = 1, parentId = -1L, tsMillis = System.currentTimeMillis(),
+      operation = "adopt", schemaJson = schema.json,
+      partitionCols = partCols, deps = Seq.empty, files = entries,
+      addedFiles = entries.size, deletedFiles = 0))
+    t
+  }
+
+  /** Footer-stat one existing file (no move) — runs in a cluster task. */
+  private def statEntry(root: String, path: String,
+      partVals: Map[String, String]): FileEntry = {
+    val conf = new Configuration()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val (rows, bytes, stats) = footerStats(p, fs, conf)
+    FileEntry(Paths.get(root).relativize(Paths.get(path)).toString,
+      partVals, rows, bytes, stats)
+  }
+
   /** Parse the reference's columnDependencies option string:
     * `src=dest:transform[,src=dest:transform…]` (reference:
     * utils/Transforms.scala option format).

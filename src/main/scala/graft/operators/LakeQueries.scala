@@ -412,6 +412,44 @@ object LakeQueries {
   // as-of snapshot 1 = the o_orderkey<3000 subset
   val lakeSqlAsOfSql = lakeAsOfSql
 
+  // ---- CTAS with table management (SQL surface, 2-part name) --------
+
+  def lakeCtas(s: SparkSession, d: String): DataFrame = {
+    val root = work(d, "ctas")
+    Tables.orders(s, d).createOrReplaceTempView("graft_ctas_src")
+    s.sql(s"""CREATE TABLE graft.ctas_orders USING parquet
+             |OPTIONS (addTableManagement 'true', path '$root')
+             |PARTITIONED BY (o_orderstatus)
+             |AS SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+             |   FROM graft_ctas_src WHERE o_totalprice > 150000""".stripMargin)
+    s.sql("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+            |FROM graft.ctas_orders ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val lakeCtasSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |FROM orders WHERE o_totalprice > 150000 ORDER BY o_orderkey""".stripMargin
+
+  // ---- adopt pre-existing parquet (msck-repair equivalent) ----------
+
+  def lakeAdopt(s: SparkSession, d: String): DataFrame = {
+    val root = work(d, "adopt")
+    // simulate data written by another engine: plain hive-layout parquet
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"))
+      .repartition(col("l_returnflag"))
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(s"$root/data")
+    val t = GraftTable.adopt(s, root)
+    t.read().groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val lakeAdoptSql =
+    """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- export -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -437,7 +475,9 @@ object LakeQueries {
     "lake_zorder"              -> (lakeZOrder _),
     "lake_delete"              -> (lakeDelete _),
     "lake_merge"               -> (lakeMerge _),
-    "lake_update"              -> (lakeUpdate _))
+    "lake_update"              -> (lakeUpdate _),
+    "lake_ctas"                -> (lakeCtas _),
+    "lake_adopt"               -> (lakeAdopt _))
 
   val oracles: Map[String, String] = Map(
     "lake_create"              -> lakeCreateSql,
@@ -462,5 +502,7 @@ object LakeQueries {
     "lake_zorder"              -> lakeZOrderSql,
     "lake_delete"              -> lakeDeleteSql,
     "lake_merge"               -> lakeMergeSql,
-    "lake_update"              -> lakeUpdateSql)
+    "lake_update"              -> lakeUpdateSql,
+    "lake_ctas"                -> lakeCtasSql,
+    "lake_adopt"               -> lakeAdoptSql)
 }

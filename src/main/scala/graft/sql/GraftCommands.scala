@@ -17,6 +17,47 @@ import graft.lake.{DepSpec, Deps, GraftTable}
   * RunnableCommands substituted at parse time by [[GraftSqlParser]]).
   */
 
+/** Create-time validation shared by CREATE TABLE and CTAS — reject
+  * malformed specs with a message at DDL time instead of a late
+  * write-path failure (reference:
+  * planning/IcebergTableValidationChecks.scala:63).
+  */
+object GraftCreateValidation {
+  private val TransformRe = """identity|truncate\[\d+\]|bucket\[\d+\]|year|month|day|hour""".r
+
+  def validate(schema: StructType, partitionCols: Seq[String], deps: Seq[DepSpec]): Unit = {
+    deps.foreach { dep =>
+      require(TransformRe.matches(dep.transform),
+        s"unknown column-dependency transform '${dep.transform}' " +
+          s"(expected identity, truncate[n], bucket[n], year, month, day, hour)")
+      require(schema.fieldNames.contains(dep.src),
+        s"column-dependency source '${dep.src}' is not a table column " +
+          s"(have: ${schema.fieldNames.mkString(", ")})")
+      require(dep.dest != dep.src,
+        s"column-dependency destination '${dep.dest}' cannot equal its source")
+    }
+    val depDests = deps.map(_.dest).toSet
+    partitionCols.foreach { p =>
+      require(schema.fieldNames.contains(p) || depDests.contains(p),
+        s"partition column '$p' is neither a table column nor a dependency destination")
+    }
+    deps.groupBy(_.dest).foreach { case (d, ds) =>
+      require(ds.size == 1, s"duplicate column-dependency destination '$d'")
+    }
+  }
+
+  def destType(dep: DepSpec, sch: StructType): DataType = {
+    val src = sch(dep.src).dataType
+    dep.transform match {
+      case "identity"                         => src
+      case t if t.startsWith("truncate")      => if (src == StringType) StringType else LongType
+      case t if t.startsWith("bucket")        => IntegerType
+      case "year" | "month" | "day" | "hour"  => IntegerType
+      case other => throw new IllegalArgumentException(s"unknown transform $other")
+    }
+  }
+}
+
 /** CREATE TABLE — commits an empty snapshot-0 with the declared schema
   * (plus derived dependency columns) and registers the relation name.
   */
@@ -28,25 +69,39 @@ case class GraftCreateTableCommand(
     location: Option[String]) extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
+    GraftCreateValidation.validate(tableSchema, partitionCols, deps)
     val root = location.getOrElse(s"/root/repo/target/lakework/sql-$name")
     val full = deps.foldLeft(tableSchema) { (sch, dep) =>
       if (sch.fieldNames.contains(dep.dest)) sch
-      else StructType(sch.fields :+ StructField(dep.dest, destType(dep, sch), nullable = true))
+      else StructType(sch.fields :+
+        StructField(dep.dest, GraftCreateValidation.destType(dep, sch), nullable = true))
     }
     GraftTable.createEmpty(session, root, full, partitionCols, deps)
     GraftCatalog.register(name, root)
     Seq.empty
   }
+}
 
-  private def destType(dep: DepSpec, sch: StructType): DataType = {
-    val src = sch(dep.src).dataType
-    dep.transform match {
-      case "identity"                         => src
-      case t if t.startsWith("truncate")      => if (src == StringType) StringType else LongType
-      case t if t.startsWith("bucket")        => IntegerType
-      case "year" | "month" | "day" | "hour"  => IntegerType
-      case other => throw new IllegalArgumentException(s"unknown transform $other")
-    }
+/** CREATE TABLE … AS SELECT with table management — create + first
+  * append in one snapshot (reference: CreateTableRules.scala:66-68,
+  * CreateIcebergTableAsSelect). The SELECT supplies the declared
+  * (non-derived) columns; derived dependency columns are materialized
+  * by the write path.
+  */
+case class GraftCtasCommand(
+    name: String,
+    partitionCols: Seq[String],
+    deps: Seq[DepSpec],
+    location: Option[String],
+    query: LogicalPlan) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val df = Shim.ofRows(session, query)
+    GraftCreateValidation.validate(df.schema, partitionCols, deps)
+    val root = location.getOrElse(s"/root/repo/target/lakework/sql-$name")
+    GraftTable.create(session, root, df, partitionCols, deps)
+    GraftCatalog.register(name, root)
+    Seq.empty
   }
 }
 

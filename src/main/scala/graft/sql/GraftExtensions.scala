@@ -67,15 +67,75 @@ object GraftExtensions {
     e.eval(null).asInstanceOf[Number].intValue
 }
 
-/** Session-wide registry: SQL relation name → graft table root. */
+/** Registry: SQL relation name → graft table root. Names may be
+  * multi-part (`db.table`); lookup is case-insensitive on the joined
+  * form. With a warehouse directory set, every registration is
+  * persisted to `<warehouse>/graft-catalog.json` and reloaded on the
+  * next process (registrations survive the JVM — the metastore gap
+  * the reference fills with Hive).
+  */
 object GraftCatalog {
   private val tables = new ConcurrentHashMap[String, String]()
-  def register(name: String, root: String): Unit = tables.put(name.toLowerCase, root)
-  def unregister(name: String): Unit = tables.remove(name.toLowerCase)
-  def lookup(name: String): Option[String] = Option(tables.get(name.toLowerCase))
+  @volatile private var warehouse: Option[java.nio.file.Path] = None
+
+  private def norm(name: String): String = name.toLowerCase
+
+  /** Point the catalog at a warehouse dir and merge its persisted
+    * registrations (in-memory entries win on conflict).
+    */
+  def setWarehouse(dir: String): Unit = synchronized {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    warehouse = Some(p)
+    loadFrom(p).foreach { case (k, v) => tables.putIfAbsent(k, v) }
+    persist()
+  }
+
+  def register(name: String, root: String): Unit = {
+    tables.put(norm(name), root); persist()
+  }
+  def unregister(name: String): Unit = { tables.remove(norm(name)); persist() }
+  def lookup(name: String): Option[String] = Option(tables.get(norm(name)))
   def registeredRoots: Seq[String] = {
     import scala.jdk.CollectionConverters._
     tables.values.asScala.toSeq
+  }
+
+  /** Test hook: drop the in-memory state (a fresh process), keeping
+    * the warehouse pointer so the next lookup can be preceded by
+    * [[reload]].
+    */
+  def dropInMemory(): Unit = tables.clear()
+  def reload(): Unit = synchronized {
+    warehouse.foreach(p => loadFrom(p).foreach { case (k, v) => tables.putIfAbsent(k, v) })
+  }
+
+  private def catalogFile(p: java.nio.file.Path) = p.resolve("graft-catalog.json")
+
+  private def loadFrom(p: java.nio.file.Path): Map[String, String] = {
+    val f = catalogFile(p)
+    if (!java.nio.file.Files.exists(f)) Map.empty
+    else {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(java.nio.file.Files.readAllBytes(f))
+      import scala.jdk.CollectionConverters._
+      node.fieldNames().asScala.map(k => k -> node.get(k).asText()).toMap
+    }
+  }
+
+  private def persist(): Unit = synchronized {
+    warehouse.foreach { p =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.createObjectNode()
+      import scala.jdk.CollectionConverters._
+      tables.entrySet().asScala.toSeq.sortBy(_.getKey)
+        .foreach(e => node.put(e.getKey, e.getValue))
+      val tmp = p.resolve("graft-catalog.json.tmp")
+      java.nio.file.Files.write(tmp, mapper.writeValueAsBytes(node))
+      java.nio.file.Files.move(tmp, catalogFile(p),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 }
 
@@ -127,12 +187,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     }
   }
 
+  /** 1- or 2-part identifier as the catalog's joined lowercase key. */
+  private def joinedName(parts: Seq[String]): Option[String] =
+    if (parts.nonEmpty && parts.length <= 2) Some(parts.map(_.toLowerCase).mkString("."))
+    else None
+
   /** Registered graft-table name behind a (possibly aliased) relation. */
   private def graftName(plan: LogicalPlan): Option[String] = plan match {
     case logical.SubqueryAlias(_, child) => graftName(child)
-    case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
-      Some(u.multipartIdentifier.head.toLowerCase)
-        .filter(n => GraftCatalog.lookup(n).isDefined)
+    case u: UnresolvedRelation =>
+      joinedName(u.multipartIdentifier).filter(n => GraftCatalog.lookup(n).isDefined)
     case _ => None
   }
 
@@ -162,11 +226,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       // InsertIntoIcebergTable.scala)
       case ins: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
         ins.table match {
-          case u: UnresolvedRelation if u.multipartIdentifier.length == 1 &&
-              GraftCatalog.lookup(u.multipartIdentifier.head).isDefined =>
+          case u: UnresolvedRelation
+              if joinedName(u.multipartIdentifier).exists(GraftCatalog.lookup(_).isDefined) =>
             val static = ins.partitionSpec.collect { case (k, Some(v)) => k -> v }
             GraftInsertCommand(
-              u.multipartIdentifier.head.toLowerCase, ins.overwrite, static, ins.query)
+              joinedName(u.multipartIdentifier).get, ins.overwrite, static, ins.query)
           case _ => ins
         }
       // CREATE TABLE … OPTIONS(addTableManagement 'true',
@@ -174,11 +238,6 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       // planning/CreateTableRules.scala)
       case ct: org.apache.spark.sql.catalyst.plans.logical.CreateTable
           if tableOptions(ct.tableSpec).get("addtablemanagement").exists(_.equalsIgnoreCase("true")) =>
-        val name = ct.name match {
-          case id: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
-            id.nameParts.last.toLowerCase
-          case other => throw new IllegalArgumentException(s"unsupported table name $other")
-        }
         val opts = tableOptions(ct.tableSpec)
         val deps = opts.get("columndependencies")
           .map(GraftTable.parseDeps).getOrElse(Seq.empty)
@@ -187,34 +246,48 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         }
         val schema = StructType(ct.columns.map(c =>
           org.apache.spark.sql.types.StructField(c.name, c.dataType, nullable = true)))
-        GraftCreateTableCommand(name, schema, partCols.toSeq,
+        GraftCreateTableCommand(ctName(ct.name), schema, partCols.toSeq,
           deps, tableLocation(ct.tableSpec))
+      // CREATE TABLE … OPTIONS(addTableManagement 'true') AS SELECT … —
+      // create + append in one command (reference:
+      // planning/CreateTableRules.scala:66-68 CreateIcebergTableAsSelect)
+      case ctas: org.apache.spark.sql.catalyst.plans.logical.CreateTableAsSelect
+          if tableOptions(ctas.tableSpec).get("addtablemanagement").exists(_.equalsIgnoreCase("true")) =>
+        val opts = tableOptions(ctas.tableSpec)
+        val deps = opts.get("columndependencies")
+          .map(GraftTable.parseDeps).getOrElse(Seq.empty)
+        val partCols = ctas.partitioning.collect {
+          case t if t.name == "identity" => t.references.head.fieldNames.last
+        }
+        GraftCtasCommand(ctName(ctas.name), partCols.toSeq, deps,
+          tableLocation(ctas.tableSpec), ctas.query)
       // `t$snapshots` / `t$files` metadata views (reference:
       // TableUtils.SNAPSHOTSVIEW_SUFFIX — `` select * from `t$snapshots` ``)
-      case u: UnresolvedRelation if u.multipartIdentifier.length == 1 &&
-          u.multipartIdentifier.head.contains("$") && {
-            val base = u.multipartIdentifier.head.takeWhile(_ != '$')
+      case u: UnresolvedRelation if u.multipartIdentifier.length <= 2 &&
+          u.multipartIdentifier.last.contains("$") && {
+            val base = metaBase(u.multipartIdentifier)
             GraftCatalog.lookup(base).isDefined
           } =>
-        val full = u.multipartIdentifier.head
-        val base = full.takeWhile(_ != '$')
+        val base = metaBase(u.multipartIdentifier)
         val t = new GraftTable(GraftCatalog.lookup(base).get, session)
-        full.drop(base.length) match {
+        u.multipartIdentifier.last.dropWhile(_ != '$') match {
           case "$snapshots" => Shim.logicalPlan(t.snapshotsView)
           case "$files"     => Shim.logicalPlan(t.filesView)
           case other => throw new IllegalArgumentException(
             s"unknown metadata view suffix '$other' on graft table '$base'")
         }
-      case u: UnresolvedRelation if u.multipartIdentifier.length == 1 &&
-          GraftCatalog.lookup(u.multipartIdentifier.head).isDefined =>
-        val root = GraftCatalog.lookup(u.multipartIdentifier.head).get
+      case u: UnresolvedRelation
+          if joinedName(u.multipartIdentifier).exists(GraftCatalog.lookup(_).isDefined) =>
+        val root = GraftCatalog.lookup(joinedName(u.multipartIdentifier).get).get
         val t = new GraftTable(root, session)
         val df = asOf match {
           case None => t.read()
           case Some(spec) if spec.forall(_.isDigit) && spec.length < 10 =>
             t.readAsOfId(spec.toLong) // short digit strings = snapshot id
+          case Some(spec) if spec.forall(_.isDigit) && spec.length == 10 =>
+            t.readAsOfTs(spec.toLong * 1000L) // 10 digits = epoch seconds
           case Some(spec) if spec.forall(_.isDigit) =>
-            t.readAsOfTs(spec.toLong) // long digit strings = epoch millis
+            t.readAsOfTs(spec.toLong) // longer digit strings = epoch millis
           case Some(spec) =>
             val ts = java.sql.Timestamp.valueOf(
               if (spec.contains(":")) spec else s"$spec 00:00:00")
@@ -222,6 +295,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         }
         Shim.logicalPlan(df)
     }
+
+  /** `db.t$snapshots` / `t$files` → the registered base name. */
+  private def metaBase(parts: Seq[String]): String =
+    joinedName(parts.init :+ parts.last.takeWhile(_ != '$')).getOrElse("")
+
+  /** CTAS / CREATE name node → joined registry key. */
+  private def ctName(name: LogicalPlan): String = name match {
+    case id: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+      joinedName(id.nameParts).getOrElse(throw new IllegalArgumentException(
+        s"graft table names have at most 2 parts, got ${id.nameParts.mkString(".")}"))
+    case other => throw new IllegalArgumentException(s"unsupported table name $other")
+  }
 
   /** Properties + evaluated OPTIONS of a parsed table spec, lowercased. */
   private def tableOptions(

@@ -15,6 +15,32 @@ class LakeSpec extends SparkSpec {
     GraftTable.create(spark, tmp(name), o, parts, deps)
   }
 
+  test("adopt manages existing parquet in place: no rewrite, pruning works") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = tmp("adopt")
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    src.repartition(col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(s"$root/data")
+    def inventory = Files.walk(Paths.get(root, "data")).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    val before = inventory
+    val t = GraftTable.adopt(spark, root)
+    assert(t.current.operation === "adopt")
+    assert(t.current.partitionCols === Seq("o_orderstatus"))
+    assert(inventory === before, "adoption must not rewrite or move data files")
+    assert(t.read().count() === src.count())
+    // manifest-planned partition pruning over the adopted files
+    val (survivors, total, _) = t.pruneFiles(col("o_orderstatus") === "F")
+    assert(survivors.nonEmpty && survivors.size < total)
+    assert(t.scan(col("o_orderstatus") === "F").count() ===
+      src.filter(col("o_orderstatus") === "F").count())
+    // footer stats were harvested for data-file skipping too
+    assert(t.current.files.forall(_.stats.contains("o_orderkey")))
+  }
+
   test("null partition values round-trip and filter correctly") {
     import spark.implicits._
     val df = Seq((1L, Option("a")), (2L, Option.empty[String]),

@@ -17,6 +17,59 @@ class SqlSurfaceSpec extends SparkSpec {
     t
   }
 
+  test("CTAS with addTableManagement creates a managed table") {
+    val root = "/root/repo/target/laketest/sql-ctas"
+    Tables.orders(spark, sfDir).createOrReplaceTempView("ctas_src_spec")
+    spark.sql(s"""CREATE TABLE ctas_spec USING parquet
+                 |OPTIONS (addTableManagement 'true', path '$root')
+                 |PARTITIONED BY (o_orderstatus)
+                 |AS SELECT o_orderkey, o_totalprice, o_orderstatus
+                 |   FROM ctas_src_spec WHERE o_orderkey < 500""".stripMargin)
+    val expected = Tables.orders(spark, sfDir).filter(col("o_orderkey") < 500).count()
+    assert(spark.sql("SELECT count(*) AS n FROM ctas_spec").collect().head.getLong(0) === expected)
+    // it is a real managed table: snapshot metadata + partitioned layout
+    val t = new GraftTable(root, spark)
+    assert(t.current.operation === "create")
+    assert(t.current.partitionCols === Seq("o_orderstatus"))
+    assert(t.current.files.forall(_.partition.contains("o_orderstatus")))
+    // and snapshot-creating DML keeps working on it
+    spark.sql("INSERT INTO ctas_spec SELECT o_orderkey + 1000000, o_totalprice, o_orderstatus FROM ctas_src_spec WHERE o_orderkey < 10")
+    assert(t.currentId === 2L)
+  }
+
+  test("two-part names resolve and registrations survive a registry reload") {
+    val t = mkTable("twopart")
+    GraftCatalog.setWarehouse("/root/repo/target/laketest/warehouse")
+    GraftCatalog.register("graft.orders2", t.root)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.orders2").collect().head.getLong(0)
+      === t.current.totalRows)
+    // simulate a fresh process: drop in-memory state, reload from disk
+    GraftCatalog.dropInMemory()
+    GraftCatalog.reload()
+    assert(GraftCatalog.lookup("graft.orders2") === Some(t.root))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.orders2").collect().head.getLong(0)
+      === t.current.totalRows)
+    // metadata views resolve through the 2-part name too
+    assert(spark.sql("SELECT count(*) AS n FROM `graft`.`orders2$snapshots`")
+      .collect().head.getLong(0) === 2L)
+  }
+
+  test("create-time validation rejects malformed specs with messages") {
+    def createSql(opts: String, parts: String) =
+      s"""CREATE TABLE bad_spec (id BIGINT, ts TIMESTAMP) USING parquet
+         |OPTIONS (addTableManagement 'true'$opts)
+         |$parts""".stripMargin
+    val e1 = intercept[Exception] {
+      spark.sql(createSql(", columnDependencies 'ts=ts_day:frobnicate'", "")) }
+    assert(e1.getMessage.contains("unknown column-dependency transform"))
+    val e2 = intercept[Exception] {
+      spark.sql(createSql(", columnDependencies 'nope=x_day:day'", "")) }
+    assert(e2.getMessage.contains("is not a table column"))
+    val e3 = intercept[Exception] {
+      spark.sql(createSql("", "PARTITIONED BY (missing_col)")) }
+    assert(e3.getMessage.contains("neither a table column nor a dependency destination"))
+  }
+
   test("registered graft table is queryable from SQL (current snapshot)") {
     val t = mkTable("cur")
     GraftCatalog.register("t_cur", t.root)
