@@ -65,12 +65,19 @@ object Dedup {
     """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keeper
       |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin
 
-  /** Exact Jaccard for a pair df carrying shingle arrays shs_a/shs_b. */
+  /** Exact Jaccard for a pair df carrying shingle arrays shs_a/shs_b.
+    * Pairs of empty shingle sets are dropped BEFORE the division: two
+    * sub-shingle-length docs share no content evidence (and 0/0 is a
+    * crash under ANSI mode, which every empty document would trigger).
+    */
   private def verified(pairs: DataFrame): DataFrame = {
     val inter = size(array_intersect(col("shs_a"), col("shs_b")))
     val union = size(col("shs_a")) + size(col("shs_b")) - inter
     pairs
-      .withColumn("jaccard_raw", inter.cast("double") / union)
+      .withColumn("inter_n", inter)
+      .withColumn("union_n", union)
+      .filter(col("union_n") > 0)
+      .withColumn("jaccard_raw", col("inter_n").cast("double") / col("union_n"))
       .filter(col("jaccard_raw") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -81,7 +81,10 @@ object TextOps {
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("n_words", size(col("toks")).cast("long"))
-      .withColumn("punct_ratio", round(punct.cast("double") / col("n_chars"), 6))
+      // greatest(…,1): an empty document has ratio 0, not a
+      // divide-by-zero crash (ANSI mode) — same guard as stop_ratio
+      .withColumn("punct_ratio", round(
+        punct.cast("double") / greatest(col("n_chars"), lit(1L)), 6))
       .withColumn("stop_ratio", round(
         size(filter(col("toks"), t => array_contains(array(stopEn.map(lit): _*), t)))
           .cast("double") / greatest(col("n_words"), lit(1L)), 6))
@@ -101,7 +104,7 @@ object TextOps {
        |  FROM documents),
        |r AS (
        |  SELECT doc_id, n_chars, len(toks) AS n_words,
-       |    round(punct * 1.0 / n_chars, 6) AS punct_ratio,
+       |    round(punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
        |    round(len(list_filter(toks, x -> list_contains(${sqlList(stopEn)}, x))) * 1.0
        |          / greatest(len(toks), 1), 6) AS stop_ratio
        |  FROM t)

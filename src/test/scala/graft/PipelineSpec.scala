@@ -75,6 +75,51 @@ class PipelineSpec extends SparkSpec {
     assert(got((3L, 4L)) === 1.0)
   }
 
+  test("edge-case corpus: empty, 1-word, unicode, punct-only docs flow through every text/dedup op") {
+    import spark.implicits._
+    val dir = "/root/repo/target/edgedocs"
+    Seq(
+      (1L, ""),
+      (2L, "word"),
+      (3L, "héllo wörld açaí"),
+      (4L, "the quick brown fox"),
+      (5L, "the quick brown fox"),
+      (6L, "a b"),
+      (7L, "punct!!! ... ???")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val lang = TextOps.langId(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(lang(1L) === "und", "empty doc must classify as undetermined")
+    assert(lang(4L) === "en")
+
+    val q = TextOps.quality(spark, dir).collect().map(r => r.getLong(0) -> r).toMap
+    assert(q.size === 7)
+    assert(q(1L).getLong(1) === 0L && q(1L).getLong(2) === 0L)
+
+    val tc = TextOps.tokenCounts(spark, dir).collect().map(r => r.getLong(0) -> r).toMap
+    assert(tc(1L).getLong(1) === 0L && tc(1L).getLong(2) === 0L)
+    assert(tc(2L).getLong(1) === 1L && tc(2L).getLong(2) === 1L)
+
+    val fps = TextOps.fingerprint(spark, dir).collect()
+    assert(!fps.exists(_.getLong(0) == 1L), "no 8-gram in an empty text")
+    assert(fps.exists(_.getLong(0) == 3L), "unicode text still fingerprints")
+
+    // dedup family: only the identical pair (4,5) qualifies; docs with
+    // empty shingle sets (1, 2, 6, 7) must neither crash nor pair up
+    val nj = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(nj === Map((4L, 5L) -> 1.0))
+    val mh = Dedup.minhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh === Set((4L, 5L)))
+    val ex = Dedup.exact(spark, dir).collect()
+    assert(ex.count(_.getLong(1) == 2L) === 1, "exactly one exact-dup group (4,5)")
+
+    assert(TextOps.sampleSplit(spark, dir).count() === 7)
+    assert(TextOps.tfidf(spark, dir).collect().forall(_.getLong(1) <= 3L))
+  }
+
   test("clusters converge on huge id domains (changed-count termination)") {
     import spark.implicits._
     // ids near Long.MaxValue: Σ(label) overflows, so convergence must
