@@ -191,12 +191,14 @@ object TextOps {
   def tfidf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    val n = docs.count()
+    // corpus size rides the same DAG as a broadcast 1-row aggregate —
+    // no separate count() job before the real work starts
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(dfreq, "term")
-      .withColumn("score", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
     scored.withColumn("rk", row_number().over(w))

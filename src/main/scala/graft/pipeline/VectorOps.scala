@@ -66,11 +66,15 @@ object VectorOps {
         posexplode(array(bandCols(col("embedding")): _*)).as(Seq("band", "bits0")))
       .select(col("a_id"), col("band"),
         explode(array(masks.map(m => col("bits0").bitwiseXOR(lit(m))): _*)).as("bits"))
+    // Candidates are NOT deduplicated before the verify: a pair
+    // collides in ~2-3 bands on average, and re-verifying a duplicate
+    // costs 64 codegen'd FLOPs — far cheaper than shuffling the full
+    // candidate set through a distinct. Dedup happens after the
+    // threshold filter, where survivors are a vanishing fraction.
     val cand = probed.join(idx, Seq("band", "bits"))
       .filter(col("a_id") =!= col("b_id"))
       .select(least(col("a_id"), col("b_id")).as("a_id"),
               greatest(col("a_id"), col("b_id")).as("b_id"))
-      .distinct()
     cand
       .join(emb(s, d, "a"), "a_id")
       .join(emb(s, d, "b"), "b_id")
@@ -78,6 +82,7 @@ object VectorOps {
       .filter(col("cos_raw") >= CosThreshold)
       .select(col("a_id").as("vec_a"), col("b_id").as("vec_b"),
         round(col("cos_raw"), 6).as("cos_sim"))
+      .distinct()
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
