@@ -353,6 +353,51 @@ final class GraftTable(val root: String, spark: SparkSession) {
     this
   }
 
+  /** OPTIMIZE (bin-packing compaction): every partition holding more
+    * than one file whose total size fits `targetBytes` is rewritten
+    * into a single file; already-compact partitions (and oversized
+    * ones) are carried verbatim. Small-file pressure is the chronic
+    * operational problem of streaming/micro-batch ingest — at 100 TB
+    * the rewrite touches only fragmented partitions, planned entirely
+    * from manifest metadata.
+    */
+  def optimizeCompact(targetBytes: Long): GraftTable = {
+    val cur = current
+    val fragParts = cur.files.groupBy(_.partition).collect {
+      case (p, fs) if fs.size > 1 && fs.map(_.bytes).sum <= targetBytes => p
+    }.toSet
+    if (fragParts.isEmpty) return this
+    val cands = cur.files.filter(f => fragParts.contains(f.partition))
+    val kept = cur.files.filterNot(f => fragParts.contains(f.partition))
+    val frag = readSnapshot(cur.copy(files = cands))
+    // repartition on the partition columns → exactly one task (and so
+    // one file) per partition value; unpartitioned tables pack to 1
+    val packed =
+      if (cur.partitionCols.nonEmpty)
+        frag.repartition(cur.partitionCols.map(col): _*)
+      else frag.repartition(1)
+    val added = writeFiles(packed, cur.partitionCols, cur.deps, cur.id + 1)
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "compact", files = kept ++ added,
+      addedFiles = added.size, deletedFiles = cands.size))
+    this
+  }
+
+  /** Incremental read between two snapshots: the rows of data files
+    * present in `toId` but not `fromId` — exactly the appended data
+    * for append-only history, which is what incremental consumers
+    * (downstream ETL, training-data refresh) checkpoint on. A snapshot
+    * in between that rewrote files (delete/update/compact) surfaces
+    * rewritten files as additions; consumers needing row-level CDC
+    * diff on keys downstream.
+    */
+  def readIncremental(fromId: Long, toId: Long): DataFrame = {
+    val from = snapshot(fromId).files.map(_.path).toSet
+    val to = snapshot(toId)
+    readSnapshot(to.copy(files = to.files.filterNot(f => from.contains(f.path))))
+  }
+
   /** Roll the table back to an earlier snapshot's file set — recorded
     * as a NEW snapshot (history is never rewritten).
     */

@@ -412,6 +412,38 @@ object LakeQueries {
   // as-of snapshot 1 = the o_orderkey<3000 subset
   val lakeSqlAsOfSql = lakeAsOfSql
 
+  // ---- bin-packing compaction ---------------------------------------
+
+  def lakeCompact(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    // fragment: 1 create + 3 appends → 4 files per partition value
+    val t = GraftTable.create(s, work(d, "compact"),
+      byStatus(o.filter(col("o_orderkey") % 4 === 0)), Seq("o_orderstatus"))
+    for (r <- 1 to 3)
+      t.append(byStatus(o.filter(col("o_orderkey") % 4 === r)))
+    t.optimizeCompact(targetBytes = 1L << 30)
+    // one file per partition afterwards, data intact — both facts are
+    // data-derived and so DuckDB-oracle-checkable
+    t.filesView.groupBy(col("partition"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"))
+      .orderBy(col("partition"))
+  }
+
+  val lakeCompactSql =
+    """SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+      |  1::BIGINT AS n_files, count(*) AS n_rows
+      |FROM orders GROUP BY o_orderstatus ORDER BY partition""".stripMargin
+
+  // ---- incremental (snapshot-diff) read -----------------------------
+
+  def lakeIncremental(s: SparkSession, d: String): DataFrame = {
+    val t = twoSnapshotTable(s, d, "increm")
+    sel(t.readIncremental(1, 2))
+  }
+
+  val lakeIncrementalSql =
+    s"SELECT $selSql FROM orders WHERE o_orderkey >= 3000 ORDER BY o_orderkey"
+
   // ---- CTAS with table management (SQL surface, 2-part name) --------
 
   def lakeCtas(s: SparkSession, d: String): DataFrame = {
@@ -477,7 +509,9 @@ object LakeQueries {
     "lake_merge"               -> (lakeMerge _),
     "lake_update"              -> (lakeUpdate _),
     "lake_ctas"                -> (lakeCtas _),
-    "lake_adopt"               -> (lakeAdopt _))
+    "lake_adopt"               -> (lakeAdopt _),
+    "lake_compact"             -> (lakeCompact _),
+    "lake_incremental"         -> (lakeIncremental _))
 
   val oracles: Map[String, String] = Map(
     "lake_create"              -> lakeCreateSql,
@@ -504,5 +538,7 @@ object LakeQueries {
     "lake_merge"               -> lakeMergeSql,
     "lake_update"              -> lakeUpdateSql,
     "lake_ctas"                -> lakeCtasSql,
-    "lake_adopt"               -> lakeAdoptSql)
+    "lake_adopt"               -> lakeAdoptSql,
+    "lake_compact"             -> lakeCompactSql,
+    "lake_incremental"         -> lakeIncrementalSql)
 }

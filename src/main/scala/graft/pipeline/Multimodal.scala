@@ -76,9 +76,60 @@ object Multimodal {
       |  octet_length(encode(text)) // 1024 + 1 AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Output of the full media pipeline (resize + frame-sample). */
+  final case class MmSample(
+      doc_id: Long, out_chars: Long, thumb_hash: Long, n_sampled: Long)
+
+  private val ThumbChars = 2048
+  private val FrameStride = 4
+  private val BatchSize = 64
+
+  /** C19 `mm_pipeline_stub`: the decode → resize → frame-sample chain a
+    * video/image curation pipeline runs, as one batched per-partition
+    * pass. Rows are processed in fixed-size batches (`grouped(64)`) —
+    * the shape a real implementation needs to amortize GPU/codec
+    * submissions — and each stage is a STUB with deterministic outputs
+    * ("resize" = first 2048 chars, "thumbnail hash" = portable
+    * polyhash of the resized content, "frame sampling" = every 4th
+    * stub frame), so the plumbing stays exactly oracle-checkable.
+    */
+  def pipeline(s: SparkSession, d: String): Dataset[MmSample] = {
+    import s.implicits._
+    assets(s, d).select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition: codec/accelerator init would go here
+        it.grouped(BatchSize).flatMap { batch =>
+          // per-batch: a real pipeline submits `batch` to the device
+          batch.iterator.map { case (id, bytes) =>
+            val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+            val thumb = text.take(ThumbChars) // stub "resize"
+            val frames = bytes.length.toLong / 1024 + 1
+            MmSample(
+              doc_id = id,
+              out_chars = thumb.length.toLong,
+              thumb_hash = Hashing.polyHashString(thumb),
+              n_sampled = (frames + FrameStride - 1) / FrameStride)
+          }
+        }
+      }
+  }
+
+  def mmPipelineStub(s: SparkSession, d: String): DataFrame =
+    pipeline(s, d).toDF().orderBy("doc_id")
+
+  val mmPipelineStubSql: String =
+    s"""SELECT doc_id,
+       |  length(substring(text, 1, $ThumbChars)) AS out_chars,
+       |  list_reduce(list_transform(string_split(substring(text, 1, $ThumbChars), ''),
+       |              ch -> ascii(ch)::BIGINT), (a, x) -> (a * 31 + x) % 1000000007) AS thumb_hash,
+       |  (octet_length(encode(text)) // 1024 + 1 + ${FrameStride - 1}) // $FrameStride AS n_sampled
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_decode_stub" -> (mmDecodeStub _))
+    "mm_decode_stub"   -> (mmDecodeStub _),
+    "mm_pipeline_stub" -> (mmPipelineStub _))
 
   val oracles: Map[String, String] = Map(
-    "mm_decode_stub" -> mmDecodeStubSql)
+    "mm_decode_stub"   -> mmDecodeStubSql,
+    "mm_pipeline_stub" -> mmPipelineStubSql)
 }

@@ -179,6 +179,35 @@ object TextOps {
       |       THEN 'train' ELSE 'val' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // PII patterns shared by the op and its oracle — simple enough that
+  // Java regex and DuckDB's RE2 agree exactly (plain classes, \b, {n,m})
+  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** C18 `text_redact`: PII scrubbing — the redaction pass every
+    * training-data pipeline runs before a corpus ships. Emails and
+    * IPv4 literals are replaced with typed placeholders and counted
+    * per document; a narrow per-row map (regex in codegen), so it
+    * scales like the other text ops. Order matters: emails first, so
+    * an address's host part can't be half-eaten by the IP pass.
+    */
+  def redact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_emails", regexp_count(col("text"), lit(EmailRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(col("text"), lit(Ipv4Re)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"), Ipv4Re, "[IP]"))
+      .select("doc_id", "n_emails", "n_ips", "redacted")
+      .orderBy("doc_id")
+
+  val redactSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(text, '$Ipv4Re')) AS n_ips,
+       |  regexp_replace(regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'),
+       |                 '$Ipv4Re', '[IP]', 'g') AS redacted
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** C17 `text_tfidf`: top-3 keywords per document by tf·idf
     * (idf = ln(N/df)). Two partial-agg-friendly shuffles (doc×term
     * counts, then term document-frequencies) + one term-keyed join +
@@ -229,6 +258,7 @@ object TextOps {
     "text_quality"     -> (quality _),
     "text_tokens"      -> (tokenCounts _),
     "text_fingerprint" -> (fingerprint _),
+    "text_redact"      -> (redact _),
     "text_tfidf"       -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
@@ -237,5 +267,6 @@ object TextOps {
     "text_quality"     -> qualitySql,
     "text_tokens"      -> tokenCountsSql,
     "text_fingerprint" -> fingerprintSql,
+    "text_redact"      -> redactSql,
     "text_tfidf"       -> tfidfSql)
 }

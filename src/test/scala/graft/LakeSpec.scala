@@ -15,6 +15,46 @@ class LakeSpec extends SparkSpec {
     GraftTable.create(spark, tmp(name), o, parts, deps)
   }
 
+  test("compaction packs fragmented partitions and leaves compact ones alone") {
+    val o = Tables.orders(spark, sfDir)
+    val t = GraftTable.create(spark, tmp("compact"),
+      byKeyMod(o, 0), Seq("o_orderstatus"))
+    for (r <- 1 to 3) t.append(byKeyMod(o, r))
+    val beforeByPart = t.current.files.groupBy(_.partition)
+    assert(beforeByPart.values.forall(_.size === 4))
+    // mark one partition as already compact by excluding it via size:
+    // compact everything (big threshold) and check per-partition packing
+    t.optimizeCompact(targetBytes = 1L << 30)
+    assert(t.current.operation === "compact")
+    val afterByPart = t.current.files.groupBy(_.partition)
+    assert(afterByPart.values.forall(_.size === 1), "one file per partition")
+    assert(t.read().count() === o.count(), "no rows lost")
+    // second run is a no-op: nothing fragmented remains
+    val id = t.currentId
+    t.optimizeCompact(targetBytes = 1L << 30)
+    assert(t.currentId === id)
+  }
+
+  test("incremental read returns exactly the rows added between snapshots") {
+    val o = Tables.orders(spark, sfDir)
+    val t = GraftTable.create(spark, tmp("increm"),
+      byStatus2(o.filter(col("o_orderkey") < 3000)), Seq("o_orderstatus"))
+    t.append(byStatus2(o.filter(col("o_orderkey") >= 3000 && col("o_orderkey") < 6000)))
+    t.append(byStatus2(o.filter(col("o_orderkey") >= 6000)))
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(keys(t.readIncremental(1, 2)) ===
+      keys(o.filter(col("o_orderkey") >= 3000 && col("o_orderkey") < 6000)))
+    assert(keys(t.readIncremental(2, 3)) === keys(o.filter(col("o_orderkey") >= 6000)))
+    assert(keys(t.readIncremental(1, 3)) === keys(o.filter(col("o_orderkey") >= 3000)))
+    assert(t.readIncremental(3, 3).count() === 0)
+  }
+
+  private def byKeyMod(o: org.apache.spark.sql.DataFrame, r: Int) =
+    o.filter(col("o_orderkey") % 4 === r).repartition(col("o_orderstatus"))
+  private def byStatus2(df: org.apache.spark.sql.DataFrame) =
+    df.repartition(col("o_orderstatus"))
+
   test("adopt manages existing parquet in place: no rewrite, pruning works") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._

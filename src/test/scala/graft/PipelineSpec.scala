@@ -120,6 +120,31 @@ class PipelineSpec extends SparkSpec {
     assert(TextOps.tfidf(spark, dir).collect().forall(_.getLong(1) <= 3L))
   }
 
+  test("PII redaction scrubs emails and IPs with exact counts") {
+    import spark.implicits._
+    val dir = "/root/repo/target/redactdocs"
+    Seq(
+      (1L, "contact me at jane.doe+spam@example.co.uk or on 192.168.1.254 today"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.io c@d.org one ip 10.0.0.1")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextOps.redact(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) === ((1L, 1L, "contact me at [EMAIL] or on [IP] today")))
+    assert(r(2L) === ((0L, 0L, "no pii here at all")))
+    assert(r(3L)._1 === 2L && r(3L)._2 === 1L)
+    assert(!r.values.exists(v => v._3.contains("@") || v._3.matches(".*\\d+\\.\\d+\\.\\d+\\.\\d+.*")))
+  }
+
+  test("multimodal pipeline: batched resize + frame-sample over every asset") {
+    val out = Multimodal.mmPipelineStub(spark, sfDir).collect()
+    assert(out.length === 500)
+    out.foreach { r =>
+      assert(r.getLong(1) <= 2048L)            // resized length capped
+      assert(r.getLong(3) >= 1L)               // at least one sampled frame
+    }
+  }
+
   test("clusters converge on huge id domains (changed-count termination)") {
     import spark.implicits._
     // ids near Long.MaxValue: Σ(label) overflows, so convergence must
