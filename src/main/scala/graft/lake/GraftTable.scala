@@ -71,14 +71,102 @@ final class GraftTable(val root: String, spark: SparkSession) {
   def snapshots: Seq[Snapshot] = snapshotIds.map(snapshot)
 
   private def commit(s: Snapshot): Unit = {
+    stage(s)
+    publish(s.id)
+  }
+
+  /** Stage a snapshot WITHOUT making it current (the W of
+    * write-audit-publish). The manifest is created with CREATE_NEW,
+    * which doubles as optimistic concurrency control: two writers
+    * committing against the same parent race to create
+    * `snapshot-<id>.json`, and the loser fails here instead of
+    * silently clobbering the winner's commit.
+    */
+  private def stage(s: Snapshot): Unit = {
     Files.createDirectories(metaDir)
-    Files.write(metaDir.resolve(s"snapshot-${s.id}.json"),
-      SnapshotCodec.toJson(s).getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.write(metaDir.resolve(s"snapshot-${s.id}.json"),
+        SnapshotCodec.toJson(s).getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot ${s.id} already committed by another writer " +
+            s"(table $root); refresh and retry")
+    }
+  }
+
+  /** Make a staged snapshot current (the P of write-audit-publish). */
+  def publish(id: Long): Unit = {
+    require(Files.exists(metaDir.resolve(s"snapshot-$id.json")),
+      s"no staged snapshot $id under $root")
     val tmp = metaDir.resolve(s"version-hint.tmp")
-    Files.write(tmp, s.id.toString.getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, metaDir.resolve("version-hint.txt"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** Write-audit-publish: stage an append as a new snapshot WITHOUT
+    * moving the current pointer — readers keep seeing the old table
+    * while the staged data is audited via [[readAsOfId]]; then
+    * [[publish]] goes live or [[abandonStaged]] drops it. The
+    * quarantine-before-serve pattern for data-quality gates.
+    */
+  def stageAppend(df: DataFrame): Long = {
+    val cur = current
+    val added = writeFiles(df, cur.partitionCols, cur.deps, cur.id + 1)
+    stage(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "append", files = cur.files ++ added,
+      addedFiles = added.size, deletedFiles = 0))
+    cur.id + 1
+  }
+
+  /** Drop a staged-but-unpublished snapshot and its orphaned files. */
+  def abandonStaged(id: Long): Unit = {
+    require(id != currentId, s"snapshot $id is published; use rollback")
+    val live = snapshotIds.filterNot(_ == id)
+      .flatMap(i => snapshot(i).files.map(_.path)).toSet
+    val orphans = snapshot(id).files.map(_.path).filterNot(live.contains)
+    orphans.foreach(rel => Files.deleteIfExists(Paths.get(root, rel)))
+    Files.deleteIfExists(metaDir.resolve(s"snapshot-$id.json"))
+    GraftTable.snapshotCache.remove((root, id))
+  }
+
+  // ---- named refs (tags) --------------------------------------------
+
+  private def refsFile = metaDir.resolve("refs.json")
+
+  private def refs: Map[String, Long] =
+    if (!Files.exists(refsFile)) Map.empty
+    else {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(Files.readAllBytes(refsFile))
+      val it = node.fieldNames()
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val k = it.next(); b += k -> node.get(k).asLong() }
+      b.result()
+    }
+
+  /** Tag a snapshot with a stable name; `AS OF '<name>'` resolves it. */
+  def tag(name: String, id: Long): GraftTable = {
+    require(Files.exists(metaDir.resolve(s"snapshot-$id.json")), s"no snapshot $id")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    (refs + (name -> id)).toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    val tmp = metaDir.resolve("refs.json.tmp")
+    Files.write(tmp, mapper.writeValueAsBytes(node))
+    Files.move(tmp, refsFile,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    this
+  }
+
+  def refId(name: String): Option[Long] = refs.get(name)
+
+  /** Time travel to a named tag. */
+  def readRef(name: String): DataFrame =
+    readAsOfId(refId(name).getOrElse(
+      throw new IllegalArgumentException(s"no ref '$name' on table $root")))
 
   /** Strictly increasing commit timestamps even within one millisecond
     * (time travel by timestamp must totally order snapshots).

@@ -434,7 +434,85 @@ object CoreQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** queries + oracles exported to SparkEntry. */
+  /** B19 `q_percentile`: exact quantiles per group — Spark's
+    * `percentile` and DuckDB's `quantile_cont` both do linear
+    * interpolation over the sorted set, so exact equality holds after
+    * 6-dp rounding. (The approx twin at scale is approx_percentile /
+    * t-digest; exact is the oracle-able form.)
+    */
+  def qPercentile(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("price_p90"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qPercentileSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+      |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+      |  round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** B20 `q_string_agg`: ordered string aggregation — collect_set +
+    * array_sort + array_join gives a deterministic csv regardless of
+    * shuffle order (the naive collect_list would be nondeterministic
+    * across partitionings).
+    */
+  def qStringAgg(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qStringAggSql: String =
+    """SELECT o_orderpriority,
+      |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+      |  count(DISTINCT o_orderstatus) AS n_statuses
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** B21 `q_set_ops`: INTERSECT / EXCEPT — customers having both F and
+    * O orders vs only-F customers, stitched into one result. Set ops
+    * plan as aggregates/joins on the key — fully keyed, no data
+    * movement beyond one shuffle each.
+    */
+  def qSetOps(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables
+    val o = Tables.orders(s, d)
+    def custsWith(st: String) =
+      o.filter(col("o_orderstatus") === st).select(col("o_custkey")).distinct()
+    val both = custsWith("F").intersect(custsWith("O"))
+      .withColumn("kind", lit("both"))
+    val onlyF = custsWith("F").except(custsWith("O"))
+      .withColumn("kind", lit("only_f"))
+    both.unionByName(onlyF)
+      .groupBy(col("kind")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("kind"))
+  }
+
+  val qSetOpsSql: String =
+    """WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+      |o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+      |u AS (
+      |  SELECT 'both' AS kind, o_custkey FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)
+      |  UNION ALL
+      |  SELECT 'only_f' AS kind, o_custkey FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o))
+      |SELECT kind, count(*) AS n_customers FROM u GROUP BY kind ORDER BY kind""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentile"      -> (qPercentile _),
+    "q_string_agg"      -> (qStringAgg _),
+    "q_set_ops"         -> (qSetOps _),
     "q1_agg"            -> (q1Agg _),
     "q3_join"           -> (q3Join _),
     "q5_multijoin"      -> (q5MultiJoin _),
@@ -455,6 +533,9 @@ object CoreQueries {
     "q_skew_salted_agg" -> (qSkewSaltedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q_percentile"      -> qPercentileSql,
+    "q_string_agg"      -> qStringAggSql,
+    "q_set_ops"         -> qSetOpsSql,
     "q1_agg"            -> q1AggSql,
     "q3_join"           -> q3JoinSql,
     "q5_multijoin"      -> q5MultiJoinSql,

@@ -288,10 +288,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             t.readAsOfTs(spec.toLong * 1000L) // 10 digits = epoch seconds
           case Some(spec) if spec.forall(_.isDigit) =>
             t.readAsOfTs(spec.toLong) // longer digit strings = epoch millis
-          case Some(spec) =>
-            val ts = java.sql.Timestamp.valueOf(
-              if (spec.contains(":")) spec else s"$spec 00:00:00")
-            t.readAsOfTs(ts.getTime)
+          case Some(spec) => t.refId(spec) match {
+            case Some(id) => t.readAsOfId(id) // named tag wins
+            case None =>
+              val ts = java.sql.Timestamp.valueOf(
+                if (spec.contains(":")) spec else s"$spec 00:00:00")
+              t.readAsOfTs(ts.getTime)
+          }
         }
         Shim.logicalPlan(df)
     }

@@ -141,13 +141,69 @@ object StreamOps {
     """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** D2 `stream_dedup`: watermark-bounded streaming deduplication —
+    * the same file is streamed TWICE (union of two sources), so every
+    * event arrives duplicated; `dropDuplicatesWithinWatermark` on the
+    * event id must collapse them back to exactly the source events
+    * (the oracle is the plain batch aggregate — without the dedup the
+    * counts would double, so the operator is what's being checked).
+    * State is keyed by event_id and expired by the watermark — bounded
+    * regardless of stream length.
+    */
+  def dedupStream(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("event_id", "event_type", "ts", "value").map(col)
+    val doubled = eventsStream(s, d).select(cols: _*)
+      .union(eventsStream(s, d).select(cols: _*))
+    val dd = doubled
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val name = s"graft_stream_dedup_${math.abs(d.hashCode)}"
+    val q = dd.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  // after dedup, the doubled stream reduces back to the plain events
+  val dedupStreamSql: String = lakeSinkSql
+
+  /** D5 `stream_static_join`: stream-static enrichment join — each
+    * micro-batch joins against a (broadcast) dimension snapshot with no
+    * streaming state at all, the canonical dimension-enrichment shape.
+    * Spark re-plans the static side per batch; at scale the dim is
+    * broadcast so the stream never shuffles.
+    */
+  def staticJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = graft.Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"))
+    val joined = eventsStream(s, d)
+      .withColumn("nk", pmod(col("user_id"), lit(25L)).cast("int"))
+      .join(broadcast(dim), col("nk") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    drain(joined, s, s"graft_stream_sjoin_${math.abs(d.hashCode)}")
+      .orderBy(col("n_name"))
+  }
+
+  val staticJoinSql: String =
+    """SELECT n_name, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events JOIN nation ON user_id % 25 = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_window_agg" -> (windowAgg _),
-    "stream_sessionize" -> (sessionize _),
-    "stream_lake_sink"  -> (lakeSink _))
+    "stream_window_agg"  -> (windowAgg _),
+    "stream_sessionize"  -> (sessionize _),
+    "stream_lake_sink"   -> (lakeSink _),
+    "stream_dedup"       -> (dedupStream _),
+    "stream_static_join" -> (staticJoin _))
 
   val oracles: Map[String, String] = Map(
-    "stream_window_agg" -> windowAggSql,
-    "stream_sessionize" -> sessionizeSql,
-    "stream_lake_sink"  -> lakeSinkSql)
+    "stream_window_agg"  -> windowAggSql,
+    "stream_sessionize"  -> sessionizeSql,
+    "stream_lake_sink"   -> lakeSinkSql,
+    "stream_dedup"       -> dedupStreamSql,
+    "stream_static_join" -> staticJoinSql)
 }

@@ -15,6 +15,60 @@ class LakeSpec extends SparkSpec {
     GraftTable.create(spark, tmp(name), o, parts, deps)
   }
 
+  test("optimistic concurrency: a racing writer fails instead of clobbering") {
+    val o = Tables.orders(spark, sfDir).limit(100)
+    val t = GraftTable.create(spark, tmp("occ"),
+      o.repartition(col("o_orderstatus")), Seq("o_orderstatus"))
+    // writer A stages snapshot 2 (the id a concurrent writer would
+    // also target); writer B's append then races for the same id
+    val staged = t.stageAppend(o.repartition(col("o_orderstatus")))
+    assert(staged === 2L)
+    intercept[java.util.ConcurrentModificationException] {
+      t.append(o.repartition(col("o_orderstatus")))
+    }
+    assert(t.currentId === 1L, "loser must not move the table")
+    t.publish(staged)
+    assert(t.currentId === 2L, "winner's snapshot publishes intact")
+  }
+
+  test("write-audit-publish: staged snapshot is invisible until published") {
+    val o = Tables.orders(spark, sfDir)
+    val t = GraftTable.create(spark, tmp("wap"),
+      o.filter(col("o_orderkey") < 1000).repartition(col("o_orderstatus")),
+      Seq("o_orderstatus"))
+    val n0 = t.read().count()
+    val staged = t.stageAppend(
+      o.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000)
+        .repartition(col("o_orderstatus")))
+    assert(t.read().count() === n0, "readers must not see staged data")
+    val audit = t.readAsOfId(staged).count()
+    assert(audit > n0, "auditors read the staged snapshot explicitly")
+    t.publish(staged)
+    assert(t.read().count() === audit)
+    // abandon path: stage again, drop it, files cleaned, current intact
+    val staged2 = t.stageAppend(
+      o.filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 2100)
+        .repartition(col("o_orderstatus")))
+    t.abandonStaged(staged2)
+    assert(t.currentId === staged)
+    assert(t.read().count() === audit)
+  }
+
+  test("tags: named refs resolve in API and SQL") {
+    val o = Tables.orders(spark, sfDir)
+    val t = GraftTable.create(spark, tmp("tags"),
+      o.filter(col("o_orderkey") < 3000).repartition(col("o_orderstatus")),
+      Seq("o_orderstatus"))
+    t.append(o.filter(col("o_orderkey") >= 3000).repartition(col("o_orderstatus")))
+    t.tag("v1", 1).tag("release-2024.1", 2)
+    assert(t.readRef("v1").count() === t.readAsOfId(1).count())
+    assert(t.refId("release-2024.1") === Some(2L))
+    graft.sql.GraftCatalog.register("t_tagged", t.root)
+    val n = spark.sql("AS OF 'v1' SELECT count(*) AS n FROM t_tagged")
+      .collect().head.getLong(0)
+    assert(n === t.snapshot(1).totalRows)
+  }
+
   test("compaction packs fragmented partitions and leaves compact ones alone") {
     val o = Tables.orders(spark, sfDir)
     val t = GraftTable.create(spark, tmp("compact"),
