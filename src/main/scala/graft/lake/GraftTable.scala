@@ -122,6 +122,25 @@ final class GraftTable(val root: String, spark: SparkSession) {
     cur.id + 1
   }
 
+  /** Idempotent tagged append — the exactly-once primitive for
+    * streaming sinks: each micro-batch appends under a unique tag
+    * (e.g. `stream-batch-<id>`), and a replayed batch whose tag is
+    * already in the snapshot history is skipped instead of
+    * double-appending. Returns true iff data was written.
+    */
+  def appendBatch(df: DataFrame, batchTag: String): Boolean = {
+    if (snapshots.exists(_.operation == batchTag)) false
+    else {
+      val cur = current
+      val added = writeFiles(df, cur.partitionCols, cur.deps, cur.id + 1)
+      commit(cur.copy(
+        id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+        operation = batchTag, files = cur.files ++ added,
+        addedFiles = added.size, deletedFiles = 0))
+      true
+    }
+  }
+
   /** Drop a staged-but-unpublished snapshot and its orphaned files. */
   def abandonStaged(id: Long): Unit = {
     require(id != currentId, s"snapshot $id is published; use rollback")
@@ -582,6 +601,20 @@ final class GraftTable(val root: String, spark: SparkSession) {
         (f.path, f.partition.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("/"),
           f.rows, f.bytes))
       .toDF("file_path", "partition", "n_rows", "n_bytes")
+  }
+
+  /** `` t$partitions `` — per-partition rollup straight from the
+    * manifest: O(metadata), zero data access. The operational
+    * dashboard view (skew, fragmentation, size per partition).
+    */
+  def partitionsView: DataFrame = {
+    import spark.implicits._
+    current.files
+      .groupBy(_.partition.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("/"))
+      .map { case (p, fs) =>
+        (p, fs.size.toLong, fs.map(_.rows).sum, fs.map(_.bytes).sum) }
+      .toSeq.sortBy(_._1)
+      .toDF("partition", "n_files", "n_rows", "n_bytes")
   }
 }
 

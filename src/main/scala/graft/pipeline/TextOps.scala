@@ -208,6 +208,36 @@ object TextOps {
        |                 '$Ipv4Re', '[IP]', 'g') AS redacted
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** C20 `text_unigram_logprob`: corpus-unigram language-model score —
+    * the perplexity-filter family (filter docs whose tokens are
+    * improbable under the corpus LM). Score = Σ round(ln(count(t)/N), 6)
+    * over a doc's tokens: per-token logprobs are quantized to 6 dp
+    * BEFORE summing so the float sum is engine-order-independent, and
+    * the final round snaps accumulation noise (~1e-11) back to the
+    * quantum. Two keyed aggregations + one vocabulary join — the same
+    * scale shape as tf·idf.
+    */
+  def unigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).cast("double").as("n_total"))
+    toks.join(vocab, "term").crossJoin(broadcast(total))
+      .withColumn("lp", round(log(col("c") / col("n_total")), 6))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), round(sum(col("lp")), 6).as("logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val unigramLogprobSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+       |v AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+       |tot AS (SELECT count(*) AS n FROM toks)
+       |SELECT doc_id, count(*) AS n_toks,
+       |  round(sum(round(ln(c * 1.0 / tot.n), 6)), 6) AS logprob
+       |FROM toks JOIN v USING (term), tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** C17 `text_tfidf`: top-3 keywords per document by tf·idf
     * (idf = ln(N/df)). Two partial-agg-friendly shuffles (doc×term
     * counts, then term document-frequencies) + one term-keyed join +
@@ -259,6 +289,7 @@ object TextOps {
     "text_tokens"      -> (tokenCounts _),
     "text_fingerprint" -> (fingerprint _),
     "text_redact"      -> (redact _),
+    "text_unigram_lp"  -> (unigramLogprob _),
     "text_tfidf"       -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
@@ -268,5 +299,6 @@ object TextOps {
     "text_tokens"      -> tokenCountsSql,
     "text_fingerprint" -> fingerprintSql,
     "text_redact"      -> redactSql,
+    "text_unigram_lp"  -> unigramLogprobSql,
     "text_tfidf"       -> tfidfSql)
 }

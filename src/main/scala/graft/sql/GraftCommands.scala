@@ -149,6 +149,38 @@ case class GraftInsertCommand(
   }
 }
 
+/** DROP TABLE t — unregister and remove the managed table's data and
+  * metadata (hive managed-table semantics).
+  */
+case class GraftDropTableCommand(name: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftCatalog.lookup(name).foreach { root =>
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    GraftCatalog.unregister(name)
+    Seq.empty
+  }
+}
+
+/** ALTER TABLE t ADD COLUMNS (c type, …) — metadata-only schema
+  * evolution; existing files read the new columns as null.
+  */
+case class GraftAddColumnsCommand(
+    name: String, cols: Seq[(String, DataType)]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    val t = new GraftTable(root, session)
+    cols.foreach { case (c, dt) => t.addColumn(c, dt) }
+    Seq.empty
+  }
+}
+
 /** DELETE FROM t [WHERE pred] — copy-on-write snapshot delete
   * ([[graft.lake.GraftTable.delete]]). The predicate is carried as an
   * opaque [[org.apache.spark.sql.Column]] (not an Expression field):

@@ -183,8 +183,23 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             m.notMatchedBySourceActions.isEmpty,
           "graft MERGE supports WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *")
         GraftMergeCommand(name, mergeKeys(m.mergeCondition), substitute(m.sourceTable, asOf))
+      case dt: logical.DropTable if identName(dt.child).exists(GraftCatalog.lookup(_).isDefined) =>
+        GraftDropTableCommand(identName(dt.child).get)
+      case ac: logical.AddColumns if identName(ac.table).exists(GraftCatalog.lookup(_).isDefined) =>
+        GraftAddColumnsCommand(identName(ac.table).get,
+          ac.columnsToAdd.map(c => (c.colName, c.dataType)))
       case p => substitute(p, asOf)
     }
+  }
+
+  /** DDL target identifier (UnresolvedIdentifier / UnresolvedTable). */
+  private def identName(plan: LogicalPlan): Option[String] = plan match {
+    case id: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+      joinedName(id.nameParts)
+    case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+      joinedName(ut.multipartIdentifier)
+    case ur: UnresolvedRelation => joinedName(ur.multipartIdentifier)
+    case _ => None
   }
 
   /** 1- or 2-part identifier as the catalog's joined lowercase key. */
@@ -271,8 +286,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         val base = metaBase(u.multipartIdentifier)
         val t = new GraftTable(GraftCatalog.lookup(base).get, session)
         u.multipartIdentifier.last.dropWhile(_ != '$') match {
-          case "$snapshots" => Shim.logicalPlan(t.snapshotsView)
-          case "$files"     => Shim.logicalPlan(t.filesView)
+          case "$snapshots"  => Shim.logicalPlan(t.snapshotsView)
+          case "$files"      => Shim.logicalPlan(t.filesView)
+          case "$partitions" => Shim.logicalPlan(t.partitionsView)
           case other => throw new IllegalArgumentException(
             s"unknown metadata view suffix '$other' on graft table '$base'")
         }

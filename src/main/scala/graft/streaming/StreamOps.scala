@@ -128,7 +128,10 @@ object StreamOps {
         org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))),
       Seq.empty, Seq.empty)
     val q = src.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) => t.append(batch); () }
+      // tagged idempotent append: a batch replayed after a failure is
+      // recognized by its tag and skipped — exactly-once into the lake
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        t.appendBatch(batch, s"stream-batch-$id"); () }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     t.read()

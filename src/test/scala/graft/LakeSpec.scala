@@ -31,6 +31,21 @@ class LakeSpec extends SparkSpec {
     assert(t.currentId === 2L, "winner's snapshot publishes intact")
   }
 
+  test("tagged appendBatch is idempotent under replay (exactly-once sink)") {
+    val o = Tables.orders(spark, sfDir).limit(500)
+    val t = GraftTable.create(spark, tmp("batchtag"),
+      o.repartition(col("o_orderstatus")), Seq("o_orderstatus"))
+    val n0 = t.read().count()
+    assert(t.appendBatch(o.repartition(col("o_orderstatus")), "stream-batch-7"))
+    val n1 = t.read().count()
+    assert(n1 === n0 * 2)
+    // replay of the same batch id: recognized, skipped, no double-append
+    assert(!t.appendBatch(o.repartition(col("o_orderstatus")), "stream-batch-7"))
+    assert(t.read().count() === n1)
+    assert(t.appendBatch(o.repartition(col("o_orderstatus")), "stream-batch-8"))
+    assert(t.read().count() === n1 + n0)
+  }
+
   test("write-audit-publish: staged snapshot is invisible until published") {
     val o = Tables.orders(spark, sfDir)
     val t = GraftTable.create(spark, tmp("wap"),

@@ -70,6 +70,21 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(e3.getMessage.contains("neither a table column nor a dependency destination"))
   }
 
+  test("$partitions view, ALTER TABLE ADD COLUMNS, DROP TABLE from SQL") {
+    val t = mkTable("ddl")
+    GraftCatalog.register("t_ddl", t.root)
+    val parts = spark.sql("SELECT * FROM `t_ddl$partitions`").collect()
+    assert(parts.nonEmpty)
+    assert(parts.map(_.getLong(2)).sum === t.current.totalRows)
+    spark.sql("ALTER TABLE t_ddl ADD COLUMNS (note STRING, score DOUBLE)")
+    assert(new GraftTable(t.root, spark).schema.fieldNames.toSeq.takeRight(2)
+      === Seq("note", "score"))
+    assert(spark.sql("SELECT note FROM t_ddl").collect().forall(_.isNullAt(0)))
+    spark.sql("DROP TABLE t_ddl")
+    assert(GraftCatalog.lookup("t_ddl").isEmpty)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t.root)))
+  }
+
   test("registered graft table is queryable from SQL (current snapshot)") {
     val t = mkTable("cur")
     GraftCatalog.register("t_cur", t.root)
