@@ -149,6 +149,36 @@ case class GraftInsertCommand(
   }
 }
 
+/** OPTIMIZE t [ZORDER BY (cols)] — bin-packing compaction, or Z-order
+  * clustering when columns are given (reference capability surface via
+  * SQL, like Delta/Iceberg's OPTIMIZE statement).
+  */
+case class GraftOptimizeCommand(
+    name: String, zorderCols: Seq[String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    val t = new GraftTable(root, session)
+    if (zorderCols.isEmpty) t.optimizeCompact(targetBytes = 512L << 20)
+    else t.optimizeZOrder(zorderCols, nFiles = math.max(1, t.current.files.size / 2))
+    Seq.empty
+  }
+}
+
+/** VACUUM t [RETAIN <id>] — expire snapshots below the floor (default:
+  * everything but current) and delete their orphaned files.
+  */
+case class GraftVacuumCommand(
+    name: String, retainFrom: Option[Long]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    val t = new GraftTable(root, session)
+    t.expire(keepFrom = retainFrom.getOrElse(t.currentId))
+    Seq.empty
+  }
+}
+
 /** DROP TABLE t — unregister and remove the managed table's data and
   * metadata (hive managed-table semantics).
   */

@@ -148,8 +148,23 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   private val AsOfRe =
     """(?is)\s*as\s+of\s+'([^']+)'\s+(.*)""".r
+  // OPTIMIZE t [ZORDER BY (c1, c2)] / VACUUM t [RETAIN <snapshot-id>]
+  // — statements Spark's parser has no grammar for; intercepted before
+  // delegation (same technique as the reference's `as of` prefix).
+  private val OptimizeRe =
+    """(?is)\s*optimize\s+([\w.]+)\s*(?:zorder\s+by\s*\(([^)]*)\))?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*vacuum\s+([\w.]+)(?:\s+retain\s+(\d+))?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = {
+    sqlText match {
+      case OptimizeRe(name, zcols) if GraftCatalog.lookup(name).isDefined =>
+        return GraftOptimizeCommand(name.toLowerCase,
+          Option(zcols).toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)))
+      case VacuumRe(name, keep) if GraftCatalog.lookup(name).isDefined =>
+        return GraftVacuumCommand(name.toLowerCase, Option(keep).map(_.toLong))
+      case _ => ()
+    }
     val (asOf, parsed) = sqlText match {
       case AsOfRe(spec, rest) => (Some(spec.trim), delegate.parsePlan(rest))
       case _                  => (None, delegate.parsePlan(sqlText))

@@ -70,6 +70,21 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(e3.getMessage.contains("neither a table column nor a dependency destination"))
   }
 
+  test("OPTIMIZE and VACUUM statements from SQL") {
+    val t = mkTable("optsql") // 2 snapshots → fragmented partitions
+    GraftCatalog.register("t_opt", t.root)
+    val rowsBefore = t.read().count()
+    spark.sql("OPTIMIZE t_opt")
+    assert(t.current.operation === "compact")
+    assert(t.current.files.groupBy(_.partition).values.forall(_.size == 1))
+    assert(t.read().count() === rowsBefore)
+    spark.sql("OPTIMIZE t_opt ZORDER BY (o_orderkey, o_custkey)")
+    assert(t.current.operation === "optimize")
+    spark.sql("VACUUM t_opt")
+    assert(t.snapshotIds === Seq(t.currentId), "only current snapshot retained")
+    assert(t.read().count() === rowsBefore)
+  }
+
   test("$partitions view, ALTER TABLE ADD COLUMNS, DROP TABLE from SQL") {
     val t = mkTable("ddl")
     GraftCatalog.register("t_ddl", t.root)
