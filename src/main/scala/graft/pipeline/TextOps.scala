@@ -238,6 +238,45 @@ object TextOps {
        |FROM toks JOIN v USING (term), tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** C21 `text_contamination`: train/benchmark overlap detection — the
+    * decontamination pass LLM training sets run against eval sets
+    * (13-token-gram collision, the GPT-3 recipe). Benchmark docs here
+    * are `doc_id % 10 == 0`; a train doc is flagged with the number of
+    * benchmark docs it shares a 13-gram with and the total collision
+    * count. Inverted-index join on 64-bit shingle hashes — shuffle is
+    * O(shared shingles), never O(docs²); at 100 TB the benchmark side
+    * is tiny and broadcasts.
+    */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(exprs.shingleHashes(col("text"), 13)).as("sh"))
+    val bench = sh.filter(col("doc_id") % 10 === 0)
+      .select(col("sh"), col("doc_id").as("bench_id"))
+    val train = sh.filter(col("doc_id") % 10 =!= 0)
+      .select(col("sh"), col("doc_id").as("train_id"))
+    train.join(bench, "sh")
+      .groupBy(col("train_id"))
+      .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
+        count(lit(1)).as("n_hits"))
+      .orderBy(col("train_id"))
+  }
+
+  val contaminationSql: String = {
+    val gram13 = (0 until 13).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 13
+       |    THEN list_transform(range(1, len(t) - 11), i -> $gram13)
+       |    ELSE [] END) AS shs
+       |  FROM w),
+       |s AS (SELECT doc_id, unnest(shs) AS sh FROM g),
+       |bench AS (SELECT doc_id AS bench_id, sh FROM s WHERE doc_id % 10 = 0),
+       |train AS (SELECT doc_id AS train_id, sh FROM s WHERE doc_id % 10 <> 0)
+       |SELECT train_id, count(DISTINCT bench_id) AS n_bench_docs, count(*) AS n_hits
+       |FROM train JOIN bench USING (sh)
+       |GROUP BY train_id ORDER BY train_id""".stripMargin
+  }
+
   /** C17 `text_tfidf`: top-3 keywords per document by tf·idf
     * (idf = ln(N/df)). Two partial-agg-friendly shuffles (doc×term
     * counts, then term document-frequencies) + one term-keyed join +
@@ -290,6 +329,7 @@ object TextOps {
     "text_fingerprint" -> (fingerprint _),
     "text_redact"      -> (redact _),
     "text_unigram_lp"  -> (unigramLogprob _),
+    "text_contamination" -> (contamination _),
     "text_tfidf"       -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
@@ -300,5 +340,6 @@ object TextOps {
     "text_fingerprint" -> fingerprintSql,
     "text_redact"      -> redactSql,
     "text_unigram_lp"  -> unigramLogprobSql,
+    "text_contamination" -> contaminationSql,
     "text_tfidf"       -> tfidfSql)
 }

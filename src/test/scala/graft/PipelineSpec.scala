@@ -120,6 +120,20 @@ class PipelineSpec extends SparkSpec {
     assert(TextOps.tfidf(spark, dir).collect().forall(_.getLong(1) <= 3L))
   }
 
+  test("contamination flags exactly the train docs sharing a 13-gram with benchmark docs") {
+    import spark.implicits._
+    val dir = "/root/repo/target/contamdocs"
+    val span = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    Seq(
+      (10L, s"benchmark doc contains $span exactly"),     // benchmark (id % 10 == 0)
+      (3L, s"train doc also has $span inside it"),        // contaminated
+      (7L, "completely clean training document with no overlap whatsoever here at all")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.contamination(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(3L -> ((1L, 1L))), "only the shared 13-gram doc is flagged")
+  }
+
   test("PII redaction scrubs emails and IPs with exact counts") {
     import spark.implicits._
     val dir = "/root/repo/target/redactdocs"
