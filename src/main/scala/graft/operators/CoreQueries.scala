@@ -509,7 +509,46 @@ object CoreQueries {
       |  SELECT 'only_f' AS kind, o_custkey FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o))
       |SELECT kind, count(*) AS n_customers FROM u GROUP BY kind ORDER BY kind""".stripMargin
 
+  /** B22 `q_range_join`: interval join at scale — for each purchase,
+    * count the same user's clicks in the preceding 30 minutes
+    * (attribution). The naive plan is an inequality join
+    * (BroadcastNestedLoopJoin, O(n²)); here both sides are bucketed
+    * into 30-minute cells and equi-joined on (user, cell) for the
+    * purchase's cell and its predecessor — any event within the
+    * interval is in one of those two cells, so the exact interval
+    * filter after the keyed join loses nothing. Shuffle is
+    * O(events × 2), never O(events²).
+    */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables
+    val e = Tables.events(s, d)
+    val W = 1800000000L // 30 min in micros
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts").as("bts"),
+        expr(s"unix_micros(ts) DIV $W").as("cell0"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"),
+        expr(s"unix_micros(ts) DIV $W").as("cell"))
+    val probed = buys.select(col("user_id"), col("event_id"), col("bts"),
+      explode(array(col("cell0"), col("cell0") - 1)).as("cell"))
+    probed.join(clicks, Seq("user_id", "cell"))
+      .filter(col("cts") >= col("bts") - expr(s"INTERVAL 30 MINUTE") &&
+              col("cts") < col("bts"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_prior_clicks"))
+      .orderBy(col("event_id"))
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT b.event_id, count(*) AS n_prior_clicks
+      |FROM events b JOIN events c
+      |  ON b.user_id = c.user_id
+      | AND c.ts >= b.ts - INTERVAL 30 MINUTE AND c.ts < b.ts
+      |WHERE b.event_type = 'purchase' AND c.event_type = 'click'
+      |GROUP BY b.event_id ORDER BY b.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join"      -> (qRangeJoin _),
     "q_percentile"      -> (qPercentile _),
     "q_string_agg"      -> (qStringAgg _),
     "q_set_ops"         -> (qSetOps _),
@@ -533,6 +572,7 @@ object CoreQueries {
     "q_skew_salted_agg" -> (qSkewSaltedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q_range_join"      -> qRangeJoinSql,
     "q_percentile"      -> qPercentileSql,
     "q_string_agg"      -> qStringAggSql,
     "q_set_ops"         -> qSetOpsSql,

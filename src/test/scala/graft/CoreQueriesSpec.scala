@@ -53,4 +53,22 @@ class CoreQueriesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("range join is bucketed-equi, matches the naive inequality join") {
+    import org.apache.spark.sql.functions._
+    val df = CoreQueries.qRangeJoin(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must not plan as a nested loop:\n$plan")
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = Tables.events(spark, sfDir)
+    val naive = e.filter(col("event_type") === "purchase").as("b")
+      .join(e.filter(col("event_type") === "click").as("c"),
+        col("b.user_id") === col("c.user_id") &&
+          col("c.ts") >= col("b.ts") - expr("INTERVAL 30 MINUTE") &&
+          col("c.ts") < col("b.ts"))
+      .groupBy(col("b.event_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === naive)
+  }
 }
