@@ -323,6 +323,34 @@ final class GraftTable(val root: String, spark: SparkSession) {
     */
   def delete(pred: Column): GraftTable = {
     val cur = current
+    // Metadata-only fast path: if the predicate is EXACTLY a
+    // conjunction of constraints on partition columns, every row of a
+    // matching file matches (partition values are constant per file) —
+    // drop whole files from the manifest with zero data read/write.
+    // "Delete a day" at 100 TB becomes an O(metadata) commit. Dep
+    // inference is deliberately NOT used here: inferred constraints
+    // are implied, not equivalent, and would over-delete.
+    val partColSet = (cur.partitionCols ++ cur.deps.map(_.dest)).toSet
+    val sch = schema
+    Pruning.extractExact(pred) match {
+      case Some(cs) if cs.nonEmpty && cs.keySet.forall(partColSet.contains) =>
+        val (dropped, kept) = cur.files.partition { f =>
+          cs.forall { case (c, con) =>
+            f.partition.get(c).exists { raw =>
+              val v = Pruning.parsePartitionValue(raw,
+                sch.fields.find(_.name == c).map(_.dataType)
+                  .getOrElse(org.apache.spark.sql.types.StringType))
+              v != null && con.accepts(v)
+            }
+          }
+        }
+        commit(cur.copy(
+          id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+          operation = "delete", files = kept,
+          addedFiles = 0, deletedFiles = dropped.size))
+        return this
+      case _ => ()
+    }
     val (cands, _, _) = pruneFiles(pred)
     val candPaths = cands.map(_.path).toSet
     val kept = cur.files.filterNot(f => candPaths.contains(f.path))

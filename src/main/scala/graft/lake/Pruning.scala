@@ -170,6 +170,52 @@ object Pruning {
     case _ => Map.empty // ORs, UDFs, casts-on-attr, …: no pruning
   }
 
+  def extractExact(pred: Column): Option[Map[String, Constraint]] =
+    extractExact(Shim.expression(pred))
+
+  /** Exactness-tracking extraction: Some(constraints) only when the
+    * WHOLE predicate is representable as the returned per-column
+    * conjunction — i.e. constraints ⟺ predicate, not merely ⟸. Needed
+    * by metadata-only deletes, where an over-approximation would drop
+    * rows the predicate doesn't cover. Any unrecognized node ⇒ None.
+    */
+  def extractExact(e: Expression): Option[Map[String, Constraint]] = e match {
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.length == 1 && f.arguments.length == 2 &&
+          Set("and", "=", ">", ">=", "<", "<=", "in")(f.nameParts.head.toLowerCase) =>
+      extractExact(normalizeFn(f))
+    case And(l, r) =>
+      for (a <- extractExact(l); b <- extractExact(r)) yield mergeAnd(a, b)
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: In =>
+      val m = extract(e)
+      if (m.nonEmpty) Some(m) else None // recognized shape but opaque operand
+    case _ => None
+  }
+
+  private def normalizeFn(
+      f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction): Expression = {
+    val Seq(a, b) = f.arguments
+    f.nameParts.head.toLowerCase match {
+      case "and" => And(a, b)
+      case "="   => EqualTo(a, b)
+      case ">"   => GreaterThan(a, b)
+      case ">="  => GreaterThanOrEqual(a, b)
+      case "<"   => LessThan(a, b)
+      case "<="  => LessThanOrEqual(a, b)
+      case "in"  => In(a, Seq(b))
+    }
+  }
+
+  private def mergeAnd(
+      a: Map[String, Constraint], b: Map[String, Constraint]): Map[String, Constraint] =
+    (a.keySet ++ b.keySet).map { k =>
+      (a.get(k), b.get(k)) match {
+        case (Some(x), Some(y)) => k -> x.and(y)
+        case (x, y)             => k -> x.orElse(y).get
+      }
+    }.toMap
+
   private def attrIsPlain(e: Expression): Boolean = e match {
     case _: UnresolvedAttribute | _: AttributeReference => true
     case _ => false

@@ -15,6 +15,25 @@ class LakeSpec extends SparkSpec {
     GraftTable.create(spark, tmp(name), o, parts, deps)
   }
 
+  test("partition-predicate delete is metadata-only: no files written") {
+    val o = Tables.orders(spark, sfDir)
+    val t = GraftTable.create(spark, tmp("metadel"),
+      o.repartition(col("o_orderstatus")), Seq("o_orderstatus"))
+    val pathsBefore = t.current.files.map(_.path).toSet
+    t.delete(col("o_orderstatus") === "F")
+    val snap = t.current
+    assert(snap.operation === "delete")
+    assert(snap.addedFiles === 0, "metadata-only delete must not write files")
+    assert(snap.files.map(_.path).toSet.subsetOf(pathsBefore), "surviving files carried verbatim")
+    assert(t.read().filter(col("o_orderstatus") === "F").count() === 0)
+    assert(t.read().count() === o.filter(col("o_orderstatus") =!= "F").count())
+    // non-partition predicate still takes the COW rewrite path
+    t.delete(col("o_totalprice") > 200000)
+    assert(t.current.addedFiles > 0, "row-level delete rewrites candidates")
+    assert(t.read().count() ===
+      o.filter(col("o_orderstatus") =!= "F" && !(col("o_totalprice") > 200000)).count())
+  }
+
   test("optimistic concurrency: a racing writer fails instead of clobbering") {
     val o = Tables.orders(spark, sfDir).limit(100)
     val t = GraftTable.create(spark, tmp("occ"),
