@@ -366,6 +366,19 @@ final class GraftTable(val root: String, spark: SparkSession) {
     this
   }
 
+  /** TRUNCATE — drop every file from the manifest; O(metadata), no
+    * data I/O (old snapshots still reference the files for time
+    * travel until expired).
+    */
+  def truncate(): GraftTable = {
+    val cur = current
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "truncate", files = Seq.empty,
+      addedFiles = 0, deletedFiles = cur.files.size))
+    this
+  }
+
   /** UPDATE … SET … WHERE — copy-on-write. Candidate files come from
     * the same metadata-only pruning as [[delete]]; within a rewritten
     * file, non-matching rows pass through unchanged (`CASE WHEN pred`).

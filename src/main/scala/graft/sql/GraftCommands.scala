@@ -229,8 +229,18 @@ case class GraftDeleteCommand(
     val t = new GraftTable(root, session)
     condition match {
       case Some(c) => t.delete(c)
-      case None    => t.overwrite(t.read().limit(0))
+      case None    => t.truncate() // unconditional: metadata-only
     }
+    Seq.empty
+  }
+}
+
+/** TRUNCATE TABLE t — metadata-only snapshot with an empty file set. */
+case class GraftTruncateCommand(name: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    new GraftTable(root, session).truncate()
     Seq.empty
   }
 }

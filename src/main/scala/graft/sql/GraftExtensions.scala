@@ -200,6 +200,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftMergeCommand(name, mergeKeys(m.mergeCondition), substitute(m.sourceTable, asOf))
       case dt: logical.DropTable if identName(dt.child).exists(GraftCatalog.lookup(_).isDefined) =>
         GraftDropTableCommand(identName(dt.child).get)
+      case tt: logical.TruncateTable
+          if identName(tt.table).exists(GraftCatalog.lookup(_).isDefined) =>
+        GraftTruncateCommand(identName(tt.table).get)
       case ac: logical.AddColumns if identName(ac.table).exists(GraftCatalog.lookup(_).isDefined) =>
         GraftAddColumnsCommand(identName(ac.table).get,
           ac.columnsToAdd.map(c => (c.colName, c.dataType)))

@@ -70,6 +70,16 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(e3.getMessage.contains("neither a table column nor a dependency destination"))
   }
 
+  test("TRUNCATE TABLE is metadata-only and time-travel keeps history") {
+    val t = mkTable("trunc")
+    GraftCatalog.register("t_trunc", t.root)
+    val before = t.read().count()
+    spark.sql("TRUNCATE TABLE t_trunc")
+    assert(t.read().count() === 0)
+    assert(t.current.operation === "truncate" && t.current.addedFiles === 0)
+    assert(t.readAsOfId(t.current.parentId).count() === before, "history intact")
+  }
+
   test("OPTIMIZE and VACUUM statements from SQL") {
     val t = mkTable("optsql") // 2 snapshots → fragmented partitions
     GraftCatalog.register("t_opt", t.root)
