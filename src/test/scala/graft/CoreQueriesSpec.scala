@@ -54,6 +54,22 @@ class CoreQueriesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("sketch twins: approx_count_distinct and approx_percentile within bounds of exact") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sfDir)
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact_d"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_d"),
+      expr("percentile(l_extendedprice, 0.5)").as("exact_p"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p")).head
+    val (ed, ad) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(ad - ed).toDouble / ed < 0.05,
+      s"HLL++ estimate $ad vs exact $ed outside 5%")
+    val (ep, ap) = (row.getDouble(2), row.getDouble(3))
+    assert(math.abs(ap - ep) / ep < 0.05,
+      s"approx median $ap vs exact $ep outside 5%")
+  }
+
   test("range join is bucketed-equi, matches the naive inequality join") {
     import org.apache.spark.sql.functions._
     val df = CoreQueries.qRangeJoin(spark, sfDir)
