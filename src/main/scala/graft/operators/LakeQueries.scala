@@ -482,6 +482,20 @@ object LakeQueries {
     """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- pipeline ops over lake tables (composition) ------------------
+
+  /** The two halves compose: documents managed as a graft table (with
+    * snapshots, time travel, DML) feed the dedup pipeline directly —
+    * `ngramJaccardOf(t.read())` runs over the manifest-planned scan.
+    * Oracle is the same exact-Jaccard SQL as the raw-parquet op.
+    */
+  def lakePipelineCompose(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "pipedocs"), Tables.documents(s, d))
+    graft.pipeline.Dedup.ngramJaccardOf(t.read())
+  }
+
+  val lakePipelineComposeSql: String = graft.pipeline.Dedup.jaccardSql
+
   // ---- export -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -511,7 +525,8 @@ object LakeQueries {
     "lake_ctas"                -> (lakeCtas _),
     "lake_adopt"               -> (lakeAdopt _),
     "lake_compact"             -> (lakeCompact _),
-    "lake_incremental"         -> (lakeIncremental _))
+    "lake_incremental"         -> (lakeIncremental _),
+    "lake_pipeline_compose"    -> (lakePipelineCompose _))
 
   val oracles: Map[String, String] = Map(
     "lake_create"              -> lakeCreateSql,
@@ -540,5 +555,6 @@ object LakeQueries {
     "lake_ctas"                -> lakeCtasSql,
     "lake_adopt"               -> lakeAdoptSql,
     "lake_compact"             -> lakeCompactSql,
-    "lake_incremental"         -> lakeIncrementalSql)
+    "lake_incremental"         -> lakeIncrementalSql,
+    "lake_pipeline_compose"    -> lakePipelineComposeSql)
 }

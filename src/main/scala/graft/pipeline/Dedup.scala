@@ -40,9 +40,6 @@ object Dedup {
   private def shinglesOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), exprs.wordShingles(col("text"), 3).as("shs"))
 
-  private def docShingles(s: SparkSession, d: String): DataFrame =
-    shinglesOf(Tables.documents(s, d))
-
   /** (doc_id, hs: array<long>) — 64-bit-hashed shingle set, the sketch
     * input (no string materialization at all).
     */
@@ -104,8 +101,11 @@ object Dedup {
     * both AQE-splittable. The oracle is the *exact* J ≥ 0.5 pair set;
     * matching it is the recall-≈-1 evidence.
     */
-  def minhash(s: SparkSession, d: String): DataFrame = {
-    val sigs = docShingleHashes(s, d)
+  def minhash(s: SparkSession, d: String): DataFrame =
+    minhashOf(Tables.documents(s, d))
+
+  def minhashOf(docs: DataFrame): DataFrame = {
+    val sigs = shingleHashesOf(docs)
       .select(col("doc_id"),
         exprs.minHashBands(col("hs"), Seed, 128, 32).as("bands"))
     val cand = sigs
@@ -116,7 +116,7 @@ object Dedup {
       .select(explode(bucketPairs(col("ids"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-    verified(joinShingleSets(Tables.documents(s, d), cand))
+    verified(joinShingleSets(docs, cand))
   }
 
   /** C3 `dedup_simhash`: 64-bit SimHash over the trigram-shingle set
@@ -127,8 +127,11 @@ object Dedup {
     * driver check; the spec asserts it recovers the exact-Jaccard
     * pairs at sf0.001.
     */
-  def simhash(s: SparkSession, d: String): DataFrame = {
-    val sigs = docShingleHashes(s, d)
+  def simhash(s: SparkSession, d: String): DataFrame =
+    simhashOf(Tables.documents(s, d))
+
+  def simhashOf(docs: DataFrame): DataFrame = {
+    val sigs = shingleHashesOf(docs)
       .select(col("doc_id"), exprs.simHash(col("hs")).as("sim"))
     // 8 bands × 8 bits: a pair within Hamming ≤ 8 escapes only if every
     // differing bit lands in a distinct band — high recall, and random

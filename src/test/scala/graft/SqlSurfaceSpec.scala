@@ -70,6 +70,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(e3.getMessage.contains("neither a table column nor a dependency destination"))
   }
 
+  test("empty tables survive the full DML/maintenance surface") {
+    spark.sql(
+      """CREATE TABLE empty_t (id BIGINT, k STRING) USING parquet
+        |OPTIONS (addTableManagement 'true',
+        |         path '/root/repo/target/laketest/sql-empty')
+        |PARTITIONED BY (k)""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM empty_t").collect().head.getLong(0) === 0L)
+    spark.sql("DELETE FROM empty_t WHERE k = 'x'") // metadata path, no files
+    spark.sql("OPTIMIZE empty_t")                  // nothing fragmented: no-op
+    spark.sql("VACUUM empty_t")
+    assert(spark.sql("SELECT count(*) AS n FROM empty_t").collect().head.getLong(0) === 0L)
+    spark.sql("INSERT INTO empty_t SELECT 1, 'a'")
+    assert(spark.sql("SELECT count(*) AS n FROM empty_t").collect().head.getLong(0) === 1L)
+    spark.sql("DROP TABLE empty_t")
+  }
+
   test("TRUNCATE TABLE is metadata-only and time-travel keeps history") {
     val t = mkTable("trunc")
     GraftCatalog.register("t_trunc", t.root)
