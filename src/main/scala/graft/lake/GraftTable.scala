@@ -337,10 +337,11 @@ final class GraftTable(val root: String, spark: SparkSession) {
         val (dropped, kept) = cur.files.partition { f =>
           cs.forall { case (c, con) =>
             f.partition.get(c).exists { raw =>
-              val v = Pruning.parsePartitionValue(raw,
+              // accepts() handles the null sentinel (three-valued):
+              // `DELETE WHERE k IS NULL` drops null partitions here too
+              con.accepts(Pruning.parsePartitionValue(raw,
                 sch.fields.find(_.name == c).map(_.dataType)
-                  .getOrElse(org.apache.spark.sql.types.StringType))
-              v != null && con.accepts(v)
+                  .getOrElse(org.apache.spark.sql.types.StringType)))
             }
           }
         }

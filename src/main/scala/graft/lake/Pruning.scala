@@ -26,15 +26,26 @@ object Pruning {
   final case class Constraint(
       eqs: Option[Set[Any]] = None,
       lo: Option[(Any, Boolean)] = None, // (bound, inclusive)
-      hi: Option[(Any, Boolean)] = None) {
+      hi: Option[(Any, Boolean)] = None,
+      nullness: Option[Boolean] = None) { // Some(true)=IS NULL, Some(false)=IS NOT NULL
 
-    def and(o: Constraint): Constraint = Constraint(
-      (eqs, o.eqs) match {
+    def and(o: Constraint): Constraint = {
+      val mergedEqs = (eqs, o.eqs) match {
         case (Some(a), Some(b)) => Some(a.intersect(b))
         case (a, b)             => a.orElse(b)
-      },
-      tighter(lo, o.lo, isLo = true),
-      tighter(hi, o.hi, isLo = false))
+      }
+      // IS NULL ∧ IS NOT NULL: no value satisfies — encode via empty eq-set
+      val conflict = (for (a <- nullness; b <- o.nullness) yield a != b).getOrElse(false)
+      Constraint(
+        if (conflict) Some(Set.empty[Any]) else mergedEqs,
+        tighter(lo, o.lo, isLo = true),
+        tighter(hi, o.hi, isLo = false),
+        nullness.orElse(o.nullness))
+    }
+
+    private def nullConflict: Boolean =
+      nullness.contains(true) &&
+        (eqs.exists(_.nonEmpty) || lo.isDefined || hi.isDefined)
 
     def impossible: Boolean = {
       val eqEmpty = eqs.exists(_.isEmpty)
@@ -43,7 +54,7 @@ object Pruning {
         val c = cmp(l, h)
         c > 0 || (c == 0 && !(li && hi2))
       }).getOrElse(false)
-      eqEmpty || eqOut || loHi
+      eqEmpty || eqOut || loHi || nullConflict
     }
 
     def inInterval(v: Any): Boolean = {
@@ -64,8 +75,16 @@ object Pruning {
       okEq && okLo && okHi
     }
 
-    /** Does a single (partition) value satisfy this constraint? */
-    def accepts(v: Any): Boolean = eqs.forall(_.exists(e => cmp(e, v) == 0)) && inInterval(v)
+    /** Does a single (partition) value satisfy this constraint?
+      * Three-valued-logic aware: null satisfies only a pure IS NULL
+      * constraint; every comparison/IN rejects null.
+      */
+    def accepts(v: Any): Boolean =
+      if (v == null)
+        nullness.contains(true) && !eqs.exists(_.nonEmpty) && lo.isEmpty && hi.isEmpty
+      else
+        !nullness.contains(true) &&
+          eqs.forall(_.exists(e => cmp(e, v) == 0)) && inInterval(v)
   }
 
   private def tighter(a: Option[(Any, Boolean)], b: Option[(Any, Boolean)], isLo: Boolean) =
@@ -137,6 +156,13 @@ object Pruning {
         if f.nameParts.length == 1 && f.nameParts.head.equalsIgnoreCase("in") &&
           f.arguments.length >= 2 =>
       extract(In(f.arguments.head, f.arguments.tail))
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.length == 1 && f.arguments.length == 1 =>
+      f.nameParts.head.toLowerCase match {
+        case "isnull"    => extract(IsNull(f.arguments.head))
+        case "isnotnull" => extract(IsNotNull(f.arguments.head))
+        case _           => Map.empty
+      }
     case And(l, r) =>
       val a = extract(l); val b = extract(r)
       (a.keySet ++ b.keySet).map { k =>
@@ -167,6 +193,10 @@ object Pruning {
       one(a, Constraint(lo = Some((litValue(v).get, true))))
     case In(a, vs) if attrIsPlain(a) && vs.forall(litValue(_).isDefined) =>
       one(a, Constraint(eqs = Some(vs.flatMap(litValue).toSet)))
+    case IsNull(a) if attrIsPlain(a) =>
+      one(a, Constraint(nullness = Some(true)))
+    case IsNotNull(a) if attrIsPlain(a) =>
+      one(a, Constraint(nullness = Some(false)))
     case _ => Map.empty // ORs, UDFs, casts-on-attr, …: no pruning
   }
 
@@ -184,10 +214,15 @@ object Pruning {
         if f.nameParts.length == 1 && f.arguments.length == 2 &&
           Set("and", "=", ">", ">=", "<", "<=", "in")(f.nameParts.head.toLowerCase) =>
       extractExact(normalizeFn(f))
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.length == 1 && f.arguments.length == 1 &&
+          Set("isnull", "isnotnull")(f.nameParts.head.toLowerCase) =>
+      if (f.nameParts.head.equalsIgnoreCase("isnull")) extractExact(IsNull(f.arguments.head))
+      else extractExact(IsNotNull(f.arguments.head))
     case And(l, r) =>
       for (a <- extractExact(l); b <- extractExact(r)) yield mergeAnd(a, b)
     case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
-         _: LessThan | _: LessThanOrEqual | _: In =>
+         _: LessThan | _: LessThanOrEqual | _: In | _: IsNull | _: IsNotNull =>
       val m = extract(e)
       if (m.nonEmpty) Some(m) else None // recognized shape but opaque operand
     case _ => None
@@ -247,13 +282,15 @@ object Pruning {
     val inferred = deps.flatMap { dep =>
       cs.get(dep.src).flatMap { c =>
         val eqMapped = c.eqs.map(_.map(v => toComparable(Deps.apply(dep.transform, fromComparable(v)))))
+        // all transforms are null-preserving, so src nullness carries
+        // to the destination column verbatim
         if (Deps.monotone(dep.transform)) {
           val lo2 = c.lo.map { case (v, _) => (toComparable(Deps.apply(dep.transform, fromComparable(v))), true) }
           val hi2 = c.hi.map { case (v, _) => (toComparable(Deps.apply(dep.transform, fromComparable(v))), true) }
-          Some(dep.dest -> Constraint(eqMapped, lo2, hi2))
-        } else {
-          eqMapped.map(es => dep.dest -> Constraint(eqs = Some(es)))
-        }
+          Some(dep.dest -> Constraint(eqMapped, lo2, hi2, c.nullness))
+        } else if (eqMapped.isDefined || c.nullness.isDefined) {
+          Some(dep.dest -> Constraint(eqs = eqMapped, nullness = c.nullness))
+        } else None
       }
     }.toMap
     // inferred constraints are additive to any direct dest constraints
@@ -281,10 +318,13 @@ object Pruning {
     cs.forall { case (colName, c) =>
       f.partition.get(colName) match {
         case Some(raw) =>
-          val v = parsePartitionValue(raw, partTypes.getOrElse(colName, StringType))
-          // every extracted constraint shape (=, <, >, IN, AND of those)
-          // is null-rejecting, so a null partition value cannot match
-          v != null && c.accepts(v)
+          // accepts() is three-valued-logic aware: the Hive null
+          // sentinel parses to null and satisfies only IS NULL
+          c.accepts(parsePartitionValue(raw, partTypes.getOrElse(colName, StringType)))
+        case None if c.nullness.contains(true) =>
+          // IS NULL: footer null counts decide — a file with zero
+          // recorded nulls cannot contain a matching row
+          f.stats.get(colName).forall(_.nulls > 0)
         case None =>
           f.stats.get(colName) match {
             case Some(st) if st.min != null && st.max != null &&

@@ -15,6 +15,29 @@ class LakeSpec extends SparkSpec {
     GraftTable.create(spark, tmp(name), o, parts, deps)
   }
 
+  test("IS NULL pruning: partitions, footer null counts, metadata delete") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("a"), Option(10L)), (2L, Option.empty[String], Option(20L)),
+      (3L, Option("b"), Option.empty[Long]), (4L, Option.empty[String], Option(40L)),
+      (5L, Option("a"), Option(50L))).toDF("id", "k", "v")
+    val t = GraftTable.create(spark, tmp("nullprune"),
+      df.repartition(col("k")), partitionCols = Seq("k"))
+    // partition-level: IS NULL selects only the null-partition files
+    val (nullFiles, total, _) = t.pruneFiles(col("k").isNull)
+    assert(nullFiles.nonEmpty && nullFiles.size < total)
+    assert(nullFiles.forall(_.partition("k") == Pruning.HiveNullPartition))
+    // stats-level: files whose v column has no nulls are skipped
+    val (vNull, _, _) = t.pruneFiles(col("v").isNull)
+    assert(vNull.forall(_.stats.get("v").forall(_.nulls > 0)))
+    assert(t.scan(col("v").isNull).count() === 1)
+    // metadata-only delete of the null partition
+    t.delete(col("k").isNull)
+    assert(t.current.addedFiles === 0, "IS NULL partition delete is metadata-only")
+    assert(t.read().count() === 3)
+    assert(t.read().filter(col("k").isNull).count() === 0)
+  }
+
   test("partition-predicate delete is metadata-only: no files written") {
     val o = Tables.orders(spark, sfDir)
     val t = GraftTable.create(spark, tmp("metadel"),
