@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.types.StructType
+
+import graft.lake.GraftTable
+
+/** A graft table as a Structured Streaming SOURCE: offsets are snapshot
+  * ids, and each micro-batch reads exactly the data files added in
+  * `(startId, endId]` through the manifest scan path — the Delta-style
+  * "streaming read of a table" (SURVEY.md §2.D6). Combined with the
+  * exactly-once [[graft.lake.GraftTable.appendBatch]] sink, two graft
+  * tables chain into an incremental pipeline with end-to-end
+  * exactly-once semantics.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream
+  *     .format("graft.streaming.GraftSourceProvider")
+  *     .option("path", tableRoot)
+  *     .load()
+  * }}}
+  *
+  * Scale notes: getOffset is one version-hint read; getBatch plans from
+  * manifests only (no listing), and a batch's input is exactly the
+  * appended files — consumers never rescan history. Snapshots that
+  * REWRITE files (delete/update/compact) surface rewritten files as
+  * additions, same contract as [[graft.lake.GraftTable.readIncremental]];
+  * pure-append workloads (the streaming case) see each row once.
+  * Schema is pinned at stream start (streaming requires it); evolve
+  * the table ⇒ restart the stream.
+  */
+class GraftSourceProvider extends StreamSourceProvider {
+
+  private def root(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft source requires option 'path'"))
+
+  override def sourceSchema(
+      sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    ("graft", schema.getOrElse(
+      new GraftTable(root(parameters), sqlContext.sparkSession).schema))
+
+  override def createSource(
+      sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): Source =
+    new GraftSource(sqlContext.sparkSession, root(parameters))
+}
+
+class GraftSource(spark: SparkSession, root: String) extends Source {
+
+  private val table = new GraftTable(root, spark)
+
+  override val schema: StructType = table.schema
+
+  /** Latest committed snapshot id (one version-hint read). */
+  override def getOffset: Option[Offset] = {
+    val id = table.currentId
+    if (id <= 0) None else Some(LongOffset(id))
+  }
+
+  // offsets arrive as LongOffset within a run and as SerializedOffset
+  // (raw json, here just the number) after a checkpoint restart
+  private def idOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other         => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endSnap = table.snapshot(idOf(end))
+    val seen = start.map(o => table.snapshot(idOf(o)).files.map(_.path).toSet)
+      .getOrElse(Set.empty[String])
+    val increment = endSnap.copy(files = endSnap.files.filterNot(f => seen.contains(f.path)))
+    org.apache.spark.sql.graft.GraftFileIndex
+      .relation(spark, root, increment, isStreaming = true)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftSource[$root]"
+}

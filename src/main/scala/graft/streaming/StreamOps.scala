@@ -196,17 +196,45 @@ object StreamOps {
       |FROM events JOIN nation ON user_id % 25 = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** D6 `stream_lake_source`: a graft TABLE as the streaming source —
+    * snapshot ids are the offsets, each batch reads exactly the files
+    * added since the last consumed snapshot ([[GraftSource]]). Here a
+    * two-snapshot table is drained through the source and aggregated;
+    * the oracle is the plain batch aggregate over the same rows.
+    */
+  def lakeSource(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.GraftTable
+    val root = s"/root/repo/target/lakework/streamsrc-${math.abs(d.hashCode)}"
+    val ev = eventsBatch(s, d).select(col("event_id"), col("event_type"), col("value"))
+    val t = GraftTable.create(s, root, ev.filter(col("event_id") % 2 === 0))
+    t.append(ev.filter(col("event_id") % 2 =!= 0))
+    val src = s.readStream.format("graft.streaming.GraftSourceProvider")
+      .option("path", root).load()
+    val agg = src.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    drain(agg, s, s"graft_stream_src_${math.abs(d.hashCode)}")
+      .orderBy(col("event_type"))
+  }
+
+  /** Batch twin of [[eventsStream]] (same nanos handling). */
+  private def eventsBatch(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+
+  val lakeSourceSql: String = lakeSinkSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg"  -> (windowAgg _),
     "stream_sessionize"  -> (sessionize _),
     "stream_lake_sink"   -> (lakeSink _),
     "stream_dedup"       -> (dedupStream _),
-    "stream_static_join" -> (staticJoin _))
+    "stream_static_join" -> (staticJoin _),
+    "stream_lake_source" -> (lakeSource _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg"  -> windowAggSql,
     "stream_sessionize"  -> sessionizeSql,
     "stream_lake_sink"   -> lakeSinkSql,
     "stream_dedup"       -> dedupStreamSql,
-    "stream_static_join" -> staticJoinSql)
+    "stream_static_join" -> staticJoinSql,
+    "stream_lake_source" -> lakeSourceSql)
 }

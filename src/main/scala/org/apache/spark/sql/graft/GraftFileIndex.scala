@@ -114,7 +114,15 @@ object GraftFileIndex {
 
   /** DataFrame over a snapshot, planned by [[GraftFileIndex]]. */
   def relation(
-      spark: SparkSession, tableRoot: String, snapshot: Snapshot): DataFrame = {
+      spark: SparkSession, tableRoot: String, snapshot: Snapshot): DataFrame =
+    relation(spark, tableRoot, snapshot, isStreaming = false)
+
+  /** `isStreaming = true` produces the relation a streaming Source's
+    * getBatch must return (the plan is spliced into the micro-batch).
+    */
+  def relation(
+      spark: SparkSession, tableRoot: String, snapshot: Snapshot,
+      isStreaming: Boolean): DataFrame = {
     val fullSchema = DataType.fromJson(snapshot.schemaJson).asInstanceOf[StructType]
     val index = new GraftFileIndex(spark, tableRoot, snapshot, fullSchema)
     val dataSchema = StructType(
@@ -126,7 +134,7 @@ object GraftFileIndex {
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark.asInstanceOf[ClassicSession])
-    val plan = LogicalRelation(fsRelation)
+    val plan = LogicalRelation(fsRelation, isStreaming)
     // present columns in declared schema order (partition cols last in
     // the relation output otherwise)
     Shim.ofRows(spark, plan).select(fullSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
