@@ -222,13 +222,54 @@ object StreamOps {
 
   val lakeSourceSql: String = lakeSinkSql
 
+  /** D7 `stream_lake_e2e`: the full incremental pipeline — table A
+    * streams through [[GraftSource]] (snapshot-id offsets), each
+    * micro-batch is transformed and landed in table B via the
+    * idempotent tagged [[graft.lake.GraftTable.appendBatch]]. Source
+    * offsets checkpoint per batch and the sink dedupes replayed batch
+    * ids, so the chain is exactly-once END TO END: A's rows appear in
+    * B exactly once regardless of restarts. The oracle aggregates B's
+    * expected content straight from the raw events.
+    */
+  def lakeE2e(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.GraftTable
+    val h = math.abs(d.hashCode)
+    val srcRoot = s"/root/repo/target/lakework/e2esrc-$h"
+    val dstRoot = s"/root/repo/target/lakework/e2edst-$h"
+    val ev = eventsBatch(s, d).select(col("event_id"), col("event_type"), col("value"))
+    val a = GraftTable.create(s, srcRoot, ev.filter(col("event_id") % 3 === 0))
+    a.append(ev.filter(col("event_id") % 3 =!= 0))
+    val b = GraftTable.createEmpty(s, dstRoot,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value2", org.apache.spark.sql.types.DoubleType))),
+      Seq.empty, Seq.empty)
+    val q = s.readStream.format("graft.streaming.GraftSourceProvider")
+      .option("path", srcRoot).load()
+      .select(col("event_type"), (col("value") * 2).as("value2"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        b.appendBatch(batch, s"e2e-batch-$id"); () }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    b.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value2")), 2).as("total_v2"))
+      .orderBy(col("event_type"))
+  }
+
+  val lakeE2eSql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value * 2), 2) AS total_v2
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg"  -> (windowAgg _),
     "stream_sessionize"  -> (sessionize _),
     "stream_lake_sink"   -> (lakeSink _),
     "stream_dedup"       -> (dedupStream _),
     "stream_static_join" -> (staticJoin _),
-    "stream_lake_source" -> (lakeSource _))
+    "stream_lake_source" -> (lakeSource _),
+    "stream_lake_e2e"    -> (lakeE2e _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg"  -> windowAggSql,
@@ -236,5 +277,6 @@ object StreamOps {
     "stream_lake_sink"   -> lakeSinkSql,
     "stream_dedup"       -> dedupStreamSql,
     "stream_static_join" -> staticJoinSql,
-    "stream_lake_source" -> lakeSourceSql)
+    "stream_lake_source" -> lakeSourceSql,
+    "stream_lake_e2e"    -> lakeE2eSql)
 }
