@@ -70,9 +70,53 @@ final class GraftTable(val root: String, spark: SparkSession) {
 
   def snapshots: Seq[Snapshot] = snapshotIds.map(snapshot)
 
-  private def commit(s: Snapshot): Unit = {
+  private def lockDir = metaDir.resolve("commit.lock")
+
+  /** Serialize the COMMIT POINT (the version-pointer swap) across
+    * writers. Manifest creation alone cannot be the commit point: a
+    * staged manifest may be a parked write-audit-publish snapshot, so
+    * a writer that "skips past" it could rebase onto a stale file set
+    * and silently drop a concurrent committer's files. Local-FS atomic
+    * mkdir stands in for what an object-store deployment does with a
+    * conditional PUT / metastore lock (the reference leans on Hive
+    * metastore locking the same way). Held for one manifest write +
+    * one rename — never during data writes.
+    */
+  private def withCommitLock[T](f: => T): T = {
+    Files.createDirectories(metaDir)
+    var waitedMs = 0L
+    var held = false
+    while (!held) {
+      try { Files.createDirectory(lockDir); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (waitedMs > 10000) throw new java.util.ConcurrentModificationException(
+            s"commit lock on $root held >10s (crashed writer? remove $lockDir)")
+          Thread.sleep(10); waitedMs += 10
+      }
+    }
+    try f finally Files.deleteIfExists(lockDir)
+  }
+
+  /** Non-commutative commit (overwrite / DML / compaction / rollback):
+    * inside the lock, verify the table has not moved since the writer
+    * computed its file set (compare-and-swap on the parent id) — a
+    * concurrent append landing in between would otherwise be silently
+    * dropped from the new snapshot's file list.
+    */
+  private def commit(s0: Snapshot): Unit = withCommitLock {
+    // no version hint yet = the creating commit (parentId -1)
+    val cur = if (Files.exists(metaDir.resolve("version-hint.txt"))) currentId else -1L
+    if (cur != s0.parentId)
+      throw new java.util.ConcurrentModificationException(
+        s"table $root moved to snapshot $cur while this writer computed " +
+          s"against ${s0.parentId}; re-read and retry")
+    // a parked staged (write-audit-publish) snapshot occupying the next
+    // id is NOT a conflict — step over it; ids need not be dense
+    val s = if (Files.exists(metaDir.resolve(s"snapshot-${s0.id}.json")))
+      s0.copy(id = math.max(s0.id, snapshotIds.max) + 1) else s0
     stage(s)
-    publish(s.id)
+    publishUnlocked(s.id)
   }
 
   /** Stage a snapshot WITHOUT making it current (the W of
@@ -97,10 +141,13 @@ final class GraftTable(val root: String, spark: SparkSession) {
   }
 
   /** Make a staged snapshot current (the P of write-audit-publish). */
-  def publish(id: Long): Unit = {
+  def publish(id: Long): Unit = withCommitLock { publishUnlocked(id) }
+
+  private def publishUnlocked(id: Long): Unit = {
     require(Files.exists(metaDir.resolve(s"snapshot-$id.json")),
       s"no staged snapshot $id under $root")
-    val tmp = metaDir.resolve(s"version-hint.tmp")
+    // unique temp name: concurrent publishers must never share one
+    val tmp = metaDir.resolve(s"version-hint.tmp-${UUID.randomUUID()}")
     Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, metaDir.resolve("version-hint.txt"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -115,11 +162,21 @@ final class GraftTable(val root: String, spark: SparkSession) {
   def stageAppend(df: DataFrame): Long = {
     val cur = current
     val added = writeFiles(df, cur.partitionCols, cur.deps, cur.id + 1)
-    stage(cur.copy(
-      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
-      operation = "append", files = cur.files ++ added,
-      addedFiles = added.size, deletedFiles = 0))
-    cur.id + 1
+    // staging does not take the commit lock (it never moves the
+    // pointer); on an id collision with a concurrent stager/committer
+    // just step to the next free id — gaps are fine, ids are not dense
+    var nid = math.max(cur.id, snapshotIds.max) + 1
+    var staged = false
+    while (!staged) {
+      try {
+        stage(cur.copy(
+          id = nid, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+          operation = "append", files = cur.files ++ added,
+          addedFiles = added.size, deletedFiles = 0))
+        staged = true
+      } catch { case _: java.util.ConcurrentModificationException => nid += 1 }
+    }
+    nid
   }
 
   /** Idempotent tagged append — the exactly-once primitive for
@@ -133,10 +190,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     else {
       val cur = current
       val added = writeFiles(df, cur.partitionCols, cur.deps, cur.id + 1)
-      commit(cur.copy(
-        id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
-        operation = batchTag, files = cur.files ++ added,
-        addedFiles = added.size, deletedFiles = 0))
+      commitAppend(added, batchTag)
       true
     }
   }
@@ -255,16 +309,36 @@ final class GraftTable(val root: String, spark: SparkSession) {
 
   // ---- DML ----------------------------------------------------------
 
+  /** Commit an append snapshot with automatic REBASE. Appends commute
+    * — the new files conflict with nobody's — so instead of the CAS
+    * failure non-commutative commits get, an append re-reads the
+    * current snapshot *inside the commit lock* and splices its files
+    * onto whatever is now current (the Iceberg fast-append retry
+    * model, which is what lets 1000 executors' jobs append to one
+    * table concurrently). The id is allocated as max(existing)+1 so a
+    * parked write-audit-publish snapshot occupying current+1 is
+    * stepped over, not spun on; data writes happened before the lock,
+    * so the critical section is one manifest write + one rename.
+    */
+  private[graft] def commitAppend(added: Seq[FileEntry], op: String): Snapshot =
+    withCommitLock {
+      val cur = current
+      val next = cur.copy(
+        id = math.max(cur.id, snapshotIds.max) + 1, parentId = cur.id,
+        tsMillis = nextTs(Some(cur)), operation = op,
+        files = cur.files ++ added, addedFiles = added.size, deletedFiles = 0)
+      stage(next)
+      publishUnlocked(next.id)
+      next
+    }
+
   /** INSERT INTO — append snapshot (reference: InsertIntoIcebergTable
-    * append mode).
+    * append mode). Concurrent appends both succeed via rebase-retry.
     */
   def append(df: DataFrame): GraftTable = {
     val cur = current
     val added = writeFiles(df, cur.partitionCols, cur.deps, cur.id + 1)
-    commit(cur.copy(
-      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
-      operation = "append", files = cur.files ++ added,
-      addedFiles = added.size, deletedFiles = 0))
+    commitAppend(added, "append")
     this
   }
 

@@ -57,20 +57,46 @@ class LakeSpec extends SparkSpec {
       o.filter(col("o_orderstatus") =!= "F" && !(col("o_totalprice") > 200000)).count())
   }
 
-  test("optimistic concurrency: a racing writer fails instead of clobbering") {
+  test("optimistic concurrency: writers step over a parked staged snapshot") {
     val o = Tables.orders(spark, sfDir).limit(100)
-    val t = GraftTable.create(spark, tmp("occ"),
-      o.repartition(col("o_orderstatus")), Seq("o_orderstatus"))
-    // writer A stages snapshot 2 (the id a concurrent writer would
-    // also target); writer B's append then races for the same id
-    val staged = t.stageAppend(o.repartition(col("o_orderstatus")))
+    val base = o.repartition(col("o_orderstatus"))
+    val t = GraftTable.create(spark, tmp("occ"), base, Seq("o_orderstatus"))
+    val n0 = t.read().count()
+    // writer A parks a write-audit-publish snapshot on the next id;
+    // writer B's append must neither clobber it, spin on it, nor fail —
+    // id occupation is not a conflict, only pointer movement is
+    val staged = t.stageAppend(base)
     assert(staged === 2L)
-    intercept[java.util.ConcurrentModificationException] {
-      t.append(o.repartition(col("o_orderstatus")))
+    t.append(base)
+    assert(t.currentId === 3L, "append allocated past the parked id")
+    assert(t.current.parentId === 1L)
+    assert(t.read().count() === n0 * 2)
+    assert(t.readAsOfId(staged).count() === n0 * 2, "parked snapshot intact")
+    t.abandonStaged(staged)
+    assert(t.currentId === 3L)
+  }
+
+  test("concurrent appends: every writer lands via rebase under the commit lock") {
+    val o = Tables.orders(spark, sfDir).limit(200)
+    val base = o.repartition(col("o_orderstatus"))
+    val t = GraftTable.create(spark, tmp("ccappend"), base, Seq("o_orderstatus"))
+    val n0 = t.read().count()
+    val slices = (0 until 4).map(i =>
+      o.filter(col("o_orderkey") % 4 === i).repartition(col("o_orderstatus")))
+    val expected = slices.map(_.count()).sum
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = slices.map { s =>
+      new Thread(() =>
+        try new GraftTable(tmp("ccappend"), spark).append(s)
+        catch { case e: Throwable => errors.add(e) })
     }
-    assert(t.currentId === 1L, "loser must not move the table")
-    t.publish(staged)
-    assert(t.currentId === 2L, "winner's snapshot publishes intact")
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"concurrent append failed: ${Option(errors.peek()).map(_.toString)}")
+    assert(t.read().count() === n0 + expected, "no append lost, none doubled")
+    assert(t.snapshots.count(_.operation == "append") === 4)
+    // lineage is a chain: every append's parent is another committed snapshot
+    val ids = t.snapshots.map(_.id).toSet
+    assert(t.snapshots.filter(_.parentId >= 0).forall(s => ids.contains(s.parentId)))
   }
 
   test("tagged appendBatch is idempotent under replay (exactly-once sink)") {
