@@ -255,8 +255,13 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * into a staging dir, move files into data/, harvest footer stats.
     */
   private def writeFiles(
-      df0: DataFrame, partitionCols: Seq[String], deps: Seq[DepSpec],
+      dfIn: DataFrame, partitionCols: Seq[String], deps: Seq[DepSpec],
       snapId: Long): Seq[FileEntry] = {
+    // renamed columns are written under their frozen physical name so
+    // all files of the table share one on-disk schema
+    val df0 = logicalToPhysical.foldLeft(dfIn) { case (d, (log, phys)) =>
+      if (d.columns.contains(log)) d.withColumnRenamed(log, phys) else d
+    }
     val df = deps.foldLeft(df0) { (d, dep) =>
       if (d.columns.contains(dep.dest)) d
       else {
@@ -545,6 +550,67 @@ final class GraftTable(val root: String, spark: SparkSession) {
     this
   }
 
+  /** ALTER TABLE … DROP COLUMN — metadata-only: the column vanishes
+    * from the snapshot schema while data files are untouched (parquet
+    * readers project to the requested schema, so the on-disk column is
+    * simply never read again). Time travel to pre-drop snapshots still
+    * sees it; at 100 TB this is the only sane drop — a rewrite would
+    * be a full-table job to delete bytes nobody will read.
+    */
+  def dropColumn(name: String): GraftTable = {
+    val cur = current
+    val sch = schema
+    require(sch.fieldNames.contains(name), s"no column $name on table $root")
+    require(!cur.partitionCols.contains(name), s"cannot drop partition column $name")
+    require(!cur.deps.exists(d => d.src == name || d.dest == name),
+      s"cannot drop column $name: used by a dependency transform")
+    val remaining = StructType(sch.fields.filterNot(_.name == name))
+    require(remaining.nonEmpty, "cannot drop the last column")
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "drop-column", schemaJson = remaining.json,
+      addedFiles = 0, deletedFiles = 0))
+    this
+  }
+
+  /** ALTER TABLE … RENAME COLUMN — metadata-only. The on-disk parquet
+    * name is frozen at first write; the snapshot schema carries a
+    * physical-name mapping in field metadata (the moral equivalent of
+    * Iceberg's field ids), so files written before and after the
+    * rename share one physical schema and nothing is rewritten. Reads
+    * alias physical → logical; writes rename logical → physical; stats
+    * pruning translates constraint keys the same way. Partition and
+    * dependency columns are not renamable (their names are baked into
+    * directory layout and dep specs).
+    */
+  def renameColumn(from: String, to: String): GraftTable = {
+    val cur = current
+    val sch = schema
+    require(sch.fieldNames.contains(from), s"no column $from on table $root")
+    require(!sch.fieldNames.contains(to), s"column $to already exists on table $root")
+    require(!cur.partitionCols.contains(from) &&
+      !cur.deps.exists(d => d.src == from || d.dest == from),
+      s"cannot rename partition/dependency column $from")
+    val fields = sch.fields.map { f =>
+      if (f.name != from) f
+      else StructField(to, f.dataType, f.nullable,
+        new MetadataBuilder().withMetadata(f.metadata)
+          .putString(GraftTable.PhysicalNameKey, GraftTable.physicalName(f)).build())
+    }
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "rename-column", schemaJson = StructType(fields).json,
+      addedFiles = 0, deletedFiles = 0))
+    this
+  }
+
+  /** logical → physical column names (non-identity entries only). */
+  private def logicalToPhysical: Map[String, String] =
+    if (!Files.exists(metaDir.resolve("version-hint.txt"))) Map.empty
+    else schema.fields.iterator
+      .map(f => f.name -> GraftTable.physicalName(f))
+      .filter(kv => kv._1 != kv._2).toMap
+
   /** OPTIMIZE … ZORDER BY: rewrite the table clustered on the Z-order
     * (Morton) key of the given integral columns — after compaction each
     * file covers a narrow min/max range on *every* listed column, so
@@ -556,8 +622,9 @@ final class GraftTable(val root: String, spark: SparkSession) {
   def optimizeZOrder(cols: Seq[String], nFiles: Int): GraftTable = {
     val cur = current
     val stats = cols.map { c =>
-      val mins = cur.files.flatMap(_.stats.get(c)).map(_.min.toLong)
-      val maxs = cur.files.flatMap(_.stats.get(c)).map(_.max.toLong)
+      val pc = logicalToPhysical.getOrElse(c, c) // manifest stats use physical names
+      val mins = cur.files.flatMap(_.stats.get(pc)).map(_.min.toLong)
+      val maxs = cur.files.flatMap(_.stats.get(pc)).map(_.max.toLong)
       require(mins.nonEmpty, s"no stats for zorder column $c")
       (mins.min, maxs.max)
     }
@@ -691,10 +758,13 @@ final class GraftTable(val root: String, spark: SparkSession) {
     */
   def pruneFiles(pred: Column): (Seq[FileEntry], Int, Map[String, Pruning.Constraint]) = {
     val cur = current
-    val cs0 = Pruning.extract(pred)
+    // constraints are extracted over logical names; manifest stats are
+    // keyed by the frozen physical names — translate before matching
+    val renames = logicalToPhysical
+    val cs0 = Pruning.extract(pred).map { case (k, c) => renames.getOrElse(k, k) -> c }
     val cs = Pruning.inferThroughDeps(cs0, cur.deps)
     val partTypes: Map[String, DataType] =
-      schema.fields.map(f => f.name -> f.dataType).toMap
+      schema.fields.map(f => GraftTable.physicalName(f) -> f.dataType).toMap
     if (cs.values.exists(_.impossible)) (Seq.empty, cur.files.size, cs)
     else (cur.files.filter(Pruning.fileSurvives(_, cs, partTypes)), cur.files.size, cs)
   }
@@ -735,6 +805,18 @@ final class GraftTable(val root: String, spark: SparkSession) {
 }
 
 object GraftTable {
+
+  /** Field-metadata key carrying a renamed column's frozen on-disk
+    * (parquet) name — see [[GraftTable.renameColumn]].
+    */
+  val PhysicalNameKey = "graftPhysicalName"
+
+  /** On-disk parquet name of a schema field (== logical name unless
+    * the column has been renamed).
+    */
+  def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
 
   private[lake] val snapshotCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Snapshot]()

@@ -318,6 +318,53 @@ object LakeQueries {
       |SELECT r_regionkey + 100, r_name, 'seeded' FROM region
       |ORDER BY n_nationkey""".stripMargin
 
+  // ---- A39 DROP COLUMN: metadata-only schema shrink ------------------
+
+  /** Drop is metadata-only: files written before the drop keep the
+    * column's bytes on disk, but the shrunk snapshot schema means the
+    * parquet reader never projects them; the post-drop append writes
+    * files without the column at all. Both generations read as one.
+    */
+  def lakeDropColumn(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "dropcol"), Tables.nation(s, d))
+    t.dropColumn("n_regionkey")
+    t.append(Tables.region(s, d).select(
+      (col("r_regionkey") + 100).as("n_nationkey"),
+      col("r_name").as("n_name")))
+    t.read().orderBy(col("n_nationkey"))
+  }
+
+  val lakeDropColumnSql =
+    """SELECT n_nationkey, n_name FROM nation
+      |UNION ALL
+      |SELECT r_regionkey + 100, r_name FROM region
+      |ORDER BY n_nationkey""".stripMargin
+
+  // ---- A40 RENAME COLUMN: metadata-only via physical-name mapping ----
+
+  /** Rename freezes the on-disk name in field metadata (Iceberg's
+    * field-id trick re-expressed): pre-rename files, post-rename files,
+    * and footer-stats pruning all keep working — the scan below prunes
+    * on the RENAMED column through the physical-name translation.
+    */
+  def lakeRenameColumn(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "renamecol"),
+      Tables.nation(s, d).select(col("n_nationkey"), col("n_name")))
+    t.renameColumn("n_name", "nation_name")
+    t.append(Tables.region(s, d).select(
+      (col("r_regionkey") + 100).as("n_nationkey"),
+      col("r_name").as("nation_name")))
+    t.scan(col("nation_name") >= "NATION_2")
+      .orderBy(col("n_nationkey"))
+  }
+
+  val lakeRenameColumnSql =
+    """SELECT * FROM (
+      |  SELECT n_nationkey, n_name AS nation_name FROM nation
+      |  UNION ALL
+      |  SELECT r_regionkey + 100, r_name FROM region)
+      |WHERE nation_name >= 'NATION_2' ORDER BY n_nationkey""".stripMargin
+
   // ---- A20 OPTIMIZE ZORDER: multi-column clustering compaction ------
 
   def lakeZOrder(s: SparkSession, d: String): DataFrame = {
@@ -517,6 +564,8 @@ object LakeQueries {
     "lake_prune_files"         -> (lakePruneFiles _),
     "lake_null_scan"           -> (lakeNullScan _),
     "lake_add_column"          -> (lakeAddColumn _),
+    "lake_drop_column"         -> (lakeDropColumn _),
+    "lake_rename_column"       -> (lakeRenameColumn _),
     "lake_sql_asof"            -> (lakeSqlAsOf _),
     "lake_zorder"              -> (lakeZOrder _),
     "lake_delete"              -> (lakeDelete _),
@@ -547,6 +596,8 @@ object LakeQueries {
     "lake_prune_files"         -> lakePruneFilesSql,
     "lake_null_scan"           -> lakeNullScanSql,
     "lake_add_column"          -> lakeAddColumnSql,
+    "lake_drop_column"         -> lakeDropColumnSql,
+    "lake_rename_column"       -> lakeRenameColumnSql,
     "lake_sql_asof"            -> lakeSqlAsOfSql,
     "lake_zorder"              -> lakeZOrderSql,
     "lake_delete"              -> lakeDeleteSql,

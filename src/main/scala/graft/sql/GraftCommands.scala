@@ -211,6 +211,33 @@ case class GraftAddColumnsCommand(
   }
 }
 
+/** ALTER TABLE t DROP COLUMN c — metadata-only schema evolution
+  * ([[graft.lake.GraftTable.dropColumn]]).
+  */
+case class GraftDropColumnsCommand(
+    name: String, cols: Seq[String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    val t = new GraftTable(root, session)
+    cols.foreach(t.dropColumn)
+    Seq.empty
+  }
+}
+
+/** ALTER TABLE t RENAME COLUMN a TO b — metadata-only via the frozen
+  * physical-name mapping ([[graft.lake.GraftTable.renameColumn]]).
+  */
+case class GraftRenameColumnCommand(
+    name: String, from: String, to: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    new GraftTable(root, session).renameColumn(from, to)
+    Seq.empty
+  }
+}
+
 /** DELETE FROM t [WHERE pred] — copy-on-write snapshot delete
   * ([[graft.lake.GraftTable.delete]]). The predicate is carried as an
   * opaque [[org.apache.spark.sql.Column]] (not an Expression field):

@@ -206,8 +206,22 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case ac: logical.AddColumns if identName(ac.table).exists(GraftCatalog.lookup(_).isDefined) =>
         GraftAddColumnsCommand(identName(ac.table).get,
           ac.columnsToAdd.map(c => (c.colName, c.dataType)))
+      case dc: logical.DropColumns
+          if identName(dc.table).exists(GraftCatalog.lookup(_).isDefined) =>
+        GraftDropColumnsCommand(identName(dc.table).get,
+          dc.columnsToDrop.map(fieldName))
+      case rc: logical.RenameColumn
+          if identName(rc.table).exists(GraftCatalog.lookup(_).isDefined) =>
+        GraftRenameColumnCommand(identName(rc.table).get,
+          fieldName(rc.column), rc.newName)
       case p => substitute(p, asOf)
     }
+  }
+
+  /** Terminal column name of an ALTER COLUMN field reference. */
+  private def fieldName(f: Any): String = f match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName => u.name.last
+    case other => throw new IllegalArgumentException(s"unsupported column reference $other")
   }
 
   /** DDL target identifier (UnresolvedIdentifier / UnresolvedTable). */

@@ -124,9 +124,14 @@ object GraftFileIndex {
       spark: SparkSession, tableRoot: String, snapshot: Snapshot,
       isStreaming: Boolean): DataFrame = {
     val fullSchema = DataType.fromJson(snapshot.schemaJson).asInstanceOf[StructType]
-    val index = new GraftFileIndex(spark, tableRoot, snapshot, fullSchema)
+    // the relation is built over the frozen on-disk (physical) names —
+    // renamed columns are aliased back to their logical names below, so
+    // files written before and after a rename read through one schema
+    val physSchema = StructType(
+      fullSchema.fields.map(f => f.copy(name = graft.lake.GraftTable.physicalName(f))))
+    val index = new GraftFileIndex(spark, tableRoot, snapshot, physSchema)
     val dataSchema = StructType(
-      fullSchema.fields.filterNot(f => index.partitionSchema.fieldNames.contains(f.name)))
+      physSchema.fields.filterNot(f => index.partitionSchema.fieldNames.contains(f.name)))
     val fsRelation = HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
@@ -135,8 +140,10 @@ object GraftFileIndex {
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark.asInstanceOf[ClassicSession])
     val plan = LogicalRelation(fsRelation, isStreaming)
-    // present columns in declared schema order (partition cols last in
-    // the relation output otherwise)
-    Shim.ofRows(spark, plan).select(fullSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    // declared schema order (partition cols land last in the relation
+    // output otherwise) + physical → logical aliasing
+    Shim.ofRows(spark, plan).select(fullSchema.fields.map { f =>
+      org.apache.spark.sql.functions.col(graft.lake.GraftTable.physicalName(f)).as(f.name)
+    }: _*)
   }
 }

@@ -99,6 +99,40 @@ class LakeSpec extends SparkSpec {
     assert(t.snapshots.filter(_.parentId >= 0).forall(s => ids.contains(s.parentId)))
   }
 
+  test("schema evolution: drop and rename are metadata-only, pruning survives rename") {
+    val o = Tables.orders(spark, sfDir).limit(1000)
+    val t = GraftTable.create(spark, tmp("evolve"),
+      o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus")).repartition(col("o_orderstatus")),
+      Seq("o_orderstatus"))
+    val idBefore = t.currentId
+    t.dropColumn("o_custkey")
+    assert(t.current.addedFiles === 0, "drop is metadata-only")
+    assert(!t.read().columns.contains("o_custkey"))
+    assert(t.readAsOfId(idBefore).columns.contains("o_custkey"),
+      "time travel sees the pre-drop schema")
+    t.renameColumn("o_totalprice", "price")
+    assert(t.current.addedFiles === 0, "rename is metadata-only")
+    val expect = o.filter(col("o_totalprice") > 100000).count()
+    assert(t.scan(col("price") > 100000).count() === expect)
+    // footer-stats pruning translates the logical name to the frozen
+    // physical name: an impossible range on `price` must prune via the
+    // o_totalprice-keyed stats
+    val (survivors, total, _) = t.pruneFiles(col("price") > 1e12)
+    assert(total > 0 && survivors.isEmpty, "stats pruning works through rename")
+    // appends after the rename write the physical name; one schema reads both
+    val n0 = t.read().count()
+    t.append(t.read().limit(10))
+    assert(t.read().count() === n0 + 10)
+    // copy-on-write DML through the renamed column
+    t.delete(col("price") > 100000)
+    assert(t.read().filter(col("price") > 100000).count() === 0)
+    assert(t.read().count() > 0)
+    // guards: partition/dep columns are not evolvable
+    intercept[IllegalArgumentException](t.dropColumn("o_orderstatus"))
+    intercept[IllegalArgumentException](t.renameColumn("o_orderstatus", "st"))
+  }
+
   test("tagged appendBatch is idempotent under replay (exactly-once sink)") {
     val o = Tables.orders(spark, sfDir).limit(500)
     val t = GraftTable.create(spark, tmp("batchtag"),

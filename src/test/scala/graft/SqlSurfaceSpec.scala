@@ -126,6 +126,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t.root)))
   }
 
+  test("ALTER TABLE DROP COLUMN and RENAME COLUMN from SQL, metadata-only") {
+    val t = mkTable("evolveddl")
+    GraftCatalog.register("t_evolve", t.root)
+    val filesBefore = t.current.files.map(_.path).toSet
+    spark.sql("ALTER TABLE t_evolve DROP COLUMN o_orderpriority")
+    spark.sql("ALTER TABLE t_evolve RENAME COLUMN o_totalprice TO price")
+    val t2 = new GraftTable(t.root, spark)
+    assert(!t2.schema.fieldNames.contains("o_orderpriority"))
+    assert(t2.schema.fieldNames.contains("price"))
+    assert(t2.current.files.map(_.path).toSet === filesBefore, "no data rewritten")
+    // renamed column is queryable and filterable through SQL
+    val n = spark.sql("SELECT price FROM t_evolve WHERE price > 100000").collect().length
+    assert(n === t2.read().filter(col("price") > 100000).count())
+    spark.sql("DROP TABLE t_evolve")
+  }
+
   test("registered graft table is queryable from SQL (current snapshot)") {
     val t = mkTable("cur")
     GraftCatalog.register("t_cur", t.root)
