@@ -206,35 +206,118 @@ final class GraftTable(val root: String, spark: SparkSession) {
     GraftTable.snapshotCache.remove((root, id))
   }
 
-  // ---- named refs (tags) --------------------------------------------
+  // ---- named refs (tags + branches) ---------------------------------
 
   private def refsFile = metaDir.resolve("refs.json")
 
-  private def refs: Map[String, Long] =
+  /** name → (snapshot id, isBranch). Tags serialize as a bare number
+    * (the original format, still readable); branches as
+    * `{"id": N, "branch": true}`.
+    */
+  private def refEntries: Map[String, (Long, Boolean)] =
     if (!Files.exists(refsFile)) Map.empty
     else {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = mapper.readTree(Files.readAllBytes(refsFile))
       val it = node.fieldNames()
-      val b = Map.newBuilder[String, Long]
-      while (it.hasNext) { val k = it.next(); b += k -> node.get(k).asLong() }
+      val b = Map.newBuilder[String, (Long, Boolean)]
+      while (it.hasNext) {
+        val k = it.next(); val v = node.get(k)
+        if (v.isNumber) b += k -> (v.asLong(), false)
+        else b += k -> (v.get("id").asLong(), v.path("branch").asBoolean(false))
+      }
       b.result()
     }
 
-  /** Tag a snapshot with a stable name; `AS OF '<name>'` resolves it. */
-  def tag(name: String, id: Long): GraftTable = {
-    require(Files.exists(metaDir.resolve(s"snapshot-$id.json")), s"no snapshot $id")
+  private def writeRefEntries(m: Map[String, (Long, Boolean)]): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
-    (refs + (name -> id)).toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
-    val tmp = metaDir.resolve("refs.json.tmp")
+    m.toSeq.sortBy(_._1).foreach {
+      case (k, (id, false)) => node.put(k, id)
+      case (k, (id, true))  =>
+        val o = node.putObject(k); o.put("id", id); o.put("branch", true)
+    }
+    val tmp = metaDir.resolve(s"refs.json.tmp-${UUID.randomUUID()}")
     Files.write(tmp, mapper.writeValueAsBytes(node))
     Files.move(tmp, refsFile,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Tag a snapshot with a stable name; `AS OF '<name>'` resolves it. */
+  def tag(name: String, id: Long): GraftTable = withCommitLock {
+    require(Files.exists(metaDir.resolve(s"snapshot-$id.json")), s"no snapshot $id")
+    val m = refEntries
+    require(!m.get(name).exists(_._2), s"ref '$name' is a branch; tags cannot shadow it")
+    writeRefEntries(m + (name -> (id, false)))
     this
   }
 
-  def refId(name: String): Option[Long] = refs.get(name)
+  def refId(name: String): Option[Long] = refEntries.get(name).map(_._1)
+
+  /** Create a BRANCH — a mutable named ref with its own snapshot
+    * lineage (Iceberg branch refs re-expressed). Writers append to the
+    * branch without moving the main pointer; readers opt in via
+    * [[readRef]] / `AS OF '<branch>'`; main adopts the branch's work
+    * via [[fastForward]]. The staging/audit workflow at team scale:
+    * WAP with history.
+    */
+  def branch(name: String, fromId: Long = -1L): GraftTable = withCommitLock {
+    val at = if (fromId < 0) currentId else fromId
+    require(Files.exists(metaDir.resolve(s"snapshot-$at.json")), s"no snapshot $at")
+    val m = refEntries
+    require(!m.get(name).exists(!_._2), s"ref '$name' exists as a tag")
+    writeRefEntries(m + (name -> (at, true)))
+    this
+  }
+
+  /** Append onto a branch head: commits a snapshot parented at the
+    * branch head and advances the BRANCH pointer only — main readers
+    * never see it. Rebases onto the latest branch head inside the
+    * commit lock, same as [[commitAppend]] on main.
+    */
+  def appendToBranch(name: String, df: DataFrame): GraftTable = {
+    val (headId0, isBr) = refEntries.getOrElse(name,
+      throw new IllegalArgumentException(s"no ref '$name' on table $root"))
+    require(isBr, s"ref '$name' is a tag, not a branch")
+    val head0 = snapshot(headId0)
+    val added = writeFiles(df, head0.partitionCols, head0.deps, head0.id + 1)
+    withCommitLock {
+      val m = refEntries
+      val head = snapshot(m(name)._1) // re-read inside the lock: rebase
+      var nid = math.max(head.id, snapshotIds.max) + 1
+      var staged = false
+      while (!staged) {
+        try {
+          stage(head.copy(
+            id = nid, parentId = head.id, tsMillis = nextTs(Some(head)),
+            operation = "append", files = head.files ++ added,
+            addedFiles = added.size, deletedFiles = 0))
+          staged = true
+        } catch { case _: java.util.ConcurrentModificationException => nid += 1 }
+      }
+      writeRefEntries(m + (name -> (nid, true)))
+    }
+    this
+  }
+
+  /** Fast-forward MAIN to a branch head: a pure pointer move, legal
+    * only when the current snapshot is an ancestor of the branch head
+    * (otherwise the histories diverged and adopting the branch would
+    * silently drop main's commits).
+    */
+  def fastForward(name: String): GraftTable = withCommitLock {
+    val (headId, isBr) = refEntries.getOrElse(name,
+      throw new IllegalArgumentException(s"no ref '$name' on table $root"))
+    require(isBr, s"ref '$name' is a tag, not a branch")
+    val cur = currentId
+    var a = headId
+    while (a != cur && a >= 0) a = snapshot(a).parentId
+    require(a == cur,
+      s"cannot fast-forward: current snapshot $cur is not an ancestor of " +
+        s"branch '$name' head $headId — histories diverged")
+    publishUnlocked(headId)
+    this
+  }
 
   /** Time travel to a named tag. */
   def readRef(name: String): DataFrame =
@@ -707,7 +790,10 @@ final class GraftTable(val root: String, spark: SparkSession) {
     */
   def expire(keepFrom: Long, delete: Boolean = true): Seq[String] = {
     val cur = currentId
-    val (expired, retained) = snapshotIds.partition(id => id < keepFrom && id != cur)
+    // snapshots pinned by a named ref (tag or branch head) never expire
+    val pinned = refEntries.values.map(_._1).toSet
+    val (expired, retained) = snapshotIds.partition(id =>
+      id < keepFrom && id != cur && !pinned.contains(id))
     val live = retained.flatMap(id => snapshot(id).files.map(_.path)).toSet
     val orphans = expired.flatMap(id => snapshot(id).files.map(_.path)).distinct
       .filterNot(live.contains).sorted

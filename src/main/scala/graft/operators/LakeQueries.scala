@@ -59,6 +59,24 @@ object LakeQueries {
 
   val lakeAppendSql = s"SELECT $selSql FROM orders ORDER BY o_orderkey"
 
+  // ---- A41 branches: isolated lineage + fast-forward -----------------
+
+  /** Write to a branch, audit it, fast-forward main onto it — the
+    * team-scale write-audit-publish flow. Main never sees the branch
+    * until the fast-forward pointer move (no data copied at any step).
+    */
+  def lakeBranch(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val t = GraftTable.create(s, work(d, "branch"),
+      byStatus(o.filter(col("o_orderkey") < 5000)), Seq("o_orderstatus"))
+    t.branch("dev")
+    t.appendToBranch("dev", byStatus(o.filter(col("o_orderkey") >= 5000)))
+    t.fastForward("dev")
+    sel(t.read())
+  }
+
+  val lakeBranchSql = s"SELECT $selSql FROM orders ORDER BY o_orderkey"
+
   // ---- A3 overwrite (full table) ------------------------------------
 
   def lakeOverwrite(s: SparkSession, d: String): DataFrame = {
@@ -564,6 +582,7 @@ object LakeQueries {
     "lake_prune_files"         -> (lakePruneFiles _),
     "lake_null_scan"           -> (lakeNullScan _),
     "lake_add_column"          -> (lakeAddColumn _),
+    "lake_branch"              -> (lakeBranch _),
     "lake_drop_column"         -> (lakeDropColumn _),
     "lake_rename_column"       -> (lakeRenameColumn _),
     "lake_sql_asof"            -> (lakeSqlAsOf _),
@@ -596,6 +615,7 @@ object LakeQueries {
     "lake_prune_files"         -> lakePruneFilesSql,
     "lake_null_scan"           -> lakeNullScanSql,
     "lake_add_column"          -> lakeAddColumnSql,
+    "lake_branch"              -> lakeBranchSql,
     "lake_drop_column"         -> lakeDropColumnSql,
     "lake_rename_column"       -> lakeRenameColumnSql,
     "lake_sql_asof"            -> lakeSqlAsOfSql,

@@ -186,6 +186,41 @@ class LakeSpec extends SparkSpec {
     assert(n === t.snapshot(1).totalRows)
   }
 
+  test("branches: isolated lineage, fast-forward, divergence protection") {
+    val o = Tables.orders(spark, sfDir).limit(600)
+    val a = o.filter(col("o_orderkey") % 3 === 0).repartition(col("o_orderstatus"))
+    val b = o.filter(col("o_orderkey") % 3 === 1).repartition(col("o_orderstatus"))
+    val c = o.filter(col("o_orderkey") % 3 === 2).repartition(col("o_orderstatus"))
+    val t = GraftTable.create(spark, tmp("branch"), a, Seq("o_orderstatus"))
+    val na = t.read().count()
+    t.branch("dev")
+    t.appendToBranch("dev", b)
+    // branch writes are invisible on main; branch readers opt in
+    assert(t.currentId === 1L, "main pointer untouched by branch append")
+    assert(t.read().count() === na)
+    val nDev = t.readRef("dev").count()
+    assert(nDev === na + b.count())
+    // AS OF '<branch>' reads the branch head from SQL
+    graft.sql.GraftCatalog.register("t_branched", t.root)
+    assert(spark.sql("AS OF 'dev' SELECT count(*) AS n FROM t_branched")
+      .collect().head.getLong(0) === nDev)
+    // fast-forward: main adopts the branch lineage (pure pointer move)
+    t.fastForward("dev")
+    assert(t.read().count() === nDev)
+    // divergence: main and branch both move on → fast-forward refuses
+    t.append(c)
+    t.appendToBranch("dev", c)
+    intercept[IllegalArgumentException](t.fastForward("dev"))
+    // tag/branch namespaces are mutually protected
+    t.tag("v9", 1L)
+    intercept[IllegalArgumentException](t.appendToBranch("v9", c))
+    intercept[IllegalArgumentException](t.tag("dev", 1L))
+    // ref'd snapshots are pinned through expiration
+    t.expire(keepFrom = t.currentId)
+    assert(t.readRef("dev").count() === nDev + c.count())
+    assert(t.readRef("v9").count() === na)
+  }
+
   test("compaction packs fragmented partitions and leaves compact ones alone") {
     val o = Tables.orders(spark, sfDir)
     val t = GraftTable.create(spark, tmp("compact"),
