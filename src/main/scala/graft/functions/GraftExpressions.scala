@@ -89,14 +89,15 @@ case class WordShingles(child: Expression, n: Int)
 }
 
 /** Distinct word n-gram shingles hashed to 64 bits (array<long>). */
-case class ShingleHashes(child: Expression, n: Int)
+case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
-    Hashing.shingleHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    Hashing.shingleHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, distinct)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.shingleHashes($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.shingleHashes($c, $n, $distinct)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
   override def prettyName: String = "graft_shingle_hashes"
@@ -206,6 +207,9 @@ object exprs {
   def polyHash(c: Column): Column = col(PolyHash(ex(c)))
   def wordShingles(c: Column, n: Int): Column = col(WordShingles(ex(c), n))
   def shingleHashes(c: Column, n: Int): Column = col(ShingleHashes(ex(c), n))
+  /** Multiset variant: every n-gram occurrence, duplicates preserved. */
+  def shingleHashesAll(c: Column, n: Int): Column =
+    col(ShingleHashes(ex(c), n, distinct = false))
   def winnowFp(c: Column, k: Int, w: Int): Column = col(WinnowFingerprint(ex(c), k, w))
   def cosineSim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def simHash(c: Column): Column = col(SimHash64(ex(c)))

@@ -182,10 +182,17 @@ object Hashing {
   /** Distinct word n-gram shingles hashed to 64 bits in one kernel —
     * the zero-allocation-per-row path feeding MinHash/SimHash.
     */
-  def shingleHashes(s: UTF8String, n: Int): ArrayData = {
+  def shingleHashes(s: UTF8String, n: Int): ArrayData = shingleHashes(s, n, true)
+
+  /** `distinct = true` yields the shingle SET (MinHash/Jaccard input);
+    * `false` keeps every occurrence in order (multiset — repetition
+    * statistics need the duplicates the set variant collapses).
+    */
+  def shingleHashes(s: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     val toks = tokenize(s.toString)
     if (toks.length < n) return new GenericArrayData(Array.empty[Long])
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val seen = if (distinct) new java.util.LinkedHashSet[java.lang.Long]() else null
+    val all = if (distinct) null else new Array[Long](toks.length - n + 1)
     var i = 0
     val last = toks.length - n
     val sb = new java.lang.StringBuilder()
@@ -193,9 +200,11 @@ object Hashing {
       sb.setLength(0)
       var j = 0
       while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
-      seen.add(fnv64(sb.toString))
+      val h = fnv64(sb.toString)
+      if (distinct) seen.add(h) else all(i) = h
       i += 1
     }
+    if (!distinct) return new GenericArrayData(all)
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var p = 0

@@ -238,6 +238,63 @@ object TextOps {
        |FROM toks JOIN v USING (term), tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** C22 `text_repetition`: Gopher-style repetition signals — the
+    * quality-filter family that drops boilerplate/spam by how much of
+    * a document repeats itself: duplicate-line, duplicate-paragraph,
+    * duplicate-word and duplicate-2/3-gram fractions (each =
+    * (total − distinct) / total over the respective units). A narrow
+    * per-doc map with zero shuffles; the n-gram units ride the codegen
+    * [[graft.functions.exprs.shingleHashes]] kernel (64-bit hashes) so
+    * the hot path never materializes n-gram strings — the oracle
+    * recomputes over string n-grams, which agrees because the hash is
+    * injective on real corpora.
+    */
+  def repetitionOf(docs: DataFrame): DataFrame = {
+    def dupFrac(arr: Column): Column =
+      when(size(arr) === 0, lit(0.0))
+        .otherwise(round((size(arr) - size(array_distinct(arr)))
+          .cast("double") / size(arr), 6))
+    docs.select(col("doc_id"),
+      dupFrac(split(col("text"), "\n")).as("dup_line_frac"),
+      dupFrac(split(col("text"), "\n\n")).as("dup_para_frac"),
+      dupFrac(tokens(col("text"))).as("dup_word_frac"),
+      dupFrac(exprs.shingleHashesAll(col("text"), 2)).as("dup_2gram_frac"),
+      dupFrac(exprs.shingleHashesAll(col("text"), 3)).as("dup_3gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def repetition(s: SparkSession, d: String): DataFrame =
+    repetitionOf(Tables.documents(s, d))
+
+  val repetitionSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(text, chr(10)) AS ls,
+       |         string_split(text, chr(10) || chr(10)) AS ps,
+       |         $tokensSql AS w
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, ls, ps, w,
+       |    CASE WHEN len(w) >= 2
+       |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+       |      ELSE [] END AS g2,
+       |    CASE WHEN len(w) >= 3
+       |      THEN list_transform(range(1, len(w) - 1),
+       |             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |      ELSE [] END AS g3
+       |  FROM base)
+       |SELECT doc_id,
+       |  CASE WHEN len(ls) = 0 THEN 0.0 ELSE
+       |    round((len(ls) - len(list_distinct(ls))) / len(ls)::DOUBLE, 6) END AS dup_line_frac,
+       |  CASE WHEN len(ps) = 0 THEN 0.0 ELSE
+       |    round((len(ps) - len(list_distinct(ps))) / len(ps)::DOUBLE, 6) END AS dup_para_frac,
+       |  CASE WHEN len(w) = 0 THEN 0.0 ELSE
+       |    round((len(w) - len(list_distinct(w))) / len(w)::DOUBLE, 6) END AS dup_word_frac,
+       |  CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+       |    round((len(g2) - len(list_distinct(g2))) / len(g2)::DOUBLE, 6) END AS dup_2gram_frac,
+       |  CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+       |    round((len(g3) - len(list_distinct(g3))) / len(g3)::DOUBLE, 6) END AS dup_3gram_frac
+       |FROM g ORDER BY doc_id""".stripMargin
+
   /** C21 `text_contamination`: train/benchmark overlap detection — the
     * decontamination pass LLM training sets run against eval sets
     * (13-token-gram collision, the GPT-3 recipe). Benchmark docs here
@@ -330,6 +387,7 @@ object TextOps {
     "text_redact"      -> (redact _),
     "text_unigram_lp"  -> (unigramLogprob _),
     "text_contamination" -> (contamination _),
+    "text_repetition"  -> (repetition _),
     "text_tfidf"       -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
@@ -341,5 +399,6 @@ object TextOps {
     "text_redact"      -> redactSql,
     "text_unigram_lp"  -> unigramLogprobSql,
     "text_contamination" -> contaminationSql,
+    "text_repetition"  -> repetitionSql,
     "text_tfidf"       -> tfidfSql)
 }

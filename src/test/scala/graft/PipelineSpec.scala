@@ -75,6 +75,32 @@ class PipelineSpec extends SparkSpec {
     assert(got((3L, 4L)) === 1.0)
   }
 
+  test("repetition signals: line/para/word/ngram duplicate fractions on crafted docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // lines [x, x, x, y]: 4 total, 2 distinct → dup_line 2/4
+      (1L, "x\nx\nx\ny"),
+      // "spam spam spam spam": words 4→1 distinct = 3/4; bigrams 3→1 = 2/3
+      (2L, "spam spam spam spam"),
+      (3L, ""),          // empty: everything 0, no div-by-zero
+      (4L, "one"),       // 1 word: no bigrams → 0
+      (5L, "a b c d"),   // all distinct → all 0
+      (6L, "p q\n\np q") // identical paragraphs → dup_para 1/2
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionOf(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getDouble(1) === 0.5, "dup_line_frac")
+    assert(r(6L).getDouble(2) === 0.5, "dup_para_frac")
+    assert(r(2L).getDouble(3) === 0.75, "dup_word_frac")
+    assert(math.abs(r(2L).getDouble(4) - 0.666667) < 1e-9, "dup_2gram_frac")
+    assert(math.abs(r(2L).getDouble(5) - 0.5) < 1e-9, "dup_3gram_frac")
+    (1 to 6).foreach(i => assert(!r(i.toLong).anyNull, "no nulls, ANSI-safe"))
+    assert(Seq(1, 2, 3, 4, 5, 6).forall { i =>
+      val row = r(i.toLong); (1 to 5).forall(j => row.getDouble(j) >= 0.0 && row.getDouble(j) <= 1.0)
+    })
+    assert(r(3L).getDouble(3) === 0.0 && r(4L).getDouble(4) === 0.0 && r(5L).getDouble(5) === 0.0)
+  }
+
   test("edge-case corpus: empty, 1-word, unicode, punct-only docs flow through every text/dedup op") {
     import spark.implicits._
     val dir = "/root/repo/target/edgedocs"
