@@ -311,8 +311,60 @@ object Dedup {
       .toDF("n_even_docs", "n_odd_docs", "est_jaccard")
   }
 
+  /** C23 `dedup_lines`: cross-document line-level dedup — the CCNet /
+    * Gopher cleanup pass that strips boilerplate (nav bars, footers,
+    * license blurbs) *before* document-level dedup: any non-blank line
+    * occurring in ≥ 2 distinct documents is removed from every
+    * document; blank lines are document structure and always kept.
+    * Shape at 100 TB: explode → one groupBy keyed on the 64-bit line
+    * hash (partial-agg combinable; the line string never rides the
+    * dup-detection shuffle) → hash-keyed join back (the dup table is
+    * boilerplate-sized — AQE broadcasts it) → one per-doc reassembly
+    * groupBy. Reassembly order is exact via posexplode + array_sort on
+    * (pos, line). The oracle joins on the line string itself; results
+    * agree because xxhash64 is injective on real corpora.
+    */
+  def dedupLinesOf(docs: DataFrame): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "ln")))
+      .withColumn("lh", xxhash64(col("ln")))
+    val dup = lines.filter(trim(col("ln")) =!= "")
+      .groupBy(col("lh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("lh"), lit(true).as("is_dup"))
+    lines.join(dup, Seq("lh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("is_dup").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("is_dup").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("is_dup").isNull,
+            struct(col("pos"), col("ln"))))),
+          x => x.getField("ln")), "\n").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dedupLines(s: SparkSession, d: String): DataFrame =
+    dedupLinesOf(Tables.documents(s, d))
+
+  val dedupLinesSql: String =
+    """WITH base AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+      |l AS (SELECT doc_id, unnest(ls) AS ln,
+      |             unnest(range(1, len(ls) + 1)) AS pos FROM base),
+      |d AS (SELECT ln FROM l WHERE trim(ln) <> ''
+      |      GROUP BY ln HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT l.doc_id,
+      |  count(*) FILTER (WHERE d.ln IS NULL) AS n_kept,
+      |  count(*) FILTER (WHERE d.ln IS NOT NULL) AS n_dropped,
+      |  coalesce(string_agg(l.ln, chr(10) ORDER BY l.pos)
+      |             FILTER (WHERE d.ln IS NULL), '') AS clean_text
+      |FROM l LEFT JOIN d ON l.ln = d.ln
+      |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dataset_similarity"  -> (datasetSimilarity _),
+    "dedup_lines"         -> (dedupLines _),
     "dedup_exact"         -> (exact _),
     "dedup_minhash"       -> (minhash _),
     "dedup_simhash"       -> (simhash _),
@@ -320,6 +372,7 @@ object Dedup {
     "dedup_clusters"      -> (clusters _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_lines"         -> dedupLinesSql,
     "dedup_exact"         -> exactSql,
     "dedup_minhash"       -> jaccardSql,
     "dedup_ngram_jaccard" -> jaccardSql,

@@ -101,6 +101,24 @@ class PipelineSpec extends SparkSpec {
     assert(r(3L).getDouble(3) === 0.0 && r(4L).getDouble(4) === 0.0 && r(5L).getDouble(5) === 0.0)
   }
 
+  test("line dedup: cross-doc boilerplate dropped, intra-doc repeats and blanks kept, order exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "HEADER\nunique one\nFOOTER"),
+      (2L, "HEADER\nunique two\nFOOTER"),
+      (3L, "solo line\n\nHEADER"),       // blank line is structure, kept
+      (4L, "only mine\nonly mine"),      // repeats within ONE doc only → kept
+      (5L, "")                           // empty doc survives as one kept blank
+    ).toDF("doc_id", "text")
+    val r = Dedup.dedupLinesOf(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) === ((1L, 2L, "unique one")))
+    assert(r(2L) === ((1L, 2L, "unique two")))
+    assert(r(3L) === ((2L, 1L, "solo line\n")))
+    assert(r(4L) === ((2L, 0L, "only mine\nonly mine")))
+    assert(r(5L) === ((1L, 0L, "")))
+  }
+
   test("edge-case corpus: empty, 1-word, unicode, punct-only docs flow through every text/dedup op") {
     import spark.implicits._
     val dir = "/root/repo/target/edgedocs"
