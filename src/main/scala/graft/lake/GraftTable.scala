@@ -875,6 +875,17 @@ final class GraftTable(val root: String, spark: SparkSession) {
       .toDF("file_path", "partition", "n_rows", "n_bytes")
   }
 
+  /** `` t$refs `` — named refs (tags + branches) with their snapshot
+    * ids (reference parity with Iceberg's `refs` metadata table).
+    * `main` is reported as a branch at the current snapshot.
+    */
+  def refsView: DataFrame = {
+    import spark.implicits._
+    (("main", "BRANCH", currentId) +: refEntries.toSeq.sortBy(_._1)
+        .map { case (n, (id, isBr)) => (n, if (isBr) "BRANCH" else "TAG", id) })
+      .toDF("ref_name", "ref_type", "snapshot_id")
+  }
+
   /** `` t$partitions `` — per-partition rollup straight from the
     * manifest: O(metadata), zero data access. The operational
     * dashboard view (skew, fragmentation, size per partition).

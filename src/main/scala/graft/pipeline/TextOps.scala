@@ -295,6 +295,83 @@ object TextOps {
        |    round((len(g3) - len(list_distinct(g3))) / len(g3)::DOUBLE, 6) END AS dup_3gram_frac
        |FROM g ORDER BY doc_id""".stripMargin
 
+  /** C24 `corpus_filter`: the composed keep/drop gate a training-data
+    * pipeline runs ahead of dedup — Gopher-style rules over the same
+    * signal definitions as [[quality]] and [[repetitionOf]], evaluated
+    * in a fixed precedence so every dropped doc carries ONE
+    * deterministic reason. A narrow per-row map (zero shuffles): at
+    * 100 TB this is the cheapest pass in the pipeline and the one that
+    * pays for every later stage by shrinking the corpus first.
+    * Thresholds are the classic ones: ≥5 and ≤5000 words, punctuation
+    * ≤30 % of chars, ≥1 % English stopwords, ≤30 % duplicate
+    * lines/3-grams.
+    */
+  def corpusFilterOf(docs: DataFrame): DataFrame = {
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))
+    def dupFrac(arr: Column): Column =
+      when(size(arr) === 0, lit(0.0))
+        .otherwise(round((size(arr) - size(array_distinct(arr)))
+          .cast("double") / size(arr), 6))
+    docs.withColumn("toks", tokens(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("punct_ratio", round(
+        punct.cast("double") / greatest(length(col("text")).cast("long"), lit(1L)), 6))
+      .withColumn("stop_ratio", round(
+        size(filter(col("toks"), t => array_contains(array(stopEn.map(lit): _*), t)))
+          .cast("double") / greatest(col("n_words"), lit(1L)), 6))
+      .withColumn("dup_line_frac", dupFrac(split(col("text"), "\n")))
+      .withColumn("dup_3gram_frac", dupFrac(exprs.shingleHashesAll(col("text"), 3)))
+      .withColumn("reason",
+        when(col("n_words") < 5, "too_short")
+          .when(col("n_words") > 5000, "too_long")
+          .when(col("punct_ratio") > 0.3, "high_punct")
+          .when(col("stop_ratio") < 0.01, "low_stopword")
+          .when(col("dup_line_frac") > 0.3, "repetitive_lines")
+          .when(col("dup_3gram_frac") > 0.3, "repetitive_ngrams")
+          .otherwise("ok"))
+      .select(col("doc_id"), (col("reason") === "ok").as("keep"), col("reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  def corpusFilter(s: SparkSession, d: String): DataFrame =
+    corpusFilterOf(Tables.documents(s, d))
+
+  val corpusFilterSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, length(text) AS n_chars,
+       |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+       |    $tokensSql AS toks,
+       |    string_split(text, chr(10)) AS ls
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, ls, toks, n_chars, punct,
+       |    CASE WHEN len(toks) >= 3
+       |      THEN list_transform(range(1, len(toks) - 1),
+       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |      ELSE [] END AS g3
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id, len(toks) AS n_words,
+       |    round(punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
+       |    round(len(list_filter(toks, x -> list_contains(${sqlList(stopEn)}, x))) * 1.0
+       |          / greatest(len(toks), 1), 6) AS stop_ratio,
+       |    CASE WHEN len(ls) = 0 THEN 0.0 ELSE
+       |      round((len(ls) - len(list_distinct(ls))) / len(ls)::DOUBLE, 6) END AS dup_line_frac,
+       |    CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+       |      round((len(g3) - len(list_distinct(g3))) / len(g3)::DOUBLE, 6) END AS dup_3gram_frac
+       |  FROM g),
+       |rr AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_words < 5 THEN 'too_short'
+       |         WHEN n_words > 5000 THEN 'too_long'
+       |         WHEN punct_ratio > 0.3 THEN 'high_punct'
+       |         WHEN stop_ratio < 0.01 THEN 'low_stopword'
+       |         WHEN dup_line_frac > 0.3 THEN 'repetitive_lines'
+       |         WHEN dup_3gram_frac > 0.3 THEN 'repetitive_ngrams'
+       |         ELSE 'ok' END AS reason
+       |  FROM r)
+       |SELECT doc_id, reason = 'ok' AS keep, reason FROM rr ORDER BY doc_id""".stripMargin
+
   /** C21 `text_contamination`: train/benchmark overlap detection — the
     * decontamination pass LLM training sets run against eval sets
     * (13-token-gram collision, the GPT-3 recipe). Benchmark docs here
@@ -388,6 +465,7 @@ object TextOps {
     "text_unigram_lp"  -> (unigramLogprob _),
     "text_contamination" -> (contamination _),
     "text_repetition"  -> (repetition _),
+    "corpus_filter"    -> (corpusFilter _),
     "text_tfidf"       -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
@@ -400,5 +478,6 @@ object TextOps {
     "text_unigram_lp"  -> unigramLogprobSql,
     "text_contamination" -> contaminationSql,
     "text_repetition"  -> repetitionSql,
+    "corpus_filter"    -> corpusFilterSql,
     "text_tfidf"       -> tfidfSql)
 }

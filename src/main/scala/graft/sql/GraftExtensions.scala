@@ -321,6 +321,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           case "$snapshots"  => Shim.logicalPlan(t.snapshotsView)
           case "$files"      => Shim.logicalPlan(t.filesView)
           case "$partitions" => Shim.logicalPlan(t.partitionsView)
+          case "$refs"       => Shim.logicalPlan(t.refsView)
           case other => throw new IllegalArgumentException(
             s"unknown metadata view suffix '$other' on graft table '$base'")
         }

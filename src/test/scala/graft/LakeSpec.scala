@@ -184,6 +184,11 @@ class LakeSpec extends SparkSpec {
     val n = spark.sql("AS OF 'v1' SELECT count(*) AS n FROM t_tagged")
       .collect().head.getLong(0)
     assert(n === t.snapshot(1).totalRows)
+    // $refs metadata view: main + both tags, resolvable in SQL too
+    val refs = spark.sql("SELECT ref_name, ref_type, snapshot_id FROM `t_tagged$refs`")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(refs === Set(("main", "BRANCH", 2L), ("v1", "TAG", 1L),
+      ("release-2024.1", "TAG", 2L)))
   }
 
   test("branches: isolated lineage, fast-forward, divergence protection") {

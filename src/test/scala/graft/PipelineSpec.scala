@@ -119,6 +119,29 @@ class PipelineSpec extends SparkSpec {
     assert(r(5L) === ((1L, 0L, "")))
   }
 
+  test("corpus filter: each rule fires on its crafted doc, precedence fixed, keep iff ok") {
+    import spark.implicits._
+    val stopy = "the cat and the dog ran to the house in the rain for fun"
+    val docs = Seq(
+      (1L, stopy),                               // ok
+      (2L, "tiny doc"),                          // too_short (2 words)
+      (3L, ("w " * 5001).trim),                  // too_long… but dup words don't trip first
+      (4L, "a,b;c:d!e?f.g," * 3),                // high_punct
+      (5L, "zebra quartz viper kumquat oryx"),   // low_stopword (0 En stopwords)
+      (6L, Seq.fill(4)(stopy).mkString("\n")),   // repetitive_lines (dup 3/4)
+      (7L, "")                                   // empty → too_short
+    ).toDF("doc_id", "text")
+    val r = TextOps.corpusFilterOf(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getBoolean(1), x.getString(2)))).toMap
+    assert(r(1L) === ((true, "ok")))
+    assert(r(2L) === ((false, "too_short")))
+    assert(r(3L) === ((false, "too_long")))
+    assert(r(4L) === ((false, "high_punct")))
+    assert(r(5L) === ((false, "low_stopword")))
+    assert(r(6L) === ((false, "repetitive_lines")))
+    assert(r(7L) === ((false, "too_short")))
+  }
+
   test("edge-case corpus: empty, 1-word, unicode, punct-only docs flow through every text/dedup op") {
     import spark.implicits._
     val dir = "/root/repo/target/edgedocs"
