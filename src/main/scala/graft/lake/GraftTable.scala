@@ -622,6 +622,52 @@ final class GraftTable(val root: String, spark: SparkSession) {
     this
   }
 
+  /** Partition-spec evolution — as an EXPLICIT one-snapshot rewrite.
+    * Metadata-only spec changes are unsound in the hive-layout model:
+    * files written under the old spec carry the new partition columns
+    * only inside their data pages, while Spark's scan contract reads
+    * every `partitionSchema` column from the directory row — old files
+    * would silently read null. (Iceberg can mix specs because each
+    * file binds its own spec id and readers fall back to data pages.)
+    * So graft makes the cost visible: one distributed shuffle-rewrite
+    * of the live files under the new layout — exactly what a 100 TB
+    * operator schedules anyway, since a spec change without clustering
+    * the bytes leaves every old file straddling the new partitions.
+    * Time travel across the boundary works for free: `partitionCols`
+    * is per-snapshot and each file entry carries its own partition
+    * values, so pre-change snapshots plan and prune under the old
+    * spec, post-change under the new.
+    */
+  def repartitionSpec(newPartitionCols: Seq[String],
+      newDeps: Seq[DepSpec] = Seq.empty): GraftTable = {
+    val cur = current
+    val fields = schema.fieldNames.toSet ++ newDeps.map(_.dest)
+    newPartitionCols.foreach(c => require(fields.contains(c),
+      s"partition column $c not in schema and not a dependency dest"))
+    newDeps.foreach(dd => require(schema.fieldNames.contains(dd.src),
+      s"dependency source ${dd.src} not in schema"))
+    // derive new dep dests BEFORE the shuffle so the clustering runs on
+    // the final partition value (repartitioning on the raw source col
+    // would make every task write every partition dir — tiny files)
+    val withDeps = newDeps.foldLeft(read()) { (d, dep) =>
+      if (d.columns.contains(dep.dest)) d
+      else {
+        val isString = d.schema(dep.src).dataType == StringType
+        d.withColumn(dep.dest, Deps.columnTyped(dep.transform, col(dep.src), isString))
+      }
+    }
+    val data =
+      if (newPartitionCols.isEmpty) withDeps
+      else withDeps.repartition(newPartitionCols.map(col): _*)
+    val added = writeFiles(data, newPartitionCols, newDeps, cur.id + 1)
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "repartition-spec", partitionCols = newPartitionCols,
+      deps = newDeps, schemaJson = data.schema.json, files = added,
+      addedFiles = added.size, deletedFiles = cur.files.size))
+    this
+  }
+
   /** Schema evolution: add a nullable column (old files read as null). */
   def addColumn(name: String, dt: DataType): GraftTable = {
     val cur = current

@@ -275,6 +275,29 @@ object LakeQueries {
       |  AND o_orderdate <  TIMESTAMP '1996-04-01'
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- A40 partition-spec evolution ---------------------------------
+
+  /** A40 `lake_repartition`: change the partition spec via an explicit
+    * one-snapshot rewrite (see [[GraftTable.repartitionSpec]] for why
+    * metadata-only spec changes are unsound in the hive-layout model),
+    * then answer a partition-filtered query THROUGH the evolved spec —
+    * the scan prunes on the new partition column while time travel to
+    * snapshot 1 still plans under the old one.
+    */
+  def lakeRepartition(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "respec"),
+      byStatus(orders(s, d)), Seq("o_orderstatus"))
+    t.repartitionSpec(Seq("o_orderpriority"))
+    t.scan(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val lakeRepartitionSql =
+    """SELECT o_orderkey, o_orderpriority FROM orders
+      |WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---- A15 partition pruning ----------------------------------------
 
   def lakePrunePartition(s: SparkSession, d: String): DataFrame = {
@@ -578,6 +601,7 @@ object LakeQueries {
     "lake_dep_truncate"        -> (lakeDepTruncate _),
     "lake_dep_bucket"          -> (lakeDepBucket _),
     "lake_dep_date"            -> (lakeDepDate _),
+    "lake_repartition"         -> (lakeRepartition _),
     "lake_prune_partition"     -> (lakePrunePartition _),
     "lake_prune_files"         -> (lakePruneFiles _),
     "lake_null_scan"           -> (lakeNullScan _),
@@ -611,6 +635,7 @@ object LakeQueries {
     "lake_dep_truncate"        -> lakeDepTruncateSql,
     "lake_dep_bucket"          -> lakeDepBucketSql,
     "lake_dep_date"            -> lakeDepDateSql,
+    "lake_repartition"         -> lakeRepartitionSql,
     "lake_prune_partition"     -> lakePrunePartitionSql,
     "lake_prune_files"         -> lakePruneFilesSql,
     "lake_null_scan"           -> lakeNullScanSql,

@@ -165,6 +165,22 @@ case class GraftOptimizeCommand(
   }
 }
 
+/** ALTER TABLE t REPARTITION BY (c1, …) — partition-spec evolution as
+  * an explicit rewrite (see [[graft.lake.GraftTable.repartitionSpec]]).
+  * Dep transforms ride the same `src=dest:transform` spelling as
+  * CREATE's columnDependencies option.
+  */
+case class GraftRepartitionCommand(
+    name: String, partitionCols: Seq[String], deps: Seq[graft.lake.DepSpec])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    new GraftTable(root, session).repartitionSpec(partitionCols, deps)
+    Seq.empty
+  }
+}
+
 /** VACUUM t [RETAIN <id>] — expire snapshots below the floor (default:
   * everything but current) and delete their orphaned files.
   */

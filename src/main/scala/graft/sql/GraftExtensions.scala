@@ -155,6 +155,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*optimize\s+([\w.]+)\s*(?:zorder\s+by\s*\(([^)]*)\))?\s*""".r
   private val VacuumRe =
     """(?is)\s*vacuum\s+([\w.]+)(?:\s+retain\s+(\d+))?\s*""".r
+  // ALTER TABLE t REPARTITION BY (c1, …) [DEPENDENCIES 'src=dest:transform,…']
+  private val RepartitionRe =
+    """(?is)\s*alter\s+table\s+([\w.]+)\s+repartition\s+by\s*\(([^)]*)\)\s*(?:dependencies\s+'([^']*)')?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     sqlText match {
@@ -163,6 +166,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           Option(zcols).toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)))
       case VacuumRe(name, keep) if GraftCatalog.lookup(name).isDefined =>
         return GraftVacuumCommand(name.toLowerCase, Option(keep).map(_.toLong))
+      case RepartitionRe(name, cols, deps) if GraftCatalog.lookup(name).isDefined =>
+        return GraftRepartitionCommand(name.toLowerCase,
+          cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          Option(deps).map(GraftTable.parseDeps).getOrElse(Seq.empty))
       case _ => ()
     }
     val (asOf, parsed) = sqlText match {

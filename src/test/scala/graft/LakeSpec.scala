@@ -226,6 +226,37 @@ class LakeSpec extends SparkSpec {
     assert(t.readRef("v9").count() === na)
   }
 
+  test("partition-spec evolution: explicit rewrite, time travel plans each snapshot under its own spec") {
+    val o = Tables.orders(spark, sfDir).limit(2000).cache()
+    val t = GraftTable.create(spark, tmp("respec"),
+      o.repartition(col("o_orderstatus")), Seq("o_orderstatus"))
+    val n = t.read().count()
+    // switch to a plain-column spec: one rewrite snapshot
+    t.repartitionSpec(Seq("o_orderpriority"))
+    assert(t.read().count() === n)
+    assert(t.current.partitionCols === Seq("o_orderpriority"))
+    assert(t.current.files.forall(_.partition.keySet === Set("o_orderpriority")))
+    // pruning runs against the NEW spec
+    val (kept, total, _) = t.pruneFiles(col("o_orderpriority") === "1-URGENT")
+    assert(kept.size < total, "new partition column prunes files")
+    assert(t.read().filter(col("o_orderpriority") === "1-URGENT").count()
+      === o.filter(col("o_orderpriority") === "1-URGENT").count())
+    // time travel: the pre-change snapshot plans + prunes under the OLD spec
+    assert(t.snapshot(1).partitionCols === Seq("o_orderstatus"))
+    assert(t.readAsOfId(1).count() === n)
+    assert(t.readAsOfId(1).filter(col("o_orderstatus") === "O").count()
+      === o.filter(col("o_orderstatus") === "O").count())
+    // a dep-transform spec works too, and appends follow the new layout
+    t.repartitionSpec(Seq("od_month"),
+      Seq(DepSpec("o_orderdate", "od_month", "month")))
+    assert(t.read().count() === n)
+    assert(t.current.files.forall(_.partition.keySet === Set("od_month")))
+    // dep inference prunes on the source column through the new spec
+    val (kept2, total2, _) = t.pruneFiles(col("o_orderdate") === java.sql.Date.valueOf("1995-06-15"))
+    assert(kept2.size < total2, "dep inference prunes under the evolved spec")
+    o.unpersist()
+  }
+
   test("compaction packs fragmented partitions and leaves compact ones alone") {
     val o = Tables.orders(spark, sfDir)
     val t = GraftTable.create(spark, tmp("compact"),

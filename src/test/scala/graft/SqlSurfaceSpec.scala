@@ -96,6 +96,21 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(t.readAsOfId(t.current.parentId).count() === before, "history intact")
   }
 
+  test("ALTER TABLE REPARTITION BY evolves the partition spec from SQL") {
+    val t = mkTable("respecsql")
+    GraftCatalog.register("t_respec", t.root)
+    val before = t.read().count()
+    spark.sql("ALTER TABLE t_respec REPARTITION BY (o_orderpriority)")
+    assert(t.current.operation === "repartition-spec")
+    assert(t.current.partitionCols === Seq("o_orderpriority"))
+    assert(spark.sql("SELECT count(*) AS n FROM t_respec").collect().head.getLong(0) === before)
+    // dep-transform spelling shared with CREATE's columnDependencies
+    spark.sql("ALTER TABLE t_respec REPARTITION BY (ok_b) DEPENDENCIES 'o_orderkey=ok_b:bucket[4]'")
+    assert(t.current.partitionCols === Seq("ok_b"))
+    assert(t.current.files.forall(_.partition.keySet === Set("ok_b")))
+    assert(spark.sql("SELECT count(*) AS n FROM t_respec").collect().head.getLong(0) === before)
+  }
+
   test("OPTIMIZE and VACUUM statements from SQL") {
     val t = mkTable("optsql") // 2 snapshots → fragmented partitions
     GraftCatalog.register("t_opt", t.root)
