@@ -372,6 +372,63 @@ object TextOps {
        |  FROM r)
        |SELECT doc_id, reason = 'ok' AS keep, reason FROM rr ORDER BY doc_id""".stripMargin
 
+  /** C25 `text_dup_spans`: repeated-substring exposure per document —
+    * the token-granular form of the ExactSubstr signal (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): the
+    * fraction of a document's 20-token grams that occur at least twice
+    * in the whole corpus (counting repeats inside the same document —
+    * self-plagiarism is still duplication). Shape at 100 TB: explode →
+    * one partial-agg groupBy on the 64-bit gram hash → one hash-keyed
+    * join back → per-doc count. Shuffle keys are 8-byte hashes, never
+    * 20-gram strings; the repeated-gram table is a small fraction of
+    * the gram stream and AQE broadcasts it. The oracle recomputes over
+    * gram strings (injective-hash argument, as `text_repetition`).
+    */
+  def dupSpansOf(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(exprs.shingleHashesAll(col("text"), 20)).as("sh"))
+    val rep = grams.groupBy(col("sh"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+      .select(col("sh"), lit(true).as("is_rep"))
+    docs.select(col("doc_id"))
+      .join(grams.join(rep, Seq("sh"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("is_rep").isNotNull, 1L).otherwise(0L)).as("n_rep")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_rep"), lit(0L)).as("n_rep"),
+        round(coalesce(col("n_rep"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)), 6).as("rep_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dupSpans(s: SparkSession, d: String): DataFrame =
+    dupSpansOf(Tables.documents(s, d))
+
+  val dupSpansSql: String = {
+    val gram20 = (0 until 20).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(t) >= 20
+       |    THEN list_transform(range(1, len(t) - 18), i -> $gram20)
+       |    ELSE [] END) AS sh
+       |  FROM w),
+       |rep AS (SELECT sh FROM g GROUP BY sh HAVING count(*) >= 2),
+       |agg AS (
+       |  SELECT g.doc_id, count(*) AS n_grams,
+       |    count(*) FILTER (WHERE rep.sh IS NOT NULL) AS n_rep
+       |  FROM g LEFT JOIN rep ON g.sh = rep.sh
+       |  GROUP BY g.doc_id)
+       |SELECT w.doc_id,
+       |  coalesce(n_grams, 0) AS n_grams,
+       |  coalesce(n_rep, 0) AS n_rep,
+       |  round(coalesce(n_rep, 0) * 1.0 / greatest(coalesce(n_grams, 0), 1), 6) AS rep_frac
+       |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
+       |ORDER BY w.doc_id""".stripMargin
+  }
+
   /** C21 `text_contamination`: train/benchmark overlap detection — the
     * decontamination pass LLM training sets run against eval sets
     * (13-token-gram collision, the GPT-3 recipe). Benchmark docs here
@@ -466,6 +523,7 @@ object TextOps {
     "text_contamination" -> (contamination _),
     "text_repetition"  -> (repetition _),
     "corpus_filter"    -> (corpusFilter _),
+    "text_dup_spans"   -> (dupSpans _),
     "text_tfidf"       -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
@@ -479,5 +537,6 @@ object TextOps {
     "text_contamination" -> contaminationSql,
     "text_repetition"  -> repetitionSql,
     "corpus_filter"    -> corpusFilterSql,
+    "text_dup_spans"   -> dupSpansSql,
     "text_tfidf"       -> tfidfSql)
 }

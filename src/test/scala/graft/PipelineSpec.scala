@@ -119,6 +119,25 @@ class PipelineSpec extends SparkSpec {
     assert(r(5L) === ((1L, 0L, "")))
   }
 
+  test("dup spans: corpus-repeated 20-grams counted per doc, short docs yield zero grams") {
+    import spark.implicits._
+    val block = (1 to 25).map(i => s"tok$i").mkString(" ") // 25 tokens → 6 20-grams
+    val docs = Seq(
+      (1L, block),                     // shares all grams with doc 2
+      (2L, block + " tail1 tail2"),    // 27 tokens → 8 grams, 6 shared
+      (3L, (1 to 30).map(i => s"uniq$i").mkString(" ")), // 11 grams, none repeated
+      (4L, "short doc under twenty tokens"),             // 0 grams
+      (5L, (block + " " + block))      // 50 tokens: self-repeats count too
+    ).toDF("doc_id", "text")
+    val r = TextOps.dupSpansOf(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) === ((6L, 6L)), "all of doc 1's grams repeat in doc 2/5")
+    assert(r(2L)._1 === 8L && r(2L)._2 >= 6L)
+    assert(r(3L) === ((11L, 0L)))
+    assert(r(4L) === ((0L, 0L)))
+    assert(r(5L)._1 === 31L && r(5L)._2 >= 12L, "intra-doc repeats are duplication")
+  }
+
   test("corpus filter: each rule fires on its crafted doc, precedence fixed, keep iff ok") {
     import spark.implicits._
     val stopy = "the cat and the dog ran to the house in the rain for fun"
