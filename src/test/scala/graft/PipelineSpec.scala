@@ -400,4 +400,17 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("*(1)"), s"plan was:\n$plan")
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
   }
+
+  test("line dedup and dup spans plan keyed joins — no nested-loop, dup side broadcast by AQE") {
+    for (df <- Seq(Dedup.dedupLines(spark, sfDir), TextOps.dupSpans(spark, sfDir))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"plan was:\n$plan")
+      // the repeated-unit table is boilerplate-sized: AQE should turn the
+      // join back into a broadcast (hash keys, no full-stream shuffle join)
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+        s"plan was:\n$plan")
+    }
+  }
 }
