@@ -55,8 +55,13 @@ final class GraftTable(val root: String, spark: SparkSession) {
     */
   def snapshot(id: Long): Snapshot =
     GraftTable.snapshotCache.computeIfAbsent((root, id), { _ =>
-      SnapshotCodec.fromJson(new String(
+      val s = SnapshotCodec.fromJson(new String(
         Files.readAllBytes(metaDir.resolve(s"snapshot-$id.json")), StandardCharsets.UTF_8))
+      if (s.shards.isEmpty) s
+      else s.copy(files = s.shards.flatMap(r =>
+        GraftTable.shardCache.computeIfAbsent((root, r.path), { _ =>
+          SnapshotCodec.shardFromBytes(Files.readAllBytes(metaDir.resolve(r.path))).files
+        })))
     })
 
   def current: Snapshot = snapshot(currentId)
@@ -126,8 +131,35 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * `snapshot-<id>.json`, and the loser fails here instead of
     * silently clobbering the winner's commit.
     */
-  private def stage(s: Snapshot): Unit = {
+  private def stage(s0: Snapshot): Unit = {
     Files.createDirectories(metaDir)
+    // Externalize big file lists into content-addressed per-partition
+    // shards: an unchanged partition hashes to an existing shard file
+    // and is re-pointed, not re-written — at 10⁵ files an append to
+    // one partition writes one shard + one small manifest instead of a
+    // tens-of-MB JSON, and readers re-parse only the changed shard.
+    // Any `shards` carried in via copy() from a parent snapshot are
+    // recomputed from the in-memory file list (never trusted stale).
+    val s =
+      if (s0.files.size < GraftTable.ShardFilesThreshold)
+        s0.copy(shards = Seq.empty)
+      else {
+        val refs = s0.files.groupBy(_.partition)
+          .toSeq.sortBy(_._1.toSeq.sorted.mkString("/"))
+          .map { case (_, fs) =>
+            val body = SnapshotCodec.shardToBytes(ShardManifest(fs.sortBy(_.path)))
+            val sha = java.security.MessageDigest.getInstance("SHA-1")
+              .digest(body).map("%02x".format(_)).mkString
+            val name = s"shard-$sha.json"
+            val p = metaDir.resolve(name)
+            if (!Files.exists(p)) {
+              try Files.write(p, body, java.nio.file.StandardOpenOption.CREATE_NEW)
+              catch { case _: java.nio.file.FileAlreadyExistsException => () } // racer wrote identical bytes
+            }
+            ShardRef(name, fs.size.toLong)
+          }
+        s0.copy(files = Seq.empty, shards = refs)
+      }
     try {
       Files.write(metaDir.resolve(s"snapshot-${s.id}.json"),
         SnapshotCodec.toJson(s).getBytes(StandardCharsets.UTF_8),
@@ -846,6 +878,16 @@ final class GraftTable(val root: String, spark: SparkSession) {
     if (delete) {
       orphans.foreach(rel => Files.deleteIfExists(Paths.get(root, rel)))
       expired.foreach(id => Files.deleteIfExists(metaDir.resolve(s"snapshot-$id.json")))
+      // GC manifest shards no live snapshot points at (content-addressed
+      // files are shared across snapshots, so liveness is by reference)
+      val liveShards = retained.flatMap(id => snapshot(id).shards.map(_.path)).toSet
+      Files.list(metaDir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("shard-"))
+        .filterNot(p => liveShards.contains(p.getFileName.toString))
+        .foreach { p =>
+          GraftTable.shardCache.remove((root, p.getFileName.toString))
+          Files.deleteIfExists(p)
+        }
     }
     orphans
   }
@@ -964,11 +1006,27 @@ object GraftTable {
   private[lake] val snapshotCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Snapshot]()
 
+  /** Manifests with at least this many files externalize the file list
+    * into content-addressed per-partition shards (see [[ShardRef]]).
+    * Below it a single inline JSON is cheaper than the extra reads.
+    */
+  val ShardFilesThreshold = 64
+
+  /** (root, shard path) → parsed file entries. Shards are immutable
+    * (content-addressed), so the cache never invalidates within a
+    * table generation; loading snapshot N+1 re-parses only shards N
+    * didn't have.
+    */
+  private[lake] val shardCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[FileEntry]]()
+
   /** Tables are rebuilt in place by the driver-contract queries —
     * invalidate any cached snapshots under this root.
     */
-  private def invalidate(root: String): Unit =
+  private def invalidate(root: String): Unit = {
     snapshotCache.keySet.removeIf(_._1 == root)
+    shardCache.keySet.removeIf(_._1 == root)
+  }
 
   /** CREATE TABLE … USING parquet OPTIONS(addTableManagement,
     * columnDependencies …) PARTITIONED BY … — as an API (reference:

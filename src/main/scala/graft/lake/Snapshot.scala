@@ -11,10 +11,12 @@ import com.fasterxml.jackson.module.scala.{ClassTagExtensions, DefaultScalaModul
   * snapshot).
   *
   * Planning cost is O(#files-in-metadata): a scan never lists the
-  * filesystem, it reads one version pointer + one manifest. At 100 TB
-  * with ~1e5 files a manifest is a few tens of MB of JSON on the
-  * driver — the same order as Iceberg's avro manifests; sharding the
-  * file list per partition would be the next step, not a redesign.
+  * filesystem, it reads one version pointer + one manifest. Above
+  * [[GraftTable.ShardFilesThreshold]] files the manifest externalizes
+  * its file list into content-addressed per-partition shards
+  * ([[ShardRef]]) — commit I/O and reader re-parsing then scale with
+  * the changed partitions, not the table, which is Iceberg's
+  * manifest-list / manifest-reuse model at 100 TB.
   */
 
 /** Per-file, per-column min/max/null stats harvested from the parquet
@@ -43,6 +45,21 @@ final case class FileEntry(
   */
 final case class DepSpec(src: String, dest: String, transform: String)
 
+/** Reference to a content-addressed manifest shard (one shard per
+  * partition value): `path` is relative to the meta dir and embeds the
+  * SHA-1 of the shard body, so a partition whose file set did not
+  * change between snapshots serializes to the SAME shard file and the
+  * new manifest just re-points at it — commit I/O and manifest churn
+  * scale with the DELTA, not the table (Iceberg's manifest-reuse
+  * model). Shards are immutable; parsed bodies are cached process-wide
+  * by path, so loading snapshot N+1 after N parses only the shards
+  * that actually changed.
+  */
+final case class ShardRef(path: String, nFiles: Long)
+
+/** On-disk body of one manifest shard. */
+final case class ShardManifest(files: Seq[FileEntry])
+
 final case class Snapshot(
     id: Long,
     parentId: Long, // -1 = none (plain Long: jackson-scala erases Option[Long] to boxed Int)
@@ -53,7 +70,10 @@ final case class Snapshot(
     deps: Seq[DepSpec],
     files: Seq[FileEntry],
     addedFiles: Int,
-    deletedFiles: Int) {
+    deletedFiles: Int,
+    // non-empty ⇔ `files` was externalized into content-addressed
+    // shards on disk; the loader re-inlines them (see GraftTable)
+    shards: Seq[ShardRef] = Seq.empty) {
   def totalRows: Long = files.map(_.rows).sum
 }
 
@@ -65,5 +85,12 @@ object SnapshotCodec {
     m
   }
   def toJson(s: Snapshot): String = mapper.writerWithDefaultPrettyPrinter.writeValueAsString(s)
-  def fromJson(json: String): Snapshot = mapper.readValue[Snapshot](json)
+  def fromJson(json: String): Snapshot = {
+    val s = mapper.readValue[Snapshot](json)
+    // jackson-scala does not apply Scala default args: a pre-sharding
+    // manifest (no "shards" key) deserializes the field as null
+    if (s.shards == null) s.copy(shards = Seq.empty) else s
+  }
+  def shardToBytes(m: ShardManifest): Array[Byte] = mapper.writeValueAsBytes(m)
+  def shardFromBytes(b: Array[Byte]): ShardManifest = mapper.readValue[ShardManifest](b)
 }

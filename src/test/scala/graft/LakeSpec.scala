@@ -226,6 +226,37 @@ class LakeSpec extends SparkSpec {
     assert(t.readRef("v9").count() === na)
   }
 
+  test("manifest shards: content-addressed per partition, reused across snapshots, GC'd on expire") {
+    import scala.jdk.CollectionConverters._
+    val o = Tables.orders(spark, sfDir)
+    // ~90 files across 3 status partitions — over ShardFilesThreshold
+    val t = GraftTable.create(spark, tmp("shards"),
+      o.repartition(30), Seq("o_orderstatus"))
+    val n0 = t.read().count()
+    val s1 = t.current
+    assert(s1.files.size >= GraftTable.ShardFilesThreshold, "fixture must shard")
+    assert(s1.shards.size === 3, "one shard per partition value")
+    assert(s1.files.size === s1.shards.map(_.nFiles).sum)
+    // on disk the manifest is pointer-sized: no inline file entries
+    val rawJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t.root, "meta", "snapshot-1.json")))
+    assert(!rawJson.contains("\"rows\""), "file entries must live in shards, not the manifest")
+    // append touching ONE partition: the other partitions' shards are
+    // re-pointed (same content hash), only the changed one is new
+    t.append(o.filter(col("o_orderstatus") === "O").limit(500).repartition(2))
+    val s2 = t.current
+    assert(t.read().count() === n0 + 500)
+    assert(s2.shards.map(_.path).toSet.intersect(s1.shards.map(_.path).toSet).size === 2,
+      "unchanged partitions reuse their shard files verbatim")
+    // expire: shards referenced only by the expired snapshot are GC'd
+    t.expire(keepFrom = t.currentId)
+    val onDisk = java.nio.file.Files.list(java.nio.file.Paths.get(t.root, "meta"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("shard-")).toSet
+    assert(onDisk === s2.shards.map(_.path).toSet, "GC keeps exactly the live shards")
+    assert(t.read().count() === n0 + 500, "reads intact after GC")
+  }
+
   test("partition-spec evolution: explicit rewrite, time travel plans each snapshot under its own spec") {
     val o = Tables.orders(spark, sfDir).limit(2000).cache()
     val t = GraftTable.create(spark, tmp("respec"),
