@@ -385,7 +385,15 @@ final class GraftTable(val root: String, spark: SparkSession) {
       }
     }
     val staging = Paths.get(root, s".staging-${UUID.randomUUID()}")
-    val writer = df.write.mode("overwrite")
+    // `write.bloom.columns`: bloom filters ride the parquet footers of
+    // new files (create has no current snapshot yet → no properties)
+    val bloomCols =
+      (if (Files.exists(metaDir.resolve("version-hint.txt")))
+         current.properties.getOrElse("write.bloom.columns", "") else "")
+        .split(',').map(_.trim).filter(_.nonEmpty)
+        .map(c => logicalToPhysical.getOrElse(c, c))
+    val writer = bloomCols.foldLeft(df.write.mode("overwrite")) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true") }
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(staging.toString)
 
@@ -697,6 +705,29 @@ final class GraftTable(val root: String, spark: SparkSession) {
       operation = "repartition-spec", partitionCols = newPartitionCols,
       deps = newDeps, schemaJson = data.schema.json, files = added,
       addedFiles = added.size, deletedFiles = cur.files.size))
+    this
+  }
+
+  /** Table properties (TBLPROPERTIES equivalent). Every commit builds
+    * on `cur.copy(…)`, so properties persist across snapshots without
+    * any path having to thread them. Write-affecting keys:
+    *  - `write.bloom.columns` = comma-separated columns that get a
+    *    parquet bloom filter in every NEW data file ([[writeFiles]]).
+    *    Point predicates on high-cardinality non-partition keys then
+    *    skip row groups inside the parquet reader (parquet-mr applies
+    *    blooms to pushed equality filters) — the pruning modality
+    *    min/max stats can't provide on unsorted columns. Footer-local
+    *    like Iceberg's write.parquet bloom props: no manifest bloat.
+    */
+  def properties: Map[String, String] = current.properties
+
+  def setProperty(key: String, value: String): GraftTable = {
+    val cur = current
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "set-properties",
+      properties = cur.properties + (key -> value),
+      addedFiles = 0, deletedFiles = 0))
     this
   }
 

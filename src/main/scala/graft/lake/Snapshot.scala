@@ -73,7 +73,10 @@ final case class Snapshot(
     deletedFiles: Int,
     // non-empty ⇔ `files` was externalized into content-addressed
     // shards on disk; the loader re-inlines them (see GraftTable)
-    shards: Seq[ShardRef] = Seq.empty) {
+    shards: Seq[ShardRef] = Seq.empty,
+    // table properties (TBLPROPERTIES equivalent); carried forward by
+    // every commit since they all build on cur.copy(…)
+    properties: Map[String, String] = Map.empty) {
   def totalRows: Long = files.map(_.rows).sum
 }
 
@@ -86,10 +89,11 @@ object SnapshotCodec {
   }
   def toJson(s: Snapshot): String = mapper.writerWithDefaultPrettyPrinter.writeValueAsString(s)
   def fromJson(json: String): Snapshot = {
-    val s = mapper.readValue[Snapshot](json)
-    // jackson-scala does not apply Scala default args: a pre-sharding
-    // manifest (no "shards" key) deserializes the field as null
-    if (s.shards == null) s.copy(shards = Seq.empty) else s
+    val s0 = mapper.readValue[Snapshot](json)
+    // jackson-scala does not apply Scala default args: manifests
+    // written before a field existed deserialize it as null
+    val s1 = if (s0.shards == null) s0.copy(shards = Seq.empty) else s0
+    if (s1.properties == null) s1.copy(properties = Map.empty) else s1
   }
   def shardToBytes(m: ShardManifest): Array[Byte] = mapper.writeValueAsBytes(m)
   def shardFromBytes(b: Array[Byte]): ShardManifest = mapper.readValue[ShardManifest](b)

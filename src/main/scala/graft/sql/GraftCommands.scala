@@ -165,6 +165,20 @@ case class GraftOptimizeCommand(
   }
 }
 
+/** ALTER TABLE t SET TBLPROPERTIES('k'='v', …) — one metadata-only
+  * snapshot carrying all assignments.
+  */
+case class GraftSetPropertiesCommand(
+    name: String, props: Map[String, String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    val t = new GraftTable(root, session)
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => t.setProperty(k, v) }
+    Seq.empty
+  }
+}
+
 /** ALTER TABLE t REPARTITION BY (c1, …) — partition-spec evolution as
   * an explicit rewrite (see [[graft.lake.GraftTable.repartitionSpec]]).
   * Dep transforms ride the same `src=dest:transform` spelling as

@@ -221,6 +221,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           if identName(rc.table).exists(GraftCatalog.lookup(_).isDefined) =>
         GraftRenameColumnCommand(identName(rc.table).get,
           fieldName(rc.column), rc.newName)
+      case sp: logical.SetTableProperties
+          if identName(sp.table).exists(GraftCatalog.lookup(_).isDefined) =>
+        GraftSetPropertiesCommand(identName(sp.table).get, sp.properties)
       case p => substitute(p, asOf)
     }
   }

@@ -257,6 +257,37 @@ class LakeSpec extends SparkSpec {
     assert(t.read().count() === n0 + 500, "reads intact after GC")
   }
 
+  test("table properties: bloom filters appear in footers of files written after the property") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    def bloomOf(rel: String, root: String, col: String): Boolean = {
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new Path(s"$root/$rel"), spark.sparkContext.hadoopConfiguration))
+      try {
+        val block = rd.getFooter.getBlocks.get(0)
+        val cc = block.getColumns.asScala.find(_.getPath.toDotString == col).get
+        rd.readBloomFilter(cc) != null
+      } finally rd.close()
+    }
+    val o = Tables.orders(spark, sfDir)
+    val t = GraftTable.create(spark, tmp("props"),
+      o.filter(col("o_orderkey") < 700).repartition(col("o_orderstatus")),
+      Seq("o_orderstatus"))
+    val before = t.current.files.map(_.path).toSet
+    t.setProperty("write.bloom.columns", "o_orderkey")
+    assert(t.properties("write.bloom.columns") === "o_orderkey")
+    t.append(o.filter(col("o_orderkey") >= 700).repartition(col("o_orderstatus")))
+    val after = t.current.files.map(_.path).filterNot(before.contains)
+    assert(after.nonEmpty)
+    assert(after.forall(bloomOf(_, t.root, "o_orderkey")), "new files carry the bloom")
+    assert(before.forall(!bloomOf(_, t.root, "o_orderkey")), "old files untouched")
+    // properties persist through unrelated commits
+    t.delete(col("o_orderkey") === -1L)
+    assert(t.properties("write.bloom.columns") === "o_orderkey")
+  }
+
   test("partition-spec evolution: explicit rewrite, time travel plans each snapshot under its own spec") {
     val o = Tables.orders(spark, sfDir).limit(2000).cache()
     val t = GraftTable.create(spark, tmp("respec"),

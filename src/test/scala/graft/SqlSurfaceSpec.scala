@@ -111,6 +111,16 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM t_respec").collect().head.getLong(0) === before)
   }
 
+  test("ALTER TABLE SET TBLPROPERTIES persists properties from SQL") {
+    val t = mkTable("propsql")
+    GraftCatalog.register("t_props", t.root)
+    spark.sql("ALTER TABLE t_props SET TBLPROPERTIES(" +
+      "'write.bloom.columns'='o_orderkey', 'write.target-file-size'='134217728')")
+    assert(t.properties("write.bloom.columns") === "o_orderkey")
+    assert(t.properties("write.target-file-size") === "134217728")
+    assert(t.current.operation === "set-properties")
+  }
+
   test("OPTIMIZE and VACUUM statements from SQL") {
     val t = mkTable("optsql") // 2 snapshots → fragmented partitions
     GraftCatalog.register("t_opt", t.root)
