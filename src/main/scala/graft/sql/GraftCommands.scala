@@ -159,7 +159,10 @@ case class GraftOptimizeCommand(
     val root = GraftCatalog.lookup(name).getOrElse(
       throw new IllegalArgumentException(s"graft table not registered: $name"))
     val t = new GraftTable(root, session)
-    if (zorderCols.isEmpty) t.optimizeCompact(targetBytes = 512L << 20)
+    // `write.target-file-size` table property overrides the 512 MiB default
+    val target = t.properties.get("write.target-file-size")
+      .map(_.toLong).getOrElse(512L << 20)
+    if (zorderCols.isEmpty) t.optimizeCompact(targetBytes = target)
     else t.optimizeZOrder(zorderCols, nFiles = math.max(1, t.current.files.size / 2))
     Seq.empty
   }

@@ -119,6 +119,11 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(t.properties("write.bloom.columns") === "o_orderkey")
     assert(t.properties("write.target-file-size") === "134217728")
     assert(t.current.operation === "set-properties")
+    // the size property drives OPTIMIZE's bin-packing target
+    spark.sql("OPTIMIZE t_props")
+    assert(t.current.operation === "compact")
+    assert(t.current.files.groupBy(_.partition).values.forall(_.size == 1),
+      "134 MiB target packs each small partition to one file")
   }
 
   test("OPTIMIZE and VACUUM statements from SQL") {
