@@ -880,6 +880,35 @@ final class GraftTable(val root: String, spark: SparkSession) {
     readSnapshot(to.copy(files = to.files.filterNot(f => from.contains(f.path))))
   }
 
+  /** Row-level change-data-capture between two snapshots (Iceberg's
+    * changelog scan re-expressed): `_change_type` = insert | delete.
+    * Copy-on-write DML rewrites whole files, so file-diffing alone
+    * over-reports; the row-level truth is recovered by cancellation —
+    * rows present in BOTH the removed and the added files (the
+    * surviving rows a rewrite carried over byte-identically) drop out
+    * of `EXCEPT ALL` in each direction. Cost scales with the CHANGED
+    * files only (the from∩to file set is never read); the EXCEPT ALL
+    * is one hash-partitioned anti-semantics shuffle over those files —
+    * at 100 TB that is the delta, not the table. An UPDATE surfaces as
+    * delete(old row) + insert(new row).
+    */
+  def changelog(fromId: Long, toId: Long): DataFrame = {
+    val from = snapshot(fromId)
+    val to = snapshot(toId)
+    require(from.schemaJson == to.schemaJson,
+      s"changelog across schema evolution is not supported (snapshots $fromId → $toId)")
+    val fromPaths = from.files.map(_.path).toSet
+    val toPaths = to.files.map(_.path).toSet
+    val removed = from.files.filterNot(f => toPaths.contains(f.path))
+    val added = to.files.filterNot(f => fromPaths.contains(f.path))
+    val addedDf = readSnapshot(to.copy(files = added, shards = Seq.empty))
+    val removedDf = readSnapshot(from.copy(files = removed, shards = Seq.empty))
+    addedDf.exceptAll(removedDf)
+      .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert"))
+      .unionByName(removedDf.exceptAll(addedDf)
+        .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")))
+  }
+
   /** Roll the table back to an earlier snapshot's file set — recorded
     * as a NEW snapshot (history is never rewritten).
     */

@@ -532,6 +532,39 @@ object LakeQueries {
   val lakeIncrementalSql =
     s"SELECT $selSql FROM orders WHERE o_orderkey >= 3000 ORDER BY o_orderkey"
 
+  // ---- A43 row-level changelog (CDC) --------------------------------
+
+  /** A43 `lake_changelog`: row-level CDC across a DELETE and an UPDATE
+    * — copy-on-write rewrites whole files, and the changelog recovers
+    * exact row deltas by EXCEPT-ALL cancellation of the rows a rewrite
+    * carried over unchanged (see [[GraftTable.changelog]]). The UPDATE
+    * surfaces as delete(old)+insert(new); reading cost is bounded by
+    * the rewritten files, not the table.
+    */
+  def lakeChangelog(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "changelog"),
+      byStatus(orders(s, d)), Seq("o_orderstatus"))
+    t.delete(col("o_orderkey") % 97 === 0)
+    t.update(col("o_orderkey") % 101 === 0,
+      Map("o_totalprice" -> lit(0.0)))
+    t.changelog(1, t.currentId)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("_change_type"))
+      .orderBy(col("_change_type"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  val lakeChangelogSql =
+    """WITH d AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 97 = 0),
+      |u AS (SELECT o_orderkey, o_totalprice FROM orders
+      |      WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0)
+      |SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+      |       'delete' AS _change_type FROM d
+      |UNION ALL
+      |SELECT o_orderkey, round(o_totalprice, 2), 'delete' FROM u
+      |UNION ALL
+      |SELECT o_orderkey, 0.0, 'insert' FROM u
+      |ORDER BY _change_type, o_orderkey, o_totalprice""".stripMargin
+
   // ---- CTAS with table management (SQL surface, 2-part name) --------
 
   def lakeCtas(s: SparkSession, d: String): DataFrame = {
@@ -602,6 +635,7 @@ object LakeQueries {
     "lake_dep_bucket"          -> (lakeDepBucket _),
     "lake_dep_date"            -> (lakeDepDate _),
     "lake_repartition"         -> (lakeRepartition _),
+    "lake_changelog"           -> (lakeChangelog _),
     "lake_prune_partition"     -> (lakePrunePartition _),
     "lake_prune_files"         -> (lakePruneFiles _),
     "lake_null_scan"           -> (lakeNullScan _),
@@ -636,6 +670,7 @@ object LakeQueries {
     "lake_dep_bucket"          -> lakeDepBucketSql,
     "lake_dep_date"            -> lakeDepDateSql,
     "lake_repartition"         -> lakeRepartitionSql,
+    "lake_changelog"           -> lakeChangelogSql,
     "lake_prune_partition"     -> lakePrunePartitionSql,
     "lake_prune_files"         -> lakePruneFilesSql,
     "lake_null_scan"           -> lakeNullScanSql,

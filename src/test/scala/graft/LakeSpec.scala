@@ -257,6 +257,35 @@ class LakeSpec extends SparkSpec {
     assert(t.read().count() === n0 + 500, "reads intact after GC")
   }
 
+  test("changelog: appends are pure inserts, COW rewrites cancel to exact row deltas") {
+    val o = Tables.orders(spark, sfDir)
+    val t = GraftTable.create(spark, tmp("cdc"),
+      o.filter(col("o_orderkey") < 1000).repartition(col("o_orderstatus")),
+      Seq("o_orderstatus"))
+    t.append(o.filter(col("o_orderkey") >= 1000).repartition(col("o_orderstatus")))
+    val c12 = t.changelog(1, 2).groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c12 === Map("insert" -> o.filter(col("o_orderkey") >= 1000).count()))
+    // COW delete rewrites whole files; only truly deleted rows surface
+    t.delete(col("o_orderkey") < 100)
+    val c23 = t.changelog(2, 3).groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c23 === Map("delete" -> 100L))
+    // UPDATE = delete(old) + insert(new)
+    t.update(col("o_orderkey") === 500L, Map("o_totalprice" -> lit(1.0)))
+    val c34 = t.changelog(3, 4).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("o_orderkey"),
+        r.getAs[Double]("o_totalprice")))
+    assert(c34.length === 2)
+    assert(c34.count(_._1 == "delete") === 1 && c34.count(_._1 == "insert") === 1)
+    assert(c34.find(_._1 == "insert").get._3 === 1.0)
+    assert(c34.forall(_._2 === 500L))
+    // spans compose: 1 → current sees the whole net effect
+    val c14 = t.changelog(1, 4).groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c14("delete") === 100L + 1L)
+  }
+
   test("table properties: bloom filters appear in footers of files written after the property") {
     import scala.jdk.CollectionConverters._
     import org.apache.hadoop.fs.Path
