@@ -265,8 +265,108 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** C26 `ann_pq`: product-quantization ANN — the memory-compression
+    * half of FAISS-style IVFPQ. The 64-dim corpus is split into M=8
+    * subspaces; each subspace gets a K=16-code k-means codebook
+    * (trained IN Spark: assignment is the codegen'd
+    * [[graft.functions.NearestCentroid]] over L2-augmented codebooks —
+    * argmin‖x−c‖² ≡ argmax(x·c − ‖c‖²/2), realized by appending a
+    * constant-1 dimension to the subvector and −‖c‖²/2 to the code, so
+    * the max-dot kernel does L2 without a new expression). A vector
+    * compresses 64 floats → 8 nibble codes (64×→4 B); queries score
+    * the whole corpus via an ADC lookup table (M×K dots, computed
+    * per-query on the driver, broadcast) and exact-rerank the top 50
+    * by true cosine. At 100 TB the codes column is what you keep hot
+    * (26 GB per 10⁹ vectors vs 256 GB raw) and you put the C13 coarse
+    * quantizer in front — both building blocks are here. Probabilistic
+    * recall → rows-only driver check; the spec bounds recall@5 vs C6.
+    */
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Tables.embeddings(s, d)
+    val M = 8; val K = 16; val Dim = 64; val Sub = Dim / M
+
+    def subvec(embc: Column, m: Int): Column = slice(embc, m * Sub + 1, Sub)
+    // L2 augmentation: x' = [x, 1], c' = [c, -|c|^2/2] (see scaladoc)
+    def aug(embc: Column, m: Int): Column =
+      concat(subvec(embc, m), array(lit(1.0f)))
+    def augBook(book: Array[Array[Double]]): Array[Array[Double]] =
+      book.map(c => c :+ (-c.map(x => x * x).sum / 2))
+
+    // deterministic init: subvectors of the K lowest non-query vec_ids
+    var books: Array[Array[Array[Double]]] = {
+      val seed = all.filter(col("vec_id") >= NQueries)
+        .orderBy(col("vec_id")).limit(K).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      Array.tabulate(M)(m => seed.map(_.slice(m * Sub, (m + 1) * Sub)))
+    }
+    // 2 Lloyd iterations, one shuffle each: explode (m, code, dim) → mean
+    for (_ <- 1 to 2) {
+      val assigned = all.select(
+        explode(array((0 until M).map(m => struct(
+          lit(m).as("m"),
+          exprs.nearestCentroid(aug(col("embedding"), m), augBook(books(m))).as("code"),
+          subvec(col("embedding"), m).as("sv"))): _*)).as("a"))
+      val means = assigned
+        .select(col("a.m"), col("a.code"), posexplode(col("a.sv")).as(Seq("dim", "x")))
+        .groupBy(col("m"), col("code"), col("dim")).agg(avg(col("x")).as("mu"))
+        .collect().groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (k, rows) => k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray }
+      books = Array.tabulate(M)(m => Array.tabulate(K)(k =>
+        means.getOrElse((m, k), books(m)(k))))
+    }
+
+    // encode: 8 nibble codes per vector (the compressed index)
+    val codes = all.select(col("vec_id").as("n_id"),
+      array((0 until M).map(m =>
+        exprs.nearestCentroid(aug(col("embedding"), m), augBook(books(m)))): _*).as("codes"))
+
+    // ADC lookup tables per query: lut[m*K + k] = q_m . c_{m,k}
+    val queryRows = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding")).collect()
+    import s.implicits._
+    val luts = queryRows.map { r =>
+      val qid = r.getLong(0)
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val lut = Array.tabulate(M * K) { i =>
+        val m = i / K; val k = i % K
+        books(m)(k).zip(v.slice(m * Sub, (m + 1) * Sub)).map { case (a, b) => a * b }.sum
+      }
+      (qid, lut)
+    }.toSeq.toDF("query_id", "lut")
+
+    // approximate dot = sum of M table lookups (interpreted lambda over
+    // 8 elements — at 100 TB this is the candidate for a codegen'd
+    // AdcScore expression, same recipe as CosineSim)
+    val approx = codes.crossJoin(broadcast(luts))
+      .filter(col("query_id") =!= col("n_id"))
+      .withColumn("a_score", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(M - 1)),
+          (c, m) => element_at(col("lut"), (m * K + c + 1).cast("int"))),
+        lit(0.0), (acc, x) => acc + x))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("a_score").desc, col("n_id"))
+    val cand = approx.withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= 50)
+      .select(col("query_id"), col("n_id"))
+
+    // exact rerank of the PQ top-50
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = emb(s, d, "n")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    cand.join(broadcast(q), "query_id").join(c, "n_id")
+      .withColumn("cos_sim", round(exprs.cosineSim(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("n_id").as("neighbor_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding" -> (embeddingPairs _),
+    "ann_pq"          -> (annPq _),
     "ann_bruteforce"  -> (annBruteforce _),
     "ann_lsh"         -> (annLsh _),
     "ann_ivf"         -> (annIvf _))

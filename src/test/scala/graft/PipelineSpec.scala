@@ -356,6 +356,24 @@ class PipelineSpec extends SparkSpec {
     assert(ivf.size === VectorOps.NQueries * VectorOps.TopK)
   }
 
+  test("ann pq: ADC top-50 + exact rerank recall vs bruteforce") {
+    val pq = VectorOps.annPq(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = VectorOps.annBruteforce(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"pq recall $recall")
+    assert(pq.size === VectorOps.NQueries * VectorOps.TopK)
+    // reranked neighbors carry the TRUE cosine: every returned pair's
+    // cos_sim must equal the bruteforce value when the pair overlaps
+    val exactSim = VectorOps.annBruteforce(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cos_sim")).toMap
+    VectorOps.annPq(spark, sfDir).collect().foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      exactSim.get(k).foreach(v => assert(r.getAs[Double]("cos_sim") === v))
+    }
+  }
+
   test("multimodal decode stub: features derived from payload bytes") {
     val feats = Multimodal.mmDecodeStub(spark, sfDir).collect()
     assert(feats.length === 500)
