@@ -60,6 +60,27 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "graft_cosine"
 }
 
+/** PQ asymmetric-distance score: codes array<int> × per-query flat
+  * LUT array<double> (M·K) → approximate dot (see [[Hashing.adcScore]]).
+  * The PQ scan's hot path: M table lookups per (query, vector) pair,
+  * inside whole-stage codegen.
+  */
+case class AdcScore(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Hashing.adcScore(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Hashing.adcScore($a, $b, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcScore =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_adc_score"
+}
+
 /** 64-bit SimHash of an array<long> of token hashes. */
 case class SimHash64(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -212,6 +233,9 @@ object exprs {
     col(ShingleHashes(ex(c), n, distinct = false))
   def winnowFp(c: Column, k: Int, w: Int): Column = col(WinnowFingerprint(ex(c), k, w))
   def cosineSim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
+
+  def adcScore(codes: Column, lut: Column, k: Int): Column =
+    col(AdcScore(ex(codes), ex(lut), k))
   def simHash(c: Column): Column = col(SimHash64(ex(c)))
   def minHashBands(c: Column, seed: Long, nHashes: Int, nBands: Int): Column =
     col(MinHashBands(ex(c), seed, nHashes, nBands))

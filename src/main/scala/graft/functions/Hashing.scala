@@ -289,6 +289,18 @@ object Hashing {
     z
   }
 
+  /** Asymmetric-distance (ADC) score for a PQ-coded vector: sum over
+    * subspaces m of lut[m*k + code_m], where lut holds the query's
+    * per-subspace dot products with every codebook entry.
+    */
+  def adcScore(codes: ArrayData, lut: ArrayData, k: Int): Double = {
+    val m = codes.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < m) { s += lut.getDouble(i * k + codes.getInt(i)); i += 1 }
+    s
+  }
+
   /** Index of the centroid with maximal cosine to the vector (ties →
     * lowest index). Centroids are pre-normalized, so argmax dot ≡
     * argmax cosine for the ranking (vector norm is a common factor).

@@ -335,15 +335,13 @@ object VectorOps {
       (qid, lut)
     }.toSeq.toDF("query_id", "lut")
 
-    // approximate dot = sum of M table lookups (interpreted lambda over
-    // 8 elements — at 100 TB this is the candidate for a codegen'd
-    // AdcScore expression, same recipe as CosineSim)
+    // approximate dot = M table lookups via the codegen'd
+    // [[graft.functions.AdcScore]] kernel — the whole corpus scan stays
+    // inside whole-stage codegen (an equivalent aggregate/zip_with
+    // lambda chain evaluates interpreted)
     val approx = codes.crossJoin(broadcast(luts))
       .filter(col("query_id") =!= col("n_id"))
-      .withColumn("a_score", aggregate(
-        zip_with(col("codes"), sequence(lit(0), lit(M - 1)),
-          (c, m) => element_at(col("lut"), (m * K + c + 1).cast("int"))),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("a_score", exprs.adcScore(col("codes"), col("lut"), K))
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("a_score").desc, col("n_id"))
     val cand = approx.withColumn("arank", row_number().over(wApprox))

@@ -110,6 +110,16 @@ object KernelProps extends Properties("Kernels") {
     }
 
   /** Cosine kernel bounds and symmetry on random float vectors. */
+  property("adc score equals the reference sum of table lookups") =
+    forAll(Gen.listOfN(8, Gen.chooseNum(0, 15)),
+           Gen.listOfN(128, Gen.chooseNum(-10.0, 10.0))) { (codes, lut) =>
+      val got = Hashing.adcScore(
+        new GenericArrayData(codes.toArray),
+        new GenericArrayData(lut.toArray), 16)
+      val want = codes.zipWithIndex.map { case (c, m) => lut(m * 16 + c) }.sum
+      math.abs(got - want) < 1e-12
+    }
+
   property("cosine in [-1,1] and symmetric") =
     forAll(Gen.listOfN(16, Gen.chooseNum(-10f, 10f)),
            Gen.listOfN(16, Gen.chooseNum(-10f, 10f))) { (x, y) =>
