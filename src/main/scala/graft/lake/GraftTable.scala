@@ -1034,6 +1034,12 @@ final class GraftTable(val root: String, spark: SparkSession) {
       .toDF("ref_name", "ref_type", "snapshot_id")
   }
 
+  /** `` t$properties `` — the current table properties. */
+  def propertiesView: DataFrame = {
+    import spark.implicits._
+    current.properties.toSeq.sortBy(_._1).toDF("key", "value")
+  }
+
   /** `` t$partitions `` — per-partition rollup straight from the
     * manifest: O(metadata), zero data access. The operational
     * dashboard view (skew, fragmentation, size per partition).

@@ -168,6 +168,25 @@ case class GraftOptimizeCommand(
   }
 }
 
+/** SHOW TBLPROPERTIES t [('key')] over a graft table. */
+case class GraftShowPropertiesCommand(
+    name: String, key: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "key", org.apache.spark.sql.types.StringType, nullable = false)(),
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "value", org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    val props = new GraftTable(root, session).properties
+    key match {
+      case Some(k) => props.get(k).map(v => Row(k, v)).toSeq
+      case None    => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
+  }
+}
+
 /** ALTER TABLE t SET TBLPROPERTIES('k'='v', …) — one metadata-only
   * snapshot carrying all assignments.
   */

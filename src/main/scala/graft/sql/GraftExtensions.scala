@@ -224,6 +224,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case sp: logical.SetTableProperties
           if identName(sp.table).exists(GraftCatalog.lookup(_).isDefined) =>
         GraftSetPropertiesCommand(identName(sp.table).get, sp.properties)
+      case sh: logical.ShowTableProperties
+          if identName(sh.table).exists(GraftCatalog.lookup(_).isDefined) =>
+        GraftShowPropertiesCommand(identName(sh.table).get, sh.propertyKey)
       case p => substitute(p, asOf)
     }
   }
@@ -241,6 +244,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
       joinedName(ut.multipartIdentifier)
     case ur: UnresolvedRelation => joinedName(ur.multipartIdentifier)
+    case tv: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+      joinedName(tv.multipartIdentifier)
     case _ => None
   }
 
@@ -332,6 +337,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           case "$files"      => Shim.logicalPlan(t.filesView)
           case "$partitions" => Shim.logicalPlan(t.partitionsView)
           case "$refs"       => Shim.logicalPlan(t.refsView)
+          case "$properties" => Shim.logicalPlan(t.propertiesView)
           case other => throw new IllegalArgumentException(
             s"unknown metadata view suffix '$other' on graft table '$base'")
         }

@@ -119,6 +119,14 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(t.properties("write.bloom.columns") === "o_orderkey")
     assert(t.properties("write.target-file-size") === "134217728")
     assert(t.current.operation === "set-properties")
+    // SHOW TBLPROPERTIES and the $properties view read them back
+    val shown = spark.sql("SHOW TBLPROPERTIES t_props").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown("write.bloom.columns") === "o_orderkey")
+    assert(spark.sql("SHOW TBLPROPERTIES t_props ('owner')").count() === 0)
+    val viewed = spark.sql("SELECT key, value FROM `t_props$properties`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viewed === shown)
     // the size property drives OPTIMIZE's bin-packing target
     spark.sql("OPTIMIZE t_props")
     assert(t.current.operation === "compact")
