@@ -179,6 +179,43 @@ object TextOps {
       |       THEN 'train' ELSE 'val' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** C27 `sample_mixture`: deterministic data mixing — per-source
+    * sampling rates (the domain-weighting step of training-set
+    * construction: upweight curated sources, downsample crawl). The
+    * keep decision hashes `doc_id` with the portable polynomial hash
+    * (so both engines and every re-run agree row-for-row — no RNG) and
+    * compares against the source's rate; rates here derive from the
+    * source index (≤5 → 100 %, ≤10 → 50 %, else 20 %). A narrow
+    * per-row map: at 100 TB this is a zero-shuffle filter you fuse
+    * into the first pass over the corpus.
+    */
+  def sampleMixture(s: SparkSession, d: String): DataFrame = {
+    val srcIdx = substring(col("source"), 4, 10).cast("int")
+    val rate = when(srcIdx <= 5, 1.0).when(srcIdx <= 10, 0.5).otherwise(0.2)
+    // Knuth multiplicative hash: integer-only, overflow-free for any
+    // realistic id domain (id < 2^31 ⇒ product < 2^63), and identical
+    // arithmetic in both engines — the short-digit-string polynomial
+    // hash used by sample_split correlates with id % |sources| here
+    // (ids are assigned round-robin) and skews per-source rates badly
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)) % 1000)
+      .filter(col("bucket") < rate * 1000)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sampleMixtureSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, source,
+      |    (doc_id * 2654435761) % 1000000007 % 1000 AS bucket,
+      |    CASE WHEN CAST(substr(source, 4) AS INT) <= 5 THEN 1.0
+      |         WHEN CAST(substr(source, 4) AS INT) <= 10 THEN 0.5
+      |         ELSE 0.2 END AS rate
+      |  FROM documents)
+      |SELECT doc_id, source FROM h WHERE bucket < rate * 1000
+      |ORDER BY doc_id""".stripMargin
+
   // PII patterns shared by the op and its oracle — simple enough that
   // Java regex and DuckDB's RE2 agree exactly (plain classes, \b, {n,m})
   private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
@@ -514,6 +551,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_split"     -> (sampleSplit _),
+    "sample_mixture"   -> (sampleMixture _),
     "text_langid"      -> (langId _),
     "text_quality"     -> (quality _),
     "text_tokens"      -> (tokenCounts _),
@@ -528,6 +566,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "sample_split"     -> sampleSplitSql,
+    "sample_mixture"   -> sampleMixtureSql,
     "text_langid"      -> langIdSql,
     "text_quality"     -> qualitySql,
     "text_tokens"      -> tokenCountsSql,

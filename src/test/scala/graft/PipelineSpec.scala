@@ -386,6 +386,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sample mixture: per-source rates honored within hash tolerance, deterministic") {
+    val rows = TextOps.sampleMixture(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val totalPerSrc = graft.Tables.documents(spark, sfDir)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totalPerSrc.foreach { case (src, n) =>
+      val idx = src.stripPrefix("src").toInt
+      val rate = if (idx <= 5) 1.0 else if (idx <= 10) 0.5 else 0.2
+      val kept = bySrc.getOrElse(src, 0)
+      if (rate == 1.0) assert(kept.toLong === n, s"$src full rate")
+      else assert(math.abs(kept.toDouble / n - rate) < 0.25,
+        s"$src kept $kept of $n at rate $rate")
+    }
+    // deterministic: re-run yields the identical row set
+    val again = TextOps.sampleMixture(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq === again.toSeq)
+  }
+
   test("sample split: deterministic, ~90/10, disjoint") {
     val df = TextOps.sampleSplit(spark, sfDir).collect()
     assert(df.length === 500)
