@@ -343,7 +343,13 @@ object TextOps {
     * ≤30 % of chars, ≥1 % English stopwords, ≤30 % duplicate
     * lines/3-grams.
     */
-  def corpusFilterOf(docs: DataFrame): DataFrame = {
+  def corpusFilterOf(docs: DataFrame): DataFrame =
+    corpusFilterCore(docs).orderBy(col("doc_id"))
+
+  /** [[corpusFilterOf]] without the output ordering — safe inside an
+    * append-mode streaming query (D8), where a global sort is illegal.
+    */
+  def corpusFilterCore(docs: DataFrame): DataFrame = {
     val punct = length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))
     def dupFrac(arr: Column): Column =
       when(size(arr) === 0, lit(0.0))
@@ -367,7 +373,6 @@ object TextOps {
           .when(col("dup_3gram_frac") > 0.3, "repetitive_ngrams")
           .otherwise("ok"))
       .select(col("doc_id"), (col("reason") === "ok").as("keep"), col("reason"))
-      .orderBy(col("doc_id"))
   }
 
   def corpusFilter(s: SparkSession, d: String): DataFrame =

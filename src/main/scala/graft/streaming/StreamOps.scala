@@ -173,6 +173,41 @@ object StreamOps {
   // after dedup, the doubled stream reduces back to the plain events
   val dedupStreamSql: String = lakeSinkSql
 
+  /** D8 `stream_corpus_filter`: the C24 quality gate running INSIDE a
+    * streaming query — documents arrive as files, every micro-batch is
+    * scored and tagged stateless-ly (narrow maps only, so the stream
+    * never shuffles and needs no watermark), and the drained output is
+    * rolled up per drop-reason. This is the shape of a continuously-
+    * ingesting training-data pipeline: the same `corpusFilterCore`
+    * plan serves batch and stream.
+    */
+  def corpusFilterStream(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Paths.get(
+      s"/root/repo/target/streamwork/docs-${math.abs(d.hashCode)}")
+    java.nio.file.Files.createDirectories(dir)
+    val link = dir.resolve("documents.parquet")
+    if (!java.nio.file.Files.exists(link)) {
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$d/documents.parquet"))
+    }
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val docs = s.readStream.schema(schema).parquet(dir.toString)
+    val tagged = graft.pipeline.TextOps.corpusFilterCore(docs)
+    val name = s"graft_stream_cfilter_${math.abs(d.hashCode)}"
+    val q = tagged.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("reason"))
+  }
+
+  val corpusFilterStreamSql: String =
+    s"""SELECT reason, count(*) AS n_docs
+       |FROM (${graft.pipeline.TextOps.corpusFilterSql})
+       |GROUP BY reason ORDER BY reason""".stripMargin
+
   /** D5 `stream_static_join`: stream-static enrichment join — each
     * micro-batch joins against a (broadcast) dimension snapshot with no
     * streaming state at all, the canonical dimension-enrichment shape.
@@ -267,6 +302,7 @@ object StreamOps {
     "stream_sessionize"  -> (sessionize _),
     "stream_lake_sink"   -> (lakeSink _),
     "stream_dedup"       -> (dedupStream _),
+    "stream_corpus_filter" -> (corpusFilterStream _),
     "stream_static_join" -> (staticJoin _),
     "stream_lake_source" -> (lakeSource _),
     "stream_lake_e2e"    -> (lakeE2e _))
@@ -276,6 +312,7 @@ object StreamOps {
     "stream_sessionize"  -> sessionizeSql,
     "stream_lake_sink"   -> lakeSinkSql,
     "stream_dedup"       -> dedupStreamSql,
+    "stream_corpus_filter" -> corpusFilterStreamSql,
     "stream_static_join" -> staticJoinSql,
     "stream_lake_source" -> lakeSourceSql,
     "stream_lake_e2e"    -> lakeE2eSql)
