@@ -216,6 +216,36 @@ object TextOps {
       |SELECT doc_id, source FROM h WHERE bucket < rate * 1000
       |ORDER BY doc_id""".stripMargin
 
+  /** C28 `pipeline_corpus_e2e`: the composed cleaning pipeline in ONE
+    * Catalyst DAG — quality gate (C24) → exact dedup keeper election
+    * (C1, keyed on the md5 content hash so the shuffle carries 32-byte
+    * keys, not document bodies) → per-source survivor rollup. This is
+    * the flagship composition a training-data run executes end-to-end;
+    * every stage is a narrow map or a partial-agg-friendly keyed
+    * shuffle, and Catalyst pipelines them without materialization
+    * boundaries. The oracle composes the SAME stages in SQL.
+    */
+  def pipelineE2e(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val kept = corpusFilterCore(docs).filter(col("keep")).select("doc_id")
+    val k = docs.join(kept, "doc_id")
+      .select(col("doc_id"), col("source"), md5(col("text").cast("binary")).as("h"))
+    val keepers = k.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    k.join(keepers, k("doc_id") === keepers("keeper"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+  }
+
+  // lazy: corpusFilterSql initializes later in this object
+  lazy val pipelineE2eSql: String =
+    s"""WITH f AS (SELECT doc_id FROM ($corpusFilterSql) WHERE keep),
+       |k AS (SELECT d.doc_id, d.source, md5(d.text) AS h
+       |      FROM documents d JOIN f USING (doc_id)),
+       |ded AS (SELECT min(doc_id) AS keeper FROM k GROUP BY h)
+       |SELECT source, count(*) AS n_docs
+       |FROM k JOIN ded ON doc_id = keeper
+       |GROUP BY source ORDER BY source""".stripMargin
+
   // PII patterns shared by the op and its oracle — simple enough that
   // Java regex and DuckDB's RE2 agree exactly (plain classes, \b, {n,m})
   private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
@@ -567,6 +597,7 @@ object TextOps {
     "text_repetition"  -> (repetition _),
     "corpus_filter"    -> (corpusFilter _),
     "text_dup_spans"   -> (dupSpans _),
+    "pipeline_corpus_e2e" -> (pipelineE2e _),
     "text_tfidf"       -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
@@ -582,5 +613,6 @@ object TextOps {
     "text_repetition"  -> repetitionSql,
     "corpus_filter"    -> corpusFilterSql,
     "text_dup_spans"   -> dupSpansSql,
+    "pipeline_corpus_e2e" -> pipelineE2eSql,
     "text_tfidf"       -> tfidfSql)
 }
