@@ -223,6 +223,35 @@ object CoreQueries {
       |WHERE l_shipdate >= TIMESTAMP '2001-01-01'
       |ORDER BY l_suppkey, shipdate, l_orderkey, l_linenumber""".stripMargin
 
+  /** B23 `q_window_lag`: lead/lag navigation — per-customer inter-order
+    * gap in days (repeat-purchase cadence). One keyed window sort; the
+    * partition key is the shuffle key, so the plan is a single exchange
+    * + in-partition sort at any scale. Deterministic tie-break by
+    * order key inside the frame ordering.
+    */
+  def qWindowLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 200)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .cast("long").as("gap_days"))
+      .orderBy(col("o_custkey"), col("orderdate"), col("o_orderkey"))
+  }
+
+  val qWindowLagSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  date_diff('day',
+      |    lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+      |                              ORDER BY o_orderdate, o_orderkey),
+      |    o_orderdate) AS gap_days
+      |FROM orders WHERE o_custkey < 200
+      |ORDER BY o_custkey, orderdate, o_orderkey""".stripMargin
+
   /** B9: rollup (multi-level aggregate in one pass). */
   def qRollup(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -560,6 +589,7 @@ object CoreQueries {
     "q_anti_join"       -> (qAntiJoin _),
     "q_window_rank"     -> (qWindowRank _),
     "q_window_running"  -> (qWindowRunning _),
+    "q_window_lag"      -> (qWindowLag _),
     "q_rollup"          -> (qRollup _),
     "q_distinct"        -> (qDistinct _),
     "q_topk"            -> (qTopK _),
@@ -584,6 +614,7 @@ object CoreQueries {
     "q_anti_join"       -> qAntiJoinSql,
     "q_window_rank"     -> qWindowRankSql,
     "q_window_running"  -> qWindowRunningSql,
+    "q_window_lag"      -> qWindowLagSql,
     "q_rollup"          -> qRollupSql,
     "q_distinct"        -> qDistinctSql,
     "q_topk"            -> qTopKSql,
