@@ -731,6 +731,44 @@ final class GraftTable(val root: String, spark: SparkSession) {
     this
   }
 
+  /** MERGE … WHEN MATCHED THEN DELETE (and nothing else) — the
+    * deletion-list pattern (GDPR erasure, dedup-cluster removal): drop
+    * every target row whose key appears in `source`. Same candidate
+    * pruning as [[merge]] (files outside the source's key bounds are
+    * untouched metadata-only); candidates are rewritten through one
+    * broadcast-friendly LEFT ANTI join. At 100 TB the deletion list is
+    * tiny against the table, so the rewrite cost is the matched files,
+    * not the data size.
+    */
+  def mergeDelete(source: DataFrame, keyCols: Seq[String]): GraftTable = {
+    val cur = current
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    val aggs = keyCols.flatMap(k => Seq(fmin(col(k)), fmax(col(k))))
+    val bounds = source.agg(aggs.head, aggs.tail: _*).head()
+    val cands =
+      if (bounds.anyNull) Seq.empty
+      else {
+        val pred = keyCols.zipWithIndex.map { case (k, i) =>
+          col(k) >= lit(bounds.get(2 * i)) && col(k) <= lit(bounds.get(2 * i + 1))
+        }.reduce(_ && _)
+        pruneFiles(pred)._1
+      }
+    if (cands.isEmpty) return this
+    val candPaths = cands.map(_.path).toSet
+    val kept = cur.files.filterNot(f => candPaths.contains(f.path))
+    val baseCols = schema.fieldNames.toSeq
+      .filterNot(cur.deps.map(_.dest).toSet.contains)
+    val survivors = readSnapshot(cur.copy(files = cands, shards = Seq.empty))
+      .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .select(baseCols.map(col): _*)
+    val added = writeFiles(survivors, cur.partitionCols, cur.deps, cur.id + 1)
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "merge-delete", files = kept ++ added,
+      addedFiles = added.size, deletedFiles = cands.size))
+    this
+  }
+
   /** Schema evolution: add a nullable column (old files read as null). */
   def addColumn(name: String, dt: DataType): GraftTable = {
     val cur = current

@@ -350,6 +350,22 @@ case class GraftUpdateCommand(
   * bounds file pruning). The source query supplies the table's
   * non-derived columns positionally (hive semantics, as with INSERT).
   */
+/** MERGE … WHEN MATCHED THEN DELETE — the deletion-list form
+  * ([[graft.lake.GraftTable.mergeDelete]]).
+  */
+case class GraftMergeDeleteCommand(
+    name: String,
+    keyCols: Seq[String],
+    source: LogicalPlan) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    new GraftTable(root, session)
+      .mergeDelete(Shim.ofRows(session, source), keyCols)
+    Seq.empty
+  }
+}
+
 case class GraftMergeCommand(
     name: String,
     keyCols: Seq[String],

@@ -199,12 +199,21 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftUpdateCommand(name, sets, u.condition.map(Shim.column))
       case m: logical.MergeIntoTable if graftName(m.targetTable).isDefined =>
         val name = graftName(m.targetTable).get
-        require(
-          m.matchedActions.forall(_.isInstanceOf[logical.UpdateStarAction]) &&
-            m.notMatchedActions.forall(_.isInstanceOf[logical.InsertStarAction]) &&
-            m.notMatchedBySourceActions.isEmpty,
-          "graft MERGE supports WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *")
-        GraftMergeCommand(name, mergeKeys(m.mergeCondition), substitute(m.sourceTable, asOf))
+        val isDeleteOnly =
+          m.matchedActions.length == 1 &&
+            m.matchedActions.head == logical.DeleteAction(None) &&
+            m.notMatchedActions.isEmpty && m.notMatchedBySourceActions.isEmpty
+        if (isDeleteOnly)
+          GraftMergeDeleteCommand(name, mergeKeys(m.mergeCondition),
+            substitute(m.sourceTable, asOf))
+        else {
+          require(
+            m.matchedActions.forall(_.isInstanceOf[logical.UpdateStarAction]) &&
+              m.notMatchedActions.forall(_.isInstanceOf[logical.InsertStarAction]) &&
+              m.notMatchedBySourceActions.isEmpty,
+            "graft MERGE supports WHEN MATCHED THEN UPDATE SET * / WHEN MATCHED THEN DELETE / WHEN NOT MATCHED THEN INSERT *")
+          GraftMergeCommand(name, mergeKeys(m.mergeCondition), substitute(m.sourceTable, asOf))
+        }
       case dt: logical.DropTable if identName(dt.child).exists(GraftCatalog.lookup(_).isDefined) =>
         GraftDropTableCommand(identName(dt.child).get)
       case tt: logical.TruncateTable

@@ -111,6 +111,30 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM t_respec").collect().head.getLong(0) === before)
   }
 
+  test("MERGE WHEN MATCHED THEN DELETE removes the deletion list, prunes untouched files") {
+    val t = mkTable("mergedel")
+    GraftCatalog.register("t_mdel", t.root)
+    val before = t.read().count()
+    val nFilesBefore = t.current.files.size
+    // deletion list: a narrow key range so bounds-pruning keeps most files
+    Tables.orders(spark, sfDir).filter(col("o_orderkey").isin(1L, 2L, 3L, 32L, 33L))
+      .select(col("o_orderkey")).createOrReplaceTempView("graft_del_list")
+    val toDelete = spark.table("graft_del_list").count()
+    spark.sql("MERGE INTO t_mdel USING graft_del_list ON t_mdel.o_orderkey = graft_del_list.o_orderkey " +
+      "WHEN MATCHED THEN DELETE")
+    assert(t.current.operation === "merge-delete")
+    assert(t.read().count() === before - toDelete)
+    assert(t.read().filter(col("o_orderkey").isin(1L, 2L, 3L, 32L, 33L)).count() === 0)
+    assert(nFilesBefore > 0 && t.current.deletedFiles <= nFilesBefore)
+    // empty deletion list is a no-op commit-wise
+    val cur = t.currentId
+    Tables.orders(spark, sfDir).filter(col("o_orderkey") < 0)
+      .select(col("o_orderkey")).createOrReplaceTempView("graft_del_none")
+    spark.sql("MERGE INTO t_mdel USING graft_del_none ON t_mdel.o_orderkey = graft_del_none.o_orderkey " +
+      "WHEN MATCHED THEN DELETE")
+    assert(t.currentId === cur, "empty source must not commit")
+  }
+
   test("ALTER TABLE SET TBLPROPERTIES persists properties from SQL") {
     val t = mkTable("propsql")
     GraftCatalog.register("t_props", t.root)
