@@ -168,6 +168,34 @@ case class GraftOptimizeCommand(
   }
 }
 
+/** DESCRIBE TABLE t over a graft table: columns, then the partition
+  * spec and dependency transforms the scan planner actually uses.
+  */
+case class GraftDescribeCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "col_name", org.apache.spark.sql.types.StringType, nullable = false)(),
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "data_type", org.apache.spark.sql.types.StringType, nullable = false)(),
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "comment", org.apache.spark.sql.types.StringType, nullable = true)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    val t = new GraftTable(root, session)
+    val cur = t.current
+    val cols = t.schema.fields.map(f =>
+      Row(f.name, f.dataType.simpleString, null)).toSeq
+    val parts =
+      if (cur.partitionCols.isEmpty) Seq.empty
+      else Row("# Partition Information", "", null) +:
+        cur.partitionCols.map(c => Row(c, "", "partition column"))
+    val deps = cur.deps.map(dp =>
+      Row(dp.dest, "", s"= ${dp.transform}(${dp.src})"))
+    cols ++ parts ++ deps
+  }
+}
+
 /** SHOW TBLPROPERTIES t [('key')] over a graft table. */
 case class GraftShowPropertiesCommand(
     name: String, key: Option[String]) extends LeafRunnableCommand {

@@ -236,6 +236,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case sh: logical.ShowTableProperties
           if identName(sh.table).exists(GraftCatalog.lookup(_).isDefined) =>
         GraftShowPropertiesCommand(identName(sh.table).get, sh.propertyKey)
+      case dr: logical.DescribeRelation
+          if identName(dr.relation).exists(GraftCatalog.lookup(_).isDefined) =>
+        GraftDescribeCommand(identName(dr.relation).get)
       case p => substitute(p, asOf)
     }
   }

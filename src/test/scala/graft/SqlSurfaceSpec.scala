@@ -111,6 +111,20 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM t_respec").collect().head.getLong(0) === before)
   }
 
+  test("DESCRIBE TABLE lists columns, partition spec and dependency transforms") {
+    val o = Tables.orders(spark, sfDir)
+    val t = GraftTable.create(spark, "/root/repo/target/laketest/sql-desc",
+      o.limit(50).repartition(graft.lake.Deps.column("truncate[1]", col("o_orderpriority"))),
+      Seq("prio_t"), Seq(graft.lake.DepSpec("o_orderpriority", "prio_t", "truncate[1]")))
+    GraftCatalog.register("t_desc", t.root)
+    val rows = spark.sql("DESCRIBE TABLE t_desc").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)).getOrElse("")))
+    assert(rows.exists(r => r._1 == "o_orderkey" && r._2 == "bigint"))
+    assert(rows.exists(_._1 == "# Partition Information"))
+    assert(rows.exists(r => r._1 == "prio_t" && r._3 == "partition column"))
+    assert(rows.exists(r => r._1 == "prio_t" && r._3.contains("truncate[1](o_orderpriority)")))
+  }
+
   test("MERGE WHEN MATCHED THEN DELETE removes the deletion list, prunes untouched files") {
     val t = mkTable("mergedel")
     GraftCatalog.register("t_mdel", t.root)
