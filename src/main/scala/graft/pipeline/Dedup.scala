@@ -288,6 +288,37 @@ object Dedup {
        |SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
        |ORDER BY doc_id""".stripMargin
 
+  /** C29 `dedup_apply`: APPLY the near-dup clustering — the step that
+    * actually shrinks the corpus: every cluster keeps its canonical
+    * (min doc_id = the cluster label), non-canonical members are
+    * dropped, and the survivors roll up per source. Composes C16's
+    * label propagation with one narrow filter (`doc_id == cluster_id`)
+    * — no extra shuffle beyond the clustering itself. The oracle
+    * extends the recursive-CTE clusters oracle the same way.
+    */
+  def dedupApply(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val keep = clustersOf(docs).filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"))
+    docs.join(keep, "doc_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+  }
+
+  lazy val dedupApplySql: String = {
+    // reuse the recursive-CTE prefix of the clusters oracle, swap its
+    // final SELECT for the keep-canonical rollup
+    val tail = "SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v\nORDER BY doc_id"
+    require(clustersSql.endsWith(tail), "clusters oracle tail changed")
+    val cte = clustersSql.dropRight(tail.length).trim // ends after reach(...)
+    s"""$cte,
+       |cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+       |SELECT d.source, count(*) AS n_docs
+       |FROM documents d JOIN cl ON d.doc_id = cl.doc_id
+       |WHERE cl.doc_id = cl.cluster_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   /** C15 `dataset_similarity`: corpus-level near-duplication measure —
     * MinHash signatures of two document sets (here: even vs odd doc
     * ids) via the [[graft.functions.MinHashAgg]] distributed aggregate,
@@ -369,12 +400,14 @@ object Dedup {
     "dedup_minhash"       -> (minhash _),
     "dedup_simhash"       -> (simhash _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
-    "dedup_clusters"      -> (clusters _))
+    "dedup_clusters"      -> (clusters _),
+    "dedup_apply"         -> (dedupApply _))
 
   val oracles: Map[String, String] = Map(
     "dedup_lines"         -> dedupLinesSql,
     "dedup_exact"         -> exactSql,
     "dedup_minhash"       -> jaccardSql,
     "dedup_ngram_jaccard" -> jaccardSql,
-    "dedup_clusters"      -> clustersSql)
+    "dedup_clusters"      -> clustersSql,
+    "dedup_apply"         -> dedupApplySql)
 }
