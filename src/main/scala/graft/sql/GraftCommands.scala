@@ -196,6 +196,47 @@ case class GraftDescribeCommand(name: String) extends LeafRunnableCommand {
   }
 }
 
+/** SHOW GRAFT TABLES — every registered (name, root) pair. */
+case class GraftShowTablesCommand() extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "table_name", org.apache.spark.sql.types.StringType, nullable = false)(),
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "root", org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    GraftCatalog.entries.map { case (n, r) => Row(n, r) }
+}
+
+/** SHOW CREATE TABLE t — reconstruct the managed-table DDL from the
+  * current snapshot (schema, partition spec, dependency option).
+  */
+case class GraftShowCreateCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "createtab_stmt", org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    val t = new GraftTable(root, session)
+    val cur = t.current
+    val depDests = cur.deps.map(_.dest).toSet
+    val cols = t.schema.fields.filterNot(f => depDests.contains(f.name))
+      .map(f => s"  ${f.name} ${f.dataType.sql}").mkString(",\n")
+    val depOpt =
+      if (cur.deps.isEmpty) ""
+      else cur.deps.map(d => s"${d.src}=${d.dest}:${d.transform}")
+        .mkString(", columnDependencies '", ",", "'")
+    val partBy =
+      if (cur.partitionCols.isEmpty) ""
+      else cur.partitionCols.mkString("\nPARTITIONED BY (", ", ", ")")
+    Seq(Row(
+      s"""CREATE TABLE $name (
+         |$cols)
+         |USING parquet
+         |OPTIONS (addTableManagement 'true', path '$root'$depOpt)$partBy""".stripMargin))
+  }
+}
+
 /** SHOW TBLPROPERTIES t [('key')] over a graft table. */
 case class GraftShowPropertiesCommand(
     name: String, key: Option[String]) extends LeafRunnableCommand {

@@ -100,6 +100,10 @@ object GraftCatalog {
     import scala.jdk.CollectionConverters._
     tables.values.asScala.toSeq
   }
+  def entries: Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    tables.asScala.toSeq.sortBy(_._1)
+  }
 
   /** Test hook: drop the in-memory state (a fresh process), keeping
     * the warehouse pointer so the next lookup can be preceded by
@@ -158,6 +162,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // ALTER TABLE t REPARTITION BY (c1, …) [DEPENDENCIES 'src=dest:transform,…']
   private val RepartitionRe =
     """(?is)\s*alter\s+table\s+([\w.]+)\s+repartition\s+by\s*\(([^)]*)\)\s*(?:dependencies\s+'([^']*)')?\s*""".r
+  // SHOW GRAFT TABLES — a dedicated statement so the builtin SHOW
+  // TABLES (session catalog) is never shadowed
+  private val ShowGraftTablesRe = """(?is)\s*show\s+graft\s+tables\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     sqlText match {
@@ -170,6 +177,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         return GraftRepartitionCommand(name.toLowerCase,
           cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
           Option(deps).map(GraftTable.parseDeps).getOrElse(Seq.empty))
+      case ShowGraftTablesRe() => return GraftShowTablesCommand()
       case _ => ()
     }
     val (asOf, parsed) = sqlText match {
@@ -239,6 +247,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case dr: logical.DescribeRelation
           if identName(dr.relation).exists(GraftCatalog.lookup(_).isDefined) =>
         GraftDescribeCommand(identName(dr.relation).get)
+      case sc: logical.ShowCreateTable
+          if identName(sc.child).exists(GraftCatalog.lookup(_).isDefined) =>
+        GraftShowCreateCommand(identName(sc.child).get)
       case p => substitute(p, asOf)
     }
   }

@@ -111,6 +111,25 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM t_respec").collect().head.getLong(0) === before)
   }
 
+  test("SHOW GRAFT TABLES and SHOW CREATE TABLE round-trip the registration") {
+    val t = mkTable("showsql")
+    GraftCatalog.register("t_show", t.root)
+    val listed = spark.sql("SHOW GRAFT TABLES").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(listed.get("t_show").contains(t.root))
+    val ddl = spark.sql("SHOW CREATE TABLE t_show").collect().head.getString(0)
+    assert(ddl.contains("CREATE TABLE t_show"))
+    assert(ddl.contains("o_orderkey BIGINT"))
+    assert(ddl.contains(s"path '${t.root}'"))
+    assert(ddl.contains("PARTITIONED BY (o_orderstatus)"))
+    // the reconstructed DDL parses and re-creates a managed table
+    val clone = ddl.replace("CREATE TABLE t_show", "CREATE TABLE t_show2")
+      .replace(t.root, t.root + "2")
+    spark.sql(clone)
+    assert(GraftCatalog.lookup("t_show2").isDefined)
+    spark.sql("DROP TABLE t_show2")
+  }
+
   test("DESCRIBE TABLE lists columns, partition spec and dependency transforms") {
     val o = Tables.orders(spark, sfDir)
     val t = GraftTable.create(spark, "/root/repo/target/laketest/sql-desc",
