@@ -48,19 +48,37 @@ class GraftSourceProvider extends StreamSourceProvider {
   override def createSource(
       sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): Source =
-    new GraftSource(sqlContext.sparkSession, root(parameters))
+    new GraftSource(sqlContext.sparkSession, root(parameters),
+      parameters.get("maxSnapshotsPerTrigger").map(_.toLong))
 }
 
-class GraftSource(spark: SparkSession, root: String) extends Source {
+class GraftSource(
+    spark: SparkSession, root: String,
+    maxSnapshotsPerTrigger: Option[Long] = None) extends Source {
 
   private val table = new GraftTable(root, spark)
 
   override val schema: StructType = table.schema
 
-  /** Latest committed snapshot id (one version-hint read). */
+  // admission control: highest end offset handed out so far. Restart
+  // recovery initializes it via the recovered-batch getBatch call
+  // before the first new getOffset, so the cap is always relative to
+  // real progress (the standard v1-Source rate-limit pattern).
+  @volatile private var lastEnd: Long = 0L
+
+  /** Latest committed snapshot id (one version-hint read), capped at
+    * `maxSnapshotsPerTrigger` snapshots beyond the last batch — a
+    * backlogged stream catches up in bounded micro-batches instead of
+    * one batch containing the whole history's files.
+    */
   override def getOffset: Option[Offset] = {
     val id = table.currentId
-    if (id <= 0) None else Some(LongOffset(id))
+    if (id <= 0) return None
+    val capped = maxSnapshotsPerTrigger match {
+      case Some(n) => math.min(id, math.max(lastEnd, 0L) + n)
+      case None    => id
+    }
+    if (capped <= 0) None else Some(LongOffset(capped))
   }
 
   // offsets arrive as LongOffset within a run and as SerializedOffset
@@ -71,6 +89,7 @@ class GraftSource(spark: SparkSession, root: String) extends Source {
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    lastEnd = math.max(lastEnd, idOf(end))
     val endSnap = table.snapshot(idOf(end))
     val seen = start.map(o => table.snapshot(idOf(o)).files.map(_.path).toSet)
       .getOrElse(Set.empty[String])

@@ -52,6 +52,38 @@ class StreamingSpec extends SparkSpec {
     assert(seen.drop(afterSecond).map(_._2).forall(_.isEmpty))
   }
 
+  test("D6b: maxSnapshotsPerTrigger bounds each micro-batch to one snapshot's files") {
+    import spark.implicits._
+    val root = "/root/repo/target/laketest/streamsrc-cap"
+    val ckpt = "/root/repo/target/laketest/streamsrc-cap-ckpt"
+    for (p <- Seq(root, ckpt)) {
+      val f = new java.io.File(p)
+      if (f.exists()) { import scala.sys.process._; Seq("rm", "-rf", p).! }
+    }
+    val t = GraftTable.create(spark, root, Seq((1L, "a")).toDF("id", "k"))
+    t.append(Seq((2L, "b")).toDF("id", "k"))
+    t.append(Seq((3L, "c")).toDF("id", "k"))
+    // 3 snapshots of backlog, cap 1/trigger. AvailableNow pins its
+    // target at the first getOffset, so each drain advances exactly
+    // one capped batch — and the checkpoint restart must re-seed the
+    // source's progress (recovery getBatch) or the cap would stall.
+    val batches = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    def drainOnce(): Unit = {
+      val q = spark.readStream.format("graft.streaming.GraftSourceProvider")
+        .option("path", root).option("maxSnapshotsPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches += batch.select("id").collect().map(_.getLong(0)).toSet; ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainOnce(); drainOnce(); drainOnce()
+    val nonEmpty = batches.filter(_.nonEmpty)
+    assert(nonEmpty.toSeq === Seq(Set(1L), Set(2L), Set(3L)),
+      s"expected one snapshot per batch, got $batches")
+  }
+
   test("D1: streaming windowed agg equals the batch aggregation") {
     val streamed = StreamOps.windowAgg(spark, sfDir).collect()
     val batch = Tables.events(spark, sfDir)
