@@ -257,6 +257,28 @@ class LakeSpec extends SparkSpec {
     assert(t.read().count() === n0 + 500, "reads intact after GC")
   }
 
+  test("concurrent appends from racing threads all land exactly once (rebase under lock)") {
+    val o = Tables.orders(spark, sfDir).limit(800).cache()
+    val base = o.filter(col("o_orderkey") % 5 === 0)
+    val t = GraftTable.create(spark, tmp("race"),
+      base.repartition(col("o_orderstatus")), Seq("o_orderstatus"))
+    val n0 = t.read().count()
+    val slices = (1 to 4).map(i =>
+      o.filter(col("o_orderkey") % 5 === i).repartition(col("o_orderstatus")))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = slices.map { df =>
+      new Thread(() => try t.append(df) catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent appends must not fail: ${errs.peek()}")
+    assert(t.read().count() === o.count(), "every thread's rows landed exactly once")
+    // history is a linear chain: each snapshot's parent is its predecessor
+    val chain = t.snapshots.sortBy(_.id)
+    assert(chain.size === 5)
+    chain.sliding(2).foreach { case Seq(a, b) => assert(b.parentId === a.id) }
+    o.unpersist()
+  }
+
   test("changelog: appends are pure inserts, COW rewrites cancel to exact row deltas") {
     val o = Tables.orders(spark, sfDir)
     val t = GraftTable.create(spark, tmp("cdc"),
