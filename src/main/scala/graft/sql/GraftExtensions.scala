@@ -61,7 +61,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => ShingleHashes(es.head, intArg(es(1)))),
     (FunctionIdentifier("graft_winnow"),
       info("graft_winnow", "winnowing fingerprint (k-gram, window w)"),
-      (es: Seq[Expression]) => WinnowFingerprint(es.head, intArg(es(1)), intArg(es(2)))))
+      (es: Seq[Expression]) => WinnowFingerprint(es.head, intArg(es(1)), intArg(es(2)))),
+    (FunctionIdentifier("graft_adc_score"),
+      info("graft_adc_score", "PQ asymmetric-distance score: codes × flat LUT (K codes/subspace)"),
+      (es: Seq[Expression]) => graft.functions.AdcScore(es(0), es(1), intArg(es(2)))))
 
   private def intArg(e: Expression): Int =
     e.eval(null).asInstanceOf[Number].intValue

@@ -273,6 +273,11 @@ class SqlSurfaceSpec extends SparkSpec {
     val sh = spark.sql("SELECT graft_shingles('a b c d', 3) AS s")
       .collect().head.getSeq[String](0)
     assert(sh === Seq("a b c", "b c d"))
+    // adc: codes [1,0], K=2 → lut[0*2+1] + lut[1*2+0] = 2.5 + 10.0
+    val adc = spark.sql(
+      "SELECT graft_adc_score(array(1, 0), array(1.5d, 2.5d, 10.0d, 20.0d), 2) AS s")
+      .collect().head.getDouble(0)
+    assert(math.abs(adc - 12.5) < 1e-12)
   }
 
   test("`t$snapshots` and `t$files` metadata views are SQL-queryable") {
