@@ -77,6 +77,42 @@ object LakeQueries {
 
   val lakeBranchSql = s"SELECT $selSql FROM orders ORDER BY o_orderkey"
 
+  // ---- A39/A44 refs + properties metadata views ---------------------
+
+  /** `lake_refs`: the `$refs` view over a table with a tag and a
+    * branch — the view's contents are fully deterministic (names,
+    * types, snapshot ids), so the oracle is the expected relation
+    * spelled as VALUES.
+    */
+  def lakeRefs(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val t = GraftTable.create(s, work(d, "refsview"),
+      byStatus(o.filter(col("o_orderkey") < 5000)), Seq("o_orderstatus"))
+    t.append(byStatus(o.filter(col("o_orderkey") >= 5000)))
+    t.tag("v1", 1L).branch("dev")
+    t.refsView.orderBy(col("ref_name"))
+  }
+
+  val lakeRefsSql =
+    """SELECT ref_name, ref_type, CAST(snapshot_id AS BIGINT) AS snapshot_id
+      |FROM (VALUES ('dev', 'BRANCH', 2), ('main', 'BRANCH', 2),
+      |  ('v1', 'TAG', 1)) t(ref_name, ref_type, snapshot_id)
+      |ORDER BY ref_name""".stripMargin
+
+  /** `lake_properties`: `$properties` after SET TBLPROPERTIES. */
+  def lakeProperties(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "propsview"),
+      byStatus(orders(s, d).limit(100)), Seq("o_orderstatus"))
+    t.setProperty("write.bloom.columns", "o_orderkey")
+      .setProperty("write.target-file-size", "134217728")
+    t.propertiesView.orderBy(col("key"))
+  }
+
+  val lakePropertiesSql =
+    """SELECT * FROM (VALUES ('write.bloom.columns', 'o_orderkey'),
+      |  ('write.target-file-size', '134217728')) t(key, value)
+      |ORDER BY key""".stripMargin
+
   // ---- A3 overwrite (full table) ------------------------------------
 
   def lakeOverwrite(s: SparkSession, d: String): DataFrame = {
@@ -636,6 +672,8 @@ object LakeQueries {
     "lake_dep_date"            -> (lakeDepDate _),
     "lake_repartition"         -> (lakeRepartition _),
     "lake_changelog"           -> (lakeChangelog _),
+    "lake_refs"                -> (lakeRefs _),
+    "lake_properties"          -> (lakeProperties _),
     "lake_prune_partition"     -> (lakePrunePartition _),
     "lake_prune_files"         -> (lakePruneFiles _),
     "lake_null_scan"           -> (lakeNullScan _),
@@ -671,6 +709,8 @@ object LakeQueries {
     "lake_dep_date"            -> lakeDepDateSql,
     "lake_repartition"         -> lakeRepartitionSql,
     "lake_changelog"           -> lakeChangelogSql,
+    "lake_refs"                -> lakeRefsSql,
+    "lake_properties"          -> lakePropertiesSql,
     "lake_prune_partition"     -> lakePrunePartitionSql,
     "lake_prune_files"         -> lakePruneFilesSql,
     "lake_null_scan"           -> lakeNullScanSql,
