@@ -584,7 +584,142 @@ object TextOps {
        |SELECT doc_id, rk::BIGINT AS rk, term, score FROM rk
        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** C30 `sample_pack`: concat-and-chunk sequence packing — the
+    * GPT-style training-prep step that concatenates token streams in a
+    * fixed document order and slices them into fixed-budget sequences
+    * (B = 256 tokens here), letting documents span sequence boundaries.
+    * Each document maps to (start_seq, end_seq, offset) purely from the
+    * running token count before it, so the whole op is ONE window over
+    * a shard key: shard = portable-hash(doc_id) % NShards, cumulative
+    * sum ordered by doc_id within the shard.
+    *
+    * Scale shape: packing is embarrassingly parallel ACROSS shards and
+    * inherently sequential WITHIN one (each offset depends on every
+    * predecessor), so the shard count is the parallelism dial — at
+    * 100 TB you run ~10⁴ shards of a few GB each, one sorted window
+    * task per shard, and sequence ids are (shard, seq) pairs. Zero dp
+    * divergence risk: every output is integer arithmetic.
+    */
+  def samplePack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 256L
+    val docs = Tables.documents(s, d)
+      .withColumn("n_tokens",
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).cast("long"))
+      .withColumn("shard",
+        pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)) % 8)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // empty docs (n_tokens = 0) still land in ONE sequence: floor of
+      // (tok_start + max(n,1) - 1) keeps end_seq >= start_seq
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("tok_start") / lit(budget.toDouble)).cast("long").as("start_seq"),
+        floor((col("tok_start") + greatest(col("n_tokens"), lit(1L)) - 1L)
+          / lit(budget.toDouble)).cast("long").as("end_seq"),
+        pmod(col("tok_start"), lit(budget)).as("tok_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  val samplePackSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+      |    (doc_id * 2654435761) % 1000000007 % 8 AS shard
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+      |  FROM t)
+      |SELECT doc_id, shard, n_tokens,
+      |  CAST(floor(tok_start / 256.0) AS BIGINT) AS start_seq,
+      |  CAST(floor((tok_start + greatest(n_tokens, 1) - 1) / 256.0) AS BIGINT) AS end_seq,
+      |  CAST(tok_start % 256 AS BIGINT) AS tok_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** C31 `sample_stratified`: exact proportional stratified sampling —
+    * keep ceil(25 %) of every `lang` stratum, picked deterministically
+    * by portable-hash order (hash, doc_id tie-break), so every engine
+    * and every re-run selects the identical rows and each stratum's
+    * allocation is EXACT, not expected-value. The integer guard
+    * `rn·4 ≤ cnt+3` is ceil(cnt/4) without any division.
+    *
+    * Scale shape: one shuffle on the stratum key; the rank within a
+    * stratum is the sequential part. Big skewed strata (a 90 % `en`
+    * web corpus) don't need the full sort: because the hash is uniform,
+    * pre-filter to `bucket < margin·f·1000` (a narrow map that keeps
+    * ~1.5× the target) and rank only survivors against the FULL
+    * stratum count — same exact output, sort input shrunk ~60×.
+    */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    docs
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .filter(col("pick_rank") * 4 <= col("cnt") + 3)
+      .select(col("doc_id"), col("lang"), col("pick_rank"))
+      .orderBy(col("lang"), col("pick_rank"))
+  }
+
+  val sampleStratifiedSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang, (doc_id * 2654435761) % 1000000007 AS h FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM h)
+      |SELECT doc_id, lang, CAST(rn AS BIGINT) AS pick_rank FROM r
+      |WHERE rn * 4 <= cnt + 3 ORDER BY lang, pick_rank""".stripMargin
+
+  /** C33 `corpus_domain_cap`: per-source document cap (the per-domain
+    * cap every crawl pipeline applies so a handful of giant domains
+    * can't dominate the training mix) — keep at most 8 docs per
+    * source, chosen by portable-hash order.
+    *
+    * The plan is deliberately two-branch: a tiny per-source count
+    * (partial-agg shuffle on the domain key) splits sources into
+    * under-cap — which pass through with NO sort at all — and over-cap,
+    * which alone pay the rank. At crawl scale that's the difference
+    * between sorting the whole corpus and sorting only the heavy-hitter
+    * domains' slice; the under-cap majority stays a narrow scan. The
+    * membership joins broadcast the domain list (O(#domains) rows).
+    */
+  def domainCap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = 8L
+    val docs = Tables.documents(s, d)
+    val over = docs.groupBy(col("source")).agg(count(lit(1)).as("src_cnt"))
+      .filter(col("src_cnt") > cap).select("source")
+    val under = docs.join(broadcast(over), Seq("source"), "left_anti")
+      .select(col("doc_id"), col("source"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val capped = docs.join(broadcast(over), Seq("source"))
+      .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("doc_id"), col("source"))
+    under.union(capped).orderBy(col("source"), col("doc_id"))
+  }
+
+  val domainCapSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, source, (doc_id * 2654435761) % 1000000007 AS h FROM documents),
+      |r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+      |  FROM h)
+      |SELECT doc_id, source FROM r WHERE rn <= 8 ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_pack"      -> (samplePack _),
+    "sample_stratified" -> (sampleStratified _),
+    "corpus_domain_cap" -> (domainCap _),
     "sample_split"     -> (sampleSplit _),
     "sample_mixture"   -> (sampleMixture _),
     "text_langid"      -> (langId _),
@@ -601,6 +736,9 @@ object TextOps {
     "text_tfidf"       -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "sample_pack"      -> samplePackSql,
+    "sample_stratified" -> sampleStratifiedSql,
+    "corpus_domain_cap" -> domainCapSql,
     "sample_split"     -> sampleSplitSql,
     "sample_mixture"   -> sampleMixtureSql,
     "text_langid"      -> langIdSql,
