@@ -4,6 +4,7 @@ import java.time.{Instant, ZoneOffset}
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DateType, StringType}
 
 import graft.functions.{exprs, Hashing}
 
@@ -77,14 +78,66 @@ object Deps {
   private def utcHourOfDay(src: Column): Column =
     (pmod(unix_micros(src.cast("timestamp")), lit(DayUs)) / lit(3600000000L)).cast("int")
 
-  /** Integral truncate needs a different expression than string
-    * truncate; pick by the src column's resolved type at write time.
+  /** Type-aware write-path column — pick the expression by the src
+    * column's RESOLVED type:
+    *
+    *  - integral truncate needs modular arithmetic, string truncate a
+    *    substring;
+    *  - date transforms on a `DateType` source use its calendar fields
+    *    directly (a date is a timezone-free day number — extracting
+    *    year/month/day from it involves no zone at all). Routing dates
+    *    through `cast("timestamp")` would interpret local midnight in
+    *    the SESSION timezone, so east of UTC `date '2024-01-01'` lands
+    *    in UTC day 2023-12-31 and the materialized partition value
+    *    disagrees with the driver-side inference ([[applyTyped]]) —
+    *    pruning would silently skip matching files. Only true
+    *    timestamps go through `unix_micros`.
     */
-  def columnTyped(transform: String, src: Column, isString: Boolean): Column = transform match {
-    case TruncRe(n) if !isString =>
+  def columnTyped(transform: String, src: Column, dt: DataType): Column = transform match {
+    case TruncRe(n) if dt != StringType =>
       (src - pmod(src, lit(n.toLong))).cast("long")
+    case "year" if dt == DateType  => year(src).cast("int")
+    case "month" if dt == DateType => (year(src) * 100 + month(src)).cast("int")
+    case "day" if dt == DateType   =>
+      (year(src) * 10000 + month(src) * 100 + dayofmonth(src)).cast("int")
+    case "hour" if dt == DateType  => // a date has no time component: hour 0
+      ((year(src) * 10000 + month(src) * 100 + dayofmonth(src)) * lit(100L)).cast("int")
     case _ => column(transform, src)
   }
+
+  /** Back-compat shim for the boolean form. */
+  def columnTyped(transform: String, src: Column, isString: Boolean): Column =
+    columnTyped(transform, src,
+      if (isString) StringType else org.apache.spark.sql.types.LongType)
+
+  /** Type-aware driver-side evaluation — the exact dual of
+    * [[columnTyped]]. Catalyst literals surface `DateType` values as
+    * epoch-DAYS ints (timestamps as epoch-micros longs); interpreting
+    * days as micros would map every date to 1970 and bucket-hash the
+    * day number instead of the `yyyy-MM-dd` string the write path
+    * hashes — both silently desynchronize pruning from the
+    * materialized partition values.
+    */
+  def applyTyped(transform: String, v: Any, srcType: DataType): Any =
+    if (srcType != DateType) apply(transform, v)
+    else {
+      val days = v match {
+        case l: Long => l
+        case i: Int  => i.toLong
+        case other   => throw new IllegalArgumentException(s"date transform on $other")
+      }
+      val t = java.time.LocalDate.ofEpochDay(days)
+      transform match {
+        case "identity" => v
+        case "year"     => t.getYear
+        case "month"    => t.getYear * 100 + t.getMonthValue
+        case "day"      => t.getYear * 10000 + t.getMonthValue * 100 + t.getDayOfMonth
+        case "hour"     => (t.getYear * 10000 + t.getMonthValue * 100 + t.getDayOfMonth) * 100
+        case BucketRe(n) => // write path hashes the yyyy-MM-dd cast-to-string form
+          (((Hashing.polyHashString(t.toString) % n.toInt) + n.toInt) % n.toInt)
+        case tr => throw new IllegalArgumentException(s"transform $tr unsupported on DateType")
+      }
+    }
 
   /** Driver-side evaluation over a plain Scala value (Long, Double,
     * String, or epoch-micros Long for timestamps). Must agree exactly

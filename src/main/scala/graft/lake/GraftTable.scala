@@ -131,8 +131,18 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * `snapshot-<id>.json`, and the loser fails here instead of
     * silently clobbering the winner's commit.
     */
-  private def stage(s0: Snapshot): Unit = {
+  private def stage(s0in: Snapshot): Unit = {
     Files.createDirectories(metaDir)
+    // Stamp freshly written files (addedBy = PendingAddedBy) with the
+    // FINAL snapshot id — it is only known here, after rebase/step-over
+    // id allocation. Carried-over files keep their original stamp, so
+    // incremental/streaming readers can plan `(start, end]` deltas by
+    // filtering addedBy instead of diffing whole file lists.
+    val s0 =
+      if (s0in.files.exists(_.addedBy == GraftTable.PendingAddedBy))
+        s0in.copy(files = s0in.files.map(f =>
+          if (f.addedBy == GraftTable.PendingAddedBy) f.copy(addedBy = s0in.id) else f))
+      else s0in
     // Externalize big file lists into content-addressed per-partition
     // shards: an unchanged partition hashes to an existing shard file
     // and is re-pointed, not re-written — at 10⁵ files an append to
@@ -172,8 +182,27 @@ final class GraftTable(val root: String, spark: SparkSession) {
     }
   }
 
-  /** Make a staged snapshot current (the P of write-audit-publish). */
-  def publish(id: Long): Unit = withCommitLock { publishUnlocked(id) }
+  /** Make a staged snapshot current (the P of write-audit-publish).
+    *
+    * Compare-and-swap on the staged snapshot's parent: the staged file
+    * list was computed against `parentId`'s files at stage time, so if
+    * the table has moved since (a concurrent append committed between
+    * stage and publish), swinging the pointer would silently drop that
+    * committer's files. Same CAS [[commit]] enforces for
+    * non-commutative writes; re-stage against the new current (or
+    * rebase the staged delta) and retry.
+    */
+  def publish(id: Long): Unit = withCommitLock {
+    require(Files.exists(metaDir.resolve(s"snapshot-$id.json")),
+      s"no staged snapshot $id under $root")
+    val cur = currentId
+    if (id != cur && snapshot(id).parentId != cur)
+      throw new java.util.ConcurrentModificationException(
+        s"cannot publish snapshot $id: staged against parent " +
+          s"${snapshot(id).parentId} but table $root moved to $cur — " +
+          "re-stage against the new current and retry")
+    publishUnlocked(id)
+  }
 
   private def publishUnlocked(id: Long): Unit = {
     require(Files.exists(metaDir.resolve(s"snapshot-$id.json")),
@@ -211,20 +240,64 @@ final class GraftTable(val root: String, spark: SparkSession) {
     nid
   }
 
+  private def tagsFile = metaDir.resolve("batch-tags.txt")
+
+  /** Batch tags consumed by [[appendBatch]] — the durable exactly-once
+    * ledger. The ledger file survives snapshot expiration (a replayed
+    * batch is still recognized after VACUUM); the only possible gap is
+    * a crash between publish and the ledger append, which can only
+    * affect the NEWEST commit — `current.operation` closes it without
+    * scanning history, so the check is O(1), not O(#snapshots).
+    */
+  private def consumedTags: Set[String] = {
+    val fromFile =
+      if (!Files.exists(tagsFile)) Set.empty[String]
+      else new String(Files.readAllBytes(tagsFile), StandardCharsets.UTF_8)
+        .split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSet
+    if (Files.exists(metaDir.resolve("version-hint.txt"))) fromFile + current.operation
+    else fromFile
+  }
+
+  /** Append `tag` to the ledger — call only while holding the commit
+    * lock (or from [[expire]], where duplicate lines are harmless: the
+    * ledger is read as a set).
+    */
+  private def recordTag(tag: String): Unit =
+    Files.write(tagsFile, (tag + "\n").getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+
   /** Idempotent tagged append — the exactly-once primitive for
     * streaming sinks: each micro-batch appends under a unique tag
-    * (e.g. `stream-batch-<id>`), and a replayed batch whose tag is
-    * already in the snapshot history is skipped instead of
-    * double-appending. Returns true iff data was written.
+    * (e.g. `stream-batch-<id>`), and a replayed batch whose tag was
+    * already consumed is skipped instead of double-appending. Tags live
+    * in a dedicated persistent ledger ([[consumedTags]]) re-checked
+    * INSIDE the commit lock, so the guarantee survives snapshot
+    * expiration and concurrent same-tag writers. Returns true iff data
+    * was written.
     */
   def appendBatch(df: DataFrame, batchTag: String): Boolean = {
-    if (snapshots.exists(_.operation == batchTag)) false
-    else {
-      val cur = current
-      val added = writeFiles(df, cur.partitionCols, cur.deps, cur.id + 1)
-      commitAppend(added, batchTag)
-      true
+    if (consumedTags.contains(batchTag)) return false
+    val cur = current
+    val added = writeFiles(df, cur.partitionCols, cur.deps, cur.id + 1)
+    val committed = withCommitLock {
+      // re-check inside the lock: a concurrent writer replaying the
+      // same tag may have committed since the fast-path check above
+      if (consumedTags.contains(batchTag)) false
+      else {
+        val c = current
+        val next = c.copy(
+          id = math.max(c.id, snapshotIds.max) + 1, parentId = c.id,
+          tsMillis = nextTs(Some(c)), operation = batchTag,
+          files = c.files ++ added, addedFiles = added.size, deletedFiles = 0)
+        stage(next)
+        publishUnlocked(next.id)
+        recordTag(batchTag)
+        true
+      }
     }
+    if (!committed) // lost the race: this batch's files are orphans
+      added.foreach(f => Files.deleteIfExists(Paths.get(root, f.path)))
+    committed
   }
 
   /** Drop a staged-but-unpublished snapshot and its orphaned files. */
@@ -379,10 +452,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
     }
     val df = deps.foldLeft(df0) { (d, dep) =>
       if (d.columns.contains(dep.dest)) d
-      else {
-        val isString = d.schema(dep.src).dataType == StringType
-        d.withColumn(dep.dest, Deps.columnTyped(dep.transform, col(dep.src), isString))
-      }
+      else d.withColumn(dep.dest,
+        Deps.columnTyped(dep.transform, col(dep.src), d.schema(dep.src).dataType))
     }
     val staging = Paths.get(root, s".staging-${UUID.randomUUID()}")
     // `write.bloom.columns`: bloom filters ride the parquet footers of
@@ -424,8 +495,14 @@ final class GraftTable(val root: String, spark: SparkSession) {
         (p.toString, dest.toString, partVals)
       }
     val rootStr = root
+    // Small commits stat on the driver: a Spark job costs ~1 s of fixed
+    // launch overhead, which dominates a handful of local footer reads;
+    // the cluster path wins exactly when it matters — many files, where
+    // per-file I/O would otherwise serialize on the driver.
     val moved =
       if (work.isEmpty) Seq.empty[FileEntry]
+      else if (work.size <= GraftTable.DriverStatThreshold)
+        work.map { case (src, dest, pv) => GraftTable.moveAndStat(rootStr, src, dest, pv) }
       else spark.sparkContext
         .parallelize(work, math.min(work.size, spark.sparkContext.defaultParallelism))
         .map { case (src, dest, pv) => GraftTable.moveAndStat(rootStr, src, dest, pv) }
@@ -531,11 +608,15 @@ final class GraftTable(val root: String, spark: SparkSession) {
     // drop whole files from the manifest with zero data read/write.
     // "Delete a day" at 100 TB becomes an O(metadata) commit. Dep
     // inference is deliberately NOT used here: inferred constraints
-    // are implied, not equivalent, and would over-delete.
-    val partColSet = (cur.partitionCols ++ cur.deps.map(_.dest)).toSet
+    // are implied, not equivalent, and would over-delete. Only columns
+    // that actually appear in every file's partition map qualify — a
+    // dep dest that is NOT a partition column has no per-file value
+    // (f.partition.get(c) = None for every file), so gating on it
+    // would "match" zero files and commit a delete that removed
+    // nothing; such predicates fall through to copy-on-write.
     val sch = schema
     Pruning.extractExact(pred) match {
-      case Some(cs) if cs.nonEmpty && cs.keySet.forall(partColSet.contains) =>
+      case Some(cs) if cs.nonEmpty && cs.keySet.forall(cur.partitionCols.contains) =>
         val (dropped, kept) = cur.files.partition { f =>
           cs.forall { case (c, con) =>
             f.partition.get(c).exists { raw =>
@@ -691,10 +772,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
     // would make every task write every partition dir — tiny files)
     val withDeps = newDeps.foldLeft(read()) { (d, dep) =>
       if (d.columns.contains(dep.dest)) d
-      else {
-        val isString = d.schema(dep.src).dataType == StringType
-        d.withColumn(dep.dest, Deps.columnTyped(dep.transform, col(dep.src), isString))
-      }
+      else d.withColumn(dep.dest,
+        Deps.columnTyped(dep.transform, col(dep.src), d.schema(dep.src).dataType))
     }
     val data =
       if (newPartitionCols.isEmpty) withDeps
@@ -974,6 +1053,11 @@ final class GraftTable(val root: String, spark: SparkSession) {
     val orphans = expired.flatMap(id => snapshot(id).files.map(_.path)).distinct
       .filterNot(live.contains).sorted
     if (delete) {
+      // fold expiring batch tags into the durable ledger so replayed
+      // streaming batches stay recognized after their snapshots are
+      // gone (covers tables written before the ledger existed)
+      expired.map(snapshot(_).operation)
+        .filterNot(GraftTable.StandardOps.contains).distinct.foreach(recordTag)
       orphans.foreach(rel => Files.deleteIfExists(Paths.get(root, rel)))
       expired.foreach(id => Files.deleteIfExists(metaDir.resolve(s"snapshot-$id.json")))
       // GC manifest shards no live snapshot points at (content-addressed
@@ -1034,9 +1118,9 @@ final class GraftTable(val root: String, spark: SparkSession) {
     // keyed by the frozen physical names — translate before matching
     val renames = logicalToPhysical
     val cs0 = Pruning.extract(pred).map { case (k, c) => renames.getOrElse(k, k) -> c }
-    val cs = Pruning.inferThroughDeps(cs0, cur.deps)
     val partTypes: Map[String, DataType] =
       schema.fields.map(f => GraftTable.physicalName(f) -> f.dataType).toMap
+    val cs = Pruning.inferThroughDeps(cs0, cur.deps, partTypes)
     if (cs.values.exists(_.impossible)) (Seq.empty, cur.files.size, cs)
     else (cur.files.filter(Pruning.fileSurvives(_, cs, partTypes)), cur.files.size, cs)
   }
@@ -1116,6 +1200,28 @@ object GraftTable {
     */
   val ShardFilesThreshold = 64
 
+  /** Commits at or below this many files footer-stat on the driver —
+    * the fixed launch cost of a Spark job dominates a handful of local
+    * footer reads (see [[GraftTable.writeFiles]]).
+    */
+  val DriverStatThreshold = 16
+
+  /** `FileEntry.addedBy` sentinel for files written but not yet
+    * committed; [[GraftTable.stage]] replaces it with the final id.
+    */
+  val PendingAddedBy: Long = -1L
+
+  /** Operations emitted by graft's own DML — anything else in a
+    * snapshot's `operation` field is a user batch tag (see
+    * [[GraftTable.appendBatch]]).
+    */
+  private[lake] val StandardOps: Set[String] = Set(
+    "create", "append", "overwrite", "overwrite-partition",
+    "overwrite-dynamic", "delete", "truncate", "update", "merge",
+    "merge-delete", "repartition-spec", "set-properties", "add-column",
+    "drop-column", "rename-column", "optimize", "compact", "rollback",
+    "adopt")
+
   /** (root, shard path) → parsed file entries. Shards are immutable
     * (content-addressed), so the cache never invalidates within a
     * table generation; loading snapshot N+1 re-parses only shards N
@@ -1151,10 +1257,8 @@ object GraftTable {
     // resolve the full schema (incl. derived dep columns) by writing
     val withDeps = deps.foldLeft(df) { (d, dep) =>
       if (d.columns.contains(dep.dest)) d
-      else {
-        val isString = d.schema(dep.src).dataType == StringType
-        d.withColumn(dep.dest, Deps.columnTyped(dep.transform, col(dep.src), isString))
-      }
+      else d.withColumn(dep.dest,
+        Deps.columnTyped(dep.transform, col(dep.src), d.schema(dep.src).dataType))
     }
     val files = t.writeFiles(df, partitionCols, deps, snapId = 1)
     t.commit(Snapshot(
@@ -1244,7 +1348,7 @@ object GraftTable {
     val fs = p.getFileSystem(conf)
     val (rows, bytes, stats) = footerStats(p, fs, conf)
     FileEntry(Paths.get(root).relativize(Paths.get(path)).toString,
-      partVals, rows, bytes, stats)
+      partVals, rows, bytes, stats, PendingAddedBy)
   }
 
   /** Parse the reference's columnDependencies option string:
@@ -1281,7 +1385,7 @@ object GraftTable {
       throw new java.io.IOException(s"rename $src -> $dest failed")
     val (rows, bytes, stats) = footerStats(destP, fs, conf)
     FileEntry(Paths.get(root).relativize(Paths.get(dest)).toString,
-      partVals, rows, bytes, stats)
+      partVals, rows, bytes, stats, PendingAddedBy)
   }
 
   /** Per-column min/max/nulls from the parquet footer — O(footer), no

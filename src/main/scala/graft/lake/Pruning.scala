@@ -276,17 +276,24 @@ object Pruning {
   /** Push constraints through column dependencies: a constraint on
     * `src` becomes a constraint on `dest` (partition column). Equality
     * sets always map; intervals map only through monotone transforms.
+    * `srcTypes` disambiguates the literal encoding per source column —
+    * DateType literals are epoch-days, timestamps epoch-micros
+    * (see [[Deps.applyTyped]]); callers pass the snapshot schema.
     */
   def inferThroughDeps(
-      cs: Map[String, Constraint], deps: Seq[DepSpec]): Map[String, Constraint] = {
+      cs: Map[String, Constraint], deps: Seq[DepSpec],
+      srcTypes: Map[String, DataType] = Map.empty): Map[String, Constraint] = {
     val inferred = deps.flatMap { dep =>
       cs.get(dep.src).flatMap { c =>
-        val eqMapped = c.eqs.map(_.map(v => toComparable(Deps.apply(dep.transform, fromComparable(v)))))
+        val st = srcTypes.getOrElse(dep.src, NullType)
+        def mapped(v: Any): Any =
+          toComparable(Deps.applyTyped(dep.transform, fromComparable(v), st))
+        val eqMapped = c.eqs.map(_.map(mapped))
         // all transforms are null-preserving, so src nullness carries
         // to the destination column verbatim
         if (Deps.monotone(dep.transform)) {
-          val lo2 = c.lo.map { case (v, _) => (toComparable(Deps.apply(dep.transform, fromComparable(v))), true) }
-          val hi2 = c.hi.map { case (v, _) => (toComparable(Deps.apply(dep.transform, fromComparable(v))), true) }
+          val lo2 = c.lo.map { case (v, _) => (mapped(v), true) }
+          val hi2 = c.hi.map { case (v, _) => (mapped(v), true) }
           Some(dep.dest -> Constraint(eqMapped, lo2, hi2, c.nullness))
         } else if (eqMapped.isDefined || c.nullness.isDefined) {
           Some(dep.dest -> Constraint(eqs = eqMapped, nullness = c.nullness))

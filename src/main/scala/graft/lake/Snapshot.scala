@@ -29,14 +29,20 @@ final case class ColStat(tpe: String, min: String, max: String, nulls: Long)
 
 /** One data file registered in a snapshot. `path` is relative to the
   * table root; `partition` maps partition-column name → string value
-  * exactly as spelled in the hive-style directory.
+  * exactly as spelled in the hive-style directory. `addedBy` is the id
+  * of the snapshot that first committed the file (stamped at stage
+  * time): incremental/streaming readers plan a `(start, end]` delta by
+  * filtering it — O(delta), no whole-file-list diffs. Manifests written
+  * before the field existed deserialize it as 0 = unknown (readers
+  * fall back to set difference).
   */
 final case class FileEntry(
     path: String,
     partition: Map[String, String],
     rows: Long,
     bytes: Long,
-    stats: Map[String, ColStat])
+    stats: Map[String, ColStat],
+    addedBy: Long = 0L)
 
 /** A column dependency `src → dest : transform` (reference:
   * utils/Transforms.scala:30; Config.scala:77 COLUMN_DEPENDENCIES option). Declares

@@ -51,8 +51,14 @@ object CoreQueries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  /** B2: shipping-priority join + grouped topN. customer is small →
-    * broadcast; orders⋈lineitem shuffles on the join key only.
+  /** B2: shipping-priority join + grouped topN. NO broadcast hint on
+    * customer: it grows linearly with scale factor (150 k rows × SF),
+    * so a hard hint that is convenient at sf0.1 is a multi-GB
+    * driver/executor OOM at the 100 TB target. AQE broadcasts it
+    * whenever its post-filter size is actually under
+    * `autoBroadcastJoinThreshold` — the size-gated decision belongs to
+    * the runtime, not the query text. orders⋈lineitem shuffles on the
+    * join key only.
     */
   def q3Join(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
@@ -61,7 +67,7 @@ object CoreQueries {
     val li   = Tables.lineitem(s, d)
       .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(money(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
       .select(
@@ -86,7 +92,13 @@ object CoreQueries {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
-  /** B3: 5-way join; all dims broadcast, single shuffle on orderkey. */
+  /** B3: 5-way join. Broadcast hints ONLY on the genuinely fixed-size
+    * dims — nation (25 rows) and region (5) never grow with scale
+    * factor. customer and supplier are SF-proportional facts in dim
+    * clothing: hinting them broadcast works at sf0.1 and OOMs at the
+    * 100× target, so their join strategy is left to AQE's size-gated
+    * runtime decision. lineitem⋈orders shuffles once on orderkey.
+    */
   def q5MultiJoin(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val ord = Tables.orders(s, d)
@@ -97,8 +109,8 @@ object CoreQueries {
     val nat  = Tables.nation(s, d)
     val reg  = Tables.region(s, d).filter(col("r_name") === "ASIA")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))

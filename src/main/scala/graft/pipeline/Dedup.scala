@@ -32,6 +32,18 @@ object Dedup {
     */
   val BucketCap = 200
 
+  /** Posting-list skew guard for the inverted-index join (C4): a
+    * shingle present in k documents emits k² candidate rows from the
+    * self-join, so one boilerplate shingle shared by 10⁵ docs would
+    * stall a reducer with 10¹⁰ rows. Shingles with document frequency
+    * above this cap are dropped BEFORE the join — they carry almost no
+    * Jaccard signal (everything matches them), exactly like minhash's
+    * `BucketCap`. Recall: a true near-dup pair sharing ≥ 1 sub-cap
+    * shingle still surfaces; pairs whose overlap is ONLY boilerplate
+    * are template duplicates owned by exact dedup (C1) / minhash (C2).
+    */
+  val PostingDfCap = 1000
+
   /** (doc_id, shs: array<string>) — the shingle *set* per document,
     * via the codegen'd [[graft.functions.WordShingles]] kernel (the
     * equivalent transform/element_at lambda chain evaluates interpreted
@@ -166,13 +178,22 @@ object Dedup {
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccardOf(Tables.documents(s, d))
 
-  def ngramJaccardOf(docs: DataFrame): DataFrame = {
+  def ngramJaccardOf(docs: DataFrame, postingDfCap: Int = PostingDfCap): DataFrame = {
     // inverted index on 64-bit shingle hashes: long join/group keys
     // shuffle ~3× less than the shingle strings; a hash collision can
     // only ADD a candidate (never lose one), and the exact string-set
     // verification filters those out.
-    val sh = shingleHashesOf(docs)
+    val sh0 = shingleHashesOf(docs)
       .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("sh"))
+    // [[PostingDfCap]]: drop boilerplate shingles (document frequency
+    // above the cap) before the self-join — the quadratic pair blow-up
+    // is bounded at cap² per shingle. One extra hash-keyed agg + join,
+    // both on the key the index shuffles on anyway.
+    val rare = sh0.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= postingDfCap)
+      .select(col("sh"))
+    val sh = sh0.join(rare, Seq("sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("sh"))
     val b = sh.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("sh"))
     val cand = a.join(b, Seq("sh"))

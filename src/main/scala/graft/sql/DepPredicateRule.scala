@@ -25,9 +25,9 @@ case class DepPredicateRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       graftDepsFor(child) match {
-        case Some(deps) if deps.nonEmpty =>
+        case Some((deps, srcTypes)) if deps.nonEmpty =>
           val cs = Pruning.extract(cond)
-          val inferred = Pruning.inferThroughDeps(cs, deps)
+          val inferred = Pruning.inferThroughDeps(cs, deps, srcTypes)
           val destOnly = inferred.view
             .filterKeys(k => deps.exists(_.dest == k) && !cs.contains(k)).toMap
           val conjuncts = destOnly.flatMap { case (colName, c) =>
@@ -46,10 +46,12 @@ case class DepPredicateRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case other     => Seq(other)
   }
 
-  /** The deps of the graft table this subtree scans, if any — detected
-    * by the scan's file paths living under a registered table root.
+  /** The deps (+ column types, for literal-encoding-aware inference) of
+    * the graft table this subtree scans, if any — detected by the
+    * scan's file paths living under a registered table root.
     */
-  private def graftDepsFor(plan: LogicalPlan): Option[Seq[graft.lake.DepSpec]] = {
+  private def graftDepsFor(plan: LogicalPlan)
+      : Option[(Seq[graft.lake.DepSpec], Map[String, org.apache.spark.sql.types.DataType])] = {
     val rels = plan.collect {
       case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
         l.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.map(_.toString)
@@ -68,7 +70,10 @@ case class DepPredicateRule(spark: SparkSession) extends Rule[LogicalPlan] {
         .sortBy(-_.length).headOption
     }.nextOption()
     // a stale registration (deleted table dir) must not break planning
-    root.flatMap(r => scala.util.Try(new GraftTable(r, spark).current.deps).toOption)
+    root.flatMap(r => scala.util.Try {
+      val t = new GraftTable(r, spark)
+      (t.current.deps, t.schema.fields.map(f => f.name -> f.dataType).toMap)
+    }.toOption)
   }
 
   private def toExprs(attr: Attribute, c: Pruning.Constraint): Seq[Expression] = {

@@ -28,8 +28,12 @@ class GraftFileIndex(
     snapshot: Snapshot,
     fullSchema: StructType) extends FileIndex {
 
-  private val partCols: Seq[String] = snapshot.partitionCols ++
-    snapshot.deps.map(_.dest).filterNot(snapshot.partitionCols.contains)
+  // ONLY the declared partition columns ride the directory row: a dep
+  // dest that is not a partition column is materialized into the data
+  // pages by the write path (its footer stats still prune), and putting
+  // it in partitionSchema would make Spark read a per-file value that
+  // no directory provides.
+  private val partCols: Seq[String] = snapshot.partitionCols
   private val partFields = partCols.flatMap(c => fullSchema.fields.find(_.name == c))
 
   override val partitionSchema: StructType = StructType(partFields)
@@ -56,9 +60,9 @@ class GraftFileIndex(
           }
         }.toMap
       }
-    val cs = Pruning.inferThroughDeps(cs0, snapshot.deps)
     val types: Map[String, DataType] =
       fullSchema.fields.map(f => f.name -> f.dataType).toMap
+    val cs = Pruning.inferThroughDeps(cs0, snapshot.deps, types)
     val survivors =
       if (cs.values.exists(_.impossible)) Seq.empty[FileEntry]
       else snapshot.files.filter(Pruning.fileSurvives(_, cs, types))

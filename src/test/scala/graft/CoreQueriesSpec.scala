@@ -87,4 +87,20 @@ class CoreQueriesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === naive)
   }
+
+  test("q3/q5 hint only fixed-size dims: no forced broadcast of SF-proportional tables") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    // customer/supplier grow with scale factor — a hard broadcast()
+    // hint on them OOMs at the 100 TB target; only nation/region (25/5
+    // rows forever) may carry hints. AQE decides the rest by size.
+    val sfProportional = Seq("c_custkey", "c_mktsegment", "s_suppkey", "o_orderkey", "l_orderkey")
+    for (q <- Seq(CoreQueries.q3Join _, CoreQueries.q5MultiJoin _)) {
+      val plan = q(spark, sfDir).queryExecution.analyzed
+      val hinted = plan.collect { case h: ResolvedHint => h.child.output.map(_.name) }
+      hinted.foreach { cols =>
+        assert(!cols.exists(sfProportional.contains),
+          s"broadcast hint forced onto an SF-proportional table: $cols")
+      }
+    }
+  }
 }

@@ -787,4 +787,100 @@ class LakeSpec extends SparkSpec {
     val cs = Pruning.extract(col("a") === 1L || col("b") === 2L)
     assert(cs.isEmpty) // OR → no pruning, never wrong results
   }
+
+  test("WAP publish CAS: a commit landing between stage and publish is rejected") {
+    val o = Tables.orders(spark, sfDir).limit(300)
+    val base = o.repartition(col("o_orderstatus"))
+    val t = GraftTable.create(spark, tmp("wapcas"), base, Seq("o_orderstatus"))
+    val n0 = t.read().count()
+    val staged = t.stageAppend(base) // file list computed against snapshot 1
+    // a concurrent append commits before the publish
+    t.append(base)
+    val nAfterAppend = t.read().count()
+    // publishing the stale stage would silently drop the append's files
+    intercept[java.util.ConcurrentModificationException](t.publish(staged))
+    assert(t.read().count() === nAfterAppend, "stale publish must not move the pointer")
+    t.abandonStaged(staged)
+    // the recovery path: re-stage against the new current, then publish
+    val staged2 = t.stageAppend(base)
+    t.publish(staged2)
+    assert(t.read().count() === n0 * 3)
+    // idempotent re-publish of what is already current is a no-op
+    t.publish(staged2)
+    assert(t.currentId === staged2)
+  }
+
+  test("delete fast path requires REAL partition columns, not dep dests") {
+    // dep dest od_day is materialized in the data but NOT a partition
+    // column: its per-file value is absent from f.partition, so a
+    // metadata-only delete keyed on it would match zero files and
+    // silently remove nothing — the predicate must take copy-on-write.
+    val o = Tables.orders(spark, sfDir).limit(2000)
+    val t = GraftTable.create(spark, tmp("fastgate"),
+      o.repartition(col("o_orderstatus")), Seq("o_orderstatus"),
+      deps = Seq(DepSpec("o_orderdate", "od_day", "day")))
+    val day = t.read().select(col("od_day")).orderBy(col("od_day")).head().getInt(0)
+    val expect = t.read().filter(col("od_day") =!= day).count()
+    assert(t.read().count() > expect, "chosen day must match some rows")
+    t.delete(col("od_day") === day)
+    assert(t.current.addedFiles > 0, "non-partition dep dest => copy-on-write rewrite")
+    assert(t.read().count() === expect, "matching rows actually deleted")
+    // same predicate shape on the true partition column stays metadata-only
+    t.delete(col("o_orderstatus") === "F")
+    assert(t.current.addedFiles === 0)
+    assert(t.read().filter(col("o_orderstatus") === "F").count() === 0)
+  }
+
+  test("DateType dep transforms: write path and inference agree in any session TZ") {
+    import spark.implicits._
+    val days = Seq("2024-01-01", "2024-01-02", "2024-06-30", "2024-07-01", "2024-12-31")
+    val df = days.zipWithIndex
+      .map { case (d, i) => (i.toLong, java.sql.Date.valueOf(d)) }.toDF("id", "d")
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // east of UTC: a timestamp-cast of date midnight would fall in the
+      // PREVIOUS UTC day and shift year/month/day transforms
+      spark.conf.set("spark.sql.session.timeZone", "Australia/Sydney")
+      val t = GraftTable.create(spark, tmp("datedeps"), df,
+        partitionCols = Seq("dd"), deps = Seq(DepSpec("d", "dd", "day")))
+      // materialized partition value is the date's own calendar day
+      assert(t.read().filter(col("id") === 0L).head().getAs[Int]("dd") === 20240101)
+      // inference: a date predicate prunes to exactly the matching partition
+      val (files, total, cs) = t.pruneFiles(col("d") === lit(java.sql.Date.valueOf("2024-07-01")))
+      assert(cs.contains("dd"), s"no inferred constraint: $cs")
+      assert(files.size < total && files.nonEmpty, s"pruned ${files.size}/$total")
+      assert(t.scan(col("d") === lit(java.sql.Date.valueOf("2024-07-01"))).count() === 1)
+      // range predicates infer through the monotone day transform
+      assert(t.scan(col("d") >= lit(java.sql.Date.valueOf("2024-07-01"))).count() === 2)
+      // bucket-on-date: driver hashes the same yyyy-MM-dd string the
+      // write path casts to — equality predicates prune correctly
+      val tb = GraftTable.create(spark, tmp("datebucket"), df,
+        partitionCols = Seq("db"), deps = Seq(DepSpec("d", "db", "bucket[4]")))
+      for (d <- days) {
+        assert(tb.scan(col("d") === lit(java.sql.Date.valueOf(d))).count() === 1,
+          s"bucket-on-date lost $d")
+        val (fs, tot, _) = tb.pruneFiles(col("d") === lit(java.sql.Date.valueOf(d)))
+        assert(fs.size < tot, s"no bucket pruning for $d")
+      }
+      // driver-side dual agrees with calendar arithmetic
+      val epochDay = java.time.LocalDate.parse("2024-01-01").toEpochDay
+      assert(Deps.applyTyped("day", epochDay, org.apache.spark.sql.types.DateType) === 20240101)
+      assert(Deps.applyTyped("month", epochDay, org.apache.spark.sql.types.DateType) === 202401)
+      assert(Deps.applyTyped("year", epochDay, org.apache.spark.sql.types.DateType) === 2024)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("appendBatch replay is recognized after snapshot expiration") {
+    val o = Tables.orders(spark, sfDir).limit(200)
+    val base = o.repartition(col("o_orderstatus"))
+    val t = GraftTable.create(spark, tmp("tagexpire"), base, Seq("o_orderstatus"))
+    assert(t.appendBatch(base, "batch-42"))
+    val n1 = t.read().count()
+    t.append(base) // move history forward so the tagged snapshot can expire
+    t.expire(keepFrom = t.currentId)
+    assert(t.snapshots.size === 1, "history expired")
+    // the durable tag ledger survives expiration: replay still skipped
+    assert(!t.appendBatch(base, "batch-42"))
+    assert(t.read().count() === n1 + base.count())
+  }
 }

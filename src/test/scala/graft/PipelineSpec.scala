@@ -452,4 +452,36 @@ class PipelineSpec extends SparkSpec {
         s"plan was:\n$plan")
     }
   }
+
+  test("posting-list cap bounds boilerplate blow-up without losing rare-shingle pairs") {
+    import spark.implicits._
+    // 40 docs share a boilerplate paragraph (every boilerplate shingle
+    // has df = 42 > cap = 10) but are pairwise NON-duplicates thanks to
+    // unique filler; docs 100/101 are true near-dups via content the
+    // cap never touches (df = 2).
+    val boiler = "all rights reserved subscribe to our newsletter for updates today"
+    // shared rare content is much longer than the boilerplate, so the
+    // pair's Jaccard evidence survives even with every boilerplate
+    // shingle dropped (the cap trades away only boilerplate-dominated
+    // overlap — that is its contract)
+    val shared = (0 until 60).map(j => s"shared$j").mkString(" ")
+    val docs = (0 until 40).map { i =>
+      val filler = (0 until 30).map(j => s"unique${i}word$j").mkString(" ")
+      (i.toLong, s"$boiler $filler")
+    } ++ Seq(
+      (100L, s"$boiler $shared riverbank"),
+      (101L, s"$boiler $shared rivershore"))
+    val df = docs.toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardOf(df, postingDfCap = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((100L, 101L)), "rare-shingle near-dup pair must survive the cap")
+    assert(out.forall { case (a, b) => a >= 100L && b >= 100L },
+      s"boilerplate-only combinations must not explode into candidates: $out")
+    // sanity at corpus scale: the default cap (1000) is above any df at
+    // sf0.001, so capped output == the exact oracle-checked pair set
+    val capped = Dedup.ngramJaccardOf(Tables.documents(spark, sfDir)).collect()
+    val unCapped = Dedup.ngramJaccardOf(Tables.documents(spark, sfDir),
+      postingDfCap = Int.MaxValue).collect()
+    assert(capped.toSeq === unCapped.toSeq)
+  }
 }

@@ -183,4 +183,84 @@ class StreamingSpec extends SparkSpec {
     assert(t.read().count() === 3)
     assert(t.currentId === 2) // seed snapshot + one micro-batch commit
   }
+
+  test("D9b: rate cap survives NON-DENSE snapshot ids (parked WAP stages)") {
+    import spark.implicits._
+    val root = "/root/repo/target/laketest/streamsrc-gaps"
+    val rm = new java.io.File(root)
+    if (rm.exists()) { import scala.sys.process._; Seq("rm", "-rf", root).! }
+    val t = GraftTable.create(spark, root, Seq((1L, "a")).toDF("id", "k"))
+    // park a staged snapshot → id 2 exists but is NOT on the main
+    // lineage; the next appends land on 3 and 4 (non-dense published
+    // history: 1, 3, 4)
+    val parked = t.stageAppend(Seq((99L, "staged")).toDF("id", "k"))
+    assert(parked === 2L)
+    t.append(Seq((2L, "b")).toDF("id", "k"))
+    t.append(Seq((3L, "c")).toDF("id", "k"))
+    // lastEnd+n arithmetic would emit end offset 2 = the parked stage:
+    // getBatch would deliver UNPUBLISHED data. The lineage-based cap
+    // must deliver exactly the published rows, one snapshot per batch.
+    val src = new graft.streaming.GraftSource(spark, root, maxSnapshotsPerTrigger = Some(1L))
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    // getBatch returns a streaming-flagged plan (inputFiles/collect on
+    // it would trip the batch-support check) — read the exact files its
+    // FileIndex planned
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val files = StreamingSpec.plannedFiles(df)
+      if (files.isEmpty) Set.empty
+      else spark.read.parquet(files.toIndexedSeq: _*)
+        .select("id").collect().map(_.getLong(0)).toSet
+    }
+    val o1 = src.getOffset.get
+    assert(o1 === LongOffset(1L), s"first capped offset was $o1")
+    assert(rowsOf(src.getBatch(None, o1)) === Set(1L))
+    val o2 = src.getOffset.get
+    assert(o2 === LongOffset(3L), s"cap must step over the parked id 2, got $o2")
+    assert(rowsOf(src.getBatch(Some(o1), o2)) === Set(2L))
+    val o3 = src.getOffset.get
+    assert(o3 === LongOffset(4L))
+    assert(rowsOf(src.getBatch(Some(o2), o3)) === Set(3L))
+  }
+
+  test("D6c: getBatch plans O(delta) — only files stamped in (start, end]") {
+    import spark.implicits._
+    val root = "/root/repo/target/laketest/streamsrc-delta"
+    val rm = new java.io.File(root)
+    if (rm.exists()) { import scala.sys.process._; Seq("rm", "-rf", root).! }
+    // a table with plenty of historical files: 3 snapshots × multiple
+    // partitions each
+    val t = GraftTable.create(spark, root,
+      (0 until 40).map(i => (i.toLong, s"p${i % 4}")).toDF("id", "k")
+        .repartition(col("k")), partitionCols = Seq("k"))
+    t.append((40 until 80).map(i => (i.toLong, s"p${i % 4}")).toDF("id", "k")
+      .repartition(col("k")))
+    t.append((80 until 120).map(i => (i.toLong, s"p${i % 4}")).toDF("id", "k")
+      .repartition(col("k")))
+    // every committed entry carries its adding snapshot id
+    assert(t.current.files.forall(_.addedBy > 0L))
+    assert(t.current.files.map(_.addedBy).distinct.sorted === Seq(1L, 2L, 3L))
+    val src = new graft.streaming.GraftSource(spark, root)
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val batch = src.getBatch(Some(LongOffset(2L)), LongOffset(3L))
+    // the batch's planned inputs are exactly snapshot 3's added files —
+    // not a set-difference over the whole table's file list
+    val planned = StreamingSpec.plannedFiles(batch)
+    val expected = t.current.files.filter(_.addedBy == 3L).map(f => s"$root/${f.path}").toSet
+    assert(planned === expected)
+    assert(spark.read.parquet(planned.toIndexedSeq: _*)
+      .select("id").collect().map(_.getLong(0)).toSet === (80 until 120).map(_.toLong).toSet)
+  }
+}
+
+object StreamingSpec {
+  /** File list a (possibly streaming-flagged) relation planned, pulled
+    * from the ANALYZED plan's FileIndex — optimizedPlan/inputFiles
+    * would run the batch-support check and reject streaming relations.
+    */
+  def plannedFiles(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.toSet
+    }.head
 }
