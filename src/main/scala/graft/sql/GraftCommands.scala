@@ -78,6 +78,7 @@ case class GraftCreateTableCommand(
     }
     GraftTable.createEmpty(session, root, full, partitionCols, deps)
     GraftCatalog.register(name, root)
+    GraftSparkBridge.register(session, name, root)
     Seq.empty
   }
 }
@@ -101,6 +102,7 @@ case class GraftCtasCommand(
     val root = location.getOrElse(s"/root/repo/target/lakework/sql-$name")
     GraftTable.create(session, root, df, partitionCols, deps)
     GraftCatalog.register(name, root)
+    GraftSparkBridge.register(session, name, root)
     Seq.empty
   }
 }
@@ -314,6 +316,7 @@ case class GraftDropTableCommand(name: String) extends LeafRunnableCommand {
       }
     }
     GraftCatalog.unregister(name)
+    GraftSparkBridge.unregister(session, name)
     Seq.empty
   }
 }

@@ -34,6 +34,14 @@ import graft.lake.GraftTable
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+    // API-side integration: spark.table / insertInto / saveAsTable
+    // resolve to graft scans and snapshot-creating inserts (the parser
+    // only covers SQL text)
+    ext.injectResolutionRule(session => GraftRelationRule(session))
+    // native df.write.parquet(<root>/data) routes through management;
+    // writes into root/meta fail loudly (reference:
+    // IcebergTableWriteRule.scala:21-41)
+    ext.injectPostHocResolutionRule(session => GraftWriteInterceptRule(session))
     ext.injectOptimizerRule(session => DepPredicateRule(session))
     GraftExtensions.functions.foreach(ext.injectFunction)
   }

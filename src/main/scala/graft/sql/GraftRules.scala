@@ -1,0 +1,238 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType, UnresolvedCatalogRelation}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{InsertIntoHadoopFsRelationCommand, LogicalRelation}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graft.Shim
+
+import graft.lake.GraftTable
+
+/** Analyzer-level integration with Spark's OWN catalog and write path
+  * (reference: planning/CreateTableRules.scala registers managed tables
+  * in the session catalog; planning/IcebergTableWriteRule.scala:21-41
+  * rewrites `InsertIntoHadoopFsRelationCommand` into snapshot-creating
+  * inserts). The graft parser only sees SQL text; these rules close the
+  * two API-side gaps a real user hits on day one:
+  *
+  *  1. `spark.table("t")`, `df.write.insertInto("t")`,
+  *     `saveAsTable` — plans built programmatically never pass through
+  *     the parser. [[GraftRelationRule]] resolves graft relations
+  *     (by registry name, or by the `graftRoot` marker on a session-
+  *     catalog entry) to the manifest-planned snapshot scan, and
+  *     rewrites `InsertIntoStatement` over them into
+  *     [[GraftInsertCommand]].
+  *  2. `df.write.parquet(root + "/data")` — a PATH write into a
+  *     managed table's data directory would add files behind the
+  *     manifest's back (readers would never see them, VACUUM would
+  *     delete them). [[GraftWriteInterceptRule]] rewrites the planned
+  *     `InsertIntoHadoopFsRelationCommand` into a snapshot-creating
+  *     [[GraftPathWriteCommand]]; writes into the table root or meta
+  *     dir fail loudly.
+  */
+case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import GraftRelationRule._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    // INSERT built via API (DataFrameWriter.insertInto / saveAsTable
+    // append): rewrite before the bare-relation cases below would turn
+    // the target into a scan
+    case ins: InsertIntoStatement if graftNameOf(ins.table).isDefined =>
+      val static = ins.partitionSpec.collect { case (k, Some(v)) => k -> v }
+      GraftInsertCommand(graftNameOf(ins.table).get, ins.overwrite, static, ins.query)
+    // spark.table("t") with t registered only in the graft registry
+    case u: UnresolvedRelation if registryName(u.multipartIdentifier).isDefined =>
+      scan(session, GraftCatalog.lookup(registryName(u.multipartIdentifier).get).get)
+    // spark.table("t") resolved through the SESSION catalog entry that
+    // [[GraftSparkBridge.register]] created (before or after Spark's
+    // FindDataSourceTable converts it — the fixpoint order varies)
+    case u: UnresolvedCatalogRelation if rootOf(u.tableMeta).isDefined =>
+      scan(session, rootOf(u.tableMeta).get)
+    case l: LogicalRelation if l.catalogTable.flatMap(rootOf).isDefined =>
+      scan(session, l.catalogTable.flatMap(rootOf).get)
+  }
+}
+
+object GraftRelationRule {
+
+  private def scan(session: SparkSession, root: String): LogicalPlan =
+    Shim.logicalPlan(new GraftTable(root, session).read())
+
+  /** graftRoot marker of a session-catalog table created by
+    * [[GraftSparkBridge.register]].
+    */
+  private def rootOf(ct: CatalogTable): Option[String] =
+    ct.properties.get("graftRoot").orElse(ct.storage.properties.get("graftRoot"))
+
+  private def registryName(parts: Seq[String]): Option[String] =
+    if (parts.isEmpty || parts.length > 2 || parts.last.contains("$")) None
+    else Some(parts.map(_.toLowerCase).mkString("."))
+      .filter(n => GraftCatalog.lookup(n).isDefined)
+
+  /** Registered graft name behind an INSERT target in any of its
+    * analyzer-stage shapes.
+    */
+  private def graftNameOf(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(_, child) => graftNameOf(child)
+    case u: UnresolvedRelation   => registryName(u.multipartIdentifier)
+    case u: UnresolvedCatalogRelation =>
+      u.tableMeta.properties.get("graftName")
+    case l: LogicalRelation =>
+      l.catalogTable.flatMap(_.properties.get("graftName"))
+    case _ => None
+  }
+}
+
+/** Mirror a graft table into Spark's session catalog so the engine's
+  * own surfaces see it: `spark.table`, `SHOW TABLES`, `DESCRIBE`,
+  * `saveAsTable` (reference: CreateTableRules.scala:24-69 registers a
+  * CatalogTable with the management options). The entry is a plain
+  * parquet EXTERNAL table at `<root>/data` carrying `graftRoot` /
+  * `graftName` markers; [[GraftRelationRule]] swaps any resolution of
+  * it for the manifest-planned snapshot scan, so the catalog entry is
+  * discovery metadata — never the read path.
+  */
+object GraftSparkBridge {
+
+  private def identOf(name: String): TableIdentifier = {
+    val parts = name.split('.')
+    if (parts.length == 2) TableIdentifier(parts(1), Some(parts(0)))
+    else TableIdentifier(name)
+  }
+
+  def register(session: SparkSession, name: String, root: String): Unit = {
+    val catalog = session.sessionState.catalog
+    val ident = identOf(name)
+    ident.database.filterNot(catalog.databaseExists)
+      .foreach(db => session.sql(s"CREATE DATABASE IF NOT EXISTS $db"))
+    // graft CREATE is destructive (rebuild-in-place) — refresh the entry
+    catalog.dropTable(ident, ignoreIfNotExists = true, purge = false)
+    val props = Map(
+      "addTableManagement" -> "true", "graftRoot" -> root, "graftName" -> name)
+    catalog.createTable(CatalogTable(
+      identifier = ident,
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new java.io.File(root, "data").toURI),
+        properties = props),
+      schema = new GraftTable(root, session).schema,
+      provider = Some("parquet"),
+      properties = props), ignoreIfExists = false)
+  }
+
+  def unregister(session: SparkSession, name: String): Unit =
+    session.sessionState.catalog
+      .dropTable(identOf(name), ignoreIfNotExists = true, purge = false)
+}
+
+/** Intercept Spark-native PATH writes that target a managed table
+  * (reference: IcebergTableWriteRule.scala:21-41). Runs post-hoc, after
+  * `DataSourceAnalysis` has planned the V1 write command. The table's
+  * own staging writes (`<root>/.staging-*`) pass through untouched.
+  */
+case class GraftWriteInterceptRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    case cmd: InsertIntoHadoopFsRelationCommand =>
+      GraftWriteInterceptRule.managedTarget(cmd.outputPath.toString) match {
+        case Some((root, true)) =>
+          GraftPathWriteCommand(
+            root, cmd.mode, cmd.staticPartitions, cmd.query, cmd.outputColumnNames)
+        case Some((root, false)) =>
+          throw new IllegalArgumentException(
+            s"refusing to write to ${cmd.outputPath}: the path is inside " +
+              s"graft-managed table $root but not its data directory — " +
+              "write through the table (INSERT INTO / df.write to " +
+              s"$root/data) so the snapshot manifest stays consistent")
+        case None => cmd
+      }
+  }
+}
+
+object GraftWriteInterceptRule {
+
+  /** `(root, targetsData)` when `path` lands inside a registered graft
+    * table: its data dir (route through management) or its root/meta
+    * (refuse). Staging dirs and unrelated paths return None. Longest
+    * root wins, and matching is on path-component boundaries (same
+    * rationale as [[DepPredicateRule]]: `/lake/t` must not claim
+    * `/lake/t2`).
+    */
+  def managedTarget(path: String): Option[(String, Boolean)] = {
+    val p = path.stripPrefix("file:").stripSuffix("/")
+    GraftCatalog.registeredRoots.iterator.flatMap { r0 =>
+      val r = r0.stripPrefix("file:").stripSuffix("/")
+      if (p == s"$r/data" || p.startsWith(s"$r/data/")) Some((r0, true))
+      else if (p == r || p == s"$r/meta" || p.startsWith(s"$r/meta/")) Some((r0, false))
+      else None
+    }.toSeq.sortBy(-_._1.length).headOption
+  }
+}
+
+/** A rerouted native path write: the planned write becomes a snapshot-
+  * creating append/overwrite through [[graft.lake.GraftTable]]. Columns
+  * align by NAME when the incoming frame carries the table's column
+  * names (the `df.write` case), positionally otherwise (hive INSERT
+  * semantics, like [[GraftInsertCommand]]).
+  */
+case class GraftPathWriteCommand(
+    root: String,
+    mode: SaveMode,
+    staticPartition: Map[String, String],
+    query: LogicalPlan,
+    outputColumnNames: Seq[String]) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = new GraftTable(root, session)
+    val schema = t.schema
+    val depDests = t.current.deps.map(_.dest).toSet
+    val target = schema.fieldNames.toSeq
+      .filterNot(depDests.contains).filterNot(staticPartition.contains)
+    var df = Shim.ofRows(session, query).toDF(outputColumnNames: _*)
+    require(df.columns.length == target.length,
+      s"write arity ${df.columns.length} != expected ${target.length} " +
+        s"(${target.mkString(",")}) for managed table $root")
+    val byName = df.columns.map(_.toLowerCase).toSet == target.map(_.toLowerCase).toSet
+    df =
+      if (byName) df.select(target.map(n => col(n).cast(schema(n).dataType)): _*)
+      else df.toDF(target: _*).select(target.map(n => col(n).cast(schema(n).dataType)): _*)
+    val normSpec = staticPartition.map { case (k, v) =>
+      k -> GraftPathWriteCommand.normalizeValue(v, schema(k).dataType) }
+    normSpec.foreach { case (k, v) =>
+      df = df.withColumn(k, lit(v).cast(schema(k).dataType)) }
+    mode match {
+      case SaveMode.Append => t.append(df)
+      case SaveMode.Overwrite =>
+        val dynamic = session.conf
+          .get("spark.sql.sources.partitionOverwriteMode", "static")
+          .equalsIgnoreCase("dynamic")
+        if (normSpec.nonEmpty) t.overwritePartition(df, normSpec)
+        else if (dynamic && t.current.partitionCols.nonEmpty) t.overwriteDynamic(df)
+        else t.overwrite(df)
+      case other => throw new IllegalArgumentException(
+        s"SaveMode $other is not meaningful for graft-managed table $root " +
+          "(the table already exists; use Append or Overwrite)")
+    }
+    Seq.empty
+  }
+}
+
+object GraftPathWriteCommand {
+  /** Align a static PARTITION literal with the directory spelling the
+    * writer produces (mirrors [[GraftInsertCommand]]).
+    */
+  private[sql] def normalizeValue(
+      v: String, dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => v.trim.toLong.toString
+      case DoubleType | FloatType                        => v.trim.toDouble.toString
+      case _                                             => v
+    }
+  }
+}

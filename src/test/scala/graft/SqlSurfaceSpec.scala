@@ -432,4 +432,67 @@ class SqlSurfaceSpec extends SparkSpec {
   test("non-graft SQL parses through the delegate untouched") {
     assert(spark.sql("SELECT 1 + 1 AS x").collect().head.getInt(0) === 2)
   }
+
+  test("session-catalog integration: spark.table / SHOW TABLES / insertInto see managed tables") {
+    val root = "/root/repo/target/laketest/sql-bridge"
+    spark.sql(s"""CREATE TABLE bridge_t (k BIGINT, status STRING, price DOUBLE)
+                 |USING parquet
+                 |OPTIONS (addTableManagement 'true', path '$root')
+                 |PARTITIONED BY (status)""".stripMargin)
+    spark.sql("INSERT INTO bridge_t VALUES (1, 'A', 10.0), (2, 'B', 20.0)")
+    val t = new GraftTable(root, spark)
+    // spark.table (NO graft API in sight) reads the current snapshot
+    assert(spark.table("bridge_t").count() === 2)
+    // Spark's own catalog lists it
+    assert(spark.sql("SHOW TABLES").collect().map(_.getString(1)).contains("bridge_t"))
+    // DataFrameWriter.insertInto → snapshot-creating append
+    // (positional semantics, like Spark's own insertInto)
+    import spark.implicits._
+    Seq((3L, "A", 30.0)).toDF("k", "status", "price")
+      .write.insertInto("bridge_t")
+    assert(t.current.operation === "append")
+    assert(spark.table("bridge_t").count() === 3)
+    // the read is the MANIFEST plan, not the catalog's directory scan:
+    // time travel state stays consistent
+    assert(t.readAsOfId(2).count() === 2)
+    // spark.table also resolves registry-only tables (no session entry)
+    val t2 = mkTable("bridgereg")
+    GraftCatalog.register("bridge_reg", t2.root)
+    assert(spark.table("bridge_reg").count() === t2.current.totalRows)
+    spark.sql("DROP TABLE bridge_t")
+    assert(!spark.sql("SHOW TABLES").collect().map(_.getString(1)).contains("bridge_t"))
+  }
+
+  test("native path writes route through management or fail loudly") {
+    val root = "/root/repo/target/laketest/sql-pathwrite"
+    spark.sql(s"""CREATE TABLE pathwrite_t (k BIGINT, status STRING, price DOUBLE)
+                 |USING parquet
+                 |OPTIONS (addTableManagement 'true', path '$root')
+                 |PARTITIONED BY (status)""".stripMargin)
+    spark.sql("INSERT INTO pathwrite_t VALUES (1, 'A', 10.0), (2, 'B', 20.0)")
+    val t = new GraftTable(root, spark)
+    val id0 = t.currentId
+    import spark.implicits._
+    // a user writing parquet straight at the data dir: becomes a
+    // snapshot-creating append, never a behind-the-manifest file drop
+    Seq((3L, "A", 30.0), (4L, "C", 40.0)).toDF("k", "status", "price")
+      .write.mode("append").parquet(s"$root/data")
+    assert(t.currentId === id0 + 1, "path write must commit a snapshot")
+    assert(t.current.operation === "append")
+    assert(spark.table("pathwrite_t").count() === 4)
+    assert(t.read().filter(col("status") === "C").count() === 1)
+    // overwrite mode → overwrite snapshot (history preserved)
+    Seq((9L, "Z", 90.0)).toDF("k", "status", "price")
+      .write.mode("overwrite").parquet(s"$root/data")
+    assert(t.current.operation === "overwrite")
+    assert(t.read().count() === 1)
+    assert(t.readAsOfId(id0 + 1).count() === 4, "pre-overwrite snapshot intact")
+    // writes into the table root / meta dir are refused loudly
+    val boom = intercept[Exception] {
+      Seq((1L, "x")).toDF("a", "b").write.mode("append").parquet(s"$root/meta/evil")
+    }
+    assert(boom.getMessage.contains("graft-managed"),
+      s"unexpected error: ${boom.getMessage}")
+    spark.sql("DROP TABLE pathwrite_t")
+  }
 }
