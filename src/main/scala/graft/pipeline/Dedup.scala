@@ -134,15 +134,25 @@ object Dedup {
   /** C3 `dedup_simhash`: 64-bit SimHash over the trigram-shingle set
     * (unigram bags are near-identical across small-vocab corpora, so
     * the sketch hashes the same discriminative feature the Jaccard ops
-    * use), 4 × 16-bit Hamming bands for candidates, output pairs with
-    * Hamming ≤ 8. Not DuckDB-expressible (bit votes) → rows-only
-    * driver check; the spec asserts it recovers the exact-Jaccard
-    * pairs at sf0.001.
+    * use), 8 × 8-bit Hamming bands for candidates (Hamming ≤ 8), then
+    * — like [[minhashOf]] — EXACT Jaccard verification of the
+    * candidates. The sketch only generates candidates; the output is
+    * exact, so the oracle is the exact J ≥ 0.5 pair set and a green
+    * row is direct recall evidence for the simhash bands (the r2
+    * verdict's "oracle the sketch ops harder" item).
     */
   def simhash(s: SparkSession, d: String): DataFrame =
     simhashOf(Tables.documents(s, d))
 
-  def simhashOf(docs: DataFrame): DataFrame = {
+  def simhashOf(docs: DataFrame): DataFrame =
+    verified(joinShingleSets(docs,
+      simhashCandidates(docs).select(col("doc_a"), col("doc_b"))))
+
+  /** Raw simhash candidate pairs with their Hamming distance (the
+    * sketch stage alone, pre-verification — used by specs to bound the
+    * sketch's behavior directly).
+    */
+  def simhashCandidates(docs: DataFrame): DataFrame = {
     val sigs = shingleHashesOf(docs)
       .select(col("doc_id"), exprs.simHash(col("hs")).as("sim"))
     // 8 bands × 8 bits: a pair within Hamming ≤ 8 escapes only if every
@@ -428,6 +438,7 @@ object Dedup {
     "dedup_lines"         -> dedupLinesSql,
     "dedup_exact"         -> exactSql,
     "dedup_minhash"       -> jaccardSql,
+    "dedup_simhash"       -> jaccardSql,
     "dedup_ngram_jaccard" -> jaccardSql,
     "dedup_clusters"      -> clustersSql,
     "dedup_apply"         -> dedupApplySql)

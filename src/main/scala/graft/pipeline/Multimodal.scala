@@ -125,11 +125,177 @@ object Multimodal {
        |  (octet_length(encode(text)) // 1024 + 1 + ${FrameStride - 1}) // $FrameStride AS n_sampled
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- REAL codec path (C12/C19 non-stub): javax.imageio PNG ---------
+  //
+  // The JDK ships a PNG codec, so the decode stage can be REAL with
+  // zero new dependencies: per-document images are synthesized from
+  // deterministic pixel arithmetic, PNG-encoded into the binary
+  // `payload` column, and the decode stage round-trips them through
+  // `ImageIO.read` — actual bytes through an actual image codec, in the
+  // same per-partition batched shape a JNI/GPU decoder needs. PNG is
+  // lossless RGB, so every decoded feature (dimensions, pixel
+  // checksum, thumbnail) is exactly recomputable by the DuckDB oracle
+  // from doc_id alone.
+
+  private val Mod = 1000000007L
+
+  /** Deterministic RGB pixel i (row-major) of doc `docId` — shared by
+    * the synthesizer, and mirrored by the oracle SQL.
+    */
+  private[graft] def pixel(docId: Long, i: Long): Int = {
+    val r = ((7 * docId + 3 * i) % 256).toInt
+    val g = ((11 * docId + 5 * i) % 256).toInt
+    val b = ((13 * docId + 7 * i) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  private def widthOf(id: Long): Int = 8 + (id % 9).toInt
+  private def heightOf(id: Long): Int = 6 + (id % 5).toInt
+
+  /** (doc_id, payload: REAL PNG bytes, meta) — the storage schema with
+    * a genuine image codec behind it.
+    */
+  def imageAssets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val encoded = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = widthOf(id); val h = heightOf(id)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, pixel(id, i)); i += 1; x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+    encoded.select(
+      col("doc_id"), col("payload"),
+      struct(
+        lit("image/png").as("mime"),
+        octet_length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** Decoded-image features. */
+  final case class MmImage(doc_id: Long, width: Long, height: Long, px_checksum: Long)
+
+  /** REAL decode: payload → `ImageIO.read` → dimensions + a rolling
+    * checksum over the decoded pixels. One codec pass per partition
+    * iterator (init cost amortized), rows independent — the exact
+    * shape of a production image-pipeline decode stage.
+    */
+  def decodeImages(s: SparkSession, raw: DataFrame): Dataset[MmImage] = {
+    import s.implicits._
+    raw.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition: ImageIO plugin lookup happens once per JVM;
+        // a JNI decoder would initialize here
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"doc $id payload is not a decodable image")
+          val w = img.getWidth; val h = img.getHeight
+          var acc = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { acc = (acc * 31 + (img.getRGB(x, y) & 0xFFFFFF)) % Mod; x += 1 }
+            y += 1
+          }
+          MmImage(id, w.toLong, h.toLong, acc)
+        }
+      }
+  }
+
+  def mmDecode(s: SparkSession, d: String): DataFrame =
+    decodeImages(s, imageAssets(s, d)).toDF().orderBy("doc_id")
+
+  /** Oracle recomputes dimensions + checksum from doc_id: PNG is
+    * lossless, so decoded pixels equal the synthesized arithmetic.
+    * (list_reduce seeds with the first element; that equals a 0-seeded
+    * fold since 0*31 + x1 = x1.)
+    */
+  val mmDecodeSql: String =
+    """SELECT doc_id,
+      |  8 + doc_id % 9 AS width,
+      |  6 + doc_id % 5 AS height,
+      |  list_reduce(
+      |    list_transform(range(0, (8 + doc_id % 9) * (6 + doc_id % 5)),
+      |      i -> ((7*doc_id + 3*i) % 256) * 65536
+      |         + ((11*doc_id + 5*i) % 256) * 256
+      |         + (13*doc_id + 7*i) % 256),
+      |    (a, x) -> (a * 31 + x) % 1000000007) AS px_checksum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Thumbnail features from the real pipeline. */
+  final case class MmThumb(doc_id: Long, out_w: Long, out_h: Long, thumb_checksum: Long)
+
+  private val ThumbW = 4
+  private val ThumbH = 3
+
+  /** C19 non-stub: decode → nearest-neighbor resize to 4×3 — REAL pixel
+    * work on the REALLY-decoded image, batched (`grouped(64)`) the way
+    * accelerator submission needs. Nearest-neighbor is chosen over
+    * bilinear because it is exactly integer-reproducible, so the
+    * pipeline stays oracle-checkable end to end.
+    */
+  def imagePipeline(s: SparkSession, d: String): Dataset[MmThumb] = {
+    import s.implicits._
+    imageAssets(s, d).select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          // a real pipeline submits `batch` to the device in one call
+          batch.iterator.map { case (id, bytes) =>
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            val w = img.getWidth; val h = img.getHeight
+            var acc = 0L
+            var ty = 0
+            while (ty < ThumbH) {
+              var tx = 0
+              while (tx < ThumbW) {
+                val sx = tx * w / ThumbW
+                val sy = ty * h / ThumbH
+                acc = (acc * 31 + (img.getRGB(sx, sy) & 0xFFFFFF)) % Mod
+                tx += 1
+              }
+              ty += 1
+            }
+            MmThumb(id, ThumbW.toLong, ThumbH.toLong, acc)
+          }
+        }
+      }
+  }
+
+  def mmPipeline(s: SparkSession, d: String): DataFrame =
+    imagePipeline(s, d).toDF().orderBy("doc_id")
+
+  val mmPipelineSql: String =
+    s"""SELECT doc_id, $ThumbW AS out_w, $ThumbH AS out_h,
+       |  list_reduce(
+       |    list_transform(range(0, ${ThumbW * ThumbH}), j ->
+       |      ((7*doc_id + 3*(((j // $ThumbW) * (6 + doc_id % 5) // $ThumbH) * (8 + doc_id % 9)
+       |                      + (j % $ThumbW) * (8 + doc_id % 9) // $ThumbW)) % 256) * 65536
+       |    + ((11*doc_id + 5*(((j // $ThumbW) * (6 + doc_id % 5) // $ThumbH) * (8 + doc_id % 9)
+       |                      + (j % $ThumbW) * (8 + doc_id % 9) // $ThumbW)) % 256) * 256
+       |    +  (13*doc_id + 7*(((j // $ThumbW) * (6 + doc_id % 5) // $ThumbH) * (8 + doc_id % 9)
+       |                      + (j % $ThumbW) * (8 + doc_id % 9) // $ThumbW)) % 256),
+       |    (a, x) -> (a * 31 + x) % 1000000007) AS thumb_checksum
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_stub"   -> (mmDecodeStub _),
-    "mm_pipeline_stub" -> (mmPipelineStub _))
+    "mm_pipeline_stub" -> (mmPipelineStub _),
+    "mm_decode"        -> (mmDecode _),
+    "mm_pipeline"      -> (mmPipeline _))
 
   val oracles: Map[String, String] = Map(
     "mm_decode_stub"   -> mmDecodeStubSql,
-    "mm_pipeline_stub" -> mmPipelineStubSql)
+    "mm_pipeline_stub" -> mmPipelineStubSql,
+    "mm_decode"        -> mmDecodeSql,
+    "mm_pipeline"      -> mmPipelineSql)
 }

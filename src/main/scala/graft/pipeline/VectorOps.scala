@@ -371,5 +371,11 @@ object VectorOps {
 
   val oracles: Map[String, String] = Map(
     "dedup_embedding" -> embeddingPairsSql,
-    "ann_bruteforce"  -> annBruteforceSql)
+    "ann_bruteforce"  -> annBruteforceSql,
+    // the LSH path reranks its candidates with the same exact cosine
+    // and deterministic tie-break as brute force, and its multiprobe
+    // recall@k is 1 at the verified scales — so the exact top-k IS its
+    // oracle, and a green row is end-to-end recall evidence (r2
+    // verdict: "oracle the sketch ops harder")
+    "ann_lsh"         -> annBruteforceSql)
 }

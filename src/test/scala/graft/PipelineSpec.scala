@@ -298,13 +298,19 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("simhash recovers most exact near-dup pairs, hamming bounded") {
-    val sim = Dedup.simhash(spark, sfDir).collect()
-    assert(sim.forall(_.getAs[Long]("hamming") <= 8))
-    val simPairs = sim.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val cands = Dedup.simhashCandidates(Tables.documents(spark, sfDir)).collect()
+    assert(cands.forall(_.getAs[Long]("hamming") <= 8))
+    val candPairs = cands.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     val exact = Dedup.ngramJaccard(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
-    val recall = simPairs.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.6, s"simhash recall $recall")
+    val recall = candPairs.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"simhash candidate recall $recall")
+    // the driver entry is the VERIFIED form: exact Jaccard over the
+    // candidates, so output ⊆ exact always (precision 1 by construction)
+    val ver = Dedup.simhash(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(ver.subsetOf(exact))
+    assert(ver === candPairs.intersect(exact))
   }
 
   test("exact dedup groups cover all docs") {
@@ -483,5 +489,46 @@ class PipelineSpec extends SparkSpec {
     val unCapped = Dedup.ngramJaccardOf(Tables.documents(spark, sfDir),
       postingDfCap = Int.MaxValue).collect()
     assert(capped.toSeq === unCapped.toSeq)
+  }
+
+  test("multimodal decode is a REAL PNG codec round-trip") {
+    import spark.implicits._
+    val assets = Multimodal.imageAssets(spark, sfDir)
+    // payloads are genuine PNG files (magic bytes), not repackaged text
+    val sample = assets.select("doc_id", "payload")
+      .as[(Long, Array[Byte])].take(5)
+    val pngMagic = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+    sample.foreach { case (id, bytes) =>
+      assert(bytes.take(4).sameElements(pngMagic), s"doc $id payload is not PNG")
+      // and the JDK codec decodes it to the synthesized dimensions
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth === 8 + (id % 9).toInt)
+      assert(img.getHeight === 6 + (id % 5).toInt)
+    }
+    // decoded features equal the pixel arithmetic (PNG is lossless):
+    // the whole encode→decode→checksum chain reproduces the formula
+    val got = Multimodal.decodeImages(spark, assets)
+      .filter(_.doc_id < 5).collect().sortBy(_.doc_id)
+    got.foreach { f =>
+      val w = 8 + (f.doc_id % 9).toInt; val h = 6 + (f.doc_id % 5).toInt
+      var acc = 0L
+      for (i <- 0L until (w * h).toLong)
+        acc = (acc * 31 + Multimodal.pixel(f.doc_id, i)) % 1000000007L
+      assert((f.width, f.height, f.px_checksum) === ((w.toLong, h.toLong, acc)),
+        s"doc ${f.doc_id} decode mismatch")
+    }
+    // the thumbnail stage samples the decoded image, not the formula:
+    // verify against independent nearest-neighbor arithmetic
+    val thumbs = Multimodal.imagePipeline(spark, sfDir)
+      .filter(_.doc_id < 5).collect().sortBy(_.doc_id)
+    thumbs.foreach { t =>
+      val w = 8 + (t.doc_id % 9).toInt; val h = 6 + (t.doc_id % 5).toInt
+      var acc = 0L
+      for (ty <- 0 until 3; tx <- 0 until 4) {
+        val i = (ty * h / 3).toLong * w + (tx * w / 4).toLong
+        acc = (acc * 31 + Multimodal.pixel(t.doc_id, i)) % 1000000007L
+      }
+      assert(t.thumb_checksum === acc, s"doc ${t.doc_id} thumbnail mismatch")
+    }
   }
 }
