@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-cliff probe: synthesize a 10× scale-up of an existing sfDir
+  * (≈ sf1 from sf0.1) and time the scale-SENSITIVE operator subset on
+  * it. The sf0.1 bench can hide candidate-volume knees in the sketch
+  * ops (LSH bucket occupancy, posting-list fan-out, label-propagation
+  * rounds grow non-linearly with corpus size); this surfaces them
+  * without waiting for a cluster.
+  *
+  * Synthesis preserves each table's per-key structure while scaling
+  * cardinality 10×:
+  *  - TPC-H tables: 10 copies with disjoint key offsets — join
+  *    selectivities and group cardinalities scale like real SF growth.
+  *  - documents: every token of a copy is suffixed with the copy id,
+  *    so intra-document shingle structure (and thus per-doc sketch
+  *    behavior) is preserved while cross-copy overlap is zero; 2 % of
+  *    documents keep their original text in every copy, seeding a
+  *    realistic population of 10-clique duplicates for the dedup chain.
+  *  - embeddings: copies get fresh hash-derived vectors (scaling a
+  *    vector leaves cosine unchanged, which would fabricate a corpus of
+  *    exact duplicates — fresh vectors keep ANN selectivity honest).
+  *
+  * Synthetic data is for TIMING only — correctness stays on the
+  * driver-generated parquet + DuckDB oracles.
+  *
+  * Usage: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleBench"`
+  * (optional SPARK_GRAFT_BASE_SF_DIR, default /root/testdata/sf0.1;
+  * output under target/sf1, reused if already built).
+  */
+object ScaleBench {
+
+  private val Copies = 10
+
+  private def synthesize(spark: SparkSession, base: String, out: String): Unit = {
+    val done = java.nio.file.Paths.get(out, "_DONE")
+    if (java.nio.file.Files.exists(done)) return
+    def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until Copies).map(i => f(df, i)).reduce(_ unionByName _)
+
+    copies(Tables.documents(spark, base)) { (d, i) =>
+      if (i == 0) d
+      else d
+        .withColumn("text",
+          when(col("doc_id") % 50 === 0, col("text")) // 2% stay duplicates
+            .otherwise(array_join(
+              transform(split(col("text"), " "), t => concat(t, lit(s"x$i"))), " ")))
+        .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+    }.write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    copies(Tables.embeddings(spark, base)) { (e, i) =>
+      if (i == 0) e
+      else e
+        .withColumn("embedding",
+          transform(col("embedding"), (_, j) =>
+            ((pmod(hash(col("vec_id"), j, lit(i)), lit(2001)) - 1000) / lit(1000.0))
+              .cast("float")))
+        .withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+    }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    copies(Tables.lineitem(spark, base)) { (l, i) =>
+      l.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * 100000L))
+    }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    copies(Tables.orders(spark, base)) { (o, i) =>
+      o.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
+    }.write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    copies(Tables.customer(spark, base)) { (c, i) =>
+      c.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L))
+    }.write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    copies(Tables.supplier(spark, base)) { (s, i) =>
+      s.withColumn("s_suppkey", col("s_suppkey") + lit(i * 100000L))
+    }.write.mode("overwrite").parquet(s"$out/supplier.parquet")
+
+    for (fixed <- Seq("nation", "region")) // genuinely fixed-size dims
+      Tables.load(spark, base, fixed)
+        .write.mode("overwrite").parquet(s"$out/$fixed.parquet")
+
+    java.nio.file.Files.createFile(done)
+  }
+
+  /** The scale-sensitive subset: sketch/dedup chains (candidate-volume
+    * knees), ANN (bucket occupancy), joins/aggs (shuffle volume), and
+    * the heaviest text ops. Lake DML is excluded — its cost is the
+    * write path itself, already measured by the main bench.
+    */
+  private val ScaleQueries = Seq(
+    "q1_agg", "q3_join", "q5_multijoin", "q6_filter_agg",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_embedding", "dedup_clusters", "dedup_apply", "dedup_lines",
+    "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",
+    "text_tfidf", "text_dup_spans", "text_fingerprint", "text_contamination",
+    "corpus_filter", "sample_mixture", "pipeline_corpus_e2e", "mm_decode")
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/target/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    synthesize(spark, base, out)
+    try SparkEntry.queries("q1_agg")(spark, out).count() // warm JIT/codegen
+    catch { case _: Throwable => () }
+    // the production-threshold gear of C5 (radius-0 probing) rides
+    // along so the threshold↔cost trade is measured, not asserted
+    val extra: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "dedup_embedding_t080" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.VectorOps.embeddingPairsAt(s, dir, 0.8)))
+    val results = (ScaleQueries ++ extra.keys).map { name =>
+      val fn = SparkEntry.queries.getOrElse(name, extra(name))
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = try fn(spark, out).count() catch { case e: Throwable =>
+          println(s"[scalebench] $name FAILED: $e"); -1L }
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"[scalebench] $name%-22s ${times.map(_._1).min}%8.2f s  rows=${times.head._2}")
+      name -> times.map(_._1).min
+    }.toMap
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_total","value":${results.values.sum},"unit":"sec","queries":$qs,"sf":"$out"}""")
+    spark.stop()
+  }
+}

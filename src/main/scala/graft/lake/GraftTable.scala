@@ -214,6 +214,37 @@ final class GraftTable(val root: String, spark: SparkSession) {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Publish a staged APPEND even if the table moved since it was
+    * staged — the Iceberg cherry-pick: the staged snapshot's file
+    * DELTA (its files minus its parent's) is rebased onto the live
+    * current inside the commit lock. Appends commute, so this is
+    * always sound for append-staged snapshots and refused for anything
+    * else (an overwrite's file set encodes what it replaced — rebasing
+    * it would resurrect deleted data). Returns the published id (a new
+    * one when a rebase happened).
+    */
+  def publishCherryPick(id: Long): Long = withCommitLock {
+    require(Files.exists(metaDir.resolve(s"snapshot-$id.json")),
+      s"no staged snapshot $id under $root")
+    val staged = snapshot(id)
+    val cur = current
+    if (id == cur.id) id
+    else if (staged.parentId == cur.id) { publishUnlocked(id); id }
+    else {
+      require(staged.operation == "append" && staged.deletedFiles == 0,
+        s"cherry-pick supports append snapshots only; $id is '${staged.operation}'")
+      val parentPaths = snapshot(staged.parentId).files.map(_.path).toSet
+      val delta = staged.files.filterNot(f => parentPaths.contains(f.path))
+      val next = cur.copy(
+        id = math.max(cur.id, snapshotIds.max) + 1, parentId = cur.id,
+        tsMillis = nextTs(Some(cur)), operation = "append",
+        files = cur.files ++ delta, addedFiles = delta.size, deletedFiles = 0)
+      stage(next)
+      publishUnlocked(next.id)
+      next.id
+    }
+  }
+
   /** Write-audit-publish: stage an append as a new snapshot WITHOUT
     * moving the current pointer — readers keep seeing the old table
     * while the staged data is audited via [[readAsOfId]]; then
@@ -468,32 +499,42 @@ final class GraftTable(val root: String, spark: SparkSession) {
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(staging.toString)
 
-    // Plan dest names on the driver (pure path arithmetic + O(#partitions)
-    // mkdirs), then MOVE FILES AND READ FOOTERS IN THE CLUSTER: per-file
-    // I/O scales with executors instead of serializing on the driver —
-    // at 10⁵ files the driver otherwise spends minutes per commit on
-    // object-store round-trips. The reference harvests at task commit
-    // for the same reason (IcebergFileCommitProtocol.scala:164,
-    // utils/ParquetMetrics.scala:180); the driver's only remaining
-    // per-commit work is the manifest write.
+    // Plan dest names on the driver (pure path arithmetic over one
+    // recursive LIST), then MOVE FILES AND READ FOOTERS IN THE CLUSTER:
+    // per-file I/O scales with executors instead of serializing on the
+    // driver — at 10⁵ files the driver otherwise spends minutes per
+    // commit on object-store round-trips. The reference harvests at
+    // task commit for the same reason (IcebergFileCommitProtocol
+    // .scala:164, utils/ParquetMetrics.scala:180); the driver's only
+    // remaining per-commit work is the manifest write. All staging
+    // enumeration/cleanup goes through the Hadoop FS API — no
+    // local-filesystem assumption anywhere in the data plane.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val stagingP = new org.apache.hadoop.fs.Path(staging.toString)
+    val hfs = stagingP.getFileSystem(hconf)
+    val stagingUri = stagingP.toUri.getPath
+    val listed = scala.collection.mutable.ArrayBuffer[String]()
+    val it = hfs.listFiles(stagingP, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        listed += st.getPath.toUri.getPath
+    }
     var seq = 0
-    val work = Files.walk(staging).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .toSeq.sortBy(_.toString)
-      .map { p =>
-        val rel = staging.relativize(p) // k=v dirs + filename
-        val partVals = rel.iterator().asScala.map(_.toString).toSeq.dropRight(1)
-          .map { seg =>
-            val i = seg.indexOf('=')
-            seg.substring(0, i) -> GraftTable.unescapePath(seg.substring(i + 1))
-          }.toMap
-        val destDir = partVals.foldLeft(dataDir) { case (d, (k, v)) =>
-          d.resolve(s"$k=${GraftTable.escapePath(v)}") }
-        Files.createDirectories(destDir)
-        val dest = destDir.resolve(s"$snapId-$seq-${p.getFileName}")
-        seq += 1
-        (p.toString, dest.toString, partVals)
-      }
+    val work = listed.sorted.toSeq.map { p =>
+      val rel = p.stripPrefix(stagingUri).stripPrefix("/")
+      val segs = rel.split('/')
+      val partVals = segs.dropRight(1).toSeq
+        .map { seg =>
+          val i = seg.indexOf('=')
+          seg.substring(0, i) -> GraftTable.unescapePath(seg.substring(i + 1))
+        }.toMap
+      val destDir = partVals.foldLeft(dataDir.toString) { case (d, (k, v)) =>
+        s"$d/$k=${GraftTable.escapePath(v)}" }
+      val dest = s"$destDir/$snapId-$seq-${segs.last}"
+      seq += 1
+      (p, dest, partVals)
+    }
     val rootStr = root
     // Small commits stat on the driver: a Spark job costs ~1 s of fixed
     // launch overhead, which dominates a handful of local footer reads;
@@ -507,8 +548,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
         .parallelize(work, math.min(work.size, spark.sparkContext.defaultParallelism))
         .map { case (src, dest, pv) => GraftTable.moveAndStat(rootStr, src, dest, pv) }
         .collect().toSeq // collect preserves the planned (path-sorted) order
-    // remove the now-empty staging tree
-    Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    // remove the now-empty staging tree (recursive delete via Hadoop FS)
+    hfs.delete(stagingP, true)
     moved
   }
 
@@ -1343,7 +1384,7 @@ object GraftTable {
   /** Footer-stat one existing file (no move) — runs in a cluster task. */
   private def statEntry(root: String, path: String,
       partVals: Map[String, String]): FileEntry = {
-    val conf = new Configuration()
+    val conf = taskConf
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val (rows, bytes, stats) = footerStats(p, fs, conf)
@@ -1370,6 +1411,11 @@ object GraftTable {
   private[lake] def escapePath(s: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
 
+  /** One Configuration per JVM: the constructor re-parses the default
+    * XML resources; per-file construction shows up at commit time.
+    */
+  @transient private lazy val taskConf = new Configuration()
+
   /** Move one staged file to its final location and harvest its footer
     * stats — runs INSIDE a cluster task (Hadoop FileSystem API, so any
     * shared filesystem works), never on the driver. Reference does this
@@ -1377,10 +1423,11 @@ object GraftTable {
     */
   private[lake] def moveAndStat(root: String, src: String, dest: String,
       partVals: Map[String, String]): FileEntry = {
-    val conf = new Configuration()
+    val conf = taskConf
     val srcP = new org.apache.hadoop.fs.Path(src)
     val destP = new org.apache.hadoop.fs.Path(dest)
     val fs = destP.getFileSystem(conf)
+    fs.mkdirs(destP.getParent) // idempotent; local FS rename needs the dir
     if (!fs.rename(srcP, destP))
       throw new java.io.IOException(s"rename $src -> $dest failed")
     val (rows, bytes, stats) = footerStats(destP, fs, conf)

@@ -42,13 +42,26 @@ object VectorOps {
     * Sizing: at the worst in-gate pair (cos 0.4666, p_bit ≈ 0.654)
     * a band matches with P ≈ 0.44, so 16 bands miss a true pair with
     * P ≈ 1e-4 — and misses only ever cost recall, precision is exact.
-    * This threshold (0.46) is an aggressively low one for the sketch;
-    * at the 0.8+ thresholds real embedding dedup runs at, p_bit ≥ 0.8
-    * and the same 16 bands reach 1e-4 miss with zero probes (and
-    * far fewer background candidates). Candidate volume, not recall,
-    * is what the threshold buys.
+    *
+    * COST vs THRESHOLD (measured, ScaleBench 20 k vectors): the probe
+    * radius is what candidate volume rides on. At p_bit ≈ 0.65 a
+    * radius-2 probe admits ~37/256 of every band's buckets, so
+    * candidates ≈ n²·16·37/256 ≈ 2.3 n² — LSH degenerates to
+    * super-quadratic work at weak thresholds (57 s at n = 20 k; the
+    * sf0.1 bench can't see it). That is intrinsic: sign-RP bits carry
+    * ~1 bit of signal per projection at cos 0.46, so no banding scheme
+    * is sub-quadratic there. The radius therefore ADAPTS to the
+    * configured threshold: real embedding dedup runs at cos ≥ 0.75
+    * (p_bit ≥ 0.77), where radius 0 already misses < 1e-3 per 16 bands
+    * and candidates collapse to n²/16 · background-collision ≈ 0.06 n²
+    * — the 100 TB regime. The aggressively-low 0.46 default exists
+    * only so the synthetic-corpus oracle has a non-trivial pair set to
+    * hash against; it deliberately pays the radius-2 bill.
     */
-  def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+  def embeddingPairs(s: SparkSession, d: String): DataFrame =
+    embeddingPairsAt(s, d, CosThreshold)
+
+  def embeddingPairsAt(s: SparkSession, d: String, threshold: Double): DataFrame = {
     val base = Tables.embeddings(s, d)
     // 16 band values (8 bits each) from 4 independent 32-bit signatures
     def bandCols(embc: Column): Seq[Column] =
@@ -58,10 +71,15 @@ object VectorOps {
       }
     val idx = base.select(col("vec_id").as("b_id"),
       posexplode(array(bandCols(col("embedding")): _*)).as(Seq("band", "bits")))
-    // ≤2-bit flip masks: 1 exact + 8 single + 28 double = 37 probes/band
-    val masks: Seq[Long] = 0L +:
-      ((0 until 8).map(i => 1L << i) ++
-       (for (i <- 0 until 8; j <- i + 1 until 8) yield (1L << i) | (1L << j)))
+    // Probe radius by threshold (see Scaladoc): p_bit = 1 - acos(t)/π;
+    // per-band hit P = Σ_{k≤r} C(8,k)·p^(8-k)·(1-p)^k; radius chosen so
+    // 16 bands keep the miss rate ≤ ~1e-3 at each gate.
+    val radius = if (threshold >= 0.75) 0 else if (threshold >= 0.6) 1 else 2
+    val masks: Seq[Long] = Seq(0L) ++
+      (if (radius >= 1) (0 until 8).map(i => 1L << i) else Seq.empty) ++
+      (if (radius >= 2)
+         for (i <- 0 until 8; j <- i + 1 until 8) yield (1L << i) | (1L << j)
+       else Seq.empty)
     val probed = base.select(col("vec_id").as("a_id"),
         posexplode(array(bandCols(col("embedding")): _*)).as(Seq("band", "bits0")))
       .select(col("a_id"), col("band"),
@@ -79,7 +97,7 @@ object VectorOps {
       .join(emb(s, d, "a"), "a_id")
       .join(emb(s, d, "b"), "b_id")
       .withColumn("cos_raw", exprs.cosineSim(col("a_emb"), col("b_emb")))
-      .filter(col("cos_raw") >= CosThreshold)
+      .filter(col("cos_raw") >= threshold)
       .select(col("a_id").as("vec_a"), col("b_id").as("vec_b"),
         round(col("cos_raw"), 6).as("cos_sim"))
       .distinct()

@@ -808,6 +808,15 @@ class LakeSpec extends SparkSpec {
     // idempotent re-publish of what is already current is a no-op
     t.publish(staged2)
     assert(t.currentId === staged2)
+    // cherry-pick path: a stale APPEND stage rebases its file delta
+    // onto the moved current instead of failing
+    val staged3 = t.stageAppend(base) // parented at staged2
+    t.append(base)                    // table moves again
+    val n1 = t.read().count()
+    val published = t.publishCherryPick(staged3)
+    assert(published !== staged3, "rebase must allocate a fresh snapshot")
+    assert(t.currentId === published)
+    assert(t.read().count() === n1 + n0, "delta spliced, concurrent append kept")
   }
 
   test("delete fast path requires REAL partition columns, not dep dests") {

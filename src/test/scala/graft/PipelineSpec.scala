@@ -491,6 +491,19 @@ class PipelineSpec extends SparkSpec {
     assert(capped.toSeq === unCapped.toSeq)
   }
 
+  test("embedding dedup: radius-0 gear at production thresholds keeps exact recall") {
+    // at cos >= 0.75 the adaptive probe radius drops to 0 (p_bit high
+    // enough that 16 plain bands hit the recall target) — candidates
+    // collapse from ~2.3 n^2 to ~0.06 n^2; output must still equal the
+    // exact pair scan at that threshold
+    val fast = VectorOps.embeddingPairsAt(spark, sfDir, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = VectorOps.embeddingPairsExact(spark, sfDir)
+      .filter(col("cos_sim") >= 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast === exact, s"radius-0 gear lost pairs: ${exact -- fast}")
+  }
+
   test("multimodal decode is a REAL PNG codec round-trip") {
     import spark.implicits._
     val assets = Multimodal.imageAssets(spark, sfDir)
