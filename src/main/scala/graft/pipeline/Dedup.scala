@@ -241,6 +241,102 @@ object Dedup {
        |WHERE i * 1.0 / (x.n + y.n - i) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Split the corpus into "already ingested" and "incoming batch" —
+    * the shape every production crawl refresh has. doc_id % 3 is the
+    * deterministic stand-in for that boundary.
+    */
+  private def ingestSplit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+    (docs.filter(col("doc_id") % 3 === 0), docs.filter(col("doc_id") % 3 =!= 0))
+  }
+
+  /** C30 `dedup_incremental`: EXACT incremental dedup — admit from an
+    * incoming batch only content whose hash is unseen in the ingested
+    * corpus, collapsing within-batch copies to their first occurrence.
+    * This is the steady-state form of C1: a crawl refresh never
+    * re-deduplicates the whole corpus, it anti-joins the delta against
+    * the existing content-hash set. Scale shape: one hash-keyed
+    * LEFT ANTI join (the seen-set side is hashes only — at 100 TB it
+    * lives as a compact table AQE can broadcast per-partition, or a
+    * bloom pre-filter in front of the join) + one partial-agg groupBy
+    * for the within-batch collapse. Shuffles ride 128-bit hashes,
+    * never text.
+    */
+  def incrementalExact(s: SparkSession, d: String): DataFrame = {
+    val (existing, incoming) = ingestSplit(s, d)
+    val seen = existing.select(md5(col("text").cast("binary")).as("content_hash")).distinct()
+    incoming.withColumn("content_hash", md5(col("text").cast("binary")))
+      .join(seen, Seq("content_hash"), "left_anti")
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_batch_copies"))
+      .select(col("doc_id"), col("n_batch_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  val incrementalExactSql: String =
+    """WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
+      |inc AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 <> 0)
+      |SELECT min(doc_id) AS doc_id, count(*) AS n_batch_copies
+      |FROM inc WHERE h NOT IN (SELECT h FROM seen)
+      |GROUP BY h ORDER BY doc_id""".stripMargin
+
+  /** C31 `dedup_incremental_near`: NEAR-DUP incremental dedup (fuzzy
+    * decontamination of a crawl refresh): an incoming doc is rejected
+    * when it is a J ≥ 0.5 near-duplicate of ANY ingested doc; admitted
+    * docs roll up per source. Candidates come from minhash band
+    * collisions BETWEEN the batch and the corpus index (never within
+    * either side — the batch's internal dups are C30's job), then exact
+    * Jaccard verification, so the output is exact while the
+    * between-side join volume is O(batch × collision rate). At 100 TB
+    * the corpus side is a persisted band index (doc_id, band, key) —
+    * the refresh only scans the delta and probes the index.
+    */
+  def incrementalNear(s: SparkSession, d: String): DataFrame = {
+    val (existing, incoming) = ingestSplit(s, d)
+    def bandsOf(docs: DataFrame, idAs: String): DataFrame =
+      shingleHashesOf(docs)
+        .select(col("doc_id").as(idAs),
+          exprs.minHashBands(col("hs"), Seed, 128, 32).as("bands"))
+        .select(col(idAs), posexplode(col("bands")).as(Seq("band", "key")))
+    val cand = bandsOf(incoming, "doc_a")
+      .join(bandsOf(existing, "doc_b"), Seq("band", "key"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // exact verify across the boundary (shingle sets of both sides)
+    val incSets = shinglesOf(incoming).select(col("doc_id").as("doc_a"), col("shs").as("shs_a"))
+    val exSets = shinglesOf(existing).select(col("doc_id").as("doc_b"), col("shs").as("shs_b"))
+    val contaminated = verified(cand.join(incSets, "doc_a").join(exSets, "doc_b"))
+      .select(col("doc_a").as("doc_id")).distinct()
+    incoming.join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_admitted"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: exact cross-boundary Jaccard (no sketch) — green means
+    * the band index missed no J ≥ 0.5 contamination.
+    */
+  val incrementalNearSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, source, ${TextOps.tokensSql} AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, source, list_distinct(CASE WHEN len(t) >= 3
+       |    THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |    ELSE [] END) AS shs
+       |  FROM w),
+       |s AS (SELECT doc_id, unnest(shs) AS sh FROM g),
+       |sz AS (SELECT doc_id, len(shs) AS n FROM g),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM s a JOIN s b ON a.sh = b.sh
+       |  WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
+       |  GROUP BY 1, 2),
+       |bad AS (
+       |  SELECT DISTINCT doc_a FROM inter
+       |  JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+       |  WHERE i * 1.0 / (x.n + y.n - i) >= 0.5)
+       |SELECT source, count(*) AS n_admitted
+       |FROM g WHERE doc_id % 3 <> 0 AND doc_id NOT IN (SELECT doc_a FROM bad)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   /** C16 `dedup_clusters`: verified near-dup *pairs* → canonical
     * *clusters* — the step a curation pipeline actually needs (keep
     * one doc per component, drop the rest). Hash-min label
@@ -432,7 +528,9 @@ object Dedup {
     "dedup_simhash"       -> (simhash _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_clusters"      -> (clusters _),
-    "dedup_apply"         -> (dedupApply _))
+    "dedup_apply"         -> (dedupApply _),
+    "dedup_incremental"      -> (incrementalExact _),
+    "dedup_incremental_near" -> (incrementalNear _))
 
   val oracles: Map[String, String] = Map(
     "dedup_lines"         -> dedupLinesSql,
@@ -441,5 +539,7 @@ object Dedup {
     "dedup_simhash"       -> jaccardSql,
     "dedup_ngram_jaccard" -> jaccardSql,
     "dedup_clusters"      -> clustersSql,
-    "dedup_apply"         -> dedupApplySql)
+    "dedup_apply"         -> dedupApplySql,
+    "dedup_incremental"      -> incrementalExactSql,
+    "dedup_incremental_near" -> incrementalNearSql)
 }

@@ -284,6 +284,7 @@ case class GraftRepartitionCommand(
     val root = GraftCatalog.lookup(name).getOrElse(
       throw new IllegalArgumentException(s"graft table not registered: $name"))
     new GraftTable(root, session).repartitionSpec(partitionCols, deps)
+    GraftSparkBridge.refreshSchema(session, name)
     Seq.empty
   }
 }
@@ -331,6 +332,7 @@ case class GraftAddColumnsCommand(
       throw new IllegalArgumentException(s"graft table not registered: $name"))
     val t = new GraftTable(root, session)
     cols.foreach { case (c, dt) => t.addColumn(c, dt) }
+    GraftSparkBridge.refreshSchema(session, name)
     Seq.empty
   }
 }
@@ -345,6 +347,7 @@ case class GraftDropColumnsCommand(
       throw new IllegalArgumentException(s"graft table not registered: $name"))
     val t = new GraftTable(root, session)
     cols.foreach(t.dropColumn)
+    GraftSparkBridge.refreshSchema(session, name)
     Seq.empty
   }
 }
@@ -358,6 +361,7 @@ case class GraftRenameColumnCommand(
     val root = GraftCatalog.lookup(name).getOrElse(
       throw new IllegalArgumentException(s"graft table not registered: $name"))
     new GraftTable(root, session).renameColumn(from, to)
+    GraftSparkBridge.refreshSchema(session, name)
     Seq.empty
   }
 }

@@ -128,6 +128,22 @@ object GraftSparkBridge {
   def unregister(session: SparkSession, name: String): Unit =
     session.sessionState.catalog
       .dropTable(identOf(name), ignoreIfNotExists = true, purge = false)
+
+  /** Re-mirror the live snapshot schema after evolution (ADD/DROP/
+    * RENAME COLUMN, REPARTITION BY) so DESCRIBE/tooling that read the
+    * CatalogTable stay coherent. Reads never depend on this —
+    * [[GraftRelationRule]] always resolves to the live manifest scan.
+    */
+  def refreshSchema(session: SparkSession, name: String): Unit = {
+    val catalog = session.sessionState.catalog
+    val ident = identOf(name)
+    if (catalog.tableExists(ident)) {
+      val ct = catalog.getTableMetadata(ident)
+      ct.properties.get("graftRoot").foreach { root =>
+        catalog.alterTable(ct.copy(schema = new GraftTable(root, session).schema))
+      }
+    }
+  }
 }
 
 /** Intercept Spark-native PATH writes that target a managed table

@@ -504,6 +504,36 @@ class PipelineSpec extends SparkSpec {
     assert(fast === exact, s"radius-0 gear lost pairs: ${exact -- fast}")
   }
 
+  test("incremental dedup is strictly cross-boundary") {
+    import spark.implicits._
+    // near variant: contamination is batch×corpus only — two batch docs
+    // that duplicate EACH OTHER (but nothing ingested) are both
+    // admitted (within-batch near-dups are the full dedup chain's job,
+    // not the admission gate's)
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "s1"),   // ingested (id%3==0)
+      (3L, "one two three four five six seven eight nine", "s1"),    // ingested
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "s2"),   // batch: dup of ingested 0 → rejected
+      (4L, "red orange yellow green blue indigo violet pink", "s2"), // batch: near-dups 7 → both admitted
+      (7L, "red orange yellow green blue indigo violet mauve", "s3"),
+      (5L, "totally fresh content nothing like anything else here", "s3")) // admitted
+      .toDF("doc_id", "text", "source")
+    docs.createOrReplaceTempView("ignore") // silence unused warnings path
+    val tmpDir = "/root/repo/target/laketest/incdedup"
+    val f = new java.io.File(tmpDir)
+    if (f.exists()) { import scala.sys.process._; Seq("rm", "-rf", tmpDir).! }
+    docs.write.parquet(s"$tmpDir/documents.parquet")
+    val admitted = Dedup.incrementalNear(spark, tmpDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(admitted === Map("s2" -> 1L, "s3" -> 2L),
+      s"got $admitted") // doc 1 rejected; 4,7 (mutual dups) and 5 admitted
+    // exact variant: within-batch copies collapse to first occurrence
+    val ex = Dedup.incrementalExact(spark, tmpDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!ex.map(_._1).contains(1L), "ingested content must be rejected")
+    assert(ex.map(_._1).toSet === Set(4L, 5L, 7L))
+  }
+
   test("multimodal decode is a REAL PNG codec round-trip") {
     import spark.implicits._
     val assets = Multimodal.imageAssets(spark, sfDir)

@@ -455,6 +455,12 @@ class SqlSurfaceSpec extends SparkSpec {
     // the read is the MANIFEST plan, not the catalog's directory scan:
     // time travel state stays consistent
     assert(t.readAsOfId(2).count() === 2)
+    // schema evolution re-mirrors into the session catalog entry
+    spark.sql("ALTER TABLE bridge_t ADD COLUMNS (note STRING)")
+    val ct = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("bridge_t"))
+    assert(ct.schema.fieldNames.contains("note"), "catalog schema must refresh after ALTER")
+    assert(spark.table("bridge_t").columns.contains("note"))
     // spark.table also resolves registry-only tables (no session entry)
     val t2 = mkTable("bridgereg")
     GraftCatalog.register("bridge_reg", t2.root)
