@@ -154,6 +154,23 @@ object GraftSparkBridge {
 case class GraftWriteInterceptRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    // DataFrameWriter.saveAsTable(...) with
+    // .option("addTableManagement", "true") — by post-hoc time,
+    // ResolveSessionCatalog has turned the CTAS into the V1 command;
+    // replace it wholesale with the managed create (the API twin of
+    // the SQL CREATE … AS SELECT branch in [[GraftSqlParser]])
+    case c: org.apache.spark.sql.execution.command.CreateDataSourceTableAsSelectCommand
+        if c.table.storage.properties.keys.exists(_.equalsIgnoreCase("addTableManagement")) &&
+          c.table.storage.properties.find(_._1.equalsIgnoreCase("addTableManagement"))
+            .exists(_._2.equalsIgnoreCase("true")) =>
+      val opts = c.table.storage.properties.map { case (k, v) => k.toLowerCase -> v }
+      val name = (c.table.identifier.database.toSeq :+ c.table.identifier.table)
+        .map(_.toLowerCase).mkString(".")
+      val deps = opts.get("columndependencies")
+        .map(GraftTable.parseDeps).getOrElse(Seq.empty)
+      val location = c.table.storage.locationUri.map(u => u.getPath)
+        .orElse(opts.get("path"))
+      GraftCtasCommand(name, c.table.partitionColumnNames, deps, location, c.query)
     case cmd: InsertIntoHadoopFsRelationCommand =>
       GraftWriteInterceptRule.managedTarget(cmd.outputPath.toString) match {
         case Some((root, true)) =>

@@ -469,6 +469,28 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(!spark.sql("SHOW TABLES").collect().map(_.getString(1)).contains("bridge_t"))
   }
 
+  test("API saveAsTable with addTableManagement creates a managed table") {
+    val root = "/root/repo/target/laketest/sql-saveas"
+    import spark.implicits._
+    Seq((1L, "A", 10.0), (2L, "B", 20.0)).toDF("k", "status", "price")
+      .write
+      .option("addTableManagement", "true").option("path", root)
+      .partitionBy("status")
+      .saveAsTable("saveas_t")
+    val t = new GraftTable(root, spark)
+    assert(t.current.operation === "create", "saveAsTable must go through management")
+    assert(t.current.partitionCols === Seq("status"))
+    assert(t.current.files.forall(_.partition.contains("status")))
+    assert(spark.table("saveas_t").count() === 2)
+    // Spark's CTAS normalization moves partition columns to the END of
+    // the schema — positional INSERT follows that normalized order
+    assert(t.schema.fieldNames.toSeq === Seq("k", "price", "status"))
+    spark.sql("INSERT INTO saveas_t VALUES (3, 30.0, 'C')")
+    assert(t.currentId === 2L)
+    assert(spark.table("saveas_t").count() === 3)
+    spark.sql("DROP TABLE saveas_t")
+  }
+
   test("native path writes route through management or fail loudly") {
     val root = "/root/repo/target/laketest/sql-pathwrite"
     spark.sql(s"""CREATE TABLE pathwrite_t (k BIGINT, status STRING, price DOUBLE)
