@@ -208,6 +208,56 @@ object StreamOps {
        |FROM (${graft.pipeline.TextOps.corpusFilterSql})
        |GROUP BY reason ORDER BY reason""".stripMargin
 
+  /** D10 `stream_incremental_dedup`: the streaming ADMISSION GATE — the
+    * continuous form of C30 (`dedup_incremental`). Incoming documents
+    * arrive as a file stream; each micro-batch LEFT-ANTI joins the
+    * static content-hash set of the already-ingested corpus, so known
+    * content never enters the pipeline (at 100 TB the seen-set is a
+    * compact hash table re-broadcast per batch, or a bloom filter in
+    * front of a keyed join). The stream stays stateless — within-batch
+    * duplicate collapse (first doc_id per hash) runs deterministically
+    * on the drained output, where a batch `min(struct(doc_id, source))`
+    * is exact. Output: per-source admitted counts, oracled against the
+    * same split computed wholly in SQL.
+    */
+  def incrementalDedupStream(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Paths.get(
+      s"/root/repo/target/streamwork/incdocs-${math.abs(d.hashCode)}")
+    java.nio.file.Files.createDirectories(dir)
+    val link = dir.resolve("documents.parquet")
+    if (!java.nio.file.Files.exists(link)) {
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$d/documents.parquet"))
+    }
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val seen = graft.Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+      .select(md5(col("text").cast("binary")).as("content_hash")).distinct()
+    val admitted = s.readStream.schema(schema).parquet(dir.toString)
+      .filter(col("doc_id") % 3 =!= 0) // the incoming crawl
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .join(seen, Seq("content_hash"), "left_anti")
+      .select(col("content_hash"), col("doc_id"), col("source"))
+    val name = s"graft_stream_incdedup_${math.abs(d.hashCode)}"
+    val q = admitted.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+      .groupBy(col("content_hash"))
+      .agg(min(struct(col("doc_id"), col("source"))).as("first"))
+      .select(col("first.source").as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_admitted"))
+      .orderBy(col("source"))
+  }
+
+  val incrementalDedupStreamSql: String =
+    """WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
+      |inc AS (SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % 3 <> 0),
+      |adm AS (SELECT h, min(doc_id) AS doc_id FROM inc
+      |        WHERE h NOT IN (SELECT h FROM seen) GROUP BY h)
+      |SELECT i.source, count(*) AS n_admitted
+      |FROM adm a JOIN inc i ON i.doc_id = a.doc_id
+      |GROUP BY i.source ORDER BY i.source""".stripMargin
+
   /** D5 `stream_static_join`: stream-static enrichment join — each
     * micro-batch joins against a (broadcast) dimension snapshot with no
     * streaming state at all, the canonical dimension-enrichment shape.
@@ -305,7 +355,8 @@ object StreamOps {
     "stream_corpus_filter" -> (corpusFilterStream _),
     "stream_static_join" -> (staticJoin _),
     "stream_lake_source" -> (lakeSource _),
-    "stream_lake_e2e"    -> (lakeE2e _))
+    "stream_lake_e2e"    -> (lakeE2e _),
+    "stream_incremental_dedup" -> (incrementalDedupStream _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg"  -> windowAggSql,
@@ -315,5 +366,6 @@ object StreamOps {
     "stream_corpus_filter" -> corpusFilterStreamSql,
     "stream_static_join" -> staticJoinSql,
     "stream_lake_source" -> lakeSourceSql,
-    "stream_lake_e2e"    -> lakeE2eSql)
+    "stream_lake_e2e"    -> lakeE2eSql,
+    "stream_incremental_dedup" -> incrementalDedupStreamSql)
 }
