@@ -879,6 +879,34 @@ class LakeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
+  test("appendBatch same-tag race: exactly one writer commits") {
+    val o = Tables.orders(spark, sfDir).limit(100)
+    val base = o.repartition(col("o_orderstatus"))
+    val t = GraftTable.create(spark, tmp("tagrace"), base, Seq("o_orderstatus"))
+    val n0 = t.read().count()
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { _ =>
+      new Thread(() =>
+        try {
+          if (new GraftTable(tmp("tagrace"), spark).appendBatch(base, "replayed-batch"))
+            wins.incrementAndGet()
+        } catch { case e: Throwable => errors.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"racer failed: ${Option(errors.peek())}")
+    assert(wins.get() === 1, "exactly one same-tag writer may commit")
+    assert(t.read().count() === n0 * 2, "the batch landed exactly once")
+    // losers cleaned up their orphaned staged files: every file on disk
+    // under data/ is referenced by some snapshot
+    val referenced = t.snapshots.flatMap(_.files.map(_.path)).toSet
+    import scala.jdk.CollectionConverters._
+    val onDisk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp("tagrace"), "data"))
+      .iterator().asScala.filter(p => p.toString.endsWith(".parquet"))
+      .map(p => java.nio.file.Paths.get(tmp("tagrace")).relativize(p).toString).toSet
+    assert(onDisk.subsetOf(referenced), s"orphans left: ${onDisk -- referenced}")
+  }
+
   test("appendBatch replay is recognized after snapshot expiration") {
     val o = Tables.orders(spark, sfDir).limit(200)
     val base = o.repartition(col("o_orderstatus"))
