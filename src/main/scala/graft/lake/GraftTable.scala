@@ -281,10 +281,21 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * scanning history, so the check is O(1), not O(#snapshots).
     */
   private def consumedTags: Set[String] = {
+    // the ledger is append-only, so its SIZE is a valid cache token —
+    // a long-running stream sink parses it once, not once per batch
     val fromFile =
       if (!Files.exists(tagsFile)) Set.empty[String]
-      else new String(Files.readAllBytes(tagsFile), StandardCharsets.UTF_8)
-        .split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSet
+      else {
+        val size = Files.size(tagsFile)
+        val cached = GraftTable.tagCache.get(root)
+        if (cached != null && cached._1 == size) cached._2
+        else {
+          val tags = new String(Files.readAllBytes(tagsFile), StandardCharsets.UTF_8)
+            .split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSet
+          GraftTable.tagCache.put(root, (size, tags))
+          tags
+        }
+      }
     if (Files.exists(metaDir.resolve("version-hint.txt"))) fromFile + current.operation
     else fromFile
   }
@@ -1271,12 +1282,17 @@ object GraftTable {
   private[lake] val shardCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[FileEntry]]()
 
+  /** root → (ledger file size, parsed batch tags); see consumedTags. */
+  private[lake] val tagCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[String])]()
+
   /** Tables are rebuilt in place by the driver-contract queries —
     * invalidate any cached snapshots under this root.
     */
   private def invalidate(root: String): Unit = {
     snapshotCache.keySet.removeIf(_._1 == root)
     shardCache.keySet.removeIf(_._1 == root)
+    tagCache.remove(root)
   }
 
   /** CREATE TABLE … USING parquet OPTIONS(addTableManagement,
