@@ -19,8 +19,13 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // best-of-2: machine noise (CI co-tenancy) swings single runs 2-3×;
-    // the minimum is the honest steady-state number for each query
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // the minimum is the honest steady-state number for each query.
+    // `*_check` entries are correctness probes that re-run an operator
+    // AND its exact twin to assert invariants — they belong to the
+    // Verify gate, not a throughput benchmark (timing them would
+    // double-count the operators they wrap).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.endsWith("_check")).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }

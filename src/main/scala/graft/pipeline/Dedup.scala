@@ -500,6 +500,30 @@ object Dedup {
       .toDF("n_even_docs", "n_odd_docs", "est_jaccard")
   }
 
+  /** C15's INVARIANT check (VALUES-style oracle): the MinHash corpus-
+    * similarity estimate must land within 5σ of the EXACT shingle-set
+    * Jaccard of the two halves (256 permutations ⇒ σ = √(J(1−J)/256)
+    * ≤ 1/32, so the gate is |est − exact| ≤ 0.16). Exact Jaccard is
+    * one distinct + one hash-keyed agg — cheap at any scale because it
+    * rides 64-bit hashes.
+    */
+  def datasetSimilarityCheck(s: SparkSession, d: String): DataFrame = {
+    val hs = docShingleHashes(s, d)
+      .withColumn("grp", col("doc_id") % 2 === 0)
+      .select(col("grp"), explode(col("hs")).as("h")).distinct()
+    val agg = hs.groupBy(col("h")).agg(countDistinct(col("grp")).as("ng"))
+      .agg(sum(when(col("ng") === 2, 1L).otherwise(0L)).as("inter"),
+           count(lit(1)).as("un")).head()
+    val exact = agg.getLong(0).toDouble / agg.getLong(1)
+    val est = datasetSimilarity(s, d).head().getDouble(2)
+    import s.implicits._
+    Seq(Tuple1(if (math.abs(est - exact) <= 0.16) 0L else 1L))
+      .toDF("estimator_violations")
+  }
+
+  val datasetSimilarityCheckSql: String =
+    "SELECT CAST(0 AS BIGINT) AS estimator_violations"
+
   /** C23 `dedup_lines`: cross-document line-level dedup — the CCNet /
     * Gopher cleanup pass that strips boilerplate (nav bars, footers,
     * license blurbs) *before* document-level dedup: any non-blank line
@@ -562,7 +586,8 @@ object Dedup {
     "dedup_apply"         -> (dedupApply _),
     "dedup_incremental"      -> (incrementalExact _),
     "dedup_incremental_near" -> (incrementalNear _),
-    "dedup_simhash_check"    -> (simhashCheck _))
+    "dedup_simhash_check"    -> (simhashCheck _),
+    "dataset_similarity_check" -> (datasetSimilarityCheck _))
 
   val oracles: Map[String, String] = Map(
     "dedup_lines"         -> dedupLinesSql,
@@ -573,5 +598,6 @@ object Dedup {
     "dedup_clusters"      -> clustersSql,
     "dedup_apply"         -> dedupApplySql,
     "dedup_incremental"      -> incrementalExactSql,
-    "dedup_incremental_near" -> incrementalNearSql)
+    "dedup_incremental_near" -> incrementalNearSql,
+    "dataset_similarity_check" -> datasetSimilarityCheckSql)
 }

@@ -211,31 +211,35 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** C7's INVARIANT check as a driver entry (VALUES-style oracle,
-    * valid at every scale): the LSH top-k is rank-dominated by the
-    * exact top-k — at every (query, rank) the exact neighbor's cosine
-    * is ≥ the LSH one's (nothing the sketch returns can beat the exact
-    * answer), scores come from the same exact-cosine rerank, and the
-    * result is full (k rows per query). Multiprobe recall@k is
-    * measured, not asserted: it is 1 at sf0.001/sf0.01 (spec) but a
-    * 32-bit signature cannot analytically guarantee it at every scale,
-    * so the exact-equality oracle belongs to [[annBruteforce]] alone.
+  /** INVARIANT check for an approximate ANN variant, as a driver entry
+    * (VALUES-style oracle, valid at every scale): the variant's top-k
+    * is rank-dominated by the exact top-k — at every (query, rank) the
+    * exact neighbor's cosine is ≥ the variant's (nothing a sketch
+    * returns can beat the exact answer), scores come from the same
+    * exact-cosine rerank, and the result is full (k rows per query).
+    * Recall@k is measured by specs, not asserted: 32-bit signatures /
+    * probed lists cannot analytically guarantee it at every scale, so
+    * the exact-equality oracle belongs to [[annBruteforce]] alone.
     */
-  def annLshCheck(s: SparkSession, d: String): DataFrame = {
+  private def annCheck(s: SparkSession, d: String,
+      variant: (SparkSession, String) => DataFrame): DataFrame = {
     val bf = annBruteforce(s, d).select(
       col("query_id"), col("rank"), col("cos_sim").as("bf_cos"))
-    val lsh = annLsh(s, d).select(
-      col("query_id"), col("rank"), col("cos_sim").as("lsh_cos"))
-    val joined = bf.join(lsh, Seq("query_id", "rank"))
-    val dominanceViolations =
-      joined.filter(col("lsh_cos") > col("bf_cos")).count()
-    val missingRows = NQueries.toLong * TopK - lsh.count()
+    val v = variant(s, d).select(
+      col("query_id"), col("rank"), col("cos_sim").as("v_cos"))
+    val dominanceViolations = bf.join(v, Seq("query_id", "rank"))
+      .filter(col("v_cos") > col("bf_cos")).count()
+    val missingRows = NQueries.toLong * TopK - v.count()
     import s.implicits._
     Seq((dominanceViolations, missingRows))
       .toDF("dominance_violations", "missing_rows")
   }
 
-  val annLshCheckSql: String =
+  def annLshCheck(s: SparkSession, d: String): DataFrame = annCheck(s, d, annLsh)
+  def annIvfCheck(s: SparkSession, d: String): DataFrame = annCheck(s, d, annIvf)
+  def annPqCheck(s: SparkSession, d: String): DataFrame = annCheck(s, d, annPq)
+
+  val annCheckSql: String =
     "SELECT CAST(0 AS BIGINT) AS dominance_violations, CAST(0 AS BIGINT) AS missing_rows"
 
   val IvfLists = 16
@@ -413,10 +417,14 @@ object VectorOps {
     "ann_bruteforce"  -> (annBruteforce _),
     "ann_lsh"         -> (annLsh _),
     "ann_lsh_check"   -> (annLshCheck _),
+    "ann_ivf_check"   -> (annIvfCheck _),
+    "ann_pq_check"    -> (annPqCheck _),
     "ann_ivf"         -> (annIvf _))
 
   val oracles: Map[String, String] = Map(
     "dedup_embedding" -> embeddingPairsSql,
     "ann_bruteforce"  -> annBruteforceSql,
-    "ann_lsh_check"   -> annLshCheckSql)
+    "ann_lsh_check"   -> annCheckSql,
+    "ann_ivf_check"   -> annCheckSql,
+    "ann_pq_check"    -> annCheckSql)
 }
