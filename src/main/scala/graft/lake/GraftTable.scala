@@ -64,6 +64,15 @@ final class GraftTable(val root: String, spark: SparkSession) {
         })))
     })
 
+  /** [[snapshot]] that answers None for an expired/never-existed id
+    * instead of throwing — the cache is consulted first, so a snapshot
+    * read before expiration stays resolvable in this JVM.
+    */
+  def snapshotIfExists(id: Long): Option[Snapshot] =
+    if (GraftTable.snapshotCache.containsKey((root, id))
+        || Files.exists(metaDir.resolve(s"snapshot-$id.json"))) Some(snapshot(id))
+    else None
+
   def current: Snapshot = snapshot(currentId)
 
   def snapshotIds: Seq[Long] =
@@ -234,7 +243,13 @@ final class GraftTable(val root: String, spark: SparkSession) {
       require(staged.operation == "append" && staged.deletedFiles == 0,
         s"cherry-pick supports append snapshots only; $id is '${staged.operation}'")
       val parentPaths = snapshot(staged.parentId).files.map(_.path).toSet
+      // Reset the rebased delta's addedBy to pending: the files carry the
+      // parked STAGED id, which is <= the live current id whenever a rebase
+      // is needed, so incremental/streaming readers filtering
+      // `addedBy > startId` would silently never emit them. stage() below
+      // re-stamps pending files with the NEW published id.
       val delta = staged.files.filterNot(f => parentPaths.contains(f.path))
+        .map(_.copy(addedBy = GraftTable.PendingAddedBy))
       val next = cur.copy(
         id = math.max(cur.id, snapshotIds.max) + 1, parentId = cur.id,
         tsMillis = nextTs(Some(cur)), operation = "append",
@@ -280,7 +295,39 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * affect the NEWEST commit — `current.operation` closes it without
     * scanning history, so the check is O(1), not O(#snapshots).
     */
+  /** One-time (per JVM, per table) ledger reconciliation: fold every
+    * batch tag still recorded only in a snapshot's `operation` field
+    * into the durable ledger. Covers (a) tables written before the
+    * ledger existed and (b) tags lost in the publish→recordTag crash
+    * window — both were previously unrecognized until [[expire]] folded
+    * them, so a replayed batch in that window double-appended. O(#snapshots)
+    * manifest reads, paid once per table open, not per batch.
+    */
+  private def seedLedger(): Unit =
+    if (!GraftTable.ledgerSeeded.contains(root)
+        && Files.exists(metaDir.resolve("version-hint.txt"))) {
+      val fromSnaps = snapshotIds.flatMap { i =>
+        try Some(snapshot(i).operation)
+        catch { case _: java.io.IOException => None } // expired mid-scan
+      }.filterNot(GraftTable.StandardOps.contains).toSet
+      val onFile =
+        if (!Files.exists(tagsFile)) Set.empty[String]
+        else new String(Files.readAllBytes(tagsFile), StandardCharsets.UTF_8)
+          .split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSet
+      val missing = fromSnaps -- onFile
+      if (missing.nonEmpty) withCommitLock {
+        // re-read under the lock; duplicate lines are harmless (set read)
+        val cur =
+          if (!Files.exists(tagsFile)) Set.empty[String]
+          else new String(Files.readAllBytes(tagsFile), StandardCharsets.UTF_8)
+            .split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSet
+        (fromSnaps -- cur).toSeq.sorted.foreach(recordTag)
+      }
+      GraftTable.ledgerSeeded.add(root)
+    }
+
   private def consumedTags: Set[String] = {
+    seedLedger()
     // the ledger is append-only, so its SIZE is a valid cache token —
     // a long-running stream sink parses it once, not once per batch
     val fromFile =
@@ -337,8 +384,15 @@ final class GraftTable(val root: String, spark: SparkSession) {
         true
       }
     }
-    if (!committed) // lost the race: this batch's files are orphans
-      added.foreach(f => Files.deleteIfExists(Paths.get(root, f.path)))
+    if (!committed) {
+      // lost the race: this batch's files are orphans. Delete through the
+      // Hadoop FS resolved from the table root (matching writeFiles'
+      // staging cleanup) — java.nio silently no-ops on object stores.
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val hfs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      added.foreach(f =>
+        hfs.delete(new org.apache.hadoop.fs.Path(rootP, f.path), false))
+    }
     committed
   }
 
@@ -1243,7 +1297,7 @@ object GraftTable {
     if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
     else f.name
 
-  private[lake] val snapshotCache =
+  private[graft] val snapshotCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Snapshot]()
 
   /** Manifests with at least this many files externalize the file list
@@ -1279,12 +1333,18 @@ object GraftTable {
     * table generation; loading snapshot N+1 re-parses only shards N
     * didn't have.
     */
-  private[lake] val shardCache =
+  private[graft] val shardCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[FileEntry]]()
 
   /** root → (ledger file size, parsed batch tags); see consumedTags. */
   private[lake] val tagCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[String])]()
+
+  /** Roots whose ledger has been reconciled against snapshot history in
+    * this JVM; see [[GraftTable.seedLedger]].
+    */
+  private[lake] val ledgerSeeded =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Tables are rebuilt in place by the driver-contract queries —
     * invalidate any cached snapshots under this root.

@@ -651,7 +651,7 @@ object LakeQueries {
     graft.pipeline.Dedup.ngramJaccardOf(t.read())
   }
 
-  val lakePipelineComposeSql: String = graft.pipeline.Dedup.jaccardSql
+  val lakePipelineComposeSql: String = graft.pipeline.Dedup.ngramJaccardCappedSql
 
   // ---- export -------------------------------------------------------
 

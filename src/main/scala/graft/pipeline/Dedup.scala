@@ -166,7 +166,14 @@ object Dedup {
   def simhashCheck(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val verifiedPairs = simhashOf(docs).select(col("doc_a"), col("doc_b"))
-    val exactPairs = ngramJaccardOf(docs).select(col("doc_a"), col("doc_b"))
+    // ground truth must be the UNCAPPED exact pair set: simhash verifies
+    // candidates against full shingle sets, so a pair whose shared
+    // shingles are all boilerplate (df > PostingDfCap) is a legitimate
+    // output here but absent from the capped C4 index — using the capped
+    // set would raise spurious precision violations on template-heavy
+    // corpora.
+    val exactPairs = ngramJaccardOf(docs, postingDfCap = Int.MaxValue)
+      .select(col("doc_a"), col("doc_b"))
     val precisionViolations =
       verifiedPairs.join(exactPairs, Seq("doc_a", "doc_b"), "left_anti").count()
     val hammingViolations =
@@ -270,6 +277,40 @@ object Dedup {
        |SELECT doc_a, doc_b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
        |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
        |WHERE i * 1.0 / (x.n + y.n - i) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** C4's oracle — exact Jaccard ≥ 0.5 with [[PostingDfCap]] MIRRORED:
+    * the operator's inverted index drops shingles with document
+    * frequency > cap, so its size prefilter sees only the RARE
+    * intersection; a pair whose similarity rides entirely on
+    * boilerplate shingles is (by design) not emitted. The oracle
+    * reproduces that: full-set Jaccard for the value, plus the same
+    * rare-intersection admission test. When no shingle exceeds the cap
+    * the extra conjunct is implied by J ≥ t (i(1+t) ≥ t(nₐ+n_b)), so
+    * this is byte-identical to [[jaccardSql]] on cap-free corpora —
+    * and stays truthful on template-heavy ones where they diverge.
+    */
+  val ngramJaccardCappedSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, ${TextOps.tokensSql} AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+       |    THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |    ELSE [] END) AS shs
+       |  FROM w),
+       |s AS (SELECT doc_id, unnest(shs) AS sh FROM g),
+       |sz AS (SELECT doc_id, len(shs) AS n FROM g),
+       |f AS (SELECT sh, count(*) AS df FROM s GROUP BY sh),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i,
+       |         count(*) FILTER (WHERE f.df <= $PostingDfCap) AS i_rare
+       |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  JOIN f ON f.sh = a.sh
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
+       |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+       |WHERE i * 1.0 / (x.n + y.n - i) >= $JaccardThreshold
+       |  AND i_rare * (1.0 + $JaccardThreshold) >= (x.n + y.n) * $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Split the corpus into "already ingested" and "incoming batch" —
@@ -594,7 +635,7 @@ object Dedup {
     "dedup_exact"         -> exactSql,
     "dedup_minhash"       -> jaccardSql,
     "dedup_simhash_check" -> simhashCheckSql,
-    "dedup_ngram_jaccard" -> jaccardSql,
+    "dedup_ngram_jaccard" -> ngramJaccardCappedSql,
     "dedup_clusters"      -> clustersSql,
     "dedup_apply"         -> dedupApplySql,
     "dedup_incremental"      -> incrementalExactSql,

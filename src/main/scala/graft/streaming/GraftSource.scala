@@ -87,7 +87,19 @@ class GraftSource(
       case Some(n) if id > lastEnd =>
         var lineage = List.empty[Long] // (lastEnd, id] oldest-first
         var a = id
-        while (a > lastEnd && a >= 0) { lineage = a :: lineage; a = table.snapshot(a).parentId }
+        var walking = true
+        while (walking && a > lastEnd && a >= 0) {
+          // An intermediate snapshot expired while the stream was
+          // backlogged is not an error: stop the walk there — the head
+          // of `lineage` is then the oldest RETAINED id, and a batch
+          // ending at it still carries the expired snapshots' files
+          // (they live on in retained manifests with their original
+          // addedBy stamps, all > lastEnd).
+          table.snapshotIfExists(a) match {
+            case Some(s) => lineage = a :: lineage; a = s.parentId
+            case None    => walking = false
+          }
+        }
         lineage.take(math.min(n, lineage.size.toLong).toInt)
           .lastOption.getOrElse(id)
       case _ => id

@@ -907,6 +907,57 @@ class LakeSpec extends SparkSpec {
     assert(onDisk.subsetOf(referenced), s"orphans left: ${onDisk -- referenced}")
   }
 
+  test("cherry-picked delta is re-stamped with the published id (incremental visibility)") {
+    val o = Tables.orders(spark, sfDir).limit(100)
+    val base = o.repartition(col("o_orderstatus"))
+    val t = GraftTable.create(spark, tmp("cherrystamp"), base, Seq("o_orderstatus"))
+    val staged = t.stageAppend(base)
+    t.append(base) // table moves past the staged id → cherry-pick must rebase
+    val preCherry = t.currentId
+    val prePaths = t.current.files.map(_.path).toSet
+    val published = t.publishCherryPick(staged)
+    assert(published > preCherry, "rebase allocates a fresh id past current")
+    val delta = t.snapshot(published).files.filterNot(f => prePaths.contains(f.path))
+    assert(delta.nonEmpty)
+    // the bug this pins: delta files carried the parked STAGED id (< preCherry),
+    // so a caught-up incremental/streaming reader filtering addedBy > preCherry
+    // silently never saw them
+    assert(delta.forall(_.addedBy === published),
+      s"stale addedBy stamps: ${delta.map(_.addedBy).distinct} (expected $published)")
+    val visible = t.snapshot(published).files
+      .filter(f => f.addedBy > preCherry && f.addedBy <= published)
+    assert(visible.map(_.path).toSet === delta.map(_.path).toSet,
+      "(start, end] delta plan must emit exactly the cherry-picked files")
+  }
+
+  test("pre-ledger replay: ledger is seeded from snapshot history on table open") {
+    val o = Tables.orders(spark, sfDir).limit(100)
+    val base = o.repartition(col("o_orderstatus"))
+    val root = tmp("preledger")
+    val t = GraftTable.create(spark, root, base, Seq("o_orderstatus"))
+    assert(t.appendBatch(base, "batch-9"))
+    t.append(base) // the tag is now neither in current.operation nor expiring
+    val n = t.read().count()
+    // simulate a table written before the ledger existed (or a
+    // publish→recordTag crash) opened fresh by another process: copy to a
+    // new root — new root = no in-JVM caches — and drop the ledger file
+    val root2 = tmp("preledger-reopened")
+    val src = java.nio.file.Paths.get(root)
+    val dst = java.nio.file.Paths.get(root2)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(src).iterator().asScala.toSeq.sortBy(_.toString).foreach { p =>
+      val q = dst.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(q)
+      else java.nio.file.Files.copy(p, q)
+    }
+    java.nio.file.Files.deleteIfExists(dst.resolve("meta/batch-tags.txt"))
+    java.nio.file.Files.deleteIfExists(dst.resolve("meta/commit.lock"))
+    val t2 = new GraftTable(root2, spark)
+    assert(!t2.appendBatch(base, "batch-9"),
+      "replayed tag must be recognized from snapshot-seeded ledger, not just current.operation")
+    assert(t2.read().count() === n, "no double-append on the reopened table")
+  }
+
   test("appendBatch replay is recognized after snapshot expiration") {
     val o = Tables.orders(spark, sfDir).limit(200)
     val base = o.repartition(col("o_orderstatus"))

@@ -222,6 +222,41 @@ class StreamingSpec extends SparkSpec {
     assert(rowsOf(src.getBatch(Some(o2), o3)) === Set(3L))
   }
 
+  test("D9c: backlogged rate-capped stream survives mid-history expiration") {
+    import spark.implicits._
+    val root = "/root/repo/target/laketest/streamsrc-expired"
+    val rm = new java.io.File(root)
+    if (rm.exists()) { import scala.sys.process._; Seq("rm", "-rf", root).! }
+    val t = GraftTable.create(spark, root, Seq((1L, "a")).toDF("id", "k"))
+    t.append(Seq((2L, "b")).toDF("id", "k"))
+    t.append(Seq((3L, "c")).toDF("id", "k"))
+    t.append(Seq((4L, "d")).toDF("id", "k"))
+    // a backlogged stream (lastEnd = 0) returns after snapshots 1–2
+    // expired: the lineage walk hits a missing manifest mid-history.
+    // Clear the in-JVM snapshot cache so the walk really reads manifests.
+    t.expire(keepFrom = 3L)
+    graft.lake.GraftTable.snapshotCache.clear()
+    graft.lake.GraftTable.shardCache.clear()
+    val src = new graft.streaming.GraftSource(spark, root, maxSnapshotsPerTrigger = Some(1L))
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    // pre-fix this threw NoSuchFileException on snapshot-2.json; now the
+    // walk stops at the oldest RETAINED id, whose manifest still carries
+    // the expired snapshots' files (addedBy 1..3)
+    val o1 = src.getOffset.get
+    assert(o1 === LongOffset(3L), s"oldest retained id expected, got $o1")
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val files = StreamingSpec.plannedFiles(df)
+      if (files.isEmpty) Set.empty
+      else spark.read.parquet(files.toIndexedSeq: _*)
+        .select("id").collect().map(_.getLong(0)).toSet
+    }
+    assert(rowsOf(src.getBatch(None, o1)) === Set(1L, 2L, 3L),
+      "batch ending at the oldest retained id carries the expired snapshots' files")
+    val o2 = src.getOffset.get
+    assert(o2 === LongOffset(4L))
+    assert(rowsOf(src.getBatch(Some(o1), o2)) === Set(4L))
+  }
+
   test("D6c: getBatch plans O(delta) — only files stamped in (start, end]") {
     import spark.implicits._
     val root = "/root/repo/target/laketest/streamsrc-delta"
