@@ -112,11 +112,13 @@ object ScaleBench {
     synthesize(spark, base, out)
     try SparkEntry.queries("q1_agg")(spark, out).count() // warm JIT/codegen
     catch { case _: Throwable => () }
-    // the production-threshold gear of C5 (radius-0 probing) rides
-    // along so the threshold↔cost trade is measured, not asserted
+    // the weak-threshold gear of C5 (radius-2 probing) rides along so
+    // the threshold↔cost trade stays measured: the shipped entry now
+    // runs the production gate, and THIS is the documented-expensive one
     val extra: Map[String, (SparkSession, String) => DataFrame] = Map(
-      "dedup_embedding_t080" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.VectorOps.embeddingPairsAt(s, dir, 0.8)))
+      "dedup_embedding_t046" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.VectorOps.embeddingPairsAt(
+          s, dir, graft.pipeline.VectorOps.WeakCosThreshold)))
     val results = (ScaleQueries ++ extra.keys).map { name =>
       val fn = SparkEntry.queries.getOrElse(name, extra(name))
       val times = (1 to 2).map { _ =>

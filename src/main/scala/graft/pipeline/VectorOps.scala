@@ -21,48 +21,89 @@ import graft.functions.exprs
   */
 object VectorOps {
 
-  val CosThreshold = 0.46
+  /** The production duplicate gate: real embedding dedup rejects at
+    * high cosine (near-identical content), where the adaptive probe
+    * radius is 0 and candidate volume is ~0.06 n² (see
+    * [[embeddingPairsOf]]'s cost analysis). The driver entry runs HERE.
+    */
+  val ProdCosThreshold = 0.8
+
+  /** The weak-threshold gear kept for completeness: at cos ≥ 0.46 the
+    * probe radius must widen to 2 and candidates degenerate to ~2.3 n²
+    * (measured 54 s at n = 20 k vs 2.0 s for the radius-0 gear —
+    * intrinsically super-quadratic, since sign-RP bits carry too little
+    * signal per projection at weak thresholds for ANY banding scheme to
+    * be sub-quadratic). Reach it explicitly via [[embeddingPairsAt]];
+    * it is deliberately NOT a driver entry.
+    */
+  val WeakCosThreshold = 0.46
   val TopK = 5
   val NQueries = 10
   val LshSeed = 77L
 
-  private def emb(s: SparkSession, d: String, prefix: String): DataFrame =
-    Tables.embeddings(s, d).select(
+  /** Planted near-duplicates for the C5 oracle corpus: the synthetic
+    * embeddings have no natural pairs above the production gate, so the
+    * oracle would be vacuous. For each vec_id < [[PlantCount]] we append
+    * a copy with the last 4 dims ZEROED under id + [[PlantIdOffset]] —
+    * zeroing is exactly representable in BOTH engines (no float
+    * arithmetic, so Spark and DuckDB build bit-identical corpora), and
+    * cos(v, v′) = |v₁..₆₀|/|v| lands in 0.90–0.995 on the test corpora:
+    * non-trivially above the 0.8 gate, different for every pair.
+    */
+  val PlantCount = 40
+  // above every real and ScaleBench-synthetic vec_id (those use i·10⁶)
+  val PlantIdOffset = 100000000L
+  val PlantKeepDims = 60
+  val EmbDim = 64
+
+  private def embOf(corpus: DataFrame, prefix: String): DataFrame =
+    corpus.select(
       col("vec_id").as(s"${prefix}_id"), col("embedding").as(s"${prefix}_emb"))
 
-  /** C5 `dedup_embedding`: pairs with cosine ≥ 0.46, computed as
-    * LSH-banded candidate generation + exact cosine verification —
-    * never an all-pairs scan. Sign-random-projection signatures
-    * (4 × 32 bits) are cut into 16 bands × 8 bits; the probe side
-    * explodes each band value plus its ≤2-bit flips, so a pair is a
-    * candidate iff some band differs in at most 2 of its 8 bits.
-    * Only id-pairs travel through the candidate join (embeddings are
-    * joined back just for the verify), so shuffle width stays O(ids).
-    *
-    * Sizing: at the worst in-gate pair (cos 0.4666, p_bit ≈ 0.654)
-    * a band matches with P ≈ 0.44, so 16 bands miss a true pair with
-    * P ≈ 1e-4 — and misses only ever cost recall, precision is exact.
-    *
-    * COST vs THRESHOLD (measured, ScaleBench 20 k vectors): the probe
-    * radius is what candidate volume rides on. At p_bit ≈ 0.65 a
-    * radius-2 probe admits ~37/256 of every band's buckets, so
-    * candidates ≈ n²·16·37/256 ≈ 2.3 n² — LSH degenerates to
-    * super-quadratic work at weak thresholds (57 s at n = 20 k; the
-    * sf0.1 bench can't see it). That is intrinsic: sign-RP bits carry
-    * ~1 bit of signal per projection at cos 0.46, so no banding scheme
-    * is sub-quadratic there. The radius therefore ADAPTS to the
-    * configured threshold: real embedding dedup runs at cos ≥ 0.75
-    * (p_bit ≥ 0.77), where radius 0 already misses < 1e-3 per 16 bands
-    * and candidates collapse to n²/16 · background-collision ≈ 0.06 n²
-    * — the 100 TB regime. The aggressively-low 0.46 default exists
-    * only so the synthetic-corpus oracle has a non-trivial pair set to
-    * hash against; it deliberately pays the radius-2 bill.
+  private def emb(s: SparkSession, d: String, prefix: String): DataFrame =
+    embOf(Tables.embeddings(s, d), prefix)
+
+  /** The embeddings table plus [[PlantCount]] planted near-dups. */
+  private[graft] def plantedCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") < PlantCount)
+      .select((col("vec_id") + PlantIdOffset).as("vec_id"),
+        concat(slice(col("embedding"), 1, PlantKeepDims),
+          array(Seq.fill(EmbDim - PlantKeepDims)(lit(0.0f)): _*)).as("embedding"))
+    base.unionByName(planted)
+  }
+
+  /** C5 `dedup_embedding`: near-duplicate pairs at the PRODUCTION gate
+    * (cos ≥ 0.8, radius-0 probing) over the planted corpus — LSH-banded
+    * candidate generation + exact cosine verification, never an
+    * all-pairs scan. The oracle recomputes the same planted corpus in
+    * DuckDB and exact-scans it, so recall at the production gate is
+    * oracle-checked, not just spec-measured.
     */
   def embeddingPairs(s: SparkSession, d: String): DataFrame =
-    embeddingPairsAt(s, d, CosThreshold)
+    embeddingPairsOf(plantedCorpus(s, d), ProdCosThreshold)
 
-  def embeddingPairsAt(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    val base = Tables.embeddings(s, d)
+  def embeddingPairsAt(s: SparkSession, d: String, threshold: Double): DataFrame =
+    embeddingPairsOf(Tables.embeddings(s, d), threshold)
+
+  /** LSH-banded pair search over an arbitrary corpus.
+    * Sign-random-projection signatures (4 × 32 bits) are cut into
+    * 16 bands × 8 bits; the probe side explodes each band value plus
+    * its ≤radius-bit flips, so a pair is a candidate iff some band
+    * differs in at most `radius` of its 8 bits. Only id-pairs travel
+    * through the candidate join (embeddings are joined back just for
+    * the verify), so shuffle width stays O(ids).
+    *
+    * COST vs THRESHOLD (measured, ScaleBench 20 k vectors): the probe
+    * radius is what candidate volume rides on. At the production gate
+    * (cos ≥ 0.75, p_bit ≥ 0.77) radius 0 misses < 1e-3 per 16 bands
+    * and candidates are ~0.06 n² — the 100 TB regime. At p_bit ≈ 0.65
+    * (cos 0.46) a radius-2 probe admits ~37/256 of every band's
+    * buckets ⇒ candidates ≈ 2.3 n² (57 s at n = 20 k): intrinsic to
+    * weak thresholds, which is why the radius ADAPTS to the threshold
+    * instead of being fixed.
+    */
+  def embeddingPairsOf(base: DataFrame, threshold: Double): DataFrame = {
     // 16 band values (8 bits each) from 4 independent 32-bit signatures
     def bandCols(embc: Column): Seq[Column] =
       (0 until 4).flatMap { g =>
@@ -94,8 +135,8 @@ object VectorOps {
       .select(least(col("a_id"), col("b_id")).as("a_id"),
               greatest(col("a_id"), col("b_id")).as("b_id"))
     cand
-      .join(emb(s, d, "a"), "a_id")
-      .join(emb(s, d, "b"), "b_id")
+      .join(embOf(base, "a"), "a_id")
+      .join(embOf(base, "b"), "b_id")
       .withColumn("cos_raw", exprs.cosineSim(col("a_emb"), col("b_emb")))
       .filter(col("cos_raw") >= threshold)
       .select(col("a_id").as("vec_a"), col("b_id").as("vec_b"),
@@ -105,27 +146,41 @@ object VectorOps {
   }
 
   /** The exact all-pairs scan — O(n²), the correctness oracle for
-    * [[embeddingPairs]]' recall. Spec-only: never shipped as the op.
+    * [[embeddingPairsOf]]' recall. Spec-only: never shipped as the op.
     */
-  private[graft] def embeddingPairsExact(s: SparkSession, d: String): DataFrame = {
-    val a = emb(s, d, "a")
-    val b = emb(s, d, "b")
+  private[graft] def embeddingPairsExactOf(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = embOf(corpus, "a")
+    val b = embOf(corpus, "b")
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("cos_raw", exprs.cosineSim(col("a_emb"), col("b_emb")))
-      .filter(col("cos_raw") >= CosThreshold)
+      .filter(col("cos_raw") >= threshold)
       .select(col("a_id").as("vec_a"), col("b_id").as("vec_b"),
         round(col("cos_raw"), 6).as("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  private[graft] def embeddingPairsExact(s: SparkSession, d: String): DataFrame =
+    embeddingPairsExactOf(Tables.embeddings(s, d), WeakCosThreshold)
+
+  /** Oracle for `dedup_embedding`: rebuild the planted corpus (the
+    * UNION ALL mirrors [[plantedCorpus]] exactly — a slice plus literal
+    * zeros, no float arithmetic, so both engines hash identical pair
+    * sets) and exact-scan it at the production gate.
+    */
   val embeddingPairsSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, v FROM e0
+       |  UNION ALL
+       |  SELECT vec_id + $PlantIdOffset,
+       |         v[1:$PlantKeepDims] || [0.0, 0.0, 0.0, 0.0]
+       |  FROM e0 WHERE vec_id < $PlantCount)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  round(list_dot_product(a.v, b.v)
        |        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |WHERE list_dot_product(a.v, b.v)
-       |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= $CosThreshold
+       |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= $ProdCosThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
   /** C6 `ann_bruteforce`: exact top-k neighbors for the query set

@@ -319,15 +319,28 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("embedding dedup: LSH-banded plan matches exact pair scan, no nested-loop join") {
+    // the shipped entry: production gate over the planted corpus
     val banded = VectorOps.embeddingPairs(spark, sfDir)
     val plan = banded.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"candidate generation must be a keyed join, got:\n$plan")
     val got = banded.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val exact = VectorOps.embeddingPairsExact(spark, sfDir).collect()
+    val exact = VectorOps.embeddingPairsExactOf(
+        VectorOps.plantedCorpus(spark, sfDir), VectorOps.ProdCosThreshold).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(exact.nonEmpty)
-    assert(got === exact, "recall must be 1 on the test corpus")
+    assert(exact.nonEmpty, "planted corpus must yield pairs above the production gate")
+    assert(got === exact, s"recall must be 1 on the test corpus; missed ${exact -- got}")
+    // every planted near-dup pair is found
+    val plantedIds = got.collect { case (a, b, _) if b >= VectorOps.PlantIdOffset => b - VectorOps.PlantIdOffset }
+    assert(plantedIds.size === VectorOps.PlantCount.toLong.min(
+      Tables.embeddings(spark, sfDir).count()).toInt)
+    // the weak-threshold gear still works when asked for explicitly
+    val weak = VectorOps.embeddingPairsAt(spark, sfDir, VectorOps.WeakCosThreshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val weakExact = VectorOps.embeddingPairsExact(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(weakExact.nonEmpty)
+    assert(weak === weakExact)
   }
 
   test("ann bruteforce: k ranked neighbors per query, no self-match") {
