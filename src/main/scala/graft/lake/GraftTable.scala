@@ -12,7 +12,7 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 import org.apache.spark.sql.types._
 
 /** A graft-managed table: Spark-native data plane (`df.write.parquet`)
@@ -660,7 +660,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
     commit(cur.copy(
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
       operation = "overwrite", files = added,
-      addedFiles = added.size, deletedFiles = cur.files.size))
+      addedFiles = added.size, deletedFiles = cur.files.size,
+      deleteFiles = Seq.empty)) // every deletable row was replaced
     this
   }
 
@@ -708,6 +709,13 @@ final class GraftTable(val root: String, spark: SparkSession) {
     */
   def delete(pred: Column): GraftTable = {
     val cur = current
+    // TBLPROPERTIES('write.delete.mode'='merge-on-read') routes SQL and
+    // API deletes to the position-delete path (metadata-only partition
+    // deletes below still win — they are strictly cheaper than both)
+    if (cur.properties.get(GraftTable.DeleteModeProp).contains("merge-on-read")
+        && Pruning.extractExact(pred)
+          .forall(cs => !(cs.nonEmpty && cs.keySet.forall(cur.partitionCols.contains))))
+      return deleteMerge(pred)
     // Metadata-only fast path: if the predicate is EXACTLY a
     // conjunction of constraints on partition columns, every row of a
     // matching file matches (partition values are constant per file) —
@@ -756,6 +764,94 @@ final class GraftTable(val root: String, spark: SparkSession) {
     this
   }
 
+  /** DELETE WHERE — merge-on-read: instead of rewriting every data
+    * file the predicate touches (copy-on-write write amplification —
+    * a 1-row delete in a 1 GB file rewrites 1 GB), write a
+    * position-delete file naming the matched `(file, row)` coordinates
+    * and commit a snapshot whose DATA FILE LIST IS UNCHANGED. Reads
+    * apply pending deletes as a broadcast anti-join ([[readSnapshotPos]]);
+    * [[applyDeletes]] (or OPTIMIZE) folds them into rewritten files
+    * when the read-side tax is no longer worth deferring the write.
+    * Candidate files still come from metadata-only pruning, so the
+    * position scan is O(files-that-can-match), and repeated deletes
+    * stack (already-deleted rows are invisible to the match scan, so
+    * delete files never overlap).
+    *
+    * Position keys are file BASENAMES + row index: basenames are
+    * unique table-wide for engine-written files (`<snapId>-<seq>-…`);
+    * adopted tables with colliding basenames fall back to
+    * copy-on-write rather than risk cross-file deletes.
+    */
+  def deleteMerge(pred: Column): GraftTable = {
+    val cur = current
+    val names = cur.files.map(f => GraftTable.baseName(f.path))
+    if (names.distinct.size != names.size) return delete(pred)
+    val (cands, _, _) = pruneFiles(pred)
+    import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
+    val added: Seq[DeleteFileEntry] =
+      if (cands.isEmpty) Seq.empty
+      else {
+        val live = readSnapshotPos(cur.copy(files = cands, shards = Seq.empty))
+        val hits = live.filter(pred <=> lit(true))
+          .select(col(PosFileCol).as("file_name"), col(PosIdxCol).as("row_index"))
+        writeDeleteFiles(hits, cur.id + 1)
+      }
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "delete", files = cur.files,
+      addedFiles = 0, deletedFiles = 0,
+      deleteFiles = cur.deleteFiles ++ added))
+    this
+  }
+
+  /** Write `(file_name, row_index)` rows as position-delete parquet
+    * under `deletes/`; returns the registered entries (empty when the
+    * predicate matched nothing — the empty directory is removed).
+    */
+  private def writeDeleteFiles(hits: DataFrame, snapId: Long): Seq[DeleteFileEntry] = {
+    val relDir = s"deletes/$snapId-${UUID.randomUUID()}"
+    hits.write.mode("overwrite").parquet(s"$root/$relDir")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirP = new org.apache.hadoop.fs.Path(s"$root/$relDir")
+    val hfs = dirP.getFileSystem(conf)
+    val entries = hfs.listStatus(dirP).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val fr = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+        val n = try fr.getRecordCount finally fr.close()
+        DeleteFileEntry(s"$relDir/${st.getPath.getName}", n, snapId)
+      }
+      .filter(_.rows > 0)
+    if (entries.isEmpty) { hfs.delete(dirP, true); Seq.empty } else entries
+  }
+
+  /** Fold pending position deletes back into data files: rewrite
+    * EXACTLY the files that have deleted rows (planned from the delete
+    * list itself — untouched files survive verbatim) and clear the
+    * delete list. This is OPTIMIZE's MOR half: the read-side anti-join
+    * tax is paid only between a delete burst and the next maintenance
+    * window.
+    */
+  def applyDeletes(): GraftTable = {
+    val cur = current
+    if (cur.deleteFiles.isEmpty) return this
+    val affected = deleteRows(cur.deleteFiles)
+      .select(col("file_name")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (cands, kept) = cur.files.partition(f => affected.contains(GraftTable.baseName(f.path)))
+    val survivors = readSnapshot(cur.copy(files = cands, shards = Seq.empty))
+    val added =
+      if (cands.isEmpty) Seq.empty
+      else writeFiles(survivors, cur.partitionCols, cur.deps, cur.id + 1)
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "apply-deletes", files = kept ++ added,
+      addedFiles = added.size, deletedFiles = cands.size,
+      deleteFiles = Seq.empty))
+    this
+  }
+
   /** TRUNCATE — drop every file from the manifest; O(metadata), no
     * data I/O (old snapshots still reference the files for time
     * travel until expired).
@@ -765,7 +861,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
     commit(cur.copy(
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
       operation = "truncate", files = Seq.empty,
-      addedFiles = 0, deletedFiles = cur.files.size))
+      addedFiles = 0, deletedFiles = cur.files.size,
+      deleteFiles = Seq.empty))
     this
   }
 
@@ -1054,7 +1151,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
     commit(cur.copy(
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
       operation = "optimize", files = added,
-      addedFiles = added.size, deletedFiles = cur.files.size))
+      addedFiles = added.size, deletedFiles = cur.files.size,
+      deleteFiles = Seq.empty)) // full rewrite reads through (and applies) pending deletes
     this
   }
 
@@ -1124,11 +1222,34 @@ final class GraftTable(val root: String, spark: SparkSession) {
     val toPaths = to.files.map(_.path).toSet
     val removed = from.files.filterNot(f => toPaths.contains(f.path))
     val added = to.files.filterNot(f => fromPaths.contains(f.path))
+    // each side reads with ITS OWN pending deletes applied (the copy
+    // carries deleteFiles), so rows both added and MOR-deleted inside
+    // the window appear as neither insert nor delete — correct CDC
     val addedDf = readSnapshot(to.copy(files = added, shards = Seq.empty))
     val removedDf = readSnapshot(from.copy(files = removed, shards = Seq.empty))
+    // a MOR delete changes NO data files, so the file diff alone is
+    // blind to it: rows of files present on BOTH sides whose positions
+    // are in `to`'s delete list but not `from`'s were deleted in-window
+    val newDels = {
+      val fromDel = from.deleteFiles.map(_.path).toSet
+      to.deleteFiles.filterNot(d => fromDel.contains(d.path))
+    }
+    val morDeletedDf =
+      if (newDels.isEmpty) None
+      else {
+        import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
+        val common = from.files.filter(f => toPaths.contains(f.path))
+        val base = readSnapshotPos(from.copy(files = common, shards = Seq.empty))
+        Some(base.join(
+            broadcast(deleteRows(newDels)),
+            base(PosFileCol) === col("file_name") && base(PosIdxCol) === col("row_index"),
+            "left_semi")
+          .drop(PosFileCol, PosIdxCol))
+      }
+    val deletes = morDeletedDf.foldLeft(removedDf.exceptAll(addedDf))(_ unionAll _)
     addedDf.exceptAll(removedDf)
       .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert"))
-      .unionByName(removedDf.exceptAll(addedDf)
+      .unionByName(deletes
         .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")))
   }
 
@@ -1141,7 +1262,10 @@ final class GraftTable(val root: String, spark: SparkSession) {
     commit(cur.copy(
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
       operation = "rollback", schemaJson = target.schemaJson, files = target.files,
-      addedFiles = 0, deletedFiles = 0))
+      addedFiles = 0, deletedFiles = 0,
+      // the target's pending deletes are part of its logical state —
+      // carrying CUR's would resurrect (or re-kill) the wrong rows
+      deleteFiles = target.deleteFiles))
     this
   }
 
@@ -1155,9 +1279,12 @@ final class GraftTable(val root: String, spark: SparkSession) {
     val pinned = refEntries.values.map(_._1).toSet
     val (expired, retained) = snapshotIds.partition(id =>
       id < keepFrom && id != cur && !pinned.contains(id))
-    val live = retained.flatMap(id => snapshot(id).files.map(_.path)).toSet
-    val orphans = expired.flatMap(id => snapshot(id).files.map(_.path)).distinct
-      .filterNot(live.contains).sorted
+    val live = retained.flatMap { id =>
+      val s = snapshot(id); s.files.map(_.path) ++ s.deleteFiles.map(_.path)
+    }.toSet
+    val orphans = expired.flatMap { id =>
+      val s = snapshot(id); s.files.map(_.path) ++ s.deleteFiles.map(_.path)
+    }.distinct.filterNot(live.contains).sorted
     if (delete) {
       // fold expiring batch tags into the durable ledger so replayed
       // streaming batches stay recognized after their snapshots are
@@ -1190,7 +1317,40 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * filters.
     */
   private def readSnapshot(s: Snapshot): DataFrame =
-    org.apache.spark.sql.graft.GraftFileIndex.relation(spark, root, s)
+    if (s.deleteFiles.isEmpty)
+      org.apache.spark.sql.graft.GraftFileIndex.relation(spark, root, s)
+    else readSnapshotPos(s).drop(
+      org.apache.spark.sql.graft.GraftFileIndex.PosFileCol,
+      org.apache.spark.sql.graft.GraftFileIndex.PosIdxCol)
+
+  /** [[readSnapshot]] keeping the `(_graft_file, _graft_pos)` row
+    * coordinates, with the snapshot's pending position deletes already
+    * anti-joined away — the building block for MOR reads, MOR delete
+    * stacking, and changelog's deleted-row reconstruction.
+    */
+  private def readSnapshotPos(s: Snapshot): DataFrame = {
+    val withPos = org.apache.spark.sql.graft.GraftFileIndex
+      .relation(spark, root, s, isStreaming = false, withRowPos = true)
+    if (s.deleteFiles.isEmpty) withPos
+    else {
+      import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
+      // the delete list is boilerplate-sized relative to the data (that
+      // is the point of MOR) — broadcast it so the scan side never
+      // shuffles; the join keys on the file basename, which the write
+      // path makes unique table-wide (<snapId>-<seq>-<name>)
+      withPos.join(
+        broadcast(deleteRows(s.deleteFiles)),
+        withPos(PosFileCol) === col("file_name") && withPos(PosIdxCol) === col("row_index"),
+        "left_anti")
+    }
+  }
+
+  /** The union of the given position-delete files as a DataFrame of
+    * `(file_name, row_index)`.
+    */
+  private def deleteRows(dels: Seq[DeleteFileEntry]): DataFrame =
+    spark.read.schema("file_name STRING, row_index BIGINT")
+      .parquet(dels.map(d => s"$root/${d.path}"): _*)
 
   /** Full-table read of the current snapshot. */
   def read(): DataFrame = readSnapshot(current)
@@ -1326,7 +1486,15 @@ object GraftTable {
     "overwrite-dynamic", "delete", "truncate", "update", "merge",
     "merge-delete", "repartition-spec", "set-properties", "add-column",
     "drop-column", "rename-column", "optimize", "compact", "rollback",
-    "adopt")
+    "adopt", "apply-deletes")
+
+  /** TBLPROPERTIES key routing DELETE between copy-on-write (default)
+    * and merge-on-read position deletes.
+    */
+  val DeleteModeProp = "write.delete.mode"
+
+  private[lake] def baseName(path: String): String =
+    path.substring(path.lastIndexOf('/') + 1)
 
   /** (root, shard path) → parsed file entries. Shards are immutable
     * (content-addressed), so the cache never invalidates within a

@@ -44,6 +44,21 @@ final case class FileEntry(
     stats: Map[String, ColStat],
     addedBy: Long = 0L)
 
+/** One position-delete file registered in a snapshot (merge-on-read
+  * DELETE): a parquet file of `(file_name string, row_index long)`
+  * pairs naming rows that are logically deleted from the data files
+  * still listed in `Snapshot.files`. `path` is relative to the table
+  * root (under `deletes/`). Readers apply the union of a snapshot's
+  * delete files as a broadcast anti-join keyed on the scan's
+  * `_metadata` columns; `OPTIMIZE`/[[GraftTable.applyDeletes]] folds
+  * them back into rewritten data files. The Iceberg v2
+  * position-delete model re-expressed (the reference is copy-on-write
+  * only — this extends parity for the point-delete-at-100 TB case,
+  * where rewriting every touched data file is crippling write
+  * amplification).
+  */
+final case class DeleteFileEntry(path: String, rows: Long, addedBy: Long = 0L)
+
 /** A column dependency `src → dest : transform` (reference:
   * utils/Transforms.scala:30; Config.scala:77 COLUMN_DEPENDENCIES option). Declares
   * dest = transform(src) so predicates on src can be rewritten into
@@ -82,8 +97,14 @@ final case class Snapshot(
     shards: Seq[ShardRef] = Seq.empty,
     // table properties (TBLPROPERTIES equivalent); carried forward by
     // every commit since they all build on cur.copy(…)
-    properties: Map[String, String] = Map.empty) {
+    properties: Map[String, String] = Map.empty,
+    // pending merge-on-read position deletes; empty once OPTIMIZE /
+    // applyDeletes folds them into rewritten data files
+    deleteFiles: Seq[DeleteFileEntry] = Seq.empty) {
+  // NOTE: counts rows as written — pending MOR deletes are not
+  // subtracted here (use deletedRows for the logical count)
   def totalRows: Long = files.map(_.rows).sum
+  def deletedRows: Long = deleteFiles.map(_.rows).sum
 }
 
 object SnapshotCodec {
@@ -99,7 +120,8 @@ object SnapshotCodec {
     // jackson-scala does not apply Scala default args: manifests
     // written before a field existed deserialize it as null
     val s1 = if (s0.shards == null) s0.copy(shards = Seq.empty) else s0
-    if (s1.properties == null) s1.copy(properties = Map.empty) else s1
+    val s2 = if (s1.properties == null) s1.copy(properties = Map.empty) else s1
+    if (s2.deleteFiles == null) s2.copy(deleteFiles = Seq.empty) else s2
   }
   def shardToBytes(m: ShardManifest): Array[Byte] = mapper.writeValueAsBytes(m)
   def shardFromBytes(b: Array[Byte]): ShardManifest = mapper.readValue[ShardManifest](b)

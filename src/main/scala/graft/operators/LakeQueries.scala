@@ -475,6 +475,39 @@ object LakeQueries {
        |WHERE NOT (o_orderstatus = 'O' AND o_totalprice > 200000)
        |ORDER BY o_orderkey""".stripMargin
 
+  // ---- A21b DELETE WHERE (merge-on-read) -----------------------------
+
+  /** Same logical delete as [[lakeDelete]], executed as position-delete
+    * files: `write.delete.mode=merge-on-read` routes the
+    * stats-conjunct delete to [[GraftTable.deleteMerge]] (zero data
+    * files rewritten), a second point-delete stacks on top, then
+    * OPTIMIZE-style [[GraftTable.applyDeletes]] folds both back into
+    * rewritten files — so the oracle checks the read path over pending
+    * deletes AND the apply path in one entry.
+    */
+  def lakeDeleteMor(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "mordel"),
+      byStatus(orders(s, d)), Seq("o_orderstatus"))
+    t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    t.delete(col("o_orderstatus") === "O" && col("o_totalprice") > 200000)
+    val filesAfterMor = t.current.files.map(_.path).toSet
+    require(t.current.deleteFiles.nonEmpty && t.snapshot(t.currentId).operation == "delete",
+      "MOR delete must register position-delete files")
+    // point delete stacks on the pending list without touching data
+    t.delete(col("o_orderkey") === 7L)
+    require(t.current.files.map(_.path).toSet == filesAfterMor,
+      "MOR deletes must not rewrite data files")
+    t.applyDeletes()
+    require(t.current.deleteFiles.isEmpty, "applyDeletes must clear the delete list")
+    sel(t.read())
+  }
+
+  val lakeDeleteMorSql =
+    s"""SELECT $selSql FROM orders
+       |WHERE NOT (o_orderstatus = 'O' AND o_totalprice > 200000)
+       |  AND o_orderkey <> 7
+       |ORDER BY o_orderkey""".stripMargin
+
   // ---- A23 UPDATE SET WHERE (copy-on-write) --------------------------
 
   def lakeUpdate(s: SparkSession, d: String): DataFrame = {
@@ -684,6 +717,7 @@ object LakeQueries {
     "lake_sql_asof"            -> (lakeSqlAsOf _),
     "lake_zorder"              -> (lakeZOrder _),
     "lake_delete"              -> (lakeDelete _),
+    "lake_delete_mor"          -> (lakeDeleteMor _),
     "lake_merge"               -> (lakeMerge _),
     "lake_update"              -> (lakeUpdate _),
     "lake_ctas"                -> (lakeCtas _),
@@ -721,6 +755,7 @@ object LakeQueries {
     "lake_sql_asof"            -> lakeSqlAsOfSql,
     "lake_zorder"              -> lakeZOrderSql,
     "lake_delete"              -> lakeDeleteSql,
+    "lake_delete_mor"          -> lakeDeleteMorSql,
     "lake_merge"               -> lakeMergeSql,
     "lake_update"              -> lakeUpdateSql,
     "lake_ctas"                -> lakeCtasSql,

@@ -126,7 +126,19 @@ object GraftFileIndex {
     */
   def relation(
       spark: SparkSession, tableRoot: String, snapshot: Snapshot,
-      isStreaming: Boolean): DataFrame = {
+      isStreaming: Boolean): DataFrame =
+    relation(spark, tableRoot, snapshot, isStreaming, withRowPos = false)
+
+  /** `withRowPos = true` appends the scan's physical row coordinates —
+    * `_graft_file` (file basename) and `_graft_pos` (row index within
+    * the file) from the parquet `_metadata` column — which is what
+    * merge-on-read position deletes key on. Selected here, at the
+    * relation root, because `_metadata` does not survive an
+    * intervening projection.
+    */
+  def relation(
+      spark: SparkSession, tableRoot: String, snapshot: Snapshot,
+      isStreaming: Boolean, withRowPos: Boolean): DataFrame = {
     val fullSchema = DataType.fromJson(snapshot.schemaJson).asInstanceOf[StructType]
     // the relation is built over the frozen on-disk (physical) names —
     // renamed columns are aliased back to their logical names below, so
@@ -146,8 +158,15 @@ object GraftFileIndex {
     val plan = LogicalRelation(fsRelation, isStreaming)
     // declared schema order (partition cols land last in the relation
     // output otherwise) + physical → logical aliasing
-    Shim.ofRows(spark, plan).select(fullSchema.fields.map { f =>
+    val cols = fullSchema.fields.toSeq.map { f =>
       org.apache.spark.sql.functions.col(graft.lake.GraftTable.physicalName(f)).as(f.name)
-    }: _*)
+    } ++ (if (!withRowPos) Seq.empty else Seq(
+      org.apache.spark.sql.functions.col("_metadata.file_name").as(PosFileCol),
+      org.apache.spark.sql.functions.col("_metadata.row_index").as(PosIdxCol)))
+    Shim.ofRows(spark, plan).select(cols: _*)
   }
+
+  /** Row-coordinate column names emitted by `withRowPos = true`. */
+  val PosFileCol = "_graft_file"
+  val PosIdxCol = "_graft_pos"
 }

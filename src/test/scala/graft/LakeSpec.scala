@@ -944,6 +944,8 @@ class LakeSpec extends SparkSpec {
     val root2 = tmp("preledger-reopened")
     val src = java.nio.file.Paths.get(root)
     val dst = java.nio.file.Paths.get(root2)
+    import scala.sys.process._
+    if (java.nio.file.Files.exists(dst)) Seq("rm", "-rf", root2).!
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(src).iterator().asScala.toSeq.sortBy(_.toString).foreach { p =>
       val q = dst.resolve(src.relativize(p).toString)
@@ -956,6 +958,80 @@ class LakeSpec extends SparkSpec {
     assert(!t2.appendBatch(base, "batch-9"),
       "replayed tag must be recognized from snapshot-seeded ledger, not just current.operation")
     assert(t2.read().count() === n, "no double-append on the reopened table")
+  }
+
+  test("merge-on-read delete: 1-row delete rewrites zero data files; reads, time travel, changelog stay correct") {
+    val o = Tables.orders(spark, sfDir).limit(2000)
+    val t = GraftTable.create(spark, tmp("mor"),
+      o.repartition(col("o_orderstatus")), Seq("o_orderstatus"))
+    t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    val preId = t.currentId
+    val preFiles = t.current.files.map(_.path).toSet
+    val victim = t.read().select(col("o_orderkey")).orderBy(col("o_orderkey")).head().getLong(0)
+    val n0 = t.read().count()
+    t.delete(col("o_orderkey") === victim)
+    // the MOR contract: data file list untouched, a position-delete registered
+    assert(t.current.files.map(_.path).toSet === preFiles, "MOR delete must not rewrite data files")
+    assert(t.current.deleteFiles.nonEmpty && t.current.deletedRows === 1L)
+    assert(t.read().count() === n0 - 1)
+    assert(t.read().filter(col("o_orderkey") === victim).count() === 0)
+    // time travel: the pre-delete snapshot still shows the row
+    assert(t.readAsOfId(preId).filter(col("o_orderkey") === victim).count() === 1)
+    // changelog: the file diff is empty, yet the deleted row must appear
+    val cl = t.changelog(preId, t.currentId).collect()
+    assert(cl.count(_.getAs[String]("_change_type") == "insert") === 0)
+    val dels = cl.filter(_.getAs[String]("_change_type") == "delete")
+    assert(dels.map(_.getAs[Long]("o_orderkey")).toSeq === Seq(victim))
+    // stacking: a second MOR delete appends to the pending list
+    val victim2 = t.read().select(col("o_orderkey")).orderBy(col("o_orderkey")).head().getLong(0)
+    t.delete(col("o_orderkey") === victim2)
+    assert(t.current.deletedRows === 2L)
+    assert(t.read().count() === n0 - 2)
+    // a filtered scan pushes through the anti-join (results still right)
+    assert(t.scan(col("o_orderkey") < victim2 + 10).count() ===
+      o.filter(col("o_orderkey") < victim2 + 10).count() - 2)
+  }
+
+  test("merge-on-read apply: only files with deleted rows are rewritten; rollback restores the pending list") {
+    val o = Tables.orders(spark, sfDir).limit(2000)
+    val t = GraftTable.create(spark, tmp("morapply"),
+      o.repartition(col("o_orderstatus")), Seq("o_orderstatus"))
+    t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    // delete rows from exactly one partition's file via a stats conjunct
+    val pred = col("o_orderstatus") === "F" && col("o_totalprice") > 200000
+    val expect = t.read().filter(!(pred <=> lit(true))).count()
+    t.delete(pred)
+    val morId = t.currentId
+    assert(t.current.deleteFiles.nonEmpty)
+    val untouched = t.current.files.filterNot(_.partition.get("o_orderstatus").contains("F"))
+      .map(_.path).toSet
+    t.applyDeletes()
+    assert(t.current.deleteFiles.isEmpty)
+    assert(t.read().count() === expect)
+    // files with no deleted rows survived verbatim
+    assert(untouched.subsetOf(t.current.files.map(_.path).toSet),
+      "applyDeletes must rewrite only affected files")
+    assert(t.snapshot(t.currentId).operation === "apply-deletes")
+    // changelog across [mor, applied] is empty: apply is physical, not logical
+    assert(t.changelog(morId, t.currentId).count() === 0)
+    // rollback to the MOR snapshot restores its pending delete list
+    t.rollback(morId)
+    assert(t.current.deleteFiles.nonEmpty && t.read().count() === expect)
+    // expire everything before current: the applied snapshot's data is
+    // still referenced; after rolling FORWARD again and expiring, the
+    // orphaned delete files are GC'd from disk
+    t.applyDeletes()
+    t.expire(keepFrom = t.currentId)
+    assert(t.current.deleteFiles.isEmpty)
+    val delDir = java.nio.file.Paths.get(tmp("morapply"), "deletes")
+    val leftover =
+      if (!java.nio.file.Files.exists(delDir)) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(delDir).iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet")).toSeq
+      }
+    assert(leftover.isEmpty, s"expired delete files leaked: $leftover")
   }
 
   test("appendBatch replay is recognized after snapshot expiration") {
