@@ -375,6 +375,27 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           case other => throw new IllegalArgumentException(
             s"unknown metadata view suffix '$other' on graft table '$base'")
         }
+      // Spark-native time travel — `FROM t VERSION AS OF <id|'tag'>` /
+      // `FROM t TIMESTAMP AS OF <literal>` (Spark 3.3+ grammar). The
+      // node is an unresolved LEAF (its relation is a field, not a
+      // child), so it must be matched here and routed to the same asOf
+      // scan as graft's own `as of '<spec>'` prefix.
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+          if graftName(tt.relation).isDefined =>
+        val name = graftName(tt.relation).get
+        val t = new GraftTable(GraftCatalog.lookup(name).get, session)
+        val df = tt.version match {
+          case Some(v) if v.forall(_.isDigit) => t.readAsOfId(v.toLong)
+          case Some(v) => t.refId(v).map(t.readAsOfId).getOrElse(
+            throw new IllegalArgumentException(
+              s"VERSION AS OF '$v': no snapshot ref with that name on graft table '$name'"))
+          case None =>
+            val e = tt.timestamp.get // the grammar guarantees one of the two
+            require(e.foldable,
+              s"graft TIMESTAMP AS OF requires a literal timestamp, got $e")
+            t.readAsOfTs(literalMillis(e))
+        }
+        Shim.logicalPlan(df)
       case u: UnresolvedRelation
           if joinedName(u.multipartIdentifier).exists(GraftCatalog.lookup(_).isDefined) =>
         val root = GraftCatalog.lookup(joinedName(u.multipartIdentifier).get).get
@@ -397,6 +418,29 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         }
         Shim.logicalPlan(df)
     }
+
+  /** Epoch millis of a foldable TIMESTAMP AS OF expression: a
+    * TimestampType literal evals to epoch-MICROS, a DateType literal to
+    * epoch-DAYS, a string literal to `yyyy-MM-dd[ HH:mm:ss]` (or bare
+    * epoch digits, seconds vs millis by length — same heuristic as the
+    * `as of` prefix clause).
+    */
+  private def literalMillis(e: Expression): Long = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        val str = s.toString.trim
+        if (str.forall(_.isDigit))
+          if (str.length == 10) str.toLong * 1000L else str.toLong
+        else java.sql.Timestamp.valueOf(
+          if (str.contains(":")) str else s"$str 00:00:00").getTime
+      case micros: Long if e.dataType == TimestampType => micros / 1000L
+      case days: Integer if e.dataType == DateType => days.toLong * 86400000L
+      case millis: Long => millis
+      case other => throw new IllegalArgumentException(
+        s"unsupported TIMESTAMP AS OF literal $other (${e.dataType})")
+    }
+  }
 
   /** `db.t$snapshots` / `t$files` → the registered base name. */
   private def metaBase(parts: Seq[String]): String =

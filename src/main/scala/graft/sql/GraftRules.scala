@@ -105,6 +105,22 @@ object GraftSparkBridge {
     else TableIdentifier(name)
   }
 
+  /** Exact table statistics straight from the manifest: the snapshot
+    * already knows per-file rows and bytes, so the catalog entry gets
+    * what `ANALYZE TABLE … COMPUTE STATISTICS` would cost a full scan
+    * to produce — for free, and exact. Catalyst then sizes joins
+    * against the table from stats alone (no AQE runtime sampling
+    * needed); rowCount feeds CBO when enabled. Pending MOR deletes are
+    * subtracted from rowCount (logical rows) but not sizeInBytes
+    * (files still read).
+    */
+  private def manifestStats(t: GraftTable): org.apache.spark.sql.catalyst.catalog.CatalogStatistics = {
+    val s = t.current
+    org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+      sizeInBytes = BigInt(s.files.map(_.bytes).sum),
+      rowCount = Some(BigInt(s.totalRows - s.deletedRows)))
+  }
+
   def register(session: SparkSession, name: String, root: String): Unit = {
     val catalog = session.sessionState.catalog
     val ident = identOf(name)
@@ -114,25 +130,29 @@ object GraftSparkBridge {
     catalog.dropTable(ident, ignoreIfNotExists = true, purge = false)
     val props = Map(
       "addTableManagement" -> "true", "graftRoot" -> root, "graftName" -> name)
+    val t = new GraftTable(root, session)
     catalog.createTable(CatalogTable(
       identifier = ident,
       tableType = CatalogTableType.EXTERNAL,
       storage = CatalogStorageFormat.empty.copy(
         locationUri = Some(new java.io.File(root, "data").toURI),
         properties = props),
-      schema = new GraftTable(root, session).schema,
+      schema = t.schema,
       provider = Some("parquet"),
-      properties = props), ignoreIfExists = false)
+      properties = props,
+      stats = Some(manifestStats(t))), ignoreIfExists = false)
   }
 
   def unregister(session: SparkSession, name: String): Unit =
     session.sessionState.catalog
       .dropTable(identOf(name), ignoreIfNotExists = true, purge = false)
 
-  /** Re-mirror the live snapshot schema after evolution (ADD/DROP/
-    * RENAME COLUMN, REPARTITION BY) so DESCRIBE/tooling that read the
-    * CatalogTable stay coherent. Reads never depend on this —
-    * [[GraftRelationRule]] always resolves to the live manifest scan.
+  /** Re-mirror the live snapshot schema AND statistics after evolution
+    * or DML so DESCRIBE/tooling that read the CatalogTable stay
+    * coherent. Reads never depend on this — [[GraftRelationRule]]
+    * always resolves to the live manifest scan, whose FileIndex reports
+    * live manifest sizes; the catalog stats are planner/tooling
+    * metadata refreshed at registration and DDL boundaries.
     */
   def refreshSchema(session: SparkSession, name: String): Unit = {
     val catalog = session.sessionState.catalog
@@ -140,7 +160,9 @@ object GraftSparkBridge {
     if (catalog.tableExists(ident)) {
       val ct = catalog.getTableMetadata(ident)
       ct.properties.get("graftRoot").foreach { root =>
-        catalog.alterTable(ct.copy(schema = new GraftTable(root, session).schema))
+        val t = new GraftTable(root, session)
+        catalog.alterTable(ct.copy(
+          schema = t.schema, stats = Some(manifestStats(t))))
       }
     }
   }

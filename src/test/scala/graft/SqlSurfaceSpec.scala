@@ -263,6 +263,72 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(n === t.snapshot(1).totalRows)
   }
 
+  test("Spark-native VERSION AS OF / TIMESTAMP AS OF route to the asOf scan") {
+    val t = mkTable("nativett")
+    GraftCatalog.register("t_nativett", t.root)
+    val n1 = t.snapshot(1).totalRows
+    val n2 = t.snapshot(2).totalRows
+    // VERSION AS OF <snapshot id>
+    assert(spark.sql("SELECT count(*) AS n FROM t_nativett VERSION AS OF 1")
+      .collect().head.getLong(0) === n1)
+    // VERSION AS OF '<tag>'
+    t.tag("audited", 1L)
+    assert(spark.sql("SELECT count(*) AS n FROM t_nativett VERSION AS OF 'audited'")
+      .collect().head.getLong(0) === n1)
+    // TIMESTAMP AS OF string literal (exact commit time of snapshot 1)
+    val ts1 = new java.sql.Timestamp(t.snapshot(1).tsMillis).toString.stripSuffix(".0")
+    assert(spark.sql(s"SELECT count(*) AS n FROM t_nativett TIMESTAMP AS OF '$ts1'")
+      .collect().head.getLong(0) === n1)
+    // TIMESTAMP AS OF a timestamp-typed literal expression
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM t_nativett TIMESTAMP AS OF TIMESTAMP'$ts1'")
+      .collect().head.getLong(0) === n1)
+    // no clause = current
+    assert(spark.sql("SELECT count(*) AS n FROM t_nativett")
+      .collect().head.getLong(0) === n2)
+    // aliased relation still travels; joins against current work
+    val joined = spark.sql(
+      """SELECT count(*) AS n FROM t_nativett VERSION AS OF 1 a
+        |JOIN t_nativett b ON a.o_orderkey = b.o_orderkey""".stripMargin)
+      .collect().head.getLong(0)
+    assert(joined === n1)
+    // unknown tag fails with a clear message
+    val err = intercept[Exception](
+      spark.sql("SELECT * FROM t_nativett VERSION AS OF 'nope'").collect())
+    assert(err.getMessage.contains("no snapshot ref"))
+  }
+
+  test("bridged catalog entries carry exact manifest statistics; joins broadcast from stats with AQE off") {
+    val t = mkTable("stats")
+    graft.sql.GraftSparkBridge.register(spark, "t_stats", t.root)
+    val ct = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("t_stats"))
+    assert(ct.stats.isDefined, "registration must attach manifest stats")
+    assert(ct.stats.get.rowCount.contains(BigInt(t.current.totalRows)))
+    assert(ct.stats.get.sizeInBytes === BigInt(t.current.files.map(_.bytes).sum))
+    // DML moves the manifest; refresh re-derives stats without a scan
+    t.append(Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") >= 150 && col("o_orderkey") < 200)
+      .repartition(col("o_orderstatus")))
+    graft.sql.GraftSparkBridge.refreshSchema(spark, "t_stats")
+    val ct2 = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("t_stats"))
+    assert(ct2.stats.get.rowCount.contains(BigInt(t.current.totalRows)))
+    // static planning (AQE OFF) broadcasts the managed table from its
+    // manifest-reported size alone — no runtime sampling involved
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val big = Tables.orders(spark, sfDir)
+      val joined = spark.table("t_stats")
+        .join(big.withColumnRenamed("o_custkey", "big_cust"), Seq("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected stats-driven broadcast join, got:\n$plan")
+      assert(joined.count() === t.current.totalRows)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("graft functions are callable from SQL") {
     val h = spark.sql("SELECT graft_polyhash('abc') AS h").collect().head.getLong(0)
     assert(h === 96354L)

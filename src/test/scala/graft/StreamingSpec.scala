@@ -257,6 +257,89 @@ class StreamingSpec extends SparkSpec {
     assert(rowsOf(src.getBatch(Some(o1), o2)) === Set(4L))
   }
 
+  test("D6d: maxFilesPerTrigger splits one big snapshot across bounded micro-batches, exactly-once across restart") {
+    import spark.implicits._
+    val root = "/root/repo/target/laketest/streamsrc-filecap"
+    val rm = new java.io.File(root)
+    if (rm.exists()) { import scala.sys.process._; Seq("rm", "-rf", root).! }
+    // snapshot 1: one small seed; snapshot 2: a "backfill" of 8 files
+    val t = GraftTable.create(spark, root,
+      Seq((0L, "p0")).toDF("id", "k").repartition(col("k")), Seq("k"))
+    t.append((1 until 33).map(i => (i.toLong, s"p${i % 8}")).toDF("id", "k")
+      .repartition(col("k")))
+    assert(t.current.files.count(_.addedBy == 2L) === 8)
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val files = StreamingSpec.plannedFiles(df)
+      if (files.isEmpty) Set.empty
+      else spark.read.parquet(files.toIndexedSeq: _*)
+        .select("id").collect().map(_.getLong(0)).toSet
+    }
+    val src = new graft.streaming.GraftSource(spark, root,
+      maxFilesPerTrigger = Some(3L))
+    // batch 1: snapshot 1's file + 2 of snapshot 2's (3-file cap) —
+    // the offset lands MID-snapshot
+    val o1 = src.getOffset.get
+    assert(o1 === graft.streaming.GraftFileOffset(2L, 2L), s"got $o1")
+    val b1 = rowsOf(src.getBatch(None, o1))
+    assert(StreamingSpec.plannedFiles(src.getBatch(None, o1)).size === 3)
+    // batch 2: next 3 files of snapshot 2
+    val o2 = src.getOffset.get
+    assert(o2 === graft.streaming.GraftFileOffset(2L, 5L), s"got $o2")
+    val b2 = rowsOf(src.getBatch(Some(o1), o2))
+    assert(b1.intersect(b2).isEmpty, "no row delivered twice")
+    // RESTART mid-snapshot: a fresh source sees the checkpointed
+    // offsets only in SERIALIZED form, and (per the v1-Source recovery
+    // contract) replays the last batch via getBatch BEFORE the first
+    // getOffset — progress must resume without loss or duplication
+    import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+    val src2 = new graft.streaming.GraftSource(spark, root,
+      maxFilesPerTrigger = Some(3L))
+    val b2replay = rowsOf(src2.getBatch(
+      Some(new SerializedOffset(o1.json)), new SerializedOffset(o2.json)))
+    assert(b2replay === b2, "recovered-batch replay is byte-deterministic")
+    val o3 = src2.getOffset.get
+    assert(o3 === LongOffset(2L), s"final slice completes the snapshot, got $o3")
+    val b3 = rowsOf(src2.getBatch(Some(new SerializedOffset(o2.json)), o3))
+    assert(b1.union(b2).union(b3) === (0L until 33L).toSet, "all rows exactly once")
+    assert(b2.intersect(b3).isEmpty && b1.intersect(b3).isEmpty)
+    // caught up: offset stops moving
+    assert(src2.getOffset.get === LongOffset(2L))
+  }
+
+  test("D6e: maxBytesPerTrigger bounds batch bytes but always admits one file") {
+    import spark.implicits._
+    val root = "/root/repo/target/laketest/streamsrc-bytecap"
+    val rm = new java.io.File(root)
+    if (rm.exists()) { import scala.sys.process._; Seq("rm", "-rf", root).! }
+    val t = GraftTable.create(spark, root,
+      (0 until 40).map(i => (i.toLong, s"p${i % 4}")).toDF("id", "k")
+        .repartition(col("k")), Seq("k"))
+    val minBytes = t.current.files.map(_.bytes).min
+    // cap below any single file: every batch still admits exactly one
+    val src = new graft.streaming.GraftSource(spark, root,
+      maxBytesPerTrigger = Some(minBytes - 1))
+    var consumed = Set.empty[Long]
+    var prev: Option[org.apache.spark.sql.execution.streaming.Offset] = None
+    var batches = 0
+    var done = false
+    while (!done) {
+      val o = src.getOffset.get
+      if (prev.exists(_.json == o.json)) done = true
+      else {
+        val df = src.getBatch(prev, o)
+        assert(StreamingSpec.plannedFiles(df).size === 1, "starved cap admits exactly one file")
+        val rows = spark.read.parquet(StreamingSpec.plannedFiles(df).toIndexedSeq: _*)
+          .select("id").collect().map(_.getLong(0)).toSet
+        assert(consumed.intersect(rows).isEmpty)
+        consumed ++= rows
+        prev = Some(o); batches += 1
+      }
+    }
+    assert(batches === t.current.files.size, "one file per micro-batch")
+    assert(consumed === (0L until 40L).toSet)
+  }
+
   test("D6c: getBatch plans O(delta) — only files stamped in (start, end]") {
     import spark.implicits._
     val root = "/root/repo/target/laketest/streamsrc-delta"
