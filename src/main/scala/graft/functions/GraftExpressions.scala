@@ -95,6 +95,23 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "graft_simhash"
 }
 
+/** Seeded 64-bit SimHash — an independent signature per seed; two
+  * seeds compose C3's 128-bit sketch.
+  */
+case class SimHash64Seeded(child: Expression, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.simHash64Seeded(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.simHash64Seeded($c, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Seeded =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash_seeded"
+}
+
 /** Distinct word n-gram shingles of a text column (array<string>). */
 case class WordShingles(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -237,6 +254,7 @@ object exprs {
   def adcScore(codes: Column, lut: Column, k: Int): Column =
     col(AdcScore(ex(codes), ex(lut), k))
   def simHash(c: Column): Column = col(SimHash64(ex(c)))
+  def simHashSeeded(c: Column, seed: Long): Column = col(SimHash64Seeded(ex(c), seed))
   def minHashBands(c: Column, seed: Long, nHashes: Int, nBands: Int): Column =
     col(MinHashBands(ex(c), seed, nHashes, nBands))
   def lshSig(c: Column, seed: Long, nBits: Int): Column = col(LshSignature(ex(c), seed, nBits))

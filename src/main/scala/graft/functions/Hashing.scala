@@ -112,6 +112,30 @@ object Hashing {
     out
   }
 
+  /** Seeded [[simHash64]]: tallies over mix64(h + seed) instead of the
+    * raw element hash, giving an INDEPENDENT 64-bit signature per seed
+    * — two seeds compose a 128-bit simhash (more bands ⇒ higher banded
+    * recall at the same per-band selectivity).
+    */
+  def simHash64Seeded(hashes: ArrayData, seed: Long): Long = {
+    val counts = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = mix64(hashes.getLong(i) + seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   /** splitmix64 — statistical 64-bit mixer (public-domain algorithm,
     * Steele et al.); used to derive minhash permutations and LSH
     * hyperplanes deterministically from (seed, index).
