@@ -98,6 +98,68 @@ object ScaleBench {
     "text_tfidf", "text_dup_spans", "text_fingerprint", "text_contamination",
     "corpus_filter", "sample_mixture", "pipeline_corpus_e2e", "mm_decode")
 
+  /** Lake DML + streaming-source scale probe: the same operation
+    * sequence at 1× and 10× data, so commit latency, COW rewrite
+    * amplification, MOR delete/apply, and getBatch planning each get a
+    * measured scaling ratio (the main bench times them only at one
+    * scale). The table is range-partitioned into 64 files per snapshot
+    * so point predicates actually prune — the layout a real table has.
+    */
+  private def lakeBench(spark: SparkSession, dirs: Seq[(String, String)]): Map[String, Double] = {
+    import graft.lake.GraftTable
+    import org.apache.spark.sql.functions.col
+    def timed[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val r = f; ((System.nanoTime() - t0) / 1e9, r)
+    }
+    val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for ((label, dir) <- dirs) {
+      val root = s"/root/repo/target/scalebench-lake-$label"
+      val rm = new java.io.File(root)
+      if (rm.exists()) { import scala.sys.process._; Seq("rm", "-rf", root).! }
+      val o = Tables.orders(spark, dir)
+        .repartitionByRange(64, col("o_orderkey")).cache()
+      val n = o.count() // materialize once so timings are write-path only
+      val (tCreate, t) = timed(GraftTable.create(spark, root, o))
+      val (tAppend, _) = timed(t.append(o))
+      val small = Tables.orders(spark, dir).limit(100).repartition(1).cache()
+      small.count()
+      val (tSmall, _) = timed(t.append(small))
+      // point COW delete: stats-pruned to the files holding one key.
+      // TPC-H orderkeys are sparse — pick keys that actually EXIST
+      // (mid-range) or the delete is a no-op and times nothing.
+      val keys = o.filter(col("o_orderkey") >= n / 2)
+        .select(col("o_orderkey")).orderBy(col("o_orderkey"))
+        .limit(2).collect().map(_.getLong(0))
+      val (tCow, _) = timed(t.delete(col("o_orderkey") === keys(0)))
+      // same shape merge-on-read: position-delete file, zero rewrite
+      t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+      val (tMor, _) = timed(t.delete(col("o_orderkey") === keys(1)))
+      require(t.current.deletedRows > 0, "MOR probe delete must match rows")
+      val (tApply, _) = timed(t.applyDeletes())
+      // getBatch planning for a 1-snapshot delta on the full table:
+      // time to an ANALYZED plan (manifest filter + relation build),
+      // which must track the DELTA, not the table's file count
+      val src = new graft.streaming.GraftSource(spark, root)
+      import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+      val startId = t.currentId
+      t.append(small)
+      val endId = t.currentId
+      val (tPlan, _) = timed {
+        src.getBatch(Some(LongOffset(startId)), LongOffset(endId))
+          .queryExecution.analyzed
+      }
+      o.unpersist(); small.unpersist()
+      println(f"[scalebench-lake] $label%-4s rows=$n%9d files=${t.current.files.size}%5d " +
+        f"create=$tCreate%6.2f append=$tAppend%6.2f smallAppend=$tSmall%5.2f " +
+        f"cowDelete=$tCow%6.2f morDelete=$tMor%6.2f morApply=$tApply%6.2f getBatchPlan=$tPlan%6.3f")
+      for ((k, v) <- Seq("create" -> tCreate, "append" -> tAppend,
+          "small_append" -> tSmall, "cow_delete" -> tCow, "mor_delete" -> tMor,
+          "mor_apply" -> tApply, "getbatch_plan" -> tPlan))
+        out(s"lake_${k}_$label") = v
+    }
+    out.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/target/sf1")
@@ -119,7 +181,10 @@ object ScaleBench {
       "dedup_embedding_t046" ->
         ((s: SparkSession, dir: String) => graft.pipeline.VectorOps.embeddingPairsAt(
           s, dir, graft.pipeline.VectorOps.WeakCosThreshold)))
-    val results = (ScaleQueries ++ extra.keys).map { name =>
+    // SPARK_GRAFT_SCALEBENCH_LAKE_ONLY=1 skips the (slow) query sweep —
+    // for iterating on the lake/streaming probe alone
+    val lakeOnly = sys.env.contains("SPARK_GRAFT_SCALEBENCH_LAKE_ONLY")
+    val results = (if (lakeOnly) Seq.empty else ScaleQueries ++ extra.keys).map { name =>
       val fn = SparkEntry.queries.getOrElse(name, extra(name))
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -130,7 +195,9 @@ object ScaleBench {
       println(f"[scalebench] $name%-22s ${times.map(_._1).min}%8.2f s  rows=${times.head._2}")
       name -> times.map(_._1).min
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val lake = lakeBench(spark, Seq(("1x", base), ("10x", out)))
+    val all = results ++ lake
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_total","value":${results.values.sum},"unit":"sec","queries":$qs,"sf":"$out"}""")
     spark.stop()
   }

@@ -45,6 +45,26 @@ case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPlan] {
     case ins: InsertIntoStatement if graftNameOf(ins.table).isDefined =>
       val static = ins.partitionSpec.collect { case (k, Some(v)) => k -> v }
       GraftInsertCommand(graftNameOf(ins.table).get, ins.overwrite, static, ins.query)
+    // ---- DSv2 catalog path (graft_cat.db.t) — rewrite writes FIRST
+    // (parent nodes), then bare relations, so an INSERT target is never
+    // turned into a scan underneath its write node
+    case ins: InsertIntoStatement if v2Table(ins.table).isDefined =>
+      val static = ins.partitionSpec.collect { case (k, Some(v)) => k -> v }
+      GraftInsertCommand(v2Table(ins.table).get.registryName, ins.overwrite, static, ins.query)
+    case a: org.apache.spark.sql.catalyst.plans.logical.AppendData
+        if v2Table(a.table).isDefined =>
+      GraftInsertCommand(v2Table(a.table).get.registryName,
+        overwrite = false, Map.empty, a.query)
+    case o: org.apache.spark.sql.catalyst.plans.logical.OverwriteByExpression
+        if v2Table(o.table).isDefined =>
+      GraftInsertCommand(v2Table(o.table).get.registryName,
+        overwrite = true, Map.empty, o.query)
+    case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if d.table.isInstanceOf[GraftV2Table] =>
+      // the V2 relation is already RESOLVED (parents hold its exprIds),
+      // so the substituted scan must present the same ids — alias each
+      // fresh scan attribute back to the relation's original exprId
+      scanAs(session, d.table.asInstanceOf[GraftV2Table].root, d.output)
     // spark.table("t") with t registered only in the graft registry
     case u: UnresolvedRelation if registryName(u.multipartIdentifier).isDefined =>
       scan(session, GraftCatalog.lookup(registryName(u.multipartIdentifier).get).get)
@@ -63,11 +83,37 @@ object GraftRelationRule {
   private def scan(session: SparkSession, root: String): LogicalPlan =
     Shim.logicalPlan(new GraftTable(root, session).read())
 
+  /** [[scan]] whose output attributes carry the given (already-bound)
+    * exprIds — for substituting a relation that parents have resolved
+    * against.
+    */
+  private def scanAs(
+      session: SparkSession, root: String,
+      out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val plan = scan(session, root)
+    val byName = plan.output.map(a => a.name.toLowerCase -> a).toMap
+    Project(out.map { o =>
+      val src = byName.getOrElse(o.name.toLowerCase,
+        throw new IllegalStateException(s"graft scan of $root lacks column ${o.name}"))
+      Alias(src, o.name)(exprId = o.exprId)
+    }, plan)
+  }
+
   /** graftRoot marker of a session-catalog table created by
     * [[GraftSparkBridge.register]].
     */
   private def rootOf(ct: CatalogTable): Option[String] =
     ct.properties.get("graftRoot").orElse(ct.storage.properties.get("graftRoot"))
+
+  /** The [[GraftV2Table]] behind a (possibly aliased) V2 relation. */
+  private def v2Table(plan: LogicalPlan): Option[GraftV2Table] = plan match {
+    case SubqueryAlias(_, child) => v2Table(child)
+    case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      d.table match { case g: GraftV2Table => Some(g); case _ => None }
+    case _ => None
+  }
 
   private def registryName(parts: Seq[String]): Option[String] =
     if (parts.isEmpty || parts.length > 2 || parts.last.contains("$")) None

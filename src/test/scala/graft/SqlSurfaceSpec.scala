@@ -329,6 +329,45 @@ class SqlSurfaceSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("DSv2 TableCatalog: multi-part identifiers read and write through the manifest path") {
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sql.GraftV2Catalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse",
+      "/root/repo/target/laketest/v2warehouse")
+    val t = mkTable("v2cat")
+    GraftCatalog.register("v2db.orders_v2", t.root)
+    // read through the 3-part identifier
+    assert(spark.sql("SELECT count(*) AS n FROM graft_cat.v2db.orders_v2")
+      .collect().head.getLong(0) === t.current.totalRows)
+    // SHOW TABLES through the catalog
+    val listed = spark.sql("SHOW TABLES IN graft_cat.v2db").collect().map(_.getString(1))
+    assert(listed.contains("orders_v2"))
+    // write: INSERT INTO via the V2 identifier is a snapshot-creating append
+    val before = t.currentId
+    val expectInserted = t.read().filter(col("o_orderkey") < 120).count()
+    spark.sql(
+      """INSERT INTO graft_cat.v2db.orders_v2
+        |SELECT o_orderkey + 9000000, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM graft_cat.v2db.orders_v2 WHERE o_orderkey < 120""".stripMargin)
+    assert(t.currentId > before, "V2 INSERT must commit a snapshot")
+    assert(t.current.operation === "append")
+    assert(spark.sql("SELECT count(*) AS n FROM graft_cat.v2db.orders_v2 WHERE o_orderkey >= 9000000")
+      .collect().head.getLong(0) === expectInserted)
+    // CREATE TABLE via the V2 catalog (warehouse-derived location)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.v2db.fresh_v2")
+    spark.sql(
+      """CREATE TABLE graft_cat.v2db.fresh_v2 (id BIGINT, k STRING)
+        |PARTITIONED BY (k)""".stripMargin)
+    assert(GraftCatalog.lookup("v2db.fresh_v2").isDefined)
+    spark.sql("INSERT INTO graft_cat.v2db.fresh_v2 SELECT 1L, 'a'")
+    assert(spark.sql("SELECT * FROM graft_cat.v2db.fresh_v2").count() === 1L)
+    val fresh = new GraftTable(GraftCatalog.lookup("v2db.fresh_v2").get, spark)
+    assert(fresh.current.partitionCols === Seq("k"))
+    // DROP through the catalog removes registration and data
+    spark.sql("DROP TABLE graft_cat.v2db.fresh_v2")
+    assert(GraftCatalog.lookup("v2db.fresh_v2").isEmpty)
+  }
+
   test("graft functions are callable from SQL") {
     val h = spark.sql("SELECT graft_polyhash('abc') AS h").collect().head.getLong(0)
     assert(h === 96354L)
