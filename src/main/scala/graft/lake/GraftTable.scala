@@ -876,6 +876,14 @@ final class GraftTable(val root: String, spark: SparkSession) {
     */
   def update(pred: Column, set: Map[String, Column]): GraftTable = {
     val cur = current
+    // TBLPROPERTIES('write.update.mode'='merge-on-read') routes to the
+    // position-delete + append path (zero rewrites of existing files);
+    // adopted layouts with colliding basenames stay copy-on-write
+    if (cur.properties.get(GraftTable.UpdateModeProp).contains("merge-on-read") && {
+          val names = cur.files.map(f => GraftTable.baseName(f.path))
+          names.distinct.size == names.size
+        })
+      return updateMerge(pred, set)
     import org.apache.spark.sql.functions.when
     val (cands, _, _) = pruneFiles(pred)
     val candPaths = cands.map(_.path).toSet
@@ -903,6 +911,59 @@ final class GraftTable(val root: String, spark: SparkSession) {
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
       operation = "update", files = kept ++ added,
       addedFiles = added.size, deletedFiles = cands.size))
+    this
+  }
+
+  /** UPDATE … SET … WHERE — merge-on-read: the matched rows' positions
+    * become a position-delete file (hiding the PRE-update rows in
+    * place) and their post-update images are APPENDED as new files —
+    * no existing data file is rewritten, which is the point-update
+    * story at 100 TB (a 1-row update in a 1 GB file otherwise rewrites
+    * 1 GB, same amplification [[deleteMerge]] kills for DELETE). SET
+    * expressions are evaluated against the pre-update rows in one
+    * projection, exactly like the COW path; dependency-derived columns
+    * are recomputed by the write path so updated rows migrate
+    * partitions correctly. Falls back to copy-on-write when file
+    * basenames collide (adopted layouts), like [[deleteMerge]].
+    */
+  def updateMerge(pred: Column, set: Map[String, Column]): GraftTable = {
+    val cur = current
+    val names = cur.files.map(f => GraftTable.baseName(f.path))
+    require(names.distinct.size == names.size,
+      s"merge-on-read update needs unique file basenames (adopted table?) — " +
+        s"unset ${GraftTable.UpdateModeProp} to use copy-on-write")
+    import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
+    val (cands, _, _) = pruneFiles(pred)
+    val sch = schema
+    val (delEntries, added) =
+      if (cands.isEmpty) (Seq.empty[DeleteFileEntry], Seq.empty[FileEntry])
+      else {
+        val live = readSnapshotPos(cur.copy(files = cands, shards = Seq.empty))
+        val matched = live.filter(pred <=> lit(true))
+        val dels = writeDeleteFiles(
+          matched.select(col(PosFileCol).as("file_name"), col(PosIdxCol).as("row_index")),
+          cur.id + 1)
+        if (dels.isEmpty) (dels, Seq.empty[FileEntry])
+        else {
+          val depDests = cur.deps.map(_.dest).toSet.filterNot(set.keySet.contains)
+          val base = matched.drop(PosFileCol, PosIdxCol)
+          // every row here matched, so SET applies unconditionally; one
+          // projection evaluates all assignments against pre-update rows
+          val projected = base.columns.toSeq.map { c =>
+            set.get(c) match {
+              case Some(v) => v.cast(sch(c).dataType).as(c)
+              case None    => col(c)
+            }
+          }
+          val updated = base.select(projected: _*).drop(depDests.toSeq: _*)
+          (dels, writeFiles(updated, cur.partitionCols, cur.deps, cur.id + 1))
+        }
+      }
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "update", files = cur.files ++ added,
+      addedFiles = added.size, deletedFiles = 0,
+      deleteFiles = cur.deleteFiles ++ delEntries))
     this
   }
 
@@ -1492,6 +1553,12 @@ object GraftTable {
     * and merge-on-read position deletes.
     */
   val DeleteModeProp = "write.delete.mode"
+
+  /** TBLPROPERTIES key routing UPDATE between copy-on-write (default)
+    * and merge-on-read (position-delete the pre-image, append the
+    * post-image).
+    */
+  val UpdateModeProp = "write.update.mode"
 
   private[lake] def baseName(path: String): String =
     path.substring(path.lastIndexOf('/') + 1)

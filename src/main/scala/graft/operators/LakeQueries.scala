@@ -527,6 +527,32 @@ object LakeQueries {
        |       THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
        |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ---- A23b UPDATE SET WHERE (merge-on-read) -------------------------
+
+  /** Same logical update as [[lakeUpdate]], executed merge-on-read:
+    * matched pre-images become position deletes, post-images are
+    * appended — zero existing files rewritten — then
+    * [[GraftTable.applyDeletes]] folds back and the oracle checks the
+    * final state, covering both the pending-delete read and the apply.
+    */
+  def lakeUpdateMor(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "morupd"),
+      byStatus(orders(s, d)), Seq("o_orderstatus"))
+    t.setProperty(GraftTable.UpdateModeProp, "merge-on-read")
+    val filesBefore = t.current.files.map(_.path).toSet
+    t.update(
+      col("o_orderstatus") === "P" && col("o_totalprice") > 150000,
+      Map("o_totalprice" -> (col("o_totalprice") + 1.0)))
+    require(filesBefore.subsetOf(t.current.files.map(_.path).toSet),
+      "MOR update must not rewrite existing data files")
+    require(t.current.deleteFiles.nonEmpty, "MOR update must register position deletes")
+    t.applyDeletes()
+    sel(t.read())
+  }
+
+  // value-identical to lake_update's oracle
+  val lakeUpdateMorSql: String = lakeUpdateSql
+
   // ---- A22 MERGE INTO (copy-on-write upsert) -------------------------
 
   def lakeMerge(s: SparkSession, d: String): DataFrame = {
@@ -718,6 +744,7 @@ object LakeQueries {
     "lake_zorder"              -> (lakeZOrder _),
     "lake_delete"              -> (lakeDelete _),
     "lake_delete_mor"          -> (lakeDeleteMor _),
+    "lake_update_mor"          -> (lakeUpdateMor _),
     "lake_merge"               -> (lakeMerge _),
     "lake_update"              -> (lakeUpdate _),
     "lake_ctas"                -> (lakeCtas _),
@@ -756,6 +783,7 @@ object LakeQueries {
     "lake_zorder"              -> lakeZOrderSql,
     "lake_delete"              -> lakeDeleteSql,
     "lake_delete_mor"          -> lakeDeleteMorSql,
+    "lake_update_mor"          -> lakeUpdateMorSql,
     "lake_merge"               -> lakeMergeSql,
     "lake_update"              -> lakeUpdateSql,
     "lake_ctas"                -> lakeCtasSql,

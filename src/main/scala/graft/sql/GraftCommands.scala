@@ -164,8 +164,14 @@ case class GraftOptimizeCommand(
     // `write.target-file-size` table property overrides the 512 MiB default
     val target = t.properties.get("write.target-file-size")
       .map(_.toLong).getOrElse(512L << 20)
-    if (zorderCols.isEmpty) t.optimizeCompact(targetBytes = target)
-    else t.optimizeZOrder(zorderCols, nFiles = math.max(1, t.current.files.size / 2))
+    // maintenance folds pending merge-on-read deletes back into data
+    // files first — the read-side anti-join tax ends at OPTIMIZE
+    // (zorder full-rewrites read through the deletes, so it subsumes
+    // the apply on its own)
+    if (zorderCols.isEmpty) {
+      t.applyDeletes()
+      t.optimizeCompact(targetBytes = target)
+    } else t.optimizeZOrder(zorderCols, nFiles = math.max(1, t.current.files.size / 2))
     Seq.empty
   }
 }

@@ -1034,6 +1034,47 @@ class LakeSpec extends SparkSpec {
     assert(leftover.isEmpty, s"expired delete files leaked: $leftover")
   }
 
+  test("merge-on-read update: pre-images hidden in place, post-images appended, partitions migrate") {
+    val o = Tables.orders(spark, sfDir).limit(1000)
+    val t = GraftTable.create(spark, tmp("morupd"),
+      o.repartition(col("o_orderstatus")), Seq("o_orderstatus"))
+    t.setProperty(GraftTable.UpdateModeProp, "merge-on-read")
+    val preId = t.currentId
+    val preFiles = t.current.files.map(_.path).toSet
+    val n0 = t.read().count()
+    val victim = t.read().select(col("o_orderkey")).orderBy(col("o_orderkey")).head().getLong(0)
+    val oldPrice = t.read().filter(col("o_orderkey") === victim)
+      .head().getAs[Double]("o_totalprice")
+    t.update(col("o_orderkey") === victim, Map("o_totalprice" -> lit(999.5)))
+    // zero existing files rewritten; one position delete + one appended file
+    assert(preFiles.subsetOf(t.current.files.map(_.path).toSet),
+      "MOR update must not rewrite existing files")
+    assert(t.current.deleteFiles.nonEmpty && t.current.deletedRows === 1L)
+    assert(t.read().count() === n0)
+    assert(t.read().filter(col("o_orderkey") === victim)
+      .head().getAs[Double]("o_totalprice") === 999.5)
+    // time travel shows the pre-image
+    assert(t.readAsOfId(preId).filter(col("o_orderkey") === victim)
+      .head().getAs[Double]("o_totalprice") === oldPrice)
+    // changelog = delete(old) + insert(new)
+    val cl = t.changelog(preId, t.currentId).collect()
+    val byType = cl.groupBy(_.getAs[String]("_change_type"))
+    assert(byType("delete").map(_.getAs[Double]("o_totalprice")).toSeq === Seq(oldPrice))
+    assert(byType("insert").map(_.getAs[Double]("o_totalprice")).toSeq === Seq(999.5))
+    // updating the PARTITION column migrates the row (write path
+    // recomputes layout for the appended post-image)
+    t.update(col("o_orderkey") === victim, Map("o_orderstatus" -> lit("Z")))
+    assert(t.read().filter(col("o_orderkey") === victim)
+      .head().getAs[String]("o_orderstatus") === "Z")
+    assert(t.read().count() === n0)
+    assert(t.current.files.exists(_.partition.get("o_orderstatus").contains("Z")))
+    // fold back: applyDeletes clears the list, nothing changes logically
+    val expect = t.read().collect().map(_.toString).sorted
+    t.applyDeletes()
+    assert(t.current.deleteFiles.isEmpty)
+    assert(t.read().collect().map(_.toString).sorted === expect)
+  }
+
   test("appendBatch replay is recognized after snapshot expiration") {
     val o = Tables.orders(spark, sfDir).limit(200)
     val base = o.repartition(col("o_orderstatus"))

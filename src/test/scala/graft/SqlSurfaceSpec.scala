@@ -368,6 +368,23 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(GraftCatalog.lookup("v2db.fresh_v2").isEmpty)
   }
 
+  test("SQL DELETE routes merge-on-read via TBLPROPERTIES; OPTIMIZE folds the pending deletes") {
+    val t = mkTable("optmor")
+    GraftCatalog.register("t_optmor", t.root)
+    spark.sql("ALTER TABLE t_optmor SET TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    val n0 = t.read().count()
+    val victim = t.read().select(col("o_orderkey")).orderBy(col("o_orderkey")).head().getLong(0)
+    val filesBefore = t.current.files.map(_.path).toSet
+    spark.sql(s"DELETE FROM t_optmor WHERE o_orderkey = $victim")
+    assert(t.current.files.map(_.path).toSet === filesBefore,
+      "SQL DELETE under merge-on-read must not rewrite data files")
+    assert(t.current.deleteFiles.nonEmpty)
+    assert(spark.sql("SELECT count(*) AS n FROM t_optmor").collect().head.getLong(0) === n0 - 1)
+    spark.sql("OPTIMIZE t_optmor")
+    assert(t.current.deleteFiles.isEmpty, "OPTIMIZE must fold pending position deletes")
+    assert(spark.sql("SELECT count(*) AS n FROM t_optmor").collect().head.getLong(0) === n0 - 1)
+  }
+
   test("graft functions are callable from SQL") {
     val h = spark.sql("SELECT graft_polyhash('abc') AS h").collect().head.getLong(0)
     assert(h === 96354L)
