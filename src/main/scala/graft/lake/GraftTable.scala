@@ -981,6 +981,14 @@ final class GraftTable(val root: String, spark: SparkSession) {
     */
   def merge(source: DataFrame, keyCols: Seq[String]): GraftTable = {
     val cur = current
+    // TBLPROPERTIES('write.merge.mode'='merge-on-read'): matched target
+    // rows become position deletes, the whole source is appended —
+    // upsert with zero rewrites of existing files
+    if (cur.properties.get(GraftTable.MergeModeProp).contains("merge-on-read") && {
+          val names = cur.files.map(f => GraftTable.baseName(f.path))
+          names.distinct.size == names.size
+        })
+      return mergeMor(source, keyCols)
     import org.apache.spark.sql.functions.{max => fmax, min => fmin}
     val aggs = keyCols.flatMap(k => Seq(fmin(col(k)), fmax(col(k))))
     val bounds = source.agg(aggs.head, aggs.tail: _*).head()
@@ -1004,6 +1012,47 @@ final class GraftTable(val root: String, spark: SparkSession) {
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
       operation = "merge", files = kept ++ added,
       addedFiles = added.size, deletedFiles = cands.size))
+    this
+  }
+
+  /** MERGE — merge-on-read: candidate files (pruned by source key
+    * bounds, same as the COW path) are position-scanned, rows whose
+    * keys appear in the source become a position-delete file (the
+    * pre-images of matched rows), and the FULL source is appended —
+    * updates land as delete+append, inserts as plain append, and no
+    * existing data file is rewritten. The broadcast direction is the
+    * same as COW merge: the source (small side) broadcasts into the
+    * semi-join. [[applyDeletes]]/OPTIMIZE folds back later.
+    */
+  private def mergeMor(source: DataFrame, keyCols: Seq[String]): GraftTable = {
+    val cur = current
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
+    val aggs = keyCols.flatMap(k => Seq(fmin(col(k)), fmax(col(k))))
+    val bounds = source.agg(aggs.head, aggs.tail: _*).head()
+    val cands =
+      if (bounds.anyNull) Seq.empty
+      else {
+        val pred = keyCols.zipWithIndex.map { case (k, i) =>
+          col(k) >= lit(bounds.get(2 * i)) && col(k) <= lit(bounds.get(2 * i + 1))
+        }.reduce(_ && _)
+        pruneFiles(pred)._1
+      }
+    val delEntries =
+      if (cands.isEmpty) Seq.empty[DeleteFileEntry]
+      else {
+        val matched = readSnapshotPos(cur.copy(files = cands, shards = Seq.empty))
+          .join(broadcast(source.select(keyCols.map(col): _*)), keyCols, "left_semi")
+        writeDeleteFiles(
+          matched.select(col(PosFileCol).as("file_name"), col(PosIdxCol).as("row_index")),
+          cur.id + 1)
+      }
+    val added = writeFiles(source, cur.partitionCols, cur.deps, cur.id + 1)
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "merge", files = cur.files ++ added,
+      addedFiles = added.size, deletedFiles = 0,
+      deleteFiles = cur.deleteFiles ++ delEntries))
     this
   }
 
@@ -1472,6 +1521,16 @@ final class GraftTable(val root: String, spark: SparkSession) {
       .toDF("file_path", "partition", "n_rows", "n_bytes")
   }
 
+  /** `` t$deletes `` — the current snapshot's pending merge-on-read
+    * position-delete files (empty after OPTIMIZE/applyDeletes): MOR
+    * observability, the Iceberg `delete_files` metadata-table role.
+    */
+  def deletesView: DataFrame = {
+    import spark.implicits._
+    current.deleteFiles.map(d => (d.path, d.rows, d.addedBy))
+      .toDF("file_path", "n_deleted_rows", "added_by_snapshot")
+  }
+
   /** `` t$refs `` — named refs (tags + branches) with their snapshot
     * ids (reference parity with Iceberg's `refs` metadata table).
     * `main` is reported as a branch at the current snapshot.
@@ -1559,6 +1618,11 @@ object GraftTable {
     * post-image).
     */
   val UpdateModeProp = "write.update.mode"
+
+  /** TBLPROPERTIES key routing MERGE between copy-on-write (default)
+    * and merge-on-read upserts.
+    */
+  val MergeModeProp = "write.merge.mode"
 
   private[lake] def baseName(path: String): String =
     path.substring(path.lastIndexOf('/') + 1)

@@ -372,6 +372,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           case "$partitions" => Shim.logicalPlan(t.partitionsView)
           case "$refs"       => Shim.logicalPlan(t.refsView)
           case "$properties" => Shim.logicalPlan(t.propertiesView)
+          case "$deletes"    => Shim.logicalPlan(t.deletesView)
           case other => throw new IllegalArgumentException(
             s"unknown metadata view suffix '$other' on graft table '$base'")
         }

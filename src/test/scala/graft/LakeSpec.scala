@@ -1075,6 +1075,38 @@ class LakeSpec extends SparkSpec {
     assert(t.read().collect().map(_.toString).sorted === expect)
   }
 
+  test("merge-on-read MERGE: upsert with zero rewrites; $deletes view tracks the pending list") {
+    val o = Tables.orders(spark, sfDir).limit(1000)
+    val t = GraftTable.create(spark, tmp("mormerge"),
+      o.repartition(col("o_orderstatus")), Seq("o_orderstatus"))
+    t.setProperty(GraftTable.MergeModeProp, "merge-on-read")
+    val n0 = t.read().count()
+    val keys = t.read().select(col("o_orderkey")).orderBy(col("o_orderkey"))
+      .limit(2).collect().map(_.getLong(0))
+    val preFiles = t.current.files.map(_.path).toSet
+    // source: update the two existing keys, insert two new ones
+    val src = t.read().filter(col("o_orderkey").isin(keys.toSeq: _*))
+      .withColumn("o_totalprice", lit(111.25))
+      .unionByName(t.read().limit(2)
+        .withColumn("o_orderkey", col("o_orderkey") + 7700000L)
+        .withColumn("o_totalprice", lit(222.5)))
+    t.merge(src, Seq("o_orderkey"))
+    assert(preFiles.subsetOf(t.current.files.map(_.path).toSet),
+      "MOR merge must not rewrite existing files")
+    assert(t.current.deletedRows === 2L, "matched pre-images position-deleted")
+    assert(t.read().count() === n0 + 2)
+    assert(t.read().filter(col("o_orderkey").isin(keys.toSeq: _*))
+      .collect().forall(_.getAs[Double]("o_totalprice") === 111.25))
+    assert(t.read().filter(col("o_orderkey") >= 7700000L).count() === 2)
+    // $deletes view shows the pending entries, then drains on apply
+    val dv = t.deletesView.collect()
+    assert(dv.map(_.getAs[Long]("n_deleted_rows")).sum === 2L)
+    assert(dv.forall(_.getAs[String]("file_path").startsWith("deletes/")))
+    t.applyDeletes()
+    assert(t.deletesView.count() === 0)
+    assert(t.read().count() === n0 + 2)
+  }
+
   test("appendBatch replay is recognized after snapshot expiration") {
     val o = Tables.orders(spark, sfDir).limit(200)
     val base = o.repartition(col("o_orderstatus"))
