@@ -112,6 +112,25 @@ case class SimHash64Seeded(child: Expression, seed: Long)
   override def prettyName: String = "graft_simhash_seeded"
 }
 
+/** 128-bit SimHash as `array<long>(2)` — both tallies in one pass over
+  * the element array (the hot path of C3 at scale computes this per
+  * document; two separate expressions would iterate the shingle array
+  * twice).
+  */
+case class SimHash128(child: Expression, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.simHash128(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.simHash128($c, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash128 =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash128"
+}
+
 /** Distinct word n-gram shingles of a text column (array<string>). */
 case class WordShingles(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -255,6 +274,7 @@ object exprs {
     col(AdcScore(ex(codes), ex(lut), k))
   def simHash(c: Column): Column = col(SimHash64(ex(c)))
   def simHashSeeded(c: Column, seed: Long): Column = col(SimHash64Seeded(ex(c), seed))
+  def simHash128(c: Column, seed: Long): Column = col(SimHash128(ex(c), seed))
   def minHashBands(c: Column, seed: Long, nHashes: Int, nBands: Int): Column =
     col(MinHashBands(ex(c), seed, nHashes, nBands))
   def lshSig(c: Column, seed: Long, nBits: Int): Column = col(LshSignature(ex(c), seed, nBits))

@@ -136,6 +136,37 @@ object Hashing {
     out
   }
 
+  /** Both halves of the 128-bit simhash in ONE pass over the element
+    * array (raw-hash tally + seeded tally) — equals
+    * `[simHash64(hs), simHash64Seeded(hs, seed)]` exactly, at half the
+    * array-iteration cost. Returns a 2-element long array.
+    */
+  def simHash128(hashes: ArrayData, seed: Long): ArrayData = {
+    val c1 = new Array[Int](64)
+    val c2 = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h1 = hashes.getLong(i)
+      val h2 = mix64(h1 + seed)
+      var b = 0
+      while (b < 64) {
+        if (((h1 >>> b) & 1L) == 1L) c1(b) += 1 else c1(b) -= 1
+        if (((h2 >>> b) & 1L) == 1L) c2(b) += 1 else c2(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var s1 = 0L; var s2 = 0L
+    var b = 0
+    while (b < 64) {
+      if (c1(b) > 0) s1 |= (1L << b)
+      if (c2(b) > 0) s2 |= (1L << b)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(s1, s2))
+  }
+
   /** splitmix64 — statistical 64-bit mixer (public-domain algorithm,
     * Steele et al.); used to derive minhash permutations and LSH
     * hyperplanes deterministically from (seed, index).

@@ -713,6 +713,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     // API deletes to the position-delete path (metadata-only partition
     // deletes below still win — they are strictly cheaper than both)
     if (cur.properties.get(GraftTable.DeleteModeProp).contains("merge-on-read")
+        && uniqueBaseNames(cur)
         && Pruning.extractExact(pred)
           .forall(cs => !(cs.nonEmpty && cs.keySet.forall(cur.partitionCols.contains))))
       return deleteMerge(pred)
@@ -784,8 +785,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     */
   def deleteMerge(pred: Column): GraftTable = {
     val cur = current
-    val names = cur.files.map(f => GraftTable.baseName(f.path))
-    if (names.distinct.size != names.size) return delete(pred)
+    if (!uniqueBaseNames(cur)) return delete(pred)
     val (cands, _, _) = pruneFiles(pred)
     import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
     val added: Seq[DeleteFileEntry] =
@@ -879,10 +879,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
     // TBLPROPERTIES('write.update.mode'='merge-on-read') routes to the
     // position-delete + append path (zero rewrites of existing files);
     // adopted layouts with colliding basenames stay copy-on-write
-    if (cur.properties.get(GraftTable.UpdateModeProp).contains("merge-on-read") && {
-          val names = cur.files.map(f => GraftTable.baseName(f.path))
-          names.distinct.size == names.size
-        })
+    if (cur.properties.get(GraftTable.UpdateModeProp).contains("merge-on-read")
+        && uniqueBaseNames(cur))
       return updateMerge(pred, set)
     import org.apache.spark.sql.functions.when
     val (cands, _, _) = pruneFiles(pred)
@@ -928,8 +926,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     */
   def updateMerge(pred: Column, set: Map[String, Column]): GraftTable = {
     val cur = current
-    val names = cur.files.map(f => GraftTable.baseName(f.path))
-    require(names.distinct.size == names.size,
+    require(uniqueBaseNames(cur),
       s"merge-on-read update needs unique file basenames (adopted table?) — " +
         s"unset ${GraftTable.UpdateModeProp} to use copy-on-write")
     import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
@@ -939,25 +936,30 @@ final class GraftTable(val root: String, spark: SparkSession) {
       if (cands.isEmpty) (Seq.empty[DeleteFileEntry], Seq.empty[FileEntry])
       else {
         val live = readSnapshotPos(cur.copy(files = cands, shards = Seq.empty))
+        // two consumers (delete positions + post-images) — persist so the
+        // candidate scan + predicate run once, not per consumer
         val matched = live.filter(pred <=> lit(true))
-        val dels = writeDeleteFiles(
-          matched.select(col(PosFileCol).as("file_name"), col(PosIdxCol).as("row_index")),
-          cur.id + 1)
-        if (dels.isEmpty) (dels, Seq.empty[FileEntry])
-        else {
-          val depDests = cur.deps.map(_.dest).toSet.filterNot(set.keySet.contains)
-          val base = matched.drop(PosFileCol, PosIdxCol)
-          // every row here matched, so SET applies unconditionally; one
-          // projection evaluates all assignments against pre-update rows
-          val projected = base.columns.toSeq.map { c =>
-            set.get(c) match {
-              case Some(v) => v.cast(sch(c).dataType).as(c)
-              case None    => col(c)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val dels = writeDeleteFiles(
+            matched.select(col(PosFileCol).as("file_name"), col(PosIdxCol).as("row_index")),
+            cur.id + 1)
+          if (dels.isEmpty) (dels, Seq.empty[FileEntry])
+          else {
+            val depDests = cur.deps.map(_.dest).toSet.filterNot(set.keySet.contains)
+            val base = matched.drop(PosFileCol, PosIdxCol)
+            // every row here matched, so SET applies unconditionally; one
+            // projection evaluates all assignments against pre-update rows
+            val projected = base.columns.toSeq.map { c =>
+              set.get(c) match {
+                case Some(v) => v.cast(sch(c).dataType).as(c)
+                case None    => col(c)
+              }
             }
+            val updated = base.select(projected: _*).drop(depDests.toSeq: _*)
+            (dels, writeFiles(updated, cur.partitionCols, cur.deps, cur.id + 1))
           }
-          val updated = base.select(projected: _*).drop(depDests.toSeq: _*)
-          (dels, writeFiles(updated, cur.partitionCols, cur.deps, cur.id + 1))
-        }
+        } finally matched.unpersist()
       }
     commit(cur.copy(
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
@@ -979,27 +981,42 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * with the full source, and rewritten. Rewrite cost is
     * O(files-overlapping-source-keys), not O(table).
     */
+  /** Candidate files whose key min/max range overlaps the source's key
+    * bounds — one small agg over the source, then metadata-only
+    * pruning; shared by the COW and MOR merge paths so the two can
+    * never diverge on what "can match".
+    */
+  private def sourceKeyCandidates(source: DataFrame, keyCols: Seq[String]): Seq[FileEntry] = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    val aggs = keyCols.flatMap(k => Seq(fmin(col(k)), fmax(col(k))))
+    val bounds = source.agg(aggs.head, aggs.tail: _*).head()
+    if (bounds.anyNull) Seq.empty // empty source: nothing can match
+    else {
+      val pred = keyCols.zipWithIndex.map { case (k, i) =>
+        col(k) >= lit(bounds.get(2 * i)) && col(k) <= lit(bounds.get(2 * i + 1))
+      }.reduce(_ && _)
+      pruneFiles(pred)._1
+    }
+  }
+
+  /** Whether every data file's basename is unique table-wide — the
+    * precondition for position-delete keys (engine-written files always
+    * satisfy it; adopted layouts may not).
+    */
+  private def uniqueBaseNames(s: Snapshot): Boolean = {
+    val names = s.files.map(f => GraftTable.baseName(f.path))
+    names.distinct.size == names.size
+  }
+
   def merge(source: DataFrame, keyCols: Seq[String]): GraftTable = {
     val cur = current
     // TBLPROPERTIES('write.merge.mode'='merge-on-read'): matched target
     // rows become position deletes, the whole source is appended —
     // upsert with zero rewrites of existing files
-    if (cur.properties.get(GraftTable.MergeModeProp).contains("merge-on-read") && {
-          val names = cur.files.map(f => GraftTable.baseName(f.path))
-          names.distinct.size == names.size
-        })
+    if (cur.properties.get(GraftTable.MergeModeProp).contains("merge-on-read")
+        && uniqueBaseNames(cur))
       return mergeMor(source, keyCols)
-    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
-    val aggs = keyCols.flatMap(k => Seq(fmin(col(k)), fmax(col(k))))
-    val bounds = source.agg(aggs.head, aggs.tail: _*).head()
-    val cands =
-      if (bounds.anyNull) Seq.empty // empty source: nothing can match
-      else {
-        val pred = keyCols.zipWithIndex.map { case (k, i) =>
-          col(k) >= lit(bounds.get(2 * i)) && col(k) <= lit(bounds.get(2 * i + 1))
-        }.reduce(_ && _)
-        pruneFiles(pred)._1
-      }
+    val cands = sourceKeyCandidates(source, keyCols)
     val candPaths = cands.map(_.path).toSet
     val kept = cur.files.filterNot(f => candPaths.contains(f.path))
     val baseCols = source.columns.toSeq
@@ -1026,18 +1043,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
     */
   private def mergeMor(source: DataFrame, keyCols: Seq[String]): GraftTable = {
     val cur = current
-    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
     import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
-    val aggs = keyCols.flatMap(k => Seq(fmin(col(k)), fmax(col(k))))
-    val bounds = source.agg(aggs.head, aggs.tail: _*).head()
-    val cands =
-      if (bounds.anyNull) Seq.empty
-      else {
-        val pred = keyCols.zipWithIndex.map { case (k, i) =>
-          col(k) >= lit(bounds.get(2 * i)) && col(k) <= lit(bounds.get(2 * i + 1))
-        }.reduce(_ && _)
-        pruneFiles(pred)._1
-      }
+    val cands = sourceKeyCandidates(source, keyCols)
     val delEntries =
       if (cands.isEmpty) Seq.empty[DeleteFileEntry]
       else {
@@ -1096,7 +1103,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
       operation = "repartition-spec", partitionCols = newPartitionCols,
       deps = newDeps, schemaJson = data.schema.json, files = added,
-      addedFiles = added.size, deletedFiles = cur.files.size))
+      addedFiles = added.size, deletedFiles = cur.files.size,
+      deleteFiles = Seq.empty)) // full rewrite read through (and applied) pending deletes
     this
   }
 

@@ -183,8 +183,27 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     val precisionViolations =
       verifiedPairs.join(exactPairs, Seq("doc_a", "doc_b"), "left_anti").count()
-    val hammingViolations =
-      simhashCandidates(docs).filter(col("hamming") > SimHammingBound).count()
+    // the Hamming bound must be verified INDEPENDENTLY of the candidate
+    // pipeline's own filter (counting `hamming > bound` on a frame that
+    // just filtered `hamming <= bound` is tautological): recompute each
+    // candidate pair's distance from signatures produced by the
+    // two-expression path — a different kernel than the fused
+    // simHash128 the operator uses — and flag both bound breaches and
+    // any disagreement between the kernels
+    val ref = shingleHashesOf(docs).select(col("doc_id"),
+      exprs.simHash(col("hs")).as("r1"),
+      exprs.simHashSeeded(col("hs"), SimSeed2).as("r2"))
+    val hammingViolations = simhashCandidates(docs)
+      .join(ref.select(col("doc_id").as("doc_a"),
+        col("r1").as("a1"), col("r2").as("a2")), "doc_a")
+      .join(ref.select(col("doc_id").as("doc_b"),
+        col("r1").as("b1"), col("r2").as("b2")), "doc_b")
+      .withColumn("ref_hamming",
+        (bit_count(col("a1").bitwiseXOR(col("b1"))) +
+         bit_count(col("a2").bitwiseXOR(col("b2")))).cast("long"))
+      .filter(col("ref_hamming") > SimHammingBound ||
+              col("ref_hamming") =!= col("hamming"))
+      .count()
     import s.implicits._
     Seq((precisionViolations, hammingViolations))
       .toDF("precision_violations", "hamming_violations")
@@ -199,9 +218,9 @@ object Dedup {
     */
   def simhashCandidates(docs: DataFrame): DataFrame = {
     val sigs = shingleHashesOf(docs)
+      .select(col("doc_id"), exprs.simHash128(col("hs"), SimSeed2).as("sig"))
       .select(col("doc_id"),
-        exprs.simHash(col("hs")).as("sim1"),
-        exprs.simHashSeeded(col("hs"), SimSeed2).as("sim2"))
+        element_at(col("sig"), 1).as("sim1"), element_at(col("sig"), 2).as("sim2"))
     // 16 bands × 8 bits over the 128-bit signature: a true pair
     // escapes only if EVERY band holds a differing bit. Each band is
     // still 8 bits (same ~n/256 random bucket occupancy — no skew

@@ -116,7 +116,10 @@ case class GraftInsertCommand(
     name: String,
     overwrite: Boolean,
     staticPartition: Map[String, String],
-    query: LogicalPlan) extends LeafRunnableCommand {
+    query: LogicalPlan,
+    // dynamic-partition overwrite (V2 `overwritePartitions()`): replace
+    // exactly the partitions present in the incoming data
+    dynamic: Boolean = false) extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
     val root = GraftCatalog.lookup(name).getOrElse(
@@ -137,6 +140,7 @@ case class GraftInsertCommand(
       df = df.withColumn(k, lit(v).cast(schema(k).dataType)) }
     if (!overwrite) t.append(df)
     else if (normSpec.nonEmpty) t.overwritePartition(df, normSpec)
+    else if (dynamic && t.current.partitionCols.nonEmpty) t.overwriteDynamic(df)
     else t.overwrite(df)
     Seq.empty
   }

@@ -438,6 +438,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case micros: Long if e.dataType == TimestampType => micros / 1000L
       case days: Integer if e.dataType == DateType => days.toLong * 86400000L
       case millis: Long => millis
+      // bare unquoted digits parse as IntegerType when they fit an Int —
+      // which every epoch-SECONDS value does (through 2038)
+      case secs: Integer => secs.toLong * 1000L
       case other => throw new IllegalArgumentException(
         s"unsupported TIMESTAMP AS OF literal $other (${e.dataType})")
     }

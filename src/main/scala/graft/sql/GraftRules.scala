@@ -57,8 +57,22 @@ case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPlan] {
         overwrite = false, Map.empty, a.query)
     case o: org.apache.spark.sql.catalyst.plans.logical.OverwriteByExpression
         if v2Table(o.table).isDefined =>
+      // full-table overwrite ONLY when the delete condition is the
+      // trivial `true` — mapping a conditional overwrite to
+      // t.overwrite(df) would silently delete every row OUTSIDE the
+      // condition too
+      o.deleteExpr match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(true, _) =>
+          GraftInsertCommand(v2Table(o.table).get.registryName,
+            overwrite = true, Map.empty, o.query)
+        case cond => throw new UnsupportedOperationException(
+          s"graft V2 overwrite supports only the full-table form (condition `true`), " +
+            s"got condition $cond — use overwritePartition / overwriteDynamic / DELETE+append")
+      }
+    case o: org.apache.spark.sql.catalyst.plans.logical.OverwritePartitionsDynamic
+        if v2Table(o.table).isDefined =>
       GraftInsertCommand(v2Table(o.table).get.registryName,
-        overwrite = true, Map.empty, o.query)
+        overwrite = true, Map.empty, o.query, dynamic = true)
     case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
         if d.table.isInstanceOf[GraftV2Table] =>
       // the V2 relation is already RESOLVED (parents hold its exprIds),

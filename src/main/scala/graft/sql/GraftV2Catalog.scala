@@ -102,10 +102,13 @@ class GraftV2Catalog extends TableCatalog with SupportsNamespaces {
     GraftCatalog.lookup(k) match {
       case None => false
       case Some(root) =>
-        val p = java.nio.file.Paths.get(root)
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
+        // delete through the Hadoop FS resolved from the root — java.nio
+        // silently no-ops on object-store/HDFS roots, which would
+        // unregister the table while orphaning the entire dataset
+        val rootP = new org.apache.hadoop.fs.Path(root)
+        val hfs = rootP.getFileSystem(
+          SparkSession.active.sparkContext.hadoopConfiguration)
+        if (hfs.exists(rootP)) hfs.delete(rootP, true)
         GraftCatalog.unregister(k)
         true
     }

@@ -29,10 +29,12 @@ import graft.lake.GraftTable
   *  - `maxFilesPerTrigger` / `maxBytesPerTrigger` — split WITHIN a
   *    snapshot: one huge backfill commit drains across many bounded
   *    micro-batches instead of landing as one. Sub-snapshot progress is
-  *    checkpointed as [[GraftFileOffset]] `(id, k)` = "all files
-  *    through snapshot id, except files of id itself ranked > k" —
-  *    files rank by path within their adding snapshot, which is stable,
-  *    so restart mid-snapshot replays exactly-once.
+  *    checkpointed as [[GraftFileOffset]] `(id, p)` = "all files
+  *    through snapshot id, except files of id itself with path > p" —
+  *    the cut is a file PATH, not a rank, so it stays stable even when
+  *    a COW rewrite removes already-consumed files of a
+  *    partially-streamed snapshot from later manifests; restart
+  *    mid-snapshot replays exactly-once.
   *
   * Scale notes: getOffset is one version-hint read (plus O(delta)
   * cached manifest reads under admission caps); getBatch plans from
@@ -66,13 +68,19 @@ class GraftSourceProvider extends StreamSourceProvider {
 }
 
 /** Sub-snapshot offset: everything through snapshot `id`, minus the
-  * files ADDED BY `id` whose path-rank within the snapshot exceeds `k`.
-  * `(id, Long.MaxValue)` ≡ the plain snapshot offset `id` — which is
-  * also how legacy checkpointed [[LongOffset]]s deserialize, so a
+  * files ADDED BY `id` whose path sorts after `p`. Keying the cut on
+  * the PATH (not a recomputed rank) keeps it stable when later commits
+  * remove files of the partially-streamed snapshot. A legacy
+  * checkpointed [[LongOffset]] deserializes as "all of id", so a
   * stream can turn file caps on or off across restarts.
   */
-case class GraftFileOffset(id: Long, k: Long) extends Offset {
-  override def json: String = s"""{"id":$id,"k":$k}"""
+case class GraftFileOffset(id: Long, p: String) extends Offset {
+  override def json: String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("id", id); node.put("p", p)
+    mapper.writeValueAsString(node)
+  }
 }
 
 class GraftSource(
@@ -89,7 +97,8 @@ class GraftSource(
   // recovery initializes it via the recovered-batch getBatch call
   // before the first new getOffset, so the cap is always relative to
   // real progress (the standard v1-Source rate-limit pattern).
-  @volatile private var lastEnd: (Long, Long) = (0L, Long.MaxValue)
+  // (snapshot id, last consumed path within it — None = whole snapshot)
+  @volatile private var lastEnd: (Long, Option[String]) = (0L, None)
 
   /** Latest committed snapshot id (one version-hint read), capped at
     * `maxSnapshotsPerTrigger` snapshots beyond the last batch — a
@@ -110,7 +119,7 @@ class GraftSource(
   override def getOffset: Option[Offset] = {
     val id = table.currentId
     if (id <= 0) return None
-    val (startId, startK) = lastEnd
+    val (startId, startP) = lastEnd
     val capped = maxSnapshotsPerTrigger match {
       case Some(n) if id > startId =>
         var lineage = List.empty[Long] // (startId, id] oldest-first
@@ -141,14 +150,16 @@ class GraftSource(
     val endSnap = table.snapshot(capped)
     if (!endSnap.files.forall(_.addedBy > 0L)) // pre-addedBy manifests
       return Some(LongOffset(capped))          // can't rank: whole snapshots
-    val pending = GraftSource.rankedFiles(endSnap.files)
-      .filter { case (f, a, r) =>
-        (a > startId || (a == startId && r > startK)) && a <= capped
+    val pending = GraftSource.orderedFiles(endSnap.files)
+      .filter { case (f, a) =>
+        (a > startId || (a == startId && startP.exists(f.path > _))) && a <= capped
       }
     if (pending.isEmpty)
       return if (capped > startId) Some(LongOffset(capped))
-             else Some(if (startK == Long.MaxValue) LongOffset(startId)
-                       else GraftFileOffset(startId, startK))
+             else Some(startP match {
+               case None    => LongOffset(startId)
+               case Some(p) => GraftFileOffset(startId, p)
+             })
     val maxF = maxFilesPerTrigger.getOrElse(Long.MaxValue)
     val maxB = maxBytesPerTrigger.getOrElse(Long.MaxValue)
     var nF = 0L; var nB = 0L; var cut = 0
@@ -158,26 +169,26 @@ class GraftSource(
     }
     if (cut == pending.size) Some(LongOffset(capped))
     else {
-      val (_, lastA, lastR) = pending(cut - 1)
+      val (lastF, lastA) = pending(cut - 1)
       // a cut exactly between snapshots is a plain snapshot offset
       // (canonical form, so cap-on/cap-off streams share offset jsons);
-      // only a true mid-snapshot cut needs the (id, k) form
+      // only a true mid-snapshot cut needs the (id, path) form
       if (pending(cut)._2 > lastA) Some(LongOffset(lastA))
-      else Some(GraftFileOffset(lastA, lastR))
+      else Some(GraftFileOffset(lastA, lastF.path))
     }
   }
 
   // offsets arrive as LongOffset/GraftFileOffset within a run and as
   // SerializedOffset (raw json) after a checkpoint restart
-  private def parseOffset(o: Offset): (Long, Long) = o match {
-    case l: LongOffset      => (l.offset, Long.MaxValue)
-    case g: GraftFileOffset => (g.id, g.k)
+  private def parseOffset(o: Offset): (Long, Option[String]) = o match {
+    case l: LongOffset      => (l.offset, None)
+    case g: GraftFileOffset => (g.id, Some(g.p))
     case other =>
       val s = other.json.trim
       if (s.startsWith("{")) {
         val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
-        (node.get("id").asLong(), node.get("k").asLong())
-      } else (s.toLong, Long.MaxValue)
+        (node.get("id").asLong(), Some(node.get("p").asText()))
+      } else (s.toLong, None)
   }
 
   /** A batch plans the files ADDED in `(start, end]` by filtering each
@@ -191,17 +202,22 @@ class GraftSource(
     * `addedBy` field (stamp 0) fall back to the set difference.
     */
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val (endId, endK) = parseOffset(end)
-    if (lastEnd._1 < endId || (lastEnd._1 == endId && lastEnd._2 < endK))
-      lastEnd = (endId, endK)
+    val (endId, endP) = parseOffset(end)
+    val newer = lastEnd._1 < endId ||
+      (lastEnd._1 == endId && ((lastEnd._2, endP) match {
+        case (Some(a), Some(b)) => a < b
+        case (Some(_), None)    => true // whole snapshot supersedes a partial cut
+        case _                  => false
+      }))
+    if (newer) lastEnd = (endId, endP)
     val endSnap = table.snapshot(endId)
-    val (startId, startK) = start.map(parseOffset).getOrElse((0L, Long.MaxValue))
+    val (startId, startP) = start.map(parseOffset).getOrElse((0L, None))
     val delta =
       if (endSnap.files.forall(_.addedBy > 0L))
-        GraftSource.rankedFiles(endSnap.files).collect {
-          case (f, a, r)
-              if (a > startId || (a == startId && r > startK)) &&
-                 (a < endId || (a == endId && r <= endK)) => f
+        GraftSource.orderedFiles(endSnap.files).collect {
+          case (f, a)
+              if (a > startId || (a == startId && startP.exists(f.path > _))) &&
+                 (a < endId || (a == endId && endP.forall(f.path <= _))) => f
         }
       else {
         val seen = start.map(o => table.snapshot(parseOffset(o)._1).files.map(_.path).toSet)
@@ -218,13 +234,13 @@ class GraftSource(
 }
 
 object GraftSource {
-  /** Each manifest file with its adding snapshot and its 1-based
-    * path-rank within that snapshot — the stable total order
-    * sub-snapshot offsets are defined over.
+  /** Manifest files in (addedBy, path) order — the stable total order
+    * sub-snapshot offsets are defined over. Path cuts (unlike ranks)
+    * survive removal of neighboring files by later COW rewrites.
     */
-  private[streaming] def rankedFiles(
-      files: Seq[graft.lake.FileEntry]): Seq[(graft.lake.FileEntry, Long, Long)] =
+  private[streaming] def orderedFiles(
+      files: Seq[graft.lake.FileEntry]): Seq[(graft.lake.FileEntry, Long)] =
     files.groupBy(_.addedBy).toSeq.sortBy(_._1).flatMap { case (a, fs) =>
-      fs.sortBy(_.path).zipWithIndex.map { case (f, i) => (f, a, (i + 1).toLong) }
+      fs.sortBy(_.path).map(f => (f, a))
     }
 }

@@ -277,15 +277,17 @@ class StreamingSpec extends SparkSpec {
     }
     val src = new graft.streaming.GraftSource(spark, root,
       maxFilesPerTrigger = Some(3L))
+    val snap2Paths = t.current.files.filter(_.addedBy == 2L).map(_.path).sorted
     // batch 1: snapshot 1's file + 2 of snapshot 2's (3-file cap) —
-    // the offset lands MID-snapshot
+    // the offset lands MID-snapshot, cut by PATH (stable under later
+    // file removal, unlike a rank)
     val o1 = src.getOffset.get
-    assert(o1 === graft.streaming.GraftFileOffset(2L, 2L), s"got $o1")
+    assert(o1 === graft.streaming.GraftFileOffset(2L, snap2Paths(1)), s"got $o1")
     val b1 = rowsOf(src.getBatch(None, o1))
     assert(StreamingSpec.plannedFiles(src.getBatch(None, o1)).size === 3)
     // batch 2: next 3 files of snapshot 2
     val o2 = src.getOffset.get
-    assert(o2 === graft.streaming.GraftFileOffset(2L, 5L), s"got $o2")
+    assert(o2 === graft.streaming.GraftFileOffset(2L, snap2Paths(4)), s"got $o2")
     val b2 = rowsOf(src.getBatch(Some(o1), o2))
     assert(b1.intersect(b2).isEmpty, "no row delivered twice")
     // RESTART mid-snapshot: a fresh source sees the checkpointed
@@ -305,6 +307,51 @@ class StreamingSpec extends SparkSpec {
     assert(b2.intersect(b3).isEmpty && b1.intersect(b3).isEmpty)
     // caught up: offset stops moving
     assert(src2.getOffset.get === LongOffset(2L))
+  }
+
+  test("D6f: path-cut offsets survive removal of consumed files mid-snapshot (no skipped files)") {
+    import spark.implicits._
+    val root = "/root/repo/target/laketest/streamsrc-pathcut"
+    val rm = new java.io.File(root)
+    if (rm.exists()) { import scala.sys.process._; Seq("rm", "-rf", root).! }
+    val t = GraftTable.create(spark, root,
+      (0 until 32).map(i => (i.toLong, s"p${i % 8}")).toDF("id", "k")
+        .repartition(col("k")), Seq("k"))
+    assert(t.current.files.size === 8)
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val files = StreamingSpec.plannedFiles(df)
+      if (files.isEmpty) Set.empty
+      else spark.read.parquet(files.toIndexedSeq: _*)
+        .select("id").collect().map(_.getLong(0)).toSet
+    }
+    val src = new graft.streaming.GraftSource(spark, root,
+      maxFilesPerTrigger = Some(2L))
+    // consume the first 2 files (path order) of snapshot 1
+    val o1 = src.getOffset.get
+    val b1 = rowsOf(src.getBatch(None, o1))
+    // a metadata-only partition delete now REMOVES one already-consumed
+    // file from later manifests. A rank-based cut would renumber the
+    // surviving files and silently skip the next unconsumed one.
+    val consumedParts = t.current.files.map(_.path).sorted.take(2)
+      .map(p => t.current.files.find(_.path == p).get.partition("k"))
+    t.delete(col("k") === consumedParts.head)
+    assert(t.current.files.size === 7)
+    // drain the rest: every remaining file arrives exactly once
+    var consumed = b1
+    var prev: org.apache.spark.sql.execution.streaming.Offset = o1
+    var done = false
+    while (!done) {
+      val o = src.getOffset.get
+      if (o.json == prev.json) done = true
+      else {
+        val rows = rowsOf(src.getBatch(Some(prev), o))
+        assert(consumed.intersect(rows).isEmpty, "no row delivered twice")
+        consumed ++= rows
+        prev = o
+      }
+    }
+    assert(consumed === (0L until 32L).toSet,
+      s"missing rows after mid-snapshot file removal: ${(0L until 32L).toSet -- consumed}")
   }
 
   test("D6e: maxBytesPerTrigger bounds batch bytes but always admits one file") {
