@@ -1425,6 +1425,70 @@ final class GraftTable(val root: String, spark: SparkSession) {
     orphans
   }
 
+  /** Remove UNREFERENCED files — the leak class [[expire]] cannot see:
+    * [[expire]] lists files referenced by expired snapshots, but a
+    * commit that lost its CAS race (or a writer that crashed between
+    * data write and manifest commit) leaves files under `data/` or
+    * `deletes/` (and whole `.staging-*` trees) that NO snapshot ever
+    * referenced. This sweep diffs one recursive listing against the
+    * union of every retained snapshot's references and deletes what's
+    * left — but only entries older than `graceMillis`, so an in-flight
+    * commit's just-written files (data lands BEFORE the manifest) are
+    * never swept. Hadoop FS throughout (object-store safe). Returns the
+    * removed root-relative paths.
+    */
+  def vacuumOrphans(graceMillis: Long = 60L * 60 * 1000): Seq[String] = {
+    val referenced = snapshots
+      .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+    val cutoff = System.currentTimeMillis() - graceMillis
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val hfs = rootP.getFileSystem(conf)
+    val rootUri = hfs.makeQualified(rootP).toUri.getPath
+    val removed = scala.collection.mutable.ArrayBuffer[String]()
+    // stale staging trees from crashed writers
+    Option(hfs.globStatus(new org.apache.hadoop.fs.Path(rootP, ".staging-*")))
+      .getOrElse(Array.empty).foreach { st =>
+        if (st.getModificationTime < cutoff) {
+          hfs.delete(st.getPath, true)
+          removed += st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+        }
+      }
+    for (sub <- Seq("data", "deletes")) {
+      val dir = new org.apache.hadoop.fs.Path(rootP, sub)
+      if (hfs.exists(dir)) {
+        val it = hfs.listFiles(dir, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+          // only parquet payloads are manifest-referenced candidates —
+          // writer markers (_SUCCESS etc.) are inert and skipped
+          if (st.isFile && st.getPath.getName.endsWith(".parquet")
+              && !referenced.contains(rel) && st.getModificationTime < cutoff) {
+            hfs.delete(st.getPath, false)
+            removed += rel
+          }
+        }
+      }
+    }
+    // a delete-file dir whose parquet payloads are all gone (folded back
+    // and expired, or just swept) is cruft — remove the husk
+    val delRoot = new org.apache.hadoop.fs.Path(rootP, "deletes")
+    if (hfs.exists(delRoot)) hfs.listStatus(delRoot).foreach { st =>
+      if (st.isDirectory && st.getModificationTime < cutoff) {
+        val files = hfs.listFiles(st.getPath, true)
+        var hasParquet = false
+        while (files.hasNext && !hasParquet)
+          hasParquet = files.next().getPath.getName.endsWith(".parquet")
+        if (!hasParquet) {
+          hfs.delete(st.getPath, true)
+          removed += st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+        }
+      }
+    }
+    removed.toSeq.sorted
+  }
+
   // ---- read path ----------------------------------------------------
 
   /** All reads plan through [[org.apache.spark.sql.graft.GraftFileIndex]]:

@@ -300,7 +300,9 @@ case class GraftRepartitionCommand(
 }
 
 /** VACUUM t [RETAIN <id>] — expire snapshots below the floor (default:
-  * everything but current) and delete their orphaned files.
+  * everything but current), delete their orphaned files, then sweep
+  * files no snapshot EVER referenced (lost commit races, crashed
+  * writers' staging trees) past the safety grace period.
   */
 case class GraftVacuumCommand(
     name: String, retainFrom: Option[Long]) extends LeafRunnableCommand {
@@ -309,6 +311,7 @@ case class GraftVacuumCommand(
       throw new IllegalArgumentException(s"graft table not registered: $name"))
     val t = new GraftTable(root, session)
     t.expire(keepFrom = retainFrom.getOrElse(t.currentId))
+    t.vacuumOrphans()
     Seq.empty
   }
 }

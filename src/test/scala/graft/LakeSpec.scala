@@ -1107,6 +1107,41 @@ class LakeSpec extends SparkSpec {
     assert(t.read().count() === n0 + 2)
   }
 
+  test("vacuumOrphans sweeps never-referenced files and stale staging trees, honors the grace period") {
+    val o = Tables.orders(spark, sfDir).limit(500)
+    val root = tmp("vacorphan")
+    val t = GraftTable.create(spark, root,
+      o.repartition(col("o_orderstatus")), Seq("o_orderstatus"))
+    // plant a never-referenced data file (a lost commit race / crashed
+    // writer) and a stale staging tree
+    val dataDir = java.nio.file.Paths.get(root, "data")
+    val orphan = dataDir.resolve("999-0-orphan.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Files.list(dataDir.resolve(
+        java.nio.file.Files.list(dataDir).iterator().next().getFileName))
+        .iterator().next(), orphan)
+    val staging = java.nio.file.Paths.get(root, ".staging-deadbeef")
+    java.nio.file.Files.createDirectories(staging)
+    java.nio.file.Files.write(staging.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    val nRows = t.read().count()
+    // inside the grace period nothing is swept (could be in-flight)
+    assert(t.vacuumOrphans(graceMillis = 60000).isEmpty)
+    assert(java.nio.file.Files.exists(orphan))
+    // past the grace period both go; referenced files survive
+    val removed = t.vacuumOrphans(graceMillis = 0)
+    assert(removed.exists(_.endsWith("999-0-orphan.parquet")), s"swept: $removed")
+    assert(removed.exists(_.startsWith(".staging-")), s"swept: $removed")
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(!java.nio.file.Files.exists(staging))
+    assert(t.read().count() === nRows, "referenced data untouched")
+    // MOR delete files are references too: not swept while pending
+    t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    val victim = t.read().select(col("o_orderkey")).orderBy(col("o_orderkey")).head().getLong(0)
+    t.delete(col("o_orderkey") === victim)
+    assert(t.vacuumOrphans(graceMillis = 0).isEmpty)
+    assert(t.read().count() === nRows - 1)
+  }
+
   test("appendBatch replay is recognized after snapshot expiration") {
     val o = Tables.orders(spark, sfDir).limit(200)
     val base = o.repartition(col("o_orderstatus"))

@@ -385,6 +385,36 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM t_optmor").collect().head.getLong(0) === n0 - 1)
   }
 
+  test("DSv2 writeTo: append/overwrite/overwritePartitions; conditional overwrite refused") {
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sql.GraftV2Catalog")
+    val t = mkTable("v2write")
+    GraftCatalog.register("v2db.wt", t.root)
+    val n0 = t.read().count()
+    val two = t.read().filter(col("o_orderkey") < 2)
+      .withColumn("o_orderkey", col("o_orderkey") + 8800000L)
+    // append via DataFrameWriterV2 → snapshot-creating append
+    two.writeTo("graft_cat.v2db.wt").append()
+    assert(t.read().count() === n0 + two.count())
+    assert(t.current.operation === "append")
+    // dynamic partition overwrite: replaces exactly the incoming partitions
+    val pPart = t.read().filter(col("o_orderstatus") === "P").limit(5)
+      .withColumn("o_totalprice", lit(1.25))
+    pPart.writeTo("graft_cat.v2db.wt").overwritePartitions()
+    assert(t.current.operation === "overwrite-dynamic")
+    assert(t.read().filter(col("o_orderstatus") === "P").count() === 5)
+    assert(t.read().filter(col("o_orderstatus") =!= "P").count() > 0,
+      "other partitions survive a dynamic overwrite")
+    // full overwrite via the trivial-true condition
+    two.writeTo("graft_cat.v2db.wt").overwrite(lit(true))
+    assert(t.read().count() === two.count())
+    assert(t.current.operation === "overwrite")
+    // a CONDITIONAL overwrite must be refused, not silently widened to
+    // a full-table replace
+    val err = intercept[Exception](
+      two.writeTo("graft_cat.v2db.wt").overwrite(col("o_orderstatus") === "P"))
+    assert(err.getMessage.contains("full-table form"), s"got: ${err.getMessage}")
+  }
+
   test("graft functions are callable from SQL") {
     val h = spark.sql("SELECT graft_polyhash('abc') AS h").collect().head.getLong(0)
     assert(h === 96354L)
