@@ -322,12 +322,12 @@ case class GraftVacuumCommand(
 case class GraftDropTableCommand(name: String) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     GraftCatalog.lookup(name).foreach { root =>
-      val p = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      // Hadoop FS, not java.nio: on an object-store/HDFS root the
+      // latter silently no-ops, unregistering the table while
+      // orphaning its entire dataset
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val hfs = rootP.getFileSystem(session.sparkContext.hadoopConfiguration)
+      if (hfs.exists(rootP)) hfs.delete(rootP, true)
     }
     GraftCatalog.unregister(name)
     GraftSparkBridge.unregister(session, name)

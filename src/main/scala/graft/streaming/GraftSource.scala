@@ -224,8 +224,27 @@ class GraftSource(
           .getOrElse(Set.empty[String])
         endSnap.files.filterNot(f => seen.contains(f.path))
       }
-    org.apache.spark.sql.graft.GraftFileIndex
-      .relation(spark, root, endSnap.copy(files = delta, shards = Seq.empty), isStreaming = true)
+    val rel = org.apache.spark.sql.graft.GraftFileIndex.relation(
+      spark, root, endSnap.copy(files = delta, shards = Seq.empty),
+      isStreaming = true, withRowPos = endSnap.deleteFiles.nonEmpty)
+    if (endSnap.deleteFiles.isEmpty) rel
+    else {
+      // a batch can span an append AND a later merge-on-read delete of
+      // rows in the appended files — without this filter those rows
+      // stream out despite never having been logically visible at the
+      // end offset. The delete list is a STATIC frame, so this is a
+      // plain stream-static anti-join (broadcast, no state). Deletes
+      // against files from EARLIER batches change nothing here — an
+      // append-only stream never retracts.
+      import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
+      import org.apache.spark.sql.functions.broadcast
+      val dels = spark.read.schema("file_name STRING, row_index BIGINT")
+        .parquet(endSnap.deleteFiles.map(d => s"$root/${d.path}"): _*)
+      rel.join(broadcast(dels),
+          rel(PosFileCol) === dels("file_name") && rel(PosIdxCol) === dels("row_index"),
+          "left_anti")
+        .drop(PosFileCol, PosIdxCol)
+    }
   }
 
   override def stop(): Unit = ()

@@ -309,6 +309,35 @@ class StreamingSpec extends SparkSpec {
     assert(src2.getOffset.get === LongOffset(2L))
   }
 
+  test("D6g: a batch spanning an append and a later MOR delete hides the deleted rows") {
+    import spark.implicits._
+    val root = "/root/repo/target/laketest/streamsrc-mor"
+    val ckpt = "/root/repo/target/laketest/streamsrc-mor-ckpt"
+    for (p <- Seq(root, ckpt)) {
+      val f = new java.io.File(p)
+      if (f.exists()) { import scala.sys.process._; Seq("rm", "-rf", p).! }
+    }
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "k"))
+    t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    t.delete(col("id") === 2L)
+    assert(t.current.deleteFiles.nonEmpty, "precondition: a pending MOR delete")
+    // a FRESH stream's first batch covers both the create and the MOR
+    // delete snapshot — row 2 was never logically visible at the end
+    // offset and must not stream out
+    val seen = scala.collection.mutable.Set[Long]()
+    val q = spark.readStream.format("graft.streaming.GraftSourceProvider")
+      .option("path", root).load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= batch.select("id").collect().map(_.getLong(0)); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(seen.toSet === Set(1L, 3L), s"MOR-deleted row leaked into the stream: $seen")
+  }
+
   test("D6f: path-cut offsets survive removal of consumed files mid-snapshot (no skipped files)") {
     import spark.implicits._
     val root = "/root/repo/target/laketest/streamsrc-pathcut"
