@@ -1430,26 +1430,51 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * commit that lost its CAS race (or a writer that crashed between
     * data write and manifest commit) leaves files under `data/` or
     * `deletes/` (and whole `.staging-*` trees) that NO snapshot ever
-    * referenced. This sweep diffs one recursive listing against the
-    * union of every retained snapshot's references and deletes what's
-    * left — but only entries older than `graceMillis`, so an in-flight
-    * commit's just-written files (data lands BEFORE the manifest) are
-    * never swept. Hadoop FS throughout (object-store safe). Returns the
-    * removed root-relative paths.
+    * referenced.
+    *
+    * In-flight writers are protected by TWO independent guards, because
+    * file mtimes alone do not track write activity (a file written
+    * early in a long job is "old" while its commit is still pending):
+    *
+    *  1. STRUCTURAL: every engine-written payload embeds its planned
+    *     snapshot id (`data/.../<snapId>-<seq>-…`, `deletes/<snapId>-…`);
+    *     a commit still in flight always carries an id GREATER than any
+    *     committed snapshot, so unreferenced payloads with
+    *     `snapId > max(existing ids)` are never swept. An unreferenced
+    *     payload whose id is ≤ an existing snapshot id provably lost
+    *     its race (something else committed that id).
+    *  2. TEMPORAL: everything else still honors `graceMillis` (default
+    *     24 h, tunable per table via `vacuum.orphan.grace-ms`); staging
+    *     trees age by their NEWEST contained file, not the dir mtime,
+    *     so an active long write keeps refreshing its own protection.
+    *
+    * Hadoop FS throughout (object-store safe). Returns removed
+    * root-relative paths.
     */
-  def vacuumOrphans(graceMillis: Long = 60L * 60 * 1000): Seq[String] = {
+  def vacuumOrphans(graceMillis: Long = GraftTable.DefaultOrphanGraceMillis): Seq[String] = {
     val referenced = snapshots
       .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+    val maxId = snapshotIds.max
     val cutoff = System.currentTimeMillis() - graceMillis
     val conf = spark.sparkContext.hadoopConfiguration
     val rootP = new org.apache.hadoop.fs.Path(root)
     val hfs = rootP.getFileSystem(conf)
     val rootUri = hfs.makeQualified(rootP).toUri.getPath
     val removed = scala.collection.mutable.ArrayBuffer[String]()
-    // stale staging trees from crashed writers
+    // `<snapId>-…` prefix of an engine-written payload name; None for
+    // adopted files (which are always referenced anyway)
+    def plannedId(name: String): Option[Long] = {
+      val dash = name.indexOf('-')
+      if (dash <= 0) None
+      else { val p = name.substring(0, dash); if (p.forall(_.isDigit)) Some(p.toLong) else None }
+    }
+    // stale staging trees from crashed writers — aged by newest content
     Option(hfs.globStatus(new org.apache.hadoop.fs.Path(rootP, ".staging-*")))
       .getOrElse(Array.empty).foreach { st =>
-        if (st.getModificationTime < cutoff) {
+        var newest = st.getModificationTime
+        val cit = hfs.listFiles(st.getPath, true)
+        while (cit.hasNext) newest = math.max(newest, cit.next().getModificationTime)
+        if (newest < cutoff) {
           hfs.delete(st.getPath, true)
           removed += st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
         }
@@ -1461,10 +1486,18 @@ final class GraftTable(val root: String, spark: SparkSession) {
         while (it.hasNext) {
           val st = it.next()
           val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+          // delete files live under deletes/<snapId>-<uuid>/part….parquet:
+          // the planned id rides the DIRECTORY name there
+          val payloadId =
+            if (sub == "deletes")
+              rel.split('/').drop(1).headOption.flatMap(plannedId)
+            else plannedId(st.getPath.getName)
           // only parquet payloads are manifest-referenced candidates —
           // writer markers (_SUCCESS etc.) are inert and skipped
           if (st.isFile && st.getPath.getName.endsWith(".parquet")
-              && !referenced.contains(rel) && st.getModificationTime < cutoff) {
+              && !referenced.contains(rel)
+              && payloadId.forall(_ <= maxId) // structural in-flight guard
+              && st.getModificationTime < cutoff) {
             hfs.delete(st.getPath, false)
             removed += rel
           }
@@ -1472,21 +1505,26 @@ final class GraftTable(val root: String, spark: SparkSession) {
       }
     }
     // a delete-file dir whose parquet payloads are all gone (folded back
-    // and expired, or just swept) is cruft — remove the husk
+    // and expired, or just swept — including THIS pass, whose unlinks
+    // refresh the dir mtime) is cruft — remove the husk
+    val sweptDirs = removed.collect {
+      case r if r.startsWith("deletes/") => r.split('/').take(2).mkString("/")
+    }.toSet
     val delRoot = new org.apache.hadoop.fs.Path(rootP, "deletes")
     if (hfs.exists(delRoot)) hfs.listStatus(delRoot).foreach { st =>
-      if (st.isDirectory && st.getModificationTime < cutoff) {
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      if (st.isDirectory && (st.getModificationTime < cutoff || sweptDirs.contains(rel))) {
         val files = hfs.listFiles(st.getPath, true)
         var hasParquet = false
         while (files.hasNext && !hasParquet)
           hasParquet = files.next().getPath.getName.endsWith(".parquet")
         if (!hasParquet) {
           hfs.delete(st.getPath, true)
-          removed += st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+          removed += rel
         }
       }
     }
-    removed.toSeq.sorted
+    removed.toSeq.distinct.sorted
   }
 
   // ---- read path ----------------------------------------------------
@@ -1530,7 +1568,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
   /** The union of the given position-delete files as a DataFrame of
     * `(file_name, row_index)`.
     */
-  private def deleteRows(dels: Seq[DeleteFileEntry]): DataFrame =
+  private[graft] def deleteRows(dels: Seq[DeleteFileEntry]): DataFrame =
     spark.read.schema("file_name STRING, row_index BIGINT")
       .parquet(dels.map(d => s"$root/${d.path}"): _*)
 
@@ -1695,6 +1733,14 @@ object GraftTable {
     * and merge-on-read upserts.
     */
   val MergeModeProp = "write.merge.mode"
+
+  /** Default orphan-sweep grace (24 h — Iceberg's remove-orphan-files
+    * defaults to 3 days for the same reason: never race a slow
+    * writer); per-table override via TBLPROPERTIES key
+    * [[OrphanGraceProp]].
+    */
+  val DefaultOrphanGraceMillis: Long = 24L * 60 * 60 * 1000
+  val OrphanGraceProp = "vacuum.orphan.grace-ms"
 
   private[lake] def baseName(path: String): String =
     path.substring(path.lastIndexOf('/') + 1)

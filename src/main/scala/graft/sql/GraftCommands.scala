@@ -311,7 +311,10 @@ case class GraftVacuumCommand(
       throw new IllegalArgumentException(s"graft table not registered: $name"))
     val t = new GraftTable(root, session)
     t.expire(keepFrom = retainFrom.getOrElse(t.currentId))
-    t.vacuumOrphans()
+    // grace is operator-tunable per table; the default (24 h) plus the
+    // structural in-flight guard keeps slow writers safe
+    t.vacuumOrphans(t.properties.get(GraftTable.OrphanGraceProp)
+      .map(_.toLong).getOrElse(GraftTable.DefaultOrphanGraceMillis))
     Seq.empty
   }
 }

@@ -224,22 +224,25 @@ class GraftSource(
           .getOrElse(Set.empty[String])
         endSnap.files.filterNot(f => seen.contains(f.path))
       }
+    // a batch can span an append AND a later merge-on-read delete of
+    // rows in the appended files — without the filter below those rows
+    // stream out despite never having been logically visible at the end
+    // offset. Only deletes committed AFTER the start offset can target
+    // delta files (a delete's targets have addedBy <= the delete's own
+    // stamp), so a long-pending old delete costs nothing per batch.
+    val liveDels = endSnap.deleteFiles
+      .filter(d => d.addedBy == 0L || d.addedBy > startId)
     val rel = org.apache.spark.sql.graft.GraftFileIndex.relation(
       spark, root, endSnap.copy(files = delta, shards = Seq.empty),
-      isStreaming = true, withRowPos = endSnap.deleteFiles.nonEmpty)
-    if (endSnap.deleteFiles.isEmpty) rel
+      isStreaming = true, withRowPos = liveDels.nonEmpty)
+    if (liveDels.isEmpty) rel
     else {
-      // a batch can span an append AND a later merge-on-read delete of
-      // rows in the appended files — without this filter those rows
-      // stream out despite never having been logically visible at the
-      // end offset. The delete list is a STATIC frame, so this is a
-      // plain stream-static anti-join (broadcast, no state). Deletes
-      // against files from EARLIER batches change nothing here — an
-      // append-only stream never retracts.
+      // the delete list is a STATIC frame, so this is a plain
+      // stream-static anti-join (broadcast, no state); an append-only
+      // stream never retracts earlier batches.
       import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
       import org.apache.spark.sql.functions.broadcast
-      val dels = spark.read.schema("file_name STRING, row_index BIGINT")
-        .parquet(endSnap.deleteFiles.map(d => s"$root/${d.path}"): _*)
+      val dels = table.deleteRows(liveDels)
       rel.join(broadcast(dels),
           rel(PosFileCol) === dels("file_name") && rel(PosIdxCol) === dels("row_index"),
           "left_anti")

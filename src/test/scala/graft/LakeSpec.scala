@@ -1112,14 +1112,22 @@ class LakeSpec extends SparkSpec {
     val root = tmp("vacorphan")
     val t = GraftTable.create(spark, root,
       o.repartition(col("o_orderstatus")), Seq("o_orderstatus"))
-    // plant a never-referenced data file (a lost commit race / crashed
-    // writer) and a stale staging tree
+    // plant: (a) a LOST-RACE orphan — its planned snapshot id (1) was
+    // committed by someone else, so it is provably dead; (b) an
+    // IN-FLIGHT-looking payload whose planned id is beyond every
+    // committed snapshot — the structural guard must never sweep it;
+    // (c) a stale staging tree
     val dataDir = java.nio.file.Paths.get(root, "data")
-    val orphan = dataDir.resolve("999-0-orphan.parquet")
-    java.nio.file.Files.copy(
-      java.nio.file.Files.list(dataDir.resolve(
-        java.nio.file.Files.list(dataDir).iterator().next().getFileName))
-        .iterator().next(), orphan)
+    def plant(name: String): java.nio.file.Path = {
+      val p = dataDir.resolve(name)
+      java.nio.file.Files.copy(
+        java.nio.file.Files.list(dataDir.resolve(
+          java.nio.file.Files.list(dataDir).iterator().next().getFileName))
+          .iterator().next(), p)
+      p
+    }
+    val orphan = plant("1-99-orphan.parquet")
+    val inflight = plant("999-0-inflight.parquet")
     val staging = java.nio.file.Paths.get(root, ".staging-deadbeef")
     java.nio.file.Files.createDirectories(staging)
     java.nio.file.Files.write(staging.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
@@ -1127,12 +1135,16 @@ class LakeSpec extends SparkSpec {
     // inside the grace period nothing is swept (could be in-flight)
     assert(t.vacuumOrphans(graceMillis = 60000).isEmpty)
     assert(java.nio.file.Files.exists(orphan))
-    // past the grace period both go; referenced files survive
+    // past the grace period the dead orphan and staging tree go;
+    // referenced files AND the future-id payload survive
     val removed = t.vacuumOrphans(graceMillis = 0)
-    assert(removed.exists(_.endsWith("999-0-orphan.parquet")), s"swept: $removed")
+    assert(removed.exists(_.endsWith("1-99-orphan.parquet")), s"swept: $removed")
     assert(removed.exists(_.startsWith(".staging-")), s"swept: $removed")
     assert(!java.nio.file.Files.exists(orphan))
     assert(!java.nio.file.Files.exists(staging))
+    assert(java.nio.file.Files.exists(inflight),
+      "a payload stamped beyond every committed snapshot is an in-flight write — never swept")
+    java.nio.file.Files.delete(inflight) // clean up the plant
     assert(t.read().count() === nRows, "referenced data untouched")
     // MOR delete files are references too: not swept while pending
     t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
