@@ -221,6 +221,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
     Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, metaDir.resolve("version-hint.txt"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // still under the commit lock ⇒ listeners observe commits in order
+    GraftTable.notifyCommit(spark, root)
   }
 
   /** Publish a staged APPEND even if the table moved since it was
@@ -1706,6 +1708,26 @@ object GraftTable {
     * committed; [[GraftTable.stage]] replaces it with the final id.
     */
   val PendingAddedBy: Long = -1L
+
+  /** Post-publish hooks, invoked with `(session, root)` after every
+    * successful pointer swing (commit, publish, rollback — anything
+    * that changes `current`). The SQL bridge installs one to keep
+    * session-catalog [[org.apache.spark.sql.catalyst.catalog.CatalogStatistics]]
+    * in step with the manifest, so planner stats never go stale between
+    * explicit refreshes. Listener failures are swallowed: auxiliary
+    * metadata must never fail a commit that already published.
+    */
+  private val commitListeners =
+    new java.util.concurrent.CopyOnWriteArrayList[(SparkSession, String) => Unit]()
+  def addCommitListener(f: (SparkSession, String) => Unit): Unit =
+    commitListeners.add(f)
+  private[lake] def notifyCommit(spark: SparkSession, root: String): Unit = {
+    val it = commitListeners.iterator()
+    while (it.hasNext) {
+      try it.next()(spark, root)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 
   /** Operations emitted by graft's own DML — anything else in a
     * snapshot's `operation` field is a user batch tag (see

@@ -43,6 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // IcebergTableWriteRule.scala:21-41)
     ext.injectPostHocResolutionRule(session => GraftWriteInterceptRule(session))
     ext.injectOptimizerRule(session => DepPredicateRule(session))
+    // session-catalog stats follow every commit (see GraftSparkBridge)
+    GraftSparkBridge.installStatsHook()
     GraftExtensions.functions.foreach(ext.injectFunction)
   }
 }

@@ -1,5 +1,7 @@
 package graft.sql
 
+import java.util.concurrent.ConcurrentHashMap
+
 import org.apache.spark.sql.{Row, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
@@ -165,6 +167,37 @@ object GraftSparkBridge {
     else TableIdentifier(name)
   }
 
+  /** Names this JVM has mirrored into a session catalog, by table
+    * root — the reverse index the post-commit hook needs (the graft
+    * registry alone misses bridge-only registrations, and scanning the
+    * whole session catalog per commit would not).
+    */
+  private val mirrored = new ConcurrentHashMap[String, String]()
+
+  private def normRoot(r: String): String =
+    r.stripPrefix("file:").stripSuffix("/")
+
+  /** One-time (per JVM) post-commit hook: any commit to a root that is
+    * mirrored into the session catalog re-derives that entry's schema
+    * and statistics from the fresh manifest, so planner stats follow
+    * the table instead of going stale until the next DDL-boundary
+    * [[refreshSchema]]. Commits to unregistered roots are a map miss.
+    */
+  private lazy val statsHook: Unit = graft.lake.GraftTable.addCommitListener {
+    (session, root) =>
+      val r = normRoot(root)
+      val names = mirrored.entrySet().iterator()
+      val hits = scala.collection.mutable.ArrayBuffer[String]()
+      while (names.hasNext) {
+        val e = names.next()
+        if (e.getValue == r) hits += e.getKey
+      }
+      (hits ++ GraftCatalog.entries.collect {
+        case (n, r0) if normRoot(r0) == r => n
+      }).distinct.foreach(n => refreshSchema(session, n))
+  }
+  private[sql] def installStatsHook(): Unit = statsHook
+
   /** Exact table statistics straight from the manifest: the snapshot
     * already knows per-file rows and bytes, so the catalog entry gets
     * what `ANALYZE TABLE … COMPUTE STATISTICS` would cost a full scan
@@ -182,6 +215,7 @@ object GraftSparkBridge {
   }
 
   def register(session: SparkSession, name: String, root: String): Unit = {
+    installStatsHook()
     val catalog = session.sessionState.catalog
     val ident = identOf(name)
     ident.database.filterNot(catalog.databaseExists)
@@ -201,11 +235,14 @@ object GraftSparkBridge {
       provider = Some("parquet"),
       properties = props,
       stats = Some(manifestStats(t))), ignoreIfExists = false)
+    mirrored.put(name, normRoot(root))
   }
 
-  def unregister(session: SparkSession, name: String): Unit =
+  def unregister(session: SparkSession, name: String): Unit = {
+    mirrored.remove(name)
     session.sessionState.catalog
       .dropTable(identOf(name), ignoreIfNotExists = true, purge = false)
+  }
 
   /** Re-mirror the live snapshot schema AND statistics after evolution
     * or DML so DESCRIBE/tooling that read the CatalogTable stay

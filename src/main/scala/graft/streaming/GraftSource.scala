@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.StreamSourceProvider
 import org.apache.spark.sql.types.StructType
 
-import graft.lake.GraftTable
+import graft.lake.{DeleteFileEntry, GraftTable, Snapshot}
 
 /** A graft table as a Structured Streaming SOURCE: offsets are snapshot
   * ids, and each micro-batch reads exactly the data files added in
@@ -45,6 +45,12 @@ import graft.lake.GraftTable
   * pure-append workloads (the streaming case) see each row once.
   * Schema is pinned at stream start (streaming requires it); evolve
   * the table ⇒ restart the stream.
+  *
+  * Change-data feed: `readChangeFeed=true` appends a `_change_type`
+  * column and emits row-level `insert`/`delete` changes per
+  * micro-batch instead of raw appends — see [[GraftSource.cdcBatch]]
+  * for the commit-classification contract (`skipChangeCommits` streams
+  * past copy-on-write rewrites, dropping their changes, like Delta).
   */
 class GraftSourceProvider extends StreamSourceProvider {
 
@@ -52,19 +58,39 @@ class GraftSourceProvider extends StreamSourceProvider {
     parameters.getOrElse("path",
       throw new IllegalArgumentException("graft source requires option 'path'"))
 
+  private def flag(parameters: Map[String, String], key: String): Boolean =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(key) => v.toBoolean
+    }.getOrElse(false)
+
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
-    ("graft", schema.getOrElse(
-      new GraftTable(root(parameters), sqlContext.sparkSession).schema))
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val base = schema.getOrElse(
+      new GraftTable(root(parameters), sqlContext.sparkSession).schema)
+    ("graft",
+      if (flag(parameters, "readChangeFeed"))
+        base.add(GraftSource.ChangeTypeCol, org.apache.spark.sql.types.StringType,
+          nullable = false)
+      else base)
+  }
 
   override def createSource(
       sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): Source =
+      providerName: String, parameters: Map[String, String]): Source = {
+    val changeFeed = flag(parameters, "readChangeFeed")
+    val maxFiles = parameters.get("maxFilesPerTrigger").map(_.toLong)
+    val maxBytes = parameters.get("maxBytesPerTrigger").map(_.toLong)
+    require(!(changeFeed && (maxFiles.isDefined || maxBytes.isDefined)),
+      "readChangeFeed emits whole-snapshot change sets; " +
+        "maxFilesPerTrigger/maxBytesPerTrigger cannot split a change " +
+        "commit — use maxSnapshotsPerTrigger for admission control")
     new GraftSource(sqlContext.sparkSession, root(parameters),
       parameters.get("maxSnapshotsPerTrigger").map(_.toLong),
-      parameters.get("maxFilesPerTrigger").map(_.toLong),
-      parameters.get("maxBytesPerTrigger").map(_.toLong))
+      maxFiles, maxBytes,
+      changeFeed = changeFeed,
+      skipChangeCommits = flag(parameters, "skipChangeCommits"))
+  }
 }
 
 /** Sub-snapshot offset: everything through snapshot `id`, minus the
@@ -87,11 +113,17 @@ class GraftSource(
     spark: SparkSession, root: String,
     maxSnapshotsPerTrigger: Option[Long] = None,
     maxFilesPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None) extends Source {
+    maxBytesPerTrigger: Option[Long] = None,
+    changeFeed: Boolean = false,
+    skipChangeCommits: Boolean = false) extends Source {
 
   private val table = new GraftTable(root, spark)
 
-  override val schema: StructType = table.schema
+  override val schema: StructType =
+    if (changeFeed)
+      table.schema.add(GraftSource.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType, nullable = false)
+    else table.schema
 
   // admission control: highest end offset handed out so far. Restart
   // recovery initializes it via the recovered-batch getBatch call
@@ -212,6 +244,7 @@ class GraftSource(
     if (newer) lastEnd = (endId, endP)
     val endSnap = table.snapshot(endId)
     val (startId, startP) = start.map(parseOffset).getOrElse((0L, None))
+    if (changeFeed) return cdcBatch(startId, endId, endSnap)
     val delta =
       if (endSnap.files.forall(_.addedBy > 0L))
         GraftSource.orderedFiles(endSnap.files).collect {
@@ -250,12 +283,130 @@ class GraftSource(
     }
   }
 
+  // ---- change-data feed ---------------------------------------------
+
+  private def withChangeType(df: DataFrame, t: String): DataFrame =
+    df.withColumn(GraftSource.ChangeTypeCol, org.apache.spark.sql.functions.lit(t))
+
+  /** Row-level changes in `(startId, endId]` as `insert` / `delete`
+    * rows (an update is its delete+insert pair, like the batch
+    * [[graft.lake.GraftTable.changelog]] and Iceberg's changelog scan).
+    * Commit classification, per snapshot in the window:
+    *
+    *  - additive (append / adopt / batch tags / any merge-on-read DML):
+    *    its added files are inserts, its added position-delete files
+    *    are deletes of pre-window rows. Row-level reconstructible.
+    *  - data-preserving rewrite (compact / optimize / apply-deletes /
+    *    repartition-spec): bytes move, logical content doesn't —
+    *    contributes NOTHING to the feed (emitting its rewritten files
+    *    would re-insert the whole table).
+    *  - data-CHANGING rewrite (copy-on-write DELETE/UPDATE/MERGE,
+    *    overwrite, truncate, rollback): the removed rows are not
+    *    row-level recoverable from the manifest — refuse, unless
+    *    `skipChangeCommits` accepts dropping them (Delta's contract).
+    *
+    * Inserts and delete targets are planned from each committing
+    * snapshot's OWN manifest, not the end snapshot's — an in-window
+    * compaction that replaced those files in later manifests doesn't
+    * lose them (the physical files live until expire).
+    */
+  private def cdcBatch(startId: Long, endId: Long, endSnap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.graft.GraftFileIndex
+    import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
+    val order = schema.fieldNames.toSeq.map(col)
+    def antiOrSemi(rel: DataFrame, dels: DataFrame, how: String): DataFrame =
+      rel.join(broadcast(dels),
+          rel(PosFileCol) === dels("file_name") && rel(PosIdxCol) === dels("row_index"),
+          how)
+        .drop(PosFileCol, PosIdxCol)
+    if (startId <= 0) {
+      // initial load: the end snapshot's full logical content, as inserts
+      val dels = endSnap.deleteFiles
+      val rel = GraftFileIndex.relation(spark, root, endSnap.copy(shards = Seq.empty),
+        isStreaming = true, withRowPos = dels.nonEmpty)
+      val visible =
+        if (dels.isEmpty) rel else antiOrSemi(rel, table.deleteRows(dels), "left_anti")
+      return withChangeType(visible, "insert").select(order: _*)
+    }
+    // window lineage (startId, endId], oldest-first
+    var snaps = List.empty[Snapshot]
+    var a = endId
+    while (a > startId) {
+      val s = table.snapshotIfExists(a).getOrElse(throw new IllegalStateException(
+        s"changelog stream window ($startId, $endId] crosses snapshot $a, which " +
+          "has been expired — the change history is gone. Retain snapshots at " +
+          "least as long as stream downtime, or restart the stream."))
+      snaps ::= s
+      a = s.parentId
+    }
+    def isRewrite(s: Snapshot): Boolean =
+      s.deletedFiles > 0 || s.operation == "rollback"
+    snaps.find(s => isRewrite(s) && !GraftSource.DataPreservingOps.contains(s.operation))
+      .foreach { s =>
+        if (!skipChangeCommits) throw new UnsupportedOperationException(
+          s"snapshot ${s.id} ('${s.operation}') rewrites data in place; its " +
+            "row-level changes cannot be reconstructed from the manifest. Run " +
+            "DML in merge-on-read mode (write.delete.mode etc.) for a " +
+            "streamable change feed, or set skipChangeCommits=true to stream " +
+            "past it (its changes are then silently dropped).")
+      }
+    val additive = snaps.filterNot(isRewrite)
+    val insFiles = additive.flatMap(s => s.files.filter(_.addedBy == s.id))
+      .groupBy(_.path).map(_._2.head).toSeq
+    // in-window position deletes, from the committing snapshot's own
+    // manifest (robust to an in-window applyDeletes folding them away);
+    // pre-addedBy manifests (stamp 0) fall back to the end-minus-start diff
+    val winDels: Seq[DeleteFileEntry] =
+      if (snaps.exists(_.deleteFiles.exists(_.addedBy == 0L))) {
+        val startDel = table.snapshot(startId).deleteFiles.map(_.path).toSet
+        endSnap.deleteFiles.filterNot(d => startDel.contains(d.path))
+      } else
+        additive.flatMap(s => s.deleteFiles.filter(_.addedBy == s.id))
+          .groupBy(_.path).map(_._2.head).toSeq
+    val insRel = GraftFileIndex.relation(spark, root,
+      endSnap.copy(files = insFiles, shards = Seq.empty),
+      isStreaming = true, withRowPos = winDels.nonEmpty)
+    val delRows = if (winDels.isEmpty) null else table.deleteRows(winDels)
+    val inserts =
+      if (winDels.isEmpty) insRel else antiOrSemi(insRel, delRows, "left_anti")
+    val insTagged = withChangeType(inserts, "insert").select(order: _*)
+    if (winDels.isEmpty) return insTagged
+    // delete pre-images: the target list is control-plane small by
+    // design (MOR deletes ARE the point-delete path), so collecting its
+    // file names prunes the pre-image scan to exactly the touched files
+    val targets = delRows.select(col("file_name")).distinct()
+      .collect().map(_.getString(0)).toSet
+    def base(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val preFiles = snaps.flatMap(s => s.files.filter(f =>
+        targets.contains(base(f.path)) && f.addedBy <= startId))
+      .groupBy(_.path).map(_._2.head).toSeq
+    if (preFiles.isEmpty) return insTagged
+    val preRel = GraftFileIndex.relation(spark, root,
+      endSnap.copy(files = preFiles, shards = Seq.empty),
+      isStreaming = true, withRowPos = true)
+    val deletes = antiOrSemi(preRel, delRows, "left_semi")
+    insTagged.unionByName(withChangeType(deletes, "delete").select(order: _*))
+  }
+
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftSource[$root]"
 }
 
 object GraftSource {
+
+  /** Change-type column appended by `readChangeFeed=true` (values
+    * `insert` | `delete`; an update is its delete+insert pair).
+    */
+  val ChangeTypeCol = "_change_type"
+
+  /** Operations that rewrite bytes but preserve logical content — a
+    * change feed skips them wholesale (see [[GraftSource.cdcBatch]]).
+    */
+  private[streaming] val DataPreservingOps: Set[String] =
+    Set("compact", "optimize", "apply-deletes", "repartition-spec")
+
   /** Manifest files in (addedBy, path) order — the stable total order
     * sub-snapshot offsets are defined over. Path cuts (unlike ranks)
     * survive removal of neighboring files by later COW rewrites.

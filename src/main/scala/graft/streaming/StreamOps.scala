@@ -347,6 +347,69 @@ object StreamOps {
     """SELECT event_type, count(*) AS n, round(sum(value * 2), 2) AS total_v2
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** D11 `stream_changelog`: the table's change-data feed, streamed.
+    * A merge-on-read table takes an append, a point DELETE and an
+    * UPDATE; `readChangeFeed=true` streams every row-level change as
+    * `insert`/`delete` rows (an update is its delete+insert pair), and
+    * the accumulated feed is aggregated per (change type, event type).
+    * The oracle reconstructs the exact same multiset of changes from
+    * the raw events: every row is inserted once, `id%7=0` rows are
+    * deleted, surviving `id%11=0` rows are updated (pre-image delete +
+    * doubled post-image insert).
+    */
+  def changelogStream(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.GraftTable
+    val h = math.abs(d.hashCode)
+    val root = s"/root/repo/target/lakework/cdcfeed-$h"
+    val ckpt = s"/root/repo/target/lakework/cdcfeed-ckpt-$h"
+    for (p <- Seq(root, ckpt)) { import scala.sys.process._; Seq("rm", "-rf", p).! }
+    val ev = eventsBatch(s, d).select(col("event_id"), col("event_type"), col("value"))
+    val t = GraftTable.create(s, root, ev.filter(col("event_id") % 2 === 0))
+    t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    t.setProperty(GraftTable.UpdateModeProp, "merge-on-read")
+    val buf = scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
+    def drainOnce(): Unit = {
+      val q = s.readStream.format("graft.streaming.GraftSourceProvider")
+        .option("path", root).option("readChangeFeed", "true").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b.select(col("_change_type"), col("event_type"), col("value"))
+            .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+          buf.synchronized { buf ++= rows }; ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainOnce()                                    // initial load: inserts
+    t.append(ev.filter(col("event_id") % 2 =!= 0)) // the other half arrives
+    drainOnce()
+    t.delete(col("event_id") % 7 === 0)            // MOR point deletes
+    t.update(col("event_id") % 11 === 0,           // MOR update (delete+insert)
+      Map("value" -> (col("value") * 2)))
+    drainOnce(); drainOnce() // two commits: the v1 AvailableNow wrapper may batch-split
+    import s.implicits._
+    buf.toSeq.toDF("change_type", "event_type", "value")
+      .groupBy(col("change_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("change_type"), col("event_type"))
+  }
+
+  val changelogStreamSql: String =
+    """WITH ev AS (SELECT event_id, event_type, value FROM events),
+      |upd AS (SELECT * FROM ev WHERE event_id % 11 = 0 AND event_id % 7 <> 0),
+      |changes AS (
+      |  SELECT 'insert' AS change_type, event_type, value FROM ev
+      |  UNION ALL
+      |  SELECT 'delete', event_type, value FROM ev WHERE event_id % 7 = 0
+      |  UNION ALL
+      |  SELECT 'delete', event_type, value FROM upd
+      |  UNION ALL
+      |  SELECT 'insert', event_type, value * 2 FROM upd)
+      |SELECT change_type, event_type, count(*) AS n,
+      |       round(sum(value), 2) AS total_value
+      |FROM changes GROUP BY change_type, event_type
+      |ORDER BY change_type, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg"  -> (windowAgg _),
     "stream_sessionize"  -> (sessionize _),
@@ -356,6 +419,7 @@ object StreamOps {
     "stream_static_join" -> (staticJoin _),
     "stream_lake_source" -> (lakeSource _),
     "stream_lake_e2e"    -> (lakeE2e _),
+    "stream_changelog"   -> (changelogStream _),
     "stream_incremental_dedup" -> (incrementalDedupStream _))
 
   val oracles: Map[String, String] = Map(
@@ -367,5 +431,6 @@ object StreamOps {
     "stream_static_join" -> staticJoinSql,
     "stream_lake_source" -> lakeSourceSql,
     "stream_lake_e2e"    -> lakeE2eSql,
+    "stream_changelog"   -> changelogStreamSql,
     "stream_incremental_dedup" -> incrementalDedupStreamSql)
 }

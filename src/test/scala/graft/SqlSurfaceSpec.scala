@@ -306,14 +306,15 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(ct.stats.isDefined, "registration must attach manifest stats")
     assert(ct.stats.get.rowCount.contains(BigInt(t.current.totalRows)))
     assert(ct.stats.get.sizeInBytes === BigInt(t.current.files.map(_.bytes).sum))
-    // DML moves the manifest; refresh re-derives stats without a scan
+    // DML moves the manifest; the post-commit hook re-derives stats
+    // without a scan — no explicit refreshSchema needed
     t.append(Tables.orders(spark, sfDir)
       .filter(col("o_orderkey") >= 150 && col("o_orderkey") < 200)
       .repartition(col("o_orderstatus")))
-    graft.sql.GraftSparkBridge.refreshSchema(spark, "t_stats")
     val ct2 = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("t_stats"))
-    assert(ct2.stats.get.rowCount.contains(BigInt(t.current.totalRows)))
+    assert(ct2.stats.get.rowCount.contains(BigInt(t.current.totalRows)),
+      "catalog stats must follow the commit (post-commit hook)")
     // static planning (AQE OFF) broadcasts the managed table from its
     // manifest-reported size alone — no runtime sampling involved
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")

@@ -444,6 +444,107 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(planned.toIndexedSeq: _*)
       .select("id").collect().map(_.getLong(0)).toSet === (80 until 120).map(_.toLong).toSet)
   }
+
+  test("D12: readChangeFeed streams inserts and MOR deletes/updates as row-level changes") {
+    import spark.implicits._
+    val root = "/root/repo/target/laketest/cdcstream"
+    val ckpt = "/root/repo/target/laketest/cdcstream-ckpt"
+    for (p <- Seq(root, ckpt)) {
+      val f = new java.io.File(p)
+      if (f.exists()) { import scala.sys.process._; Seq("rm", "-rf", p).! }
+    }
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "k"))
+    t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    t.setProperty(GraftTable.UpdateModeProp, "merge-on-read")
+    val changes = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
+    def drainOnce(): Unit = {
+      val q = spark.readStream.format("graft.streaming.GraftSourceProvider")
+        .option("path", root).option("readChangeFeed", "true").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          changes ++= batch.select("_change_type", "id", "k").collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getString(2))); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainOnce() // initial load: everything as inserts
+    assert(changes.toSet === Set(("insert", 1L, "a"), ("insert", 2L, "b"),
+      ("insert", 3L, "c"), ("insert", 4L, "d")), s"initial load: $changes")
+    changes.clear()
+    // one window spanning: an append, a MOR point delete, a MOR update
+    t.append(Seq((5L, "e"), (6L, "f")).toDF("id", "k"))
+    t.delete(col("id") === 2L)
+    t.update(col("id") === 3L, Map("k" -> lit("x")))
+    drainOnce()
+    assert(changes.toSet === Set(
+      ("insert", 5L, "e"), ("insert", 6L, "f"),
+      ("delete", 2L, "b"),                      // point delete: pre-image out
+      ("delete", 3L, "c"), ("insert", 3L, "x")  // update: delete+insert pair
+    ), s"incremental changes: $changes")
+    changes.clear()
+    // data-preserving maintenance moves bytes, not rows: feed stays silent
+    t.applyDeletes()
+    t.optimizeCompact(1L << 30)
+    drainOnce()
+    assert(changes.isEmpty, s"maintenance must not re-emit rows: $changes")
+    // a row appended AND deleted inside one window cancels entirely
+    t.append(Seq((7L, "g")).toDF("id", "k"))
+    t.delete(col("id") === 7L)
+    drainOnce()
+    assert(changes.isEmpty, s"in-window add+delete must cancel: $changes")
+  }
+
+  test("D12b: a copy-on-write rewrite stops the change feed unless skipChangeCommits") {
+    import spark.implicits._
+    val root = "/root/repo/target/laketest/cdccow"
+    val ckpt = "/root/repo/target/laketest/cdccow-ckpt"
+    for (p <- Seq(root, ckpt)) {
+      val f = new java.io.File(p)
+      if (f.exists()) { import scala.sys.process._; Seq("rm", "-rf", p).! }
+    }
+    val t = GraftTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "k"))
+    val got = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    def drainOnce(skip: Boolean): Unit = {
+      val q = spark.readStream.format("graft.streaming.GraftSourceProvider")
+        .option("path", root).option("readChangeFeed", "true")
+        .option("skipChangeCommits", skip.toString).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= batch.select("_change_type", "id").collect()
+            .map(r => (r.getString(0), r.getLong(1))); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainOnce(skip = false)
+    got.clear()
+    t.delete(col("id") === 1L) // default COW: rewrites the file in place
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      drainOnce(skip = false))
+    assert(err.getCause.getMessage.contains("skipChangeCommits"),
+      s"wrong failure: ${err.getCause}")
+    // same checkpoint, opted in: the rewrite is passed over, later appends
+    // flow. Two drains: the first re-runs (and now clears) the poisoned
+    // batch — the v1 AvailableNow wrapper advances one batch per run
+    t.append(Seq((9L, "z")).toDF("id", "k"))
+    drainOnce(skip = true)
+    drainOnce(skip = true)
+    assert(got.toSet === Set(("insert", 9L)),
+      s"skipChangeCommits should drop the rewrite and keep appends: $got")
+    // file/byte admission cannot split change commits — refused up front
+    val bad = intercept[Exception] {
+      spark.readStream.format("graft.streaming.GraftSourceProvider")
+        .option("path", root).option("readChangeFeed", "true")
+        .option("maxFilesPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", ckpt + "-bad")
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(bad.getMessage.contains("maxFilesPerTrigger") ||
+      Option(bad.getCause).exists(_.getMessage.contains("maxFilesPerTrigger")))
+  }
 }
 
 object StreamingSpec {
