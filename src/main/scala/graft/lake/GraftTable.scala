@@ -1012,26 +1012,37 @@ final class GraftTable(val root: String, spark: SparkSession) {
 
   def merge(source: DataFrame, keyCols: Seq[String]): GraftTable = {
     val cur = current
-    // TBLPROPERTIES('write.merge.mode'='merge-on-read'): matched target
-    // rows become position deletes, the whole source is appended —
-    // upsert with zero rewrites of existing files
-    if (cur.properties.get(GraftTable.MergeModeProp).contains("merge-on-read")
-        && uniqueBaseNames(cur))
-      return mergeMor(source, keyCols)
-    val cands = sourceKeyCandidates(source, keyCols)
-    val candPaths = cands.map(_.path).toSet
-    val kept = cur.files.filterNot(f => candPaths.contains(f.path))
-    val baseCols = source.columns.toSeq
-    val survivors = readSnapshot(cur.copy(files = cands))
-      .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .select(baseCols.map(col): _*)
-    val added = writeFiles(
-      survivors.unionByName(source), cur.partitionCols, cur.deps, cur.id + 1)
-    commit(cur.copy(
-      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
-      operation = "merge", files = kept ++ added,
-      addedFiles = added.size, deletedFiles = cands.size))
-    this
+    // The source query plans THREE times here — key-bounds agg, the
+    // matched-row join, the write — so its keys are projected and
+    // persisted once up front: an expensive (or non-deterministic)
+    // upsert source is evaluated once for all key-side uses, plus
+    // exactly once more by the write itself. The persisted frame is
+    // keys-only: executor memory holds the join side that broadcasts
+    // anyway, never the full source payload.
+    val srcKeys = source.select(keyCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // TBLPROPERTIES('write.merge.mode'='merge-on-read'): matched target
+      // rows become position deletes, the whole source is appended —
+      // upsert with zero rewrites of existing files
+      if (cur.properties.get(GraftTable.MergeModeProp).contains("merge-on-read")
+          && uniqueBaseNames(cur))
+        return mergeMor(source, srcKeys, keyCols)
+      val cands = sourceKeyCandidates(srcKeys, keyCols)
+      val candPaths = cands.map(_.path).toSet
+      val kept = cur.files.filterNot(f => candPaths.contains(f.path))
+      val baseCols = source.columns.toSeq
+      val survivors = readSnapshot(cur.copy(files = cands))
+        .join(srcKeys, keyCols, "left_anti")
+        .select(baseCols.map(col): _*)
+      val added = writeFiles(
+        survivors.unionByName(source), cur.partitionCols, cur.deps, cur.id + 1)
+      commit(cur.copy(
+        id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+        operation = "merge", files = kept ++ added,
+        addedFiles = added.size, deletedFiles = cands.size))
+      this
+    } finally { srcKeys.unpersist(blocking = false); () }
   }
 
   /** MERGE — merge-on-read: candidate files (pruned by source key
@@ -1043,15 +1054,16 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * same as COW merge: the source (small side) broadcasts into the
     * semi-join. [[applyDeletes]]/OPTIMIZE folds back later.
     */
-  private def mergeMor(source: DataFrame, keyCols: Seq[String]): GraftTable = {
+  private def mergeMor(
+      source: DataFrame, srcKeys: DataFrame, keyCols: Seq[String]): GraftTable = {
     val cur = current
     import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
-    val cands = sourceKeyCandidates(source, keyCols)
+    val cands = sourceKeyCandidates(srcKeys, keyCols)
     val delEntries =
       if (cands.isEmpty) Seq.empty[DeleteFileEntry]
       else {
         val matched = readSnapshotPos(cur.copy(files = cands, shards = Seq.empty))
-          .join(broadcast(source.select(keyCols.map(col): _*)), keyCols, "left_semi")
+          .join(broadcast(srcKeys), keyCols, "left_semi")
         writeDeleteFiles(
           matched.select(col(PosFileCol).as("file_name"), col(PosIdxCol).as("row_index")),
           cur.id + 1)
@@ -1144,31 +1156,27 @@ final class GraftTable(val root: String, spark: SparkSession) {
     */
   def mergeDelete(source: DataFrame, keyCols: Seq[String]): GraftTable = {
     val cur = current
-    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
-    val aggs = keyCols.flatMap(k => Seq(fmin(col(k)), fmax(col(k))))
-    val bounds = source.agg(aggs.head, aggs.tail: _*).head()
-    val cands =
-      if (bounds.anyNull) Seq.empty
-      else {
-        val pred = keyCols.zipWithIndex.map { case (k, i) =>
-          col(k) >= lit(bounds.get(2 * i)) && col(k) <= lit(bounds.get(2 * i + 1))
-        }.reduce(_ && _)
-        pruneFiles(pred)._1
-      }
-    if (cands.isEmpty) return this
-    val candPaths = cands.map(_.path).toSet
-    val kept = cur.files.filterNot(f => candPaths.contains(f.path))
-    val baseCols = schema.fieldNames.toSeq
-      .filterNot(cur.deps.map(_.dest).toSet.contains)
-    val survivors = readSnapshot(cur.copy(files = cands, shards = Seq.empty))
-      .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .select(baseCols.map(col): _*)
-    val added = writeFiles(survivors, cur.partitionCols, cur.deps, cur.id + 1)
-    commit(cur.copy(
-      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
-      operation = "merge-delete", files = kept ++ added,
-      addedFiles = added.size, deletedFiles = cands.size))
-    this
+    // deletion-list keys evaluated once for both the bounds agg and the
+    // anti-join (same single-evaluation shape as [[merge]])
+    val srcKeys = source.select(keyCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cands = sourceKeyCandidates(srcKeys, keyCols)
+      if (cands.isEmpty) return this
+      val candPaths = cands.map(_.path).toSet
+      val kept = cur.files.filterNot(f => candPaths.contains(f.path))
+      val baseCols = schema.fieldNames.toSeq
+        .filterNot(cur.deps.map(_.dest).toSet.contains)
+      val survivors = readSnapshot(cur.copy(files = cands, shards = Seq.empty))
+        .join(srcKeys, keyCols, "left_anti")
+        .select(baseCols.map(col): _*)
+      val added = writeFiles(survivors, cur.partitionCols, cur.deps, cur.id + 1)
+      commit(cur.copy(
+        id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+        operation = "merge-delete", files = kept ++ added,
+        addedFiles = added.size, deletedFiles = cands.size))
+      this
+    } finally { srcKeys.unpersist(blocking = false); () }
   }
 
   /** Schema evolution: add a nullable column (old files read as null). */
