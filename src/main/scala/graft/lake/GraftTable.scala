@@ -1,12 +1,12 @@
 package graft.lake
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
@@ -38,14 +38,31 @@ import org.apache.spark.sql.types._
   */
 final class GraftTable(val root: String, spark: SparkSession) {
 
-  private def metaDir = Paths.get(root, "meta")
-  private def dataDir = Paths.get(root, "data")
+  /** Metadata plane — every manifest/pointer/ledger byte goes through
+    * the Hadoop FS resolved from the root URI (see [[MetaIO]]), so a
+    * table rooted at `hdfs://`/`s3a://` opens exactly like a local one.
+    */
+  private[lake] lazy val io = new MetaIO(root, spark.sparkContext.hadoopConfiguration)
+  private lazy val commitLock = CommitLock.forRoot(root, io)
 
   // ---- control plane ------------------------------------------------
 
+  private def hasCurrent: Boolean = io.exists(GraftTable.HintName)
+
   def currentId: Long = {
-    val hint = metaDir.resolve("version-hint.txt")
-    new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toLong
+    // a filesystem whose pointer swap is delete+rename (see
+    // MetaIO.writeAtomic) exposes a brief no-pointer window — retry
+    // before concluding the table does not exist
+    var tries = 0
+    while (true) {
+      try return io.readString(GraftTable.HintName).trim.toLong
+      catch {
+        case e: java.io.FileNotFoundException =>
+          if (tries >= 5) throw e
+          tries += 1; Thread.sleep(20)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Snapshots are immutable by (root, id) → cached process-wide so
@@ -55,12 +72,11 @@ final class GraftTable(val root: String, spark: SparkSession) {
     */
   def snapshot(id: Long): Snapshot =
     GraftTable.snapshotCache.computeIfAbsent((root, id), { _ =>
-      val s = SnapshotCodec.fromJson(new String(
-        Files.readAllBytes(metaDir.resolve(s"snapshot-$id.json")), StandardCharsets.UTF_8))
+      val s = SnapshotCodec.fromJson(io.readString(s"snapshot-$id.json"))
       if (s.shards.isEmpty) s
       else s.copy(files = s.shards.flatMap(r =>
         GraftTable.shardCache.computeIfAbsent((root, r.path), { _ =>
-          SnapshotCodec.shardFromBytes(Files.readAllBytes(metaDir.resolve(r.path))).files
+          SnapshotCodec.shardFromBytes(io.readBytes(r.path)).files
         })))
     })
 
@@ -70,46 +86,33 @@ final class GraftTable(val root: String, spark: SparkSession) {
     */
   def snapshotIfExists(id: Long): Option[Snapshot] =
     if (GraftTable.snapshotCache.containsKey((root, id))
-        || Files.exists(metaDir.resolve(s"snapshot-$id.json"))) Some(snapshot(id))
+        || io.exists(s"snapshot-$id.json")) Some(snapshot(id))
     else None
 
   def current: Snapshot = snapshot(currentId)
 
   def snapshotIds: Seq[Long] =
-    Files.list(metaDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("snapshot-") =>
+    io.listNames()
+      .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
         s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
-      .toSeq.sorted
+      .sorted
 
   def snapshots: Seq[Snapshot] = snapshotIds.map(snapshot)
-
-  private def lockDir = metaDir.resolve("commit.lock")
 
   /** Serialize the COMMIT POINT (the version-pointer swap) across
     * writers. Manifest creation alone cannot be the commit point: a
     * staged manifest may be a parked write-audit-publish snapshot, so
     * a writer that "skips past" it could rebase onto a stale file set
-    * and silently drop a concurrent committer's files. Local-FS atomic
-    * mkdir stands in for what an object-store deployment does with a
-    * conditional PUT / metastore lock (the reference leans on Hive
-    * metastore locking the same way). Held for one manifest write +
-    * one rename — never during data writes.
+    * and silently drop a concurrent committer's files. The lock
+    * primitive is per-filesystem (see [[CommitLock]]): POSIX atomic
+    * mkdir locally, exclusive-create on HDFS, conditional-PUT /
+    * metastore for object stores. Held for one manifest write + one
+    * rename — never during data writes.
     */
   private def withCommitLock[T](f: => T): T = {
-    Files.createDirectories(metaDir)
-    var waitedMs = 0L
-    var held = false
-    while (!held) {
-      try { Files.createDirectory(lockDir); held = true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          if (waitedMs > 10000) throw new java.util.ConcurrentModificationException(
-            s"commit lock on $root held >10s (crashed writer? remove $lockDir)")
-          Thread.sleep(10); waitedMs += 10
-      }
-    }
-    try f finally Files.deleteIfExists(lockDir)
+    io.mkdirs()
+    commitLock.acquire()
+    try f finally commitLock.release()
   }
 
   /** Non-commutative commit (overwrite / DML / compaction / rollback):
@@ -120,14 +123,14 @@ final class GraftTable(val root: String, spark: SparkSession) {
     */
   private def commit(s0: Snapshot): Unit = withCommitLock {
     // no version hint yet = the creating commit (parentId -1)
-    val cur = if (Files.exists(metaDir.resolve("version-hint.txt"))) currentId else -1L
+    val cur = if (hasCurrent) currentId else -1L
     if (cur != s0.parentId)
       throw new java.util.ConcurrentModificationException(
         s"table $root moved to snapshot $cur while this writer computed " +
           s"against ${s0.parentId}; re-read and retry")
     // a parked staged (write-audit-publish) snapshot occupying the next
     // id is NOT a conflict — step over it; ids need not be dense
-    val s = if (Files.exists(metaDir.resolve(s"snapshot-${s0.id}.json")))
+    val s = if (io.exists(s"snapshot-${s0.id}.json"))
       s0.copy(id = math.max(s0.id, snapshotIds.max) + 1) else s0
     stage(s)
     publishUnlocked(s.id)
@@ -141,17 +144,29 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * silently clobbering the winner's commit.
     */
   private def stage(s0in: Snapshot): Unit = {
-    Files.createDirectories(metaDir)
+    io.mkdirs()
     // Stamp freshly written files (addedBy = PendingAddedBy) with the
     // FINAL snapshot id — it is only known here, after rebase/step-over
     // id allocation. Carried-over files keep their original stamp, so
     // incremental/streaming readers can plan `(start, end]` deltas by
-    // filtering addedBy instead of diffing whole file lists.
-    val s0 =
-      if (s0in.files.exists(_.addedBy == GraftTable.PendingAddedBy))
-        s0in.copy(files = s0in.files.map(f =>
-          if (f.addedBy == GraftTable.PendingAddedBy) f.copy(addedBy = s0in.id) else f))
-      else s0in
+    // filtering addedBy instead of diffing whole file lists. DELETE
+    // files get the same treatment: CDC picks a window's deletes via
+    // `deleteFiles.filter(_.addedBy == id)`, so a pre-rebase planned id
+    // surviving here would silently drop them from the change feed.
+    val s0 = {
+      val fs =
+        if (s0in.files.exists(_.addedBy == GraftTable.PendingAddedBy))
+          s0in.files.map(f =>
+            if (f.addedBy == GraftTable.PendingAddedBy) f.copy(addedBy = s0in.id) else f)
+        else s0in.files
+      val ds =
+        if (s0in.deleteFiles.exists(_.addedBy == GraftTable.PendingAddedBy))
+          s0in.deleteFiles.map(d =>
+            if (d.addedBy == GraftTable.PendingAddedBy) d.copy(addedBy = s0in.id) else d)
+        else s0in.deleteFiles
+      if ((fs eq s0in.files) && (ds eq s0in.deleteFiles)) s0in
+      else s0in.copy(files = fs, deleteFiles = ds)
+    }
     // Externalize big file lists into content-addressed per-partition
     // shards: an unchanged partition hashes to an existing shard file
     // and is re-pointed, not re-written — at 10⁵ files an append to
@@ -170,21 +185,19 @@ final class GraftTable(val root: String, spark: SparkSession) {
             val sha = java.security.MessageDigest.getInstance("SHA-1")
               .digest(body).map("%02x".format(_)).mkString
             val name = s"shard-$sha.json"
-            val p = metaDir.resolve(name)
-            if (!Files.exists(p)) {
-              try Files.write(p, body, java.nio.file.StandardOpenOption.CREATE_NEW)
-              catch { case _: java.nio.file.FileAlreadyExistsException => () } // racer wrote identical bytes
+            if (!io.exists(name)) {
+              try io.writeNew(name, body)
+              catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () } // racer wrote identical bytes
             }
             ShardRef(name, fs.size.toLong)
           }
         s0.copy(files = Seq.empty, shards = refs)
       }
     try {
-      Files.write(metaDir.resolve(s"snapshot-${s.id}.json"),
-        SnapshotCodec.toJson(s).getBytes(StandardCharsets.UTF_8),
-        java.nio.file.StandardOpenOption.CREATE_NEW)
+      io.writeNew(s"snapshot-${s.id}.json",
+        SnapshotCodec.toJson(s).getBytes(StandardCharsets.UTF_8))
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
           s"snapshot ${s.id} already committed by another writer " +
             s"(table $root); refresh and retry")
@@ -202,7 +215,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * rebase the staged delta) and retry.
     */
   def publish(id: Long): Unit = withCommitLock {
-    require(Files.exists(metaDir.resolve(s"snapshot-$id.json")),
+    require(io.exists(s"snapshot-$id.json"),
       s"no staged snapshot $id under $root")
     val cur = currentId
     if (id != cur && snapshot(id).parentId != cur)
@@ -214,13 +227,9 @@ final class GraftTable(val root: String, spark: SparkSession) {
   }
 
   private def publishUnlocked(id: Long): Unit = {
-    require(Files.exists(metaDir.resolve(s"snapshot-$id.json")),
+    require(io.exists(s"snapshot-$id.json"),
       s"no staged snapshot $id under $root")
-    // unique temp name: concurrent publishers must never share one
-    val tmp = metaDir.resolve(s"version-hint.tmp-${UUID.randomUUID()}")
-    Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, metaDir.resolve("version-hint.txt"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    io.writeAtomic(GraftTable.HintName, id.toString.getBytes(StandardCharsets.UTF_8))
     // still under the commit lock ⇒ listeners observe commits in order
     GraftTable.notifyCommit(spark, root)
   }
@@ -235,7 +244,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * one when a rebase happened).
     */
   def publishCherryPick(id: Long): Long = withCommitLock {
-    require(Files.exists(metaDir.resolve(s"snapshot-$id.json")),
+    require(io.exists(s"snapshot-$id.json"),
       s"no staged snapshot $id under $root")
     val staged = snapshot(id)
     val cur = current
@@ -288,8 +297,6 @@ final class GraftTable(val root: String, spark: SparkSession) {
     nid
   }
 
-  private def tagsFile = metaDir.resolve("batch-tags.txt")
-
   /** Batch tags consumed by [[appendBatch]] — the durable exactly-once
     * ledger. The ledger file survives snapshot expiration (a replayed
     * batch is still recognized after VACUUM); the only possible gap is
@@ -305,57 +312,54 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * them, so a replayed batch in that window double-appended. O(#snapshots)
     * manifest reads, paid once per table open, not per batch.
     */
+  private def readLedger(): Set[String] =
+    if (!io.exists(GraftTable.LedgerName)) Set.empty[String]
+    else io.readString(GraftTable.LedgerName)
+      .split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSet
+
   private def seedLedger(): Unit =
-    if (!GraftTable.ledgerSeeded.contains(root)
-        && Files.exists(metaDir.resolve("version-hint.txt"))) {
+    if (!GraftTable.ledgerSeeded.contains(root) && hasCurrent) {
       val fromSnaps = snapshotIds.flatMap { i =>
         try Some(snapshot(i).operation)
         catch { case _: java.io.IOException => None } // expired mid-scan
       }.filterNot(GraftTable.StandardOps.contains).toSet
-      val onFile =
-        if (!Files.exists(tagsFile)) Set.empty[String]
-        else new String(Files.readAllBytes(tagsFile), StandardCharsets.UTF_8)
-          .split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSet
-      val missing = fromSnaps -- onFile
+      val missing = fromSnaps -- readLedger()
       if (missing.nonEmpty) withCommitLock {
         // re-read under the lock; duplicate lines are harmless (set read)
-        val cur =
-          if (!Files.exists(tagsFile)) Set.empty[String]
-          else new String(Files.readAllBytes(tagsFile), StandardCharsets.UTF_8)
-            .split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSet
-        (fromSnaps -- cur).toSeq.sorted.foreach(recordTag)
+        (fromSnaps -- readLedger()).toSeq.sorted.foreach(recordTag)
       }
       GraftTable.ledgerSeeded.add(root)
     }
 
   private def consumedTags: Set[String] = {
     seedLedger()
-    // the ledger is append-only, so its SIZE is a valid cache token —
+    // the ledger only ever grows, so its SIZE is a valid cache token —
     // a long-running stream sink parses it once, not once per batch
     val fromFile =
-      if (!Files.exists(tagsFile)) Set.empty[String]
+      if (!io.exists(GraftTable.LedgerName)) Set.empty[String]
       else {
-        val size = Files.size(tagsFile)
+        val size = io.size(GraftTable.LedgerName)
         val cached = GraftTable.tagCache.get(root)
         if (cached != null && cached._1 == size) cached._2
         else {
-          val tags = new String(Files.readAllBytes(tagsFile), StandardCharsets.UTF_8)
-            .split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSet
+          val tags = readLedger()
           GraftTable.tagCache.put(root, (size, tags))
           tags
         }
       }
-    if (Files.exists(metaDir.resolve("version-hint.txt"))) fromFile + current.operation
+    if (hasCurrent) fromFile + current.operation
     else fromFile
   }
 
-  /** Append `tag` to the ledger — call only while holding the commit
-    * lock (or from [[expire]], where duplicate lines are harmless: the
-    * ledger is read as a set).
+  /** Add `tag` to the ledger — call only while holding the commit
+    * lock: the write is a read-modify-rewrite (Hadoop filesystems
+    * don't all support append), so a concurrent unlocked writer could
+    * drop a tag, not just duplicate one.
     */
-  private def recordTag(tag: String): Unit =
-    Files.write(tagsFile, (tag + "\n").getBytes(StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+  private def recordTag(tag: String): Unit = {
+    val prior = if (io.exists(GraftTable.LedgerName)) io.readString(GraftTable.LedgerName) else ""
+    io.writeAtomic(GraftTable.LedgerName, (prior + tag + "\n").getBytes(StandardCharsets.UTF_8))
+  }
 
   /** Idempotent tagged append — the exactly-once primitive for
     * streaming sinks: each micro-batch appends under a unique tag
@@ -404,24 +408,23 @@ final class GraftTable(val root: String, spark: SparkSession) {
     val live = snapshotIds.filterNot(_ == id)
       .flatMap(i => snapshot(i).files.map(_.path)).toSet
     val orphans = snapshot(id).files.map(_.path).filterNot(live.contains)
-    orphans.foreach(rel => Files.deleteIfExists(Paths.get(root, rel)))
-    Files.deleteIfExists(metaDir.resolve(s"snapshot-$id.json"))
+    val rootP = new HPath(root)
+    orphans.foreach(rel => io.fs.delete(new HPath(rootP, rel), false))
+    io.delete(s"snapshot-$id.json")
     GraftTable.snapshotCache.remove((root, id))
   }
 
   // ---- named refs (tags + branches) ---------------------------------
-
-  private def refsFile = metaDir.resolve("refs.json")
 
   /** name → (snapshot id, isBranch). Tags serialize as a bare number
     * (the original format, still readable); branches as
     * `{"id": N, "branch": true}`.
     */
   private def refEntries: Map[String, (Long, Boolean)] =
-    if (!Files.exists(refsFile)) Map.empty
+    if (!io.exists(GraftTable.RefsName)) Map.empty
     else {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = mapper.readTree(Files.readAllBytes(refsFile))
+      val node = mapper.readTree(io.readBytes(GraftTable.RefsName))
       val it = node.fieldNames()
       val b = Map.newBuilder[String, (Long, Boolean)]
       while (it.hasNext) {
@@ -440,15 +443,12 @@ final class GraftTable(val root: String, spark: SparkSession) {
       case (k, (id, true))  =>
         val o = node.putObject(k); o.put("id", id); o.put("branch", true)
     }
-    val tmp = metaDir.resolve(s"refs.json.tmp-${UUID.randomUUID()}")
-    Files.write(tmp, mapper.writeValueAsBytes(node))
-    Files.move(tmp, refsFile,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    io.writeAtomic(GraftTable.RefsName, mapper.writeValueAsBytes(node))
   }
 
   /** Tag a snapshot with a stable name; `AS OF '<name>'` resolves it. */
   def tag(name: String, id: Long): GraftTable = withCommitLock {
-    require(Files.exists(metaDir.resolve(s"snapshot-$id.json")), s"no snapshot $id")
+    require(io.exists(s"snapshot-$id.json"), s"no snapshot $id")
     val m = refEntries
     require(!m.get(name).exists(_._2), s"ref '$name' is a branch; tags cannot shadow it")
     writeRefEntries(m + (name -> (id, false)))
@@ -466,7 +466,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     */
   def branch(name: String, fromId: Long = -1L): GraftTable = withCommitLock {
     val at = if (fromId < 0) currentId else fromId
-    require(Files.exists(metaDir.resolve(s"snapshot-$at.json")), s"no snapshot $at")
+    require(io.exists(s"snapshot-$at.json"), s"no snapshot $at")
     val m = refEntries
     require(!m.get(name).exists(!_._2), s"ref '$name' exists as a tag")
     writeRefEntries(m + (name -> (at, true)))
@@ -553,11 +553,11 @@ final class GraftTable(val root: String, spark: SparkSession) {
       else d.withColumn(dep.dest,
         Deps.columnTyped(dep.transform, col(dep.src), d.schema(dep.src).dataType))
     }
-    val staging = Paths.get(root, s".staging-${UUID.randomUUID()}")
+    val staging = new HPath(new HPath(root), s".staging-${UUID.randomUUID()}")
     // `write.bloom.columns`: bloom filters ride the parquet footers of
     // new files (create has no current snapshot yet → no properties)
     val bloomCols =
-      (if (Files.exists(metaDir.resolve("version-hint.txt")))
+      (if (hasCurrent)
          current.properties.getOrElse("write.bloom.columns", "") else "")
         .split(',').map(_.trim).filter(_.nonEmpty)
         .map(c => logicalToPhysical.getOrElse(c, c))
@@ -577,9 +577,9 @@ final class GraftTable(val root: String, spark: SparkSession) {
     // enumeration/cleanup goes through the Hadoop FS API — no
     // local-filesystem assumption anywhere in the data plane.
     val hconf = spark.sparkContext.hadoopConfiguration
-    val stagingP = new org.apache.hadoop.fs.Path(staging.toString)
+    val stagingP = staging
     val hfs = stagingP.getFileSystem(hconf)
-    val stagingUri = stagingP.toUri.getPath
+    val stagingUri = hfs.makeQualified(stagingP).toUri.getPath
     val listed = scala.collection.mutable.ArrayBuffer[String]()
     val it = hfs.listFiles(stagingP, true)
     while (it.hasNext) {
@@ -596,8 +596,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
           val i = seg.indexOf('=')
           seg.substring(0, i) -> GraftTable.unescapePath(seg.substring(i + 1))
         }.toMap
-      val destDir = partVals.foldLeft(dataDir.toString) { case (d, (k, v)) =>
-        s"$d/$k=${GraftTable.escapePath(v)}" }
+      val destDir = partVals.foldLeft(new HPath(new HPath(root), "data").toString) {
+        case (d, (k, v)) => s"$d/$k=${GraftTable.escapePath(v)}" }
       val dest = s"$destDir/$snapId-$seq-${segs.last}"
       seq += 1
       (p, dest, partVals)
@@ -822,7 +822,11 @@ final class GraftTable(val root: String, spark: SparkSession) {
       .map { st =>
         val fr = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
         val n = try fr.getRecordCount finally fr.close()
-        DeleteFileEntry(s"$relDir/${st.getPath.getName}", n, snapId)
+        // addedBy is stamped PENDING, not the planned snapId: commit()
+        // may rebase the id past a parked WAP snapshot, and stage()
+        // stamps the final id (the planned id survives only in the path)
+        DeleteFileEntry(s"$relDir/${st.getPath.getName}", n,
+          GraftTable.PendingAddedBy, st.getLen)
       }
       .filter(_.rows > 0)
     if (entries.isEmpty) { hfs.delete(dirP, true); Seq.empty } else entries
@@ -1246,7 +1250,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
 
   /** logical → physical column names (non-identity entries only). */
   private def logicalToPhysical: Map[String, String] =
-    if (!Files.exists(metaDir.resolve("version-hint.txt"))) Map.empty
+    if (!hasCurrent) Map.empty
     else schema.fields.iterator
       .map(f => f.name -> GraftTable.physicalName(f))
       .filter(kv => kv._1 != kv._2).toMap
@@ -1368,9 +1372,9 @@ final class GraftTable(val root: String, spark: SparkSession) {
         import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
         val common = from.files.filter(f => toPaths.contains(f.path))
         val base = readSnapshotPos(from.copy(files = common, shards = Seq.empty))
-        Some(base.join(
-            broadcast(deleteRows(newDels)),
-            base(PosFileCol) === col("file_name") && base(PosIdxCol) === col("row_index"),
+        val delRows = deleteRowsHinted(to.properties, newDels)
+        Some(base.join(delRows,
+            base(PosFileCol) === delRows("file_name") && base(PosIdxCol) === delRows("row_index"),
             "left_semi")
           .drop(PosFileCol, PosIdxCol))
       }
@@ -1416,20 +1420,22 @@ final class GraftTable(val root: String, spark: SparkSession) {
     if (delete) {
       // fold expiring batch tags into the durable ledger so replayed
       // streaming batches stay recognized after their snapshots are
-      // gone (covers tables written before the ledger existed)
-      expired.map(snapshot(_).operation)
-        .filterNot(GraftTable.StandardOps.contains).distinct.foreach(recordTag)
-      orphans.foreach(rel => Files.deleteIfExists(Paths.get(root, rel)))
-      expired.foreach(id => Files.deleteIfExists(metaDir.resolve(s"snapshot-$id.json")))
+      // gone (covers tables written before the ledger existed);
+      // recordTag is read-modify-rewrite → must hold the commit lock
+      val expTags = expired.map(snapshot(_).operation)
+        .filterNot(GraftTable.StandardOps.contains).distinct
+      if (expTags.nonEmpty) withCommitLock { expTags.foreach(recordTag) }
+      val rootP = new HPath(root)
+      orphans.foreach(rel => io.fs.delete(new HPath(rootP, rel), false))
+      expired.foreach(id => io.delete(s"snapshot-$id.json"))
       // GC manifest shards no live snapshot points at (content-addressed
       // files are shared across snapshots, so liveness is by reference)
       val liveShards = retained.flatMap(id => snapshot(id).shards.map(_.path)).toSet
-      Files.list(metaDir).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("shard-"))
-        .filterNot(p => liveShards.contains(p.getFileName.toString))
-        .foreach { p =>
-          GraftTable.shardCache.remove((root, p.getFileName.toString))
-          Files.deleteIfExists(p)
+      io.listNames()
+        .filter(n => n.startsWith("shard-") && !liveShards.contains(n))
+        .foreach { n =>
+          GraftTable.shardCache.remove((root, n))
+          io.delete(n)
         }
     }
     orphans
@@ -1564,13 +1570,15 @@ final class GraftTable(val root: String, spark: SparkSession) {
     if (s.deleteFiles.isEmpty) withPos
     else {
       import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
-      // the delete list is boilerplate-sized relative to the data (that
-      // is the point of MOR) — broadcast it so the scan side never
-      // shuffles; the join keys on the file basename, which the write
-      // path makes unique table-wide (<snapId>-<seq>-<name>)
-      withPos.join(
-        broadcast(deleteRows(s.deleteFiles)),
-        withPos(PosFileCol) === col("file_name") && withPos(PosIdxCol) === col("row_index"),
+      // point deletes keep the set broadcast-small (that is the point
+      // of MOR) so the scan side never shuffles; a bulk MOR MERGE can
+      // grow it to data scale, where deleteRowsHinted drops the hint
+      // and Spark plans a shuffled anti-join instead of OOMing the
+      // driver. The join keys on the file basename, which the write
+      // path makes unique table-wide (<snapId>-<seq>-<name>).
+      val dels = deleteRowsHinted(s.properties, s.deleteFiles)
+      withPos.join(dels,
+        withPos(PosFileCol) === dels("file_name") && withPos(PosIdxCol) === dels("row_index"),
         "left_anti")
     }
   }
@@ -1581,6 +1589,24 @@ final class GraftTable(val root: String, spark: SparkSession) {
   private[graft] def deleteRows(dels: Seq[DeleteFileEntry]): DataFrame =
     spark.read.schema("file_name STRING, row_index BIGINT")
       .parquet(dels.map(d => s"$root/${d.path}"): _*)
+
+  /** [[deleteRows]] with a broadcast hint IF the set's recorded bytes
+    * fit under `write.delete.broadcast-threshold` (default 32 MB).
+    * MOR reads anti-join the pending delete set on every scan until
+    * OPTIMIZE folds it back; hinting broadcast unconditionally turns a
+    * TB-scale delete set (a 10 % MOR MERGE of a 100 TB table) into a
+    * guaranteed driver OOM, while never hinting costs every point-read
+    * a shuffle. The manifest records each delete file's length at
+    * write time, so the decision is metadata-only; past the threshold
+    * Spark's planner (and AQE, from runtime sizes) picks the join.
+    */
+  private[graft] def deleteRowsHinted(
+      props: Map[String, String], dels: Seq[DeleteFileEntry]): DataFrame = {
+    val df = deleteRows(dels)
+    val limit = props.get(GraftTable.DeleteBroadcastProp).map(_.toLong)
+      .getOrElse(GraftTable.DefaultDeleteBroadcastBytes)
+    if (GraftTable.deleteSetBytes(dels) <= limit) broadcast(df) else df
+  }
 
   /** Full-table read of the current snapshot. */
   def read(): DataFrame = readSnapshot(current)
@@ -1690,6 +1716,11 @@ object GraftTable {
     */
   val PhysicalNameKey = "graftPhysicalName"
 
+  /** Meta-dir file names (all I/O through [[MetaIO]]). */
+  private[lake] val HintName = "version-hint.txt"
+  private[lake] val LedgerName = "batch-tags.txt"
+  private[lake] val RefsName = "refs.json"
+
   /** On-disk parquet name of a schema field (== logical name unless
     * the column has been renamed).
     */
@@ -1764,6 +1795,25 @@ object GraftTable {
     */
   val MergeModeProp = "write.merge.mode"
 
+  /** TBLPROPERTIES key: max recorded bytes of a pending position-delete
+    * set that MOR reads will still broadcast-hint (see
+    * [[GraftTable.deleteRowsHinted]]).
+    */
+  val DeleteBroadcastProp = "write.delete.broadcast-threshold"
+
+  /** 32 MB default: parquet-encoded `(file_name, row_index)` pairs
+    * expand several-fold into a broadcast hash relation, so this keeps
+    * the relation within the same order as Spark's own
+    * autoBroadcastJoinThreshold while covering any point-delete burst.
+    */
+  val DefaultDeleteBroadcastBytes: Long = 32L * 1024 * 1024
+
+  /** Recorded size of a delete set; entries from pre-`bytes` manifests
+    * estimate ~64 B/row (the measured parquet footprint of a pair).
+    */
+  private[graft] def deleteSetBytes(dels: Seq[DeleteFileEntry]): Long =
+    dels.map(d => if (d.bytes > 0) d.bytes else d.rows * 64L).sum
+
   /** Default orphan-sweep grace (24 h — Iceberg's remove-orphan-files
     * defaults to 3 days for the same reason: never race a slow
     * writer); per-table override via TBLPROPERTIES key
@@ -1811,12 +1861,11 @@ object GraftTable {
       spark: SparkSession, root: String, df: DataFrame,
       partitionCols: Seq[String] = Seq.empty,
       deps: Seq[DepSpec] = Seq.empty): GraftTable = {
-    val rootP = Paths.get(root)
-    if (Files.exists(rootP)) {
-      Files.walk(rootP).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
+    val rootP = new HPath(root)
+    val hfs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(rootP)) hfs.delete(rootP, true)
     invalidate(root)
-    Files.createDirectories(rootP)
+    hfs.mkdirs(rootP)
     val t = new GraftTable(root, spark)
     // resolve the full schema (incl. derived dep columns) by writing
     val withDeps = deps.foldLeft(df) { (d, dep) =>
@@ -1839,12 +1888,11 @@ object GraftTable {
   def createEmpty(
       spark: SparkSession, root: String, schema: StructType,
       partitionCols: Seq[String], deps: Seq[DepSpec]): GraftTable = {
-    val rootP = Paths.get(root)
-    if (Files.exists(rootP)) {
-      Files.walk(rootP).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
+    val rootP = new HPath(root)
+    val hfs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(rootP)) hfs.delete(rootP, true)
     invalidate(root)
-    Files.createDirectories(rootP)
+    hfs.mkdirs(rootP)
     val t = new GraftTable(root, spark)
     t.commit(Snapshot(
       id = 1, parentId = -1L, tsMillis = System.currentTimeMillis(),
@@ -1865,27 +1913,35 @@ object GraftTable {
     * manifest-planned scan path at the cost of one footer pass.
     */
   def adopt(spark: SparkSession, root: String): GraftTable = {
-    val rootP = Paths.get(root)
-    val dataP = rootP.resolve("data")
-    require(Files.isDirectory(dataP), s"adopt: $dataP is not a directory")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rootP = new HPath(root)
+    val hfs = rootP.getFileSystem(hconf)
+    val dataP = new HPath(rootP, "data")
+    require(hfs.exists(dataP) && hfs.getFileStatus(dataP).isDirectory,
+      s"adopt: $dataP is not a directory")
     // fresh management state; data files untouched (re-adoption safe)
-    val metaP = rootP.resolve("meta")
-    if (Files.exists(metaP))
-      Files.walk(metaP).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val metaP = new HPath(rootP, "meta")
+    if (hfs.exists(metaP)) hfs.delete(metaP, true)
     invalidate(root)
     // one-time schema + partition-column inference (Spark types the
     // k=v directory columns); afterwards all planning is manifest-only
     val schema = spark.read.parquet(dataP.toString).schema
-    def partsOf(p: Path): Seq[(String, String)] =
-      dataP.relativize(p).iterator().asScala.map(_.toString).toSeq.dropRight(1)
+    val dataUri = hfs.makeQualified(dataP).toUri.getPath
+    def partsOf(p: org.apache.hadoop.fs.Path): Seq[(String, String)] =
+      p.toUri.getPath.stripPrefix(dataUri).stripPrefix("/")
+        .split('/').toSeq.dropRight(1)
         .filter(_.contains('='))
         .map { seg =>
           val i = seg.indexOf('=')
           seg.substring(0, i) -> unescapePath(seg.substring(i + 1))
         }
-    val files = Files.walk(dataP).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .toSeq.sortBy(_.toString)
+    val listed = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
+    val it = hfs.listFiles(dataP, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) listed += st.getPath
+    }
+    val files = listed.toSeq.sortBy(_.toUri.getPath)
     val work = files.map(p => (p.toString, partsOf(p).toMap))
     val partCols = files.headOption.map(partsOf(_).map(_._1)).getOrElse(Seq.empty)
     val rootStr = root
@@ -1904,6 +1960,17 @@ object GraftTable {
     t
   }
 
+  /** Root-relative form of an absolute path/URI — pure string
+    * arithmetic over URI paths, so it runs on executors with no
+    * filesystem access and handles `file:`/`hdfs:`-qualified and bare
+    * forms on either side.
+    */
+  private def relativize(root: String, path: String): String = {
+    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+    new org.apache.hadoop.fs.Path(path).toUri.getPath
+      .stripPrefix(rootUri).stripPrefix("/")
+  }
+
   /** Footer-stat one existing file (no move) — runs in a cluster task. */
   private def statEntry(root: String, path: String,
       partVals: Map[String, String]): FileEntry = {
@@ -1911,8 +1978,7 @@ object GraftTable {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val (rows, bytes, stats) = footerStats(p, fs, conf)
-    FileEntry(Paths.get(root).relativize(Paths.get(path)).toString,
-      partVals, rows, bytes, stats, PendingAddedBy)
+    FileEntry(relativize(root, path), partVals, rows, bytes, stats, PendingAddedBy)
   }
 
   /** Parse the reference's columnDependencies option string:
@@ -1954,8 +2020,7 @@ object GraftTable {
     if (!fs.rename(srcP, destP))
       throw new java.io.IOException(s"rename $src -> $dest failed")
     val (rows, bytes, stats) = footerStats(destP, fs, conf)
-    FileEntry(Paths.get(root).relativize(Paths.get(dest)).toString,
-      partVals, rows, bytes, stats, PendingAddedBy)
+    FileEntry(relativize(root, dest), partVals, rows, bytes, stats, PendingAddedBy)
   }
 
   /** Per-column min/max/nulls from the parquet footer — O(footer), no

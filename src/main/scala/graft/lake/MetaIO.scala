@@ -1,0 +1,151 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+/** All metadata-plane I/O for one graft table, through the Hadoop
+  * FileSystem API — manifests, shards, the version pointer, named
+  * refs, and the batch-tag ledger. A table rooted at `file:`, `hdfs:`,
+  * `s3a:`, … resolves one FileSystem from its root URI and the
+  * control plane never touches `java.nio` (the role
+  * HadoopTableOperations plays for the reference:
+  * table/SparkTableOperations.scala:1-159 routes all table metadata
+  * through Iceberg's Hadoop table layer). The data plane was already
+  * Hadoop-FS; this closes the gap that made non-local roots unopenable.
+  *
+  * Atomicity notes, by operation:
+  *  - [[writeNew]] (exclusive create) is atomic on HDFS and maps to a
+  *    conditional PUT on stores that support one; the local FS checks
+  *    then creates, and the callers that need hard exclusion run under
+  *    the [[CommitLock]].
+  *  - [[writeAtomic]] (pointer swap) renames a temp file over the
+  *    target: atomic replace on POSIX local FS; filesystems that
+  *    refuse to rename over an existing target (HDFS FileSystem API)
+  *    fall back to delete+rename, and readers ride out that window via
+  *    the retry in [[GraftTable.currentId]] — the same stance Iceberg's
+  *    HadoopTableOperations takes for version-hint.txt.
+  */
+final class MetaIO(root: String, conf: Configuration) {
+  private val rootPath = new HPath(root)
+  val fs: FileSystem = rootPath.getFileSystem(conf)
+  private val metaPath = new HPath(rootPath, "meta")
+
+  def path(name: String): HPath = new HPath(metaPath, name)
+
+  def exists(name: String): Boolean = fs.exists(path(name))
+
+  def size(name: String): Long = fs.getFileStatus(path(name)).getLen
+
+  def readBytes(name: String): Array[Byte] = {
+    val p = path(name)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val in = fs.open(p)
+    try { val buf = new Array[Byte](len); in.readFully(0, buf); buf }
+    finally in.close()
+  }
+
+  def readString(name: String): String =
+    new String(readBytes(name), StandardCharsets.UTF_8)
+
+  /** Exclusive create: fails with
+    * [[org.apache.hadoop.fs.FileAlreadyExistsException]] when the file
+    * already exists — the optimistic-concurrency primitive manifest
+    * staging builds on.
+    */
+  def writeNew(name: String, bytes: Array[Byte]): Unit = {
+    val out = fs.create(path(name), false)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** Overwrite-in-place via temp file + rename (see class doc for the
+    * per-filesystem atomicity story).
+    */
+  def writeAtomic(name: String, bytes: Array[Byte]): Unit = {
+    val tmp = path(s"$name.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val dst = path(name)
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(dst, false)
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    }
+  }
+
+  def delete(name: String): Boolean = fs.delete(path(name), false)
+
+  /** Flat listing of the meta dir (empty when it does not exist). */
+  def listNames(): Seq[String] =
+    if (!fs.exists(metaPath)) Seq.empty
+    else fs.listStatus(metaPath).toSeq.map(_.getPath.getName)
+
+  def mkdirs(): Unit = { fs.mkdirs(metaPath); () }
+}
+
+/** Serialize the COMMIT POINT (the version-pointer swap) across
+  * writers — held for one manifest write + one rename, never during
+  * data writes. Pluggable because no single primitive is atomic on
+  * every filesystem: the local impl uses POSIX atomic mkdir, other
+  * Hadoop filesystems get an exclusive-create lock file (atomic on
+  * HDFS), and an object-store deployment would plug a conditional-PUT
+  * or metastore lock here (the reference leans on Hive metastore
+  * locking the same way).
+  */
+trait CommitLock {
+  /** Block (poll) until the lock is held; throw
+    * [[java.util.ConcurrentModificationException]] after ~10 s (a
+    * crashed writer holds the lock forever — the error names the path
+    * to remove).
+    */
+  def acquire(): Unit
+  def release(): Unit
+}
+
+object CommitLock {
+  private[lake] val TimeoutMs = 10000L
+
+  /** Lock impl for a table root, by filesystem scheme. */
+  def forRoot(root: String, io: MetaIO): CommitLock = {
+    val scheme = new HPath(root).toUri.getScheme
+    if (scheme == null || scheme == "file")
+      new MkdirCommitLock(root, new HPath(root).toUri.getPath)
+    else new CreateFileCommitLock(root, io)
+  }
+
+  private[lake] def spin(root: String, what: String)(tryOnce: () => Boolean): Unit = {
+    var waitedMs = 0L
+    while (!tryOnce()) {
+      if (waitedMs > TimeoutMs) throw new java.util.ConcurrentModificationException(
+        s"commit lock on $root held >10s (crashed writer? remove $what)")
+      Thread.sleep(10); waitedMs += 10
+    }
+  }
+}
+
+/** Local-FS commit lock: `mkdir meta/commit.lock` is atomic on POSIX
+  * (and `java.nio` is correct here by construction — this impl is
+  * selected only for `file:`/schemeless roots).
+  */
+final class MkdirCommitLock(root: String, localRoot: String) extends CommitLock {
+  private val lockDir = java.nio.file.Paths.get(localRoot, "meta", "commit.lock")
+  override def acquire(): Unit = CommitLock.spin(root, lockDir.toString) { () =>
+    try { java.nio.file.Files.createDirectory(lockDir); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  }
+  override def release(): Unit = { java.nio.file.Files.deleteIfExists(lockDir); () }
+}
+
+/** Hadoop-FS commit lock: exclusive create of `meta/commit.lock`
+  * (atomic on HDFS; object stores without atomic create-if-absent
+  * should plug a conditional-PUT/metastore [[CommitLock]] instead).
+  */
+final class CreateFileCommitLock(root: String, io: MetaIO) extends CommitLock {
+  private val Name = "commit.lock"
+  override def acquire(): Unit = CommitLock.spin(root, io.path(Name).toString) { () =>
+    try { io.writeNew(Name, Array.emptyByteArray); true }
+    catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+  }
+  override def release(): Unit = { io.delete(Name); () }
+}

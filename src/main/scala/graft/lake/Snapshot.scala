@@ -49,15 +49,19 @@ final case class FileEntry(
   * pairs naming rows that are logically deleted from the data files
   * still listed in `Snapshot.files`. `path` is relative to the table
   * root (under `deletes/`). Readers apply the union of a snapshot's
-  * delete files as a broadcast anti-join keyed on the scan's
-  * `_metadata` columns; `OPTIMIZE`/[[GraftTable.applyDeletes]] folds
-  * them back into rewritten data files. The Iceberg v2
+  * delete files as an anti-join keyed on the scan's `_metadata`
+  * columns (broadcast only while the set is small — see
+  * [[GraftTable.deleteRowsHinted]]); `OPTIMIZE`/[[GraftTable.applyDeletes]]
+  * folds them back into rewritten data files. The Iceberg v2
   * position-delete model re-expressed (the reference is copy-on-write
   * only — this extends parity for the point-delete-at-100 TB case,
   * where rewriting every touched data file is crippling write
-  * amplification).
+  * amplification). `bytes` (file length, recorded at write time) sizes
+  * the read-side broadcast decision; manifests from before the field
+  * deserialize it as 0 = unknown (readers estimate from `rows`).
   */
-final case class DeleteFileEntry(path: String, rows: Long, addedBy: Long = 0L)
+final case class DeleteFileEntry(
+    path: String, rows: Long, addedBy: Long = 0L, bytes: Long = 0L)
 
 /** A column dependency `src → dest : transform` (reference:
   * utils/Transforms.scala:30; Config.scala:77 COLUMN_DEPENDENCIES option). Declares

@@ -271,12 +271,12 @@ class GraftSource(
     if (liveDels.isEmpty) rel
     else {
       // the delete list is a STATIC frame, so this is a plain
-      // stream-static anti-join (broadcast, no state); an append-only
-      // stream never retracts earlier batches.
+      // stream-static anti-join with no state (broadcast-hinted only
+      // while the set is small — GraftTable.deleteRowsHinted); an
+      // append-only stream never retracts earlier batches.
       import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
-      import org.apache.spark.sql.functions.broadcast
-      val dels = table.deleteRows(liveDels)
-      rel.join(broadcast(dels),
+      val dels = table.deleteRowsHinted(endSnap.properties, liveDels)
+      rel.join(dels,
           rel(PosFileCol) === dels("file_name") && rel(PosIdxCol) === dels("row_index"),
           "left_anti")
         .drop(PosFileCol, PosIdxCol)
@@ -311,12 +311,14 @@ class GraftSource(
     * lose them (the physical files live until expire).
     */
   private def cdcBatch(startId: Long, endId: Long, endSnap: Snapshot): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.graft.GraftFileIndex
     import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
     val order = schema.fieldNames.toSeq.map(col)
+    // `dels` arrives already broadcast-hinted (or not) by
+    // GraftTable.deleteRowsHinted — size-gated, never unconditional
     def antiOrSemi(rel: DataFrame, dels: DataFrame, how: String): DataFrame =
-      rel.join(broadcast(dels),
+      rel.join(dels,
           rel(PosFileCol) === dels("file_name") && rel(PosIdxCol) === dels("row_index"),
           how)
         .drop(PosFileCol, PosIdxCol)
@@ -326,7 +328,8 @@ class GraftSource(
       val rel = GraftFileIndex.relation(spark, root, endSnap.copy(shards = Seq.empty),
         isStreaming = true, withRowPos = dels.nonEmpty)
       val visible =
-        if (dels.isEmpty) rel else antiOrSemi(rel, table.deleteRows(dels), "left_anti")
+        if (dels.isEmpty) rel
+        else antiOrSemi(rel, table.deleteRowsHinted(endSnap.properties, dels), "left_anti")
       return withChangeType(visible, "insert").select(order: _*)
     }
     // window lineage (startId, endId], oldest-first
@@ -367,7 +370,9 @@ class GraftSource(
     val insRel = GraftFileIndex.relation(spark, root,
       endSnap.copy(files = insFiles, shards = Seq.empty),
       isStreaming = true, withRowPos = winDels.nonEmpty)
-    val delRows = if (winDels.isEmpty) null else table.deleteRows(winDels)
+    val delRows =
+      if (winDels.isEmpty) null
+      else table.deleteRowsHinted(endSnap.properties, winDels)
     val inserts =
       if (winDels.isEmpty) insRel else antiOrSemi(insRel, delRows, "left_anti")
     val insTagged = withChangeType(inserts, "insert").select(order: _*)

@@ -1075,6 +1075,50 @@ class LakeSpec extends SparkSpec {
     assert(t.read().collect().map(_.toString).sorted === expect)
   }
 
+  test("MOR delete-set broadcast is size-gated by write.delete.broadcast-threshold") {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    def broadcastHinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect { case j: Join => j.hint }
+        .exists(h => Seq(h.leftHint, h.rightHint).flatten.exists(_.strategy.contains(BROADCAST)))
+    val o = Tables.orders(spark, sfDir).limit(1000)
+    val t = GraftTable.create(spark, tmp("morgate"), o)
+    t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    val victim = t.read().select(col("o_orderkey")).orderBy(col("o_orderkey")).head().getLong(0)
+    t.delete(col("o_orderkey") === victim)
+    assert(t.current.deleteFiles.forall(_.bytes > 0), "delete entries must record bytes")
+    val n = t.read().count()
+    // point-delete set under the default threshold: broadcast-hinted
+    assert(broadcastHinted(t.read()), "small delete set should carry the broadcast hint")
+    // force the set over threshold: the hint must disappear (at real
+    // scale Spark then plans a shuffled anti-join; at test scale the
+    // planner may still broadcast from size STATS, which is the correct
+    // AQE-style behavior — the bug was the unconditional HINT)
+    t.setProperty(GraftTable.DeleteBroadcastProp, "1")
+    assert(!broadcastHinted(t.read()),
+      "over-threshold delete set must not be broadcast-hinted")
+    assert(t.read().count() === n, "gated plan stays correct")
+    assert(t.read().filter(col("o_orderkey") === victim).count() === 0)
+  }
+
+  test("MOR delete-file addedBy survives an id rebase past a parked WAP snapshot") {
+    val o = Tables.orders(spark, sfDir).limit(1000)
+    val t = GraftTable.create(spark, tmp("morrebase"), o)
+    t.setProperty(GraftTable.UpdateModeProp, "merge-on-read")
+    // park a staged WAP snapshot at the next id, forcing the MOR
+    // update's planned id (cur+1) to rebase inside commit()
+    val stagedId = t.stageAppend(o.limit(1))
+    val victim = t.read().select(col("o_orderkey")).orderBy(col("o_orderkey")).head().getLong(0)
+    t.update(col("o_orderkey") === victim, Map("o_totalprice" -> lit(1.5)))
+    assert(t.currentId > stagedId, "rebase must have stepped past the parked snapshot")
+    assert(t.current.deleteFiles.nonEmpty)
+    // CDC picks a window's deletes via deleteFiles.filter(_.addedBy == id):
+    // a pre-rebase planned id here silently drops the delete half of the
+    // update from the change feed (the row would duplicate downstream)
+    assert(t.current.deleteFiles.forall(_.addedBy == t.currentId),
+      s"delete entries must carry the FINAL snapshot id ${t.currentId}, " +
+        s"got ${t.current.deleteFiles.map(_.addedBy)}")
+  }
+
   test("merge-on-read MERGE: upsert with zero rewrites; $deletes view tracks the pending list") {
     val o = Tables.orders(spark, sfDir).limit(1000)
     val t = GraftTable.create(spark, tmp("mormerge"),
@@ -1166,5 +1210,44 @@ class LakeSpec extends SparkSpec {
     // the durable tag ledger survives expiration: replay still skipped
     assert(!t.appendBatch(base, "batch-42"))
     assert(t.read().count() === n1 + base.count())
+  }
+
+  test("metadata plane is Hadoop-FS: a file:-URI root runs the full table lifecycle") {
+    // Pre-port, every metadata read went through java.nio Paths.get(root),
+    // which treats "file:/…" as a relative path — the table could not even
+    // be created. This drives create → append → time travel → refs → COW
+    // and MOR DML → exactly-once ledger → expire entirely through a root
+    // that only the Hadoop FileSystem API can resolve.
+    val root = "file:/root/repo/target/laketest/hadooproot"
+    val o = Tables.orders(spark, sfDir).limit(500)
+    val t = GraftTable.create(spark, root,
+      o.repartition(col("o_orderstatus")), Seq("o_orderstatus"))
+    assert(t.read().count() === 500)
+    t.append(o.limit(10))
+    assert(t.read().count() === 510)
+    assert(t.snapshotIds.size === 2)
+    assert(t.readAsOfId(t.snapshotIds.head).count() === 500)
+    t.tag("v1", t.currentId)
+    assert(t.refId("v1").contains(t.currentId))
+    // COW delete with metadata pruning
+    val victim = t.read().select(col("o_orderkey")).orderBy(col("o_orderkey")).head().getLong(0)
+    t.delete(col("o_orderkey") === victim)
+    assert(t.read().filter(col("o_orderkey") === victim).count() === 0)
+    // MOR delete: position-delete file registered + applied on read
+    t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    val victim2 = t.read().select(col("o_orderkey")).orderBy(col("o_orderkey")).head().getLong(0)
+    t.delete(col("o_orderkey") === victim2)
+    assert(t.current.deleteFiles.nonEmpty)
+    assert(t.read().filter(col("o_orderkey") === victim2).count() === 0)
+    // exactly-once ledger through Hadoop I/O
+    assert(t.appendBatch(o.limit(5), "hbatch-1"))
+    assert(!t.appendBatch(o.limit(5), "hbatch-1"))
+    val n = t.read().count()
+    // expire drops old manifests through the same plane; reads survive
+    t.expire(keepFrom = t.currentId)
+    assert(t.read().count() === n)
+    // the metadata really landed under the schemeless view of the same dir
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      "/root/repo/target/laketest/hadooproot/meta/version-hint.txt")))
   }
 }
