@@ -810,9 +810,24 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * under `deletes/`; returns the registered entries (empty when the
     * predicate matched nothing — the empty directory is removed).
     */
-  private def writeDeleteFiles(hits: DataFrame, snapId: Long): Seq[DeleteFileEntry] = {
+  private def writeDeleteFiles(hits: DataFrame, snapId: Long): Seq[DeleteFileEntry] =
+    writeDeleteDir(hits, snapId, Seq.empty)
+
+  /** Write the DISTINCT key rows of `keys` as an EQUALITY-delete file
+    * set — the write is O(source) with ZERO target I/O (no candidate
+    * scan, no position resolution), which is the point of the flavor:
+    * a keyed MERGE/DELETE of a 100 TB table costs the source, not the
+    * table. Readers apply it to data files that predate the committing
+    * snapshot ([[minusEqDeletes]]).
+    */
+  private def writeEqDeleteFiles(
+      keys: DataFrame, keyCols: Seq[String], snapId: Long): Seq[DeleteFileEntry] =
+    writeDeleteDir(keys.select(keyCols.map(col): _*).distinct(), snapId, keyCols)
+
+  private def writeDeleteDir(
+      rows: DataFrame, snapId: Long, eqCols: Seq[String]): Seq[DeleteFileEntry] = {
     val relDir = s"deletes/$snapId-${UUID.randomUUID()}"
-    hits.write.mode("overwrite").parquet(s"$root/$relDir")
+    rows.write.mode("overwrite").parquet(s"$root/$relDir")
     val conf = spark.sparkContext.hadoopConfiguration
     val dirP = new org.apache.hadoop.fs.Path(s"$root/$relDir")
     val hfs = dirP.getFileSystem(conf)
@@ -826,7 +841,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
         // may rebase the id past a parked WAP snapshot, and stage()
         // stamps the final id (the planned id survives only in the path)
         DeleteFileEntry(s"$relDir/${st.getPath.getName}", n,
-          GraftTable.PendingAddedBy, st.getLen)
+          GraftTable.PendingAddedBy, st.getLen, eqCols)
       }
       .filter(_.rows > 0)
     if (entries.isEmpty) { hfs.delete(dirP, true); Seq.empty } else entries
@@ -842,9 +857,20 @@ final class GraftTable(val root: String, spark: SparkSession) {
   def applyDeletes(): GraftTable = {
     val cur = current
     if (cur.deleteFiles.isEmpty) return this
-    val affected = deleteRows(cur.deleteFiles)
-      .select(col("file_name")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val (eqDels, posDels) = cur.deleteFiles.partition(_.equalityCols.nonEmpty)
+    val posAffected: Set[String] =
+      if (posDels.isEmpty) Set.empty
+      else deleteRows(posDels)
+        .select(col("file_name")).distinct()
+        .collect().map(_.getString(0)).toSet
+    // equality targets are not recorded — candidates come from key
+    // bounds + age pruning (metadata-only; may rewrite a file that held
+    // no matching key, which costs a rewrite, never correctness)
+    val eqAffected: Set[String] =
+      if (eqDels.isEmpty) Set.empty
+      else eqDeleteCandidates(cur.files, eqDels)
+        .map(f => GraftTable.baseName(f.path)).toSet
+    val affected = posAffected ++ eqAffected
     val (cands, kept) = cur.files.partition(f => affected.contains(GraftTable.baseName(f.path)))
     val survivors = readSnapshot(cur.copy(files = cands, shards = Seq.empty))
     val added =
@@ -1062,15 +1088,24 @@ final class GraftTable(val root: String, spark: SparkSession) {
       source: DataFrame, srcKeys: DataFrame, keyCols: Seq[String]): GraftTable = {
     val cur = current
     import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
-    val cands = sourceKeyCandidates(srcKeys, keyCols)
+    // TBLPROPERTIES('write.merge.delete-kind'='equality'): skip the
+    // candidate position scan entirely — the source keys themselves
+    // become an equality-delete file and the write side is O(source).
+    // Position (default) resolves exact coordinates, paying one pruned
+    // target scan for a cheaper read side.
     val delEntries =
-      if (cands.isEmpty) Seq.empty[DeleteFileEntry]
+      if (cur.properties.get(GraftTable.MergeDeleteKindProp).contains("equality"))
+        writeEqDeleteFiles(srcKeys, keyCols, cur.id + 1)
       else {
-        val matched = readSnapshotPos(cur.copy(files = cands, shards = Seq.empty))
-          .join(broadcast(srcKeys), keyCols, "left_semi")
-        writeDeleteFiles(
-          matched.select(col(PosFileCol).as("file_name"), col(PosIdxCol).as("row_index")),
-          cur.id + 1)
+        val cands = sourceKeyCandidates(srcKeys, keyCols)
+        if (cands.isEmpty) Seq.empty[DeleteFileEntry]
+        else {
+          val matched = readSnapshotPos(cur.copy(files = cands, shards = Seq.empty))
+            .join(broadcast(srcKeys), keyCols, "left_semi")
+          writeDeleteFiles(
+            matched.select(col(PosFileCol).as("file_name"), col(PosIdxCol).as("row_index")),
+            cur.id + 1)
+        }
       }
     val added = writeFiles(source, cur.partitionCols, cur.deps, cur.id + 1)
     commit(cur.copy(
@@ -1165,6 +1200,34 @@ final class GraftTable(val root: String, spark: SparkSession) {
     val srcKeys = source.select(keyCols.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // merge-on-read deletion list: equality kind writes the key set
+      // itself (O(source), zero target I/O — the GDPR-erasure shape at
+      // 100 TB); position kind scans pruned candidates once for exact
+      // coordinates. Both leave every data file in place.
+      if (cur.properties.get(GraftTable.MergeModeProp).contains("merge-on-read")
+          && uniqueBaseNames(cur)) {
+        val dels =
+          if (cur.properties.get(GraftTable.MergeDeleteKindProp).contains("equality"))
+            writeEqDeleteFiles(srcKeys, keyCols, cur.id + 1)
+          else {
+            import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
+            val cands = sourceKeyCandidates(srcKeys, keyCols)
+            if (cands.isEmpty) Seq.empty[DeleteFileEntry]
+            else {
+              val matched = readSnapshotPos(cur.copy(files = cands, shards = Seq.empty))
+                .join(broadcast(srcKeys), keyCols, "left_semi")
+              writeDeleteFiles(
+                matched.select(col(PosFileCol).as("file_name"), col(PosIdxCol).as("row_index")),
+                cur.id + 1)
+            }
+          }
+        if (dels.nonEmpty) commit(cur.copy(
+          id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+          operation = "merge-delete", files = cur.files,
+          addedFiles = 0, deletedFiles = 0,
+          deleteFiles = cur.deleteFiles ++ dels))
+        return this
+      }
       val cands = sourceKeyCandidates(srcKeys, keyCols)
       if (cands.isEmpty) return this
       val candPaths = cands.map(_.path).toSet
@@ -1235,6 +1298,11 @@ final class GraftTable(val root: String, spark: SparkSession) {
     require(!cur.partitionCols.contains(from) &&
       !cur.deps.exists(d => d.src == from || d.dest == from),
       s"cannot rename partition/dependency column $from")
+    // pending equality deletes reference key columns by name — renaming
+    // one would silently unbind them; fold deletes back first
+    require(!cur.deleteFiles.exists(_.equalityCols.contains(from)),
+      s"cannot rename column $from: referenced by a pending equality " +
+        "delete (run applyDeletes/OPTIMIZE first)")
     val fields = sch.fields.map { f =>
       if (f.name != from) f
       else StructField(to, f.dataType, f.nullable,
@@ -1360,25 +1428,41 @@ final class GraftTable(val root: String, spark: SparkSession) {
     val addedDf = readSnapshot(to.copy(files = added, shards = Seq.empty))
     val removedDf = readSnapshot(from.copy(files = removed, shards = Seq.empty))
     // a MOR delete changes NO data files, so the file diff alone is
-    // blind to it: rows of files present on BOTH sides whose positions
-    // are in `to`'s delete list but not `from`'s were deleted in-window
+    // blind to it: rows of files present on BOTH sides that `to`'s
+    // delete list (but not `from`'s) kills were deleted in-window
     val newDels = {
       val fromDel = from.deleteFiles.map(_.path).toSet
       to.deleteFiles.filterNot(d => fromDel.contains(d.path))
     }
-    val morDeletedDf =
-      if (newDels.isEmpty) None
+    val (newEq, newPos) = newDels.partition(_.equalityCols.nonEmpty)
+    import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
+    val common = from.files.filter(f => toPaths.contains(f.path))
+    val posDeletedDf =
+      if (newPos.isEmpty) None
       else {
-        import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
-        val common = from.files.filter(f => toPaths.contains(f.path))
         val base = readSnapshotPos(from.copy(files = common, shards = Seq.empty))
-        val delRows = deleteRowsHinted(to.properties, newDels)
+        val delRows = deleteRowsHinted(to.properties, newPos)
         Some(base.join(delRows,
             base(PosFileCol) === delRows("file_name") && base(PosIdxCol) === delRows("row_index"),
             "left_semi")
           .drop(PosFileCol, PosIdxCol))
       }
-    val deletes = morDeletedDf.foldLeft(removedDf.exceptAll(addedDf))(_ unionAll _)
+    // equality deletes name no coordinates — reconstruct their victims
+    // as (rows visible in `from` over key-bounds-pruned candidates)
+    // MINUS (the same rows with the new equality deletes applied)
+    val eqDeletedDf =
+      if (newEq.isEmpty) None
+      else {
+        val cands = eqDeleteCandidates(common, newEq)
+        if (cands.isEmpty) None
+        else {
+          val sub = from.copy(files = cands, shards = Seq.empty)
+          eqDeleteSplit(readSnapshotPos(sub), sub, newEq)._2
+            .map(_.drop(PosFileCol, PosIdxCol))
+        }
+      }
+    val deletes = (posDeletedDf.toSeq ++ eqDeletedDf.toSeq)
+      .foldLeft(removedDf.exceptAll(addedDf))(_ unionAll _)
     addedDf.exceptAll(removedDf)
       .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert"))
       .unionByName(deletes
@@ -1570,17 +1654,116 @@ final class GraftTable(val root: String, spark: SparkSession) {
     if (s.deleteFiles.isEmpty) withPos
     else {
       import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
+      val (eqDels, posDels) = s.deleteFiles.partition(_.equalityCols.nonEmpty)
       // point deletes keep the set broadcast-small (that is the point
       // of MOR) so the scan side never shuffles; a bulk MOR MERGE can
       // grow it to data scale, where deleteRowsHinted drops the hint
       // and Spark plans a shuffled anti-join instead of OOMing the
       // driver. The join keys on the file basename, which the write
       // path makes unique table-wide (<snapId>-<seq>-<name>).
-      val dels = deleteRowsHinted(s.properties, s.deleteFiles)
-      withPos.join(dels,
-        withPos(PosFileCol) === dels("file_name") && withPos(PosIdxCol) === dels("row_index"),
-        "left_anti")
+      val afterPos =
+        if (posDels.isEmpty) withPos
+        else {
+          val dels = deleteRowsHinted(s.properties, posDels)
+          withPos.join(dels,
+            withPos(PosFileCol) === dels("file_name") && withPos(PosIdxCol) === dels("row_index"),
+            "left_anti")
+        }
+      if (eqDels.isEmpty) afterPos else minusEqDeletes(afterPos, s, eqDels)
     }
+  }
+
+  /** Hide the rows EQUALITY delete files kill: a row dies when its key
+    * matches a delete row committed strictly AFTER the row's own data
+    * file (`file.addedBy < delete.addedBy`) — post-images appended by
+    * the deleting commit itself carry the same id and survive. `df`
+    * must carry the `_graft_file` position column. The file→stamp map
+    * is manifest metadata (one tiny broadcast dim, O(#files) rows);
+    * the delete parquet joins as a normal scan — size-gated broadcast,
+    * never collected. Key comparison is null-safe (`<=>`): a null key
+    * in the delete set kills null-keyed rows, Iceberg's equality
+    * semantics.
+    */
+  private[graft] def minusEqDeletes(
+      df: DataFrame, s: Snapshot, eqDels: Seq[DeleteFileEntry]): DataFrame =
+    eqDeleteSplit(df, s, eqDels)._1
+
+  /** [[minusEqDeletes]] that also returns the KILLED rows (change-feed
+    * reconstruction). Every join is against a STATIC delete frame
+    * (chained semi/anti per key-set group), so both halves stay legal
+    * on a streaming `df` — a kept-vs-all self-anti-join would be a
+    * stream-stream join and is exactly what this shape avoids. Rows
+    * are split exactly once even across multiple key-set groups (each
+    * group consumes the previous group's survivors).
+    */
+  private[graft] def eqDeleteSplit(
+      df: DataFrame, s: Snapshot, eqDels: Seq[DeleteFileEntry]): (DataFrame, Option[DataFrame]) = {
+    import org.apache.spark.sql.graft.GraftFileIndex.PosFileCol
+    val SeqCol = "__graft_file_seq"
+    val seqRows = s.files.map(f =>
+      Row(GraftTable.baseName(f.path), f.addedBy))
+    val seqSchema = StructType(Seq(
+      StructField("__graft_seq_file", StringType), StructField(SeqCol, LongType)))
+    val fileSeq = spark.createDataFrame(seqRows.asJava, seqSchema)
+    var kept = df.join(broadcast(fileSeq),
+      df(PosFileCol) === fileSeq("__graft_seq_file"), "left")
+      .drop("__graft_seq_file")
+    var killed: Option[DataFrame] = None
+    for ((cols, group) <- eqDels.groupBy(_.equalityCols.toList).toSeq.sortBy(_._1.mkString(","))) {
+      val delDf = group.map { d =>
+          spark.read.parquet(s"$root/${d.path}")
+            .withColumn("__graft_del_seq", lit(d.addedBy))
+        }.reduce(_ unionByName _)
+      val renamed = cols.foldLeft(delDf) { (x, c) =>
+        x.withColumnRenamed(c, s"__graft_eqd_$c") }
+      val limit = s.properties.get(GraftTable.DeleteBroadcastProp).map(_.toLong)
+        .getOrElse(GraftTable.DefaultDeleteBroadcastBytes)
+      val hinted =
+        if (GraftTable.deleteSetBytes(group) <= limit) broadcast(renamed) else renamed
+      val cond = cols.map(c => kept(c) <=> renamed(s"__graft_eqd_$c")).reduce(_ && _) &&
+        kept(SeqCol) < renamed("__graft_del_seq")
+      val kg = kept.join(hinted, cond, "left_semi")
+      killed = Some(killed.map(_.unionByName(kg)).getOrElse(kg))
+      kept = kept.join(hinted, cond, "left_anti")
+    }
+    (kept.drop(SeqCol), killed.map(_.drop(SeqCol)))
+  }
+
+  /** Data files an equality-delete set CAN touch — metadata-only: per
+    * key-set group, the (small) delete parquet aggregates its key
+    * bounds once, then manifest stats/partition pruning keeps only
+    * files overlapping those bounds AND predating the group's newest
+    * delete. Null delete keys disable bounds pruning for the group
+    * (stats min/max are null-blind), keeping the age filter only.
+    */
+  private[graft] def eqDeleteCandidates(
+      files: Seq[FileEntry], eqDels: Seq[DeleteFileEntry]): Seq[FileEntry] = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    val sch = schema
+    val renames = logicalToPhysical
+    val partTypes: Map[String, DataType] =
+      sch.fields.map(f => GraftTable.physicalName(f) -> f.dataType).toMap
+    val hit = scala.collection.mutable.LinkedHashMap[String, FileEntry]()
+    for ((cols, group) <- eqDels.groupBy(_.equalityCols.toList).toSeq.sortBy(_._1.mkString(","))) {
+      val maxSeq = group.map(_.addedBy).max
+      val aged = files.filter(f => f.addedBy <= 0L || f.addedBy < maxSeq)
+      val delDf = group.map(d => spark.read.parquet(s"$root/${d.path}")).reduce(_ unionByName _)
+      val aggs = cols.flatMap(k => Seq(fmin(col(k)), fmax(col(k))))
+      val bounds = delDf.agg(aggs.head, aggs.tail: _*).head()
+      val hasNullKey =
+        delDf.filter(cols.map(col(_).isNull).reduce(_ || _)).limit(1).count() > 0
+      val cands =
+        if (hasNullKey || bounds.anyNull) aged
+        else {
+          val pred = cols.zipWithIndex.map { case (k, i) =>
+            col(k) >= lit(bounds.get(2 * i)) && col(k) <= lit(bounds.get(2 * i + 1))
+          }.reduce(_ && _)
+          val cs0 = Pruning.extract(pred).map { case (k, c) => renames.getOrElse(k, k) -> c }
+          aged.filter(Pruning.fileSurvives(_, cs0, partTypes))
+        }
+      cands.foreach(f => hit.getOrElseUpdate(f.path, f))
+    }
+    hit.values.toSeq
   }
 
   /** The union of the given position-delete files as a DataFrame of
@@ -1673,8 +1856,11 @@ final class GraftTable(val root: String, spark: SparkSession) {
     */
   def deletesView: DataFrame = {
     import spark.implicits._
-    current.deleteFiles.map(d => (d.path, d.rows, d.addedBy))
-      .toDF("file_path", "n_deleted_rows", "added_by_snapshot")
+    current.deleteFiles.map(d => (d.path, d.rows, d.addedBy,
+        if (d.equalityCols.nonEmpty) "equality" else "position",
+        d.equalityCols.mkString(",")))
+      .toDF("file_path", "n_deleted_rows", "added_by_snapshot",
+        "kind", "equality_columns")
   }
 
   /** `` t$refs `` — named refs (tags + branches) with their snapshot
@@ -1800,6 +1986,13 @@ object GraftTable {
     * [[GraftTable.deleteRowsHinted]]).
     */
   val DeleteBroadcastProp = "write.delete.broadcast-threshold"
+
+  /** TBLPROPERTIES key selecting what a merge-on-read MERGE /
+    * keyed-DELETE writes: `position` (default — exact coordinates, one
+    * pruned target scan) or `equality` (the key set itself — O(source),
+    * zero target I/O; see [[DeleteFileEntry]]).
+    */
+  val MergeDeleteKindProp = "write.merge.delete-kind"
 
   /** 32 MB default: parquet-encoded `(file_name, row_index)` pairs
     * expand several-fold into a broadcast hash relation, so this keeps

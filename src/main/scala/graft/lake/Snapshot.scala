@@ -59,9 +59,21 @@ final case class FileEntry(
   * amplification). `bytes` (file length, recorded at write time) sizes
   * the read-side broadcast decision; manifests from before the field
   * deserialize it as 0 = unknown (readers estimate from `rows`).
+  *
+  * Two flavors, Iceberg v2's delete-file model re-expressed:
+  *  - POSITION (`equalityCols` empty): `(file_name, row_index)` pairs
+  *    naming exact coordinates; applies to the named rows regardless
+  *    of commit order (the writer scanned the target to find them).
+  *  - EQUALITY (`equalityCols` = the key column names; the parquet
+  *    holds those columns): kills every row whose key matches in data
+  *    files committed BEFORE this delete (`FileEntry.addedBy <
+  *    this.addedBy`) — which is what lets a keyed MERGE/DELETE write
+  *    O(source) with ZERO target scan, while the post-images it
+  *    appends in the same commit (equal `addedBy`) survive.
   */
 final case class DeleteFileEntry(
-    path: String, rows: Long, addedBy: Long = 0L, bytes: Long = 0L)
+    path: String, rows: Long, addedBy: Long = 0L, bytes: Long = 0L,
+    equalityCols: Seq[String] = Seq.empty)
 
 /** A column dependency `src → dest : transform` (reference:
   * utils/Transforms.scala:30; Config.scala:77 COLUMN_DEPENDENCIES option). Declares
@@ -125,7 +137,11 @@ object SnapshotCodec {
     // written before a field existed deserialize it as null
     val s1 = if (s0.shards == null) s0.copy(shards = Seq.empty) else s0
     val s2 = if (s1.properties == null) s1.copy(properties = Map.empty) else s1
-    if (s2.deleteFiles == null) s2.copy(deleteFiles = Seq.empty) else s2
+    val s3 = if (s2.deleteFiles == null) s2.copy(deleteFiles = Seq.empty) else s2
+    if (s3.deleteFiles.exists(_.equalityCols == null))
+      s3.copy(deleteFiles = s3.deleteFiles.map(d =>
+        if (d.equalityCols == null) d.copy(equalityCols = Seq.empty) else d))
+    else s3
   }
   def shardToBytes(m: ShardManifest): Array[Byte] = mapper.writeValueAsBytes(m)
   def shardFromBytes(b: Array[Byte]): ShardManifest = mapper.readValue[ShardManifest](b)

@@ -584,6 +584,43 @@ object LakeQueries {
        |  SELECT -(r_regionkey + 1), 0, 'N', 1.0 FROM region
        |) ORDER BY o_orderkey""".stripMargin
 
+  // ---- A22b MERGE INTO (merge-on-read, equality deletes) -------------
+
+  /** The same logical upsert as [[lakeMerge]], executed with EQUALITY
+    * delete files (Iceberg v2's second delete flavor): the write is
+    * O(source) — the source keys themselves become the delete file,
+    * with ZERO target data-file scan — and the read side hides matched
+    * pre-images by key for files older than the merge while the
+    * appended post-images survive (addedBy sequencing). The oracle
+    * reads THROUGH the pending equality deletes (no fold-back), so it
+    * checks the sequenced read path itself.
+    */
+  def lakeMergeMor(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val base = o.select(orderCols.map(col): _*)
+    val t = GraftTable.create(s, work(d, "mormerge"),
+      base.repartitionByRange(8, col("o_orderkey")))
+    t.setProperty(GraftTable.MergeModeProp, "merge-on-read")
+    t.setProperty(GraftTable.MergeDeleteKindProp, "equality")
+    val filesBefore = t.current.files.map(_.path).toSet
+    val updates = base.filter(col("o_orderkey").between(1000L, 2000L))
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    val inserts = Tables.region(s, d).select(
+      (-col("r_regionkey") - 1L).cast("long").as("o_orderkey"),
+      lit(0L).as("o_custkey"),
+      lit("N").as("o_orderstatus"),
+      lit(1.0).as("o_totalprice"))
+    t.merge(updates.unionByName(inserts), Seq("o_orderkey"))
+    require(filesBefore.subsetOf(t.current.files.map(_.path).toSet),
+      "equality MOR merge must not rewrite existing data files")
+    require(t.current.deleteFiles.exists(_.equalityCols == Seq("o_orderkey")),
+      "equality MOR merge must register an equality-delete file")
+    sel(t.read())
+  }
+
+  // value-identical to lake_merge's oracle
+  val lakeMergeMorSql: String = lakeMergeSql
+
   // ---- A19 SQL surface: AS OF prefix + registered relations ---------
 
   def lakeSqlAsOf(s: SparkSession, d: String): DataFrame = {
@@ -746,6 +783,7 @@ object LakeQueries {
     "lake_delete_mor"          -> (lakeDeleteMor _),
     "lake_update_mor"          -> (lakeUpdateMor _),
     "lake_merge"               -> (lakeMerge _),
+    "lake_merge_mor"           -> (lakeMergeMor _),
     "lake_update"              -> (lakeUpdate _),
     "lake_ctas"                -> (lakeCtas _),
     "lake_adopt"               -> (lakeAdopt _),
@@ -785,6 +823,7 @@ object LakeQueries {
     "lake_delete_mor"          -> lakeDeleteMorSql,
     "lake_update_mor"          -> lakeUpdateMorSql,
     "lake_merge"               -> lakeMergeSql,
+    "lake_merge_mor"           -> lakeMergeMorSql,
     "lake_update"              -> lakeUpdateSql,
     "lake_ctas"                -> lakeCtasSql,
     "lake_adopt"               -> lakeAdoptSql,

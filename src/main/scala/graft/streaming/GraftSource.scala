@@ -270,16 +270,23 @@ class GraftSource(
       isStreaming = true, withRowPos = liveDels.nonEmpty)
     if (liveDels.isEmpty) rel
     else {
-      // the delete list is a STATIC frame, so this is a plain
-      // stream-static anti-join with no state (broadcast-hinted only
-      // while the set is small — GraftTable.deleteRowsHinted); an
+      // the delete lists are STATIC frames, so these are plain
+      // stream-static anti-joins with no state (broadcast-hinted only
+      // while small — GraftTable.deleteRowsHinted/minusEqDeletes); an
       // append-only stream never retracts earlier batches.
       import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
-      val dels = table.deleteRowsHinted(endSnap.properties, liveDels)
-      rel.join(dels,
-          rel(PosFileCol) === dels("file_name") && rel(PosIdxCol) === dels("row_index"),
+      val (eqLive, posLive) = liveDels.partition(_.equalityCols.nonEmpty)
+      var out = rel
+      if (posLive.nonEmpty) {
+        val dels = table.deleteRowsHinted(endSnap.properties, posLive)
+        out = out.join(dels,
+          out(PosFileCol) === dels("file_name") && out(PosIdxCol) === dels("row_index"),
           "left_anti")
-        .drop(PosFileCol, PosIdxCol)
+      }
+      if (eqLive.nonEmpty)
+        out = table.minusEqDeletes(out,
+          endSnap.copy(files = delta, shards = Seq.empty), eqLive)
+      out.drop(PosFileCol, PosIdxCol)
     }
   }
 
@@ -315,21 +322,31 @@ class GraftSource(
     import org.apache.spark.sql.graft.GraftFileIndex
     import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
     val order = schema.fieldNames.toSeq.map(col)
-    // `dels` arrives already broadcast-hinted (or not) by
-    // GraftTable.deleteRowsHinted — size-gated, never unconditional
-    def antiOrSemi(rel: DataFrame, dels: DataFrame, how: String): DataFrame =
+    // position joins keep the pos columns (dropped once every delete
+    // flavor is applied); delete frames arrive broadcast-hinted or not
+    // from GraftTable.deleteRowsHinted — size-gated, never unconditional
+    def posJoin(rel: DataFrame, dels: DataFrame, how: String): DataFrame =
       rel.join(dels,
-          rel(PosFileCol) === dels("file_name") && rel(PosIdxCol) === dels("row_index"),
-          how)
-        .drop(PosFileCol, PosIdxCol)
+        rel(PosFileCol) === dels("file_name") && rel(PosIdxCol) === dels("row_index"), how)
+    // hide rows a (position ++ equality) delete set kills; `files` is
+    // the addedBy-stamp universe equality sequencing reads
+    def applyDels(rel: DataFrame, files: Seq[graft.lake.FileEntry],
+        pos: Seq[DeleteFileEntry], eq: Seq[DeleteFileEntry]): DataFrame = {
+      var out = rel
+      if (pos.nonEmpty)
+        out = posJoin(out, table.deleteRowsHinted(endSnap.properties, pos), "left_anti")
+      if (eq.nonEmpty)
+        out = table.minusEqDeletes(out, endSnap.copy(files = files, shards = Seq.empty), eq)
+      out
+    }
     if (startId <= 0) {
       // initial load: the end snapshot's full logical content, as inserts
-      val dels = endSnap.deleteFiles
+      val (eqD, posD) = endSnap.deleteFiles.partition(_.equalityCols.nonEmpty)
       val rel = GraftFileIndex.relation(spark, root, endSnap.copy(shards = Seq.empty),
-        isStreaming = true, withRowPos = dels.nonEmpty)
+        isStreaming = true, withRowPos = endSnap.deleteFiles.nonEmpty)
       val visible =
-        if (dels.isEmpty) rel
-        else antiOrSemi(rel, table.deleteRowsHinted(endSnap.properties, dels), "left_anti")
+        if (endSnap.deleteFiles.isEmpty) rel
+        else applyDels(rel, endSnap.files, posD, eqD).drop(PosFileCol, PosIdxCol)
       return withChangeType(visible, "insert").select(order: _*)
     }
     // window lineage (startId, endId], oldest-first
@@ -367,31 +384,67 @@ class GraftSource(
       } else
         additive.flatMap(s => s.deleteFiles.filter(_.addedBy == s.id))
           .groupBy(_.path).map(_._2.head).toSeq
+    val (winEq, winPos) = winDels.partition(_.equalityCols.nonEmpty)
     val insRel = GraftFileIndex.relation(spark, root,
       endSnap.copy(files = insFiles, shards = Seq.empty),
       isStreaming = true, withRowPos = winDels.nonEmpty)
-    val delRows =
-      if (winDels.isEmpty) null
-      else table.deleteRowsHinted(endSnap.properties, winDels)
-    val inserts =
-      if (winDels.isEmpty) insRel else antiOrSemi(insRel, delRows, "left_anti")
-    val insTagged = withChangeType(inserts, "insert").select(order: _*)
+    val inserts = applyDels(insRel, insFiles, winPos, winEq)
+    val insTagged = withChangeType(
+      if (winDels.isEmpty) inserts else inserts.drop(PosFileCol, PosIdxCol),
+      "insert").select(order: _*)
     if (winDels.isEmpty) return insTagged
-    // delete pre-images: the target list is control-plane small by
-    // design (MOR deletes ARE the point-delete path), so collecting its
-    // file names prunes the pre-image scan to exactly the touched files
-    val targets = delRows.select(col("file_name")).distinct()
-      .collect().map(_.getString(0)).toSet
     def base(p: String): String = p.substring(p.lastIndexOf('/') + 1)
-    val preFiles = snaps.flatMap(s => s.files.filter(f =>
-        targets.contains(base(f.path)) && f.addedBy <= startId))
-      .groupBy(_.path).map(_._2.head).toSeq
-    if (preFiles.isEmpty) return insTagged
-    val preRel = GraftFileIndex.relation(spark, root,
-      endSnap.copy(files = preFiles, shards = Seq.empty),
-      isStreaming = true, withRowPos = true)
-    val deletes = antiOrSemi(preRel, delRows, "left_semi")
-    insTagged.unionByName(withChangeType(deletes, "delete").select(order: _*))
+    // deletes committed at or before the window start — rows they
+    // already killed were never visible at startId and must not re-emit
+    // as pre-images (position deletes never overlap them by
+    // construction, equality deletes are applied explicitly below)
+    val startEq = endSnap.deleteFiles.filter(d =>
+      d.equalityCols.nonEmpty && d.addedBy != 0L && d.addedBy <= startId)
+    val startPos = endSnap.deleteFiles.filter(d =>
+      d.equalityCols.isEmpty && d.addedBy != 0L && d.addedBy <= startId)
+    // position pre-images: the target list is control-plane small by
+    // design (MOR position deletes ARE the point-delete path), so
+    // collecting its file names prunes the scan to the touched files
+    val posPre: Option[DataFrame] =
+      if (winPos.isEmpty) None
+      else {
+        val delRows = table.deleteRowsHinted(endSnap.properties, winPos)
+        val targets = delRows.select(col("file_name")).distinct()
+          .collect().map(_.getString(0)).toSet
+        val preFiles = snaps.flatMap(s => s.files.filter(f =>
+            targets.contains(base(f.path)) && f.addedBy <= startId))
+          .groupBy(_.path).map(_._2.head).toSeq
+        if (preFiles.isEmpty) None
+        else {
+          val preRel = GraftFileIndex.relation(spark, root,
+            endSnap.copy(files = preFiles, shards = Seq.empty),
+            isStreaming = true, withRowPos = true)
+          val preBase = applyDels(preRel, preFiles, Seq.empty, startEq)
+          Some(posJoin(preBase, delRows, "left_semi").drop(PosFileCol, PosIdxCol))
+        }
+      }
+    // equality pre-images: no coordinates to collect — candidates come
+    // from metadata key-bounds + age pruning, then the split's killed
+    // half IS the delete stream (stream-static-safe joins throughout)
+    val eqPre: Option[DataFrame] =
+      if (winEq.isEmpty) None
+      else {
+        val preAll = snaps.flatMap(s => s.files.filter(_.addedBy <= startId))
+          .groupBy(_.path).map(_._2.head).toSeq
+        val cands = table.eqDeleteCandidates(preAll, winEq)
+        if (cands.isEmpty) None
+        else {
+          val preRel = GraftFileIndex.relation(spark, root,
+            endSnap.copy(files = cands, shards = Seq.empty),
+            isStreaming = true, withRowPos = true)
+          val preBase = applyDels(preRel, cands, startPos, startEq)
+          table.eqDeleteSplit(preBase,
+              endSnap.copy(files = cands, shards = Seq.empty), winEq)._2
+            .map(_.drop(PosFileCol, PosIdxCol))
+        }
+      }
+    (posPre.toSeq ++ eqPre.toSeq).foldLeft(insTagged)((acc, d) =>
+      acc.unionByName(withChangeType(d, "delete").select(order: _*)))
   }
 
   override def stop(): Unit = ()

@@ -1212,6 +1212,76 @@ class LakeSpec extends SparkSpec {
     assert(t.read().count() === n1 + base.count())
   }
 
+  test("equality MOR MERGE: zero target scan on write, sequenced reads, changelog, fold-back") {
+    import spark.implicits._
+    val base = (1L to 1000L).map(k => (k, s"v$k")).toDF("k", "v")
+    val t = GraftTable.create(spark, tmp("eqmerge"), base.repartition(4))
+    t.setProperty(GraftTable.MergeModeProp, "merge-on-read")
+    t.setProperty(GraftTable.MergeDeleteKindProp, "equality")
+    val preId = t.currentId
+    val preFiles = t.current.files.map(_.path).toSet
+    // PROOF of zero target reads: physically remove a data file the
+    // merge's keys land in — any write path that scanned the target
+    // would fail on it (cf. the metadata-only planning test); the
+    // equality write never opens it
+    val victim = t.current.files.head
+    val victimPath = java.nio.file.Paths.get(tmp("eqmerge"), victim.path)
+    val victimBytes = java.nio.file.Files.readAllBytes(victimPath)
+    java.nio.file.Files.delete(victimPath)
+    val source = Seq((5L, "upd5"), (500L, "upd500"), (2000L, "new2000")).toDF("k", "v")
+    t.merge(source, Seq("k"))
+    java.nio.file.Files.write(victimPath, victimBytes) // restore for reads
+    val mergeId = t.currentId
+    assert(preFiles.subsetOf(t.current.files.map(_.path).toSet),
+      "equality merge must not rewrite existing files")
+    assert(t.current.deleteFiles.nonEmpty
+      && t.current.deleteFiles.forall(_.equalityCols == Seq("k")))
+    // upsert semantics through the sequenced read: pre-images hidden by
+    // key, same-commit post-images visible
+    assert(t.read().count() === 1001)
+    assert(t.read().filter($"k".isin(5L, 500L, 2000L)).orderBy($"k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((5L, "upd5"), (500L, "upd500"), (2000L, "new2000")))
+    // time travel: pre-merge snapshot unaffected
+    assert(t.readAsOfId(preId).count() === 1000)
+    assert(t.readAsOfId(preId).filter($"k" === 5L).head().getString(1) === "v5")
+    // $deletes view reports the flavor
+    val dv = t.deletesView.collect()
+    assert(dv.forall(_.getAs[String]("kind") == "equality")
+      && dv.forall(_.getAs[String]("equality_columns") == "k"))
+    // changelog reconstructs equality victims: delete(old) + insert(new)
+    val cl = t.changelog(preId, mergeId).collect()
+    val byType = cl.groupBy(_.getAs[String]("_change_type"))
+    assert(byType("insert").map(_.getAs[Long]("k")).sorted.toSeq === Seq(5L, 500L, 2000L))
+    assert(byType("delete").map(_.getAs[Long]("k")).sorted.toSeq === Seq(5L, 500L))
+    // stacking: a newer equality merge supersedes the older post-image
+    t.merge(Seq((5L, "upd5b")).toDF("k", "v"), Seq("k"))
+    assert(t.read().filter($"k" === 5L).collect().map(_.getString(1)).toSeq === Seq("upd5b"))
+    assert(t.read().count() === 1001)
+    // fold-back rewrites only key-bounds candidates and clears the list
+    val expect = t.read().collect().map(_.toString).sorted
+    t.applyDeletes()
+    assert(t.current.deleteFiles.isEmpty)
+    assert(t.read().collect().map(_.toString).sorted === expect)
+  }
+
+  test("equality MOR merge-delete: keyed deletion list, zero rewrites, zero target I/O") {
+    import spark.implicits._
+    val base = (1L to 1000L).map(k => (k, k * 2.0)).toDF("k", "x")
+    val t = GraftTable.create(spark, tmp("eqmergedel"), base.repartition(3))
+    t.setProperty(GraftTable.MergeModeProp, "merge-on-read")
+    t.setProperty(GraftTable.MergeDeleteKindProp, "equality")
+    val preFiles = t.current.files.map(_.path).toSet
+    t.mergeDelete(Seq(3L, 7L, 999L).toDF("k"), Seq("k"))
+    assert(t.current.files.map(_.path).toSet === preFiles,
+      "equality merge-delete must not touch data files")
+    assert(t.snapshot(t.currentId).operation === "merge-delete")
+    assert(t.read().count() === 997)
+    assert(t.read().filter($"k".isin(3L, 7L, 999L)).count() === 0)
+    t.applyDeletes()
+    assert(t.current.deleteFiles.isEmpty && t.read().count() === 997)
+  }
+
   test("metadata plane is Hadoop-FS: a file:-URI root runs the full table lifecycle") {
     // Pre-port, every metadata read went through java.nio Paths.get(root),
     // which treats "file:/…" as a relative path — the table could not even

@@ -338,6 +338,73 @@ class StreamingSpec extends SparkSpec {
     assert(seen.toSet === Set(1L, 3L), s"MOR-deleted row leaked into the stream: $seen")
   }
 
+  test("D6h: a batch spanning an append and a later EQUALITY merge hides superseded pre-images") {
+    import spark.implicits._
+    val root = "/root/repo/target/laketest/streamsrc-eq"
+    val ckpt = "/root/repo/target/laketest/streamsrc-eq-ckpt"
+    for (p <- Seq(root, ckpt)) {
+      val f = new java.io.File(p)
+      if (f.exists()) { import scala.sys.process._; Seq("rm", "-rf", p).! }
+    }
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "k"))
+    t.setProperty(GraftTable.MergeModeProp, "merge-on-read")
+    t.setProperty(GraftTable.MergeDeleteKindProp, "equality")
+    t.merge(Seq((2L, "b2"), (4L, "d")).toDF("id", "k"), Seq("id"))
+    assert(t.current.deleteFiles.exists(_.equalityCols == Seq("id")),
+      "precondition: a pending equality delete")
+    // a FRESH stream's first batch covers create + merge: the old (2,b)
+    // pre-image was superseded before the end offset — only the
+    // post-image may stream out
+    val seen = scala.collection.mutable.Set[(Long, String)]()
+    val q = spark.readStream.format("graft.streaming.GraftSourceProvider")
+      .option("path", root).load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= batch.select("id", "k").collect().map(r => (r.getLong(0), r.getString(1))); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(seen.toSet === Set((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d")),
+      s"equality-superseded pre-image leaked into the stream: $seen")
+  }
+
+  test("D12c: change feed reconstructs equality-delete victims as row-level deletes") {
+    import spark.implicits._
+    val root = "/root/repo/target/laketest/streamcdf-eq"
+    val ckpt = "/root/repo/target/laketest/streamcdf-eq-ckpt"
+    for (p <- Seq(root, ckpt)) {
+      val f = new java.io.File(p)
+      if (f.exists()) { import scala.sys.process._; Seq("rm", "-rf", p).! }
+    }
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "k"))
+    t.setProperty(GraftTable.MergeModeProp, "merge-on-read")
+    t.setProperty(GraftTable.MergeDeleteKindProp, "equality")
+    val seen = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
+    def drainOnce(): Unit = {
+      val q = spark.readStream.format("graft.streaming.GraftSourceProvider")
+        .option("path", root).option("readChangeFeed", "true").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen ++= batch.select("_change_type", "id", "k").collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getString(2))); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainOnce() // initial load: three inserts
+    assert(seen.sorted.toSeq === Seq(
+      ("insert", 1L, "a"), ("insert", 2L, "b"), ("insert", 3L, "c")))
+    seen.clear()
+    t.merge(Seq((2L, "b2"), (4L, "d")).toDF("id", "k"), Seq("id"))
+    drainOnce() // an equality upsert = delete(old image) + inserts
+    assert(seen.sorted.toSeq === Seq(
+      ("delete", 2L, "b"), ("insert", 2L, "b2"), ("insert", 4L, "d")),
+      s"got $seen")
+  }
+
   test("D6f: path-cut offsets survive removal of consumed files mid-snapshot (no skipped files)") {
     import spark.implicits._
     val root = "/root/repo/target/laketest/streamsrc-pathcut"
