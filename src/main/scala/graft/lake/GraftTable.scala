@@ -1316,6 +1316,48 @@ final class GraftTable(val root: String, spark: SparkSession) {
     this
   }
 
+  /** ALTER TABLE … ALTER COLUMN … TYPE — metadata-only type WIDENING:
+    * `int→bigint`, `float→double`, and decimal precision growth at
+    * fixed scale. Data files keep their narrow physical type — Spark
+    * 4's parquet readers promote narrow stored values to the wider
+    * requested type at scan time — so a petabyte table re-types in one
+    * manifest commit where a cast-rewrite would be a full-table job
+    * (Iceberg's type-promotion rules re-expressed). Stats pruning
+    * stays sound across the boundary by construction: int and long
+    * share the harvested "long" stats domain, float and double the
+    * "double" domain, and decimals never stats-prune
+    * (Pruning.statsTrustworthy). Anything non-widening is refused —
+    * narrowing silently truncates and cross-domain changes would need
+    * a rewrite anyway. Time travel to pre-widen snapshots reads the
+    * narrow schema.
+    */
+  def widenColumn(name: String, to: DataType): GraftTable = {
+    val cur = current
+    val sch = schema
+    require(sch.fieldNames.contains(name), s"no column $name on table $root")
+    require(!cur.partitionCols.contains(name) &&
+      !cur.deps.exists(d => d.src == name || d.dest == name),
+      s"cannot re-type partition/dependency column $name")
+    val f = sch(name)
+    val ok = (f.dataType, to) match {
+      case (IntegerType, LongType)          => true
+      case (FloatType, DoubleType)          => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision > a.precision
+      case _                                => false
+    }
+    require(ok, s"unsupported ALTER COLUMN TYPE ${f.dataType.simpleString} -> " +
+      s"${to.simpleString}: only widening promotions (int->bigint, " +
+      "float->double, decimal precision growth) are metadata-only")
+    val fields = sch.fields.map(x =>
+      if (x.name == name) StructField(x.name, to, x.nullable, x.metadata) else x)
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "widen-column", schemaJson = StructType(fields).json,
+      addedFiles = 0, deletedFiles = 0))
+    this
+  }
+
   /** logical → physical column names (non-identity entries only). */
   private def logicalToPhysical: Map[String, String] =
     if (!hasCurrent) Map.empty
@@ -1962,8 +2004,8 @@ object GraftTable {
     "create", "append", "overwrite", "overwrite-partition",
     "overwrite-dynamic", "delete", "truncate", "update", "merge",
     "merge-delete", "repartition-spec", "set-properties", "add-column",
-    "drop-column", "rename-column", "optimize", "compact", "rollback",
-    "adopt", "apply-deletes")
+    "drop-column", "rename-column", "widen-column", "optimize", "compact",
+    "rollback", "adopt", "apply-deletes")
 
   /** TBLPROPERTIES key routing DELETE between copy-on-write (default)
     * and merge-on-read position deletes.

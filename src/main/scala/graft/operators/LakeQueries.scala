@@ -621,6 +621,39 @@ object LakeQueries {
   // value-identical to lake_merge's oracle
   val lakeMergeMorSql: String = lakeMergeSql
 
+  // ---- A53 ALTER COLUMN TYPE: metadata-only widening ----------------
+
+  /** Even-keyed rows land as `int`/`float` files; the columns then
+    * widen to `bigint`/`double` in one manifest commit (zero rewrites,
+    * enforced), and odd-keyed rows append at the wide type — the
+    * oracle reads BOTH physical generations through one widened
+    * schema, which is exactly the promotion contract (narrow parquet
+    * values promote losslessly at scan time).
+    */
+  def lakeWidenColumn(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val narrow = o.filter(col("o_orderkey") % 2 === 0).select(
+      col("o_orderkey"),
+      col("o_custkey").cast("int").as("o_custkey"),
+      col("o_totalprice").cast("float").as("o_totalprice"))
+    val t = GraftTable.create(s, work(d, "widen"), narrow)
+    val preFiles = t.current.files.map(_.path).toSet
+    t.widenColumn("o_custkey", org.apache.spark.sql.types.LongType)
+    t.widenColumn("o_totalprice", org.apache.spark.sql.types.DoubleType)
+    require(t.current.files.map(_.path).toSet == preFiles,
+      "widening must rewrite zero data files")
+    t.append(o.filter(col("o_orderkey") % 2 === 1).select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+    t.read().orderBy(col("o_orderkey"))
+  }
+
+  val lakeWidenColumnSql =
+    """SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+      |  CASE WHEN o_orderkey % 2 = 0
+      |       THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // ---- A19 SQL surface: AS OF prefix + registered relations ---------
 
   def lakeSqlAsOf(s: SparkSession, d: String): DataFrame = {
@@ -784,6 +817,7 @@ object LakeQueries {
     "lake_update_mor"          -> (lakeUpdateMor _),
     "lake_merge"               -> (lakeMerge _),
     "lake_merge_mor"           -> (lakeMergeMor _),
+    "lake_widen_column"        -> (lakeWidenColumn _),
     "lake_update"              -> (lakeUpdate _),
     "lake_ctas"                -> (lakeCtas _),
     "lake_adopt"               -> (lakeAdopt _),
@@ -824,6 +858,7 @@ object LakeQueries {
     "lake_update_mor"          -> lakeUpdateMorSql,
     "lake_merge"               -> lakeMergeSql,
     "lake_merge_mor"           -> lakeMergeMorSql,
+    "lake_widen_column"        -> lakeWidenColumnSql,
     "lake_update"              -> lakeUpdateSql,
     "lake_ctas"                -> lakeCtasSql,
     "lake_adopt"               -> lakeAdoptSql,

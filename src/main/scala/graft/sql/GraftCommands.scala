@@ -382,6 +382,22 @@ case class GraftRenameColumnCommand(
   }
 }
 
+/** ALTER TABLE t ALTER COLUMN c TYPE <wider> — metadata-only type
+  * widening ([[graft.lake.GraftTable.widenColumn]]); non-widening
+  * changes are refused there.
+  */
+case class GraftWidenColumnCommand(
+    name: String, cols: Seq[(String, DataType)]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    val t = new GraftTable(root, session)
+    cols.foreach { case (c, dt) => t.widenColumn(c, dt) }
+    GraftSparkBridge.refreshSchema(session, name)
+    Seq.empty
+  }
+}
+
 /** DELETE FROM t [WHERE pred] — copy-on-write snapshot delete
   * ([[graft.lake.GraftTable.delete]]). The predicate is carried as an
   * opaque [[org.apache.spark.sql.Column]] (not an Expression field):

@@ -1282,6 +1282,45 @@ class LakeSpec extends SparkSpec {
     assert(t.current.deleteFiles.isEmpty && t.read().count() === 997)
   }
 
+  test("type widening: metadata-only int->long / float->double, pruning across the boundary") {
+    import spark.implicits._
+    val narrow = (1 to 1000).map(i => (i, i.toFloat / 4f)).toDF("k", "x")
+    val t = GraftTable.create(spark, tmp("widen"),
+      narrow.repartitionByRange(4, col("k")))
+    val preId = t.currentId
+    val preFiles = t.current.files.map(_.path).toSet
+    t.widenColumn("k", org.apache.spark.sql.types.LongType)
+    t.widenColumn("x", org.apache.spark.sql.types.DoubleType)
+    // metadata-only: zero files rewritten, schema re-typed
+    assert(t.current.files.map(_.path).toSet === preFiles)
+    assert(t.schema("k").dataType === org.apache.spark.sql.types.LongType)
+    assert(t.schema("x").dataType === org.apache.spark.sql.types.DoubleType)
+    // narrow physical files read through the wide schema
+    assert(t.read().schema("k").dataType === org.apache.spark.sql.types.LongType)
+    assert(t.read().count() === 1000)
+    assert(t.read().filter($"k" === 7L).head().getDouble(1) === (7f / 4f).toDouble)
+    // values beyond int range land in post-widen appends; both
+    // generations scan as one relation
+    t.append(Seq((5_000_000_000L, 9.5d)).toDF("k", "x"))
+    assert(t.read().count() === 1001)
+    assert(t.read().filter($"k" > 4_000_000_000L).count() === 1)
+    // stats pruning across the widened boundary: int-era footer stats
+    // ("long" domain) still prune long predicates
+    val (survivors, total, _) = t.pruneFiles(col("k") === 10L)
+    assert(total === 5 && survivors.size === 1,
+      s"expected 1 of 5 files to survive k=10, got ${survivors.size}")
+    val (wideSurv, _, _) = t.pruneFiles(col("k") === 5_000_000_000L)
+    assert(wideSurv.size === 1, "only the post-widen file can hold a long-range key")
+    // time travel reads the pre-widen narrow schema
+    assert(t.readAsOfId(preId).schema("k").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    // narrowing and cross-domain changes are refused
+    intercept[IllegalArgumentException](
+      t.widenColumn("k", org.apache.spark.sql.types.IntegerType))
+    intercept[IllegalArgumentException](
+      t.widenColumn("x", org.apache.spark.sql.types.StringType))
+  }
+
   test("metadata plane is Hadoop-FS: a file:-URI root runs the full table lifecycle") {
     // Pre-port, every metadata read went through java.nio Paths.get(root),
     // which treats "file:/…" as a relative path — the table could not even

@@ -237,6 +237,25 @@ class SqlSurfaceSpec extends SparkSpec {
     spark.sql("DROP TABLE t_evolve")
   }
 
+  test("ALTER TABLE ALTER COLUMN TYPE from SQL: metadata-only widening, narrowing refused") {
+    import spark.implicits._
+    val base = (1 to 100).map(i => (i, i.toFloat)).toDF("k", "x")
+    val t = GraftTable.create(spark, "/root/repo/target/laketest/sql-widen", base)
+    GraftCatalog.register("t_widen", t.root)
+    val filesBefore = t.current.files.map(_.path).toSet
+    spark.sql("ALTER TABLE t_widen ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE t_widen ALTER COLUMN x TYPE DOUBLE")
+    val t2 = new GraftTable(t.root, spark)
+    assert(t2.schema("k").dataType === org.apache.spark.sql.types.LongType)
+    assert(t2.schema("x").dataType === org.apache.spark.sql.types.DoubleType)
+    assert(t2.current.files.map(_.path).toSet === filesBefore, "no data rewritten")
+    assert(spark.sql("SELECT sum(k) FROM t_widen").head().getLong(0) === 5050L)
+    val err = intercept[Exception](
+      spark.sql("ALTER TABLE t_widen ALTER COLUMN k TYPE INT"))
+    assert(err.getMessage.contains("widening"), s"got: ${err.getMessage}")
+    spark.sql("DROP TABLE t_widen")
+  }
+
   test("registered graft table is queryable from SQL (current snapshot)") {
     val t = mkTable("cur")
     GraftCatalog.register("t_cur", t.root)
