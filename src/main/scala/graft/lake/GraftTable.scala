@@ -167,6 +167,22 @@ final class GraftTable(val root: String, spark: SparkSession) {
       if ((fs eq s0in.files) && (ds eq s0in.deleteFiles)) s0in
       else s0in.copy(files = fs, deleteFiles = ds)
     }
+    // Prune pending delete entries whose EVERY recorded target left the
+    // file list — a COW rewrite (delete/update/merge/compact/overwrite-
+    // partition) physically dropped those rows, so carrying the entry
+    // forward double-counts deletedRows (catalog rowCount, $deletes)
+    // and taxes every read with a dead anti-join. Unknown-target
+    // entries (equality flavor, legacy manifests, past the cap) stay —
+    // conservative, folded by the next OPTIMIZE.
+    val sPruned =
+      if (s0.deleteFiles.isEmpty || s0.deleteFiles.forall(_.targets.isEmpty)) s0
+      else {
+        val live = s0.files.iterator.map(f => GraftTable.baseName(f.path)).toSet
+        val keptDels = s0.deleteFiles.filter(d =>
+          d.targets.isEmpty || d.targets.exists(live.contains))
+        if (keptDels.size == s0.deleteFiles.size) s0
+        else s0.copy(deleteFiles = keptDels)
+      }
     // Externalize big file lists into content-addressed per-partition
     // shards: an unchanged partition hashes to an existing shard file
     // and is re-pointed, not re-written — at 10⁵ files an append to
@@ -175,10 +191,10 @@ final class GraftTable(val root: String, spark: SparkSession) {
     // Any `shards` carried in via copy() from a parent snapshot are
     // recomputed from the in-memory file list (never trusted stale).
     val s =
-      if (s0.files.size < GraftTable.ShardFilesThreshold)
-        s0.copy(shards = Seq.empty)
+      if (sPruned.files.size < GraftTable.ShardFilesThreshold)
+        sPruned.copy(shards = Seq.empty)
       else {
-        val refs = s0.files.groupBy(_.partition)
+        val refs = sPruned.files.groupBy(_.partition)
           .toSeq.sortBy(_._1.toSeq.sorted.mkString("/"))
           .map { case (_, fs) =>
             val body = SnapshotCodec.shardToBytes(ShardManifest(fs.sortBy(_.path)))
@@ -191,7 +207,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
             }
             ShardRef(name, fs.size.toLong)
           }
-        s0.copy(files = Seq.empty, shards = refs)
+        sPruned.copy(files = Seq.empty, shards = refs)
       }
     try {
       io.writeNew(s"snapshot-${s.id}.json",
@@ -379,6 +395,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
       // same tag may have committed since the fast-path check above
       if (consumedTags.contains(batchTag)) false
       else {
+        verifyPayloads(added)
         val c = current
         val next = c.copy(
           id = math.max(c.id, snapshotIds.max) + 1, parentId = c.id,
@@ -485,6 +502,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     val head0 = snapshot(headId0)
     val added = writeFiles(df, head0.partitionCols, head0.deps, head0.id + 1)
     withCommitLock {
+      verifyPayloads(added)
       val m = refEntries
       val head = snapshot(m(name)._1) // re-read inside the lock: rebase
       var nid = math.max(head.id, snapshotIds.max) + 1
@@ -633,8 +651,27 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * stepped over, not spun on; data writes happened before the lock,
     * so the critical section is one manifest write + one rename.
     */
+  /** Rebasable appends are the one writer class vacuum's STRUCTURAL
+    * in-flight guard cannot see: their planned snapshot id may be
+    * taken by a concurrent commit (the rebase is the feature), leaving
+    * `payloadId <= maxId` — indistinguishable from a lost race. The
+    * grace period is their primary protection; this re-check under the
+    * commit lock turns a mis-tuned grace sweep into a retryable
+    * failure instead of a silently committed manifest referencing
+    * deleted bytes. O(#added) exists-calls, appends only.
+    */
+  private def verifyPayloads(added: Seq[FileEntry]): Unit = {
+    val rootP = new HPath(root)
+    val missing = added.filterNot(f => io.fs.exists(new HPath(rootP, f.path)))
+    if (missing.nonEmpty) throw new java.io.IOException(
+      s"append payloads vanished before commit (orphan vacuum raced this " +
+        s"write? raise ${GraftTable.OrphanGraceProp}): " +
+        missing.map(_.path).take(5).mkString(", "))
+  }
+
   private[graft] def commitAppend(added: Seq[FileEntry], op: String): Snapshot =
     withCommitLock {
+      verifyPayloads(added)
       val cur = current
       val next = cur.copy(
         id = math.max(cur.id, snapshotIds.max) + 1, parentId = cur.id,
@@ -844,7 +881,20 @@ final class GraftTable(val root: String, spark: SparkSession) {
           GraftTable.PendingAddedBy, st.getLen, eqCols)
       }
       .filter(_.rows > 0)
-    if (entries.isEmpty) { hfs.delete(dirP, true); Seq.empty } else entries
+    if (entries.isEmpty) { hfs.delete(dirP, true); Seq.empty }
+    else if (eqCols.nonEmpty) entries
+    else {
+      // record the position set's distinct target basenames (capped) so
+      // a later COW rewrite that drops them all can prune the entry —
+      // without this, deletedRows double-counts after any rewrite. One
+      // tiny scan of the just-written delete parquet; past the cap the
+      // entry stays unknown-target (never pruned, still correct).
+      val targets = spark.read.parquet(s"$root/$relDir")
+        .select(col("file_name")).distinct().limit(GraftTable.TargetListCap + 1)
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (targets.size > GraftTable.TargetListCap) entries
+      else entries.map(_.copy(targets = targets))
+    }
   }
 
   /** Fold pending position deletes back into data files: rewrite
@@ -1582,9 +1632,14 @@ final class GraftTable(val root: String, spark: SparkSession) {
     *     snapshot id (`data/.../<snapId>-<seq>-…`, `deletes/<snapId>-…`);
     *     a commit still in flight always carries an id GREATER than any
     *     committed snapshot, so unreferenced payloads with
-    *     `snapId > max(existing ids)` are never swept. An unreferenced
-    *     payload whose id is ≤ an existing snapshot id provably lost
-    *     its race (something else committed that id).
+    *     `snapId > max(existing ids)` are never swept. CAVEAT: this
+    *     proves a LOST race only for non-commutative writers (their CAS
+    *     fails) — a rebasable APPEND whose planned id was taken keeps
+    *     going and commits under a higher id, so for appends the guard
+    *     is advisory and the grace period below is the real protection;
+    *     the append paths re-verify payload existence under the commit
+    *     lock ([[verifyPayloads]]) so a mis-tuned grace fails the
+    *     commit instead of losing data.
     *  2. TEMPORAL: everything else still honors `graceMillis` (default
     *     24 h, tunable per table via `vacuum.orphan.grace-ms`); staging
     *     trees age by their NEWEST contained file, not the dir mtime,
@@ -1943,6 +1998,12 @@ object GraftTable {
     * (parquet) name — see [[GraftTable.renameColumn]].
     */
   val PhysicalNameKey = "graftPhysicalName"
+
+  /** Max distinct target basenames recorded on a position-delete entry
+    * (see [[DeleteFileEntry.targets]]); bigger sets stay unknown — a
+    * bulk delete touching hundreds of files is OPTIMIZE's job anyway.
+    */
+  val TargetListCap = 64
 
   /** Meta-dir file names (all I/O through [[MetaIO]]). */
   private[lake] val HintName = "version-hint.txt"

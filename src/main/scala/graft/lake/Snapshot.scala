@@ -70,10 +70,17 @@ final case class FileEntry(
   *    this.addedBy`) — which is what lets a keyed MERGE/DELETE write
   *    O(source) with ZERO target scan, while the post-images it
   *    appends in the same commit (equal `addedBy`) survive.
+  *
+  * `targets` records the distinct data-file basenames a POSITION
+  * delete touches (capped — empty = unknown): when a copy-on-write
+  * rewrite later removes every target, the entry is provably stale
+  * and commits prune it ([[GraftTable]] stage), keeping
+  * `deletedRows` (catalog rowCount, `$deletes`) exact instead of
+  * double-counting rows a rewrite already dropped.
   */
 final case class DeleteFileEntry(
     path: String, rows: Long, addedBy: Long = 0L, bytes: Long = 0L,
-    equalityCols: Seq[String] = Seq.empty)
+    equalityCols: Seq[String] = Seq.empty, targets: Seq[String] = Seq.empty)
 
 /** A column dependency `src → dest : transform` (reference:
   * utils/Transforms.scala:30; Config.scala:77 COLUMN_DEPENDENCIES option). Declares
@@ -138,9 +145,11 @@ object SnapshotCodec {
     val s1 = if (s0.shards == null) s0.copy(shards = Seq.empty) else s0
     val s2 = if (s1.properties == null) s1.copy(properties = Map.empty) else s1
     val s3 = if (s2.deleteFiles == null) s2.copy(deleteFiles = Seq.empty) else s2
-    if (s3.deleteFiles.exists(_.equalityCols == null))
-      s3.copy(deleteFiles = s3.deleteFiles.map(d =>
-        if (d.equalityCols == null) d.copy(equalityCols = Seq.empty) else d))
+    if (s3.deleteFiles.exists(d => d.equalityCols == null || d.targets == null))
+      s3.copy(deleteFiles = s3.deleteFiles.map { d =>
+        val d1 = if (d.equalityCols == null) d.copy(equalityCols = Seq.empty) else d
+        if (d1.targets == null) d1.copy(targets = Seq.empty) else d1
+      })
     else s3
   }
   def shardToBytes(m: ShardManifest): Array[Byte] = mapper.writeValueAsBytes(m)

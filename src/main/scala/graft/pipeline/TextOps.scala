@@ -584,7 +584,7 @@ object TextOps {
        |SELECT doc_id, rk::BIGINT AS rk, term, score FROM rk
        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
-  /** C30 `sample_pack`: concat-and-chunk sequence packing — the
+  /** C32 `sample_pack`: concat-and-chunk sequence packing — the
     * GPT-style training-prep step that concatenates token streams in a
     * fixed document order and slices them into fixed-budget sequences
     * (B = 256 tokens here), letting documents span sequence boundaries.
@@ -639,7 +639,7 @@ object TextOps {
       |  CAST(tok_start % 256 AS BIGINT) AS tok_offset
       |FROM c ORDER BY doc_id""".stripMargin
 
-  /** C31 `sample_stratified`: exact proportional stratified sampling —
+  /** C33 `sample_stratified`: exact proportional stratified sampling —
     * keep ceil(25 %) of every `lang` stratum, picked deterministically
     * by portable-hash order (hash, doc_id tie-break), so every engine
     * and every re-run selects the identical rows and each stratum's
@@ -677,7 +677,7 @@ object TextOps {
       |SELECT doc_id, lang, CAST(rn AS BIGINT) AS pick_rank FROM r
       |WHERE rn * 4 <= cnt + 3 ORDER BY lang, pick_rank""".stripMargin
 
-  /** C33 `corpus_domain_cap`: per-source document cap (the per-domain
+  /** C34 `corpus_domain_cap`: per-source document cap (the per-domain
     * cap every crawl pipeline applies so a handful of giant domains
     * can't dominate the training mix) — keep at most 8 docs per
     * source, chosen by portable-hash order.

@@ -444,8 +444,21 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         val str = s.toString.trim
         if (str.forall(_.isDigit))
           if (str.length == 10) str.toLong * 1000L else str.toLong
-        else java.sql.Timestamp.valueOf(
-          if (str.contains(":")) str else s"$str 00:00:00").getTime
+        else {
+          // parse through Spark's own string→timestamp cast in the
+          // SESSION time zone — java.sql.Timestamp.valueOf reads the
+          // JVM default zone, so the string and typed-literal forms of
+          // TIMESTAMP AS OF could resolve to different snapshots
+          // whenever spark.sql.session.timeZone differs from the JVM's
+          val zone = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+          val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(s,
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.TimestampType, Some(zone)).eval(null)
+          if (micros == null) throw new IllegalArgumentException(
+            s"cannot parse TIMESTAMP AS OF literal '$str'")
+          micros.asInstanceOf[Long] / 1000L
+        }
       case micros: Long if e.dataType == TimestampType => micros / 1000L
       case days: Integer if e.dataType == DateType => days.toLong * 86400000L
       case millis: Long => millis

@@ -244,6 +244,23 @@ object GraftSparkBridge {
       .dropTable(identOf(name), ignoreIfNotExists = true, purge = false)
   }
 
+  /** Move a session-catalog mirror (if one exists) along with a table
+    * rename, so the old name stops resolving and the new one carries
+    * the same root/stats.
+    */
+  def renameMirror(session: SparkSession, oldName: String, newName: String): Unit = {
+    val catalog = session.sessionState.catalog
+    val ident = identOf(oldName)
+    if (catalog.tableExists(ident)) {
+      catalog.getTableMetadata(ident).properties.get("graftRoot") match {
+        case Some(root) =>
+          unregister(session, oldName)
+          register(session, newName, root)
+        case None => mirrored.remove(oldName); ()
+      }
+    } else { mirrored.remove(oldName); () }
+  }
+
   /** Re-mirror the live snapshot schema AND statistics after evolution
     * or DML so DESCRIBE/tooling that read the CatalogTable stay
     * coherent. Reads never depend on this — [[GraftRelationRule]]

@@ -119,8 +119,17 @@ class GraftV2Catalog extends TableCatalog with SupportsNamespaces {
     val root = GraftCatalog.lookup(k).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catName) ++ oldIdent.namespace().toSeq :+ oldIdent.name()))
+    val nk = key(newIdent)
+    // refusing an occupied target: a silent re-register would shadow
+    // the existing table's registration (its data would orphan)
+    if (GraftCatalog.lookup(nk).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catName) ++ newIdent.namespace().toSeq :+ newIdent.name())
     GraftCatalog.unregister(k)
-    GraftCatalog.register(key(newIdent), root)
+    GraftCatalog.register(nk, root)
+    // a session-catalog mirror of the old name would keep resolving to
+    // the root under the dead name — move it along with the rename
+    GraftSparkBridge.renameMirror(SparkSession.active, k, nk)
   }
 
   // ---- namespaces (db prefixes of registry keys) ---------------------

@@ -1282,6 +1282,39 @@ class LakeSpec extends SparkSpec {
     assert(t.current.deleteFiles.isEmpty && t.read().count() === 997)
   }
 
+  test("COW rewrites prune stale position-delete entries; partial overlap survives") {
+    val o = Tables.orders(spark, sfDir).limit(2000)
+    val t = GraftTable.create(spark, tmp("morprune"),
+      o.repartition(col("o_orderstatus")), Seq("o_orderstatus"))
+    t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    // point-delete one row inside partition F → position entry whose
+    // recorded targets are F's file(s)
+    val vF = t.read().filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey")).orderBy(col("o_orderkey")).head().getLong(0)
+    t.delete(col("o_orderkey") === vF)
+    assert(t.current.deleteFiles.nonEmpty
+      && t.current.deleteFiles.forall(_.targets.nonEmpty), "targets must be recorded")
+    assert(t.current.deletedRows === 1L)
+    // metadata-only partition delete drops every F file → the pending
+    // entry lost all targets → pruned at commit, deletedRows exact again
+    t.delete(col("o_orderstatus") === "F")
+    assert(t.current.deleteFiles.isEmpty,
+      "delete entry whose targets all left the snapshot must be pruned")
+    assert(t.current.deletedRows === 0L)
+    // partial overlap: one MOR delete touching TWO partitions survives
+    // a rewrite of one of them (a live target remains)
+    val vO = t.read().filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey")).orderBy(col("o_orderkey")).head().getLong(0)
+    val vP = t.read().filter(col("o_orderstatus") === "P")
+      .select(col("o_orderkey")).orderBy(col("o_orderkey")).head().getLong(0)
+    t.delete(col("o_orderkey").isin(vO, vP))
+    assert(t.current.deleteFiles.nonEmpty)
+    t.delete(col("o_orderstatus") === "O")
+    assert(t.current.deleteFiles.nonEmpty,
+      "an entry with a surviving target must not be pruned")
+    assert(t.read().filter(col("o_orderkey") === vP).count() === 0)
+  }
+
   test("type widening: metadata-only int->long / float->double, pruning across the boundary") {
     import spark.implicits._
     val narrow = (1 to 1000).map(i => (i, i.toFloat / 4f)).toDF("k", "x")

@@ -388,6 +388,56 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(GraftCatalog.lookup("v2db.fresh_v2").isEmpty)
   }
 
+  test("V2 renameTable refuses an occupied target and moves the session-catalog mirror") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sql.GraftV2Catalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse",
+      "/root/repo/target/laketest/v2warehouse")
+    val a = GraftTable.create(spark, "/root/repo/target/laketest/v2rn-a",
+      Seq((1L, "a")).toDF("id", "k"))
+    val b = GraftTable.create(spark, "/root/repo/target/laketest/v2rn-b",
+      Seq((2L, "b")).toDF("id", "k"))
+    GraftCatalog.register("v2db.rn_a", a.root)
+    GraftCatalog.register("v2db.rn_b", b.root)
+    // the old name was also mirrored into the session catalog
+    graft.sql.GraftSparkBridge.register(spark, "v2db.rn_a", a.root)
+    // renaming onto an occupied name must refuse, not shadow
+    val err = intercept[Exception](
+      spark.sql("ALTER TABLE graft_cat.v2db.rn_a RENAME TO v2db.rn_b"))
+    assert(err.getMessage.toLowerCase.contains("already exists"), s"got ${err.getMessage}")
+    // a clean rename moves registration AND the bridged mirror
+    spark.sql("ALTER TABLE graft_cat.v2db.rn_a RENAME TO v2db.rn_c")
+    assert(GraftCatalog.lookup("v2db.rn_a").isEmpty)
+    assert(GraftCatalog.lookup("v2db.rn_c").contains(a.root))
+    assert(spark.sql("SELECT count(*) FROM graft_cat.v2db.rn_c").head().getLong(0) === 1L)
+    val sc = spark.sessionState.catalog
+    assert(!sc.tableExists(org.apache.spark.sql.catalyst.TableIdentifier("rn_a", Some("v2db"))),
+      "stale session-catalog mirror must not survive the rename")
+    assert(sc.tableExists(org.apache.spark.sql.catalyst.TableIdentifier("rn_c", Some("v2db"))),
+      "mirror must follow the rename")
+    GraftCatalog.unregister("v2db.rn_b")
+    GraftCatalog.unregister("v2db.rn_c")
+    graft.sql.GraftSparkBridge.unregister(spark, "v2db.rn_c")
+  }
+
+  test("string TIMESTAMP AS OF parses in the session time zone, matching typed literals") {
+    val t = mkTable("tztt")
+    GraftCatalog.register("t_tztt", t.root)
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try {
+      // a wall-clock string rendered in the SESSION zone: parsing it in
+      // the JVM default zone (the old java.sql.Timestamp.valueOf path)
+      // lands ~9 h early → "no snapshot at or before" — session-zone
+      // parsing resolves the current snapshot
+      val str = java.time.Instant.ofEpochMilli(t.current.tsMillis + 1000)
+        .atZone(java.time.ZoneId.of("Asia/Tokyo"))
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      assert(spark.sql(s"SELECT count(*) AS n FROM t_tztt TIMESTAMP AS OF '$str'")
+        .collect().head.getLong(0) === t.current.totalRows)
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
   test("SQL DELETE routes merge-on-read via TBLPROPERTIES; OPTIMIZE folds the pending deletes") {
     val t = mkTable("optmor")
     GraftCatalog.register("t_optmor", t.root)
