@@ -1408,6 +1408,35 @@ final class GraftTable(val root: String, spark: SparkSession) {
     this
   }
 
+  /** ANALYZE-equivalent: one distributed pass computing approximate
+    * NDV (HyperLogLog++) per atomic column, persisted as
+    * `stats.ndv.<col>` table properties in an `analyze` snapshot —
+    * the role Iceberg's ANALYZE action plays with Puffin theta
+    * sketches. The SQL catalog bridge folds these into
+    * `CatalogColumnStat.distinctCount`, giving CBO join reordering
+    * real cardinalities; integral columns fall back to the value-range
+    * bound without it. Explicit maintenance, never a per-commit tax.
+    */
+  def analyzeNdv(cols: Seq[String] = Seq.empty): GraftTable = {
+    import org.apache.spark.sql.functions.approx_count_distinct
+    val atomic = schema.fields.filter(_.dataType match {
+      case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
+      case _ => false
+    }).map(_.name).toSeq
+    val target = if (cols.nonEmpty) cols else atomic
+    require(target.nonEmpty, "no analyzable columns")
+    val aggs = target.map(c => approx_count_distinct(col(c)).as(c))
+    val row = read().agg(aggs.head, aggs.tail: _*).head()
+    val cur = current
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "analyze",
+      properties = cur.properties ++ target.zipWithIndex.map {
+        case (c, i) => s"stats.ndv.$c" -> row.getLong(i).toString },
+      addedFiles = 0, deletedFiles = 0))
+    this
+  }
+
   /** logical → physical column names (non-identity entries only). */
   private def logicalToPhysical: Map[String, String] =
     if (!hasCurrent) Map.empty
@@ -2065,8 +2094,8 @@ object GraftTable {
     "create", "append", "overwrite", "overwrite-partition",
     "overwrite-dynamic", "delete", "truncate", "update", "merge",
     "merge-delete", "repartition-spec", "set-properties", "add-column",
-    "drop-column", "rename-column", "widen-column", "optimize", "compact",
-    "rollback", "adopt", "apply-deletes")
+    "drop-column", "rename-column", "widen-column", "analyze", "optimize",
+    "compact", "rollback", "adopt", "apply-deletes")
 
   /** TBLPROPERTIES key routing DELETE between copy-on-write (default)
     * and merge-on-read position deletes.

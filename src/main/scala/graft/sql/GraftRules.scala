@@ -97,6 +97,9 @@ case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPlan] {
 object GraftRelationRule {
 
   private def scan(session: SparkSession, root: String): LogicalPlan =
+    // manifest statistics (exact rowCount + column stats) already ride
+    // the scan's LogicalRelation — attached inside
+    // GraftFileIndex.relation so every read path gets them
     Shim.logicalPlan(new GraftTable(root, session).read())
 
   /** [[scan]] whose output attributes carry the given (already-bound)
@@ -207,12 +210,11 @@ object GraftSparkBridge {
     * subtracted from rowCount (logical rows) but not sizeInBytes
     * (files still read).
     */
-  private def manifestStats(t: GraftTable): org.apache.spark.sql.catalyst.catalog.CatalogStatistics = {
-    val s = t.current
-    org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
-      sizeInBytes = BigInt(s.files.map(_.bytes).sum),
-      rowCount = Some(BigInt(s.totalRows - s.deletedRows)))
-  }
+  private def manifestStats(t: GraftTable): org.apache.spark.sql.catalyst.catalog.CatalogStatistics =
+    // logical-name keying: mirrors feed DESCRIBE/tooling, which speak
+    // logical column names (scans key physically — see
+    // GraftFileIndex.relation / graft.lake.ManifestStats)
+    graft.lake.ManifestStats.forSnapshot(t.root, t.current, physicalKeys = false)
 
   def register(session: SparkSession, name: String, root: String): Unit = {
     installStatsHook()

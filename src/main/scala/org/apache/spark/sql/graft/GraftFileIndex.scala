@@ -155,7 +155,24 @@ object GraftFileIndex {
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark.asInstanceOf[ClassicSession])
+    // manifest statistics ride a stats-only CatalogTable (no
+    // graftRoot/graftName markers — this is NOT a registration):
+    // LogicalRelation.computeStats consults catalogTable.stats, so
+    // every manifest-planned scan hands CBO its exact rowCount and
+    // column min/max/nulls/NDV without an ANALYZE pass. Keyed by the
+    // relation's physical names; the aliasing Project below propagates
+    // them to logical names (ProjectEstimation alias handling).
+    val statsTable = org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        s"graft_scan_${Integer.toHexString(tableRoot.hashCode)}"),
+      tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty,
+      schema = physSchema,
+      provider = Some("parquet"),
+      stats = Some(graft.lake.ManifestStats.forSnapshot(
+        tableRoot, snapshot, physicalKeys = true)))
     val plan = LogicalRelation(fsRelation, isStreaming)
+      .copy(catalogTable = Some(statsTable))
     // declared schema order (partition cols land last in the relation
     // output otherwise) + physical → logical aliasing
     val cols = fullSchema.fields.toSeq.map { f =>

@@ -349,6 +349,66 @@ class SqlSurfaceSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("manifest column stats reach CBO: DESCRIBE shows them, a 3-way join reorders with AQE off") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val to = GraftTable.create(spark, "/root/repo/target/laketest/cbo-orders",
+      Tables.orders(spark, sfDir))
+    val tc = GraftTable.create(spark, "/root/repo/target/laketest/cbo-customer",
+      Tables.customer(spark, sfDir))
+    val tn = GraftTable.create(spark, "/root/repo/target/laketest/cbo-nation",
+      Tables.nation(spark, sfDir))
+    // the ANALYZE-equivalent: one HLL pass persists stats.ndv.* props
+    tn.analyzeNdv()
+    tc.analyzeNdv()
+    assert(tn.properties.get("stats.ndv.n_name").exists(_.toLong >= 20L))
+    GraftCatalog.register("cbo_orders", to.root)
+    GraftCatalog.register("cbo_customer", tc.root)
+    GraftCatalog.register("cbo_nation", tn.root)
+    graft.sql.GraftSparkBridge.register(spark, "cbo_nation", tn.root)
+    // DESCRIBE EXTENDED <table> <col> surfaces the manifest column stats
+    val desc = spark.sql("DESCRIBE EXTENDED cbo_nation n_nationkey").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("min").contains("0") && desc.get("max").contains("24"),
+      s"manifest min/max missing from DESCRIBE: $desc")
+    assert(desc.get("num_nulls").contains("0"))
+    assert(desc.get("distinct_count").exists(_.toLong >= 20L), s"NDV missing: $desc")
+    val priorCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val priorReorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // written order joins the two big tables first; manifest stats
+      // (rowCount + NDV + selective n_name filter) tell CBO to join
+      // customer against the 1-row nation side before touching orders
+      val q = spark.sql(
+        """SELECT count(*) AS n FROM cbo_orders o
+          |JOIN cbo_customer c ON o.o_custkey = c.c_custkey
+          |JOIN cbo_nation n ON c.c_nationkey = n.n_nationkey
+          |WHERE n.n_name = 'FRANCE'""".stripMargin)
+      val joins = q.queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joins.size === 2)
+      val innermostCond = joins.last.condition.map(_.toString).getOrElse("")
+      assert(innermostCond.contains("n_nationkey"),
+        s"CBO should join the selective nation dim first; innermost join was: $innermostCond")
+      // and the reordered plan is still correct
+      val expect = Tables.orders(spark, sfDir).join(
+          Tables.customer(spark, sfDir),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(spark, sfDir).filter(col("n_name") === "FRANCE"),
+          col("c_nationkey") === col("n_nationkey"))
+        .count()
+      assert(q.head().getLong(0) === expect)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", priorCbo)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", priorReorder)
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+      graft.sql.GraftSparkBridge.unregister(spark, "cbo_nation")
+      Seq("cbo_orders", "cbo_customer", "cbo_nation").foreach(GraftCatalog.unregister)
+    }
+  }
+
   test("DSv2 TableCatalog: multi-part identifiers read and write through the manifest path") {
     spark.conf.set("spark.sql.catalog.graft_cat", "graft.sql.GraftV2Catalog")
     spark.conf.set("spark.sql.catalog.graft_cat.warehouse",
