@@ -1490,9 +1490,18 @@ final class GraftTable(val root: String, spark: SparkSession) {
     val fragParts = cur.files.groupBy(_.partition).collect {
       case (p, fs) if fs.size > 1 && fs.map(_.bytes).sum <= targetBytes => p
     }.toSet
-    if (fragParts.isEmpty) return this
-    val cands = cur.files.filter(f => fragParts.contains(f.partition))
-    val kept = cur.files.filterNot(f => fragParts.contains(f.partition))
+    // Delete-aware selection: partitions whose pending merge-on-read
+    // deletes cover ≥ `write.compact.delete-ratio` of their rows
+    // compact REGARDLESS of fragmentation or the size cap — the
+    // rewrite reads through the deletes, their entries fall out of
+    // the manifest (stage-time target prune), and the MOR read tax /
+    // delete-set growth is bounded by compaction cadence instead of
+    // delete volume. This is what keeps the broadcast-threshold gate
+    // an edge case rather than a steady state.
+    val parts = fragParts ++ deleteDenseParts(cur)
+    if (parts.isEmpty) return this
+    val cands = cur.files.filter(f => parts.contains(f.partition))
+    val kept = cur.files.filterNot(f => parts.contains(f.partition))
     val frag = readSnapshot(cur.copy(files = cands))
     // repartition on the partition columns → exactly one task (and so
     // one file) per partition value; unpartitioned tables pack to 1
@@ -1506,6 +1515,38 @@ final class GraftTable(val root: String, spark: SparkSession) {
       operation = "compact", files = kept ++ added,
       addedFiles = added.size, deletedFiles = cands.size))
     this
+  }
+
+  /** Partitions whose pending-delete density crosses the compaction
+    * ratio. Position entries attribute their rows to each recorded
+    * target's partition (multi-target entries over-attribute —
+    * compacts sooner, never later); unknown-target entries (equality
+    * flavor, legacy, past the target cap) can touch anything, so past
+    * the ratio of the WHOLE table they nominate every partition.
+    * Pure manifest arithmetic — no delete parquet is read.
+    */
+  private def deleteDenseParts(cur: Snapshot): Set[Map[String, String]] = {
+    if (cur.deleteFiles.isEmpty) return Set.empty
+    val ratio = cur.properties.get(GraftTable.CompactDeleteRatioProp)
+      .map(_.toDouble).getOrElse(GraftTable.DefaultCompactDeleteRatio)
+    val byBase = cur.files.map(f => GraftTable.baseName(f.path) -> f).toMap
+    val acc = scala.collection.mutable.Map[Map[String, String], Long]()
+    var unknown = 0L
+    cur.deleteFiles.foreach { d =>
+      if (d.targets.nonEmpty)
+        d.targets.foreach(b => byBase.get(b).foreach(f =>
+          acc(f.partition) = acc.getOrElse(f.partition, 0L) + d.rows))
+      else unknown += d.rows
+    }
+    val rowsPerPart = cur.files.groupBy(_.partition)
+      .map { case (p, fs) => p -> fs.map(_.rows).sum }
+    val dense = acc.collect {
+      case (p, dr) if rowsPerPart.getOrElse(p, 0L) > 0 &&
+        dr.toDouble / rowsPerPart(p) >= ratio => p
+    }.toSet
+    if (unknown > 0 && cur.totalRows > 0 && unknown.toDouble / cur.totalRows >= ratio)
+      rowsPerPart.keySet.toSet
+    else dense
   }
 
   /** Incremental read between two snapshots: the rows of data files
@@ -2125,6 +2166,13 @@ object GraftTable {
     * zero target I/O; see [[DeleteFileEntry]]).
     */
   val MergeDeleteKindProp = "write.merge.delete-kind"
+
+  /** TBLPROPERTIES key: pending-delete row fraction at which a
+    * partition becomes a compaction candidate regardless of
+    * fragmentation (see [[GraftTable.optimizeCompact]]).
+    */
+  val CompactDeleteRatioProp = "write.compact.delete-ratio"
+  val DefaultCompactDeleteRatio = 0.05
 
   /** 32 MB default: parquet-encoded `(file_name, row_index)` pairs
     * expand several-fold into a broadcast hash relation, so this keeps

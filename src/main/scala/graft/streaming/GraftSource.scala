@@ -72,6 +72,9 @@ class GraftSourceProvider extends StreamSourceProvider {
       if (flag(parameters, "readChangeFeed"))
         base.add(GraftSource.ChangeTypeCol, org.apache.spark.sql.types.StringType,
           nullable = false)
+      else if (flag(parameters, "deletesAsRetractions"))
+        base.add(GraftSource.RetractCol, org.apache.spark.sql.types.BooleanType,
+          nullable = false)
       else base)
   }
 
@@ -79,17 +82,22 @@ class GraftSourceProvider extends StreamSourceProvider {
       sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): Source = {
     val changeFeed = flag(parameters, "readChangeFeed")
+    val retractions = flag(parameters, "deletesAsRetractions")
+    require(!(changeFeed && retractions),
+      "readChangeFeed and deletesAsRetractions are two shapes of the same " +
+        "feed — pick one")
     val maxFiles = parameters.get("maxFilesPerTrigger").map(_.toLong)
     val maxBytes = parameters.get("maxBytesPerTrigger").map(_.toLong)
-    require(!(changeFeed && (maxFiles.isDefined || maxBytes.isDefined)),
-      "readChangeFeed emits whole-snapshot change sets; " +
+    require(!((changeFeed || retractions) && (maxFiles.isDefined || maxBytes.isDefined)),
+      "readChangeFeed/deletesAsRetractions emit whole-snapshot change sets; " +
         "maxFilesPerTrigger/maxBytesPerTrigger cannot split a change " +
         "commit — use maxSnapshotsPerTrigger for admission control")
     new GraftSource(sqlContext.sparkSession, root(parameters),
       parameters.get("maxSnapshotsPerTrigger").map(_.toLong),
       maxFiles, maxBytes,
       changeFeed = changeFeed,
-      skipChangeCommits = flag(parameters, "skipChangeCommits"))
+      skipChangeCommits = flag(parameters, "skipChangeCommits"),
+      retractions = retractions)
   }
 }
 
@@ -115,7 +123,8 @@ class GraftSource(
     maxFilesPerTrigger: Option[Long] = None,
     maxBytesPerTrigger: Option[Long] = None,
     changeFeed: Boolean = false,
-    skipChangeCommits: Boolean = false) extends Source {
+    skipChangeCommits: Boolean = false,
+    retractions: Boolean = false) extends Source {
 
   private val table = new GraftTable(root, spark)
 
@@ -123,6 +132,9 @@ class GraftSource(
     if (changeFeed)
       table.schema.add(GraftSource.ChangeTypeCol,
         org.apache.spark.sql.types.StringType, nullable = false)
+    else if (retractions)
+      table.schema.add(GraftSource.RetractCol,
+        org.apache.spark.sql.types.BooleanType, nullable = false)
     else table.schema
 
   // admission control: highest end offset handed out so far. Restart
@@ -245,6 +257,7 @@ class GraftSource(
     val endSnap = table.snapshot(endId)
     val (startId, startP) = start.map(parseOffset).getOrElse((0L, None))
     if (changeFeed) return cdcBatch(startId, endId, endSnap)
+    if (retractions) return retractionBatch(startId, endId, endSnap)
     val delta =
       if (endSnap.files.forall(_.addedBy > 0L))
         GraftSource.orderedFiles(endSnap.files).collect {
@@ -295,6 +308,24 @@ class GraftSource(
   private def withChangeType(df: DataFrame, t: String): DataFrame =
     df.withColumn(GraftSource.ChangeTypeCol, org.apache.spark.sql.functions.lit(t))
 
+  /** `deletesAsRetractions=true`: the change feed re-shaped for
+    * incremental-aggregate consumers — the table schema plus a boolean
+    * `_graft_retract` column (false = the row was added in-window,
+    * true = a merge-on-read delete/update removed this pre-window row,
+    * subtract it). Downstream `foreachBatch` state updated with
+    * add-on-false / remove-on-true converges to the batch table state
+    * under MOR DML, which plain streaming (additions only) cannot do.
+    * Same commit-classification contract as the change feed
+    * ([[cdcBatch]]): COW rewrites refuse unless `skipChangeCommits`.
+    */
+  private def retractionBatch(startId: Long, endId: Long, endSnap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    cdcBatch(startId, endId, endSnap)
+      .withColumn(GraftSource.RetractCol,
+        col(GraftSource.ChangeTypeCol) === lit("delete"))
+      .drop(GraftSource.ChangeTypeCol)
+  }
+
   /** Row-level changes in `(startId, endId]` as `insert` / `delete`
     * rows (an update is its delete+insert pair, like the batch
     * [[graft.lake.GraftTable.changelog]] and Iceberg's changelog scan).
@@ -321,7 +352,10 @@ class GraftSource(
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.graft.GraftFileIndex
     import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
-    val order = schema.fieldNames.toSeq.map(col)
+    // output order: the TABLE columns + _change_type (under
+    // retractions the source schema carries _graft_retract instead —
+    // retractionBatch re-shapes after this select)
+    val order = (table.schema.fieldNames.toSeq :+ GraftSource.ChangeTypeCol).map(col)
     // position joins keep the pos columns (dropped once every delete
     // flavor is applied); delete frames arrive broadcast-hinted or not
     // from GraftTable.deleteRowsHinted — size-gated, never unconditional
@@ -458,6 +492,11 @@ object GraftSource {
     * `insert` | `delete`; an update is its delete+insert pair).
     */
   val ChangeTypeCol = "_change_type"
+
+  /** Retraction flag appended by `deletesAsRetractions=true` (false =
+    * add the row, true = subtract this pre-window row).
+    */
+  val RetractCol = "_graft_retract"
 
   /** Operations that rewrite bytes but preserve logical content — a
     * change feed skips them wholesale (see [[GraftSource.cdcBatch]]).

@@ -1282,6 +1282,35 @@ class LakeSpec extends SparkSpec {
     assert(t.current.deleteFiles.isEmpty && t.read().count() === 997)
   }
 
+  test("delete-aware OPTIMIZE: a heavily-deleted partition compacts first, its entry drops") {
+    import spark.implicits._
+    val df = (for (k <- Seq("a", "b", "c"); i <- 1 to 100) yield (k, i.toLong))
+      .toDF("k", "id")
+    val t = GraftTable.create(spark, tmp("delcompact"), df.repartition(col("k")), Seq("k"))
+    t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    assert(t.current.files.size === 3, "one file per partition (no fragmentation)")
+    // 30 % of partition a deleted (dense), 1 % of partition b (sparse)
+    t.delete(col("id") <= 30L && col("k") === "a")
+    t.delete(col("id") === 1L && col("k") === "b")
+    assert(t.current.deleteFiles.size === 2)
+    val aFile = t.current.files.find(_.partition.get("k").contains("a")).get.path
+    val bFile = t.current.files.find(_.partition.get("k").contains("b")).get.path
+    val cFile = t.current.files.find(_.partition.get("k").contains("c")).get.path
+    t.optimizeCompact(targetBytes = 1L << 30)
+    val after = t.current.files.map(_.path).toSet
+    // only the delete-dense partition was rewritten
+    assert(!after.contains(aFile), "delete-dense partition must compact")
+    assert(after.contains(bFile) && after.contains(cFile),
+      "sparse/clean partitions must be left alone")
+    // the dense partition's delete entry dropped with its targets; the
+    // sparse one still pends (its target file survived untouched)
+    assert(t.current.deleteFiles.size === 1)
+    assert(t.current.deletedRows === 1L)
+    assert(t.read().count() === 269)
+    assert(t.read().filter(col("k") === "a").count() === 70)
+    assert(t.read().filter(col("k") === "b" && col("id") === 1L).count() === 0)
+  }
+
   test("COW rewrites prune stale position-delete entries; partial overlap survives") {
     val o = Tables.orders(spark, sfDir).limit(2000)
     val t = GraftTable.create(spark, tmp("morprune"),

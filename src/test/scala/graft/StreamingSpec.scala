@@ -405,6 +405,48 @@ class StreamingSpec extends SparkSpec {
       s"got $seen")
   }
 
+  test("D13: deletesAsRetractions — incremental state equals the batch table under MOR DML") {
+    import spark.implicits._
+    val root = "/root/repo/target/laketest/streamretract"
+    val ckpt = "/root/repo/target/laketest/streamretract-ckpt"
+    for (p <- Seq(root, ckpt)) {
+      val f = new java.io.File(p)
+      if (f.exists()) { import scala.sys.process._; Seq("rm", "-rf", p).! }
+    }
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "k"))
+    t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    t.setProperty(GraftTable.UpdateModeProp, "merge-on-read")
+    t.append(Seq((4L, "d")).toDF("id", "k"))
+    // incremental multiset maintained purely from the retraction feed
+    val state = scala.collection.mutable.Map[(Long, String), Int]().withDefaultValue(0)
+    def drainOnce(): Unit = {
+      val q = spark.readStream.format("graft.streaming.GraftSourceProvider")
+        .option("path", root).option("deletesAsRetractions", "true").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("id", "k", "_graft_retract").collect().foreach { r =>
+            val key = (r.getLong(0), r.getString(1))
+            state(key) = state(key) + (if (r.getBoolean(2)) -1 else 1)
+          }; ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainOnce()
+    assert(state.filter(_._2 > 0).keySet === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // MOR delete + MOR update land as retract(pre-image) / add(post-image)
+    t.delete(col("id") === 2L)
+    t.update(col("id") === 3L, Map("k" -> lit("c2")))
+    drainOnce()
+    val live = state.filter(_._2 > 0)
+    assert(live.values.forall(_ == 1), s"multiset went off-by-one: $state")
+    val batchState = t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(live.keySet === batchState,
+      s"retraction-fed state $live must equal the batch table $batchState")
+    assert(batchState === Set((1L, "a"), (3L, "c2"), (4L, "d")))
+  }
+
   test("D6f: path-cut offsets survive removal of consumed files mid-snapshot (no skipped files)") {
     import spark.implicits._
     val root = "/root/repo/target/laketest/streamsrc-pathcut"
