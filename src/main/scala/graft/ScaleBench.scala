@@ -136,6 +136,20 @@ object ScaleBench {
       val (tMor, _) = timed(t.delete(col("o_orderkey") === keys(1)))
       require(t.current.deletedRows > 0, "MOR probe delete must match rows")
       val (tApply, _) = timed(t.applyDeletes())
+      // keyed MOR MERGE, position vs equality flavor over the same 1k
+      // source: position pays a key-bounds-pruned target scan that
+      // grows with data volume; equality writes the key set with zero
+      // target I/O and must stay FLAT across the 10× step — that
+      // flatness is the entire point of the second delete flavor
+      val src1k = o.filter(col("o_orderkey") >= n / 4).limit(1000)
+        .repartition(1).cache()
+      src1k.count()
+      t.setProperty(GraftTable.MergeModeProp, "merge-on-read")
+      val (tPosMerge, _) = timed(t.merge(src1k, Seq("o_orderkey")))
+      t.setProperty(GraftTable.MergeDeleteKindProp, "equality")
+      val (tEqMerge, _) = timed(t.merge(src1k, Seq("o_orderkey")))
+      require(t.current.deleteFiles.exists(_.equalityCols.nonEmpty),
+        "equality probe merge must register an equality delete")
       // getBatch planning for a 1-snapshot delta on the full table:
       // time to an ANALYZED plan (manifest filter + relation build),
       // which must track the DELTA, not the table's file count
@@ -148,13 +162,15 @@ object ScaleBench {
         src.getBatch(Some(LongOffset(startId)), LongOffset(endId))
           .queryExecution.analyzed
       }
-      o.unpersist(); small.unpersist()
+      o.unpersist(); small.unpersist(); src1k.unpersist()
       println(f"[scalebench-lake] $label%-4s rows=$n%9d files=${t.current.files.size}%5d " +
         f"create=$tCreate%6.2f append=$tAppend%6.2f smallAppend=$tSmall%5.2f " +
-        f"cowDelete=$tCow%6.2f morDelete=$tMor%6.2f morApply=$tApply%6.2f getBatchPlan=$tPlan%6.3f")
+        f"cowDelete=$tCow%6.2f morDelete=$tMor%6.2f morApply=$tApply%6.2f " +
+        f"posMerge=$tPosMerge%6.2f eqMerge=$tEqMerge%6.2f getBatchPlan=$tPlan%6.3f")
       for ((k, v) <- Seq("create" -> tCreate, "append" -> tAppend,
           "small_append" -> tSmall, "cow_delete" -> tCow, "mor_delete" -> tMor,
-          "mor_apply" -> tApply, "getbatch_plan" -> tPlan))
+          "mor_apply" -> tApply, "pos_merge" -> tPosMerge, "eq_merge" -> tEqMerge,
+          "getbatch_plan" -> tPlan))
         out(s"lake_${k}_$label") = v
     }
     out.toMap

@@ -382,6 +382,23 @@ case class GraftRenameColumnCommand(
   }
 }
 
+/** ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS …|FOR ALL COLUMNS]
+  * — one distributed HLL pass persisting `stats.ndv.<col>` properties
+  * ([[graft.lake.GraftTable.analyzeNdv]]). Basic statistics (rowCount,
+  * sizeInBytes, per-column min/max/nulls) are already manifest-exact on
+  * every scan, so NDV is the only thing an ANALYZE can add here.
+  */
+case class GraftAnalyzeCommand(
+    name: String, cols: Seq[String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    new GraftTable(root, session).analyzeNdv(cols)
+    GraftSparkBridge.refreshSchema(session, name)
+    Seq.empty
+  }
+}
+
 /** ALTER TABLE t ALTER COLUMN c TYPE <wider> — metadata-only type
   * widening ([[graft.lake.GraftTable.widenColumn]]); non-widening
   * changes are refused there.

@@ -272,6 +272,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case sc: logical.ShowCreateTable
           if identName(sc.child).exists(GraftCatalog.lookup(_).isDefined) =>
         GraftShowCreateCommand(identName(sc.child).get)
+      // ANALYZE TABLE … COMPUTE STATISTICS [FOR COLUMNS | FOR ALL
+      // COLUMNS] → the NDV sweep; basic stats are already manifest-exact
+      case at: logical.AnalyzeTable
+          if identName(at.child).exists(GraftCatalog.lookup(_).isDefined) =>
+        GraftAnalyzeCommand(identName(at.child).get, Seq.empty)
+      case ac: logical.AnalyzeColumn
+          if identName(ac.child).exists(GraftCatalog.lookup(_).isDefined) =>
+        GraftAnalyzeCommand(identName(ac.child).get,
+          ac.columnNames.getOrElse(Seq.empty))
       case p => substitute(p, asOf)
     }
   }

@@ -357,14 +357,15 @@ class SqlSurfaceSpec extends SparkSpec {
       Tables.customer(spark, sfDir))
     val tn = GraftTable.create(spark, "/root/repo/target/laketest/cbo-nation",
       Tables.nation(spark, sfDir))
-    // the ANALYZE-equivalent: one HLL pass persists stats.ndv.* props
-    tn.analyzeNdv()
-    tc.analyzeNdv()
-    assert(tn.properties.get("stats.ndv.n_name").exists(_.toLong >= 20L))
     GraftCatalog.register("cbo_orders", to.root)
     GraftCatalog.register("cbo_customer", tc.root)
     GraftCatalog.register("cbo_nation", tn.root)
     graft.sql.GraftSparkBridge.register(spark, "cbo_nation", tn.root)
+    // the NDV sweep through both surfaces: SQL ANALYZE and the API
+    spark.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS FOR ALL COLUMNS")
+    tc.analyzeNdv()
+    val tn2 = new GraftTable(tn.root, spark)
+    assert(tn2.properties.get("stats.ndv.n_name").exists(_.toLong >= 20L))
     // DESCRIBE EXTENDED <table> <col> surfaces the manifest column stats
     val desc = spark.sql("DESCRIBE EXTENDED cbo_nation n_nationkey").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
