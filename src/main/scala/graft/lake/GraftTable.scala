@@ -1872,7 +1872,13 @@ final class GraftTable(val root: String, spark: SparkSession) {
     val seqSchema = StructType(Seq(
       StructField("__graft_seq_file", StringType), StructField(SeqCol, LongType)))
     val fileSeq = spark.createDataFrame(seqRows.asJava, seqSchema)
-    var kept = df.join(broadcast(fileSeq),
+    // the stamp dim is O(#files-in-scan): broadcast while that is
+    // dimension-sized, fall back to a shuffled join on extreme file
+    // counts (the manifest already lives in driver memory either way,
+    // so the frame itself is never the new bottleneck)
+    val seqHinted =
+      if (seqRows.size <= GraftTable.FileSeqBroadcastMax) broadcast(fileSeq) else fileSeq
+    var kept = df.join(seqHinted,
       df(PosFileCol) === fileSeq("__graft_seq_file"), "left")
       .drop("__graft_seq_file")
     var killed: Option[DataFrame] = None
@@ -2173,6 +2179,12 @@ object GraftTable {
     */
   val CompactDeleteRatioProp = "write.compact.delete-ratio"
   val DefaultCompactDeleteRatio = 0.05
+
+  /** Max scan-file count for which the equality-delete stamp dim
+    * (basename → addedBy) broadcast-hints; ~60 B/row, so 1M files
+    * ≈ 60 MB relation — past that the join plans shuffled.
+    */
+  val FileSeqBroadcastMax = 1000000
 
   /** 32 MB default: parquet-encoded `(file_name, row_index)` pairs
     * expand several-fold into a broadcast hash relation, so this keeps

@@ -106,6 +106,18 @@ trait CommitLock {
 object CommitLock {
   private[lake] val TimeoutMs = 10000L
 
+  /** A lock artifact older than this is orphaned with overwhelming
+    * likelihood — the critical section is one manifest write plus one
+    * pointer rename, milliseconds — so acquisition BREAKS it and
+    * retries instead of demanding manual removal (a crashed writer
+    * must not brick the table). Safety is layered: staged manifests
+    * are exclusive-create and non-commutative commits CAS on the
+    * parent id, so even a wrongly-broken lock (a writer stalled >5 min
+    * inside the critical section) degrades to a clean
+    * ConcurrentModificationException, never silent loss.
+    */
+  private[lake] val StaleMs = 5 * 60 * 1000L
+
   /** Lock impl for a table root, by filesystem scheme. */
   def forRoot(root: String, io: MetaIO): CommitLock = {
     val scheme = new HPath(root).toUri.getScheme
@@ -114,11 +126,18 @@ object CommitLock {
     else new CreateFileCommitLock(root, io)
   }
 
-  private[lake] def spin(root: String, what: String)(tryOnce: () => Boolean): Unit = {
+  private[lake] def spin(root: String, what: String)(tryOnce: () => Boolean)(
+      ageMs: () => Option[Long], break: () => Unit): Unit = {
     var waitedMs = 0L
+    var broke = false
     while (!tryOnce()) {
-      if (waitedMs > TimeoutMs) throw new java.util.ConcurrentModificationException(
-        s"commit lock on $root held >10s (crashed writer? remove $what)")
+      if (waitedMs > TimeoutMs) {
+        if (!broke && ageMs().exists(_ > StaleMs)) {
+          break(); broke = true; waitedMs = 0L
+        } else throw new java.util.ConcurrentModificationException(
+          s"commit lock on $root held >10s by a live writer (remove $what " +
+            "if it is actually orphaned; locks older than 5min break automatically)")
+      }
       Thread.sleep(10); waitedMs += 10
     }
   }
@@ -133,7 +152,12 @@ final class MkdirCommitLock(root: String, localRoot: String) extends CommitLock 
   override def acquire(): Unit = CommitLock.spin(root, lockDir.toString) { () =>
     try { java.nio.file.Files.createDirectory(lockDir); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
-  }
+  } (
+    ageMs = () =>
+      try Some(System.currentTimeMillis() -
+        java.nio.file.Files.getLastModifiedTime(lockDir).toMillis)
+      catch { case _: java.io.IOException => None }, // vanished = retry
+    break = () => { java.nio.file.Files.deleteIfExists(lockDir); () })
   override def release(): Unit = { java.nio.file.Files.deleteIfExists(lockDir); () }
 }
 
@@ -146,6 +170,11 @@ final class CreateFileCommitLock(root: String, io: MetaIO) extends CommitLock {
   override def acquire(): Unit = CommitLock.spin(root, io.path(Name).toString) { () =>
     try { io.writeNew(Name, Array.emptyByteArray); true }
     catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
-  }
+  } (
+    ageMs = () =>
+      try Some(System.currentTimeMillis() -
+        io.fs.getFileStatus(io.path(Name)).getModificationTime)
+      catch { case _: java.io.IOException => None },
+    break = () => { io.delete(Name); () })
   override def release(): Unit = { io.delete(Name); () }
 }

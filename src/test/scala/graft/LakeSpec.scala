@@ -1265,6 +1265,25 @@ class LakeSpec extends SparkSpec {
     assert(t.read().collect().map(_.toString).sorted === expect)
   }
 
+  test("equality deletes survive widening the key column (narrow delete keys vs wide data)") {
+    import spark.implicits._
+    val base = (1 to 500).map(i => (i, s"v$i")).toDF("k", "v") // int key
+    val t = GraftTable.create(spark, tmp("eqwiden"), base.repartition(2))
+    t.setProperty(GraftTable.MergeModeProp, "merge-on-read")
+    t.setProperty(GraftTable.MergeDeleteKindProp, "equality")
+    // equality delete parquet stores INT keys…
+    t.merge(Seq((7, "upd7")).toDF("k", "v"), Seq("k"))
+    // …then the key column widens to BIGINT: the anti-join casts the
+    // narrow stored delete keys against the promoted scan column
+    t.widenColumn("k", org.apache.spark.sql.types.LongType)
+    assert(t.read().filter(col("k") === 7L).collect().map(_.getString(1)).toSeq === Seq("upd7"))
+    assert(t.read().count() === 500)
+    // candidates/fold-back still work over the widened schema
+    t.applyDeletes()
+    assert(t.current.deleteFiles.isEmpty)
+    assert(t.read().filter(col("k") === 7L).head().getString(1) === "upd7")
+  }
+
   test("equality MOR merge-delete: keyed deletion list, zero rewrites, zero target I/O") {
     import spark.implicits._
     val base = (1L to 1000L).map(k => (k, k * 2.0)).toDF("k", "x")
@@ -1280,6 +1299,25 @@ class LakeSpec extends SparkSpec {
     assert(t.read().filter($"k".isin(3L, 7L, 999L)).count() === 0)
     t.applyDeletes()
     assert(t.current.deleteFiles.isEmpty && t.read().count() === 997)
+  }
+
+  test("a stale (crashed-writer) commit lock is broken automatically; a fresh one blocks") {
+    val o = Tables.orders(spark, sfDir).limit(200)
+    val t = GraftTable.create(spark, tmp("stalelock"), o)
+    // plant an orphaned lock aged past the 5-minute staleness bound
+    val lockDir = java.nio.file.Paths.get(tmp("stalelock"), "meta", "commit.lock")
+    java.nio.file.Files.createDirectory(lockDir)
+    java.nio.file.Files.setLastModifiedTime(lockDir,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 6L * 60 * 1000))
+    t.append(o.limit(10)) // must break the stale lock and commit
+    assert(t.read().count() === 210)
+    assert(!java.nio.file.Files.exists(lockDir), "broken lock must not linger")
+    // a FRESH lock (live writer) is honored: acquisition times out
+    java.nio.file.Files.createDirectory(lockDir)
+    val err = intercept[java.util.ConcurrentModificationException](t.append(o.limit(1)))
+    assert(err.getMessage.contains("live writer"))
+    java.nio.file.Files.delete(lockDir)
   }
 
   test("delete-aware OPTIMIZE: a heavily-deleted partition compacts first, its entry drops") {
