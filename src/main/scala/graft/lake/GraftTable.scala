@@ -1504,11 +1504,16 @@ final class GraftTable(val root: String, spark: SparkSession) {
     val kept = cur.files.filterNot(f => parts.contains(f.partition))
     val frag = readSnapshot(cur.copy(files = cands))
     // repartition on the partition columns → exactly one task (and so
-    // one file) per partition value; unpartitioned tables pack to 1
+    // one file) per partition value. Unpartitioned tables pack into
+    // targetBytes-sized output splits, NOT one file: a delete-dense
+    // candidate set can exceed targetBytes (density selection ignores
+    // the size cap on purpose), and a single-task terabyte write is a
+    // straggler by construction.
     val packed =
       if (cur.partitionCols.nonEmpty)
         frag.repartition(cur.partitionCols.map(col): _*)
-      else frag.repartition(1)
+      else frag.repartition(math.max(1,
+        math.ceil(cands.map(_.bytes).sum.toDouble / targetBytes).toInt))
     val added = writeFiles(packed, cur.partitionCols, cur.deps, cur.id + 1)
     commit(cur.copy(
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),

@@ -42,12 +42,15 @@ object ManifestStats {
   private def compute(s: Snapshot, physicalKeys: Boolean): CatalogStatistics = {
     val schema = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
     val rowCount = BigInt(s.totalRows)
+    // empty files legitimately carry no footer stats — they must not
+    // veto the column (they contribute no rows either)
+    val statFiles = s.files.filter(_.rows > 0)
     val colStats: Map[String, CatalogColumnStat] =
-      if (s.files.isEmpty) Map.empty
+      if (statFiles.isEmpty) Map.empty
       else schema.fields.iterator.flatMap { f =>
         val pn = GraftTable.physicalName(f)
         val key = if (physicalKeys) pn else f.name
-        val sts = s.files.map(_.stats.get(pn))
+        val sts = statFiles.map(_.stats.get(pn))
         if (sts.exists(_.isEmpty)) None
         else {
           val all = sts.flatten
