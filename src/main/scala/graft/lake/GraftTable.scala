@@ -390,12 +390,12 @@ final class GraftTable(val root: String, spark: SparkSession) {
     if (consumedTags.contains(batchTag)) return false
     val cur = current
     val added = writeFiles(df, cur.partitionCols, cur.deps, cur.id + 1)
+    verifyPayloads(added) // outside the lock — see commitAppend
     val committed = withCommitLock {
       // re-check inside the lock: a concurrent writer replaying the
       // same tag may have committed since the fast-path check above
       if (consumedTags.contains(batchTag)) false
       else {
-        verifyPayloads(added)
         val c = current
         val next = c.copy(
           id = math.max(c.id, snapshotIds.max) + 1, parentId = c.id,
@@ -501,8 +501,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
     require(isBr, s"ref '$name' is a tag, not a branch")
     val head0 = snapshot(headId0)
     val added = writeFiles(df, head0.partitionCols, head0.deps, head0.id + 1)
+    verifyPayloads(added) // outside the lock — see commitAppend
     withCommitLock {
-      verifyPayloads(added)
       val m = refEntries
       val head = snapshot(m(name)._1) // re-read inside the lock: rebase
       var nid = math.max(head.id, snapshotIds.max) + 1
@@ -669,9 +669,12 @@ final class GraftTable(val root: String, spark: SparkSession) {
         missing.map(_.path).take(5).mkString(", "))
   }
 
-  private[graft] def commitAppend(added: Seq[FileEntry], op: String): Snapshot =
+  private[graft] def commitAppend(added: Seq[FileEntry], op: String): Snapshot = {
+    // verified OUTSIDE the lock: vacuum never holds it, so the check is
+    // equally effective before, and O(#added) exists-calls must not
+    // stretch the critical section (a stretched holder looks stale)
+    verifyPayloads(added)
     withCommitLock {
-      verifyPayloads(added)
       val cur = current
       val next = cur.copy(
         id = math.max(cur.id, snapshotIds.max) + 1, parentId = cur.id,
@@ -681,6 +684,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
       publishUnlocked(next.id)
       next
     }
+  }
 
   /** INSERT INTO — append snapshot (reference: InsertIntoIcebergTable
     * append mode). Concurrent appends both succeed via rebase-retry.
@@ -1326,6 +1330,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
     commit(cur.copy(
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
       operation = "drop-column", schemaJson = remaining.json,
+      // a later column re-using the name must not inherit stale NDV
+      properties = cur.properties - s"stats.ndv.$name",
       addedFiles = 0, deletedFiles = 0))
     this
   }
@@ -1359,10 +1365,15 @@ final class GraftTable(val root: String, spark: SparkSession) {
         new MetadataBuilder().withMetadata(f.metadata)
           .putString(GraftTable.PhysicalNameKey, GraftTable.physicalName(f)).build())
     }
+    // analyzed NDV follows the column (keyed by logical name)
+    val props = cur.properties.get(s"stats.ndv.$from") match {
+      case Some(v) => cur.properties - s"stats.ndv.$from" + (s"stats.ndv.$to" -> v)
+      case None    => cur.properties
+    }
     commit(cur.copy(
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
       operation = "rename-column", schemaJson = StructType(fields).json,
-      addedFiles = 0, deletedFiles = 0))
+      properties = props, addedFiles = 0, deletedFiles = 0))
     this
   }
 
@@ -1492,33 +1503,45 @@ final class GraftTable(val root: String, spark: SparkSession) {
     }.toSet
     // Delete-aware selection: partitions whose pending merge-on-read
     // deletes cover ≥ `write.compact.delete-ratio` of their rows
-    // compact REGARDLESS of fragmentation or the size cap — the
+    // rewrite REGARDLESS of fragmentation or the size cap — the
     // rewrite reads through the deletes, their entries fall out of
     // the manifest (stage-time target prune), and the MOR read tax /
     // delete-set growth is bounded by compaction cadence instead of
     // delete volume. This is what keeps the broadcast-threshold gate
-    // an edge case rather than a steady state.
-    val parts = fragParts ++ deleteDenseParts(cur)
-    if (parts.isEmpty) return this
-    val cands = cur.files.filter(f => parts.contains(f.partition))
-    val kept = cur.files.filterNot(f => parts.contains(f.partition))
-    val frag = readSnapshot(cur.copy(files = cands))
-    // repartition on the partition columns → exactly one task (and so
-    // one file) per partition value. Unpartitioned tables pack into
-    // targetBytes-sized output splits, NOT one file: a delete-dense
-    // candidate set can exceed targetBytes (density selection ignores
-    // the size cap on purpose), and a single-task terabyte write is a
-    // straggler by construction.
-    val packed =
-      if (cur.partitionCols.nonEmpty)
-        frag.repartition(cur.partitionCols.map(col): _*)
-      else frag.repartition(math.max(1,
-        math.ceil(cands.map(_.bytes).sum.toDouble / targetBytes).toInt))
-    val added = writeFiles(packed, cur.partitionCols, cur.deps, cur.id + 1)
+    // an edge case rather than a steady state. Delete-dense partitions
+    // that are NOT also size-fragmented fold through writeFiles at the
+    // scan's natural parallelism — forcing them through the
+    // one-file-per-partition packing would make an arbitrarily large
+    // dense partition a single-task straggler.
+    val foldSel = deleteDenseParts(cur) -- fragParts
+    if (fragParts.isEmpty && foldSel.isEmpty) return this
+    val kept = cur.files.filterNot(f =>
+      fragParts.contains(f.partition) || foldSel.contains(f.partition))
+    val packCands = cur.files.filter(f => fragParts.contains(f.partition))
+    val foldCands = cur.files.filter(f => foldSel.contains(f.partition))
+    val packAdded =
+      if (packCands.isEmpty) Seq.empty[FileEntry]
+      else {
+        val frag = readSnapshot(cur.copy(files = packCands, shards = Seq.empty))
+        // repartition on the partition columns → exactly one task (and
+        // so one file) per partition value; unpartitioned tables pack
+        // into targetBytes-sized splits
+        val packed =
+          if (cur.partitionCols.nonEmpty)
+            frag.repartition(cur.partitionCols.map(col): _*)
+          else frag.repartition(math.max(1,
+            math.ceil(packCands.map(_.bytes).sum.toDouble / targetBytes).toInt))
+        writeFiles(packed, cur.partitionCols, cur.deps, cur.id + 1)
+      }
+    val foldAdded =
+      if (foldCands.isEmpty) Seq.empty[FileEntry]
+      else writeFiles(readSnapshot(cur.copy(files = foldCands, shards = Seq.empty)),
+        cur.partitionCols, cur.deps, cur.id + 1)
+    val added = packAdded ++ foldAdded
     commit(cur.copy(
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
       operation = "compact", files = kept ++ added,
-      addedFiles = added.size, deletedFiles = cands.size))
+      addedFiles = added.size, deletedFiles = packCands.size + foldCands.size))
     this
   }
 

@@ -28,16 +28,28 @@ import org.apache.spark.sql.types._
 object ManifestStats {
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Int, Long), CatalogStatistics]()
+    (String, Long, Long), CatalogStatistics]()
+
+  /** Streaming emits a new subset per micro-batch — an uncapped cache
+    * is a slow driver leak in exactly the always-on workload. Stats
+    * recompute cheaply, so a full clear at the cap beats bookkeeping.
+    */
+  private val CacheCap = 4096
 
   /** Stats for (a possibly file-subset copy of) a snapshot. Subset
-    * scans share the snapshot id, so the cache key folds in the file
-    * count and row total.
+    * scans share the snapshot id, so the key folds in an order-free
+    * content hash of the subset's paths and sizes — file count + row
+    * totals alone collide across different same-shaped subsets, which
+    * would hand one partition's size/ranges to another.
     */
-  def forSnapshot(root: String, s: Snapshot, physicalKeys: Boolean): CatalogStatistics =
+  def forSnapshot(root: String, s: Snapshot, physicalKeys: Boolean): CatalogStatistics = {
+    val filesHash = s.files.foldLeft(17L)((a, f) =>
+      a + f.path.hashCode.toLong * 1315423911L + f.bytes)
+    if (cache.size > CacheCap) cache.clear()
     cache.computeIfAbsent(
-      (root + (if (physicalKeys) "#p" else "#l"), s.id, s.files.size, s.totalRows),
+      (root + (if (physicalKeys) "#p" else "#l"), s.id, filesHash),
       _ => compute(s, physicalKeys))
+  }
 
   private def compute(s: Snapshot, physicalKeys: Boolean): CatalogStatistics = {
     val schema = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
@@ -80,9 +92,23 @@ object ManifestStats {
           }
         }
       }.toMap
+    // Logical row count: subtract only the pending deletes PROVABLY
+    // inside this scan — position entries whose recorded targets all
+    // sit in the scanned files. Unknown-target and equality entries
+    // don't subtract: an equality entry's `rows` counts SOURCE KEYS
+    // (possibly ≫ matched rows), and a subset scan must not absorb the
+    // whole table's delete count (a 10k-row streaming delta against a
+    // 1M-row pending set would otherwise report −990k rows to CBO).
+    // Overestimating survives both failure modes; negative poisons.
+    val scanned = s.files.iterator.map(f =>
+      f.path.substring(f.path.lastIndexOf('/') + 1)).toSet
+    val applied = BigInt(s.deleteFiles.iterator.collect {
+      case d if d.equalityCols.isEmpty && d.targets.nonEmpty &&
+        d.targets.forall(scanned.contains) => d.rows
+    }.sum)
     CatalogStatistics(
       sizeInBytes = BigInt(s.files.map(_.bytes).sum),
-      rowCount = Some(rowCount - BigInt(s.deletedRows)),
+      rowCount = Some((rowCount - applied).max(BigInt(0))),
       colStats = colStats)
   }
 }

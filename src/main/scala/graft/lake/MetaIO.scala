@@ -126,14 +126,27 @@ object CommitLock {
     else new CreateFileCommitLock(root, io)
   }
 
+  /** `break` must be a single-winner CLAIM (rename the artifact to a
+    * unique name, then remove the claim) — a plain delete would let two
+    * timed-out waiters both "break", the second deleting the lock the
+    * first just re-acquired. Returning false = someone else claimed it
+    * (or it vanished): do not count it as our break, just retry. The
+    * residual hazard — the age check racing a legitimate holder's
+    * release+reacquire in the same millisecond — degrades to the
+    * staged-manifest/CAS ConcurrentModificationException, never loss.
+    */
   private[lake] def spin(root: String, what: String)(tryOnce: () => Boolean)(
-      ageMs: () => Option[Long], break: () => Unit): Unit = {
+      ageMs: () => Option[Long], break: () => Boolean): Unit = {
     var waitedMs = 0L
     var broke = false
     while (!tryOnce()) {
       if (waitedMs > TimeoutMs) {
-        if (!broke && ageMs().exists(_ > StaleMs)) {
-          break(); broke = true; waitedMs = 0L
+        val age = ageMs()
+        if (age.isEmpty) {
+          waitedMs = 0L // lock vanished under us — it's free, retry
+        } else if (!broke && age.exists(_ > StaleMs)) {
+          if (break()) broke = true
+          waitedMs = 0L
         } else throw new java.util.ConcurrentModificationException(
           s"commit lock on $root held >10s by a live writer (remove $what " +
             "if it is actually orphaned; locks older than 5min break automatically)")
@@ -157,7 +170,15 @@ final class MkdirCommitLock(root: String, localRoot: String) extends CommitLock 
       try Some(System.currentTimeMillis() -
         java.nio.file.Files.getLastModifiedTime(lockDir).toMillis)
       catch { case _: java.io.IOException => None }, // vanished = retry
-    break = () => { java.nio.file.Files.deleteIfExists(lockDir); () })
+    break = () =>
+      // atomic rename = single-winner claim of the stale artifact
+      try {
+        val claimed = lockDir.resolveSibling(
+          s"commit.lock.broken-${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.move(lockDir, claimed)
+        java.nio.file.Files.deleteIfExists(claimed)
+        true
+      } catch { case _: java.io.IOException => false })
   override def release(): Unit = { java.nio.file.Files.deleteIfExists(lockDir); () }
 }
 
@@ -175,6 +196,13 @@ final class CreateFileCommitLock(root: String, io: MetaIO) extends CommitLock {
       try Some(System.currentTimeMillis() -
         io.fs.getFileStatus(io.path(Name)).getModificationTime)
       catch { case _: java.io.IOException => None },
-    break = () => { io.delete(Name); () })
+    break = () =>
+      // rename-claim: exactly one timed-out waiter wins the artifact
+      try {
+        val claimed = io.path(s"$Name.broken-${java.util.UUID.randomUUID()}")
+        if (io.fs.rename(io.path(Name), claimed)) {
+          io.fs.delete(claimed, false); true
+        } else false
+      } catch { case _: java.io.IOException => false })
   override def release(): Unit = { io.delete(Name); () }
 }

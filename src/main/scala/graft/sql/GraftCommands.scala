@@ -389,11 +389,14 @@ case class GraftRenameColumnCommand(
   * every scan, so NDV is the only thing an ANALYZE can add here.
   */
 case class GraftAnalyzeCommand(
-    name: String, cols: Seq[String]) extends LeafRunnableCommand {
+    name: String, cols: Seq[String], noScan: Boolean = false)
+    extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val root = GraftCatalog.lookup(name).getOrElse(
       throw new IllegalArgumentException(s"graft table not registered: $name"))
-    new GraftTable(root, session).analyzeNdv(cols)
+    // NOSCAN's contract is "no data pass" — basic stats are manifest-
+    // exact already, so the mirror refresh IS the whole job
+    if (!noScan) new GraftTable(root, session).analyzeNdv(cols)
     GraftSparkBridge.refreshSchema(session, name)
     Seq.empty
   }

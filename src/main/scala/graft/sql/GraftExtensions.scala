@@ -273,14 +273,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           if identName(sc.child).exists(GraftCatalog.lookup(_).isDefined) =>
         GraftShowCreateCommand(identName(sc.child).get)
       // ANALYZE TABLE … COMPUTE STATISTICS [FOR COLUMNS | FOR ALL
-      // COLUMNS] → the NDV sweep; basic stats are already manifest-exact
+      // COLUMNS] → the NDV sweep; basic stats are already manifest-exact.
+      // NOSCAN honors its contract — metadata-only mirror refresh, no job
       case at: logical.AnalyzeTable
           if identName(at.child).exists(GraftCatalog.lookup(_).isDefined) =>
-        GraftAnalyzeCommand(identName(at.child).get, Seq.empty)
+        GraftAnalyzeCommand(identName(at.child).get, Seq.empty, noScan = at.noScan)
       case ac: logical.AnalyzeColumn
           if identName(ac.child).exists(GraftCatalog.lookup(_).isDefined) =>
         GraftAnalyzeCommand(identName(ac.child).get,
-          ac.columnNames.getOrElse(Seq.empty))
+          ac.columnNames.getOrElse(Seq.empty), noScan = false)
       case p => substitute(p, asOf)
     }
   }

@@ -352,10 +352,14 @@ class GraftSource(
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.graft.GraftFileIndex
     import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
-    // output order: the TABLE columns + _change_type (under
-    // retractions the source schema carries _graft_retract instead —
-    // retractionBatch re-shapes after this select)
-    val order = (table.schema.fieldNames.toSeq :+ GraftSource.ChangeTypeCol).map(col)
+    // output order: the CONSTRUCTION-TIME table columns + _change_type
+    // (derived from the pinned source schema, NOT the live table.schema
+    // — a mid-stream ALTER TABLE must not change a running stream's
+    // batch shape; under retractions the pinned schema carries
+    // _graft_retract instead, which retractionBatch re-shapes to)
+    val order = (schema.fieldNames.toSeq
+      .filterNot(n => n == GraftSource.ChangeTypeCol || n == GraftSource.RetractCol)
+      :+ GraftSource.ChangeTypeCol).map(col)
     // position joins keep the pos columns (dropped once every delete
     // flavor is applied); delete frames arrive broadcast-hinted or not
     // from GraftTable.deleteRowsHinted — size-gated, never unconditional

@@ -1284,6 +1284,25 @@ class LakeSpec extends SparkSpec {
     assert(t.read().filter(col("k") === 7L).head().getString(1) === "upd7")
   }
 
+  test("rowCount statistics stay non-negative under a deletion list bigger than the table") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("eqstat"),
+      (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"))
+    t.setProperty(GraftTable.MergeModeProp, "merge-on-read")
+    t.setProperty(GraftTable.MergeDeleteKindProp, "equality")
+    // a 1000-key GDPR-style deletion list against a 10-row table: the
+    // entry's `rows` counts SOURCE KEYS, not matched rows — stats must
+    // not subtract it into a negative rowCount
+    t.mergeDelete((1L to 1000L).filter(_ % 2 == 0).map(Tuple1(_)).toDF("k"), Seq("k"))
+    assert(t.read().count() === 5)
+    val prior = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val rc = t.read().queryExecution.optimizedPlan.stats.rowCount
+      assert(rc.forall(_ >= 0), s"negative rowCount statistic: $rc")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prior)
+  }
+
   test("equality MOR merge-delete: keyed deletion list, zero rewrites, zero target I/O") {
     import spark.implicits._
     val base = (1L to 1000L).map(k => (k, k * 2.0)).toDF("k", "x")

@@ -366,6 +366,12 @@ class SqlSurfaceSpec extends SparkSpec {
     tc.analyzeNdv()
     val tn2 = new GraftTable(tn.root, spark)
     assert(tn2.properties.get("stats.ndv.n_name").exists(_.toLong >= 20L))
+    // NOSCAN keeps its contract: metadata-only, no sweep commits
+    val preId = new GraftTable(to.root, spark).currentId
+    spark.sql("ANALYZE TABLE cbo_orders COMPUTE STATISTICS NOSCAN")
+    val toAfter = new GraftTable(to.root, spark)
+    assert(toAfter.currentId === preId, "NOSCAN must not run the NDV sweep")
+    assert(!toAfter.properties.keys.exists(_.startsWith("stats.ndv.")))
     // DESCRIBE EXTENDED <table> <col> surfaces the manifest column stats
     val desc = spark.sql("DESCRIBE EXTENDED cbo_nation n_nationkey").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
