@@ -1320,6 +1320,39 @@ class LakeSpec extends SparkSpec {
     assert(t.current.deleteFiles.isEmpty && t.read().count() === 997)
   }
 
+  test("CreateFileCommitLock (non-local FS impl): exclusion, stale-break, vanish-retry") {
+    // file: roots select MkdirCommitLock, so the exclusive-create impl
+    // for hdfs://-class filesystems never runs in the suite otherwise —
+    // exercise it directly against a local MetaIO
+    import graft.lake.{CreateFileCommitLock, MetaIO}
+    val root = tmp("hlock")
+    val rm = new java.io.File(root)
+    if (rm.exists()) { import scala.sys.process._; Seq("rm", "-rf", root).! }
+    val io = new MetaIO(root, spark.sparkContext.hadoopConfiguration)
+    io.mkdirs()
+    val a = new CreateFileCommitLock(root, io)
+    a.acquire()
+    assert(io.exists("commit.lock"))
+    // a held (fresh) lock blocks a second acquirer until release
+    val b = new CreateFileCommitLock(root, io)
+    val got = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val thr = new Thread(() => { b.acquire(); got.set(true); b.release() })
+    thr.start()
+    Thread.sleep(300)
+    assert(!got.get(), "waiter must not acquire while the lock is held")
+    a.release()
+    thr.join(5000)
+    assert(got.get(), "waiter must acquire after release")
+    assert(!io.exists("commit.lock"))
+    // a stale artifact (aged past 5 min) is broken and acquired over
+    io.writeNew("commit.lock", Array.emptyByteArray)
+    io.fs.setTimes(io.path("commit.lock"),
+      System.currentTimeMillis() - 6L * 60 * 1000, -1)
+    a.acquire()
+    a.release()
+    assert(!io.exists("commit.lock"), "stale artifact must be claimed and removed")
+  }
+
   test("a stale (crashed-writer) commit lock is broken automatically; a fresh one blocks") {
     val o = Tables.orders(spark, sfDir).limit(200)
     val t = GraftTable.create(spark, tmp("stalelock"), o)
