@@ -167,19 +167,26 @@ final class GraftTable(val root: String, spark: SparkSession) {
       if ((fs eq s0in.files) && (ds eq s0in.deleteFiles)) s0in
       else s0in.copy(files = fs, deleteFiles = ds)
     }
-    // Prune pending delete entries whose EVERY recorded target left the
-    // file list — a COW rewrite (delete/update/merge/compact/overwrite-
-    // partition) physically dropped those rows, so carrying the entry
-    // forward double-counts deletedRows (catalog rowCount, $deletes)
-    // and taxes every read with a dead anti-join. Unknown-target
-    // entries (equality flavor, legacy manifests, past the cap) stay —
-    // conservative, folded by the next OPTIMIZE.
+    // Prune pending delete entries that provably cannot kill anything
+    // anymore — carrying them forward double-counts deletedRows
+    // (catalog rowCount, $deletes), taxes every read with a dead join,
+    // and (for equality) would re-trigger delete-aware compaction
+    // forever:
+    //  - POSITION: every recorded target left the file list (a COW
+    //    rewrite physically dropped those rows). Unknown-target
+    //    entries (legacy, past the cap) stay conservatively.
+    //  - EQUALITY: every live file is stamped at or past the delete
+    //    (nothing predates it — e.g. after a full rewrite); files with
+    //    unknown stamps (0) keep the entry.
     val sPruned =
-      if (s0.deleteFiles.isEmpty || s0.deleteFiles.forall(_.targets.isEmpty)) s0
+      if (s0.deleteFiles.isEmpty) s0
       else {
-        val live = s0.files.iterator.map(f => GraftTable.baseName(f.path)).toSet
-        val keptDels = s0.deleteFiles.filter(d =>
-          d.targets.isEmpty || d.targets.exists(live.contains))
+        lazy val live = s0.files.iterator.map(f => GraftTable.baseName(f.path)).toSet
+        val keptDels = s0.deleteFiles.filter { d =>
+          if (d.equalityCols.nonEmpty)
+            s0.files.exists(f => f.addedBy == 0L || f.addedBy < d.addedBy)
+          else d.targets.isEmpty || d.targets.exists(live.contains)
+        }
         if (keptDels.size == s0.deleteFiles.size) s0
         else s0.copy(deleteFiles = keptDels)
       }
@@ -330,7 +337,10 @@ final class GraftTable(val root: String, spark: SparkSession) {
     */
   private def readLedger(): Set[String] =
     if (!io.exists(GraftTable.LedgerName)) Set.empty[String]
-    else io.readString(GraftTable.LedgerName)
+    // retrying read: every recordTag rewrites the ledger in place, and
+    // on filesystems without rename-overwrite a concurrent reader can
+    // land in the swap's no-file window
+    else io.readStringRetrying(GraftTable.LedgerName)
       .split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSet
 
   private def seedLedger(): Unit =
@@ -441,7 +451,9 @@ final class GraftTable(val root: String, spark: SparkSession) {
     if (!io.exists(GraftTable.RefsName)) Map.empty
     else {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = mapper.readTree(io.readBytes(GraftTable.RefsName))
+      // retrying read — refs.json is rewritten in place on every
+      // tag/branch change (same swap window as the ledger)
+      val node = mapper.readTree(io.readStringRetrying(GraftTable.RefsName))
       val it = node.fieldNames()
       val b = Map.newBuilder[String, (Long, Boolean)]
       while (it.hasNext) {
@@ -1138,29 +1150,35 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * same as COW merge: the source (small side) broadcasts into the
     * semi-join. [[applyDeletes]]/OPTIMIZE folds back later.
     */
+  /** The delete-file set a keyed MOR write registers — the ONE place
+    * both [[mergeMor]] and [[mergeDelete]] get their delete shape.
+    * `write.merge.delete-kind=equality` skips the candidate position
+    * scan entirely: the source keys themselves become an
+    * equality-delete file and the write side is O(source). Position
+    * (default) resolves exact coordinates, paying one pruned target
+    * scan for a cheaper read side.
+    */
+  private def morDeleteEntries(
+      cur: Snapshot, srcKeys: DataFrame, keyCols: Seq[String]): Seq[DeleteFileEntry] =
+    if (cur.properties.get(GraftTable.MergeDeleteKindProp).contains("equality"))
+      writeEqDeleteFiles(srcKeys, keyCols, cur.id + 1)
+    else {
+      import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
+      val cands = sourceKeyCandidates(srcKeys, keyCols)
+      if (cands.isEmpty) Seq.empty[DeleteFileEntry]
+      else {
+        val matched = readSnapshotPos(cur.copy(files = cands, shards = Seq.empty))
+          .join(broadcast(srcKeys), keyCols, "left_semi")
+        writeDeleteFiles(
+          matched.select(col(PosFileCol).as("file_name"), col(PosIdxCol).as("row_index")),
+          cur.id + 1)
+      }
+    }
+
   private def mergeMor(
       source: DataFrame, srcKeys: DataFrame, keyCols: Seq[String]): GraftTable = {
     val cur = current
-    import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
-    // TBLPROPERTIES('write.merge.delete-kind'='equality'): skip the
-    // candidate position scan entirely — the source keys themselves
-    // become an equality-delete file and the write side is O(source).
-    // Position (default) resolves exact coordinates, paying one pruned
-    // target scan for a cheaper read side.
-    val delEntries =
-      if (cur.properties.get(GraftTable.MergeDeleteKindProp).contains("equality"))
-        writeEqDeleteFiles(srcKeys, keyCols, cur.id + 1)
-      else {
-        val cands = sourceKeyCandidates(srcKeys, keyCols)
-        if (cands.isEmpty) Seq.empty[DeleteFileEntry]
-        else {
-          val matched = readSnapshotPos(cur.copy(files = cands, shards = Seq.empty))
-            .join(broadcast(srcKeys), keyCols, "left_semi")
-          writeDeleteFiles(
-            matched.select(col(PosFileCol).as("file_name"), col(PosIdxCol).as("row_index")),
-            cur.id + 1)
-        }
-      }
+    val delEntries = morDeleteEntries(cur, srcKeys, keyCols)
     val added = writeFiles(source, cur.partitionCols, cur.deps, cur.id + 1)
     commit(cur.copy(
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
@@ -1260,21 +1278,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
       // coordinates. Both leave every data file in place.
       if (cur.properties.get(GraftTable.MergeModeProp).contains("merge-on-read")
           && uniqueBaseNames(cur)) {
-        val dels =
-          if (cur.properties.get(GraftTable.MergeDeleteKindProp).contains("equality"))
-            writeEqDeleteFiles(srcKeys, keyCols, cur.id + 1)
-          else {
-            import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
-            val cands = sourceKeyCandidates(srcKeys, keyCols)
-            if (cands.isEmpty) Seq.empty[DeleteFileEntry]
-            else {
-              val matched = readSnapshotPos(cur.copy(files = cands, shards = Seq.empty))
-                .join(broadcast(srcKeys), keyCols, "left_semi")
-              writeDeleteFiles(
-                matched.select(col(PosFileCol).as("file_name"), col(PosIdxCol).as("row_index")),
-                cur.id + 1)
-            }
-          }
+        val dels = morDeleteEntries(cur, srcKeys, keyCols)
         if (dels.nonEmpty) commit(cur.copy(
           id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
           operation = "merge-delete", files = cur.files,
@@ -1949,12 +1953,15 @@ final class GraftTable(val root: String, spark: SparkSession) {
       val maxSeq = group.map(_.addedBy).max
       val aged = files.filter(f => f.addedBy <= 0L || f.addedBy < maxSeq)
       val delDf = group.map(d => spark.read.parquet(s"$root/${d.path}")).reduce(_ unionByName _)
-      val aggs = cols.flatMap(k => Seq(fmin(col(k)), fmax(col(k))))
+      // one aggregation job per group: key bounds AND the null-key
+      // indicator together (this runs per micro-batch on change feeds)
+      import org.apache.spark.sql.functions.{max => fmaxAgg, when}
+      val aggs = cols.flatMap(k => Seq(fmin(col(k)), fmax(col(k)))) :+
+        fmaxAgg(when(cols.map(col(_).isNull).reduce(_ || _), 1).otherwise(0))
       val bounds = delDf.agg(aggs.head, aggs.tail: _*).head()
-      val hasNullKey =
-        delDf.filter(cols.map(col(_).isNull).reduce(_ || _)).limit(1).count() > 0
+      val hasNullKey = !bounds.isNullAt(2 * cols.size) && bounds.getInt(2 * cols.size) == 1
       val cands =
-        if (hasNullKey || bounds.anyNull) aged
+        if (hasNullKey || (0 until 2 * cols.size).exists(bounds.isNullAt)) aged
         else {
           val pred = cols.zipWithIndex.map { case (k, i) =>
             col(k) >= lit(bounds.get(2 * i)) && col(k) <= lit(bounds.get(2 * i + 1))
@@ -2373,15 +2380,19 @@ object GraftTable {
     t
   }
 
-  /** Root-relative form of an absolute path/URI — pure string
-    * arithmetic over URI paths, so it runs on executors with no
-    * filesystem access and handles `file:`/`hdfs:`-qualified and bare
-    * forms on either side.
+  /** Root-relative form of a path/URI. Both sides are QUALIFIED
+    * against the path's filesystem before stripping, because listings
+    * return fully-qualified paths while the root string may be
+    * relative or schemeless — unqualified prefix-stripping would then
+    * miss and store an absolute path in the manifest (breaking every
+    * later `$root/$rel` reconstruction).
     */
   private def relativize(root: String, path: String): String = {
-    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
-    new org.apache.hadoop.fs.Path(path).toUri.getPath
-      .stripPrefix(rootUri).stripPrefix("/")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(taskConf)
+    val q = fs.makeQualified(p).toUri.getPath
+    val rq = fs.makeQualified(new org.apache.hadoop.fs.Path(root)).toUri.getPath
+    q.stripPrefix(rq).stripPrefix("/")
   }
 
   /** Footer-stat one existing file (no move) — runs in a cluster task. */

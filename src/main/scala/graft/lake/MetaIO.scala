@@ -32,6 +32,16 @@ final class MetaIO(root: String, conf: Configuration) {
   val fs: FileSystem = rootPath.getFileSystem(conf)
   private val metaPath = new HPath(rootPath, "meta")
 
+  /** Local meta directory when the RESOLVED filesystem is local (the
+    * root string alone can't tell — a schemeless root resolves against
+    * `fs.defaultFS`, which may be HDFS on a cluster). Exclusive create
+    * takes the O_EXCL fast path through it; see [[writeNew]].
+    */
+  private[lake] val localMeta: Option[java.nio.file.Path] =
+    if (fs.getScheme == "file")
+      Some(java.nio.file.Paths.get(fs.makeQualified(metaPath).toUri.getPath))
+    else None
+
   def path(name: String): HPath = new HPath(metaPath, name)
 
   def exists(name: String): Boolean = fs.exists(path(name))
@@ -49,14 +59,48 @@ final class MetaIO(root: String, conf: Configuration) {
   def readString(name: String): String =
     new String(readBytes(name), StandardCharsets.UTF_8)
 
+  /** [[readString]] that rides out the transient no-file window of a
+    * [[writeAtomic]] delete+rename fallback on filesystems without
+    * rename-overwrite (the reader saw `exists` just before the swap).
+    * Retries a few times, then rethrows — persistent absence is real.
+    */
+  def readStringRetrying(name: String): String = {
+    var tries = 0
+    while (true) {
+      try return readString(name)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          if (tries >= 5) throw e
+          tries += 1; Thread.sleep(20)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Exclusive create: fails with
     * [[org.apache.hadoop.fs.FileAlreadyExistsException]] when the file
     * already exists — the optimistic-concurrency primitive manifest
-    * staging builds on.
+    * staging builds on. On a LOCAL filesystem this must be O_EXCL
+    * (java.nio CREATE_NEW), not Hadoop's exists-check-then-create:
+    * lock-free stagers ([[GraftTable.stageAppend]]) race on manifest
+    * names by design, and a check-then-act loser would silently
+    * truncate the winner's committed manifest instead of throwing.
+    * HDFS's own create(overwrite=false) is atomic at the namenode.
     */
-  def writeNew(name: String, bytes: Array[Byte]): Unit = {
-    val out = fs.create(path(name), false)
-    try out.write(bytes) finally out.close()
+  def writeNew(name: String, bytes: Array[Byte]): Unit = localMeta match {
+    case Some(dir) =>
+      try {
+        java.nio.file.Files.write(dir.resolve(name), bytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        ()
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            s"${path(name)} already exists")
+      }
+    case None =>
+      val out = fs.create(path(name), false)
+      try out.write(bytes) finally out.close()
   }
 
   /** Overwrite-in-place via temp file + rename (see class doc for the
@@ -118,13 +162,16 @@ object CommitLock {
     */
   private[lake] val StaleMs = 5 * 60 * 1000L
 
-  /** Lock impl for a table root, by filesystem scheme. */
-  def forRoot(root: String, io: MetaIO): CommitLock = {
-    val scheme = new HPath(root).toUri.getScheme
-    if (scheme == null || scheme == "file")
-      new MkdirCommitLock(root, new HPath(root).toUri.getPath)
-    else new CreateFileCommitLock(root, io)
-  }
+  /** Lock impl for a table root, by the RESOLVED filesystem (not the
+    * raw root string: a schemeless root resolves against
+    * `fs.defaultFS`, so "/warehouse/t" on a cluster is HDFS — a local
+    * mkdir there would be a per-node non-lock).
+    */
+  def forRoot(root: String, io: MetaIO): CommitLock =
+    io.localMeta match {
+      case Some(meta) => new MkdirCommitLock(root, meta)
+      case None       => new CreateFileCommitLock(root, io)
+    }
 
   /** `break` must be a single-winner CLAIM (rename the artifact to a
     * unique name, then remove the claim) — a plain delete would let two
@@ -160,8 +207,8 @@ object CommitLock {
   * (and `java.nio` is correct here by construction — this impl is
   * selected only for `file:`/schemeless roots).
   */
-final class MkdirCommitLock(root: String, localRoot: String) extends CommitLock {
-  private val lockDir = java.nio.file.Paths.get(localRoot, "meta", "commit.lock")
+final class MkdirCommitLock(root: String, localMeta: java.nio.file.Path) extends CommitLock {
+  private val lockDir = localMeta.resolve("commit.lock")
   override def acquire(): Unit = CommitLock.spin(root, lockDir.toString) { () =>
     try { java.nio.file.Files.createDirectory(lockDir); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }

@@ -432,14 +432,30 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             t.readAsOfTs(spec.toLong) // longer digit strings = epoch millis
           case Some(spec) => t.refId(spec) match {
             case Some(id) => t.readAsOfId(id) // named tag wins
-            case None =>
-              val ts = java.sql.Timestamp.valueOf(
-                if (spec.contains(":")) spec else s"$spec 00:00:00")
-              t.readAsOfTs(ts.getTime)
+            case None     => t.readAsOfTs(sessionZoneMillis(spec))
           }
         }
         Shim.logicalPlan(df)
     }
+
+  /** Epoch millis of a wall-clock timestamp string, parsed through
+    * Spark's own string→timestamp cast in the SESSION time zone —
+    * java.sql.Timestamp.valueOf reads the JVM default zone, so mixing
+    * the two would let the same literal resolve to different snapshots
+    * depending on spelling (`as of '…'` prefix vs TIMESTAMP AS OF vs
+    * typed literal). One parser for every string spelling.
+    */
+  private def sessionZoneMillis(str: String): Long = {
+    val zone = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(str),
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.TimestampType, Some(zone)).eval(null)
+    if (micros == null) throw new IllegalArgumentException(
+      s"cannot parse AS OF timestamp literal '$str'")
+    micros.asInstanceOf[Long] / 1000L
+  }
 
   /** Epoch millis of a foldable TIMESTAMP AS OF expression: a
     * TimestampType literal evals to epoch-MICROS, a DateType literal to
@@ -454,21 +470,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         val str = s.toString.trim
         if (str.forall(_.isDigit))
           if (str.length == 10) str.toLong * 1000L else str.toLong
-        else {
-          // parse through Spark's own string→timestamp cast in the
-          // SESSION time zone — java.sql.Timestamp.valueOf reads the
-          // JVM default zone, so the string and typed-literal forms of
-          // TIMESTAMP AS OF could resolve to different snapshots
-          // whenever spark.sql.session.timeZone differs from the JVM's
-          val zone = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
-          val micros = org.apache.spark.sql.catalyst.expressions.Cast(
-            org.apache.spark.sql.catalyst.expressions.Literal(s,
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.TimestampType, Some(zone)).eval(null)
-          if (micros == null) throw new IllegalArgumentException(
-            s"cannot parse TIMESTAMP AS OF literal '$str'")
-          micros.asInstanceOf[Long] / 1000L
-        }
+        else sessionZoneMillis(str)
       case micros: Long if e.dataType == TimestampType => micros / 1000L
       case days: Integer if e.dataType == DateType => days.toLong * 86400000L
       case millis: Long => millis

@@ -475,7 +475,11 @@ class GraftSource(
           val preRel = GraftFileIndex.relation(spark, root,
             endSnap.copy(files = cands, shards = Seq.empty),
             isStreaming = true, withRowPos = true)
-          val preBase = applyDels(preRel, cands, startPos, startEq)
+          // winPos applies here too: a row position-deleted IN-WINDOW
+          // already streamed as posPre's delete — letting it reach the
+          // equality split would emit the same pre-image twice (a
+          // retraction consumer would subtract it twice)
+          val preBase = applyDels(preRel, cands, startPos ++ winPos, startEq)
           table.eqDeleteSplit(preBase,
               endSnap.copy(files = cands, shards = Seq.empty), winEq)._2
             .map(_.drop(PosFileCol, PosIdxCol))

@@ -1284,6 +1284,31 @@ class LakeSpec extends SparkSpec {
     assert(t.read().filter(col("k") === 7L).head().getString(1) === "upd7")
   }
 
+  test("equality entries prune once nothing predates them (no perpetual compaction loop)") {
+    import spark.implicits._
+    val df = (for (k <- Seq("a", "b", "c"); i <- 1 to 100) yield (k, i.toLong, s"$k$i"))
+      .toDF("k", "id", "v")
+    val t = GraftTable.create(spark, tmp("eqloop"), df.repartition(col("k")), Seq("k"))
+    t.setProperty(GraftTable.MergeModeProp, "merge-on-read")
+    t.setProperty(GraftTable.MergeDeleteKindProp, "equality")
+    // 100 source keys (half matching, half inserts) — the entry's rows
+    // count SOURCE KEYS, crossing the compaction ratio table-wide
+    val src = (51 to 150).map(i => ("a", i.toLong, s"u$i")).toDF("k", "id", "v")
+    t.merge(src, Seq("k", "id"))
+    assert(t.current.deleteFiles.nonEmpty)
+    val n = t.read().count()
+    t.optimizeCompact(targetBytes = 1L << 30)
+    // the full rewrite left no file predating the delete — entry pruned
+    assert(t.current.deleteFiles.isEmpty,
+      "equality entry with no remaining prey must prune at commit")
+    assert(t.read().count() === n)
+    // and therefore the NEXT compaction has nothing to do
+    val idAfter = t.currentId
+    t.optimizeCompact(targetBytes = 1L << 30)
+    assert(t.currentId === idAfter,
+      "a dead equality entry must not re-trigger delete-aware compaction forever")
+  }
+
   test("rowCount statistics stay non-negative under a deletion list bigger than the table") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("eqstat"),

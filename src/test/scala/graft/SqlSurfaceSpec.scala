@@ -502,6 +502,10 @@ class SqlSurfaceSpec extends SparkSpec {
         .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
       assert(spark.sql(s"SELECT count(*) AS n FROM t_tztt TIMESTAMP AS OF '$str'")
         .collect().head.getLong(0) === t.current.totalRows)
+      // the graft `as of '<ts>'` prefix clause parses through the SAME
+      // session-zone path — both spellings must resolve identically
+      assert(spark.sql(s"AS OF '$str' SELECT count(*) AS n FROM t_tztt")
+        .collect().head.getLong(0) === t.current.totalRows)
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 

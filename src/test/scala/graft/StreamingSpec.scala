@@ -447,6 +447,47 @@ class StreamingSpec extends SparkSpec {
     assert(batchState === Set((1L, "a"), (3L, "c2"), (4L, "d")))
   }
 
+  test("D13b: in-window position delete then equality delete of one key emits ONE retraction") {
+    import spark.implicits._
+    val root = "/root/repo/target/laketest/streamretract2"
+    val ckpt = "/root/repo/target/laketest/streamretract2-ckpt"
+    for (p <- Seq(root, ckpt)) {
+      val f = new java.io.File(p)
+      if (f.exists()) { import scala.sys.process._; Seq("rm", "-rf", p).! }
+    }
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "k"))
+    t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    t.setProperty(GraftTable.MergeModeProp, "merge-on-read")
+    t.setProperty(GraftTable.MergeDeleteKindProp, "equality")
+    val state = scala.collection.mutable.Map[(Long, String), Int]().withDefaultValue(0)
+    def drainOnce(): Unit = {
+      val q = spark.readStream.format("graft.streaming.GraftSourceProvider")
+        .option("path", root).option("deletesAsRetractions", "true").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("id", "k", "_graft_retract").collect().foreach { r =>
+            val key = (r.getLong(0), r.getString(1))
+            state(key) = state(key) + (if (r.getBoolean(2)) -1 else 1)
+          }; ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainOnce()
+    // ONE window containing BOTH a position delete of row 2 and a later
+    // equality upsert of the same key: the pre-image must retract once,
+    // not once per delete flavor
+    t.delete(col("id") === 2L)
+    t.merge(Seq((2L, "b2")).toDF("id", "k"), Seq("id"))
+    drainOnce()
+    assert(state.values.forall(_ >= 0),
+      s"a pre-image retracted twice (state went negative): $state")
+    val live = state.filter(_._2 > 0)
+    val batchState = t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(live.keySet === batchState && live.values.forall(_ == 1), s"state $state vs $batchState")
+  }
+
   test("D6f: path-cut offsets survive removal of consumed files mid-snapshot (no skipped files)") {
     import spark.implicits._
     val root = "/root/repo/target/laketest/streamsrc-pathcut"
