@@ -1168,12 +1168,31 @@ final class GraftTable(val root: String, spark: SparkSession) {
       if (cands.isEmpty) Seq.empty[DeleteFileEntry]
       else {
         val matched = readSnapshotPos(cur.copy(files = cands, shards = Seq.empty))
-          .join(broadcast(srcKeys), keyCols, "left_semi")
+          .join(sourceKeysHinted(cur.properties, srcKeys), keyCols, "left_semi")
         writeDeleteFiles(
           matched.select(col(PosFileCol).as("file_name"), col(PosIdxCol).as("row_index")),
           cur.id + 1)
       }
     }
+
+  /** Broadcast-hint the MOR source key frame only while it is small.
+    * A point upsert's keys are dimension-sized and broadcasting keeps
+    * the pruned target scan shuffle-free — but the source of a BULK
+    * keyed MERGE is data-scale (10 % of a 100 TB table), and an
+    * unconditional hint would force the driver to materialize it on
+    * every such write. The size estimate is the optimizer's own
+    * (`stats.sizeInBytes`): by the time this runs the key frame is
+    * persisted AND materialized (the key-bounds agg in
+    * [[sourceKeyCandidates]] ran first), so the estimate is the actual
+    * cached size, not a guess from the source query's shape.
+    */
+  private[graft] def sourceKeysHinted(props: Map[String, String], srcKeys: DataFrame): DataFrame = {
+    val limit = props.get(GraftTable.SourceBroadcastProp).map(_.toLong)
+      .getOrElse(GraftTable.DefaultDeleteBroadcastBytes)
+    val est = srcKeys.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(limit)) broadcast(srcKeys) else srcKeys
+  }
 
   private def mergeMor(
       source: DataFrame, srcKeys: DataFrame, keyCols: Seq[String]): GraftTable = {
@@ -2207,6 +2226,13 @@ object GraftTable {
     * zero target I/O; see [[DeleteFileEntry]]).
     */
   val MergeDeleteKindProp = "write.merge.delete-kind"
+
+  /** TBLPROPERTIES key: max estimated bytes of a keyed MOR write's
+    * source-key frame that the position-resolution semi-join will still
+    * broadcast-hint (see [[GraftTable.sourceKeysHinted]]); defaults to
+    * [[DefaultDeleteBroadcastBytes]].
+    */
+  val SourceBroadcastProp = "write.merge.source-broadcast-threshold"
 
   /** TBLPROPERTIES key: pending-delete row fraction at which a
     * partition becomes a compaction candidate regardless of

@@ -1100,6 +1100,44 @@ class LakeSpec extends SparkSpec {
     assert(t.read().filter(col("o_orderkey") === victim).count() === 0)
   }
 
+  test("position-MOR source-key broadcast is size-gated by write.merge.source-broadcast-threshold") {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    def broadcastHinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect { case j: Join => j.hint }
+        .exists(h => Seq(h.leftHint, h.rightHint).flatten.exists(_.strategy.contains(BROADCAST)))
+    val o = Tables.orders(spark, sfDir).limit(1000)
+    val t = GraftTable.create(spark, tmp("morsrcgate"), o)
+    t.setProperty(GraftTable.MergeModeProp, "merge-on-read")
+    // the hint decision itself: a materialized dimension-sized key frame
+    // is hinted under the default threshold, never once over it
+    val keys = o.limit(50).select(col("o_orderkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    keys.count()
+    val probeUnder = t.read().join(
+      t.sourceKeysHinted(t.current.properties, keys), Seq("o_orderkey"), "left_semi")
+    assert(broadcastHinted(probeUnder), "small source-key frame should carry the hint")
+    val probeOver = t.read().join(
+      t.sourceKeysHinted(Map(GraftTable.SourceBroadcastProp -> "1"), keys),
+      Seq("o_orderkey"), "left_semi")
+    assert(!broadcastHinted(probeOver),
+      "over-threshold source-key frame must not be broadcast-hinted")
+    keys.unpersist()
+    // end-to-end: a position-MOR merge past the threshold stays correct
+    // (at real scale Spark plans the semi-join shuffled; at test scale
+    // AQE may still broadcast from runtime STATS, which is fine — the
+    // bug was the unconditional HINT)
+    t.setProperty(GraftTable.SourceBroadcastProp, "1")
+    val n0 = t.read().count()
+    val victims = t.read().orderBy(col("o_orderkey")).limit(5)
+      .withColumn("o_totalprice", lit(77.25))
+    t.merge(victims, Seq("o_orderkey"))
+    assert(t.read().count() === n0, "upsert of existing keys must not grow the table")
+    assert(t.current.deleteFiles.nonEmpty && t.current.deleteFiles.forall(_.equalityCols.isEmpty),
+      "gated merge still writes position deletes")
+    assert(t.read().orderBy(col("o_orderkey")).limit(5).collect()
+      .forall(_.getAs[Double]("o_totalprice") === 77.25))
+  }
+
   test("MOR delete-file addedBy survives an id rebase past a parked WAP snapshot") {
     val o = Tables.orders(spark, sfDir).limit(1000)
     val t = GraftTable.create(spark, tmp("morrebase"), o)
