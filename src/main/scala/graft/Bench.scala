@@ -24,19 +24,29 @@ object Bench {
     // AND its exact twin to assert invariants — they belong to the
     // Verify gate, not a throughput benchmark (timing them would
     // double-count the operators they wrap).
+    // A query that throws must surface in the artifact and never lower
+    // the total: failures are listed in "failed" and excluded from
+    // "queries"/"value" (a fail-fast exception would otherwise record a
+    // flattering near-zero duration for work not done).
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(_._1.endsWith("_check")).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      .filterNot(_._1.endsWith("_check")).flatMap { case (name, fn) =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None
+        }
       }
-      name -> times.min
+      if (times.isEmpty) None else Some(name -> times.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's log capture truncates long lines — persist the full
     // per-query JSON as a file artifact so every round's numbers stay

@@ -21,8 +21,10 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamOps {
 
-  /** events.parquet carries TIMESTAMP(NANOS) → read `ts` as epoch-nanos
-    * long (legacy conf) and floor to micros, exactly like
+  /** events.parquet carries TIMESTAMP(NANOS) → normalize `ts` to a
+    * microsecond TimestampType by branching on the type this Spark
+    * actually loaded (epoch-nanos long under the legacy conf on older
+    * builds; native TIMESTAMP_NTZ on current 4.1.2), exactly like
     * [[graft.Tables.events]] so oracles line up.
     */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
@@ -39,7 +41,7 @@ object StreamOps {
     }
     val schema = s.read.parquet(s"$d/events.parquet").schema
     s.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts", graft.Tables.normalizeEventTs(schema("ts").dataType))
   }
 
   private def drain(df: DataFrame, s: SparkSession, name: String): DataFrame = {
