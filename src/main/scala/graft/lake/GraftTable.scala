@@ -681,21 +681,43 @@ final class GraftTable(val root: String, spark: SparkSession) {
         missing.map(_.path).take(5).mkString(", "))
   }
 
-  private[graft] def commitAppend(added: Seq[FileEntry], op: String): Snapshot = {
+  private[graft] def commitAppend(added: Seq[FileEntry], op: String,
+      ndvDelta: Map[String, Array[Byte]] = Map.empty): Snapshot = {
     // verified OUTSIDE the lock: vacuum never holds it, so the check is
     // equally effective before, and O(#added) exists-calls must not
     // stretch the critical section (a stretched holder looks stale)
     verifyPayloads(added)
     withCommitLock {
       val cur = current
+      // sketch MERGE happens inside the lock against the latest
+      // properties (two concurrent appends must both land their delta);
+      // it is a driver-side union of kilobyte sketches, not a data pass
       val next = cur.copy(
         id = math.max(cur.id, snapshotIds.max) + 1, parentId = cur.id,
         tsMillis = nextTs(Some(cur)), operation = op,
-        files = cur.files ++ added, addedFiles = added.size, deletedFiles = 0)
+        files = cur.files ++ added, addedFiles = added.size, deletedFiles = 0,
+        properties = GraftTable.mergeNdvProps(cur.properties, ndvDelta))
       stage(next)
       publishUnlocked(next.id)
       next
     }
+  }
+
+  /** One aggregation pass over a DELTA dataframe producing a
+    * DataSketches HLL per NDV-maintainable column (see
+    * [[GraftTable.ndvSketchExpr]]) — the O(delta) half of
+    * `write.stats.ndv=auto`; empty when the property is off.
+    */
+  private def ndvDeltaIfAuto(cur: Snapshot, df: DataFrame): Map[String, Array[Byte]] = {
+    if (!cur.properties.get(GraftTable.NdvModeProp).contains("auto")) return Map.empty
+    val cols = df.schema.fields.toSeq
+      .flatMap(f => GraftTable.ndvSketchExpr(f).map(f.name -> _))
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.map { case (n, c) =>
+      org.apache.spark.sql.functions.hll_sketch_agg(c).as(n) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.flatMap { case ((n, _), i) =>
+      Option(row.getAs[Array[Byte]](i)).map(n -> _) }.toMap
   }
 
   /** INSERT INTO — append snapshot (reference: InsertIntoIcebergTable
@@ -704,19 +726,27 @@ final class GraftTable(val root: String, spark: SparkSession) {
   def append(df: DataFrame): GraftTable = {
     val cur = current
     val added = writeFiles(df, cur.partitionCols, cur.deps, cur.id + 1)
-    commitAppend(added, "append")
+    commitAppend(added, "append", ndvDeltaIfAuto(cur, df))
     this
   }
 
   /** INSERT OVERWRITE (whole table). */
   def overwrite(df: DataFrame): GraftTable = {
     val cur = current
+    // under write.stats.ndv=auto an overwrite REPLACES the sketches —
+    // the new data is the whole table, so its sketch is exact-coverage
+    val ndv = ndvDeltaIfAuto(cur, df)
     val added = writeFiles(df, cur.partitionCols, cur.deps, cur.id + 1)
     commit(cur.copy(
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
       operation = "overwrite", files = added,
       addedFiles = added.size, deletedFiles = cur.files.size,
-      deleteFiles = Seq.empty)) // every deletable row was replaced
+      deleteFiles = Seq.empty, // every deletable row was replaced
+      properties =
+        if (ndv.isEmpty) cur.properties
+        else GraftTable.mergeNdvProps(
+          cur.properties.filterNot(kv => kv._1.startsWith("stats.hll.") ||
+            kv._1.startsWith("stats.ndv.")), ndv)))
     this
   }
 
@@ -1452,21 +1482,35 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * bound without it. Explicit maintenance, never a per-commit tax.
     */
   def analyzeNdv(cols: Seq[String] = Seq.empty): GraftTable = {
-    import org.apache.spark.sql.functions.approx_count_distinct
-    val atomic = schema.fields.filter(_.dataType match {
+    import org.apache.spark.sql.functions.{approx_count_distinct, hll_sketch_agg}
+    val fields = schema.fields
+    val atomic = fields.filter(_.dataType match {
       case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
       case _ => false
     }).map(_.name).toSeq
     val target = if (cols.nonEmpty) cols else atomic
     require(target.nonEmpty, "no analyzable columns")
-    val aggs = target.map(c => approx_count_distinct(col(c)).as(c))
+    // columns with a cardinality-preserving sketch input get a
+    // DataSketches HLL (persisted — it SEEDS write.stats.ndv=auto so
+    // later append deltas merge against full-table coverage); the rest
+    // fall back to a plain approx_count_distinct estimate
+    val sketchExpr = target.flatMap(c => fields.find(_.name == c))
+      .flatMap(f => GraftTable.ndvSketchExpr(f).map(f.name -> _)).toMap
+    val (sk, plain) = target.partition(sketchExpr.contains)
+    val aggs = sk.map(c => hll_sketch_agg(sketchExpr(c)).as(s"hll_$c")) ++
+      plain.map(c => approx_count_distinct(col(c)).as(c))
     val row = read().agg(aggs.head, aggs.tail: _*).head()
+    val skBytes = sk.zipWithIndex.flatMap { case (c, i) =>
+      Option(row.getAs[Array[Byte]](i)).map(c -> _) }.toMap
+    val plainProps = plain.zipWithIndex.map { case (c, i) =>
+      s"stats.ndv.$c" -> row.getLong(sk.size + i).toString }
     val cur = current
     commit(cur.copy(
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
       operation = "analyze",
-      properties = cur.properties ++ target.zipWithIndex.map {
-        case (c, i) => s"stats.ndv.$c" -> row.getLong(i).toString },
+      properties = GraftTable.mergeNdvProps(
+        cur.properties -- sk.map(c => s"stats.hll.$c"), // full pass replaces, not merges
+        skBytes) ++ plainProps,
       addedFiles = 0, deletedFiles = 0))
     this
   }
@@ -2233,6 +2277,63 @@ object GraftTable {
     * [[DefaultDeleteBroadcastBytes]].
     */
   val SourceBroadcastProp = "write.merge.source-broadcast-threshold"
+
+  /** TBLPROPERTIES key: `auto` keeps per-column NDV statistics current
+    * on every append/overwrite by merging a DataSketches HLL of the
+    * delta into a persisted per-column sketch (`stats.hll.<col>`) —
+    * O(delta) per commit, never a table scan — and refreshing the
+    * `stats.ndv.<col>` estimate the CBO bridge reads. Enable at create
+    * time, or run ANALYZE once to seed the sketches from a full pass
+    * (deltas merged into an unseeded sketch undercount pre-existing
+    * rows). DML that removes rows (DELETE/UPDATE/MERGE) leaves the
+    * sketch: an HLL cannot retract, so NDV stays a sound upper bound
+    * until the next ANALYZE — same staleness contract as Iceberg's
+    * analyze actions, minus the append-path staleness.
+    */
+  val NdvModeProp = "write.stats.ndv"
+
+  /** Cardinality-preserving sketch input for a column, or None when the
+    * type has no 1:1 mapping into `hll_sketch_agg`'s accepted inputs
+    * (int/long/string/binary). Date/boolean/byte/short widen to int,
+    * timestamps to epoch-long; fractional/decimal go through their
+    * string form (distinct values stringify distinctly).
+    */
+  private[lake] def ndvSketchExpr(f: org.apache.spark.sql.types.StructField)
+      : Option[Column] = {
+    import org.apache.spark.sql.types._
+    val c = col(f.name)
+    f.dataType match {
+      case IntegerType | LongType | StringType | BinaryType  => Some(c)
+      case ByteType | ShortType | BooleanType | DateType     => Some(c.cast(IntegerType))
+      case TimestampType | TimestampNTZType                  => Some(c.cast(LongType))
+      case _: NumericType                                    => Some(c.cast(StringType))
+      case _                                                 => None
+    }
+  }
+
+  /** Merge per-column delta sketches into the persisted
+    * `stats.hll.<col>` sketches (base64 compact HLL) and refresh the
+    * `stats.ndv.<col>` estimates the CBO bridge reads. Pure
+    * driver-side kilobyte unions; lgK 12 matches `hll_sketch_agg`'s
+    * default so ANALYZE-seeded and delta sketches merge losslessly.
+    */
+  private[lake] def mergeNdvProps(props: Map[String, String],
+      delta: Map[String, Array[Byte]]): Map[String, String] = {
+    import org.apache.datasketches.hll.{HllSketch, Union}
+    val b64 = java.util.Base64.getEncoder
+    delta.foldLeft(props) { case (p, (name, bytes)) =>
+      val merged = p.get(s"stats.hll.$name") match {
+        case Some(prev) =>
+          val u = new Union(12)
+          u.update(HllSketch.heapify(java.util.Base64.getDecoder.decode(prev)))
+          u.update(HllSketch.heapify(bytes))
+          u.getResult
+        case None => HllSketch.heapify(bytes)
+      }
+      p + (s"stats.hll.$name" -> b64.encodeToString(merged.toCompactByteArray)) +
+        (s"stats.ndv.$name" -> math.round(merged.getEstimate).toString)
+    }
+  }
 
   /** TBLPROPERTIES key: pending-delete row fraction at which a
     * partition becomes a compaction candidate regardless of

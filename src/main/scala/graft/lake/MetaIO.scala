@@ -162,15 +162,43 @@ object CommitLock {
     */
   private[lake] val StaleMs = 5 * 60 * 1000L
 
+  /** Schemes whose Hadoop client implements `create(overwrite=false)`
+    * as a non-atomic exists-check-then-PUT over an object store (no
+    * O_EXCL, no namenode to serialize creates) — these need the
+    * claim-and-verify protocol instead of exclusive create.
+    */
+  private val ObjectStoreSchemes = Set(
+    "s3a", "s3", "s3n", "gs", "oss", "cos", "wasb", "wasbs", "abfs",
+    "abfss", "swift")
+
+  /** Hadoop conf key forcing a specific lock impl (`mkdir` | `create` |
+    * `claim`); unset = select by the resolved filesystem.
+    */
+  val ImplConfKey = "graft.commit.lock.impl"
+
   /** Lock impl for a table root, by the RESOLVED filesystem (not the
     * raw root string: a schemeless root resolves against
     * `fs.defaultFS`, so "/warehouse/t" on a cluster is HDFS — a local
-    * mkdir there would be a per-node non-lock).
+    * mkdir there would be a per-node non-lock). Object-store schemes
+    * get the claim-and-verify lock; `graft.commit.lock.impl` in the
+    * Hadoop conf overrides (e.g. `claim` for an S3-compatible store
+    * mounted under an unlisted scheme, or to exercise the object-store
+    * protocol in tests on a local root).
     */
   def forRoot(root: String, io: MetaIO): CommitLock =
-    io.localMeta match {
-      case Some(meta) => new MkdirCommitLock(root, meta)
-      case None       => new CreateFileCommitLock(root, io)
+    Option(io.fs.getConf.get(ImplConfKey)).map(_.trim.toLowerCase) match {
+      case Some("mkdir") => new MkdirCommitLock(root, io.localMeta.getOrElse(
+        throw new IllegalArgumentException(
+          s"$ImplConfKey=mkdir requires a local-filesystem root, got scheme ${io.fs.getScheme}")))
+      case Some("create") => new CreateFileCommitLock(root, io)
+      case Some("claim")  => new ClaimCommitLock(root, io)
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown $ImplConfKey=$other (expected mkdir|create|claim)")
+      case None => io.localMeta match {
+        case Some(meta)                                  => new MkdirCommitLock(root, meta)
+        case None if ObjectStoreSchemes(io.fs.getScheme) => new ClaimCommitLock(root, io)
+        case None                                        => new CreateFileCommitLock(root, io)
+      }
     }
 
   /** `break` must be a single-winner CLAIM (rename the artifact to a
@@ -252,4 +280,78 @@ final class CreateFileCommitLock(root: String, io: MetaIO) extends CommitLock {
         } else false
       } catch { case _: java.io.IOException => false })
   override def release(): Unit = { io.delete(Name); () }
+}
+
+/** Object-store commit lock: a two-phase claim that never relies on an
+  * atomic exclusive create (S3-class Hadoop clients implement
+  * `create(overwrite=false)` as exists-check-then-PUT — two racers can
+  * both "win"). Protocol per acquire attempt:
+  *
+  *  1. STAGE: write the contender's token to a unique candidate key
+  *     (`commit.lock.cand-<token>` — fresh key, collision-free by
+  *     construction, needs no atomicity).
+  *  2. CLAIM: rename the candidate to `commit.lock`. On a store where
+  *     rename is copy+PUT, two concurrent claims can both report
+  *     success with last-PUT-wins content.
+  *  3. VERIFY: read `commit.lock` back; hold the lock ONLY if our own
+  *     token survived. A double-claim settles deterministically here —
+  *     exactly one token is in the object, everyone else retries.
+  *
+  * Requires read-after-write consistency, which S3 (since 2020), GCS,
+  * and ADLS all provide. On a store with a native conditional write
+  * (S3 `If-None-Match: *`, GCS `x-goog-if-generation-match: 0`,
+  * DynamoDB `attribute_not_exists`), steps 1-3 collapse into one
+  * conditional PUT — swap `tryClaim` for it; the spin/stale-break
+  * protocol and every call site stay the same. Residual hazard (VERIFY
+  * racing the winner's release, or a stale-break racing a >5 min
+  * stalled holder) degrades to the staged-manifest/parent-id-CAS
+  * ConcurrentModificationException one layer up, never silent loss —
+  * the same layered stance as the other impls. `release` deletes only
+  * if our token still holds the lock, so a broken-then-reassigned lock
+  * is never deleted out from under the new holder.
+  *
+  * The reference avoids this problem class by committing through the
+  * Hive metastore's transactional pointer swap
+  * (table/SparkTableOperations.scala:60-120); this impl is the
+  * storage-only equivalent for deployments without a metastore.
+  */
+final class ClaimCommitLock(root: String, io: MetaIO) extends CommitLock {
+  private val Name = "commit.lock"
+  private var token: String = ""
+
+  private def tryClaim(): Boolean = {
+    if (io.exists(Name)) return false
+    val cand = s"$Name.cand-$token"
+    val out = io.fs.create(io.path(cand), true)
+    try out.write(token.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val renamed =
+      try io.fs.rename(io.path(cand), io.path(Name))
+      catch { case _: java.io.IOException => false }
+    if (!renamed) { io.delete(cand); return false }
+    val holder = try io.readString(Name) catch { case _: java.io.IOException => "" }
+    holder == token
+  }
+
+  override def acquire(): Unit = {
+    token = java.util.UUID.randomUUID().toString
+    CommitLock.spin(root, io.path(Name).toString)(() => tryClaim())(
+      ageMs = () =>
+        try Some(System.currentTimeMillis() -
+          io.fs.getFileStatus(io.path(Name)).getModificationTime)
+        catch { case _: java.io.IOException => None },
+      break = () =>
+        // rename-claim of the stale artifact: single winner, like the
+        // other impls — the loser's rename returns false and it retries
+        try {
+          val claimed = io.path(s"$Name.broken-${java.util.UUID.randomUUID()}")
+          if (io.fs.rename(io.path(Name), claimed)) {
+            io.fs.delete(claimed, false); true
+          } else false
+        } catch { case _: java.io.IOException => false })
+  }
+
+  override def release(): Unit = {
+    val holder = try io.readString(Name) catch { case _: java.io.IOException => "" }
+    if (holder == token) { io.delete(Name); () }
+  }
 }

@@ -364,20 +364,22 @@ object StreamOps {
     val h = math.abs(d.hashCode)
     val root = s"/root/repo/target/lakework/cdcfeed-$h"
     val ckpt = s"/root/repo/target/lakework/cdcfeed-ckpt-$h"
-    for (p <- Seq(root, ckpt)) { import scala.sys.process._; Seq("rm", "-rf", p).! }
+    val feed = s"/root/repo/target/lakework/cdcfeed-out-$h"
+    for (p <- Seq(root, ckpt, feed)) { import scala.sys.process._; Seq("rm", "-rf", p).! }
     val ev = eventsBatch(s, d).select(col("event_id"), col("event_type"), col("value"))
     val t = GraftTable.create(s, root, ev.filter(col("event_id") % 2 === 0))
     t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
     t.setProperty(GraftTable.UpdateModeProp, "merge-on-read")
-    val buf = scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
+    // each micro-batch lands as a distributed parquet append — the feed
+    // never passes through the driver (at 100 TB the change feed is
+    // itself big data; collect() here would be the scale bug)
     def drainOnce(): Unit = {
       val q = s.readStream.format("graft.streaming.GraftSourceProvider")
         .option("path", root).option("readChangeFeed", "true").load()
         .writeStream.option("checkpointLocation", ckpt)
         .foreachBatch { (b: DataFrame, _: Long) =>
-          val rows = b.select(col("_change_type"), col("event_type"), col("value"))
-            .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
-          buf.synchronized { buf ++= rows }; ()
+          b.select(col("_change_type"), col("event_type"), col("value"))
+            .write.mode("append").parquet(feed); ()
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -389,8 +391,8 @@ object StreamOps {
     t.update(col("event_id") % 11 === 0,           // MOR update (delete+insert)
       Map("value" -> (col("value") * 2)))
     drainOnce(); drainOnce() // two commits: the v1 AvailableNow wrapper may batch-split
-    import s.implicits._
-    buf.toSeq.toDF("change_type", "event_type", "value")
+    s.read.parquet(feed)
+      .withColumnRenamed("_change_type", "change_type")
       .groupBy(col("change_type"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .orderBy(col("change_type"), col("event_type"))
