@@ -703,30 +703,44 @@ final class GraftTable(val root: String, spark: SparkSession) {
     }
   }
 
-  /** One aggregation pass over a DELTA dataframe producing a
+  /** Attach an [[org.apache.spark.sql.Observation]] computing a
     * DataSketches HLL per NDV-maintainable column (see
-    * [[GraftTable.ndvSketchExpr]]) — the O(delta) half of
-    * `write.stats.ndv=auto`; empty when the property is off.
+    * [[GraftTable.ndvSketchExpr]]) to a delta dataframe — the sketches
+    * ride the WRITE action itself (a `CollectMetrics` node in the same
+    * plan), so `write.stats.ndv=auto` costs zero extra passes and
+    * never recomputes an expensive source plan. No-op (original df,
+    * None) when the property is off.
     */
-  private def ndvDeltaIfAuto(cur: Snapshot, df: DataFrame): Map[String, Array[Byte]] = {
-    if (!cur.properties.get(GraftTable.NdvModeProp).contains("auto")) return Map.empty
+  private def ndvObserveIfAuto(cur: Snapshot, df: DataFrame)
+      : (DataFrame, Option[(org.apache.spark.sql.Observation, Seq[String])]) = {
+    if (!cur.properties.get(GraftTable.NdvModeProp).contains("auto")) return (df, None)
     val cols = df.schema.fields.toSeq
       .flatMap(f => GraftTable.ndvSketchExpr(f).map(f.name -> _))
-    if (cols.isEmpty) return Map.empty
+    if (cols.isEmpty) return (df, None)
+    val obs = org.apache.spark.sql.Observation(
+      s"ndv-${java.util.UUID.randomUUID()}")
     val aggs = cols.map { case (n, c) =>
       org.apache.spark.sql.functions.hll_sketch_agg(c).as(n) }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.zipWithIndex.flatMap { case ((n, _), i) =>
-      Option(row.getAs[Array[Byte]](i)).map(n -> _) }.toMap
+    (df.observe(obs, aggs.head, aggs.tail: _*), Some((obs, cols.map(_._1))))
   }
+
+  /** Harvest the sketches once the observed write action has run. */
+  private def ndvFromObs(
+      o: Option[(org.apache.spark.sql.Observation, Seq[String])])
+      : Map[String, Array[Byte]] =
+    o.map { case (obs, names) =>
+      val m = obs.get
+      names.flatMap(n => m.get(n).collect { case b: Array[Byte] => n -> b }).toMap
+    }.getOrElse(Map.empty)
 
   /** INSERT INTO — append snapshot (reference: InsertIntoIcebergTable
     * append mode). Concurrent appends both succeed via rebase-retry.
     */
   def append(df: DataFrame): GraftTable = {
     val cur = current
-    val added = writeFiles(df, cur.partitionCols, cur.deps, cur.id + 1)
-    commitAppend(added, "append", ndvDeltaIfAuto(cur, df))
+    val (dfObs, obs) = ndvObserveIfAuto(cur, df)
+    val added = writeFiles(dfObs, cur.partitionCols, cur.deps, cur.id + 1)
+    commitAppend(added, "append", ndvFromObs(obs))
     this
   }
 
@@ -735,8 +749,9 @@ final class GraftTable(val root: String, spark: SparkSession) {
     val cur = current
     // under write.stats.ndv=auto an overwrite REPLACES the sketches —
     // the new data is the whole table, so its sketch is exact-coverage
-    val ndv = ndvDeltaIfAuto(cur, df)
-    val added = writeFiles(df, cur.partitionCols, cur.deps, cur.id + 1)
+    val (dfObs, obs) = ndvObserveIfAuto(cur, df)
+    val added = writeFiles(dfObs, cur.partitionCols, cur.deps, cur.id + 1)
+    val ndv = ndvFromObs(obs)
     commit(cur.copy(
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
       operation = "overwrite", files = added,
@@ -2281,7 +2296,8 @@ object GraftTable {
   /** TBLPROPERTIES key: `auto` keeps per-column NDV statistics current
     * on every append/overwrite by merging a DataSketches HLL of the
     * delta into a persisted per-column sketch (`stats.hll.<col>`) —
-    * O(delta) per commit, never a table scan — and refreshing the
+    * computed by an Observation riding the write action itself, so it
+    * adds zero passes and never rescans the table — and refreshing the
     * `stats.ndv.<col>` estimate the CBO bridge reads. Enable at create
     * time, or run ANALYZE once to seed the sketches from a full pass
     * (deltas merged into an unseeded sketch undercount pre-existing
