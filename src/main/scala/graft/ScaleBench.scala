@@ -162,15 +162,33 @@ object ScaleBench {
         src.getBatch(Some(LongOffset(startId)), LongOffset(endId))
           .queryExecution.analyzed
       }
+      // write.stats.ndv=auto rides the write action as an Observation:
+      // the same small append with sketch maintenance on must cost
+      // ~what the plain small append cost (flat in table size AND in
+      // delta size beyond the write itself)
+      t.setProperty(GraftTable.NdvModeProp, "auto")
+      val (tNdvAppend, _) = timed(t.append(small))
+      require(t.current.properties.contains("stats.ndv.o_orderkey"),
+        "auto-NDV append must publish stats")
+      // the object-store claim lock (two-phase stage/claim/verify) is
+      // pure control plane: the same append under the forced protocol
+      // must not step with data volume
+      val hconf = spark.sparkContext.hadoopConfiguration
+      hconf.set(graft.lake.CommitLock.ImplConfKey, "claim")
+      val tClaimAppend =
+        try timed(new GraftTable(root, spark).append(small))._1
+        finally hconf.unset(graft.lake.CommitLock.ImplConfKey)
       o.unpersist(); small.unpersist(); src1k.unpersist()
       println(f"[scalebench-lake] $label%-4s rows=$n%9d files=${t.current.files.size}%5d " +
         f"create=$tCreate%6.2f append=$tAppend%6.2f smallAppend=$tSmall%5.2f " +
         f"cowDelete=$tCow%6.2f morDelete=$tMor%6.2f morApply=$tApply%6.2f " +
-        f"posMerge=$tPosMerge%6.2f eqMerge=$tEqMerge%6.2f getBatchPlan=$tPlan%6.3f")
+        f"posMerge=$tPosMerge%6.2f eqMerge=$tEqMerge%6.2f getBatchPlan=$tPlan%6.3f " +
+        f"ndvAppend=$tNdvAppend%5.2f claimAppend=$tClaimAppend%5.2f")
       for ((k, v) <- Seq("create" -> tCreate, "append" -> tAppend,
           "small_append" -> tSmall, "cow_delete" -> tCow, "mor_delete" -> tMor,
           "mor_apply" -> tApply, "pos_merge" -> tPosMerge, "eq_merge" -> tEqMerge,
-          "getbatch_plan" -> tPlan))
+          "getbatch_plan" -> tPlan, "ndv_append" -> tNdvAppend,
+          "claim_append" -> tClaimAppend))
         out(s"lake_${k}_$label") = v
     }
     out.toMap

@@ -2310,20 +2310,26 @@ object GraftTable {
 
   /** Cardinality-preserving sketch input for a column, or None when the
     * type has no 1:1 mapping into `hll_sketch_agg`'s accepted inputs
-    * (int/long/string/binary). Date/boolean/byte/short widen to int,
-    * timestamps to epoch-long; fractional/decimal go through their
-    * string form (distinct values stringify distinctly).
+    * (int/long/string/binary). Byte/short widen to int; dates go to
+    * epoch-days and timestamps to epoch-micros via the dedicated
+    * functions (a plain numeric cast of date/NTZ types is rejected
+    * under ANSI); boolean/fractional/decimal go through their string
+    * form (distinct values stringify distinctly).
     */
   private[lake] def ndvSketchExpr(f: org.apache.spark.sql.types.StructField)
       : Option[Column] = {
     import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{unix_date, unix_micros}
     val c = col(f.name)
     f.dataType match {
-      case IntegerType | LongType | StringType | BinaryType  => Some(c)
-      case ByteType | ShortType | BooleanType | DateType     => Some(c.cast(IntegerType))
-      case TimestampType | TimestampNTZType                  => Some(c.cast(LongType))
-      case _: NumericType                                    => Some(c.cast(StringType))
-      case _                                                 => None
+      case IntegerType | LongType | StringType | BinaryType => Some(c)
+      case ByteType | ShortType => Some(c.cast(IntegerType))
+      case DateType             => Some(unix_date(c))
+      case TimestampType        => Some(unix_micros(c))
+      case TimestampNTZType     => Some(unix_micros(c.cast(TimestampType)))
+      case BooleanType          => Some(c.cast(StringType))
+      case _: NumericType       => Some(c.cast(StringType))
+      case _                    => None
     }
   }
 
