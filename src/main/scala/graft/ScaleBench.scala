@@ -78,6 +78,13 @@ object ScaleBench {
       s.withColumn("s_suppkey", col("s_suppkey") + lit(i * 100000L))
     }.write.mode("overwrite").parquet(s"$out/supplier.parquet")
 
+    // events: same time range, 10× the events per window (how event
+    // volume actually grows) — disjoint event/user id spaces per copy
+    copies(Tables.load(spark, base, "events")) { (e, i) =>
+      e.withColumn("event_id", col("event_id") + lit(i * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 10000000L))
+    }.write.mode("overwrite").parquet(s"$out/events.parquet")
+
     for (fixed <- Seq("nation", "region")) // genuinely fixed-size dims
       Tables.load(spark, base, fixed)
         .write.mode("overwrite").parquet(s"$out/$fixed.parquet")
@@ -92,6 +99,7 @@ object ScaleBench {
     */
   private val ScaleQueries = Seq(
     "q1_agg", "q3_join", "q5_multijoin", "q6_filter_agg",
+    "q_events_window", "q_asof_join", "q_skew_salted_agg", "q_range_join",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_embedding", "dedup_clusters", "dedup_apply", "dedup_lines",
     "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",
