@@ -8,6 +8,9 @@ object Bench {
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pinned like Verify/specs: the events NTZ→instant normalization
+      // is timezone-sensitive, and benched plans must be the verified ones
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -28,6 +31,10 @@ object Bench {
     // the total: failures are listed in "failed" and excluded from
     // "queries"/"value" (a fail-fast exception would otherwise record a
     // flattering near-zero duration for work not done).
+    // "failed" = every run threw (excluded from "queries"/"value");
+    // a query that failed one run but succeeded another keeps its
+    // successful timing and is NOT listed as failed (stderr still
+    // records each thrown run) — a name never appears in both places
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.endsWith("_check")).flatMap { case (name, fn) =>
@@ -35,12 +42,11 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
-          failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           None
         }
       }
-      if (times.isEmpty) None else Some(name -> times.min)
+      if (times.isEmpty) { failed += name; None } else Some(name -> times.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

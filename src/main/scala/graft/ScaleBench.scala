@@ -34,9 +34,18 @@ object ScaleBench {
 
   private val Copies = 10
 
+  private val SynthTables = Seq("documents", "embeddings", "lineitem",
+    "orders", "customer", "supplier", "events", "nation", "region")
+
   private def synthesize(spark: SparkSession, base: String, out: String): Unit = {
     val done = java.nio.file.Paths.get(out, "_DONE")
-    if (java.nio.file.Files.exists(done)) return
+    // the sentinel alone is not enough: an sf1 built by an older round
+    // may predate a newly-synthesized table — verify every expected
+    // output exists before trusting it
+    if (java.nio.file.Files.exists(done) && SynthTables.forall(t =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(out, s"$t.parquet"))))
+      return
+    java.nio.file.Files.deleteIfExists(done)
     def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until Copies).map(i => f(df, i)).reduce(_ unionByName _)
 
@@ -180,7 +189,10 @@ object ScaleBench {
         "auto-NDV append must publish stats")
       // the object-store claim lock (two-phase stage/claim/verify) is
       // pure control plane: the same append under the forced protocol
-      // must not step with data volume
+      // must not step with data volume. Auto-NDV is switched OFF first
+      // so this isolates the lock cost (comparable to smallAppend, not
+      // to ndvAppend)
+      t.setProperty(GraftTable.NdvModeProp, "none")
       val hconf = spark.sparkContext.hadoopConfiguration
       hconf.set(graft.lake.CommitLock.ImplConfKey, "claim")
       val tClaimAppend =
@@ -210,6 +222,9 @@ object ScaleBench {
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pinned like Verify/Bench/specs: events NTZ normalization is
+      // timezone-sensitive
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

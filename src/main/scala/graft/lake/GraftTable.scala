@@ -399,7 +399,9 @@ final class GraftTable(val root: String, spark: SparkSession) {
   def appendBatch(df: DataFrame, batchTag: String): Boolean = {
     if (consumedTags.contains(batchTag)) return false
     val cur = current
-    val added = writeFiles(df, cur.partitionCols, cur.deps, cur.id + 1)
+    val (dfObs, obs) = ndvObserveIfAuto(cur, df)
+    val added = writeFiles(dfObs, cur.partitionCols, cur.deps, cur.id + 1)
+    val ndvDelta = ndvFromObs(obs)
     verifyPayloads(added) // outside the lock — see commitAppend
     val committed = withCommitLock {
       // re-check inside the lock: a concurrent writer replaying the
@@ -410,7 +412,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
         val next = c.copy(
           id = math.max(c.id, snapshotIds.max) + 1, parentId = c.id,
           tsMillis = nextTs(Some(c)), operation = batchTag,
-          files = c.files ++ added, addedFiles = added.size, deletedFiles = 0)
+          files = c.files ++ added, addedFiles = added.size, deletedFiles = 0,
+          properties = GraftTable.mergeNdvProps(c.properties, ndvDelta))
         stage(next)
         publishUnlocked(next.id)
         recordTag(batchTag)
@@ -751,17 +754,22 @@ final class GraftTable(val root: String, spark: SparkSession) {
     // the new data is the whole table, so its sketch is exact-coverage
     val (dfObs, obs) = ndvObserveIfAuto(cur, df)
     val added = writeFiles(dfObs, cur.partitionCols, cur.deps, cur.id + 1)
-    val ndv = ndvFromObs(obs)
+    // when auto is ON, the old stats are ALWAYS cleared — the replaced
+    // rows no longer exist, so even a delta with no sketch output (an
+    // empty or unsketchable overwrite) must not leave stale counts for
+    // later appends to merge into
+    val auto = cur.properties.get(GraftTable.NdvModeProp).contains("auto")
+    val props =
+      if (!auto) cur.properties
+      else GraftTable.mergeNdvProps(
+        cur.properties.filterNot(kv => kv._1.startsWith("stats.hll.") ||
+          kv._1.startsWith("stats.ndv.")), ndvFromObs(obs))
     commit(cur.copy(
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
       operation = "overwrite", files = added,
       addedFiles = added.size, deletedFiles = cur.files.size,
       deleteFiles = Seq.empty, // every deletable row was replaced
-      properties =
-        if (ndv.isEmpty) cur.properties
-        else GraftTable.mergeNdvProps(
-          cur.properties.filterNot(kv => kv._1.startsWith("stats.hll.") ||
-            kv._1.startsWith("stats.ndv.")), ndv)))
+      properties = props))
     this
   }
 
@@ -770,7 +778,11 @@ final class GraftTable(val root: String, spark: SparkSession) {
     */
   def overwritePartition(df: DataFrame, partSpec: Map[String, String]): GraftTable = {
     val cur = current
-    val added = writeFiles(df, cur.partitionCols, cur.deps, cur.id + 1)
+    // auto-NDV: MERGE the incoming rows' sketch (they must be counted);
+    // the replaced partition's rows stay in the sketch as an upper
+    // bound — an HLL cannot retract, same stance as row-removing DML
+    val (dfObs, obs) = ndvObserveIfAuto(cur, df)
+    val added = writeFiles(dfObs, cur.partitionCols, cur.deps, cur.id + 1)
     val badNew = added.filterNot(f => partSpec.forall(kv => f.partition.get(kv._1).contains(kv._2)))
     require(badNew.isEmpty,
       s"rows outside target partition $partSpec: ${badNew.map(_.partition)}")
@@ -779,7 +791,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
     commit(cur.copy(
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
       operation = "overwrite-partition", files = kept ++ added,
-      addedFiles = added.size, deletedFiles = dropped.size))
+      addedFiles = added.size, deletedFiles = dropped.size,
+      properties = GraftTable.mergeNdvProps(cur.properties, ndvFromObs(obs))))
     this
   }
 
@@ -788,13 +801,17 @@ final class GraftTable(val root: String, spark: SparkSession) {
     */
   def overwriteDynamic(df: DataFrame): GraftTable = {
     val cur = current
-    val added = writeFiles(df, cur.partitionCols, cur.deps, cur.id + 1)
+    // auto-NDV: merge incoming rows; replaced rows remain an upper
+    // bound (see overwritePartition)
+    val (dfObs, obs) = ndvObserveIfAuto(cur, df)
+    val added = writeFiles(dfObs, cur.partitionCols, cur.deps, cur.id + 1)
     val touched = added.map(_.partition).toSet
     val (dropped, kept) = cur.files.partition(f => touched.contains(f.partition))
     commit(cur.copy(
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
       operation = "overwrite-dynamic", files = kept ++ added,
-      addedFiles = added.size, deletedFiles = dropped.size))
+      addedFiles = added.size, deletedFiles = dropped.size,
+      properties = GraftTable.mergeNdvProps(cur.properties, ndvFromObs(obs))))
     this
   }
 
@@ -1500,7 +1517,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
     import org.apache.spark.sql.functions.{approx_count_distinct, hll_sketch_agg}
     val fields = schema.fields
     val atomic = fields.filter(_.dataType match {
-      case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
+      case _: NumericType | StringType | DateType | TimestampType
+         | TimestampNTZType | BooleanType | BinaryType => true
       case _ => false
     }).map(_.name).toSeq
     val target = if (cols.nonEmpty) cols else atomic
@@ -2294,17 +2312,23 @@ object GraftTable {
   val SourceBroadcastProp = "write.merge.source-broadcast-threshold"
 
   /** TBLPROPERTIES key: `auto` keeps per-column NDV statistics current
-    * on every append/overwrite by merging a DataSketches HLL of the
-    * delta into a persisted per-column sketch (`stats.hll.<col>`) —
-    * computed by an Observation riding the write action itself, so it
-    * adds zero passes and never rescans the table — and refreshing the
-    * `stats.ndv.<col>` estimate the CBO bridge reads. Enable at create
-    * time, or run ANALYZE once to seed the sketches from a full pass
-    * (deltas merged into an unseeded sketch undercount pre-existing
-    * rows). DML that removes rows (DELETE/UPDATE/MERGE) leaves the
-    * sketch: an HLL cannot retract, so NDV stays a sound upper bound
-    * until the next ANALYZE — same staleness contract as Iceberg's
-    * analyze actions, minus the append-path staleness.
+    * on row-adding writes — `append`, `appendBatch` (the exactly-once
+    * streaming sink path), `overwrite` (resets coverage), and
+    * partition overwrites (merge; see below) — by merging a
+    * DataSketches HLL of the delta into a persisted per-column sketch
+    * (`stats.hll.<col>`), computed by an Observation riding the write
+    * action itself, so it adds zero passes and never rescans the
+    * table, and refreshing the `stats.ndv.<col>` estimate the CBO
+    * bridge reads. Enable at create time, or run ANALYZE once to seed
+    * the sketches from a full pass (deltas merged into an unseeded
+    * sketch undercount pre-existing rows). Writes that REMOVE rows
+    * (DELETE/UPDATE/MERGE, and the replaced side of a partition
+    * overwrite) leave the sketch: an HLL cannot retract, so NDV stays
+    * a sound upper bound until the next ANALYZE — same staleness
+    * contract as Iceberg's analyze actions, minus the append-path
+    * staleness. NOT maintained by the write-audit-publish staging path
+    * (`stageAppend`/`publish`/cherry-pick) or branch writes — run
+    * ANALYZE after publishing if exact stats matter there.
     */
   val NdvModeProp = "write.stats.ndv"
 

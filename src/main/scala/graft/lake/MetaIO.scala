@@ -27,7 +27,7 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *    the retry in [[GraftTable.currentId]] — the same stance Iceberg's
   *    HadoopTableOperations takes for version-hint.txt.
   */
-final class MetaIO(root: String, conf: Configuration) {
+final class MetaIO(root: String, private[lake] val conf: Configuration) {
   private val rootPath = new HPath(root)
   val fs: FileSystem = rootPath.getFileSystem(conf)
   private val metaPath = new HPath(rootPath, "meta")
@@ -150,6 +150,13 @@ trait CommitLock {
 object CommitLock {
   private[lake] val TimeoutMs = 10000L
 
+  /** Settle delay of [[ClaimCommitLock]]'s second VERIFY read: long
+    * enough for a contending rename's PUT (fired before our first
+    * read-back) to land and be observed, short enough to keep the
+    * commit point cheap. Only the claim protocol pays it.
+    */
+  private[lake] val ClaimSettleMs = 50L
+
   /** A lock artifact older than this is orphaned with overwhelming
     * likelihood — the critical section is one manifest write plus one
     * pointer rename, milliseconds — so acquisition BREAKS it and
@@ -186,7 +193,12 @@ object CommitLock {
     * protocol in tests on a local root).
     */
   def forRoot(root: String, io: MetaIO): CommitLock =
-    Option(io.fs.getConf.get(ImplConfKey)).map(_.trim.toLowerCase) match {
+    // read the override from the Configuration the MetaIO was BUILT
+    // with, not fs.getConf: Hadoop's FileSystem cache returns an
+    // instance bound to the first Configuration seen for a
+    // scheme/authority, so a per-table override would be silently
+    // ignored (or leak across tables) through the cached conf
+    Option(io.conf.get(ImplConfKey)).map(_.trim.toLowerCase) match {
       case Some("mkdir") => new MkdirCommitLock(root, io.localMeta.getOrElse(
         throw new IllegalArgumentException(
           s"$ImplConfKey=mkdir requires a local-filesystem root, got scheme ${io.fs.getScheme}")))
@@ -297,16 +309,23 @@ final class CreateFileCommitLock(root: String, io: MetaIO) extends CommitLock {
   *     token survived. A double-claim settles deterministically here —
   *     exactly one token is in the object, everyone else retries.
   *
-  * Requires read-after-write consistency, which S3 (since 2020), GCS,
-  * and ADLS all provide. On a store with a native conditional write
+  * The VERIFY step re-reads a second time after a settle delay: a
+  * slower racer's rename can land AFTER our first read-back (both
+  * contenders would then believe they hold the lock), and the settle
+  * re-read catches any overwrite whose PUT completes within the
+  * window. Requires read-after-write consistency, which S3 (since
+  * 2020), GCS, and ADLS all provide.
+  *
+  * THE HONEST LIMIT: without a native conditional write there is no
+  * hard mutual exclusion on an object store — a rename delayed past
+  * the settle window still yields a double-hold, and a double-held
+  * commit CAN lose a concurrent append (appends carry no parent-id
+  * CAS by design). The settle window makes that improbable, not
+  * impossible. For strict safety on a store with a conditional write
   * (S3 `If-None-Match: *`, GCS `x-goog-if-generation-match: 0`,
   * DynamoDB `attribute_not_exists`), steps 1-3 collapse into one
   * conditional PUT — swap `tryClaim` for it; the spin/stale-break
-  * protocol and every call site stay the same. Residual hazard (VERIFY
-  * racing the winner's release, or a stale-break racing a >5 min
-  * stalled holder) degrades to the staged-manifest/parent-id-CAS
-  * ConcurrentModificationException one layer up, never silent loss —
-  * the same layered stance as the other impls. `release` deletes only
+  * protocol and every call site stay the same. `release` deletes only
   * if our token still holds the lock, so a broken-then-reassigned lock
   * is never deleted out from under the new holder.
   *
@@ -328,8 +347,13 @@ final class ClaimCommitLock(root: String, io: MetaIO) extends CommitLock {
       try io.fs.rename(io.path(cand), io.path(Name))
       catch { case _: java.io.IOException => false }
     if (!renamed) { io.delete(cand); return false }
-    val holder = try io.readString(Name) catch { case _: java.io.IOException => "" }
-    holder == token
+    def holder(): String =
+      try io.readString(Name) catch { case _: java.io.IOException => "" }
+    if (holder() != token) return false
+    // settle re-read: catch a racer whose overwriting rename lands
+    // after our first read-back (see class doc for the residual limit)
+    Thread.sleep(CommitLock.ClaimSettleMs)
+    holder() == token
   }
 
   override def acquire(): Unit = {

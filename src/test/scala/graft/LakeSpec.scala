@@ -1441,6 +1441,14 @@ class LakeSpec extends SparkSpec {
     val est3 = t.current.properties("stats.ndv.id").toLong
     assert(est3 >= 48 && est3 <= 52, s"overwrite must reset NDV to 50, got $est3")
     assert(t.current.properties("stats.ndv.grp").toLong === 1)
+    // an empty overwrite must CLEAR the stats, not retain counts for
+    // rows that no longer exist (later appends would merge into them)
+    t.overwrite(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      t.read().schema))
+    val afterEmpty = t.current.properties.filter(_._1.startsWith("stats.ndv."))
+    assert(afterEmpty.values.forall(_.toLong === 0L),
+      s"empty overwrite must zero NDV stats (keys absent or 0), got $afterEmpty")
     // ANALYZE seeds sketches for a table that enabled auto late: the
     // full pass replaces, and later deltas merge against full coverage
     val t2 = GraftTable.create(spark, tmp("autondv2"), df1)
@@ -1450,6 +1458,23 @@ class LakeSpec extends SparkSpec {
     t2.append((101L to 150L).map(i => (i, "y")).toDF("id", "grp"))
     val est4 = t2.current.properties("stats.ndv.id").toLong
     assert(est4 >= 140 && est4 <= 160, s"analyze-seeded merge must cover all 150, got $est4")
+    // the exactly-once streaming sink path maintains stats too
+    assert(t2.appendBatch((151L to 200L).map(i => (i, "z")).toDF("id", "grp"), "ndvb-1"))
+    val est5 = t2.current.properties("stats.ndv.id").toLong
+    assert(est5 >= 190 && est5 <= 210, s"appendBatch must merge NDV, got $est5")
+    // a replayed tag commits nothing and must not move the stats
+    assert(!t2.appendBatch((151L to 200L).map(i => (i, "z")).toDF("id", "grp"), "ndvb-1"))
+    assert(t2.current.properties("stats.ndv.id").toLong === est5)
+    // dynamic partition overwrite merges the incoming rows' sketch
+    val pdf = Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "b", 3L))
+      .toDF("id", "k", "v")
+    val tp = GraftTable.create(spark, tmp("autondv3"),
+      pdf.repartition(col("k")), Seq("k"))
+    tp.setProperty(GraftTable.NdvModeProp, "auto")
+    tp.overwriteDynamic(Seq((4L, "a", 4L), (5L, "a", 5L)).toDF("id", "k", "v")
+      .repartition(col("k")))
+    val estP = tp.current.properties("stats.ndv.id").toLong
+    assert(estP >= 2, s"dynamic overwrite must count incoming rows, got $estP")
   }
 
   test("ClaimCommitLock (object-store impl): exclusion, double-claim settle, stale-break, holder-only release") {
