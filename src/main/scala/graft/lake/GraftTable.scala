@@ -133,7 +133,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     val s = if (io.exists(s"snapshot-${s0.id}.json"))
       s0.copy(id = math.max(s0.id, snapshotIds.max) + 1) else s0
     stage(s)
-    publishUnlocked(s.id)
+    publishGuarded(s.id, s0.parentId)
   }
 
   /** Stage a snapshot WITHOUT making it current (the W of
@@ -246,7 +246,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
         s"cannot publish snapshot $id: staged against parent " +
           s"${snapshot(id).parentId} but table $root moved to $cur — " +
           "re-stage against the new current and retry")
-    publishUnlocked(id)
+    publishGuarded(id, cur)
   }
 
   private def publishUnlocked(id: Long): Unit = {
@@ -255,6 +255,28 @@ final class GraftTable(val root: String, spark: SparkSession) {
     io.writeAtomic(GraftTable.HintName, id.toString.getBytes(StandardCharsets.UTF_8))
     // still under the commit lock ⇒ listeners observe commits in order
     GraftTable.notifyCommit(spark, root)
+  }
+
+  /** [[publishUnlocked]] with a last-instant parent re-check: verify
+    * the live pointer still equals the snapshot this commit was built
+    * on. Under a correctly-exclusive lock the check never fires (we
+    * hold the only write token); it exists for the claim protocol's
+    * residual double-hold window (see [[ClaimCommitLock]]'s class doc)
+    * and for a wrongly-broken stale lock, where two writers can be
+    * inside the critical section at once — whichever publishes second
+    * would silently drop the first one's files from its snapshot. One
+    * extra metadata read narrows "silent loss" to a loud
+    * ConcurrentModificationException with a microseconds-wide residual
+    * (the check-to-swap gap) instead of the whole critical section.
+    */
+  private def publishGuarded(id: Long, parent: Long): Unit = {
+    val live = if (hasCurrent) currentId else -1L
+    if (live != parent)
+      throw new java.util.ConcurrentModificationException(
+        s"table $root moved to snapshot $live while this commit " +
+          s"(built on $parent) held the lock — concurrent lock holder " +
+          "detected; the commit was not published, retry")
+    publishUnlocked(id)
   }
 
   /** Publish a staged APPEND even if the table moved since it was
@@ -272,7 +294,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     val staged = snapshot(id)
     val cur = current
     if (id == cur.id) id
-    else if (staged.parentId == cur.id) { publishUnlocked(id); id }
+    else if (staged.parentId == cur.id) { publishGuarded(id, cur.id); id }
     else {
       require(staged.operation == "append" && staged.deletedFiles == 0,
         s"cherry-pick supports append snapshots only; $id is '${staged.operation}'")
@@ -289,7 +311,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
         tsMillis = nextTs(Some(cur)), operation = "append",
         files = cur.files ++ delta, addedFiles = delta.size, deletedFiles = 0)
       stage(next)
-      publishUnlocked(next.id)
+      publishGuarded(next.id, cur.id)
       next.id
     }
   }
@@ -415,7 +437,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
           files = c.files ++ added, addedFiles = added.size, deletedFiles = 0,
           properties = GraftTable.mergeNdvProps(c.properties, ndvDelta))
         stage(next)
-        publishUnlocked(next.id)
+        publishGuarded(next.id, c.id)
         recordTag(batchTag)
         true
       }
@@ -551,7 +573,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     require(a == cur,
       s"cannot fast-forward: current snapshot $cur is not an ancestor of " +
         s"branch '$name' head $headId — histories diverged")
-    publishUnlocked(headId)
+    publishGuarded(headId, cur)
     this
   }
 
@@ -701,7 +723,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
         files = cur.files ++ added, addedFiles = added.size, deletedFiles = 0,
         properties = GraftTable.mergeNdvProps(cur.properties, ndvDelta))
       stage(next)
-      publishUnlocked(next.id)
+      publishGuarded(next.id, cur.id)
       next
     }
   }
