@@ -22,6 +22,15 @@ def main(sfdir: str, outdir: str) -> int:
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_bad = 0
+    # queries that crashed inside Verify never produce a dump dir; count
+    # them as failures up front so they can't look like absent rows
+    try:
+        errs = json.load(open(f"{outdir}/_errors.json"))
+    except FileNotFoundError:
+        errs = {}
+    for name, msg in sorted(errs.items()):
+        print(f"ERR  {name}: {msg}")
+        n_bad += 1
     for name, sql in sorted(oracle.items()):
         try:
             exp = canon(con.execute(sql).fetchdf())
