@@ -654,6 +654,61 @@ object LakeQueries {
       |       ELSE o_totalprice END AS o_totalprice
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ---- A57/A58 driver-gate check twins ------------------------------
+
+  /** `lake_autondv_check` (A58): seed-then-merge lifecycle of
+    * `write.stats.ndv=auto` — create from half of nation, enable auto,
+    * ANALYZE once (seeds the sketches from a full pass), append the
+    * other half with NO further analyze, and assert the maintained NDV
+    * equals the exact distinct counts (a lgK-12 HLL is exact at this
+    * cardinality). One boolean row, pinned by a constant oracle — the
+    * same gear the ANN sketch entries use.
+    */
+  def lakeAutoNdvCheck(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d)
+    val t = GraftTable.create(s, work(d, "autondvq"), n.filter(col("n_nationkey") < 13))
+    t.setProperty(GraftTable.NdvModeProp, "auto")
+    t.analyzeNdv()
+    t.append(n.filter(col("n_nationkey") >= 13))
+    val props = t.current.properties
+    import s.implicits._
+    Seq((
+      props.get("stats.ndv.n_nationkey").exists(_.toLong == 25L),
+      props.get("stats.ndv.n_regionkey").exists(_.toLong == 5L),
+      props.get("stats.ndv.n_name").exists(_.toLong == 25L),
+      props.contains("stats.hll.n_nationkey")))
+      .toDF("ndv_key_exact", "ndv_region_exact", "ndv_name_exact", "sketch_persisted")
+  }
+
+  val lakeAutoNdvCheckSql: String =
+    """SELECT true AS ndv_key_exact, true AS ndv_region_exact,
+      |  true AS ndv_name_exact, true AS sketch_persisted""".stripMargin
+
+  /** `lake_claimlock_check` (A57): create → append → COW delete
+    * entirely under the forced object-store claim lock (two-phase
+    * stage/claim/verify + settle re-read + guarded publish), then
+    * assert row counts, snapshot lineage, and a released lock.
+    */
+  def lakeClaimLockCheck(s: SparkSession, d: String): DataFrame = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    hconf.set(graft.lake.CommitLock.ImplConfKey, "claim")
+    try {
+      val n = Tables.nation(s, d)
+      val t = GraftTable.create(s, work(d, "claimq"), n.filter(col("n_nationkey") < 13))
+      t.append(n.filter(col("n_nationkey") >= 13))
+      t.delete(col("n_nationkey") === 0L)
+      import s.implicits._
+      Seq((
+        t.read().count() == 24L,
+        t.snapshotIds.size == 3,
+        !new java.io.File(s"${work(d, "claimq")}/meta/commit.lock").exists()))
+        .toDF("rows_ok", "lineage_ok", "lock_released")
+    } finally hconf.unset(graft.lake.CommitLock.ImplConfKey)
+  }
+
+  val lakeClaimLockCheckSql: String =
+    "SELECT true AS rows_ok, true AS lineage_ok, true AS lock_released"
+
   // ---- A19 SQL surface: AS OF prefix + registered relations ---------
 
   def lakeSqlAsOf(s: SparkSession, d: String): DataFrame = {
@@ -823,7 +878,9 @@ object LakeQueries {
     "lake_adopt"               -> (lakeAdopt _),
     "lake_compact"             -> (lakeCompact _),
     "lake_incremental"         -> (lakeIncremental _),
-    "lake_pipeline_compose"    -> (lakePipelineCompose _))
+    "lake_pipeline_compose"    -> (lakePipelineCompose _),
+    "lake_autondv_check"       -> (lakeAutoNdvCheck _),
+    "lake_claimlock_check"     -> (lakeClaimLockCheck _))
 
   val oracles: Map[String, String] = Map(
     "lake_create"              -> lakeCreateSql,
@@ -864,5 +921,7 @@ object LakeQueries {
     "lake_adopt"               -> lakeAdoptSql,
     "lake_compact"             -> lakeCompactSql,
     "lake_incremental"         -> lakeIncrementalSql,
-    "lake_pipeline_compose"    -> lakePipelineComposeSql)
+    "lake_pipeline_compose"    -> lakePipelineComposeSql,
+    "lake_autondv_check"       -> lakeAutoNdvCheckSql,
+    "lake_claimlock_check"     -> lakeClaimLockCheckSql)
 }
