@@ -603,10 +603,31 @@ final class GraftTable(val root: String, spark: SparkSession) {
     val df0 = logicalToPhysical.foldLeft(dfIn) { case (d, (log, phys)) =>
       if (d.columns.contains(log)) d.withColumnRenamed(log, phys) else d
     }
-    val df = deps.foldLeft(df0) { (d, dep) =>
+    val df1 = deps.foldLeft(df0) { (d, dep) =>
       if (d.columns.contains(dep.dest)) d
       else d.withColumn(dep.dest,
         Deps.columnTyped(dep.transform, col(dep.src), d.schema(dep.src).dataType))
+    }
+    // `write.sort.columns`: range-distribute on (partition cols ++ sort
+    // cols) and sort within tasks, so each written file covers a NARROW
+    // min/max range on the sort columns — footer/manifest pruning then
+    // skips files for predicates on them without an OPTIMIZE pass
+    // (Iceberg sort-order parity). The prefix keys keep the writer from
+    // re-sorting by partition cols alone, which would destroy the
+    // secondary order. Costs one range shuffle per write — the
+    // documented price of a sorted table; leave the property unset for
+    // ingest-speed-first tables.
+    val sortCols =
+      (if (hasCurrent)
+         current.properties.getOrElse(GraftTable.SortColsProp, "") else "")
+        .split(',').map(_.trim).filter(_.nonEmpty)
+        .map(c => logicalToPhysical.getOrElse(c, c))
+        .filter(df1.columns.contains).toSeq
+    val df = if (sortCols.isEmpty) df1 else {
+      val keys = (partitionCols.filter(df1.columns.contains) ++ sortCols)
+        .distinct.map(col)
+      val n = math.max(1, df1.rdd.getNumPartitions)
+      df1.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
     }
     val staging = new HPath(new HPath(root), s".staging-${UUID.randomUUID()}")
     // `write.bloom.columns`: bloom filters ride the parquet footers of
@@ -2353,6 +2374,17 @@ object GraftTable {
     * ANALYZE after publishing if exact stats matter there.
     */
   val NdvModeProp = "write.stats.ndv"
+
+  /** TBLPROPERTIES key: comma-separated columns every write
+    * range-distributes and sorts on (after the partition columns), so
+    * new files carry narrow footer/manifest min-max on them and scans
+    * with predicates on those columns skip whole files — clustering at
+    * write time instead of a later OPTIMIZE ZORDER pass (the Z-order
+    * rewrite remains the tool for EXISTING data and for multi-column
+    * point lookups; a sort order clusters best for range predicates on
+    * its leading column). Costs one range shuffle per write.
+    */
+  val SortColsProp = "write.sort.columns"
 
   /** Cardinality-preserving sketch input for a column, or None when the
     * type has no 1:1 mapping into `hll_sketch_agg`'s accepted inputs

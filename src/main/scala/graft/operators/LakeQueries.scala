@@ -709,6 +709,42 @@ object LakeQueries {
   val lakeClaimLockCheckSql: String =
     "SELECT true AS rows_ok, true AS lineage_ok, true AS lock_released"
 
+  // ---- A59 write-time sort order ------------------------------------
+
+  /** `lake_sorted_write` (A59): an empty partitioned table declares
+    * `write.sort.columns=o_orderkey`; a 6-way-shuffled append then
+    * lands range-distributed and sorted, and the entry REQUIRES the
+    * committed files' manifest min/max ranges on the sort column to be
+    * pairwise non-overlapping within every partition — the property
+    * that lets scans with `o_orderkey` predicates skip whole files
+    * from the manifest alone, no OPTIMIZE pass. Values are unchanged,
+    * so the oracle is the plain projected table.
+    */
+  def lakeSortedWrite(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(orderCols.map(col): _*)
+    val t = GraftTable.createEmpty(
+      s, work(d, "sorted"), o.schema, Seq("o_orderstatus"), Seq.empty)
+    t.setProperty(GraftTable.SortColsProp, "o_orderkey")
+    t.append(o.repartition(6))
+    val byPart = t.current.files.groupBy(_.partition)
+    require(byPart.exists(_._2.size >= 2),
+      "sorted-write check needs at least one multi-file partition")
+    for ((part, fs) <- byPart) {
+      val ranges = fs.flatMap(f =>
+        f.stats.get("o_orderkey").map(st => (st.min.toLong, st.max.toLong)))
+        .sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, aMax), (bMin, _)) => require(aMax <= bMin,
+          s"sorted write left overlapping file ranges in $part: $ranges")
+        case _ => ()
+      }
+    }
+    sel(t.read())
+  }
+
+  val lakeSortedWriteSql: String =
+    s"SELECT $selSql FROM orders ORDER BY o_orderkey"
+
   // ---- A19 SQL surface: AS OF prefix + registered relations ---------
 
   def lakeSqlAsOf(s: SparkSession, d: String): DataFrame = {
@@ -879,6 +915,7 @@ object LakeQueries {
     "lake_compact"             -> (lakeCompact _),
     "lake_incremental"         -> (lakeIncremental _),
     "lake_pipeline_compose"    -> (lakePipelineCompose _),
+    "lake_sorted_write"        -> (lakeSortedWrite _),
     "lake_autondv_check"       -> (lakeAutoNdvCheck _),
     "lake_claimlock_check"     -> (lakeClaimLockCheck _))
 
@@ -922,6 +959,7 @@ object LakeQueries {
     "lake_compact"             -> lakeCompactSql,
     "lake_incremental"         -> lakeIncrementalSql,
     "lake_pipeline_compose"    -> lakePipelineComposeSql,
+    "lake_sorted_write"        -> lakeSortedWriteSql,
     "lake_autondv_check"       -> lakeAutoNdvCheckSql,
     "lake_claimlock_check"     -> lakeClaimLockCheckSql)
 }

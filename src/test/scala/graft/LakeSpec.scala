@@ -1477,6 +1477,34 @@ class LakeSpec extends SparkSpec {
     assert(estP >= 2, s"dynamic overwrite must count incoming rows, got $estP")
   }
 
+  test("write.sort.columns: sorted append yields disjoint file ranges; point predicates prune to one file") {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val t = GraftTable.createEmpty(spark, tmp("sortedw"), o.schema,
+      Seq.empty, Seq.empty)
+    t.setProperty(GraftTable.SortColsProp, "o_orderkey")
+    t.append(o.repartition(4))
+    val files = t.current.files
+    assert(files.size >= 3, s"expected several range-split files, got ${files.size}")
+    val ranges = files.flatMap(f =>
+      f.stats.get("o_orderkey").map(st => (st.min.toLong, st.max.toLong)))
+      .sortBy(_._1)
+    assert(ranges.size === files.size, "every file must carry sort-column stats")
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"overlapping sorted-write ranges: $ranges")
+      case _ => ()
+    }
+    // manifest stats prune a point predicate to exactly one file
+    val probe = ranges.head._2 // an existing key inside the first range
+    val (kept, total, _) = t.pruneFiles(col("o_orderkey") === probe)
+    assert(total === files.size)
+    assert(kept.size === 1,
+      s"point predicate on the sort column must prune to 1 file, kept ${kept.size}")
+    // values are untouched by the rewrite of the write path
+    assert(t.read().count() === o.count())
+  }
+
   test("ClaimCommitLock (object-store impl): exclusion, double-claim settle, stale-break, holder-only release") {
     // object-store schemes select the claim-and-verify lock; exercise
     // the protocol directly against a local MetaIO (same primitives)
