@@ -637,7 +637,24 @@ final class GraftTable(val root: String, spark: SparkSession) {
          current.properties.getOrElse("write.bloom.columns", "") else "")
         .split(',').map(_.trim).filter(_.nonEmpty)
         .map(c => logicalToPhysical.getOrElse(c, c))
-    val writer = bloomCols.foldLeft(df.write.mode("overwrite")) { (w, c) =>
+    // `write.target-file-size` caps WRITTEN files too (OPTIMIZE is the
+    // other honoring site): rows-per-file = target / the table's
+    // observed bytes-per-row from the manifest — a coarse shuffle can
+    // otherwise emit multi-GB files no executor wants to scan. Needs
+    // existing files to estimate from; the first write of a table is
+    // governed by its input partitioning alone.
+    val maxRecords: Option[Long] =
+      if (!hasCurrent) None
+      else for {
+        target <- current.properties.get("write.target-file-size")
+          .flatMap(v => scala.util.Try(v.toLong).toOption)
+        bytes = current.files.map(_.bytes).sum
+        rows = current.files.map(_.rows).sum
+        if bytes > 0 && rows > 0
+      } yield math.max(1L, target / math.max(1L, bytes / rows))
+    val writer0 = maxRecords.foldLeft(df.write.mode("overwrite")) { (w, n) =>
+      w.option("maxRecordsPerFile", n) }
+    val writer = bloomCols.foldLeft(writer0) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true") }
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(staging.toString)

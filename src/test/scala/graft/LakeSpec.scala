@@ -1477,6 +1477,24 @@ class LakeSpec extends SparkSpec {
     assert(estP >= 2, s"dynamic overwrite must count incoming rows, got $estP")
   }
 
+  test("write.target-file-size caps written files, not just OPTIMIZE output") {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val t = GraftTable.create(spark, tmp("tfs"), o.limit(500).repartition(1))
+    val baseline = t.current.files
+    assert(baseline.size === 1)
+    val bytesPerRow = baseline.head.bytes / baseline.head.rows
+    // target ≈ 100 rows per file → a 1-partition 500-row append must split
+    t.setProperty("write.target-file-size", (bytesPerRow * 100).toString)
+    t.append(o.limit(500).repartition(1))
+    val added = t.current.files.filterNot(f => baseline.exists(_.path == f.path))
+    assert(added.size >= 3,
+      s"500-row single-partition append under a 100-row target must split, got ${added.size} files")
+    assert(added.forall(_.rows <= 150),
+      s"every written file must respect the cap, got ${added.map(_.rows)}")
+    assert(t.read().count() === 1000)
+  }
+
   test("write.sort.columns: sorted append yields disjoint file ranges; point predicates prune to one file") {
     val o = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
