@@ -187,12 +187,19 @@ object ScaleBench {
       val (tNdvAppend, _) = timed(t.append(small))
       require(t.current.properties.contains("stats.ndv.o_orderkey"),
         "auto-NDV append must publish stats")
+      // write-time sort order: the FULL append again but range-
+      // distributed + sorted on o_orderkey — its delta over `append`
+      // is the documented range-shuffle price of write.sort.columns,
+      // and must scale with the DELTA being written, not the table
+      t.setProperty(GraftTable.NdvModeProp, "none")
+      t.setProperty(GraftTable.SortColsProp, "o_orderkey")
+      val (tSortedAppend, _) = timed(t.append(o))
+      t.setProperty(GraftTable.SortColsProp, "")
       // the object-store claim lock (two-phase stage/claim/verify) is
       // pure control plane: the same append under the forced protocol
-      // must not step with data volume. Auto-NDV is switched OFF first
+      // must not step with data volume. Auto-NDV was switched OFF above
       // so this isolates the lock cost (comparable to smallAppend, not
       // to ndvAppend)
-      t.setProperty(GraftTable.NdvModeProp, "none")
       val hconf = spark.sparkContext.hadoopConfiguration
       hconf.set(graft.lake.CommitLock.ImplConfKey, "claim")
       val tClaimAppend =
@@ -203,12 +210,13 @@ object ScaleBench {
         f"create=$tCreate%6.2f append=$tAppend%6.2f smallAppend=$tSmall%5.2f " +
         f"cowDelete=$tCow%6.2f morDelete=$tMor%6.2f morApply=$tApply%6.2f " +
         f"posMerge=$tPosMerge%6.2f eqMerge=$tEqMerge%6.2f getBatchPlan=$tPlan%6.3f " +
-        f"ndvAppend=$tNdvAppend%5.2f claimAppend=$tClaimAppend%5.2f")
+        f"ndvAppend=$tNdvAppend%5.2f sortedAppend=$tSortedAppend%5.2f " +
+        f"claimAppend=$tClaimAppend%5.2f")
       for ((k, v) <- Seq("create" -> tCreate, "append" -> tAppend,
           "small_append" -> tSmall, "cow_delete" -> tCow, "mor_delete" -> tMor,
           "mor_apply" -> tApply, "pos_merge" -> tPosMerge, "eq_merge" -> tEqMerge,
           "getbatch_plan" -> tPlan, "ndv_append" -> tNdvAppend,
-          "claim_append" -> tClaimAppend))
+          "sorted_append" -> tSortedAppend, "claim_append" -> tClaimAppend))
         out(s"lake_${k}_$label") = v
     }
     out.toMap

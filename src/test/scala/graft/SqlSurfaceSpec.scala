@@ -168,6 +168,30 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(t.currentId === cur, "empty source must not commit")
   }
 
+  test("write.sort.columns set via SQL governs SQL INSERT INTO writes") {
+    val t = mkTable("sortsql")
+    GraftCatalog.register("t_sortw", t.root)
+    spark.sql("ALTER TABLE t_sortw SET TBLPROPERTIES('write.sort.columns'='o_orderkey')")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("sortw_src")
+    val before = t.current.files.map(_.path).toSet
+    spark.sql("INSERT INTO t_sortw SELECT o_orderkey, o_custkey, o_orderstatus, " +
+      "o_totalprice, o_orderdate, o_orderpriority " +
+      "FROM sortw_src WHERE o_orderkey >= 150 AND o_orderkey < 1500")
+    val added = t.current.files.filterNot(f => before.contains(f.path))
+    assert(added.nonEmpty)
+    // within each partition the new files' sort-column ranges are disjoint
+    for ((_, fs) <- added.groupBy(_.partition) if fs.size >= 2) {
+      val ranges = fs.flatMap(f =>
+        f.stats.get("o_orderkey").map(st => (st.min.toLong, st.max.toLong)))
+        .sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, aMax), (bMin, _)) =>
+          assert(aMax <= bMin, s"SQL sorted insert left overlapping ranges: $ranges")
+        case _ => ()
+      }
+    }
+  }
+
   test("ALTER TABLE SET TBLPROPERTIES persists properties from SQL") {
     val t = mkTable("propsql")
     GraftCatalog.register("t_props", t.root)
