@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.lake.GraftTable
+
+/** Randomized-but-deterministic DML soak: a seeded random sequence of
+  * append / range-delete / predicate-update / keyed-merge / overwrite /
+  * compact / applyDeletes / write-mode flips runs against a real table
+  * AND an in-memory model map; the table's full contents must equal the
+  * model at every checkpoint. Single-op specs prove each operator in
+  * isolation — this catches their INTERACTIONS (e.g. a MOR delete
+  * pending over a file that a compaction then rewrites, followed by a
+  * keyed merge under equality deletes, on a sorted auto-NDV table),
+  * which is where lakehouse bugs actually live.
+  */
+class DmlModelSpec extends SparkSpec {
+
+  private type Row3 = (Long, Long, Double)
+
+  private def df(s: org.apache.spark.sql.SparkSession,
+      m: Map[Long, (Long, Double)]): DataFrame = {
+    import s.implicits._
+    m.toSeq.map { case (k, (g, v)) => (k, g, v) }.toDF("k", "g", "v")
+  }
+
+  test("randomized DML sequences match the in-memory model (3 seeds x 24 steps)") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      var model: Map[Long, (Long, Double)] =
+        (1L to 50L).map(k => k -> (k % 7, k * 1.5)).toMap
+      var nextKey = 51L
+      val root = s"/root/repo/target/laketest/dmlmodel-$seed"
+      val rm = new java.io.File(root)
+      if (rm.exists()) { import scala.sys.process._; Seq("rm", "-rf", root).! }
+      val t = GraftTable.create(spark, root, df(spark, model).repartition(2))
+      // random table personality: storage/maintenance settings must be
+      // invisible to query results
+      if (rnd.nextBoolean()) t.setProperty(GraftTable.NdvModeProp, "auto")
+      if (rnd.nextBoolean()) t.setProperty(GraftTable.SortColsProp, "k")
+      if (rnd.nextBoolean())
+        t.setProperty(GraftTable.MergeDeleteKindProp, "equality")
+
+      def check(step: Int): Unit = {
+        val got: Set[Row3] = t.read().select(col("k"), col("g"), col("v"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val want: Set[Row3] = model.map { case (k, (g, v)) => (k, g, v) }.toSet
+        assert(got == want,
+          s"seed=$seed step=$step: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)} " +
+            s"(sizes got=${got.size} want=${want.size})")
+      }
+
+      for (step <- 1 to 24) {
+        rnd.nextInt(10) match {
+          case 0 | 1 => // append a block of fresh keys
+            val ks = nextKey until (nextKey + 5 + rnd.nextInt(10))
+            nextKey = ks.end
+            val rows = ks.map(k => k -> (k % 7, k * 1.5)).toMap
+            model ++= rows
+            t.append(df(spark, rows).repartition(1 + rnd.nextInt(3)))
+          case 2 => // range delete (sometimes matching nothing)
+            val lo = 1L + rnd.nextInt(nextKey.toInt)
+            val hi = lo + rnd.nextInt(15)
+            model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+            t.delete(col("k") >= lo && col("k") <= hi)
+          case 3 => // predicate update on a group
+            val g = rnd.nextInt(7).toLong
+            model = model.map { case (k, (gg, v)) =>
+              if (gg == g) k -> (gg, v + 1.0) else k -> (gg, v) }
+            t.update(col("g") === g, Map("v" -> (col("v") + 1.0)))
+          case 4 => // keyed merge: upsert a mix of existing and new keys
+            val existing = model.keys.take(5).map(k => k -> (k % 7, -1.0))
+            val fresh = (nextKey until nextKey + 3).map(k => k -> (k % 7, k * 1.5))
+            nextKey += 3
+            val src = (existing ++ fresh).toMap
+            model ++= src
+            t.merge(df(spark, src).repartition(2), Seq("k"))
+          case 5 => // maintenance: bin-pack compaction (content no-op)
+            t.optimizeCompact(targetBytes = 1L << 20)
+          case 6 => // maintenance: fold pending MOR deletes (content no-op)
+            t.applyDeletes()
+          case 7 => // flip DELETE/UPDATE between COW and MOR
+            val m = if (rnd.nextBoolean()) "merge-on-read" else "copy-on-write"
+            t.setProperty(GraftTable.DeleteModeProp, m)
+            t.setProperty(GraftTable.UpdateModeProp, m)
+            t.setProperty(GraftTable.MergeModeProp, m)
+          case 8 => // overwrite with a filtered projection of the model
+            val keep = rnd.nextInt(7).toLong
+            model = model.filter { case (_, (g, _)) => g != keep }
+            t.overwrite(df(spark, model).repartition(2))
+          case 9 => // point delete of one known key
+            model.keys.headOption.foreach { k =>
+              model -= k
+              t.delete(col("k") === k)
+            }
+        }
+        if (step % 6 == 0 || step == 24) check(step)
+      }
+      check(99)
+    }
+  }
+}
