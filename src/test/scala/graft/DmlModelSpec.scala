@@ -25,8 +25,13 @@ class DmlModelSpec extends SparkSpec {
     m.toSeq.map { case (k, (g, v)) => (k, g, v) }.toDF("k", "g", "v")
   }
 
-  test("randomized DML sequences match the in-memory model (3 seeds x 24 steps)") {
-    for (seed <- 1 to 3) {
+  // SPARK_GRAFT_SOAK_SEEDS=N deepens the hunt (default 3 keeps the
+  // suite fast; CI-of-one bug hunts run 10+)
+  private val soakSeeds = sys.env.get("SPARK_GRAFT_SOAK_SEEDS")
+    .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(3)
+
+  test(s"randomized DML sequences match the in-memory model ($soakSeeds seeds x 24 steps)") {
+    for (seed <- 1 to soakSeeds) {
       val rnd = new scala.util.Random(seed)
       var model: Map[Long, (Long, Double)] =
         (1L to 50L).map(k => k -> (k % 7, k * 1.5)).toMap
