@@ -47,17 +47,34 @@ class DmlModelSpec extends SparkSpec {
       if (rnd.nextBoolean())
         t.setProperty(GraftTable.MergeDeleteKindProp, "equality")
 
+      // snapshot id → model state at that snapshot, for as-of checks
+      var history: Map[Long, Map[Long, (Long, Double)]] =
+        Map(t.currentId -> model)
+
+      def toSet3(m: Map[Long, (Long, Double)]): Set[Row3] =
+        m.map { case (k, (g, v)) => (k, g, v) }.toSet
+
       def check(step: Int): Unit = {
         val got: Set[Row3] = t.read().select(col("k"), col("g"), col("v"))
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-        val want: Set[Row3] = model.map { case (k, (g, v)) => (k, g, v) }.toSet
+        val want = toSet3(model)
         assert(got == want,
           s"seed=$seed step=$step: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)} " +
             s"(sizes got=${got.size} want=${want.size})")
+        // time travel: one random recorded snapshot must read as the
+        // model state it was recorded with — across every MOR/COW/
+        // compaction/sort personality the table has since been through
+        val ids = history.keys.toSeq.sorted
+        val id = ids(rnd.nextInt(ids.size))
+        val gotAsOf: Set[Row3] = t.readAsOfId(id)
+          .select(col("k"), col("g"), col("v"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(gotAsOf == toSet3(history(id)),
+          s"seed=$seed step=$step: AS OF $id diverged from recorded model")
       }
 
       for (step <- 1 to 24) {
-        rnd.nextInt(10) match {
+        rnd.nextInt(11) match {
           case 0 | 1 => // append a block of fresh keys
             val ks = nextKey until (nextKey + 5 + rnd.nextInt(10))
             nextKey = ks.end
@@ -99,7 +116,15 @@ class DmlModelSpec extends SparkSpec {
               model -= k
               t.delete(col("k") === k)
             }
+          case 10 => // rollback to a random recorded snapshot
+            val ids = history.keys.toSeq.sorted
+            val target = ids(rnd.nextInt(ids.size))
+            t.rollback(target)
+            model = history(target)
         }
+        // expire/compaction could in principle invalidate as-of ids;
+        // only record ids that still resolve (they all should here)
+        history += (t.currentId -> model)
         if (step % 6 == 0 || step == 24) check(step)
       }
       check(99)
