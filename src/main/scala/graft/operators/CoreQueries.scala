@@ -588,7 +588,41 @@ object CoreQueries {
       |WHERE b.event_type = 'purchase' AND c.event_type = 'click'
       |GROUP BY b.event_id ORDER BY b.event_id""".stripMargin
 
+  /** B24 `q_unpivot`: wide→long reshape via the native `unpivot`
+    * (melt) operator — three lineitem measure columns become
+    * (measure, amount) rows, then a grouped rollup per
+    * (returnflag, measure). Unpivot is a narrow projection (each input
+    * row emits 3 rows, no shuffle); the only shuffle is the final
+    * partial-agg'd groupBy, so the reshape itself is free at any
+    * scale. Oracle spells the same reshape as a UNION ALL, the
+    * engine-portable equivalent.
+    */
+  def qUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "amount")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"), money(sum(col("amount"))).as("total"),
+        round(avg(col("amount")), 6).as("avg_amount"))
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  val qUnpivotSql: String =
+    """WITH u AS (
+      |  SELECT l_returnflag, 'l_extendedprice' AS measure, l_extendedprice AS amount FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+      |SELECT l_returnflag, measure, count(*) AS n,
+      |  round(sum(amount), 2) AS total, round(avg(amount), 6) AS avg_amount
+      |FROM u GROUP BY l_returnflag, measure
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot"         -> (qUnpivot _),
     "q_range_join"      -> (qRangeJoin _),
     "q_percentile"      -> (qPercentile _),
     "q_string_agg"      -> (qStringAgg _),
@@ -614,6 +648,7 @@ object CoreQueries {
     "q_skew_salted_agg" -> (qSkewSaltedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q_unpivot"         -> qUnpivotSql,
     "q_range_join"      -> qRangeJoinSql,
     "q_percentile"      -> qPercentileSql,
     "q_string_agg"      -> qStringAggSql,

@@ -466,7 +466,95 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Number of seed centroids for [[semanticDedup]] — fixed and
+    * deterministic (the embeddings of `vec_id < SemK`) so the DuckDB
+    * oracle reproduces the exact clustering. In production the seeds
+    * come from a k-means fit; the dedup semantics are identical.
+    */
+  val SemK = 16
+
+  /** C35 `dedup_semantic`: SemDeDup-style semantic deduplication
+    * (Abbas et al. 2023) — cluster the corpus by nearest centroid,
+    * then deduplicate WITHIN clusters only: a vector is dropped iff a
+    * lower-id member of its own cluster is within the cosine gate
+    * (≥ [[ProdCosThreshold]]); the lowest such id is kept as its
+    * representative. Clustering turns the quadratic all-pairs scan
+    * into per-cluster pair scans: with k ∝ n (fixed expected cluster
+    * size), total work is O(n · avg_cluster), the shape that makes
+    * semantic dedup feasible at corpus scale. Runs on the planted
+    * corpus so the gate is non-vacuous.
+    *
+    * Plan shape: seeds are broadcast (k rows), assignment is a narrow
+    * map (argmax cosine over k, tie→lower seed), the pair scan
+    * shuffles once keyed on cluster. Nothing touches the driver.
+    */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = plantedCorpus(s, d)
+    val seeds = corpus.filter(col("vec_id") < SemK)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("seed_emb"))
+    // assign: argmax_{seed} cos(v, seed); 6-dp round + seed-id
+    // tie-break keeps the argmax engine-independent
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("seed_cos").desc, col("seed_id"))
+    val assigned = corpus.join(broadcast(seeds), lit(true))
+      .withColumn("seed_cos", round(exprs.cosineSim(col("embedding"), col("seed_emb")), 6))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("seed_id").as("cluster_id"), col("vec_id"), col("embedding"))
+    val a = assigned.select(col("cluster_id"), col("vec_id").as("keep_id"),
+      col("embedding").as("a_emb"))
+    val b = assigned.select(col("cluster_id"), col("vec_id").as("drop_id"),
+      col("embedding").as("b_emb"))
+    // within-cluster pair scan; keeper = lowest qualifying lower id
+    val wKeep = Window.partitionBy(col("drop_id")).orderBy(col("keep_id"))
+    a.join(b, Seq("cluster_id"))
+      .filter(col("keep_id") < col("drop_id"))
+      .withColumn("cos_raw", exprs.cosineSim(col("a_emb"), col("b_emb")))
+      .filter(col("cos_raw") >= ProdCosThreshold)
+      .withColumn("cos_sim", round(col("cos_raw"), 6))
+      .withColumn("krn", row_number().over(wKeep))
+      .filter(col("krn") === 1)
+      .select(col("drop_id").as("vec_id"), col("cluster_id"),
+        col("keep_id").as("keeper_id"), col("cos_sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle: identical planted corpus, identical fixed-seed
+    * assignment, identical within-cluster drop rule — all in SQL.
+    */
+  val semanticDedupSql: String =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, v FROM e0
+       |  UNION ALL
+       |  SELECT vec_id + $PlantIdOffset,
+       |         v[1:$PlantKeepDims] || [0.0, 0.0, 0.0, 0.0]
+       |  FROM e0 WHERE vec_id < $PlantCount),
+       |seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < $SemK),
+       |assign AS (
+       |  SELECT e.vec_id, e.v, s.seed_id AS cluster_id,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      round(list_dot_product(e.v, s.sv)
+       |            / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.sv, s.sv))), 6) DESC,
+       |      s.seed_id) AS arn
+       |  FROM e CROSS JOIN seeds s
+       |  QUALIFY arn = 1),
+       |pairs AS (
+       |  SELECT b.vec_id, b.cluster_id, a.vec_id AS keeper_id,
+       |    round(list_dot_product(a.v, b.v)
+       |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY b.vec_id ORDER BY a.vec_id) AS krn
+       |  FROM assign a JOIN assign b
+       |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.v, b.v)
+       |        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= $ProdCosThreshold
+       |  QUALIFY krn = 1)
+       |SELECT vec_id, cluster_id, keeper_id, cos_sim
+       |FROM pairs ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic"  -> (semanticDedup _),
     "dedup_embedding" -> (embeddingPairs _),
     "ann_pq"          -> (annPq _),
     "ann_bruteforce"  -> (annBruteforce _),
@@ -477,6 +565,7 @@ object VectorOps {
     "ann_ivf"         -> (annIvf _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_semantic"  -> semanticDedupSql,
     "dedup_embedding" -> embeddingPairsSql,
     "ann_bruteforce"  -> annBruteforceSql,
     "ann_lsh_check"   -> annCheckSql,

