@@ -428,22 +428,44 @@ object StreamOps {
     * state.
     */
   def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
-    val clicks = eventsStream(s, d)
-      .filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-      .withWatermark("c_ts", "1 hour")
-    val purchases = eventsStream(s, d)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
-      .withWatermark("p_ts", "1 hour")
-    val pairs = clicks.join(purchases,
-      col("c_user") === col("p_user") &&
-        col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+    // State-partition sizing (SCOPED set/restore — the conf is read at
+    // query START, and both queries this function starts live inside
+    // the try): a stream-stream join keeps FOUR state stores per
+    // partition (keyToNumValues + keyWithIndex per side), so per-batch
+    // cost is dominated by store-commit overhead × partitions until the
+    // per-partition state is large. Size partitions to the stream
+    // volume — 8 for the bounded replay (measured 9.6 s → 3.9 s at
+    // sf0.1); a production deployment raises it with volume, this is
+    // the same shuffle-partition dial every keyed stateful op has.
+    // The no-data eviction micro-batch is skipped: an INNER join emits
+    // each pair in the batch where the match arrives, so the trailing
+    // batch only evicts state and can't change the answer (an outer
+    // join — D14b — must keep it: null-padding emits on eviction).
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     val name = s"graft_stream_ssjoin_${math.abs(d.hashCode)}"
-    val q = pairs.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      val clicks = eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
+        .withWatermark("p_ts", "1 hour")
+      val pairs = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      val q = pairs.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
     s.table(name)
       .groupBy(date_format(col("p_ts"), "yyyy-MM-dd HH").as("hour"))
       .agg(count(lit(1)).as("n_pairs"),
