@@ -113,7 +113,8 @@ object ScaleBench {
     "dedup_embedding", "dedup_clusters", "dedup_apply", "dedup_lines",
     "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",
     "text_tfidf", "text_dup_spans", "text_fingerprint", "text_contamination",
-    "corpus_filter", "sample_mixture", "pipeline_corpus_e2e", "mm_decode")
+    "corpus_filter", "sample_mixture", "pipeline_corpus_e2e", "mm_decode",
+    "q_unpivot", "dedup_semantic", "stream_stream_join")
 
   /** Lake DML + streaming-source scale probe: the same operation
     * sequence at 1× and 10× data, so commit latency, COW rewrite
@@ -249,7 +250,14 @@ object ScaleBench {
     // SPARK_GRAFT_SCALEBENCH_LAKE_ONLY=1 skips the (slow) query sweep —
     // for iterating on the lake/streaming probe alone
     val lakeOnly = sys.env.contains("SPARK_GRAFT_SCALEBENCH_LAKE_ONLY")
-    val results = (if (lakeOnly) Seq.empty else ScaleQueries ++ extra.keys).map { name =>
+    // SPARK_GRAFT_SCALEBENCH_ONLY=a,b restricts the query sweep (and
+    // skips the lake probe) — for iterating on individual queries
+    val onlyQ: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_SCALEBENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val sweep =
+      if (lakeOnly) Seq.empty
+      else (ScaleQueries ++ extra.keys).filter(n => onlyQ.forall(_.contains(n)))
+    val results = sweep.map { name =>
       val fn = SparkEntry.queries.getOrElse(name, extra(name))
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -260,7 +268,9 @@ object ScaleBench {
       println(f"[scalebench] $name%-22s ${times.map(_._1).min}%8.2f s  rows=${times.head._2}")
       name -> times.map(_._1).min
     }.toMap
-    val lake = lakeBench(spark, Seq(("1x", base), ("10x", out)))
+    val lake =
+      if (onlyQ.isDefined) Map.empty[String, Double]
+      else lakeBench(spark, Seq(("1x", base), ("10x", out)))
     val all = results ++ lake
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_total","value":${results.values.sum},"unit":"sec","queries":$qs,"sf":"$out"}""")

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -27,20 +29,48 @@ object StreamOps {
     * builds; native TIMESTAMP_NTZ on current 4.1.2), exactly like
     * [[graft.Tables.events]] so oracles line up.
     */
+  /** Stage a read-only parquet table for FileStreamSource consumption:
+    * symlink the source into a work dir. A single-file table links
+    * directly; a directory table (a Spark-written `*.parquet/part-*`
+    * layout) links each data file FLAT into the work dir —
+    * FileStreamSource does not recurse into non-partition
+    * subdirectories, so a nested directory symlink would stream zero
+    * rows.
+    */
+  private def stageStreamDir(src: String, tag: String): String = {
+    val dir = java.nio.file.Paths.get(
+      s"/root/repo/target/streamwork/$tag-${math.abs(src.hashCode)}")
+    java.nio.file.Files.createDirectories(dir)
+    val srcPath = java.nio.file.Paths.get(src)
+    val targets =
+      if (java.nio.file.Files.isDirectory(srcPath)) {
+        val ls = java.nio.file.Files.list(srcPath)
+        try ls.iterator().asScala.toSeq.filter { p =>
+          val n = p.getFileName.toString
+          n.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p)
+        } finally ls.close()
+      } else Seq(srcPath)
+    // drop stale directory symlinks staged by older builds — they were
+    // invisible to the file stream and would now shadow the flat links
+    val existing = java.nio.file.Files.list(dir)
+    try existing.iterator().asScala.toSeq
+      .filter(p => java.nio.file.Files.isSymbolicLink(p) &&
+        java.nio.file.Files.isDirectory(p))
+      .foreach(java.nio.file.Files.delete)
+    finally existing.close()
+    targets.foreach { t =>
+      val link = dir.resolve(t.getFileName.toString)
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link, t)
+    }
+    dir.toString
+  }
+
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // FileStreamSource wants a directory; stage a symlink to the
-    // source parquet (testdata is read-only).
-    val dir = java.nio.file.Paths.get(
-      s"/root/repo/target/streamwork/events-${math.abs(d.hashCode)}")
-    java.nio.file.Files.createDirectories(dir)
-    val link = dir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link)) {
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$d/events.parquet"))
-    }
+    val dir = stageStreamDir(s"$d/events.parquet", "events")
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    s.readStream.schema(schema).parquet(dir.toString)
+    s.readStream.schema(schema).parquet(dir)
       .withColumn("ts", graft.Tables.normalizeEventTs(schema("ts").dataType))
   }
 
@@ -184,16 +214,9 @@ object StreamOps {
     * plan serves batch and stream.
     */
   def corpusFilterStream(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Paths.get(
-      s"/root/repo/target/streamwork/docs-${math.abs(d.hashCode)}")
-    java.nio.file.Files.createDirectories(dir)
-    val link = dir.resolve("documents.parquet")
-    if (!java.nio.file.Files.exists(link)) {
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$d/documents.parquet"))
-    }
+    val dir = stageStreamDir(s"$d/documents.parquet", "docs")
     val schema = s.read.parquet(s"$d/documents.parquet").schema
-    val docs = s.readStream.schema(schema).parquet(dir.toString)
+    val docs = s.readStream.schema(schema).parquet(dir)
     val tagged = graft.pipeline.TextOps.corpusFilterCore(docs)
     val name = s"graft_stream_cfilter_${math.abs(d.hashCode)}"
     val q = tagged.writeStream.format("memory").queryName(name)
@@ -223,18 +246,11 @@ object StreamOps {
     * same split computed wholly in SQL.
     */
   def incrementalDedupStream(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Paths.get(
-      s"/root/repo/target/streamwork/incdocs-${math.abs(d.hashCode)}")
-    java.nio.file.Files.createDirectories(dir)
-    val link = dir.resolve("documents.parquet")
-    if (!java.nio.file.Files.exists(link)) {
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$d/documents.parquet"))
-    }
+    val dir = stageStreamDir(s"$d/documents.parquet", "incdocs")
     val schema = s.read.parquet(s"$d/documents.parquet").schema
     val seen = graft.Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
       .select(md5(col("text").cast("binary")).as("content_hash")).distinct()
-    val admitted = s.readStream.schema(schema).parquet(dir.toString)
+    val admitted = s.readStream.schema(schema).parquet(dir)
       .filter(col("doc_id") % 3 =!= 0) // the incoming crawl
       .withColumn("content_hash", md5(col("text").cast("binary")))
       .join(seen, Seq("content_hash"), "left_anti")
