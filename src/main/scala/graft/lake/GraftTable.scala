@@ -2244,6 +2244,41 @@ final class GraftTable(val root: String, spark: SparkSession) {
     current.properties.toSeq.sortBy(_._1).toDF("key", "value")
   }
 
+  /** `` t$history `` — every snapshot on disk (including parked
+    * write-audit-publish stages) with whether it is an ancestor of
+    * the published current — the lineage Iceberg's `history`
+    * metadata table exposes via `is_current_ancestor`. A parked or
+    * abandoned stage shows `false`; the published chain (rollbacks
+    * included — history is linear, a rollback is a new commit)
+    * shows `true`. O(metadata).
+    */
+  def historyView: DataFrame = {
+    import spark.implicits._
+    val all = snapshots
+    val byId = all.map(s => s.id -> s).toMap
+    val anc = scala.collection.mutable.Set.empty[Long]
+    var c = currentId
+    while (c >= 0 && byId.contains(c) && !anc(c)) { anc += c; c = byId(c).parentId }
+    all.map(s => (s.id, s.parentId, s.operation, anc.contains(s.id)))
+      .toDF("snapshot_id", "parent_id", "operation", "is_current_ancestor")
+  }
+
+  /** `` t$manifests `` — how the current snapshot's manifest is
+    * stored: one row per content-addressed shard (path + file count),
+    * or a single `inline` row for a below-threshold manifest — the
+    * Iceberg `manifests` metadata-table role, over this table's
+    * shard layout (see [[GraftTable.ShardFilesThreshold]]).
+    */
+  def manifestsView: DataFrame = {
+    import spark.implicits._
+    val cur = current
+    val rows =
+      if (cur.shards.isEmpty)
+        Seq(("inline", s"snapshot-${cur.id}.json", cur.files.size.toLong))
+      else cur.shards.map(r => ("shard", r.path, r.nFiles))
+    rows.toDF("kind", "path", "n_files")
+  }
+
   /** `` t$partitions `` — per-partition rollup straight from the
     * manifest: O(metadata), zero data access. The operational
     * dashboard view (skew, fragmentation, size per partition).

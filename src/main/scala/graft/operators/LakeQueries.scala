@@ -709,6 +709,62 @@ object LakeQueries {
   val lakeClaimLockCheckSql: String =
     "SELECT true AS rows_ok, true AS lineage_ok, true AS lock_released"
 
+  /** `lake_history_view` (A60): `$history` — snapshot lineage with
+    * `is_current_ancestor`. The script makes the flag non-trivial:
+    * snapshot 3 is a PARKED write-audit-publish stage (never
+    * published → not an ancestor), then an append lands on the live
+    * current (id 4, parent 2 — the id sequence skips over the parked
+    * stage but the lineage does not), then a rollback commits as a
+    * new snapshot (5). Every id/parent/flag is deterministic, so the
+    * oracle is a VALUES literal.
+    */
+  def lakeHistoryView(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d)
+    val t = GraftTable.create(s, work(d, "hist"), n.filter(col("n_nationkey") < 10))
+    t.append(n.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 15))
+    t.stageAppend(n.filter(col("n_nationkey") === 15)) // parked, never published
+    t.append(n.filter(col("n_nationkey") > 15))
+    t.rollback(2L)
+    t.historyView.orderBy(col("snapshot_id"))
+  }
+
+  val lakeHistoryViewSql: String =
+    """SELECT * FROM (VALUES
+      |  (1::BIGINT, -1::BIGINT, 'create',   true),
+      |  (2::BIGINT,  1::BIGINT, 'append',   true),
+      |  (3::BIGINT,  2::BIGINT, 'append',   false),
+      |  (4::BIGINT,  2::BIGINT, 'append',   true),
+      |  (5::BIGINT,  4::BIGINT, 'rollback', true))
+      |AS t(snapshot_id, parent_id, operation, is_current_ancestor)
+      |ORDER BY snapshot_id""".stripMargin
+
+  /** `lake_manifests_check` (A61): `$manifests` — manifest storage
+    * observability. A bucket[80]-partitioned create crosses the
+    * sharding threshold, so the view must show one content-addressed
+    * shard per partition whose file counts sum to the `$files`
+    * inventory; a small table shows a single `inline` row.
+    */
+  def lakeManifestsCheck(s: SparkSession, d: String): DataFrame = {
+    val big = GraftTable.create(s, work(d, "manifbig"),
+      orders(s, d).repartition(col("o_orderkey")),
+      Seq("ok_b"), Seq(DepSpec("o_orderkey", "ok_b", "bucket[80]")))
+    val m = big.manifestsView.collect()
+    val nFiles = big.current.files.size.toLong
+    val small = GraftTable.create(s, work(d, "manifsmall"), Tables.nation(s, d))
+    val sm = small.manifestsView.collect()
+    import s.implicits._
+    Seq((
+      m.forall(_.getString(0) == "shard") && m.length > 1,
+      m.map(_.getLong(2)).sum == nFiles && nFiles >= 64L,
+      m.map(_.getString(1)).distinct.length == m.length,
+      sm.length == 1 && sm.head.getString(0) == "inline"))
+      .toDF("sharded", "counts_match", "paths_unique", "small_inline")
+  }
+
+  val lakeManifestsCheckSql: String =
+    """SELECT true AS sharded, true AS counts_match,
+      |  true AS paths_unique, true AS small_inline""".stripMargin
+
   // ---- A59 write-time sort order ------------------------------------
 
   /** `lake_sorted_write` (A59): an empty partitioned table declares
@@ -917,7 +973,9 @@ object LakeQueries {
     "lake_pipeline_compose"    -> (lakePipelineCompose _),
     "lake_sorted_write"        -> (lakeSortedWrite _),
     "lake_autondv_check"       -> (lakeAutoNdvCheck _),
-    "lake_claimlock_check"     -> (lakeClaimLockCheck _))
+    "lake_claimlock_check"     -> (lakeClaimLockCheck _),
+    "lake_history_view"        -> (lakeHistoryView _),
+    "lake_manifests_check"     -> (lakeManifestsCheck _))
 
   val oracles: Map[String, String] = Map(
     "lake_create"              -> lakeCreateSql,
@@ -961,5 +1019,7 @@ object LakeQueries {
     "lake_pipeline_compose"    -> lakePipelineComposeSql,
     "lake_sorted_write"        -> lakeSortedWriteSql,
     "lake_autondv_check"       -> lakeAutoNdvCheckSql,
-    "lake_claimlock_check"     -> lakeClaimLockCheckSql)
+    "lake_claimlock_check"     -> lakeClaimLockCheckSql,
+    "lake_history_view"        -> lakeHistoryViewSql,
+    "lake_manifests_check"     -> lakeManifestsCheckSql)
 }

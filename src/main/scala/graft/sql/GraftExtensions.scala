@@ -394,6 +394,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           case "$refs"       => Shim.logicalPlan(t.refsView)
           case "$properties" => Shim.logicalPlan(t.propertiesView)
           case "$deletes"    => Shim.logicalPlan(t.deletesView)
+          case "$history"    => Shim.logicalPlan(t.historyView)
+          case "$manifests"  => Shim.logicalPlan(t.manifestsView)
           case other => throw new IllegalArgumentException(
             s"unknown metadata view suffix '$other' on graft table '$base'")
         }

@@ -1754,4 +1754,42 @@ class LakeSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
       "/root/repo/target/laketest/hadooproot/meta/version-hint.txt")))
   }
+
+  test("dynamic partition pruning engages on a graft partitioned scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val o = Tables.orders(spark, sfDir)
+    val t = GraftTable.create(spark, tmp("dpp"),
+      o.repartition(col("o_orderstatus")), Seq("o_orderstatus"))
+    assert(t.current.files.size === 3)
+    // the filter side must be a FILE-backed relation: Spark's
+    // PartitionPruning rule skips in-memory LocalRelations
+    import spark.implicits._
+    Seq(("F", 1), ("O", 2), ("P", 3)).toDF("st", "grp")
+      .write.mode("overwrite").parquet(tmp("dpp-dim"))
+    val dim = spark.read.parquet(tmp("dpp-dim"))
+    val q = t.read().join(dim.filter(col("grp") === 3), col("o_orderstatus") === col("st"))
+      .groupBy(col("st")).agg(count(lit(1)).as("n"))
+    val rows = q.collect()
+    assert(rows.length === 1 && rows.head.getString(0) === "P")
+    val plan = q.queryExecution.executedPlan
+    assert(plan.toString.contains("dynamicpruning"),
+      s"expected a dynamic pruning filter on the graft scan, got:\n$plan")
+    // the runtime filter must actually drop the two non-matching
+    // partition files before the read: numFiles metric sees ONE file
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => leaves(s.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other =>
+          other.children.flatMap(leaves) ++
+            other.subqueries.flatMap(leaves)
+      }
+    val scans = leaves(plan).filter(
+      _.relation.location.isInstanceOf[org.apache.spark.sql.graft.GraftFileIndex])
+    assert(scans.nonEmpty, s"no graft scan found in:\n$plan")
+    assert(scans.head.metrics("numFiles").value === 1L,
+      "dynamic pruning must reduce the scan to the single matching partition file")
+  }
 }

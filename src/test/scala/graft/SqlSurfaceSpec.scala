@@ -230,6 +230,26 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(t.read().count() === rowsBefore)
   }
 
+  test("$history and $manifests views from SQL") {
+    val t = mkTable("histviews")
+    GraftCatalog.register("t_hist", t.root)
+    // park a WAP stage so is_current_ancestor is non-trivial, then
+    // land a real append on the live current
+    t.stageAppend(t.read().limit(1))
+    t.append(t.read().limit(2))
+    val hist = spark.sql(
+      "SELECT snapshot_id, is_current_ancestor FROM `t_hist$history` ORDER BY snapshot_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    // mkTable commits 1 (create) + 2 (append); 3 is the parked stage,
+    // 4 the published append
+    assert(hist.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(hist.toMap === Map(1L -> true, 2L -> true, 3L -> false, 4L -> true))
+    val man = spark.sql("SELECT kind, path, n_files FROM `t_hist$manifests`").collect()
+    assert(man.length === 1 && man.head.getString(0) === "inline")
+    assert(man.head.getLong(2) === t.current.files.size.toLong)
+    spark.sql("DROP TABLE t_hist")
+  }
+
   test("$partitions view, ALTER TABLE ADD COLUMNS, DROP TABLE from SQL") {
     val t = mkTable("ddl")
     GraftCatalog.register("t_ddl", t.root)
