@@ -494,14 +494,19 @@ object VectorOps {
     val seeds = corpus.filter(col("vec_id") < SemK)
       .select(col("vec_id").as("seed_id"), col("embedding").as("seed_emb"))
     // assign: argmax_{seed} cos(v, seed); 6-dp round + seed-id
-    // tie-break keeps the argmax engine-independent
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("seed_cos").desc, col("seed_id"))
+    // tie-break keeps the argmax engine-independent. The argmax is a
+    // max(struct(cos, -seed_id)) AGGREGATE, not a window: partial
+    // aggregation collapses the k candidate rows per vector on the map
+    // side, so the shuffle carries one row per vector instead of k —
+    // the difference between O(n) and O(n·k) shuffle at corpus scale.
     val assigned = corpus.join(broadcast(seeds), lit(true))
-      .withColumn("seed_cos", round(exprs.cosineSim(col("embedding"), col("seed_emb")), 6))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("seed_id").as("cluster_id"), col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        struct(
+          round(exprs.cosineSim(col("embedding"), col("seed_emb")), 6).as("cos"),
+          (-col("seed_id")).as("neg_seed")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sc")).as("w"), first(col("embedding")).as("embedding"))
+      .select((-col("w.neg_seed")).as("cluster_id"), col("vec_id"), col("embedding"))
     val a = assigned.select(col("cluster_id"), col("vec_id").as("keep_id"),
       col("embedding").as("a_emb"))
     val b = assigned.select(col("cluster_id"), col("vec_id").as("drop_id"),

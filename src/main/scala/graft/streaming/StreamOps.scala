@@ -50,12 +50,15 @@ object StreamOps {
           n.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p)
         } finally ls.close()
       } else Seq(srcPath)
-    // drop stale directory symlinks staged by older builds — they were
-    // invisible to the file stream and would now shadow the flat links
+    // drop stale links: directory symlinks staged by older builds were
+    // invisible to the file stream and would shadow the flat links;
+    // DANGLING links (the source table was rewritten with new part
+    // file names) would make the source list files that no longer
+    // exist and fail every batch
     val existing = java.nio.file.Files.list(dir)
     try existing.iterator().asScala.toSeq
       .filter(p => java.nio.file.Files.isSymbolicLink(p) &&
-        java.nio.file.Files.isDirectory(p))
+        (java.nio.file.Files.isDirectory(p) || !java.nio.file.Files.exists(p)))
       .foreach(java.nio.file.Files.delete)
     finally existing.close()
     targets.foreach { t =>
