@@ -257,6 +257,13 @@ object ScaleBench {
     val sweep =
       if (lakeOnly) Seq.empty
       else (ScaleQueries ++ extra.keys).filter(n => onlyQ.forall(_.contains(n)))
+    // a typo'd ONLY filter must fail loudly, not emit a zero-query
+    // "result" that looks like a passing run
+    onlyQ.foreach { names =>
+      require(sweep.nonEmpty,
+        s"SPARK_GRAFT_SCALEBENCH_ONLY matched no sweep queries: $names " +
+          s"(valid: ${(ScaleQueries ++ extra.keys).mkString(", ")})")
+    }
     val results = sweep.map { name =>
       val fn = SparkEntry.queries.getOrElse(name, extra(name))
       val times = (1 to 2).map { _ =>

@@ -2251,6 +2251,15 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * abandoned stage shows `false`; the published chain (rollbacks
     * included — history is linear, a rollback is a new commit)
     * shows `true`. O(metadata).
+    *
+    * Expiration can cut the parent chain: a pinned old snapshot
+    * survives while the links between it and the current were
+    * deleted. A survivor below the cut is still reported as an
+    * ancestor UNLESS a surviving ancestor shares its parent (then it
+    * is a skipped parked stage, proven non-published). The one
+    * undecidable case — a pinned parked stage whose publish-time
+    * sibling was expired — reports `true`; local metadata cannot
+    * distinguish it from an expired-chain ancestor.
     */
   def historyView: DataFrame = {
     import spark.implicits._
@@ -2259,7 +2268,14 @@ final class GraftTable(val root: String, spark: SparkSession) {
     val anc = scala.collection.mutable.Set.empty[Long]
     var c = currentId
     while (c >= 0 && byId.contains(c) && !anc(c)) { anc += c; c = byId(c).parentId }
-    all.map(s => (s.id, s.parentId, s.operation, anc.contains(s.id)))
+    // c >= 0 here ⇔ the chain was truncated by expiration at parent c
+    val cut = c
+    def isAncestor(s: Snapshot): Boolean =
+      anc.contains(s.id) ||
+        (cut >= 0 && s.id <= cut &&
+          !all.exists(t => t.id != s.id && t.parentId == s.parentId &&
+            anc.contains(t.id)))
+    all.map(s => (s.id, s.parentId, s.operation, isAncestor(s)))
       .toDF("snapshot_id", "parent_id", "operation", "is_current_ancestor")
   }
 

@@ -488,18 +488,18 @@ object VectorOps {
     * map (argmax cosine over k, tie→lower seed), the pair scan
     * shuffles once keyed on cluster. Nothing touches the driver.
     */
-  def semanticDedup(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val corpus = plantedCorpus(s, d)
+  /** Nearest-centroid assignment for [[semanticDedup]]: argmax_{seed}
+    * cos(v, seed); 6-dp round + seed-id tie-break keeps the argmax
+    * engine-independent. The argmax is a max(struct(cos, -seed_id))
+    * AGGREGATE, not a window: partial aggregation collapses the k
+    * candidate rows per vector on the map side, so the shuffle
+    * carries one row per vector instead of k — the difference between
+    * O(n) and O(n·k) shuffle at corpus scale.
+    */
+  private[graft] def semanticAssign(corpus: DataFrame): DataFrame = {
     val seeds = corpus.filter(col("vec_id") < SemK)
       .select(col("vec_id").as("seed_id"), col("embedding").as("seed_emb"))
-    // assign: argmax_{seed} cos(v, seed); 6-dp round + seed-id
-    // tie-break keeps the argmax engine-independent. The argmax is a
-    // max(struct(cos, -seed_id)) AGGREGATE, not a window: partial
-    // aggregation collapses the k candidate rows per vector on the map
-    // side, so the shuffle carries one row per vector instead of k —
-    // the difference between O(n) and O(n·k) shuffle at corpus scale.
-    val assigned = corpus.join(broadcast(seeds), lit(true))
+    corpus.join(broadcast(seeds), lit(true))
       .select(col("vec_id"), col("embedding"),
         struct(
           round(exprs.cosineSim(col("embedding"), col("seed_emb")), 6).as("cos"),
@@ -507,6 +507,12 @@ object VectorOps {
       .groupBy(col("vec_id"))
       .agg(max(col("sc")).as("w"), first(col("embedding")).as("embedding"))
       .select((-col("w.neg_seed")).as("cluster_id"), col("vec_id"), col("embedding"))
+  }
+
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = plantedCorpus(s, d)
+    val assigned = semanticAssign(corpus)
     val a = assigned.select(col("cluster_id"), col("vec_id").as("keep_id"),
       col("embedding").as("a_emb"))
     val b = assigned.select(col("cluster_id"), col("vec_id").as("drop_id"),

@@ -448,8 +448,10 @@ object StreamOps {
     */
   def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
     // State-partition sizing (SCOPED set/restore — the conf is read at
-    // query START, and both queries this function starts live inside
-    // the try): a stream-stream join keeps FOUR state stores per
+    // query START, and the one streaming query this function starts
+    // lives inside the try; the batch rollup after the finally reads
+    // the drained sink and is partition-count-insensitive): a
+    // stream-stream join keeps FOUR state stores per
     // partition (keyToNumValues + keyWithIndex per side), so per-batch
     // cost is dominated by store-commit overhead × partitions until the
     // per-partition state is large. Size partitions to the stream

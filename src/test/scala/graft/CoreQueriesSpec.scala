@@ -34,7 +34,19 @@ class CoreQueriesSpec extends SparkSpec {
         round(avg(col("amount")), 6).as("avg_amount"))
       .orderBy(col("l_returnflag"), col("measure"))
       .collect().toSeq
-    assert(got === long)
+    // the two plans (Expand vs union) may accumulate double sums in a
+    // different order — compare rounded aggregates with a tolerance
+    // instead of exact Row equality
+    assert(got.size === long.size)
+    got.zip(long).foreach { case (a, b) =>
+      assert(a.getString(0) === b.getString(0))
+      assert(a.getString(1) === b.getString(1))
+      assert(a.getLong(2) === b.getLong(2))
+      assert(math.abs(a.getDouble(3) - b.getDouble(3)) <= 1e-2,
+        s"total mismatch for ${a.getString(0)}/${a.getString(1)}")
+      assert(math.abs(a.getDouble(4) - b.getDouble(4)) <= 1e-6,
+        s"avg mismatch for ${a.getString(0)}/${a.getString(1)}")
+    }
     assert(got.size === 9) // 3 returnflags × 3 measures
   }
 

@@ -383,8 +383,13 @@ class PipelineSpec extends SparkSpec {
     }
     // drops never cross clusters: recompute each member's cluster and
     // verify keeper + dropped agree (semantics: dedup WITHIN clusters)
-    val n = corpus.count()
-    assert(out.length <= n)
+    val clusterOf = VectorOps.semanticAssign(corpus)
+      .select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).map(_.swap).toMap
+    out.foreach { case (v, cl, k, _) =>
+      assert(clusterOf(v) === cl, s"dropped $v reported cluster $cl but assigned ${clusterOf(v)}")
+      assert(clusterOf(k) === cl, s"keeper $k of $v lives in ${clusterOf(k)}, not $cl")
+    }
   }
 
   test("ann bruteforce: k ranked neighbors per query, no self-match") {
