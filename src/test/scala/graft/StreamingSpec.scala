@@ -766,9 +766,60 @@ class StreamingSpec extends SparkSpec {
     assert(bad.getMessage.contains("maxFilesPerTrigger") ||
       Option(bad.getCause).exists(_.getMessage.contains("maxFilesPerTrigger")))
   }
+
+  test("D15: transformWithState (Spark 4 stateful API) running per-key aggregate matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues}
+    // the new API requires the RocksDB state store provider
+    val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Double)]
+      val out = mem.toDS().groupByKey(_._1)
+        .transformWithState(new StreamingSpec.RunningAgg, TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("user", "n", "total").writeStream.format("memory")
+        .queryName("tws_agg").outputMode(OutputMode.Update).start()
+      mem.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+      q.processAllAvailable()
+      mem.addData((1L, 3.0), (3L, 7.0))
+      q.processAllAvailable(); q.stop()
+      // the LAST update per key is the running aggregate over everything
+      val last = spark.table("tws_agg")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      assert(last === Map(1L -> ((3L, 6.0)), 2L -> ((1L, 5.0)), 3L -> ((1L, 7.0))))
+    } finally {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+    }
+  }
 }
 
 object StreamingSpec {
+  /** D15's processor: a running per-key (count, sum) in ValueState —
+    * top-level so the closure serializes without the test suite.
+    */
+  class RunningAgg extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      state = getHandle.getValueState[(Long, Double)](
+        "agg", org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Double)] = {
+      val (n0, s0) = if (state.exists()) state.get() else (0L, 0.0)
+      var n: Long = n0; var s: Double = s0
+      rows.foreach { r => n += 1; s += r._2 }
+      state.update((n, s))
+      Iterator((key, n, s))
+    }
+  }
+
   /** File list a (possibly streaming-flagged) relation planned, pulled
     * from the ANALYZED plan's FileIndex — optimizedPlan/inputFiles
     * would run the batch-support check and reject streaming relations.
