@@ -511,6 +511,23 @@ final class GraftTable(val root: String, spark: SparkSession) {
 
   def refId(name: String): Option[Long] = refEntries.get(name).map(_._1)
 
+  def dropTag(name: String): GraftTable = dropRef(name, wantBranch = false)
+  def dropBranch(name: String): GraftTable = dropRef(name, wantBranch = true)
+
+  /** Remove a named ref. The snapshots it pinned stay on disk but
+    * become expirable — dropping a ref never deletes data.
+    */
+  private def dropRef(name: String, wantBranch: Boolean): GraftTable = withCommitLock {
+    require(name != "main", "cannot drop the main branch")
+    val m = refEntries
+    val entry = m.getOrElse(name,
+      throw new IllegalArgumentException(s"no ref '$name' on table $root"))
+    require(entry._2 == wantBranch,
+      s"ref '$name' is a ${if (entry._2) "branch" else "tag"}")
+    writeRefEntries(m - name)
+    this
+  }
+
   /** Create a BRANCH — a mutable named ref with its own snapshot
     * lineage (Iceberg branch refs re-expressed). Writers append to the
     * branch without moving the main pointer; readers opt in via

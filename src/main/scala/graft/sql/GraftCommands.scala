@@ -319,6 +319,41 @@ case class GraftVacuumCommand(
   }
 }
 
+/** ALTER TABLE t CREATE|DROP TAG|BRANCH — Iceberg's ref DDL. CREATE
+  * defaults to the current snapshot; `AS OF VERSION n` pins an older
+  * one. DROP refuses a kind mismatch (a tag cannot drop a branch) and
+  * never deletes data — the unpinned snapshots merely become
+  * expirable.
+  */
+case class GraftRefDdlCommand(
+    name: String, create: Boolean, isBranch: Boolean,
+    ref: String, asOf: Option[Long]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    val t = new GraftTable(root, session)
+    if (create) {
+      if (isBranch) t.branch(ref, asOf.getOrElse(-1L))
+      else t.tag(ref, asOf.getOrElse(t.currentId))
+    } else if (isBranch) t.dropBranch(ref)
+    else t.dropTag(ref)
+    Seq.empty
+  }
+}
+
+/** ALTER TABLE t FAST FORWARD b — main adopts branch b's lineage
+  * (refused when histories diverged; see [[GraftTable.fastForward]]).
+  */
+case class GraftFastForwardCommand(
+    name: String, ref: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    new GraftTable(root, session).fastForward(ref)
+    Seq.empty
+  }
+}
+
 /** DROP TABLE t — unregister and remove the managed table's data and
   * metadata (hive managed-table semantics).
   */

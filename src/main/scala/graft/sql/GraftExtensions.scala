@@ -178,6 +178,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // SHOW GRAFT TABLES — a dedicated statement so the builtin SHOW
   // TABLES (session catalog) is never shadowed
   private val ShowGraftTablesRe = """(?is)\s*show\s+graft\s+tables\s*""".r
+  // ALTER TABLE t CREATE TAG|BRANCH name [AS OF VERSION n] /
+  // ALTER TABLE t DROP TAG|BRANCH name — Iceberg's ref DDL, which
+  // Spark's parser has no grammar for
+  private val RefDdlRe =
+    """(?is)\s*alter\s+table\s+([\w.]+)\s+(create|drop)\s+(tag|branch)\s+(\w+)(?:\s+as\s+of\s+version\s+(\d+))?\s*""".r
+  // ALTER TABLE t FAST FORWARD <branch> — adopt a branch's lineage on main
+  private val FastForwardRe =
+    """(?is)\s*alter\s+table\s+([\w.]+)\s+fast\s+forward\s+(\w+)\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     sqlText match {
@@ -191,6 +199,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
           Option(deps).map(GraftTable.parseDeps).getOrElse(Seq.empty))
       case ShowGraftTablesRe() => return GraftShowTablesCommand()
+      case RefDdlRe(name, verb, kind, ref, asOf) if GraftCatalog.lookup(name).isDefined =>
+        return GraftRefDdlCommand(name.toLowerCase,
+          create = verb.equalsIgnoreCase("create"),
+          isBranch = kind.equalsIgnoreCase("branch"),
+          ref = ref, asOf = Option(asOf).map(_.toLong))
+      case FastForwardRe(name, ref) if GraftCatalog.lookup(name).isDefined =>
+        return GraftFastForwardCommand(name.toLowerCase, ref)
       case _ => ()
     }
     val (asOf, parsed) = sqlText match {

@@ -230,6 +230,32 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(t.read().count() === rowsBefore)
   }
 
+  test("tag/branch DDL from SQL: CREATE TAG AS OF, branch fast-forward, DROP, kind mismatch") {
+    val t = mkTable("refddl") // snapshots 1 (create) + 2 (append)
+    GraftCatalog.register("t_refddl", t.root)
+    val rowsAt1 = t.readAsOfId(1L).count()
+    val rowsAt2 = t.read().count()
+    spark.sql("ALTER TABLE t_refddl CREATE TAG v1 AS OF VERSION 1")
+    spark.sql("ALTER TABLE t_refddl CREATE TAG latest")
+    assert(spark.sql("AS OF 'v1' SELECT * FROM t_refddl").count() === rowsAt1)
+    assert(spark.sql("AS OF 'latest' SELECT * FROM t_refddl").count() === rowsAt2)
+    // branch + work on it + fast-forward main
+    spark.sql("ALTER TABLE t_refddl CREATE BRANCH audit")
+    t.appendToBranch("audit", t.read().limit(3))
+    assert(t.read().count() === rowsAt2, "main must not see branch work")
+    spark.sql("ALTER TABLE t_refddl FAST FORWARD audit")
+    assert(new GraftTable(t.root, spark).read().count() === rowsAt2 + 3)
+    // kind mismatch is refused; drop works and only unpins
+    intercept[Exception] { spark.sql("ALTER TABLE t_refddl DROP BRANCH v1") }
+    spark.sql("ALTER TABLE t_refddl DROP TAG v1")
+    spark.sql("ALTER TABLE t_refddl DROP BRANCH audit")
+    val refs = new GraftTable(t.root, spark).refsView.collect().map(_.getString(0)).toSet
+    assert(refs === Set("main", "latest"))
+    assert(new GraftTable(t.root, spark).readAsOfId(1L).count() === rowsAt1,
+      "dropping a tag must not delete snapshots")
+    spark.sql("DROP TABLE t_refddl")
+  }
+
   test("$history and $manifests views from SQL") {
     val t = mkTable("histviews")
     GraftCatalog.register("t_hist", t.root)
