@@ -8,8 +8,9 @@ import graft.lake.GraftTable
 /** Randomized-but-deterministic DML soak: a seeded random sequence of
   * append / range-delete / predicate-update / keyed-merge / overwrite /
   * compact / applyDeletes / write-mode flips runs against a real table
-  * AND an in-memory model map; the table's full contents must equal the
-  * model at every checkpoint. Single-op specs prove each operator in
+  * AND an in-memory model map (plus snapshot expiration and a full
+  * branch→append→fast-forward→drop lifecycle); the table's full
+  * contents must equal the model at every checkpoint. Single-op specs prove each operator in
   * isolation — this catches their INTERACTIONS (e.g. a MOR delete
   * pending over a file that a compaction then rewrites, followed by a
   * keyed merge under equality deletes, on a sorted auto-NDV table),
@@ -74,7 +75,7 @@ class DmlModelSpec extends SparkSpec {
       }
 
       for (step <- 1 to 24) {
-        rnd.nextInt(11) match {
+        rnd.nextInt(13) match {
           case 0 | 1 => // append a block of fresh keys
             val ks = nextKey until (nextKey + 5 + rnd.nextInt(10))
             nextKey = ks.end
@@ -121,6 +122,26 @@ class DmlModelSpec extends SparkSpec {
             val target = ids(rnd.nextInt(ids.size))
             t.rollback(target)
             model = history(target)
+          case 11 => // expire old snapshots; recorded as-of ids must prune
+            val ids = t.snapshotIds
+            if (ids.size > 3) {
+              t.expire(keepFrom = ids(ids.size - 2))
+              val live = t.snapshotIds.toSet
+              history = history.filter { case (id, _) => live.contains(id) }
+            }
+          case 12 => // branch lifecycle: branch → branch-append → fast-forward → drop
+            val b = s"soak-br-$step"
+            t.branch(b)
+            val ks = nextKey until (nextKey + 3)
+            nextKey = ks.end
+            val rows = ks.map(k => k -> (k % 7, k * 1.5)).toMap
+            t.appendToBranch(b, df(spark, rows).repartition(1))
+            // main must not see branch work until the fast-forward
+            assert(t.read().count() === model.size.toLong,
+              s"seed=$seed step=$step: branch append leaked onto main")
+            t.fastForward(b)
+            t.dropBranch(b)
+            model ++= rows
         }
         // expire/compaction could in principle invalidate as-of ids;
         // only record ids that still resolve (they all should here)
