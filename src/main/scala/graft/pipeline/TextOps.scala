@@ -179,6 +179,32 @@ object TextOps {
       |       THEN 'train' ELSE 'val' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** C36 `sample_shuffle`: deterministic global corpus shuffle — the
+    * training-order permutation. The key is the Knuth multiplicative
+    * hash of (doc_id + seed) (integer-only, engine-identical, no RNG
+    * state); ordering by it is a reproducible pseudo-random
+    * permutation, and `key mod nShards` hands each trainer worker its
+    * slice. Cost is one range-partitioned sort — exactly how a 100 TB
+    * corpus is shuffled (Spark's orderBy range-samples the keys, so
+    * output shards stay balanced); everything else is a narrow map.
+    */
+  val ShuffleSeed = 42L
+  val ShuffleShards = 8L
+
+  def sampleShuffle(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("shuffle_key",
+        pmod((col("doc_id") + lit(ShuffleSeed)) * lit(2654435761L), lit(1000000007L)))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(ShuffleShards)))
+      .select(col("doc_id"), col("shuffle_key"), col("shard"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+
+  val sampleShuffleSql: String =
+    s"""SELECT doc_id,
+       |  ((doc_id + $ShuffleSeed) * 2654435761) % 1000000007 AS shuffle_key,
+       |  ((doc_id + $ShuffleSeed) * 2654435761) % 1000000007 % $ShuffleShards AS shard
+       |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin
+
   /** C27 `sample_mixture`: deterministic data mixing — per-source
     * sampling rates (the domain-weighting step of training-set
     * construction: upweight curated sources, downsample crawl). The
@@ -721,6 +747,7 @@ object TextOps {
     "sample_stratified" -> (sampleStratified _),
     "corpus_domain_cap" -> (domainCap _),
     "sample_split"     -> (sampleSplit _),
+    "sample_shuffle"   -> (sampleShuffle _),
     "sample_mixture"   -> (sampleMixture _),
     "text_langid"      -> (langId _),
     "text_quality"     -> (quality _),
@@ -740,6 +767,7 @@ object TextOps {
     "sample_stratified" -> sampleStratifiedSql,
     "corpus_domain_cap" -> domainCapSql,
     "sample_split"     -> sampleSplitSql,
+    "sample_shuffle"   -> sampleShuffleSql,
     "sample_mixture"   -> sampleMixtureSql,
     "text_langid"      -> langIdSql,
     "text_quality"     -> qualitySql,

@@ -475,6 +475,27 @@ class PipelineSpec extends SparkSpec {
     assert(rows.toSeq === again.toSeq)
   }
 
+  test("sample shuffle: total permutation, balanced shards, genuinely mixed order") {
+    val out = TextOps.sampleShuffle(spark, sfDir).collect()
+    val n = Tables.documents(spark, sfDir).count()
+    // every document exactly once — it's a permutation, not a sample
+    assert(out.length.toLong === n)
+    assert(out.map(_.getLong(0)).distinct.length.toLong === n)
+    // shards are balanced within 3x of even (hash-mod balance)
+    val byShard = out.groupBy(_.getLong(2)).view.mapValues(_.length)
+    assert(byShard.size === TextOps.ShuffleShards)
+    assert(byShard.values.max <= 3 * (n / TextOps.ShuffleShards).toInt)
+    // the order is actually shuffled: the first 20 positions are not
+    // the first 20 ids (a key correlated with id would sort ~in id
+    // order, which defeats the point of a training shuffle)
+    val first20 = out.take(20).map(_.getLong(0)).toSet
+    assert((first20 -- (0L until 20L).toSet).size >= 15,
+      s"shuffle order correlates with doc_id: first20=$first20")
+    // deterministic across runs
+    val again = TextOps.sampleShuffle(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    assert(again === out.map(_.getLong(0)).toSeq)
+  }
+
   test("sample split: deterministic, ~90/10, disjoint") {
     val df = TextOps.sampleSplit(spark, sfDir).collect()
     assert(df.length === 500)
