@@ -503,7 +503,81 @@ object StreamOps {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       |GROUP BY 1 ORDER BY hour""".stripMargin
 
+  /** D16 `stream_cdc_apply`: CDC REPLICATION — table A's change feed
+    * streamed and APPLIED into replica table B, the cross-table
+    * replication shape (Delta CDF → MERGE, Iceberg CDC apply). Each
+    * micro-batch splits into deletes and inserts; deletes drop the
+    * keys from B, inserts upsert by key via keyed MERGE (so a replayed
+    * batch converges instead of duplicating — the apply is
+    * idempotent). After a create / append / MOR point-delete / MOR
+    * update script on A, B must equal A row-for-row; the oracle
+    * recomputes A's final state from the raw events. Everything is
+    * keyed DML on B: cost per batch is O(changes), never O(|B|).
+    */
+  def cdcApply(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.GraftTable
+    val h = math.abs(d.hashCode)
+    val srcRoot = s"/root/repo/target/lakework/cdcapply-src-$h"
+    val dstRoot = s"/root/repo/target/lakework/cdcapply-dst-$h"
+    val ckpt = s"/root/repo/target/lakework/cdcapply-ckpt-$h"
+    for (p <- Seq(srcRoot, dstRoot, ckpt)) {
+      import scala.sys.process._; Seq("rm", "-rf", p).!
+    }
+    val ev = eventsBatch(s, d).select(col("event_id"), col("event_type"), col("value"))
+    val a = GraftTable.create(s, srcRoot, ev.filter(col("event_id") % 2 === 0))
+    a.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    a.setProperty(GraftTable.UpdateModeProp, "merge-on-read")
+    val b = GraftTable.createEmpty(s, dstRoot, a.schema, Seq.empty, Seq.empty)
+    def applyOnce(): Unit = {
+      val q = s.readStream.format("graft.streaming.GraftSourceProvider")
+        .option("path", srcRoot).option("readChangeFeed", "true").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val cached = batch.cache()
+          try {
+            // deletes first (an in-batch update is its delete+insert
+            // pair), both as KEYED distributed DML — no change row
+            // ever passes through the driver
+            val dels = cached.filter(col("_change_type") === "delete")
+              .select(col("event_id"))
+            if (!dels.isEmpty) b.mergeDelete(dels, Seq("event_id"))
+            val ins = cached.filter(col("_change_type") === "insert")
+              .drop("_change_type")
+            if (!ins.isEmpty) b.merge(ins, Seq("event_id"))
+            ()
+          } finally { cached.unpersist(); () }
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    applyOnce()                                    // initial load replicates
+    a.append(ev.filter(col("event_id") % 2 =!= 0)) // late half arrives
+    a.delete(col("event_id") % 7 === 0)            // MOR point deletes
+    a.update(col("event_id") % 11 === 0,           // MOR update
+      Map("value" -> (col("value") * 2)))
+    applyOnce(); applyOnce() // drain every commit (wrapper may batch-split)
+    // row-for-row replication check (stronger than the aggregate
+    // oracle): the replica must equal the source as a multiset
+    val drift = b.read().exceptAll(a.read()).count() +
+      a.read().exceptAll(b.read()).count()
+    require(drift == 0, s"replica diverged from source by $drift rows")
+    b.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle: A's final state from the raw events — `id%7=0` deleted,
+    * surviving `id%11=0` doubled.
+    */
+  val cdcApplySql: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(sum(CASE WHEN event_id % 11 = 0 THEN value * 2 ELSE value END), 2) AS total_value
+      |FROM events WHERE event_id % 7 <> 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cdc_apply"   -> (cdcApply _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_window_agg"  -> (windowAgg _),
     "stream_sessionize"  -> (sessionize _),
@@ -517,6 +591,7 @@ object StreamOps {
     "stream_incremental_dedup" -> (incrementalDedupStream _))
 
   val oracles: Map[String, String] = Map(
+    "stream_cdc_apply"   -> cdcApplySql,
     "stream_stream_join" -> streamStreamJoinSql,
     "stream_window_agg"  -> windowAggSql,
     "stream_sessionize"  -> sessionizeSql,
