@@ -22,6 +22,14 @@ import graft.functions.{exprs, Hashing}
   *    ((polyHash mod n)+n) mod n. Equality-only inference. (Our own
   *    hash spec — the capability matches Iceberg bucketing; the hash
   *    function is graft's.)
+  *  - sbucket[n]:   `pmod(murmur3(v), n)` with SPARK's hash — bit-for-
+  *    bit [[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]]
+  *    `partitionIdExpression` (Murmur3, seed 42). Equality-only
+  *    inference, same as bucket[n]; the point of the Spark-native hash
+  *    is the READ side: a table partitioned on an sbucket dest can
+  *    truthfully claim a V1 `BucketSpec`, so joins/aggregations on the
+  *    SOURCE column skip their shuffle entirely (storage-partitioned
+  *    join) and Spark's own bucket pruning stays correct.
   *  - year/month/day/hour: timestamp → 1996 / 199604 / 19960412 /
   *    1996041215 as ints — each monotone in the timestamp ⇒ range
   *    predicates infer.
@@ -30,13 +38,21 @@ object Deps {
 
   private val TruncRe = """truncate\[(\d+)\]""".r
   private val BucketRe = """bucket\[(\d+)\]""".r
+  private val SBucketRe = """sbucket\[(\d+)\]""".r
+
+  /** Bucket count of an `sbucket[n]` transform, if it is one. */
+  def sparkBucketN(transform: String): Option[Int] = transform match {
+    case SBucketRe(n) => Some(n.toInt)
+    case _            => None
+  }
 
   /** True if the transform preserves ordering of its input (range
     * predicates on src then translate to ranges on dest).
     */
   def monotone(transform: String): Boolean = transform match {
-    case BucketRe(_) => false
-    case _           => true
+    case BucketRe(_)  => false
+    case SBucketRe(_) => false
+    case _            => true
   }
 
   /** Spark-side column for the write path.
@@ -55,6 +71,7 @@ object Deps {
     case "identity"   => src
     case TruncRe(n)   => substring(src, 1, n.toInt) // string truncate
     case BucketRe(n)  => pmod(exprs.polyHash(src.cast("string")), lit(n.toLong)).cast("int")
+    case SBucketRe(n) => pmod(hash(src), lit(n.toInt))
     case "year"       => year(utcDate(src)).cast("int")
     case "month"      => (year(utcDate(src)) * 100 + month(utcDate(src))).cast("int")
     case "day"        =>
@@ -119,7 +136,9 @@ object Deps {
     * materialized partition values.
     */
   def applyTyped(transform: String, v: Any, srcType: DataType): Any =
-    if (srcType != DateType) apply(transform, v)
+    if (sparkBucketN(transform).isDefined)
+      sparkBucketOf(v, srcType, sparkBucketN(transform).get)
+    else if (srcType != DateType) apply(transform, v)
     else {
       val days = v match {
         case l: Long => l
@@ -138,6 +157,35 @@ object Deps {
         case tr => throw new IllegalArgumentException(s"transform $tr unsupported on DateType")
       }
     }
+
+  /** Driver-side `sbucket[n]` — must agree BIT-FOR-BIT with the write
+    * path's `pmod(hash(src), n)` (Catalyst Murmur3, seed 42) and with
+    * `HashPartitioning.partitionIdExpression`, or pruning/bucketed
+    * scans silently read the wrong files. Constraint values arrive
+    * normalized (ints widened to Long, strings as String — see
+    * [[Pruning]]), so the Catalyst-internal value is reconstructed
+    * from the declared source type before hashing through the same
+    * [[org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction]]
+    * Catalyst itself evaluates.
+    */
+  private def sparkBucketOf(v: Any, srcType: DataType, n: Int): Int = {
+    import org.apache.spark.sql.types._
+    val internal: Any = (srcType, v) match {
+      case (IntegerType | DateType, l: Long)                      => l.toInt
+      case (IntegerType | DateType, i: Int)                       => i
+      case (ShortType, l: Long)                                   => l.toShort
+      case (ByteType, l: Long)                                    => l.toByte
+      case (LongType | TimestampType | TimestampNTZType, l: Long) => l
+      case (StringType, s: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case (st, other) => throw new IllegalArgumentException(
+        s"sbucket[$n] driver evaluation unsupported for source type $st " +
+          s"(value class ${other.getClass.getSimpleName})")
+    }
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+      .hash(internal, srcType, 42L).toInt
+    ((h % n) + n) % n
+  }
 
   /** Driver-side evaluation over a plain Scala value (Long, Double,
     * String, or epoch-micros Long for timestamps). Must agree exactly

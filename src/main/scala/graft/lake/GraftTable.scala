@@ -697,6 +697,14 @@ final class GraftTable(val root: String, spark: SparkSession) {
       if (st.isFile && st.getPath.getName.endsWith(".parquet"))
         listed += st.getPath.toUri.getPath
     }
+    // sbucket tables: embed the file's bucket id in its name using
+    // Spark's own bucket-file suffix, so the read path can hand the
+    // scan a truthful BucketSpec (storage-partitioned joins need
+    // FileSourceScanExec to parse a bucket id out of every file name)
+    val bucketDest: Option[String] = deps.collectFirst {
+      case dp if Deps.sparkBucketN(dp.transform).isDefined &&
+        partitionCols.contains(dp.dest) => dp.dest
+    }
     var seq = 0
     val work = listed.sorted.toSeq.map { p =>
       val rel = p.stripPrefix(stagingUri).stripPrefix("/")
@@ -708,7 +716,17 @@ final class GraftTable(val root: String, spark: SparkSession) {
         }.toMap
       val destDir = partVals.foldLeft(new HPath(new HPath(root), "data").toString) {
         case (d, (k, v)) => s"$d/$k=${GraftTable.escapePath(v)}" }
-      val dest = s"$destDir/$snapId-$seq-${segs.last}"
+      val destName = bucketDest
+        .flatMap(bd => partVals.get(bd))
+        .flatMap(v => scala.util.Try(v.toInt).toOption) match {
+        case Some(b) =>
+          val nm = segs.last
+          val dot = nm.indexOf('.')
+          val (base, ext) = if (dot < 0) (nm, "") else nm.splitAt(dot)
+          s"$base${org.apache.spark.sql.graft.Shim.bucketIdSuffix(b)}$ext"
+        case None => segs.last
+      }
+      val dest = s"$destDir/$snapId-$seq-$destName"
       seq += 1
       (p, dest, partVals)
     }

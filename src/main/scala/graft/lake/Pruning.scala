@@ -286,18 +286,39 @@ object Pruning {
     val inferred = deps.flatMap { dep =>
       cs.get(dep.src).flatMap { c =>
         val st = srcTypes.getOrElse(dep.src, NullType)
+        // sbucket's driver-side murmur3 needs the declared source type
+        // to rebuild the Catalyst-internal value; without it, skip the
+        // inference (conservative: the file is kept, never dropped)
+        if (Deps.sparkBucketN(dep.transform).isDefined && st == NullType) None
+        else {
         def mapped(v: Any): Any =
           toComparable(Deps.applyTyped(dep.transform, fromComparable(v), st))
         val eqMapped = c.eqs.map(_.map(mapped))
-        // all transforms are null-preserving, so src nullness carries
-        // to the destination column verbatim
         if (Deps.monotone(dep.transform)) {
+          // monotone transforms are all null-preserving, so src
+          // nullness carries to the destination column verbatim
           val lo2 = c.lo.map { case (v, _) => (mapped(v), true) }
           val hi2 = c.hi.map { case (v, _) => (mapped(v), true) }
           Some(dep.dest -> Constraint(eqMapped, lo2, hi2, c.nullness))
-        } else if (eqMapped.isDefined || c.nullness.isDefined) {
-          Some(dep.dest -> Constraint(eqs = eqMapped, nullness = c.nullness))
-        } else None
+        } else Deps.sparkBucketN(dep.transform) match {
+          case Some(n) =>
+            // sbucket is NOT null-preserving: Catalyst's Murmur3Hash of
+            // a null input returns the seed (42), so null sources land
+            // in bucket pmod(42, n) and the dest is never null. src IS
+            // NULL therefore maps to dest = 42 % n (carrying IS NULL
+            // verbatim would prune the very files holding those rows);
+            // src IS NOT NULL yields no dest constraint at all.
+            if (c.nullness.contains(true))
+              Some(dep.dest -> Constraint(eqs = Some(Set[Any]((42 % n).toLong))))
+            else if (eqMapped.isDefined)
+              Some(dep.dest -> Constraint(eqs = eqMapped))
+            else None
+          case None =>
+            if (eqMapped.isDefined || c.nullness.isDefined)
+              Some(dep.dest -> Constraint(eqs = eqMapped, nullness = c.nullness))
+            else None
+        }
+        }
       }
     }.toMap
     // inferred constraints are additive to any direct dest constraints

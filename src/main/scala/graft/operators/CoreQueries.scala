@@ -440,6 +440,45 @@ object CoreQueries {
       |GROUP BY CUBE (o_orderstatus, substring(o_orderpriority, 1, 1))
       |ORDER BY status, prio""".stripMargin
 
+  /** B25 `q_recursive_cte`: WITH RECURSIVE (Spark 4's UnionLoop
+    * execution) — referral-chain walk over `customer`: each odd
+    * custkey roots a chain that hops to custkey*2 while that customer
+    * exists, then the depth distribution rolls up. Each recursion
+    * level executes as one distributed join of the previous level
+    * against the (broadcastable) customer key set, and the level count
+    * is log₂(max key) — so the plan is #levels bounded scans, never a
+    * driver loop. For UNBOUNDED graph closure (millions of levels /
+    * arbitrary components) the scale path is C16's hash-min label
+    * propagation; the recursive CTE is the ANSI SQL surface for
+    * hierarchy walks of bounded depth.
+    */
+  def qRecursiveCte(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_rc")
+    s.sql(
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS root, c_custkey AS cur, 0 AS depth
+        |  FROM customer_rc WHERE c_custkey % 2 = 1
+        |  UNION ALL
+        |  SELECT chain.root, c.c_custkey, chain.depth + 1
+        |  FROM chain JOIN customer_rc c ON c.c_custkey = chain.cur * 2
+        |)
+        |SELECT depth, count(*) AS n_chains,
+        |       CAST(sum(root) AS BIGINT) AS sum_roots
+        |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  val qRecursiveCteSql: String =
+    """WITH RECURSIVE chain AS (
+      |  SELECT c_custkey AS root, c_custkey AS cur, 0 AS depth
+      |  FROM customer WHERE c_custkey % 2 = 1
+      |  UNION ALL
+      |  SELECT chain.root, c.c_custkey, chain.depth + 1
+      |  FROM chain JOIN customer c ON c.c_custkey = chain.cur * 2
+      |)
+      |SELECT depth, count(*) AS n_chains,
+      |       CAST(sum(root) AS BIGINT) AS sum_roots
+      |FROM chain GROUP BY depth ORDER BY depth""".stripMargin
+
   /** B18: skew-safe exact distinct aggregation — the two-stage salted
     * plan for hot group keys. `events` has only a handful of
     * event_types over the whole stream, so a naive per-type exact
@@ -645,6 +684,7 @@ object CoreQueries {
     "q_asof_join"       -> (qAsOfJoin _),
     "q_json_extract"    -> (qJsonExtract _),
     "q_cube"            -> (qCube _),
+    "q_recursive_cte"   -> (qRecursiveCte _),
     "q_skew_salted_agg" -> (qSkewSaltedAgg _))
 
   val oracles: Map[String, String] = Map(
@@ -671,5 +711,6 @@ object CoreQueries {
     "q_asof_join"       -> qAsOfJoinSql,
     "q_json_extract"    -> qJsonExtractSql,
     "q_cube"            -> qCubeSql,
+    "q_recursive_cte"   -> qRecursiveCteSql,
     "q_skew_salted_agg" -> qSkewSaltedAggSql)
 }

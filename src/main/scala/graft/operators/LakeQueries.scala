@@ -801,6 +801,65 @@ object LakeQueries {
   val lakeSortedWriteSql: String =
     s"SELECT $selSql FROM orders ORDER BY o_orderkey"
 
+  /** `lake_bucket_join` (A64): two tables partitioned on `sbucket[8]`
+    * of their join key claim truthful V1 BucketSpecs (sbucket's hash
+    * is bit-for-bit `HashPartitioning.partitionIdExpression`, and
+    * every committed file carries Spark's `_0000N` bucket suffix), so
+    * the fact-to-fact join plans with ZERO shuffle exchanges — the
+    * entry REQUIRES that plan shape with broadcast disabled, then
+    * returns the per-segment rollup for the DuckDB oracle. At 100 TB
+    * this is the storage-partitioned join: co-bucketed event/entity
+    * tables join at a 1000-executor scan's cost, no exchange of either
+    * side, no driver involvement beyond the manifest read.
+    */
+  def lakeBucketJoin(s: SparkSession, d: String): DataFrame = {
+    val t1 = GraftTable.create(s, work(d, "bktjoin-o"),
+      Tables.orders(s, d).repartition(col("o_custkey")),
+      Seq("o_b"), Seq(DepSpec("o_custkey", "o_b", "sbucket[8]")))
+    val t2 = GraftTable.create(s, work(d, "bktjoin-c"),
+      Tables.customer(s, d).repartition(col("c_custkey")),
+      Seq("c_b"), Seq(DepSpec("c_custkey", "c_b", "sbucket[8]")))
+    val conf = s.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = t1.read().join(t2.read(), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+      j.collect() // materialize so the adaptive plan is final
+      def anyShuffleBelowJoin(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            anyShuffleBelowJoin(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            anyShuffleBelowJoin(q.plan)
+          case sm: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+            sm.exists {
+              case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+              case _ => false
+            }
+          case other => other.children.exists(anyShuffleBelowJoin)
+        }
+      require(!anyShuffleBelowJoin(j.queryExecution.executedPlan),
+        "bucket join planned a shuffle below the join — BucketSpec claim lost:\n" +
+          j.queryExecution.executedPlan)
+      j
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+    }
+  }
+
+  val lakeBucketJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ---- A19 SQL surface: AS OF prefix + registered relations ---------
 
   def lakeSqlAsOf(s: SparkSession, d: String): DataFrame = {
@@ -975,7 +1034,8 @@ object LakeQueries {
     "lake_autondv_check"       -> (lakeAutoNdvCheck _),
     "lake_claimlock_check"     -> (lakeClaimLockCheck _),
     "lake_history_view"        -> (lakeHistoryView _),
-    "lake_manifests_check"     -> (lakeManifestsCheck _))
+    "lake_manifests_check"     -> (lakeManifestsCheck _),
+    "lake_bucket_join"         -> (lakeBucketJoin _))
 
   val oracles: Map[String, String] = Map(
     "lake_create"              -> lakeCreateSql,
@@ -1021,5 +1081,6 @@ object LakeQueries {
     "lake_autondv_check"       -> lakeAutoNdvCheckSql,
     "lake_claimlock_check"     -> lakeClaimLockCheckSql,
     "lake_history_view"        -> lakeHistoryViewSql,
-    "lake_manifests_check"     -> lakeManifestsCheckSql)
+    "lake_manifests_check"     -> lakeManifestsCheckSql,
+    "lake_bucket_join"         -> lakeBucketJoinSql)
 }

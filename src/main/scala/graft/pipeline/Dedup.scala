@@ -387,6 +387,63 @@ object Dedup {
       |FROM inc WHERE h NOT IN (SELECT h FROM seen)
       |GROUP BY h ORDER BY doc_id""".stripMargin
 
+  /** C37 `dedup_incremental_bloom`: C30's admission gate behind a
+    * BLOOM pre-filter — the constant-memory fast path every planet-
+    * scale crawl refresh runs. The ingested corpus' content hashes are
+    * folded into one mergeable bloom filter (built DISTRIBUTED via
+    * `stat.bloomFilter`'s treeAggregate — one pass, no shuffle, no
+    * collect of hashes), broadcast once, and evaluated per batch row
+    * through Spark's own codegen'd [[
+    * org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * — the exact expression Spark's runtime row-level filtering
+    * injects, zero UDFs. Rows the bloom rejects are DEFINITELY new
+    * (no false negatives) and admit with no join at all; only the
+    * maybe-seen sliver (true dups + fpp false positives) pays the
+    * exact anti-join, so the verify join's probe side shrinks from
+    * |batch| to |dups| + fpp·|batch|. Output is EXACT — identical to
+    * C30's plain anti-join — which is what the oracle checks.
+    *
+    * 100 TB sizing: 10⁹ corpus hashes at fpp 3 % ≈ 0.9 GiB of bloom —
+    * broadcast once per refresh, amortized over every batch; shard the
+    * key space into k blooms when a single broadcast won't fit. The
+    * corpus-hash side of the residual verify join is itself a graft
+    * table bucketed with `sbucket[n]` (A64) in production, so even
+    * that join shuffles nothing.
+    */
+  def incrementalBloom(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.graft.Shim
+    val (existing, incoming) = ingestSplit(s, d)
+    val seen = existing.select(md5(col("text").cast("binary")).as("h")).distinct()
+    // insert xxhash64(h) longs: BloomFilterMightContain tests via
+    // mightContainLong, so build and probe must hash identically
+    val nSeen = seen.count()
+    val bf = seen.select(xxhash64(col("h")).as("hl"))
+      .stat.bloomFilter("hl", math.max(1000L, nSeen), 0.03)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val mightContain = Shim.column(BloomFilterMightContain(
+      Literal(bos.toByteArray),
+      new XxHash64(Seq(Shim.expression(col("h"))))))
+    val batch = incoming.withColumn("h", md5(col("text").cast("binary")))
+    val definitelyNew = batch.filter(!mightContain)
+    val suspects = batch.filter(mightContain)
+    val verifiedNew = suspects.join(seen, Seq("h"), "left_anti")
+    definitelyNew.unionByName(verifiedNew)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_admitted"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: the bloom is an accelerator, never a semantics change —
+    * admitted set must equal the plain exact anti-join's.
+    */
+  val incrementalBloomSql: String =
+    """WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
+      |inc AS (SELECT source, md5(text) AS h FROM documents WHERE doc_id % 3 <> 0)
+      |SELECT source, count(*) AS n_admitted
+      |FROM inc WHERE h NOT IN (SELECT h FROM seen)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** C31 `dedup_incremental_near`: NEAR-DUP incremental dedup (fuzzy
     * decontamination of a crawl refresh): an incoming doc is rejected
     * when it is a J ≥ 0.5 near-duplicate of ANY ingested doc; admitted
@@ -662,6 +719,7 @@ object Dedup {
     "dedup_apply"         -> (dedupApply _),
     "dedup_incremental"      -> (incrementalExact _),
     "dedup_incremental_near" -> (incrementalNear _),
+    "dedup_incremental_bloom" -> (incrementalBloom _),
     "dedup_simhash_check"    -> (simhashCheck _),
     "dataset_similarity_check" -> (datasetSimilarityCheck _))
 
@@ -679,5 +737,6 @@ object Dedup {
     "dedup_apply"         -> dedupApplySql,
     "dedup_incremental"      -> incrementalExactSql,
     "dedup_incremental_near" -> incrementalNearSql,
+    "dedup_incremental_bloom" -> incrementalBloomSql,
     "dataset_similarity_check" -> datasetSimilarityCheckSql)
 }

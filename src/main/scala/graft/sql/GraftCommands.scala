@@ -23,13 +23,13 @@ import graft.lake.{DepSpec, Deps, GraftTable}
   * planning/IcebergTableValidationChecks.scala:63).
   */
 object GraftCreateValidation {
-  private val TransformRe = """identity|truncate\[\d+\]|bucket\[\d+\]|year|month|day|hour""".r
+  private val TransformRe = """identity|truncate\[\d+\]|s?bucket\[\d+\]|year|month|day|hour""".r
 
   def validate(schema: StructType, partitionCols: Seq[String], deps: Seq[DepSpec]): Unit = {
     deps.foreach { dep =>
       require(TransformRe.matches(dep.transform),
         s"unknown column-dependency transform '${dep.transform}' " +
-          s"(expected identity, truncate[n], bucket[n], year, month, day, hour)")
+          s"(expected identity, truncate[n], bucket[n], sbucket[n], year, month, day, hour)")
       require(schema.fieldNames.contains(dep.src),
         s"column-dependency source '${dep.src}' is not a table column " +
           s"(have: ${schema.fieldNames.mkString(", ")})")
@@ -51,7 +51,7 @@ object GraftCreateValidation {
     dep.transform match {
       case "identity"                         => src
       case t if t.startsWith("truncate")      => if (src == StringType) StringType else LongType
-      case t if t.startsWith("bucket")        => IntegerType
+      case t if t.startsWith("bucket") || t.startsWith("sbucket") => IntegerType
       case "year" | "month" | "day" | "hour"  => IntegerType
       case other => throw new IllegalArgumentException(s"unknown transform $other")
     }

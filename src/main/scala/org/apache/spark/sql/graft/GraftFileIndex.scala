@@ -148,11 +148,44 @@ object GraftFileIndex {
     val index = new GraftFileIndex(spark, tableRoot, snapshot, physSchema)
     val dataSchema = StructType(
       physSchema.fields.filterNot(f => index.partitionSchema.fieldNames.contains(f.name)))
+    // Storage-partitioned joins (SURVEY.md §2.A64): a table partitioned
+    // on an `sbucket[n]` dest can claim a V1 BucketSpec on the SOURCE
+    // column — sbucket's hash is bit-for-bit HashPartitioning's
+    // partitionIdExpression, so FileSourceScanExec's claimed
+    // HashPartitioning(src, n) is truthful and joins/aggregations on
+    // src skip their shuffle entirely. Claimed only when EVERY manifest
+    // file proves consistent (name-encoded bucket id == its partition
+    // value, in range): files adopted/compacted before the sbucket era,
+    // or written under an older spec, downgrade the claim rather than
+    // silently landing in the wrong bucket (createBucketedReadRDD drops
+    // out-of-range ids on the floor). O(#files) driver-side string
+    // parses — manifest-scale work, no I/O.
+    val bucketSpec: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] =
+      snapshot.deps.collectFirst {
+        case dp if graft.lake.Deps.sparkBucketN(dp.transform).isDefined &&
+          snapshot.partitionCols.contains(dp.dest) =>
+          (dp, graft.lake.Deps.sparkBucketN(dp.transform).get)
+      }.flatMap { case (dp, n) =>
+        val srcPhys = fullSchema.fields.find(_.name == dp.src)
+          .map(f => graft.lake.GraftTable.physicalName(f))
+        val consistent = snapshot.files.forall { f =>
+          val claimed = f.partition.get(dp.dest)
+            .flatMap(v => scala.util.Try(v.toInt).toOption)
+          val parsed = Shim.parseBucketId(new Path(f.path).getName)
+          claimed.isDefined && parsed == claimed &&
+            claimed.get >= 0 && claimed.get < n
+        }
+        srcPhys match {
+          case Some(sp) if consistent && dataSchema.fieldNames.contains(sp) =>
+            Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(sp), Nil))
+          case _ => None
+        }
+      }
     val fsRelation = HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
       dataSchema = dataSchema,
-      bucketSpec = None,
+      bucketSpec = bucketSpec,
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark.asInstanceOf[ClassicSession])
     // manifest statistics ride a stats-only CatalogTable (no

@@ -32,4 +32,15 @@ object Shim {
   def logicalPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.logical
+
+  /** Spark's V1 bucket-file naming (`_00003` before the extension) —
+    * delegated to the same `BucketingUtils` `FileSourceScanExec` parses
+    * with, so names written by graft's sbucket path and names read by
+    * Spark's bucketed scan can never drift.
+    */
+  def bucketIdSuffix(id: Int): String =
+    org.apache.spark.sql.execution.datasources.BucketingUtils.bucketIdToString(id)
+
+  def parseBucketId(fileName: String): Option[Int] =
+    org.apache.spark.sql.execution.datasources.BucketingUtils.getBucketId(fileName)
 }

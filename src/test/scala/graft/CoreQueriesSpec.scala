@@ -115,6 +115,22 @@ class CoreQueriesSpec extends SparkSpec {
     assert(got === naive)
   }
 
+  test("B25 recursive CTE: chain depths match a driver-side walk") {
+    import org.apache.spark.sql.functions._
+    val got = CoreQueries.qRecursiveCte(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // independent reference: walk the doubling chains in plain Scala
+    val keys = Tables.customer(spark, sfDir)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val exp = keys.filter(_ % 2 == 1).toSeq.flatMap { root =>
+      Iterator.iterate(root)(_ * 2).takeWhile(keys.contains)
+        .zipWithIndex.map { case (_, depth) => (depth, root) }
+    }.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (d, rs) => (d, rs.size.toLong, rs.map(_._2).sum) }
+    assert(got.toSeq === exp)
+    assert(got.length > 1, "expected multi-level recursion in the testdata")
+  }
+
   test("q3/q5 hint only fixed-size dims: no forced broadcast of SF-proportional tables") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     // customer/supplier grow with scale factor — a hard broadcast()

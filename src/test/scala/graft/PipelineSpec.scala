@@ -617,6 +617,26 @@ class PipelineSpec extends SparkSpec {
     assert(ex.map(_._1).toSet === Set(4L, 5L, 7L))
   }
 
+  test("C37 bloom admission is exactly the anti-join result, prefilter engaged") {
+    // semantics: identical to the exact anti-join gate on real data
+    val viaBloom = Dedup.incrementalBloom(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, sfDir)
+    val seen = docs.filter(col("doc_id") % 3 === 0)
+      .select(md5(col("text").cast("binary")).as("h")).distinct()
+    val exact = docs.filter(col("doc_id") % 3 =!= 0)
+      .withColumn("h", md5(col("text").cast("binary")))
+      .join(seen, Seq("h"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaBloom === exact)
+    // the plan's gate is Spark's codegen'd bloom expression, not a UDF
+    val plan = Dedup.incrementalBloom(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "bloom prefilter missing from plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
+  }
+
   test("multimodal decode is a REAL PNG codec round-trip") {
     import spark.implicits._
     val assets = Multimodal.imageAssets(spark, sfDir)
