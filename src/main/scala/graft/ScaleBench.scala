@@ -206,18 +206,68 @@ object ScaleBench {
       val tClaimAppend =
         try timed(new GraftTable(root, spark).append(small))._1
         finally hconf.unset(graft.lake.CommitLock.ImplConfKey)
+      // A64 storage-partitioned join probe: co-bucketed self-join of
+      // orders on o_custkey. Build cost = one bucket-aligned shuffle
+      // per side (16-way hash repartition IS the bucket assignment —
+      // same murmur3); join cost must then scale with DATA only, no
+      // exchange of either side — vs the same join paying two
+      // shuffles. The SPJ gap vs shuf is the exchange cost removed at
+      // every subsequent join of these tables.
+      val bRoots = Seq(s"$root-b1", s"$root-b2")
+      bRoots.foreach { r =>
+        val f = new java.io.File(r)
+        if (f.exists()) { import scala.sys.process._; Seq("rm", "-rf", r).! }
+      }
+      val bDeps = Seq(graft.lake.DepSpec("o_custkey", "o_b", "sbucket[16]"))
+      val ob = o.repartition(16, col("o_custkey"))
+      val (tSpjBuild, bTabs) = timed(
+        bRoots.map(r => GraftTable.create(spark, r, ob, Seq("o_b"), bDeps)))
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val (tSpjJoin, tShufJoin) =
+        try {
+          val a = bTabs(0).read().select(col("o_custkey"), col("o_totalprice"))
+          val b = bTabs(1).read().select(col("o_custkey"))
+          val jdf = a.join(b, "o_custkey")
+          val (tJ, nJ) = timed(jdf.count())
+          def joinShuffled(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+            case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              joinShuffled(ad.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              joinShuffled(q.plan)
+            case sm: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+              sm.exists {
+                case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+                case _ => false }
+            case other => other.children.exists(joinShuffled)
+          }
+          require(!joinShuffled(jdf.queryExecution.executedPlan),
+            "SPJ probe regressed to a shuffled join")
+          val (tS, nS) = timed(
+            o.select(col("o_custkey"), col("o_totalprice"))
+              .join(o.select(col("o_custkey")), "o_custkey").count())
+          require(nJ == nS, s"SPJ join result drifted: $nJ vs $nS")
+          (tJ, tS)
+        } finally {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevBc)
+        }
       o.unpersist(); small.unpersist(); src1k.unpersist()
       println(f"[scalebench-lake] $label%-4s rows=$n%9d files=${t.current.files.size}%5d " +
         f"create=$tCreate%6.2f append=$tAppend%6.2f smallAppend=$tSmall%5.2f " +
         f"cowDelete=$tCow%6.2f morDelete=$tMor%6.2f morApply=$tApply%6.2f " +
         f"posMerge=$tPosMerge%6.2f eqMerge=$tEqMerge%6.2f getBatchPlan=$tPlan%6.3f " +
         f"ndvAppend=$tNdvAppend%5.2f sortedAppend=$tSortedAppend%5.2f " +
-        f"claimAppend=$tClaimAppend%5.2f")
+        f"claimAppend=$tClaimAppend%5.2f spjBuild=$tSpjBuild%5.2f " +
+        f"spjJoin=$tSpjJoin%5.2f shufJoin=$tShufJoin%5.2f")
       for ((k, v) <- Seq("create" -> tCreate, "append" -> tAppend,
           "small_append" -> tSmall, "cow_delete" -> tCow, "mor_delete" -> tMor,
           "mor_apply" -> tApply, "pos_merge" -> tPosMerge, "eq_merge" -> tEqMerge,
           "getbatch_plan" -> tPlan, "ndv_append" -> tNdvAppend,
-          "sorted_append" -> tSortedAppend, "claim_append" -> tClaimAppend))
+          "sorted_append" -> tSortedAppend, "claim_append" -> tClaimAppend,
+          "spj_build" -> tSpjBuild, "spj_join" -> tSpjJoin,
+          "shuf_join" -> tShufJoin))
         out(s"lake_${k}_$label") = v
     }
     out.toMap

@@ -1895,7 +1895,11 @@ final class GraftTable(val root: String, spark: SparkSession) {
         .filterNot(GraftTable.StandardOps.contains).distinct
       if (expTags.nonEmpty) withCommitLock { expTags.foreach(recordTag) }
       val rootP = new HPath(root)
-      orphans.foreach(rel => io.fs.delete(new HPath(rootP, rel), false))
+      // absolute entries are a shallow clone's references into its
+      // SOURCE table — the clone never owns them, so expiration must
+      // drop the reference without touching the bytes
+      orphans.filterNot(GraftTable.isAbsoluteEntry)
+        .foreach(rel => io.fs.delete(new HPath(rootP, rel), false))
       expired.foreach(id => io.delete(s"snapshot-$id.json"))
       // GC manifest shards no live snapshot points at (content-addressed
       // files are shared across snapshots, so liveness is by reference)
@@ -1908,6 +1912,49 @@ final class GraftTable(val root: String, spark: SparkSession) {
         }
     }
     orphans
+  }
+
+  /** SHALLOW CLONE (SURVEY.md §2.A65): materialize `destRoot` as an
+    * independent graft table over THIS table's current data — metadata
+    * only, zero bytes copied (Delta `CLONE` / Iceberg snapshot-ref
+    * parity). The clone's first snapshot references the source's data
+    * and pending delete files by ABSOLUTE path; everything the clone
+    * writes afterwards lands under its own root as usual, so the two
+    * tables diverge freely from the shared base.
+    *
+    * Ordering is preserved, not re-stamped: the clone's first snapshot
+    * keeps the SOURCE's snapshot id, so every inherited
+    * `FileEntry.addedBy` / equality-delete sequence number stays below
+    * any id the clone will allocate — keyed MOR semantics survive the
+    * clone without rewriting a single entry.
+    *
+    * Contract (same as Delta shallow clones): the clone's own
+    * expire/vacuum never touch source bytes (absolute entries are
+    * skipped by both), but the SOURCE's expire/vacuum does not know
+    * about clones — expiring source snapshots a clone still references
+    * breaks the clone. Run source expiration with a horizon longer
+    * than any clone's intended life, or deep-copy first.
+    */
+  def cloneTo(destRoot: String): GraftTable = {
+    val cur = current
+    val destP = new HPath(destRoot)
+    val hfs = destP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(destP)) hfs.delete(destP, true)
+    GraftTable.invalidate(destRoot)
+    hfs.mkdirs(destP)
+    val t = new GraftTable(destRoot, spark)
+    t.commit(cur.copy(
+      parentId = -1L,
+      tsMillis = System.currentTimeMillis(),
+      operation = "clone",
+      files = cur.files.map(f => f.copy(
+        path = GraftTable.resolveEntry(root, f.path))),
+      deleteFiles = cur.deleteFiles.map(d => d.copy(
+        path = GraftTable.resolveEntry(root, d.path))),
+      shards = Seq.empty, // source shards are source-owned metadata
+      properties = cur.properties + ("clone.source" -> s"$root@${cur.id}"),
+      addedFiles = 0, deletedFiles = 0))
+    t
   }
 
   /** Remove UNREFERENCED files — the leak class [[expire]] cannot see:
@@ -2107,7 +2154,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     var killed: Option[DataFrame] = None
     for ((cols, group) <- eqDels.groupBy(_.equalityCols.toList).toSeq.sortBy(_._1.mkString(","))) {
       val delDf = group.map { d =>
-          spark.read.parquet(s"$root/${d.path}")
+          spark.read.parquet(GraftTable.resolveEntry(root, d.path))
             .withColumn("__graft_del_seq", lit(d.addedBy))
         }.reduce(_ unionByName _)
       val renamed = cols.foldLeft(delDf) { (x, c) =>
@@ -2143,7 +2190,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
     for ((cols, group) <- eqDels.groupBy(_.equalityCols.toList).toSeq.sortBy(_._1.mkString(","))) {
       val maxSeq = group.map(_.addedBy).max
       val aged = files.filter(f => f.addedBy <= 0L || f.addedBy < maxSeq)
-      val delDf = group.map(d => spark.read.parquet(s"$root/${d.path}")).reduce(_ unionByName _)
+      val delDf = group.map(d =>
+        spark.read.parquet(GraftTable.resolveEntry(root, d.path))).reduce(_ unionByName _)
       // one aggregation job per group: key bounds AND the null-key
       // indicator together (this runs per micro-batch on change feeds)
       import org.apache.spark.sql.functions.{max => fmaxAgg, when}
@@ -2170,7 +2218,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     */
   private[graft] def deleteRows(dels: Seq[DeleteFileEntry]): DataFrame =
     spark.read.schema("file_name STRING, row_index BIGINT")
-      .parquet(dels.map(d => s"$root/${d.path}"): _*)
+      .parquet(dels.map(d => GraftTable.resolveEntry(root, d.path)): _*)
 
   /** [[deleteRows]] with a broadcast hint IF the set's recorded bytes
     * fit under `write.delete.broadcast-threshold` (default 32 MB).
@@ -2749,6 +2797,18 @@ object GraftTable {
   // Hive partition-path escaping, via the same routines Spark's own
   // dynamic-partition writer uses — %XX round-trips exactly (a
   // %20-only substitute silently mis-decodes %3A, %25, …).
+  /** FileEntry/DeleteFileEntry paths are normally root-relative;
+    * SHALLOW CLONES (A65) reference the source table's files by
+    * absolute path. Everything that resolves an entry against a table
+    * root goes through [[resolveEntry]]; everything that DELETES data
+    * must skip absolute entries — a clone never owns them.
+    */
+  def isAbsoluteEntry(p: String): Boolean =
+    p.startsWith("/") || p.contains(":/")
+
+  def resolveEntry(root: String, p: String): String =
+    if (isAbsoluteEntry(p)) p else s"$root/$p"
+
   private[lake] def unescapePath(s: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
   private[lake] def escapePath(s: String): String =

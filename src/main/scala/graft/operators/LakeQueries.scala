@@ -801,6 +801,31 @@ object LakeQueries {
   val lakeSortedWriteSql: String =
     s"SELECT $selSql FROM orders ORDER BY o_orderkey"
 
+  /** `lake_clone` (A65): `CREATE TABLE … SHALLOW CLONE` through the
+    * SQL surface — a metadata-only snapshot of the source registered
+    * as an independent table (zero data copied; the entry REQUIRES
+    * every cloned entry to be an absolute reference, i.e. no bytes
+    * moved). The source then gains an append the clone must NOT see,
+    * so the oracle (the original orders) also proves isolation.
+    */
+  def lakeClone(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val t = GraftTable.create(s, work(d, "clonesrc"),
+      byStatus(o), Seq("o_orderstatus"))
+    graft.sql.GraftCatalog.register("clone_src", t.root)
+    scala.util.Try(graft.sql.GraftCatalog.unregister("clone_dst"))
+    s.sql(s"CREATE TABLE clone_dst SHALLOW CLONE clone_src " +
+      s"LOCATION '${work(d, "clonedst")}'")
+    val cl = new GraftTable(work(d, "clonedst"), s)
+    require(cl.current.files.nonEmpty &&
+      cl.current.files.forall(f => GraftTable.isAbsoluteEntry(f.path)),
+      "shallow clone must reference source files, not copy them")
+    t.append(byStatus(o.filter(col("o_orderkey") < 100)))
+    sel(cl.read())
+  }
+
+  val lakeCloneSql: String = s"SELECT $selSql FROM orders ORDER BY o_orderkey"
+
   /** `lake_bucket_join` (A64): two tables partitioned on `sbucket[8]`
     * of their join key claim truthful V1 BucketSpecs (sbucket's hash
     * is bit-for-bit `HashPartitioning.partitionIdExpression`, and
@@ -1035,7 +1060,8 @@ object LakeQueries {
     "lake_claimlock_check"     -> (lakeClaimLockCheck _),
     "lake_history_view"        -> (lakeHistoryView _),
     "lake_manifests_check"     -> (lakeManifestsCheck _),
-    "lake_bucket_join"         -> (lakeBucketJoin _))
+    "lake_bucket_join"         -> (lakeBucketJoin _),
+    "lake_clone"               -> (lakeClone _))
 
   val oracles: Map[String, String] = Map(
     "lake_create"              -> lakeCreateSql,
@@ -1082,5 +1108,6 @@ object LakeQueries {
     "lake_claimlock_check"     -> lakeClaimLockCheckSql,
     "lake_history_view"        -> lakeHistoryViewSql,
     "lake_manifests_check"     -> lakeManifestsCheckSql,
-    "lake_bucket_join"         -> lakeBucketJoinSql)
+    "lake_bucket_join"         -> lakeBucketJoinSql,
+    "lake_clone"               -> lakeCloneSql)
 }

@@ -319,6 +319,28 @@ case class GraftVacuumCommand(
   }
 }
 
+/** `CREATE TABLE <new> SHALLOW CLONE <src> [LOCATION '<path>']` —
+  * Delta's clone DDL over [[GraftTable.cloneTo]]: a metadata-only
+  * snapshot of the source's current state at a new root, registered
+  * as an independent table. Zero data copied; see cloneTo for the
+  * source-expiration contract.
+  */
+case class GraftCloneCommand(
+    newName: String, srcName: String,
+    location: Option[String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val srcRoot = GraftCatalog.lookup(srcName).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $srcName"))
+    require(GraftCatalog.lookup(newName).isEmpty,
+      s"graft table already exists: $newName")
+    val root = location.getOrElse(s"/root/repo/target/lakework/sql-$newName")
+    new GraftTable(srcRoot, session).cloneTo(root)
+    GraftCatalog.register(newName, root)
+    GraftSparkBridge.register(session, newName, root)
+    Seq.empty
+  }
+}
+
 /** ALTER TABLE t CREATE|DROP TAG|BRANCH — Iceberg's ref DDL. CREATE
   * defaults to the current snapshot; `AS OF VERSION n` pins an older
   * one. DROP refuses a kind mismatch (a tag cannot drop a branch) and

@@ -41,7 +41,7 @@ class GraftFileIndex(
   override def rootPaths: Seq[Path] = Seq(new Path(s"$tableRoot/data"))
 
   override def inputFiles: Array[String] =
-    snapshot.files.map(f => s"$tableRoot/${f.path}").toArray
+    snapshot.files.map(f => graft.lake.GraftTable.resolveEntry(tableRoot, f.path)).toArray
 
   override def refresh(): Unit = ()
 
@@ -94,7 +94,7 @@ class GraftFileIndex(
       if (!exactPartPred.forall(_.eval(row))) None
       else Some(PartitionDirectory(row, files.map(fe =>
         new FileStatus(fe.bytes, false, 1, 128L * 1024 * 1024, snapshot.tsMillis,
-          new Path(s"$tableRoot/${fe.path}"))).toArray))
+          new Path(graft.lake.GraftTable.resolveEntry(tableRoot, fe.path)))).toArray))
     }.toSeq
   }
 

@@ -163,6 +163,59 @@ class BucketJoinSpec extends SparkSpec {
     assert(bucketSpecOf(t.read()).exists(_.numBuckets == 4))
   }
 
+  test("claim survives the table lifecycle: append, compact, MOR delete") {
+    val o = Tables.orders(spark, sfDir)
+    val t = GraftTable.create(spark, tmp("life"),
+      o.filter(col("o_orderkey") < 800).repartition(col("o_custkey")),
+      Seq("o_b"), Seq(DepSpec("o_custkey", "o_b", "sbucket[4]")))
+    // second append: bucket dirs gain a second file, names still carry ids
+    t.append(o.filter(col("o_orderkey") >= 800).repartition(col("o_custkey")))
+    assert(bucketSpecOf(t.read()).exists(_.numBuckets == 4), "claim lost after append")
+    // bin-packing compaction rewrites through writeFiles → names survive
+    t.optimizeCompact(1L << 30)
+    assert(bucketSpecOf(t.read()).exists(_.numBuckets == 4), "claim lost after OPTIMIZE")
+    // a pending merge-on-read delete must not break the claim, and the
+    // SPJ result must reflect the deletion
+    t.setProperty("write.delete.mode", "merge-on-read")
+    t.delete(col("o_orderstatus") === "F")
+    assert(t.current.deleteFiles.nonEmpty, "expected a MOR position-delete")
+    val t2 = GraftTable.create(spark, tmp("life-c"),
+      Tables.customer(spark, sfDir).repartition(col("c_custkey")),
+      Seq("c_b"), Seq(DepSpec("c_custkey", "c_b", "sbucket[4]")))
+    noShuffle {
+      val j = t.read().join(t2.read(), col("o_custkey") === col("c_custkey"))
+      val n = j.collect().length.toLong
+      val joinShuffles = shuffles(j.queryExecution.executedPlan)
+      assert(joinShuffles.isEmpty,
+        s"MOR-read bucket join planned a shuffle:\n${j.queryExecution.executedPlan}")
+      val exp = o.filter(col("o_orderstatus") =!= "F")
+        .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+        .count()
+      assert(n === exp)
+    }
+  }
+
+  test("SQL-created sbucket table claims the BucketSpec too") {
+    scala.util.Try(spark.sql("DROP TABLE bkt_sql"))
+    val root = tmp("sql")
+    val f = new java.io.File(root)
+    if (f.exists()) { import scala.sys.process._; Seq("rm", "-rf", root).! }
+    spark.sql(
+      s"""CREATE TABLE bkt_sql (k BIGINT, v STRING) USING parquet
+         |OPTIONS (addTableManagement 'true',
+         |         columnDependencies 'k=k_b:sbucket[4]',
+         |         path '$root')
+         |PARTITIONED BY (k_b)""".stripMargin)
+    import spark.implicits._
+    (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v")
+      .createOrReplaceTempView("bkt_src")
+    spark.sql("INSERT INTO bkt_sql SELECT k, v FROM bkt_src")
+    val df = spark.sql("SELECT * FROM bkt_sql")
+    assert(bucketSpecOf(df).exists(s =>
+      s.numBuckets == 4 && s.bucketColumnNames == Seq("k")))
+    assert(df.count() === 200)
+  }
+
   test("inconsistent files downgrade the claim instead of misreading") {
     // adopt-era/no-suffix files: simulate by creating with plain bucket
     // (polyHash) — no sbucket dep ⇒ no claim; and an sbucket table

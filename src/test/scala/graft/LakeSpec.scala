@@ -1817,4 +1817,61 @@ class LakeSpec extends SparkSpec {
     // SqlSurfaceSpec); here just assert the view still returns all rows
     assert(hist.keySet === Set(1L, 3L, 5L))
   }
+
+  test("A65 shallow clone: zero-copy, independent divergence") {
+    val src = ordersTable("clonesrc")
+    val nSrc = src.read().count()
+    val cl = src.cloneTo(tmp("clonedst"))
+    // zero bytes copied: no data directory materialized under the clone
+    assert(!new java.io.File(tmp("clonedst") + "/data").exists(),
+      "shallow clone must not copy data files")
+    assert(cl.current.files.forall(f => GraftTable.isAbsoluteEntry(f.path)))
+    assert(cl.read().count() === nSrc)
+    // divergence both ways
+    import spark.implicits._
+    val extraSchema = Tables.orders(spark, sfDir).limit(3)
+    cl.append(extraSchema)
+    src.delete(col("o_orderstatus") === "F")
+    assert(cl.read().count() === nSrc + 3, "source delete leaked into the clone")
+    assert(src.read().count() < nSrc, "clone append leaked into the source")
+    // the clone's own expiration/vacuum never touch source bytes —
+    // even once the inherited absolute entries become true ORPHANS
+    // (overwrite drops them from the clone's current snapshot, then
+    // everything below current expires)
+    cl.overwrite(extraSchema)
+    cl.expire(cl.currentId)
+    cl.vacuumOrphans(graceMillis = 0L)
+    assert(src.current.files.forall(f =>
+      new java.io.File(s"${src.root}/${f.path}").exists()),
+      "clone expiration deleted source bytes")
+    assert(src.read().count() > 0)
+  }
+
+  test("A65 clone preserves keyed-MOR ordering: inherited rows still deletable") {
+    val src = ordersTable("clonemor")
+    // advance the source a few snapshots so inherited addedBy > 1
+    src.append(Tables.orders(spark, sfDir).limit(5))
+    src.append(Tables.orders(spark, sfDir).limit(5))
+    assert(src.currentId >= 3)
+    val cl = src.cloneTo(tmp("clonemor-dst"))
+    assert(cl.currentId === src.currentId,
+      "clone must keep the source snapshot id so addedBy ordering survives")
+    // keyed equality MERGE on the CLONE must kill inherited pre-images
+    cl.setProperty(GraftTable.MergeModeProp, "merge-on-read")
+    cl.setProperty(GraftTable.MergeDeleteKindProp, "equality")
+    val hot = cl.read().select(col("o_orderkey")).orderBy(col("o_orderkey"))
+      .limit(1).collect().head.getLong(0)
+    val upd = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") === hot)
+      .withColumn("o_totalprice", lit(0.0))
+    val nBefore = cl.read().count()
+    cl.merge(upd, Seq("o_orderkey"))
+    val got = cl.read().filter(col("o_orderkey") === hot)
+      .select(col("o_totalprice")).collect().map(_.getDouble(0))
+    assert(got.forall(_ == 0.0),
+      s"inherited pre-images survived the clone's keyed merge: ${got.toSeq}")
+    // row count: pre-image copies collapsed to the single post-image
+    assert(cl.read().filter(col("o_orderkey") === hot).count() === 1)
+    assert(cl.read().count() <= nBefore)
+  }
 }
