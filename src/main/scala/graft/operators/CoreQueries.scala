@@ -440,6 +440,62 @@ object CoreQueries {
       |GROUP BY CUBE (o_orderstatus, substring(o_orderpriority, 1, 1))
       |ORDER BY status, prio""".stripMargin
 
+  /** B26 `q_window_range`: a RANGE frame bounded by a calendar
+    * INTERVAL — per customer, the rolling 30-day order spend ending at
+    * each order's date. Distinct capability from the ROWS frames of
+    * B8/B23: the frame is value-bounded (all peers at a date are
+    * included, frame width varies per row), which is what rolling
+    * time-window features over behavioral data actually need. One
+    * shuffle on the partition key; the frame scan is a per-partition
+    * sliding aggregation, never a self-join.
+    */
+  def qWindowRange(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_wr")
+    s.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW), 2)
+        |    AS spend_30d
+        |FROM orders_wr ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val qWindowRangeSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  round(sum(o_totalprice) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)
+      |    AS spend_30d
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** B27 `q_lateral`: correlated LATERAL subquery — top-2 orders by
+    * spend for every 10th customer, the per-entity-top-k shape as ANSI
+    * SQL (the DataFrame twin is B7's window rank). Spark plans the
+    * correlated limit as a domain join + ranked window, fully
+    * distributed.
+    */
+  def qLateral(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+    Tables.orders(s, d).createOrReplaceTempView("orders_lat")
+    s.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer_lat, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders_lat
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) top_orders
+        |WHERE c_custkey % 10 = 0
+        |ORDER BY c_custkey, o_orderkey""".stripMargin)
+  }
+
+  val qLateralSql: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) top_orders
+      |WHERE c_custkey % 10 = 0
+      |ORDER BY c_custkey, o_orderkey""".stripMargin
+
   /** B25 `q_recursive_cte`: WITH RECURSIVE (Spark 4's UnionLoop
     * execution) — referral-chain walk over `customer`: each odd
     * custkey roots a chain that hops to custkey*2 while that customer
@@ -685,6 +741,8 @@ object CoreQueries {
     "q_json_extract"    -> (qJsonExtract _),
     "q_cube"            -> (qCube _),
     "q_recursive_cte"   -> (qRecursiveCte _),
+    "q_window_range"    -> (qWindowRange _),
+    "q_lateral"         -> (qLateral _),
     "q_skew_salted_agg" -> (qSkewSaltedAgg _))
 
   val oracles: Map[String, String] = Map(
@@ -712,5 +770,7 @@ object CoreQueries {
     "q_json_extract"    -> qJsonExtractSql,
     "q_cube"            -> qCubeSql,
     "q_recursive_cte"   -> qRecursiveCteSql,
+    "q_window_range"    -> qWindowRangeSql,
+    "q_lateral"         -> qLateralSql,
     "q_skew_salted_agg" -> qSkewSaltedAggSql)
 }

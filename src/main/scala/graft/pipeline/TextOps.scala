@@ -610,6 +610,46 @@ object TextOps {
        |SELECT doc_id, rk::BIGINT AS rk, term, score FROM rk
        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** C39 `text_chunk`: per-document overlapping-window chunking — the
+    * RAG/context-prep counterpart of C32's cross-document packing:
+    * each document's token stream is cut into windows of 64 tokens
+    * with a 48-token stride (16-token overlap), so retrieval snippets
+    * never lose boundary context. Pure narrow ops: tokenize → integer
+    * chunk-count arithmetic → `explode(sequence)` → `slice` — zero
+    * shuffles, zero UDFs, embarrassingly parallel over documents at
+    * any scale (the per-row fanout is bounded by doc length / stride).
+    */
+  def textChunk(s: SparkSession, d: String): DataFrame = {
+    val chunk = 64
+    val stride = 48
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+    toks
+      .withColumn("max_chunk",
+        when(col("n") <= chunk, lit(0))
+          .otherwise(expr(s"(n - $chunk + ${stride - 1}) div $stride").cast("int")))
+      .withColumn("chunk_id", explode(sequence(lit(0), col("max_chunk"))))
+      .withColumn("piece", slice(col("t"), col("chunk_id") * stride + 1, lit(chunk)))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("piece")).cast("long").as("n_toks"),
+        concat_ws(" ", col("piece")).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val textChunkSql: String =
+    s"""WITH w AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |c AS (
+       |  SELECT doc_id, t,
+       |    unnest(range(0, 1 + CASE WHEN len(t) <= 64 THEN 0
+       |      ELSE (len(t) - 64 + 47) // 48 END)) AS chunk_id
+       |  FROM w)
+       |SELECT doc_id, chunk_id,
+       |  len(t[chunk_id*48 + 1 : chunk_id*48 + 64]) AS n_toks,
+       |  coalesce(list_aggregate(t[chunk_id*48 + 1 : chunk_id*48 + 64],
+       |    'string_agg', ' '), '') AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   /** C32 `sample_pack`: concat-and-chunk sequence packing — the
     * GPT-style training-prep step that concatenates token streams in a
     * fixed document order and slices them into fixed-budget sequences
@@ -760,6 +800,7 @@ object TextOps {
     "corpus_filter"    -> (corpusFilter _),
     "text_dup_spans"   -> (dupSpans _),
     "pipeline_corpus_e2e" -> (pipelineE2e _),
+    "text_chunk"       -> (textChunk _),
     "text_tfidf"       -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
@@ -780,5 +821,6 @@ object TextOps {
     "corpus_filter"    -> corpusFilterSql,
     "text_dup_spans"   -> dupSpansSql,
     "pipeline_corpus_e2e" -> pipelineE2eSql,
+    "text_chunk"       -> textChunkSql,
     "text_tfidf"       -> tfidfSql)
 }

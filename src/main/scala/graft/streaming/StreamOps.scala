@@ -528,6 +528,14 @@ object StreamOps {
     a.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
     a.setProperty(GraftTable.UpdateModeProp, "merge-on-read")
     val b = GraftTable.createEmpty(s, dstRoot, a.schema, Seq.empty, Seq.empty)
+    // the replica applies changes as keyed EQUALITY MOR: each batch
+    // writes the key set + post-images with ZERO target scan, so the
+    // per-batch cost is truly O(changes) — a COW replica would rewrite
+    // target files on every micro-batch (write amplification that
+    // compounds forever on a 100 TB replica; compaction folds the
+    // accumulated deletes back on the operator's schedule instead)
+    b.setProperty(GraftTable.MergeModeProp, "merge-on-read")
+    b.setProperty(GraftTable.MergeDeleteKindProp, "equality")
     def applyOnce(): Unit = {
       val q = s.readStream.format("graft.streaming.GraftSourceProvider")
         .option("path", srcRoot).option("readChangeFeed", "true").load()
@@ -555,7 +563,13 @@ object StreamOps {
     a.delete(col("event_id") % 7 === 0)            // MOR point deletes
     a.update(col("event_id") % 11 === 0,           // MOR update
       Map("value" -> (col("value") * 2)))
-    applyOnce(); applyOnce() // drain every commit (wrapper may batch-split)
+    applyOnce() // AvailableNow drains every pending commit in one run
+                // (multi-batch if admission splits); the drift check
+                // below would catch an under-drain
+    // fold the accumulated equality deletes back into data files —
+    // the compaction step a replica runs on a schedule so reads stop
+    // paying the per-delete-file sequencing join
+    b.applyDeletes()
     // row-for-row replication check (stronger than the aggregate
     // oracle): the replica must equal the source as a multiset
     val drift = b.read().exceptAll(a.read()).count() +

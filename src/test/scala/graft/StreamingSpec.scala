@@ -767,6 +767,28 @@ class StreamingSpec extends SparkSpec {
       Option(bad.getCause).exists(_.getMessage.contains("maxFilesPerTrigger")))
   }
 
+  test("D16: CDC apply replicates row-for-row on the MOR-equality replica") {
+    import org.apache.spark.sql.functions._
+    // cdcApply REQUIREs zero multiset drift between source and replica
+    // internally; here additionally pin the rollup against a direct
+    // recomputation from the raw events (the driver's DuckDB oracle in
+    // miniature) and confirm the replica really is applying via
+    // equality MOR (zero-target-scan DML), not COW rewrites
+    val got = graft.streaming.StreamOps.cdcApply(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("event_id") % 7 =!= 0)
+    val exp = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === exp)
+    val h = math.abs(sfDir.hashCode)
+    val b = new graft.lake.GraftTable(
+      s"/root/repo/target/lakework/cdcapply-dst-$h", spark)
+    assert(b.snapshots.exists(_.deleteFiles.exists(_.equalityCols.nonEmpty)),
+      "replica apply should have produced equality deletes (MOR), not COW rewrites")
+  }
+
   test("D15: transformWithState (Spark 4 stateful API) running per-key aggregate matches batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
