@@ -610,7 +610,7 @@ object TextOps {
        |SELECT doc_id, rk::BIGINT AS rk, term, score FROM rk
        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
-  /** C39 `text_chunk`: per-document overlapping-window chunking — the
+  /** C38 `text_chunk`: per-document overlapping-window chunking — the
     * RAG/context-prep counterpart of C32's cross-document packing:
     * each document's token stream is cut into windows of 64 tokens
     * with a 48-token stride (16-token overlap), so retrieval snippets
