@@ -1935,7 +1935,18 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * breaks the clone. Run source expiration with a horizon longer
     * than any clone's intended life, or deep-copy first.
     */
-  def cloneTo(destRoot: String): GraftTable = {
+  def cloneTo(destRoot: String): GraftTable = cloneTo(destRoot, deep = false)
+
+  /** `deep = true` (A66): additionally COPY every referenced data and
+    * delete file under the new root (one cluster job, per-file I/O
+    * scales with executors) and register them relative — the clone
+    * owns its bytes outright, with no residual dependence on the
+    * source's lifecycle. Manifest stats/partition values carry over
+    * verbatim (a byte copy changes neither), so no footer re-read
+    * happens. This is the migration/export flavor of clone (Delta
+    * DEEP CLONE); the metadata-only flavor above is the sandbox one.
+    */
+  def cloneTo(destRoot: String, deep: Boolean): GraftTable = {
     val cur = current
     val destP = new HPath(destRoot)
     val hfs = destP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1943,14 +1954,46 @@ final class GraftTable(val root: String, spark: SparkSession) {
     GraftTable.invalidate(destRoot)
     hfs.mkdirs(destP)
     val t = new GraftTable(destRoot, spark)
+    // the dest-relative path of an entry: relative entries keep their
+    // layout (hive dirs, bucket-id names — the BucketSpec claim
+    // survives a deep clone); absolute entries (cloning a clone)
+    // re-anchor at their data/ or deletes/ segment
+    def rel(p: String): String =
+      if (!GraftTable.isAbsoluteEntry(p)) p
+      else {
+        val i = math.max(p.lastIndexOf("/data/"), p.lastIndexOf("/deletes/"))
+        if (i >= 0) p.substring(i + 1) else s"data/${new HPath(p).getName}"
+      }
+    val (files, dels) =
+      if (!deep)
+        (cur.files.map(f => f.copy(path = GraftTable.resolveEntry(root, f.path))),
+          cur.deleteFiles.map(d => d.copy(path = GraftTable.resolveEntry(root, d.path))))
+      else {
+        val pairs =
+          (cur.files.map(f => (GraftTable.resolveEntry(root, f.path), rel(f.path))) ++
+            cur.deleteFiles.map(d => (GraftTable.resolveEntry(root, d.path), rel(d.path))))
+            .map { case (src, r) => (src, s"$destRoot/$r") }
+        if (pairs.nonEmpty)
+          spark.sparkContext
+            .parallelize(pairs, math.min(pairs.size, spark.sparkContext.defaultParallelism))
+            .foreach { case (src, dst) =>
+              val conf = GraftTable.taskConf
+              val sp = new org.apache.hadoop.fs.Path(src)
+              val dp = new org.apache.hadoop.fs.Path(dst)
+              org.apache.hadoop.fs.FileUtil.copy(
+                sp.getFileSystem(conf), sp, dp.getFileSystem(conf), dp,
+                false, true, conf)
+              ()
+            }
+        (cur.files.map(f => f.copy(path = rel(f.path))),
+          cur.deleteFiles.map(d => d.copy(path = rel(d.path))))
+      }
     t.commit(cur.copy(
       parentId = -1L,
       tsMillis = System.currentTimeMillis(),
       operation = "clone",
-      files = cur.files.map(f => f.copy(
-        path = GraftTable.resolveEntry(root, f.path))),
-      deleteFiles = cur.deleteFiles.map(d => d.copy(
-        path = GraftTable.resolveEntry(root, d.path))),
+      files = files,
+      deleteFiles = dels,
       shards = Seq.empty, // source shards are source-owned metadata
       properties = cur.properties + ("clone.source" -> s"$root@${cur.id}"),
       addedFiles = 0, deletedFiles = 0))

@@ -440,6 +440,37 @@ object CoreQueries {
       |GROUP BY CUBE (o_orderstatus, substring(o_orderpriority, 1, 1))
       |ORDER BY status, prio""".stripMargin
 
+  /** B28 `q_variant`: Spark 4's VARIANT type — semi-structured data
+    * held in the binary variant encoding instead of strings, with
+    * typed path extraction (`parse_json` → `variant_get('$.a.b',
+    * type)`). The entry builds a nested document from raw columns,
+    * round-trips it through VARIANT, and aggregates the typed
+    * extractions; the oracle recomputes from the raw columns, so any
+    * loss in the encode→extract path mismatches. At scale VARIANT
+    * beats repeated `get_json_object` calls: one parse, shredded
+    * binary access per path, no re-tokenizing the JSON per extraction.
+    */
+  def qVariant(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("events_var")
+    s.sql(
+      """SELECT event_type, count(*) AS n,
+        |  sum(variant_get(v, '$.meta.k', 'long')) AS sum_k,
+        |  round(sum(variant_get(v, '$.val', 'double')), 2) AS sum_val
+        |FROM (
+        |  SELECT event_type,
+        |    parse_json(to_json(named_struct(
+        |      'meta', from_json(props, 'k INT'),
+        |      'val', value))) AS v
+        |  FROM events_var) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val qVariantSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  round(sum(value), 2) AS sum_val
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** B26 `q_window_range`: a RANGE frame bounded by a calendar
     * INTERVAL — per customer, the rolling 30-day order spend ending at
     * each order's date. Distinct capability from the ROWS frames of
@@ -743,6 +774,7 @@ object CoreQueries {
     "q_recursive_cte"   -> (qRecursiveCte _),
     "q_window_range"    -> (qWindowRange _),
     "q_lateral"         -> (qLateral _),
+    "q_variant"         -> (qVariant _),
     "q_skew_salted_agg" -> (qSkewSaltedAgg _))
 
   val oracles: Map[String, String] = Map(
@@ -772,5 +804,6 @@ object CoreQueries {
     "q_recursive_cte"   -> qRecursiveCteSql,
     "q_window_range"    -> qWindowRangeSql,
     "q_lateral"         -> qLateralSql,
+    "q_variant"         -> qVariantSql,
     "q_skew_salted_agg" -> qSkewSaltedAggSql)
 }

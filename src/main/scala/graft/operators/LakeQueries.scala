@@ -826,6 +826,32 @@ object LakeQueries {
 
   val lakeCloneSql: String = s"SELECT $selSql FROM orders ORDER BY o_orderkey"
 
+  /** `lake_clone_deep` (A66): `CREATE TABLE … DEEP CLONE` — the
+    * migration/export flavor: every referenced file is copied under
+    * the new root in one cluster job and registered relative. The
+    * entry then DELETES THE SOURCE TABLE ENTIRELY and reads the clone
+    * — only a clone that truly owns its bytes can still produce the
+    * oracle's rows.
+    */
+  def lakeCloneDeep(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val t = GraftTable.create(s, work(d, "dclonesrc"),
+      byStatus(o), Seq("o_orderstatus"))
+    graft.sql.GraftCatalog.register("dclone_src", t.root)
+    scala.util.Try(graft.sql.GraftCatalog.unregister("dclone_dst"))
+    s.sql(s"CREATE TABLE dclone_dst DEEP CLONE dclone_src " +
+      s"LOCATION '${work(d, "dclonedst")}'")
+    val cl = new GraftTable(work(d, "dclonedst"), s)
+    require(cl.current.files.nonEmpty &&
+      cl.current.files.forall(f => !GraftTable.isAbsoluteEntry(f.path)),
+      "deep clone must own dest-relative copies")
+    import scala.sys.process._
+    Seq("rm", "-rf", t.root).!
+    sel(cl.read())
+  }
+
+  val lakeCloneDeepSql: String = s"SELECT $selSql FROM orders ORDER BY o_orderkey"
+
   /** `lake_bucket_join` (A64): two tables partitioned on `sbucket[8]`
     * of their join key claim truthful V1 BucketSpecs (sbucket's hash
     * is bit-for-bit `HashPartitioning.partitionIdExpression`, and
@@ -1061,7 +1087,8 @@ object LakeQueries {
     "lake_history_view"        -> (lakeHistoryView _),
     "lake_manifests_check"     -> (lakeManifestsCheck _),
     "lake_bucket_join"         -> (lakeBucketJoin _),
-    "lake_clone"               -> (lakeClone _))
+    "lake_clone"               -> (lakeClone _),
+    "lake_clone_deep"          -> (lakeCloneDeep _))
 
   val oracles: Map[String, String] = Map(
     "lake_create"              -> lakeCreateSql,
@@ -1109,5 +1136,6 @@ object LakeQueries {
     "lake_history_view"        -> lakeHistoryViewSql,
     "lake_manifests_check"     -> lakeManifestsCheckSql,
     "lake_bucket_join"         -> lakeBucketJoinSql,
-    "lake_clone"               -> lakeCloneSql)
+    "lake_clone"               -> lakeCloneSql,
+    "lake_clone_deep"          -> lakeCloneDeepSql)
 }

@@ -287,15 +287,99 @@ object Multimodal {
        |    (a, x) -> (a * 31 + x) % 1000000007) AS thumb_checksum
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- C40 audio frame-sampling -------------------------------------
+
+  /** Deterministic PCM16 sample i of doc `docId` — shared by the
+    * synthesizer and mirrored by the oracle SQL (the arithmetic IS the
+    * waveform, so the oracle can verify the full byte round-trip
+    * without a codec of its own).
+    */
+  private[graft] def pcmSample(docId: Long, i: Long): Int =
+    (((docId * 2654435761L + i * 2246822519L) % 65536L) - 32768L).toInt
+
+  private val AudioSamples = 2048
+  private val FrameLen = 256
+
+  /** (doc_id, payload: little-endian PCM16 bytes, meta) — the audio
+    * storage schema: an opaque binary column plus typed metadata, the
+    * same shape a real ingest lands (payload would be FLAC/WAV there;
+    * here it is genuine 2-byte-per-sample PCM the decode stage must
+    * actually parse back).
+    */
+  def audioAssets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bb = java.nio.ByteBuffer.allocate(AudioSamples * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < AudioSamples) { bb.putShort(pcmSample(id, i).toShort); i += 1 }
+          (id, bb.array())
+        }
+      }.toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit("audio/pcm16le").as("mime"),
+          lit(16000L).as("sample_rate"),
+          octet_length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  final case class MmFrame(doc_id: Long, frame_id: Long, n_samples: Long, energy: Long)
+
+  /** REAL decode + frame-sample: payload bytes → int16 samples →
+    * fixed 256-sample frames → per-frame energy (sum of squares,
+    * exact integer arithmetic — zero fp-divergence risk). One
+    * ByteBuffer pass per row inside a per-partition iterator, rows
+    * independent — the production shape of an audio feature stage; a
+    * JNI decoder (FLAC/opus) would initialize once per partition
+    * where the ByteBuffer wrap happens.
+    */
+  def frameAudio(s: SparkSession, raw: DataFrame): Dataset[MmFrame] = {
+    import s.implicits._
+    raw.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = bytes.length / 2
+        (0 until (n + FrameLen - 1) / FrameLen).map { f =>
+          val start = f * FrameLen
+          val end = math.min(start + FrameLen, n)
+          var acc = 0L
+          var i = start
+          while (i < end) { val v = bb.getShort(i * 2).toLong; acc += v * v; i += 1 }
+          MmFrame(id, f.toLong, (end - start).toLong, acc)
+        }
+      }
+  }
+
+  def mmAudioFrames(s: SparkSession, d: String): DataFrame =
+    frameAudio(s, audioAssets(s, d)).toDF().orderBy("doc_id", "frame_id")
+
+  /** Oracle recomputes every frame energy from the generator
+    * arithmetic — equality proves the encode → binary column → decode
+    * round-trip byte-exact.
+    */
+  val mmAudioFramesSql: String =
+    """WITH f AS (SELECT doc_id, unnest(range(0, 8)) AS frame_id FROM documents),
+      |s AS (SELECT doc_id, frame_id, unnest(range(0, 256)) AS j FROM f),
+      |v AS (SELECT doc_id, frame_id,
+      |  ((doc_id * 2654435761 + (frame_id * 256 + j) * 2246822519) % 65536) - 32768 AS x
+      |  FROM s)
+      |SELECT doc_id, frame_id, count(*) AS n_samples,
+      |  CAST(sum(x * x) AS BIGINT) AS energy
+      |FROM v GROUP BY doc_id, frame_id ORDER BY doc_id, frame_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_stub"   -> (mmDecodeStub _),
     "mm_pipeline_stub" -> (mmPipelineStub _),
     "mm_decode"        -> (mmDecode _),
-    "mm_pipeline"      -> (mmPipeline _))
+    "mm_pipeline"      -> (mmPipeline _),
+    "mm_audio_frames"  -> (mmAudioFrames _))
 
   val oracles: Map[String, String] = Map(
     "mm_decode_stub"   -> mmDecodeStubSql,
     "mm_pipeline_stub" -> mmPipelineStubSql,
     "mm_decode"        -> mmDecodeSql,
-    "mm_pipeline"      -> mmPipelineSql)
+    "mm_pipeline"      -> mmPipelineSql,
+    "mm_audio_frames"  -> mmAudioFramesSql)
 }

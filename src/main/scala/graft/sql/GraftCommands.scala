@@ -327,14 +327,14 @@ case class GraftVacuumCommand(
   */
 case class GraftCloneCommand(
     newName: String, srcName: String,
-    location: Option[String]) extends LeafRunnableCommand {
+    location: Option[String], deep: Boolean = false) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val srcRoot = GraftCatalog.lookup(srcName).getOrElse(
       throw new IllegalArgumentException(s"graft table not registered: $srcName"))
     require(GraftCatalog.lookup(newName).isEmpty,
       s"graft table already exists: $newName")
     val root = location.getOrElse(s"/root/repo/target/lakework/sql-$newName")
-    new GraftTable(srcRoot, session).cloneTo(root)
+    new GraftTable(srcRoot, session).cloneTo(root, deep)
     GraftCatalog.register(newName, root)
     GraftSparkBridge.register(session, newName, root)
     Seq.empty

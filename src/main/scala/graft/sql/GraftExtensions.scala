@@ -186,10 +186,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // ALTER TABLE t FAST FORWARD <branch> — adopt a branch's lineage on main
   private val FastForwardRe =
     """(?is)\s*alter\s+table\s+([\w.]+)\s+fast\s+forward\s+(\w+)\s*""".r
-  // CREATE TABLE new SHALLOW CLONE src [LOCATION '…'] — Delta's clone
-  // DDL, which Spark's parser has no grammar for
+  // CREATE TABLE new SHALLOW|DEEP CLONE src [LOCATION '…'] — Delta's
+  // clone DDL, which Spark's parser has no grammar for
   private val CloneRe =
-    """(?is)\s*create\s+table\s+([\w.]+)\s+shallow\s+clone\s+([\w.]+)(?:\s+location\s+'([^']+)')?\s*""".r
+    """(?is)\s*create\s+table\s+([\w.]+)\s+(shallow|deep)\s+clone\s+([\w.]+)(?:\s+location\s+'([^']+)')?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     sqlText match {
@@ -210,8 +210,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           ref = ref, asOf = Option(asOf).map(_.toLong))
       case FastForwardRe(name, ref) if GraftCatalog.lookup(name).isDefined =>
         return GraftFastForwardCommand(name.toLowerCase, ref)
-      case CloneRe(newName, srcName, loc) if GraftCatalog.lookup(srcName).isDefined =>
-        return GraftCloneCommand(newName.toLowerCase, srcName.toLowerCase, Option(loc))
+      case CloneRe(newName, kind, srcName, loc) if GraftCatalog.lookup(srcName).isDefined =>
+        return GraftCloneCommand(newName.toLowerCase, srcName.toLowerCase,
+          Option(loc), deep = kind.equalsIgnoreCase("deep"))
       case _ => ()
     }
     val (asOf, parsed) = sqlText match {

@@ -1847,6 +1847,30 @@ class LakeSpec extends SparkSpec {
     assert(src.read().count() > 0)
   }
 
+  test("A66 deep clone owns its bytes: survives total source deletion") {
+    val src = GraftTable.create(spark, tmp("deepsrc"),
+      Tables.orders(spark, sfDir).repartition(col("o_custkey")),
+      Seq("o_b"), Seq(DepSpec("o_custkey", "o_b", "sbucket[4]")))
+    src.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    src.delete(col("o_orderstatus") === "F") // pending MOR delete rides along
+    val nLogical = src.read().count()
+    val cl = src.cloneTo(tmp("deepdst"), deep = true)
+    assert(cl.current.files.nonEmpty &&
+      cl.current.files.forall(f => !GraftTable.isAbsoluteEntry(f.path)),
+      "deep clone entries must be dest-relative (owned)")
+    assert(cl.current.deleteFiles.forall(d => !GraftTable.isAbsoluteEntry(d.path)))
+    // the bucket layout (and so the BucketSpec claim) survives the copy
+    assert(cl.read().queryExecution.optimizedPlan.collect {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+        r: org.apache.spark.sql.execution.datasources.HadoopFsRelation, _, _, _, _) =>
+        r.bucketSpec
+    }.flatten.exists(_.numBuckets == 4))
+    // obliterate the source — the deep clone must not notice
+    import scala.sys.process._
+    Seq("rm", "-rf", src.root).!
+    assert(cl.read().count() === nLogical)
+  }
+
   test("A65 clone preserves keyed-MOR ordering: inherited rows still deletable") {
     val src = ordersTable("clonemor")
     // advance the source a few snapshots so inherited addedBy > 1
