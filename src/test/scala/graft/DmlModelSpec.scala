@@ -75,7 +75,7 @@ class DmlModelSpec extends SparkSpec {
       }
 
       for (step <- 1 to 24) {
-        rnd.nextInt(13) match {
+        rnd.nextInt(14) match {
           case 0 | 1 => // append a block of fresh keys
             val ks = nextKey until (nextKey + 5 + rnd.nextInt(10))
             nextKey = ks.end
@@ -142,6 +142,19 @@ class DmlModelSpec extends SparkSpec {
             t.fastForward(b)
             t.dropBranch(b)
             model ++= rows
+          case 13 => // clone (shallow or deep) mid-history: the clone
+            // must read exactly the model, and writes to it must never
+            // leak back — whatever MOR/sort/NDV personality the source
+            // is in when the clone happens
+            val deep = rnd.nextBoolean()
+            val cl = t.cloneTo(s"$root-clone", deep)
+            val gotClone = cl.read().select(col("k"), col("g"), col("v"))
+              .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+            assert(gotClone == toSet3(model),
+              s"seed=$seed step=$step: clone(deep=$deep) diverged from model")
+            cl.append(df(spark, Map(999999L -> (0L, 0.0))).repartition(1))
+            assert(t.read().filter(col("k") === 999999L).count() === 0L,
+              s"seed=$seed step=$step: clone append leaked into the source")
         }
         // expire/compaction could in principle invalidate as-of ids;
         // only record ids that still resolve (they all should here)
