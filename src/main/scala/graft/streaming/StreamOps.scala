@@ -571,14 +571,19 @@ object StreamOps {
     // paying the per-delete-file sequencing join
     b.applyDeletes()
     // row-for-row replication check (stronger than the aggregate
-    // oracle): the replica must equal the source as a multiset
-    val drift = b.read().exceptAll(a.read()).count() +
-      a.read().exceptAll(b.read()).count()
-    require(drift == 0, s"replica diverged from source by $drift rows")
-    b.read()
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
-      .orderBy(col("event_type"))
+    // oracle): the replica must equal the source as a multiset.
+    // Both sides cached — the two exceptAll directions and the final
+    // rollup otherwise re-scan each table twice.
+    val aC = a.read().cache()
+    val bC = b.read().cache()
+    try {
+      val drift = bC.exceptAll(aC).count() + aC.exceptAll(bC).count()
+      require(drift == 0, s"replica diverged from source by $drift rows")
+      bC.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(eager = true) // materialize before unpersist
+    } finally { aC.unpersist(); bC.unpersist(); () }
   }
 
   /** Oracle: A's final state from the raw events — `id%7=0` deleted,

@@ -89,6 +89,23 @@ class BucketJoinSpec extends SparkSpec {
         "sbucket[5]", col("o_orderstatus"), org.apache.spark.sql.types.StringType))
       .withColumn("spark_b", pmod(hash(col("o_orderstatus")), lit(5)))
     assert(ds.filter(col("dep") =!= col("spark_b")).count() === 0)
+    // and dates (Catalyst hashes the epoch-days int)
+    val dd = Tables.orders(spark, sfDir)
+      .withColumn("dep", graft.lake.Deps.columnTyped(
+        "sbucket[6]", col("o_orderdate"), org.apache.spark.sql.types.DateType))
+      .withColumn("spark_b", pmod(hash(col("o_orderdate")), lit(6)))
+    assert(dd.filter(col("dep") =!= col("spark_b")).count() === 0)
+    // driver-side dual agrees on the same dates (pruning inference path)
+    val sample = Tables.orders(spark, sfDir)
+      .select(col("o_orderdate").cast("date")).distinct().limit(20)
+      .collect().map(_.getDate(0).toLocalDate.toEpochDay)
+    sample.foreach { days =>
+      val viaDriver = graft.lake.Deps.applyTyped(
+        "sbucket[6]", days, org.apache.spark.sql.types.DateType)
+      val viaSpark = spark.sql(
+        s"SELECT pmod(hash(date_from_unix_date($days)), 6)").head().getInt(0)
+      assert(viaDriver === viaSpark, s"date sbucket drift at epoch-day $days")
+    }
   }
 
   test("co-bucketed join runs with ZERO shuffle exchanges") {
