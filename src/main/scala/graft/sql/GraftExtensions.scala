@@ -186,6 +186,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // ALTER TABLE t FAST FORWARD <branch> — adopt a branch's lineage on main
   private val FastForwardRe =
     """(?is)\s*alter\s+table\s+([\w.]+)\s+fast\s+forward\s+(\w+)\s*""".r
+  // CHANGES BETWEEN <fromId> AND <toId> SELECT … — batch change-data
+  // feed as a query prefix (the SQL twin of the streaming
+  // readChangeFeed and of Delta's table_changes TVF): every registered
+  // graft relation in the query reads as its row-level changelog over
+  // (from, to], with `_change_type` ('insert' | 'delete') appended
+  private val ChangesRe =
+    """(?is)\s*changes\s+between\s+(\d+)\s+and\s+(\d+)\s+(.*)""".r
   // CREATE TABLE new SHALLOW|DEEP CLONE src [LOCATION '…'] — Delta's
   // clone DDL, which Spark's parser has no grammar for
   private val CloneRe =
@@ -213,6 +220,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case CloneRe(newName, kind, srcName, loc) if GraftCatalog.lookup(srcName).isDefined =>
         return GraftCloneCommand(newName.toLowerCase, srcName.toLowerCase,
           Option(loc), deep = kind.equalsIgnoreCase("deep"))
+      case _ => ()
+    }
+    sqlText match {
+      case ChangesRe(from, to, rest) =>
+        return delegate.parsePlan(rest).transformUp {
+          case u: UnresolvedRelation
+              if joinedName(u.multipartIdentifier)
+                .exists(GraftCatalog.lookup(_).isDefined) =>
+            val root = GraftCatalog.lookup(joinedName(u.multipartIdentifier).get).get
+            Shim.logicalPlan(
+              new GraftTable(root, session).changelog(from.toLong, to.toLong))
+        }
       case _ => ()
     }
     val (asOf, parsed) = sqlText match {

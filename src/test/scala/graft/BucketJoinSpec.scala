@@ -233,6 +233,28 @@ class BucketJoinSpec extends SparkSpec {
     assert(df.count() === 200)
   }
 
+  test("mismatched bucket counts coalesce: 8-bucket joins 4-bucket, no shuffle") {
+    val t8 = GraftTable.create(spark, tmp("co8"),
+      Tables.orders(spark, sfDir).repartition(col("o_custkey")),
+      Seq("o_b"), Seq(DepSpec("o_custkey", "o_b", "sbucket[8]")))
+    val t4 = GraftTable.create(spark, tmp("co4"),
+      Tables.customer(spark, sfDir).repartition(col("c_custkey")),
+      Seq("c_b"), Seq(DepSpec("c_custkey", "c_b", "sbucket[4]")))
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "false")
+    conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+    try noShuffle {
+      val j = t8.read().join(t4.read(), col("o_custkey") === col("c_custkey"))
+      val n = j.collect().length.toLong
+      assert(shuffles(j.queryExecution.executedPlan).isEmpty,
+        "coalesced bucket join still planned an exchange:\n" +
+          j.queryExecution.executedPlan)
+      assert(n === Tables.orders(spark, sfDir)
+        .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+        .count())
+    } finally conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", prev)
+  }
+
   test("inconsistent files downgrade the claim instead of misreading") {
     // adopt-era/no-suffix files: simulate by creating with plain bucket
     // (polyHash) — no sbucket dep ⇒ no claim; and an sbucket table

@@ -886,4 +886,25 @@ class SqlSurfaceSpec extends SparkSpec {
       s"unexpected error: ${boom.getMessage}")
     spark.sql("DROP TABLE pathwrite_t")
   }
+
+  test("A67 CHANGES BETWEEN prefix reads the batch change feed in SQL") {
+    val t = mkTable("changesql") // snapshot 1 create, snapshot 2 append
+    GraftCatalog.register("changes_t", t.root)
+    t.delete(col("o_orderkey") < 10) // snapshot 3: in-window deletes
+    val got = spark.sql(
+      "CHANGES BETWEEN 1 AND 3 SELECT _change_type, count(*) AS n " +
+        "FROM changes_t GROUP BY _change_type ORDER BY _change_type")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = t.changelog(1L, 3L)
+      .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === exp)
+    assert(got.getOrElse("insert", 0L) > 0 && got.getOrElse("delete", 0L) > 0,
+      s"expected both change kinds in the window: $got")
+    // non-graft relations inside the query are untouched
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation_plain")
+    assert(spark.sql(
+      "CHANGES BETWEEN 1 AND 3 SELECT count(*) AS n FROM nation_plain")
+      .head().getLong(0) === Tables.nation(spark, sfDir).count())
+  }
 }
