@@ -640,11 +640,28 @@ final class GraftTable(val root: String, spark: SparkSession) {
         .split(',').map(_.trim).filter(_.nonEmpty)
         .map(c => logicalToPhysical.getOrElse(c, c))
         .filter(df1.columns.contains).toSeq
-    val df = if (sortCols.isEmpty) df1 else {
+    // sbucket tables auto-distribute every write by the bucket column
+    // (Iceberg's hash write.distribution-mode, default on): without
+    // the alignment, a W-task write into an n-bucket table fans out to
+    // W×n files — the classic small-file bomb at 1000 executors. One
+    // hash shuffle per write; each bucket value lands in exactly one
+    // task, so a write adds AT MOST n files. `write.distribution=none`
+    // opts out; an explicit sort order takes precedence (its range
+    // distribution is already aligned to the partition columns).
+    val bucketDist: Option[(String, Int)] = deps.collectFirst {
+      case dp if Deps.sparkBucketN(dp.transform).isDefined &&
+        partitionCols.contains(dp.dest) =>
+        (dp.dest, Deps.sparkBucketN(dp.transform).get)
+    }.filter(_ => !hasCurrent ||
+      !current.properties.get("write.distribution").contains("none"))
+    val df = if (sortCols.nonEmpty) {
       val keys = (partitionCols.filter(df1.columns.contains) ++ sortCols)
         .distinct.map(col)
       val n = math.max(1, df1.rdd.getNumPartitions)
       df1.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
+    } else bucketDist match {
+      case Some((bd, n)) if df1.columns.contains(bd) => df1.repartition(n, col(bd))
+      case _ => df1
     }
     val staging = new HPath(new HPath(root), s".staging-${UUID.randomUUID()}")
     // `write.bloom.columns`: bloom filters ride the parquet footers of

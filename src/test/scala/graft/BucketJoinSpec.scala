@@ -255,6 +255,26 @@ class BucketJoinSpec extends SparkSpec {
     } finally conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", prev)
   }
 
+  test("writes auto-align to buckets: a 32-task append adds at most n files") {
+    val o = Tables.orders(spark, sfDir)
+    val t = GraftTable.create(spark, tmp("dist"),
+      o.filter(col("o_orderkey") < 800).repartition(32),
+      Seq("o_b"), Seq(DepSpec("o_custkey", "o_b", "sbucket[4]")))
+    assert(t.current.files.size <= 4,
+      s"create fanned out: ${t.current.files.size} files for 4 buckets")
+    t.append(o.filter(col("o_orderkey") >= 800).repartition(32))
+    assert(t.current.addedFiles <= 4,
+      s"append fanned out: ${t.current.addedFiles} files for 4 buckets")
+    assert(bucketSpecOf(t.read()).exists(_.numBuckets == 4))
+    // opt-out: write.distribution=none keeps the writer's partitioning
+    t.setProperty("write.distribution", "none")
+    t.append(o.filter(col("o_orderkey") < 200).repartition(32))
+    assert(t.current.addedFiles > 4,
+      "opt-out should have preserved the unaligned write fanout")
+    // unaligned files still carry correct bucket names → claim survives
+    assert(bucketSpecOf(t.read()).exists(_.numBuckets == 4))
+  }
+
   test("inconsistent files downgrade the claim instead of misreading") {
     // adopt-era/no-suffix files: simulate by creating with plain bucket
     // (polyHash) — no sbucket dep ⇒ no claim; and an sbucket table
