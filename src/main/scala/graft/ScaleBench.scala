@@ -220,9 +220,9 @@ object ScaleBench {
         if (f.exists()) { import scala.sys.process._; Seq("rm", "-rf", r).! }
       }
       val bDeps = Seq(graft.lake.DepSpec("o_custkey", "o_b", "sbucket[16]"))
-      val ob = o.repartition(16, col("o_custkey"))
+      // write-path auto-distribution supplies the one aligned shuffle
       val (tSpjBuild, bTabs) = timed(
-        bRoots.map(r => GraftTable.create(spark, r, ob, Seq("o_b"), bDeps)))
+        bRoots.map(r => GraftTable.create(spark, r, o, Seq("o_b"), bDeps)))
       val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")

@@ -864,11 +864,13 @@ object LakeQueries {
     * side, no driver involvement beyond the manifest read.
     */
   def lakeBucketJoin(s: SparkSession, d: String): DataFrame = {
+    // no manual repartition: the write path auto-distributes by the
+    // bucket column (one aligned shuffle, ≤ 8 files per table)
     val t1 = GraftTable.create(s, work(d, "bktjoin-o"),
-      Tables.orders(s, d).repartition(col("o_custkey")),
+      Tables.orders(s, d),
       Seq("o_b"), Seq(DepSpec("o_custkey", "o_b", "sbucket[8]")))
     val t2 = GraftTable.create(s, work(d, "bktjoin-c"),
-      Tables.customer(s, d).repartition(col("c_custkey")),
+      Tables.customer(s, d),
       Seq("c_b"), Seq(DepSpec("c_custkey", "c_b", "sbucket[8]")))
     val conf = s.conf
     val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")

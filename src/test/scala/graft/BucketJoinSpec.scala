@@ -56,8 +56,7 @@ class BucketJoinSpec extends SparkSpec {
   }
 
   private def ordersBucketed(name: String, n: Int): GraftTable =
-    GraftTable.create(spark, tmp(name),
-      Tables.orders(spark, sfDir).repartition(col("o_custkey")),
+    GraftTable.create(spark, tmp(name), Tables.orders(spark, sfDir),
       Seq("o_b"), Seq(DepSpec("o_custkey", "o_b", s"sbucket[$n]")))
 
   test("sbucket files carry Spark bucket ids matching their partition value") {
