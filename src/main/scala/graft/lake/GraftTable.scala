@@ -2438,6 +2438,62 @@ final class GraftTable(val root: String, spark: SparkSession) {
     rows.toDF("kind", "path", "n_files")
   }
 
+  /** `` t$clustering `` — per-(partition, column) clustering quality
+    * from manifest stats alone (SURVEY.md §2.A68): `max_overlap` is
+    * the maximum number of files whose [min, max] ranges on the
+    * column cover one point — 1 means perfectly clustered (any point
+    * predicate reads one file; what `write.sort.columns` (A59) or
+    * OPTIMIZE ZORDER (A20) produce), ≈ `n_files` means the column is
+    * unclustered and point predicates read everything. The advisor
+    * that tells an operator WHEN those maintenance passes are worth
+    * running, computed by a sweep line over manifest ranges —
+    * O(metadata), zero data access. Touching endpoints count as
+    * overlapping (an equality predicate at the boundary reads both
+    * files). Columns without usable stats (or with any null bound)
+    * are skipped.
+    */
+  def clusteringView: DataFrame = {
+    import spark.implicits._
+    val cur = current
+    val rows = for {
+      (part, fs) <- cur.files.groupBy(_.partition).toSeq
+      colName <- fs.flatMap(_.stats.keys).distinct
+      ranges = fs.flatMap(_.stats.get(colName)).collect {
+        case st if st.min != null && st.max != null =>
+          st.tpe match {
+            case "long"   => (st.min.toLong.toDouble, st.max.toLong.toDouble, None)
+            case "double" => (st.min.toDouble, st.max.toDouble, None)
+            case _        => (0d, 0d, Some(st.min -> st.max))
+          }
+      }
+      if ranges.size == fs.size // only fully-covered columns are honest
+    } yield {
+      val depth =
+        if (ranges.exists(_._3.isDefined)) {
+          // string ranges: sweep in string order
+          val evs = ranges.flatMap { r =>
+            val (lo, hi) = r._3.get; Seq((lo, 0), (hi, 1))
+          }.sortBy(identity) // opens ("…",0) sort before closes at equal key
+          evs.foldLeft((0, 0)) { case ((cur0, mx), (_, kind)) =>
+            val c = if (kind == 0) cur0 + 1 else cur0 - 1
+            (c, math.max(mx, c))
+          }._2
+        } else {
+          val evs = ranges.flatMap { case (lo, hi, _) => Seq((lo, 0), (hi, 1)) }
+            .sortBy(identity)
+          evs.foldLeft((0, 0)) { case ((cur0, mx), (_, kind)) =>
+            val c = if (kind == 0) cur0 + 1 else cur0 - 1
+            (c, math.max(mx, c))
+          }._2
+        }
+      val partStr = part.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("/")
+      (partStr, logicalToPhysical.map(_.swap).getOrElse(colName, colName),
+        fs.size.toLong, depth.toLong)
+    }
+    rows.sortBy(r => (r._1, r._2))
+      .toDF("partition", "column", "n_files", "max_overlap")
+  }
+
   /** `` t$partitions `` — per-partition rollup straight from the
     * manifest: O(metadata), zero data access. The operational
     * dashboard view (skew, fragmentation, size per partition).

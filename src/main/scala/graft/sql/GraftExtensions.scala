@@ -437,6 +437,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           case "$deletes"    => Shim.logicalPlan(t.deletesView)
           case "$history"    => Shim.logicalPlan(t.historyView)
           case "$manifests"  => Shim.logicalPlan(t.manifestsView)
+          case "$clustering" => Shim.logicalPlan(t.clusteringView)
           case other => throw new IllegalArgumentException(
             s"unknown metadata view suffix '$other' on graft table '$base'")
         }

@@ -1818,6 +1818,34 @@ class LakeSpec extends SparkSpec {
     assert(hist.keySet === Set(1L, 3L, 5L))
   }
 
+  test("A68 $clustering advisor: sorted writes read 1, fragmented reads n") {
+    val o = Tables.orders(spark, sfDir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // fragmented: 6 round-robin files → every file spans ~the full key
+    // range → a point predicate on o_orderkey overlaps all of them
+    val frag = GraftTable.create(spark, tmp("clust-frag"), o.repartition(6))
+    val fragRow = frag.clusteringView
+      .filter(col("column") === "o_orderkey").head()
+    assert(fragRow.getLong(2) === 6L)
+    assert(fragRow.getLong(3) >= 5L,
+      s"round-robin files should overlap heavily: $fragRow")
+    // sorted: write.sort.columns produces pairwise-disjoint ranges →
+    // max_overlap 1 on the sort column (the advisor's 'clustered' reading)
+    val sorted = GraftTable.createEmpty(spark, tmp("clust-sort"),
+      o.schema, Seq.empty, Seq.empty)
+    sorted.setProperty(GraftTable.SortColsProp, "o_orderkey")
+    sorted.append(o.repartition(6))
+    val sortRow = sorted.clusteringView
+      .filter(col("column") === "o_orderkey").head()
+    assert(sortRow.getLong(2) >= 2L, "need multiple files for the signal")
+    assert(sortRow.getLong(3) === 1L,
+      s"sorted write should be perfectly clustered: $sortRow")
+    // SQL surface
+    graft.sql.GraftCatalog.register("clust_t", sorted.root)
+    assert(spark.sql("SELECT max(max_overlap) FROM `clust_t$clustering` " +
+      "WHERE `column` = 'o_orderkey'").head().getLong(0) === 1L)
+  }
+
   test("A65 shallow clone: zero-copy, independent divergence") {
     val src = ordersTable("clonesrc")
     val nSrc = src.read().count()
