@@ -650,6 +650,35 @@ object TextOps {
        |    'string_agg', ' '), '') AS chunk_text
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** C41 `text_bpe_pairs`: adjacent-character-pair frequencies over
+    * the tokenized corpus — the inner statistic of BPE tokenizer
+    * TRAINING (each merge step picks the most frequent adjacent pair;
+    * this computes step one exactly, GPT-2-style within-word pairs).
+    * Shape at 100 TB: narrow per-row maps fanning out to pairs, then
+    * ONE partial-aggregated groupBy over a tiny key domain (≤ |Σ|²
+    * distinct pairs) — map-side combine collapses virtually all of
+    * the volume before the shuffle, so the reduce side is constant.
+    * Iterating merges re-runs this over re-segmented tokens; the
+    * per-iteration cost stays one such pass.
+    */
+  def bpePairs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
+  val bpePairsSql: String =
+    s"""WITH toks AS (SELECT unnest($tokensSql) AS w FROM documents),
+       |pairs AS (
+       |  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+       |  FROM toks WHERE length(w) >= 2)
+       |SELECT pair, count(*) AS n FROM pairs
+       |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
   /** C32 `sample_pack`: concat-and-chunk sequence packing — the
     * GPT-style training-prep step that concatenates token streams in a
     * fixed document order and slices them into fixed-budget sequences
@@ -801,6 +830,7 @@ object TextOps {
     "text_dup_spans"   -> (dupSpans _),
     "pipeline_corpus_e2e" -> (pipelineE2e _),
     "text_chunk"       -> (textChunk _),
+    "text_bpe_pairs"   -> (bpePairs _),
     "text_tfidf"       -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
@@ -822,5 +852,6 @@ object TextOps {
     "text_dup_spans"   -> dupSpansSql,
     "pipeline_corpus_e2e" -> pipelineE2eSql,
     "text_chunk"       -> textChunkSql,
+    "text_bpe_pairs"   -> bpePairsSql,
     "text_tfidf"       -> tfidfSql)
 }
