@@ -637,6 +637,25 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
   }
 
+  test("C38 chunk windows reassemble every document's token stream") {
+    import graft.pipeline.TextOps
+    val byDoc = TextOps.textChunk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .groupBy(_._1)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(byDoc.keySet === docs.keySet)
+    byDoc.foreach { case (id, rows) =>
+      val chunks = rows.sortBy(_._2).map(_._3)
+      val rebuilt = chunks.dropRight(1).flatMap(
+        _.split(' ').filter(_.nonEmpty).take(48)) ++
+        chunks.last.split(' ').filter(_.nonEmpty)
+      assert(rebuilt.toSeq == docs(id),
+        s"doc $id: stride-48 windows failed to reassemble its tokens")
+    }
+  }
+
   test("multimodal decode is a REAL PNG codec round-trip") {
     import spark.implicits._
     val assets = Multimodal.imageAssets(spark, sfDir)

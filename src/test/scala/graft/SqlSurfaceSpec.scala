@@ -906,5 +906,15 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql(
       "CHANGES BETWEEN 1 AND 3 SELECT count(*) AS n FROM nation_plain")
       .head().getLong(0) === Tables.nation(spark, sfDir).count())
+    // a window crossing schema evolution refuses loudly (row-level
+    // cancellation across different schemas is undefined), instead of
+    // returning a wrong feed
+    t.addColumn("o_note", org.apache.spark.sql.types.StringType)
+    val boom = intercept[Exception] {
+      spark.sql("CHANGES BETWEEN 1 AND 4 SELECT count(*) AS n FROM changes_t")
+        .collect()
+    }
+    assert(boom.getMessage.contains("schema evolution"),
+      s"unexpected error: ${boom.getMessage}")
   }
 }
