@@ -440,6 +440,42 @@ object CoreQueries {
       |GROUP BY CUBE (o_orderstatus, substring(o_orderpriority, 1, 1))
       |ORDER BY status, prio""".stripMargin
 
+  /** B29 `q_session_window`: native `session_window` in BATCH mode —
+    * gap-based sessionization as one aggregation (the same operator
+    * D3 runs with streaming state; here Catalyst merges overlapping
+    * [ts, ts+gap) windows per key in a sort-based aggregate). The
+    * oracle derives identical sessions relationally: a session breaks
+    * where the gap to the previous event is ≥ 30 min (Spark merges
+    * while the next start is strictly inside the window), so
+    * cumulative-sum-of-breaks numbers the sessions. One shuffle on
+    * user_id; per-user work is a sorted scan.
+    */
+  def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val qSessionWindowSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |           >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g)
+      |SELECT user_id, min(ts) AS session_start,
+      |  count(*) AS n_events, round(sum(value), 2) AS session_value
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** B28 `q_variant`: Spark 4's VARIANT type — semi-structured data
     * held in the binary variant encoding instead of strings, with
     * typed path extraction (`parse_json` → `variant_get('$.a.b',
@@ -775,6 +811,7 @@ object CoreQueries {
     "q_window_range"    -> (qWindowRange _),
     "q_lateral"         -> (qLateral _),
     "q_variant"         -> (qVariant _),
+    "q_session_window"  -> (qSessionWindow _),
     "q_skew_salted_agg" -> (qSkewSaltedAgg _))
 
   val oracles: Map[String, String] = Map(
@@ -805,5 +842,6 @@ object CoreQueries {
     "q_window_range"    -> qWindowRangeSql,
     "q_lateral"         -> qLateralSql,
     "q_variant"         -> qVariantSql,
+    "q_session_window"  -> qSessionWindowSql,
     "q_skew_salted_agg" -> qSkewSaltedAggSql)
 }
