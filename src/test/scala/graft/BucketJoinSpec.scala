@@ -274,6 +274,34 @@ class BucketJoinSpec extends SparkSpec {
     assert(bucketSpecOf(t.read()).exists(_.numBuckets == 4))
   }
 
+  test("concurrent rebased appends keep the bucket claim and the data") {
+    val o = Tables.orders(spark, sfDir)
+    val t = GraftTable.create(spark, tmp("race"),
+      o.filter(col("o_orderkey") < 400),
+      Seq("o_b"), Seq(DepSpec("o_custkey", "o_b", "sbucket[4]")))
+    // two writers append disjoint slices concurrently — the append
+    // rebase path splices both onto whatever is current; every file
+    // either writer stages must still carry its bucket-id name
+    val slices = Seq(
+      o.filter(col("o_orderkey") >= 400 && col("o_orderkey") < 800),
+      o.filter(col("o_orderkey") >= 800 && col("o_orderkey") < 1200))
+    val threads = slices.map { df =>
+      new Thread(() => { new GraftTable(t.root, spark).append(df); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val t2 = new GraftTable(t.root, spark)
+    assert(t2.read().count() ===
+      o.filter(col("o_orderkey") < 1200).count(),
+      "a concurrent append was lost")
+    assert(bucketSpecOf(t2.read()).exists(_.numBuckets == 4),
+      "claim lost after racing appends")
+    noShuffle {
+      val a = t2.read().groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      a.collect()
+      assert(shuffles(a.queryExecution.executedPlan).isEmpty)
+    }
+  }
+
   test("inconsistent files downgrade the claim instead of misreading") {
     // adopt-era/no-suffix files: simulate by creating with plain bucket
     // (polyHash) — no sbucket dep ⇒ no claim; and an sbucket table
