@@ -224,6 +224,7 @@ object ScaleBench {
       val (tSpjBuild, bTabs) = timed(
         bRoots.map(r => GraftTable.create(spark, r, o, Seq("o_b"), bDeps)))
       val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevABc = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       val (tSpjJoin, tShufJoin) =
@@ -252,7 +253,10 @@ object ScaleBench {
           (tJ, tS)
         } finally {
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
-          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevBc)
+          prevABc match {
+            case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+            case None    => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+          }
         }
       o.unpersist(); small.unpersist(); src1k.unpersist()
       println(f"[scalebench-lake] $label%-4s rows=$n%9d files=${t.current.files.size}%5d " +

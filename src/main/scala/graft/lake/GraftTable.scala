@@ -1928,7 +1928,9 @@ final class GraftTable(val root: String, spark: SparkSession) {
           io.delete(n)
         }
     }
-    orphans
+    // absolute (clone-referenced) entries were intentionally left
+    // untouched above — reporting them as removed would mislead callers
+    orphans.filterNot(GraftTable.isAbsoluteEntry)
   }
 
   /** SHALLOW CLONE (SURVEY.md §2.A65): materialize `destRoot` as an
@@ -1967,6 +1969,15 @@ final class GraftTable(val root: String, spark: SparkSession) {
     val cur = current
     val destP = new HPath(destRoot)
     val hfs = destP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the shallow clone's entries must pass isAbsoluteEntry or they'd
+    // silently resolve under the CLONE's root — qualify a relative
+    // source root (e.g. a cwd-relative test dir) before building them
+    val srcRoot = {
+      val rp = new HPath(root)
+      if (rp.isAbsolute && GraftTable.isAbsoluteEntry(root)) root
+      else rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(rp).toString
+    }
     if (hfs.exists(destP)) hfs.delete(destP, true)
     GraftTable.invalidate(destRoot)
     hfs.mkdirs(destP)
@@ -1983,12 +1994,12 @@ final class GraftTable(val root: String, spark: SparkSession) {
       }
     val (files, dels) =
       if (!deep)
-        (cur.files.map(f => f.copy(path = GraftTable.resolveEntry(root, f.path))),
-          cur.deleteFiles.map(d => d.copy(path = GraftTable.resolveEntry(root, d.path))))
+        (cur.files.map(f => f.copy(path = GraftTable.resolveEntry(srcRoot, f.path))),
+          cur.deleteFiles.map(d => d.copy(path = GraftTable.resolveEntry(srcRoot, d.path))))
       else {
         val pairs =
-          (cur.files.map(f => (GraftTable.resolveEntry(root, f.path), rel(f.path))) ++
-            cur.deleteFiles.map(d => (GraftTable.resolveEntry(root, d.path), rel(d.path))))
+          (cur.files.map(f => (GraftTable.resolveEntry(srcRoot, f.path), rel(f.path))) ++
+            cur.deleteFiles.map(d => (GraftTable.resolveEntry(srcRoot, d.path), rel(d.path))))
             .map { case (src, r) => (src, s"$destRoot/$r") }
         if (pairs.nonEmpty)
           spark.sparkContext
@@ -2012,7 +2023,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
       files = files,
       deleteFiles = dels,
       shards = Seq.empty, // source shards are source-owned metadata
-      properties = cur.properties + ("clone.source" -> s"$root@${cur.id}"),
+      properties = cur.properties + ("clone.source" -> s"$srcRoot@${cur.id}"),
       addedFiles = 0, deletedFiles = 0))
     t
   }

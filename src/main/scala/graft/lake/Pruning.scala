@@ -290,7 +290,7 @@ object Pruning {
         // to rebuild the Catalyst-internal value; without it, skip the
         // inference (conservative: the file is kept, never dropped)
         if (Deps.sparkBucketN(dep.transform).isDefined && st == NullType) None
-        else {
+        else try {
         def mapped(v: Any): Any =
           toComparable(Deps.applyTyped(dep.transform, fromComparable(v), st))
         val eqMapped = c.eqs.map(_.map(mapped))
@@ -318,6 +318,12 @@ object Pruning {
               Some(dep.dest -> Constraint(eqs = eqMapped, nullness = c.nullness))
             else None
         }
+        } catch {
+          // a transform the driver can't evaluate for this source type
+          // (e.g. sbucket on a double column of a pre-validation table)
+          // must never fail the read — skip the inference instead
+          // (conservative: the file is kept, never dropped)
+          case _: IllegalArgumentException => None
         }
       }
     }.toMap

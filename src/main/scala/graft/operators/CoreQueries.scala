@@ -503,7 +503,7 @@ object CoreQueries {
 
   val qVariantSql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  round(sum(value), 2) AS sum_val
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 

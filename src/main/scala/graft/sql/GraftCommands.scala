@@ -35,6 +35,22 @@ object GraftCreateValidation {
           s"(have: ${schema.fieldNames.mkString(", ")})")
       require(dep.dest != dep.src,
         s"column-dependency destination '${dep.dest}' cannot equal its source")
+      // sbucket pruning re-evaluates Catalyst's Murmur3 on the driver
+      // (Deps.sparkBucketOf), which only reconstructs internal values
+      // for these types — reject others at DDL time rather than let a
+      // later equality predicate on the source column hit the
+      // unsupported-type path during scan planning
+      if (dep.transform.startsWith("sbucket")) {
+        val ok = schema(dep.src).dataType match {
+          case IntegerType | LongType | ShortType | ByteType | DateType |
+               TimestampType | TimestampNTZType | StringType => true
+          case _ => false
+        }
+        require(ok,
+          s"sbucket source column '${dep.src}' has unsupported type " +
+            s"${schema(dep.src).dataType.simpleString} (supported: int, bigint, " +
+            "smallint, tinyint, date, timestamp, timestamp_ntz, string)")
+      }
     }
     val depDests = deps.map(_.dest).toSet
     partitionCols.foreach { p =>
