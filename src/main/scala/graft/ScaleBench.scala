@@ -134,7 +134,7 @@ object ScaleBench {
     for ((label, dir) <- dirs) {
       val root = s"/root/repo/target/scalebench-lake-$label"
       val rm = new java.io.File(root)
-      if (rm.exists()) { import scala.sys.process._; Seq("rm", "-rf", root).! }
+      if (rm.exists()) graft.lake.MetaIO.deleteDir(root, spark.sparkContext.hadoopConfiguration)
       val o = Tables.orders(spark, dir)
         .repartitionByRange(64, col("o_orderkey")).cache()
       val n = o.count() // materialize once so timings are write-path only
@@ -217,7 +217,7 @@ object ScaleBench {
       val bRoots = Seq(s"$root-b1", s"$root-b2")
       bRoots.foreach { r =>
         val f = new java.io.File(r)
-        if (f.exists()) { import scala.sys.process._; Seq("rm", "-rf", r).! }
+        if (f.exists()) graft.lake.MetaIO.deleteDir(r, spark.sparkContext.hadoopConfiguration)
       }
       val bDeps = Seq(graft.lake.DepSpec("o_custkey", "o_b", "sbucket[16]"))
       // write-path auto-distribution supplies the one aligned shuffle

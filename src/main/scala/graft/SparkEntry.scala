@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CoreQueries, LakeQueries}
+import graft.operators.{CoreQueries, GateQueries, LakeQueries}
 import graft.pipeline.{Dedup, Multimodal, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -15,12 +15,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ TextOps.queries ++ Dedup.queries ++
       VectorOps.queries ++ Multimodal.queries ++ LakeQueries.queries ++
-      graft.streaming.StreamOps.queries
+      GateQueries.queries ++ graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ TextOps.oracles ++ Dedup.oracles ++
       VectorOps.oracles ++ Multimodal.oracles ++ LakeQueries.oracles ++
-      graft.streaming.StreamOps.oracles
+      GateQueries.oracles ++ graft.streaming.StreamOps.oracles
 }

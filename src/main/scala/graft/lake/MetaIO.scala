@@ -128,6 +128,17 @@ final class MetaIO(root: String, private[lake] val conf: Configuration) {
   def mkdirs(): Unit = { fs.mkdirs(metaPath); () }
 }
 
+object MetaIO {
+  /** Recursively delete a path through the Hadoop FileSystem API — the
+    * replacement for local `rm -rf` shell-outs in work-dir setup, so
+    * even the harness plumbing makes no local-FS assumption.
+    */
+  def deleteDir(path: String, conf: Configuration): Boolean = {
+    val p = new HPath(path)
+    p.getFileSystem(conf).delete(p, true)
+  }
+}
+
 /** Serialize the COMMIT POINT (the version-pointer swap) across
   * writers — held for one manifest write + one rename, never during
   * data writes. Pluggable because no single primitive is atomic on

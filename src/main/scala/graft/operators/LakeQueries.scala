@@ -845,8 +845,7 @@ object LakeQueries {
     require(cl.current.files.nonEmpty &&
       cl.current.files.forall(f => !GraftTable.isAbsoluteEntry(f.path)),
       "deep clone must own dest-relative copies")
-    import scala.sys.process._
-    Seq("rm", "-rf", t.root).!
+    graft.lake.MetaIO.deleteDir(t.root, s.sparkContext.hadoopConfiguration)
     sel(cl.read())
   }
 

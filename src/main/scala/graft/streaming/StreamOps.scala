@@ -384,7 +384,8 @@ object StreamOps {
     val root = s"/root/repo/target/lakework/cdcfeed-$h"
     val ckpt = s"/root/repo/target/lakework/cdcfeed-ckpt-$h"
     val feed = s"/root/repo/target/lakework/cdcfeed-out-$h"
-    for (p <- Seq(root, ckpt, feed)) { import scala.sys.process._; Seq("rm", "-rf", p).! }
+    for (p <- Seq(root, ckpt, feed))
+      graft.lake.MetaIO.deleteDir(p, s.sparkContext.hadoopConfiguration)
     val ev = eventsBatch(s, d).select(col("event_id"), col("event_type"), col("value"))
     val t = GraftTable.create(s, root, ev.filter(col("event_id") % 2 === 0))
     t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
@@ -520,9 +521,8 @@ object StreamOps {
     val srcRoot = s"/root/repo/target/lakework/cdcapply-src-$h"
     val dstRoot = s"/root/repo/target/lakework/cdcapply-dst-$h"
     val ckpt = s"/root/repo/target/lakework/cdcapply-ckpt-$h"
-    for (p <- Seq(srcRoot, dstRoot, ckpt)) {
-      import scala.sys.process._; Seq("rm", "-rf", p).!
-    }
+    for (p <- Seq(srcRoot, dstRoot, ckpt))
+      graft.lake.MetaIO.deleteDir(p, s.sparkContext.hadoopConfiguration)
     val ev = eventsBatch(s, d).select(col("event_id"), col("event_type"), col("value"))
     val a = GraftTable.create(s, srcRoot, ev.filter(col("event_id") % 2 === 0))
     a.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
@@ -595,7 +595,211 @@ object StreamOps {
       |FROM events WHERE event_id % 7 <> 0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** D9 `stream_snapshot_cap`: source ADMISSION CONTROL — a three-
+    * snapshot backlog consumed under `maxSnapshotsPerTrigger=1` must
+    * arrive as exactly one snapshot's rows per drain (AvailableNow
+    * pins its target at the first getOffset, so each drain advances
+    * one capped batch; the checkpoint carries progress across drains
+    * like a restart would). The per-batch row counts are data-derived
+    * from the id-thirds split, so the whole admission schedule is
+    * DuckDB-oracled.
+    */
+  def snapshotCapStream(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.GraftTable
+    val h = math.abs(d.hashCode)
+    val root = s"/root/repo/target/lakework/snapcap-$h"
+    val ckpt = s"/root/repo/target/lakework/snapcap-ckpt-$h"
+    graft.lake.MetaIO.deleteDir(ckpt, s.sparkContext.hadoopConfiguration)
+    val ev = eventsBatch(s, d).select(col("event_id"), col("event_type"), col("value"))
+    val t = GraftTable.create(s, root, ev.filter(col("event_id") % 3 === 0))
+    t.append(ev.filter(col("event_id") % 3 === 1))
+    t.append(ev.filter(col("event_id") % 3 === 2))
+    val counts = scala.collection.mutable.ArrayBuffer[Long]()
+    def drainOnce(): Unit = {
+      val q = s.readStream.format("graft.streaming.GraftSourceProvider")
+        .option("path", root).option("maxSnapshotsPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val n = b.count(); if (n > 0) counts += n; () }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainOnce(); drainOnce(); drainOnce()
+    require(counts.size == 3,
+      s"3 capped drains must deliver exactly 3 snapshot batches, got $counts")
+    import s.implicits._
+    counts.toSeq.zipWithIndex.map { case (n, i) => (i, n) }
+      .toDF("batch_no", "n_rows").orderBy(col("batch_no"))
+  }
+
+  val snapshotCapStreamSql: String =
+    """SELECT 0 AS batch_no, count(*) AS n_rows FROM events WHERE event_id % 3 = 0
+      |UNION ALL
+      |SELECT 1, count(*) FROM events WHERE event_id % 3 = 1
+      |UNION ALL
+      |SELECT 2, count(*) FROM events WHERE event_id % 3 = 2
+      |ORDER BY batch_no""".stripMargin
+
+  /** D11 `stream_file_cap`: FILE-granular admission — one 6-file
+    * backfill snapshot behind a 1-file seed, consumed under
+    * `maxFilesPerTrigger=2`, must split into ceil(7/2) = 4 bounded
+    * micro-batches (sub-snapshot path-cut offsets), with every row
+    * delivered exactly once across the splits. Batch count and
+    * exactly-once are asserted; the admitted total is data-derived.
+    */
+  def fileCapStream(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.GraftTable
+    val h = math.abs(d.hashCode)
+    val root = s"/root/repo/target/lakework/filecap-$h"
+    val ckpt = s"/root/repo/target/lakework/filecap-ckpt-$h"
+    val sink = s"/root/repo/target/lakework/filecap-out-$h"
+    for (p <- Seq(ckpt, sink))
+      graft.lake.MetaIO.deleteDir(p, s.sparkContext.hadoopConfiguration)
+    val ev = eventsBatch(s, d).select(col("event_id"), col("event_type"), col("value"))
+    val t = GraftTable.create(s, root, ev.filter(col("event_id") % 5 === 0).repartition(1))
+    t.append(ev.filter(col("event_id") % 5 =!= 0).repartition(6))
+    require(t.current.files.count(_.addedBy == 2L) == 6, "backfill must be 6 files")
+    var batches = 0
+    def drainOnce(): Long = {
+      var admitted = 0L
+      val q = s.readStream.format("graft.streaming.GraftSourceProvider")
+        .option("path", root).option("maxFilesPerTrigger", "2").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val n = b.count()
+          if (n > 0) { batches += 1; admitted = n
+            b.write.mode("append").parquet(sink) }
+          () }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); admitted
+    }
+    var spins = 0
+    while (drainOnce() > 0 && spins < 10) spins += 1
+    require(batches == 4, s"7 files / cap 2 must split into 4 batches, got $batches")
+    val out = s.read.parquet(sink)
+    require(out.select(col("event_id")).distinct().count() == out.count(),
+      "every row must be delivered exactly once across the splits")
+    out.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val fileCapStreamSql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** D15 `stream_tws`: `transformWithState` (Spark 4's arbitrary-
+    * stateful successor to flatMapGroupsWithState) running a per-user
+    * (count, sum) aggregate in typed ValueState over the RocksDB
+    * store, Update-mode emissions — the LAST update per key is the
+    * running total over everything, which must equal the plain batch
+    * aggregate (the DuckDB oracle).
+    */
+  def twsStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val prevProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val name = s"graft_stream_tws_${math.abs(d.hashCode)}"
+    try {
+      import s.implicits._
+      val src = eventsStream(s, d)
+        .select(col("user_id").as("_1"), col("value").as("_2")).as[(Long, Double)]
+      val out = src.groupByKey(_._1)
+        .transformWithState(new StreamOps.RunningAgg, TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("user_id", "n", "total").writeStream.format("memory")
+        .queryName(name).outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+    }
+    s.table(name)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("n"), col("total")), col("n")).as("last"))
+      .select(col("user_id"), col("last.n").as("n"),
+        round(col("last.total"), 2).as("total"))
+      .orderBy(col("user_id"))
+  }
+
+  val twsStreamSql: String =
+    """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** D14b `stream_stream_outer`: watermarked stream-stream LEFT OUTER
+    * join — the inner attribution join of D14 plus null-padded rows
+    * for clicks that provably can never match (emitted only once the
+    * watermark passes the click's join-window upper bound, which is
+    * why the no-data micro-batch stays ENABLED here — eviction is
+    * what produces the outer rows). Clicks are pre-filtered to those
+    * whose window closes safely below the final watermark, so the
+    * drained result equals the batch LEFT JOIN under the same cutoff
+    * — expressed identically in the DuckDB oracle.
+    */
+  def streamStreamOuter(s: SparkSession, d: String): DataFrame = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val name = s"graft_stream_ssouter_${math.abs(d.hashCode)}"
+    // the provable-eviction cutoff: final watermark = min side max - 1h;
+    // a click needs watermark > c_ts + 30min to null-pad, margin 5 min
+    val ev = eventsBatch(s, d)
+    val cutoff = ev.groupBy(col("event_type")).agg(max(col("ts")).as("mx"))
+      .filter(col("event_type").isin("click", "purchase"))
+      .agg(min(col("mx"))).head().getTimestamp(0).getTime -
+      (60L + 35L) * 60L * 1000L
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // the watermark must be assigned BEFORE the cutoff filter: it
+      // advances from the max event time flowing through the watermark
+      // node, and eviction (which emits the null-padded rows) needs the
+      // full click stream's max — filtering first would freeze the
+      // click watermark at cutoff - 1h and starve the outer emissions
+      val clicks = eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+        .filter(col("c_ts") <= timestamp_millis(lit(cutoff)))
+      val purchases = eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("value").as("p_value"))
+        .withWatermark("p_ts", "1 hour")
+      val pairs = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      val q = pairs.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name)
+      .groupBy(date_format(col("c_ts"), "yyyy-MM-dd HH").as("hour"))
+      .agg(count(lit(1)).as("n_rows"), count(col("p_ts")).as("n_matched"),
+        round(sum(coalesce(col("p_value"), lit(0.0))), 2).as("purchase_value"))
+      .orderBy(col("hour"))
+  }
+
+  val streamStreamOuterSql: String =
+    """WITH cut AS (
+      |  SELECT min(mx) - INTERVAL 95 MINUTE AS cutoff FROM (
+      |    SELECT event_type, max(ts) AS mx FROM events
+      |    WHERE event_type IN ('click', 'purchase') GROUP BY event_type)),
+      |c AS (SELECT user_id, ts AS c_ts FROM events
+      |      WHERE event_type = 'click' AND ts <= (SELECT cutoff FROM cut)),
+      |p AS (SELECT user_id, ts AS p_ts, value FROM events
+      |      WHERE event_type = 'purchase')
+      |SELECT strftime(date_trunc('hour', c.c_ts), '%Y-%m-%d %H') AS hour,
+      |  count(*) AS n_rows, count(p.p_ts) AS n_matched,
+      |  round(sum(coalesce(p.value, 0)), 2) AS purchase_value
+      |FROM c LEFT JOIN p
+      |  ON c.user_id = p.user_id
+      | AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+      |GROUP BY 1 ORDER BY hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_snapshot_cap" -> (snapshotCapStream _),
+    "stream_file_cap"     -> (fileCapStream _),
+    "stream_tws"          -> (twsStream _),
+    "stream_stream_outer" -> (streamStreamOuter _),
     "stream_cdc_apply"   -> (cdcApply _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_window_agg"  -> (windowAgg _),
@@ -610,6 +814,10 @@ object StreamOps {
     "stream_incremental_dedup" -> (incrementalDedupStream _))
 
   val oracles: Map[String, String] = Map(
+    "stream_snapshot_cap" -> snapshotCapStreamSql,
+    "stream_file_cap"     -> fileCapStreamSql,
+    "stream_tws"          -> twsStreamSql,
+    "stream_stream_outer" -> streamStreamOuterSql,
     "stream_cdc_apply"   -> cdcApplySql,
     "stream_stream_join" -> streamStreamJoinSql,
     "stream_window_agg"  -> windowAggSql,
@@ -622,4 +830,28 @@ object StreamOps {
     "stream_lake_e2e"    -> lakeE2eSql,
     "stream_changelog"   -> changelogStreamSql,
     "stream_incremental_dedup" -> incrementalDedupStreamSql)
+
+  /** D15's StatefulProcessor: a running per-key (count, sum) held in
+    * typed ValueState — defined at member level so the task closure
+    * serializes without dragging the enclosing scope along.
+    */
+  class RunningAgg extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      state = getHandle.getValueState[(Long, Double)](
+        "agg", org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Double)] = {
+      val (n0, s0) = if (state.exists()) state.get() else (0L, 0.0)
+      var n: Long = n0; var s: Double = s0
+      rows.foreach { r => n += 1; s += r._2 }
+      state.update((n, s))
+      Iterator((key, n, s))
+    }
+  }
 }
