@@ -300,15 +300,34 @@ object VectorOps {
   val IvfLists = 16
   val IvfProbes = 6
 
+  /** Quantizer-training cap: Lloyd iterations run over a deterministic
+    * `vec_id % mod == 0` sample of at most ~this many vectors (k-means
+    * quality saturates long before the full corpus is consumed — at
+    * 100 TB training on every vector would make indexing O(corpus ×
+    * iterations) for no recall gain). `mod = ceil(n / cap)` keeps the
+    * sample exact-reproducible with zero RNG state; below the cap the
+    * sample IS the corpus, so small-SF behavior (and the recall specs)
+    * are unchanged.
+    */
+  val QuantizerTrainCap = 4096L
+
+  private[graft] def trainSample(all: DataFrame): DataFrame = {
+    val n = all.count()
+    val mod = (n + QuantizerTrainCap - 1) / QuantizerTrainCap
+    if (mod <= 1L) all else all.filter(pmod(col("vec_id"), lit(mod)) === 0)
+  }
+
   /** C13 `ann_ivf`: inverted-file ANN — a coarse quantizer (seeded
     * k-means, 2 Lloyd iterations run *in Spark*) partitions the corpus
     * into nlist inverted lists; a query probes its nprobe nearest
     * centroids and pays exact cosine only inside those lists. The
     * assignment is the codegen'd [[graft.functions.NearestCentroid]]
     * narrow map, so indexing is one pass + one small agg per
-    * iteration; at 100 TB you train the quantizer on a sample and keep
-    * the assignment column materialized (it is exactly a graft-lake
-    * `bucket`-style partition column — probing = partition pruning).
+    * iteration; the quantizer trains on a deterministic capped sample
+    * ([[QuantizerTrainCap]] — at 100 TB the Lloyd passes cost the
+    * sample, not the corpus) and you keep the assignment column
+    * materialized (it is exactly a graft-lake `bucket`-style partition
+    * column — probing = partition pruning).
     * Probabilistic recall → rows-only driver check; spec measures
     * recall against C6.
     */
@@ -324,9 +343,12 @@ object VectorOps {
     var cents: Array[Array[Double]] = all.filter(col("vec_id") >= 100)
       .orderBy(col("vec_id")).limit(IvfLists)
       .collect().map(r => normalize(r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
-    // 2 Lloyd iterations: assign (narrow map) → per-cluster mean (one agg)
+    // 2 Lloyd iterations over the capped training sample: assign
+    // (narrow map) → per-cluster mean (one agg). Only the k×dim
+    // centroid matrix ever reaches the driver.
+    val train = trainSample(all)
     for (_ <- 1 to 2) {
-      val assigned = all.select(
+      val assigned = train.select(
         exprs.nearestCentroid(col("embedding"), cents).as("cluster"),
         col("embedding"))
       val means = assigned
@@ -342,18 +364,24 @@ object VectorOps {
       col("vec_id").as("n_id"), col("embedding").as("n_emb"),
       exprs.nearestCentroid(col("embedding"), cents).as("cluster"))
 
-    // query side: nprobe nearest centroids per query (tiny, driver-side)
-    val queries = all.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")).collect()
+    // query side: nprobe nearest centroids per query, computed as a
+    // DISTRIBUTED broadcast-join over the query DataFrame — no query
+    // vector ever reaches the driver, so a million-query batch plans
+    // the same way this 10-query one does (centroids are unit-norm,
+    // so ranking by cosine ≡ ranking by dot)
     import s.implicits._
-    val probes = queries.flatMap { r =>
-      val qid = r.getLong(0)
-      val v = r.getSeq[Float](1).map(_.toDouble).toArray
-      cents.zipWithIndex
-        .map { case (c, i) => (i, c.zip(v).map { case (a, b) => a * b }.sum) }
-        .sortBy { case (i, dot) => (-dot, i) }.take(IvfProbes)
-        .map { case (i, _) => (qid, i) }
-    }.toSeq.toDF("query_id", "cluster")
+    val centsDf = broadcast(cents.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq.toDF("cluster", "c_emb"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("c_dot").desc, col("cluster"))
+    val probes = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .crossJoin(centsDf)
+      .withColumn("c_dot", exprs.cosineSim(col("embedding"), col("c_emb")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= IvfProbes)
+      .select(col("query_id"), col("cluster"))
     val qdf = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .join(broadcast(probes), "query_id")
@@ -379,8 +407,8 @@ object VectorOps {
     * the max-dot kernel does L2 without a new expression). A vector
     * compresses 64 floats → 8 nibble codes (64×→4 B); queries score
     * the whole corpus via an ADC lookup table (M×K dots, computed
-    * per-query on the driver, broadcast) and exact-rerank the top 50
-    * by true cosine. At 100 TB the codes column is what you keep hot
+    * distributed over the query DataFrame against the broadcast
+    * codebook) and exact-rerank the top 50 by true cosine. At 100 TB the codes column is what you keep hot
     * (26 GB per 10⁹ vectors vs 256 GB raw) and you put the C13 coarse
     * quantizer in front — both building blocks are here. Probabilistic
     * recall → rows-only driver check; the spec bounds recall@5 vs C6.
@@ -404,9 +432,11 @@ object VectorOps {
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       Array.tabulate(M)(m => seed.map(_.slice(m * Sub, (m + 1) * Sub)))
     }
-    // 2 Lloyd iterations, one shuffle each: explode (m, code, dim) → mean
+    // 2 Lloyd iterations over the capped training sample, one shuffle
+    // each: explode (m, code, dim) → mean
+    val train = trainSample(all)
     for (_ <- 1 to 2) {
-      val assigned = all.select(
+      val assigned = train.select(
         explode(array((0 until M).map(m => struct(
           lit(m).as("m"),
           exprs.nearestCentroid(aug(col("embedding"), m), augBook(books(m))).as("code"),
@@ -425,19 +455,32 @@ object VectorOps {
       array((0 until M).map(m =>
         exprs.nearestCentroid(aug(col("embedding"), m), augBook(books(m)))): _*).as("codes"))
 
-    // ADC lookup tables per query: lut[m*K + k] = q_m . c_{m,k}
-    val queryRows = all.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding")).collect()
+    // ADC lookup tables per query: lut[m*K + k] = q_m . c_{m,k} —
+    // computed DISTRIBUTED as a broadcast-join over the query
+    // DataFrame (explode into M subvectors, join the M×K codebook,
+    // zip_with/aggregate dot, regroup in (m,code) order). No query
+    // vector touches the driver; a million-query batch runs the same
+    // plan. The lambda chain evaluates interpreted, but only over
+    // |queries|·M·K rows — the corpus-sized scan below stays on the
+    // codegen'd AdcScore kernel.
     import s.implicits._
-    val luts = queryRows.map { r =>
-      val qid = r.getLong(0)
-      val v = r.getSeq[Float](1).map(_.toDouble).toArray
-      val lut = Array.tabulate(M * K) { i =>
-        val m = i / K; val k = i % K
-        books(m)(k).zip(v.slice(m * Sub, (m + 1) * Sub)).map { case (a, b) => a * b }.sum
-      }
-      (qid, lut)
-    }.toSeq.toDF("query_id", "lut")
+    val booksDf = broadcast((0 until M).flatMap(m => (0 until K).map(k =>
+      (m, k, books(m)(k)))).toDF("m", "code", "c_sub"))
+    val luts = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(array((0 until M).map(m => struct(
+          lit(m).as("m"),
+          subvec(col("embedding"), m).cast("array<double>").as("q_sub"))): _*)).as("qs"))
+      .select(col("query_id"), col("qs.m").as("m"), col("qs.q_sub").as("q_sub"))
+      .join(booksDf, "m")
+      .withColumn("dot", aggregate(
+        zip_with(col("q_sub"), col("c_sub"), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(
+        (col("m") * K + col("code")).as("i"), col("dot").as("v")))).as("pairs"))
+      .select(col("query_id"),
+        transform(col("pairs"), p => p.getField("v")).as("lut"))
 
     // approximate dot = M table lookups via the codegen'd
     // [[graft.functions.AdcScore]] kernel — the whole corpus scan stays
@@ -466,12 +509,32 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Number of seed centroids for [[semanticDedup]] — fixed and
-    * deterministic (the embeddings of `vec_id < SemK`) so the DuckDB
-    * oracle reproduces the exact clustering. In production the seeds
-    * come from a k-means fit; the dedup semantics are identical.
+  /** Minimum seed-centroid count for [[semanticDedup]]. The actual k
+    * SCALES with the corpus — see [[semanticSeedStep]] — so per-cluster
+    * pair-scan work stays flat as the corpus grows (the k ∝ n dial
+    * SemDeDup needs at 100 TB; a fixed k would quietly degrade toward
+    * the all-pairs scan at 100×).
     */
   val SemK = 16
+
+  /** Target expected cluster population: k = max(SemK, n / this), so
+    * the within-cluster pair scan is O(n · SemTargetCluster) at ANY
+    * corpus size instead of O(n²/k) with fixed k.
+    */
+  val SemTargetCluster = 400L
+
+  /** Seed-selection stride for a corpus of n vectors: seeds are the
+    * vectors with `vec_id % step == 0` — deterministic, O(0) state,
+    * and expressible verbatim in the DuckDB oracle (which recomputes
+    * n and the stride from the same arithmetic). In production the
+    * seeds come from a k-means fit over a sample; the dedup semantics
+    * are identical, and n comes free from manifest row counts (A51)
+    * instead of a scan.
+    */
+  private[graft] def semanticSeedStep(n: Long): Long = {
+    val k = math.max(SemK.toLong, n / SemTargetCluster)
+    math.max(1L, n / k)
+  }
 
   /** C35 `dedup_semantic`: SemDeDup-style semantic deduplication
     * (Abbas et al. 2023) — cluster the corpus by nearest centroid,
@@ -497,7 +560,10 @@ object VectorOps {
     * O(n) and O(n·k) shuffle at corpus scale.
     */
   private[graft] def semanticAssign(corpus: DataFrame): DataFrame = {
-    val seeds = corpus.filter(col("vec_id") < SemK)
+    // k ∝ n: the count is one cheap metadata-backed pass here; a lake
+    // table supplies it from manifest stats (A51) with no scan at all
+    val step = semanticSeedStep(corpus.count())
+    val seeds = corpus.filter(col("vec_id") % step === 0)
       .select(col("vec_id").as("seed_id"), col("embedding").as("seed_emb"))
     corpus.join(broadcast(seeds), lit(true))
       .select(col("vec_id"), col("embedding"),
@@ -531,8 +597,10 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
-  /** Oracle: identical planted corpus, identical fixed-seed
-    * assignment, identical within-cluster drop rule — all in SQL.
+  /** Oracle: identical planted corpus, identical k ∝ n stride-seed
+    * assignment (n and the stride recomputed from the same integer
+    * arithmetic as [[semanticSeedStep]]), identical within-cluster
+    * drop rule — all in SQL.
     */
   val semanticDedupSql: String =
     s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -542,7 +610,10 @@ object VectorOps {
        |  SELECT vec_id + $PlantIdOffset,
        |         v[1:$PlantKeepDims] || [0.0, 0.0, 0.0, 0.0]
        |  FROM e0 WHERE vec_id < $PlantCount),
-       |seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < $SemK),
+       |nn AS (SELECT count(*) AS n FROM e),
+       |stp AS (SELECT greatest(1, n // greatest($SemK, n // $SemTargetCluster)) AS step FROM nn),
+       |seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e
+       |          WHERE vec_id % (SELECT step FROM stp) = 0),
        |assign AS (
        |  SELECT e.vec_id, e.v, s.seed_id AS cluster_id,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY

@@ -374,9 +374,13 @@ class PipelineSpec extends SparkSpec {
     assert(out.map(_._1).distinct.length === out.length)
     // the planted copies of the seed vectors land in their original's
     // cluster (cos≈0.95 to the seed itself) and are dropped against it
+    // (seeds are now stride-selected — k ∝ n — so recompute the stride)
+    val step = VectorOps.semanticSeedStep(corpus.count())
     val seedPlants = out.filter { case (v, _, _, _) =>
-      v >= VectorOps.PlantIdOffset && (v - VectorOps.PlantIdOffset) < VectorOps.SemK }
-    assert(seedPlants.nonEmpty)
+      v >= VectorOps.PlantIdOffset &&
+        (v - VectorOps.PlantIdOffset) < VectorOps.PlantCount &&
+        (v - VectorOps.PlantIdOffset) % step == 0 }
+    assert(seedPlants.nonEmpty) // id 0 is always a seed and always planted
     seedPlants.foreach { case (v, cl, k, _) =>
       assert(cl === (v - VectorOps.PlantIdOffset))
       assert(k === (v - VectorOps.PlantIdOffset))
@@ -390,6 +394,27 @@ class PipelineSpec extends SparkSpec {
       assert(clusterOf(v) === cl, s"dropped $v reported cluster $cl but assigned ${clusterOf(v)}")
       assert(clusterOf(k) === cl, s"keeper $k of $v lives in ${clusterOf(k)}, not $cl")
     }
+  }
+
+  test("quantizer training sample is capped and deterministic") {
+    import spark.implicits._
+    val big = (0L until 10000L).map(i => (i, Array.fill(4)(0.1f))).toDF("vec_id", "embedding")
+    val n1 = VectorOps.trainSample(big).count()
+    assert(n1 <= VectorOps.QuantizerTrainCap, s"sample $n1 over cap")
+    assert(n1 === VectorOps.trainSample(big).count(), "sample must be deterministic")
+    // below the cap the sample IS the corpus (small-SF behavior unchanged)
+    val small = (0L until 100L).map(i => (i, Array.fill(4)(0.1f))).toDF("vec_id", "embedding")
+    assert(VectorOps.trainSample(small).count() === 100L)
+  }
+
+  test("semantic seed stride scales k with corpus size (k ∝ n dial)") {
+    // below the knee: k stays SemK, stride = n / SemK
+    assert(VectorOps.semanticSeedStep(1600L) === 100L)
+    // past the knee: k = n / SemTargetCluster, expected cluster ~flat
+    val n10 = 160000L
+    val k10 = math.max(VectorOps.SemK.toLong, n10 / VectorOps.SemTargetCluster)
+    assert(k10 === 400L, "k must scale with the corpus")
+    assert(VectorOps.semanticSeedStep(n10) === n10 / k10)
   }
 
   test("ann bruteforce: k ranked neighbors per query, no self-match") {
