@@ -657,7 +657,11 @@ final class GraftTable(val root: String, spark: SparkSession) {
     val df = if (sortCols.nonEmpty) {
       val keys = (partitionCols.filter(df1.columns.contains) ++ sortCols)
         .distinct.map(col)
-      val n = math.max(1, df1.rdd.getNumPartitions)
+      // toRdd, not df1.rdd: same partition count without the extra
+      // encoder-deserialization RDD layer the public accessor builds
+      // (plan metadata alone can't answer this — an unbucketed scan's
+      // outputPartitioning is UnknownPartitioning(0))
+      val n = math.max(1, df1.queryExecution.toRdd.getNumPartitions)
       df1.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
     } else bucketDist match {
       case Some((bd, n)) if df1.columns.contains(bd) => df1.repartition(n, col(bd))

@@ -786,6 +786,54 @@ object GateQueries {
     """SELECT true AS fragmented_deep, true AS sorted_depth_one,
       |  true AS sql_view_agrees""".stripMargin
 
+  // ---- A69 Iceberg-metadata export bridge ---------------------------
+
+  /** `lake_iceberg_export` (A69): the one-way Iceberg-spec-v2 metadata
+    * export ([[graft.lake.IcebergExport]]) — structural shape asserted
+    * with require (format-version, field-id'd schema, transform-mapped
+    * partition spec, snapshot chain, existing absolute file paths);
+    * the returned row's record-count total is data-derived, so the
+    * reconciliation between the exported manifests and the source
+    * table is DuckDB-oracled.
+    */
+  def lakeIcebergExport(s: SparkSession, d: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val t = GraftTable.create(s, work(d, "iceq"),
+      byStatus(orders(s, d).filter(col("o_orderkey") < 5000)),
+      Seq("o_orderstatus"))
+    t.append(byStatus(orders(s, d)
+      .filter(col("o_orderkey") >= 5000 && col("o_orderkey") < 8000)))
+    val metaPath = graft.lake.IcebergExport.exportMetadata(t, work(d, "iceq") + "-ice")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def parse(p: String) = mapper.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p.stripPrefix("file:"))))
+    val md = parse(metaPath)
+    require(md.get("format-version").asInt() == 2, "spec v2")
+    require(md.get("current-snapshot-id").asLong() == t.currentId)
+    val fields = md.get("schemas").get(0).get("fields").elements().asScala.toSeq
+    require(fields.map(_.get("id").asInt()).sorted == (1 to t.schema.fields.length),
+      "contiguous unique field ids")
+    val snaps = md.get("snapshots").elements().asScala.toSeq
+    require(snaps.map(_.get("snapshot-id").asLong()) == t.snapshotIds, "snapshot chain")
+    val mlist = parse(snaps.last.get("manifest-list").asText()).elements().asScala.toSeq
+    val manifest = parse(mlist.find(_.get("content").asInt() == 0).get
+      .get("manifest_path").asText())
+    val entries = manifest.get("entries").elements().asScala.toSeq
+    require(entries.forall { e =>
+      val p = e.get("data_file").get("file_path").asText()
+      (p.contains(":/") || p.startsWith("/")) &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(p.stripPrefix("file:")))
+    }, "every exported file path is absolute and exists")
+    val recordTotal = entries.map(_.get("data_file").get("record_count").asLong()).sum
+    import s.implicits._
+    Seq((recordTotal, entries.size == t.current.files.size))
+      .toDF("record_count_total", "file_counts_match")
+  }
+
+  val lakeIcebergExportSql: String =
+    """SELECT count(*) AS record_count_total, true AS file_counts_match
+      |FROM orders WHERE o_orderkey < 8000""".stripMargin
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -811,6 +859,7 @@ object GateQueries {
     "lake_dpp_check"        -> (lakeDppCheck _),
     "lake_refddl"           -> (lakeRefDdl _),
     "lake_changes_sql"      -> (lakeChangesSql _),
+    "lake_iceberg_export"   -> (lakeIcebergExport _),
     "lake_clustering_check" -> (lakeClusteringCheck _))
 
   val oracles: Map[String, String] = Map(
@@ -836,5 +885,6 @@ object GateQueries {
     "lake_dpp_check"        -> lakeDppCheckSql,
     "lake_refddl"           -> lakeRefDdlSql,
     "lake_changes_sql"      -> lakeChangesSqlSql,
+    "lake_iceberg_export"   -> lakeIcebergExportSql,
     "lake_clustering_check" -> lakeClusteringCheckSql)
 }
