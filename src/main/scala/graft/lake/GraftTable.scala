@@ -121,7 +121,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * concurrent append landing in between would otherwise be silently
     * dropped from the new snapshot's file list.
     */
-  private def commit(s0: Snapshot): Unit = withCommitLock {
+  private[lake] def commit(s0: Snapshot): Unit = withCommitLock {
     // no version hint yet = the creating commit (parentId -1)
     val cur = if (hasCurrent) currentId else -1L
     if (cur != s0.parentId)
@@ -2775,7 +2775,7 @@ object GraftTable {
   /** Tables are rebuilt in place by the driver-contract queries —
     * invalidate any cached snapshots under this root.
     */
-  private def invalidate(root: String): Unit = {
+  private[lake] def invalidate(root: String): Unit = {
     snapshotCache.keySet.removeIf(_._1 == root)
     shardCache.keySet.removeIf(_._1 == root)
     tagCache.remove(root)

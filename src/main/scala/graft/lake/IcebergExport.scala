@@ -189,7 +189,12 @@ object IcebergExport {
         "name" -> p,
         "transform" -> transform,
         "source-id" -> fieldIds.getOrElse(srcCol, fieldIds.getOrElse(p, 0)),
-        "field-id" -> (1000 + i))
+        "field-id" -> (1000 + i),
+        // extra key (Iceberg readers ignore unknown fields): the exact
+        // graft transform, so a round-trip import reconstructs the
+        // same hash function — Iceberg's bucket hash is murmur3 over
+        // its own serialization, NOT interchangeable with graft's
+        "graft-transform" -> depByDest.get(p).map(_.transform).getOrElse("identity"))
     }
 
     val metadata = ListMap(
@@ -236,5 +241,148 @@ object IcebergExport {
       "metadata-log" -> Seq.empty[String])
 
     write("v1.metadata.json", metadata)
+  }
+
+  private[graft] def sparkType(t: String): DataType = t match {
+    case "long"        => LongType
+    case "int"         => IntegerType
+    case "string"      => StringType
+    case "double"      => DoubleType
+    case "float"       => FloatType
+    case "boolean"     => BooleanType
+    case "date"        => DateType
+    case "timestamptz" => TimestampType
+    case "timestamp"   => TimestampNTZType
+    case "binary"      => BinaryType
+    case DecRe(p, sc)  => DecimalType(p.toInt, sc.toInt)
+    case other => throw new IllegalArgumentException(s"unsupported Iceberg type $other")
+  }
+  private val DecRe = """decimal\((\d+),\s*(\d+)\)""".r
+
+  /** The other direction of the bridge: IMPORT exported Iceberg-spec
+    * metadata as a graft table at `destRoot` — zero bytes copied, the
+    * imported snapshot references the exported table's data files by
+    * absolute path (the same mechanics as a shallow clone, so
+    * expire/vacuum on the import never touch the source bytes).
+    *
+    * Scope, stated honestly: the import consumes THIS bridge's JSON
+    * serialization (a real Iceberg table's Avro manifests need the
+    * Iceberg reader dependency — out of scope under zero-dep) and
+    * materializes the CURRENT snapshot (graft snapshots are per-table
+    * history; an imported table starts a fresh history, like
+    * `CREATE TABLE … SHALLOW CLONE`). Dependency transforms round-trip
+    * through the `graft-transform` spec extra; a foreign table
+    * claiming Iceberg's own `bucket[n]` imports WITHOUT the dep
+    * (Iceberg's bucket murmur3 is not graft's hash — claiming it
+    * would prune the wrong files; identity partition pruning over the
+    * imported per-file partition values still works).
+    */
+  def importMetadata(spark: org.apache.spark.sql.SparkSession,
+      metadataPath: String, destRoot: String): GraftTable = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def parse(p: String) = {
+      val hp = new HPath(p)
+      val fs = hp.getFileSystem(conf)
+      val len = fs.getFileStatus(hp).getLen.toInt
+      val in = fs.open(hp)
+      try { val buf = new Array[Byte](len); in.readFully(0, buf); mapper.readTree(buf) }
+      finally in.close()
+    }
+    import scala.jdk.CollectionConverters._
+    val md = parse(metadataPath)
+    require(md.get("format-version").asInt() == 2,
+      s"unsupported format-version ${md.get("format-version")}")
+    val fieldNodes = md.get("schemas").get(0).get("fields").elements().asScala.toSeq
+    val idToName = fieldNodes.map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+    val schema = StructType(fieldNodes.map(f =>
+      StructField(f.get("name").asText(), sparkType(f.get("type").asText()),
+        nullable = !f.get("required").asBoolean())))
+
+    val specFields = md.get("partition-specs").get(0).get("fields").elements().asScala.toSeq
+    val partitionCols = specFields.map(_.get("name").asText())
+    val deps = specFields.flatMap { sf =>
+      val name = sf.get("name").asText()
+      val src = idToName.getOrElse(sf.get("source-id").asInt(), name)
+      val gt = Option(sf.get("graft-transform")).map(_.asText())
+      gt match {
+        case Some(t) if t != "identity" => Some(DepSpec(src, name, t))
+        case Some(_) => None
+        case None => None // foreign metadata: no graft hash claim (see scaladoc)
+      }
+    }
+
+    def statType(c: String): Option[String] = schema.fields.find(_.name == c).map(_.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => "long"
+      case DoubleType | FloatType                        => "double"
+      case StringType                                    => "string"
+      case _                                             => ""
+    }).filter(_.nonEmpty)
+
+    val curId = md.get("current-snapshot-id").asLong()
+    val snapNode = md.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == curId)
+      .getOrElse(throw new IllegalArgumentException(s"current snapshot $curId absent"))
+    val mlist = parse(snapNode.get("manifest-list").asText()).elements().asScala.toSeq
+    def manifestEntries(contentKind: Int): Seq[com.fasterxml.jackson.databind.JsonNode] =
+      mlist.filter(_.get("content").asInt() == contentKind)
+        .flatMap(m => parse(m.get("manifest_path").asText())
+          .get("entries").elements().asScala.toSeq)
+
+    val files = manifestEntries(0).map { e =>
+      val df = e.get("data_file")
+      val stats = Option(df.get("lower_bounds")).map { lo =>
+        val hi = df.get("upper_bounds"); val nu = df.get("null_value_counts")
+        lo.fieldNames().asScala.flatMap { fid =>
+          val cName = idToName.getOrElse(fid.toInt, "")
+          statType(cName).map { tpe =>
+            cName -> ColStat(tpe, lo.get(fid).asText(),
+              Option(hi.get(fid)).map(_.asText()).orNull,
+              Option(nu.get(fid)).map(_.asLong()).getOrElse(0L))
+          }
+        }.toMap
+      }.getOrElse(Map.empty[String, ColStat])
+      FileEntry(
+        path = df.get("file_path").asText(), // absolute — never owned
+        partition = Option(df.get("partition")).map(p =>
+          p.fieldNames().asScala.map(k => k -> p.get(k).asText()).toMap)
+          .getOrElse(Map.empty),
+        rows = df.get("record_count").asLong(),
+        bytes = df.get("file_size_in_bytes").asLong(),
+        stats = stats,
+        addedBy = curId)
+    }
+    val deleteFiles = manifestEntries(1).map { e =>
+      val df = e.get("data_file")
+      DeleteFileEntry(
+        path = df.get("file_path").asText(),
+        rows = df.get("record_count").asLong(),
+        addedBy = curId,
+        bytes = df.get("file_size_in_bytes").asLong(),
+        equalityCols =
+          if (df.get("content").asInt() == 2)
+            Option(df.get("equality_ids")).map(_.elements().asScala
+              .map(n => idToName.getOrElse(n.asInt(), "")).filter(_.nonEmpty).toSeq)
+              .getOrElse(Seq.empty)
+          else Seq.empty)
+    }
+
+    val destP = new HPath(destRoot)
+    val hfs = destP.getFileSystem(conf)
+    if (hfs.exists(destP)) hfs.delete(destP, true)
+    GraftTable.invalidate(destRoot)
+    hfs.mkdirs(destP)
+    val t = new GraftTable(destRoot, spark)
+    // keep the SOURCE snapshot id (like cloneTo) so inherited addedBy /
+    // equality-delete sequencing survives the import
+    t.commit(Snapshot(
+      id = curId, parentId = -1L, tsMillis = System.currentTimeMillis(),
+      operation = "iceberg-import", schemaJson = schema.json,
+      partitionCols = partitionCols, deps = deps, files = files,
+      addedFiles = 0, deletedFiles = 0, deleteFiles = deleteFiles,
+      properties = Option(md.get("properties")).map(p =>
+        p.fieldNames().asScala.map(k => k -> p.get(k).asText()).toMap)
+        .getOrElse(Map.empty) +
+        ("import.source" -> metadataPath)))
+    t
   }
 }

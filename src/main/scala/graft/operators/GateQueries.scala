@@ -834,6 +834,31 @@ object GateQueries {
     """SELECT count(*) AS record_count_total, true AS file_counts_match
       |FROM orders WHERE o_orderkey < 8000""".stripMargin
 
+  /** `lake_iceberg_roundtrip` (A69): the full bridge — export a table
+    * (with a pending MOR delete) to Iceberg-spec metadata, IMPORT it
+    * into a fresh root (zero bytes copied, absolute references), and
+    * return the imported table's rows: the whole export → import →
+    * manifest-planned-scan chain is value-checked against plain SQL
+    * over the source parquet, MOR delete applied on read included.
+    */
+  def lakeIcebergRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "icertq"),
+      byStatus(orders(s, d)), Seq("o_orderstatus"))
+    t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    t.delete(col("o_orderkey") % 23 === 0)
+    val metaPath = graft.lake.IcebergExport.exportMetadata(t, work(d, "icertq") + "-ice")
+    val imp = graft.lake.IcebergExport.importMetadata(
+      s, metaPath, work(d, "icertq") + "-imp")
+    require(imp.current.files.forall(f => GraftTable.isAbsoluteEntry(f.path)),
+      "import must reference source files absolutely (zero-copy)")
+    require(imp.current.deleteFiles.nonEmpty,
+      "the pending MOR delete must survive the round-trip")
+    sel(imp.read())
+  }
+
+  val lakeIcebergRoundtripSql: String =
+    s"SELECT $selSql FROM orders WHERE o_orderkey % 23 <> 0 ORDER BY o_orderkey"
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -860,6 +885,7 @@ object GateQueries {
     "lake_refddl"           -> (lakeRefDdl _),
     "lake_changes_sql"      -> (lakeChangesSql _),
     "lake_iceberg_export"   -> (lakeIcebergExport _),
+    "lake_iceberg_roundtrip" -> (lakeIcebergRoundtrip _),
     "lake_clustering_check" -> (lakeClusteringCheck _))
 
   val oracles: Map[String, String] = Map(
@@ -886,5 +912,6 @@ object GateQueries {
     "lake_refddl"           -> lakeRefDdlSql,
     "lake_changes_sql"      -> lakeChangesSqlSql,
     "lake_iceberg_export"   -> lakeIcebergExportSql,
+    "lake_iceberg_roundtrip" -> lakeIcebergRoundtripSql,
     "lake_clustering_check" -> lakeClusteringCheckSql)
 }

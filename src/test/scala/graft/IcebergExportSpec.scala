@@ -105,6 +105,32 @@ class IcebergExportSpec extends SparkSpec {
       t.current.deletedRows)
   }
 
+  test("round-trip: import of exported metadata reads identically, zero bytes copied") {
+    val o = Tables.orders(spark, sfDir).limit(3000)
+    val root = "/root/repo/target/laketest/iceroundtrip"
+    val t = GraftTable.create(spark, root,
+      o.repartition(col("o_orderstatus")), Seq("o_orderstatus"))
+    t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    val victim = t.read().select(col("o_orderkey")).orderBy(col("o_orderkey"))
+      .head().getLong(0)
+    t.delete(col("o_orderkey") === victim) // pending MOR delete must survive
+    val metaPath = IcebergExport.exportMetadata(t, root + "-ice")
+
+    val imp = IcebergExport.importMetadata(spark, metaPath, root + "-imported")
+    // multiset equality both ways, MOR delete applied on read
+    assert(imp.read().exceptAll(t.read()).count() === 0)
+    assert(t.read().exceptAll(imp.read()).count() === 0)
+    assert(imp.read().filter(col("o_orderkey") === victim).count() === 0)
+    // zero-copy: every imported entry is absolute (source-owned)
+    assert(imp.current.files.forall(f => GraftTable.isAbsoluteEntry(f.path)))
+    // identity partition pruning works over imported partition values
+    val (pruned, total, _) = imp.pruneFiles(col("o_orderstatus") === "F")
+    assert(pruned.nonEmpty && pruned.size < total)
+    // the import's own expire never touches source bytes
+    imp.expire(keepFrom = imp.currentId + 1)
+    assert(t.read().count() > 0, "source intact after import-side expire")
+  }
+
   test("equality-delete export carries equality_ids; transforms map per spec") {
     import spark.implicits._
     val base = (1L to 500L).map(k => (k, s"v$k")).toDF("k", "v")
