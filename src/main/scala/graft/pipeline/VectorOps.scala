@@ -331,21 +331,19 @@ object VectorOps {
     * Probabilistic recall → rows-only driver check; spec measures
     * recall against C6.
     */
-  def annIvf(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val all = Tables.embeddings(s, d)
-
+  /** Coarse-quantizer training shared by IVF and IVFPQ: deterministic
+    * init (the [[IvfLists]] lowest non-query vec_ids), 2 Lloyd
+    * iterations over the capped [[trainSample]]. Only the k×dim
+    * centroid matrix ever reaches the driver.
+    */
+  private def ivfCentroids(all: DataFrame): Array[Array[Double]] = {
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) v else v.map(_ / n)
     }
-    // deterministic init: the 16 vectors with the lowest vec_ids >= 100
     var cents: Array[Array[Double]] = all.filter(col("vec_id") >= 100)
       .orderBy(col("vec_id")).limit(IvfLists)
       .collect().map(r => normalize(r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
-    // 2 Lloyd iterations over the capped training sample: assign
-    // (narrow map) → per-cluster mean (one agg). Only the k×dim
-    // centroid matrix ever reaches the driver.
     val train = trainSample(all)
     for (_ <- 1 to 2) {
       val assigned = train.select(
@@ -359,29 +357,42 @@ object VectorOps {
           k -> normalize(rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray) }
       cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
     }
+    cents
+  }
 
-    val corpus = all.select(
-      col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-      exprs.nearestCentroid(col("embedding"), cents).as("cluster"))
-
-    // query side: nprobe nearest centroids per query, computed as a
-    // DISTRIBUTED broadcast-join over the query DataFrame — no query
-    // vector ever reaches the driver, so a million-query batch plans
-    // the same way this 10-query one does (centroids are unit-norm,
-    // so ranking by cosine ≡ ranking by dot)
+  /** Per-query nprobe nearest centroids, computed as a DISTRIBUTED
+    * broadcast-join over the query DataFrame — no query vector ever
+    * reaches the driver, so a million-query batch plans the same way
+    * a 10-query one does (centroids are unit-norm, so ranking by
+    * cosine ≡ ranking by dot). Returns (query_id, cluster).
+    */
+  private def ivfProbes(s: SparkSession, all: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
     import s.implicits._
     val centsDf = broadcast(cents.zipWithIndex
       .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq.toDF("cluster", "c_emb"))
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("c_dot").desc, col("cluster"))
-    val probes = all.filter(col("vec_id") < NQueries)
+    all.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding"))
       .crossJoin(centsDf)
       .withColumn("c_dot", exprs.cosineSim(col("embedding"), col("c_emb")))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= IvfProbes)
       .select(col("query_id"), col("cluster"))
+  }
+
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Tables.embeddings(s, d)
+    val cents = ivfCentroids(all)
+
+    val corpus = all.select(
+      col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      exprs.nearestCentroid(col("embedding"), cents).as("cluster"))
+
+    val probes = ivfProbes(s, all, cents)
     val qdf = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .join(broadcast(probes), "query_id")
@@ -413,34 +424,35 @@ object VectorOps {
     * quantizer in front — both building blocks are here. Probabilistic
     * recall → rows-only driver check; the spec bounds recall@5 vs C6.
     */
-  def annPq(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val all = Tables.embeddings(s, d)
-    val M = 8; val K = 16; val Dim = 64; val Sub = Dim / M
+  private val PqM = 8; private val PqK = 16; private val PqSub = EmbDim / PqM
 
-    def subvec(embc: Column, m: Int): Column = slice(embc, m * Sub + 1, Sub)
-    // L2 augmentation: x' = [x, 1], c' = [c, -|c|^2/2] (see scaladoc)
-    def aug(embc: Column, m: Int): Column =
-      concat(subvec(embc, m), array(lit(1.0f)))
-    def augBook(book: Array[Array[Double]]): Array[Array[Double]] =
-      book.map(c => c :+ (-c.map(x => x * x).sum / 2))
+  private def pqSubvec(embc: Column, m: Int): Column = slice(embc, m * PqSub + 1, PqSub)
+  // L2 augmentation: x' = [x, 1], c' = [c, -|c|^2/2] (see annPq scaladoc)
+  private def pqAug(embc: Column, m: Int): Column =
+    concat(pqSubvec(embc, m), array(lit(1.0f)))
+  private def pqAugBook(book: Array[Array[Double]]): Array[Array[Double]] =
+    book.map(c => c :+ (-c.map(x => x * x).sum / 2))
 
-    // deterministic init: subvectors of the K lowest non-query vec_ids
+  /** PQ codebook training shared by PQ and IVFPQ: deterministic init
+    * (subvectors of the K lowest non-query vec_ids), 2 Lloyd
+    * iterations over the capped [[trainSample]], one shuffle each:
+    * explode (m, code, dim) → mean.
+    */
+  private def pqBooks(all: DataFrame): Array[Array[Array[Double]]] = {
+    val M = PqM; val K = PqK; val Sub = PqSub
     var books: Array[Array[Array[Double]]] = {
       val seed = all.filter(col("vec_id") >= NQueries)
         .orderBy(col("vec_id")).limit(K).select(col("embedding")).collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       Array.tabulate(M)(m => seed.map(_.slice(m * Sub, (m + 1) * Sub)))
     }
-    // 2 Lloyd iterations over the capped training sample, one shuffle
-    // each: explode (m, code, dim) → mean
     val train = trainSample(all)
     for (_ <- 1 to 2) {
       val assigned = train.select(
         explode(array((0 until M).map(m => struct(
           lit(m).as("m"),
-          exprs.nearestCentroid(aug(col("embedding"), m), augBook(books(m))).as("code"),
-          subvec(col("embedding"), m).as("sv"))): _*)).as("a"))
+          exprs.nearestCentroid(pqAug(col("embedding"), m), pqAugBook(books(m))).as("code"),
+          pqSubvec(col("embedding"), m).as("sv"))): _*)).as("a"))
       val means = assigned
         .select(col("a.m"), col("a.code"), posexplode(col("a.sv")).as(Seq("dim", "x")))
         .groupBy(col("m"), col("code"), col("dim")).agg(avg(col("x")).as("mu"))
@@ -449,28 +461,32 @@ object VectorOps {
       books = Array.tabulate(M)(m => Array.tabulate(K)(k =>
         means.getOrElse((m, k), books(m)(k))))
     }
+    books
+  }
 
-    // encode: 8 nibble codes per vector (the compressed index)
-    val codes = all.select(col("vec_id").as("n_id"),
-      array((0 until M).map(m =>
-        exprs.nearestCentroid(aug(col("embedding"), m), augBook(books(m)))): _*).as("codes"))
+  /** Encode the corpus: M nibble codes per vector (the compressed
+    * index). Returns (n_id, codes).
+    */
+  private def pqCodes(all: DataFrame, books: Array[Array[Array[Double]]]): DataFrame =
+    all.select(col("vec_id").as("n_id"),
+      array((0 until PqM).map(m =>
+        exprs.nearestCentroid(pqAug(col("embedding"), m), pqAugBook(books(m)))): _*).as("codes"))
 
-    // ADC lookup tables per query: lut[m*K + k] = q_m . c_{m,k} —
-    // computed DISTRIBUTED as a broadcast-join over the query
-    // DataFrame (explode into M subvectors, join the M×K codebook,
-    // zip_with/aggregate dot, regroup in (m,code) order). No query
-    // vector touches the driver; a million-query batch runs the same
-    // plan. The lambda chain evaluates interpreted, but only over
-    // |queries|·M·K rows — the corpus-sized scan below stays on the
-    // codegen'd AdcScore kernel.
+  /** Per-query ADC lookup tables, computed DISTRIBUTED over the query
+    * DataFrame against the broadcast codebook (see annPq scaladoc).
+    * Returns (query_id, lut).
+    */
+  private def pqLuts(s: SparkSession, all: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
     import s.implicits._
+    val M = PqM; val K = PqK
     val booksDf = broadcast((0 until M).flatMap(m => (0 until K).map(k =>
       (m, k, books(m)(k)))).toDF("m", "code", "c_sub"))
-    val luts = all.filter(col("vec_id") < NQueries)
+    all.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"),
         explode(array((0 until M).map(m => struct(
           lit(m).as("m"),
-          subvec(col("embedding"), m).cast("array<double>").as("q_sub"))): _*)).as("qs"))
+          pqSubvec(col("embedding"), m).cast("array<double>").as("q_sub"))): _*)).as("qs"))
       .select(col("query_id"), col("qs.m").as("m"), col("qs.q_sub").as("q_sub"))
       .join(booksDf, "m")
       .withColumn("dot", aggregate(
@@ -481,6 +497,16 @@ object VectorOps {
         (col("m") * K + col("code")).as("i"), col("dot").as("v")))).as("pairs"))
       .select(col("query_id"),
         transform(col("pairs"), p => p.getField("v")).as("lut"))
+  }
+
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Tables.embeddings(s, d)
+    val K = PqK
+    val books = pqBooks(all)
+    val codes = pqCodes(all, books)
+
+    val luts = pqLuts(s, all, books)
 
     // approximate dot = M table lookups via the codegen'd
     // [[graft.functions.AdcScore]] kernel — the whole corpus scan stays
@@ -508,6 +534,60 @@ object VectorOps {
       .select(col("query_id"), col("n_id").as("neighbor_id"), col("cos_sim"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** C42 `ann_ivfpq`: the composed FAISS-style IVFPQ — the C13 coarse
+    * quantizer in FRONT of the C26 compressed scan, which is the shape
+    * a 100 TB vector corpus actually runs: the inverted lists bound
+    * WHICH rows are scanned (probing = partition pruning when the
+    * cluster id is the lake table's bucket column), the PQ codes bound
+    * WHAT each scanned row costs (4 B of codes through the codegen'd
+    * ADC kernel instead of 256 B of floats), and only the ADC top-50
+    * pays an exact-cosine rerank. Per query the scan touches
+    * nprobe/nlist of the corpus at 64× compression — both dials
+    * (probe count, code width) are independent. Codes are encoded on
+    * RAW vectors (IVFFlat-PQ hybrid; classic residual encoding needs
+    * per-list codebooks — a documented quality/simplicity trade at
+    * this dim). Probabilistic recall → rows-only driver check;
+    * `ann_ivfpq_check` oracles the rank-dominance/completeness
+    * invariants and the spec bounds recall vs C6.
+    */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Tables.embeddings(s, d)
+    val cents = ivfCentroids(all)
+    val books = pqBooks(all)
+    // the compressed index: cluster id (coarse) + nibble codes (fine)
+    val codes = pqCodes(all, books)
+      .join(all.select(col("vec_id").as("n_id"),
+        exprs.nearestCentroid(col("embedding"), cents).as("cluster")), "n_id")
+    val probes = ivfProbes(s, all, cents)
+    val luts = pqLuts(s, all, books)
+    // ADC scan ONLY over the probed lists: the (query, cluster) probe
+    // pairs join the corpus on cluster, so per query exactly the
+    // nprobe lists' codes flow through the ADC kernel
+    val approx = codes
+      .join(broadcast(probes.join(luts, "query_id")), Seq("cluster"))
+      .filter(col("query_id") =!= col("n_id"))
+      .withColumn("a_score", exprs.adcScore(col("codes"), col("lut"), PqK))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("a_score").desc, col("n_id"))
+    val cand = approx.withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= 50)
+      .select(col("query_id"), col("n_id"))
+    // exact rerank of the surviving candidates
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    cand.join(broadcast(q), "query_id").join(emb(s, d, "n"), "n_id")
+      .withColumn("cos_sim", round(exprs.cosineSim(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("n_id").as("neighbor_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def annIvfPqCheck(s: SparkSession, d: String): DataFrame = annCheck(s, d, annIvfPq)
 
   /** Minimum seed-centroid count for [[semanticDedup]]. The actual k
     * SCALES with the corpus — see [[semanticSeedStep]] — so per-cluster
@@ -644,6 +724,8 @@ object VectorOps {
     "ann_lsh_check"   -> (annLshCheck _),
     "ann_ivf_check"   -> (annIvfCheck _),
     "ann_pq_check"    -> (annPqCheck _),
+    "ann_ivfpq"       -> (annIvfPq _),
+    "ann_ivfpq_check" -> (annIvfPqCheck _),
     "ann_ivf"         -> (annIvf _))
 
   val oracles: Map[String, String] = Map(
@@ -652,5 +734,6 @@ object VectorOps {
     "ann_bruteforce"  -> annBruteforceSql,
     "ann_lsh_check"   -> annCheckSql,
     "ann_ivf_check"   -> annCheckSql,
-    "ann_pq_check"    -> annCheckSql)
+    "ann_pq_check"    -> annCheckSql,
+    "ann_ivfpq_check" -> annCheckSql)
 }
