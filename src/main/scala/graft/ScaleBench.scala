@@ -111,7 +111,7 @@ object ScaleBench {
     "q_events_window", "q_asof_join", "q_skew_salted_agg", "q_range_join",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_embedding", "dedup_clusters", "dedup_apply", "dedup_lines",
-    "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",
+    "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq",
     "text_tfidf", "text_dup_spans", "text_fingerprint", "text_contamination",
     "corpus_filter", "sample_mixture", "pipeline_corpus_e2e", "mm_decode",
     "q_unpivot", "dedup_semantic", "stream_stream_join",

@@ -158,10 +158,12 @@ object IcebergExport {
           "partition_spec_id" -> 0,
           "content" -> 0,
           "sequence_number" -> s.id,
-          "added_files_count" -> s.files.count(f => f.addedBy == s.id || f.addedBy == 0L),
-          "existing_files_count" -> s.files.count(f => f.addedBy != 0L && f.addedBy != s.id),
+          // counts mirror the per-entry status field exactly (legacy
+          // addedBy==0 entries are status=existing in every snapshot)
+          "added_files_count" -> s.files.count(_.addedBy == s.id),
+          "existing_files_count" -> s.files.count(_.addedBy != s.id),
           "deleted_files_count" -> 0,
-          "added_rows_count" -> s.files.filter(f => f.addedBy == s.id || f.addedBy == 0L).map(_.rows).sum) +:
+          "added_rows_count" -> s.files.filter(_.addedBy == s.id).map(_.rows).sum) +:
         delPath.toSeq.map(dp =>
           ListMap(
             "manifest_path" -> dp,
@@ -230,7 +232,9 @@ object IcebergExport {
           "operation" -> (s.operation match {
             case "create" | "append" => "append"
             case op if op.startsWith("overwrite") => "overwrite"
-            case "delete" | "update" | "merge" | "merge-delete" => "overwrite"
+            // spec v2 defines 'delete' as its own operation kind
+            case "delete" | "merge-delete" => "delete"
+            case "update" | "merge" => "overwrite"
             case _ => "replace"
           }),
           "graft-operation" -> s.operation),
@@ -349,14 +353,18 @@ object IcebergExport {
         rows = df.get("record_count").asLong(),
         bytes = df.get("file_size_in_bytes").asLong(),
         stats = stats,
-        addedBy = curId)
+        // PER-ENTRY sequence, not curId: equality deletes apply only to
+        // files with addedBy < the delete's — a uniform stamp would make
+        // every imported equality delete inert (commit-time pruning
+        // drops a delete nothing predates) and resurrect its victims
+        addedBy = Option(e.get("sequence_number")).map(_.asLong()).getOrElse(curId))
     }
     val deleteFiles = manifestEntries(1).map { e =>
       val df = e.get("data_file")
       DeleteFileEntry(
         path = df.get("file_path").asText(),
         rows = df.get("record_count").asLong(),
-        addedBy = curId,
+        addedBy = Option(e.get("sequence_number")).map(_.asLong()).getOrElse(curId),
         bytes = df.get("file_size_in_bytes").asLong(),
         equalityCols =
           if (df.get("content").asInt() == 2)

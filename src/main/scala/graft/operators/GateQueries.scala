@@ -21,19 +21,9 @@ import graft.sql.GraftCatalog
   */
 object GateQueries {
 
-  private def work(d: String, name: String): String =
-    s"/root/repo/target/lakework/$name-${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
-
-  private def orders(s: SparkSession, d: String): DataFrame = Tables.orders(s, d)
-
-  private def byStatus(df: DataFrame): DataFrame = df.repartition(col("o_orderstatus"))
-
-  private val orderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-
-  private def sel(df: DataFrame): DataFrame =
-    df.select(orderCols.map(col): _*).orderBy(col("o_orderkey"))
-
-  private val selSql = "o_orderkey, o_custkey, o_orderstatus, o_totalprice"
+  // shared with LakeQueries: one work-dir scheme + one projected-column
+  // convention across every lake driver entry
+  import LakeQueries.{work, orders, byStatus, sel, selSql}
 
   // ---- A28 durable catalog ------------------------------------------
 
@@ -485,7 +475,13 @@ object GateQueries {
     val nTag = s.sql("SELECT count(*) AS n FROM gate_verasof VERSION AS OF 'audited'")
       .head().getLong(0)
     require(n1 == nTag, "tag spelling must resolve to the same snapshot")
-    val ts1 = new java.sql.Timestamp(t.snapshot(1L).tsMillis).toString.stripSuffix(".0")
+    // render the literal in the SESSION zone (graft parses it there);
+    // java.sql.Timestamp.toString would use the JVM default zone and
+    // shift the instant whenever the two differ
+    val ts1 = java.time.Instant.ofEpochMilli(t.snapshot(1L).tsMillis)
+      .atZone(java.time.ZoneId.of(s.conf.get("spark.sql.session.timeZone")))
+      .toLocalDateTime
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
     val nTs = s.sql(s"SELECT count(*) AS n FROM gate_verasof TIMESTAMP AS OF '$ts1'")
       .head().getLong(0)
     require(nTs == n1, "timestamp spelling must resolve to the same snapshot")

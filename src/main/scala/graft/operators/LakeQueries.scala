@@ -21,19 +21,19 @@ import graft.lake.{DepSpec, GraftTable}
   */
 object LakeQueries {
 
-  private def work(d: String, name: String): String =
+  private[operators] def work(d: String, name: String): String =
     s"/root/repo/target/lakework/$name-${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
 
-  private def orders(s: SparkSession, d: String): DataFrame = Tables.orders(s, d)
+  private[operators] def orders(s: SparkSession, d: String): DataFrame = Tables.orders(s, d)
 
-  private def byStatus(df: DataFrame): DataFrame = df.repartition(col("o_orderstatus"))
+  private[operators] def byStatus(df: DataFrame): DataFrame = df.repartition(col("o_orderstatus"))
 
-  private val orderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+  private[operators] val orderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
 
-  private def sel(df: DataFrame): DataFrame =
+  private[operators] def sel(df: DataFrame): DataFrame =
     df.select(orderCols.map(col): _*).orderBy(col("o_orderkey"))
 
-  private val selSql = "o_orderkey, o_custkey, o_orderstatus, o_totalprice"
+  private[operators] val selSql = "o_orderkey, o_custkey, o_orderstatus, o_totalprice"
 
   // ---- A1 create ----------------------------------------------------
 

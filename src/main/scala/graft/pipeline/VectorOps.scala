@@ -336,7 +336,7 @@ object VectorOps {
     * iterations over the capped [[trainSample]]. Only the k×dim
     * centroid matrix ever reaches the driver.
     */
-  private def ivfCentroids(all: DataFrame): Array[Array[Double]] = {
+  private def ivfCentroids(all: DataFrame, train: DataFrame): Array[Array[Double]] = {
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) v else v.map(_ / n)
@@ -344,7 +344,6 @@ object VectorOps {
     var cents: Array[Array[Double]] = all.filter(col("vec_id") >= 100)
       .orderBy(col("vec_id")).limit(IvfLists)
       .collect().map(r => normalize(r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
-    val train = trainSample(all)
     for (_ <- 1 to 2) {
       val assigned = train.select(
         exprs.nearestCentroid(col("embedding"), cents).as("cluster"),
@@ -386,7 +385,7 @@ object VectorOps {
   def annIvf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val all = Tables.embeddings(s, d)
-    val cents = ivfCentroids(all)
+    val cents = ivfCentroids(all, trainSample(all))
 
     val corpus = all.select(
       col("vec_id").as("n_id"), col("embedding").as("n_emb"),
@@ -438,7 +437,7 @@ object VectorOps {
     * iterations over the capped [[trainSample]], one shuffle each:
     * explode (m, code, dim) → mean.
     */
-  private def pqBooks(all: DataFrame): Array[Array[Array[Double]]] = {
+  private def pqBooks(all: DataFrame, train: DataFrame): Array[Array[Array[Double]]] = {
     val M = PqM; val K = PqK; val Sub = PqSub
     var books: Array[Array[Array[Double]]] = {
       val seed = all.filter(col("vec_id") >= NQueries)
@@ -446,7 +445,6 @@ object VectorOps {
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       Array.tabulate(M)(m => seed.map(_.slice(m * Sub, (m + 1) * Sub)))
     }
-    val train = trainSample(all)
     for (_ <- 1 to 2) {
       val assigned = train.select(
         explode(array((0 until M).map(m => struct(
@@ -503,7 +501,7 @@ object VectorOps {
     import org.apache.spark.sql.expressions.Window
     val all = Tables.embeddings(s, d)
     val K = PqK
-    val books = pqBooks(all)
+    val books = pqBooks(all, trainSample(all))
     val codes = pqCodes(all, books)
 
     val luts = pqLuts(s, all, books)
@@ -554,8 +552,10 @@ object VectorOps {
   def annIvfPq(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val all = Tables.embeddings(s, d)
-    val cents = ivfCentroids(all)
-    val books = pqBooks(all)
+    // ONE sample (and one count job) feeds both quantizers
+    val train = trainSample(all)
+    val cents = ivfCentroids(all, train)
+    val books = pqBooks(all, train)
     // the compressed index: cluster id (coarse) + nibble codes (fine)
     val codes = pqCodes(all, books)
       .join(all.select(col("vec_id").as("n_id"),
@@ -643,7 +643,14 @@ object VectorOps {
     // k ∝ n: the count is one cheap metadata-backed pass here; a lake
     // table supplies it from manifest stats (A51) with no scan at all
     val step = semanticSeedStep(corpus.count())
-    val seeds = corpus.filter(col("vec_id") % step === 0)
+    // seed candidates come from the primary id space only (below
+    // PlantIdOffset, the region fixtures reserve for planted
+    // duplicates): a planted copy whose id happens to be ≡ 0 mod step
+    // would otherwise seed its OWN singleton cluster (cos 1 to itself)
+    // and silently escape dedup — in production the seeds are a
+    // k-means fit, where member-id arithmetic never arises
+    val seeds = corpus
+      .filter(col("vec_id") % step === 0 && col("vec_id") < PlantIdOffset)
       .select(col("vec_id").as("seed_id"), col("embedding").as("seed_emb"))
     corpus.join(broadcast(seeds), lit(true))
       .select(col("vec_id"), col("embedding"),
@@ -693,7 +700,8 @@ object VectorOps {
        |nn AS (SELECT count(*) AS n FROM e),
        |stp AS (SELECT greatest(1, n // greatest($SemK, n // $SemTargetCluster)) AS step FROM nn),
        |seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e
-       |          WHERE vec_id % (SELECT step FROM stp) = 0),
+       |          WHERE vec_id % (SELECT step FROM stp) = 0
+       |            AND vec_id < $PlantIdOffset),
        |assign AS (
        |  SELECT e.vec_id, e.v, s.seed_id AS cluster_id,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY

@@ -157,6 +157,19 @@ class IcebergExportSpec extends SparkSpec {
       assert(e.get("data_file").get("equality_ids").elements().asScala
         .map(_.asInt()).toSeq === Seq(kId)))
 
+    // EQUALITY round-trip READ: the import must preserve per-entry
+    // sequence numbers, or the equality delete goes inert (nothing
+    // predates a uniformly-stamped delete) and resurrects pre-images
+    val imp = IcebergExport.importMetadata(
+      spark, IcebergExport.exportMetadata(t, root + "-ice-rt"), root + "-imp-eq")
+    assert(imp.current.deleteFiles.exists(_.equalityCols.nonEmpty),
+      "imported equality delete must survive the commit (sequence preserved)")
+    assert(imp.read().count() === t.read().count())
+    assert(imp.read().filter(col("k") <= 3L).collect()
+      .forall(_.getAs[String]("v") == "nv"),
+      "post-images win after the round-trip; pre-images stay deleted")
+    assert(imp.read().exceptAll(t.read()).count() === 0)
+
     // transform mapping: sbucket exports as Iceberg bucket
     assert(IcebergExport.icebergTransform("sbucket[8]") === "bucket[8]")
     assert(IcebergExport.icebergTransform("truncate[3]") === "truncate[3]")
