@@ -783,7 +783,190 @@ object CoreQueries {
       |FROM u GROUP BY l_returnflag, measure
       |ORDER BY l_returnflag, measure""".stripMargin
 
+  /** B30 `q7_volume` (TPC-H Q7 shape): revenue flowing between two
+    * trading blocs by ship year — the SAME nation⋈region dimension
+    * joined twice under different roles (supplier side, customer
+    * side), a symmetric disjunctive pair filter, and year extraction.
+    * Regions rather than single nations keep the pair non-vacuous at
+    * every scale factor (sf0.001 has 10 suppliers). Both dimension
+    * aliases broadcast; the fact tables shuffle only on their keys.
+    */
+  def q7Volume(s: SparkSession, d: String): DataFrame = {
+    def bloc(nk: String, out: String) = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as(nk), col("r_name").as(out))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(bloc("s_nk", "supp_region")), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(bloc("c_nk", "cust_region")), col("c_nationkey") === col("c_nk"))
+      .filter(
+        (col("supp_region") === "ASIA" && col("cust_region") === "EUROPE") ||
+        (col("supp_region") === "EUROPE" && col("cust_region") === "ASIA"))
+      .groupBy(col("supp_region"), col("cust_region"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(money(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .orderBy(col("supp_region"), col("cust_region"), col("l_year"))
+  }
+
+  val q7VolumeSql: String =
+    """SELECT sr.r_name AS supp_region, cr.r_name AS cust_region,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND ((sr.r_name = 'ASIA' AND cr.r_name = 'EUROPE')
+      |    OR (sr.r_name = 'EUROPE' AND cr.r_name = 'ASIA'))
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** B31 `q8_share` (TPC-H Q8 shape): NATION_3's market share of
+    * PROMO-part revenue inside the ASIA region by order year — a
+    * 6-table join tree whose result is re-aggregated into a
+    * conditional-sum / total-sum ratio per group (the share), computed
+    * in one aggregation pass, never a self-join.
+    */
+  def q8Share(s: SparkSession, d: String): DataFrame = {
+    val custNation = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val suppNation = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("c_nk"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .select(year(col("o_orderdate")).as("o_year"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"),
+        col("supp_nation"))
+      .groupBy(col("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_3", col("volume")).otherwise(lit(0.0))) /
+          sum(col("volume")), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  val q8ShareSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  round(sum(CASE WHEN sn.n_name = 'NATION_3'
+      |                 THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END)
+      |        / sum(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cnn ON c_nationkey = cnn.n_nationkey
+      |JOIN region ON cnn.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** B32 `q13_histogram` (TPC-H Q13 shape): the distribution of
+    * per-customer order counts INCLUDING the zero bucket — a LEFT
+    * OUTER join feeding two stacked aggregations (count per customer,
+    * then customers per count). The zero bucket is exactly what an
+    * inner join would silently lose.
+    */
+  def q13Histogram(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val q13HistogramSql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** B33 `q15_top_supplier` (TPC-H Q15 shape): the supplier(s) whose
+    * quarterly revenue equals the global maximum — an aggregate OF an
+    * aggregate (max over per-supplier sums) matched back by equality,
+    * tie-safe by construction. Revenue is rounded BEFORE the max on
+    * both engines so the equality compares identical values.
+    */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(money(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("mx"))
+    Tables.supplier(s, d)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(top), col("total_revenue") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** B34 `q18_bigorders` (TPC-H Q18 shape): large-volume orders — a
+    * HAVING filter over a grouped fact aggregation whose survivors are
+    * joined BACK to the detail tables for full rows. The having-set is
+    * small, so the join back is broadcast; the big aggregation is one
+    * map-side-combined shuffle on the order key.
+    */
+  def q18BigOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(money(sum(col("l_quantity"))).as("total_qty"))
+      .filter(col("total_qty") > 300.0)
+    Tables.orders(s, d)
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        money(col("o_totalprice")).as("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  val q18BigOrdersSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 300.0)
+      |SELECT c_custkey, c_name, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  round(o_totalprice, 2) AS o_totalprice, total_qty
+      |FROM orders JOIN big ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_volume"       -> (q7Volume _),
+    "q8_share"        -> (q8Share _),
+    "q13_histogram"   -> (q13Histogram _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q18_bigorders"   -> (q18BigOrders _),
     "q_unpivot"         -> (qUnpivot _),
     "q_range_join"      -> (qRangeJoin _),
     "q_percentile"      -> (qPercentile _),
@@ -815,6 +998,11 @@ object CoreQueries {
     "q_skew_salted_agg" -> (qSkewSaltedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q7_volume"       -> q7VolumeSql,
+    "q8_share"        -> q8ShareSql,
+    "q13_histogram"   -> q13HistogramSql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q18_bigorders"   -> q18BigOrdersSql,
     "q_unpivot"         -> qUnpivotSql,
     "q_range_join"      -> qRangeJoinSql,
     "q_percentile"      -> qPercentileSql,
