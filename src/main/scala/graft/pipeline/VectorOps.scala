@@ -519,13 +519,15 @@ object VectorOps {
       .filter(col("arank") <= 50)
       .select(col("query_id"), col("n_id"))
 
-    // exact rerank of the PQ top-50
+    // exact rerank of the PQ top-50: the candidate set is tiny
+    // (|queries|·50 rows) — broadcast it so the corpus side is a
+    // narrow probe, never a corpus-wide shuffle on n_id
     val q = all.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val c = emb(s, d, "n")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("n_id"))
-    cand.join(broadcast(q), "query_id").join(c, "n_id")
+    broadcast(cand.join(broadcast(q), "query_id")).join(c, "n_id")
       .withColumn("cos_sim", round(exprs.cosineSim(col("q_emb"), col("n_emb")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
@@ -566,7 +568,7 @@ object VectorOps {
     // pairs join the corpus on cluster, so per query exactly the
     // nprobe lists' codes flow through the ADC kernel
     val approx = codes
-      .join(broadcast(probes.join(luts, "query_id")), Seq("cluster"))
+      .join(broadcast(probes.join(broadcast(luts), "query_id")), Seq("cluster"))
       .filter(col("query_id") =!= col("n_id"))
       .withColumn("a_score", exprs.adcScore(col("codes"), col("lut"), PqK))
     val wApprox = Window.partitionBy(col("query_id"))
@@ -574,12 +576,13 @@ object VectorOps {
     val cand = approx.withColumn("arank", row_number().over(wApprox))
       .filter(col("arank") <= 50)
       .select(col("query_id"), col("n_id"))
-    // exact rerank of the surviving candidates
+    // exact rerank of the surviving candidates — broadcast the tiny
+    // candidate set so the corpus side stays a narrow probe
     val q = all.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("n_id"))
-    cand.join(broadcast(q), "query_id").join(emb(s, d, "n"), "n_id")
+    broadcast(cand.join(broadcast(q), "query_id")).join(emb(s, d, "n"), "n_id")
       .withColumn("cos_sim", round(exprs.cosineSim(col("q_emb"), col("n_emb")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
