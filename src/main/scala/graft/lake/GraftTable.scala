@@ -2063,7 +2063,20 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * Hadoop FS throughout (object-store safe). Returns removed
     * root-relative paths.
     */
-  def vacuumOrphans(graceMillis: Long = GraftTable.DefaultOrphanGraceMillis): Seq[String] = {
+  def vacuumOrphans(graceMillis: Long = GraftTable.DefaultOrphanGraceMillis): Seq[String] =
+    orphanScan(graceMillis, delete = true).map(_._1)
+
+  /** `` t$orphans `` — the DRY-RUN of [[vacuumOrphans]] (A70): every
+    * sweep candidate past the grace period with its kind, deleting
+    * nothing. The operator's "what would VACUUM reclaim" dashboard —
+    * same enumeration, same structural in-flight guard, zero risk.
+    */
+  def orphansView(graceMillis: Long = GraftTable.DefaultOrphanGraceMillis): DataFrame = {
+    import spark.implicits._
+    orphanScan(graceMillis, delete = false).toDF("path", "kind")
+  }
+
+  private def orphanScan(graceMillis: Long, delete: Boolean): Seq[(String, String)] = {
     val referenced = snapshots
       .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
     val maxId = snapshotIds.max
@@ -2072,7 +2085,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     val rootP = new org.apache.hadoop.fs.Path(root)
     val hfs = rootP.getFileSystem(conf)
     val rootUri = hfs.makeQualified(rootP).toUri.getPath
-    val removed = scala.collection.mutable.ArrayBuffer[String]()
+    val removed = scala.collection.mutable.ArrayBuffer[(String, String)]()
     // `<snapId>-…` prefix of an engine-written payload name; None for
     // adopted files (which are always referenced anyway)
     def plannedId(name: String): Option[Long] = {
@@ -2087,8 +2100,9 @@ final class GraftTable(val root: String, spark: SparkSession) {
         val cit = hfs.listFiles(st.getPath, true)
         while (cit.hasNext) newest = math.max(newest, cit.next().getModificationTime)
         if (newest < cutoff) {
-          hfs.delete(st.getPath, true)
-          removed += st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+          if (delete) hfs.delete(st.getPath, true)
+          removed += ((st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/"),
+            "staging-tree"))
         }
       }
     for (sub <- Seq("data", "deletes")) {
@@ -2110,8 +2124,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
               && !referenced.contains(rel)
               && payloadId.forall(_ <= maxId) // structural in-flight guard
               && st.getModificationTime < cutoff) {
-            hfs.delete(st.getPath, false)
-            removed += rel
+            if (delete) hfs.delete(st.getPath, false)
+            removed += ((rel, "unreferenced-payload"))
           }
         }
       }
@@ -2120,7 +2134,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     // and expired, or just swept — including THIS pass, whose unlinks
     // refresh the dir mtime) is cruft — remove the husk
     val sweptDirs = removed.collect {
-      case r if r.startsWith("deletes/") => r.split('/').take(2).mkString("/")
+      case (r, _) if r.startsWith("deletes/") => r.split('/').take(2).mkString("/")
     }.toSet
     val delRoot = new org.apache.hadoop.fs.Path(rootP, "deletes")
     if (hfs.exists(delRoot)) hfs.listStatus(delRoot).foreach { st =>
@@ -2130,13 +2144,16 @@ final class GraftTable(val root: String, spark: SparkSession) {
         var hasParquet = false
         while (files.hasNext && !hasParquet)
           hasParquet = files.next().getPath.getName.endsWith(".parquet")
+        // dry-run: payloads were only flagged, not removed, so a dir
+        // that would empty out this pass still has parquet — only the
+        // genuinely-empty aged husk is reported (the conservative read)
         if (!hasParquet) {
-          hfs.delete(st.getPath, true)
-          removed += rel
+          if (delete) hfs.delete(st.getPath, true)
+          removed += ((rel, "empty-delete-dir"))
         }
       }
     }
-    removed.toSeq.distinct.sorted
+    removed.toSeq.distinct.sortBy(_._1)
   }
 
   // ---- read path ----------------------------------------------------

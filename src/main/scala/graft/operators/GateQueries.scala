@@ -573,6 +573,41 @@ object GateQueries {
     """SELECT true AS grace_holds, true AS orphan_swept, true AS staging_swept,
       |  true AS inflight_kept, true AS reads_intact""".stripMargin
 
+  /** `lake_orphans_view` (A70): the `$orphans` DRY-RUN view — plant a
+    * dead orphan and a stale staging tree, and the view must report
+    * exactly them (kinds included) while deleting NOTHING; the
+    * follow-up vacuum then removes exactly what the view predicted.
+    */
+  def lakeOrphansView(s: SparkSession, d: String): DataFrame = {
+    val root = work(d, "orphviewq")
+    val t = GraftTable.create(s, root,
+      byStatus(orders(s, d).filter(col("o_orderkey") < 1000)), Seq("o_orderstatus"))
+    val dataDir = java.nio.file.Paths.get(root, "data")
+    val src = java.nio.file.Files.list(dataDir.resolve(
+      java.nio.file.Files.list(dataDir).iterator().next().getFileName))
+      .iterator().next()
+    val orphan = dataDir.resolve("1-99-orphan.parquet")
+    java.nio.file.Files.copy(src, orphan)
+    val staging = java.nio.file.Paths.get(root, ".staging-cafe")
+    java.nio.file.Files.createDirectories(staging)
+    java.nio.file.Files.write(staging.resolve("part-0.parquet"), Array[Byte](7))
+    val viewed = t.orphansView(graceMillis = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    require(viewed == Set(
+      ("data/1-99-orphan.parquet", "unreferenced-payload"),
+      (".staging-cafe", "staging-tree")), s"unexpected view: $viewed")
+    require(java.nio.file.Files.exists(orphan) && java.nio.file.Files.exists(staging),
+      "the view must not delete anything")
+    val swept = t.vacuumOrphans(graceMillis = 0).toSet
+    require(swept == viewed.map(_._1), s"vacuum must remove what the view predicted: $swept")
+    require(t.orphansView(graceMillis = 0).count() == 0, "clean after vacuum")
+    import s.implicits._
+    Seq((true, true, true)).toDF("view_exact", "dry_run", "vacuum_matches")
+  }
+
+  val lakeOrphansViewSql: String =
+    "SELECT true AS view_exact, true AS dry_run, true AS vacuum_matches"
+
   // ---- A54 Hadoop-FS metadata plane ---------------------------------
 
   /** `lake_fileuri` (A54): the whole metadata plane runs through the
@@ -875,6 +910,7 @@ object GateQueries {
     "lake_version_asof"     -> (lakeVersionAsof _),
     "lake_stats_check"      -> (lakeStatsCheck _),
     "lake_vacuum_check"     -> (lakeVacuumCheck _),
+    "lake_orphans_view"     -> (lakeOrphansView _),
     "lake_fileuri"          -> (lakeFileUri _),
     "lake_morgate_check"    -> (lakeMorGateCheck _),
     "lake_dpp_check"        -> (lakeDppCheck _),
@@ -902,6 +938,7 @@ object GateQueries {
     "lake_version_asof"     -> lakeVersionAsofSql,
     "lake_stats_check"      -> lakeStatsCheckSql,
     "lake_vacuum_check"     -> lakeVacuumCheckSql,
+    "lake_orphans_view"     -> lakeOrphansViewSql,
     "lake_fileuri"          -> lakeFileUriSql,
     "lake_morgate_check"    -> lakeMorGateCheckSql,
     "lake_dpp_check"        -> lakeDppCheckSql,

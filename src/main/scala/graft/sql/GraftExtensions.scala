@@ -438,6 +438,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           case "$history"    => Shim.logicalPlan(t.historyView)
           case "$manifests"  => Shim.logicalPlan(t.manifestsView)
           case "$clustering" => Shim.logicalPlan(t.clusteringView)
+          case "$orphans"    => Shim.logicalPlan(t.orphansView())
           case other => throw new IllegalArgumentException(
             s"unknown metadata view suffix '$other' on graft table '$base'")
         }

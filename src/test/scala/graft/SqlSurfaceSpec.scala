@@ -228,6 +228,9 @@ class SqlSurfaceSpec extends SparkSpec {
     spark.sql("VACUUM t_opt")
     assert(t.snapshotIds === Seq(t.currentId), "only current snapshot retained")
     assert(t.read().count() === rowsBefore)
+    // $orphans dry-run view resolves from SQL; a freshly-vacuumed
+    // table has nothing to reclaim
+    assert(spark.sql("SELECT * FROM `t_opt$orphans`").count() === 0)
   }
 
   test("tag/branch DDL from SQL: CREATE TAG AS OF, branch fast-forward, DROP, kind mismatch") {
