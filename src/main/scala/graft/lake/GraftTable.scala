@@ -472,7 +472,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * (the original format, still readable); branches as
     * `{"id": N, "branch": true}`.
     */
-  private def refEntries: Map[String, (Long, Boolean)] =
+  private[lake] def refEntries: Map[String, (Long, Boolean)] =
     if (!io.exists(GraftTable.RefsName)) Map.empty
     else {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

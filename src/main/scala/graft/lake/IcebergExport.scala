@@ -223,6 +223,14 @@ object IcebergExport {
       "sort-orders" -> Seq(ListMap("order-id" -> 0, "fields" -> Seq.empty[String])),
       "properties" -> cur.properties,
       "current-snapshot-id" -> cur.id,
+      // spec-v2 refs: named branches/tags with their snapshot ids;
+      // `main` is the current branch per the spec's convention
+      "refs" -> (ListMap("main" ->
+        ListMap("snapshot-id" -> cur.id, "type" -> "branch")) ++
+        t.refEntries.toSeq.sortBy(_._1).map { case (n, (id, isBranch)) =>
+          n -> ListMap("snapshot-id" -> id,
+            "type" -> (if (isBranch) "branch" else "tag"))
+        }),
       "snapshots" -> snaps.map(s => ListMap(
         "snapshot-id" -> s.id,
         "parent-snapshot-id" -> s.parentId,
@@ -391,6 +399,20 @@ object IcebergExport {
         p.fieldNames().asScala.map(k => k -> p.get(k).asText()).toMap)
         .getOrElse(Map.empty) +
         ("import.source" -> metadataPath)))
+    // named refs: re-create the ones that resolve against the imported
+    // snapshot (the import starts a fresh single-snapshot history, so
+    // refs at other snapshots have nothing to point at — skipped, like
+    // a shallow clone's fresh ref namespace)
+    Option(md.get("refs")).foreach { refs =>
+      refs.fieldNames().asScala.filterNot(_ == "main").foreach { n =>
+        val r = refs.get(n)
+        if (r.get("snapshot-id").asLong() == curId) {
+          if (r.get("type").asText() == "tag") t.tag(n, curId)
+          else t.branch(n, curId)
+          ()
+        }
+      }
+    }
     t
   }
 }

@@ -114,9 +114,19 @@ class IcebergExportSpec extends SparkSpec {
     val victim = t.read().select(col("o_orderkey")).orderBy(col("o_orderkey"))
       .head().getLong(0)
     t.delete(col("o_orderkey") === victim) // pending MOR delete must survive
+    t.tag("audited", t.currentId).tag("old", 1L)
     val metaPath = IcebergExport.exportMetadata(t, root + "-ice")
+    // refs export: main + both tags with their snapshot ids
+    val refs = parse(metaPath).get("refs")
+    assert(refs.get("main").get("type").asText() === "branch")
+    assert(refs.get("audited").get("snapshot-id").asLong() === t.currentId)
+    assert(refs.get("old").get("snapshot-id").asLong() === 1L)
 
     val imp = IcebergExport.importMetadata(spark, metaPath, root + "-imported")
+    // a ref at the imported snapshot re-materializes; one at an absent
+    // snapshot is skipped (fresh single-snapshot history)
+    assert(imp.refId("audited").contains(imp.currentId))
+    assert(imp.refId("old").isEmpty)
     // multiset equality both ways, MOR delete applied on read
     assert(imp.read().exceptAll(t.read()).count() === 0)
     assert(t.read().exceptAll(imp.read()).count() === 0)
