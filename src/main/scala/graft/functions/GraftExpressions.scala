@@ -60,6 +60,26 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "graft_cosine"
 }
 
+/** Cosine of an array<float> column against an array<double> column
+  * (see [[Hashing.cosineFD]]): lets quantizer centroids stay at their
+  * trained double precision on the broadcast side.
+  */
+case class CosineSimFD(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Hashing.cosineFD(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Hashing.cosineFD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimFD =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_cosine_fd"
+}
+
 /** PQ asymmetric-distance score: codes array<int> × per-query flat
   * LUT array<double> (M·K) → approximate dot (see [[Hashing.adcScore]]).
   * The PQ scan's hot path: M table lookups per (query, vector) pair,
@@ -269,6 +289,7 @@ object exprs {
     col(ShingleHashes(ex(c), n, distinct = false))
   def winnowFp(c: Column, k: Int, w: Int): Column = col(WinnowFingerprint(ex(c), k, w))
   def cosineSim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
+  def cosineSimFD(a: Column, b: Column): Column = col(CosineSimFD(ex(a), ex(b)))
 
   def adcScore(codes: Column, lut: Column, k: Int): Column =
     col(AdcScore(ex(codes), ex(lut), k))

@@ -88,6 +88,26 @@ object Hashing {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** [[cosineF]] with a float left side and a DOUBLE right side — the
+    * IVF probe ranking uses the trained double-precision centroids
+    * directly (downcasting them to float can flip a near-tie probe
+    * choice away from the list the corpus assignment put the true
+    * nearest neighbor in).
+    */
+  def cosineFD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** 64-bit SimHash (Charikar'02) over a bag of 64-bit token hashes:
     * for each bit position, vote +1/-1 by the token's bit; the sign of
     * the tally is the output bit. Near-identical token sets land within

@@ -61,8 +61,24 @@ object IcebergExport {
     case TimestampNTZType     => "timestamp"
     case BinaryType           => "binary"
     case d: DecimalType       => s"decimal(${d.precision}, ${d.scale})"
-    case ArrayType(et, _)     => s"list<${icebergType(et)}>"
     case other                => other.simpleString
+  }
+
+  /** Iceberg-spec JSON value for a type: primitives serialize as the
+    * spec's type STRING, lists as the spec's NESTED OBJECT
+    * `{"type":"list","element-id":…,"element":…,"element-required":…}`
+    * (a bare "list<x>" string is not spec JSON and no reader — ours
+    * included — can parse it). `nextId` allocates the element field id
+    * from the table's id space, so `last-column-id` covers it.
+    */
+  private[graft] def icebergTypeValue(dt: DataType, nextId: () => Int): Any = dt match {
+    case ArrayType(et, containsNull) =>
+      ListMap(
+        "type" -> "list",
+        "element-id" -> nextId(),
+        "element" -> icebergTypeValue(et, nextId),
+        "element-required" -> !containsNull)
+    case other => icebergType(other)
   }
 
   private val BucketRe = """s?bucket\[(\d+)\]""".r
@@ -115,7 +131,12 @@ object IcebergExport {
         ListMap(
           "status" -> (if (f.addedBy == s.id) 1 else 0),
           "snapshot_id" -> (if (f.addedBy > 0) f.addedBy else s.id),
-          "sequence_number" -> (if (f.addedBy > 0) f.addedBy else s.id),
+          // addedBy==0 = "unknown — predates everything" (legacy
+          // manifests, Snapshot.scala): export it as sequence 0, the
+          // conservative stamp, so an imported equality delete (seq > 0)
+          // still applies to the file. Stamping s.id instead would make
+          // those deletes inert after a round-trip and resurrect rows.
+          "sequence_number" -> f.addedBy,
           "data_file" -> ListMap(
             "content" -> 0,
             "file_path" -> GraftTable.resolveEntry(qualifiedRoot, f.path),
@@ -137,7 +158,11 @@ object IcebergExport {
               ListMap(
                 "status" -> (if (d.addedBy == s.id) 1 else 0),
                 "snapshot_id" -> (if (d.addedBy > 0) d.addedBy else s.id),
-                "sequence_number" -> (if (d.addedBy > 0) d.addedBy else s.id),
+                // a delete file with addedBy==0 is INERT in graft
+                // (nothing predates sequence 0) — keep it inert after
+                // a round-trip instead of stamping s.id, which would
+                // make it apply to every prior data file
+                "sequence_number" -> d.addedBy,
                 "data_file" -> ListMap(
                   "content" -> (if (d.equalityCols.nonEmpty) 2 else 1),
                   "file_path" -> GraftTable.resolveEntry(qualifiedRoot, d.path),
@@ -199,6 +224,17 @@ object IcebergExport {
         "graft-transform" -> depByDest.get(p).map(_.transform).getOrElse("identity"))
     }
 
+    // nested-type element ids are allocated AFTER the column ids so
+    // last-column-id covers every id in the schema (spec requirement)
+    var lastColumnId = schema.fields.length
+    val schemaFieldJsons = schema.fields.map { f =>
+      ListMap(
+        "id" -> fieldIds(f.name),
+        "name" -> f.name,
+        "required" -> !f.nullable,
+        "type" -> icebergTypeValue(f.dataType, () => { lastColumnId += 1; lastColumnId }))
+    }
+
     val metadata = ListMap(
       "format-version" -> 2,
       "table-uuid" -> java.util.UUID.nameUUIDFromBytes(
@@ -206,16 +242,12 @@ object IcebergExport {
       "location" -> qualifiedRoot,
       "last-sequence-number" -> cur.id,
       "last-updated-ms" -> cur.tsMillis,
-      "last-column-id" -> schema.fields.length,
+      "last-column-id" -> lastColumnId,
       "current-schema-id" -> 0,
       "schemas" -> Seq(ListMap(
         "type" -> "struct",
         "schema-id" -> 0,
-        "fields" -> schema.fields.map(f => ListMap(
-          "id" -> fieldIds(f.name),
-          "name" -> f.name,
-          "required" -> !f.nullable,
-          "type" -> icebergType(f.dataType))))),
+        "fields" -> schemaFieldJsons)),
       "default-spec-id" -> 0,
       "partition-specs" -> Seq(ListMap("spec-id" -> 0, "fields" -> specFields)),
       "last-partition-id" -> (999 + cur.partitionCols.size),
@@ -225,12 +257,16 @@ object IcebergExport {
       "current-snapshot-id" -> cur.id,
       // spec-v2 refs: named branches/tags with their snapshot ids;
       // `main` is the current branch per the spec's convention
+      // a user-created ref literally named "main" is dropped: the spec
+      // requires refs.main.snapshot-id == current-snapshot-id, and the
+      // synthesized main ref must win the merge
       "refs" -> (ListMap("main" ->
         ListMap("snapshot-id" -> cur.id, "type" -> "branch")) ++
-        t.refEntries.toSeq.sortBy(_._1).map { case (n, (id, isBranch)) =>
-          n -> ListMap("snapshot-id" -> id,
-            "type" -> (if (isBranch) "branch" else "tag"))
-        }),
+        t.refEntries.toSeq.filterNot(_._1 == "main").sortBy(_._1)
+          .map { case (n, (id, isBranch)) =>
+            n -> ListMap("snapshot-id" -> id,
+              "type" -> (if (isBranch) "branch" else "tag"))
+          }),
       "snapshots" -> snaps.map(s => ListMap(
         "snapshot-id" -> s.id,
         "parent-snapshot-id" -> s.parentId,
@@ -271,6 +307,16 @@ object IcebergExport {
   }
   private val DecRe = """decimal\((\d+),\s*(\d+)\)""".r
 
+  /** Parse an Iceberg-spec type VALUE: primitive type strings or the
+    * nested list object [[icebergTypeValue]] emits.
+    */
+  private[graft] def sparkTypeNode(n: com.fasterxml.jackson.databind.JsonNode): DataType =
+    if (n.isTextual) sparkType(n.asText())
+    else if (n.isObject && n.get("type").asText() == "list")
+      ArrayType(sparkTypeNode(n.get("element")),
+        containsNull = !Option(n.get("element-required")).exists(_.asBoolean()))
+    else throw new IllegalArgumentException(s"unsupported Iceberg type $n")
+
   /** The other direction of the bridge: IMPORT exported Iceberg-spec
     * metadata as a graft table at `destRoot` — zero bytes copied, the
     * imported snapshot references the exported table's data files by
@@ -307,7 +353,7 @@ object IcebergExport {
     val fieldNodes = md.get("schemas").get(0).get("fields").elements().asScala.toSeq
     val idToName = fieldNodes.map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
     val schema = StructType(fieldNodes.map(f =>
-      StructField(f.get("name").asText(), sparkType(f.get("type").asText()),
+      StructField(f.get("name").asText(), sparkTypeNode(f.get("type")),
         nullable = !f.get("required").asBoolean())))
 
     val specFields = md.get("partition-specs").get(0).get("fields").elements().asScala.toSeq

@@ -368,15 +368,19 @@ object VectorOps {
   private def ivfProbes(s: SparkSession, all: DataFrame,
       cents: Array[Array[Double]]): DataFrame = {
     import s.implicits._
+    // centroids stay array<double> — the trained precision — so probe
+    // ranking agrees bit-for-bit with the corpus-side nearestCentroid
+    // assignment (a float downcast can flip a near-tie probe choice
+    // away from the list the true nearest assignment lives in)
     val centsDf = broadcast(cents.zipWithIndex
-      .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq.toDF("cluster", "c_emb"))
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cluster", "c_emb"))
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("c_dot").desc, col("cluster"))
     all.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding"))
       .crossJoin(centsDf)
-      .withColumn("c_dot", exprs.cosineSim(col("embedding"), col("c_emb")))
+      .withColumn("c_dot", exprs.cosineSimFD(col("embedding"), col("c_emb")))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= IvfProbes)
       .select(col("query_id"), col("cluster"))
