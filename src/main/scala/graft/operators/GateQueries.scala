@@ -846,16 +846,32 @@ object GateQueries {
       "contiguous unique field ids")
     val snaps = md.get("snapshots").elements().asScala.toSeq
     require(snaps.map(_.get("snapshot-id").asLong()) == t.snapshotIds, "snapshot chain")
-    val mlist = parse(snaps.last.get("manifest-list").asText()).elements().asScala.toSeq
-    val manifest = parse(mlist.find(_.get("content").asInt() == 0).get
-      .get("manifest_path").asText())
-    val entries = manifest.get("entries").elements().asScala.toSeq
+    // walk the REAL Avro manifest chain, exactly as an external
+    // Iceberg reader would
+    val mlPath = snaps.last.get("manifest-list").asText()
+    require(mlPath.endsWith(".avro"), "manifest-list must be the Avro chain")
+    val hp = new org.apache.hadoop.fs.Path(mlPath)
+    val hfs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val mlist = graft.lake.IcebergAvro.readManifestList(hfs, hp)
+    val idToType = md.get("schemas").get(0).get("fields").elements().asScala
+      .map(f => f.get("id").asInt() ->
+        graft.lake.IcebergExport.sparkTypeNode(f.get("type"))).toMap
+    val entries = graft.lake.IcebergAvro.readManifest(hfs,
+      new org.apache.hadoop.fs.Path(mlist.find(_.content == 0).get.manifestPath),
+      idToType)
     require(entries.forall { e =>
-      val p = e.get("data_file").get("file_path").asText()
-      (p.contains(":/") || p.startsWith("/")) &&
-        java.nio.file.Files.exists(java.nio.file.Paths.get(p.stripPrefix("file:")))
+      (e.filePath.contains(":/") || e.filePath.startsWith("/")) &&
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(e.filePath.stripPrefix("file:")))
     }, "every exported file path is absolute and exists")
-    val recordTotal = entries.map(_.get("data_file").get("record_count").asLong()).sum
+    // the JSON debug twin decodes to the same file set
+    val twin = parse(parse(snaps.last.get("graft-manifest-list-json").asText())
+      .elements().asScala.toSeq.find(_.get("content").asInt() == 0).get
+      .get("manifest_path").asText())
+    require(twin.get("entries").elements().asScala
+      .map(_.get("data_file").get("file_path").asText()).toSet ==
+      entries.map(_.filePath).toSet, "JSON twin matches the Avro chain")
+    val recordTotal = entries.map(_.rows).sum
     import s.implicits._
     Seq((recordTotal, entries.size == t.current.files.size))
       .toDF("record_count_total", "file_counts_match")

@@ -1,18 +1,20 @@
 package graft
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.functions._
 
-import graft.lake.{DepSpec, GraftTable, IcebergExport}
+import graft.lake.{DepSpec, GraftTable, IcebergAvro, IcebergExport}
 
 /** Structural validation of the Iceberg-spec v2 metadata export (A69).
   * No external Iceberg reader exists in this sandbox (zero-dep
-  * constraint, JSON serialization — limits documented on
-  * [[IcebergExport]]), so the spec validates the structure an Iceberg
-  * reader needs: field-id'd schema, transform-mapped partition spec,
-  * sequence-numbered snapshot chain, manifest-list/manifest counts
-  * that reconcile with the graft manifest, existing absolute file
-  * paths, and delete-file content kinds with equality ids.
+  * constraint), so the spec validates what a reader needs: field-id'd
+  * schema, transform-mapped partition spec, sequence-numbered snapshot
+  * chain, REAL Avro manifest-list/manifest files (spec field ids,
+  * binary single-value bounds) whose counts reconcile with the graft
+  * manifest, existing absolute file paths, and delete-file content
+  * kinds with equality ids — plus JSON debug twins that decode to the
+  * same entries.
   */
 class IcebergExportSpec extends SparkSpec {
 
@@ -21,6 +23,16 @@ class IcebergExportSpec extends SparkSpec {
   private def parse(path: String): JsonNode =
     mapper.readTree(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path.stripPrefix("file:"))))
+
+  private def hfs(p: String) =
+    new HPath(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def idToTypeOf(md: JsonNode): Map[Int, org.apache.spark.sql.types.DataType] = {
+    import scala.jdk.CollectionConverters._
+    md.get("schemas").get(0).get("fields").elements().asScala
+      .map(f => f.get("id").asInt() -> IcebergExport.sparkTypeNode(f.get("type")))
+      .toMap
+  }
 
   test("export emits spec-v2 metadata that reconciles with the graft manifest") {
     val o = Tables.orders(spark, sfDir).limit(2000)
@@ -74,35 +86,48 @@ class IcebergExportSpec extends SparkSpec {
       case _ =>
     }
 
-    // current snapshot's manifest list reconciles with the manifest
+    // current snapshot's manifest list (REAL AVRO — the chain an
+    // external reader walks) reconciles with the manifest
     val curSnap = snaps.last
-    val mlist = parse(curSnap.get("manifest-list").asText()).elements().asScala.toSeq
-    val dataEntry = mlist.find(_.get("content").asInt() == 0).get
-    val delEntry = mlist.find(_.get("content").asInt() == 1).get
-    assert(delEntry.get("added_rows_count").asLong() === t.current.deletedRows)
-    val manifest = parse(dataEntry.get("manifest_path").asText())
-    val entries = manifest.get("entries").elements().asScala.toSeq
+    val mlPath = curSnap.get("manifest-list").asText()
+    assert(mlPath.endsWith(".avro"), "manifest-list must be the Avro chain")
+    val fs = hfs(mlPath)
+    val mlist = IcebergAvro.readManifestList(fs, new HPath(mlPath))
+    val dataEntry = mlist.find(_.content == 0).get
+    val delEntry = mlist.find(_.content == 1).get
+    assert(delEntry.addedRowsCount === t.current.deletedRows)
+    assert(dataEntry.manifestLength ===
+      fs.getFileStatus(new HPath(dataEntry.manifestPath)).getLen)
+    val idToType = idToTypeOf(md)
+    val entries = IcebergAvro.readManifest(fs, new HPath(dataEntry.manifestPath), idToType)
     assert(entries.size === t.current.files.size)
-    assert(entries.map(_.get("data_file").get("record_count").asLong()).sum ===
-      t.current.totalRows)
+    assert(entries.map(_.rows).sum === t.current.totalRows)
     // every referenced data file exists at its absolute path
     entries.foreach { e =>
-      val p = e.get("data_file").get("file_path").asText()
+      val p = e.filePath
       assert(p.contains(":/") || p.startsWith("/"), s"not absolute: $p")
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
         p.stripPrefix("file:"))), s"missing $p")
       // partition values carried per file
-      assert(e.get("data_file").get("partition").has("o_orderstatus"))
+      assert(e.partition.contains("o_orderstatus"))
       // field-id-keyed stats present for the stats-bearing columns
-      assert(e.get("data_file").get("lower_bounds").size() > 0)
+      assert(e.lower.nonEmpty)
     }
     // delete manifest: position content kind, real file, row count
-    val delManifest = parse(delEntry.get("manifest_path").asText())
-    val dels = delManifest.get("entries").elements().asScala.toSeq
+    val dels = IcebergAvro.readManifest(fs, new HPath(delEntry.manifestPath), idToType)
     assert(dels.size === t.current.deleteFiles.size)
-    assert(dels.forall(_.get("data_file").get("content").asInt() === 1))
-    assert(dels.map(_.get("data_file").get("record_count").asLong()).sum ===
-      t.current.deletedRows)
+    assert(dels.forall(_.content === 1))
+    assert(dels.map(_.rows).sum === t.current.deletedRows)
+    // the JSON debug twin decodes to the same file set
+    val jl = parse(curSnap.get("graft-manifest-list-json").asText())
+      .elements().asScala.toSeq
+    val jsonManifest = parse(jl.find(_.get("content").asInt() == 0).get
+      .get("manifest_path").asText())
+    val jsonEntries = jsonManifest.get("entries").elements().asScala.toSeq
+    assert(jsonEntries.map(_.get("data_file").get("file_path").asText()).toSet ===
+      entries.map(_.filePath).toSet)
+    assert(jsonEntries.map(_.get("data_file").get("record_count").asLong()).sum ===
+      entries.map(_.rows).sum)
   }
 
   test("round-trip: import of exported metadata reads identically, zero bytes copied") {
@@ -154,18 +179,17 @@ class IcebergExportSpec extends SparkSpec {
     val md = parse(IcebergExport.exportMetadata(t, root + "-ice"))
     import scala.jdk.CollectionConverters._
     val curSnap = md.get("snapshots").elements().asScala.toSeq.last
-    val mlist = parse(curSnap.get("manifest-list").asText()).elements().asScala.toSeq
-    val delManifest = parse(mlist.find(_.get("content").asInt() == 1).get
-      .get("manifest_path").asText())
-    val eqEntries = delManifest.get("entries").elements().asScala.toSeq
-      .filter(_.get("data_file").get("content").asInt() == 2)
+    val mlPath = curSnap.get("manifest-list").asText()
+    val fs = hfs(mlPath)
+    val mlist = IcebergAvro.readManifestList(fs, new HPath(mlPath))
+    val eqEntries = IcebergAvro.readManifest(fs,
+      new HPath(mlist.find(_.content == 1).get.manifestPath), idToTypeOf(md))
+      .filter(_.content == 2)
     assert(eqEntries.nonEmpty, "equality deletes must export as content=2")
     // equality_ids name the key column's schema field id
     val kId = md.get("schemas").get(0).get("fields").elements().asScala
       .find(_.get("name").asText() == "k").get.get("id").asInt()
-    eqEntries.foreach(e =>
-      assert(e.get("data_file").get("equality_ids").elements().asScala
-        .map(_.asInt()).toSeq === Seq(kId)))
+    eqEntries.foreach(e => assert(e.equalityIds === Seq(kId)))
 
     // EQUALITY round-trip READ: the import must preserve per-entry
     // sequence numbers, or the equality delete goes inert (nothing
@@ -186,5 +210,88 @@ class IcebergExportSpec extends SparkSpec {
     assert(IcebergExport.icebergTransform("day") === "day")
     assert(IcebergExport.icebergType(org.apache.spark.sql.types.TimestampType)
       === "timestamptz")
+  }
+
+  test("Avro layer: spec field ids pinned, binary bounds round-trip, twin-equivalent import") {
+    import org.apache.spark.sql.types._
+    // manifest_file (manifest-list entry) field ids — spec v2
+    val mf = IcebergAvro.manifestFileSchema
+    def fid(s: org.apache.avro.Schema, f: String): Any =
+      s.getField(f).getObjectProp("field-id")
+    assert(fid(mf, "manifest_path") === 500)
+    assert(fid(mf, "manifest_length") === 501)
+    assert(fid(mf, "partition_spec_id") === 502)
+    assert(fid(mf, "added_snapshot_id") === 503)
+    assert(fid(mf, "added_files_count") === 504)
+    assert(fid(mf, "sequence_number") === 515)
+    assert(fid(mf, "min_sequence_number") === 516)
+    assert(fid(mf, "content") === 517)
+    // manifest_entry field ids — spec v2
+    val me = IcebergAvro.manifestEntrySchema(Seq(("p", StringType, 1000)))
+    assert(fid(me, "status") === 0)
+    assert(fid(me, "snapshot_id") === 1)
+    assert(fid(me, "data_file") === 2)
+    assert(fid(me, "sequence_number") === 3)
+    val df = me.getField("data_file").schema()
+    assert(fid(df, "file_path") === 100)
+    assert(fid(df, "file_format") === 101)
+    assert(fid(df, "partition") === 102)
+    assert(fid(df, "record_count") === 103)
+    assert(fid(df, "file_size_in_bytes") === 104)
+    assert(fid(df, "null_value_counts") === 110)
+    assert(fid(df, "lower_bounds") === 125)
+    assert(fid(df, "upper_bounds") === 128)
+    assert(fid(df, "content") === 134)
+    assert(fid(df, "equality_ids") === 135)
+    assert(df.getField("partition").schema().getField("p").getObjectProp("field-id")
+      === 1000)
+
+    // single-value binary serialization round-trips per type
+    def rt(dt: DataType, v: String): String =
+      IcebergAvro.decodeBound(dt, IcebergAvro.encodeBound(dt, v))
+    assert(rt(LongType, "-92233720368") === "-92233720368")
+    assert(rt(IntegerType, "42") === "42")
+    assert(rt(DoubleType, "3.14159") === "3.14159")
+    assert(rt(StringType, "Clerk#000000036") === "Clerk#000000036")
+    assert(rt(DateType, "1997-06-23") === "1997-06-23")
+    assert(rt(BooleanType, "true") === "true")
+    // width per spec: long/double 8 bytes LE, int/float/date 4
+    assert(IcebergAvro.encodeBound(LongType, "7").remaining() === 8)
+    assert(IcebergAvro.encodeBound(IntegerType, "7").remaining() === 4)
+    assert(IcebergAvro.encodeBound(DateType, "2020-01-01").remaining() === 4)
+    // little-endian: long 1 encodes with the 1-bit in byte 0
+    assert(IcebergAvro.encodeBound(LongType, "1").get(0) === 1.toByte)
+
+    // importing via the Avro chain and via the JSON twin chain yields
+    // the same table (same files, same stats, same read)
+    val o = Tables.orders(spark, sfDir).limit(2500)
+    val root = "/root/repo/target/laketest/iceavrotwin"
+    val t = GraftTable.create(spark, root,
+      o.repartition(col("o_orderstatus")), Seq("o_orderstatus"))
+    t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    t.delete(col("o_orderkey") % 17 === 0)
+    val metaPath = IcebergExport.exportMetadata(t, root + "-ice")
+    val impAvro = IcebergExport.importMetadata(spark, metaPath, root + "-imp-avro")
+    // rewrite the metadata to point at the JSON twin list, import that
+    val md = parse(metaPath)
+    val snapsArr = md.get("snapshots").asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    import scala.jdk.CollectionConverters._
+    snapsArr.elements().asScala.foreach { s =>
+      s.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .put("manifest-list", s.get("graft-manifest-list-json").asText())
+    }
+    val twinPath = java.nio.file.Paths.get(root + "-ice", "metadata", "vtwin.metadata.json")
+    java.nio.file.Files.write(twinPath, mapper.writeValueAsBytes(md))
+    val impJson = IcebergExport.importMetadata(spark, twinPath.toString, root + "-imp-json")
+    assert(impAvro.current.files.map(f => (f.path, f.rows, f.partition)).toSet ===
+      impJson.current.files.map(f => (f.path, f.rows, f.partition)).toSet)
+    // stats (including binary-decoded bounds) agree with the JSON twin
+    assert(impAvro.current.files.map(f => f.path -> f.stats).toMap ===
+      impJson.current.files.map(f => f.path -> f.stats).toMap)
+    assert(impAvro.current.deleteFiles.map(d => (d.path, d.rows, d.addedBy)).toSet ===
+      impJson.current.deleteFiles.map(d => (d.path, d.rows, d.addedBy)).toSet)
+    assert(impAvro.read().exceptAll(impJson.read()).count() === 0)
+    assert(impJson.read().exceptAll(impAvro.read()).count() === 0)
+    assert(impAvro.read().exceptAll(t.read()).count() === 0)
   }
 }
