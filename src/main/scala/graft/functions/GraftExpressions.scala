@@ -235,6 +235,43 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   override def prettyName: String = "graft_nearest_centroid"
 }
 
+/** Residual against the nearest centroid (see
+  * [[Hashing.centroidResidual]]) — IVFPQ's residual encoding as a pure
+  * narrow map, centroids riding along as a plan constant.
+  */
+case class CentroidResidual(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.centroidResidual(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.centroidResidual($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CentroidResidual =
+    copy(child = newChild)
+  override def prettyName: String = "graft_centroid_residual"
+}
+
+/** Raw float×double dot product (see [[Hashing.dotFD]]). */
+case class DotFD(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Hashing.dotFD(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Hashing.dotFD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotFD =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_dot_fd"
+}
+
 /** Z-order key over up to 4 integral columns (see [[Hashing.zorderKey]]);
   * column min/max ride along as plan constants.
   */
@@ -301,6 +338,9 @@ object exprs {
   def lshSig(c: Column, seed: Long, nBits: Int): Column = col(LshSignature(ex(c), seed, nBits))
   def nearestCentroid(c: Column, cents: Array[Array[Double]]): Column =
     col(NearestCentroid(ex(c), cents))
+  def centroidResidual(c: Column, cents: Array[Array[Double]]): Column =
+    col(CentroidResidual(ex(c), cents))
+  def dotFD(a: Column, b: Column): Column = col(DotFD(ex(a), ex(b)))
   def zorderKey(cs: Seq[Column], mins: Array[Long], maxs: Array[Long]): Column =
     col(ZOrderKey(cs.map(ex), mins, maxs))
 }

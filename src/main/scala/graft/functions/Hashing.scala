@@ -397,6 +397,39 @@ object Hashing {
     best
   }
 
+  /** Raw dot product of a float vector against a double vector — the
+    * un-normalized companion of [[cosineFD]]: IVFPQ's residual ADC
+    * score needs dot(q, centroid) on the same scale as the ADC term,
+    * which a cosine (divided by |q|) is not.
+    */
+  def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
+    dot
+  }
+
+  /** Residual of a vector against its NEAREST centroid (classic IVFPQ
+    * residual encoding): r = x − c_nearest(x), emitted as floats so the
+    * downstream PQ training/encoding path is unchanged. Recomputes the
+    * argmax dot (16×64 flops — cheaper than carrying a second column
+    * through a join); ties resolve to the lowest index exactly like
+    * [[nearestCentroid]], so r always pairs with the assignment the
+    * corpus index records.
+    */
+  def centroidResidual(vec: ArrayData, cents: Array[Array[Double]]): GenericArrayData = {
+    val c = cents(nearestCentroid(vec, cents))
+    val dim = vec.numElements()
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      out(i) = (vec.getFloat(i).toDouble - (if (i < c.length) c(i) else 0.0)).toFloat
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Sign-random-projection LSH signature: bit b = [vec . plane_b >= 0]. */
   def lshSignature(vec: ArrayData, seed: Long, nBits: Int): Long = {
     val dim = vec.numElements()

@@ -86,6 +86,20 @@ object VectorOps {
   def embeddingPairsAt(s: SparkSession, d: String, threshold: Double): DataFrame =
     embeddingPairsOf(Tables.embeddings(s, d), threshold)
 
+  /** The weak-threshold gear with an EXPLICIT probe-radius cap — the
+    * candidate-volume dial for corpora where the adaptive radius's
+    * full recall is not worth its cost (radius 2 at cos ≥ 0.46 is
+    * ~2.3 n² candidates — measured, intrinsic to weak thresholds; see
+    * [[embeddingPairsOf]]). Capping to radius r < adaptive keeps the
+    * same verification exactness on a SUBSET of candidate pairs:
+    * precision stays 1.0, recall degrades gracefully (each band still
+    * matches within r bit flips), candidates drop to the radius-r
+    * volume. The 100× ScaleBench runs the weak gear through this cap.
+    */
+  def embeddingPairsAtCapped(s: SparkSession, d: String, threshold: Double,
+      radiusCap: Int): DataFrame =
+    embeddingPairsOf(Tables.embeddings(s, d), threshold, Some(radiusCap))
+
   /** LSH-banded pair search over an arbitrary corpus.
     * Sign-random-projection signatures (4 × 32 bits) are cut into
     * 16 bands × 8 bits; the probe side explodes each band value plus
@@ -103,7 +117,8 @@ object VectorOps {
     * weak thresholds, which is why the radius ADAPTS to the threshold
     * instead of being fixed.
     */
-  def embeddingPairsOf(base: DataFrame, threshold: Double): DataFrame = {
+  def embeddingPairsOf(base: DataFrame, threshold: Double,
+      radiusCap: Option[Int] = None): DataFrame = {
     // 16 band values (8 bits each) from 4 independent 32-bit signatures
     def bandCols(embc: Column): Seq[Column] =
       (0 until 4).flatMap { g =>
@@ -114,8 +129,10 @@ object VectorOps {
       posexplode(array(bandCols(col("embedding")): _*)).as(Seq("band", "bits")))
     // Probe radius by threshold (see Scaladoc): p_bit = 1 - acos(t)/π;
     // per-band hit P = Σ_{k≤r} C(8,k)·p^(8-k)·(1-p)^k; radius chosen so
-    // 16 bands keep the miss rate ≤ ~1e-3 at each gate.
-    val radius = if (threshold >= 0.75) 0 else if (threshold >= 0.6) 1 else 2
+    // 16 bands keep the miss rate ≤ ~1e-3 at each gate. `radiusCap`
+    // bounds it explicitly (see [[embeddingPairsAtCapped]]).
+    val adaptive = if (threshold >= 0.75) 0 else if (threshold >= 0.6) 1 else 2
+    val radius = radiusCap.fold(adaptive)(math.min(adaptive, _))
     val masks: Seq[Long] = Seq(0L) ++
       (if (radius >= 1) (0 until 8).map(i => 1L << i) else Seq.empty) ++
       (if (radius >= 2)
@@ -300,6 +317,22 @@ object VectorOps {
   val IvfLists = 16
   val IvfProbes = 6
 
+  /** ANN query-side broadcast gate — the A56 recorded-size pattern
+    * ([[graft.lake.GraftTable.deleteRowsHinted]]) applied to the query
+    * batch: per-query LUTs/probes/candidate sets broadcast only while
+    * their estimated bytes fit under this threshold (32 MB, matching
+    * the MOR delete-set gate's default). The benched 10-query batch is
+    * KBs and broadcasts; a million-query batch is GBs and must NOT —
+    * above the gate the join shuffles on its key instead (query_id /
+    * cluster / n_id), which is the plan that survives unbounded query
+    * volume. The estimate is arithmetic over the KNOWN batch size —
+    * never a count() job.
+    */
+  val QueryBroadcastMaxBytes: Long = 32L << 20
+
+  private def queryGated(df: DataFrame, estBytes: Long): DataFrame =
+    if (estBytes <= QueryBroadcastMaxBytes) broadcast(df) else df
+
   /** Quantizer-training cap: Lloyd iterations run over a deterministic
     * `vec_id % mod == 0` sample of at most ~this many vectors (k-means
     * quality saturates long before the full corpus is consumed — at
@@ -336,13 +369,25 @@ object VectorOps {
     * iterations over the capped [[trainSample]]. Only the k×dim
     * centroid matrix ever reaches the driver.
     */
-  private def ivfCentroids(all: DataFrame, train: DataFrame): Array[Array[Double]] = {
+  private def ivfCentroids(all: DataFrame, train: DataFrame): Array[Array[Double]] =
+    kmeansFit(all.filter(col("vec_id") >= 100), train, IvfLists)
+
+  /** The shared coarse-quantizer fit (IVF, IVFPQ, and the k-means
+    * SemDeDup seeds all train HERE): deterministic init (the k lowest
+    * vec_ids of `init`), 2 Lloyd iterations over the capped
+    * deterministic `train` sample, unit-normalized means (so argmax
+    * dot ≡ argmax cosine downstream). Only the k×dim centroid matrix
+    * ever reaches the driver; each iteration is one narrow-map
+    * assignment + one small aggregation.
+    */
+  private[graft] def kmeansFit(init: DataFrame, train: DataFrame,
+      k: Int): Array[Array[Double]] = {
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) v else v.map(_ / n)
     }
-    var cents: Array[Array[Double]] = all.filter(col("vec_id") >= 100)
-      .orderBy(col("vec_id")).limit(IvfLists)
+    var cents: Array[Array[Double]] = init
+      .orderBy(col("vec_id")).limit(k)
       .collect().map(r => normalize(r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
     for (_ <- 1 to 2) {
       val assigned = train.select(
@@ -352,8 +397,8 @@ object VectorOps {
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim")).agg(avg(col("x")).as("m"))
         .collect().groupBy(_.getInt(0))
-        .map { case (k, rows) =>
-          k -> normalize(rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray) }
+        .map { case (c, rows) =>
+          c -> normalize(rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray) }
       cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
     }
     cents
@@ -383,7 +428,11 @@ object VectorOps {
       .withColumn("c_dot", exprs.cosineSimFD(col("embedding"), col("c_emb")))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= IvfProbes)
-      .select(col("query_id"), col("cluster"))
+      // qc_dot = RAW dot(q, centroid): the additive coarse term of the
+      // residual-ADC score (cosine won't do — it is scaled by 1/|q|,
+      // while the ADC term is not)
+      .select(col("query_id"), col("cluster"),
+        exprs.dotFD(col("embedding"), col("c_emb")).as("qc_dot"))
   }
 
   def annIvf(s: SparkSession, d: String): DataFrame = {
@@ -428,6 +477,10 @@ object VectorOps {
     * recall → rows-only driver check; the spec bounds recall@5 vs C6.
     */
   private val PqM = 8; private val PqK = 16; private val PqSub = EmbDim / PqM
+  /** Lloyd iterations for the PQ codebooks — each costs one small agg
+    * over the capped [[trainSample]], so the dial is cheap at any SF.
+    */
+  private val PqLloydIterations = 2
 
   private def pqSubvec(embc: Column, m: Int): Column = slice(embc, m * PqSub + 1, PqSub)
   // L2 augmentation: x' = [x, 1], c' = [c, -|c|^2/2] (see annPq scaladoc)
@@ -441,7 +494,8 @@ object VectorOps {
     * iterations over the capped [[trainSample]], one shuffle each:
     * explode (m, code, dim) → mean.
     */
-  private def pqBooks(all: DataFrame, train: DataFrame): Array[Array[Array[Double]]] = {
+  private def pqBooks(all: DataFrame, train: DataFrame,
+      iterations: Int = PqLloydIterations): Array[Array[Array[Double]]] = {
     val M = PqM; val K = PqK; val Sub = PqSub
     var books: Array[Array[Array[Double]]] = {
       val seed = all.filter(col("vec_id") >= NQueries)
@@ -449,7 +503,7 @@ object VectorOps {
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       Array.tabulate(M)(m => seed.map(_.slice(m * Sub, (m + 1) * Sub)))
     }
-    for (_ <- 1 to 2) {
+    for (_ <- 1 to iterations) {
       val assigned = train.select(
         explode(array((0 until M).map(m => struct(
           lit(m).as("m"),
@@ -501,7 +555,23 @@ object VectorOps {
         transform(col("pairs"), p => p.getField("v")).as("lut"))
   }
 
-  def annPq(s: SparkSession, d: String): DataFrame = {
+  /** Estimated broadcast bytes for a batch of per-query ADC LUTs
+    * (M·K doubles + row overhead), the probe pairs, a top-50 candidate
+    * set, and the raw query vectors.
+    */
+  private def lutBytes(nq: Long): Long = nq * (PqM.toLong * PqK * 8 + 64)
+  private def probeLutBytes(nq: Long): Long = nq * IvfProbes * (PqM.toLong * PqK * 8 + 80)
+  private def candBytes(nq: Long): Long = nq * 50L * 24
+  private def qBytes(nq: Long): Long = nq * (EmbDim.toLong * 4 + 32)
+
+  def annPq(s: SparkSession, d: String): DataFrame = annPqBatch(s, d, NQueries.toLong)
+
+  /** `batchHint` = the query-batch row count the caller KNOWS (here
+    * the fixed NQueries prefix; in production the size of the query
+    * table, known from its manifest) — it drives [[queryGated]], never
+    * a count() job.
+    */
+  private[graft] def annPqBatch(s: SparkSession, d: String, batchHint: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val all = Tables.embeddings(s, d)
     val K = PqK
@@ -513,8 +583,10 @@ object VectorOps {
     // approximate dot = M table lookups via the codegen'd
     // [[graft.functions.AdcScore]] kernel — the whole corpus scan stays
     // inside whole-stage codegen (an equivalent aggregate/zip_with
-    // lambda chain evaluates interpreted)
-    val approx = codes.crossJoin(broadcast(luts))
+    // lambda chain evaluates interpreted). A PQ-only scan is corpus ×
+    // queries by definition: small batches broadcast the LUTs; above
+    // the gate the product partitions both sides instead
+    val approx = codes.crossJoin(queryGated(luts, lutBytes(batchHint)))
       .filter(col("query_id") =!= col("n_id"))
       .withColumn("a_score", exprs.adcScore(col("codes"), col("lut"), K))
     val wApprox = Window.partitionBy(col("query_id"))
@@ -523,15 +595,18 @@ object VectorOps {
       .filter(col("arank") <= 50)
       .select(col("query_id"), col("n_id"))
 
-    // exact rerank of the PQ top-50: the candidate set is tiny
-    // (|queries|·50 rows) — broadcast it so the corpus side is a
-    // narrow probe, never a corpus-wide shuffle on n_id
+    // exact rerank of the PQ top-50: a small candidate set broadcasts
+    // so the corpus side is a narrow probe; above the gate the rerank
+    // shuffle-joins on n_id (|queries|·50 rows vs the corpus — the
+    // corpus side shuffles once, which is the scale-correct trade)
     val q = all.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val c = emb(s, d, "n")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("n_id"))
-    broadcast(cand.join(broadcast(q), "query_id")).join(c, "n_id")
+    queryGated(cand.join(queryGated(q, qBytes(batchHint)), "query_id"),
+        candBytes(batchHint) + qBytes(batchHint))
+      .join(c, "n_id")
       .withColumn("cos_sim", round(exprs.cosineSim(col("q_emb"), col("n_emb")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
@@ -548,45 +623,72 @@ object VectorOps {
     * ADC kernel instead of 256 B of floats), and only the ADC top-50
     * pays an exact-cosine rerank. Per query the scan touches
     * nprobe/nlist of the corpus at 64× compression — both dials
-    * (probe count, code width) are independent. Codes are encoded on
-    * RAW vectors (IVFFlat-PQ hybrid; classic residual encoding needs
-    * per-list codebooks — a documented quality/simplicity trade at
-    * this dim). Probabilistic recall → rows-only driver check;
-    * `ann_ivfpq_check` oracles the rank-dominance/completeness
-    * invariants and the spec bounds recall vs C6.
+    * (probe count, code width) are independent. Codes use classic
+    * RESIDUAL encoding: the PQ codebook is trained on r = x − c(x)
+    * (residual against the coarse centroid), whose spread is far
+    * smaller than the raw vectors', so the same 4-bit code width
+    * quantizes finer; the ADC score recomposes dot(q, x) ≈ dot(q, c)
+    * + adc(q, codes), with dot(q, c) computed once per (query, probed
+    * cluster) on the probe side. The codebook stays SHARED across
+    * lists (FAISS's layout — per-list codebooks would be nlist× the
+    * training and broadcast cost for marginal gain). The spec pins
+    * recall@k(residual) ≥ recall@k(raw codes). Probabilistic recall →
+    * rows-only driver check; `ann_ivfpq_check` oracles the
+    * rank-dominance/completeness invariants and the spec bounds
+    * recall vs C6.
     */
-  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+  def annIvfPq(s: SparkSession, d: String): DataFrame =
+    annIvfPqBatch(s, d, NQueries.toLong)
+
+  private[graft] def annIvfPqBatch(s: SparkSession, d: String, batchHint: Long,
+      residual: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val all = Tables.embeddings(s, d)
     // ONE sample (and one count job) feeds both quantizers
     val train = trainSample(all)
     val cents = ivfCentroids(all, train)
-    val books = pqBooks(all, train)
+    val assigned = all.select(col("vec_id").as("n_id"),
+      exprs.nearestCentroid(col("embedding"), cents).as("cluster"))
+    // residual path: PQ trains on and encodes r = x − c(x), a pure
+    // narrow map (centroids are a plan constant) — the raw path is
+    // kept for the spec's recall comparison
+    def residualized(df: DataFrame): DataFrame =
+      df.withColumn("embedding", exprs.centroidResidual(col("embedding"), cents))
+    val (pqAll, pqTrain) =
+      if (residual) (residualized(all), residualized(train)) else (all, train)
+    val books = pqBooks(pqAll, pqTrain)
     // the compressed index: cluster id (coarse) + nibble codes (fine)
-    val codes = pqCodes(all, books)
-      .join(all.select(col("vec_id").as("n_id"),
-        exprs.nearestCentroid(col("embedding"), cents).as("cluster")), "n_id")
+    val codes = pqCodes(pqAll, books).join(assigned, "n_id")
     val probes = ivfProbes(s, all, cents)
     val luts = pqLuts(s, all, books)
     // ADC scan ONLY over the probed lists: the (query, cluster) probe
     // pairs join the corpus on cluster, so per query exactly the
-    // nprobe lists' codes flow through the ADC kernel
+    // nprobe lists' codes flow through the ADC kernel. Small batches
+    // broadcast the probe×LUT pairs; above the gate the scan
+    // shuffle-joins on cluster (AQE's skew split handles a hot list)
     val approx = codes
-      .join(broadcast(probes.join(broadcast(luts), "query_id")), Seq("cluster"))
+      .join(queryGated(
+        probes.join(queryGated(luts, lutBytes(batchHint)), "query_id"),
+        probeLutBytes(batchHint)), Seq("cluster"))
       .filter(col("query_id") =!= col("n_id"))
-      .withColumn("a_score", exprs.adcScore(col("codes"), col("lut"), PqK))
+      .withColumn("a_score",
+        exprs.adcScore(col("codes"), col("lut"), PqK) +
+          (if (residual) col("qc_dot") else lit(0.0)))
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("a_score").desc, col("n_id"))
     val cand = approx.withColumn("arank", row_number().over(wApprox))
       .filter(col("arank") <= 50)
       .select(col("query_id"), col("n_id"))
-    // exact rerank of the surviving candidates — broadcast the tiny
-    // candidate set so the corpus side stays a narrow probe
+    // exact rerank of the surviving candidates — a small candidate set
+    // broadcasts so the corpus side stays a narrow probe; above the
+    // gate it shuffle-joins on n_id
     val q = all.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("n_id"))
-    broadcast(cand.join(broadcast(q), "query_id")).join(emb(s, d, "n"), "n_id")
+    queryGated(cand.join(queryGated(q, qBytes(batchHint)), "query_id"),
+        candBytes(batchHint) + qBytes(batchHint))
+      .join(emb(s, d, "n"), "n_id")
       .withColumn("cos_sim", round(exprs.cosineSim(col("q_emb"), col("n_emb")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
@@ -646,10 +748,11 @@ object VectorOps {
     * carries one row per vector instead of k — the difference between
     * O(n) and O(n·k) shuffle at corpus scale.
     */
-  private[graft] def semanticAssign(corpus: DataFrame): DataFrame = {
-    // k ∝ n: the count is one cheap metadata-backed pass here; a lake
-    // table supplies it from manifest stats (A51) with no scan at all
-    val step = semanticSeedStep(corpus.count())
+  private[graft] def semanticAssign(corpus: DataFrame, knownN: Option[Long] = None): DataFrame = {
+    // k ∝ n: n is one cheap metadata-backed pass here; the lake path
+    // ([[semanticAssignLake]]) supplies it from manifest row counts
+    // (A51) so NO job runs at plan-construction time
+    val step = semanticSeedStep(knownN.getOrElse(corpus.count()))
     // seed candidates come from the primary id space only (below
     // PlantIdOffset, the region fixtures reserve for planted
     // duplicates): a planted copy whose id happens to be ≡ 0 mod step
@@ -669,10 +772,23 @@ object VectorOps {
       .select((-col("w.neg_seed")).as("cluster_id"), col("vec_id"), col("embedding"))
   }
 
-  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+  /** [[semanticAssign]] over a graft-lake corpus: the k ∝ n dial reads
+    * n from the MANIFEST (total rows minus pending MOR-deleted rows —
+    * the same numbers A51 publishes as CatalogStatistics) instead of
+    * running a count() job. At 100 TB that job is a full metadata+scan
+    * pass; the manifest lookup is free and exact, because every commit
+    * records per-file row counts.
+    */
+  def semanticAssignLake(t: graft.lake.GraftTable): DataFrame =
+    semanticAssign(t.read(), Some(t.current.totalRows - t.current.deletedRows))
+
+  /** The within-cluster drop rule shared by both seed strategies:
+    * a vector is dropped iff a lower-id member of its own cluster is
+    * within the cosine gate; the lowest such id is its keeper. One
+    * shuffle keyed on cluster_id.
+    */
+  private def semanticDropsOf(assigned: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val corpus = plantedCorpus(s, d)
-    val assigned = semanticAssign(corpus)
     val a = assigned.select(col("cluster_id"), col("vec_id").as("keep_id"),
       col("embedding").as("a_emb"))
     val b = assigned.select(col("cluster_id"), col("vec_id").as("drop_id"),
@@ -690,6 +806,60 @@ object VectorOps {
         col("keep_id").as("keeper_id"), col("cos_sim"))
       .orderBy(col("vec_id"))
   }
+
+  def semanticDedup(s: SparkSession, d: String): DataFrame =
+    semanticDropsOf(semanticAssign(plantedCorpus(s, d)))
+
+  /** C35 production gear: SemDeDup with K-MEANS-FIT seeds — the seeds
+    * train on the shared quantizer machinery ([[kmeansFit]]: capped
+    * deterministic [[trainSample]], lowest-id init, 2 Lloyd
+    * iterations), k scales exactly like [[semanticSeedStep]]'s k ∝ n
+    * dial, and assignment is the codegen'd narrow-map
+    * [[graft.functions.NearestCentroid]] — NO assignment join at all,
+    * which beats even the broadcast-seed join of [[semanticAssign]] at
+    * scale. The drop rule is identical. A 2-iteration Lloyd fit is not
+    * SQL-expressible, so the driver gate is the `_check` twin
+    * ([[semanticDedupKmeansCheck]]) oracling the invariants; the
+    * stride-seed [[semanticDedup]] keeps the exact row-level oracle.
+    */
+  def semanticDedupKmeans(s: SparkSession, d: String): DataFrame = {
+    val corpus = plantedCorpus(s, d)
+    val n = Tables.embeddings(s, d).count() + PlantCount
+    val k = math.max(SemK.toLong, n / SemTargetCluster).toInt
+    val cents = kmeansFit(
+      corpus.filter(col("vec_id") < PlantIdOffset), trainSample(corpus), k)
+    val assigned = corpus.select(
+      exprs.nearestCentroid(col("embedding"), cents).cast("long").as("cluster_id"),
+      col("vec_id"), col("embedding"))
+    semanticDropsOf(assigned)
+  }
+
+  /** Driver gate for [[semanticDedupKmeans]] (VALUES oracle, valid at
+    * every scale): zero keeper-id inversions, zero below-gate pairs,
+    * zero double-drops (cross-cluster drops are impossible by
+    * construction — the pair scan joins on cluster_id) — and the
+    * planted corpus yields a non-empty drop set (each plant sits at
+    * cos ≥ 0.9 of its original, far above the gate, so a clustering
+    * that separated every such pair would be a real defect, not
+    * noise).
+    */
+  def semanticDedupKmeansCheck(s: SparkSession, d: String): DataFrame = {
+    val drops = semanticDedupKmeans(s, d).cache()
+    val badKeeper = drops.filter(col("keeper_id") >= col("vec_id")).count()
+    val belowGate = drops.filter(col("cos_sim") < ProdCosThreshold - 1e-6).count()
+    val dupDrops = drops.count() - drops.select(col("vec_id")).distinct().count()
+    val hasDrops = drops.limit(1).count()
+    drops.unpersist()
+    import s.implicits._
+    Seq((badKeeper, belowGate, dupDrops, hasDrops))
+      .toDF("keeper_inversions", "below_gate", "double_drops", "has_drops")
+  }
+
+  val semanticDedupKmeansCheckSql: String =
+    """SELECT CAST(0 AS BIGINT) AS keeper_inversions,
+      |  CAST(0 AS BIGINT) AS below_gate,
+      |  CAST(0 AS BIGINT) AS double_drops,
+      |  CAST(1 AS BIGINT) AS has_drops""".stripMargin
 
   /** Oracle: identical planted corpus, identical k ∝ n stride-seed
     * assignment (n and the stride recomputed from the same integer
@@ -732,6 +902,8 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semantic"  -> (semanticDedup _),
+    "dedup_semantic_kmeans" -> (semanticDedupKmeans _),
+    "dedup_semantic_kmeans_check" -> (semanticDedupKmeansCheck _),
     "dedup_embedding" -> (embeddingPairs _),
     "ann_pq"          -> (annPq _),
     "ann_bruteforce"  -> (annBruteforce _),
@@ -745,6 +917,7 @@ object VectorOps {
 
   val oracles: Map[String, String] = Map(
     "dedup_semantic"  -> semanticDedupSql,
+    "dedup_semantic_kmeans_check" -> semanticDedupKmeansCheckSql,
     "dedup_embedding" -> embeddingPairsSql,
     "ann_bruteforce"  -> annBruteforceSql,
     "ann_lsh_check"   -> annCheckSql,
