@@ -932,9 +932,14 @@ object CoreQueries {
 
   /** B34 `q18_bigorders` (TPC-H Q18 shape): large-volume orders — a
     * HAVING filter over a grouped fact aggregation whose survivors are
-    * joined BACK to the detail tables for full rows. The having-set is
-    * small, so the join back is broadcast; the big aggregation is one
-    * map-side-combined shuffle on the order key.
+    * joined BACK to the detail tables for full rows. The big
+    * aggregation is one map-side-combined shuffle on the order key.
+    * The having-survivor set is TINY under TPC-H semantics, but it is
+    * derived from the fact table, so its size is a data property, not
+    * a schema guarantee — no broadcast hint; AQE sees the runtime size
+    * and picks broadcast when it fits (the same deliberate policy as
+    * q3/q5's dimension-derived sides), which is the uniformly
+    * scale-safe choice at 100 TB.
     */
   def q18BigOrders(s: SparkSession, d: String): DataFrame = {
     val big = Tables.lineitem(s, d)
@@ -942,7 +947,7 @@ object CoreQueries {
       .agg(money(sum(col("l_quantity"))).as("total_qty"))
       .filter(col("total_qty") > 300.0)
     Tables.orders(s, d)
-      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),

@@ -136,8 +136,10 @@ class CoreQueriesSpec extends SparkSpec {
     // customer/supplier grow with scale factor — a hard broadcast()
     // hint on them OOMs at the 100 TB target; only nation/region (25/5
     // rows forever) may carry hints. AQE decides the rest by size.
+    // q18's having-survivor set is fact-derived (l_orderkey) — also
+    // AQE-decided, no hint (broadcast vs shuffle both valid by size)
     val sfProportional = Seq("c_custkey", "c_mktsegment", "s_suppkey", "o_orderkey", "l_orderkey")
-    for (q <- Seq(CoreQueries.q3Join _, CoreQueries.q5MultiJoin _)) {
+    for (q <- Seq(CoreQueries.q3Join _, CoreQueries.q5MultiJoin _, CoreQueries.q18BigOrders _)) {
       val plan = q(spark, sfDir).queryExecution.analyzed
       val hinted = plan.collect { case h: ResolvedHint => h.child.output.map(_.name) }
       hinted.foreach { cols =>
