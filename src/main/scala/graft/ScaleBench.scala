@@ -37,17 +37,16 @@ object ScaleBench {
   private val SynthTables = Seq("documents", "embeddings", "lineitem",
     "orders", "customer", "supplier", "events", "nation", "region")
 
-  private def synthesize(spark: SparkSession, base: String, out: String): Unit = {
-    val done = java.nio.file.Paths.get(out, "_DONE")
-    // the sentinel alone is not enough: an sf1 built by an older round
-    // may predate a newly-synthesized table — verify every expected
-    // output exists before trusting it
-    if (java.nio.file.Files.exists(done) && SynthTables.forall(t =>
-        java.nio.file.Files.exists(java.nio.file.Paths.get(out, s"$t.parquet"))))
-      return
-    java.nio.file.Files.deleteIfExists(done)
+  /** documents + embeddings synthesis at an arbitrary copy count —
+    * shared by the 10× full synthesis and the 100× pipeline probe.
+    * Copy-id offsets: doc_id steps 10⁷ (100 copies < 10⁹), vec_id
+    * steps 10⁶ (100 copies stay below the 10⁸ PlantIdOffset the
+    * planted-duplicate fixtures reserve).
+    */
+  private def synthesizePipelineTables(spark: SparkSession, base: String,
+      out: String, nCopies: Int): Unit = {
     def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until Copies).map(i => f(df, i)).reduce(_ unionByName _)
+      (0 until nCopies).map(i => f(df, i)).reduce(_ unionByName _)
 
     copies(Tables.documents(spark, base)) { (d, i) =>
       if (i == 0) d
@@ -68,6 +67,21 @@ object ScaleBench {
               .cast("float")))
         .withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
     }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  private def synthesize(spark: SparkSession, base: String, out: String): Unit = {
+    val done = java.nio.file.Paths.get(out, "_DONE")
+    // the sentinel alone is not enough: an sf1 built by an older round
+    // may predate a newly-synthesized table — verify every expected
+    // output exists before trusting it
+    if (java.nio.file.Files.exists(done) && SynthTables.forall(t =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(out, s"$t.parquet"))))
+      return
+    java.nio.file.Files.deleteIfExists(done)
+    def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until Copies).map(i => f(df, i)).reduce(_ unionByName _)
+
+    synthesizePipelineTables(spark, base, out, Copies)
 
     copies(Tables.lineitem(spark, base)) { (l, i) =>
       l.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
@@ -278,6 +292,51 @@ object ScaleBench {
     out.toMap
   }
 
+  /** The 1×/10×/100× pipeline-chain probe
+    * (`SPARK_GRAFT_SCALEBENCH_PIPELINE100=1`): synthesizes a 100×
+    * documents+embeddings corpus (~sf10-equivalent, pipeline tables
+    * only — the TPC-H side's scaling is already pinned by the 10×
+    * sweep) and times the dedup chain (minhash → clusters → apply) and
+    * IVFPQ at every scale, so each stage gets a measured scaling
+    * exponent α = log(t₁₀₀/t₁)/log 100. The LSH pair ops
+    * (dedup_embedding and the t046 weak gear) are deliberately NOT in
+    * this probe: sign-RP banding is Θ(n²·const) in candidates on a
+    * random corpus at ANY radius — the 100 TB path for pair dedup is
+    * the minhash chain; the radius CAP (embeddingPairsAtCapped) is the
+    * dial for bounded weak-threshold runs and is measured at 10×.
+    */
+  private val PipelineQueries =
+    Seq("dedup_minhash", "dedup_clusters", "dedup_apply", "ann_ivfpq")
+
+  private def runPipeline100(spark: SparkSession, base: String,
+      sf1: String, sf10: String): Unit = {
+    val done = java.nio.file.Paths.get(sf10, "_DONE")
+    if (!(java.nio.file.Files.exists(done) &&
+        Seq("documents", "embeddings").forall(t =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(sf10, s"$t.parquet"))))) {
+      java.nio.file.Files.deleteIfExists(done)
+      synthesizePipelineTables(spark, base, sf10, 100)
+      java.nio.file.Files.createFile(done)
+      ()
+    }
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for ((label, dir) <- Seq(("1x", base), ("10x", sf1), ("100x", sf10));
+         name <- PipelineQueries) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scalebench-100x] $label%-4s $name%-16s $secs%8.2f s  rows=$n")
+      results(s"${name}_$label") = secs
+    }
+    for (name <- PipelineQueries) {
+      val a = math.log(results(s"${name}_100x") / results(s"${name}_1x")) / math.log(100.0)
+      println(f"[scalebench-100x] exponent $name%-16s alpha=$a%5.2f")
+      results(s"${name}_alpha") = a
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale100_total","value":${results.values.sum},"unit":"sec","queries":$qs,"sf":"$sf10"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/target/sf1")
@@ -293,6 +352,12 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     synthesize(spark, base, out)
+    if (sys.env.contains("SPARK_GRAFT_SCALEBENCH_PIPELINE100")) {
+      runPipeline100(spark, base, out,
+        sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/target/sf10"))
+      spark.stop()
+      return
+    }
     try SparkEntry.queries("q1_agg")(spark, out).count() // warm JIT/codegen
     catch { case _: Throwable => () }
     // the weak-threshold gear of C5 (radius-2 probing) rides along so
@@ -301,7 +366,13 @@ object ScaleBench {
     val extra: Map[String, (SparkSession, String) => DataFrame] = Map(
       "dedup_embedding_t046" ->
         ((s: SparkSession, dir: String) => graft.pipeline.VectorOps.embeddingPairsAt(
-          s, dir, graft.pipeline.VectorOps.WeakCosThreshold)))
+          s, dir, graft.pipeline.VectorOps.WeakCosThreshold)),
+      // the same weak gear under the EXPLICIT radius-1 cap — the
+      // candidate-volume dial for t046's documented outlier: bounded
+      // cost, graceful recall trade (see embeddingPairsAtCapped)
+      "dedup_embedding_t046_r1" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.VectorOps.embeddingPairsAtCapped(
+          s, dir, graft.pipeline.VectorOps.WeakCosThreshold, 1)))
     // SPARK_GRAFT_SCALEBENCH_LAKE_ONLY=1 skips the (slow) query sweep —
     // for iterating on the lake/streaming probe alone
     val lakeOnly = sys.env.contains("SPARK_GRAFT_SCALEBENCH_LAKE_ONLY")

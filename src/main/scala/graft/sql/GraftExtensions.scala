@@ -106,8 +106,27 @@ object GraftCatalog {
 
   def register(name: String, root: String): Unit = {
     tables.put(norm(name), root); persist()
+    // best-effort HMS-shaped mirror (see GraftHmsAdapter: persists in
+    // a metastore deployment; JVM-scoped under the sandbox's
+    // InMemoryCatalog)
+    SparkSession.getActiveSession.foreach(s =>
+      GraftHmsAdapter.mirror(s, norm(name), root))
   }
-  def unregister(name: String): Unit = { tables.remove(norm(name)); persist() }
+  def unregister(name: String): Unit = {
+    tables.remove(norm(name)); persist()
+    SparkSession.getActiveSession.foreach(s =>
+      GraftHmsAdapter.unmirror(s, norm(name)))
+  }
+
+  /** Adopt an entry surfaced by a persistence layer (warehouse JSON or
+    * the ExternalCatalog mirror): fills MEMORY only, and only if
+    * absent — the in-memory/JSON layer stays authoritative, and (like
+    * [[reload]]) adoption never rewrites the warehouse JSON, which
+    * after a [[dropInMemory]] would clobber entries not yet reloaded.
+    * Returns true if added.
+    */
+  private[sql] def adopt(name: String, root: String): Boolean =
+    tables.putIfAbsent(norm(name), root) == null
   def lookup(name: String): Option[String] = Option(tables.get(norm(name)))
   def registeredRoots: Seq[String] = {
     import scala.jdk.CollectionConverters._

@@ -54,6 +54,39 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect().head.getLong(0) === 2L)
   }
 
+  test("HMS-shaped adapter mirrors registrations into the ExternalCatalog and reloads them") {
+    val t = mkTable("hmsmirror")
+    GraftCatalog.register("graft.hms_t", t.root)
+    // the mirror landed: graft db, provider=graft EXTERNAL entry with
+    // the root in location + properties, dotted name flattened
+    val ext = spark.sharedState.externalCatalog
+    assert(ext.databaseExists(graft.sql.GraftHmsAdapter.Db))
+    val ct = ext.getTable(graft.sql.GraftHmsAdapter.Db, "graft__hms_t")
+    assert(ct.provider === Some("graft"))
+    assert(ct.properties(graft.sql.GraftHmsAdapter.RootProp) === t.root)
+    assert(ct.properties(graft.sql.GraftHmsAdapter.NameProp) === "graft.hms_t")
+    assert(ct.storage.locationUri.map(_.toString) === Some(t.root))
+    assert(graft.sql.GraftHmsAdapter.mirroredEntries(spark)
+      .contains(("graft.hms_t", t.root)))
+    // cross-"JVM" reload through the catalog (what an HMS deployment
+    // gets for free across processes; InMemoryCatalog scope is the
+    // documented sandbox limit): drop graft memory, reload from the
+    // ExternalCatalog, query again
+    GraftCatalog.dropInMemory()
+    assert(GraftCatalog.lookup("graft.hms_t").isEmpty)
+    val adopted = graft.sql.GraftHmsAdapter.reloadInto(spark)
+    assert(adopted >= 1)
+    assert(GraftCatalog.lookup("graft.hms_t") === Some(t.root))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.hms_t").collect().head.getLong(0)
+      === t.current.totalRows)
+    // re-register re-stamps (alterTable path), unregister drops the mirror
+    GraftCatalog.register("graft.hms_t", t.root)
+    GraftCatalog.unregister("graft.hms_t")
+    assert(!ext.tableExists(graft.sql.GraftHmsAdapter.Db, "graft__hms_t"))
+    assert(!graft.sql.GraftHmsAdapter.mirroredEntries(spark)
+      .exists(_._1 == "graft.hms_t"))
+  }
+
   test("create-time validation rejects malformed specs with messages") {
     def createSql(opts: String, parts: String) =
       s"""CREATE TABLE bad_spec (id BIGINT, ts TIMESTAMP) USING parquet
