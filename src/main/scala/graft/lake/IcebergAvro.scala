@@ -249,7 +249,8 @@ object IcebergAvro {
       idToType: Map[Int, DataType],
       content: String, // "data" | "deletes"
       entries: Seq[DecodedEntry],
-      schemaJson: String, specJson: String): Long = {
+      schemaJson: String, specJson: String,
+      specId: Int = 0): Long = {
     val schema = manifestEntrySchema(partitionFields)
     val dfSchema = schema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
@@ -290,7 +291,7 @@ object IcebergAvro {
     writeAvro(fs, path, schema, Map(
       "schema" -> schemaJson,
       "partition-spec" -> specJson,
-      "partition-spec-id" -> "0",
+      "partition-spec-id" -> specId.toString,
       "format-version" -> "2",
       "content" -> content), records)
   }

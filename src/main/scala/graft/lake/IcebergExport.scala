@@ -142,32 +142,75 @@ object IcebergExport {
     // so an imported equality delete (seq > 0) still applies to such
     // data files, and a delete file with addedBy==0 stays INERT
     // (nothing predates sequence 0) instead of applying to everything.
-    def dataDecoded(s: Snapshot): Seq[IcebergAvro.DecodedEntry] = s.files.map { f =>
-      val (lo, hi, nulls) = statsOf(f.stats)
-      IcebergAvro.DecodedEntry(
-        status = if (f.addedBy == s.id) 1 else 0,
-        snapshotId = if (f.addedBy > 0) f.addedBy else s.id,
-        sequenceNumber = Some(f.addedBy),
-        content = 0,
-        filePath = GraftTable.resolveEntry(qualifiedRoot, f.path),
-        fileFormat = "PARQUET",
-        partition = f.partition,
-        rows = f.rows, bytes = f.bytes,
-        lower = lo, upper = hi, nulls = nulls,
-        equalityIds = Seq.empty)
-    }
-    def delDecoded(s: Snapshot): Seq[IcebergAvro.DecodedEntry] = s.deleteFiles.map { d =>
-      IcebergAvro.DecodedEntry(
-        status = if (d.addedBy == s.id) 1 else 0,
-        snapshotId = if (d.addedBy > 0) d.addedBy else s.id,
-        sequenceNumber = Some(d.addedBy),
-        content = if (d.equalityCols.nonEmpty) 2 else 1,
-        filePath = GraftTable.resolveEntry(qualifiedRoot, d.path),
-        fileFormat = "PARQUET",
-        partition = Map.empty,
-        rows = d.rows, bytes = d.bytes,
-        lower = Map.empty, upper = Map.empty, nulls = Map.empty,
-        equalityIds = d.equalityCols.flatMap(fieldIds.get))
+    // Entry status per the spec: 1 = ADDED by this snapshot,
+    // 0 = EXISTING (carried over), 2 = DELETED — a file the parent
+    // listed that this snapshot removed (COW rewrite, overwrite,
+    // compaction, expire of a fold-back). Incremental consumers read
+    // status-2 entries as the removal half of a snapshot diff; scans
+    // skip them. DELETED entries record the REMOVING snapshot's id
+    // with the file's original sequence number.
+    def removedEntries(s: Snapshot, parent: Option[Snapshot]): Seq[IcebergAvro.DecodedEntry] =
+      parent.toSeq.flatMap { p =>
+        val live = s.files.map(_.path).toSet
+        p.files.filterNot(f => live(f.path)).map { f =>
+          IcebergAvro.DecodedEntry(
+            status = 2,
+            snapshotId = s.id,
+            sequenceNumber = Some(f.addedBy),
+            content = 0,
+            filePath = GraftTable.resolveEntry(qualifiedRoot, f.path),
+            fileFormat = "PARQUET",
+            partition = f.partition,
+            rows = f.rows, bytes = f.bytes,
+            lower = Map.empty, upper = Map.empty, nulls = Map.empty,
+            equalityIds = Seq.empty)
+        }
+      }
+    def dataDecoded(s: Snapshot, parent: Option[Snapshot]): Seq[IcebergAvro.DecodedEntry] =
+      s.files.map { f =>
+        val (lo, hi, nulls) = statsOf(f.stats)
+        IcebergAvro.DecodedEntry(
+          status = if (f.addedBy == s.id) 1 else 0,
+          snapshotId = if (f.addedBy > 0) f.addedBy else s.id,
+          sequenceNumber = Some(f.addedBy),
+          content = 0,
+          filePath = GraftTable.resolveEntry(qualifiedRoot, f.path),
+          fileFormat = "PARQUET",
+          partition = f.partition,
+          rows = f.rows, bytes = f.bytes,
+          lower = lo, upper = hi, nulls = nulls,
+          equalityIds = Seq.empty)
+      } ++ removedEntries(s, parent)
+    def delDecoded(s: Snapshot, parent: Option[Snapshot]): Seq[IcebergAvro.DecodedEntry] = {
+      val liveDel = s.deleteFiles.map(_.path).toSet
+      s.deleteFiles.map { d =>
+        IcebergAvro.DecodedEntry(
+          status = if (d.addedBy == s.id) 1 else 0,
+          snapshotId = if (d.addedBy > 0) d.addedBy else s.id,
+          sequenceNumber = Some(d.addedBy),
+          content = if (d.equalityCols.nonEmpty) 2 else 1,
+          filePath = GraftTable.resolveEntry(qualifiedRoot, d.path),
+          fileFormat = "PARQUET",
+          partition = Map.empty,
+          rows = d.rows, bytes = d.bytes,
+          lower = Map.empty, upper = Map.empty, nulls = Map.empty,
+          equalityIds = d.equalityCols.flatMap(fieldIds.get))
+      } ++ parent.toSeq.flatMap(p =>
+        // delete files the parent carried that this snapshot dropped
+        // (OPTIMIZE/applyDeletes fold-back, stale-entry pruning)
+        p.deleteFiles.filterNot(d => liveDel(d.path)).map { d =>
+          IcebergAvro.DecodedEntry(
+            status = 2,
+            snapshotId = s.id,
+            sequenceNumber = Some(d.addedBy),
+            content = if (d.equalityCols.nonEmpty) 2 else 1,
+            filePath = GraftTable.resolveEntry(qualifiedRoot, d.path),
+            fileFormat = "PARQUET",
+            partition = Map.empty,
+            rows = d.rows, bytes = d.bytes,
+            lower = Map.empty, upper = Map.empty, nulls = Map.empty,
+            equalityIds = d.equalityCols.flatMap(fieldIds.get))
+        })
     }
     def entryJson(e: IcebergAvro.DecodedEntry): ListMap[String, Any] =
       ListMap(
@@ -190,36 +233,64 @@ object IcebergExport {
       "type" -> "struct", "schema-id" -> 0, "fields" -> schema.fields.map(f =>
         ListMap("id" -> fieldIds(f.name), "name" -> f.name,
           "required" -> !f.nullable, "type" -> icebergType(f.dataType)))))
-    // Avro partition struct: per-snapshot partition columns, typed by
+
+    // ---- partition-spec evolution (A40 → Iceberg's multi-spec model):
+    // every DISTINCT (partition column, transform) list across the
+    // retained history gets its own spec-id, in order of first
+    // appearance; manifests are stamped with THEIR snapshot's spec id,
+    // and default-spec-id names the current one. Partition field ids
+    // follow Iceberg's evolution rule — the same (name, source,
+    // transform) keeps its id across specs; new fields allocate the
+    // next id from 1000.
+    def specKeyOf(s: Snapshot): Seq[(String, String)] = {
+      val byDest = s.deps.map(d => d.dest -> d).toMap
+      s.partitionCols.map(p =>
+        p -> byDest.get(p).map(_.transform).getOrElse("identity"))
+    }
+    val distinctSpecs: Seq[Seq[(String, String)]] =
+      snaps.map(specKeyOf).distinct
+    val specIdOfKey: Map[Seq[(String, String)], Int] =
+      distinctSpecs.zipWithIndex.toMap
+    def specIdOf(s: Snapshot): Int = specIdOfKey(specKeyOf(s))
+    val partFieldId = scala.collection.mutable.LinkedHashMap[(String, String), Int]()
+    distinctSpecs.flatten.foreach { k =>
+      if (!partFieldId.contains(k)) partFieldId(k) = 1000 + partFieldId.size
+    }
+
+    // Avro partition struct: the snapshot's partition columns, typed by
     // the current schema (graft materializes the transform result as a
-    // real column), spec field-ids 1000+i
+    // real column), with the evolution-stable spec field ids
     def partFieldsOf(s: Snapshot): Seq[(String, DataType, Int)] =
-      s.partitionCols.zipWithIndex.flatMap { case (p, i) =>
-        schema.fields.find(_.name == p).map(f => (p, f.dataType, 1000 + i)) }
+      specKeyOf(s).flatMap { case (p, tr) =>
+        schema.fields.find(_.name == p).map(f => (p, f.dataType, partFieldId((p, tr)))) }
 
     // (snapshot id) -> (avro data path, avro data len, json data path,
     //                   optional same for deletes)
+    val snapById = snaps.map(s => s.id -> s).toMap
     val manifestPaths = snaps.map { s =>
-      val data = dataDecoded(s)
-      val dels = delDecoded(s)
+      val parent = snapById.get(s.parentId)
+      val data = dataDecoded(s, parent)
+      val dels = delDecoded(s, parent)
       val specJson = mapper.writeValueAsString(
-        ListMap("spec-id" -> 0, "fields" -> partFieldsOf(s).map { case (n, _, fid) =>
+        ListMap("spec-id" -> specIdOf(s), "fields" -> partFieldsOf(s).map { case (n, _, fid) =>
           ListMap("name" -> n, "field-id" -> fid) }))
       val dataJsonPath = write(s"manifest-${s.id}.json",
-        ListMap("schema_id" -> 0, "content" -> "data",
-          "entries" -> data.map(entryJson)))
+        ListMap("schema_id" -> 0, "partition_spec_id" -> specIdOf(s),
+          "content" -> "data", "entries" -> data.map(entryJson)))
       val dataAvroPath = new HPath(metaDir, s"manifest-${s.id}.avro")
       val dataAvroLen = IcebergAvro.writeManifest(fs, dataAvroPath,
-        partFieldsOf(s), idToType, "data", data, schemaJson, specJson)
+        partFieldsOf(s), idToType, "data", data, schemaJson, specJson,
+        specId = specIdOf(s))
       val del =
         if (dels.isEmpty) None
         else {
           val jsonPath = write(s"delete-manifest-${s.id}.json",
-            ListMap("schema_id" -> 0, "content" -> "deletes",
-              "entries" -> dels.map(entryJson)))
+            ListMap("schema_id" -> 0, "partition_spec_id" -> specIdOf(s),
+              "content" -> "deletes", "entries" -> dels.map(entryJson)))
           val avroPath = new HPath(metaDir, s"delete-manifest-${s.id}.avro")
           val avroLen = IcebergAvro.writeManifest(fs, avroPath,
-            Seq.empty, idToType, "deletes", dels, schemaJson, specJson)
+            Seq.empty, idToType, "deletes", dels, schemaJson, specJson,
+            specId = specIdOf(s))
           Some((avroPath.toString, avroLen, jsonPath))
         }
       s.id -> (dataAvroPath.toString, dataAvroLen, dataJsonPath, del)
@@ -230,50 +301,63 @@ object IcebergExport {
     // the JSON manifests, so each chain is self-consistent end to end
     val manifestLists = snaps.map { s =>
       val (dataAvro, dataAvroLen, dataJson, del) = manifestPaths(s.id)
-      val dataSeqs = s.files.map(_.addedBy)
-      val delSeqs = s.deleteFiles.map(_.addedBy)
+      val parent = snapById.get(s.parentId)
+      val removedData = parent.toSeq.flatMap { p =>
+        val live = s.files.map(_.path).toSet
+        p.files.filterNot(f => live(f.path))
+      }
+      val removedDels = parent.toSeq.flatMap { p =>
+        val live = s.deleteFiles.map(_.path).toSet
+        p.deleteFiles.filterNot(d => live(d.path))
+      }
+      val dataSeqs = s.files.map(_.addedBy) ++ removedData.map(_.addedBy)
+      val delSeqs = s.deleteFiles.map(_.addedBy) ++ removedDels.map(_.addedBy)
       def mlJson(path: String, content: Int, added: Int, existing: Int,
-          addedRows: Long): ListMap[String, Any] =
+          deleted: Int, addedRows: Long): ListMap[String, Any] =
         ListMap(
           "manifest_path" -> path,
           "manifest_length" -> fs.getFileStatus(new HPath(path)).getLen,
-          "partition_spec_id" -> 0,
+          "partition_spec_id" -> specIdOf(s),
           "content" -> content,
           "sequence_number" -> s.id,
           // counts mirror the per-entry status field exactly (legacy
-          // addedBy==0 entries are status=existing in every snapshot)
+          // addedBy==0 entries are status=existing in every snapshot;
+          // deleted = parent files this snapshot removed, status 2)
           "added_files_count" -> added,
           "existing_files_count" -> existing,
-          "deleted_files_count" -> 0,
+          "deleted_files_count" -> deleted,
           "added_rows_count" -> addedRows)
       val addedData = s.files.count(_.addedBy == s.id)
       val addedDataRows = s.files.filter(_.addedBy == s.id).map(_.rows).sum
       val jsonEntries =
-        mlJson(dataJson, 0, addedData, s.files.size - addedData, addedDataRows) +:
+        mlJson(dataJson, 0, addedData, s.files.size - addedData,
+          removedData.size, addedDataRows) +:
         del.toSeq.map { case (_, _, jp) =>
-          mlJson(jp, 1, s.deleteFiles.size, 0, s.deleteFiles.map(_.rows).sum) }
+          mlJson(jp, 1, s.deleteFiles.size, 0, removedDels.size,
+            s.deleteFiles.map(_.rows).sum) }
       write(s"snap-${s.id}.manifest-list.json", jsonEntries)
 
       val avroEntries =
-        IcebergAvro.MlEntry(dataAvro, dataAvroLen, 0, content = 0,
+        IcebergAvro.MlEntry(dataAvro, dataAvroLen, specIdOf(s), content = 0,
           sequenceNumber = s.id,
           minSequenceNumber = if (dataSeqs.isEmpty) s.id else dataSeqs.min,
           addedSnapshotId = s.id,
           addedFilesCount = addedData,
           existingFilesCount = s.files.size - addedData,
-          deletedFilesCount = 0,
+          deletedFilesCount = removedData.size,
           addedRowsCount = addedDataRows,
           existingRowsCount = s.files.filter(_.addedBy != s.id).map(_.rows).sum,
-          deletedRowsCount = 0L) +:
+          deletedRowsCount = removedData.map(_.rows).sum) +:
         del.toSeq.map { case (ap, al, _) =>
-          IcebergAvro.MlEntry(ap, al, 0, content = 1,
+          IcebergAvro.MlEntry(ap, al, specIdOf(s), content = 1,
             sequenceNumber = s.id,
             minSequenceNumber = if (delSeqs.isEmpty) s.id else delSeqs.min,
             addedSnapshotId = s.id,
             addedFilesCount = s.deleteFiles.size,
-            existingFilesCount = 0, deletedFilesCount = 0,
+            existingFilesCount = 0, deletedFilesCount = removedDels.size,
             addedRowsCount = s.deleteFiles.map(_.rows).sum,
-            existingRowsCount = 0L, deletedRowsCount = 0L)
+            existingRowsCount = 0L,
+            deletedRowsCount = removedDels.map(_.rows).sum)
         }
       val avroListPath = new HPath(metaDir, s"snap-${s.id}.manifest-list.avro")
       IcebergAvro.writeManifestList(fs, avroListPath, s.id, s.parentId, s.id,
@@ -281,25 +365,33 @@ object IcebergExport {
       s.id -> avroListPath.toString
     }.toMap
 
-    // partition spec: dep destinations carry their transform against
-    // the SOURCE field id (Iceberg's model — the derived column is not
-    // a schema field there; graft materializes it, so it appears in
-    // both places, documented)
-    val depByDest = cur.deps.map(d => d.dest -> d).toMap
-    val specFields = cur.partitionCols.zipWithIndex.map { case (p, i) =>
-      val (srcCol, transform) = depByDest.get(p)
-        .map(d => (d.src, icebergTransform(d.transform)))
-        .getOrElse((p, "identity"))
-      ListMap(
-        "name" -> p,
-        "transform" -> transform,
-        "source-id" -> fieldIds.getOrElse(srcCol, fieldIds.getOrElse(p, 0)),
-        "field-id" -> (1000 + i),
-        // extra key (Iceberg readers ignore unknown fields): the exact
-        // graft transform, so a round-trip import reconstructs the
-        // same hash function — Iceberg's bucket hash is murmur3 over
-        // its own serialization, NOT interchangeable with graft's
-        "graft-transform" -> depByDest.get(p).map(_.transform).getOrElse("identity"))
+    // partition specs: one JSON spec per distinct historical layout
+    // (see specIdOfKey above); dep destinations carry their transform
+    // against the SOURCE field id (Iceberg's model — the derived
+    // column is not a schema field there; graft materializes it, so it
+    // appears in both places, documented). Dep source lookup uses the
+    // LATEST snapshot carrying that spec (transforms are part of the
+    // spec key, so any carrier agrees on them).
+    val allSpecJsons = distinctSpecs.zipWithIndex.map { case (key, sid) =>
+      val carrier = snaps.filter(s => specKeyOf(s) == key).last
+      val depByDest = carrier.deps.map(d => d.dest -> d).toMap
+      ListMap("spec-id" -> sid, "fields" -> key.map { case (p, _) =>
+        val (srcCol, transform) = depByDest.get(p)
+          .map(d => (d.src, icebergTransform(d.transform)))
+          .getOrElse((p, "identity"))
+        val graftTransform = depByDest.get(p).map(_.transform).getOrElse("identity")
+        ListMap(
+          "name" -> p,
+          "transform" -> transform,
+          "source-id" -> fieldIds.getOrElse(srcCol, fieldIds.getOrElse(p, 0)),
+          "field-id" -> partFieldId((p, graftTransform)),
+          // extra key (Iceberg readers ignore unknown fields): the
+          // exact graft transform, so a round-trip import reconstructs
+          // the same hash function — Iceberg's bucket hash is murmur3
+          // over its own serialization, NOT interchangeable with
+          // graft's
+          "graft-transform" -> graftTransform)
+      })
     }
 
     // nested-type element ids are allocated AFTER the column ids so
@@ -326,9 +418,9 @@ object IcebergExport {
         "type" -> "struct",
         "schema-id" -> 0,
         "fields" -> schemaFieldJsons)),
-      "default-spec-id" -> 0,
-      "partition-specs" -> Seq(ListMap("spec-id" -> 0, "fields" -> specFields)),
-      "last-partition-id" -> (999 + cur.partitionCols.size),
+      "default-spec-id" -> specIdOf(cur),
+      "partition-specs" -> allSpecJsons,
+      "last-partition-id" -> (999 + partFieldId.size),
       "default-sort-order-id" -> 0,
       "sort-orders" -> Seq(ListMap("order-id" -> 0, "fields" -> Seq.empty[String])),
       "properties" -> cur.properties,
@@ -369,6 +461,12 @@ object IcebergExport {
       "snapshot-log" -> snaps.map(s => ListMap(
         "timestamp-ms" -> s.tsMillis, "snapshot-id" -> s.id)),
       "metadata-log" -> Seq.empty[String])
+
+    // HadoopTables convention: version-hint.text names the current
+    // metadata version so a reader finds v<N>.metadata.json without
+    // listing the directory
+    val hint = fs.create(new HPath(metaDir, "version-hint.text"), true)
+    try hint.write("1".getBytes("UTF-8")) finally hint.close()
 
     write("v1.metadata.json", metadata)
   }
@@ -438,7 +536,15 @@ object IcebergExport {
       StructField(f.get("name").asText(), sparkTypeNode(f.get("type")),
         nullable = !f.get("required").asBoolean())))
 
-    val specFields = md.get("partition-specs").get(0).get("fields").elements().asScala.toSeq
+    // the DEFAULT spec (multi-spec tables list every historical layout;
+    // the import materializes the current snapshot, which writes under
+    // the default spec)
+    val defaultSpecId = Option(md.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    val specNode = md.get("partition-specs").elements().asScala
+      .find(_.get("spec-id").asInt() == defaultSpecId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"default-spec-id $defaultSpecId absent from partition-specs"))
+    val specFields = specNode.get("fields").elements().asScala.toSeq
     val partitionCols = specFields.map(_.get("name").asText())
     val deps = specFields.flatMap { sf =>
       val name = sf.get("name").asText()
@@ -498,8 +604,11 @@ object IcebergExport {
         val hp = new HPath(mlPath)
         val mfs = hp.getFileSystem(conf)
         val ml = IcebergAvro.readManifestList(mfs, hp)
+        // status 2 = DELETED by this snapshot (the removal half of an
+        // incremental diff) — never part of the live file set
         def rd(kind: Int) = ml.filter(_.content == kind).flatMap(e =>
           IcebergAvro.readManifest(mfs, new HPath(e.manifestPath), idToType))
+          .filter(_.status != 2)
         (rd(0), rd(1))
       } else {
         val mlist = parse(mlPath).elements().asScala.toSeq
@@ -507,6 +616,7 @@ object IcebergExport {
           .flatMap(m => parse(m.get("manifest_path").asText())
             .get("entries").elements().asScala.toSeq)
           .map(decodeJsonEntry)
+          .filter(_.status != 2)
         (rd(0), rd(1))
       }
 

@@ -212,6 +212,78 @@ class IcebergExportSpec extends SparkSpec {
       === "timestamptz")
   }
 
+  test("spec evolution, DELETED entries, and version-hint export per the Iceberg model") {
+    import scala.jdk.CollectionConverters._
+    val o = Tables.orders(spark, sfDir).limit(2000)
+    val root = "/root/repo/target/laketest/icespecevo"
+    // history: create partitioned by status → evolve the spec to a
+    // bucket layout (A40 rewrite: every parent file is replaced) →
+    // append under the new spec
+    val t = GraftTable.create(spark, root,
+      o.repartition(col("o_orderstatus")), Seq("o_orderstatus"))
+    t.repartitionSpec(Seq("ok_b"), Seq(DepSpec("o_orderkey", "ok_b", "sbucket[4]")))
+    t.append(o.limit(200))
+    val metaPath = IcebergExport.exportMetadata(t, root + "-ice")
+    val md = parse(metaPath)
+
+    // two distinct partition specs, default = the evolved one
+    val specs = md.get("partition-specs").elements().asScala.toSeq
+    assert(specs.map(_.get("spec-id").asInt()) === Seq(0, 1))
+    val defId = md.get("default-spec-id").asInt()
+    assert(defId === 1)
+    val spec0 = specs(0).get("fields").elements().asScala.toSeq
+    val spec1 = specs(1).get("fields").elements().asScala.toSeq
+    assert(spec0.map(_.get("name").asText()) === Seq("o_orderstatus"))
+    assert(spec1.map(_.get("name").asText()) === Seq("ok_b"))
+    assert(spec1.head.get("transform").asText() === "bucket[4]")
+    // partition field ids unique across specs; last-partition-id covers them
+    val pfIds = (spec0 ++ spec1).map(_.get("field-id").asInt())
+    assert(pfIds === pfIds.distinct)
+    assert(md.get("last-partition-id").asInt() === pfIds.max)
+
+    // each snapshot's manifest list carries ITS spec id
+    val snaps = md.get("snapshots").elements().asScala.toSeq
+    val fs = hfs(metaPath)
+    def mlOf(i: Int) = IcebergAvro.readManifestList(fs,
+      new HPath(snaps(i).get("manifest-list").asText()))
+    assert(mlOf(0).head.partitionSpecId === 0)
+    assert(mlOf(1).head.partitionSpecId === 1)
+
+    // the rewrite snapshot reports the replaced files as DELETED
+    // (status 2) with counts, and live counts still reconcile
+    val idToType = idToTypeOf(md)
+    val reEntry = mlOf(1).find(_.content == 0).get
+    assert(reEntry.deletedFilesCount > 0)
+    val reManifest = IcebergAvro.readManifest(fs,
+      new HPath(reEntry.manifestPath), idToType)
+    val deleted = reManifest.filter(_.status == 2)
+    assert(deleted.size === reEntry.deletedFilesCount)
+    assert(deleted.map(_.rows).sum === reEntry.deletedRowsCount)
+    // deleted entries name the files the PARENT held
+    val parentFiles = IcebergAvro.readManifest(fs,
+      new HPath(mlOf(0).find(_.content == 0).get.manifestPath), idToType)
+      .filter(_.status != 2).map(_.filePath).toSet
+    assert(deleted.forall(e => parentFiles.contains(e.filePath)))
+    // live = the snapshot's own file set, deleted never counted
+    assert(reManifest.count(_.status != 2) ===
+      t.snapshots.sortBy(_.id).apply(1).files.size)
+
+    // version-hint.text names the metadata version (HadoopTables layout)
+    val hint = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root + "-ice", "metadata", "version-hint.text")), "UTF-8")
+    assert(hint === "1")
+
+    // import materializes the CURRENT snapshot under the default spec,
+    // ignoring status-2 entries
+    val imp = IcebergExport.importMetadata(spark, metaPath, root + "-imp")
+    assert(imp.current.partitionCols === Seq("ok_b"))
+    assert(imp.current.files.size === t.current.files.size)
+    assert(imp.read().exceptAll(t.read()).count() === 0)
+    assert(t.read().exceptAll(imp.read()).count() === 0)
+    // the evolved dep round-trips (graft-transform extra)
+    assert(imp.current.deps === Seq(DepSpec("o_orderkey", "ok_b", "sbucket[4]")))
+  }
+
   test("Avro layer: spec field ids pinned, binary bounds round-trip, twin-equivalent import") {
     import org.apache.spark.sql.types._
     // manifest_file (manifest-list entry) field ids — spec v2

@@ -129,4 +129,72 @@ object KernelProps extends Properties("Kernels") {
       val c2 = Hashing.cosineF(b, a)
       c1 >= -1.0000001 && c1 <= 1.0000001 && math.abs(c1 - c2) < 1e-12
     }
+
+  property("cosineFD agrees with cosineF on double-widened inputs") =
+    forAll(Gen.listOfN(16, Gen.chooseNum(-10f, 10f)),
+           Gen.listOfN(16, Gen.chooseNum(-10f, 10f))) { (x, y) =>
+      val ff = Hashing.cosineF(
+        new GenericArrayData(x.toArray), new GenericArrayData(y.toArray))
+      val fd = Hashing.cosineFD(
+        new GenericArrayData(x.toArray),
+        new GenericArrayData(y.map(_.toDouble).toArray))
+      math.abs(ff - fd) < 1e-12
+    }
+
+  property("centroidResidual pairs with nearestCentroid and reconstructs") =
+    forAll(Gen.listOfN(8, Gen.chooseNum(-5f, 5f)),
+           Gen.listOfN(3, Gen.listOfN(8, Gen.chooseNum(-1.0, 1.0)))) { (v, cs) =>
+      val cents = cs.map(_.toArray).toArray
+      val vec = new GenericArrayData(v.toArray)
+      val c = Hashing.nearestCentroid(vec, cents)
+      val r = Hashing.centroidResidual(vec, cents)
+      // x = c + r within float rounding, dimension by dimension
+      (0 until 8).forall { i =>
+        math.abs(v(i) - (cents(c)(i) + r.getFloat(i))) < 1e-4
+      }
+    }
+}
+
+/** Iceberg single-value binary serialization (spec Appendix D) —
+  * encode/decode must round-trip every stat value a graft manifest
+  * can hold, at the spec's exact widths and byte order.
+  */
+object IcebergBoundProps extends Properties("IcebergBounds") {
+  import org.apache.spark.sql.types._
+  import graft.lake.IcebergAvro.{decodeBound, encodeBound}
+
+  property("long bounds round-trip at 8 bytes LE") =
+    forAll { (v: Long) =>
+      val b = encodeBound(LongType, v.toString)
+      b.remaining() == 8 && decodeBound(LongType, b) == v.toString
+    }
+
+  property("int bounds round-trip at 4 bytes") =
+    forAll(Gen.chooseNum(Int.MinValue, Int.MaxValue)) { v =>
+      val b = encodeBound(IntegerType, v.toString)
+      b.remaining() == 4 && decodeBound(IntegerType, b) == v.toString
+    }
+
+  property("double bounds round-trip bit-exactly") =
+    forAll(Gen.chooseNum(-1e12, 1e12)) { v =>
+      decodeBound(DoubleType, encodeBound(DoubleType, v.toString)).toDouble == v.toString.toDouble
+    }
+
+  property("string bounds round-trip any unicode") =
+    forAll(Gen.alphaNumStr.flatMap(s => Gen.oneOf(s, s + "é", s + "中"))) { s =>
+      decodeBound(StringType, encodeBound(StringType, s)) == s
+    }
+
+  property("date bounds round-trip ISO dates at 4 bytes") =
+    forAll(Gen.chooseNum(-20000, 40000)) { epochDay =>
+      val iso = java.time.LocalDate.ofEpochDay(epochDay.toLong).toString
+      val b = encodeBound(DateType, iso)
+      b.remaining() == 4 && decodeBound(DateType, b) == iso
+    }
+
+  property("little-endian: low byte first for integral types") =
+    forAll(Gen.chooseNum(0, 255)) { v =>
+      encodeBound(LongType, v.toString).get(0) == v.toByte &&
+        encodeBound(IntegerType, v.toString).get(0) == v.toByte
+    }
 }
