@@ -394,6 +394,10 @@ object IcebergExport {
       })
     }
 
+    val sortCols: Seq[String] =
+      cur.properties.getOrElse(GraftTable.SortColsProp, "")
+        .split(",").map(_.trim).filter(c => c.nonEmpty && fieldIds.contains(c)).toSeq
+
     // nested-type element ids are allocated AFTER the column ids so
     // last-column-id covers every id in the schema (spec requirement)
     var lastColumnId = schema.fields.length
@@ -421,8 +425,19 @@ object IcebergExport {
       "default-spec-id" -> specIdOf(cur),
       "partition-specs" -> allSpecJsons,
       "last-partition-id" -> (999 + partFieldId.size),
-      "default-sort-order-id" -> 0,
-      "sort-orders" -> Seq(ListMap("order-id" -> 0, "fields" -> Seq.empty[String])),
+      // write.sort.columns (A60 sorted writes) maps to an Iceberg sort
+      // order: identity transform, ascending, nulls-first (Spark's
+      // sortWithinPartitions default) — order 0 stays the spec's
+      // mandatory unsorted order
+      "default-sort-order-id" -> (if (sortCols.isEmpty) 0 else 1),
+      "sort-orders" -> (ListMap("order-id" -> 0, "fields" -> Seq.empty[String]) +:
+        (if (sortCols.isEmpty) Seq.empty else Seq(ListMap(
+          "order-id" -> 1,
+          "fields" -> sortCols.map(c => ListMap(
+            "transform" -> "identity",
+            "source-id" -> fieldIds.getOrElse(c, 0),
+            "direction" -> "asc",
+            "null-order" -> "nulls-first")))))),
       "properties" -> cur.properties,
       "current-snapshot-id" -> cur.id,
       // spec-v2 refs: named branches/tags with their snapshot ids;
@@ -442,16 +457,34 @@ object IcebergExport {
         "parent-snapshot-id" -> s.parentId,
         "sequence-number" -> s.id,
         "timestamp-ms" -> s.tsMillis,
-        "summary" -> ListMap(
-          "operation" -> (s.operation match {
-            case "create" | "append" => "append"
-            case op if op.startsWith("overwrite") => "overwrite"
-            // spec v2 defines 'delete' as its own operation kind
-            case "delete" | "merge-delete" => "delete"
-            case "update" | "merge" => "overwrite"
-            case _ => "replace"
-          }),
-          "graft-operation" -> s.operation),
+        // summary carries the spec's standard metrics (engines surface
+        // them in history UIs and use totals for planning hints); the
+        // spec serializes every summary value as a string
+        "summary" -> {
+          val parent = snapById.get(s.parentId)
+          val added = s.files.filter(_.addedBy == s.id)
+          val removed = parent.toSeq.flatMap { p =>
+            val live = s.files.map(_.path).toSet
+            p.files.filterNot(f => live(f.path))
+          }
+          ListMap(
+            "operation" -> (s.operation match {
+              case "create" | "append" => "append"
+              case op if op.startsWith("overwrite") => "overwrite"
+              // spec v2 defines 'delete' as its own operation kind
+              case "delete" | "merge-delete" => "delete"
+              case "update" | "merge" => "overwrite"
+              case _ => "replace"
+            }),
+            "graft-operation" -> s.operation,
+            "added-data-files" -> added.size.toString,
+            "deleted-data-files" -> removed.size.toString,
+            "added-records" -> added.map(_.rows).sum.toString,
+            "deleted-records" -> removed.map(_.rows).sum.toString,
+            "total-records" -> s.totalRows.toString,
+            "total-data-files" -> s.files.size.toString,
+            "total-delete-files" -> s.deleteFiles.size.toString)
+        },
         "manifest-list" -> manifestLists(s.id),
         // extra key (readers ignore unknown fields): the JSON debug
         // twin of the Avro manifest-list chain

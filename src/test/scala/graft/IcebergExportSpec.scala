@@ -273,6 +273,30 @@ class IcebergExportSpec extends SparkSpec {
       java.nio.file.Paths.get(root + "-ice", "metadata", "version-hint.text")), "UTF-8")
     assert(hint === "1")
 
+    // snapshot summaries carry the spec's standard metrics as strings;
+    // the rewrite snapshot's deleted counts match its DELETED entries
+    val reSummary = snaps(1).get("summary")
+    assert(reSummary.get("deleted-data-files").asText().toInt === deleted.size)
+    assert(reSummary.get("deleted-records").asText().toLong === deleted.map(_.rows).sum)
+    assert(reSummary.get("total-records").asText().toLong ===
+      t.snapshots.sortBy(_.id).apply(1).totalRows)
+    assert(snaps.last.get("summary").get("total-data-files").asText().toInt ===
+      t.current.files.size)
+
+    // write.sort.columns maps to an Iceberg sort order
+    t.setProperty(GraftTable.SortColsProp, "o_orderkey")
+    val md2 = parse(IcebergExport.exportMetadata(t, root + "-ice2"))
+    assert(md2.get("default-sort-order-id").asInt() === 1)
+    val so = md2.get("sort-orders").elements().asScala.toSeq
+      .find(_.get("order-id").asInt() == 1).get
+      .get("fields").elements().asScala.toSeq
+    assert(so.size === 1)
+    assert(so.head.get("transform").asText() === "identity")
+    assert(so.head.get("direction").asText() === "asc")
+    assert(so.head.get("source-id").asInt() ===
+      md2.get("schemas").get(0).get("fields").elements().asScala
+        .find(_.get("name").asText() == "o_orderkey").get.get("id").asInt())
+
     // import materializes the CURRENT snapshot under the default spec,
     // ignoring status-2 entries
     val imp = IcebergExport.importMetadata(spark, metaPath, root + "-imp")
