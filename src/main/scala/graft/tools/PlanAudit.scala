@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+private[graft] object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("planaudit").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    def shape(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val p = df.queryExecution.executedPlan.toString
+      def count(s: String) = s.r.findAllIn(p).size
+      println(f"== $name%-28s exchanges=${count("Exchange")}%2d bhj=${count("BroadcastHashJoin")}%2d smj=${count("SortMergeJoin")}%2d cartesian=${count("CartesianProduct")}%2d bnlj=${count("BroadcastNestedLoop")}%2d wsc=${count("WholeStageCodegen")}%2d")
+    }
+    shape("dedup_semantic_kmeans", graft.pipeline.VectorOps.semanticDedupKmeans(spark, d))
+    shape("ann_ivfpq (residual)", graft.pipeline.VectorOps.annIvfPq(spark, d))
+    shape("ann_ivfpq bigbatch", graft.pipeline.VectorOps.annIvfPqBatch(spark, d, 10000000L))
+    shape("ann_pq bigbatch", graft.pipeline.VectorOps.annPqBatch(spark, d, 10000000L))
+    shape("q18 (AQE)", graft.operators.CoreQueries.q18BigOrders(spark, d))
+    // q18 at runtime: does AQE broadcast the tiny survivor set?
+    val q18 = graft.operators.CoreQueries.q18BigOrders(spark, d)
+    q18.collect()
+    val after = q18.queryExecution.executedPlan.toString
+    println("q18 post-AQE broadcast: " + after.contains("BroadcastHashJoin"))
+    spark.stop()
+  }
+}
