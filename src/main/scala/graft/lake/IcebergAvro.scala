@@ -221,6 +221,9 @@ object IcebergAvro {
       meta: Map[String, String], records: Seq[GenericRecord]): Long = {
     val writer = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
+    // production Iceberg writers compress manifests; deflate is in the
+    // Avro core (no extra codec dependency)
+    writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(1))
     meta.foreach { case (k, v) => writer.setMeta(k, v) }
     val bos = new ByteArrayOutputStream()
     writer.create(schema, bos)
@@ -387,7 +390,13 @@ object IcebergAvro {
       DecodedEntry(
         status = r.get("status").asInstanceOf[Int],
         snapshotId = Option(r.get("snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(0L),
-        sequenceNumber = Option(r.get("sequence_number")).map(_.asInstanceOf[Long]),
+        // the spec's current name for field 3 is data_sequence_number
+        // (renamed from v2's original sequence_number); accept either
+        // so manifests from newer external writers decode too
+        // (GenericRecord.get returns null for an absent field name)
+        sequenceNumber = Option(r.get("sequence_number"))
+          .orElse(Option(r.get("data_sequence_number")))
+          .map(_.asInstanceOf[Long]),
         content = df.get("content").asInstanceOf[Int],
         filePath = df.get("file_path").toString,
         fileFormat = df.get("file_format").toString,
