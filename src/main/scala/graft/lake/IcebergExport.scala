@@ -329,12 +329,16 @@ object IcebergExport {
           "added_rows_count" -> addedRows)
       val addedData = s.files.count(_.addedBy == s.id)
       val addedDataRows = s.files.filter(_.addedBy == s.id).map(_.rows).sum
+      // delete-manifest counts mirror entry statuses too: carried-over
+      // delete files (addedBy != s.id, status 0) count as existing
+      val addedDel = s.deleteFiles.count(_.addedBy == s.id)
+      val addedDelRows = s.deleteFiles.filter(_.addedBy == s.id).map(_.rows).sum
       val jsonEntries =
         mlJson(dataJson, 0, addedData, s.files.size - addedData,
           removedData.size, addedDataRows) +:
         del.toSeq.map { case (_, _, jp) =>
-          mlJson(jp, 1, s.deleteFiles.size, 0, removedDels.size,
-            s.deleteFiles.map(_.rows).sum) }
+          mlJson(jp, 1, addedDel, s.deleteFiles.size - addedDel,
+            removedDels.size, addedDelRows) }
       write(s"snap-${s.id}.manifest-list.json", jsonEntries)
 
       val avroEntries =
@@ -353,10 +357,11 @@ object IcebergExport {
             sequenceNumber = s.id,
             minSequenceNumber = if (delSeqs.isEmpty) s.id else delSeqs.min,
             addedSnapshotId = s.id,
-            addedFilesCount = s.deleteFiles.size,
-            existingFilesCount = 0, deletedFilesCount = removedDels.size,
-            addedRowsCount = s.deleteFiles.map(_.rows).sum,
-            existingRowsCount = 0L,
+            addedFilesCount = addedDel,
+            existingFilesCount = s.deleteFiles.size - addedDel,
+            deletedFilesCount = removedDels.size,
+            addedRowsCount = addedDelRows,
+            existingRowsCount = s.deleteFiles.filterNot(_.addedBy == s.id).map(_.rows).sum,
             deletedRowsCount = removedDels.map(_.rows).sum)
         }
       val avroListPath = new HPath(metaDir, s"snap-${s.id}.manifest-list.avro")
