@@ -966,7 +966,133 @@ object CoreQueries {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY total_qty DESC, o_orderkey""".stripMargin
 
+  /** B35: waiting-supplier report (TPC-H Q21 plan shape adapted to the
+    * sandbox schema, which carries no l_receiptdate/l_commitdate —
+    * "late" is ship-lag > 180 days after the order date). The shape
+    * under test: the SAME projected fact leg consumed three times —
+    * once as the probe, once as a LEFT SEMI (some OTHER supplier
+    * shipped on the order) and once as a LEFT ANTI (no OTHER supplier
+    * shipped late) — each an equi-join on l_orderkey with a residual
+    * `suppkey <>` inequality, never a nested loop. All three legs
+    * shuffle on the same key, so the exchange is reused across the
+    * semi and anti probes; supplier is joined un-hinted (it grows with
+    * SF — AQE broadcasts it while it fits, the q3/q5 policy).
+    * Reference parity: the multi-EXISTS SQL surface of
+    * /root/reference/src/test/scala/org/apache/spark/sql/iceberg/AbstractTest.scala
+    * generalized to the classic waiting-supplier chain.
+    */
+  def q21Waiting(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (datediff(col("l_shipdate"), col("o_orderdate")) > 180).as("late"))
+    val l1 = base.filter(col("late"))
+    val others = base.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val lateOthers = l1.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+    l1.join(others,
+        col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"), "leftsemi")
+      .join(lateOthers,
+        col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"), "leftanti")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  val q21WaitingSql: String =
+    """WITH l AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    date_diff('day', o_orderdate, l_shipdate) > 180 AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F')
+      |SELECT s_name, count(*) AS numwait
+      |FROM l l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE l1.late
+      |  AND EXISTS (SELECT 1 FROM l l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM l l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 10""".stripMargin
+
+  /** B36: idle high-balance customers (TPC-H Q22 plan shape; the
+    * sandbox schema has no c_phone, so the "country-prefix" predicate
+    * becomes a mktsegment filter and "no orders" becomes "no orders
+    * since 2000-01-01" — every customer has SOME order in this
+    * generator). The shape under test: an uncorrelated scalar
+    * aggregate (global avg of positive balances) broadcast into the
+    * filter, composed with a LEFT ANTI join against the filtered
+    * orders — the NOT EXISTS decorrelation — then a grouped rollup.
+    * The scalar side is a one-row broadcast at any SF; the anti join
+    * shuffles on custkey only.
+    */
+  def q22IdleCustomers(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val avgPos = cust.filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.join(broadcast(avgPos))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "leftanti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+           money(sum(col("c_acctbal"))).as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q22IdleCustomersSql: String =
+    """SELECT c_mktsegment, count(*) AS numcust,
+      |  round(sum(c_acctbal), 2) AS totacctbal
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** B37: disjunctive-predicate join (TPC-H Q19 plan shape; no
+    * p_container / l_shipmode in the sandbox schema, so the brand ×
+    * size × quantity arms carry the disjunction). The shape under
+    * test: an OR-of-ANDs join predicate where the planner must still
+    * extract the common `l_partkey = p_partkey` equi-key and evaluate
+    * the disjunction as a residual join filter — a hash join, never
+    * the nested-loop a naive OR-join plans. part is un-hinted (grows
+    * with SF; AQE broadcasts while it fits).
+    */
+  def q19Disjunctive(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val p  = Tables.part(s, d)
+    val arm1 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 21)
+    val arm2 = col("p_brand") === "Brand#23" &&
+      col("p_size").between(1, 25) && col("l_quantity").between(10, 30)
+    val arm3 = col("p_brand") === "Brand#3" &&
+      col("p_size").between(1, 35) && col("l_quantity").between(20, 40)
+    li.join(p, col("l_partkey") === col("p_partkey") && (arm1 || arm2 || arm3))
+      .agg(money(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+           count(lit(1)).as("matched_rows"))
+  }
+
+  val q19DisjunctiveSql: String =
+    """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS matched_rows
+      |FROM lineitem JOIN part ON l_partkey = p_partkey AND (
+      |     (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+      |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+      |  OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_waiting"     -> (q21Waiting _),
+    "q22_idle_customers" -> (q22IdleCustomers _),
+    "q19_disjunctive" -> (q19Disjunctive _),
     "q7_volume"       -> (q7Volume _),
     "q8_share"        -> (q8Share _),
     "q13_histogram"   -> (q13Histogram _),
@@ -1003,6 +1129,9 @@ object CoreQueries {
     "q_skew_salted_agg" -> (qSkewSaltedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q21_waiting"     -> q21WaitingSql,
+    "q22_idle_customers" -> q22IdleCustomersSql,
+    "q19_disjunctive" -> q19DisjunctiveSql,
     "q7_volume"       -> q7VolumeSql,
     "q8_share"        -> q8ShareSql,
     "q13_histogram"   -> q13HistogramSql,

@@ -131,6 +131,74 @@ class CoreQueriesSpec extends SparkSpec {
     assert(got.length > 1, "expected multi-level recursion in the testdata")
   }
 
+  test("B35 q21: semi/anti chain matches an independent window recomputation") {
+    import org.apache.spark.sql.functions._
+    val plan = CoreQueries.q21Waiting(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"suppkey<> must stay a residual on the orderkey equi-join:\n$plan")
+    val got = CoreQueries.q21Waiting(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // independent reference: per-order distinct supplier / late-supplier
+    // counts via one window pass — a row waits iff the order has >=2
+    // suppliers and exactly this one shipped late
+    val base = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (datediff(col("l_shipdate"), col("o_orderdate")) > 180).as("late"))
+    val perOrder = base.groupBy("l_orderkey").agg(
+      countDistinct(col("l_suppkey")).as("nsupp"),
+      countDistinct(when(col("late"), col("l_suppkey"))).as("nlate"))
+    val exp = base.filter(col("late"))
+      .join(perOrder, "l_orderkey")
+      .filter(col("nsupp") >= 2 && col("nlate") === 1)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name")).limit(10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got === exp)
+  }
+
+  test("B36 q22: scalar-subquery + anti-join matches a driver-side recomputation") {
+    import org.apache.spark.sql.functions._
+    val got = CoreQueries.q22IdleCustomers(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val pos = cust.map(_._3).filter(_ > 0)
+    val avgPos = pos.sum / pos.length
+    val recent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val exp = cust.filter(c => c._3 > avgPos && !recent.contains(c._1))
+      .groupBy(_._2).map { case (seg, cs) => seg -> cs.size.toLong }
+    assert(got === exp)
+    assert(got.values.sum > 0, "anti-join arm must be non-vacuous in the testdata")
+  }
+
+  test("B37 q19: disjunctive join keeps the partkey equi-key (hash join, residual OR)") {
+    import org.apache.spark.sql.functions._
+    val df = CoreQueries.q19Disjunctive(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"OR-of-ANDs must become a residual filter on the equi-join:\n$plan")
+    val row = df.collect().head
+    // independent reference: filter after a plain equi-join
+    val arms = (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 21)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) && col("l_quantity").between(20, 40))
+    val exp = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .filter(arms)
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2), count(lit(1)))
+      .collect().head
+    assert(row.getDouble(0) === exp.getDouble(0))
+    assert(row.getLong(1) === exp.getLong(1))
+    assert(row.getLong(1) > 0, "disjunction must be non-vacuous in the testdata")
+  }
+
   test("q3/q5 hint only fixed-size dims: no forced broadcast of SF-proportional tables") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     // customer/supplier grow with scale factor — a hard broadcast()
