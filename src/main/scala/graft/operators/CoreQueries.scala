@@ -1089,7 +1089,358 @@ object CoreQueries {
       |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
       |  OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40))""".stripMargin
 
+  /** B38 `q2_min_cost` (TPC-H Q2 plan shape; the sandbox schema has no
+    * partsupp, so the part×supplier cost surface is DERIVED from the
+    * fact table: min observed unit price per (partkey, suppkey)). The
+    * shape under test: a per-group minimum computed over a join-derived
+    * surface, matched BACK by equality to recover the full supplier
+    * rows — the classic aggregate-then-rejoin decorrelation of Q2's
+    * correlated MIN subquery. The cost surface stays an UNROUNDED
+    * double end to end: min() is order-independent, so the equality
+    * join compares bit-identical values on both engines. region/nation
+    * dims are broadcast (fixed size), supplier joins un-hinted (AQE).
+    */
+  def q2MinCost(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val eu = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    // unit_cost stays the RAW min double: min() is order-independent so
+    // both engines hold bit-identical values, and a cosmetic 2-dp round
+    // would flip on the .xx5 ties that 2-dp-price / even-qty quotients
+    // produce constantly (observed at sf0.1).
+    val cost = ps.join(eu, col("l_suppkey") === col("s_suppkey"))
+    val mn = cost.groupBy(col("l_partkey").as("mk"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+    cost.join(mn, col("l_partkey") === col("mk") && col("unit_cost") === col("min_cost"))
+      .join(Tables.part(s, d).filter(col("p_type") === "LARGE" && col("p_size") <= 25),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+        money(col("s_acctbal")).as("s_acctbal"), col("unit_cost"))
+      .orderBy(col("p_partkey"), col("s_name"))
+  }
+
+  val q2MinCostSql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |eu AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+      |cost AS (
+      |  SELECT ps.*, eu.s_name, eu.s_acctbal, eu.n_name
+      |  FROM ps JOIN eu ON ps.l_suppkey = eu.s_suppkey),
+      |mn AS (SELECT l_partkey AS mk, min(unit_cost) AS min_cost FROM cost GROUP BY l_partkey)
+      |SELECT p_partkey, p_name, s_name, n_name, round(s_acctbal, 2) AS s_acctbal, unit_cost
+      |FROM cost JOIN mn ON l_partkey = mk AND unit_cost = min_cost
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_type = 'LARGE' AND p_size <= 25
+      |ORDER BY p_partkey, s_name""".stripMargin
+
+  /** B39 `q4_priority` (TPC-H Q4 plan shape; no l_commitdate /
+    * l_receiptdate in the sandbox — "late" is shipping >60 days after
+    * the order date). The shape under test: an EXISTS whose correlated
+    * predicate references BOTH sides (l_shipdate vs o_orderdate), so
+    * the semi-join carries a residual non-equi condition on top of the
+    * orderkey equi-key, feeding a priority histogram. One shuffle on
+    * the order key; the date arithmetic is integer-day, float-exact on
+    * both engines.
+    */
+  def q4Priority(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-07-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("lk"), col("l_shipdate"))
+    ord.join(li,
+        col("lk") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), "leftsemi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4PrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+      |              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** B40 `q9_profit` (TPC-H Q9 plan shape; no ps_supplycost — the cost
+    * leg is a deterministic proxy, 10% of the part's retail price per
+    * unit). The shape under test: a LIKE-filtered dimension driving a
+    * 5-table join with a computed measure that mixes columns from
+    * three tables, grouped by (nation, year). part is LIKE-filtered
+    * then un-hinted (SF-proportional; AQE broadcasts while it fits),
+    * nation broadcast, one fact shuffle on each join key.
+    */
+  def q9Profit(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_name").like("%widget%")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      // The per-line measure is an EXACT 4-dp decimal in real arithmetic
+      // (2-dp price × 2-dp discount factor, minus 3-dp cost × integer
+      // qty), so both engines recover the identical DECIMAL(18,4) from
+      // the double product and the sum is exact integer arithmetic —
+      // order-independent, no ULP flip at the 2-dp rounding boundary
+      // (a double sum here differed between engines by 1 ulp).
+      .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        lit(0.1) * col("p_retailprice") * col("l_quantity")).cast("decimal(18,4)")), 2)
+        .cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  val q9ProfitSql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) - 0.1 * p_retailprice * l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** B41 `q10_returns` (TPC-H Q10 shape): top-20 customers by revenue
+    * lost to returned items in a quarter — a returnflag-filtered fact
+    * joined through orders to customer + nation, grouped on the full
+    * customer row, top-N with the customer key as the tiebreak. The
+    * grouped key set is wide (5 columns) but functionally determined
+    * by c_custkey — one shuffle, no re-join needed.
+    */
+  def q10Returns(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("o_orderdate") <  lit("1996-04-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      // DECIMAL(18,4) sum: the per-line revenue is an exact 4-dp value,
+      // so the decimal sum is order-independent on both engines (see
+      // q9Profit — a double sum here flipped a 2-dp rounding boundary).
+      // Round while STILL decimal: an exact ....5950 sum is a genuine
+      // 2-dp tie, and decimal rounding is half-up on both engines,
+      // where double rounding sees the binary sub-half value.
+      .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        money(col("c_acctbal")).as("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  val q10ReturnsSql: String =
+    """SELECT c_custkey, c_name, CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+      |  round(c_acctbal, 2) AS c_acctbal, n_name
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** B42 `q11_important_stock` (TPC-H Q11 plan shape; no partsupp —
+    * the "stock" surface is the quantity shipped per part by the
+    * filtered nation group). The shape under test: a grouped aggregate
+    * filtered by a scalar aggregate OVER ITS OWN RESULT (HAVING
+    * part_qty > 1.5 × avg) — the threshold is computed once, broadcast
+    * into the filter, never recomputed per row. Quantities are
+    * integer-valued doubles, so sums and the avg are float-exact on
+    * both engines at any scale (the original Q11 fraction is
+    * SF-dependent; 1.5 × mean is the scale-free equivalent).
+    */
+  def q11ImportantStock(s: SparkSession, d: String): DataFrame = {
+    val sn = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = Tables.lineitem(s, d)
+      .join(sn, col("l_suppkey") === col("s_suppkey"), "leftsemi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("pq"))
+    val thresh = value.agg((lit(1.5) * avg(col("pq"))).as("t"))
+    value.join(broadcast(thresh))
+      .filter(col("pq") > col("t"))
+      .select(col("l_partkey").as("p_partkey"), money(col("pq")).as("part_qty"))
+      .orderBy(col("part_qty").desc, col("p_partkey"))
+  }
+
+  val q11ImportantStockSql: String =
+    """WITH sn AS (
+      |  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name IN ('NATION_1','NATION_2','NATION_3')),
+      |val AS (
+      |  SELECT l_partkey, sum(l_quantity) AS part_qty
+      |  FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM sn)
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey AS p_partkey, round(part_qty, 2) AS part_qty
+      |FROM val WHERE part_qty > (SELECT 1.5 * avg(part_qty) FROM val)
+      |ORDER BY part_qty DESC, p_partkey""".stripMargin
+
+  /** B43 `q14_promo` (TPC-H Q14 shape): the promo share of one
+    * month's revenue — a date-sliced fact ⋈ part feeding a single
+    * conditional-sum / total-sum ratio with NO group key (one output
+    * row). The month filter is pushed to the scan; part joins
+    * un-hinted (AQE broadcasts while it fits).
+    */
+  def q14Promo(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      // Both sums are exact DECIMAL(18,4) (order-independent); only the
+      // final division runs in doubles — one deterministic operation on
+      // identical inputs in both engines.
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0))
+          .cast("decimal(18,4)")).cast("double") /
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double"), 6).as("promo_revenue"))
+
+  val q14PromoSql: String =
+    """SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+      |       / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin
+
+  /** B44 `q16_parts_supplier` (TPC-H Q16 plan shape; the part×supplier
+    * surface is the distinct fact pairs, and the "complaints" supplier
+    * exclusion is the deterministic low-balance list). The shape under
+    * test: NOT IN decorrelated to a LEFT ANTI against a derived
+    * exclusion list, feeding a count(DISTINCT) over a three-column
+    * group — two shuffles (pair-distinct, then group), the exclusion
+    * side broadcast by AQE.
+    */
+  def q16PartsSupplier(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val excluded = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 1000.0).select(col("s_suppkey"))
+    pairs
+      .join(excluded, col("l_suppkey") === col("s_suppkey"), "leftanti")
+      .join(Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q16PartsSupplierSql: String =
+    """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM pairs
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** B45 `q17_small_qty` (TPC-H Q17 shape): revenue that would be lost
+    * by dropping small-quantity lines — a CORRELATED per-part average
+    * (each line compares against ITS part's avg quantity), decorrelated
+    * to an aggregate-then-rejoin on the part key. Distinct from
+    * B12/`q_subquery_avg`, whose scalar subquery is uncorrelated
+    * (one global threshold). Quantities are integer-valued doubles, so
+    * the per-part avg and the 0.5× threshold are float-exact on both
+    * engines — the inequality cannot flip between them.
+    */
+  def q17SmallQty(s: SparkSession, d: String): DataFrame = {
+    val pa = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_brand") === "Brand#5"),
+        col("l_partkey") === col("p_partkey"))
+      .join(pa, col("pk") === col("l_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      // 2-dp prices sum exactly as DECIMAL(18,4) — order-independent.
+      .agg(money(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double") / 7.0)
+        .as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q17SmallQtySql: String =
+    """WITH pa AS (SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey)
+      |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly, count(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN pa ON pk = l_partkey
+      |WHERE p_brand = 'Brand#5' AND l_quantity < 0.5 * avg_qty""".stripMargin
+
+  /** B46 `q20_potential` (TPC-H Q20 plan shape; no ps_availqty — the
+    * correlated "excess stock" test becomes "shipped more than half
+    * its all-time volume of this part inside 1996", a per-pair
+    * conditional-sum vs total-sum comparison). The shape under test:
+    * DOUBLE-NESTED semi-joins — suppliers IN (pairs whose correlated
+    * aggregate clears the threshold AND whose part IN a LIKE-filtered
+    * list) — each nesting level a LEFT SEMI, the innermost list
+    * broadcast. Quantity sums are float-exact; the final nation filter
+    * and ordering are fully deterministic.
+    */
+  def q20Potential(s: SparkSession, d: String): DataFrame = {
+    val smallParts = Tables.part(s, d)
+      .filter(col("p_name").like("small%")).select(col("p_partkey"))
+    val sp = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(
+        sum(when(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                 col("l_shipdate") <  lit("1997-01-01").cast("timestamp"),
+          col("l_quantity")).otherwise(lit(0.0))).as("qty_96"),
+        sum(col("l_quantity")).as("qty_all"))
+    val surplus = sp.filter(col("qty_96") > lit(0.5) * col("qty_all"))
+      .join(smallParts, col("l_partkey") === col("p_partkey"), "leftsemi")
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, d)
+      .join(surplus, col("s_suppkey") === col("l_suppkey"), "leftsemi")
+      .join(broadcast(Tables.nation(s, d).filter(col("n_nationkey") < 13)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q20PotentialSql: String =
+    """WITH sp AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |             THEN l_quantity ELSE 0 END) AS qty_96,
+      |    sum(l_quantity) AS qty_all
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |surplus AS (
+      |  SELECT DISTINCT l_suppkey FROM sp
+      |  WHERE qty_96 > 0.5 * qty_all
+      |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'))
+      |SELECT s_suppkey, s_name, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM surplus)
+      |  AND n_nationkey < 13
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost"     -> (q2MinCost _),
+    "q4_priority"     -> (q4Priority _),
+    "q9_profit"       -> (q9Profit _),
+    "q10_returns"     -> (q10Returns _),
+    "q11_important_stock" -> (q11ImportantStock _),
+    "q14_promo"       -> (q14Promo _),
+    "q16_parts_supplier" -> (q16PartsSupplier _),
+    "q17_small_qty"   -> (q17SmallQty _),
+    "q20_potential"   -> (q20Potential _),
     "q21_waiting"     -> (q21Waiting _),
     "q22_idle_customers" -> (q22IdleCustomers _),
     "q19_disjunctive" -> (q19Disjunctive _),
@@ -1129,6 +1480,15 @@ object CoreQueries {
     "q_skew_salted_agg" -> (qSkewSaltedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q2_min_cost"     -> q2MinCostSql,
+    "q4_priority"     -> q4PrioritySql,
+    "q9_profit"       -> q9ProfitSql,
+    "q10_returns"     -> q10ReturnsSql,
+    "q11_important_stock" -> q11ImportantStockSql,
+    "q14_promo"       -> q14PromoSql,
+    "q16_parts_supplier" -> q16PartsSupplierSql,
+    "q17_small_qty"   -> q17SmallQtySql,
+    "q20_potential"   -> q20PotentialSql,
     "q21_waiting"     -> q21WaitingSql,
     "q22_idle_customers" -> q22IdleCustomersSql,
     "q19_disjunctive" -> q19DisjunctiveSql,

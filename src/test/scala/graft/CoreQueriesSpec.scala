@@ -199,6 +199,111 @@ class CoreQueriesSpec extends SparkSpec {
     assert(row.getLong(1) > 0, "disjunction must be non-vacuous in the testdata")
   }
 
+  test("B38 q2: every min-cost supplier is returned (tie-safe) and the min is genuine") {
+    import org.apache.spark.sql.expressions.Window
+    val got = CoreQueries.q2MinCost(spark, sfDir)
+    // independent reference: window-min over the same derived surface
+    val ps = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val eu = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val exp = ps.join(eu, col("l_suppkey") === col("s_suppkey"))
+      .withColumn("mn", min(col("unit_cost")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("unit_cost") === col("mn"))
+      .join(Tables.part(spark, sfDir)
+          .filter(col("p_type") === "LARGE" && col("p_size") <= 25),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("p_partkey"), col("s_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val gotPairs = got.collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(gotPairs === exp)
+    assert(gotPairs.nonEmpty, "min-cost match must be non-vacuous in the testdata")
+  }
+
+  test("B39 q4: correlated-EXISTS semi keeps the equi-join (residual date non-equi)") {
+    val df = CoreQueries.q4Priority(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"l_shipdate > o_orderdate+60d must stay a residual on the orderkey equi-semi:\n$plan")
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent reference: inner-join + distinct orders
+    val exp = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-07-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("o_orderkey", "o_orderpriority").distinct()
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === exp)
+  }
+
+  test("B42 q11: scalar threshold over own result matches a driver recomputation") {
+    val got = CoreQueries.q11ImportantStock(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sn = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir)
+          .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val byPart = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_quantity").collect()
+      .filter(r => sn.contains(r.getLong(1)))
+      .groupBy(_.getLong(0)).map { case (pk, rs) => pk -> rs.map(_.getDouble(2)).sum }
+    val thresh = 1.5 * byPart.values.sum / byPart.size
+    val exp = byPart.filter(_._2 > thresh)
+    assert(got === exp)
+    assert(got.nonEmpty && got.size < byPart.size,
+      "threshold must keep a strict, non-empty subset")
+  }
+
+  test("B45 q17: correlated per-part avg counts exactly the sub-threshold lines") {
+    val row = CoreQueries.q17SmallQty(spark, sfDir).collect().head
+    val avgQ = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity").collect()
+      .groupBy(_.getLong(0))
+      .map { case (pk, rs) => pk -> rs.map(_.getDouble(1)).sum / rs.size }
+    val brand5 = Tables.part(spark, sfDir).filter(col("p_brand") === "Brand#5")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val expLines = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity").collect()
+      .count(r => brand5.contains(r.getLong(0)) &&
+        r.getDouble(1) < 0.5 * avgQ(r.getLong(0)))
+    assert(row.getAs[Long]("n_lines") === expLines)
+    assert(expLines > 0, "correlated threshold must be non-vacuous in the testdata")
+  }
+
+  test("B46 q20: double-nested semi keeps hash joins and matches a recomputation") {
+    val df = CoreQueries.q20Potential(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested IN-lists must decorrelate to semi hash joins:\n$plan")
+    val got = df.collect().map(_.getLong(0)).toSet
+    val small = Tables.part(spark, sfDir).filter(col("p_name").like("small%"))
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        (col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+         col("l_shipdate") <  lit("1997-01-01").cast("timestamp")).as("in96"))
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+    val surplus = pairs.collect { case ((pk, sk), rs)
+      if small.contains(pk) &&
+        rs.filter(_.getBoolean(3)).map(_.getDouble(2)).sum >
+          0.5 * rs.map(_.getDouble(2)).sum => sk }.toSet
+    val exp = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir).filter(col("n_nationkey") < 13),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+      .intersect(surplus)
+    assert(got === exp)
+    assert(got.nonEmpty, "surplus semi-chain must be non-vacuous in the testdata")
+  }
+
   test("q3/q5 hint only fixed-size dims: no forced broadcast of SF-proportional tables") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     // customer/supplier grow with scale factor — a hard broadcast()
@@ -206,8 +311,12 @@ class CoreQueriesSpec extends SparkSpec {
     // rows forever) may carry hints. AQE decides the rest by size.
     // q18's having-survivor set is fact-derived (l_orderkey) — also
     // AQE-decided, no hint (broadcast vs shuffle both valid by size)
-    val sfProportional = Seq("c_custkey", "c_mktsegment", "s_suppkey", "o_orderkey", "l_orderkey")
-    for (q <- Seq(CoreQueries.q3Join _, CoreQueries.q5MultiJoin _, CoreQueries.q18BigOrders _)) {
+    val sfProportional = Seq("c_custkey", "c_mktsegment", "s_suppkey", "o_orderkey",
+      "l_orderkey", "p_partkey", "p_brand")
+    for (q <- Seq(CoreQueries.q3Join _, CoreQueries.q5MultiJoin _, CoreQueries.q18BigOrders _,
+        CoreQueries.q2MinCost _, CoreQueries.q4Priority _, CoreQueries.q9Profit _,
+        CoreQueries.q10Returns _, CoreQueries.q14Promo _, CoreQueries.q16PartsSupplier _,
+        CoreQueries.q17SmallQty _, CoreQueries.q20Potential _)) {
       val plan = q(spark, sfDir).queryExecution.analyzed
       val hinted = plan.collect { case h: ResolvedHint => h.child.output.map(_.name) }
       hinted.foreach { cols =>
