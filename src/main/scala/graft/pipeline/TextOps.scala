@@ -811,7 +811,195 @@ object TextOps {
       |  FROM h)
       |SELECT doc_id, source FROM r WHERE rn <= 8 ORDER BY source, doc_id""".stripMargin
 
+  /** C39 `text_nb_quality`: model-based quality filtering — the
+    * fastText-classifier family (GPT-3/LLaMA-style "looks like curated
+    * text vs crawl" gate), as a multinomial Naive Bayes log-likelihood
+    * ratio trained IN THE SAME DAG it scores with. The "curated" class
+    * is the deterministic source whitelist (src0-src3 stand in for the
+    * wiki/books side of the real pipeline). Training is one
+    * conditional aggregation over the token stream (per-term class
+    * counts, map-side combined); scoring joins each token against the
+    * learned weight table and sums per doc. All counts are integers,
+    * so the smoothed probabilities are identical doubles on both
+    * engines; per-term log-weights quantize to 6 dp BEFORE the sum
+    * (C20's order-independence trick) and the final score re-rounds to
+    * snap accumulation noise. At 100 TB: two keyed shuffles (term agg,
+    * doc agg) + one term join — the tf·idf scale shape; the weight
+    * table is |vocab|-sized and AQE picks its join side.
+    */
+  def nbQuality(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("pos", col("source").isin("src0", "src1", "src2", "src3"))
+    val toks = docs.select(col("doc_id"), col("pos"),
+      explode(tokens(col("text"))).as("term"))
+    val termCounts = toks.groupBy(col("term")).agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("cn"))
+    val totals = termCounts.agg(
+      sum(col("cp")).cast("double").as("totp"),
+      sum(col("cn")).cast("double").as("totn"),
+      count(lit(1)).cast("double").as("v"))
+    val weights = termCounts.crossJoin(broadcast(totals))
+      .select(col("term"),
+        (round(log((col("cp").cast("double") + lit(1.0)) / (col("totp") + col("v"))), 6) -
+         round(log((col("cn").cast("double") + lit(1.0)) / (col("totn") + col("v"))), 6))
+          .as("w"))
+    val priors = docs.agg(
+      round(log(sum(when(col("pos"), 1L).otherwise(0L)).cast("double") /
+                sum(when(col("pos"), 0L).otherwise(1L)).cast("double")), 6).as("prior"))
+    toks.join(weights, "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("llr0"))
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id"), col("n_toks"),
+        round(col("llr0") + col("prior"), 6).as("llr"),
+        (round(col("llr0") + col("prior"), 6) > 0.0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val nbQualitySql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text, source IN ('src0','src1','src2','src3') AS pos
+       |  FROM documents),
+       |toks AS (SELECT doc_id, pos, unnest($tokensSql) AS term FROM docs),
+       |tc AS (
+       |  SELECT term,
+       |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+       |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+       |  FROM toks GROUP BY term),
+       |tot AS (
+       |  SELECT CAST(sum(cp) AS DOUBLE) AS totp, CAST(sum(cn) AS DOUBLE) AS totn,
+       |    CAST(count(*) AS DOUBLE) AS v FROM tc),
+       |w AS (
+       |  SELECT term,
+       |    round(ln((CAST(cp AS DOUBLE) + 1.0) / (totp + v)), 6) -
+       |    round(ln((CAST(cn AS DOUBLE) + 1.0) / (totn + v)), 6) AS w
+       |  FROM tc, tot),
+       |pr AS (
+       |  SELECT round(ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) /
+       |                 CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS DOUBLE)), 6) AS prior
+       |  FROM docs)
+       |SELECT doc_id, count(*) AS n_toks,
+       |  round(sum(w) + pr.prior, 6) AS llr,
+       |  round(sum(w) + pr.prior, 6) > 0.0 AS keep
+       |FROM toks JOIN w USING (term), pr
+       |GROUP BY doc_id, pr.prior ORDER BY doc_id""".stripMargin
+
+  /** C43 `sample_importance`: DSIR-style importance resampling (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling") — reweight a raw corpus toward a target distribution
+    * using unigram bag-of-features LMs, then draw a fixed-size sample
+    * WITHOUT replacement via the Gumbel-top-k trick. Target here is the
+    * lang='en' slice; the importance weight of a doc is
+    * Σ_t [round(ln p_tgt(t),6) − round(ln p_raw(t),6)] (add-1 smoothed,
+    * quantized per token so the sum is order-independent). The Gumbel
+    * key adds −ln(−ln(u)) where u comes from the Knuth multiplicative
+    * hash of doc_id — integer arithmetic both engines compute exactly,
+    * no RNG state, reproducible at any parallelism. Selection is
+    * orderBy(key).limit(k) → TakeOrderedAndProject: no global sort at
+    * 100 TB, each partition keeps its local top-k.
+    */
+  val ImportanceK = 200
+  def sampleImportance(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("term"))
+    val termCounts = toks.groupBy(col("term")).agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val totals = termCounts.agg(
+      sum(col("ct")).cast("double").as("tott"),
+      sum(col("cr")).cast("double").as("totr"),
+      count(lit(1)).cast("double").as("v"))
+    val weights = termCounts.crossJoin(broadcast(totals))
+      .select(col("term"),
+        (round(log((col("ct").cast("double") + lit(1.0)) / (col("tott") + col("v"))), 6) -
+         round(log((col("cr").cast("double") + lit(1.0)) / (col("totr") + col("v"))), 6))
+          .as("w"))
+    val scored = toks.join(weights, "term")
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("w")), 6).as("weight"))
+    // u ∈ (0,1) exactly: (h+1)/(p+1) with h = Knuth hash mod p. doc_id
+    // reduces mod p BEFORE the multiply so the widest intermediate is
+    // (p−1)·2654435761 ≈ 2.7e18 < 2^63 — no overflow at any corpus id.
+    val u = (pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L) + lit(12345L),
+      lit(1000000007L)).cast("double") + lit(1.0)) / lit(1000000008.0)
+    scored
+      .withColumn("gkey", round(col("weight") - log(-log(u)), 6))
+      .orderBy(col("gkey").desc, col("doc_id"))
+      .limit(ImportanceK)
+  }
+
+  val sampleImportanceSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest($tokensSql) AS term FROM documents),
+       |tc AS (
+       |  SELECT term,
+       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+       |    count(*) AS cr
+       |  FROM toks GROUP BY term),
+       |tot AS (
+       |  SELECT CAST(sum(ct) AS DOUBLE) AS tott, CAST(sum(cr) AS DOUBLE) AS totr,
+       |    CAST(count(*) AS DOUBLE) AS v FROM tc),
+       |w AS (
+       |  SELECT term,
+       |    round(ln((CAST(ct AS DOUBLE) + 1.0) / (tott + v)), 6) -
+       |    round(ln((CAST(cr AS DOUBLE) + 1.0) / (totr + v)), 6) AS w
+       |  FROM tc, tot),
+       |scored AS (
+       |  SELECT doc_id, round(sum(w), 6) AS weight
+       |  FROM toks JOIN w USING (term) GROUP BY doc_id)
+       |SELECT doc_id, weight,
+       |  round(weight - ln(-ln((CAST(((doc_id % 1000000007) * 2654435761 + 12345) % 1000000007 AS DOUBLE) + 1.0)
+       |    / 1000000008.0)), 6) AS gkey
+       |FROM scored
+       |ORDER BY gkey DESC, doc_id LIMIT $ImportanceK""".stripMargin
+
+  /** C44 `corpus_profile`: the one-pass corpus data card — per-source
+    * document/token/char totals, language spread and english share,
+    * with a ROLLUP grand-total row (the report a 100 TB ingest job
+    * emits before training starts). Integer sums are exact on both
+    * engines; the only doubles are final ratios. One grouping-sets
+    * aggregation, map-side combined — no joins, no second pass.
+    */
+  def corpusProfile(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .rollup(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(col("n_chars").cast("long")).as("total_chars"),
+        // raw double quotient, NOT rounded: an integer/integer average
+        // like 123.455 is a genuine 2-dp tie that the two engines'
+        // double-rounding modes resolve differently; the unrounded
+        // quotient is the same double on both.
+        (sum(col("n_chars").cast("double")) / count(lit(1))).as("avg_chars"),
+        round(sum(when(col("lang") === "en", 1.0).otherwise(0.0)) / count(lit(1)), 6)
+          .as("en_frac"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"), col("n_docs"),
+        col("n_langs"), col("total_tokens"), col("total_chars"),
+        col("avg_chars"), col("en_frac"))
+      .orderBy(col("source"))
+
+  val corpusProfileSql: String =
+    s"""SELECT COALESCE(source, 'ALL') AS source,
+       |  count(*) AS n_docs,
+       |  count(DISTINCT lang) AS n_langs,
+       |  sum(len($tokensSql)) AS total_tokens,
+       |  sum(CAST(n_chars AS BIGINT)) AS total_chars,
+       |  CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) / count(*) AS avg_chars,
+       |  round(sum(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) / count(*), 6) AS en_frac
+       |FROM documents
+       |GROUP BY ROLLUP(source)
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_nb_quality"  -> (nbQuality _),
+    "sample_importance" -> (sampleImportance _),
+    "corpus_profile"   -> (corpusProfile _),
     "sample_pack"      -> (samplePack _),
     "sample_stratified" -> (sampleStratified _),
     "corpus_domain_cap" -> (domainCap _),
@@ -834,6 +1022,9 @@ object TextOps {
     "text_tfidf"       -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "text_nb_quality"  -> nbQualitySql,
+    "sample_importance" -> sampleImportanceSql,
+    "corpus_profile"   -> corpusProfileSql,
     "sample_pack"      -> samplePackSql,
     "sample_stratified" -> sampleStratifiedSql,
     "corpus_domain_cap" -> domainCapSql,

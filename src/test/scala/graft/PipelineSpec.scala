@@ -887,4 +887,86 @@ class PipelineSpec extends SparkSpec {
       assert(t.thumb_checksum === acc, s"doc ${t.doc_id} thumbnail mismatch")
     }
   }
+
+  test("C39 NB quality: llr decomposes into learned per-term weights + prior") {
+    val out = TextOps.nbQuality(spark, sfDir).collect()
+    assert(out.forall(r => r.getAs[Boolean]("keep") === (r.getAs[Double]("llr") > 0.0)))
+    // recompute one doc's score from independently derived counts
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("pos", col("source").isin("src0", "src1", "src2", "src3"))
+    val toks = docs.select(col("doc_id"), col("pos"),
+      explode(TextOps.tokens(col("text"))).as("term"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2)))
+    val byTerm = toks.groupBy(_._3)
+    val totP = toks.count(_._2).toDouble
+    val totN = toks.count(!_._2).toDouble
+    val v = byTerm.size.toDouble
+    def q6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w = byTerm.map { case (t, rs) =>
+      t -> (q6(math.log((rs.count(_._2) + 1.0) / (totP + v))) -
+            q6(math.log((rs.count(!_._2) + 1.0) / (totN + v))))
+    }
+    val nd = docs.select("doc_id", "pos").collect().map(r => r.getBoolean(1))
+    val prior = q6(math.log(nd.count(identity).toDouble / nd.count(!_)))
+    val someDoc = out.head.getLong(0)
+    val expected = q6(toks.filter(_._1 == someDoc).map(t => w(t._3)).sum + prior)
+    val got = out.find(_.getLong(0) == someDoc).get.getAs[Double]("llr")
+    assert(math.abs(got - expected) < 2e-6, s"llr $got vs recomputed $expected")
+    // the classifier must separate the classes it trained on: curated
+    // docs score higher on average than crawl docs
+    val posIds = docs.filter(col("pos")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val (posS, negS) = out.partition(r => posIds.contains(r.getLong(0)))
+    val meanPos = posS.map(_.getAs[Double]("llr")).sum / posS.length
+    val meanNeg = negS.map(_.getAs[Double]("llr")).sum / negS.length
+    assert(meanPos > meanNeg, s"no separation: pos mean $meanPos vs neg $meanNeg")
+  }
+
+  test("C43 importance resampling: selection is exactly Gumbel-top-k without replacement") {
+    val k = TextOps.ImportanceK
+    val sel = TextOps.sampleImportance(spark, sfDir).collect()
+    assert(sel.length == math.min(k, Tables.documents(spark, sfDir).count()).toInt)
+    assert(sel.map(_.getLong(0)).distinct.length === sel.length, "sampled WITH replacement")
+    // the chosen set must be the global top-k of the full keyed population
+    val full = TextOps.sampleImportance(spark, sfDir) // same plan, before limit:
+    val allKeys = {
+      // recompute the full population by removing the limit: score+key for every doc
+      val docs = Tables.documents(spark, sfDir)
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      val tc = toks.groupBy(col("term")).agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      val tot = tc.agg(sum(col("ct")).cast("double").as("tott"),
+        sum(col("cr")).cast("double").as("totr"),
+        count(lit(1)).cast("double").as("v"))
+      val w = tc.crossJoin(broadcast(tot)).select(col("term"),
+        (round(log((col("ct").cast("double") + lit(1.0)) / (col("tott") + col("v"))), 6) -
+         round(log((col("cr").cast("double") + lit(1.0)) / (col("totr") + col("v"))), 6)).as("w"))
+      val u = (pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L) + lit(12345L),
+        lit(1000000007L)).cast("double") + lit(1.0)) / lit(1000000008.0)
+      toks.join(w, "term").groupBy(col("doc_id"))
+        .agg(round(sum(col("w")), 6).as("weight"))
+        .withColumn("gkey", round(col("weight") - log(-log(u)), 6))
+        .collect().map(r => (r.getAs[Double]("gkey"), r.getLong(0)))
+    }
+    val expTop = allKeys.sortBy { case (g, id) => (-g, id) }.take(sel.length)
+      .map(_._2).toSet
+    assert(sel.map(_.getLong(0)).toSet === expTop)
+    // plan shape: limit must be TakeOrderedAndProject, not a global sort
+    val plan = full.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k should avoid a full sort:\n$plan")
+  }
+
+  test("C44 corpus profile: the ALL rollup row is the exact column-wise total") {
+    val rows = TextOps.corpusProfile(spark, sfDir).collect()
+    val all = rows.find(_.getString(0) == "ALL").get
+    val per = rows.filter(_.getString(0) != "ALL")
+    assert(per.nonEmpty)
+    assert(all.getAs[Long]("n_docs") === per.map(_.getAs[Long]("n_docs")).sum)
+    assert(all.getAs[Long]("total_tokens") === per.map(_.getAs[Long]("total_tokens")).sum)
+    assert(all.getAs[Long]("total_chars") === per.map(_.getAs[Long]("total_chars")).sum)
+    assert(all.getAs[Long]("n_langs") >= per.map(_.getAs[Long]("n_langs")).max)
+    val expAvg = all.getAs[Long]("total_chars").toDouble / all.getAs[Long]("n_docs")
+    assert(all.getAs[Double]("avg_chars") === expAvg)
+  }
 }
