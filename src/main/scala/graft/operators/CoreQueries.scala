@@ -1431,7 +1431,50 @@ object CoreQueries {
       |  AND n_nationkey < 13
       |ORDER BY s_suppkey""".stripMargin
 
+  /** B47 `q12_shipmode` (TPC-H Q12 plan shape — the last of the 22; no
+    * l_shipmode / l_commitdate / l_receiptdate in the sandbox, so the
+    * ship mode is a deterministic derivation from the line number and
+    * "late" is shipping >30 days after the order date). The shape under
+    * test: the GROUP key comes from the fact side while the conditional
+    * measure tests the JOINED dimension's attribute (o_orderpriority
+    * split into urgent/other counts) — a fact→orders equi-join with a
+    * residual cross-side date predicate, feeding a two-arm conditional
+    * histogram over a 3-value derived key. One shuffle on the order
+    * key (AQE picks the join side); all measures are integer counts —
+    * exact on both engines.
+    */
+  def q12ShipMode(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey").as("lk"), col("l_shipdate"),
+        when(pmod(col("l_linenumber"), lit(3)) === 0, "AIR")
+          .when(pmod(col("l_linenumber"), lit(3)) === 1, "SHIP")
+          .otherwise("TRUCK").as("ship_mode"))
+    Tables.orders(s, d)
+      .join(li, col("lk") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("ship_mode"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("ship_mode"))
+  }
+
+  val q12ShipModeSql: String =
+    """SELECT
+      |  CASE l_linenumber % 3 WHEN 0 THEN 'AIR' WHEN 1 THEN 'SHIP' ELSE 'TRUCK' END AS ship_mode,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |GROUP BY 1 ORDER BY ship_mode""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_shipmode"    -> (q12ShipMode _),
     "q2_min_cost"     -> (q2MinCost _),
     "q4_priority"     -> (q4Priority _),
     "q9_profit"       -> (q9Profit _),
@@ -1480,6 +1523,7 @@ object CoreQueries {
     "q_skew_salted_agg" -> (qSkewSaltedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q12_shipmode"    -> q12ShipModeSql,
     "q2_min_cost"     -> q2MinCostSql,
     "q4_priority"     -> q4PrioritySql,
     "q9_profit"       -> q9ProfitSql,

@@ -304,6 +304,39 @@ class CoreQueriesSpec extends SparkSpec {
     assert(got.nonEmpty, "surplus semi-chain must be non-vacuous in the testdata")
   }
 
+  test("B47 q12: conditional dim-side histogram matches a recomputation; equi-join kept") {
+    val df = CoreQueries.q12ShipMode(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the late-shipment date predicate must stay a residual on the orderkey equi-join:\n$plan")
+    val got = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val prio = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority", "o_orderdate").collect()
+      .map(r => r.getLong(0) ->
+        (Set("1-URGENT", "2-HIGH")(r.getString(1)),
+         r.getAs[java.time.LocalDateTime](2)))
+      .toMap
+    val exp = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_shipdate").collect()
+      .filter { r =>
+        val (_, od) = prio(r.getLong(0))
+        r.getAs[java.time.LocalDateTime](2).isAfter(od.plusDays(30))
+      }
+      .groupBy(r => (r.getInt(1) % 3) match {
+        case 0 => "AIR"; case 1 => "SHIP"; case _ => "TRUCK"
+      })
+      .map { case (m, rs) =>
+        val hi = rs.count(r => prio(r.getLong(0))._1).toLong
+        m -> (hi, rs.length - hi)
+      }
+    assert(got === exp)
+    assert(got.keySet === Set("AIR", "SHIP", "TRUCK"),
+      "all three derived modes must be populated in the testdata")
+  }
+
   test("q3/q5 hint only fixed-size dims: no forced broadcast of SF-proportional tables") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     // customer/supplier grow with scale factor — a hard broadcast()
@@ -316,7 +349,8 @@ class CoreQueriesSpec extends SparkSpec {
     for (q <- Seq(CoreQueries.q3Join _, CoreQueries.q5MultiJoin _, CoreQueries.q18BigOrders _,
         CoreQueries.q2MinCost _, CoreQueries.q4Priority _, CoreQueries.q9Profit _,
         CoreQueries.q10Returns _, CoreQueries.q14Promo _, CoreQueries.q16PartsSupplier _,
-        CoreQueries.q17SmallQty _, CoreQueries.q20Potential _)) {
+        CoreQueries.q17SmallQty _, CoreQueries.q20Potential _,
+        CoreQueries.q12ShipMode _)) {
       val plan = q(spark, sfDir).queryExecution.analyzed
       val hinted = plan.collect { case h: ResolvedHint => h.child.output.map(_.name) }
       hinted.foreach { cols =>
