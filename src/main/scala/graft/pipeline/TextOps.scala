@@ -996,7 +996,156 @@ object TextOps {
        |GROUP BY ROLLUP(source)
        |ORDER BY source""".stripMargin
 
+  /** C45 `sample_temperature`: temperature-balanced multilingual
+    * sampling (the XLM-R/mT5 α-upsampling rule): per-language share
+    * q_l ∝ (n_l/N)^α with α=0.3, a fixed total budget K apportioned by
+    * the largest-remainder method (exact, no RNG), then per-language
+    * selection of the k_l lowest-Knuth-hash documents — reproducible at
+    * any parallelism. The language table is tiny (one groupBy away), so
+    * the apportionment windows run over |langs| rows; the only
+    * data-proportional work is one per-language rank window (C33's
+    * shape — at 100 TB a hash-threshold prefilter bounds each sorted
+    * partition to ~k_l before ranking). Quantization: the only
+    * transcendental, pow^α, rounds to 6 dp; everything after is
+    * IEEE-identical arithmetic on both engines. Languages smaller than
+    * their inflated quota contribute all n_l docs (total may fall
+    * short of K — documented, matches the oracle).
+    */
+  val TempK = 200
+  def sampleTemperature(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val lc = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val tot = lc.agg(sum(col("n")).cast("double").as("nn"))
+    val w = lc.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n"),
+        round(pow(col("n").cast("double") / col("nn"), lit(0.3)), 6).as("w"))
+    val sw = w.agg(sum(col("w")).as("sw"))
+    val base = w.crossJoin(broadcast(sw))
+      .select(col("lang"), col("n"),
+        floor(lit(TempK) * col("w") / col("sw")).cast("long").as("k0"),
+        (lit(TempK) * col("w") / col("sw") -
+         floor(lit(TempK) * col("w") / col("sw"))).as("rem"))
+    val leftover = base.agg((lit(TempK.toLong) - sum(col("k0"))).as("leftover"))
+    // |langs|-row windows: the single-partition sort is over the tiny
+    // language table, never the corpus
+    val quota = base.crossJoin(broadcast(leftover))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang"))).cast("long"))
+      .select(col("lang"),
+        least(col("n"), col("k0") +
+          when(col("rnk") <= col("leftover"), 1L).otherwise(0L)).as("k"))
+    val h = pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L) + lit(12345L),
+      lit(1000000007L))
+    docs.withColumn("h", h)
+      .withColumn("pick_rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))).cast("long"))
+      .join(broadcast(quota), "lang")
+      .filter(col("pick_rank") <= col("k"))
+      .select(col("doc_id"), col("lang"), col("pick_rank"))
+      .orderBy(col("lang"), col("pick_rank"))
+  }
+
+  val sampleTemperatureSql: String =
+    s"""WITH lc AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM lc),
+       |w AS (SELECT lang, n, round(pow(CAST(n AS DOUBLE) / nn, 0.3), 6) AS w FROM lc, tot),
+       |sw AS (SELECT sum(w) AS sw FROM w),
+       |base AS (
+       |  SELECT lang, n, CAST(floor($TempK * w / sw) AS BIGINT) AS k0,
+       |    $TempK * w / sw - floor($TempK * w / sw) AS rem
+       |  FROM w, sw),
+       |leftover AS (SELECT $TempK - sum(k0) AS leftover FROM base),
+       |quota AS (
+       |  SELECT lang, least(n, k0 + CASE WHEN
+       |      row_number() OVER (ORDER BY rem DESC, lang) <= leftover
+       |    THEN 1 ELSE 0 END) AS k
+       |  FROM base, leftover),
+       |ranked AS (
+       |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+       |    ORDER BY ((doc_id % 1000000007) * 2654435761 + 12345) % 1000000007, doc_id) AS pick_rank
+       |  FROM documents)
+       |SELECT doc_id, lang, pick_rank
+       |FROM ranked JOIN quota USING (lang)
+       |WHERE pick_rank <= k
+       |ORDER BY lang, pick_rank""".stripMargin
+
+  /** C46 `text_bigram_lp`: interpolated bigram language-model score —
+    * the CCNet/KenLM perplexity-filter family one order up from C20's
+    * unigram. The model is trained on the corpus it scores (per-bigram
+    * and per-unigram counts, two map-side-combined aggregations); each
+    * position's probability is the λ-mixture of the add-1-smoothed
+    * conditional bigram and the unigram fallback,
+    * λ·(c₁₂+1)/(c₁+V) + (1−λ)·(c₂+1)/(N+V), λ=0.7. All inputs to the
+    * mixture are integer-ratio doubles (correctly-rounded, identical on
+    * both engines); ln quantizes to 6 dp per DISTINCT BIGRAM before the
+    * per-doc SUM — the exact sum lies on the 1e-6 grid, so the final
+    * round snaps float accumulation noise back to the quantum (C20's
+    * convention; a mean would leave the grid and sit on round-half
+    * boundaries). The
+    * weight table is |distinct bigrams|-sized, built once and joined
+    * once against the bigram stream — at 100 TB that's two keyed
+    * shuffles + one join, the same shape as tf·idf; the lead() window
+    * partitions by doc_id (unbounded cardinality — no skew). Docs with
+    * <2 tokens have no bigram and drop out (inner join), matching the
+    * oracle.
+    */
+  def bigramLp(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+    val bigr = toks
+      .withColumn("w2", lead(col("term"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("term").as("w1"), col("w2"))
+    val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).cast("double").as("nn"),
+      count(lit(1)).cast("double").as("v"))
+    val bigCounts = bigr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val weights = bigCounts
+      .join(uni.select(col("term").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("term").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"),
+        round(log(
+          lit(0.7) * (col("c12").cast("double") + lit(1.0)) / (col("c1").cast("double") + col("v")) +
+          lit(0.3) * (col("c2").cast("double") + lit(1.0)) / (col("nn") + col("v"))), 6).as("lp"))
+    bigr.join(weights, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")), 6).as("bigram_lp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramLpSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(t) AS term, unnest(range(1, len(t)+1)) AS pos
+       |  FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
+       |bigr AS (
+       |  SELECT doc_id, term AS w1,
+       |    lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |  FROM toks),
+       |bg AS (SELECT doc_id, w1, w2 FROM bigr WHERE w2 IS NOT NULL),
+       |uni AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+       |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS nn, CAST(count(*) AS DOUBLE) AS v FROM uni),
+       |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+       |w AS (
+       |  SELECT bc.w1, bc.w2,
+       |    round(ln(
+       |      0.7 * (CAST(c12 AS DOUBLE) + 1.0) / (CAST(u1.c AS DOUBLE) + v) +
+       |      0.3 * (CAST(u2.c AS DOUBLE) + 1.0) / (nn + v)), 6) AS lp
+       |  FROM bc
+       |  JOIN uni u1 ON u1.term = bc.w1
+       |  JOIN uni u2 ON u2.term = bc.w2, tot)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  round(sum(lp), 6) AS bigram_lp
+       |FROM bg JOIN w USING (w1, w2)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_temperature" -> (sampleTemperature _),
+    "text_bigram_lp"   -> (bigramLp _),
     "text_nb_quality"  -> (nbQuality _),
     "sample_importance" -> (sampleImportance _),
     "corpus_profile"   -> (corpusProfile _),
@@ -1022,6 +1171,8 @@ object TextOps {
     "text_tfidf"       -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "sample_temperature" -> sampleTemperatureSql,
+    "text_bigram_lp"   -> bigramLpSql,
     "text_nb_quality"  -> nbQualitySql,
     "sample_importance" -> sampleImportanceSql,
     "corpus_profile"   -> corpusProfileSql,

@@ -957,6 +957,69 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k should avoid a full sort:\n$plan")
   }
 
+  test("C45 temperature sampling: largest-remainder quotas, lowest-hash picks, upsampled tail") {
+    val sel = TextOps.sampleTemperature(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byLang = Tables.documents(spark, sfDir).select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._2)
+    def q6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // recompute the apportionment
+    val n = byLang.view.mapValues(_.length.toLong).toMap
+    val nn = n.values.sum.toDouble
+    val w = n.view.mapValues(c => q6(math.pow(c / nn, 0.3))).toMap
+    val sw = w.values.sum
+    val k0 = n.keys.map(l => l -> math.floor(TextOps.TempK * w(l) / sw).toLong).toMap
+    val rem = n.keys.map(l => l -> (TextOps.TempK * w(l) / sw - k0(l))).toMap
+    val leftover = TextOps.TempK - k0.values.sum
+    val extras = n.keys.toSeq.sortBy(l => (-rem(l), l)).take(leftover.toInt).toSet
+    val quota = n.keys.map(l =>
+      l -> math.min(n(l), k0(l) + (if (extras(l)) 1L else 0L))).toMap
+    val gotPerLang = sel.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(gotPerLang === quota.filter(_._2 > 0))
+    // per lang the selected ids must be exactly the quota lowest-hash docs
+    def h(id: Long) = ((id % 1000000007L) * 2654435761L + 12345L) % 1000000007L
+    for ((l, docs) <- byLang) {
+      val expIds = docs.map(_._1).sortBy(id => (h(id), id)).take(quota(l).toInt).toSet
+      assert(sel.filter(_._2 == l).map(_._1).toSet === expIds, s"lang $l picks")
+    }
+    // the temperature property: the smallest language is upsampled
+    // relative to proportional allocation, the largest downsampled
+    val smallest = n.minBy(_._2)._1
+    val largest = n.maxBy(_._2)._1
+    assert(quota(smallest).toDouble / TextOps.TempK >= n(smallest) / nn,
+      "low-resource language must be upsampled")
+    assert(quota(largest).toDouble / TextOps.TempK <= n(largest) / nn + 1e-9,
+      "high-resource language must not be upsampled")
+  }
+
+  test("C46 bigram LM: score decomposes into the interpolated per-bigram weights") {
+    val out = TextOps.bigramLp(spark, sfDir).collect()
+    def q6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docToks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // docs with <2 tokens have no bigram and must be absent
+    val expDocs = docToks.filter(_._2.length >= 2).keySet
+    assert(out.map(_.getLong(0)).toSet === expDocs)
+    // recompute one doc's score from independently derived counts
+    val uni = docToks.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nn = uni.values.sum.toDouble
+    val v = uni.size.toDouble
+    val allBigrams = docToks.values.toSeq.flatMap(ts => ts.zip(ts.tail))
+    val big = allBigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val someDoc = expDocs.max
+    val ts = docToks(someDoc)
+    val lps = ts.zip(ts.tail).map { case (w1, w2) =>
+      q6(math.log(0.7 * (big((w1, w2)) + 1.0) / (uni(w1) + v) +
+                  0.3 * (uni(w2) + 1.0) / (nn + v)))
+    }
+    val row = out.find(_.getLong(0) == someDoc).get
+    assert(row.getAs[Long]("n_bigrams") === ts.length - 1L)
+    val expected = q6(lps.sum)
+    assert(math.abs(row.getAs[Double]("bigram_lp") - expected) < 2e-6,
+      s"bigram_lp ${row.getAs[Double]("bigram_lp")} vs recomputed $expected")
+  }
+
   test("C44 corpus profile: the ALL rollup row is the exact column-wise total") {
     val rows = TextOps.corpusProfile(spark, sfDir).collect()
     val all = rows.find(_.getString(0) == "ALL").get
