@@ -2470,6 +2470,49 @@ final class GraftTable(val root: String, spark: SparkSession) {
     rows.toDF("kind", "path", "n_files")
   }
 
+  /** `` t$entries `` — one row per manifest entry per retained
+    * snapshot: the Iceberg `entries`/`all_entries` metadata-table
+    * role (reference exposes it through the embedded library's
+    * metadata tables). Status mirrors the Avro export exactly
+    * ([[graft.lake.IcebergExport]]): ADDED when the entry's
+    * `addedBy` is this snapshot, EXISTING when carried over
+    * (incl. legacy `addedBy == 0` entries, which predate the field
+    * and are EXISTING everywhere), DELETED for a parent-snapshot
+    * file this snapshot removed — recorded under the REMOVING
+    * snapshot's id, the removal half of an incremental diff; scans
+    * skip them. `content` distinguishes data files from position/
+    * equality delete files. O(snapshots × files) on the driver's
+    * metadata plane like every `$` view — never touches data.
+    */
+  def entriesView: DataFrame = {
+    import spark.implicits._
+    val all = snapshots.sortBy(_.id)
+    val byId = all.map(s => s.id -> s).toMap
+    val rows = all.flatMap { s =>
+      def dataRow(f: FileEntry, st: String) =
+        (s.id, "data", st, f.path, f.rows, f.addedBy)
+      def delRow(d: DeleteFileEntry, st: String) =
+        (s.id,
+          if (d.equalityCols.nonEmpty) "equality-delete" else "position-delete",
+          st, d.path, d.rows, d.addedBy)
+      val live = s.files.map(f =>
+        dataRow(f, if (f.addedBy == s.id) "ADDED" else "EXISTING"))
+      val liveDel = s.deleteFiles.map(d =>
+        delRow(d, if (d.addedBy == s.id) "ADDED" else "EXISTING"))
+      val parent = byId.get(s.parentId)
+      val curPaths = s.files.iterator.map(_.path).toSet
+      val curDelPaths = s.deleteFiles.iterator.map(_.path).toSet
+      val removed = parent.toSeq.flatMap(_.files.filterNot(f => curPaths(f.path)))
+        .map(dataRow(_, "DELETED"))
+      val removedDel = parent.toSeq
+        .flatMap(_.deleteFiles.filterNot(d => curDelPaths(d.path)))
+        .map(delRow(_, "DELETED"))
+      live ++ liveDel ++ removed ++ removedDel
+    }
+    rows.toDF("snapshot_id", "content", "status", "file_path",
+      "n_rows", "added_by")
+  }
+
   /** `` t$clustering `` — per-(partition, column) clustering quality
     * from manifest stats alone (SURVEY.md §2.A68): `max_overlap` is
     * the maximum number of files whose [min, max] ranges on the

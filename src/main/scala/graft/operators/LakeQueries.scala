@@ -229,6 +229,47 @@ object LakeQueries {
       |  1::BIGINT AS n_files, count(*) AS n_rows
       |FROM orders GROUP BY o_orderstatus ORDER BY partition""".stripMargin
 
+  // ---- A71 $entries view --------------------------------------------
+
+  /** `lake_entries_view`: the Iceberg `entries`/`all_entries`
+    * metadata-table role over the three-snapshot lifecycle
+    * (create → append → overwrite), aggregated per (snapshot,
+    * content, status) so the oracle can recompute every count and
+    * row total from the source table: the overwrite snapshot carries
+    * the parent's whole inventory as DELETED entries (the removal
+    * half of an incremental diff) alongside its own ADDED files.
+    */
+  def lakeEntriesView(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val t = GraftTable.create(s, work(d, "entriesv"),
+      byStatus(o.filter(col("o_orderkey") < 5000)), Seq("o_orderstatus"))
+    t.append(byStatus(o.filter(col("o_orderkey") >= 5000)))
+    t.overwrite(byStatus(o.filter(col("o_totalprice") > 300000)))
+    t.entriesView
+      .groupBy(col("snapshot_id"), col("content"), col("status"))
+      .agg(count(lit(1)).as("n_entries"), sum(col("n_rows")).as("n_rows"))
+      .orderBy(col("snapshot_id"), col("content"), col("status"))
+  }
+
+  val lakeEntriesViewSql =
+    """WITH lo AS (SELECT count(DISTINCT o_orderstatus) AS f, count(*) AS r
+      |           FROM orders WHERE o_orderkey < 5000),
+      |hi AS (SELECT count(DISTINCT o_orderstatus) AS f, count(*) AS r
+      |       FROM orders WHERE o_orderkey >= 5000),
+      |big AS (SELECT count(DISTINCT o_orderstatus) AS f, count(*) AS r
+      |        FROM orders WHERE o_totalprice > 300000)
+      |SELECT 1::BIGINT AS snapshot_id, 'data' AS content, 'ADDED' AS status,
+      |       lo.f::BIGINT AS n_entries, lo.r::BIGINT AS n_rows FROM lo
+      |UNION ALL
+      |SELECT 2, 'data', 'ADDED', hi.f, hi.r FROM hi
+      |UNION ALL
+      |SELECT 2, 'data', 'EXISTING', lo.f, lo.r FROM lo
+      |UNION ALL
+      |SELECT 3, 'data', 'ADDED', big.f, big.r FROM big
+      |UNION ALL
+      |SELECT 3, 'data', 'DELETED', lo.f + hi.f, lo.r + hi.r FROM lo, hi
+      |ORDER BY snapshot_id, content, status""".stripMargin
+
   // ---- A10 rollback -------------------------------------------------
 
   def lakeRollback(s: SparkSession, d: String): DataFrame = {
@@ -1052,6 +1093,7 @@ object LakeQueries {
     "lake_asof_id"             -> (lakeAsOfId _),
     "lake_snapshots_view"      -> (lakeSnapshotsView _),
     "lake_files_view"          -> (lakeFilesView _),
+    "lake_entries_view"        -> (lakeEntriesView _),
     "lake_rollback"            -> (lakeRollback _),
     "lake_expire"              -> (lakeExpire _),
     "lake_dep_truncate"        -> (lakeDepTruncate _),
@@ -1101,6 +1143,7 @@ object LakeQueries {
     "lake_asof_id"             -> lakeAsOfSql,
     "lake_snapshots_view"      -> lakeSnapshotsViewSql,
     "lake_files_view"          -> lakeFilesViewSql,
+    "lake_entries_view"        -> lakeEntriesViewSql,
     "lake_rollback"            -> lakeRollbackSql,
     "lake_expire"              -> lakeExpireSql,
     "lake_dep_truncate"        -> lakeDepTruncateSql,

@@ -1926,4 +1926,36 @@ class LakeSpec extends SparkSpec {
     assert(cl.read().filter(col("o_orderkey") === hot).count() === 1)
     assert(cl.read().count() <= nBefore)
   }
+  test("$entries view: statuses track the full lifecycle incl. delete files (A71)") {
+    val o = Tables.orders(spark, sfDir).limit(2000)
+    val t = GraftTable.create(spark, tmp("entriesview"),
+      o.repartition(col("o_orderstatus")), Seq("o_orderstatus"))
+    t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    t.delete(col("o_orderstatus") === "F" && col("o_totalprice") > 200000)
+    val morId = t.currentId
+    t.applyDeletes()
+    val e = t.entriesView.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(5)))
+    // create snapshot: every entry is an ADDED data file stamped addedBy=1
+    val s1 = e.filter(_._1 == 1L)
+    assert(s1.nonEmpty && s1.forall(x => x._2 == "data" && x._3 == "ADDED" && x._5 == 1L))
+    // MOR snapshot: data files carried over EXISTING, the position-delete ADDED
+    val sm = e.filter(_._1 == morId)
+    assert(sm.filter(_._2 == "position-delete").map(_._3).toSeq === Seq("ADDED"))
+    assert(sm.filter(_._2 == "data").nonEmpty &&
+      sm.filter(_._2 == "data").forall(_._3 == "EXISTING"))
+    // apply snapshot: the folded delete file reports DELETED, exactly one
+    // data file rewritten (ADDED) and its pre-image DELETED
+    val sa = e.filter(_._1 == t.currentId)
+    assert(sa.filter(_._2 == "position-delete").map(_._3).toSeq === Seq("DELETED"))
+    assert(sa.count(x => x._2 == "data" && x._3 == "ADDED") === 1)
+    assert(sa.count(x => x._2 == "data" && x._3 == "DELETED") === 1)
+    // cross-view consistency: per-snapshot ADDED/DELETED data entries
+    // must equal $snapshots' n_added_files / n_deleted_files
+    for (r <- t.snapshotsView.collect()) {
+      val (id, na, nd) = (r.getLong(0), r.getLong(3), r.getLong(4))
+      assert(e.count(x => x._1 == id && x._2 == "data" && x._3 == "ADDED").toLong === na)
+      assert(e.count(x => x._1 == id && x._2 == "data" && x._3 == "DELETED").toLong === nd)
+    }
+  }
 }
