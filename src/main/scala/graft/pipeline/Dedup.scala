@@ -74,6 +74,37 @@ object Dedup {
     """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keeper
       |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin
 
+  /** C47 `dedup_normalized`: exact dedup AFTER text normalization —
+    * the RefinedWeb/CCNet "fuzzy-exact" pass: collapse whitespace
+    * runs to one space, lowercase, trim, then group on the md5 of
+    * the normalized text. The shuffle key is the 128-bit digest,
+    * never the document body — at 100 TB the exchange moves 16 B +
+    * ids per row. Output is the row-level verdict (canonical =
+    * lowest doc_id in the group, kept = doc_id == canonical) via a
+    * map-side-combined groupBy + hash join back — C1's group shape
+    * APPLIED per document, catching duplicates that differ only in
+    * case/whitespace, which raw-text C1 misses by construction.
+    */
+  def normalized(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val h = md5(trim(lower(regexp_replace(col("text"), "\\s+", " ")))
+      .cast("binary"))
+    val n = docs.select(col("doc_id"), h.as("h"))
+    val canon = n.groupBy(col("h")).agg(min(col("doc_id")).as("canon_id"))
+    n.join(canon, "h")
+      .select(col("doc_id"), col("canon_id"),
+        (col("doc_id") === col("canon_id")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val normalizedSql: String =
+    """WITH n AS (SELECT doc_id,
+      |  md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+      |  FROM documents),
+      |c AS (SELECT h, min(doc_id) AS canon_id FROM n GROUP BY h)
+      |SELECT doc_id, canon_id, doc_id = canon_id AS kept
+      |FROM n JOIN c USING (h) ORDER BY doc_id""".stripMargin
+
   /** Exact Jaccard for a pair df carrying shingle arrays shs_a/shs_b.
     * Pairs of empty shingle sets are dropped BEFORE the division: two
     * sub-shingle-length docs share no content evidence (and 0/0 is a
@@ -712,6 +743,7 @@ object Dedup {
     "dataset_similarity"  -> (datasetSimilarity _),
     "dedup_lines"         -> (dedupLines _),
     "dedup_exact"         -> (exact _),
+    "dedup_normalized"    -> (normalized _),
     "dedup_minhash"       -> (minhash _),
     "dedup_simhash"       -> (simhash _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -726,6 +758,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_lines"         -> dedupLinesSql,
     "dedup_exact"         -> exactSql,
+    "dedup_normalized"    -> normalizedSql,
     "dedup_minhash"       -> jaccardSql,
     // the 128-bit sketch has measured recall 1 on the test corpora
     // (band-miss 0 at sf0.001/0.01/0.1), so C3 carries the exact-set

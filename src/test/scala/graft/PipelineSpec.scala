@@ -1032,4 +1032,18 @@ class PipelineSpec extends SparkSpec {
     val expAvg = all.getAs[Long]("total_chars").toDouble / all.getAs[Long]("n_docs")
     assert(all.getAs[Double]("avg_chars") === expAvg)
   }
+  test("C47 normalized dedup: canonical is the group min over normalized text") {
+    val out = Dedup.normalized(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def norm(t: String) =
+      t.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT).trim
+    val canon = docs.groupBy(d => norm(d._2)).view.mapValues(_.map(_._1).min).toMap
+    val expect = docs.map { case (id, t) =>
+      (id, canon(norm(t)), id == canon(norm(t))) }.sortBy(_._1)
+    assert(out.toSeq === expect.toSeq)
+    // normalization can only coarsen the raw-exact grouping
+    assert(canon.size <= docs.map(_._2).distinct.length)
+  }
 }
