@@ -807,7 +807,7 @@ object CoreQueries {
         (col("supp_region") === "ASIA" && col("cust_region") === "EUROPE") ||
         (col("supp_region") === "EUROPE" && col("cust_region") === "ASIA"))
       .groupBy(col("supp_region"), col("cust_region"),
-        year(col("l_shipdate")).as("l_year"))
+        year(col("l_shipdate")).cast("long").as("l_year"))
       .agg(money(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
       .orderBy(col("supp_region"), col("cust_region"), col("l_year"))
   }
@@ -851,7 +851,7 @@ object CoreQueries {
       .join(broadcast(custNation), col("c_nationkey") === col("c_nk"))
       .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
-      .select(year(col("o_orderdate")).as("o_year"),
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"),
         col("supp_nation"))
       .groupBy(col("o_year"))
@@ -1466,8 +1466,8 @@ object CoreQueries {
   val q12ShipModeSql: String =
     """SELECT
       |  CASE l_linenumber % 3 WHEN 0 THEN 'AIR' WHEN 1 THEN 'SHIP' ELSE 'TRUCK' END AS ship_mode,
-      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY

@@ -87,7 +87,10 @@ object Dedup {
     */
   def normalized(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val h = md5(trim(lower(regexp_replace(col("text"), "\\s+", " ")))
+    // explicit whitespace class, not \s: Java's \s includes VT (\x0B)
+    // while RE2's (the oracle engine) does not — spell out the same six
+    // characters on both sides so the group key can never diverge
+    val h = md5(trim(lower(regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]+", " ")))
       .cast("binary"))
     val n = docs.select(col("doc_id"), h.as("h"))
     val canon = n.groupBy(col("h")).agg(min(col("doc_id")).as("canon_id"))
@@ -99,7 +102,7 @@ object Dedup {
 
   val normalizedSql: String =
     """WITH n AS (SELECT doc_id,
-      |  md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+      |  md5(trim(lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS h
       |  FROM documents),
       |c AS (SELECT h, min(doc_id) AS canon_id FROM n GROUP BY h)
       |SELECT doc_id, canon_id, doc_id = canon_id AS kept

@@ -275,7 +275,7 @@ object Multimodal {
     imagePipeline(s, d).toDF().orderBy("doc_id")
 
   val mmPipelineSql: String =
-    s"""SELECT doc_id, $ThumbW AS out_w, $ThumbH AS out_h,
+    s"""SELECT doc_id, CAST($ThumbW AS BIGINT) AS out_w, CAST($ThumbH AS BIGINT) AS out_h,
        |  list_reduce(
        |    list_transform(range(0, ${ThumbW * ThumbH}), j ->
        |      ((7*doc_id + 3*(((j // $ThumbW) * (6 + doc_id % 5) // $ThumbH) * (8 + doc_id % 9)

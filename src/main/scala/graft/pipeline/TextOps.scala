@@ -741,23 +741,45 @@ object TextOps {
     * allocation is EXACT, not expected-value. The integer guard
     * `rn·4 ≤ cnt+3` is ceil(cnt/4) without any division.
     *
-    * Scale shape: one shuffle on the stratum key; the rank within a
-    * stratum is the sequential part. Big skewed strata (a 90 % `en`
-    * web corpus) don't need the full sort: because the hash is uniform,
-    * pre-filter to `bucket < margin·f·1000` (a narrow map that keeps
-    * ~1.5× the target) and rank only survivors against the FULL
-    * stratum count — same exact output, sort input shrunk ~60×.
+    * Scale shape: the corpus is never fully sorted. Because the hash is
+    * uniform, a `h < 1.5·f·MOD` prefilter (a narrow map, no shuffle)
+    * admits ~1.5× the target before the per-stratum rank window, so the
+    * sort sees ~37 % of rows instead of all of them; kept ranks are
+    * provably identical because whenever ≥ k_l rows survive, the k_l
+    * globally-lowest hashes are all below the threshold and their
+    * relative order is unchanged. A per-stratum safety check (tiny
+    * aggregate) routes any stratum with < k_l survivors — possible only
+    * on a pathological hash distribution — through the full-rank
+    * fallback branch, which is empty by construction on uniform data.
     */
   def sampleStratified(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val Mod = 1000000007L
+    // ceil(1.5 * 0.25 * MOD): overshoot 1.5 over the 25 % keep rate
+    val thr = 375000003L
+    // project to the 3 needed columns up front: the rank window's
+    // shuffle moves (id, lang, h), never the document bodies
     val docs = Tables.documents(s, d)
-      .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)))
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id") * lit(2654435761L), lit(Mod)).as("h"))
+    // k_l = ceil(cnt/4); the lang table is tiny (one map-side-combined agg)
+    val k = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .select(col("lang"), floor((col("cnt") + lit(3L)) / lit(4L)).cast("long").as("k"))
+    val surv = docs.filter(col("h") < thr)
+    val safety = k.join(
+        surv.groupBy(col("lang")).agg(count(lit(1)).as("scnt")), Seq("lang"), "left")
+      .select(col("lang"), col("k"),
+        (coalesce(col("scnt"), lit(0L)) >= col("k")).as("safe"))
     val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
-    docs
+    val ranked = surv.join(broadcast(safety.filter(col("safe"))), "lang")
       .withColumn("pick_rank", row_number().over(w).cast("long"))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
-      .filter(col("pick_rank") * 4 <= col("cnt") + 3)
+      .filter(col("pick_rank") <= col("k"))
       .select(col("doc_id"), col("lang"), col("pick_rank"))
+    val fallback = docs.join(broadcast(safety.filter(!col("safe"))), "lang")
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("pick_rank") <= col("k"))
+      .select(col("doc_id"), col("lang"), col("pick_rank"))
+    ranked.unionByName(fallback)
       .orderBy(col("lang"), col("pick_rank"))
   }
 
@@ -844,9 +866,13 @@ object TextOps {
         (round(log((col("cp").cast("double") + lit(1.0)) / (col("totp") + col("v"))), 6) -
          round(log((col("cn").cast("double") + lit(1.0)) / (col("totn") + col("v"))), 6))
           .as("w"))
+    // add-1 smoothed prior: an all-positive (or all-negative) corpus
+    // would otherwise produce ln(0)/division-by-zero and poison every
+    // llr with NULL/-Inf instead of degrading gracefully
     val priors = docs.agg(
-      round(log(sum(when(col("pos"), 1L).otherwise(0L)).cast("double") /
-                sum(when(col("pos"), 0L).otherwise(1L)).cast("double")), 6).as("prior"))
+      round(log((sum(when(col("pos"), 1L).otherwise(0L)).cast("double") + lit(1.0)) /
+                (sum(when(col("pos"), 0L).otherwise(1L)).cast("double") + lit(1.0))), 6)
+        .as("prior"))
     toks.join(weights, "term")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("llr0"))
@@ -876,8 +902,8 @@ object TextOps {
        |    round(ln((CAST(cn AS DOUBLE) + 1.0) / (totn + v)), 6) AS w
        |  FROM tc, tot),
        |pr AS (
-       |  SELECT round(ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) /
-       |                 CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS DOUBLE)), 6) AS prior
+       |  SELECT round(ln((CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) + 1.0) /
+       |                 (CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS DOUBLE) + 1.0)), 6) AS prior
        |  FROM docs)
        |SELECT doc_id, count(*) AS n_toks,
        |  round(sum(w) + pr.prior, 6) AS llr,
@@ -975,8 +1001,10 @@ object TextOps {
         // raw double quotient, NOT rounded: an integer/integer average
         // like 123.455 is a genuine 2-dp tie that the two engines'
         // double-rounding modes resolve differently; the unrounded
-        // quotient is the same double on both.
-        (sum(col("n_chars").cast("double")) / count(lit(1))).as("avg_chars"),
+        // quotient is the same double on both. Sum as BIGINT (exact at
+        // any corpus size) and cast once, matching the oracle's
+        // CAST(sum(...) AS DOUBLE)/count(*) arithmetic.
+        (sum(col("n_chars").cast("long")).cast("double") / count(lit(1))).as("avg_chars"),
         round(sum(when(col("lang") === "en", 1.0).otherwise(0.0)) / count(lit(1)), 6)
           .as("en_frac"))
       .select(coalesce(col("source"), lit("ALL")).as("source"), col("n_docs"),
@@ -988,8 +1016,8 @@ object TextOps {
     s"""SELECT COALESCE(source, 'ALL') AS source,
        |  count(*) AS n_docs,
        |  count(DISTINCT lang) AS n_langs,
-       |  sum(len($tokensSql)) AS total_tokens,
-       |  sum(CAST(n_chars AS BIGINT)) AS total_chars,
+       |  CAST(sum(len($tokensSql)) AS BIGINT) AS total_tokens,
+       |  CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
        |  CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) / count(*) AS avg_chars,
        |  round(sum(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) / count(*), 6) AS en_frac
        |FROM documents
@@ -1020,7 +1048,10 @@ object TextOps {
     val w = lc.crossJoin(broadcast(tot))
       .select(col("lang"), col("n"),
         round(pow(col("n").cast("double") / col("nn"), lit(0.3)), 6).as("w"))
-    val sw = w.agg(sum(col("w")).as("sw"))
+    // sw re-quantized to the 6-dp grid: the per-language weights are
+    // already 6-dp, but Spark and DuckDB may sum them in different
+    // orders — snapping the sum keeps floor(K*w/sw) engine-identical
+    val sw = w.agg(round(sum(col("w")), 6).as("sw"))
     val base = w.crossJoin(broadcast(sw))
       .select(col("lang"), col("n"),
         floor(lit(TempK) * col("w") / col("sw")).cast("long").as("k0"),
@@ -1032,17 +1063,39 @@ object TextOps {
     val quota = base.crossJoin(broadcast(leftover))
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("rem").desc, col("lang"))).cast("long"))
-      .select(col("lang"),
+      .select(col("lang"), col("n"),
         least(col("n"), col("k0") +
           when(col("rnk") <= col("leftover"), 1L).otherwise(0L)).as("k"))
-    val h = pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L) + lit(12345L),
-      lit(1000000007L))
-    docs.withColumn("h", h)
-      .withColumn("pick_rank", row_number().over(
-        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))).cast("long"))
-      .join(broadcast(quota), "lang")
+    val Mod = 1000000007L
+    val h = pmod(pmod(col("doc_id"), lit(Mod)) * lit(2654435761L) + lit(12345L),
+      lit(Mod))
+    // Hash-threshold prefilter: the hash is uniform on [0, MOD), so
+    // admitting h < 2·(k_l/n_l)·MOD keeps ~2× the quota before the rank
+    // window — the per-language sort sees ~2·k_l rows, not n_l (at
+    // 100 TB that is ~400 docs per language instead of the corpus).
+    // Exactness: whenever ≥ k_l rows survive, the k_l lowest hashes are
+    // all below the threshold with order preserved; the per-language
+    // safety aggregate routes any short stratum through the full-rank
+    // fallback (empty by construction on uniform hashes).
+    val thrQ = quota.withColumn("thr",
+      least(lit(Mod), ceil(lit(2.0) * col("k") * lit(Mod.toDouble) / col("n"))).cast("long"))
+    val hashed = docs.select(col("doc_id"), col("lang")).withColumn("h", h)
+    val surv = hashed.join(broadcast(thrQ), "lang").filter(col("h") < col("thr"))
+    val safety = thrQ.join(
+        surv.groupBy(col("lang")).agg(count(lit(1)).as("scnt")), Seq("lang"), "left")
+      .select(col("lang"), col("k"),
+        (coalesce(col("scnt"), lit(0L)) >= col("k")).as("safe"))
+    val rw = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    val ranked = surv.select(col("doc_id"), col("lang"), col("h"))
+      .join(broadcast(safety.filter(col("safe"))), "lang")
+      .withColumn("pick_rank", row_number().over(rw).cast("long"))
       .filter(col("pick_rank") <= col("k"))
       .select(col("doc_id"), col("lang"), col("pick_rank"))
+    val fallback = hashed.join(broadcast(safety.filter(!col("safe"))), "lang")
+      .withColumn("pick_rank", row_number().over(rw).cast("long"))
+      .filter(col("pick_rank") <= col("k"))
+      .select(col("doc_id"), col("lang"), col("pick_rank"))
+    ranked.unionByName(fallback)
       .orderBy(col("lang"), col("pick_rank"))
   }
 
@@ -1050,7 +1103,7 @@ object TextOps {
     s"""WITH lc AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM lc),
        |w AS (SELECT lang, n, round(pow(CAST(n AS DOUBLE) / nn, 0.3), 6) AS w FROM lc, tot),
-       |sw AS (SELECT sum(w) AS sw FROM w),
+       |sw AS (SELECT round(sum(w), 6) AS sw FROM w),
        |base AS (
        |  SELECT lang, n, CAST(floor($TempK * w / sw) AS BIGINT) AS k0,
        |    $TempK * w / sw - floor($TempK * w / sw) AS rem

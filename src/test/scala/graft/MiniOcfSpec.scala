@@ -1,0 +1,314 @@
+package graft
+
+import scala.collection.immutable.ListMap
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.functions._
+
+import graft.lake.{DepSpec, GraftTable, IcebergAvro, IcebergExport}
+
+/** A minimal, from-scratch Avro object-container-file reader built ONLY
+  * from the published Avro 1.x specification (binary encoding + OCF
+  * framing): zigzag varints, length-prefixed strings/bytes, union
+  * branch indexes, block-encoded arrays, deflate-coded data blocks with
+  * sync markers. It shares NO code with [[graft.lake.IcebergAvro]] (no
+  * org.apache.avro import anywhere in this file), so parsing graft's
+  * exported manifests with it is an independent-implementation proof
+  * that the bridge writes genuinely spec-conformant bytes — the closest
+  * available proxy to an external Iceberg reader in a sandbox with no
+  * Iceberg jar (the reference embeds the real library instead:
+  * reference SparkTableOperations.scala). Test-only code: the shipped
+  * library never touches this class.
+  */
+object MiniOcf {
+
+  // ---- Avro schema model (subset the manifests use) ------------------
+  sealed trait S
+  case object SNull extends S
+  case object SBool extends S
+  case object SInt extends S
+  case object SDate extends S // int + logicalType:date
+  case object SLong extends S
+  case object SFloat extends S
+  case object SDouble extends S
+  case object SString extends S
+  case object SBytes extends S
+  final case class SRecord(name: String, fields: Seq[(String, S)]) extends S
+  final case class SUnion(branches: Seq[S]) extends S
+  final case class SArray(items: S) extends S
+
+  private val mapper = new ObjectMapper()
+
+  /** Parse an Avro schema JSON per the spec's named-type rules (named
+    * records register and may be referenced by name later).
+    */
+  def parseSchema(n: JsonNode, reg: mutable.Map[String, S] = mutable.Map.empty): S = {
+    if (n.isTextual) n.asText() match {
+      case "null"    => SNull
+      case "boolean" => SBool
+      case "int"     => SInt
+      case "long"    => SLong
+      case "float"   => SFloat
+      case "double"  => SDouble
+      case "string"  => SString
+      case "bytes"   => SBytes
+      case name      => reg(name) // named-type reference
+    } else if (n.isArray) {
+      SUnion(n.elements().asScala.map(parseSchema(_, reg)).toSeq)
+    } else n.get("type").asText() match {
+      case "record" =>
+        val name = n.get("name").asText()
+        val fields = n.get("fields").elements().asScala.map { f =>
+          f.get("name").asText() -> parseSchema(f.get("type"), reg)
+        }.toSeq
+        val rec = SRecord(name, fields)
+        reg(name) = rec
+        rec
+      case "array" => SArray(parseSchema(n.get("items"), reg))
+      case "int" if Option(n.get("logicalType")).exists(_.asText() == "date") => SDate
+      case prim => parseSchema(mapper.readTree("\"" + prim + "\""), reg)
+    }
+  }
+
+  // ---- binary decoder -------------------------------------------------
+  final class Dec(val buf: Array[Byte]) {
+    var pos = 0
+    def hasMore: Boolean = pos < buf.length
+    def readRaw(n: Int): Array[Byte] = {
+      val out = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; out
+    }
+    /** zigzag varint → long (spec: int and long share this encoding) */
+    def readLong(): Long = {
+      var shift = 0; var acc = 0L; var b = 0
+      do {
+        b = buf(pos) & 0xff; pos += 1
+        acc |= (b & 0x7fL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      (acc >>> 1) ^ -(acc & 1L)
+    }
+    def readFloat(): Float = {
+      val b = readRaw(4)
+      java.lang.Float.intBitsToFloat(
+        (b(0) & 0xff) | (b(1) & 0xff) << 8 | (b(2) & 0xff) << 16 | (b(3) & 0xff) << 24)
+    }
+    def readDouble(): Double = {
+      var bits = 0L
+      readRaw(8).zipWithIndex.foreach { case (b, i) => bits |= (b & 0xffL) << (8 * i) }
+      java.lang.Double.longBitsToDouble(bits)
+    }
+    def readBytes(): Array[Byte] = readRaw(readLong().toInt)
+  }
+
+  /** Decode one value of schema `s`: records → ListMap, arrays → Seq,
+    * unions → the branch value, date → ISO string.
+    */
+  def decode(s: S, d: Dec): Any = s match {
+    case SNull   => null
+    case SBool   => d.readRaw(1)(0) != 0
+    case SInt    => d.readLong()
+    case SDate   => java.time.LocalDate.ofEpochDay(d.readLong()).toString
+    case SLong   => d.readLong()
+    case SFloat  => d.readFloat()
+    case SDouble => d.readDouble()
+    case SString => new String(d.readBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    case SBytes  => d.readBytes()
+    case SRecord(_, fields) =>
+      ListMap(fields.map { case (n, fs) => n -> decode(fs, d) }: _*)
+    case SUnion(branches) => decode(branches(d.readLong().toInt), d)
+    case SArray(items) =>
+      val out = mutable.Buffer.empty[Any]
+      var n = d.readLong()
+      while (n != 0) {
+        if (n < 0) { n = -n; d.readLong() } // size-prefixed block form
+        (0L until n).foreach(_ => out += decode(items, d))
+        n = d.readLong()
+      }
+      out.toSeq
+  }
+
+  final case class Ocf(meta: Map[String, Array[Byte]], schema: S,
+      records: Seq[ListMap[String, Any]])
+
+  /** Read a full OCF: magic, metadata map, sync marker, then
+    * count+size-framed (optionally deflate-compressed) blocks each
+    * followed by the sync marker.
+    */
+  def read(path: java.nio.file.Path): Ocf = {
+    val d = new Dec(java.nio.file.Files.readAllBytes(path))
+    require(d.readRaw(4).sameElements(Array[Byte]('O', 'b', 'j', 1)),
+      s"$path: not an Avro OCF (bad magic)")
+    val meta = mutable.Map.empty[String, Array[Byte]]
+    var n = d.readLong()
+    while (n != 0) {
+      if (n < 0) { n = -n; d.readLong() }
+      (0L until n).foreach { _ =>
+        val k = new String(d.readBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        meta(k) = d.readBytes()
+      }
+      n = d.readLong()
+    }
+    val sync = d.readRaw(16)
+    val schema = parseSchema(mapper.readTree(new String(meta("avro.schema"),
+      java.nio.charset.StandardCharsets.UTF_8)))
+    val codec = meta.get("avro.codec").map(new String(_)).getOrElse("null")
+    val records = mutable.Buffer.empty[ListMap[String, Any]]
+    while (d.hasMore) {
+      val count = d.readLong()
+      val raw = d.readRaw(d.readLong().toInt)
+      val block = codec match {
+        case "null" => raw
+        case "deflate" =>
+          val inf = new java.util.zip.Inflater(true) // raw deflate, no zlib header
+          inf.setInput(raw)
+          val bos = new java.io.ByteArrayOutputStream(raw.length * 4)
+          val tmp = new Array[Byte](8192)
+          while (!inf.finished()) bos.write(tmp, 0, inf.inflate(tmp))
+          inf.end()
+          bos.toByteArray
+        case other => sys.error(s"unsupported codec $other")
+      }
+      val bd = new Dec(block)
+      (0L until count).foreach(_ =>
+        records += decode(schema, bd).asInstanceOf[ListMap[String, Any]])
+      require(d.readRaw(16).sameElements(sync), s"$path: sync marker mismatch")
+    }
+    Ocf(meta.toMap, schema, records.toSeq)
+  }
+}
+
+/** A69 external-reader proof: parse the exported Iceberg manifest-list
+  * and manifest Avro files with [[MiniOcf]] — an independent
+  * spec-derived implementation — and require byte-level agreement with
+  * both the bridge's own reader and the live table state ($files).
+  */
+class MiniOcfSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+  private def parse(path: String): JsonNode =
+    mapper.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path.stripPrefix("file:"))))
+  private def local(p: String) = java.nio.file.Paths.get(p.stripPrefix("file:"))
+  private def hfs(p: String) =
+    new HPath(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Independent single-value bound decode (spec Appendix D): LE fixed
+    * width for numerics, UTF-8 for strings — written here from the spec,
+    * not shared with IcebergAvro.decodeBound.
+    */
+  private def bound(tpe: String, raw: Array[Byte]): String = {
+    val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tpe match {
+      case "long" | "timestamp" | "timestamptz" => bb.getLong.toString
+      case "int"    => bb.getInt.toString
+      case "date"   => java.time.LocalDate.ofEpochDay(bb.getInt.toLong).toString
+      case "double" => bb.getDouble.toString
+      case "float"  => java.lang.Float.toString(bb.getFloat)
+      case "boolean" => (bb.get() != 0).toString
+      case _ => new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+
+  test("independent OCF parser re-derives the export byte-for-byte (A69)") {
+    val o = Tables.orders(spark, sfDir).limit(2000)
+    val root = "/root/repo/target/laketest/miniocf"
+    val t = GraftTable.create(spark, root,
+      o.repartition(col("o_orderstatus")), Seq("o_orderstatus", "ok_b"),
+      Seq(DepSpec("o_orderkey", "ok_b", "bucket[4]")))
+    t.append(o.limit(100).repartition(col("o_orderstatus")))
+    t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    val victim = t.read().select(col("o_orderkey")).orderBy(col("o_orderkey"))
+      .head().getLong(0)
+    t.delete(col("o_orderkey") === victim)
+
+    val md = parse(IcebergExport.exportMetadata(t, root + "-ice"))
+    val snaps = md.get("snapshots").elements().asScala.toSeq
+    val mlPath = snaps.last.get("manifest-list").asText()
+
+    // field id → iceberg type name, straight from the metadata JSON
+    val idToIceType = md.get("schemas").get(0).get("fields").elements().asScala
+      .map(f => f.get("id").asInt() -> f.get("type").asText()).toMap
+
+    // ---- manifest list: MiniOcf vs the bridge's own reader ----------
+    val ml = MiniOcf.read(local(mlPath))
+    assert(new String(ml.meta("format-version")) === "2")
+    val fs = hfs(mlPath)
+    val own = IcebergAvro.readManifestList(fs, new HPath(mlPath))
+    assert(ml.records.size === own.size)
+    ml.records.zip(own).foreach { case (r, e) =>
+      assert(r("manifest_path") === e.manifestPath)
+      assert(r("manifest_length") === e.manifestLength)
+      assert(r("partition_spec_id") === e.partitionSpecId.toLong)
+      assert(r("content") === e.content.toLong)
+      assert(r("sequence_number") === e.sequenceNumber)
+      assert(r("min_sequence_number") === e.minSequenceNumber)
+      assert(r("added_snapshot_id") === e.addedSnapshotId)
+      assert(r("added_files_count") === e.addedFilesCount.toLong)
+      assert(r("added_rows_count") === e.addedRowsCount)
+      assert(r("deleted_files_count") === e.deletedFilesCount.toLong)
+    }
+
+    // ---- each manifest: entries, partitions, binary bounds ----------
+    val idToType = md.get("schemas").get(0).get("fields").elements().asScala
+      .map(f => f.get("id").asInt() -> IcebergExport.sparkTypeNode(f.get("type")))
+      .toMap
+    ml.records.foreach { mlr =>
+      val mPath = mlr("manifest_path").asInstanceOf[String]
+      val m = MiniOcf.read(local(mPath))
+      assert(new String(m.meta("content")) ===
+        (if (mlr("content") == 0L) "data" else "deletes"))
+      val ownE = IcebergAvro.readManifest(fs, new HPath(mPath), idToType)
+      assert(m.records.size === ownE.size)
+      m.records.zip(ownE).foreach { case (r, e) =>
+        val df = r("data_file").asInstanceOf[ListMap[String, Any]]
+        assert(r("status") === e.status.toLong)
+        assert(r("snapshot_id") === e.snapshotId)
+        assert(df("content") === e.content.toLong)
+        assert(df("file_path") === e.filePath)
+        assert(df("file_format") === e.fileFormat)
+        assert(df("record_count") === e.rows)
+        assert(df("file_size_in_bytes") === e.bytes)
+        // partition struct: every value the bridge decoded appears
+        // identically through the independent path (numerics arrive as
+        // Long/strings/ISO dates; compare on the string spelling)
+        val part = df("partition").asInstanceOf[ListMap[String, Any]]
+        e.partition.foreach { case (k, v) =>
+          assert(part.contains(k), s"partition field $k missing")
+          assert(String.valueOf(part(k)) === v, s"partition $k")
+        }
+        // bounds: independent LE decode equals the bridge's stat strings
+        def kv(name: String): Map[Int, Array[Byte]] =
+          Option(df(name)).map(_.asInstanceOf[Seq[Any]].map { item =>
+            val im = item.asInstanceOf[ListMap[String, Any]]
+            im("key").asInstanceOf[Long].toInt ->
+              im("value").asInstanceOf[Array[Byte]]
+          }.toMap).getOrElse(Map.empty)
+        e.lower.foreach { case (fid, s) =>
+          assert(bound(idToIceType(fid), kv("lower_bounds")(fid)) === s,
+            s"lower bound fid=$fid") }
+        e.upper.foreach { case (fid, s) =>
+          assert(bound(idToIceType(fid), kv("upper_bounds")(fid)) === s,
+            s"upper bound fid=$fid") }
+      }
+    }
+
+    // ---- $files re-derivation through the independent reader ONLY ---
+    // the export carries spec-required absolute file: URIs; $files uses
+    // graft's table-relative spelling — normalize on the table root
+    val liveFiles = ml.records.filter(_("content") == 0L).flatMap { mlr =>
+      MiniOcf.read(local(mlr("manifest_path").asInstanceOf[String])).records
+        .filter(_("status") != 2L) // 2 = DELETED
+        .map { r =>
+          val df = r("data_file").asInstanceOf[ListMap[String, Any]]
+          df("file_path").asInstanceOf[String].stripPrefix("file:")
+            .stripPrefix(root).stripPrefix("/") ->
+            df("record_count").asInstanceOf[Long]
+        }
+    }.toMap
+    val view = t.filesView.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(liveFiles === view, "$files derived by the independent parser")
+  }
+}

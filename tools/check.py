@@ -43,12 +43,21 @@ def main(sfdir: str, outdir: str) -> int:
                 print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
                 n_bad += 1
             else:
-                # align dtypes (e.g. int32 vs int64) before comparing values
-                try:
-                    got2 = got.astype(exp.dtypes.to_dict())
-                except Exception:
-                    got2 = got
-                eq = exp.compare(got2)
+                # The driver's hash is representation-sensitive: an oracle
+                # column that DuckDB promotes (e.g. sum(INTEGER) -> HUGEINT
+                # = pandas object/float) hash-mismatches a BIGINT Spark dump
+                # even when every value is equal. astype-aligning here masked
+                # exactly that class (round-8 q12_shipmode/corpus_profile),
+                # so any dtype divergence is now a loud failure: fix the
+                # oracle SQL with an explicit CAST instead.
+                dt_bad = [(c, str(exp[c].dtype), str(got[c].dtype))
+                          for c in exp.columns
+                          if str(exp[c].dtype) != str(got[c].dtype)]
+                if dt_bad:
+                    print(f"FAIL {name}: dtype divergence (oracle vs dump): {dt_bad}")
+                    n_bad += 1
+                    continue
+                eq = exp.compare(got)
                 if len(eq) == 0:
                     print(f"OK   {name}: {len(exp)} rows")
                 else:
