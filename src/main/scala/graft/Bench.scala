@@ -16,8 +16,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen paths once so the first measured query
     // doesn't absorb all of the JIT + parquet-footer caching cost;
-    // lake_create additionally warms the writer + manifest codec path
-    for (w <- Seq("q1_agg", "lake_create")) {
+    // lake_create additionally warms the writer + manifest codec path,
+    // mm_decode the javax.imageio plugin registry + PNG reader classes
+    // (first-decode classloading otherwise swings that entry 2-3×)
+    for (w <- Seq("q1_agg", "lake_create", "mm_decode")) {
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }

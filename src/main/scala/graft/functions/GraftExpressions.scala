@@ -235,6 +235,32 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   override def prettyName: String = "graft_nearest_centroid"
 }
 
+/** Cluster-indexed nearest-centroid assignment: the codebook used for
+  * the argmax is selected by the row's coarse-cluster id from a
+  * plan-constant array of books — IVFPQ *per-list* PQ encoding as a
+  * pure narrow map (no per-cluster join, no row explosion; the whole
+  * nlist×K×dim book array rides along as one reference object).
+  */
+case class NearestCentroidBy(left: Expression, right: Expression,
+    books: Array[Array[Array[Double]]])
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType), IntegerType)
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(vec: Any, cluster: Any): Any =
+    Hashing.nearestCentroid(
+      vec.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      books(cluster.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("books", books, "double[][][]")
+    defineCodeGen(ctx, ev,
+      (v, c) => s"graft.functions.Hashing.nearestCentroid($v, $ref[$c])")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroidBy =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_nearest_centroid_by"
+}
+
 /** Residual against the nearest centroid (see
   * [[Hashing.centroidResidual]]) — IVFPQ's residual encoding as a pure
   * narrow map, centroids riding along as a plan constant.
@@ -338,6 +364,9 @@ object exprs {
   def lshSig(c: Column, seed: Long, nBits: Int): Column = col(LshSignature(ex(c), seed, nBits))
   def nearestCentroid(c: Column, cents: Array[Array[Double]]): Column =
     col(NearestCentroid(ex(c), cents))
+  def nearestCentroidBy(c: Column, cluster: Column,
+      books: Array[Array[Array[Double]]]): Column =
+    col(NearestCentroidBy(ex(c), ex(cluster), books))
   def centroidResidual(c: Column, cents: Array[Array[Double]]): Column =
     col(CentroidResidual(ex(c), cents))
   def dotFD(a: Column, b: Column): Column = col(DotFD(ex(a), ex(b)))

@@ -555,6 +555,80 @@ object VectorOps {
         transform(col("pairs"), p => p.getField("v")).as("lut"))
   }
 
+  /** Per-list PQ codebook refinement: start every inverted list from
+    * the shared residual-trained books, then run [[PqLloydIterations]]
+    * cluster-keyed Lloyd passes over the capped train sample — one
+    * narrow-map assignment ([[graft.functions.NearestCentroidBy]],
+    * books as a plan constant) + one small aggregation per pass.
+    * A (cluster, m, code) cell with no training members keeps its
+    * shared-book entry, so sparse or empty lists degrade to exactly
+    * the shared-codebook behavior instead of collapsing. Only the
+    * nlist×M×K×sub mean matrix (~16k doubles at the defaults) ever
+    * reaches the driver.
+    */
+  private def pqBooksPerList(train: DataFrame,
+      shared: Array[Array[Array[Double]]]): Array[Array[Array[Array[Double]]]] = {
+    val M = PqM; val K = PqK
+    var books: Array[Array[Array[Array[Double]]]] =
+      Array.fill(IvfLists)(shared.map(_.map(_.clone())))
+    // ONE refinement pass: the init is the already-converged shared
+    // book, so a single cluster-keyed Lloyd step captures the per-list
+    // adaptation; a second pass measurably changes nothing but costs a
+    // full train-sample job
+    for (_ <- 1 to 1) {
+      def augFor(m: Int) = books.map(b => pqAugBook(b(m)))
+      val assigned = train.select(col("cluster"),
+        explode(array((0 until M).map(m => struct(
+          lit(m).as("m"),
+          exprs.nearestCentroidBy(pqAug(col("embedding"), m), col("cluster"),
+            augFor(m)).as("code"),
+          pqSubvec(col("embedding"), m).as("sv"))): _*)).as("a"))
+      val means = assigned
+        .select(col("cluster"), col("a.m"), col("a.code"),
+          posexplode(col("a.sv")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("m"), col("code"), col("dim"))
+        .agg(avg(col("x")).as("mu"))
+        .collect().groupBy(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(3)).map(_.getDouble(4)).toArray }
+      books = Array.tabulate(IvfLists)(c => Array.tabulate(M)(m =>
+        Array.tabulate(K)(k => means.getOrElse((c, m, k), books(c)(m)(k)))))
+    }
+    books
+  }
+
+  /** Per-(query, probed-list) ADC lookup tables for per-list codebooks,
+    * computed DISTRIBUTED over the probe pairs against the broadcast
+    * (cluster, m, code) book table — nlist·M·K rows, constant at any
+    * query volume. Carries qc_dot through so the ADC scan needs no
+    * extra join back to the probes. Returns (query_id, cluster,
+    * qc_dot, lut).
+    */
+  private def pqLutsPerList(s: SparkSession, all: DataFrame, probes: DataFrame,
+      books: Array[Array[Array[Array[Double]]]]): DataFrame = {
+    import s.implicits._
+    val M = PqM; val K = PqK
+    val booksDf = broadcast(books.indices.flatMap(c =>
+      (0 until M).flatMap(m => (0 until K).map(k =>
+        (c, m, k, books(c)(m)(k))))).toDF("cluster", "m", "code", "c_sub"))
+    val qsubs = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(array((0 until M).map(m => struct(
+          lit(m).as("m"),
+          pqSubvec(col("embedding"), m).cast("array<double>").as("q_sub"))): _*)).as("qs"))
+      .select(col("query_id"), col("qs.m").as("m"), col("qs.q_sub").as("q_sub"))
+    probes.join(qsubs, "query_id")
+      .join(booksDf, Seq("cluster", "m"))
+      .withColumn("dot", aggregate(
+        zip_with(col("q_sub"), col("c_sub"), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("query_id"), col("cluster"), col("qc_dot"))
+      .agg(array_sort(collect_list(struct(
+        (col("m") * K + col("code")).as("i"), col("dot").as("v")))).as("pairs"))
+      .select(col("query_id"), col("cluster"), col("qc_dot"),
+        transform(col("pairs"), p => p.getField("v")).as("lut"))
+  }
+
   /** Estimated broadcast bytes for a batch of per-query ADC LUTs
     * (M·K doubles + row overhead), the probe pairs, a top-50 candidate
     * set, and the raw query vectors.
@@ -629,47 +703,67 @@ object VectorOps {
     * smaller than the raw vectors', so the same 4-bit code width
     * quantizes finer; the ADC score recomposes dot(q, x) ≈ dot(q, c)
     * + adc(q, codes), with dot(q, c) computed once per (query, probed
-    * cluster) on the probe side. The codebook stays SHARED across
-    * lists (FAISS's layout — per-list codebooks would be nlist× the
-    * training and broadcast cost for marginal gain). The spec pins
-    * recall@k(residual) ≥ recall@k(raw codes). Probabilistic recall →
-    * rows-only driver check; `ann_ivfpq_check` oracles the
-    * rank-dominance/completeness invariants and the spec bounds
-    * recall vs C6.
+    * cluster) on the probe side. Codebooks are PER-LIST (FAISS's
+    * local-codebook refinement): each inverted list refines the shared
+    * residual-trained book with cluster-keyed Lloyd passes, so the 16
+    * codes model ONE list's residual distribution instead of all of
+    * them — finer quantization at the identical 4 B code width. The
+    * encode stays a narrow map (the nlist×K×dim book array rides as a
+    * plan constant through [[graft.functions.NearestCentroidBy]]);
+    * the LUT cost becomes per (query, probed list), which is the
+    * inherent per-list trade and still O(nprobe·M·K) per query. The
+    * spec pins recall@k(per-list) ≥ recall@k(shared residual) ≥
+    * recall@k(raw codes). Probabilistic recall → rows-only driver
+    * check; `ann_ivfpq_check` oracles the rank-dominance/completeness
+    * invariants and the spec bounds recall vs C6.
     */
   def annIvfPq(s: SparkSession, d: String): DataFrame =
     annIvfPqBatch(s, d, NQueries.toLong)
 
   private[graft] def annIvfPqBatch(s: SparkSession, d: String, batchHint: Long,
-      residual: Boolean = true): DataFrame = {
+      residual: Boolean = true, perList: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val all = Tables.embeddings(s, d)
     // ONE sample (and one count job) feeds both quantizers
     val train = trainSample(all)
     val cents = ivfCentroids(all, train)
-    val assigned = all.select(col("vec_id").as("n_id"),
-      exprs.nearestCentroid(col("embedding"), cents).as("cluster"))
+    val usePerList = residual && perList
+    def clustered(df: DataFrame): DataFrame =
+      df.withColumn("cluster", exprs.nearestCentroid(col("embedding"), cents))
     // residual path: PQ trains on and encodes r = x − c(x), a pure
     // narrow map (centroids are a plan constant) — the raw path is
-    // kept for the spec's recall comparison
+    // kept for the spec's recall comparison. cluster is computed from
+    // the ORIGINAL embedding before it is replaced by the residual.
     def residualized(df: DataFrame): DataFrame =
       df.withColumn("embedding", exprs.centroidResidual(col("embedding"), cents))
     val (pqAll, pqTrain) =
-      if (residual) (residualized(all), residualized(train)) else (all, train)
-    val books = pqBooks(pqAll, pqTrain)
-    // the compressed index: cluster id (coarse) + nibble codes (fine)
-    val codes = pqCodes(pqAll, books).join(assigned, "n_id")
+      if (residual) (residualized(clustered(all)), residualized(clustered(train)))
+      else (clustered(all), clustered(train))
+    val shared = pqBooks(pqAll, pqTrain)
     val probes = ivfProbes(s, all, cents)
-    val luts = pqLuts(s, all, books)
     // ADC scan ONLY over the probed lists: the (query, cluster) probe
     // pairs join the corpus on cluster, so per query exactly the
     // nprobe lists' codes flow through the ADC kernel. Small batches
     // broadcast the probe×LUT pairs; above the gate the scan
     // shuffle-joins on cluster (AQE's skew split handles a hot list)
-    val approx = codes
-      .join(queryGated(
+    val scan: DataFrame = if (usePerList) {
+      val books = pqBooksPerList(pqTrain, shared)
+      def augFor(m: Int) = books.map(b => pqAugBook(b(m)))
+      // compressed index: cluster id (coarse) + per-list nibble codes
+      val codes = pqAll.select(col("vec_id").as("n_id"), col("cluster"),
+        array((0 until PqM).map(m => exprs.nearestCentroidBy(
+          pqAug(col("embedding"), m), col("cluster"), augFor(m))): _*).as("codes"))
+      val luts = pqLutsPerList(s, all, probes, books)
+      codes.join(queryGated(luts, probeLutBytes(batchHint)), Seq("cluster"))
+    } else {
+      val codes = pqCodes(pqAll, shared)
+        .join(pqAll.select(col("vec_id").as("n_id"), col("cluster")), "n_id")
+      val luts = pqLuts(s, all, shared)
+      codes.join(queryGated(
         probes.join(queryGated(luts, lutBytes(batchHint)), "query_id"),
         probeLutBytes(batchHint)), Seq("cluster"))
+    }
+    val approx = scan
       .filter(col("query_id") =!= col("n_id"))
       .withColumn("a_score",
         exprs.adcScore(col("codes"), col("lut"), PqK) +

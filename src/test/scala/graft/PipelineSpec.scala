@@ -571,10 +571,14 @@ class PipelineSpec extends SparkSpec {
       got.intersect(exact).size.toDouble / exact.size
     }
     val nq = VectorOps.NQueries.toLong
-    val res = recallOf(VectorOps.annIvfPqBatch(spark, tmp, nq, residual = true))
+    val pl = recallOf(VectorOps.annIvfPqBatch(spark, tmp, nq,
+      residual = true, perList = true))
+    val res = recallOf(VectorOps.annIvfPqBatch(spark, tmp, nq,
+      residual = true, perList = false))
     val raw = recallOf(VectorOps.annIvfPqBatch(spark, tmp, nq, residual = false))
     assert(res >= raw, s"residual recall $res < raw-codes recall $raw")
-    assert(res >= 0.7, s"residual ivfpq recall $res on the clustered corpus")
+    assert(pl >= res, s"per-list recall $pl < shared residual recall $res")
+    assert(pl >= 0.7, s"per-list residual ivfpq recall $pl on the clustered corpus")
     // and on the standard corpus the residual path still clears the
     // recall floor (no regression where the claim is neutral)
     val stdGot = VectorOps.annIvfPq(spark, sfDir).collect()
@@ -907,7 +911,9 @@ class PipelineSpec extends SparkSpec {
             q6(math.log((rs.count(!_._2) + 1.0) / (totN + v))))
     }
     val nd = docs.select("doc_id", "pos").collect().map(r => r.getBoolean(1))
-    val prior = q6(math.log(nd.count(identity).toDouble / nd.count(!_)))
+    // add-1 smoothed, matching the production prior (guards the
+    // all-positive / all-negative corpus)
+    val prior = q6(math.log((nd.count(identity) + 1.0) / (nd.count(!_) + 1.0)))
     val someDoc = out.head.getLong(0)
     val expected = q6(toks.filter(_._1 == someDoc).map(t => w(t._3)).sum + prior)
     val got = out.find(_.getLong(0) == someDoc).get.getAs[Double]("llr")
