@@ -12,7 +12,7 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit}
 import org.apache.spark.sql.types._
 
 /** A graft-managed table: Spark-native data plane (`df.write.parquet`)
@@ -615,6 +615,29 @@ final class GraftTable(val root: String, spark: SparkSession) {
   private def writeFiles(
       dfIn: DataFrame, partitionCols: Seq[String], deps: Seq[DepSpec],
       snapId: Long): Seq[FileEntry] = {
+    // CHECK constraints (A73): every data write validates the incoming
+    // batch against the table's `check.*` predicates BEFORE any file
+    // lands — a violation aborts the whole write with the constraint
+    // named, leaving the table untouched (writeFiles is the single
+    // funnel all data paths share). SQL semantics: NULL predicate =
+    // pass. Cost: one extra narrow scan of the WRITE BATCH (not the
+    // table) per constrained write — the same price Delta invariants
+    // pay; tables without constraints pay nothing. Runs on logical
+    // column names (before the physical rename below), matching how
+    // constraints are authored.
+    if (hasCurrent) {
+      val checks = current.properties.collect {
+        case (k, v) if k.startsWith(GraftTable.CheckPropPrefix) =>
+          k.stripPrefix(GraftTable.CheckPropPrefix) -> v
+      }
+      checks.foreach { case (name, predicate) =>
+        val bad = dfIn.filter(!coalesce(expr(predicate), lit(true)))
+        if (!bad.isEmpty)
+          throw new IllegalArgumentException(
+            s"CHECK constraint '$name' ($predicate) violated by the " +
+              s"incoming batch on table $root — write aborted, no files written")
+      }
+    }
     // renamed columns are written under their frozen physical name so
     // all files of the table share one on-disk schema
     val df0 = logicalToPhysical.foldLeft(dfIn) { case (d, (log, phys)) =>
@@ -1452,6 +1475,47 @@ final class GraftTable(val root: String, spark: SparkSession) {
       addedFiles = 0, deletedFiles = 0))
     this
   }
+
+  def unsetProperty(key: String): GraftTable = {
+    val cur = current
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "set-properties",
+      properties = cur.properties - key,
+      addedFiles = 0, deletedFiles = 0))
+    this
+  }
+
+  /** CHECK constraint DDL (A73, Delta `ALTER TABLE ADD CONSTRAINT`
+    * parity): a named boolean SQL predicate over logical columns,
+    * stored as the `check.<name>` table property and enforced on every
+    * subsequent data write in [[writeFiles]] (violations abort before
+    * any file lands; NULL = pass, per SQL). Adding a constraint first
+    * (a) resolves the predicate against the table schema — an
+    * unresolvable or non-boolean predicate is rejected at DDL time —
+    * and (b) scans the CURRENT data once for violations (Delta's
+    * semantics: a constraint the existing table already violates is
+    * refused, so `check.*` is an invariant of every snapshot from the
+    * moment it exists). The add-time scan is one early-exit filter
+    * over the table — the documented one-time DDL price.
+    */
+  def addCheckConstraint(name: String, predicate: String): GraftTable = {
+    require(name.nonEmpty && !name.exists(c => c == '.' || c.isWhitespace),
+      s"constraint name must be non-empty without dots/whitespace: '$name'")
+    val p = expr(predicate)
+    val probe = read().filter(coalesce(p, lit(true)))
+    // forces resolution: unknown columns / non-boolean predicates throw here
+    probe.queryExecution.assertAnalyzed()
+    val bad = read().filter(!coalesce(p, lit(true)))
+    if (!bad.isEmpty)
+      throw new IllegalArgumentException(
+        s"cannot add CHECK constraint '$name' ($predicate): existing rows " +
+          s"of $root violate it")
+    setProperty(GraftTable.CheckPropPrefix + name, predicate)
+  }
+
+  def dropCheckConstraint(name: String): GraftTable =
+    unsetProperty(GraftTable.CheckPropPrefix + name)
 
   /** MERGE … WHEN MATCHED THEN DELETE (and nothing else) — the
     * deletion-list pattern (GDPR erasure, dedup-cluster removal): drop
@@ -2727,6 +2791,12 @@ object GraftTable {
     * its leading column). Costs one range shuffle per write.
     */
   val SortColsProp = "write.sort.columns"
+
+  /** Prefix for CHECK-constraint properties: `check.<name>` = boolean
+    * SQL predicate, enforced on every data write (see
+    * [[GraftTable.addCheckConstraint]]).
+    */
+  val CheckPropPrefix = "check."
 
   /** Cardinality-preserving sketch input for a column, or None when the
     * type has no 1:1 mapping into `hll_sketch_agg`'s accepted inputs

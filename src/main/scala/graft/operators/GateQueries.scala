@@ -132,6 +132,98 @@ object GateQueries {
     """SELECT true AS stepped_over_stage, true AS stale_publish_rejected,
       |  true AS pointer_held, true AS recovered""".stripMargin
 
+  // ---- A72 snapshot cherry-pick --------------------------------------
+
+  /** `lake_cherrypick` (A72): Iceberg's cherry-pick — a staged APPEND
+    * whose parent has moved publishes anyway by rebasing its file
+    * delta onto the live current inside the commit lock (appends
+    * commute; anything that deletes is refused). Asserted here: the
+    * fast path (parent unchanged) publishes the staged id as-is; the
+    * rebase path allocates a fresh id past the moved head, loses no
+    * rows, and re-stamps its delta so incremental readers
+    * checkpointed at the pre-cherry head still see the cherry-picked
+    * files. The data oracle is the full orders table — the base,
+    * cherry-picked, and concurrently-appended slices must reassemble
+    * it exactly.
+    */
+  def lakeCherryPick(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val t = GraftTable.create(s, work(d, "cherryq"),
+      byStatus(o.filter(col("o_orderkey") < 3000)), Seq("o_orderstatus"))
+    // fast path: parent unchanged → the staged id itself goes live
+    val stagedFast = t.stageAppend(byStatus(
+      o.filter(col("o_orderkey") >= 3000 && col("o_orderkey") < 6000)))
+    val fastId = t.publishCherryPick(stagedFast)
+    require(fastId == stagedFast, "fast path must publish the staged id as-is")
+    // rebase path: the table moves between stage and publish
+    val staged = t.stageAppend(byStatus(
+      o.filter(col("o_orderkey") >= 6000 && col("o_orderkey") < 9000)))
+    t.append(byStatus(o.filter(col("o_orderkey") >= 9000)))
+    val preCherry = t.currentId
+    val published = t.publishCherryPick(staged)
+    require(published > preCherry,
+      "rebase must allocate a fresh id past the moved current")
+    val deltaRows = t.readIncremental(preCherry, published).count()
+    val expectDelta =
+      o.filter(col("o_orderkey") >= 6000 && col("o_orderkey") < 9000).count()
+    require(deltaRows == expectDelta,
+      s"cherry-picked delta must be incrementally visible after the " +
+        s"pre-cherry head ($deltaRows vs $expectDelta)")
+    sel(t.read())
+  }
+
+  val lakeCherryPickSql = s"SELECT $selSql FROM orders ORDER BY o_orderkey"
+
+  // ---- A73 CHECK constraints ------------------------------------------
+
+  /** `lake_check_constraint` (A73): Delta-parity CHECK constraints —
+    * a named boolean predicate stored as the `check.<name>` table
+    * property, validated against existing data when added (a violated
+    * constraint is refused at DDL time) and enforced on every later
+    * write BEFORE any file lands (the violating append aborts whole,
+    * pointer and row count held). NULL predicates pass per SQL.
+    * Dropping the constraint re-admits the previously-refused batch.
+    */
+  def lakeCheckConstraint(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val t = GraftTable.create(s, work(d, "checkq"),
+      byStatus(o.filter(col("o_orderkey") < 6000)), Seq("o_orderstatus"))
+    val n0 = t.read().count()
+    // DDL-time refusal: existing rows violate "o_orderkey >= 3000"
+    val addRefused =
+      try { t.addCheckConstraint("late_keys", "o_orderkey >= 3000"); false }
+      catch { case _: IllegalArgumentException => true }
+    // unresolvable predicate refused at DDL time
+    val badPredRefused =
+      try { t.addCheckConstraint("ghost", "no_such_column > 0"); false }
+      catch { case _: Throwable => true }
+    t.addCheckConstraint("positive_price", "o_totalprice > 0")
+    // clean batch admitted under the constraint
+    t.append(byStatus(o.filter(col("o_orderkey") >= 6000 && col("o_orderkey") < 9000)))
+    val n1 = t.read().count()
+    val okBatch = o.filter(col("o_orderkey") >= 9000)
+    val poisoned = byStatus(okBatch.unionByName(
+      okBatch.limit(1).withColumn("o_totalprice", lit(-1.0))))
+    val idBefore = t.currentId
+    val writeRefused =
+      try { t.append(poisoned); false }
+      catch { case _: IllegalArgumentException => true }
+    val tableHeld = t.currentId == idBefore && t.read().count() == n1
+    // dropping the constraint re-admits the batch
+    t.dropCheckConstraint("positive_price")
+    t.append(poisoned)
+    val readmitted = t.read().count() == n1 + okBatch.count() + 1
+    import s.implicits._
+    Seq((addRefused, badPredRefused, n1 > n0, writeRefused, tableHeld, readmitted))
+      .toDF("violated_add_refused", "bad_predicate_refused", "clean_batch_admitted",
+        "violating_write_refused", "table_held", "drop_readmits")
+  }
+
+  val lakeCheckConstraintSql: String =
+    """SELECT true AS violated_add_refused, true AS bad_predicate_refused,
+      |  true AS clean_batch_admitted, true AS violating_write_refused,
+      |  true AS table_held, true AS drop_readmits""".stripMargin
+
   // ---- A31 write-audit-publish --------------------------------------
 
   /** `lake_wap` (A31): stage → audit (via explicit as-of read) →
@@ -912,6 +1004,8 @@ object GateQueries {
     "lake_catalog_check"    -> (lakeCatalogCheck _),
     "lake_validate_check"   -> (lakeValidateCheck _),
     "lake_occ_check"        -> (lakeOccCheck _),
+    "lake_cherrypick"       -> (lakeCherryPick _),
+    "lake_check_constraint" -> (lakeCheckConstraint _),
     "lake_wap"              -> (lakeWap _),
     "lake_partitions_view"  -> (lakePartitionsView _),
     "lake_delete_meta"      -> (lakeDeleteMeta _),
@@ -940,6 +1034,8 @@ object GateQueries {
     "lake_catalog_check"    -> lakeCatalogCheckSql,
     "lake_validate_check"   -> lakeValidateCheckSql,
     "lake_occ_check"        -> lakeOccCheckSql,
+    "lake_cherrypick"       -> lakeCherryPickSql,
+    "lake_check_constraint" -> lakeCheckConstraintSql,
     "lake_wap"              -> lakeWapSql,
     "lake_partitions_view"  -> lakePartitionsViewSql,
     "lake_delete_meta"      -> lakeDeleteMetaSql,

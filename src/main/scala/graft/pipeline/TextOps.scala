@@ -1196,7 +1196,116 @@ object TextOps {
        |FROM bg JOIN w USING (w1, w2)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** C48 `text_vocab_coverage`: vocabulary coverage / out-of-vocab
+    * scoring — the tokenizer-sizing statistic: given the corpus's
+    * top-V vocabulary (by frequency, term-asc tie break), the
+    * per-document fraction of tokens that fall outside it. Pipelines
+    * use the OOV rate both to size tokenizer vocabularies and as a
+    * junk signal (OCR noise and non-linguistic content score high).
+    * Scale shape: the vocabulary is one map-side-combined term count
+    * + `orderBy(c).limit(V)` — TakeOrderedAndProject, each partition
+    * keeps a local top-V, no global sort — and the V-row vocab then
+    * BROADCASTS into the membership join, so the per-doc pass is one
+    * narrow probe + one partial-agged groupBy at any corpus size.
+    */
+  val VocabV = 16
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(VocabV)
+      .select(col("term"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac",
+        round(col("n_oov").cast("double") / col("n_toks"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+       |v AS (SELECT term FROM (
+       |  SELECT term, count(*) AS c FROM toks GROUP BY term
+       |  ORDER BY c DESC, term LIMIT $VocabV)),
+       |j AS (SELECT toks.doc_id, toks.term, v.term AS vt
+       |      FROM toks LEFT JOIN v ON toks.term = v.term)
+       |SELECT doc_id, count(*) AS n_toks,
+       |  CAST(count(*) FILTER (WHERE vt IS NULL) AS BIGINT) AS n_oov,
+       |  round(CAST(count(*) FILTER (WHERE vt IS NULL) AS DOUBLE) / count(*), 6)
+       |    AS oov_frac
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** C49 `text_boilerplate`: per-source boilerplate line removal — the
+    * CCNet/RefinedWeb site-template pass: a non-blank line is
+    * boilerplate for source s when it appears in ≥ 30 % of s's
+    * documents and s has ≥ [[BoilerplateMinDocs]] docs (small sources
+    * can't vote a template); boilerplate lines are stripped only
+    * within their own source (nav bars are site-specific — C23's
+    * global ≥2-docs rule is the cross-site complement). Threshold is
+    * pure integer arithmetic (nd·10 ≥ 3·n_docs), no doubles. Scale
+    * shape: per-source doc counts are a tiny agg; line stats shuffle
+    * on the (source, 64-bit line hash) key — the line string never
+    * rides the detection shuffle; the template table is
+    * boilerplate-sized so AQE broadcasts the join back; reassembly is
+    * one per-doc groupBy with exact order via posexplode + array_sort.
+    * The oracle joins on the line string itself; agreement holds
+    * because xxhash64 is injective on real corpora.
+    */
+  val BoilerplateMinDocs = 10L
+  def boilerplateOf(docs: DataFrame): DataFrame = {
+    val srcCnt = docs.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("src_docs"))
+    val lines = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "ln")))
+      .withColumn("lh", xxhash64(col("ln")))
+    val bp = lines.filter(trim(col("ln")) =!= "")
+      .groupBy(col("source"), col("lh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .join(broadcast(srcCnt), "source")
+      .filter(col("src_docs") >= BoilerplateMinDocs &&
+        col("nd") * 10 >= col("src_docs") * 3)
+      .select(col("source"), col("lh"), lit(true).as("is_bp"))
+    lines.join(bp, Seq("source", "lh"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        sum(when(col("is_bp").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("is_bp").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("is_bp").isNull,
+            struct(col("pos"), col("ln"))))),
+          x => x.getField("ln")), "\n").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def boilerplate(s: SparkSession, d: String): DataFrame =
+    boilerplateOf(Tables.documents(s, d))
+
+  val boilerplateSql: String =
+    s"""WITH base AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+       |              FROM documents),
+       |l AS (SELECT doc_id, source, unnest(ls) AS ln,
+       |             unnest(range(1, len(ls) + 1)) AS pos FROM base),
+       |sc AS (SELECT source, count(DISTINCT doc_id) AS src_docs FROM base
+       |       GROUP BY source),
+       |bp AS (SELECT l.source, ln FROM l JOIN sc ON l.source = sc.source
+       |       WHERE trim(ln) <> '' AND src_docs >= $BoilerplateMinDocs
+       |       GROUP BY l.source, ln, src_docs
+       |       HAVING count(DISTINCT doc_id) * 10 >= src_docs * 3),
+       |j AS (SELECT l.doc_id, l.source, l.ln, l.pos, bp.ln AS bl
+       |      FROM l LEFT JOIN bp ON l.source = bp.source AND l.ln = bp.ln)
+       |SELECT doc_id, source,
+       |  count(*) FILTER (WHERE bl IS NULL) AS n_kept,
+       |  count(*) FILTER (WHERE bl IS NOT NULL) AS n_removed,
+       |  coalesce(string_agg(ln, chr(10) ORDER BY pos)
+       |             FILTER (WHERE bl IS NULL), '') AS clean_text
+       |FROM j GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_coverage" -> (vocabCoverage _),
+    "text_boilerplate" -> (boilerplate _),
     "sample_temperature" -> (sampleTemperature _),
     "text_bigram_lp"   -> (bigramLp _),
     "text_nb_quality"  -> (nbQuality _),
@@ -1224,6 +1333,8 @@ object TextOps {
     "text_tfidf"       -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "text_vocab_coverage" -> vocabCoverageSql,
+    "text_boilerplate" -> boilerplateSql,
     "sample_temperature" -> sampleTemperatureSql,
     "text_bigram_lp"   -> bigramLpSql,
     "text_nb_quality"  -> nbQualitySql,

@@ -1958,4 +1958,37 @@ class LakeSpec extends SparkSpec {
       assert(e.count(x => x._1 == id && x._2 == "data" && x._3 == "DELETED").toLong === nd)
     }
   }
+
+  test("A73 CHECK constraints: NULL passes, violation aborts atomically") {
+    import spark.implicits._
+    val df = Seq((1L, Some(10.0), "a"), (2L, None, "b"), (3L, Some(5.0), "a"))
+      .toDF("k", "price", "g")
+    val t = GraftTable.create(spark, tmp("checknull"), df.repartition(col("g")), Seq("g"))
+    // SQL CHECK semantics: a NULL predicate is UNKNOWN and passes, so a
+    // constraint over the nullable column accepts the existing data
+    t.addCheckConstraint("pos_price", "price > 0")
+    // a NULL-priced append passes too
+    t.append(Seq((4L, Option.empty[Double], "b")).toDF("k", "price", "g")
+      .repartition(col("g")))
+    assert(t.read().count() === 4)
+    // a strictly-false row aborts the WHOLE batch before any file lands
+    val files0 = t.current.files.map(_.path).toSet
+    val bad = Seq((5L, Some(1.0), "a"), (6L, Some(-2.0), "b"))
+      .toDF("k", "price", "g").repartition(col("g"))
+    val ex = intercept[IllegalArgumentException] { t.append(bad) }
+    assert(ex.getMessage.contains("pos_price"))
+    assert(t.read().count() === 4, "no partial rows")
+    assert(t.current.files.map(_.path).toSet === files0, "no partial files")
+    // constraint survives the snapshot chain: visible in $properties
+    assert(t.properties(GraftTable.CheckPropPrefix + "pos_price") === "price > 0")
+    // UPDATE paths are constrained too: rewriting a row into violation fails
+    val ex2 = intercept[IllegalArgumentException] {
+      t.update(col("k") === 1L, Map("price" -> lit(-9.0)))
+    }
+    assert(ex2.getMessage.contains("pos_price"))
+    // after dropping, the same update lands
+    t.dropCheckConstraint("pos_price")
+    t.update(col("k") === 1L, Map("price" -> lit(-9.0)))
+    assert(t.read().filter(col("price") < 0).count() === 1)
+  }
 }

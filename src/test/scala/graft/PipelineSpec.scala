@@ -892,6 +892,51 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("C48 vocab coverage: OOV fraction recomputed from an independent count") {
+    val out = TextOps.vocabCoverage(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // independent recomputation: token counts collected and ranked here
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val vocab = toks.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(TextOps.VocabV).map(_._1).toSet
+    val byDoc = toks.groupBy(_._1)
+    out.foreach { r =>
+      val docToks = byDoc(r.getLong(0)).map(_._2)
+      val oov = docToks.count(t => !vocab.contains(t))
+      assert(r.getAs[Long]("n_toks") === docToks.length)
+      assert(r.getAs[Long]("n_oov") === oov, s"doc ${r.getLong(0)}")
+    }
+    // with a 16-term vocab over the 31-term corpus, OOV genuinely fires
+    assert(out.exists(_.getAs[Long]("n_oov") > 0))
+    assert(out.exists(r => r.getAs[Long]("n_oov") < r.getAs[Long]("n_toks")))
+  }
+
+  test("C49 boilerplate: per-source templates stripped, cross-source text kept") {
+    import spark.implicits._
+    // planted corpus: siteA (12 docs) shares a header+footer template;
+    // siteB (12 docs) shares a different footer; siteC is too small
+    // (3 docs) to vote a template even though its docs are identical
+    val rows =
+      (0 until 12).map(i => (i.toLong, s"HEADER NAV\nbody text $i\nCopyright A", "en", "siteA")) ++
+      (12 until 24).map(i => (i.toLong, s"article $i\nAll rights B", "en", "siteB")) ++
+      (24 until 27).map(i => (i.toLong, "tiny\nsame", "en", "siteC"))
+    val docs = rows.toDF("doc_id", "text", "lang", "source")
+    val out = TextOps.boilerplateOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // siteA: header and footer stripped, body kept
+    assert(out(0L).getAs[String]("clean_text") === "body text 0")
+    assert(out(0L).getAs[Long]("n_removed") === 2)
+    // siteB: only its own footer stripped — siteA's template does not
+    // leak across sources
+    assert(out(13L).getAs[String]("clean_text") === "article 13")
+    assert(out(13L).getAs[Long]("n_removed") === 1)
+    // siteC: below the min-docs gate, nothing stripped
+    assert(out(24L).getAs[Long]("n_removed") === 0)
+    assert(out(24L).getAs[String]("clean_text") === "tiny\nsame")
+  }
+
   test("C39 NB quality: llr decomposes into learned per-term weights + prior") {
     val out = TextOps.nbQuality(spark, sfDir).collect()
     assert(out.forall(r => r.getAs[Boolean]("keep") === (r.getAs[Double]("llr") > 0.0)))
