@@ -306,7 +306,11 @@ object ScaleBench {
     * dial for bounded weak-threshold runs and is measured at 10×.
     */
   private val PipelineQueries =
-    Seq("dedup_minhash", "dedup_clusters", "dedup_apply", "ann_ivfpq")
+    Seq("dedup_minhash", "dedup_clusters", "dedup_apply", "ann_ivfpq",
+      // the r9 hash-threshold prefilter claim: the per-stratum rank
+      // windows sort ~overshoot×kept rows, so these must scale like a
+      // scan (α ≪ 1), not like a corpus sort
+      "sample_temperature", "sample_stratified")
 
   private def runPipeline100(spark: SparkSession, base: String,
       sf1: String, sf10: String): Unit = {

@@ -369,7 +369,88 @@ object Multimodal {
       |  CAST(sum(x * x) AS BIGINT) AS energy
       |FROM v GROUP BY doc_id, frame_id ORDER BY doc_id, frame_id""".stripMargin
 
+  // ---- C50 video frame-sampling --------------------------------------
+
+  /** Deterministic RGB byte i of doc `docId`'s video payload — the
+    * synthesizer arithmetic, mirrored by the oracle SQL exactly like
+    * [[pcmSample]] for audio.
+    */
+  private[graft] def videoByte(docId: Long, i: Long): Int =
+    ((docId * 31L + i * 2654435761L) % 256L).toInt
+
+  private val VidW = 16; private val VidH = 12; private val VidFrames = 24
+  private val VidStride = 6
+  private val FrameBytes = VidW * VidH * 3
+
+  /** (doc_id, payload: packed RGB24 frames, meta) — the video storage
+    * schema: one opaque binary column holding F fixed-size frames plus
+    * typed metadata (mime, dims, frame count). A real ingest lands
+    * H.264 here; the synthetic payload is genuinely byte-packed so the
+    * sampling stage must parse real offsets.
+    */
+  def videoAssets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes = new Array[Byte](VidFrames * FrameBytes)
+          var i = 0
+          while (i < bytes.length) { bytes(i) = videoByte(id, i.toLong).toByte; i += 1 }
+          (id, bytes)
+        }
+      }.toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit("video/rgb24").as("mime"),
+          lit(VidW.toLong).as("width"), lit(VidH.toLong).as("height"),
+          lit(VidFrames.toLong).as("n_frames")).as("meta"))
+  }
+
+  final case class MmVideoFrame(doc_id: Long, frame_id: Long,
+      n_bytes: Long, byte_sum: Long)
+
+  /** REAL frame-sampling over the binary payload: every
+    * [[VidStride]]-th frame is sliced out by OFFSET (start = f ×
+    * frameBytes — the unsampled frames' bytes are never touched, which
+    * is the entire point of stride sampling on video: at 100 TB the
+    * stage reads 1/stride of the corpus bytes) and reduced to an exact
+    * integer byte sum. One pass per row inside a per-partition
+    * iterator; a JNI codec (ffmpeg keyframe extraction) would
+    * initialize once per partition exactly here.
+    */
+  def sampleVideoFrames(s: SparkSession, raw: DataFrame): Dataset[MmVideoFrame] = {
+    import s.implicits._
+    raw.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nFrames = bytes.length / FrameBytes
+        (0 until nFrames by VidStride).map { f =>
+          val start = f * FrameBytes
+          var acc = 0L
+          var i = start
+          while (i < start + FrameBytes) { acc += bytes(i) & 0xff; i += 1 }
+          MmVideoFrame(id, f.toLong, FrameBytes.toLong, acc)
+        }
+      }
+  }
+
+  def mmVideoFrames(s: SparkSession, d: String): DataFrame =
+    sampleVideoFrames(s, videoAssets(s, d)).toDF().orderBy("doc_id", "frame_id")
+
+  /** Oracle recomputes every sampled frame's byte sum from the
+    * generator arithmetic — equality proves the pack → binary column →
+    * offset-sliced decode round-trip byte-exact, and that exactly the
+    * strided frames were sampled.
+    */
+  val mmVideoFramesSql: String =
+    s"""WITH f AS (SELECT doc_id, unnest(range(0, $VidFrames, $VidStride)) AS frame_id
+       |           FROM documents),
+       |b AS (SELECT doc_id, frame_id,
+       |  frame_id * $FrameBytes + unnest(range(0, $FrameBytes)) AS i FROM f)
+       |SELECT doc_id, frame_id, CAST($FrameBytes AS BIGINT) AS n_bytes,
+       |  CAST(sum((doc_id * 31 + i * 2654435761) % 256) AS BIGINT) AS byte_sum
+       |FROM b GROUP BY doc_id, frame_id ORDER BY doc_id, frame_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_video_frames"  -> (mmVideoFrames _),
     "mm_decode_stub"   -> (mmDecodeStub _),
     "mm_pipeline_stub" -> (mmPipelineStub _),
     "mm_decode"        -> (mmDecode _),
@@ -377,6 +458,7 @@ object Multimodal {
     "mm_audio_frames"  -> (mmAudioFrames _))
 
   val oracles: Map[String, String] = Map(
+    "mm_video_frames"  -> mmVideoFramesSql,
     "mm_decode_stub"   -> mmDecodeStubSql,
     "mm_pipeline_stub" -> mmPipelineStubSql,
     "mm_decode"        -> mmDecodeSql,

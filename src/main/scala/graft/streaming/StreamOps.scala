@@ -179,6 +179,54 @@ object StreamOps {
     """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** D17 `stream_check_gate`: CHECK constraints guarding a streaming
+    * sink — the A73 write-time predicates compose with the D4
+    * exactly-once lake sink because every micro-batch funnels through
+    * the same writeFiles validation. Each batch is first attempted
+    * WITH an injected violating row (the poisoned append must be
+    * refused atomically — zero rows of it land, the table pointer
+    * holds), then landed clean under its idempotent tag. This is the
+    * quarantine-at-ingestion shape of a continuously-fed training
+    * corpus: bad batches bounce whole, good data flows, and the final
+    * table equals the plain batch oracle exactly.
+    */
+  def checkGate(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.GraftTable
+    val root = s"/root/repo/target/lakework/streamcheck-${math.abs(d.hashCode)}"
+    val src = eventsStream(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val t = GraftTable.createEmpty(s, root,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))),
+      Seq.empty, Seq.empty)
+    t.addCheckConstraint("nonneg_id", "event_id >= 0")
+    val refusals = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val poisoned = batch.unionByName(
+          batch.limit(1).withColumn("event_id", lit(-1L)))
+        val before = t.currentId
+        try { t.appendBatch(poisoned, s"poison-$id"); () }
+        catch { case _: IllegalArgumentException =>
+          refusals.incrementAndGet()
+          require(t.currentId == before, "refused batch must not move the table")
+        }
+        t.appendBatch(batch, s"clean-$id"); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    require(refusals.get() > 0, "at least one poisoned batch must be refused")
+    t.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  // only the clean appends land, so the table equals plain events
+  val checkGateSql: String = lakeSinkSql
+
   /** D2 `stream_dedup`: watermark-bounded streaming deduplication —
     * the same file is streamed TWICE (union of two sources), so every
     * event arrives duplicated; `dropDuplicatesWithinWatermark` on the
@@ -805,6 +853,7 @@ object StreamOps {
     "stream_window_agg"  -> (windowAgg _),
     "stream_sessionize"  -> (sessionize _),
     "stream_lake_sink"   -> (lakeSink _),
+    "stream_check_gate"  -> (checkGate _),
     "stream_dedup"       -> (dedupStream _),
     "stream_corpus_filter" -> (corpusFilterStream _),
     "stream_static_join" -> (staticJoin _),
@@ -823,6 +872,7 @@ object StreamOps {
     "stream_window_agg"  -> windowAggSql,
     "stream_sessionize"  -> sessionizeSql,
     "stream_lake_sink"   -> lakeSinkSql,
+    "stream_check_gate"  -> checkGateSql,
     "stream_dedup"       -> dedupStreamSql,
     "stream_corpus_filter" -> corpusFilterStreamSql,
     "stream_static_join" -> staticJoinSql,

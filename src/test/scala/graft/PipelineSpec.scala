@@ -892,6 +892,66 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("C33/C45 hash-threshold prefilter: the rank window sorts survivors, not the corpus") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.FilterExec
+    // the scale claim: every per-stratum rank window must sit either
+    // ABOVE a hash-threshold filter (survivor branch — the sort sees
+    // ~overshoot x kept rows, never the corpus) or inside the safety
+    // fallback branch, which is gated by a semi-join against the
+    // NOT-safe stratum set (empty on uniform hashes, so that window's
+    // input is zero rows at runtime)
+    def auditCorpusWindows(df: org.apache.spark.sql.DataFrame): Unit = {
+      // sparkPlan, not executedPlan: AQE wraps the tree before execution
+      val plan = df.queryExecution.sparkPlan
+      val corpusWindows = plan.collect {
+        case w: WindowExec if w.partitionSpec.nonEmpty => w
+      }
+      assert(corpusWindows.nonEmpty, s"no per-stratum windows found:\n$plan")
+      corpusWindows.foreach { w =>
+        // the optimizer either inlines h = pmod(...) into a pushed
+        // filter (stratified: constant threshold) or folds h < thr
+        // into the broadcast join's residual condition (temperature:
+        // per-stratum threshold) — both run before the window shuffle
+        val hasThreshold = w.collectFirst {
+          case f: FilterExec
+            if f.condition.sql.contains("pmod") && f.condition.sql.contains("<") => f
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.condition.exists(_.sql.contains("<")) => j
+        }.nonEmpty
+        val isFallback = w.collectFirst {
+          case f: FilterExec
+            if f.condition.sql.contains("NOT") && f.condition.sql.contains("safe") => f
+        }.nonEmpty
+        assert(hasThreshold || isFallback,
+          s"corpus window neither prefiltered nor fallback-gated:\n$w")
+      }
+    }
+    auditCorpusWindows(TextOps.sampleStratified(spark, sfDir))
+    auditCorpusWindows(TextOps.sampleTemperature(spark, sfDir))
+    // output identity is pinned by the DuckDB oracle (sf0.01) plus the
+    // apportionment recompute test above (sf0.001)
+  }
+
+  test("C50 video frame-sampling: strided frames only, byte sums exact") {
+    val out = Multimodal.mmVideoFrames(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val ids = Tables.documents(spark, sfDir).select("doc_id").collect().map(_.getLong(0))
+    // exactly frames 0, 6, 12, 18 per doc — the unsampled 20 frames'
+    // bytes are never surfaced
+    assert(out.keys.map(_._2).toSet === Set(0L, 6L, 12L, 18L))
+    assert(out.size === ids.length * 4)
+    // independent recompute of one doc's sampled sums from the
+    // generator arithmetic
+    val id = ids.min
+    for (f <- Seq(0L, 6L, 12L, 18L)) {
+      val fb = 16 * 12 * 3
+      val expect = (f * fb until (f + 1) * fb)
+        .map(i => (id * 31L + i * 2654435761L) % 256L).sum
+      assert(out((id, f)) === (fb.toLong, expect), s"frame $f")
+    }
+  }
+
   test("C48 vocab coverage: OOV fraction recomputed from an independent count") {
     val out = TextOps.vocabCoverage(spark, sfDir).collect()
     assert(out.nonEmpty)
@@ -1018,7 +1078,8 @@ class PipelineSpec extends SparkSpec {
     val n = byLang.view.mapValues(_.length.toLong).toMap
     val nn = n.values.sum.toDouble
     val w = n.view.mapValues(c => q6(math.pow(c / nn, 0.3))).toMap
-    val sw = w.values.sum
+    // 6-dp re-quantized like production: sum order must not matter
+    val sw = q6(w.values.sum)
     val k0 = n.keys.map(l => l -> math.floor(TextOps.TempK * w(l) / sw).toLong).toMap
     val rem = n.keys.map(l => l -> (TextOps.TempK * w(l) / sw - k0(l))).toMap
     val leftover = TextOps.TempK - k0.values.sum
