@@ -1303,7 +1303,49 @@ object TextOps {
        |             FILTER (WHERE bl IS NULL), '') AS clean_text
        |FROM j GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
 
+  /** C51 `corpus_threshold_sweep`: quality-gate calibration — the
+    * keep-rate curve every pipeline sweeps before choosing a filter
+    * threshold: for each of [[SweepSteps]] grid points t = i/steps,
+    * how many documents (and what fraction) clear
+    * `quality_score ≥ t`. Computed as ONE conditional aggregation over
+    * the scored corpus (steps+1 partial-agged counters in a single
+    * map-side-combined pass — no per-threshold scan, no row
+    * explosion), then the single result row unpivots into the curve.
+    * At 100 TB the cost is the C9 scoring scan plus one 21-counter
+    * agg; the same shape calibrates any per-doc score (LM logprob, NB
+    * llr) by swapping the input. Grid points are i/steps (exact IEEE
+    * division both engines agree on — never i·0.05, which DuckDB
+    * would evaluate in DECIMAL).
+    */
+  val SweepSteps = 20
+  def thresholdSweep(s: SparkSession, d: String): DataFrame = {
+    val scores = quality(s, d).select(col("quality_score"))
+    val ks = (0 to SweepSteps).map(i =>
+      sum(when(col("quality_score") >= lit(i.toDouble / SweepSteps), 1L)
+        .otherwise(0L)).as(s"k$i"))
+    val tot = scores.agg(count(lit(1)).as("n"), ks: _*)
+    tot.select(explode(array((0 to SweepSteps).map(i => struct(
+        lit(i.toDouble / SweepSteps).as("threshold"),
+        col(s"k$i").as("n_kept"),
+        round(col(s"k$i").cast("double") / col("n"), 6).as("keep_frac"))): _*))
+        .as("r"))
+      .select(col("r.threshold"), col("r.n_kept"), col("r.keep_frac"))
+      .orderBy(col("threshold"))
+  }
+
+  val thresholdSweepSql: String =
+    s"""WITH q AS (SELECT quality_score FROM ($qualitySql)),
+       |n AS (SELECT count(*) AS n FROM q),
+       |g AS (SELECT unnest(range(0, ${SweepSteps + 1})) AS i)
+       |SELECT CAST(i AS DOUBLE) / $SweepSteps AS threshold,
+       |  count(*) FILTER (WHERE quality_score >= CAST(i AS DOUBLE) / $SweepSteps)
+       |    AS n_kept,
+       |  round(CAST(count(*) FILTER (WHERE quality_score >= CAST(i AS DOUBLE) / $SweepSteps)
+       |    AS DOUBLE) / any_value(n.n), 6) AS keep_frac
+       |FROM q, g, n GROUP BY i ORDER BY threshold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_threshold_sweep" -> (thresholdSweep _),
     "text_vocab_coverage" -> (vocabCoverage _),
     "text_boilerplate" -> (boilerplate _),
     "sample_temperature" -> (sampleTemperature _),
@@ -1333,6 +1375,7 @@ object TextOps {
     "text_tfidf"       -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_threshold_sweep" -> thresholdSweepSql,
     "text_vocab_coverage" -> vocabCoverageSql,
     "text_boilerplate" -> boilerplateSql,
     "sample_temperature" -> sampleTemperatureSql,

@@ -952,6 +952,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("C51 threshold sweep: monotone keep curve, counts recomputed independently") {
+    val curve = TextOps.thresholdSweep(spark, sfDir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    assert(curve.length === TextOps.SweepSteps + 1)
+    // keep counts are non-increasing in the threshold
+    curve.sliding(2).foreach { case Array((t1, k1, _), (t2, k2, _)) =>
+      assert(k1 >= k2, s"curve not monotone at $t1 -> $t2") }
+    // t=0 keeps everything
+    val scores = TextOps.quality(spark, sfDir).collect()
+      .map(_.getAs[Double]("quality_score"))
+    assert(curve.head._2 === scores.length)
+    // a mid-grid point recomputed by hand
+    val mid = curve(TextOps.SweepSteps / 2)
+    assert(mid._2 === scores.count(_ >= mid._1), s"mid threshold ${mid._1}")
+    assert(math.abs(mid._3 - mid._2.toDouble / scores.length) < 1e-6)
+    // the sweep actually discriminates on this corpus (not all-or-nothing)
+    assert(curve.map(_._2).distinct.length > 2)
+  }
+
   test("C48 vocab coverage: OOV fraction recomputed from an independent count") {
     val out = TextOps.vocabCoverage(spark, sfDir).collect()
     assert(out.nonEmpty)
