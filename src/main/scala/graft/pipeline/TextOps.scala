@@ -765,21 +765,23 @@ object TextOps {
     // k_l = ceil(cnt/4); the lang table is tiny (one map-side-combined agg)
     val k = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
       .select(col("lang"), floor((col("cnt") + lit(3L)) / lit(4L)).cast("long").as("k"))
-    val surv = docs.filter(col("h") < thr)
     val safety = k.join(
-        surv.groupBy(col("lang")).agg(count(lit(1)).as("scnt")), Seq("lang"), "left")
+        docs.filter(col("h") < thr).groupBy(col("lang"))
+          .agg(count(lit(1)).as("scnt")), Seq("lang"), "left")
       .select(col("lang"), col("k"),
         (coalesce(col("scnt"), lit(0L)) >= col("k")).as("safe"))
+    // ONE branch, not a safe/fallback union: admit `h < thr OR NOT
+    // safe`. In a safe stratum the k lowest hashes all clear the
+    // threshold (rank identical to the full sort); in an unsafe
+    // stratum the NOT-safe disjunct admits every row, which IS the
+    // full-rank fallback — same exactness, half the plan (the tiny
+    // quota chain is referenced once per pass instead of per branch).
     val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
-    val ranked = surv.join(broadcast(safety.filter(col("safe"))), "lang")
+    docs.join(broadcast(safety), "lang")
+      .filter(col("h") < thr || !col("safe"))
       .withColumn("pick_rank", row_number().over(w).cast("long"))
       .filter(col("pick_rank") <= col("k"))
       .select(col("doc_id"), col("lang"), col("pick_rank"))
-    val fallback = docs.join(broadcast(safety.filter(!col("safe"))), "lang")
-      .withColumn("pick_rank", row_number().over(w).cast("long"))
-      .filter(col("pick_rank") <= col("k"))
-      .select(col("doc_id"), col("lang"), col("pick_rank"))
-    ranked.unionByName(fallback)
       .orderBy(col("lang"), col("pick_rank"))
   }
 
@@ -1080,22 +1082,22 @@ object TextOps {
     val thrQ = quota.withColumn("thr",
       least(lit(Mod), ceil(lit(2.0) * col("k") * lit(Mod.toDouble) / col("n"))).cast("long"))
     val hashed = docs.select(col("doc_id"), col("lang")).withColumn("h", h)
-    val surv = hashed.join(broadcast(thrQ), "lang").filter(col("h") < col("thr"))
     val safety = thrQ.join(
-        surv.groupBy(col("lang")).agg(count(lit(1)).as("scnt")), Seq("lang"), "left")
-      .select(col("lang"), col("k"),
+        hashed.join(broadcast(thrQ), "lang").filter(col("h") < col("thr"))
+          .groupBy(col("lang")).agg(count(lit(1)).as("scnt")), Seq("lang"), "left")
+      .select(col("lang"), col("k"), col("thr"),
         (coalesce(col("scnt"), lit(0L)) >= col("k")).as("safe"))
+    // ONE branch (see sampleStratified): `h < thr OR NOT safe` admits
+    // exactly the survivor set in safe strata and every row in unsafe
+    // ones, so a single rank window replaces the safe/fallback union —
+    // the tiny apportionment chain is planned once per pass, not per
+    // branch.
     val rw = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
-    val ranked = surv.select(col("doc_id"), col("lang"), col("h"))
-      .join(broadcast(safety.filter(col("safe"))), "lang")
+    hashed.join(broadcast(safety), "lang")
+      .filter(col("h") < col("thr") || !col("safe"))
       .withColumn("pick_rank", row_number().over(rw).cast("long"))
       .filter(col("pick_rank") <= col("k"))
       .select(col("doc_id"), col("lang"), col("pick_rank"))
-    val fallback = hashed.join(broadcast(safety.filter(!col("safe"))), "lang")
-      .withColumn("pick_rank", row_number().over(rw).cast("long"))
-      .filter(col("pick_rank") <= col("k"))
-      .select(col("doc_id"), col("lang"), col("pick_rank"))
-    ranked.unionByName(fallback)
       .orderBy(col("lang"), col("pick_rank"))
   }
 

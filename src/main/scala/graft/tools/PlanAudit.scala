@@ -18,6 +18,15 @@ private[graft] object PlanAudit {
       println(f"== $name%-28s exchanges=${count("Exchange")}%2d bhj=${count("BroadcastHashJoin")}%2d smj=${count("SortMergeJoin")}%2d cartesian=${count("CartesianProduct")}%2d bnlj=${count("BroadcastNestedLoop")}%2d wsc=${count("WholeStageCodegen")}%2d")
     }
     shape("dedup_semantic_kmeans", graft.pipeline.VectorOps.semanticDedupKmeans(spark, d))
+    shape("text_vocab_coverage", graft.pipeline.TextOps.vocabCoverage(spark, d))
+    shape("text_boilerplate", graft.pipeline.TextOps.boilerplate(spark, d))
+    shape("corpus_threshold_sweep", graft.pipeline.TextOps.thresholdSweep(spark, d))
+    shape("sample_temperature", graft.pipeline.TextOps.sampleTemperature(spark, d))
+    shape("mm_video_frames", graft.pipeline.Multimodal.mmVideoFrames(spark, d))
+    // the vocab must reach the corpus join as a TakeOrdered + broadcast,
+    // the threshold sweep must be ONE aggregate over the scan
+    println("vocab TakeOrdered: " + graft.pipeline.TextOps.vocabCoverage(spark, d)
+      .queryExecution.sparkPlan.toString.contains("TakeOrderedAndProject"))
     shape("ann_ivfpq (residual)", graft.pipeline.VectorOps.annIvfPq(spark, d))
     shape("ann_ivfpq bigbatch", graft.pipeline.VectorOps.annIvfPqBatch(spark, d, 10000000L))
     shape("ann_pq bigbatch", graft.pipeline.VectorOps.annPqBatch(spark, d, 10000000L))
