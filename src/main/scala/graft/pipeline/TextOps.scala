@@ -120,9 +120,9 @@ object TextOps {
   def tokenCounts(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("ws_tokens",
-        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).cast("long"))
+        size(filter(split(col("text"), "[ \\t\\n\\x0B\\f\\r]+"), t => length(t) > 0)).cast("long"))
       .withColumn("bpe_tokens",
-        regexp_count(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9\\s]")).cast("long"))
+        regexp_count(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]")).cast("long"))
       .withColumn("chars_per_token",
         round(length(col("text")).cast("double") / greatest(col("bpe_tokens"), lit(1L)), 6))
       .select("doc_id", "ws_tokens", "bpe_tokens", "chars_per_token")
@@ -130,9 +130,9 @@ object TextOps {
 
   val tokenCountsSql: String =
     """SELECT doc_id,
-      |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws_tokens,
-      |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
-      |  round(length(text) * 1.0 / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')), 1), 6) AS chars_per_token
+      |  len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 \t\n\x0B\f\r]')) AS bpe_tokens,
+      |  round(length(text) * 1.0 / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 \t\n\x0B\f\r]')), 1), 6) AS chars_per_token
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** C11 `text_fingerprint`: winnowing fingerprints (k=8-char grams,
@@ -700,7 +700,7 @@ object TextOps {
     val budget = 256L
     val docs = Tables.documents(s, d)
       .withColumn("n_tokens",
-        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).cast("long"))
+        size(filter(split(col("text"), "[ \\t\\n\\x0B\\f\\r]+"), t => length(t) > 0)).cast("long"))
       .withColumn("shard",
         pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)) % 8)
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
@@ -720,7 +720,7 @@ object TextOps {
   val samplePackSql: String =
     """WITH t AS (
       |  SELECT doc_id,
-      |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+      |    len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS n_tokens,
       |    (doc_id * 2654435761) % 1000000007 % 8 AS shard
       |  FROM documents),
       |c AS (

@@ -298,6 +298,27 @@ case class GraftSetPropertiesCommand(
   }
 }
 
+/** ALTER TABLE t ADD CONSTRAINT name CHECK (pred) / DROP CONSTRAINT
+  * name — Delta's constraint DDL, which Spark's parser has no grammar
+  * for. ADD routes through [[graft.lake.GraftTable.addCheckConstraint]]
+  * (DDL-time resolution + existing-data validation); the predicate is
+  * then enforced on every write (A73).
+  */
+case class GraftConstraintCommand(
+    name: String, constraint: String, predicate: Option[String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    val t = new GraftTable(root, session)
+    predicate match {
+      case Some(p) => t.addCheckConstraint(constraint, p)
+      case None    => t.dropCheckConstraint(constraint)
+    }
+    Seq.empty
+  }
+}
+
 /** ALTER TABLE t REPARTITION BY (c1, …) — partition-spec evolution as
   * an explicit rewrite (see [[graft.lake.GraftTable.repartitionSpec]]).
   * Dep transforms ride the same `src=dest:transform` spelling as

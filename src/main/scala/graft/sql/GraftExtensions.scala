@@ -216,6 +216,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // clone DDL, which Spark's parser has no grammar for
   private val CloneRe =
     """(?is)\s*create\s+table\s+([\w.]+)\s+(shallow|deep)\s+clone\s+([\w.]+)(?:\s+location\s+'([^']+)')?\s*""".r
+  // ALTER TABLE t ADD CONSTRAINT name CHECK (pred) / DROP CONSTRAINT
+  // name — Delta's constraint DDL (A73); Spark's parser has no grammar
+  private val AddConstraintRe =
+    """(?is)\s*alter\s+table\s+([\w.]+)\s+add\s+constraint\s+(\w+)\s+check\s*\((.+)\)\s*""".r
+  private val DropConstraintRe =
+    """(?is)\s*alter\s+table\s+([\w.]+)\s+drop\s+constraint\s+(\w+)\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     sqlText match {
@@ -239,6 +245,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case CloneRe(newName, kind, srcName, loc) if GraftCatalog.lookup(srcName).isDefined =>
         return GraftCloneCommand(newName.toLowerCase, srcName.toLowerCase,
           Option(loc), deep = kind.equalsIgnoreCase("deep"))
+      case AddConstraintRe(name, cname, pred) if GraftCatalog.lookup(name).isDefined =>
+        return GraftConstraintCommand(name.toLowerCase, cname, Some(pred.trim))
+      case DropConstraintRe(name, cname) if GraftCatalog.lookup(name).isDefined =>
+        return GraftConstraintCommand(name.toLowerCase, cname, None)
       case _ => ()
     }
     sqlText match {

@@ -953,4 +953,32 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(boom.getMessage.contains("schema evolution"),
       s"unexpected error: ${boom.getMessage}")
   }
+
+  test("A73 constraint DDL: ADD CONSTRAINT enforces, DROP CONSTRAINT re-admits") {
+    val t = mkTable("constraintddl")
+    GraftCatalog.register("t_constraint", t.root)
+    spark.sql("ALTER TABLE t_constraint ADD CONSTRAINT pos_price CHECK (o_totalprice > 0)")
+    assert(t.properties(GraftTable.CheckPropPrefix + "pos_price")
+      === "o_totalprice > 0")
+    // a violated ADD is refused at DDL time with the existing data named
+    val boom = intercept[IllegalArgumentException] {
+      spark.sql("ALTER TABLE t_constraint ADD CONSTRAINT big_keys CHECK (o_orderkey >= 100)")
+    }
+    assert(boom.getMessage.contains("existing rows"))
+    // writes through SQL are gated by the added constraint
+    import spark.implicits._
+    val n0 = spark.sql("SELECT count(*) FROM t_constraint").head().getLong(0)
+    Tables.orders(spark, sfDir).filter(col("o_orderkey") >= 150 && col("o_orderkey") < 160)
+      .withColumn("o_totalprice", lit(-5.0))
+      .createOrReplaceTempView("bad_src_constraint")
+    val rej = intercept[Exception] {
+      spark.sql("INSERT INTO t_constraint SELECT * FROM bad_src_constraint")
+    }
+    assert(rej.getMessage.contains("pos_price"), s"got: ${rej.getMessage}")
+    assert(spark.sql("SELECT count(*) FROM t_constraint").head().getLong(0) === n0)
+    // DROP CONSTRAINT re-admits the same insert
+    spark.sql("ALTER TABLE t_constraint DROP CONSTRAINT pos_price")
+    spark.sql("INSERT INTO t_constraint SELECT * FROM bad_src_constraint")
+    assert(spark.sql("SELECT count(*) FROM t_constraint").head().getLong(0) > n0)
+  }
 }
