@@ -129,7 +129,9 @@ object ScaleBench {
     "text_tfidf", "text_dup_spans", "text_fingerprint", "text_contamination",
     "corpus_filter", "sample_mixture", "pipeline_corpus_e2e", "mm_decode",
     "q_unpivot", "dedup_semantic", "stream_stream_join",
-    "q_recursive_cte", "dedup_incremental_bloom", "text_chunk", "q_variant")
+    "q_recursive_cte", "dedup_incremental_bloom", "text_chunk", "q_variant",
+    "text_vocab_coverage", "text_boilerplate", "corpus_threshold_sweep",
+    "mm_video_frames", "sample_temperature", "sample_stratified")
 
   /** Lake DML + streaming-source scale probe: the same operation
     * sequence at 1× and 10× data, so commit latency, COW rewrite
