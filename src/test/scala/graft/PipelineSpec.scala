@@ -971,6 +971,38 @@ class PipelineSpec extends SparkSpec {
     assert(curve.map(_._2).distinct.length > 2)
   }
 
+  test("C33 safety fallback: a pathological stratum still ranks exactly") {
+    import spark.implicits._
+    // plant a corpus where one stratum DEFEATS the prefilter: every
+    // doc of lang "zz" has h = (id*2654435761) % 1000000007 >= thr
+    // (375000003), so its survivor count is 0 < k and only the
+    // NOT-safe admission path can produce the right answer. The "aa"
+    // stratum stays uniform (safe path). This is the only test that
+    // exercises the fallback disjunct — on uniform hashes it is empty.
+    def h(id: Long) = (id * 2654435761L) % 1000000007L
+    val thr = 375000003L
+    val bad = Iterator.from(0).map(_.toLong).filter(id => h(id) >= thr).take(6).toSeq
+    val good = Iterator.from(0).map(_.toLong)
+      .filter(id => !bad.contains(id)).take(20).toSeq
+    val rows = bad.map(id => (id, s"doc $id", "zz", "s0", 6L)) ++
+      good.map(id => (id, s"doc $id", "aa", "s0", 6L))
+    val tmp = "/root/repo/target/laketest/sample-fallback"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(4).write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val got = TextOps.sampleStratified(spark, tmp).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    // naive reference: full per-stratum rank by (h, id), keep ceil(n/4)
+    def expect(ids: Seq[Long], lang: String) = {
+      val k = (ids.length + 3) / 4
+      ids.sortBy(id => (h(id), id)).take(k).zipWithIndex
+        .map { case (id, i) => (lang, id, (i + 1).toLong) }
+    }
+    val want = (expect(bad, "zz") ++ expect(good, "aa")).toSet
+    assert(got.toSet === want, s"got ${got.toSeq.sorted}")
+    // and the planted stratum really did defeat the threshold
+    assert(bad.forall(id => h(id) >= thr))
+  }
+
   test("C48 vocab coverage: OOV fraction recomputed from an independent count") {
     val out = TextOps.vocabCoverage(spark, sfDir).collect()
     assert(out.nonEmpty)
