@@ -223,9 +223,21 @@ class MiniOcfSpec extends SparkSpec {
       .head().getLong(0)
     t.delete(col("o_orderkey") === victim)
 
-    val md = parse(IcebergExport.exportMetadata(t, root + "-ice"))
+    val metaPath = IcebergExport.exportMetadata(t, root + "-ice")
+    // walk the chain exactly as an external HadoopTables reader does:
+    // version-hint.text → v<N>.metadata.json → current-snapshot-id →
+    // that snapshot's manifest-list (nothing taken from the writer's
+    // return values beyond the table location)
+    val metaDir = java.nio.file.Paths.get(
+      metaPath.stripPrefix("file:")).getParent
+    val hint = new String(java.nio.file.Files.readAllBytes(
+      metaDir.resolve("version-hint.text"))).trim
+    val md = parse(metaDir.resolve(s"v$hint.metadata.json").toString)
+    val curId = md.get("current-snapshot-id").asLong()
     val snaps = md.get("snapshots").elements().asScala.toSeq
-    val mlPath = snaps.last.get("manifest-list").asText()
+    val curSnap = snaps.find(_.get("snapshot-id").asLong() == curId).get
+    val mlPath = curSnap.get("manifest-list").asText()
+    assert(curSnap eq snaps.last, "current snapshot is the chain head")
 
     // field id → iceberg type name, straight from the metadata JSON
     val idToIceType = md.get("schemas").get(0).get("fields").elements().asScala
