@@ -1003,6 +1003,36 @@ class PipelineSpec extends SparkSpec {
     assert(bad.forall(id => h(id) >= thr))
   }
 
+  test("C33 prefilter exactness holds across randomized corpus shapes") {
+    import spark.implicits._
+    // four seeded corpora with very different stratum skews (incl. a
+    // 1-doc stratum and a dominant one) — each must equal the naive
+    // full-rank reference exactly
+    def h(id: Long) = (id * 2654435761L) % 1000000007L
+    val rnd = new scala.util.Random(77)
+    for (case_ <- 0 until 4) {
+      val langs = case_ match {
+        case 0 => Seq.fill(120)("xx") ++ Seq("yy") // dominant + singleton
+        case 1 => (0 until 90).map(i => s"l${i % 9}") // even 9-way
+        case 2 => (0 until 60).map(_ => if (rnd.nextInt(10) == 0) "rare" else "big")
+        case _ => (0 until 40).map(i => s"l${rnd.nextInt(3)}")
+      }
+      val ids = rnd.shuffle((0 until 5000).map(_.toLong).toList).take(langs.size)
+      val rows = ids.zip(langs).map { case (id, l) => (id, s"d$id", l, "s", 2L) }
+      val tmp = s"/root/repo/target/laketest/sample-prop-$case_"
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(3).write.mode("overwrite").parquet(tmp + "/documents.parquet")
+      val got = TextOps.sampleStratified(spark, tmp).collect()
+        .map(r => (r.getString(1), r.getLong(0), r.getLong(2))).toSet
+      val want = rows.groupBy(_._3).flatMap { case (l, rs) =>
+        val k = (rs.length + 3) / 4
+        rs.map(_._1).sortBy(id => (h(id), id)).take(k).zipWithIndex
+          .map { case (id, i) => (l, id, (i + 1).toLong) }
+      }.toSet
+      assert(got === want, s"case $case_ mismatch")
+    }
+  }
+
   test("C48 vocab coverage: OOV fraction recomputed from an independent count") {
     val out = TextOps.vocabCoverage(spark, sfDir).collect()
     assert(out.nonEmpty)
