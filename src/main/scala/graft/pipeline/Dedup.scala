@@ -382,6 +382,101 @@ object Dedup {
        |  AND i_rare * (1.0 + $JaccardThreshold) >= (x.n + y.n) * $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** C53: containment admission threshold and the minimum shingle-set
+    * size for a containment SOURCE — a 3-shingle snippet is "contained"
+    * in half the web; requiring ≥5 distinct shingles keeps the signal
+    * about real nested documents.
+    */
+  val ContainmentThreshold = 0.8
+  val MinContainShingles = 5
+
+  /** C53 `dedup_containment`: asymmetric near-duplicate detection by
+    * shingle-set containment C(src→sup) = |S_src ∩ S_sup| / |S_src| —
+    * the quote/page-within-crawl signal Jaccard structurally misses
+    * (a 100-shingle doc fully embedded in a 1000-shingle doc has
+    * J ≈ 0.1 but containment 1.0). Same scale shape as C4: inverted
+    * index on 64-bit shingle hashes with the [[PostingDfCap]]
+    * boilerplate cap, candidate admission `i ≥ T·min(|A|,|B|)` (the
+    * tightest symmetric prefilter — if neither direction's
+    * denominator can clear T on the rare intersection, no direction
+    * can), then exact string-shingle-set verification; each
+    * qualifying direction emits one (doc_src, doc_sup) row. Hash
+    * collisions only merge elements (i up, n down), so the prefilter
+    * is laxer in hash space and no true pair is lost — C4's argument
+    * verbatim. At 100 TB this runs per-LSH-candidate like C2/C4, and
+    * the pair blow-up stays bounded at cap² per shingle.
+    */
+  def containment(s: SparkSession, d: String): DataFrame =
+    containmentOf(Tables.documents(s, d))
+
+  def containmentOf(docs: DataFrame, postingDfCap: Int = PostingDfCap): DataFrame = {
+    val sh0 = shingleHashesOf(docs)
+      .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("sh"))
+    val rare = sh0.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= postingDfCap)
+      .select(col("sh"))
+    val sh = sh0.join(rare, Seq("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("sh"))
+    val cand = a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"), max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+      .filter(col("i") >= lit(ContainmentThreshold) * least(col("n_a"), col("n_b")) &&
+              least(col("n_a"), col("n_b")) >= MinContainShingles)
+      .select(col("doc_a"), col("doc_b"))
+    val base = joinShingleSets(docs, cand)
+      .withColumn("i", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .withColumn("na", size(col("shs_a")))
+      .withColumn("nb", size(col("shs_b")))
+    def dir(src: String, sup: String, n: String) =
+      base.filter(col(n) >= MinContainShingles &&
+          col("i").cast("double") / col(n) >= ContainmentThreshold)
+        .select(col(src).as("doc_src"), col(sup).as("doc_sup"),
+          round(col("i").cast("double") / col(n), 6).as("containment"))
+    dir("doc_a", "doc_b", "na").unionByName(dir("doc_b", "doc_a", "nb"))
+      .orderBy(col("doc_src"), col("doc_sup"))
+  }
+
+  /** C53's oracle — exact containment ≥ T with the capped-index
+    * admission MIRRORED, same structure as [[ngramJaccardCappedSql]]:
+    * the ratio is exact full-set containment; admission additionally
+    * requires the RARE intersection to clear T against the smaller
+    * set, exactly what the operator's inverted index can see.
+    */
+  val containmentSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, ${TextOps.tokensSql} AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+       |    THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |    ELSE [] END) AS shs
+       |  FROM w),
+       |s AS (SELECT doc_id, unnest(shs) AS sh FROM g),
+       |sz AS (SELECT doc_id, len(shs) AS n FROM g),
+       |f AS (SELECT sh, count(*) AS df FROM s GROUP BY sh),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i,
+       |         count(*) FILTER (WHERE f.df <= $PostingDfCap) AS i_rare
+       |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  JOIN f ON f.sh = a.sh
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT doc_a, doc_b, i, x.n AS na, y.n AS nb
+       |  FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+       |  WHERE i_rare >= $ContainmentThreshold * least(x.n, y.n)
+       |    AND least(x.n, y.n) >= $MinContainShingles)
+       |SELECT doc_src, doc_sup, containment FROM (
+       |  SELECT doc_a AS doc_src, doc_b AS doc_sup,
+       |         round(i * 1.0 / na, 6) AS containment
+       |  FROM j WHERE na >= $MinContainShingles AND i * 1.0 / na >= $ContainmentThreshold
+       |  UNION ALL
+       |  SELECT doc_b AS doc_src, doc_a AS doc_sup,
+       |         round(i * 1.0 / nb, 6) AS containment
+       |  FROM j WHERE nb >= $MinContainShingles AND i * 1.0 / nb >= $ContainmentThreshold)
+       |ORDER BY doc_src, doc_sup""".stripMargin
+
   /** Split the corpus into "already ingested" and "incoming batch" —
     * the shape every production crawl refresh has. doc_id % 3 is the
     * deterministic stand-in for that boundary.
@@ -749,6 +844,7 @@ object Dedup {
     "dedup_normalized"    -> (normalized _),
     "dedup_minhash"       -> (minhash _),
     "dedup_simhash"       -> (simhash _),
+    "dedup_containment" -> (containment _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_clusters"      -> (clusters _),
     "dedup_apply"         -> (dedupApply _),
@@ -768,6 +864,7 @@ object Dedup {
     // oracle again; the invariant twin keeps the scale-true claims
     "dedup_simhash"       -> jaccardSql,
     "dedup_simhash_check" -> simhashCheckSql,
+    "dedup_containment" -> containmentSql,
     "dedup_ngram_jaccard" -> ngramJaccardCappedSql,
     "dedup_clusters"      -> clustersSql,
     "dedup_apply"         -> dedupApplySql,

@@ -331,6 +331,50 @@ object TextOps {
        |FROM toks JOIN v USING (term), tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** C52 `text_entropy`: character-level Shannon entropy — the
+    * classic gibberish/boilerplate signal (near-zero entropy = one
+    * repeated character, ~4.1 bits-e for natural English; encrypted
+    * or base64 blobs sit near ln(64)). A narrow per-row map with zero
+    * shuffles. Cost is O(|alphabet|·n_chars) per document with the
+    * alphabet bounded by the charset (≤ ~100 distinct units in
+    * practice), i.e. linear with a constant — the per-unit counts are
+    * recomputed per distinct unit rather than via a hash table so the
+    * whole expression stays inside Spark's higher-order-function
+    * kernels with no UDF. Cross-engine exactness: both engines fold
+    * `p·ln(1/p)` terms over the SAME sorted-distinct unit order
+    * (Spark `aggregate` and DuckDB `list_reduce` are both left
+    * folds), so the double accumulation is bit-identical before the
+    * final 6-dp snap. `[\s\S]` (not `.`) so newlines count as units,
+    * and because its union is charset-complete it dodges the
+    * Java-vs-RE2 `\s` divergence entirely.
+    */
+  def charEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("cs", regexp_extract_all(col("text"), lit("[\\s\\S]"), lit(0)))
+      .withColumn("n", size(col("cs")))
+      .withColumn("ds", array_sort(array_distinct(col("cs"))))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_units"),
+        size(col("ds")).cast("long").as("n_distinct"),
+        when(col("n") === 0, lit(0.0)).otherwise(round(
+          aggregate(col("ds"), lit(0.0), (acc, c) => {
+            val cnt = size(filter(col("cs"), x => x === c)).cast("double")
+            acc + cnt / col("n") * log(col("n") / cnt)
+          }), 6)).as("char_entropy"))
+      .orderBy(col("doc_id"))
+
+  val charEntropySql: String =
+    """WITH b AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[\s\S]') AS cs FROM documents),
+      |s AS (
+      |  SELECT doc_id, cs, len(cs) AS n, list_sort(list_distinct(cs)) AS ds FROM b)
+      |SELECT doc_id, n::BIGINT AS n_units, len(ds)::BIGINT AS n_distinct,
+      |  CASE WHEN n = 0 THEN 0.0 ELSE round(list_reduce(
+      |    list_transform(ds, c -> len(list_filter(cs, x -> x = c))::DOUBLE / n
+      |                         * ln(n::DOUBLE / len(list_filter(cs, x -> x = c)))),
+      |    (a, b) -> a + b), 6) END AS char_entropy
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** C22 `text_repetition`: Gopher-style repetition signals — the
     * quality-filter family that drops boilerplate/spam by how much of
     * a document repeats itself: duplicate-line, duplicate-paragraph,
@@ -1361,6 +1405,7 @@ object TextOps {
     "sample_split"     -> (sampleSplit _),
     "sample_shuffle"   -> (sampleShuffle _),
     "sample_mixture"   -> (sampleMixture _),
+    "text_entropy"     -> (charEntropy _),
     "text_langid"      -> (langId _),
     "text_quality"     -> (quality _),
     "text_tokens"      -> (tokenCounts _),
@@ -1391,6 +1436,7 @@ object TextOps {
     "sample_split"     -> sampleSplitSql,
     "sample_shuffle"   -> sampleShuffleSql,
     "sample_mixture"   -> sampleMixtureSql,
+    "text_entropy"     -> charEntropySql,
     "text_langid"      -> langIdSql,
     "text_quality"     -> qualitySql,
     "text_tokens"      -> tokenCountsSql,

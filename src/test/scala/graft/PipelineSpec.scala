@@ -206,6 +206,54 @@ class PipelineSpec extends SparkSpec {
     assert(TextOps.tfidf(spark, dir).collect().forall(_.getLong(1) <= 3L))
   }
 
+  test("containment: nested doc found both-directions-correctly, invisible to jaccard, tiny sources gated") {
+    import spark.implicits._
+    val dir = "/root/repo/target/containdocs"
+    val core = "alpha beta gamma delta epsilon zeta eta theta"   // 6 shingles
+    val filler = (1 to 40).map(i => s"filler$i word$i").mkString(" ")
+    val filler2 = (1 to 40).map(i => s"pad$i item$i").mkString(" ")
+    Seq(
+      (1L, core),                         // 6-shingle source
+      (2L, s"$core $filler"),             // superset: contains doc 1 fully
+      (3L, "tiny snippet here"),          // 1 shingle — below the source gate
+      (4L, s"tiny snippet here $filler2"),// superset of 3, but 3 is gated
+      (5L, "unrelated text about completely different things entirely")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = Dedup.containment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === Set((1L, 2L)), s"expected only 1⊂2, got ${got.keySet}")
+    assert(got((1L, 2L)) === 1.0, "doc 1's shingles are all inside doc 2")
+    // the asymmetric signal: Jaccard can't see this pair (J ≈ 6/46)
+    val jac = Dedup.ngramJaccard(spark, dir).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "the contained pair must be invisible to J ≥ 0.5 — that's the point of C53")
+  }
+
+  test("char entropy: closed-form values on crafted docs, zero-shuffle plan") {
+    import spark.implicits._
+    val dir = "/root/repo/target/entropydocs"
+    Seq(
+      (1L, "aaaa"),             // one symbol -> 0
+      (2L, "abab"),             // two equiprobable -> ln 2
+      (3L, "abcd"),             // four equiprobable -> ln 4
+      (4L, ""),                 // empty -> 0 by convention
+      (5L, "aab")               // 2/3,1/3 mix
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.charEntropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) === ((4L, 1L, 0.0)))
+    assert(got(2L) === ((4L, 2L, math.rint(math.log(2) * 1e6) / 1e6)))
+    assert(got(3L) === ((4L, 4L, math.rint(math.log(4) * 1e6) / 1e6)))
+    assert(got(4L) === ((0L, 0L, 0.0)))
+    val h5 = 2.0 / 3 * math.log(3.0 / 2) + 1.0 / 3 * math.log(3.0)
+    assert(math.abs(got(5L)._3 - h5) < 1e-6)
+    // narrow map: the ONLY exchange is the output sort's range partitioning
+    val plan = TextOps.charEntropy(spark, dir).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size <= 1 && !plan.contains("HashAggregate"),
+      s"char entropy must be a shuffle-free per-row map, got:\n$plan")
+  }
+
   test("contamination flags exactly the train docs sharing a 13-gram with benchmark docs") {
     import spark.implicits._
     val dir = "/root/repo/target/contamdocs"
