@@ -310,8 +310,14 @@ object TextOps {
     * quantum. Two keyed aggregations + one vocabulary join — the same
     * scale shape as tf·idf.
     */
-  def unigramLogprob(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
+  def unigramLogprob(s: SparkSession, d: String): DataFrame =
+    unigramLogprobCore(Tables.documents(s, d)).orderBy(col("doc_id"))
+
+  /** [[unigramLogprob]] without the output ordering — the reusable
+    * form for downstream stages (C54 buckets on it).
+    */
+  def unigramLogprobCore(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val total = toks.agg(count(lit(1)).cast("double").as("n_total"))
@@ -319,7 +325,6 @@ object TextOps {
       .withColumn("lp", round(log(col("c") / col("n_total")), 6))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"), round(sum(col("lp")), 6).as("logprob"))
-      .orderBy(col("doc_id"))
   }
 
   val unigramLogprobSql: String =
@@ -330,6 +335,58 @@ object TextOps {
        |  round(sum(round(ln(c * 1.0 / tot.n), 6)), 6) AS logprob
        |FROM toks JOIN v USING (term), tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** C54 `text_ppl_buckets`: CCNet-style perplexity bucketing — split
+    * each language's corpus into head/middle/tail thirds by LM score
+    * (CCNet trains KenLM on Wikipedia and keeps the low-perplexity
+    * "head" for quality data; the bucket label is the mixture dial
+    * every curriculum/mixing stage downstream consumes). Score = the
+    * C20 corpus-unigram logprob normalized per token; thresholds = the
+    * exact interpolated 1/3 and 2/3 percentiles PER LANGUAGE.
+    *
+    * Scale shape — deliberately not a rank window: thresholds come
+    * from one (lang → two percentiles) aggregate over the narrow
+    * (lang, nlp) projection, then the #langs-row threshold table
+    * BROADCASTS into the per-doc comparison. No corpus-wide sort, no
+    * skewed-key window (contrast C45, which needs exact quotas and
+    * therefore ranks); the exact `percentile` buffers one language's
+    * scores on a reducer — at 100 TB flip the same plan to
+    * `approx_percentile`, which is the documented production dial for
+    * threshold-style buckets (ties all land in one bucket either way,
+    * so the label is threshold-stable, unlike rank quotas).
+    */
+  def pplBuckets(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sc = unigramLogprobCore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("nlp", round(col("logprob") / col("n_toks"), 6))
+    val th = sc.groupBy(col("lang")).agg(
+      round(expr("percentile(nlp, 0.333333)"), 6).as("t1"),
+      round(expr("percentile(nlp, 0.666667)"), 6).as("t2"))
+    sc.join(broadcast(th), "lang")
+      .select(col("doc_id"), col("lang"), col("nlp"),
+        when(col("nlp") > col("t2"), "head")
+          .when(col("nlp") > col("t1"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val pplBucketsSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+       |v AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+       |tot AS (SELECT count(*) AS n FROM toks),
+       |lp AS (SELECT doc_id, count(*) AS n_toks,
+       |         round(sum(round(ln(c * 1.0 / tot.n), 6)), 6) AS logprob
+       |       FROM toks JOIN v USING (term), tot GROUP BY doc_id),
+       |sc AS (SELECT d.doc_id, d.lang, round(lp.logprob / lp.n_toks, 6) AS nlp
+       |       FROM lp JOIN documents d ON d.doc_id = lp.doc_id),
+       |th AS (SELECT lang, round(quantile_cont(nlp, 0.333333), 6) AS t1,
+       |              round(quantile_cont(nlp, 0.666667), 6) AS t2
+       |       FROM sc GROUP BY lang)
+       |SELECT doc_id, lang, nlp,
+       |  CASE WHEN nlp > t2 THEN 'head' WHEN nlp > t1 THEN 'middle'
+       |       ELSE 'tail' END AS ppl_bucket
+       |FROM sc JOIN th USING (lang) ORDER BY doc_id""".stripMargin
 
   /** C52 `text_entropy`: character-level Shannon entropy — the
     * classic gibberish/boilerplate signal (near-zero entropy = one
@@ -1406,6 +1463,7 @@ object TextOps {
     "sample_shuffle"   -> (sampleShuffle _),
     "sample_mixture"   -> (sampleMixture _),
     "text_entropy"     -> (charEntropy _),
+    "text_ppl_buckets" -> (pplBuckets _),
     "text_langid"      -> (langId _),
     "text_quality"     -> (quality _),
     "text_tokens"      -> (tokenCounts _),
@@ -1437,6 +1495,7 @@ object TextOps {
     "sample_shuffle"   -> sampleShuffleSql,
     "sample_mixture"   -> sampleMixtureSql,
     "text_entropy"     -> charEntropySql,
+    "text_ppl_buckets" -> pplBucketsSql,
     "text_langid"      -> langIdSql,
     "text_quality"     -> qualitySql,
     "text_tokens"      -> tokenCountsSql,

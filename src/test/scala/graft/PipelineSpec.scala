@@ -230,6 +230,35 @@ class PipelineSpec extends SparkSpec {
       "the contained pair must be invisible to J ≥ 0.5 — that's the point of C53")
   }
 
+  test("ppl buckets: per-lang thirds on real data, threshold semantics, no corpus rank window") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = TextOps.pplBuckets(spark, dir).collect()
+    val byLang = rows.groupBy(_.getString(1))
+    assert(byLang.size > 1, "need several languages for the per-lang claim")
+    byLang.foreach { case (lang, rs) =>
+      val n = rs.length
+      val heads = rs.count(_.getString(3) == "head")
+      val tails = rs.count(_.getString(3) == "tail")
+      // thirds up to tie granularity: every bucket within n/3 ± ties.
+      // nlp is 6-dp-quantized so exact ties are possible but rare.
+      assert(heads > 0 && tails > 0, s"$lang: degenerate bucketing")
+      assert(math.abs(heads - n / 3.0) <= math.max(2, n * 0.1),
+        s"$lang: head=$heads of $n is not a tercile")
+      // threshold semantics: equal scores never straddle a boundary
+      val byScore = rs.groupBy(_.getDouble(2))
+      assert(byScore.forall(_._2.map(_.getString(3)).distinct.size == 1),
+        s"$lang: tied scores split across buckets — rank leakage")
+      // monotonicity: every head score > every middle score > every tail
+      def maxOf(b: String) = rs.filter(_.getString(3) == b).map(_.getDouble(2))
+      val (h, m, t) = (maxOf("head"), maxOf("middle"), maxOf("tail"))
+      if (h.nonEmpty && m.nonEmpty) assert(h.min > m.max)
+      if (m.nonEmpty && t.nonEmpty) assert(m.min > t.max)
+    }
+    // plan shape: the only Window-free threshold path — no rank/row_number
+    val plan = TextOps.pplBuckets(spark, dir).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), "bucketing must not rank the corpus")
+  }
+
   test("char entropy: closed-form values on crafted docs, zero-shuffle plan") {
     import spark.implicits._
     val dir = "/root/repo/target/entropydocs"
