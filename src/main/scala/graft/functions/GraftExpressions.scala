@@ -281,6 +281,60 @@ case class CentroidResidual(child: Expression, centroids: Array[Array[Double]])
   override def prettyName: String = "graft_centroid_residual"
 }
 
+/** SQ8 encode to a byte-code binary; lo/invSpan ride as plan
+  * constants (see [[Hashing.sqEncode]]).
+  */
+case class SqEncode(child: Expression, lo: Array[Double], invSpan: Array[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.sqEncode(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], lo, invSpan)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val loRef = ctx.addReferenceObj("lo", lo, "double[]")
+    val isRef = ctx.addReferenceObj("invSpan", invSpan, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.sqEncode($c, $loRef, $isRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SqEncode =
+    copy(child = newChild)
+  override def prettyName: String = "graft_sq_encode"
+}
+
+/** SQ8 asymmetric scan kernel: unsigned-byte codes × double weights
+  * (see [[Hashing.sqDot]]).
+  */
+case class SqDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType, ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Hashing.sqDot(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Hashing.sqDot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDot =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_sq_dot"
+}
+
+/** Reconstructed-vector norm of an SQ8 code (see [[Hashing.sqRecNorm]]). */
+case class SqRecNorm(child: Expression, lo: Array[Double], span255: Array[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.sqRecNorm(input.asInstanceOf[Array[Byte]], lo, span255)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val loRef = ctx.addReferenceObj("lo", lo, "double[]")
+    val spRef = ctx.addReferenceObj("span255", span255, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.sqRecNorm($c, $loRef, $spRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SqRecNorm =
+    copy(child = newChild)
+  override def prettyName: String = "graft_sq_rec_norm"
+}
+
 /** Raw float×double dot product (see [[Hashing.dotFD]]). */
 case class DotFD(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -370,6 +424,11 @@ object exprs {
   def centroidResidual(c: Column, cents: Array[Array[Double]]): Column =
     col(CentroidResidual(ex(c), cents))
   def dotFD(a: Column, b: Column): Column = col(DotFD(ex(a), ex(b)))
+  def sqEncode(c: Column, lo: Array[Double], invSpan: Array[Double]): Column =
+    col(SqEncode(ex(c), lo, invSpan))
+  def sqDot(codes: Column, w: Column): Column = col(SqDot(ex(codes), ex(w)))
+  def sqRecNorm(codes: Column, lo: Array[Double], span255: Array[Double]): Column =
+    col(SqRecNorm(ex(codes), lo, span255))
   def zorderKey(cs: Seq[Column], mins: Array[Long], maxs: Array[Long]): Column =
     col(ZOrderKey(cs.map(ex), mins, maxs))
 }

@@ -410,6 +410,51 @@ object Hashing {
     dot
   }
 
+  /** SQ8 scalar-quantization encode: per-dim affine map to one byte,
+    * code[j] = clamp(rint((x[j] − lo[j]) · invSpan[j] · 255), 0, 255).
+    * 4× compression over float32 (64 B vs 256 B at dim 64); values
+    * outside the trained [lo, hi] range clamp — standard FAISS
+    * SQ8 behavior on out-of-sample data.
+    */
+  def sqEncode(vec: ArrayData, lo: Array[Double], invSpan: Array[Double]): Array[Byte] = {
+    val dim = vec.numElements()
+    val out = new Array[Byte](dim)
+    var j = 0
+    while (j < dim) {
+      val q = math.rint((vec.getFloat(j).toDouble - lo(j)) * invSpan(j) * 255.0)
+      out(j) = (if (q < 0.0) 0 else if (q > 255.0) 255 else q.toInt).toByte
+      j += 1
+    }
+    out
+  }
+
+  /** Dot of an SQ8 code vector (bytes, unsigned) against a double
+    * weight vector — the SQ asymmetric-distance scan kernel: with
+    * w[j] = q[j]·span[j]/255 this is dot(q, x̂) − dot(q, lo).
+    */
+  def sqDot(codes: Array[Byte], w: ArrayData): Double = {
+    val n = math.min(codes.length, w.numElements())
+    var acc = 0.0
+    var j = 0
+    while (j < n) { acc += (codes(j) & 0xFF).toDouble * w.getDouble(j); j += 1 }
+    acc
+  }
+
+  /** L2 norm of the vector an SQ8 code RECONSTRUCTS to — precomputed
+    * at index-build time so the scan's cosine denominator is a stored
+    * column, not per-candidate work.
+    */
+  def sqRecNorm(codes: Array[Byte], lo: Array[Double], span255: Array[Double]): Double = {
+    var acc = 0.0
+    var j = 0
+    while (j < codes.length) {
+      val v = lo(j) + (codes(j) & 0xFF).toDouble * span255(j)
+      acc += v * v
+      j += 1
+    }
+    math.sqrt(acc)
+  }
+
   /** Residual of a vector against its NEAREST centroid (classic IVFPQ
     * residual encoding): r = x − c_nearest(x), emitted as floats so the
     * downstream PQ training/encoding path is unchanged. Recomputes the

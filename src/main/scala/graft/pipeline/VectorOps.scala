@@ -688,6 +688,83 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** C55 `ann_sq`: scalar-quantization ANN (FAISS SQ8) — the third
+    * compression family next to PQ (C26) and IVF (C13): each dimension
+    * quantizes independently to one byte via a per-dim affine map
+    * trained on the capped deterministic [[trainSample]] (lo/hi per
+    * dim), 4× compression over float32 with no codebook at all. The
+    * scan is asymmetric: dot(q, x̂) = dot(q, lo) + Σ w[j]·code[j] with
+    * w[j] = q[j]·span[j]/255 folded once per query, so the corpus-side
+    * kernel ([[graft.functions.SqDot]], codegen'd) reads 1 B/dim and
+    * does one fused multiply-add per dim — no lookup tables, which is
+    * SQ's operational advantage over PQ (no training drift, exact
+    * per-dim error bounds). Reconstructed norms are a stored column
+    * ([[graft.functions.SqRecNorm]], computed once at index build), so
+    * the approximate cosine is two stored-column reads + one kernel
+    * call per candidate. Top-50 by approximate cosine, then the same
+    * exact rerank as C26. Query-side constants ride [[queryGated]].
+    * Probabilistic recall → rows-only driver check + `ann_sq_check`
+    * dominance/completeness twin; the spec bounds recall@5 vs C6.
+    */
+  def annSq(s: SparkSession, d: String): DataFrame = annSqBatch(s, d, NQueries.toLong)
+
+  private def sqQueryBytes(nq: Long): Long = nq * (EmbDim.toLong * 12 + 64)
+
+  private[graft] def annSqBatch(s: SparkSession, d: String, batchHint: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Tables.embeddings(s, d)
+    val stats = trainSample(all)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).cast("double").as("lo"), max(col("x")).cast("double").as("hi"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val lo = Array.tabulate(EmbDim)(j => stats(j)._1)
+    val span = Array.tabulate(EmbDim)(j => math.max(stats(j)._2 - stats(j)._1, 1e-12))
+    val invSpan = span.map(1.0 / _)
+    val span255 = span.map(_ / 255.0)
+    // compressed index: 1 B/dim codes + the reconstructed norm, both
+    // narrow maps with the train stats as plan constants
+    val codes = all.select(col("vec_id").as("n_id"),
+        exprs.sqEncode(col("embedding"), lo, invSpan).as("codes"))
+      .withColumn("rec_norm", exprs.sqRecNorm(col("codes"), lo, span255))
+    val loArr = array(lo.map(lit): _*)
+    val wArr = array(span255.map(lit): _*)
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("qd", col("q_emb").cast("array<double>"))
+      .withColumn("w", zip_with(col("qd"), wArr, (a, b) => a * b))
+      .withColumn("bias", aggregate(zip_with(col("qd"), loArr, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("q_norm", sqrt(aggregate(col("qd"), lit(0.0), (acc, x) => acc + x * x)))
+      .select(col("query_id"), col("q_emb"), col("w"), col("bias"), col("q_norm"))
+    val approx = codes.crossJoin(queryGated(q, sqQueryBytes(batchHint)))
+      .filter(col("query_id") =!= col("n_id"))
+      .withColumn("a_score",
+        when(col("rec_norm") === 0.0 || col("q_norm") === 0.0, lit(-1.0))
+          .otherwise((col("bias") + exprs.sqDot(col("codes"), col("w")))
+            / (col("q_norm") * col("rec_norm"))))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("a_score").desc, col("n_id"))
+    val cand = approx.withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= 50)
+      .select(col("query_id"), col("n_id"))
+    // exact rerank of the SQ top-50 — identical shape to annPq's tail
+    val c = emb(s, d, "n")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    queryGated(cand.join(
+        queryGated(q.select(col("query_id"), col("q_emb")), qBytes(batchHint)), "query_id"),
+        candBytes(batchHint) + qBytes(batchHint))
+      .join(c, "n_id")
+      .withColumn("cos_sim", round(exprs.cosineSim(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("n_id").as("neighbor_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def annSqCheck(s: SparkSession, d: String): DataFrame = annCheck(s, d, annSq)
+
   /** C42 `ann_ivfpq`: the composed FAISS-style IVFPQ — the C13 coarse
     * quantizer in FRONT of the C26 compressed scan, which is the shape
     * a 100 TB vector corpus actually runs: the inverted lists bound
@@ -1007,6 +1084,8 @@ object VectorOps {
     "ann_pq_check"    -> (annPqCheck _),
     "ann_ivfpq"       -> (annIvfPq _),
     "ann_ivfpq_check" -> (annIvfPqCheck _),
+    "ann_sq"          -> (annSq _),
+    "ann_sq_check"    -> (annSqCheck _),
     "ann_ivf"         -> (annIvf _))
 
   val oracles: Map[String, String] = Map(
@@ -1017,5 +1096,6 @@ object VectorOps {
     "ann_lsh_check"   -> annCheckSql,
     "ann_ivf_check"   -> annCheckSql,
     "ann_pq_check"    -> annCheckSql,
+    "ann_sq_check"    -> annCheckSql,
     "ann_ivfpq_check" -> annCheckSql)
 }

@@ -599,6 +599,21 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ann sq: scalar-quantized scan + exact rerank recall vs bruteforce; check row green") {
+    val sq = VectorOps.annSq(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = VectorOps.annBruteforce(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = sq.intersect(exact).size.toDouble / exact.size
+    // per-dim 8-bit error is tiny relative to PQ's 16-code subspaces:
+    // SQ should recall strictly better than the PQ floor
+    assert(recall >= 0.8, s"sq recall $recall")
+    assert(sq.size === VectorOps.NQueries * VectorOps.TopK)
+    val chk = VectorOps.annSqCheck(spark, sfDir).collect().head
+    assert(chk.getLong(0) === 0L && chk.getLong(1) === 0L,
+      s"dominance/completeness check: ${chk.mkString(",")}")
+  }
+
   test("ann ivfpq: composed coarse-probe + ADC scan recall vs bruteforce") {
     val ivfpq = VectorOps.annIvfPq(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
