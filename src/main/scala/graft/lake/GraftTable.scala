@@ -614,7 +614,12 @@ final class GraftTable(val root: String, spark: SparkSession) {
     */
   private def writeFiles(
       dfIn: DataFrame, partitionCols: Seq[String], deps: Seq[DepSpec],
-      snapId: Long): Seq[FileEntry] = {
+      snapId: Long,
+      // REPLACE TABLE: the incoming batch belongs to the NEW schema —
+      // the old table's CHECK constraints and rename map must not
+      // apply to it (they are authored against columns that may no
+      // longer exist, or whose names the new schema reuses)
+      replacing: Boolean = false): Seq[FileEntry] = {
     // CHECK constraints (A73): every data write validates the incoming
     // batch against the table's `check.*` predicates BEFORE any file
     // lands — a violation aborts the whole write with the constraint
@@ -625,7 +630,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     // pay; tables without constraints pay nothing. Runs on logical
     // column names (before the physical rename below), matching how
     // constraints are authored.
-    if (hasCurrent) {
+    if (hasCurrent && !replacing) {
       val checks = current.properties.collect {
         case (k, v) if k.startsWith(GraftTable.CheckPropPrefix) =>
           k.stripPrefix(GraftTable.CheckPropPrefix) -> v
@@ -639,8 +644,10 @@ final class GraftTable(val root: String, spark: SparkSession) {
       }
     }
     // renamed columns are written under their frozen physical name so
-    // all files of the table share one on-disk schema
-    val df0 = logicalToPhysical.foldLeft(dfIn) { case (d, (log, phys)) =>
+    // all files of the table share one on-disk schema (a REPLACE's new
+    // schema starts a fresh name space — no old mapping applies)
+    val l2p = if (replacing) Map.empty[String, String] else logicalToPhysical
+    val df0 = l2p.foldLeft(dfIn) { case (d, (log, phys)) =>
       if (d.columns.contains(log)) d.withColumnRenamed(log, phys) else d
     }
     val df1 = deps.foldLeft(df0) { (d, dep) =>
@@ -661,7 +668,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
       (if (hasCurrent)
          current.properties.getOrElse(GraftTable.SortColsProp, "") else "")
         .split(',').map(_.trim).filter(_.nonEmpty)
-        .map(c => logicalToPhysical.getOrElse(c, c))
+        .map(c => l2p.getOrElse(c, c))
         .filter(df1.columns.contains).toSeq
     // sbucket tables auto-distribute every write by the bucket column
     // (Iceberg's hash write.distribution-mode, default on): without
@@ -697,7 +704,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
       (if (hasCurrent)
          current.properties.getOrElse("write.bloom.columns", "") else "")
         .split(',').map(_.trim).filter(_.nonEmpty)
-        .map(c => logicalToPhysical.getOrElse(c, c))
+        .map(c => l2p.getOrElse(c, c))
     // `write.target-file-size` caps WRITTEN files too (OPTIMIZE is the
     // other honoring site): rows-per-file = target / the table's
     // observed bytes-per-row from the manifest — a coarse shuffle can
@@ -1162,6 +1169,41 @@ final class GraftTable(val root: String, spark: SparkSession) {
       operation = "truncate", files = Seq.empty,
       addedFiles = 0, deletedFiles = cur.files.size,
       deleteFiles = Seq.empty))
+    this
+  }
+
+  /** REPLACE TABLE … AS SELECT (RTAS): atomically swap the table's
+    * schema, partition spec, dependency columns, and contents in ONE
+    * commit while PRESERVING history — time travel to pre-replace
+    * snapshots and rollback keep working, which is exactly what
+    * drop+create destroys. Prior data files are logically dropped but
+    * stay on disk for time travel until expiration, like overwrite.
+    * Schema-bound table state dies with the old schema: CHECK
+    * constraints (authored against old columns) are cleared and the
+    * rename map resets (the new schema's physical names ARE its
+    * logical names); other table properties carry forward, matching
+    * Iceberg's RTAS property semantics. At scale this is the
+    * "recompute the rollup table in place" primitive: downstream
+    * readers see old-or-new atomically, never a dropped table.
+    */
+  def replaceAs(df: DataFrame, partitionCols: Seq[String] = Seq.empty,
+      deps: Seq[DepSpec] = Seq.empty): GraftTable = {
+    val cur = current
+    val withDeps = deps.foldLeft(df) { (d, dep) =>
+      if (d.columns.contains(dep.dest)) d
+      else d.withColumn(dep.dest,
+        Deps.columnTyped(dep.transform, col(dep.src), d.schema(dep.src).dataType))
+    }
+    val files = writeFiles(df, partitionCols, deps, snapId = cur.id + 1,
+      replacing = true)
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "replace", schemaJson = withDeps.schema.json,
+      partitionCols = partitionCols, deps = deps, files = files,
+      addedFiles = files.size, deletedFiles = cur.files.size,
+      deleteFiles = Seq.empty, shards = Seq.empty,
+      properties = cur.properties
+        .filterNot(_._1.startsWith(GraftTable.CheckPropPrefix))))
     this
   }
 

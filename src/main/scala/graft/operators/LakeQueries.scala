@@ -1047,6 +1047,41 @@ object LakeQueries {
     """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
       |FROM orders WHERE o_totalprice > 150000 ORDER BY o_orderkey""".stripMargin
 
+  // ---- A74 REPLACE TABLE AS SELECT (atomic, history-preserving) -----
+
+  /** A74 `lake_replace`: [CREATE OR] REPLACE TABLE … AS SELECT — the
+    * recompute-a-rollup-in-place primitive. The replace swaps schema
+    * AND contents in one snapshot (row-shape table → aggregated
+    * shape); history stays intact, proven by reading snapshot 1 with
+    * its ORIGINAL schema after the swap.
+    */
+  def lakeReplace(s: SparkSession, d: String): DataFrame = {
+    val root = work(d, "replace")
+    Tables.orders(s, d).createOrReplaceTempView("graft_rt_src")
+    s.sql(s"""CREATE TABLE graft.rt_orders USING parquet
+             |OPTIONS (addTableManagement 'true', path '$root')
+             |AS SELECT o_orderkey, o_totalprice FROM graft_rt_src
+             |   WHERE o_totalprice > 150000""".stripMargin)
+    s.sql(s"""CREATE OR REPLACE TABLE graft.rt_orders USING parquet
+             |OPTIONS (addTableManagement 'true', path '$root')
+             |AS SELECT o_orderstatus, count(*) AS n_orders
+             |   FROM graft_rt_src GROUP BY o_orderstatus""".stripMargin)
+    val t = new GraftTable(root, s)
+    val pre = t.readAsOfId(1)
+    s.sql("SELECT o_orderstatus, n_orders FROM graft.rt_orders")
+      .withColumn("pre_rows", lit(pre.count()))
+      .withColumn("pre_cols", lit(pre.columns.mkString(",")))
+      .withColumn("op", lit(t.current.operation))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val lakeReplaceSql =
+    """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+      |  (SELECT count(*) FROM orders WHERE o_totalprice > 150000)::BIGINT AS pre_rows,
+      |  'o_orderkey,o_totalprice' AS pre_cols,
+      |  'replace' AS op
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---- adopt pre-existing parquet (msck-repair equivalent) ----------
 
   def lakeAdopt(s: SparkSession, d: String): DataFrame = {
@@ -1120,6 +1155,7 @@ object LakeQueries {
     "lake_widen_column"        -> (lakeWidenColumn _),
     "lake_update"              -> (lakeUpdate _),
     "lake_ctas"                -> (lakeCtas _),
+    "lake_replace"             -> (lakeReplace _),
     "lake_adopt"               -> (lakeAdopt _),
     "lake_compact"             -> (lakeCompact _),
     "lake_incremental"         -> (lakeIncremental _),
@@ -1170,6 +1206,7 @@ object LakeQueries {
     "lake_widen_column"        -> lakeWidenColumnSql,
     "lake_update"              -> lakeUpdateSql,
     "lake_ctas"                -> lakeCtasSql,
+    "lake_replace"             -> lakeReplaceSql,
     "lake_adopt"               -> lakeAdoptSql,
     "lake_compact"             -> lakeCompactSql,
     "lake_incremental"         -> lakeIncrementalSql,

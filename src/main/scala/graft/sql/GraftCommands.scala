@@ -123,6 +123,41 @@ case class GraftCtasCommand(
   }
 }
 
+/** [CREATE OR] REPLACE TABLE … AS SELECT (A74): when the table exists,
+  * ONE atomic history-preserving snapshot via [[GraftTable.replaceAs]]
+  * — schema/partitioning/contents swap, time travel and rollback to
+  * pre-replace state keep working; when it does not, falls back to
+  * CTAS iff `OR CREATE` was written (plain REPLACE on a missing table
+  * is an error, per the SQL standard split).
+  */
+case class GraftRtasCommand(
+    name: String,
+    partitionCols: Seq[String],
+    deps: Seq[DepSpec],
+    location: Option[String],
+    query: LogicalPlan,
+    orCreate: Boolean) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val df = Shim.ofRows(session, query)
+    GraftCreateValidation.validate(df.schema, partitionCols, deps)
+    GraftCatalog.lookup(name) match {
+      case Some(root) =>
+        new GraftTable(root, session).replaceAs(df, partitionCols, deps)
+        // refresh the session-catalog entry: the schema changed
+        GraftSparkBridge.register(session, name, root)
+      case None =>
+        if (!orCreate) throw new IllegalArgumentException(
+          s"REPLACE TABLE $name: table does not exist — use CREATE OR REPLACE")
+        val root = location.getOrElse(s"/root/repo/target/lakework/sql-$name")
+        GraftTable.create(session, root, df, partitionCols, deps)
+        GraftCatalog.register(name, root)
+        GraftSparkBridge.register(session, name, root)
+    }
+    Seq.empty
+  }
+}
+
 /** INSERT INTO / INSERT OVERWRITE [PARTITION (k='v')] — hive positional
   * semantics: the query supplies the non-derived, non-static columns in
   * schema order; static partition values come from the PARTITION

@@ -448,6 +448,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         }
         GraftCtasCommand(ctName(ctas.name), partCols.toSeq, deps,
           tableLocation(ctas.tableSpec), ctas.query)
+      // [CREATE OR] REPLACE TABLE … AS SELECT — one atomic
+      // history-preserving snapshot via GraftTable.replaceAs (A74)
+      case rtas: org.apache.spark.sql.catalyst.plans.logical.ReplaceTableAsSelect
+          if tableOptions(rtas.tableSpec).get("addtablemanagement").exists(_.equalsIgnoreCase("true")) =>
+        val opts = tableOptions(rtas.tableSpec)
+        val deps = opts.get("columndependencies")
+          .map(GraftTable.parseDeps).getOrElse(Seq.empty)
+        val partCols = rtas.partitioning.collect {
+          case t if t.name == "identity" => t.references.head.fieldNames.last
+        }
+        GraftRtasCommand(ctName(rtas.name), partCols.toSeq, deps,
+          tableLocation(rtas.tableSpec), rtas.query, rtas.orCreate)
       // `t$snapshots` / `t$files` metadata views (reference:
       // TableUtils.SNAPSHOTSVIEW_SUFFIX — `` select * from `t$snapshots` ``)
       case u: UnresolvedRelation if u.multipartIdentifier.length <= 2 &&

@@ -15,6 +15,45 @@ class LakeSpec extends SparkSpec {
     GraftTable.create(spark, tmp(name), o, parts, deps)
   }
 
+  test("replace table: atomic schema+content swap, history preserved, constraints cleared") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("replace"),
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0)).toDF("id", "k", "v"))
+    t.addCheckConstraint("v_pos", "v > 0")
+    t.setProperty("owner", "pipeline")
+    // swap to a completely different shape — would violate v_pos if the
+    // old constraint leaked into the new write path (no v column at all)
+    t.replaceAs(Seq(("a", 2L), ("b", 1L)).toDF("k", "n"))
+    assert(t.current.operation === "replace")
+    assert(t.read().columns.toSeq === Seq("k", "n"))
+    assert(t.read().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("a" -> 2L, "b" -> 1L))
+    // history: snapshot 1 reads with the ORIGINAL schema and data
+    val pre = t.readAsOfId(1)
+    assert(pre.columns.toSeq === Seq("id", "k", "v") && pre.count() === 3)
+    // constraints died with the old schema; plain properties survive
+    assert(!t.properties.keys.exists(_.startsWith(GraftTable.CheckPropPrefix)))
+    assert(t.properties.get("owner").contains("pipeline"))
+    // rollback undoes the replace entirely
+    t.rollback(1)
+    assert(t.read().columns.toSeq === Seq("id", "k", "v") && t.read().count() === 3)
+  }
+
+  test("replace table SQL: OR CREATE gates the missing-table path") {
+    import spark.implicits._
+    Seq((1L, 2L)).toDF("a", "b").createOrReplaceTempView("rt_missing_src")
+    val err = intercept[Exception] {
+      spark.sql(s"""REPLACE TABLE graft.rt_missing USING parquet
+                   |OPTIONS (addTableManagement 'true', path '${tmp("rtmiss")}')
+                   |AS SELECT a, b FROM rt_missing_src""".stripMargin)
+    }
+    assert(err.getMessage.contains("does not exist"))
+    spark.sql(s"""CREATE OR REPLACE TABLE graft.rt_missing USING parquet
+                 |OPTIONS (addTableManagement 'true', path '${tmp("rtmiss")}')
+                 |AS SELECT a, b FROM rt_missing_src""".stripMargin)
+    assert(spark.sql("SELECT * FROM graft.rt_missing").count() === 1)
+  }
+
   test("IS NULL pruning: partitions, footer null counts, metadata delete") {
     import spark.implicits._
     val df = Seq(
