@@ -613,13 +613,24 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * into a staging dir, move files into data/, harvest footer stats.
     */
   private def writeFiles(
-      dfIn: DataFrame, partitionCols: Seq[String], deps: Seq[DepSpec],
+      dfIn0: DataFrame, partitionCols: Seq[String], deps: Seq[DepSpec],
       snapId: Long,
       // REPLACE TABLE: the incoming batch belongs to the NEW schema —
       // the old table's CHECK constraints and rename map must not
       // apply to it (they are authored against columns that may no
       // longer exist, or whose names the new schema reuses)
       replacing: Boolean = false): Seq[FileEntry] = {
+    // WRITE defaults: a batch that omits an initial-default column gets
+    // it materialized (Iceberg v3 write-default behavior) — this also
+    // keeps the invariant that every post-add file physically carries
+    // the column, which is what makes the read path's addedBy grouping
+    // exact (see relationWithDefaults)
+    val dfIn = if (!hasCurrent || replacing) dfIn0 else
+      schema.fields
+        .filter(f => f.metadata.contains(GraftTable.DefaultMetaKey))
+        .filterNot(f => dfIn0.columns.contains(f.name))
+        .foldLeft(dfIn0)((d, f) => d.withColumn(f.name,
+          expr(f.metadata.getString(GraftTable.DefaultMetaKey)).cast(f.dataType)))
     // CHECK constraints (A73): every data write validates the incoming
     // batch against the table's `check.*` predicates BEFORE any file
     // lands — a violation aborts the whole write with the constraint
@@ -1618,6 +1629,45 @@ final class GraftTable(val root: String, spark: SparkSession) {
     this
   }
 
+  /** ALTER TABLE … ADD COLUMN … DEFAULT — metadata-only add with an
+    * INITIAL DEFAULT (Iceberg v3 `initial-default` semantics): rows in
+    * files written BEFORE the add read the default; rows written after
+    * read what was stored — including an explicit NULL, which stays
+    * NULL (a plain `coalesce` over the whole scan would get this
+    * wrong). The boundary is exact because the read path groups data
+    * files by their `addedBy` stamp against the column's add snapshot
+    * (see [[relationWithDefaults]]) — pre-add files project the
+    * literal (their scan never reads the column at all), post-add
+    * files read it physically. The default also acts as the WRITE
+    * default: a post-add append that omits the column materializes it
+    * ([[writeFiles]]), so every post-add file physically carries the
+    * column. Zero data rewritten at any scale; the default must be a
+    * constant-foldable expression.
+    */
+  def addColumnWithDefault(name: String, dt: DataType, defaultSql: String): GraftTable = {
+    val cur = current
+    require(!schema.fieldNames.contains(name), s"column $name already exists on $root")
+    // resolution + constant-ness probe: unknown functions / column refs
+    // or a non-castable literal must fail at DDL time, not at read time
+    val probe = spark.range(1).select(expr(defaultSql).cast(dt).as(name))
+    probe.queryExecution.assertAnalyzed()
+    require(probe.queryExecution.optimizedPlan.collectFirst {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project
+          if p.projectList.exists(e => !e.deterministic) => ()
+      }.isEmpty, s"DEFAULT must be deterministic: $defaultSql")
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(GraftTable.DefaultMetaKey, defaultSql)
+      .putLong(GraftTable.DefaultAddedAtKey, cur.id + 1)
+      .build()
+    val newSchema = StructType(
+      schema.fields :+ StructField(name, dt, nullable = true, md))
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "add-column", schemaJson = newSchema.json,
+      addedFiles = 0, deletedFiles = 0))
+    this
+  }
+
   /** ALTER TABLE … DROP COLUMN — metadata-only: the column vanishes
     * from the snapshot schema while data files are untouched (parquet
     * readers project to the requested schema, so the on-disk column is
@@ -2272,11 +2322,47 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * filters.
     */
   private def readSnapshot(s: Snapshot): DataFrame =
-    if (s.deleteFiles.isEmpty)
-      org.apache.spark.sql.graft.GraftFileIndex.relation(spark, root, s)
+    if (s.deleteFiles.isEmpty) relationWithDefaults(s, withRowPos = false)
     else readSnapshotPos(s).drop(
       org.apache.spark.sql.graft.GraftFileIndex.PosFileCol,
       org.apache.spark.sql.graft.GraftFileIndex.PosIdxCol)
+
+  /** The snapshot's manifest-planned relation with INITIAL DEFAULTS
+    * applied exactly (see [[GraftTable.addColumnWithDefault]]): data
+    * files are grouped by WHICH defaulted columns their `addedBy`
+    * stamp predates; each group scans as its own relation — pre-add
+    * groups project the default literal in place of a column their
+    * files never contained, post-add groups read it physically — and
+    * the groups union. Group count is bounded by the number of
+    * DISTINCT defaulted-add snapshots + 1 (not by file count), each
+    * group keeps full partition pruning / stats / bucket claims over
+    * its file subset, and tables without defaults take the unchanged
+    * single-relation fast path.
+    */
+  private def relationWithDefaults(s: Snapshot, withRowPos: Boolean): DataFrame = {
+    val sch = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+    val defaulted = sch.fields.filter(_.metadata.contains(GraftTable.DefaultMetaKey))
+    def rel(snap: Snapshot) = org.apache.spark.sql.graft.GraftFileIndex
+      .relation(spark, root, snap, isStreaming = false, withRowPos)
+    if (defaulted.isEmpty || s.files.isEmpty) rel(s)
+    else {
+      val groups = s.files.groupBy(f => defaulted
+        .filter(d => f.addedBy < d.metadata.getLong(GraftTable.DefaultAddedAtKey))
+        .map(_.name).toSet)
+      groups.toSeq.sortBy(_._1.size).map { case (missing, fs) =>
+        val sub = rel(s.copy(files = fs, shards = Seq.empty))
+        if (missing.isEmpty) sub
+        else sub.select(sub.columns.map { c =>
+          if (!missing.contains(c)) col(c)
+          else {
+            val f = defaulted.find(_.name == c).get
+            expr(f.metadata.getString(GraftTable.DefaultMetaKey))
+              .cast(f.dataType).as(c)
+          }
+        }: _*)
+      }.reduce(_ unionByName _)
+    }
+  }
 
   /** [[readSnapshot]] keeping the `(_graft_file, _graft_pos)` row
     * coordinates, with the snapshot's pending position deletes already
@@ -2284,8 +2370,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * stacking, and changelog's deleted-row reconstruction.
     */
   private def readSnapshotPos(s: Snapshot): DataFrame = {
-    val withPos = org.apache.spark.sql.graft.GraftFileIndex
-      .relation(spark, root, s, isStreaming = false, withRowPos = true)
+    val withPos = relationWithDefaults(s, withRowPos = true)
     if (s.deleteFiles.isEmpty) withPos
     else {
       import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
@@ -2839,6 +2924,14 @@ object GraftTable {
     * [[GraftTable.addCheckConstraint]]).
     */
   val CheckPropPrefix = "check."
+
+  /** Schema-field metadata keys for initial-default columns (see
+    * [[GraftTable.addColumnWithDefault]]): the default's SQL text and
+    * the snapshot id the column was added at — files whose `addedBy`
+    * predates it read the default.
+    */
+  val DefaultMetaKey = "graft.initial-default"
+  val DefaultAddedAtKey = "graft.default-added-at"
 
   /** Cardinality-preserving sketch input for a column, or None when the
     * type has no 1:1 mapping into `hll_sketch_agg`'s accepted inputs

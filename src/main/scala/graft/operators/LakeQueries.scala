@@ -1082,6 +1082,37 @@ object LakeQueries {
       |  'replace' AS op
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---- A75 ADD COLUMN … DEFAULT (initial defaults) ------------------
+
+  /** A75 `lake_default_column`: metadata-only column add with an
+    * initial default — pre-add rows read 'unclassified' without any
+    * rewrite; a post-add insert stores real values. The whole
+    * lifecycle runs through the SQL surface (CTAS → ALTER ADD COLUMN
+    * DEFAULT → INSERT → SELECT).
+    */
+  def lakeDefaultColumn(s: SparkSession, d: String): DataFrame = {
+    val root = work(d, "defcol")
+    Tables.orders(s, d).createOrReplaceTempView("graft_dc_src")
+    s.sql(s"""CREATE TABLE graft.dc_orders USING parquet
+             |OPTIONS (addTableManagement 'true', path '$root')
+             |AS SELECT o_orderkey, o_totalprice FROM graft_dc_src
+             |   WHERE o_totalprice > 150000""".stripMargin)
+    s.sql("ALTER TABLE graft.dc_orders ADD COLUMN priority_class STRING DEFAULT 'unclassified'")
+    s.sql("""INSERT INTO graft.dc_orders
+            |SELECT o_orderkey, o_totalprice, o_orderpriority FROM graft_dc_src
+            |WHERE o_totalprice <= 150000 AND o_orderkey % 5 = 0""".stripMargin)
+    s.sql("""SELECT o_orderkey, o_totalprice, priority_class
+            |FROM graft.dc_orders ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val lakeDefaultColumnSql =
+    """SELECT o_orderkey, o_totalprice, 'unclassified' AS priority_class
+      |FROM orders WHERE o_totalprice > 150000
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders WHERE o_totalprice <= 150000 AND o_orderkey % 5 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---- adopt pre-existing parquet (msck-repair equivalent) ----------
 
   def lakeAdopt(s: SparkSession, d: String): DataFrame = {
@@ -1156,6 +1187,7 @@ object LakeQueries {
     "lake_update"              -> (lakeUpdate _),
     "lake_ctas"                -> (lakeCtas _),
     "lake_replace"             -> (lakeReplace _),
+    "lake_default_column"      -> (lakeDefaultColumn _),
     "lake_adopt"               -> (lakeAdopt _),
     "lake_compact"             -> (lakeCompact _),
     "lake_incremental"         -> (lakeIncremental _),
@@ -1207,6 +1239,7 @@ object LakeQueries {
     "lake_update"              -> lakeUpdateSql,
     "lake_ctas"                -> lakeCtasSql,
     "lake_replace"             -> lakeReplaceSql,
+    "lake_default_column"      -> lakeDefaultColumnSql,
     "lake_adopt"               -> lakeAdoptSql,
     "lake_compact"             -> lakeCompactSql,
     "lake_incremental"         -> lakeIncrementalSql,

@@ -467,16 +467,22 @@ case class GraftDropTableCommand(name: String) extends LeafRunnableCommand {
   }
 }
 
-/** ALTER TABLE t ADD COLUMNS (c type, …) — metadata-only schema
-  * evolution; existing files read the new columns as null.
+/** ALTER TABLE t ADD COLUMNS (c type [DEFAULT expr], …) — metadata-only
+  * schema evolution; existing files read the new columns as null, or
+  * as the initial default when one is declared
+  * ([[graft.lake.GraftTable.addColumnWithDefault]]).
   */
 case class GraftAddColumnsCommand(
-    name: String, cols: Seq[(String, DataType)]) extends LeafRunnableCommand {
+    name: String, cols: Seq[(String, DataType, Option[String])])
+    extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val root = GraftCatalog.lookup(name).getOrElse(
       throw new IllegalArgumentException(s"graft table not registered: $name"))
     val t = new GraftTable(root, session)
-    cols.foreach { case (c, dt) => t.addColumn(c, dt) }
+    cols.foreach {
+      case (c, dt, Some(d)) => t.addColumnWithDefault(c, dt, d)
+      case (c, dt, None)    => t.addColumn(c, dt)
+    }
     GraftSparkBridge.refreshSchema(session, name)
     Seq.empty
   }

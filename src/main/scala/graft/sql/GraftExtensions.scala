@@ -312,7 +312,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftTruncateCommand(identName(tt.table).get)
       case ac: logical.AddColumns if identName(ac.table).exists(GraftCatalog.lookup(_).isDefined) =>
         GraftAddColumnsCommand(identName(ac.table).get,
-          ac.columnsToAdd.map(c => (c.colName, c.dataType)))
+          ac.columnsToAdd.map(c =>
+            (c.colName, c.dataType, c.default.map(_.originalSQL))))
       case dc: logical.DropColumns
           if identName(dc.table).exists(GraftCatalog.lookup(_).isDefined) =>
         GraftDropColumnsCommand(identName(dc.table).get,

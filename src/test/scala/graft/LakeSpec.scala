@@ -39,6 +39,33 @@ class LakeSpec extends SparkSpec {
     assert(t.read().columns.toSeq === Seq("id", "k", "v") && t.read().count() === 3)
   }
 
+  test("add column with default: pre-add rows read it, post-add NULL stays NULL, omitted column filled") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DoubleType
+    val t = GraftTable.create(spark, tmp("defcol"),
+      Seq((1L, "a"), (2L, "b")).toDF("id", "k"))
+    t.addColumnWithDefault("score", DoubleType, "1.5")
+    // pre-add rows read the initial default (their files lack the column)
+    assert(t.read().select("score").collect().map(_.getDouble(0)).toSeq === Seq(1.5, 1.5))
+    // post-add write with explicit values INCLUDING a null — the null
+    // must survive (this is what a whole-scan coalesce would corrupt)
+    t.append(Seq((3L, "c", Option(9.0)), (4L, "d", Option.empty[Double]))
+      .toDF("id", "k", "score"))
+    val got = t.read().collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(1L).contains(1.5) && got(2L).contains(1.5) && got(3L).contains(9.0))
+    assert(got(4L).isEmpty, "explicit NULL written after the add must stay NULL")
+    // post-add write OMITTING the column: write-default materializes it
+    t.append(Seq((5L, "e")).toDF("id", "k"))
+    assert(t.read().filter(col("id") === 5L).select("score")
+      .collect().head.getDouble(0) === 1.5)
+    // time travel to before the add shows no column at all
+    assert(!t.readAsOfId(1).columns.contains("score"))
+    // nondeterministic defaults are refused at DDL time
+    intercept[Exception](t.addColumnWithDefault("r", DoubleType, "rand()"))
+    intercept[Exception](t.addColumnWithDefault("x", DoubleType, "no_such_col + 1"))
+  }
+
   test("replace table SQL: OR CREATE gates the missing-table path") {
     import spark.implicits._
     Seq((1L, 2L)).toDF("a", "b").createOrReplaceTempView("rt_missing_src")
