@@ -519,6 +519,60 @@ object GateQueries {
        |FROM orders WHERE o_orderkey % 50 = 0
        |ORDER BY o_orderkey""".stripMargin
 
+  // ---- A76 `$deletes` metadata view as a driver entry ---------------
+
+  /** `lake_deletes_view` (A76): the `$deletes` metadata table as a
+    * first-class data-valued surface — pending MOR delete files with
+    * kind and row counts. Scenario: a position-delete (MOR DELETE
+    * WHERE) and an equality-delete (MOR MERGE with eq kind) stack on
+    * one table; the view reports BOTH kinds with exact logical row
+    * counts through the SQL `t$deletes` spelling; applyDeletes drains
+    * it to zero. Output = per-kind (n_files ≥ 1 collapsed to a flag,
+    * exact n_rows, equality column list) + the drained count.
+    */
+  def lakeDeletesView(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "delview"), orders(s, d))
+    t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    t.setProperty(GraftTable.MergeModeProp, "merge-on-read")
+    t.setProperty(GraftTable.MergeDeleteKindProp, "equality")
+    // position deletes: MOR DELETE WHERE o_orderkey % 400 = 0
+    t.delete(col("o_orderkey") % 400 === 0)
+    // equality deletes: MOR MERGE updating o_orderkey % 500 = 0 rows
+    val updates = orders(s, d).filter(col("o_orderkey") % 500 === 0)
+      .withColumn("o_totalprice", lit(99.75))
+    t.merge(updates, Seq("o_orderkey"))
+    GraftCatalog.register("gate_delview", t.root)
+    val dv = s.sql("SELECT kind, n_deleted_rows, equality_columns FROM `gate_delview$deletes`")
+    val perKind = dv.groupBy(col("kind"), col("equality_columns"))
+      .agg(sum(col("n_deleted_rows")).as("n_rows"),
+        (count(lit(1)) >= 1).as("has_files"))
+    val out = perKind.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSeq.sorted
+    t.applyDeletes()
+    val drained = t.deletesView.count()
+    import s.implicits._
+    out.toDF("kind", "equality_columns", "n_rows", "has_files")
+      .withColumn("drained_after_apply", lit(drained))
+      .orderBy(col("kind"))
+  }
+
+  /** Position kills every %400 key; the equality merge kills the
+    * %500 pre-images (the overlap %2000 is already position-killed by
+    * the time the merge reads, so its eq-delete keys are the %500
+    * survivors — but equality delete files record the SOURCE key set,
+    * which is all %500 keys).
+    */
+  val lakeDeletesViewSql: String =
+    """SELECT kind, equality_columns, n_rows, true AS has_files,
+      |       CAST(0 AS BIGINT) AS drained_after_apply
+      |FROM (
+      |  SELECT 'position' AS kind, '' AS equality_columns,
+      |    (SELECT count(*) FROM orders WHERE o_orderkey % 400 = 0)::BIGINT AS n_rows
+      |  UNION ALL
+      |  SELECT 'equality', 'o_orderkey',
+      |    (SELECT count(*) FROM orders WHERE o_orderkey % 500 = 0)::BIGINT)
+      |ORDER BY kind""".stripMargin
+
   // ---- A49 DSv2 TableCatalog ----------------------------------------
 
   /** `lake_v2_catalog` (A49): reads and writes through Spark's V2
@@ -1016,6 +1070,7 @@ object GateQueries {
     "lake_describe"         -> (lakeDescribe _),
     "lake_showcreate_check" -> (lakeShowCreateCheck _),
     "lake_merge_mor_pos"    -> (lakeMergeMorPos _),
+    "lake_deletes_view"     -> (lakeDeletesView _),
     "lake_v2_catalog"       -> (lakeV2Catalog _),
     "lake_version_asof"     -> (lakeVersionAsof _),
     "lake_stats_check"      -> (lakeStatsCheck _),
@@ -1046,6 +1101,7 @@ object GateQueries {
     "lake_describe"         -> lakeDescribeSql,
     "lake_showcreate_check" -> lakeShowCreateCheckSql,
     "lake_merge_mor_pos"    -> lakeMergeMorPosSql,
+    "lake_deletes_view"     -> lakeDeletesViewSql,
     "lake_v2_catalog"       -> lakeV2CatalogSql,
     "lake_version_asof"     -> lakeVersionAsofSql,
     "lake_stats_check"      -> lakeStatsCheckSql,

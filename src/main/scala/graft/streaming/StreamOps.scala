@@ -104,6 +104,40 @@ object StreamOps {
       |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** D18 `stream_topk`: windowed trending top-k — the live-dashboard
+    * pattern. Ranking is not a streaming-supported operator (a rank
+    * can flip retroactively while its window is open), so the
+    * production shape is exactly this composition: STREAM the
+    * watermarked windowed count (incremental keyed state, same scale
+    * behavior as D1), then rank the materialized aggregate per window
+    * in a batch step over the sink. The rank stage's input is
+    * O(open windows × event types) — dashboard-sized at any stream
+    * volume — never O(events).
+    */
+  def topkStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val mat = drain(agg, s, s"graft_stream_topk_${math.abs(d.hashCode)}")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("n"))
+    val w = Window.partitionBy(col("hour")).orderBy(col("n").desc, col("event_type"))
+    mat.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy(col("hour"), col("rank"))
+  }
+
+  val topkStreamSql: String =
+    """WITH c AS (
+      |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+      |         event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT hour, event_type, n,
+      |  row_number() OVER (PARTITION BY hour ORDER BY n DESC, event_type) AS rank
+      |FROM c QUALIFY rank <= 3 ORDER BY hour, rank""".stripMargin
+
   /** D3 `stream_sessionize`: per-user sessions with a 30-minute
     * inactivity gap via the native `session_window` stateful operator
     * (merging session state, the scalable form of
@@ -851,6 +885,7 @@ object StreamOps {
     "stream_cdc_apply"   -> (cdcApply _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_window_agg"  -> (windowAgg _),
+    "stream_topk"        -> (topkStream _),
     "stream_sessionize"  -> (sessionize _),
     "stream_lake_sink"   -> (lakeSink _),
     "stream_check_gate"  -> (checkGate _),
@@ -870,6 +905,7 @@ object StreamOps {
     "stream_cdc_apply"   -> cdcApplySql,
     "stream_stream_join" -> streamStreamJoinSql,
     "stream_window_agg"  -> windowAggSql,
+    "stream_topk"        -> topkStreamSql,
     "stream_sessionize"  -> sessionizeSql,
     "stream_lake_sink"   -> lakeSinkSql,
     "stream_check_gate"  -> checkGateSql,
