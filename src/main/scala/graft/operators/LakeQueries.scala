@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.Tables
-import graft.lake.{DepSpec, GraftTable}
+import graft.lake.{DepSpec, GraftTable, MatView}
 
 /** Lakehouse-management operators (SURVEY.md §2.A) exposed through the
   * driver contract. Each query (re)builds a small graft table under
@@ -1113,6 +1113,43 @@ object LakeQueries {
       |FROM orders WHERE o_totalprice <= 150000 AND o_orderkey % 5 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- A77 incrementally-refreshed materialized view ----------------
+
+  /** A77 `lake_matview`: CREATE MATERIALIZED VIEW … / REFRESH — the MV
+    * folds the base's changelog (an append AND a copy-on-write delete
+    * in one window) incrementally; the scenario *requires* the
+    * incremental state to equal a full recompute bit-for-bit (exact
+    * integer folds — prices pre-scaled to cents), then returns the
+    * view. Money sums stay integral end-to-end, so the DuckDB oracle's
+    * independent recompute must hash-match exactly.
+    */
+  def lakeMatview(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("o_cents"))
+    val base = GraftTable.create(s, work(d, "mvbase"),
+      src.filter(col("o_orderkey") % 3 === 0))
+    val mvRoot = work(d, "mvview")
+    MatView.create(s, mvRoot, base, Seq("o_orderstatus"),
+      Seq(MatView.AggSpec("n_orders", "count", ""),
+        MatView.AggSpec("cents", "sum", "o_cents")))
+    base.append(src.filter(col("o_orderkey") % 3 === 1))
+    base.delete(col("o_orderkey") % 30 === 0)
+    MatView.refresh(s, mvRoot)
+    val mvFull = new GraftTable(mvRoot, s).read()
+    val rec = MatView.recompute(s, mvRoot)
+    require(mvFull.exceptAll(rec).isEmpty && rec.exceptAll(mvFull).isEmpty,
+      "incremental refresh diverged from the full recompute")
+    MatView.read(s, mvRoot).orderBy(col("o_orderstatus"))
+  }
+
+  val lakeMatviewSql =
+    """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+      |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+      |FROM orders
+      |WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 30 <> 0
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   // ---- adopt pre-existing parquet (msck-repair equivalent) ----------
 
   def lakeAdopt(s: SparkSession, d: String): DataFrame = {
@@ -1188,6 +1225,7 @@ object LakeQueries {
     "lake_ctas"                -> (lakeCtas _),
     "lake_replace"             -> (lakeReplace _),
     "lake_default_column"      -> (lakeDefaultColumn _),
+    "lake_matview"             -> (lakeMatview _),
     "lake_adopt"               -> (lakeAdopt _),
     "lake_compact"             -> (lakeCompact _),
     "lake_incremental"         -> (lakeIncremental _),
@@ -1240,6 +1278,7 @@ object LakeQueries {
     "lake_ctas"                -> lakeCtasSql,
     "lake_replace"             -> lakeReplaceSql,
     "lake_default_column"      -> lakeDefaultColumnSql,
+    "lake_matview"             -> lakeMatviewSql,
     "lake_adopt"               -> lakeAdoptSql,
     "lake_compact"             -> lakeCompactSql,
     "lake_incremental"         -> lakeIncrementalSql,

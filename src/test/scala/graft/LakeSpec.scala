@@ -39,6 +39,41 @@ class LakeSpec extends SparkSpec {
     assert(t.read().columns.toSeq === Seq("id", "k", "v") && t.read().count() === 3)
   }
 
+  test("materialized view: incremental refresh equals recompute, groups vanish, maintenance no-op") {
+    import spark.implicits._
+    import graft.lake.MatView
+    import graft.lake.MatView.AggSpec
+    val base = GraftTable.create(spark, tmp("mvbase"),
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L)).toDF("id", "k", "v"))
+    MatView.create(spark, tmp("mvview"), base, Seq("k"),
+      Seq(AggSpec("n", "count", ""), AggSpec("total", "sum", "v")))
+    def readMv = MatView.read(spark, tmp("mvview")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(readMv === Map("a" -> ((2L, 30L)), "b" -> ((1L, 5L))))
+    // append + group-killing delete: ONE incremental refresh folds both
+    base.append(Seq((4L, "c", 7L), (5L, "a", 1L)).toDF("id", "k", "v"))
+    base.delete(col("k") === "b")
+    MatView.refresh(spark, tmp("mvview"))
+    assert(readMv === Map("a" -> ((3L, 31L)), "c" -> ((1L, 7L))),
+      "b's last row died, so the b group must vanish")
+    // incremental state (hidden count included) equals a full recompute
+    val mvFull = new GraftTable(tmp("mvview"), spark).read()
+    val rec = graft.lake.MatView.recompute(spark, tmp("mvview"))
+    assert(mvFull.exceptAll(rec).isEmpty && rec.exceptAll(mvFull).isEmpty)
+    // rewrite-only base maintenance yields an EMPTY changelog: refresh
+    // leaves the view contents identical
+    base.optimizeCompact(128L * 1024 * 1024)
+    MatView.refresh(spark, tmp("mvview"))
+    assert(readMv === Map("a" -> ((3L, 31L)), "c" -> ((1L, 7L))))
+    // unmoved base → no-op (no new MV snapshot)
+    val snaps = new GraftTable(tmp("mvview"), spark).snapshots.size
+    MatView.refresh(spark, tmp("mvview"))
+    assert(new GraftTable(tmp("mvview"), spark).snapshots.size === snaps)
+    // non-foldable aggregates refused at create time
+    intercept[Exception](MatView.create(spark, tmp("mvbad"), base, Seq("k"),
+      Seq(AggSpec("m", "avg", "v"))))
+  }
+
   test("add column with default: pre-add rows read it, post-add NULL stays NULL, omitted column filled") {
     import spark.implicits._
     import org.apache.spark.sql.types.DoubleType
