@@ -8,8 +8,10 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * MATERIALIZED VIEW … / REFRESH pattern): the MV is itself a graft
   * table — its own snapshots, time travel, and metadata views — holding
   * `GROUP BY groupCols` with count / integer-sum aggregates over a base
-  * graft table, plus a hidden per-group row count ([[MatView.HiddenN]])
-  * so a group vanishes exactly when its last base row does.
+  * graft table. A count aggregate doubles as the group-liveness counter
+  * (a group vanishes exactly when its last base row does); only a
+  * count-free MV carries the hidden [[MatView.HiddenN]] bookkeeping
+  * column.
   *
   * [[MatView.refresh]] reads ONLY the base's changelog between the
   * recorded and current base snapshots and folds it SIGNED into the
@@ -24,6 +26,12 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * recompute — float sums would drift by accumulation order and break
   * that equivalence, the same reason the oracle convention quantizes
   * before summing.
+  *
+  * SQL surface (see GraftExtensions): `CREATE MATERIALIZED VIEW mv
+  * [LOCATION '…'] AS SELECT g, count(*) AS n, sum(x) AS t FROM base
+  * GROUP BY g` and `REFRESH MATERIALIZED VIEW mv`; the MV registers
+  * like any graft table, so `SELECT … FROM mv` and its `$snapshots`/
+  * `$files` views just work.
   */
 object MatView {
   val BaseRootProp = "mv.base-root"
@@ -41,8 +49,16 @@ object MatView {
       AggSpec(n, f, c)
     }
 
+  /** The group-liveness column: any count aggregate serves (it counts
+    * rows per group); a count-free MV gets the hidden extra.
+    */
+  private def liveness(aggs: Seq[AggSpec]): String =
+    aggs.find(_.fn == "count").map(_.name).getOrElse(HiddenN)
+
   private def validate(baseDf: DataFrame, groupCols: Seq[String],
       aggs: Seq[AggSpec]): Unit = {
+    require(groupCols.nonEmpty && aggs.nonEmpty,
+      "mat view needs at least one group column and one aggregate")
     groupCols.foreach(c => require(baseDf.columns.contains(c),
       s"mat view group column $c not in base schema"))
     aggs.foreach { a =>
@@ -67,7 +83,7 @@ object MatView {
     val cols = aggs.map {
       case AggSpec(n, "count", _) => count(lit(1)).as(n)
       case AggSpec(n, "sum", c)   => sum(col(c)).cast("long").as(n)
-    } :+ count(lit(1)).as(HiddenN)
+    } ++ (if (liveness(aggs) == HiddenN) Seq(count(lit(1)).as(HiddenN)) else Nil)
     baseDf.groupBy(groupCols.map(col): _*).agg(cols.head, cols.tail: _*)
   }
 
@@ -84,7 +100,9 @@ object MatView {
     t
   }
 
-  /** The consumer-facing view contents (hidden bookkeeping dropped). */
+  /** The consumer-facing view contents (hidden bookkeeping, if any,
+    * dropped).
+    */
   def read(spark: SparkSession, mvRoot: String): DataFrame =
     new GraftTable(mvRoot, spark).read().drop(HiddenN)
 
@@ -104,17 +122,19 @@ object MatView {
     val deltaCols = aggs.map {
       case AggSpec(n, "count", _) => sum(sign).as(n)
       case AggSpec(n, "sum", c)   => sum(sign * col(c)).cast("long").as(n)
-    } :+ sum(sign).as(HiddenN)
+    } ++ (if (liveness(aggs) == HiddenN) Seq(sum(sign).as(HiddenN)) else Nil)
     val delta = base.changelog(from, to)
       .groupBy(groupCols.map(col): _*)
       .agg(deltaCols.head, deltaCols.tail: _*)
     // fold: MV ∪ delta → one more group-by (both inputs are
-    // aggregate-sized); groups whose row count hits zero disappear
-    val foldCols = (aggs.map(_.name) :+ HiddenN).map(n => sum(col(n)).as(n))
+    // aggregate-sized); groups whose liveness count hits zero disappear
+    val valueCols = aggs.map(_.name) ++
+      (if (liveness(aggs) == HiddenN) Seq(HiddenN) else Nil)
+    val foldCols = valueCols.map(n => sum(col(n)).as(n))
     val merged = mv.read().unionByName(delta)
       .groupBy(groupCols.map(col): _*)
       .agg(foldCols.head, foldCols.tail: _*)
-      .filter(col(HiddenN) > 0)
+      .filter(col(liveness(aggs)) > 0)
     mv.overwrite(merged)
     mv.setProperty(BaseSnapProp, to.toString)
     mv

@@ -1126,20 +1126,25 @@ object LakeQueries {
   def lakeMatview(s: SparkSession, d: String): DataFrame = {
     val src = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
       round(col("o_totalprice") * 100).cast("long").as("o_cents"))
-    val base = GraftTable.create(s, work(d, "mvbase"),
-      src.filter(col("o_orderkey") % 3 === 0))
+    src.filter(col("o_orderkey") % 3 === 0).createOrReplaceTempView("graft_mv_src0")
+    src.filter(col("o_orderkey") % 3 === 1).createOrReplaceTempView("graft_mv_src1")
+    // the whole lifecycle through SQL: CTAS base → CREATE MATERIALIZED
+    // VIEW → DML on the base → REFRESH → SELECT from the view
+    s.sql(s"""CREATE TABLE graft.mv_base USING parquet
+             |OPTIONS (addTableManagement 'true', path '${work(d, "mvbase")}')
+             |AS SELECT o_orderkey, o_orderstatus, o_cents FROM graft_mv_src0""".stripMargin)
+    s.sql(s"""CREATE MATERIALIZED VIEW graft.mv_orders LOCATION '${work(d, "mvview")}'
+             |AS SELECT o_orderstatus, count(*) AS n_orders, sum(o_cents) AS cents
+             |FROM graft.mv_base GROUP BY o_orderstatus""".stripMargin)
+    s.sql("INSERT INTO graft.mv_base SELECT o_orderkey, o_orderstatus, o_cents FROM graft_mv_src1")
+    s.sql("DELETE FROM graft.mv_base WHERE o_orderkey % 30 = 0")
+    s.sql("REFRESH MATERIALIZED VIEW graft.mv_orders")
     val mvRoot = work(d, "mvview")
-    MatView.create(s, mvRoot, base, Seq("o_orderstatus"),
-      Seq(MatView.AggSpec("n_orders", "count", ""),
-        MatView.AggSpec("cents", "sum", "o_cents")))
-    base.append(src.filter(col("o_orderkey") % 3 === 1))
-    base.delete(col("o_orderkey") % 30 === 0)
-    MatView.refresh(s, mvRoot)
     val mvFull = new GraftTable(mvRoot, s).read()
     val rec = MatView.recompute(s, mvRoot)
     require(mvFull.exceptAll(rec).isEmpty && rec.exceptAll(mvFull).isEmpty,
       "incremental refresh diverged from the full recompute")
-    MatView.read(s, mvRoot).orderBy(col("o_orderstatus"))
+    s.sql("SELECT o_orderstatus, n_orders, cents FROM graft.mv_orders ORDER BY o_orderstatus")
   }
 
   val lakeMatviewSql =

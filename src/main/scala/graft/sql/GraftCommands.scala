@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graft.Shim
 import org.apache.spark.sql.types._
 
-import graft.lake.{DepSpec, Deps, GraftTable}
+import graft.lake.{DepSpec, Deps, GraftTable, MatView}
 
 /** SQL DML commands for graft-managed tables (reference: the full
   * BasicCreateAndInsertTest flow — CREATE TABLE … USING parquet
@@ -154,6 +154,79 @@ case class GraftRtasCommand(
         GraftCatalog.register(name, root)
         GraftSparkBridge.register(session, name, root)
     }
+    Seq.empty
+  }
+}
+
+/** CREATE MATERIALIZED VIEW mv [LOCATION '…'] AS SELECT g…, agg… FROM
+  * base GROUP BY g… (A77): the SELECT is delegate-parsed and its
+  * unresolved Aggregate is pattern-matched into a [[MatView]] spec —
+  * plain group columns plus aliased count/sum aggregates over ONE
+  * graft relation; anything else (joins, expressions, other
+  * aggregates) is refused with the reason, because only these fold
+  * incrementally. The MV registers like any graft table, so SELECT
+  * and the `$snapshots`/`$files` views work on it immediately.
+  */
+case class GraftCreateMatViewCommand(
+    name: String, location: Option[String],
+    query: LogicalPlan) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"CREATE MATERIALIZED VIEW $name: $msg")
+    val (groupCols, aggs, baseName) = query match {
+      case Aggregate(gs, items, r: UnresolvedRelation, _) =>
+        val g = gs.map {
+          case a: UnresolvedAttribute => a.nameParts.last
+          case other => bad(s"GROUP BY must be plain columns, got $other")
+        }
+        val specs = items.flatMap {
+          case _: UnresolvedAttribute => None // group-column passthrough
+          case UnresolvedAlias(_: UnresolvedAttribute, _) => None
+          case Alias(f: UnresolvedFunction, n) =>
+            f.nameParts.map(_.toLowerCase) match {
+              case Seq("count") => Some(MatView.AggSpec(n, "count", ""))
+              case Seq("sum") => f.arguments match {
+                case Seq(c: UnresolvedAttribute) =>
+                  Some(MatView.AggSpec(n, "sum", c.nameParts.last))
+                case other => bad(s"sum argument must be a plain column, got $other")
+              }
+              case other => bad(
+                s"only count/sum fold incrementally, got ${other.mkString(".")}")
+            }
+          case other => bad("SELECT items must be group columns or " +
+            s"aliased count/sum aggregates, got $other")
+        }
+        (g, specs, r.multipartIdentifier.mkString(".").toLowerCase)
+      case _ => bad("the query must be SELECT <group cols + aliased " +
+        "count/sum aggregates> FROM <one graft table> GROUP BY <cols>")
+    }
+    val baseRoot = GraftCatalog.lookup(baseName).getOrElse(
+      bad(s"base $baseName is not a registered graft table"))
+    val mvRoot = location.getOrElse(s"/root/repo/target/lakework/sql-mv-${name.replace('.', '_')}")
+    MatView.create(session, mvRoot, new GraftTable(baseRoot, session), groupCols, aggs)
+    GraftCatalog.register(name, mvRoot)
+    GraftSparkBridge.register(session, name, mvRoot)
+    Seq.empty
+  }
+}
+
+/** REFRESH MATERIALIZED VIEW mv — fold the base's changes since the
+  * last refresh ([[MatView.refresh]]); refreshes the session-catalog
+  * mirror so CBO stats track the new contents.
+  */
+case class GraftRefreshMatViewCommand(name: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    val t = new GraftTable(root, session)
+    require(t.properties.contains(MatView.BaseRootProp),
+      s"$name is not a materialized view (no ${MatView.BaseRootProp} property)")
+    MatView.refresh(session, root)
+    GraftSparkBridge.register(session, name, root)
     Seq.empty
   }
 }

@@ -218,6 +218,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*create\s+table\s+([\w.]+)\s+(shallow|deep)\s+clone\s+([\w.]+)(?:\s+location\s+'([^']+)')?\s*""".r
   // ALTER TABLE t ADD CONSTRAINT name CHECK (pred) / DROP CONSTRAINT
   // name — Delta's constraint DDL (A73); Spark's parser has no grammar
+  // CREATE MATERIALIZED VIEW mv [LOCATION '…'] AS SELECT … /
+  // REFRESH MATERIALIZED VIEW mv — incrementally-maintained aggregate
+  // views (graft.lake.MatView); Spark's parser has no grammar for them
+  private val MatViewRe =
+    """(?is)\s*create\s+materialized\s+view\s+([\w.]+)(?:\s+location\s+'([^']+)')?\s+as\s+(select\s.*)""".r
+  private val RefreshMvRe =
+    """(?is)\s*refresh\s+materialized\s+view\s+([\w.]+)\s*""".r
   private val AddConstraintRe =
     """(?is)\s*alter\s+table\s+([\w.]+)\s+add\s+constraint\s+(\w+)\s+check\s*\((.+)\)\s*""".r
   private val DropConstraintRe =
@@ -245,6 +252,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case CloneRe(newName, kind, srcName, loc) if GraftCatalog.lookup(srcName).isDefined =>
         return GraftCloneCommand(newName.toLowerCase, srcName.toLowerCase,
           Option(loc), deep = kind.equalsIgnoreCase("deep"))
+      case MatViewRe(name, loc, select) =>
+        return GraftCreateMatViewCommand(name.toLowerCase, Option(loc),
+          delegate.parsePlan(select))
+      case RefreshMvRe(name) if GraftCatalog.lookup(name).isDefined =>
+        return GraftRefreshMatViewCommand(name.toLowerCase)
       case AddConstraintRe(name, cname, pred) if GraftCatalog.lookup(name).isDefined =>
         return GraftConstraintCommand(name.toLowerCase, cname, Some(pred.trim))
       case DropConstraintRe(name, cname) if GraftCatalog.lookup(name).isDefined =>

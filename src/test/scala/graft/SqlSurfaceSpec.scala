@@ -981,4 +981,53 @@ class SqlSurfaceSpec extends SparkSpec {
     spark.sql("INSERT INTO t_constraint SELECT * FROM bad_src_constraint")
     assert(spark.sql("SELECT count(*) FROM t_constraint").head().getLong(0) > n0)
   }
+
+  test("A77 materialized view DDL: create, query, refresh; non-foldable shapes refused") {
+    val t = mkTable("mvddl")
+    GraftCatalog.register("t_mvddl", t.root)
+    spark.sql(s"""CREATE MATERIALIZED VIEW mv_ddl
+                 |LOCATION '/root/repo/target/laketest/sql-mvddl-view'
+                 |AS SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS key_sum
+                 |FROM t_mvddl GROUP BY o_orderstatus""".stripMargin)
+    // the MV is a regular graft relation: SELECT + metadata views work
+    val before = spark.sql("SELECT o_orderstatus, n, key_sum FROM mv_ddl")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expect = t.read().groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)), sum(col("o_orderkey")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(before === expect)
+    assert(spark.sql("SELECT count(*) FROM `mv_ddl$snapshots`").head().getLong(0) >= 1)
+    // DML on the base + REFRESH folds the delta
+    spark.sql("DELETE FROM t_mvddl WHERE o_orderkey % 2 = 0")
+    spark.sql("REFRESH MATERIALIZED VIEW mv_ddl")
+    val after = spark.sql("SELECT o_orderstatus, n, key_sum FROM mv_ddl")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expect2 = t.read().groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)), sum(col("o_orderkey")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(after === expect2)
+    assert(after != before, "the delete must have changed the view")
+    // non-foldable aggregate / non-aggregate query / float sum refused
+    val e1 = intercept[Exception] {
+      spark.sql("""CREATE MATERIALIZED VIEW mv_bad1 AS
+                  |SELECT o_orderstatus, avg(o_orderkey) AS m
+                  |FROM t_mvddl GROUP BY o_orderstatus""".stripMargin)
+    }
+    assert(e1.getMessage.contains("count/sum"))
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE MATERIALIZED VIEW mv_bad2 AS SELECT o_orderkey FROM t_mvddl")
+    }
+    assert(e2.getMessage.contains("GROUP BY"))
+    val e3 = intercept[Exception] {
+      spark.sql("""CREATE MATERIALIZED VIEW mv_bad3 AS
+                  |SELECT o_orderstatus, sum(o_totalprice) AS t
+                  |FROM t_mvddl GROUP BY o_orderstatus""".stripMargin)
+    }
+    assert(e3.getMessage.contains("integral"))
+    // REFRESH of a non-MV table refused
+    val e4 = intercept[Exception] {
+      spark.sql("REFRESH MATERIALIZED VIEW t_mvddl")
+    }
+    assert(e4.getMessage.contains("not a materialized view"))
+  }
 }
