@@ -179,6 +179,59 @@ object TextOps {
       |       THEN 'train' ELSE 'val' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** C56 `corpus_vocab_growth`: Heaps-law vocabulary-growth profiling —
+    * the tokenizer-sizing / dedup-health curve: cumulative distinct
+    * vocabulary vs cumulative tokens over a deterministic 10-slice
+    * ingestion order (C14's polyHash bucketing, so the "order" is
+    * reproducible across engines and runs). A sub-linear curve is
+    * healthy natural text; a near-linear one means unbounded junk
+    * vocabulary (serial numbers, hashes) that will blow up a BPE
+    * vocabulary. Shape: each term's FIRST slice via one
+    * map-side-combined min-aggregation (never a per-slice rescan —
+    * the naive "distinct per prefix" is 10 corpus scans), token
+    * counts per slice in the same pass structure, then the cumulative
+    * sums run on the 10-row grid — a single-partition window over 10
+    * rows, constant at any corpus size.
+    */
+  def vocabGrowth(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .withColumn("bucket", pmod(exprs.polyHash(col("doc_id").cast("string")), lit(10L)))
+      .select(col("bucket"), explode(tokens(col("text"))).as("term"))
+    val newTerms = toks.groupBy(col("term")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_terms"))
+    val tokCounts = toks.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+    val grid = s.range(10).select(col("id").as("bucket"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(newTerms, Seq("bucket"), "left").join(tokCounts, Seq("bucket"), "left")
+      .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("cum_vocab", sum(col("new_terms")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("bucket"), col("new_terms"), col("cum_vocab"),
+        col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("bucket"))
+  }
+
+  val vocabGrowthSql: String =
+    s"""WITH d AS (
+       |  SELECT list_reduce(list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+       |           ch -> ascii(ch)::BIGINT), (a, x) -> (a * 31 + x) % 1000000007) % 10 AS bucket,
+       |         $tokensSql AS t
+       |  FROM documents),
+       |toks AS (SELECT bucket, unnest(t) AS term FROM d),
+       |nt AS (SELECT bucket, count(*) AS new_terms FROM
+       |        (SELECT term, min(bucket) AS bucket FROM toks GROUP BY term) GROUP BY bucket),
+       |tc AS (SELECT bucket, count(*) AS n_tokens FROM toks GROUP BY bucket),
+       |g AS (SELECT unnest(range(10)) AS bucket)
+       |SELECT g.bucket, coalesce(nt.new_terms, 0)::BIGINT AS new_terms,
+       |  CAST(sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY g.bucket) AS BIGINT) AS cum_vocab,
+       |  coalesce(tc.n_tokens, 0)::BIGINT AS n_tokens,
+       |  CAST(sum(coalesce(tc.n_tokens, 0)) OVER (ORDER BY g.bucket) AS BIGINT) AS cum_tokens
+       |FROM g LEFT JOIN nt ON nt.bucket = g.bucket LEFT JOIN tc ON tc.bucket = g.bucket
+       |ORDER BY g.bucket""".stripMargin
+
   /** C36 `sample_shuffle`: deterministic global corpus shuffle — the
     * training-order permutation. The key is the Knuth multiplicative
     * hash of (doc_id + seed) (integer-only, engine-identical, no RNG
@@ -1464,6 +1517,7 @@ object TextOps {
     "sample_mixture"   -> (sampleMixture _),
     "text_entropy"     -> (charEntropy _),
     "text_ppl_buckets" -> (pplBuckets _),
+    "corpus_vocab_growth" -> (vocabGrowth _),
     "text_langid"      -> (langId _),
     "text_quality"     -> (quality _),
     "text_tokens"      -> (tokenCounts _),
@@ -1496,6 +1550,7 @@ object TextOps {
     "sample_mixture"   -> sampleMixtureSql,
     "text_entropy"     -> charEntropySql,
     "text_ppl_buckets" -> pplBucketsSql,
+    "corpus_vocab_growth" -> vocabGrowthSql,
     "text_langid"      -> langIdSql,
     "text_quality"     -> qualitySql,
     "text_tokens"      -> tokenCountsSql,

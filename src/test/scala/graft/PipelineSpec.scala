@@ -259,6 +259,20 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Window"), "bucketing must not rank the corpus")
   }
 
+  test("vocab growth: monotone curve whose endpoint is the exact corpus vocab and token totals") {
+    val rows = TextOps.vocabGrowth(spark, sfDir).collect()
+    assert(rows.length === 10 && rows.map(_.getLong(0)).toSeq === (0L until 10L))
+    val cumV = rows.map(_.getLong(2)); val cumT = rows.map(_.getLong(4))
+    assert(cumV.zip(cumV.tail).forall { case (a, b) => a <= b })
+    assert(cumT.zip(cumT.tail).forall { case (a, b) => a <= b })
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+    assert(cumV.last === toks.select("t").distinct().count())
+    assert(cumT.last === toks.count())
+    // new_terms per slice must sum to the endpoint (no term counted twice)
+    assert(rows.map(_.getLong(1)).sum === cumV.last)
+  }
+
   test("char entropy: closed-form values on crafted docs, zero-shuffle plan") {
     import spark.implicits._
     val dir = "/root/repo/target/entropydocs"
