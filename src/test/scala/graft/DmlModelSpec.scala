@@ -75,7 +75,7 @@ class DmlModelSpec extends SparkSpec {
       }
 
       for (step <- 1 to 24) {
-        rnd.nextInt(14) match {
+        rnd.nextInt(15) match {
           case 0 | 1 => // append a block of fresh keys
             val ks = nextKey until (nextKey + 5 + rnd.nextInt(10))
             nextKey = ks.end
@@ -155,6 +155,12 @@ class DmlModelSpec extends SparkSpec {
             cl.append(df(spark, Map(999999L -> (0L, 0.0))).repartition(1))
             assert(t.read().filter(col("k") === 999999L).count() === 0L,
               s"seed=$seed step=$step: clone append leaked into the source")
+          case 14 => // REPLACE TABLE with a transformed projection —
+            // same schema, wholly new contents through the RTAS path
+            // (fresh write funnel, constraint/rename reset), history
+            // preserved for the as-of checks like any other commit
+            model = model.map { case (k, (g, v)) => k -> (g, v + 0.5) }
+            t.replaceAs(df(spark, model).repartition(1 + rnd.nextInt(3)))
         }
         // expire/compaction could in principle invalidate as-of ids;
         // only record ids that still resolve (they all should here)
