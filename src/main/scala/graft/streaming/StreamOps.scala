@@ -213,6 +213,46 @@ object StreamOps {
     """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** D19 `stream_matview`: streaming materialized-view maintenance —
+    * the full lakehouse serving loop in one query: micro-batches land
+    * in the base table through the D4 exactly-once tagged sink, and
+    * the same foreachBatch REFRESHES the A77 materialized view after
+    * each landing, so the dashboard aggregate trails the stream by
+    * exactly one incremental fold per batch — O(batch) + O(|MV|) per
+    * trigger, never a base rescan, which is what makes a
+    * continuously-updated serving view affordable against a 100 TB
+    * base. Money folds as integer cents, so the incrementally-built
+    * view must equal the DuckDB batch recompute bit-for-bit.
+    */
+  def matviewStream(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.{GraftTable, MatView}
+    val root = s"/root/repo/target/lakework/streammv-${math.abs(d.hashCode)}"
+    val src = eventsStream(s, d)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val t = GraftTable.createEmpty(s, root,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType))),
+      Seq.empty, Seq.empty)
+    val mvRoot = root + "-mv"
+    MatView.create(s, mvRoot, t, Seq("event_type"),
+      Seq(MatView.AggSpec("n", "count", ""), MatView.AggSpec("cents", "sum", "cents")))
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        t.appendBatch(batch, s"mv-stream-batch-$id")
+        MatView.refresh(s, mvRoot); () }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    MatView.read(s, mvRoot).orderBy(col("event_type"))
+  }
+
+  val matviewStreamSql: String =
+    """SELECT event_type, count(*)::BIGINT AS n,
+      |  sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** D17 `stream_check_gate`: CHECK constraints guarding a streaming
     * sink — the A73 write-time predicates compose with the D4
     * exactly-once lake sink because every micro-batch funnels through
@@ -886,6 +926,7 @@ object StreamOps {
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_window_agg"  -> (windowAgg _),
     "stream_topk"        -> (topkStream _),
+    "stream_matview"     -> (matviewStream _),
     "stream_sessionize"  -> (sessionize _),
     "stream_lake_sink"   -> (lakeSink _),
     "stream_check_gate"  -> (checkGate _),
@@ -906,6 +947,7 @@ object StreamOps {
     "stream_stream_join" -> streamStreamJoinSql,
     "stream_window_agg"  -> windowAggSql,
     "stream_topk"        -> topkStreamSql,
+    "stream_matview"     -> matviewStreamSql,
     "stream_sessionize"  -> sessionizeSql,
     "stream_lake_sink"   -> lakeSinkSql,
     "stream_check_gate"  -> checkGateSql,
