@@ -131,7 +131,9 @@ object ScaleBench {
     "q_unpivot", "dedup_semantic", "stream_stream_join",
     "q_recursive_cte", "dedup_incremental_bloom", "text_chunk", "q_variant",
     "text_vocab_coverage", "text_boilerplate", "corpus_threshold_sweep",
-    "mm_video_frames", "sample_temperature", "sample_stratified")
+    "mm_video_frames", "sample_temperature", "sample_stratified",
+    "text_entropy", "dedup_containment", "text_ppl_buckets", "ann_sq",
+    "corpus_vocab_growth", "stream_topk")
 
   /** Lake DML + streaming-source scale probe: the same operation
     * sequence at 1× and 10× data, so commit latency, COW rewrite

@@ -121,19 +121,40 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * concurrent append landing in between would otherwise be silently
     * dropped from the new snapshot's file list.
     */
-  private[lake] def commit(s0: Snapshot): Unit = withCommitLock {
-    // no version hint yet = the creating commit (parentId -1)
-    val cur = if (hasCurrent) currentId else -1L
-    if (cur != s0.parentId)
-      throw new java.util.ConcurrentModificationException(
-        s"table $root moved to snapshot $cur while this writer computed " +
-          s"against ${s0.parentId}; re-read and retry")
-    // a parked staged (write-audit-publish) snapshot occupying the next
-    // id is NOT a conflict — step over it; ids need not be dense
-    val s = if (io.exists(s"snapshot-${s0.id}.json"))
-      s0.copy(id = math.max(s0.id, snapshotIds.max) + 1) else s0
-    stage(s)
-    publishGuarded(s.id, s0.parentId)
+  private[lake] def commit(s0: Snapshot): Unit = {
+    withCommitLock {
+      // no version hint yet = the creating commit (parentId -1)
+      val cur = if (hasCurrent) currentId else -1L
+      if (cur != s0.parentId)
+        throw new java.util.ConcurrentModificationException(
+          s"table $root moved to snapshot $cur while this writer computed " +
+            s"against ${s0.parentId}; re-read and retry")
+      // a parked staged (write-audit-publish) snapshot occupying the next
+      // id is NOT a conflict — step over it; ids need not be dense
+      val s = if (io.exists(s"snapshot-${s0.id}.json"))
+        s0.copy(id = math.max(s0.id, snapshotIds.max) + 1) else s0
+      stage(s)
+      publishGuarded(s.id, s0.parentId)
+    }
+    autoExpire() // outside the lock: expire re-acquires it for the tag ledger
+  }
+
+  /** Retention policy (A78): `history.keep.max-snapshots` = N makes
+    * every commit expire all but the newest N snapshots (ref-pinned
+    * ones and the current survive, exactly as in [[expire]]) — bounded
+    * metadata on high-frequency writers without a scheduled
+    * maintenance job. A commit a minute for a year is half a million
+    * manifests; with the dial it is N, forever, and expiration cost is
+    * O(expired batch), amortized to O(1) snapshots per commit once in
+    * steady state.
+    */
+  private def autoExpire(): Unit = {
+    val keep = current.properties.get(GraftTable.MaxSnapshotsProp)
+      .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ >= 1)
+    keep.foreach { n =>
+      val ids = snapshotIds.sorted
+      if (ids.size > n) expire(keepFrom = ids(ids.size - n))
+    }
   }
 
   /** Stage a snapshot WITHOUT making it current (the W of
@@ -847,7 +868,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     // equally effective before, and O(#added) exists-calls must not
     // stretch the critical section (a stretched holder looks stale)
     verifyPayloads(added)
-    withCommitLock {
+    val committed = withCommitLock {
       val cur = current
       // sketch MERGE happens inside the lock against the latest
       // properties (two concurrent appends must both land their delta);
@@ -861,6 +882,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
       publishGuarded(next.id, cur.id)
       next
     }
+    autoExpire() // outside the lock, same as commit()
+    committed
   }
 
   /** Attach an [[org.apache.spark.sql.Observation]] computing a
@@ -2932,6 +2955,12 @@ object GraftTable {
     */
   val DefaultMetaKey = "graft.initial-default"
   val DefaultAddedAtKey = "graft.default-added-at"
+
+  /** Retention policy property (A78): keep at most N snapshots,
+    * auto-expiring the rest on every commit (see
+    * [[GraftTable.autoExpire]]).
+    */
+  val MaxSnapshotsProp = "history.keep.max-snapshots"
 
   /** Cardinality-preserving sketch input for a column, or None when the
     * type has no 1:1 mapping into `hll_sketch_agg`'s accepted inputs

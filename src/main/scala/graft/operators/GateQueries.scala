@@ -573,6 +573,38 @@ object GateQueries {
       |    (SELECT count(*) FROM orders WHERE o_orderkey % 500 = 0)::BIGINT)
       |ORDER BY kind""".stripMargin
 
+  // ---- A78 retention policy (auto-expire on commit) -----------------
+
+  /** `lake_retention` (A78): `history.keep.max-snapshots` bounds the
+    * snapshot count on every commit — five appends against a keep-4
+    * dial leave ≤ 4 unpinned snapshots plus the tagged pin, the pinned
+    * snapshot stays time-travelable with its exact contents, and the
+    * live table contents are never touched by expiration.
+    */
+  def lakeRetention(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val t = GraftTable.create(s, work(d, "retention"),
+      o.filter(col("o_orderkey") % 6 === 0))
+    t.setProperty(GraftTable.MaxSnapshotsProp, "4")
+    val pinnedId = t.currentId
+    t.tag("retain0", pinnedId)
+    for (r <- 1 to 5)
+      t.append(o.filter(col("o_orderkey") % 6 === r))
+    val ids = t.snapshotIds
+    require(ids.size <= 5,
+      s"retention must bound snapshots to 4 + the pin, got ${ids.size}")
+    require(ids.contains(pinnedId), "the tagged snapshot must survive")
+    import s.implicits._
+    Seq((ids.size.toLong <= 5, ids.contains(pinnedId),
+        t.readAsOfId(pinnedId).count(), t.read().count()))
+      .toDF("bounded", "pinned_survives", "pinned_rows", "final_rows")
+  }
+
+  val lakeRetentionSql: String =
+    """SELECT true AS bounded, true AS pinned_survives,
+      |  (SELECT count(*) FROM orders WHERE o_orderkey % 6 = 0)::BIGINT AS pinned_rows,
+      |  (SELECT count(*) FROM orders WHERE o_orderkey % 6 <= 5)::BIGINT AS final_rows""".stripMargin
+
   // ---- A49 DSv2 TableCatalog ----------------------------------------
 
   /** `lake_v2_catalog` (A49): reads and writes through Spark's V2
@@ -1071,6 +1103,7 @@ object GateQueries {
     "lake_showcreate_check" -> (lakeShowCreateCheck _),
     "lake_merge_mor_pos"    -> (lakeMergeMorPos _),
     "lake_deletes_view"     -> (lakeDeletesView _),
+    "lake_retention"        -> (lakeRetention _),
     "lake_v2_catalog"       -> (lakeV2Catalog _),
     "lake_version_asof"     -> (lakeVersionAsof _),
     "lake_stats_check"      -> (lakeStatsCheck _),
@@ -1102,6 +1135,7 @@ object GateQueries {
     "lake_showcreate_check" -> lakeShowCreateCheckSql,
     "lake_merge_mor_pos"    -> lakeMergeMorPosSql,
     "lake_deletes_view"     -> lakeDeletesViewSql,
+    "lake_retention"        -> lakeRetentionSql,
     "lake_v2_catalog"       -> lakeV2CatalogSql,
     "lake_version_asof"     -> lakeVersionAsofSql,
     "lake_stats_check"      -> lakeStatsCheckSql,
