@@ -406,7 +406,10 @@ object TextOps {
     * scores on a reducer — at 100 TB flip the same plan to
     * `approx_percentile`, which is the documented production dial for
     * threshold-style buckets (ties all land in one bucket either way,
-    * so the label is threshold-stable, unlike rank quotas).
+    * so the label is threshold-stable, unlike rank quotas). The
+    * LM-score subtree feeds both the threshold aggregate and the
+    * per-doc join, and AQE reuses its exchange at runtime (verified:
+    * PlanAudit shows ReusedExchange) — the corpus is scored once.
     */
   def pplBuckets(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)

@@ -15,7 +15,7 @@ private[graft] object PlanAudit {
     def shape(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       val p = df.queryExecution.executedPlan.toString
       def count(s: String) = s.r.findAllIn(p).size
-      println(f"== $name%-28s exchanges=${count("Exchange")}%2d bhj=${count("BroadcastHashJoin")}%2d smj=${count("SortMergeJoin")}%2d cartesian=${count("CartesianProduct")}%2d bnlj=${count("BroadcastNestedLoop")}%2d wsc=${count("WholeStageCodegen")}%2d")
+      println(f"== $name%-28s exchanges=${count("Exchange")}%2d reused=${count("ReusedExchange")}%2d bhj=${count("BroadcastHashJoin")}%2d smj=${count("SortMergeJoin")}%2d cartesian=${count("CartesianProduct")}%2d bnlj=${count("BroadcastNestedLoop")}%2d")
     }
     shape("dedup_semantic_kmeans", graft.pipeline.VectorOps.semanticDedupKmeans(spark, d))
     shape("text_vocab_coverage", graft.pipeline.TextOps.vocabCoverage(spark, d))
@@ -27,10 +27,24 @@ private[graft] object PlanAudit {
     // the threshold sweep must be ONE aggregate over the scan
     println("vocab TakeOrdered: " + graft.pipeline.TextOps.vocabCoverage(spark, d)
       .queryExecution.sparkPlan.toString.contains("TakeOrderedAndProject"))
+    // round-9 late additions
+    shape("text_entropy", graft.pipeline.TextOps.charEntropy(spark, d))
+    shape("text_ppl_buckets", graft.pipeline.TextOps.pplBuckets(spark, d))
+    shape("corpus_vocab_growth", graft.pipeline.TextOps.vocabGrowth(spark, d))
+    shape("dedup_containment", graft.pipeline.Dedup.containment(spark, d))
+    shape("ann_sq", graft.pipeline.VectorOps.annSq(spark, d))
+    shape("ann_sq bigbatch", graft.pipeline.VectorOps.annSqBatch(spark, d, 10000000L))
     shape("ann_ivfpq (residual)", graft.pipeline.VectorOps.annIvfPq(spark, d))
     shape("ann_ivfpq bigbatch", graft.pipeline.VectorOps.annIvfPqBatch(spark, d, 10000000L))
     shape("ann_pq bigbatch", graft.pipeline.VectorOps.annPqBatch(spark, d, 10000000L))
     shape("q18 (AQE)", graft.operators.CoreQueries.q18BigOrders(spark, d))
+    // ppl buckets at runtime: the LM-score subtree feeds BOTH the
+    // threshold aggregate and the final join — AQE must reuse the
+    // exchange so the corpus is scored once, not twice
+    val ppl = graft.pipeline.TextOps.pplBuckets(spark, d)
+    ppl.collect()
+    println("ppl buckets runtime exchange reuse: " +
+      ppl.queryExecution.executedPlan.toString.contains("ReusedExchange"))
     // q18 at runtime: does AQE broadcast the tiny survivor set?
     val q18 = graft.operators.CoreQueries.q18BigOrders(spark, d)
     q18.collect()
