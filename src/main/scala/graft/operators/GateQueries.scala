@@ -605,6 +605,38 @@ object GateQueries {
       |  (SELECT count(*) FROM orders WHERE o_orderkey % 6 = 0)::BIGINT AS pinned_rows,
       |  (SELECT count(*) FROM orders WHERE o_orderkey % 6 <= 5)::BIGINT AS final_rows""".stripMargin
 
+  // ---- A79 DESCRIBE DETAIL ------------------------------------------
+
+  /** `lake_detail` (A79): Delta-parity `DESCRIBE DETAIL` — one
+    * metadata-only row of table-level operational facts. The scenario
+    * pins the interesting semantics: a pending MOR delete SUBTRACTS
+    * from `num_rows` without touching `num_files` (logical vs physical
+    * state), the snapshot/operation columns track the DML history, and
+    * the partition layout reports its column and per-status file
+    * count. Byte sizes and paths are projected out (encoding-
+    * dependent).
+    */
+  def lakeDetail(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "detail"),
+      byStatus(orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))), Seq("o_orderstatus"))
+    t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    t.delete(col("o_orderkey") % 100 === 0)
+    GraftCatalog.register("gate_detail", t.root)
+    s.sql("DESCRIBE DETAIL gate_detail")
+      .select(col("format"), col("num_columns"), col("partition_columns"),
+        col("num_files"), col("num_rows"), col("num_snapshots"),
+        col("current_snapshot_id"), col("last_operation"))
+  }
+
+  val lakeDetailSql: String =
+    """SELECT 'parquet' AS format, 4::BIGINT AS num_columns,
+      |  'o_orderstatus' AS partition_columns,
+      |  (SELECT count(DISTINCT o_orderstatus) FROM orders)::BIGINT AS num_files,
+      |  (SELECT count(*) FROM orders WHERE o_orderkey % 100 <> 0)::BIGINT AS num_rows,
+      |  3::BIGINT AS num_snapshots, 3::BIGINT AS current_snapshot_id,
+      |  'delete' AS last_operation""".stripMargin
+
   // ---- A49 DSv2 TableCatalog ----------------------------------------
 
   /** `lake_v2_catalog` (A49): reads and writes through Spark's V2
@@ -1104,6 +1136,7 @@ object GateQueries {
     "lake_merge_mor_pos"    -> (lakeMergeMorPos _),
     "lake_deletes_view"     -> (lakeDeletesView _),
     "lake_retention"        -> (lakeRetention _),
+    "lake_detail"           -> (lakeDetail _),
     "lake_v2_catalog"       -> (lakeV2Catalog _),
     "lake_version_asof"     -> (lakeVersionAsof _),
     "lake_stats_check"      -> (lakeStatsCheck _),
@@ -1136,6 +1169,7 @@ object GateQueries {
     "lake_merge_mor_pos"    -> lakeMergeMorPosSql,
     "lake_deletes_view"     -> lakeDeletesViewSql,
     "lake_retention"        -> lakeRetentionSql,
+    "lake_detail"           -> lakeDetailSql,
     "lake_v2_catalog"       -> lakeV2CatalogSql,
     "lake_version_asof"     -> lakeVersionAsofSql,
     "lake_stats_check"      -> lakeStatsCheckSql,

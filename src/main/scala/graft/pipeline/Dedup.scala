@@ -133,8 +133,11 @@ object Dedup {
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
   }
 
-  /** All unordered pairs (a<b) from a sorted, capped id bucket. */
-  private def bucketPairs(ids: Column): Column = {
+  /** All unordered pairs (a<b) from a sorted, capped id bucket.
+    * `private[pipeline]`: the image perceptual-hash dedup (C58) banding
+    * reuses the identical within-bucket expansion.
+    */
+  private[pipeline] def bucketPairs(ids: Column): Column = {
     val capped = slice(array_sort(ids), 1, BucketCap)
     flatten(transform(capped, (a, i) =>
       transform(slice(capped, i + lit(2), lit(BucketCap)), b => struct(a.as("doc_a"), b.as("doc_b")))))
@@ -476,6 +479,49 @@ object Dedup {
        |         round(i * 1.0 / nb, 6) AS containment
        |  FROM j WHERE nb >= $MinContainShingles AND i * 1.0 / nb >= $ContainmentThreshold)
        |ORDER BY doc_src, doc_sup""".stripMargin
+
+  /** C57 `dedup_threshold_sweep`: dedup-threshold calibration — the
+    * decision curve for the ONE dial every near-dup pass has: how many
+    * pairs (and how many documents) a Jaccard cutoff t would merge,
+    * for t over the actionable [0.5, 1.0] grid. Both curves come from
+    * the EXISTING C4 pair set in one extra pass each (11 conditional
+    * counters per aggregate, map-side combined): pairs ≥ t directly,
+    * docs via each doc's strongest pair (max-jaccard per endpoint) —
+    * so the sweep costs O(pairs), never re-running candidate
+    * generation per threshold. This is how the 0.5 shipping threshold
+    * is justified by measurement rather than folklore.
+    */
+  def dedupThresholdSweep(s: SparkSession, d: String): DataFrame = {
+    val grid = (10 to 20).map(_ / 20.0)
+    val pairs = ngramJaccard(s, d)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val pk = grid.zipWithIndex.map { case (t, i) =>
+      sum(when(col("jaccard") >= t, 1L).otherwise(0L)).as(s"p$i") }
+    val pcounts = pairs.agg(pk.head, pk.tail: _*)
+    val docMax = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"), col("jaccard"))
+      .groupBy(col("doc_id")).agg(max(col("jaccard")).as("mj"))
+    val dk = grid.zipWithIndex.map { case (t, i) =>
+      sum(when(col("mj") >= t, 1L).otherwise(0L)).as(s"d$i") }
+    val dcounts = docMax.agg(dk.head, dk.tail: _*)
+    pcounts.crossJoin(dcounts)
+      .select(explode(array(grid.zipWithIndex.map { case (t, i) => struct(
+          lit(t).as("threshold"), col(s"p$i").as("n_pairs"),
+          col(s"d$i").as("n_docs_affected")) }: _*)).as("r"))
+      .select(col("r.threshold"), col("r.n_pairs"), col("r.n_docs_affected"))
+      .orderBy(col("threshold"))
+  }
+
+  val dedupThresholdSweepSql: String =
+    s"""WITH p AS ($ngramJaccardCappedSql),
+       |e AS (SELECT doc_a AS doc_id, jaccard FROM p
+       |      UNION ALL SELECT doc_b, jaccard FROM p),
+       |dm AS (SELECT doc_id, max(jaccard) AS mj FROM e GROUP BY doc_id),
+       |g AS (SELECT unnest(range(10, 21)) AS i)
+       |SELECT CAST(i AS DOUBLE) / 20 AS threshold,
+       |  (SELECT count(*) FROM p WHERE jaccard >= CAST(i AS DOUBLE) / 20)::BIGINT AS n_pairs,
+       |  (SELECT count(*) FROM dm WHERE mj >= CAST(i AS DOUBLE) / 20)::BIGINT AS n_docs_affected
+       |FROM g ORDER BY threshold""".stripMargin
 
   /** Split the corpus into "already ingested" and "incoming batch" —
     * the shape every production crawl refresh has. doc_id % 3 is the
@@ -845,6 +891,7 @@ object Dedup {
     "dedup_minhash"       -> (minhash _),
     "dedup_simhash"       -> (simhash _),
     "dedup_containment" -> (containment _),
+    "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_clusters"      -> (clusters _),
     "dedup_apply"         -> (dedupApply _),
@@ -865,6 +912,7 @@ object Dedup {
     "dedup_simhash"       -> jaccardSql,
     "dedup_simhash_check" -> simhashCheckSql,
     "dedup_containment" -> containmentSql,
+    "dedup_threshold_sweep" -> dedupThresholdSweepSql,
     "dedup_ngram_jaccard" -> ngramJaccardCappedSql,
     "dedup_clusters"      -> clustersSql,
     "dedup_apply"         -> dedupApplySql,

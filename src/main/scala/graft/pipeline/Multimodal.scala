@@ -449,7 +449,138 @@ object Multimodal {
        |  CAST(sum((doc_id * 31 + i * 2654435761) % 256) AS BIGINT) AS byte_sum
        |FROM b GROUP BY doc_id, frame_id ORDER BY doc_id, frame_id""".stripMargin
 
+  // ---- C58 image perceptual-hash near-dup dedup ---------------------
+
+  private val PhashPlantEvery = 10L
+  private[graft] val PhashPlantOffset = 500000000L
+  /** Hamming admission: planted re-encodes measure 0–3 flipped bits
+    * (a perturbation only flips a dHash bit where the adjacent-pixel
+    * gray difference is already near zero); unrelated noise images
+    * concentrate at 32 ± 4 of 64, so 10 sits ≈ 5.5σ below the random
+    * mass while never clipping a true variant.
+    */
+  private[graft] val PhashHammingMax = 10L
+  private val PhashW = 16; private val PhashH = 12
+
+  /** Deterministic NOISE pixel (hash-derived, unlike [[pixel]]'s
+    * gradient): perceptual hashes of gradients are degenerate (every
+    * image's adjacent-difference signs agree), so the dedup corpus
+    * needs pixel content whose dHash bits are independent.
+    */
+  private def pixelRnd(docId: Long, i: Long): Int =
+    ((Hashing.mix64(docId * -7046029254386353131L + i * 2246822519L) >>> 16) & 0xFFFFFF).toInt
+
+  /** Image corpus with planted near-duplicates: every 10th document's
+    * image also appears under `PhashPlantOffset + id` with a mild
+    * re-encode-style perturbation (+8 blue on every 11th pixel) — the
+    * "same photo, different compression" population an image dedup
+    * pass exists to catch.
+    */
+  def phashAssets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          def png(perturb: Boolean): Array[Byte] = {
+            val img = new java.awt.image.BufferedImage(
+              PhashW, PhashH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var i = 0L; var y = 0
+            while (y < PhashH) {
+              var x = 0
+              while (x < PhashW) {
+                var p = pixelRnd(id, i)
+                if (perturb && i % 11 == 0)
+                  p = (p & 0xFFFF00) | math.min(255, (p & 0xFF) + 8)
+                img.setRGB(x, y, p); i += 1; x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          }
+          val base = Seq((id, png(false)))
+          if (id % PhashPlantEvery == 0) base :+ ((PhashPlantOffset + id, png(true)))
+          else base
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  final case class MmPhash(doc_id: Long, dhash: Long)
+
+  /** dHash over the REALLY-decoded image: nearest-neighbor sample to a
+    * 9×8 gray grid, bit = (right neighbor brighter) — the classic
+    * 64-bit difference hash, integer-exact end to end.
+    */
+  def dhashImages(s: SparkSession, raw: DataFrame): Dataset[MmPhash] = {
+    import s.implicits._
+    raw.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"doc $id payload is not a decodable image")
+          val w = img.getWidth; val h = img.getHeight
+          val gray = Array.ofDim[Int](8, 9)
+          var ty = 0
+          while (ty < 8) {
+            var tx = 0
+            while (tx < 9) {
+              val rgb = img.getRGB(tx * w / 9, ty * h / 8)
+              gray(ty)(tx) = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+              tx += 1
+            }
+            ty += 1
+          }
+          var hash = 0L; var bit = 0
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (gray(y)(x + 1) > gray(y)(x)) hash |= 1L << bit
+              bit += 1; x += 1
+            }
+            y += 1
+          }
+          MmPhash(id, hash)
+        }
+      }
+  }
+
+  /** C58 `mm_phash_dedup`: image near-duplicate detection — decode →
+    * dHash → 8×8-bit Hamming bands → within-bucket pairs → Hamming ≤
+    * [[PhashHammingMax]]. Same LSH scale shape as the text SimHash
+    * pass (candidates are within-band, never all-pairs; a ≤ 3-bit
+    * variant always shares ≥ 5 of 8 bands), but over a REAL image
+    * codec. On the deterministic corpus the admitted pairs are exactly
+    * the planted variants, so the oracle is the closed-form plant
+    * list — the recall-1/precision-1 evidence at both gated SFs.
+    */
+  def mmPhashDedup(s: SparkSession, d: String): DataFrame = {
+    val hashes = dhashImages(s, phashAssets(s, d)).toDF()
+    val banded = hashes.select(col("doc_id"), col("dhash"),
+      posexplode(array((0 to 7).map(b =>
+        shiftrightunsigned(col("dhash"), b * 8).bitwiseAND(lit(0xFFL))): _*))
+        .as(Seq("band", "key")))
+    banded.groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col("doc_id"), col("dhash"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(Dedup.bucketPairs(col("xs"))).as("p"))
+      .select(col("p.doc_a.doc_id").as("doc_a"), col("p.doc_a.dhash").as("ha"),
+        col("p.doc_b.doc_id").as("doc_b"), col("p.doc_b.dhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= PhashHammingMax)
+      .select(col("doc_a"), col("doc_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val mmPhashDedupSql: String =
+    s"""SELECT doc_id AS doc_a, doc_id + $PhashPlantOffset AS doc_b
+       |FROM documents WHERE doc_id % $PhashPlantEvery = 0
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_dedup"   -> (mmPhashDedup _),
     "mm_video_frames"  -> (mmVideoFrames _),
     "mm_decode_stub"   -> (mmDecodeStub _),
     "mm_pipeline_stub" -> (mmPipelineStub _),
@@ -458,6 +589,7 @@ object Multimodal {
     "mm_audio_frames"  -> (mmAudioFrames _))
 
   val oracles: Map[String, String] = Map(
+    "mm_phash_dedup"   -> mmPhashDedupSql,
     "mm_video_frames"  -> mmVideoFramesSql,
     "mm_decode_stub"   -> mmDecodeStubSql,
     "mm_pipeline_stub" -> mmPipelineStubSql,

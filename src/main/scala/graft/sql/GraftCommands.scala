@@ -343,6 +343,41 @@ case class GraftShowTablesCommand() extends LeafRunnableCommand {
     GraftCatalog.entries.map { case (n, r) => Row(n, r) }
 }
 
+/** DESCRIBE DETAIL t (A79, Delta parity): one row of table-level
+  * operational facts straight from the current manifest — O(metadata),
+  * no data touched: format, location, column/partition shape, live
+  * file count and bytes, logical row count (pending MOR deletes
+  * subtracted), snapshot count, current id + operation, property
+  * count. The numbers every ops runbook asks for first.
+  */
+case class GraftDescribeDetailCommand(name: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("num_columns", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)(),
+    AttributeReference("num_snapshots", LongType, nullable = false)(),
+    AttributeReference("current_snapshot_id", LongType, nullable = false)(),
+    AttributeReference("last_operation", StringType, nullable = false)(),
+    AttributeReference("num_properties", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    val t = new GraftTable(root, session)
+    val cur = t.current
+    Seq(Row("parquet", root, t.schema.fields.length.toLong,
+      cur.partitionCols.mkString(","), cur.files.size.toLong,
+      cur.files.map(_.bytes).sum, cur.totalRows - cur.deletedRows,
+      t.snapshots.size.toLong, cur.id, cur.operation,
+      cur.properties.size.toLong))
+  }
+}
+
 /** SHOW CREATE TABLE t — reconstruct the managed-table DDL from the
   * current snapshot (schema, partition spec, dependency option).
   */

@@ -225,6 +225,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*create\s+materialized\s+view\s+([\w.]+)(?:\s+location\s+'([^']+)')?\s+as\s+(select\s.*)""".r
   private val RefreshMvRe =
     """(?is)\s*refresh\s+materialized\s+view\s+([\w.]+)\s*""".r
+  // DESCRIBE DETAIL t — Delta's table-detail statement (A79); the
+  // builtin DESCRIBE TABLE is untouched (different keyword)
+  private val DescribeDetailRe =
+    """(?is)\s*describe\s+detail\s+([\w.]+)\s*""".r
   private val AddConstraintRe =
     """(?is)\s*alter\s+table\s+([\w.]+)\s+add\s+constraint\s+(\w+)\s+check\s*\((.+)\)\s*""".r
   private val DropConstraintRe =
@@ -257,6 +261,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           delegate.parsePlan(select))
       case RefreshMvRe(name) if GraftCatalog.lookup(name).isDefined =>
         return GraftRefreshMatViewCommand(name.toLowerCase)
+      case DescribeDetailRe(name) if GraftCatalog.lookup(name).isDefined =>
+        return GraftDescribeDetailCommand(name.toLowerCase)
       case AddConstraintRe(name, cname, pred) if GraftCatalog.lookup(name).isDefined =>
         return GraftConstraintCommand(name.toLowerCase, cname, Some(pred.trim))
       case DropConstraintRe(name, cname) if GraftCatalog.lookup(name).isDefined =>

@@ -259,6 +259,27 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Window"), "bucketing must not rank the corpus")
   }
 
+  test("image phash dedup: planted variants found exactly, hamming margins wide") {
+    import spark.implicits._
+    val pairs = Multimodal.mmPhashDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Tables.documents(spark, sfDir).select("doc_id").as[Long].collect()
+      .filter(_ % 10 == 0).map(id => (id, Multimodal.PhashPlantOffset + id)).toSet
+    assert(pairs === expected, "admitted pairs must be exactly the planted variants")
+    // margins: planted pairs sit far below the gate, unrelated images far above
+    val hs = Multimodal.dhashImages(spark, Multimodal.phashAssets(spark, sfDir))
+      .collect().map(p => p.doc_id -> p.dhash).toMap
+    val plantH = expected.toSeq.map { case (a, b) =>
+      java.lang.Long.bitCount(hs(a) ^ hs(b)) }
+    assert(plantH.max <= Multimodal.PhashHammingMax / 2,
+      s"planted hamming up to ${plantH.max} leaves no margin")
+    val others = hs.keys.filter(_ < Multimodal.PhashPlantOffset).toSeq.sorted.take(60)
+    val crossH = for (a <- others; b <- others if a < b)
+      yield java.lang.Long.bitCount(hs(a) ^ hs(b))
+    assert(crossH.min > Multimodal.PhashHammingMax,
+      s"unrelated images got as close as ${crossH.min} bits")
+  }
+
   test("vocab growth: monotone curve whose endpoint is the exact corpus vocab and token totals") {
     val rows = TextOps.vocabGrowth(spark, sfDir).collect()
     assert(rows.length === 10 && rows.map(_.getLong(0)).toSeq === (0L until 10L))
