@@ -555,24 +555,136 @@ object Multimodal {
     * the planted variants, so the oracle is the closed-form plant
     * list — the recall-1/precision-1 evidence at both gated SFs.
     */
-  def mmPhashDedup(s: SparkSession, d: String): DataFrame = {
-    val hashes = dhashImages(s, phashAssets(s, d)).toDF()
-    val banded = hashes.select(col("doc_id"), col("dhash"),
+  def mmPhashDedup(s: SparkSession, d: String): DataFrame =
+    hammingPairs(dhashImages(s, phashAssets(s, d)).toDF(), "dhash")
+
+  /** Shared 64-bit-sketch near-dup pipeline (C58 images / C59 audio):
+    * 8×8-bit Hamming bands → within-bucket pairs → Hamming ≤
+    * [[PhashHammingMax]]. Candidates are within-band only — the text
+    * SimHash scale shape over media sketches.
+    */
+  private def hammingPairs(hashes: DataFrame, hashCol: String,
+      maxHamming: Long = PhashHammingMax): DataFrame = {
+    val banded = hashes.select(col("doc_id"), col(hashCol).as("h64"),
       posexplode(array((0 to 7).map(b =>
-        shiftrightunsigned(col("dhash"), b * 8).bitwiseAND(lit(0xFFL))): _*))
+        shiftrightunsigned(col(hashCol), b * 8).bitwiseAND(lit(0xFFL))): _*))
         .as(Seq("band", "key")))
     banded.groupBy(col("band"), col("key"))
-      .agg(collect_list(struct(col("doc_id"), col("dhash"))).as("xs"))
+      .agg(collect_list(struct(col("doc_id"), col("h64"))).as("xs"))
       .filter(size(col("xs")) > 1)
       .select(explode(Dedup.bucketPairs(col("xs"))).as("p"))
-      .select(col("p.doc_a.doc_id").as("doc_a"), col("p.doc_a.dhash").as("ha"),
-        col("p.doc_b.doc_id").as("doc_b"), col("p.doc_b.dhash").as("hb"))
+      .select(col("p.doc_a.doc_id").as("doc_a"), col("p.doc_a.h64").as("ha"),
+        col("p.doc_b.doc_id").as("doc_b"), col("p.doc_b.h64").as("hb"))
       .distinct()
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-      .filter(col("hamming") <= PhashHammingMax)
+      .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  // ---- C59 audio fingerprint near-dup dedup -------------------------
+
+  private[graft] val AudioPlantOffset = 600000000L
+  private val AfpFrame = 32
+
+  /** Hash-mixed PCM for the dedup corpus (NOT [[pcmSample]]: that
+    * generator is an additive per-doc shift in the 16-bit ring, so
+    * every document's energy contour is a near-copy and a contour
+    * fingerprint would degenerate — exactly like [[pixelRnd]] vs the
+    * gradient [[pixel]]).
+    */
+  private def pcmRnd(docId: Long, i: Long): Int =
+    ((Hashing.mix64(docId * 2654435761L + i * -8796714831421723037L) & 0xFFFFL) - 32768L).toInt
+
+  /** Audio corpus with planted near-duplicates: every 10th document's
+    * PCM also appears under `AudioPlantOffset + id` with mild
+    * re-encode-style noise (+3 on every 17th sample) — the "same
+    * recording, different lossy encode" population.
+    */
+  def afpAssets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          def pcm(perturb: Boolean): Array[Byte] = {
+            val bb = java.nio.ByteBuffer.allocate(AudioSamples * 2)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            var i = 0
+            while (i < AudioSamples) {
+              var v = pcmRnd(id, i)
+              if (perturb && i % 17 == 0) v = math.min(32767, v + 3)
+              bb.putShort(v.toShort); i += 1
+            }
+            bb.array()
+          }
+          val base = Seq((id, pcm(false)))
+          if (id % PhashPlantEvery == 0) base :+ ((AudioPlantOffset + id, pcm(true)))
+          else base
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  final case class MmAfp(doc_id: Long, afp: Long)
+
+  /** Energy-contour fingerprint over REALLY-decoded PCM: 64 frames of
+    * 32 samples → integer energies → bit j = (frame j+1 louder than
+    * frame j), the sign-of-difference family acoustic fingerprints use
+    * (63 informative bits; integer-exact end to end). Energies are
+    * sums of 32 squared int16s, so re-encode-level noise moves them by
+    * ~10⁻⁵ of their spread and flips essentially no contour bit, while
+    * unrelated noise audio concentrates at 31.5 ± 4 bits.
+    */
+  def fingerprintAudio(s: SparkSession, raw: DataFrame): Dataset[MmAfp] = {
+    import s.implicits._
+    raw.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = bytes.length / 2
+          val nFrames = n / AfpFrame
+          val energy = new Array[Long](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var acc = 0L
+            var i = f * AfpFrame
+            val end = i + AfpFrame
+            while (i < end) { val v = bb.getShort(i * 2).toLong; acc += v * v; i += 1 }
+            energy(f) = acc; f += 1
+          }
+          var hash = 0L
+          var j = 0
+          while (j < math.min(63, nFrames - 1)) {
+            if (energy(j + 1) > energy(j)) hash |= 1L << j
+            j += 1
+          }
+          MmAfp(id, hash)
+        }
+      }
+  }
+
+  /** C59 `mm_audio_dedup`: acoustic near-duplicate detection — the
+    * audio member of the media-dedup family (C58 images, C3 text):
+    * decode → energy-contour fingerprint → shared banded-Hamming
+    * pipeline. On the deterministic corpus the admitted pairs are
+    * exactly the planted re-encodes; closed-form plant-list oracle.
+    */
+  def mmAudioDedup(s: SparkSession, d: String): DataFrame =
+    hammingPairs(fingerprintAudio(s, afpAssets(s, d)).toDF(), "afp", AfpHammingMax)
+
+  /** Tighter than the image gate: contour bits share a frame energy
+    * with their neighbor (sign-chain correlation), so the unrelated-
+    * pair Hamming tail is fatter than an independent-bit model — while
+    * a re-encode-level perturbation moves frame energies by ~10⁻⁴ of
+    * their spread and flips essentially nothing. 4 keeps recall 1 on
+    * plants with the cross mass (31.5 ± 4 of 63) ≥ 6σ away.
+    */
+  private[graft] val AfpHammingMax = 4L
+
+  val mmAudioDedupSql: String =
+    s"""SELECT doc_id AS doc_a, doc_id + $AudioPlantOffset AS doc_b
+       |FROM documents WHERE doc_id % $PhashPlantEvery = 0
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val mmPhashDedupSql: String =
     s"""SELECT doc_id AS doc_a, doc_id + $PhashPlantOffset AS doc_b
@@ -581,6 +693,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_phash_dedup"   -> (mmPhashDedup _),
+    "mm_audio_dedup"   -> (mmAudioDedup _),
     "mm_video_frames"  -> (mmVideoFrames _),
     "mm_decode_stub"   -> (mmDecodeStub _),
     "mm_pipeline_stub" -> (mmPipelineStub _),
@@ -590,6 +703,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "mm_phash_dedup"   -> mmPhashDedupSql,
+    "mm_audio_dedup"   -> mmAudioDedupSql,
     "mm_video_frames"  -> mmVideoFramesSql,
     "mm_decode_stub"   -> mmDecodeStubSql,
     "mm_pipeline_stub" -> mmPipelineStubSql,

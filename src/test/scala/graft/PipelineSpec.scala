@@ -280,6 +280,26 @@ class PipelineSpec extends SparkSpec {
       s"unrelated images got as close as ${crossH.min} bits")
   }
 
+  test("audio fingerprint dedup: planted re-encodes found exactly, contour margins wide") {
+    import spark.implicits._
+    val pairs = Multimodal.mmAudioDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Tables.documents(spark, sfDir).select("doc_id").as[Long].collect()
+      .filter(_ % 10 == 0).map(id => (id, Multimodal.AudioPlantOffset + id)).toSet
+    assert(pairs === expected, "admitted pairs must be exactly the planted re-encodes")
+    val hs = Multimodal.fingerprintAudio(spark, Multimodal.afpAssets(spark, sfDir))
+      .collect().map(p => p.doc_id -> p.afp).toMap
+    val plantH = expected.toSeq.map { case (a, b) =>
+      java.lang.Long.bitCount(hs(a) ^ hs(b)) }
+    assert(plantH.max <= Multimodal.AfpHammingMax,
+      s"planted contour hamming up to ${plantH.max} would lose recall")
+    val others = hs.keys.filter(_ < Multimodal.AudioPlantOffset).toSeq.sorted.take(60)
+    val crossH = for (a <- others; b <- others if a < b)
+      yield java.lang.Long.bitCount(hs(a) ^ hs(b))
+    assert(crossH.min > Multimodal.AfpHammingMax,
+      s"unrelated audio got as close as ${crossH.min} bits")
+  }
+
   test("vocab growth: monotone curve whose endpoint is the exact corpus vocab and token totals") {
     val rows = TextOps.vocabGrowth(spark, sfDir).collect()
     assert(rows.length === 10 && rows.map(_.getLong(0)).toSeq === (0L until 10L))
