@@ -637,6 +637,35 @@ object GateQueries {
       |  3::BIGINT AS num_snapshots, 3::BIGINT AS current_snapshot_id,
       |  'delete' AS last_operation""".stripMargin
 
+  // ---- A80 ANALYZE TABLE (NDV statistics via SQL) --------------------
+
+  /** `lake_analyze` (A80): the SQL ANALYZE surface over the manifest
+    * NDV store — one data pass commits an `analyze` snapshot whose
+    * HLL-derived `stats.ndv.*` properties land within 5 % of the exact
+    * distinct counts (HLL is exact at tiny cardinalities, so the
+    * status column's NDV is oracled exactly).
+    */
+  def lakeAnalyze(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "analyze"),
+      byStatus(orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))), Seq("o_orderstatus"))
+    GraftCatalog.register("gate_analyze", t.root)
+    s.sql("ANALYZE TABLE gate_analyze COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_orderstatus")
+    val t2 = new GraftTable(t.root, s)
+    require(t2.current.operation == "analyze",
+      "ANALYZE must commit an analyze snapshot")
+    val props = t2.properties
+    def ndv(c: String) = props(s"stats.ndv.$c").toLong
+    val exactKeys = t2.read().select(col("o_orderkey")).distinct().count()
+    val within = math.abs(ndv("o_orderkey") - exactKeys).toDouble / exactKeys < 0.05
+    import s.implicits._
+    Seq((within, ndv("o_orderstatus"))).toDF("ndv_keys_within_5pct", "ndv_status")
+  }
+
+  val lakeAnalyzeSql: String =
+    """SELECT true AS ndv_keys_within_5pct,
+      |  (SELECT count(DISTINCT o_orderstatus) FROM orders)::BIGINT AS ndv_status""".stripMargin
+
   // ---- A49 DSv2 TableCatalog ----------------------------------------
 
   /** `lake_v2_catalog` (A49): reads and writes through Spark's V2
@@ -1137,6 +1166,7 @@ object GateQueries {
     "lake_deletes_view"     -> (lakeDeletesView _),
     "lake_retention"        -> (lakeRetention _),
     "lake_detail"           -> (lakeDetail _),
+    "lake_analyze"          -> (lakeAnalyze _),
     "lake_v2_catalog"       -> (lakeV2Catalog _),
     "lake_version_asof"     -> (lakeVersionAsof _),
     "lake_stats_check"      -> (lakeStatsCheck _),
@@ -1170,6 +1200,7 @@ object GateQueries {
     "lake_deletes_view"     -> lakeDeletesViewSql,
     "lake_retention"        -> lakeRetentionSql,
     "lake_detail"           -> lakeDetailSql,
+    "lake_analyze"          -> lakeAnalyzeSql,
     "lake_v2_catalog"       -> lakeV2CatalogSql,
     "lake_version_asof"     -> lakeVersionAsofSql,
     "lake_stats_check"      -> lakeStatsCheckSql,
