@@ -666,6 +666,29 @@ object GateQueries {
     """SELECT true AS ndv_keys_within_5pct,
       |  (SELECT count(DISTINCT o_orderstatus) FROM orders)::BIGINT AS ndv_status""".stripMargin
 
+  // ---- A81 RESTORE TABLE --------------------------------------------
+
+  /** `lake_restore` (A81): Delta-parity `RESTORE TABLE … TO VERSION AS
+    * OF` — an overwritten table restored to snapshot 1 through SQL; the
+    * restore commits as a rollback (undoable, time-travelable), and the
+    * restored contents equal the original snapshot exactly.
+    */
+  def lakeRestore(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val t = GraftTable.create(s, work(d, "restore"),
+      byStatus(o.filter(col("o_orderkey") < 3000)), Seq("o_orderstatus"))
+    t.overwrite(byStatus(o.filter(col("o_orderkey") >= 3000)))
+    GraftCatalog.register("gate_restore", t.root)
+    s.sql("RESTORE TABLE gate_restore TO VERSION AS OF 1")
+    val t2 = new GraftTable(t.root, s)
+    require(t2.current.operation == "rollback",
+      "RESTORE must commit a rollback snapshot")
+    sel(t2.read())
+  }
+
+  val lakeRestoreSql: String =
+    s"SELECT $selSql FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey"
+
   // ---- A49 DSv2 TableCatalog ----------------------------------------
 
   /** `lake_v2_catalog` (A49): reads and writes through Spark's V2
@@ -1167,6 +1190,7 @@ object GateQueries {
     "lake_retention"        -> (lakeRetention _),
     "lake_detail"           -> (lakeDetail _),
     "lake_analyze"          -> (lakeAnalyze _),
+    "lake_restore"          -> (lakeRestore _),
     "lake_v2_catalog"       -> (lakeV2Catalog _),
     "lake_version_asof"     -> (lakeVersionAsof _),
     "lake_stats_check"      -> (lakeStatsCheck _),
@@ -1201,6 +1225,7 @@ object GateQueries {
     "lake_retention"        -> lakeRetentionSql,
     "lake_detail"           -> lakeDetailSql,
     "lake_analyze"          -> lakeAnalyzeSql,
+    "lake_restore"          -> lakeRestoreSql,
     "lake_v2_catalog"       -> lakeV2CatalogSql,
     "lake_version_asof"     -> lakeVersionAsofSql,
     "lake_stats_check"      -> lakeStatsCheckSql,

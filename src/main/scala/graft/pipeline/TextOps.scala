@@ -232,6 +232,57 @@ object TextOps {
        |FROM g LEFT JOIN nt ON nt.bucket = g.bucket LEFT JOIN tc ON tc.bucket = g.bucket
        |ORDER BY g.bucket""".stripMargin
 
+  /** C60 `corpus_divergence`: per-source domain-shift detection — the
+    * KL divergence of each source's add-1-smoothed unigram
+    * distribution from the whole corpus's, over the shared vocabulary.
+    * An outlier source (machine-generated spam, a different language
+    * slipping past langid, template noise) shows up as a KL spike
+    * before it poisons a mixture. Shapes: three map-side-combined
+    * count aggregations over one token stream; the per-(source, term)
+    * contribution grid is vocab × sources rows (sources broadcast —
+    * tiny), LEFT-joined against the observed counts so absent terms
+    * contribute their smoothed mass; at 100 TB the grid is capped to
+    * the top-V vocabulary exactly like C48. Per-term contributions
+    * quantize to 10 dp before the per-source sum (magnitudes are
+    * ~1/|V|, so the C20 6-dp grid would crush them), final 6-dp snap.
+    */
+  def corpusDivergence(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+    val byST = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_st"))
+    val byT = toks.groupBy(col("term")).agg(count(lit(1)).as("c_t"))
+    val byS = toks.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val tot = toks.agg(count(lit(1)).cast("double").as("n_tot"),
+      count_distinct(col("term")).cast("double").as("v"))
+    val grid = byT.crossJoin(broadcast(byS)).crossJoin(broadcast(tot))
+    val joined = grid.join(byST, Seq("source", "term"), "left")
+      .withColumn("c_st", coalesce(col("c_st"), lit(0L)))
+    val p = (col("c_st") + lit(1)).cast("double") / (col("n_s") + col("v"))
+    val q = (col("c_t") + lit(1)).cast("double") / (col("n_tot") + col("v"))
+    joined
+      .withColumn("contrib", round(p * log(p / q), 10))
+      .groupBy(col("source"))
+      .agg(first(col("n_s")).as("n_tokens"),
+        round(sum(col("contrib")), 6).as("kl_divergence"))
+      .orderBy(col("source"))
+  }
+
+  val corpusDivergenceSql: String =
+    s"""WITH toks AS (SELECT source, unnest($tokensSql) AS term FROM documents),
+       |st AS (SELECT source, term, count(*) AS c_st FROM toks GROUP BY 1, 2),
+       |t AS (SELECT term, count(*) AS c_t FROM toks GROUP BY 1),
+       |sc AS (SELECT source, count(*) AS n_s FROM toks GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_tot, count(DISTINCT term) AS v FROM toks),
+       |j AS (SELECT sc.source, sc.n_s, t.c_t, coalesce(st.c_st, 0) AS c_st, tot.n_tot, tot.v
+       |      FROM sc CROSS JOIN t CROSS JOIN tot
+       |      LEFT JOIN st ON st.source = sc.source AND st.term = t.term)
+       |SELECT source, any_value(n_s)::BIGINT AS n_tokens,
+       |  round(sum(round(
+       |    ((c_st + 1) * 1.0 / (n_s + v))
+       |    * ln(((c_st + 1) * 1.0 / (n_s + v)) / ((c_t + 1) * 1.0 / (n_tot + v))), 10)), 6)
+       |    AS kl_divergence
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   /** C36 `sample_shuffle`: deterministic global corpus shuffle — the
     * training-order permutation. The key is the Knuth multiplicative
     * hash of (doc_id + seed) (integer-only, engine-identical, no RNG
@@ -1521,6 +1572,7 @@ object TextOps {
     "text_entropy"     -> (charEntropy _),
     "text_ppl_buckets" -> (pplBuckets _),
     "corpus_vocab_growth" -> (vocabGrowth _),
+    "corpus_divergence" -> (corpusDivergence _),
     "text_langid"      -> (langId _),
     "text_quality"     -> (quality _),
     "text_tokens"      -> (tokenCounts _),
@@ -1554,6 +1606,7 @@ object TextOps {
     "text_entropy"     -> charEntropySql,
     "text_ppl_buckets" -> pplBucketsSql,
     "corpus_vocab_growth" -> vocabGrowthSql,
+    "corpus_divergence" -> corpusDivergenceSql,
     "text_langid"      -> langIdSql,
     "text_quality"     -> qualitySql,
     "text_tokens"      -> tokenCountsSql,

@@ -378,6 +378,33 @@ case class GraftDescribeDetailCommand(name: String) extends LeafRunnableCommand 
   }
 }
 
+/** RESTORE TABLE t TO VERSION AS OF n / TO TIMESTAMP AS OF 'ts'
+  * (A81, Delta parity): roll the table back to an earlier snapshot as
+  * a NEW commit — history is never rewritten, so the restore itself is
+  * time-travelable and undoable. The timestamp form resolves to the
+  * latest snapshot at-or-before the instant, exactly like read-time
+  * `TIMESTAMP AS OF`.
+  */
+case class GraftRestoreCommand(
+    name: String, version: Option[Long], timestamp: Option[String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    val t = new GraftTable(root, session)
+    val target = version.getOrElse {
+      val ts = java.sql.Timestamp.valueOf(timestamp.get).getTime
+      val hits = t.snapshots.filter(_.tsMillis <= ts)
+      require(hits.nonEmpty,
+        s"RESTORE $name: no snapshot at or before ${timestamp.get}")
+      hits.maxBy(_.tsMillis).id
+    }
+    t.rollback(target)
+    GraftSparkBridge.register(session, name, root)
+    Seq.empty
+  }
+}
+
 /** SHOW CREATE TABLE t — reconstruct the managed-table DDL from the
   * current snapshot (schema, partition spec, dependency option).
   */

@@ -229,6 +229,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // builtin DESCRIBE TABLE is untouched (different keyword)
   private val DescribeDetailRe =
     """(?is)\s*describe\s+detail\s+([\w.]+)\s*""".r
+  // RESTORE TABLE t TO VERSION AS OF n / TO TIMESTAMP AS OF 'ts' —
+  // Delta's restore statement (A81): rollback as a NEW commit
+  private val RestoreVersionRe =
+    """(?is)\s*restore\s+table\s+([\w.]+)\s+to\s+version\s+as\s+of\s+(\d+)\s*""".r
+  private val RestoreTimestampRe =
+    """(?is)\s*restore\s+table\s+([\w.]+)\s+to\s+timestamp\s+as\s+of\s+'([^']+)'\s*""".r
   private val AddConstraintRe =
     """(?is)\s*alter\s+table\s+([\w.]+)\s+add\s+constraint\s+(\w+)\s+check\s*\((.+)\)\s*""".r
   private val DropConstraintRe =
@@ -263,6 +269,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         return GraftRefreshMatViewCommand(name.toLowerCase)
       case DescribeDetailRe(name) if GraftCatalog.lookup(name).isDefined =>
         return GraftDescribeDetailCommand(name.toLowerCase)
+      case RestoreVersionRe(name, v) if GraftCatalog.lookup(name).isDefined =>
+        return GraftRestoreCommand(name.toLowerCase, Some(v.toLong), None)
+      case RestoreTimestampRe(name, ts) if GraftCatalog.lookup(name).isDefined =>
+        return GraftRestoreCommand(name.toLowerCase, None, Some(ts))
       case AddConstraintRe(name, cname, pred) if GraftCatalog.lookup(name).isDefined =>
         return GraftConstraintCommand(name.toLowerCase, cname, Some(pred.trim))
       case DropConstraintRe(name, cname) if GraftCatalog.lookup(name).isDefined =>

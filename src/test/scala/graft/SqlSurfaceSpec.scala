@@ -982,6 +982,29 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM t_constraint").head().getLong(0) > n0)
   }
 
+  test("A81 RESTORE TABLE: version and timestamp forms, restore is undoable") {
+    val t = mkTable("restoreddl")
+    GraftCatalog.register("t_restore", t.root)
+    val n1 = t.readAsOfId(1).count()
+    val nFull = t.read().count()
+    assert(nFull > n1)
+    spark.sql("RESTORE TABLE t_restore TO VERSION AS OF 1")
+    assert(spark.sql("SELECT count(*) FROM t_restore").head().getLong(0) === n1)
+    // the restore is itself a commit: time travel still sees the full state,
+    // and restoring "forward" by timestamp undoes it
+    val t2 = new GraftTable(t.root, spark)
+    assert(t2.current.operation === "rollback")
+    assert(t2.readAsOfId(2).count() === nFull)
+    val ts = new java.sql.Timestamp(t2.snapshot(2).tsMillis).toString
+    spark.sql(s"RESTORE TABLE t_restore TO TIMESTAMP AS OF '$ts'")
+    assert(spark.sql("SELECT count(*) FROM t_restore").head().getLong(0) === nFull)
+    // a pre-table timestamp is refused loudly
+    val err = intercept[Exception] {
+      spark.sql("RESTORE TABLE t_restore TO TIMESTAMP AS OF '1999-01-01 00:00:00'")
+    }
+    assert(err.getMessage.contains("no snapshot"))
+  }
+
   test("A77 materialized view DDL: create, query, refresh; non-foldable shapes refused") {
     val t = mkTable("mvddl")
     GraftCatalog.register("t_mvddl", t.root)
