@@ -153,6 +153,56 @@ object KernelProps extends Properties("Kernels") {
         math.abs(v(i) - (cents(c)(i) + r.getFloat(i))) < 1e-4
       }
     }
+
+  private val sqVec = Gen.listOfN(8, Gen.chooseNum(-4f, 4f))
+
+  property("sq8: encode/decode error per dim is at most half a quantization step") =
+    forAll(sqVec) { v =>
+      val lo = Array.fill(8)(-5.0)
+      val span = Array.fill(8)(10.0)
+      val codes = Hashing.sqEncode(new GenericArrayData(v.toArray),
+        lo, span.map(1.0 / _))
+      (0 until 8).forall { j =>
+        val rec = lo(j) + (codes(j) & 0xFF).toDouble * span(j) / 255.0
+        // in-range values reconstruct within half a step (span/255/2)
+        math.abs(rec - v(j)) <= span(j) / 255.0 / 2 + 1e-9
+      }
+    }
+
+  property("sq8: out-of-range values clamp to the range ends") =
+    forAll(Gen.oneOf(-100f, 100f)) { x =>
+      val lo = Array.fill(1)(-5.0); val invSpan = Array.fill(1)(0.1)
+      val c = Hashing.sqEncode(new GenericArrayData(Array(x)), lo, invSpan)(0) & 0xFF
+      if (x < -5f) c == 0 else c == 255
+    }
+
+  property("sq8: sqDot equals the reference sum and bounds the true dot error") =
+    forAll(sqVec, sqVec) { (v, q) =>
+      val lo = Array.fill(8)(-5.0)
+      val span = Array.fill(8)(10.0)
+      val codes = Hashing.sqEncode(new GenericArrayData(v.toArray),
+        lo, span.map(1.0 / _))
+      // the scan identity: dot(q, x̂) = dot(q, lo) + sqDot(codes, w)
+      val w = q.toArray.zipWithIndex.map { case (x, j) => x * span(j) / 255.0 }
+      val bias = q.toArray.zipWithIndex.map { case (x, j) => x * lo(j) }.sum
+      val approx = bias + Hashing.sqDot(codes, new GenericArrayData(w.map(_.toDouble)))
+      val exact = v.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      // per-dim error ≤ half-step ⇒ |dot error| ≤ Σ|q_j|·step/2
+      val bound = q.map(x => math.abs(x) * 10.0 / 255.0 / 2).sum + 1e-6
+      math.abs(approx - exact) <= bound
+    }
+
+  property("sq8: sqRecNorm equals the norm of the reconstruction") =
+    forAll(sqVec) { v =>
+      val lo = Array.fill(8)(-5.0)
+      val span = Array.fill(8)(10.0)
+      val span255 = span.map(_ / 255.0)
+      val codes = Hashing.sqEncode(new GenericArrayData(v.toArray),
+        lo, span.map(1.0 / _))
+      val rec = (0 until 8).map(j => lo(j) + (codes(j) & 0xFF).toDouble * span255(j))
+      math.abs(Hashing.sqRecNorm(codes, lo, span255) -
+        math.sqrt(rec.map(x => x * x).sum)) < 1e-9
+    }
 }
 
 /** Iceberg single-value binary serialization (spec Appendix D) —
