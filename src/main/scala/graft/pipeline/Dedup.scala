@@ -883,7 +883,82 @@ object Dedup {
       |FROM l LEFT JOIN d ON l.ln = d.ln
       |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
 
+  /** C63 `dedup_span_removal`: ExactSubstr-style repeated-span REMOVAL
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better" — their exact-substring pass, token-granular):
+    * where C25 only *measures* exposure, this op rewrites the corpus.
+    * Every 20-token gram occurring ≥2 times corpus-wide (self-repeats
+    * included) marks its 20 positions for removal; a document's
+    * cleaned text is the surviving tokens rejoined on single spaces.
+    * Shape at 100 TB: explode → one partial-agg groupBy on the 64-bit
+    * gram hash → hash-keyed join back (the repeated-gram table is a
+    * small fraction of the stream; AQE broadcasts it) → one per-doc
+    * collect of the duplicate START positions — O(dup grams per doc),
+    * bounded, never the token stream — then the position-set expansion
+    * and token filter run ROW-LOCALLY on the already-materialized
+    * token array. Shuffle keys are 8-byte hashes, never gram strings;
+    * the oracle recomputes over gram strings (injective-hash argument,
+    * as C22/C25). Cleaned text is compared by md5 so the dump stays
+    * narrow.
+    */
+  val SpanN = 20
+
+  def spanRemoval(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      graft.pipeline.TextOps.tokens(col("text")).as("toks"), col("text"))
+    val grams = base.select(col("doc_id"),
+      posexplode(exprs.shingleHashesAll(col("text"), SpanN)).as(Seq("pos", "sh")))
+    val rep = grams.groupBy(col("sh"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2).select(col("sh"))
+    val starts = grams.join(rep, "sh").groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    base.join(starts, Seq("doc_id"), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("covered",
+        array_distinct(flatten(transform(col("starts"),
+          st => sequence(st, st + lit(SpanN - 1))))))
+      .withColumn("kept",
+        filter(col("toks"), (t, i) => !array_contains(col("covered"), i)))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(array_join(col("kept"), " ").cast("binary")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanRemovalSql: String = {
+    val gram = (0 until SpanN).map(k => s"t[pos+$k]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, ${graft.pipeline.TextOps.tokensSql} AS t FROM documents),
+       |gi AS (
+       |  SELECT doc_id, t, unnest(CASE WHEN len(t) >= $SpanN
+       |    THEN range(1, len(t) - ${SpanN - 2}) ELSE [] END) AS pos
+       |  FROM w),
+       |g AS (SELECT doc_id, pos, $gram AS sh FROM gi),
+       |rep AS (SELECT sh FROM g GROUP BY sh HAVING count(*) >= 2),
+       |st AS (
+       |  SELECT doc_id, list_sort(list(pos)) AS starts
+       |  FROM g JOIN rep USING (sh) GROUP BY doc_id),
+       |cov AS (
+       |  SELECT w.doc_id, t,
+       |    list_distinct(flatten(list_transform(coalesce(starts, []),
+       |      s -> range(s, s + $SpanN)))) AS covered
+       |  FROM w LEFT JOIN st ON w.doc_id = st.doc_id),
+       |k AS (
+       |  SELECT doc_id, t,
+       |    list_filter(t, (x, i) -> NOT list_contains(covered, i)) AS kept
+       |  FROM cov)
+       |SELECT doc_id,
+       |  CAST(len(t) AS BIGINT) AS n_toks,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+       |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_span_removal"  -> (spanRemoval _),
     "dataset_similarity"  -> (datasetSimilarity _),
     "dedup_lines"         -> (dedupLines _),
     "dedup_exact"         -> (exact _),
@@ -902,6 +977,7 @@ object Dedup {
     "dataset_similarity_check" -> (datasetSimilarityCheck _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_span_removal"  -> spanRemovalSql,
     "dedup_lines"         -> dedupLinesSql,
     "dedup_exact"         -> exactSql,
     "dedup_normalized"    -> normalizedSql,

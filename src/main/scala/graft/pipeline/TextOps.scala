@@ -1554,7 +1554,142 @@ object TextOps {
        |    AS DOUBLE) / any_value(n.n), 6) AS keep_frac
        |FROM q, g, n GROUP BY i ORDER BY threshold""".stripMargin
 
+  /** C61 `text_bm25`: Okapi BM25 relevance scoring against a fixed
+    * keyword query — the lexical half of every retrieval / data-
+    * curation stack (and the scoring function behind "keep documents
+    * relevant to topic X" corpus filters). Standard k1=1.2, b=0.75 with
+    * the Lucene non-negative idf `ln(1 + (N-df+0.5)/(df+0.5))`.
+    * Shapes at 100 TB: the document-length table is a narrow per-row
+    * map; tf is one partial-agg groupBy over only the rows matching
+    * the (tiny, broadcast) query-term set; df/N/avgdl are scalar
+    * aggregates broadcast back. Per-term contributions quantize to
+    * 10 dp before the per-doc sum (C60's convention), final 6-dp snap;
+    * ranking happens on the snapped score so both engines agree. The
+    * top-100 cut is orderBy+limit → TakeOrderedAndProject (no global
+    * sort); the rank column is derived on the ≤100 surviving rows.
+    */
+  val Bm25Terms = Seq("hash", "join", "vector", "stream")
+  val Bm25TopN = 100
+
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val corpus = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val qtoks = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+    val tf = qtoks.groupBy(col("doc_id"), col("term"))
+      .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
+    val df = qtoks.groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val idf = df.crossJoin(broadcast(corpus))
+      .select(col("term"),
+        round(log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))), 6).as("idf"),
+        col("avgdl"))
+    val scored = tf.join(broadcast(idf), "term")
+      .withColumn("contrib", round(col("idf") *
+        (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))),
+        10))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"), round(sum(col("contrib")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(Bm25TopN)
+    scored.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .orderBy(col("rank"))
+  }
+
+  val bm25Sql: String = {
+    val terms = Bm25Terms.mkString("('", "', '", "')")
+    s"""WITH docs AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+       |corpus AS (SELECT count(*) AS n_docs,
+       |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+       |qt AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+       |m AS (SELECT qt.doc_id, term, dl.dl FROM qt JOIN dl USING (doc_id)
+       |      WHERE term IN $terms),
+       |tf AS (SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+       |       FROM m GROUP BY doc_id, term),
+       |idf AS (SELECT term,
+       |  round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |                 / (CAST(df AS DOUBLE) + 0.5)), 6) AS idf, avgdl
+       |  FROM (SELECT term, count(DISTINCT doc_id) AS df FROM m GROUP BY term), corpus),
+       |scored AS (
+       |  SELECT doc_id, count(*) AS n_matched,
+       |    round(sum(round(idf * (CAST(tf AS DOUBLE) * 2.2)
+       |      / (CAST(tf AS DOUBLE)
+       |         + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))), 10)), 6) AS score
+       |  FROM tf JOIN idf USING (term) GROUP BY doc_id
+       |  ORDER BY score DESC, doc_id LIMIT $Bm25TopN)
+       |SELECT doc_id, n_matched, score,
+       |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |FROM scored ORDER BY rank""".stripMargin
+  }
+
+  /** C62 `corpus_zipf`: Zipf's-law fit over the term-frequency
+    * distribution — the corpus-health diagnostic next to C56's
+    * Heaps-law curve (natural text sits near slope −1; machine spam,
+    * template floods, or tokenizer damage bend it). One map-side-
+    * combined term count is the only data-proportional pass; the rank
+    * window and the OLS fit run over the top-$ZipfTopV rows of the
+    * aggregated vocabulary table (tiny — at 100 TB cap the vocabulary
+    * exactly like C48's top-V). ln(rank)/ln(freq) grid points quantize
+    * to 10 dp before the regression sums, final 6-dp snap.
+    */
+  val ZipfTopV = 100
+
+  def corpusZipf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val ranked = tc
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= ZipfTopV)
+      .select(round(log(col("rank").cast("double")), 10).as("x"),
+        round(log(col("c").cast("double")), 10).as("y"))
+    ranked.agg(
+        count(lit(1)).cast("double").as("v"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(round(col("x") * col("y"), 10)).as("sxy"),
+        sum(round(col("x") * col("x"), 10)).as("sxx"))
+      .select(col("v").cast("long").as("n_terms"),
+        round((col("v") * col("sxy") - col("sx") * col("sy")) /
+              (col("v") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - ((col("v") * col("sxy") - col("sx") * col("sy")) /
+              (col("v") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("v"), 6)
+          .as("intercept"))
+  }
+
+  val corpusZipfSql: String =
+    s"""WITH tc AS (
+       |  SELECT term, count(*) AS c
+       |  FROM (SELECT unnest($tokensSql) AS term FROM documents) GROUP BY term),
+       |ranked AS (
+       |  SELECT round(ln(CAST(rank AS DOUBLE)), 10) AS x,
+       |         round(ln(CAST(c AS DOUBLE)), 10) AS y
+       |  FROM (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rank FROM tc)
+       |  WHERE rank <= $ZipfTopV),
+       |s AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS v, sum(x) AS sx, sum(y) AS sy,
+       |    sum(round(x * y, 10)) AS sxy, sum(round(x * x, 10)) AS sxx
+       |  FROM ranked)
+       |SELECT CAST(v AS BIGINT) AS n_terms,
+       |  round((v * sxy - sx * sy) / (v * sxx - sx * sx), 6) AS slope,
+       |  round((sy - ((v * sxy - sx * sy) / (v * sxx - sx * sx)) * sx) / v, 6)
+       |    AS intercept
+       |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25"        -> (bm25 _),
+    "corpus_zipf"      -> (corpusZipf _),
     "corpus_threshold_sweep" -> (thresholdSweep _),
     "text_vocab_coverage" -> (vocabCoverage _),
     "text_boilerplate" -> (boilerplate _),
@@ -1589,6 +1724,8 @@ object TextOps {
     "text_tfidf"       -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "text_bm25"        -> bm25Sql,
+    "corpus_zipf"      -> corpusZipfSql,
     "corpus_threshold_sweep" -> thresholdSweepSql,
     "text_vocab_coverage" -> vocabCoverageSql,
     "text_boilerplate" -> boilerplateSql,

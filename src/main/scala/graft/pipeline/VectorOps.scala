@@ -1071,7 +1071,210 @@ object VectorOps {
        |SELECT vec_id, cluster_id, keeper_id, cos_sim
        |FROM pairs ORDER BY vec_id""".stripMargin
 
+  /** C64 `corpus_embedding_drift`: per-slice embedding-distribution
+    * drift — the cosine of each label's centroid against the corpus
+    * centroid. The semantic-space health check next to C60's lexical
+    * KL: a slice whose centroid swings away from the corpus (scraper
+    * regression, adversarial injection, a new domain) shows up as a
+    * falling cosine before any lexical signal moves. Determinism at
+    * the strict hash gate: float components quantize to integer
+    * millionths FIRST, so every sum is an exact integer sum (order-
+    * independent — no float-accumulation divergence between engines or
+    * between 32 and 1000 partitions); the scale factors n·10⁶ cancel
+    * inside the cosine, so the whole similarity is integer arithmetic
+    * until one final double division. Shape at 100 TB: ONE map-side-
+    * combined (label, dim) aggregation over the exploded stream — the
+    * centroid table is |labels|×dim rows; everything after is
+    * broadcast-sized.
+    */
+  def embeddingDrift(s: SparkSession, d: String): DataFrame = {
+    val comp = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+      .withColumn("q", round(col("v").cast("double") * lit(1000000.0), 0).cast("long"))
+    val byL = comp.groupBy(col("label"), col("idx"))
+      .agg(sum(col("q")).as("sl"), count(lit(1)).as("nl"))
+    val glob = comp.groupBy(col("idx")).agg(sum(col("q")).as("sg"))
+    // cos(centroid_l, centroid_g) = Σ sl·sg / (√Σsl² · √Σsg²): the
+    // 1/(n·10⁶) centroid scales cancel. decimal(38,0) keeps the
+    // products exact at any corpus size (long would overflow ~10¹⁸).
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    byL.join(glob, "idx")
+      .groupBy(col("label"))
+      .agg(first(col("nl")).as("n_vecs"),
+        sum(dec(col("sl")) * dec(col("sg"))).as("dot_lg"),
+        sum(dec(col("sl")) * dec(col("sl"))).as("dot_ll"),
+        sum(dec(col("sg")) * dec(col("sg"))).as("dot_gg"))
+      .select(col("label"), col("n_vecs"),
+        round(col("dot_lg").cast("double") /
+          (sqrt(col("dot_ll").cast("double")) * sqrt(col("dot_gg").cast("double"))), 6)
+          .as("cos_to_global"))
+      .orderBy(col("label"))
+  }
+
+  val embeddingDriftSql: String =
+    """WITH comp AS (
+      |  SELECT label, i AS idx,
+      |    CAST(round(CAST(v AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS q
+      |  FROM (SELECT label, unnest(embedding) AS v,
+      |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+      |byl AS (SELECT label, idx, sum(q) AS sl, count(*) AS nl
+      |        FROM comp GROUP BY label, idx),
+      |gc AS (SELECT idx, sum(q) AS sg FROM comp GROUP BY idx)
+      |SELECT label, any_value(nl) AS n_vecs,
+      |  round(CAST(sum(sl * sg) AS DOUBLE) /
+      |    (sqrt(CAST(sum(sl * sl) AS DOUBLE)) * sqrt(CAST(sum(sg * sg) AS DOUBLE))), 6)
+      |    AS cos_to_global
+      |FROM byl JOIN gc USING (idx)
+      |GROUP BY label ORDER BY label""".stripMargin
+
+  /** C65 `search_hybrid_rrf`: hybrid lexical+semantic retrieval with
+    * reciprocal-rank fusion (the standard RRF k=60 of Cormack et al.)
+    * — the retrieval shape modern RAG/data-curation stacks run: a BM25
+    * ranking and an exact-cosine ranking over the same candidate
+    * universe (ids present in BOTH documents and embeddings), fused as
+    * Σ 1/(60+rank) over the top-[[RrfDepth]] of each modality, top-10
+    * per query emitted. The query set is the C6 convention (id <
+    * [[NQueries]]); a query's lexical form is its own distinct token
+    * set (query-by-example). Shapes at 100 TB: the query×term table is
+    * tiny and broadcast into the tf join; index stats (df, avgdl) are
+    * scalar/term-keyed aggregates; each modality cuts to RrfDepth
+    * BEFORE the fusion join, so the fused table is ≤ 2·depth·queries
+    * rows. Ranks compare 6-dp-snapped scores with id tie-breaks, so
+    * both engines rank identically; absent-modality ranks surface as
+    * -1 (never NULL — nullable BIGINT would dtype-drift the gate).
+    */
+  val RrfK = 60
+  val RrfDepth = 50
+  val HybridTopK = 10
+
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), graft.pipeline.TextOps.tokens(col("text")).as("toks"))
+    val embs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cands = docs.join(embs, docs("doc_id") === embs("vec_id"))
+      .select(col("doc_id"), col("toks"), col("embedding"))
+    // lexical half: BM25 (C61's constants) of each query's token set
+    val qterms = cands.filter(col("doc_id") < NQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(col("toks"))).as("term"))
+    val stats = cands.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(size(col("toks")).cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl"))
+    val tf = cands
+      .select(col("doc_id").as("cand_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("cand_id"), col("term"))
+      .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("term"))
+      .agg(count_distinct(col("cand_id")).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        round(log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))), 6).as("idf"),
+        col("avgdl"))
+    val wq = Window.partitionBy(col("query_id"))
+    val bm = tf.join(broadcast(idf), "term").join(broadcast(qterms), "term")
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("contrib", round(col("idf") *
+        (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))),
+        10))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(round(sum(col("contrib")), 6).as("bm_score"))
+      .withColumn("r_bm25", row_number()
+        .over(wq.orderBy(col("bm_score").desc, col("cand_id"))).cast("long"))
+      .filter(col("r_bm25") <= RrfDepth)
+      .select(col("query_id"), col("cand_id"), col("r_bm25"))
+    // semantic half: exact cosine, C6's ranking convention
+    val q = cands.filter(col("doc_id") < NQueries)
+      .select(col("doc_id").as("query_id"), col("embedding").as("q_emb"))
+    val cos = broadcast(q)
+      .join(cands.select(col("doc_id").as("cand_id"), col("embedding").as("c_emb")),
+        col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim", round(exprs.cosineSim(col("q_emb"), col("c_emb")), 6))
+      .withColumn("r_cos", row_number()
+        .over(wq.orderBy(col("cos_sim").desc, col("cand_id"))).cast("long"))
+      .filter(col("r_cos") <= RrfDepth)
+      .select(col("query_id"), col("cand_id"), col("r_cos"))
+    bm.join(cos, Seq("query_id", "cand_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60.0) + col("r_bm25").cast("double")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("r_cos").cast("double")), lit(0.0)), 6))
+      .withColumn("r_bm25", coalesce(col("r_bm25"), lit(-1L)))
+      .withColumn("r_cos", coalesce(col("r_cos"), lit(-1L)))
+      .withColumn("rank", row_number()
+        .over(wq.orderBy(col("rrf").desc, col("cand_id"))).cast("long"))
+      .filter(col("rank") <= HybridTopK)
+      .select(col("query_id"), col("cand_id"), col("r_bm25"), col("r_cos"),
+        col("rrf"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val hybridRrfSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${graft.pipeline.TextOps.tokensSql} AS toks FROM documents),
+       |cands AS (
+       |  SELECT doc_id, toks, embedding::DOUBLE[] AS emb
+       |  FROM docs JOIN embeddings ON doc_id = vec_id),
+       |stats AS (SELECT count(*) AS n_docs,
+       |  CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM cands),
+       |qterms AS (
+       |  SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+       |  FROM cands WHERE doc_id < $NQueries),
+       |tf AS (
+       |  SELECT cand_id, term, any_value(dl) AS dl, count(*) AS tf
+       |  FROM (SELECT doc_id AS cand_id, CAST(len(toks) AS BIGINT) AS dl,
+       |          unnest(toks) AS term FROM cands)
+       |  GROUP BY cand_id, term),
+       |idf AS (
+       |  SELECT term, round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |                 / (CAST(df AS DOUBLE) + 0.5)), 6) AS idf, avgdl
+       |  FROM (SELECT term, count(DISTINCT cand_id) AS df FROM tf GROUP BY term), stats),
+       |bm AS (
+       |  SELECT query_id, cand_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY bm_score DESC, cand_id)
+       |      AS r_bm25
+       |  FROM (
+       |    SELECT query_id, cand_id,
+       |      round(sum(round(idf * (CAST(tf AS DOUBLE) * 2.2)
+       |        / (CAST(tf AS DOUBLE)
+       |           + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))), 10)), 6)
+       |        AS bm_score
+       |    FROM tf JOIN idf USING (term) JOIN qterms USING (term)
+       |    WHERE cand_id <> query_id
+       |    GROUP BY query_id, cand_id)
+       |  QUALIFY r_bm25 <= $RrfDepth),
+       |cos AS (
+       |  SELECT query_id, cand_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id)
+       |      AS r_cos
+       |  FROM (
+       |    SELECT q.doc_id AS query_id, n.doc_id AS cand_id,
+       |      round(list_dot_product(q.emb, n.emb)
+       |        / (sqrt(list_dot_product(q.emb, q.emb))
+       |           * sqrt(list_dot_product(n.emb, n.emb))), 6) AS cos_sim
+       |    FROM cands q JOIN cands n ON q.doc_id <> n.doc_id
+       |    WHERE q.doc_id < $NQueries)
+       |  QUALIFY r_cos <= $RrfDepth)
+       |SELECT query_id, cand_id,
+       |  coalesce(r_bm25, -1) AS r_bm25, coalesce(r_cos, -1) AS r_cos,
+       |  round(coalesce(1.0 / (60.0 + CAST(r_bm25 AS DOUBLE)), 0.0)
+       |      + coalesce(1.0 / (60.0 + CAST(r_cos AS DOUBLE)), 0.0), 6) AS rrf,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY
+       |    round(coalesce(1.0 / (60.0 + CAST(r_bm25 AS DOUBLE)), 0.0)
+       |        + coalesce(1.0 / (60.0 + CAST(r_cos AS DOUBLE)), 0.0), 6) DESC, cand_id)
+       |    AS rank
+       |FROM bm FULL OUTER JOIN cos USING (query_id, cand_id)
+       |QUALIFY rank <= $HybridTopK
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_embedding_drift" -> (embeddingDrift _),
+    "search_hybrid_rrf" -> (hybridRrf _),
     "dedup_semantic"  -> (semanticDedup _),
     "dedup_semantic_kmeans" -> (semanticDedupKmeans _),
     "dedup_semantic_kmeans_check" -> (semanticDedupKmeansCheck _),
@@ -1089,6 +1292,8 @@ object VectorOps {
     "ann_ivf"         -> (annIvf _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_embedding_drift" -> embeddingDriftSql,
+    "search_hybrid_rrf" -> hybridRrfSql,
     "dedup_semantic"  -> semanticDedupSql,
     "dedup_semantic_kmeans_check" -> semanticDedupKmeansCheckSql,
     "dedup_embedding" -> embeddingPairsSql,

@@ -1386,4 +1386,161 @@ class PipelineSpec extends SparkSpec {
     // normalization can only coarsen the raw-exact grouping
     assert(canon.size <= docs.map(_._2).distinct.length)
   }
+
+  test("C61 BM25: score decomposes into per-term contributions, rank follows score") {
+    val out = TextOps.bm25(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= TextOps.Bm25TopN)
+    // ranks are 1..n in (score desc, doc_id) order
+    val byRank = out.sortBy(_.getAs[Long]("rank"))
+    assert(byRank.map(_.getAs[Long]("rank")).toSeq === (1L to out.length).toSeq)
+    val scores = byRank.map(r => (r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
+    assert(scores.sliding(2).forall { case Array((s1, d1), (s2, d2)) =>
+      s1 > s2 || (s1 == s2 && d1 < d2) })
+    // every scored doc matches at least one query term; recompute one
+    // doc's score from scratch (no Spark) to pin the BM25 arithmetic
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def toks(t: String) =
+      t.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val dls = docs.view.mapValues(t => toks(t).length.toLong).toMap
+    val n = docs.size.toDouble
+    val avgdl = dls.values.sum.toDouble / n
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r10(x: Double) = BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dfs = TextOps.Bm25Terms.map(t =>
+      t -> docs.count { case (_, txt) => toks(txt).contains(t) }).toMap
+    val top = byRank.head
+    val id = top.getAs[Long]("doc_id")
+    val tf = toks(docs(id)).groupBy(identity).view.mapValues(_.length).toMap
+    val exp = r6(TextOps.Bm25Terms.flatMap { t =>
+      val f = tf.getOrElse(t, 0)
+      if (f == 0) None else {
+        val idf = r6(math.log(1.0 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5)))
+        Some(r10(idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * (dls(id) / avgdl)))))
+      }
+    }.sum)
+    assert(top.getAs[Double]("score") === exp)
+    assert(top.getAs[Long]("n_matched") ===
+      TextOps.Bm25Terms.count(t => tf.contains(t)).toLong)
+  }
+
+  test("C62 Zipf fit: slope negative, OLS recomputed from the rank table") {
+    val row = TextOps.corpusZipf(spark, sfDir).collect().head
+    val nTerms = row.getAs[Long]("n_terms")
+    assert(nTerms > 0 && nTerms <= TextOps.ZipfTopV)
+    // natural-ish text: frequencies fall with rank
+    assert(row.getAs[Double]("slope") < 0.0)
+    // recompute the OLS fit from scratch
+    def toks(t: String) =
+      t.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r10(x: Double) = BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val counts = Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap(r => toks(r.getString(0)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(TextOps.ZipfTopV)
+    val pts = counts.zipWithIndex.map { case ((_, c), i) =>
+      (r10(math.log(i + 1.0)), r10(math.log(c.toDouble))) }
+    val v = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map { case (x, y) => r10(x * y) }.sum
+    val sxx = pts.map { case (x, _) => r10(x * x) }.sum
+    val slope = (v * sxy - sx * sy) / (v * sxx - sx * sx)
+    assert(nTerms === pts.length.toLong)
+    assert(row.getAs[Double]("slope") === r6(slope))
+    assert(row.getAs[Double]("intercept") === r6((sy - slope * sx) / v))
+  }
+
+  test("C63 span removal: planted shared span removed, unique docs untouched") {
+    import spark.implicits._
+    val shared = (1 to 25).map(i => s"shared$i").mkString(" ")
+    val plant = Seq(
+      (1L, s"alpha beta $shared gamma"),          // shared 25-gram, offset 2
+      (2L, s"$shared delta epsilon zeta"),        // same span at offset 0
+      (3L, "totally unique words that never repeat anywhere else at all"),
+      (4L, "short doc")                            // < 20 tokens: no grams
+    ).toDF("doc_id", "text")
+    // reuse the production operator body against the planted frame
+    val grams = plant.select(col("doc_id"),
+      posexplode(exprs.shingleHashesAll(col("text"), Dedup.SpanN)).as(Seq("pos", "sh")))
+    val rep = grams.groupBy("sh").count().filter(col("count") >= 2).select("sh")
+    val starts = grams.join(rep, "sh").groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    val out = plant.join(starts, Seq("doc_id"), "left")
+      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("covered", array_distinct(flatten(transform(col("starts"),
+        st => sequence(st, st + lit(Dedup.SpanN - 1))))))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("kept", filter(col("toks"), (t, i) => !array_contains(col("covered"), i)))
+      .select(col("doc_id"), col("kept"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    // doc 1: tokens 2..28 are inside some duplicated 20-gram (the 25
+    // shared tokens span starts 2..9 → covered 2..28); alpha/beta/gamma
+    // survive only where no duplicated gram covers them
+    assert(out(1L).take(2) === Seq("alpha", "beta"))
+    assert(out(1L).forall(t => !t.startsWith("shared")))
+    assert(out(2L).forall(t => !t.startsWith("shared")))
+    // the unique doc and the short doc are untouched
+    assert(out(3L).length === 10)
+    assert(out(4L) === Seq("short", "doc"))
+    // the production entry at sf: removal counts are consistent and the
+    // kept+removed partition is exact
+    val prod = Dedup.spanRemoval(spark, sfDir).collect()
+    assert(prod.forall(r => r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed")
+      === r.getAs[Long]("n_toks")))
+  }
+
+  test("C64 embedding drift: cosine bounded, integer-quantized centroids exact") {
+    val out = VectorOps.embeddingDrift(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => math.abs(r.getAs[Double]("cos_to_global")) <= 1.0))
+    // recompute one label's cosine from the raw vectors with the same
+    // integer quantization — exact equality, not epsilon
+    val vecs = Tables.embeddings(spark, sfDir).select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(v =>
+        BigDecimal(v.toDouble * 1000000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
+    val dim = vecs.head._2.length
+    val lbl = out.head.getAs[Int]("label")
+    def centroidSums(vs: Seq[Seq[Long]]) =
+      (0 until dim).map(i => vs.map(_(i)).map(BigInt(_)).sum)
+    val sl = centroidSums(vecs.filter(_._1 == lbl).map(_._2).toSeq)
+    val sg = centroidSums(vecs.map(_._2).toSeq)
+    val dot = (sl, sg).zipped.map(_ * _).sum
+    val cos = dot.toDouble /
+      (math.sqrt(sl.map(x => x * x).sum.toDouble) * math.sqrt(sg.map(x => x * x).sum.toDouble))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head.getAs[Double]("cos_to_global") === r6(cos))
+    assert(out.map(_.getAs[Long]("n_vecs")).sum ===
+      Tables.embeddings(spark, sfDir).count())
+  }
+
+  test("C65 hybrid RRF: fusion arithmetic exact, dual-rank-1 wins, depth respected") {
+    val out = VectorOps.hybridRrf(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size <= VectorOps.NQueries)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((_, rows) <- byQ) {
+      val byRank = rows.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq === (1L to rows.length).toSeq)
+      assert(rows.length <= VectorOps.HybridTopK)
+      for (r <- rows) {
+        val (rb, rc) = (r.getAs[Long]("r_bm25"), r.getAs[Long]("r_cos"))
+        assert(rb == -1L || (rb >= 1L && rb <= VectorOps.RrfDepth))
+        assert(rc == -1L || (rc >= 1L && rc <= VectorOps.RrfDepth))
+        assert(rb != -1L || rc != -1L)
+        val exp = r6((if (rb == -1L) 0.0 else 1.0 / (60.0 + rb)) +
+                     (if (rc == -1L) 0.0 else 1.0 / (60.0 + rc)))
+        assert(r.getAs[Double]("rrf") === exp)
+      }
+      // a candidate ranked 1 by BOTH modalities can't be beaten
+      byRank.find(r => r.getAs[Long]("r_bm25") == 1L && r.getAs[Long]("r_cos") == 1L)
+        .foreach(r => assert(r.getAs[Long]("rank") === 1L))
+      // fused order follows (rrf desc, cand_id)
+      val keys = byRank.map(r => (r.getAs[Double]("rrf"), r.getAs[Long]("cand_id")))
+      assert(keys.sliding(2).forall { case Array((s1, c1), (s2, c2)) =>
+        s1 > s2 || (s1 == s2 && c1 < c2) })
+    }
+  }
 }
