@@ -689,6 +689,62 @@ object GateQueries {
   val lakeRestoreSql: String =
     s"SELECT $selSql FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey"
 
+  // ---- A82 TRUNCATE TABLE --------------------------------------------
+
+  /** `lake_truncate` (A82): `TRUNCATE TABLE` commits a metadata-only
+    * empty-file-set snapshot — O(1) regardless of table size (no file
+    * IO, no rewrite; the same property that makes A36's metadata
+    * deletes matter at 100 TB). History is preserved: time travel
+    * still reads the pre-truncate contents, and the table stays fully
+    * writable — the entry re-fills it and reads the new contents back.
+    */
+  def lakeTruncate(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val t = GraftTable.create(s, work(d, "truncq"),
+      byStatus(o.filter(col("o_orderkey") < 3000)), Seq("o_orderstatus"))
+    t.append(byStatus(o.filter(col("o_orderkey") >= 3000)))
+    GraftCatalog.register("gate_trunc", t.root)
+    val preCount = t.read().count()
+    s.sql("TRUNCATE TABLE gate_trunc")
+    val t2 = new GraftTable(t.root, s)
+    require(t2.current.operation == "truncate",
+      "TRUNCATE must commit a truncate snapshot")
+    require(t2.current.files.isEmpty, "truncate file set must be empty")
+    require(t2.read().count() == 0L, "post-truncate scan must be empty")
+    require(t2.readAsOfId(2L).count() == preCount,
+      "time travel must still read the pre-truncate contents")
+    t2.append(byStatus(o.filter(col("o_orderkey") < 2000)))
+    sel(new GraftTable(t.root, s).read())
+  }
+
+  val lakeTruncateSql: String =
+    s"SELECT $selSql FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"
+
+  // ---- A83 SHOW PARTITIONS -------------------------------------------
+
+  /** `lake_show_partitions` (A83): the Hive/Spark/Iceberg `SHOW
+    * PARTITIONS t` spelling routes to the `$partitions` manifest
+    * rollup — O(metadata), zero data access at any table size. The
+    * oracle recomputes partition rows from the source table; file
+    * counts and bytes are physical (layout-dependent) and stay out of
+    * the oracled projection.
+    */
+  def lakeShowPartitions(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "showpartsq"),
+      byStatus(orders(s, d)), Seq("o_orderstatus"))
+    GraftCatalog.register("gate_showparts", t.root)
+    val out = s.sql("SHOW PARTITIONS gate_showparts")
+    require(out.columns.toSeq ==
+      Seq("partition", "n_files", "n_rows", "n_bytes"),
+      "SHOW PARTITIONS must surface the $partitions rollup")
+    out.select(col("partition"), col("n_rows")).orderBy(col("partition"))
+  }
+
+  val lakeShowPartitionsSql: String =
+    """SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+      |  count(*) AS n_rows
+      |FROM orders GROUP BY o_orderstatus ORDER BY partition""".stripMargin
+
   // ---- A49 DSv2 TableCatalog ----------------------------------------
 
   /** `lake_v2_catalog` (A49): reads and writes through Spark's V2
@@ -1191,6 +1247,8 @@ object GateQueries {
     "lake_detail"           -> (lakeDetail _),
     "lake_analyze"          -> (lakeAnalyze _),
     "lake_restore"          -> (lakeRestore _),
+    "lake_truncate"         -> (lakeTruncate _),
+    "lake_show_partitions"  -> (lakeShowPartitions _),
     "lake_v2_catalog"       -> (lakeV2Catalog _),
     "lake_version_asof"     -> (lakeVersionAsof _),
     "lake_stats_check"      -> (lakeStatsCheck _),
@@ -1226,6 +1284,8 @@ object GateQueries {
     "lake_detail"           -> lakeDetailSql,
     "lake_analyze"          -> lakeAnalyzeSql,
     "lake_restore"          -> lakeRestoreSql,
+    "lake_truncate"         -> lakeTruncateSql,
+    "lake_show_partitions"  -> lakeShowPartitionsSql,
     "lake_v2_catalog"       -> lakeV2CatalogSql,
     "lake_version_asof"     -> lakeVersionAsofSql,
     "lake_stats_check"      -> lakeStatsCheckSql,

@@ -235,6 +235,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*restore\s+table\s+([\w.]+)\s+to\s+version\s+as\s+of\s+(\d+)\s*""".r
   private val RestoreTimestampRe =
     """(?is)\s*restore\s+table\s+([\w.]+)\s+to\s+timestamp\s+as\s+of\s+'([^']+)'\s*""".r
+  // SHOW PARTITIONS t — Hive/Spark/Iceberg parity spelling for the
+  // `$partitions` rollup: O(metadata), zero data access
+  private val ShowPartitionsRe =
+    """(?is)\s*show\s+partitions\s+([\w.]+)\s*""".r
   private val AddConstraintRe =
     """(?is)\s*alter\s+table\s+([\w.]+)\s+add\s+constraint\s+(\w+)\s+check\s*\((.+)\)\s*""".r
   private val DropConstraintRe =
@@ -269,6 +273,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         return GraftRefreshMatViewCommand(name.toLowerCase)
       case DescribeDetailRe(name) if GraftCatalog.lookup(name).isDefined =>
         return GraftDescribeDetailCommand(name.toLowerCase)
+      case ShowPartitionsRe(name) if GraftCatalog.lookup(name).isDefined =>
+        return Shim.logicalPlan(
+          new GraftTable(GraftCatalog.lookup(name).get, session).partitionsView)
       case RestoreVersionRe(name, v) if GraftCatalog.lookup(name).isDefined =>
         return GraftRestoreCommand(name.toLowerCase, Some(v.toLong), None)
       case RestoreTimestampRe(name, ts) if GraftCatalog.lookup(name).isDefined =>

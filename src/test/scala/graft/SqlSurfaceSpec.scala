@@ -129,6 +129,16 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(t.readAsOfId(t.current.parentId).count() === before, "history intact")
   }
 
+  test("SHOW PARTITIONS equals the $partitions rollup, metadata-only") {
+    val t = mkTable("showparts")
+    GraftCatalog.register("t_showparts", t.root)
+    val shown = spark.sql("SHOW PARTITIONS t_showparts").collect()
+    val view = spark.sql("SELECT * FROM `t_showparts$partitions`").collect()
+    assert(shown.map(_.toSeq).toSeq.sortBy(_.head.toString) ===
+      view.map(_.toSeq).toSeq.sortBy(_.head.toString))
+    assert(shown.nonEmpty && shown.forall(_.getAs[Long]("n_rows") > 0L))
+  }
+
   test("ALTER TABLE REPARTITION BY evolves the partition spec from SQL") {
     val t = mkTable("respecsql")
     GraftCatalog.register("t_respec", t.root)
