@@ -133,7 +133,13 @@ object ScaleBench {
     "text_vocab_coverage", "text_boilerplate", "corpus_threshold_sweep",
     "mm_video_frames", "sample_temperature", "sample_stratified",
     "text_entropy", "dedup_containment", "text_ppl_buckets", "ann_sq",
-    "corpus_vocab_growth", "stream_topk")
+    "corpus_vocab_growth", "stream_topk",
+    // wave-3 ops. search_hybrid_rrf is deliberately absent: its
+    // candidate universe is documents∩embeddings ids, and the synthetic
+    // copies offset doc_id by 10⁷ but vec_id by 10⁶ — the intersection
+    // stays the copy-0 corpus, so a "10×" run would time the same
+    // candidate set (its halves scale as text_bm25 + ann_bruteforce)
+    "text_bm25", "corpus_zipf", "dedup_span_removal", "corpus_embedding_drift")
 
   /** Lake DML + streaming-source scale probe: the same operation
     * sequence at 1× and 10× data, so commit latency, COW rewrite
