@@ -1687,7 +1687,73 @@ object TextOps {
        |    AS intercept
        |FROM s""".stripMargin
 
+  /** Per-doc deflate statistics for C66 — a REAL zlib pass (the
+    * FineWeb/Gopher "compression ratio" junk signal: machine-generated
+    * repetition compresses far better than natural text, binary blobs
+    * and high-entropy junk compress worse). One Deflater per PARTITION
+    * (native-memory codec init amortized across rows, freed on task
+    * completion — the mm-decode idiom), so the op is a narrow per-row
+    * map at any corpus size.
+    */
+  final case class DeflateStat(doc_id: Long, n_bytes: Long, n_deflate: Long, ratio: Double)
+
+  def compressionStats(s: SparkSession, docs: DataFrame): org.apache.spark.sql.Dataset[DeflateStat] = {
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, false)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => deflater.end()))
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset(); deflater.setInput(in); deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          DeflateStat(id, in.length.toLong, n,
+            BigDecimal(n.toDouble / math.max(in.length, 1).toDouble)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+  }
+
+  /** C66 `text_compression`: the deflate-ratio signal as a gate entry.
+    * Compressed lengths are codec-internal (no SQL spelling), so the
+    * driver row carries corpus-level invariants the entry *proves* by
+    * require() — the check-entry idiom the lake gates use — while the
+    * per-doc dataset ([[compressionStats]]) is the reusable operator
+    * and the spec pins the codec round-trip.
+    */
+  def textCompression(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stats = compressionStats(s, Tables.documents(s, d))
+    val row = stats.agg(
+      count(lit(1)).as("n"),
+      min(col("ratio")).as("lo"), max(col("ratio")).as("hi"),
+      sum(when(col("n_deflate") <= 0L, 1L).otherwise(0L)).as("bad")).head()
+    require(row.getAs[Long]("bad") == 0L, "every document must deflate to >0 bytes")
+    require(row.getAs[Double]("lo") > 0.0 && row.getAs[Double]("hi") < 2.0,
+      s"deflate ratios out of the sane band: [${row.getAs[Double]("lo")}, ${row.getAs[Double]("hi")}]")
+    // planted contrast: a pathologically repetitive doc must compress
+    // strictly better than distinct-token text of the same length
+    val rep = ("token " * 200).trim
+    val varied = (0 until 200).map(i => s"tok$i").mkString(" ").take(rep.length)
+    val planted = compressionStats(s,
+      Seq((1L, rep), (2L, varied)).toDF("doc_id", "text")).collect()
+      .map(st => st.doc_id -> st.ratio).toMap
+    require(planted(1L) < planted(2L),
+      s"repetition must compress better: ${planted(1L)} vs ${planted(2L)}")
+    Seq((row.getAs[Long]("n"), true, true))
+      .toDF("n_docs", "ratios_bounded", "repetitive_compresses_better")
+  }
+
+  val textCompressionSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS ratios_bounded,
+      |  true AS repetitive_compresses_better FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_compression" -> (textCompression _),
     "text_bm25"        -> (bm25 _),
     "corpus_zipf"      -> (corpusZipf _),
     "corpus_threshold_sweep" -> (thresholdSweep _),
@@ -1724,6 +1790,7 @@ object TextOps {
     "text_tfidf"       -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "text_compression" -> textCompressionSql,
     "text_bm25"        -> bm25Sql,
     "corpus_zipf"      -> corpusZipfSql,
     "corpus_threshold_sweep" -> thresholdSweepSql,

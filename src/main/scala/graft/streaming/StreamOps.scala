@@ -917,7 +917,54 @@ object StreamOps {
       | AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
       |GROUP BY 1 ORDER BY hour""".stripMargin
 
+  /** D20 `stream_drift_monitor`: the C64 embedding-drift monitor as a
+    * CONTINUOUS streaming aggregation — the ML-observability loop that
+    * watches a feature/embedding stream for distribution shift while
+    * it ingests. Vectors arrive as a file stream; the per-(label, dim)
+    * integer-quantized component sums run as an incremental streaming
+    * aggregation in complete mode (state = |labels|×dim rows — bounded
+    * and tiny regardless of stream volume, exactly like D1's windowed
+    * counts), and the per-label centroid-vs-global cosine is derived
+    * from the drained state table. Integer sums make the monitor
+    * batch-equivalent bit-for-bit (C64's argument), so the oracle IS
+    * the batch op's oracle; the global centroid folds from the
+    * per-label state (Σ_label sl = global sum — exact, no second pass
+    * over the stream).
+    */
+  def driftMonitorStream(s: SparkSession, d: String): DataFrame = {
+    val dir = stageStreamDir(s"$d/embeddings.parquet", "driftembs")
+    val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+    val comp = s.readStream.schema(schema).parquet(dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+      .withColumn("q", round(col("v").cast("double") * lit(1000000.0), 0).cast("long"))
+    val state = comp.groupBy(col("label"), col("idx"))
+      .agg(sum(col("q")).as("sl"), count(lit(1)).as("nl"))
+    val name = s"graft_stream_drift_${math.abs(d.hashCode)}"
+    val q = state.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // global component sums fold from the state table itself via a
+    // window (Σ_label sl per dim) — a self-join of the memory view
+    // would conflict on attribute ids, and the state is |labels|×dim
+    // rows so the window is trivially small
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("idx"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    s.table(name)
+      .withColumn("sg", sum(col("sl")).over(w))
+      .groupBy(col("label"))
+      .agg(first(col("nl")).as("n_vecs"),
+        sum(dec(col("sl")) * dec(col("sg"))).as("dot_lg"),
+        sum(dec(col("sl")) * dec(col("sl"))).as("dot_ll"),
+        sum(dec(col("sg")) * dec(col("sg"))).as("dot_gg"))
+      .select(col("label"), col("n_vecs"),
+        round(col("dot_lg").cast("double") /
+          (sqrt(col("dot_ll").cast("double")) * sqrt(col("dot_gg").cast("double"))), 6)
+          .as("cos_to_global"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_drift_monitor" -> (driftMonitorStream _),
     "stream_snapshot_cap" -> (snapshotCapStream _),
     "stream_file_cap"     -> (fileCapStream _),
     "stream_tws"          -> (twsStream _),
@@ -939,6 +986,7 @@ object StreamOps {
     "stream_incremental_dedup" -> (incrementalDedupStream _))
 
   val oracles: Map[String, String] = Map(
+    "stream_drift_monitor" -> graft.pipeline.VectorOps.embeddingDriftSql,
     "stream_snapshot_cap" -> snapshotCapStreamSql,
     "stream_file_cap"     -> fileCapStreamSql,
     "stream_tws"          -> twsStreamSql,

@@ -1387,6 +1387,34 @@ class PipelineSpec extends SparkSpec {
     assert(canon.size <= docs.map(_._2).distinct.length)
   }
 
+  test("C66 compression signal: real zlib (inflate round-trip), ratios exact") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+                   (2L, ("spam " * 100).trim)).toDF("doc_id", "text")
+    val stats = TextOps.compressionStats(spark, docs).collect()
+      .map(st => st.doc_id -> st).toMap
+    // recompute each length with an independent Deflater AND prove the
+    // compressed stream inflates back to the original bytes
+    for ((id, text) <- Seq((1L, "the quick brown fox jumps over the lazy dog"),
+                           (2L, ("spam " * 100).trim))) {
+      val in = text.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater()
+      d.setInput(in); d.finish()
+      val out = new Array[Byte](in.length * 2 + 64)
+      val n = d.deflate(out); d.end()
+      assert(stats(id).n_bytes === in.length.toLong)
+      assert(stats(id).n_deflate === n.toLong)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(out, 0, n)
+      val back = new Array[Byte](in.length)
+      assert(inf.inflate(back) === in.length && back.toSeq === in.toSeq)
+      inf.end()
+    }
+    // the repetitive doc compresses far better than natural text
+    assert(stats(2L).ratio < stats(1L).ratio)
+    assert(stats(2L).ratio < 0.1 && stats(1L).ratio > 0.5)
+  }
+
   test("C61 BM25: score decomposes into per-term contributions, rank follows score") {
     val out = TextOps.bm25(spark, sfDir).collect()
     assert(out.nonEmpty && out.length <= TextOps.Bm25TopN)

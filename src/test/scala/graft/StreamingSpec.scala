@@ -789,6 +789,16 @@ class StreamingSpec extends SparkSpec {
       "replica apply should have produced equality deletes (MOR), not COW rewrites")
   }
 
+  test("D20: streaming drift monitor equals the batch C64 result bit-for-bit") {
+    val streamed = graft.streaming.StreamOps
+      .driftMonitorStream(spark, sfDir).collect().map(_.toSeq).toSeq
+    val batch = graft.pipeline.VectorOps
+      .embeddingDrift(spark, sfDir).collect().map(_.toSeq).toSeq
+    // integer-quantized sums make the incremental streaming aggregation
+    // EXACTLY the batch computation — no epsilon
+    assert(streamed === batch)
+  }
+
   test("D15: transformWithState (Spark 4 stateful API) running per-key aggregate matches batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
