@@ -27,6 +27,25 @@ case class PolyHash(child: Expression)
   override def prettyName: String = "graft_polyhash"
 }
 
+/** Unicode NFC normalization (canonical composition) — the text-
+  * cleanup pass that makes visually-identical strings byte-identical
+  * before hashing/dedup (decomposed e + U+0301 → precomposed é).
+  * Codegen'd call into `java.text.Normalizer`; stays inside
+  * whole-stage codegen like the hash kernels.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.nfc(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "graft_nfc"
+}
+
 /** Winnowing fingerprint: sorted distinct window-minima of k-gram hashes
   * (see [[Hashing.winnow]]).
   */
@@ -399,6 +418,7 @@ object exprs {
   private def ex(c: Column): Expression = Shim.expression(c)
 
   def polyHash(c: Column): Column = col(PolyHash(ex(c)))
+  def nfcNormalize(c: Column): Column = col(NfcNormalize(ex(c)))
   def wordShingles(c: Column, n: Int): Column = col(WordShingles(ex(c), n))
   def shingleHashes(c: Column, n: Int): Column = col(ShingleHashes(ex(c), n))
   /** Multiset variant: every n-gram occurrence, duplicates preserved. */

@@ -21,6 +21,18 @@ object Hashing {
     */
   def polyHash(s: UTF8String): Long = polyHashString(s.toString)
 
+  /** Unicode NFC (canonical composition) for [[graft.functions.NfcNormalize]].
+    * Fast path: `isNormalized` is O(n) with no allocation and true for
+    * virtually all real text (ASCII and precomposed Latin), so the
+    * normalizing copy is only paid by rows that actually need it.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   def polyHashString(s: String): Long = {
     var acc = 0L
     var i = 0

@@ -745,6 +745,44 @@ object GateQueries {
       |  count(*) AS n_rows
       |FROM orders GROUP BY o_orderstatus ORDER BY partition""".stripMargin
 
+  // ---- A84 CALL maintenance procedures -------------------------------
+
+  /** `lake_call_procedures` (A84): the Iceberg-parity procedural
+    * spelling of table maintenance — one lifecycle through four
+    * `CALL system.<proc>` statements (rollback → compaction rewrite →
+    * snapshot expiration → orphan sweep), each returning its
+    * (procedure, prev, current, detail) result row like Iceberg's
+    * Spark procedures. Named `arg => value` and positional forms both
+    * exercised; final contents must equal the rolled-back-to slice.
+    */
+  def lakeCallProcedures(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val t = GraftTable.create(s, work(d, "callq"),
+      byStatus(o.filter(col("o_orderkey") < 3000)), Seq("o_orderstatus"))
+    t.append(byStatus(o.filter(col("o_orderkey") >= 3000)))
+    GraftCatalog.register("gate_call", t.root)
+    val rb = s.sql(
+      "CALL system.rollback_to_snapshot(table => 'gate_call', snapshot_id => 1)").head()
+    require(rb.getLong(1) == 2L && rb.getLong(2) == 3L,
+      s"rollback must step the snapshot (got prev=${rb.getLong(1)} cur=${rb.getLong(2)})")
+    require(new GraftTable(t.root, s).current.operation == "rollback",
+      "procedural rollback must commit a rollback snapshot")
+    s.sql("CALL system.rewrite_data_files('gate_call')").collect()
+    val ex = s.sql("CALL system.expire_snapshots(table => 'gate_call')").head()
+    require(ex.getString(3).startsWith("expired"), s"unexpected detail: $ex")
+    val t2 = new GraftTable(t.root, s)
+    require(t2.snapshotIds == Seq(t2.currentId),
+      "expire keep_from=current must leave exactly the current snapshot")
+    val ro = s.sql(
+      "CALL system.remove_orphan_files(table => 'gate_call', older_than_millis => 0)").head()
+    require(ro.getLong(1) == ro.getLong(2),
+      "orphan sweep is pure control plane: no snapshot committed")
+    sel(new GraftTable(t.root, s).read())
+  }
+
+  val lakeCallProceduresSql: String =
+    s"SELECT $selSql FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey"
+
   // ---- A49 DSv2 TableCatalog ----------------------------------------
 
   /** `lake_v2_catalog` (A49): reads and writes through Spark's V2
@@ -1249,6 +1287,7 @@ object GateQueries {
     "lake_restore"          -> (lakeRestore _),
     "lake_truncate"         -> (lakeTruncate _),
     "lake_show_partitions"  -> (lakeShowPartitions _),
+    "lake_call_procedures"  -> (lakeCallProcedures _),
     "lake_v2_catalog"       -> (lakeV2Catalog _),
     "lake_version_asof"     -> (lakeVersionAsof _),
     "lake_stats_check"      -> (lakeStatsCheck _),
@@ -1286,6 +1325,7 @@ object GateQueries {
     "lake_restore"          -> lakeRestoreSql,
     "lake_truncate"         -> lakeTruncateSql,
     "lake_show_partitions"  -> lakeShowPartitionsSql,
+    "lake_call_procedures"  -> lakeCallProceduresSql,
     "lake_v2_catalog"       -> lakeV2CatalogSql,
     "lake_version_asof"     -> lakeVersionAsofSql,
     "lake_stats_check"      -> lakeStatsCheckSql,

@@ -1752,7 +1752,48 @@ object TextOps {
     """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS ratios_bounded,
       |  true AS repetitive_compresses_better FROM documents""".stripMargin
 
+  /** C67 `text_normalize`: Unicode NFC normalization — the cleanup
+    * pass that makes visually-identical strings byte-identical BEFORE
+    * content hashing / exact dedup (decomposed `e`+U+0301 and
+    * precomposed `é` md5 apart but are the same text; C1/C47 keyed on
+    * raw bytes would miss the duplicate). A custom codegen'd Catalyst
+    * expression ([[graft.functions.NfcNormalize]]) wraps the JDK
+    * normalizer with an `isNormalized` fast path, so the op is a
+    * zero-shuffle narrow map whose common case allocates nothing. The
+    * test corpus is ASCII (normalization = identity there), so the
+    * entry UNIONs planted decomposed/precomposed rows — built from
+    * codepoints on BOTH engines (chr() in DuckDB, \\u escapes here) to
+    * keep literal encoding out of the comparison; the oracle proves
+    * the planted pair CONVERGES to one md5 after NFC.
+    */
+  def textNormalize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (1000001L, "cafe\u0301 latte"), // decomposed: e + combining acute
+      (1000002L, "caf\u00e9 latte")   // precomposed e-acute
+    ).toDF("doc_id", "text")
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    val out = docs.select(col("doc_id"),
+      md5(exprs.nfcNormalize(col("text")).cast("binary")).as("norm_md5"),
+      length(col("text")).cast("long").as("n_chars_raw"),
+      length(exprs.nfcNormalize(col("text"))).cast("long").as("n_chars_norm"))
+      .orderBy(col("doc_id"))
+    out
+  }
+
+  val textNormalizeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT 1000001, 'cafe' || chr(769) || ' latte'
+      |  UNION ALL SELECT 1000002, 'caf' || chr(233) || ' latte')
+      |SELECT doc_id, md5(nfc_normalize(text)) AS norm_md5,
+      |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+      |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_norm
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize"   -> (textNormalize _),
     "text_compression" -> (textCompression _),
     "text_bm25"        -> (bm25 _),
     "corpus_zipf"      -> (corpusZipf _),
@@ -1790,6 +1831,7 @@ object TextOps {
     "text_tfidf"       -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "text_normalize"   -> textNormalizeSql,
     "text_compression" -> textCompressionSql,
     "text_bm25"        -> bm25Sql,
     "corpus_zipf"      -> corpusZipfSql,

@@ -712,6 +712,77 @@ case class GraftDeleteCommand(
   }
 }
 
+/** A84: Iceberg-parity maintenance PROCEDURES — `CALL [cat.]system.
+  * <proc>(args)` (reference ecosystem surface: Iceberg ships table
+  * maintenance as Spark procedures; graft's DDL spellings OPTIMIZE/
+  * VACUUM/RESTORE stay, this is the procedural spelling of the same
+  * machinery). Args are positional or Iceberg-style named
+  * (`table => 't'`); every procedure returns one row of
+  * (procedure, previous_snapshot_id, current_snapshot_id, detail)
+  * like Iceberg's procedure result sets.
+  */
+case class GraftCallCommand(
+    proc: String, args: Seq[(Option[String], String)])
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "procedure", org.apache.spark.sql.types.StringType, nullable = false)(),
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "previous_snapshot_id", org.apache.spark.sql.types.LongType, nullable = false)(),
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "current_snapshot_id", org.apache.spark.sql.types.LongType, nullable = false)(),
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "detail", org.apache.spark.sql.types.StringType, nullable = false)())
+
+  private def arg(pos: Int, name: String): Option[String] =
+    args.collectFirst { case (Some(n), v) if n == name => v }
+      .orElse(args.lift(pos).collect { case (None, v) => v })
+  private def required(pos: Int, name: String): String =
+    arg(pos, name).getOrElse(throw new IllegalArgumentException(
+      s"CALL system.$proc: missing argument '$name' (position ${pos + 1})"))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val tname = required(0, "table").toLowerCase
+    val root = GraftCatalog.lookup(tname).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $tname"))
+    val t = new GraftTable(root, session)
+    val prev = t.currentId
+    val detail = proc.toLowerCase match {
+      case "rollback_to_snapshot" =>
+        val id = required(1, "snapshot_id").toLong
+        t.rollback(id); s"rolled back to snapshot $id"
+      case "expire_snapshots" =>
+        val keep = arg(1, "keep_from").map(_.toLong).getOrElse(t.currentId)
+        val removed = t.expire(keepFrom = keep)
+        s"expired snapshots below $keep, removed ${removed.size} data files"
+      case "remove_orphan_files" =>
+        val grace = arg(1, "older_than_millis").map(_.toLong)
+          .orElse(t.properties.get(GraftTable.OrphanGraceProp).map(_.toLong))
+          .getOrElse(GraftTable.DefaultOrphanGraceMillis)
+        val removed = t.vacuumOrphans(grace)
+        s"removed ${removed.size} orphan files"
+      case "rewrite_data_files" =>
+        // maintenance folds pending MOR deletes first, like OPTIMIZE
+        t.applyDeletes()
+        val target = t.properties.get("write.target-file-size")
+          .map(_.toLong).getOrElse(512L << 20)
+        t.optimizeCompact(targetBytes = target); "compacted"
+      case "cherrypick_snapshot" =>
+        val id = required(1, "snapshot_id").toLong
+        val pub = t.publishCherryPick(id); s"published staged $id as $pub"
+      case "fast_forward" =>
+        val b = required(1, "branch")
+        t.fastForward(b); s"fast-forwarded main to branch '$b'"
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure system.$other (supported: rollback_to_snapshot, " +
+          "expire_snapshots, remove_orphan_files, rewrite_data_files, " +
+          "cherrypick_snapshot, fast_forward)")
+    }
+    val cur = new GraftTable(root, session).currentId
+    Seq(Row(proc.toLowerCase, prev, cur, detail))
+  }
+}
+
 /** TRUNCATE TABLE t — metadata-only snapshot with an empty file set. */
 case class GraftTruncateCommand(name: String) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {

@@ -235,6 +235,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*restore\s+table\s+([\w.]+)\s+to\s+version\s+as\s+of\s+(\d+)\s*""".r
   private val RestoreTimestampRe =
     """(?is)\s*restore\s+table\s+([\w.]+)\s+to\s+timestamp\s+as\s+of\s+'([^']+)'\s*""".r
+  // CALL [cat.]system.proc(args) — Iceberg-parity maintenance
+  // procedures (A84); args positional or `name => value`
+  private val CallRe =
+    """(?is)\s*call\s+(?:[\w]+\.)?system\.(\w+)\s*\((.*)\)\s*""".r
+  private def parseCallArgs(raw: String): Seq[(Option[String], String)] =
+    if (raw.trim.isEmpty) Seq.empty
+    else raw.split(",(?=(?:[^']*'[^']*')*[^']*$)").toSeq.map { piece =>
+      val p = piece.split("=>", 2)
+      val (n, v) = if (p.length == 2) (Some(p(0).trim.toLowerCase), p(1).trim)
+                   else (None, piece.trim)
+      (n, v.stripPrefix("'").stripSuffix("'"))
+    }
   // SHOW PARTITIONS t — Hive/Spark/Iceberg parity spelling for the
   // `$partitions` rollup: O(metadata), zero data access
   private val ShowPartitionsRe =
@@ -273,6 +285,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         return GraftRefreshMatViewCommand(name.toLowerCase)
       case DescribeDetailRe(name) if GraftCatalog.lookup(name).isDefined =>
         return GraftDescribeDetailCommand(name.toLowerCase)
+      case CallRe(proc, rawArgs) =>
+        return GraftCallCommand(proc, parseCallArgs(rawArgs))
       case ShowPartitionsRe(name) if GraftCatalog.lookup(name).isDefined =>
         return Shim.logicalPlan(
           new GraftTable(GraftCatalog.lookup(name).get, session).partitionsView)

@@ -1387,6 +1387,29 @@ class PipelineSpec extends SparkSpec {
     assert(canon.size <= docs.map(_._2).distinct.length)
   }
 
+  test("C67 NFC normalization: decomposed converges to precomposed, ASCII untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "cafe\u0301"),        // e + combining acute (decomposed)
+      (2L, "caf\u00e9"),         // precomposed e-acute
+      (3L, "plain ascii text"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), exprs.nfcNormalize(col("text")).as("norm"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // both spellings normalize to the same (precomposed) bytes
+    assert(df(1L) === df(2L))
+    assert(df(1L) === "caf\u00e9")
+    assert(df(1L).length === 4)
+    // ASCII is the identity fast path
+    assert(df(3L) === "plain ascii text")
+    // and content-hash dedup AFTER normalization now sees the pair as
+    // ONE document — the reason the pass sits in front of C1/C47
+    val dedup = Seq((1L, "cafe\u0301"), (2L, "caf\u00e9")).toDF("doc_id", "text")
+      .groupBy(md5(exprs.nfcNormalize(col("text")).cast("binary")).as("h"))
+      .count().collect()
+    assert(dedup.length === 1 && dedup.head.getLong(1) === 2L)
+  }
+
   test("C66 compression signal: real zlib (inflate round-trip), ratios exact") {
     import spark.implicits._
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),

@@ -129,6 +129,40 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(t.readAsOfId(t.current.parentId).count() === before, "history intact")
   }
 
+  test("CALL procedures: cherrypick + fast_forward + arg forms + refusals") {
+    val t = mkTable("callproc")
+    GraftCatalog.register("t_callproc", t.root)
+    // WAP: stage an append, publish it procedurally
+    val staged = t.stageAppend(
+      Tables.orders(spark, sfDir).filter(col("o_orderkey") >= 150 && col("o_orderkey") < 200)
+        .repartition(col("o_orderstatus")))
+    val before = t.read().count()
+    val row = spark.sql(
+      s"CALL system.cherrypick_snapshot('t_callproc', $staged)").collect().head
+    assert(row.getString(0) === "cherrypick_snapshot")
+    assert(row.getLong(2) === staged, "fast path publishes the staged id")
+    assert(t.read().count() > before)
+    // branch → procedural fast-forward (pure pointer move)
+    t.branch("dev")
+    t.appendToBranch("dev",
+      Tables.orders(spark, sfDir).filter(col("o_orderkey") >= 200 && col("o_orderkey") < 220)
+        .repartition(col("o_orderstatus")))
+    val nDev = t.readRef("dev").count()
+    val ff = spark.sql(
+      "CALL system.fast_forward(table => 't_callproc', branch => 'dev')").collect().head
+    assert(ff.getString(3).contains("dev") && t.read().count() === nDev)
+    // refusals: unknown procedure, missing argument, unregistered table
+    val e1 = intercept[IllegalArgumentException](
+      spark.sql("CALL system.no_such_proc('t_callproc')").collect())
+    assert(e1.getMessage.contains("unknown procedure"))
+    val e2 = intercept[IllegalArgumentException](
+      spark.sql("CALL system.rollback_to_snapshot('t_callproc')").collect())
+    assert(e2.getMessage.contains("missing argument"))
+    val e3 = intercept[IllegalArgumentException](
+      spark.sql("CALL system.rewrite_data_files('nope_t')").collect())
+    assert(e3.getMessage.contains("not registered"))
+  }
+
   test("SHOW PARTITIONS equals the $partitions rollup, metadata-only") {
     val t = mkTable("showparts")
     GraftCatalog.register("t_showparts", t.root)
