@@ -1792,7 +1792,88 @@ object TextOps {
       |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_norm
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** C68 `text_bpe_train`: the BPE MERGE LOOP — actual tokenizer
+    * training (Sennrich et al. 2016; the GPT-2 recipe C41 only
+    * measured the first step of). k=[[BpeMerges]] iterations of
+    * count-adjacent-pairs → merge the argmax pair corpus-wide,
+    * emitting the learned merge table (rank, lhs, rhs, weighted pair
+    * count).
+    *
+    * Shapes at 100 TB: the corpus is touched ONCE (the word-frequency
+    * groupBy); the loop then runs entirely on the VOCABULARY table
+    * (distinct words × counts — top-V capped like C48 at scale), which
+    * is how production BPE trainers work. Each iteration is one
+    * map-side-combined pair count over vocab rows + one narrow
+    * re-encode map; lineage is cut per iteration with an eager
+    * localCheckpoint (the dedup_clusters idiom); the only driver pull
+    * is the 1-row argmax per iteration (k rows total).
+    *
+    * Determinism/oracle: words are encoded as '|'-prefixed symbol
+    * strings ('|c|a|t'), so the merge of (l, r) is a plain
+    * `replace(enc, '|l|r', '|lr')` — left-to-right, non-overlapping,
+    * cannot match inside a symbol — with IDENTICAL semantics in Spark
+    * and DuckDB, which lets the oracle replay the whole loop as k
+    * unrolled CTE stages (generated below). Ties break on (count desc,
+    * pair string) in both engines.
+    */
+  val BpeMerges = 8
+
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wf = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var cur = wf.select(col("cnt"),
+      regexp_replace(col("w"), "(.)", "|$1").as("enc")).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (k <- 1 to BpeMerges) {
+      val best = cur
+        .select(col("cnt"), expr("split(substring(enc, 2), '[|]')").as("syms"))
+        .select(col("cnt"), explode(expr(
+          """CASE WHEN size(syms) >= 2
+            |THEN transform(sequence(1, size(syms) - 1), i -> concat(syms[i-1], ' ', syms[i]))
+            |ELSE array() END""".stripMargin)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1).collect()
+      require(best.nonEmpty, s"corpus exhausted before merge $k")
+      val Array(l, r) = best(0).getString(0).split(" ", 2)
+      merges += ((k.toLong, l, r, best(0).getLong(1)))
+      cur = cur.select(col("cnt"),
+        expr(s"replace(enc, '|$l|$r', '|$l$r')").as("enc")).localCheckpoint()
+    }
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "n_pairs")
+      .orderBy(col("merge_rank"))
+  }
+
+  val bpeTrainSql: String = {
+    val stages = (1 to BpeMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT pair, sum(cnt) AS n FROM (
+         |    SELECT cnt, unnest(CASE WHEN len(syms) >= 2
+         |      THEN list_transform(range(1, len(syms)), j -> syms[j] || ' ' || syms[j+1])
+         |      ELSE [] END) AS pair
+         |    FROM (SELECT cnt, string_split(substr(enc, 2), '|') AS syms FROM e${i - 1}))
+         |  GROUP BY pair),
+         |b$i AS (SELECT string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS r,
+         |               n, pair
+         |        FROM p$i ORDER BY n DESC, pair LIMIT 1),
+         |e$i AS (SELECT cnt, replace(enc, '|' || b.l || '|' || b.r, '|' || b.l || b.r) AS enc
+         |        FROM e${i - 1}, b$i b)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to BpeMerges).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, CAST(n AS BIGINT) AS n_pairs FROM b$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH wf AS (
+       |  SELECT w, count(*) AS cnt
+       |  FROM (SELECT unnest($tokensSql) AS w FROM documents) GROUP BY w),
+       |e0 AS (SELECT cnt, regexp_replace(w, '(.)', '|\\1', 'g') AS enc FROM wf),
+       |$stages
+       |$rows
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_train"   -> (bpeTrain _),
     "text_normalize"   -> (textNormalize _),
     "text_compression" -> (textCompression _),
     "text_bm25"        -> (bm25 _),
@@ -1831,6 +1912,7 @@ object TextOps {
     "text_tfidf"       -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_train"   -> bpeTrainSql,
     "text_normalize"   -> textNormalizeSql,
     "text_compression" -> textCompressionSql,
     "text_bm25"        -> bm25Sql,

@@ -1387,6 +1387,39 @@ class PipelineSpec extends SparkSpec {
     assert(canon.size <= docs.map(_._2).distinct.length)
   }
 
+  test("C68 BPE training: merge table equals an independent pure-Scala trainer") {
+    def toks(t: String) =
+      t.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val wf = Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap(r => toks(r.getString(0)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // reference trainer: symbol lists, argmax pair, left-to-right
+    // non-overlapping merge — no shared code with the Spark op
+    var vocab: Map[Seq[String], Long] = wf.map { case (w, c) => (w.map(_.toString): Seq[String]) -> c }
+    val expect = (1 to TextOps.BpeMerges).map { k =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      val ((l, r), n) = counts.minBy { case ((a, b), c) => (-c, s"$a $b") }
+      vocab = vocab.map { case (syms, c) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.toSeq: Seq[String]) -> c
+      }.groupBy(_._1).map { case (s2, m) => s2 -> m.values.sum } // merged spellings can collide
+      (k.toLong, l, r, n)
+    }
+    val got = TextOps.bpeTrain(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === expect)
+    // merges strictly grow the learned vocabulary
+    assert(expect.map(m => m._2 + m._3).distinct.size === TextOps.BpeMerges)
+  }
+
   test("C67 NFC normalization: decomposed converges to precomposed, ASCII untouched") {
     import spark.implicits._
     val df = Seq(
