@@ -1845,7 +1845,12 @@ object TextOps {
       .orderBy(col("merge_rank"))
   }
 
-  val bpeTrainSql: String = {
+  /** Shared CTE block: word frequencies, '|'-encoding, and the k
+    * unrolled train stages (p_i pair counts, b_i argmax, e_i merged
+    * encodings) — the training oracle selects the b_i rows, the
+    * encoding oracle chains the b_i merges over the vocabulary.
+    */
+  private val bpeWithBlock: String = {
     val stages = (1 to BpeMerges).map { i =>
       s"""p$i AS (
          |  SELECT pair, sum(cnt) AS n FROM (
@@ -1860,20 +1865,77 @@ object TextOps {
          |e$i AS (SELECT cnt, replace(enc, '|' || b.l || '|' || b.r, '|' || b.l || b.r) AS enc
          |        FROM e${i - 1}, b$i b)""".stripMargin
     }.mkString(",\n")
-    val rows = (1 to BpeMerges).map { i =>
-      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, CAST(n AS BIGINT) AS n_pairs FROM b$i"
-    }.mkString("\nUNION ALL ")
-    s"""WITH wf AS (
+    s"""wf AS (
        |  SELECT w, count(*) AS cnt
        |  FROM (SELECT unnest($tokensSql) AS w FROM documents) GROUP BY w),
        |e0 AS (SELECT cnt, regexp_replace(w, '(.)', '|\\1', 'g') AS enc FROM wf),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  val bpeTrainSql: String = {
+    val rows = (1 to BpeMerges).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, CAST(n AS BIGINT) AS n_pairs FROM b$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH $bpeWithBlock
        |$rows
        |ORDER BY merge_rank""".stripMargin
   }
 
+  /** C69 `text_bpe_encode`: BPE ENCODING with the learned merges — the
+    * inference half of C68 (what the training pipeline actually runs
+    * over every document). Applying k ordered merges to a word is k
+    * chained `replace()`s on the '|'-encoding; crucially the encoding
+    * runs on the VOCABULARY (distinct words), not the token stream —
+    * the corpus pays one groupBy to build the vocab and one broadcast
+    * join to map words back to their BPE length, which is exactly how
+    * a production tokenizer amortizes at 100 TB (encode cache keyed by
+    * word). Output: per-doc whitespace-token vs BPE-token counts and
+    * the fertility ratio (BPE tokens per word — THE tokenizer-quality
+    * metric). The oracle replays training (C68's stages) AND encoding.
+    */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val merges = bpeTrain(s, d).collect()
+      .map(r => (r.getString(1), r.getString(2))) // (lhs, rhs) in rank order
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val vocab = docs.select(col("w")).distinct()
+    // fold the k replaces as chained narrow maps over the vocab table
+    val encoded = merges.foldLeft(vocab.withColumn("enc",
+        regexp_replace(col("w"), "(.)", "|$1"))) { case (df, (l, r)) =>
+      df.withColumn("enc", expr(s"replace(enc, '|$l|$r', '|$l$r')"))
+    }.select(col("w"),
+      (size(split(col("enc"), "[|]")) - 1).cast("long").as("n_bpe"))
+    docs.join(broadcast(encoded), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_bpe")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words").cast("double"), 6)
+          .as("fertility"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bpeEncodeSql: String = {
+    // replay training ([[bpeWithBlock]] defines b1..bK), then chain the
+    // k merges over the vocabulary and roll up per document
+    val chain = (1 to BpeMerges).foldLeft("regexp_replace(w, '(.)', '|\\1', 'g')") {
+      case (acc, i) => s"replace($acc, '|' || (SELECT l FROM b$i) || '|' || (SELECT r FROM b$i), " +
+        s"'|' || (SELECT l FROM b$i) || (SELECT r FROM b$i))"
+    }
+    s"""WITH $bpeWithBlock,
+       |dt AS (SELECT doc_id, unnest($tokensSql) AS w FROM documents),
+       |venc AS (SELECT w, CAST(len(string_split($chain, '|')) - 1 AS BIGINT) AS n_bpe
+       |         FROM (SELECT DISTINCT w FROM dt))
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       |  round(CAST(sum(n_bpe) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fertility
+       |FROM dt JOIN venc USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train"   -> (bpeTrain _),
+    "text_bpe_encode"  -> (bpeEncode _),
     "text_normalize"   -> (textNormalize _),
     "text_compression" -> (textCompression _),
     "text_bm25"        -> (bm25 _),
@@ -1913,6 +1975,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "text_bpe_train"   -> bpeTrainSql,
+    "text_bpe_encode"  -> bpeEncodeSql,
     "text_normalize"   -> textNormalizeSql,
     "text_compression" -> textCompressionSql,
     "text_bm25"        -> bm25Sql,

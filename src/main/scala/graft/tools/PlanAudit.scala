@@ -38,6 +38,16 @@ private[graft] object PlanAudit {
     shape("ann_ivfpq bigbatch", graft.pipeline.VectorOps.annIvfPqBatch(spark, d, 10000000L))
     shape("ann_pq bigbatch", graft.pipeline.VectorOps.annPqBatch(spark, d, 10000000L))
     shape("q18 (AQE)", graft.operators.CoreQueries.q18BigOrders(spark, d))
+    // wave-3/4 additions
+    shape("text_bm25", graft.pipeline.TextOps.bm25(spark, d))
+    shape("corpus_zipf", graft.pipeline.TextOps.corpusZipf(spark, d))
+    shape("dedup_span_removal", graft.pipeline.Dedup.spanRemoval(spark, d))
+    shape("corpus_embedding_drift", graft.pipeline.VectorOps.embeddingDrift(spark, d))
+    shape("search_hybrid_rrf", graft.pipeline.VectorOps.hybridRrf(spark, d))
+    shape("text_bpe_encode", graft.pipeline.TextOps.bpeEncode(spark, d))
+    // bm25's top-N must plan as TakeOrderedAndProject, never a global sort
+    println("bm25 TakeOrdered: " + graft.pipeline.TextOps.bm25(spark, d)
+      .queryExecution.sparkPlan.toString.contains("TakeOrderedAndProject"))
     // ppl buckets at runtime: the LM-score subtree feeds BOTH the
     // threshold aggregate and the final join — AQE must reuse the
     // exchange so the corpus is scored once, not twice

@@ -1420,6 +1420,37 @@ class PipelineSpec extends SparkSpec {
     assert(expect.map(m => m._2 + m._3).distinct.size === TextOps.BpeMerges)
   }
 
+  test("C69 BPE encode: per-doc counts equal an independent re-encode") {
+    def toks(t: String) =
+      t.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val merges = TextOps.bpeTrain(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def encode(w: String): Int = {
+      var syms: Seq[String] = w.map(_.toString)
+      for ((l, r) <- merges) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toSeq
+      }
+      syms.length
+    }
+    val expect = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map { r =>
+        val ws = toks(r.getString(1))
+        (r.getLong(0), ws.length.toLong, ws.map(encode(_).toLong).sum)
+      }.sortBy(_._1).toSeq
+    val got = TextOps.bpeEncode(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"))).toSeq
+    assert(got === expect)
+    // merges only ever SHRINK the stream: 1 <= fertility <= chars/word
+    assert(expect.forall { case (_, nw, nb) => nb >= nw })
+  }
+
   test("C67 NFC normalization: decomposed converges to precomposed, ASCII untouched") {
     import spark.implicits._
     val df = Seq(
