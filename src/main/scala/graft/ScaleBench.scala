@@ -139,7 +139,13 @@ object ScaleBench {
     // copies offset doc_id by 10⁷ but vec_id by 10⁶ — the intersection
     // stays the copy-0 corpus, so a "10×" run would time the same
     // candidate set (its halves scale as text_bm25 + ann_bruteforce)
-    "text_bm25", "corpus_zipf", "dedup_span_removal", "corpus_embedding_drift")
+    "text_bm25", "corpus_zipf", "dedup_span_removal", "corpus_embedding_drift",
+    // wave-4: the BPE loop runs on the vocabulary table (suffixed
+    // copies grow it 10×), the codec/normalize passes are per-row maps,
+    // the drift monitor streams 10× the vectors through bounded state
+    "text_bpe_train", "text_bpe_encode", "text_compression",
+    "text_normalize", "stream_drift_monitor",
+    "corpus_source_overlap", "dedup_decontaminate")
 
   /** Lake DML + streaming-source scale probe: the same operation
     * sequence at 1× and 10× data, so commit latency, COW rewrite

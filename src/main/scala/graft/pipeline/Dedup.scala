@@ -957,7 +957,134 @@ object Dedup {
        |FROM k ORDER BY doc_id""".stripMargin
   }
 
+  /** C70 `corpus_source_overlap`: the source×source content-overlap
+    * matrix — exact corpus-level shingle Jaccard for every pair of
+    * sources (C15 compared two fixed datasets; mixture design needs
+    * the full matrix: which crawls re-scrape each other, which
+    * "distinct" sources are the same site relabeled). Exact, not
+    * sketched: distinct (source, shingle-hash) pairs → one self-join
+    * on the 8-byte hash (shuffle ∝ shared shingles; the per-source
+    * distinct set is the C4 inverted-index shape) → pair intersection
+    * counts; union sizes fold from per-source totals, so J needs no
+    * second pass. At 100 TB with many sources you'd swap the exact
+    * join for the C15 minhash aggregate per source — the matrix shape
+    * (|sources|² rows) is unchanged. Oracle recomputes over gram
+    * strings (injective-hash argument, as C4/C25).
+    */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("source"), explode(exprs.shingleHashes(col("text"), 5)).as("sh"))
+      .distinct()
+    val totals = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("source").as("src_a"), col("sh"))
+    val b = sh.select(col("source").as("src_b"), col("sh"))
+    a.join(b, "sh").filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(totals.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sourceOverlapSql: String = {
+    val gram5 = (0 until 5).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT source, ${graft.pipeline.TextOps.tokensSql} AS t FROM documents),
+       |g AS (
+       |  SELECT DISTINCT source, unnest(CASE WHEN len(t) >= 5
+       |    THEN list_transform(range(1, len(t) - 3), i -> $gram5)
+       |    ELSE [] END) AS sh
+       |  FROM w),
+       |tot AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+       |  FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
+       |  GROUP BY a.source, b.source)
+       |SELECT src_a, src_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+       |  round(CAST(n_shared AS DOUBLE) / CAST(ta.n + tb.n - n_shared AS DOUBLE), 6)
+       |    AS jaccard
+       |FROM pairs JOIN tot ta ON ta.source = src_a JOIN tot tb ON tb.source = src_b
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
+  /** C71 `dedup_decontaminate`: contamination REMOVAL — C21 only
+    * FLAGS train docs sharing a 13-gram with the benchmark slice; the
+    * actual decontamination pass (the GPT-3 appendix-C recipe) rewrites
+    * them, excising every train-side span that collides with a
+    * benchmark 13-gram. Same machinery as C63 with the duplicate-gram
+    * table swapped for the benchmark-gram table: the benchmark side is
+    * tiny at any scale (eval sets are fixed-size) so its distinct
+    * hash set broadcasts; train grams probe it, dup START positions
+    * collect per doc (bounded by collisions), and the position-set
+    * expansion + token filter run row-locally. Emits only AFFECTED
+    * docs (the clean majority passes untouched and unlisted — at
+    * 100 TB the output is collision-proportional).
+    */
+  val DecontamN = 13
+
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      graft.pipeline.TextOps.tokens(col("text")).as("toks"), col("text"))
+    val bench = base.filter(col("doc_id") % 10 === 0)
+      .select(explode(exprs.shingleHashes(col("text"), DecontamN)).as("sh")).distinct()
+    val train = base.filter(col("doc_id") % 10 =!= 0)
+    val hits = train
+      .select(col("doc_id"),
+        posexplode(exprs.shingleHashesAll(col("text"), DecontamN)).as(Seq("pos", "sh")))
+      .join(bench, "sh") // benchmark side broadcasts (AQE; eval sets are small)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    train.join(hits, "doc_id") // inner: only affected docs pay the rewrite
+      .withColumn("covered",
+        array_distinct(flatten(transform(col("starts"),
+          st => sequence(st, st + lit(DecontamN - 1))))))
+      .withColumn("kept",
+        filter(col("toks"), (t, i) => !array_contains(col("covered"), i)))
+      .select(col("doc_id"),
+        size(col("starts")).cast("long").as("n_collisions"),
+        size(col("toks")).cast("long").as("n_toks"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(array_join(col("kept"), " ").cast("binary")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String = {
+    val gram = (0 until DecontamN).map(k => s"t[pos+$k]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, ${graft.pipeline.TextOps.tokensSql} AS t FROM documents),
+       |bench AS (
+       |  SELECT DISTINCT unnest(CASE WHEN len(t) >= $DecontamN
+       |    THEN list_transform(range(1, len(t) - ${DecontamN - 2}), pos -> $gram)
+       |    ELSE [] END) AS sh
+       |  FROM w WHERE doc_id % 10 = 0),
+       |gi AS (
+       |  SELECT doc_id, t, unnest(CASE WHEN len(t) >= $DecontamN
+       |    THEN range(1, len(t) - ${DecontamN - 2}) ELSE [] END) AS pos
+       |  FROM w WHERE doc_id % 10 <> 0),
+       |g AS (SELECT doc_id, pos, $gram AS sh FROM gi),
+       |st AS (
+       |  SELECT doc_id, list_sort(list(pos)) AS starts
+       |  FROM g JOIN bench USING (sh) GROUP BY doc_id),
+       |cov AS (
+       |  SELECT w.doc_id, t, starts,
+       |    list_distinct(flatten(list_transform(starts,
+       |      s -> range(s, s + $DecontamN)))) AS covered
+       |  FROM w JOIN st ON w.doc_id = st.doc_id),
+       |k AS (
+       |  SELECT doc_id, starts, t,
+       |    list_filter(t, (x, i) -> NOT list_contains(covered, i)) AS kept
+       |  FROM cov)
+       |SELECT doc_id,
+       |  CAST(len(starts) AS BIGINT) AS n_collisions,
+       |  CAST(len(t) AS BIGINT) AS n_toks,
+       |  CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+       |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_decontaminate"   -> (decontaminate _),
+    "corpus_source_overlap" -> (sourceOverlap _),
     "dedup_span_removal"  -> (spanRemoval _),
     "dataset_similarity"  -> (datasetSimilarity _),
     "dedup_lines"         -> (dedupLines _),
@@ -977,6 +1104,8 @@ object Dedup {
     "dataset_similarity_check" -> (datasetSimilarityCheck _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_decontaminate"   -> decontaminateSql,
+    "corpus_source_overlap" -> sourceOverlapSql,
     "dedup_span_removal"  -> spanRemovalSql,
     "dedup_lines"         -> dedupLinesSql,
     "dedup_exact"         -> exactSql,

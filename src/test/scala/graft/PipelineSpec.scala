@@ -1420,6 +1420,66 @@ class PipelineSpec extends SparkSpec {
     assert(expect.map(m => m._2 + m._3).distinct.size === TextOps.BpeMerges)
   }
 
+  test("C71 decontaminate: cleaned text shares NO 13-gram with the benchmark") {
+    def toks(t: String) =
+      t.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    def grams(ws: Seq[String], n: Int): Set[Seq[String]] =
+      if (ws.length < n) Set.empty else ws.sliding(n).map(_.toSeq).toSet
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), toks(r.getString(1)))).toMap
+    val bench = docs.collect { case (id, ws) if id % 10 == 0 => ws }
+      .flatMap(grams(_, Dedup.DecontamN)).toSet
+    val out = Dedup.decontaminate(spark, sfDir).collect()
+    assert(out.nonEmpty, "the synthetic corpus plants real contamination")
+    for (r <- out) {
+      val id = r.getLong(0)
+      // independently recompute the excision and pin the md5
+      val ws = docs(id)
+      val starts = (0 to ws.length - Dedup.DecontamN)
+        .filter(i => bench.contains(ws.slice(i, i + Dedup.DecontamN)))
+      assert(starts.nonEmpty && r.getAs[Long]("n_collisions") === starts.length.toLong)
+      val covered = starts.flatMap(s => s until s + Dedup.DecontamN).toSet
+      val kept = ws.zipWithIndex.collect { case (w, i) if !covered.contains(i) => w }
+      assert(r.getAs[Long]("n_removed") === (ws.length - kept.length).toLong)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("clean_md5") === md)
+      // the decontamination guarantee itself
+      assert(grams(kept, Dedup.DecontamN).intersect(bench).isEmpty)
+    }
+    // clean train docs are NOT rewritten (output is collision-proportional)
+    val affected = out.map(_.getLong(0)).toSet
+    assert(docs.keys.filter(id => id % 10 != 0).count(!affected.contains(_)) > 0)
+  }
+
+  test("C70 source overlap: matrix exact against a set-arithmetic recompute") {
+    def toks(t: String) =
+      t.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    def grams(t: String): Set[String] = {
+      val w = toks(t)
+      if (w.length < 5) Set.empty
+      else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val bySrc = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.flatMap(r => grams(r.getString(1))).toSet).toMap
+    val expect = (for {
+      a <- bySrc.keys; b <- bySrc.keys if a < b
+      shared = (bySrc(a) & bySrc(b)).size.toLong if shared > 0
+    } yield {
+      val (na, nb) = (bySrc(a).size.toLong, bySrc(b).size.toLong)
+      val j = BigDecimal(shared.toDouble / (na + nb - shared).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, shared, na, nb, j)
+    }).toSeq.sortBy(p => (p._1, p._2))
+    val got = Dedup.sourceOverlap(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got === expect)
+    assert(got.forall(p => p._6 >= 0.0 && p._6 <= 1.0))
+  }
+
   test("C69 BPE encode: per-doc counts equal an independent re-encode") {
     def toks(t: String) =
       t.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
