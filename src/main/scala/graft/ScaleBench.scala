@@ -326,7 +326,12 @@ object ScaleBench {
       // the r9 hash-threshold prefilter claim: the per-stratum rank
       // windows sort ~overshoot×kept rows, so these must scale like a
       // scan (α ≪ 1), not like a corpus sort
-      "sample_temperature", "sample_stratified")
+      "sample_temperature", "sample_stratified",
+      // wave-3/4 exponents: bm25 (tf groupBy + broadcast stats), span
+      // removal (gram count + row-local rewrite), source overlap (the
+      // inverted-index self-join — the one with quadratic RISK, so its
+      // measured α is the load-bearing number)
+      "text_bm25", "dedup_span_removal", "corpus_source_overlap")
 
   private def runPipeline100(spark: SparkSession, base: String,
       sf1: String, sf10: String): Unit = {
