@@ -903,8 +903,14 @@ object Dedup {
     */
   val SpanN = 20
 
-  def spanRemoval(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d).select(col("doc_id"),
+  def spanRemoval(s: SparkSession, d: String): DataFrame =
+    spanRemovalOf(Tables.documents(s, d))
+
+  /** Production body over any (doc_id, text) frame — the randomized
+    * exactness spec drives synthetic corpora through this same plan.
+    */
+  def spanRemovalOf(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
       graft.pipeline.TextOps.tokens(col("text")).as("toks"), col("text"))
     val grams = base.select(col("doc_id"),
       posexplode(exprs.shingleHashesAll(col("text"), SpanN)).as(Seq("pos", "sh")))
@@ -1023,8 +1029,11 @@ object Dedup {
     */
   val DecontamN = 13
 
-  def decontaminate(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d).select(col("doc_id"),
+  def decontaminate(s: SparkSession, d: String): DataFrame =
+    decontaminateOf(Tables.documents(s, d))
+
+  def decontaminateOf(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
       graft.pipeline.TextOps.tokens(col("text")).as("toks"), col("text"))
     val bench = base.filter(col("doc_id") % 10 === 0)
       .select(explode(exprs.shingleHashes(col("text"), DecontamN)).as("sh")).distinct()

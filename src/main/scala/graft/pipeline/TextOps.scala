@@ -1808,27 +1808,39 @@ object TextOps {
     * localCheckpoint (the dedup_clusters idiom); the only driver pull
     * is the 1-row argmax per iteration (k rows total).
     *
-    * Determinism/oracle: words are encoded as '|'-prefixed symbol
-    * strings ('|c|a|t'), so the merge of (l, r) is a plain
-    * `replace(enc, '|l|r', '|lr')` — left-to-right, non-overlapping,
-    * cannot match inside a symbol — with IDENTICAL semantics in Spark
+    * Determinism/oracle: words are encoded with DOUBLE-bar symbol
+    * boundaries ('||c||a||t||'), so the merge of (l, r) is a plain
+    * `replace(enc, '|l||r|', '|lr|')` — left-to-right, non-overlapping,
+    * cannot match inside a symbol, and each neighbor keeps its half of
+    * the boundary so chained occurrences ('aaaa' → [aa, aa]) and
+    * symbol-prefix near-misses ([ab, bb] stays unmerged) both behave
+    * exactly like a list-scan BPE pass (randomized spec pins this
+    * against a from-scratch trainer) — with IDENTICAL semantics in Spark
     * and DuckDB, which lets the oracle replay the whole loop as k
     * unrolled CTE stages (generated below). Ties break on (count desc,
     * pair string) in both engines.
     */
   val BpeMerges = 8
 
-  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+  def bpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeTrainOf(s, Tables.documents(s, d))
+
+  /** Production body over any (doc_id, text) frame — the randomized
+    * exactness spec drives synthetic corpora through this same plan.
+    */
+  def bpeTrainOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val wf = Tables.documents(s, d)
+    val wf = docs
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     var cur = wf.select(col("cnt"),
-      regexp_replace(col("w"), "(.)", "|$1").as("enc")).localCheckpoint()
+      concat(regexp_replace(col("w"), "(.)", "||$1"), lit("||")).as("enc"))
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     for (k <- 1 to BpeMerges) {
       val best = cur
-        .select(col("cnt"), expr("split(substring(enc, 2), '[|]')").as("syms"))
+        .select(col("cnt"),
+          expr("filter(split(enc, '[|][|]'), x -> x != '')").as("syms"))
         .select(col("cnt"), explode(expr(
           """CASE WHEN size(syms) >= 2
             |THEN transform(sequence(1, size(syms) - 1), i -> concat(syms[i-1], ' ', syms[i]))
@@ -1839,13 +1851,13 @@ object TextOps {
       val Array(l, r) = best(0).getString(0).split(" ", 2)
       merges += ((k.toLong, l, r, best(0).getLong(1)))
       cur = cur.select(col("cnt"),
-        expr(s"replace(enc, '|$l|$r', '|$l$r')").as("enc")).localCheckpoint()
+        expr(s"replace(enc, '|$l||$r|', '|$l$r|')").as("enc")).localCheckpoint()
     }
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "n_pairs")
       .orderBy(col("merge_rank"))
   }
 
-  /** Shared CTE block: word frequencies, '|'-encoding, and the k
+  /** Shared CTE block: word frequencies, '||'-boundary encoding, and the k
     * unrolled train stages (p_i pair counts, b_i argmax, e_i merged
     * encodings) — the training oracle selects the b_i rows, the
     * encoding oracle chains the b_i merges over the vocabulary.
@@ -1857,18 +1869,20 @@ object TextOps {
          |    SELECT cnt, unnest(CASE WHEN len(syms) >= 2
          |      THEN list_transform(range(1, len(syms)), j -> syms[j] || ' ' || syms[j+1])
          |      ELSE [] END) AS pair
-         |    FROM (SELECT cnt, string_split(substr(enc, 2), '|') AS syms FROM e${i - 1}))
+         |    FROM (SELECT cnt, list_filter(string_split(enc, '||'), x -> x <> '') AS syms
+         |          FROM e${i - 1}))
          |  GROUP BY pair),
          |b$i AS (SELECT string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS r,
          |               n, pair
          |        FROM p$i ORDER BY n DESC, pair LIMIT 1),
-         |e$i AS (SELECT cnt, replace(enc, '|' || b.l || '|' || b.r, '|' || b.l || b.r) AS enc
+         |e$i AS (SELECT cnt, replace(enc, '|' || b.l || '||' || b.r || '|',
+         |                            '|' || b.l || b.r || '|') AS enc
          |        FROM e${i - 1}, b$i b)""".stripMargin
     }.mkString(",\n")
     s"""wf AS (
        |  SELECT w, count(*) AS cnt
        |  FROM (SELECT unnest($tokensSql) AS w FROM documents) GROUP BY w),
-       |e0 AS (SELECT cnt, regexp_replace(w, '(.)', '|\\1', 'g') AS enc FROM wf),
+       |e0 AS (SELECT cnt, regexp_replace(w, '(.)', '||\\1', 'g') || '||' AS enc FROM wf),
        |$stages""".stripMargin
   }
 
@@ -1902,10 +1916,10 @@ object TextOps {
     val vocab = docs.select(col("w")).distinct()
     // fold the k replaces as chained narrow maps over the vocab table
     val encoded = merges.foldLeft(vocab.withColumn("enc",
-        regexp_replace(col("w"), "(.)", "|$1"))) { case (df, (l, r)) =>
-      df.withColumn("enc", expr(s"replace(enc, '|$l|$r', '|$l$r')"))
+        concat(regexp_replace(col("w"), "(.)", "||$1"), lit("||")))) { case (df, (l, r)) =>
+      df.withColumn("enc", expr(s"replace(enc, '|$l||$r|', '|$l$r|')"))
     }.select(col("w"),
-      (size(split(col("enc"), "[|]")) - 1).cast("long").as("n_bpe"))
+      size(expr("filter(split(enc, '[|][|]'), x -> x != '')")).cast("long").as("n_bpe"))
     docs.join(broadcast(encoded), "w")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_bpe")).as("n_bpe_tokens"))
@@ -1918,13 +1932,13 @@ object TextOps {
   val bpeEncodeSql: String = {
     // replay training ([[bpeWithBlock]] defines b1..bK), then chain the
     // k merges over the vocabulary and roll up per document
-    val chain = (1 to BpeMerges).foldLeft("regexp_replace(w, '(.)', '|\\1', 'g')") {
-      case (acc, i) => s"replace($acc, '|' || (SELECT l FROM b$i) || '|' || (SELECT r FROM b$i), " +
-        s"'|' || (SELECT l FROM b$i) || (SELECT r FROM b$i))"
+    val chain = (1 to BpeMerges).foldLeft("regexp_replace(w, '(.)', '||\\1', 'g') || '||'") {
+      case (acc, i) => s"replace($acc, '|' || (SELECT l FROM b$i) || '||' || (SELECT r FROM b$i) || '|', " +
+        s"'|' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || '|')"
     }
     s"""WITH $bpeWithBlock,
        |dt AS (SELECT doc_id, unnest($tokensSql) AS w FROM documents),
-       |venc AS (SELECT w, CAST(len(string_split($chain, '|')) - 1 AS BIGINT) AS n_bpe
+       |venc AS (SELECT w, CAST(len(list_filter(string_split($chain, '||'), x -> x <> '')) AS BIGINT) AS n_bpe
        |         FROM (SELECT DISTINCT w FROM dt))
        |SELECT doc_id, count(*) AS n_words,
        |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,

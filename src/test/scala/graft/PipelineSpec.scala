@@ -1420,6 +1420,73 @@ class PipelineSpec extends SparkSpec {
     assert(expect.map(m => m._2 + m._3).distinct.size === TextOps.BpeMerges)
   }
 
+  test("C63/C68 randomized corpora: span removal and BPE match pure-Scala references exactly") {
+    import spark.implicits._
+    def toks(t: String) =
+      t.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val rnd = new scala.util.Random(0xC63C68)
+    for (trial <- 1 to 5) {
+      // random corpus over a tiny alphabet (forces shared grams) with
+      // explicit copy-paste: some docs embed a shared chunk verbatim
+      // words long enough that 8 BPE merges never exhaust the pair pool
+      val vocabSize = 6 + rnd.nextInt(5)
+      val words = (0 until vocabSize).map { _ =>
+        (0 until 4 + rnd.nextInt(5)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.distinct
+      def randDoc(n: Int) = (0 until n).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+      val chunk = randDoc(25)
+      val docs = (0L until 30L).map { id =>
+        val body = randDoc(5 + rnd.nextInt(60))
+        val text = if (id % 4 == 0) s"$body $chunk" else body
+        (id, text)
+      }
+      val df = docs.toDF("doc_id", "text")
+
+      // ---- span removal vs reference ----
+      val gotSpan = Dedup.spanRemovalOf(df).collect()
+        .map(r => r.getLong(0) -> (r.getAs[Long]("n_removed"), r.getAs[String]("clean_md5"))).toMap
+      val allGrams = scala.collection.mutable.Map.empty[Seq[String], Int]
+      for ((_, t) <- docs; g <- toks(t).sliding(Dedup.SpanN) if g.length == Dedup.SpanN)
+        allGrams(g.toSeq) = allGrams.getOrElse(g.toSeq, 0) + 1
+      for ((id, t) <- docs) {
+        val ws = toks(t)
+        val starts = (0 to ws.length - Dedup.SpanN)
+          .filter(i => allGrams(ws.slice(i, i + Dedup.SpanN).toSeq) >= 2)
+        val covered = starts.flatMap(s => s until s + Dedup.SpanN).toSet
+        val kept = ws.zipWithIndex.collect { case (w, i) if !covered.contains(i) => w }
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(kept.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(gotSpan(id) === ((ws.length - kept.length).toLong, md),
+          s"trial $trial doc $id span-removal diverged")
+      }
+
+      // ---- BPE training vs reference ----
+      val gotBpe = TextOps.bpeTrainOf(spark, df).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      var vocab: Map[Seq[String], Long] = docs.flatMap(d => toks(d._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .map { case (w, c) => (w.map(_.toString): Seq[String]) -> c }
+      val expBpe = (1 to TextOps.BpeMerges).map { k =>
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+        val ((l, r), n) = counts.minBy { case ((a, b), c) => (-c, s"$a $b") }
+        vocab = vocab.toSeq.map { case (syms, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toSeq: Seq[String]) -> c
+        }.groupBy(_._1).map { case (s2, m) => s2 -> m.map(_._2).sum }
+        (k.toLong, l, r, n)
+      }
+      assert(gotBpe === expBpe, s"trial $trial BPE merge table diverged")
+    }
+  }
+
   test("C71 decontaminate: cleaned text shares NO 13-gram with the benchmark") {
     def toks(t: String) =
       t.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
