@@ -1947,7 +1947,71 @@ object TextOps {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** C72 `quality_auc`: exact ROC-AUC of the C39 quality classifier
+    * against its own training labels (the calibration number a filter
+    * design is judged by — "does the model-based gate actually rank
+    * curated above crawl?"). Computed via the rank-sum identity
+    * AUC = (Σ rank⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻) with AVERAGE ranks on
+    * ties — exact, no trapezoid sampling. The C39 scores are already
+    * 6-dp-snapped so ties are real and engine-identical; the rank
+    * window runs over per-doc scores (one row per document — at
+    * 100 TB a distributed sort by score, the same shape as C36's
+    * range-partitioned shuffle, not a single-partition window... here
+    * the |docs|-row window is acceptable at test scale and the
+    * scaladoc'd scale path is rank = count-below + (ties+1)/2 via a
+    * score-keyed aggregation join, identical output). One output row.
+    */
+  def qualityAuc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = nbQuality(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"),
+        col("source").isin("src0", "src1", "src2", "src3").as("pos")), "doc_id")
+    // average rank by score: count-below + (ties + 1) / 2 — a
+    // score-keyed aggregation (map-side combined), no per-row window
+    val byScore = scored.groupBy(col("llr")).agg(
+      count(lit(1)).as("ties"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("pos_ties"))
+    val w = Window.orderBy(col("llr")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byScore
+      .withColumn("below", coalesce(sum(col("ties")).over(w), lit(0L)))
+      .select(((col("below").cast("double") + (col("ties").cast("double") + lit(1.0)) / lit(2.0))
+        * col("pos_ties").cast("double")).as("rank_sum_part"),
+        col("pos_ties"), col("ties"))
+    ranked.agg(
+        sum(col("rank_sum_part")).as("rs"),
+        sum(col("pos_ties")).cast("double").as("np"),
+        (sum(col("ties")) - sum(col("pos_ties"))).cast("double").as("nn"))
+      .select(
+        col("np").cast("long").as("n_pos"), col("nn").cast("long").as("n_neg"),
+        round((col("rs") - col("np") * (col("np") + lit(1.0)) / lit(2.0)) /
+          (col("np") * col("nn")), 6).as("auc"))
+  }
+
+  val qualityAucSql: String =
+    s"""WITH scored AS (
+       |  SELECT q.llr, d.source IN ('src0','src1','src2','src3') AS pos
+       |  FROM ($nbQualitySql) q JOIN documents d USING (doc_id)),
+       |bys AS (
+       |  SELECT llr, count(*) AS ties,
+       |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS pos_ties
+       |  FROM scored GROUP BY llr),
+       |rk AS (
+       |  SELECT (CAST(coalesce(sum(ties) OVER (ORDER BY llr
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+       |          + (CAST(ties AS DOUBLE) + 1.0) / 2.0) * CAST(pos_ties AS DOUBLE)
+       |    AS rank_sum_part, pos_ties, ties
+       |  FROM bys),
+       |agg AS (
+       |  SELECT sum(rank_sum_part) AS rs,
+       |    CAST(sum(pos_ties) AS DOUBLE) AS np,
+       |    CAST(sum(ties) - sum(pos_ties) AS DOUBLE) AS nn
+       |  FROM rk)
+       |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       |  round((rs - np * (np + 1.0) / 2.0) / (np * nn), 6) AS auc
+       |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_auc"      -> (qualityAuc _),
     "text_bpe_train"   -> (bpeTrain _),
     "text_bpe_encode"  -> (bpeEncode _),
     "text_normalize"   -> (textNormalize _),
@@ -1988,6 +2052,7 @@ object TextOps {
     "text_tfidf"       -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "quality_auc"      -> qualityAucSql,
     "text_bpe_train"   -> bpeTrainSql,
     "text_bpe_encode"  -> bpeEncodeSql,
     "text_normalize"   -> textNormalizeSql,

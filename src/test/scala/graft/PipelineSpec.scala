@@ -1487,6 +1487,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("C72 quality AUC: rank-sum equals the brute-force pair probability") {
+    val row = TextOps.qualityAuc(spark, sfDir).collect().head
+    val scored = TextOps.nbQuality(spark, sfDir)
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source").isin("src0", "src1", "src2", "src3").as("pos")),
+        "doc_id")
+      .select("llr", "pos").collect()
+      .map(r => (r.getDouble(0), r.getBoolean(1)))
+    val posScores = scored.collect { case (s, true) => s }
+    val negScores = scored.collect { case (s, false) => s }
+    assert(row.getAs[Long]("n_pos") === posScores.length.toLong)
+    assert(row.getAs[Long]("n_neg") === negScores.length.toLong)
+    // AUC ≡ P(s⁺ > s⁻) + ½·P(s⁺ = s⁻) — O(n²) brute force, different
+    // algorithm from the rank-sum identity the operator uses
+    val wins = (for (p <- posScores; n <- negScores)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val bf = wins / (posScores.length.toDouble * negScores.length.toDouble)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("auc") === r6(bf))
+    // the classifier genuinely separates its classes on this corpus
+    assert(row.getAs[Double]("auc") > 0.5)
+  }
+
   test("C71 decontaminate: cleaned text shares NO 13-gram with the benchmark") {
     def toks(t: String) =
       t.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
