@@ -13,6 +13,29 @@ import graft.lake.{ColStat, FileEntry, Pruning}
   * the sketch kernels — the invariants the DuckDB oracles can't see
   * (soundness of skipping, winnowing's match guarantee).
   */
+object NfcProps extends Properties("NfcNormalize") {
+  private val anyStr: Gen[String] = Gen.listOf(Gen.frequency(
+    (6, Gen.alphaNumChar),
+    (2, Gen.oneOf('é', '́', 'Å', '̊', 'e', 'A')),
+    (1, Gen.oneOf('中', '\uD83D', '\uDE00')) // CJK + lone surrogates
+  )).map(_.mkString)
+
+  // the kernel must agree with the JDK normalizer verbatim (modulo the
+  // isNormalized fast path), including on malformed surrogate content —
+  // UTF8String round-trips lone surrogates as replacement chars, so
+  // compare after the same round-trip the engine itself performs
+  property("agrees with java.text.Normalizer NFC") = forAll(anyStr) { s0 =>
+    val s = UTF8String.fromString(s0).toString // engine-visible content
+    val got = Hashing.nfc(UTF8String.fromString(s)).toString
+    got == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+  }
+
+  property("idempotent and ASCII-identity") = forAll(Gen.asciiPrintableStr) { s =>
+    val once = Hashing.nfc(UTF8String.fromString(s))
+    (once.toString == s) && (Hashing.nfc(once).toString == once.toString)
+  }
+}
+
 object PruningProps extends Properties("Pruning") {
 
   private val vals = Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L))

@@ -1484,6 +1484,30 @@ class PipelineSpec extends SparkSpec {
         (k.toLong, l, r, n)
       }
       assert(gotBpe === expBpe, s"trial $trial BPE merge table diverged")
+
+      // ---- decontamination vs reference (bench = doc_id % 10 == 0) ----
+      val benchGrams = docs.collect { case (id, t) if id % 10 == 0 => t }
+        .flatMap(t => toks(t).sliding(Dedup.DecontamN).filter(_.length == Dedup.DecontamN))
+        .map(_.toSeq).toSet
+      val gotDecon = Dedup.decontaminateOf(df).collect()
+        .map(r => r.getLong(0) -> (r.getAs[Long]("n_removed"), r.getAs[String]("clean_md5"))).toMap
+      val expDecon = docs.flatMap { case (id, t) =>
+        if (id % 10 == 0) None
+        else {
+          val ws = toks(t)
+          val starts = (0 to ws.length - Dedup.DecontamN)
+            .filter(i => benchGrams.contains(ws.slice(i, i + Dedup.DecontamN).toSeq))
+          if (starts.isEmpty) None
+          else {
+            val covered = starts.flatMap(s => s until s + Dedup.DecontamN).toSet
+            val kept = ws.zipWithIndex.collect { case (w, i) if !covered.contains(i) => w }
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(kept.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+            Some(id -> ((ws.length - kept.length).toLong, md))
+          }
+        }
+      }.toMap
+      assert(gotDecon === expDecon, s"trial $trial decontamination diverged")
     }
   }
 
