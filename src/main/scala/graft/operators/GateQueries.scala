@@ -783,6 +783,44 @@ object GateQueries {
   val lakeCallProceduresSql: String =
     s"SELECT $selSql FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey"
 
+  // ---- A86 COMMENT ON --------------------------------------------------
+
+  /** `lake_comment` (A86): documentation DDL — `COMMENT ON TABLE` and
+    * `COMMENT ON COLUMN` land as metadata-only set-properties
+    * snapshots, surface through DESCRIBE TABLE's comment column and
+    * `$properties`, and `IS NULL` clears. Unknown columns refused.
+    */
+  def lakeComment(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = GraftTable.create(s, work(d, "commentq"),
+      byStatus(orders(s, d).filter(col("o_orderkey") < 2000)), Seq("o_orderstatus"))
+    GraftCatalog.register("gate_comment", t.root)
+    s.sql("COMMENT ON TABLE gate_comment IS 'orders fact table'")
+    s.sql("COMMENT ON COLUMN gate_comment.o_totalprice IS 'gross order value'")
+    val tc = s.sql("SHOW TBLPROPERTIES gate_comment")
+      .filter(col("key") === "comment").head().getString(1)
+    val cc = s.sql("DESCRIBE TABLE gate_comment")
+      .filter(col("col_name") === "o_totalprice").head().getString(2)
+    val viaProps = s.sql(
+      """SELECT value FROM `gate_comment$properties`
+        |WHERE key = 'comment.col.o_totalprice'""".stripMargin).head().getString(0)
+    require(viaProps == cc, "DESCRIBE and $properties must agree on the comment")
+    require(new GraftTable(t.root, s).current.operation == "set-properties",
+      "COMMENT must commit a metadata-only set-properties snapshot")
+    val bad = try { s.sql("COMMENT ON COLUMN gate_comment.nope IS 'x'"); false }
+    catch { case e: IllegalArgumentException => e.getMessage.contains("no column") }
+    s.sql("COMMENT ON TABLE gate_comment IS NULL")
+    val cleared = s.sql("SHOW TBLPROPERTIES gate_comment")
+      .filter(col("key") === "comment").count() == 0L
+    Seq((tc, cc, bad, cleared))
+      .toDF("table_comment", "col_comment", "unknown_column_refused", "clear_works")
+  }
+
+  val lakeCommentSql: String =
+    """SELECT 'orders fact table' AS table_comment,
+      |  'gross order value' AS col_comment,
+      |  true AS unknown_column_refused, true AS clear_works""".stripMargin
+
   // ---- A49 DSv2 TableCatalog ----------------------------------------
 
   /** `lake_v2_catalog` (A49): reads and writes through Spark's V2
@@ -1288,6 +1326,7 @@ object GateQueries {
     "lake_truncate"         -> (lakeTruncate _),
     "lake_show_partitions"  -> (lakeShowPartitions _),
     "lake_call_procedures"  -> (lakeCallProcedures _),
+    "lake_comment"          -> (lakeComment _),
     "lake_v2_catalog"       -> (lakeV2Catalog _),
     "lake_version_asof"     -> (lakeVersionAsof _),
     "lake_stats_check"      -> (lakeStatsCheck _),
@@ -1326,6 +1365,7 @@ object GateQueries {
     "lake_truncate"         -> lakeTruncateSql,
     "lake_show_partitions"  -> lakeShowPartitionsSql,
     "lake_call_procedures"  -> lakeCallProceduresSql,
+    "lake_comment"          -> lakeCommentSql,
     "lake_v2_catalog"       -> lakeV2CatalogSql,
     "lake_version_asof"     -> lakeVersionAsofSql,
     "lake_stats_check"      -> lakeStatsCheckSql,

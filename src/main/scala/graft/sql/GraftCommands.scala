@@ -321,7 +321,8 @@ case class GraftDescribeCommand(name: String) extends LeafRunnableCommand {
     val t = new GraftTable(root, session)
     val cur = t.current
     val cols = t.schema.fields.map(f =>
-      Row(f.name, f.dataType.simpleString, null)).toSeq
+      Row(f.name, f.dataType.simpleString,
+        cur.properties.get(s"comment.col.${f.name}").orNull)).toSeq
     val parts =
       if (cur.partitionCols.isEmpty) Seq.empty
       else Row("# Partition Information", "", null) +:
@@ -780,6 +781,37 @@ case class GraftCallCommand(
     }
     val cur = new GraftTable(root, session).currentId
     Seq(Row(proc.toLowerCase, prev, cur, detail))
+  }
+}
+
+/** A86: `COMMENT ON TABLE t IS '…'` / `COMMENT ON COLUMN t.c IS '…'`
+  * — documentation DDL (Spark/Delta/Iceberg parity). Comments live in
+  * the table-properties plane (`comment` / `comment.col.<name>`), so a
+  * comment is one metadata-only set-properties snapshot: versioned,
+  * time-travelable, visible through `$properties`, `SHOW
+  * TBLPROPERTIES`, and `DESCRIBE TABLE`'s comment column. `IS NULL`
+  * clears. Unknown columns refused loudly.
+  */
+case class GraftCommentCommand(
+    name: String, column: Option[String], text: Option[String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    val t = new GraftTable(root, session)
+    val key = column match {
+      case Some(c) =>
+        require(t.schema.fieldNames.contains(c),
+          s"COMMENT ON COLUMN: no column '$c' on graft table '$name' " +
+            s"(have: ${t.schema.fieldNames.mkString(", ")})")
+        s"comment.col.$c"
+      case None => "comment"
+    }
+    text match {
+      case Some(v) => t.setProperty(key, v)
+      case None    => t.unsetProperty(key)
+    }
+    Seq.empty
   }
 }
 

@@ -247,6 +247,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
                    else (None, piece.trim)
       (n, v.stripPrefix("'").stripSuffix("'"))
     }
+  // COMMENT ON TABLE t IS '…' / COMMENT ON COLUMN t.c IS '…' (A86);
+  // IS NULL clears
+  private val CommentTableRe =
+    """(?is)\s*comment\s+on\s+table\s+([\w.]+)\s+is\s+(?:'([^']*)'|null)\s*""".r
+  private val CommentColumnRe =
+    """(?is)\s*comment\s+on\s+column\s+([\w.]+)\.(\w+)\s+is\s+(?:'([^']*)'|null)\s*""".r
   // SHOW PARTITIONS t — Hive/Spark/Iceberg parity spelling for the
   // `$partitions` rollup: O(metadata), zero data access
   private val ShowPartitionsRe =
@@ -287,6 +293,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         return GraftDescribeDetailCommand(name.toLowerCase)
       case CallRe(proc, rawArgs) =>
         return GraftCallCommand(proc, parseCallArgs(rawArgs))
+      case CommentTableRe(name, text) if GraftCatalog.lookup(name).isDefined =>
+        return GraftCommentCommand(name.toLowerCase, None, Option(text))
+      case CommentColumnRe(name, c, text) if GraftCatalog.lookup(name).isDefined =>
+        return GraftCommentCommand(name.toLowerCase, Some(c), Option(text))
       case ShowPartitionsRe(name) if GraftCatalog.lookup(name).isDefined =>
         return Shim.logicalPlan(
           new GraftTable(GraftCatalog.lookup(name).get, session).partitionsView)

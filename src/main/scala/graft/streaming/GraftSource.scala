@@ -26,7 +26,9 @@ import graft.lake.{DeleteFileEntry, GraftTable, Snapshot}
   *
   * Admission control (all optional, composable):
   *  - `maxSnapshotsPerTrigger` — at most n snapshots per micro-batch.
-  *  - `maxFilesPerTrigger` / `maxBytesPerTrigger` — split WITHIN a
+  *  - `maxFilesPerTrigger` / `maxBytesPerTrigger` / `maxRowsPerTrigger`
+  *    (rows budgeted from manifest counts, file-granular like Delta's)
+  *    — split WITHIN a
   *    snapshot: one huge backfill commit drains across many bounded
   *    micro-batches instead of landing as one. Sub-snapshot progress is
   *    checkpointed as [[GraftFileOffset]] `(id, p)` = "all files
@@ -88,13 +90,15 @@ class GraftSourceProvider extends StreamSourceProvider {
         "feed — pick one")
     val maxFiles = parameters.get("maxFilesPerTrigger").map(_.toLong)
     val maxBytes = parameters.get("maxBytesPerTrigger").map(_.toLong)
-    require(!((changeFeed || retractions) && (maxFiles.isDefined || maxBytes.isDefined)),
+    val maxRows = parameters.get("maxRowsPerTrigger").map(_.toLong)
+    require(!((changeFeed || retractions) &&
+        (maxFiles.isDefined || maxBytes.isDefined || maxRows.isDefined)),
       "readChangeFeed/deletesAsRetractions emit whole-snapshot change sets; " +
-        "maxFilesPerTrigger/maxBytesPerTrigger cannot split a change " +
-        "commit — use maxSnapshotsPerTrigger for admission control")
+        "maxFilesPerTrigger/maxBytesPerTrigger/maxRowsPerTrigger cannot " +
+        "split a change commit — use maxSnapshotsPerTrigger for admission control")
     new GraftSource(sqlContext.sparkSession, root(parameters),
       parameters.get("maxSnapshotsPerTrigger").map(_.toLong),
-      maxFiles, maxBytes,
+      maxFiles, maxBytes, maxRows,
       changeFeed = changeFeed,
       skipChangeCommits = flag(parameters, "skipChangeCommits"),
       retractions = retractions)
@@ -122,6 +126,7 @@ class GraftSource(
     maxSnapshotsPerTrigger: Option[Long] = None,
     maxFilesPerTrigger: Option[Long] = None,
     maxBytesPerTrigger: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None,
     changeFeed: Boolean = false,
     skipChangeCommits: Boolean = false,
     retractions: Boolean = false) extends Source {
@@ -186,7 +191,8 @@ class GraftSource(
       case _ => id
     }
     if (capped <= 0) return None
-    if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
+    if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty &&
+        maxRowsPerTrigger.isEmpty)
       return Some(LongOffset(capped))
     // file/byte admission: rank the pending files (those past the last
     // offset, through `capped`) in (addedBy, path) order and take a
@@ -206,10 +212,15 @@ class GraftSource(
              })
     val maxF = maxFilesPerTrigger.getOrElse(Long.MaxValue)
     val maxB = maxBytesPerTrigger.getOrElse(Long.MaxValue)
-    var nF = 0L; var nB = 0L; var cut = 0
+    // rows cap is FILE-granular like Delta's: admit whole files until
+    // the manifest row budget is reached (never a partial file), and
+    // always at least one file or the stream stalls
+    val maxR = maxRowsPerTrigger.getOrElse(Long.MaxValue)
+    var nF = 0L; var nB = 0L; var nR = 0L; var cut = 0
     while (cut < pending.size &&
-           (cut == 0 || (nF + 1 <= maxF && nB + pending(cut)._1.bytes <= maxB))) {
-      nF += 1; nB += pending(cut)._1.bytes; cut += 1
+           (cut == 0 || (nF + 1 <= maxF && nB + pending(cut)._1.bytes <= maxB &&
+                         nR + pending(cut)._1.rows <= maxR))) {
+      nF += 1; nB += pending(cut)._1.bytes; nR += pending(cut)._1.rows; cut += 1
     }
     if (cut == pending.size) Some(LongOffset(capped))
     else {

@@ -637,6 +637,46 @@ class StreamingSpec extends SparkSpec {
     assert(consumed === (0L until 40L).toSet)
   }
 
+  test("D6g: maxRowsPerTrigger bounds batch rows at file granularity, exactly-once drain") {
+    import spark.implicits._
+    val root = "/root/repo/target/laketest/streamsrc-rowcap"
+    val rm = new java.io.File(root)
+    if (rm.exists()) { import scala.sys.process._; Seq("rm", "-rf", root).! }
+    val t = GraftTable.create(spark, root,
+      (0 until 48).map(i => (i.toLong, s"p${i % 6}")).toDF("id", "k")
+        .repartition(col("k")), Seq("k"))
+    val rowsPerFile = t.current.files.map(_.rows)
+    assert(rowsPerFile.forall(_ == 8L), s"fixture drifted: $rowsPerFile")
+    // 20-row budget at 8 rows/file → whole files only: 2 files (16
+    // rows) per batch, never a partial file, never 3 (24 > 20)
+    val src = new graft.streaming.GraftSource(spark, root,
+      maxRowsPerTrigger = Some(20L))
+    var consumed = Set.empty[Long]
+    var prev: Option[org.apache.spark.sql.execution.streaming.Offset] = None
+    var batches = 0
+    var done = false
+    while (!done) {
+      val o = src.getOffset.get
+      if (prev.exists(_.json == o.json)) done = true
+      else {
+        val df = src.getBatch(prev, o)
+        val files = StreamingSpec.plannedFiles(df)
+        assert(files.size === 2, s"20-row budget at 8-row files admits 2, got ${files.size}")
+        val rows = spark.read.parquet(files.toIndexedSeq: _*)
+          .select("id").collect().map(_.getLong(0)).toSet
+        assert(consumed.intersect(rows).isEmpty, "no row delivered twice")
+        consumed ++= rows
+        prev = Some(o); batches += 1
+      }
+    }
+    assert(batches === 3 && consumed === (0L until 48L).toSet)
+    // a budget below one file still admits exactly one (no stall)
+    val starved = new graft.streaming.GraftSource(spark, root,
+      maxRowsPerTrigger = Some(1L))
+    val o1 = starved.getOffset.get
+    assert(StreamingSpec.plannedFiles(starved.getBatch(None, o1)).size === 1)
+  }
+
   test("D6c: getBatch plans O(delta) — only files stamped in (start, end]") {
     import spark.implicits._
     val root = "/root/repo/target/laketest/streamsrc-delta"
