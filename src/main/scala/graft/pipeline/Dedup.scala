@@ -977,8 +977,11 @@ object Dedup {
     * (|sources|² rows) is unchanged. Oracle recomputes over gram
     * strings (injective-hash argument, as C4/C25).
     */
-  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
+  def sourceOverlap(s: SparkSession, d: String): DataFrame =
+    sourceOverlapOf(Tables.documents(s, d))
+
+  def sourceOverlapOf(docs: DataFrame): DataFrame = {
+    val sh = docs
       .select(col("source"), explode(exprs.shingleHashes(col("text"), 5)).as("sh"))
       .distinct()
     val totals = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))

@@ -1508,6 +1508,29 @@ class PipelineSpec extends SparkSpec {
         }
       }.toMap
       assert(gotDecon === expDecon, s"trial $trial decontamination diverged")
+
+      // ---- source-overlap matrix vs set arithmetic (source = id % 3) ----
+      val withSrc = docs.map { case (id, t) => (id, s"s${id % 3}", t) }
+        .toDF("doc_id", "source", "text")
+      val gotOv = Dedup.sourceOverlapOf(withSrc).collect()
+        .map(r => ((r.getString(0), r.getString(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+      val srcGrams = docs.groupBy { case (id, _) => s"s${id % 3}" }.view
+        .mapValues(_.flatMap { case (_, t) =>
+          val ws = toks(t)
+          if (ws.length < 5) Nil else ws.sliding(5).map(_.mkString(" ")).toSeq
+        }.toSet).toMap
+      for (a <- srcGrams.keys; b <- srcGrams.keys if a < b) {
+        val shared = (srcGrams(a) & srcGrams(b)).size.toLong
+        if (shared == 0) assert(!gotOv.contains((a, b)))
+        else {
+          val (na, nb) = (srcGrams(a).size.toLong, srcGrams(b).size.toLong)
+          val j = BigDecimal(shared.toDouble / (na + nb - shared).toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(gotOv((a, b)) === ((shared, na, nb, j)),
+            s"trial $trial overlap($a,$b) diverged")
+        }
+      }
     }
   }
 
