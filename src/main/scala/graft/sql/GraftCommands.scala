@@ -469,6 +469,27 @@ case class GraftSetPropertiesCommand(
   }
 }
 
+/** ALTER TABLE t UNSET TBLPROPERTIES [IF EXISTS] ('k', …) — the
+  * inverse of SET, one metadata-only snapshot per removed key; without
+  * IF EXISTS an absent key is refused (Spark's semantics).
+  */
+case class GraftUnsetPropertiesCommand(
+    name: String, keys: Seq[String], ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    val t = new GraftTable(root, session)
+    keys.sorted.foreach { k =>
+      if (t.properties.contains(k)) t.unsetProperty(k)
+      else if (!ifExists) throw new IllegalArgumentException(
+        s"UNSET TBLPROPERTIES: no property '$k' on graft table '$name' " +
+          "(use IF EXISTS to ignore)")
+    }
+    Seq.empty
+  }
+}
+
 /** ALTER TABLE t ADD CONSTRAINT name CHECK (pred) / DROP CONSTRAINT
   * name — Delta's constraint DDL, which Spark's parser has no grammar
   * for. ADD routes through [[graft.lake.GraftTable.addCheckConstraint]]

@@ -393,6 +393,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case sp: logical.SetTableProperties
           if identName(sp.table).exists(GraftCatalog.lookup(_).isDefined) =>
         GraftSetPropertiesCommand(identName(sp.table).get, sp.properties)
+      case up: logical.UnsetTableProperties
+          if identName(up.table).exists(GraftCatalog.lookup(_).isDefined) =>
+        GraftUnsetPropertiesCommand(identName(up.table).get,
+          up.propertyKeys, up.ifExists)
       case sh: logical.ShowTableProperties
           if identName(sh.table).exists(GraftCatalog.lookup(_).isDefined) =>
         GraftShowPropertiesCommand(identName(sh.table).get, sh.propertyKey)

@@ -292,6 +292,24 @@ class SqlSurfaceSpec extends SparkSpec {
       "134 MiB target packs each small partition to one file")
   }
 
+  test("ALTER TABLE UNSET TBLPROPERTIES removes keys, IF EXISTS tolerated") {
+    val t = mkTable("unsetsql")
+    GraftCatalog.register("t_unset", t.root)
+    spark.sql("ALTER TABLE t_unset SET TBLPROPERTIES('a'='1', 'b'='2')")
+    spark.sql("ALTER TABLE t_unset UNSET TBLPROPERTIES ('a')")
+    assert(!t.properties.contains("a") && t.properties("b") === "2")
+    assert(t.current.operation === "unset-properties" ||
+      t.current.operation === "set-properties") // commit op spelling
+    // absent key without IF EXISTS refuses; with IF EXISTS is a no-op
+    val e = intercept[IllegalArgumentException](
+      spark.sql("ALTER TABLE t_unset UNSET TBLPROPERTIES ('nope')"))
+    assert(e.getMessage.contains("no property"))
+    spark.sql("ALTER TABLE t_unset UNSET TBLPROPERTIES IF EXISTS ('nope', 'b')")
+    assert(!t.properties.contains("b"))
+    assert(spark.sql("SHOW TBLPROPERTIES t_unset").collect()
+      .forall(r => r.getString(0) != "a" && r.getString(0) != "b"))
+  }
+
   test("OPTIMIZE and VACUUM statements from SQL") {
     val t = mkTable("optsql") // 2 snapshots → fragmented partitions
     GraftCatalog.register("t_opt", t.root)
