@@ -1552,12 +1552,19 @@ final class GraftTable(val root: String, spark: SparkSession) {
     this
   }
 
-  def unsetProperty(key: String): GraftTable = {
+  def unsetProperty(key: String): GraftTable = unsetProperties(Seq(key))
+
+  /** Removes all `keys` in ONE set-properties snapshot — the DDL-atomic
+    * shape `UNSET TBLPROPERTIES ('a','b')` needs: either every key is
+    * gone or (if the caller validated and threw first) none is, never a
+    * half-applied statement.
+    */
+  def unsetProperties(keys: Seq[String]): GraftTable = {
     val cur = current
     commit(cur.copy(
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
       operation = "set-properties",
-      properties = cur.properties - key,
+      properties = cur.properties -- keys,
       addedFiles = 0, deletedFiles = 0))
     this
   }

@@ -809,6 +809,13 @@ object GateQueries {
       "COMMENT must commit a metadata-only set-properties snapshot")
     val bad = try { s.sql("COMMENT ON COLUMN gate_comment.nope IS 'x'"); false }
     catch { case e: IllegalArgumentException => e.getMessage.contains("no column") }
+    // Case-insensitive resolution (Spark default): mixed-case spelling
+    // resolves and updates the SAME canonical-key property, no new key.
+    s.sql("COMMENT ON COLUMN gate_comment.O_TotalPrice IS 'gross order value'")
+    require(s.sql(
+      """SELECT count(*) FROM `gate_comment$properties`
+        |WHERE lower(key) LIKE 'comment.col.%'""".stripMargin).head().getLong(0) == 1L,
+      "mixed-case COMMENT must reuse the canonical comment.col key")
     s.sql("COMMENT ON TABLE gate_comment IS NULL")
     val cleared = s.sql("SHOW TBLPROPERTIES gate_comment")
       .filter(col("key") === "comment").count() == 0L

@@ -1649,10 +1649,13 @@ object TextOps {
     val tc = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    // Pre-cut to top-V with orderBy+limit (plans as TakeOrderedAndProject
+    // — per-partition heaps, no global sort) so the unpartitioned rank
+    // window only ever sees ZipfTopV rows, as bm25 does.
     val ranked = tc
+      .orderBy(col("c").desc, col("term")).limit(ZipfTopV)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("c").desc, col("term"))).cast("long"))
-      .filter(col("rank") <= ZipfTopV)
       .select(round(log(col("rank").cast("double")), 10).as("x"),
         round(log(col("c").cast("double")), 10).as("y"))
     ranked.agg(
@@ -1728,13 +1731,21 @@ object TextOps {
   def textCompression(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val stats = compressionStats(s, Tables.documents(s, d))
+    // The hi<2.0 sanity band only applies to docs long enough that the
+    // fixed ~8-byte deflate header can't dominate: a legal 3-byte doc
+    // deflates to ~11 bytes (ratio ≈ 3.7) without anything being wrong.
+    // Below the floor we only require a positive ratio.
+    val SaneBandMinBytes = 64L
     val row = stats.agg(
       count(lit(1)).as("n"),
-      min(col("ratio")).as("lo"), max(col("ratio")).as("hi"),
+      min(col("ratio")).as("lo"),
+      max(when(col("n_bytes") >= SaneBandMinBytes, col("ratio"))).as("hi"),
       sum(when(col("n_deflate") <= 0L, 1L).otherwise(0L)).as("bad")).head()
     require(row.getAs[Long]("bad") == 0L, "every document must deflate to >0 bytes")
-    require(row.getAs[Double]("lo") > 0.0 && row.getAs[Double]("hi") < 2.0,
-      s"deflate ratios out of the sane band: [${row.getAs[Double]("lo")}, ${row.getAs[Double]("hi")}]")
+    val hiVal = if (row.isNullAt(row.fieldIndex("hi"))) 0.0 else row.getAs[Double]("hi")
+    require(row.getAs[Double]("lo") > 0.0 && hiVal < 2.0,
+      s"deflate ratios out of the sane band (docs >= $SaneBandMinBytes B): " +
+        s"[${row.getAs[Double]("lo")}, $hiVal]")
     // planted contrast: a pathologically repetitive doc must compress
     // strictly better than distinct-token text of the same length
     val rep = ("token " * 200).trim

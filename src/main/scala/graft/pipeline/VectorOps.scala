@@ -1259,16 +1259,20 @@ object VectorOps {
        |           * sqrt(list_dot_product(n.emb, n.emb))), 6) AS cos_sim
        |    FROM cands q JOIN cands n ON q.doc_id <> n.doc_id
        |    WHERE q.doc_id < $NQueries)
-       |  QUALIFY r_cos <= $RrfDepth)
-       |SELECT query_id, cand_id,
-       |  coalesce(r_bm25, -1) AS r_bm25, coalesce(r_cos, -1) AS r_cos,
-       |  round(coalesce(1.0 / (60.0 + CAST(r_bm25 AS DOUBLE)), 0.0)
-       |      + coalesce(1.0 / (60.0 + CAST(r_cos AS DOUBLE)), 0.0), 6) AS rrf,
-       |  row_number() OVER (PARTITION BY query_id ORDER BY
+       |  QUALIFY r_cos <= $RrfDepth),
+       |joined AS (
+       |  -- rrf computed in its own CTE from the RAW join columns, so the
+       |  -- -1 sentinel aliases in the final SELECT can never shadow the
+       |  -- rank inputs regardless of the engine's alias-resolution order
+       |  SELECT query_id, cand_id, r_bm25, r_cos,
        |    round(coalesce(1.0 / (60.0 + CAST(r_bm25 AS DOUBLE)), 0.0)
-       |        + coalesce(1.0 / (60.0 + CAST(r_cos AS DOUBLE)), 0.0), 6) DESC, cand_id)
+       |        + coalesce(1.0 / (60.0 + CAST(r_cos AS DOUBLE)), 0.0), 6) AS rrf
+       |  FROM bm FULL OUTER JOIN cos USING (query_id, cand_id))
+       |SELECT query_id, cand_id,
+       |  coalesce(r_bm25, -1) AS r_bm25, coalesce(r_cos, -1) AS r_cos, rrf,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, cand_id)
        |    AS rank
-       |FROM bm FULL OUTER JOIN cos USING (query_id, cand_id)
+       |FROM joined
        |QUALIFY rank <= $HybridTopK
        |ORDER BY query_id, rank""".stripMargin
 

@@ -470,8 +470,11 @@ case class GraftSetPropertiesCommand(
 }
 
 /** ALTER TABLE t UNSET TBLPROPERTIES [IF EXISTS] ('k', …) — the
-  * inverse of SET, one metadata-only snapshot per removed key; without
-  * IF EXISTS an absent key is refused (Spark's semantics).
+  * inverse of SET. All keys are validated against the current
+  * properties BEFORE anything is applied (so a statement that names an
+  * absent key without IF EXISTS fails whole, never half-applied — the
+  * Spark/Delta DDL contract), then every present key is removed in ONE
+  * set-properties snapshot.
   */
 case class GraftUnsetPropertiesCommand(
     name: String, keys: Seq[String], ifExists: Boolean)
@@ -480,12 +483,13 @@ case class GraftUnsetPropertiesCommand(
     val root = GraftCatalog.lookup(name).getOrElse(
       throw new IllegalArgumentException(s"graft table not registered: $name"))
     val t = new GraftTable(root, session)
-    keys.sorted.foreach { k =>
-      if (t.properties.contains(k)) t.unsetProperty(k)
-      else if (!ifExists) throw new IllegalArgumentException(
-        s"UNSET TBLPROPERTIES: no property '$k' on graft table '$name' " +
-          "(use IF EXISTS to ignore)")
-    }
+    val have = t.properties
+    val missing = keys.filterNot(have.contains)
+    if (missing.nonEmpty && !ifExists) throw new IllegalArgumentException(
+      s"UNSET TBLPROPERTIES: no property '${missing.min}' on graft table " +
+        s"'$name' (use IF EXISTS to ignore)")
+    val present = keys.filter(have.contains)
+    if (present.nonEmpty) t.unsetProperties(present)
     Seq.empty
   }
 }
@@ -822,10 +826,14 @@ case class GraftCommentCommand(
     val t = new GraftTable(root, session)
     val key = column match {
       case Some(c) =>
-        require(t.schema.fieldNames.contains(c),
-          s"COMMENT ON COLUMN: no column '$c' on graft table '$name' " +
-            s"(have: ${t.schema.fieldNames.mkString(", ")})")
-        s"comment.col.$c"
+        // Case-insensitive resolution (Spark's default), stored under
+        // the schema's canonical spelling so $properties has one key
+        // per column however the DDL was typed.
+        val canonical = t.schema.fieldNames.find(_.equalsIgnoreCase(c))
+          .getOrElse(throw new IllegalArgumentException(
+            s"COMMENT ON COLUMN: no column '$c' on graft table '$name' " +
+              s"(have: ${t.schema.fieldNames.mkString(", ")})"))
+        s"comment.col.$canonical"
       case None => "comment"
     }
     text match {

@@ -308,6 +308,18 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(!t.properties.contains("b"))
     assert(spark.sql("SHOW TBLPROPERTIES t_unset").collect()
       .forall(r => r.getString(0) != "a" && r.getString(0) != "b"))
+    // DDL atomicity: a statement naming a present AND an absent key must
+    // fail whole — the present key survives, no partial snapshot lands
+    spark.sql("ALTER TABLE t_unset SET TBLPROPERTIES('c'='3', 'd'='4')")
+    val snapBefore = t.currentId
+    intercept[IllegalArgumentException](
+      spark.sql("ALTER TABLE t_unset UNSET TBLPROPERTIES ('c', 'nope')"))
+    assert(t.properties("c") === "3", "failed UNSET must not remove any key")
+    assert(t.currentId === snapBefore, "failed UNSET must not commit")
+    // multi-key unset is ONE snapshot, not one per key
+    spark.sql("ALTER TABLE t_unset UNSET TBLPROPERTIES ('c', 'd')")
+    assert(t.currentId === snapBefore + 1)
+    assert(!t.properties.contains("c") && !t.properties.contains("d"))
   }
 
   test("OPTIMIZE and VACUUM statements from SQL") {
