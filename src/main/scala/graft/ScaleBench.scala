@@ -331,7 +331,12 @@ object ScaleBench {
       // removal (gram count + row-local rewrite), source overlap (the
       // inverted-index self-join — the one with quadratic RISK, so its
       // measured α is the load-bearing number)
-      "text_bm25", "dedup_span_removal", "corpus_source_overlap")
+      "text_bm25", "dedup_span_removal", "corpus_source_overlap",
+      // r10 driver-local BPE training: the corpus pass (word-frequency
+      // groupBy) must dominate — the copy-suffixed 100× corpus grows the
+      // vocab ~100×, so the k=256 merge loop genuinely runs its full
+      // budget here while timing stays scan-shaped
+      "text_bpe_train")
 
   private def runPipeline100(spark: SparkSession, base: String,
       sf1: String, sf10: String): Unit = {

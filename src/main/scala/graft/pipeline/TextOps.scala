@@ -1811,13 +1811,13 @@ object TextOps {
     * count).
     *
     * Shapes at 100 TB: the corpus is touched ONCE (the word-frequency
-    * groupBy); the loop then runs entirely on the VOCABULARY table
-    * (distinct words × counts — top-V capped like C48 at scale), which
-    * is how production BPE trainers work. Each iteration is one
-    * map-side-combined pair count over vocab rows + one narrow
-    * re-encode map; lineage is cut per iteration with an eager
-    * localCheckpoint (the dedup_clusters idiom); the only driver pull
-    * is the 1-row argmax per iteration (k rows total).
+    * groupBy, top-V capped to [[BpeVocabCap]] with a deterministic
+    * orderBy+limit cut); the k-merge loop then runs DRIVER-LOCAL over
+    * that bounded table with incremental pair-count maintenance
+    * ([[bpeMergeLoop]]) — a 32k-merge production vocabulary costs ONE
+    * corpus pass and zero further Spark jobs. The k-jobs distributed
+    * loop survives as [[bpeTrainDistributed]] for genuinely uncappable
+    * vocabularies.
     *
     * Determinism/oracle: words are encoded with DOUBLE-bar symbol
     * boundaries ('||c||a||t||'), so the merge of (l, r) is a plain
@@ -1831,15 +1831,151 @@ object TextOps {
     * unrolled CTE stages (generated below). Ties break on (count desc,
     * pair string) in both engines.
     */
-  val BpeMerges = 8
+  /** Real-vocab-scale merge budget for the C68 entry. The synthetic
+    * corpus (31 distinct words) exhausts its pair pool after ~89
+    * merges, so the entry ALSO exercises early-stop: the output is
+    * every merge that exists, not k rows. */
+  val BpeMerges = 256
+  /** Merge budget for the C69 ENCODE entry — kept small so fertility
+    * stays a non-trivial signal on the tiny test vocabulary (training
+    * to exhaustion fuses every word to one token, fertility ≡ 1). */
+  val BpeEncodeMerges = 8
+  /** Top-V cap on the word-frequency table pulled to the driver — 2^18
+    * words bounds driver memory by construction at any corpus size
+    * (the C48 top-V idiom; cut is deterministic: count desc, word). */
+  val BpeVocabCap = 262144
 
   def bpeTrain(s: SparkSession, d: String): DataFrame =
     bpeTrainOf(s, Tables.documents(s, d))
 
   /** Production body over any (doc_id, text) frame — the randomized
     * exactness spec drives synthetic corpora through this same plan.
+    *
+    * Scale shape (the production trainer recipe): the CORPUS is touched
+    * exactly once — one map-side-combined word-frequency groupBy, top-V
+    * capped via orderBy+limit (TakeOrderedAndProject: per-partition
+    * heaps, no global sort) so at most [[BpeVocabCap]] (word, count)
+    * rows ever reach the driver. The k-merge loop then runs DRIVER-LOCAL
+    * over that bounded table ([[bpeMergeLoop]]) with incremental
+    * pair-count maintenance — k=32k merges cost zero further Spark jobs
+    * and zero further corpus reads, exactly how subword-nmt/HF trainers
+    * amortize. Training stops early when no adjacent pair remains
+    * (every vocab word fused to a single symbol) — on a small corpus
+    * the merge table is the complete merge history, never an error.
     */
-  def bpeTrainOf(s: SparkSession, docs: DataFrame): DataFrame = {
+  def bpeTrainOf(s: SparkSession, docs: DataFrame): DataFrame =
+    bpeTrainOf(s, docs, BpeMerges)
+
+  def bpeTrainOf(s: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val wf = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(BpeVocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    bpeMergeLoop(wf, k).toDF("merge_rank", "lhs", "rhs", "n_pairs")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** The Sennrich merge loop, driver-local over the capped
+    * word-frequency table. Pair counts are maintained INCREMENTALLY:
+    * merging (l, r) only rescans the words that actually contain the
+    * pair (a pair→word-indices posting index), so a full training run
+    * is O(one init scan + Σ touched-word lengths), not O(k · vocab).
+    * The per-merge argmax is a plain scan of the live pair map —
+    * documented trade: at k=32k × a 2^18 vocab a lazy max-heap shaves
+    * the scan, but the scan keeps the tie-break (count desc, then
+    * "l r" ascending by UTF-8 BYTES — matching Spark's UTF8String and
+    * DuckDB's binary collation, NOT java.lang.String UTF-16 order)
+    * trivially auditable. Merge application is the same left-to-right
+    * non-overlapping list scan the '||'-replace semantics encode;
+    * the randomized spec pins all three implementations pair-for-pair.
+    */
+  def bpeMergeLoop(wf: Array[(String, Long)], k: Int): Seq[(Long, String, String, Long)] = {
+    import scala.collection.mutable
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    def wordPairs(syms: Array[String]): mutable.Map[(String, String), Long] = {
+      val m = mutable.Map.empty[(String, String), Long]
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        m(p) = m.getOrElse(p, 0L) + 1L
+        i += 1
+      }
+      m
+    }
+    val words = wf.map(_._1.map(_.toString).toArray)
+    val cnts = wf.map(_._2)
+    val pairCnt = mutable.Map.empty[(String, String), Long]
+    val posting = mutable.Map.empty[(String, String), mutable.Set[Int]]
+    for (wi <- words.indices; (p, m) <- wordPairs(words(wi))) {
+      pairCnt(p) = pairCnt.getOrElse(p, 0L) + m * cnts(wi)
+      posting.getOrElseUpdate(p, mutable.Set.empty) += wi
+    }
+    val out = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rank = 1
+    while (rank <= k && pairCnt.nonEmpty) {
+      var best: (String, String) = null
+      var bestN = Long.MinValue
+      for ((p, n) <- pairCnt) {
+        if (n > bestN || (n == bestN && utf8Lt(p._1 + " " + p._2, best._1 + " " + best._2))) {
+          best = p; bestN = n
+        }
+      }
+      val (l, r) = best
+      out += ((rank.toLong, l, r, bestN))
+      // rescan only the posting-list words; delta-update the pair maps
+      for (wi <- posting(best).toArray) {
+        val before = wordPairs(words(wi))
+        val merged = {
+          val syms = words(wi)
+          val o = mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              o += (l + r); i += 2
+            } else { o += syms(i); i += 1 }
+          }
+          o.toArray
+        }
+        words(wi) = merged
+        val after = wordPairs(merged)
+        for (p <- (before.keySet ++ after.keySet)) {
+          val d = after.getOrElse(p, 0L) - before.getOrElse(p, 0L)
+          if (d != 0L) {
+            val n = pairCnt.getOrElse(p, 0L) + d * cnts(wi)
+            if (n <= 0L) pairCnt.remove(p) else pairCnt(p) = n
+          }
+          if (after.getOrElse(p, 0L) > 0L)
+            posting.getOrElseUpdate(p, mutable.Set.empty) += wi
+          else posting.get(p).foreach { s => s -= wi; if (s.isEmpty) posting.remove(p) }
+        }
+      }
+      rank += 1
+    }
+    out.toSeq
+  }
+
+  /** The k-Spark-jobs distributed fallback — the loop shape for corpora
+    * whose vocabulary genuinely cannot cap (no top-V is sound, e.g.
+    * byte-level pretokenization disabled over adversarial serial-number
+    * text). One pair-count aggregation + one narrow re-encode map per
+    * merge, lineage cut with an eager localCheckpoint per iteration;
+    * same early-stop and tie-break as [[bpeMergeLoop]] (spec-pinned
+    * equal). Prefer [[bpeTrainOf]] — at a real 32k-merge vocabulary
+    * this path costs 32k Spark jobs to the capped loop's one.
+    */
+  def bpeTrainDistributed(s: SparkSession, docs: DataFrame, k: Int): DataFrame = {
     import s.implicits._
     val wf = docs
       .select(explode(tokens(col("text"))).as("w"))
@@ -1848,7 +1984,8 @@ object TextOps {
       concat(regexp_replace(col("w"), "(.)", "||$1"), lit("||")).as("enc"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    for (k <- 1 to BpeMerges) {
+    var exhausted = false
+    for (i <- 1 to k if !exhausted) {
       val best = cur
         .select(col("cnt"),
           expr("filter(split(enc, '[|][|]'), x -> x != '')").as("syms"))
@@ -1858,11 +1995,13 @@ object TextOps {
             |ELSE array() END""".stripMargin)).as("pair"))
         .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(1).collect()
-      require(best.nonEmpty, s"corpus exhausted before merge $k")
-      val Array(l, r) = best(0).getString(0).split(" ", 2)
-      merges += ((k.toLong, l, r, best(0).getLong(1)))
-      cur = cur.select(col("cnt"),
-        expr(s"replace(enc, '|$l||$r|', '|$l$r|')").as("enc")).localCheckpoint()
+      if (best.isEmpty) exhausted = true
+      else {
+        val Array(l, r) = best(0).getString(0).split(" ", 2)
+        merges += ((i.toLong, l, r, best(0).getLong(1)))
+        cur = cur.select(col("cnt"),
+          expr(s"replace(enc, '|$l||$r|', '|$l$r|')").as("enc")).localCheckpoint()
+      }
     }
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "n_pairs")
       .orderBy(col("merge_rank"))
@@ -1873,9 +2012,21 @@ object TextOps {
     * encodings) — the training oracle selects the b_i rows, the
     * encoding oracle chains the b_i merges over the vocabulary.
     */
-  private val bpeWithBlock: String = {
-    val stages = (1 to BpeMerges).map { i =>
-      s"""p$i AS (
+  /** Shared CTE block generator: word frequencies (top-V capped exactly
+    * like the Spark side), '||'-boundary encoding, and k unrolled train
+    * stages (p_i pair counts, b_i argmax, e_i merged encodings),
+    * finishing with a `merges` CTE that unions the b_i rows. Every
+    * chained CTE is MATERIALIZED — e_i is referenced twice (p_{i+1} and
+    * e_{i+1}), so inlining would double the scan tree per stage
+    * (2^k scans by k=256). The union is a BALANCED tree: a 256-arm
+    * left-deep UNION ALL chain trips DuckDB's max_expression_depth.
+    * Past pair-pool exhaustion b_i is empty, which empties e_i and
+    * every later stage — the unrolled replay early-stops exactly like
+    * the trainers, contributing no rows.
+    */
+  private def bpeWithBlock(k: Int): String = {
+    val stages = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (
          |  SELECT pair, sum(cnt) AS n FROM (
          |    SELECT cnt, unnest(CASE WHEN len(syms) >= 2
          |      THEN list_transform(range(1, len(syms)), j -> syms[j] || ' ' || syms[j+1])
@@ -1883,28 +2034,33 @@ object TextOps {
          |    FROM (SELECT cnt, list_filter(string_split(enc, '||'), x -> x <> '') AS syms
          |          FROM e${i - 1}))
          |  GROUP BY pair),
-         |b$i AS (SELECT string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS r,
+         |b$i AS MATERIALIZED (SELECT string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS r,
          |               n, pair
          |        FROM p$i ORDER BY n DESC, pair LIMIT 1),
-         |e$i AS (SELECT cnt, replace(enc, '|' || b.l || '||' || b.r || '|',
+         |e$i AS MATERIALIZED (SELECT cnt, replace(enc, '|' || b.l || '||' || b.r || '|',
          |                            '|' || b.l || b.r || '|') AS enc
          |        FROM e${i - 1}, b$i b)""".stripMargin
     }.mkString(",\n")
-    s"""wf AS (
-       |  SELECT w, count(*) AS cnt
-       |  FROM (SELECT unnest($tokensSql) AS w FROM documents) GROUP BY w),
-       |e0 AS (SELECT cnt, regexp_replace(w, '(.)', '||\\1', 'g') || '||' AS enc FROM wf),
-       |$stages""".stripMargin
+    val arms = (1 to k).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, CAST(n AS BIGINT) AS n_pairs FROM b$i"
+    }
+    def tree(a: Seq[String]): String =
+      if (a.size == 1) a.head
+      else "(" + tree(a.take(a.size / 2)) + "\nUNION ALL\n" + tree(a.drop(a.size / 2)) + ")"
+    s"""wf AS MATERIALIZED (
+       |  SELECT w, cnt FROM (
+       |    SELECT w, count(*) AS cnt
+       |    FROM (SELECT unnest($tokensSql) AS w FROM documents) GROUP BY w)
+       |  ORDER BY cnt DESC, w LIMIT $BpeVocabCap),
+       |e0 AS MATERIALIZED (SELECT cnt, regexp_replace(w, '(.)', '||\\1', 'g') || '||' AS enc FROM wf),
+       |$stages,
+       |merges AS MATERIALIZED (SELECT * FROM ${tree(arms)})""".stripMargin
   }
 
-  val bpeTrainSql: String = {
-    val rows = (1 to BpeMerges).map { i =>
-      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, CAST(n AS BIGINT) AS n_pairs FROM b$i"
-    }.mkString("\nUNION ALL ")
-    s"""WITH $bpeWithBlock
-       |$rows
+  val bpeTrainSql: String =
+    s"""WITH ${bpeWithBlock(BpeMerges)}
+       |SELECT merge_rank, lhs, rhs, n_pairs FROM merges
        |ORDER BY merge_rank""".stripMargin
-  }
 
   /** C69 `text_bpe_encode`: BPE ENCODING with the learned merges — the
     * inference half of C68 (what the training pipeline actually runs
@@ -1920,7 +2076,7 @@ object TextOps {
     */
   def bpeEncode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val merges = bpeTrain(s, d).collect()
+    val merges = bpeTrainOf(s, Tables.documents(s, d), BpeEncodeMerges).collect()
       .map(r => (r.getString(1), r.getString(2))) // (lhs, rhs) in rank order
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
@@ -1940,23 +2096,32 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  val bpeEncodeSql: String = {
-    // replay training ([[bpeWithBlock]] defines b1..bK), then chain the
-    // k merges over the vocabulary and roll up per document
-    val chain = (1 to BpeMerges).foldLeft("regexp_replace(w, '(.)', '||\\1', 'g') || '||'") {
-      case (acc, i) => s"replace($acc, '|' || (SELECT l FROM b$i) || '||' || (SELECT r FROM b$i) || '|', " +
-        s"'|' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || '|')"
-    }
-    s"""WITH $bpeWithBlock,
+  val bpeEncodeSql: String =
+    // replay training at the encode budget, then apply the learned
+    // merges to the vocabulary ITERATIVELY via a per-row recursive CTE
+    // (one rank per recursion step) — survives any k, unlike a k-deep
+    // nested replace() chain; rows past exhaustion pass through on the
+    // NULL-merge branch. Roll up per document at the end.
+    s"""WITH RECURSIVE ${bpeWithBlock(BpeEncodeMerges)},
        |dt AS (SELECT doc_id, unnest($tokensSql) AS w FROM documents),
-       |venc AS (SELECT w, CAST(len(list_filter(string_split($chain, '||'), x -> x <> '')) AS BIGINT) AS n_bpe
-       |         FROM (SELECT DISTINCT w FROM dt))
+       |vw AS (SELECT DISTINCT w FROM dt),
+       |rec(iter, w, enc) AS (
+       |  SELECT 0, w, regexp_replace(w, '(.)', '||\\1', 'g') || '||' FROM vw
+       |  UNION ALL
+       |  SELECT r.iter + 1, r.w,
+       |    CASE WHEN m.lhs IS NULL THEN r.enc
+       |         ELSE replace(r.enc, '|' || m.lhs || '||' || m.rhs || '|',
+       |                      '|' || m.lhs || m.rhs || '|') END
+       |  FROM rec r LEFT JOIN merges m ON m.merge_rank = r.iter + 1
+       |  WHERE r.iter < (SELECT count(*) FROM merges)),
+       |venc AS (
+       |  SELECT w, CAST(len(list_filter(string_split(enc, '||'), x -> x <> '')) AS BIGINT) AS n_bpe
+       |  FROM rec WHERE iter = (SELECT count(*) FROM merges))
        |SELECT doc_id, count(*) AS n_words,
        |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
        |  round(CAST(sum(n_bpe) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fertility
        |FROM dt JOIN venc USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
 
   /** C72 `quality_auc`: exact ROC-AUC of the C39 quality classifier
     * against its own training labels (the calibration number a filter

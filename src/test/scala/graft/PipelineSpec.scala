@@ -1387,37 +1387,59 @@ class PipelineSpec extends SparkSpec {
     assert(canon.size <= docs.map(_._2).distinct.length)
   }
 
-  test("C68 BPE training: merge table equals an independent pure-Scala trainer") {
+  /** From-scratch reference BPE trainer (naive full recount every
+    * iteration, Map[Seq[String]] vocab — no shared code or data
+    * structures with [[TextOps.bpeMergeLoop]]'s incremental
+    * posting-index design). Stops at pair-pool exhaustion like the op.
+    */
+  private def refBpeTrain(wf: Map[String, Long], kMax: Int): Seq[(Long, String, String, Long)] = {
+    var vocab: Map[Seq[String], Long] = wf.map { case (w, c) => (w.map(_.toString): Seq[String]) -> c }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var k = 1
+    var done = false
+    while (k <= kMax && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), n) = counts.minBy { case ((a, b), c) => (-c, s"$a $b") }
+        out += ((k.toLong, l, r, n))
+        vocab = vocab.toSeq.map { case (syms, c) =>
+          val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              merged += (l + r); i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          (merged.toSeq: Seq[String]) -> c
+        }.groupBy(_._1).map { case (s2, m) => s2 -> m.map(_._2).sum } // merged spellings can collide
+        k += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("C68 BPE training: merge table equals an independent pure-Scala trainer, " +
+    "runs to pair-pool exhaustion under the k=256 budget") {
     def toks(t: String) =
       t.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
     val wf = Tables.documents(spark, sfDir).select("text").collect()
       .flatMap(r => toks(r.getString(0)))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
-    // reference trainer: symbol lists, argmax pair, left-to-right
-    // non-overlapping merge — no shared code with the Spark op
-    var vocab: Map[Seq[String], Long] = wf.map { case (w, c) => (w.map(_.toString): Seq[String]) -> c }
-    val expect = (1 to TextOps.BpeMerges).map { k =>
-      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-      for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
-        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
-      val ((l, r), n) = counts.minBy { case ((a, b), c) => (-c, s"$a $b") }
-      vocab = vocab.map { case (syms, c) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-            out += (l + r); i += 2
-          } else { out += syms(i); i += 1 }
-        }
-        (out.toSeq: Seq[String]) -> c
-      }.groupBy(_._1).map { case (s2, m) => s2 -> m.values.sum } // merged spellings can collide
-      (k.toLong, l, r, n)
-    }
+    val expect = refBpeTrain(wf, TextOps.BpeMerges)
     val got = TextOps.bpeTrain(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got === expect)
+    // the tiny test vocabulary exhausts well under the 256 budget — the
+    // entry exercises early-stop, and every emitted merge is real
+    assert(expect.size > 32 && expect.size < TextOps.BpeMerges)
     // merges strictly grow the learned vocabulary
-    assert(expect.map(m => m._2 + m._3).distinct.size === TextOps.BpeMerges)
+    assert(expect.map(m => m._2 + m._3).distinct.size === expect.size)
+    // after exhaustion every vocab word is a single symbol: re-running
+    // with a larger budget changes nothing
+    assert(refBpeTrain(wf, TextOps.BpeMerges * 2) === expect)
   }
 
   test("C63/C68 randomized corpora: span removal and BPE match pure-Scala references exactly") {
@@ -1460,30 +1482,22 @@ class PipelineSpec extends SparkSpec {
           s"trial $trial doc $id span-removal diverged")
       }
 
-      // ---- BPE training vs reference ----
+      // ---- BPE training vs reference (driver-local loop, to
+      // exhaustion — random tiny-alphabet corpora exhaust under 256,
+      // so early-stop parity is exercised every trial) ----
       val gotBpe = TextOps.bpeTrainOf(spark, df).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
-      var vocab: Map[Seq[String], Long] = docs.flatMap(d => toks(d._2))
+      val wfRef = docs.flatMap(d => toks(d._2))
         .groupBy(identity).view.mapValues(_.size.toLong).toMap
-        .map { case (w, c) => (w.map(_.toString): Seq[String]) -> c }
-      val expBpe = (1 to TextOps.BpeMerges).map { k =>
-        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-        for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
-          counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
-        val ((l, r), n) = counts.minBy { case ((a, b), c) => (-c, s"$a $b") }
-        vocab = vocab.toSeq.map { case (syms, c) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-              out += (l + r); i += 2
-            } else { out += syms(i); i += 1 }
-          }
-          (out.toSeq: Seq[String]) -> c
-        }.groupBy(_._1).map { case (s2, m) => s2 -> m.map(_._2).sum }
-        (k.toLong, l, r, n)
-      }
+      val expBpe = refBpeTrain(wfRef, TextOps.BpeMerges)
       assert(gotBpe === expBpe, s"trial $trial BPE merge table diverged")
+      // the distributed k-jobs fallback is merge-for-merge identical
+      // (budget cut low to keep the trial cheap — prefix equality)
+      if (trial == 1) {
+        val distributed = TextOps.bpeTrainDistributed(spark, df, 6).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+        assert(distributed === expBpe.take(6), "distributed path diverged from driver-local")
+      }
 
       // ---- decontamination vs reference (bench = doc_id % 10 == 0) ----
       val benchGrams = docs.collect { case (id, t) if id % 10 == 0 => t }
@@ -1622,6 +1636,7 @@ class PipelineSpec extends SparkSpec {
       t.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
     val merges = TextOps.bpeTrain(spark, sfDir).collect()
       .map(r => (r.getString(1), r.getString(2)))
+      .take(TextOps.BpeEncodeMerges) // encode runs at its own budget
     def encode(w: String): Int = {
       var syms: Seq[String] = w.map(_.toString)
       for ((l, r) <- merges) {
