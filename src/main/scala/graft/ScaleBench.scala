@@ -332,6 +332,9 @@ object ScaleBench {
       // inverted-index self-join — the one with quadratic RISK, so its
       // measured α is the load-bearing number)
       "text_bm25", "dedup_span_removal", "corpus_source_overlap",
+      // r10 sketch dial: one MinHash signature per source — must stay
+      // scan-shaped (no shared-shingle join term) at any overlap volume
+      "corpus_source_overlap_sketch",
       // r10 driver-local BPE training: the corpus pass (word-frequency
       // groupBy) must dominate — the copy-suffixed 100× corpus grows the
       // vocab ~100×, so the k=256 merge loop genuinely runs its full

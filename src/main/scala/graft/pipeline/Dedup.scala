@@ -972,10 +972,11 @@ object Dedup {
     * on the 8-byte hash (shuffle ∝ shared shingles; the per-source
     * distinct set is the C4 inverted-index shape) → pair intersection
     * counts; union sizes fold from per-source totals, so J needs no
-    * second pass. At 100 TB with many sources you'd swap the exact
-    * join for the C15 minhash aggregate per source — the matrix shape
-    * (|sources|² rows) is unchanged. Oracle recomputes over gram
-    * strings (injective-hash argument, as C4/C25).
+    * second pass. At 100 TB with many sources swap to the implemented
+    * sketch dial [[sourceOverlapSketch]] — one MinHash signature per
+    * source, the shared-shingle join term gone entirely. Oracle
+    * recomputes over gram strings (injective-hash argument, as
+    * C4/C25).
     */
   def sourceOverlap(s: SparkSession, d: String): DataFrame =
     sourceOverlapOf(Tables.documents(s, d))
@@ -996,6 +997,60 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6).as("jaccard"))
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  /** C70's SKETCH dial — the many-source/100 TB gear the exact matrix
+    * scaladoc promises: ONE [[graft.functions.MinHashAgg]] signature
+    * per source (a map-side-combinable aggregate whose shuffle is 256
+    * longs per source per partition — constant in corpus size), then
+    * the |sources|² pair matrix is estimated driver-side from the
+    * collected signatures (|sources| is mixture-design-sized, never
+    * data-sized). Where the exact entry's inverted-index self-join
+    * shuffles the shared-shingle volume (grows with real cross-source
+    * overlap), this path's cost is one corpus scan, full stop — the
+    * trade is ±1/√256 ≈ 0.06 estimator noise, bounded at 5σ by the
+    * `_check` twin and the spec. Pairs with zero shared shingles ARE
+    * emitted (est ≈ 0), unlike the exact entry's inner join.
+    */
+  def sourceOverlapSketch(s: SparkSession, d: String): DataFrame =
+    sourceOverlapSketchOf(s, Tables.documents(s, d))
+
+  def sourceOverlapSketchOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    import graft.functions.MinHashAgg
+    val sigs = docs
+      .select(col("source"), exprs.shingleHashes(col("text"), 5).as("hs"))
+      .groupBy(col("source"))
+      .agg(MinHashAgg.minHashAgg(col("hs"), Seed, 256).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).sortBy(_._1)
+    val pairs = for {
+      i <- sigs.indices
+      j <- (i + 1) until sigs.length
+    } yield (sigs(i)._1, sigs(j)._1,
+      math.round(MinHashAgg.estimate(sigs(i)._2, sigs(j)._2) * 1e6) / 1e6)
+    import s.implicits._
+    pairs.toSeq.toDF("src_a", "src_b", "est_jaccard")
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Invariant oracle for the sketch dial: every estimated pair must
+    * land within 5σ of the EXACT matrix (σ = √(J(1−J)/256) ≤ 1/32 ⇒
+    * gate 0.16, the C15 bound), and the sketch must emit the COMPLETE
+    * matrix (all C(|sources|, 2) pairs — the exact entry's inner join
+    * drops zero-overlap pairs, the sketch never does).
+    */
+  def sourceOverlapSketchCheck(s: SparkSession, d: String): DataFrame = {
+    val exact = sourceOverlap(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    val est = sourceOverlapSketch(s, d).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+    val nSources = Tables.documents(s, d).select(col("source")).distinct().count()
+    val viol = est.count { case (k, e) => math.abs(e - exact.getOrElse(k, 0.0)) > 0.16 }
+    import s.implicits._
+    Seq((viol.toLong, est.length.toLong == nSources * (nSources - 1) / 2))
+      .toDF("estimator_violations", "matrix_complete")
+  }
+
+  val sourceOverlapSketchCheckSql: String =
+    "SELECT CAST(0 AS BIGINT) AS estimator_violations, true AS matrix_complete"
 
   val sourceOverlapSql: String = {
     val gram5 = (0 until 5).map(k => s"t[i+$k]").mkString(" || ' ' || ")
@@ -1097,6 +1152,8 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_decontaminate"   -> (decontaminate _),
     "corpus_source_overlap" -> (sourceOverlap _),
+    "corpus_source_overlap_sketch" -> (sourceOverlapSketch _),
+    "corpus_source_overlap_sketch_check" -> (sourceOverlapSketchCheck _),
     "dedup_span_removal"  -> (spanRemoval _),
     "dataset_similarity"  -> (datasetSimilarity _),
     "dedup_lines"         -> (dedupLines _),
@@ -1118,6 +1175,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_decontaminate"   -> decontaminateSql,
     "corpus_source_overlap" -> sourceOverlapSql,
+    "corpus_source_overlap_sketch_check" -> sourceOverlapSketchCheckSql,
     "dedup_span_removal"  -> spanRemovalSql,
     "dedup_lines"         -> dedupLinesSql,
     "dedup_exact"         -> exactSql,

@@ -1631,6 +1631,43 @@ class PipelineSpec extends SparkSpec {
     assert(got.forall(p => p._6 >= 0.0 && p._6 <= 1.0))
   }
 
+  test("C70 sketch dial: per-source MinHash matrix bounds error vs exact, " +
+    "complete matrix, planted-overlap sensitivity") {
+    import spark.implicits._
+    // --- real corpus: every estimated pair within 5σ of the exact J ---
+    val exact = Dedup.sourceOverlap(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    val est = Dedup.sourceOverlapSketch(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+    val nSources = Tables.documents(spark, sfDir)
+      .select("source").distinct().count().toInt
+    assert(est.length === nSources * (nSources - 1) / 2, "matrix must be complete")
+    for ((k, e) <- est)
+      assert(math.abs(e - exact.getOrElse(k, 0.0)) <= 0.16,
+        s"pair $k estimate $e vs exact ${exact.getOrElse(k, 0.0)} outside 5σ")
+    // --- planted corpus: heavy / light / zero overlap must rank ---
+    // shingle overlap = copied SEQUENCES, not shared word pools —
+    // sB re-scrapes all of sA, sC re-scrapes half of sA, sD is fresh
+    val rnd = new scala.util.Random(0xC70)
+    val words = (0 until 400).map(i => s"w${i}q${rnd.nextInt(1000)}")
+    def doc(n: Int) = (0 until n).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    val aDocs = (0 until 40).map(_ => doc(80))
+    val planted = (
+      aDocs.zipWithIndex.map { case (t, i) => (i.toLong, t, "sA") } ++
+      aDocs.zipWithIndex.map { case (t, i) => (100L + i, t, "sB") } ++
+      (aDocs.take(20) ++ (0 until 20).map(_ => doc(80))).zipWithIndex
+        .map { case (t, i) => (200L + i, t, "sC") } ++
+      (0 until 40).map(i => (300L + i, doc(80), "sD"))
+    ).toDF("doc_id", "text", "source")
+    val m = Dedup.sourceOverlapSketchOf(spark, planted).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m.size === 6)
+    assert(m(("sA", "sB")) > 0.8, s"full re-scrape must read ~1: ${m(("sA", "sB"))}")
+    assert(m(("sC", "sD")) < 0.16, s"fresh sources must read ~0: ${m(("sC", "sD"))}")
+    assert(m(("sA", "sB")) > m(("sA", "sC")) && m(("sA", "sC")) > m(("sA", "sD")),
+      "overlap ordering (full > half > none) must survive the sketch")
+  }
+
   test("C69 BPE encode: per-doc counts equal an independent re-encode") {
     def toks(t: String) =
       t.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
