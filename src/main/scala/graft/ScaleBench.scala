@@ -370,6 +370,88 @@ object ScaleBench {
     println(s"""{"metric":"scale100_total","value":${results.values.sum},"unit":"sec","queries":$qs,"sf":"$sf10"}""")
   }
 
+  /** Plan-latency probe at FILE-COUNT scale
+    * (`SPARK_GRAFT_SCALEBENCH_PLAN=1`): every 100 TB claim rests on
+    * O(metadata) planning, so this measures the metadata plane directly
+    * at 1k/10k/100k manifest entries — payloads are hardlinks of one
+    * seed parquet (the probe times manifests, not parquet IO):
+    *  - `commit_bulk`: one N-file append commit (payload existence
+    *    checks + shard serialization + manifest write),
+    *  - `commit_one`: steady-state 1-file append ON TOP of the N-file
+    *    table (the A41 sharding claim: one changed shard + a small
+    *    manifest, unchanged partitions re-pointed),
+    *  - `open_cold`: fresh manifest + shard parse (caches invalidated),
+    *  - `scan_pruned`: partition-filtered read (16 surviving files at
+    *    every N — execution constant, so scaling here IS planning),
+    *  - `incremental`: snapshot-diff plan of the 1-file commit.
+    * Per-step exponents α = log(t₁₀₀ₖ/t₁ₖ)/log 100 print at the end;
+    * anything super-linear (α > 1) is a scale bug to fix, not record.
+    */
+  private def planBench(spark: SparkSession): Unit = {
+    import graft.lake.GraftTable
+    def timed[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val r = f; ((System.nanoTime() - t0) / 1e9, r)
+    }
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val counts = Seq(1000, 10000, 100000)
+    for (n <- counts) {
+      val root = s"/root/repo/target/lakework/planbench_$n"
+      val seedDf = spark.range(1).select(col("id").as("v"), lit("0").as("p"))
+      val t = GraftTable.create(spark, root, seedDf, Seq("p"))
+      val seed = t.current.files.head
+      val rootPath = java.nio.file.Paths.get(root)
+      val seedAbs = rootPath.resolve(seed.path)
+      // ext4 caps hard links at ~65k per inode — rotate physical seed
+      // copies so any n stays under the per-inode limit
+      val seedCopies = (0 to n / 50000).map { c =>
+        val p = rootPath.resolve(s"data/seed_copy_$c.parquet")
+        java.nio.file.Files.copy(seedAbs, p)
+        p
+      }
+      val bulkId = t.currentId + 1
+      val filesPerPart = 16
+      val entries = (0 until n).map { i =>
+        val part = s"part${i / filesPerPart}"
+        val rel = s"data/p=$part/pb_$i.parquet"
+        val dst = rootPath.resolve(rel)
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.createLink(dst, seedCopies(i / 50000))
+        seed.copy(path = rel, partition = Map("p" -> part), addedBy = bulkId)
+      }
+      val (tBulk, _) = timed { t.commitAppend(entries, "append") }
+      val oneId = t.currentId + 1
+      val one = {
+        val rel = "data/p=part3/pb_extra.parquet"
+        java.nio.file.Files.createLink(rootPath.resolve(rel), seedAbs)
+        seed.copy(path = rel, partition = Map("p" -> "part3"), addedBy = oneId)
+      }
+      val (tOne, _) = timed { t.commitAppend(Seq(one), "append") }
+      GraftTable.invalidate(root)
+      val (tOpen, nf) = timed { new GraftTable(root, spark).current.files.size }
+      require(nf == n + 2, s"planbench table must carry ${n + 2} files, saw $nf")
+      val (tPrune, pruned) = timed {
+        t.read().filter(col("p") === "part7").count()
+      }
+      require(pruned == filesPerPart, s"pruned scan must read $filesPerPart rows, saw $pruned")
+      val (tIncr, inc) = timed {
+        t.readIncremental(t.currentId - 1, t.currentId).count()
+      }
+      require(inc == 1, s"incremental diff of the 1-file commit must be 1 row, saw $inc")
+      for ((k, v) <- Seq("commit_bulk" -> tBulk, "commit_one" -> tOne,
+          "open_cold" -> tOpen, "scan_pruned" -> tPrune, "incremental" -> tIncr)) {
+        println(f"[planbench] n=$n%-7d $k%-12s $v%8.3f s")
+        results(s"${k}_$n") = v
+      }
+    }
+    for (k <- Seq("commit_bulk", "commit_one", "open_cold", "scan_pruned", "incremental")) {
+      val a = math.log(results(s"${k}_100000") / results(s"${k}_1000")) / math.log(100.0)
+      println(f"[planbench] exponent $k%-12s alpha=$a%5.2f")
+      results(s"${k}_alpha") = a
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"planbench_total","value":${results.values.sum},"unit":"sec","queries":$qs,"sf":"files"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/target/sf1")
@@ -384,6 +466,11 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("SPARK_GRAFT_SCALEBENCH_PLAN")) {
+      planBench(spark)
+      spark.stop()
+      return
+    }
     synthesize(spark, base, out)
     if (sys.env.contains("SPARK_GRAFT_SCALEBENCH_PIPELINE100")) {
       runPipeline100(spark, base, out,

@@ -222,18 +222,41 @@ final class GraftTable(val root: String, spark: SparkSession) {
       if (sPruned.files.size < GraftTable.ShardFilesThreshold)
         sPruned.copy(shards = Seq.empty)
       else {
+        // Unchanged partitions re-point to the PARENT's shard without
+        // any serialization: the parent's refs are recovered from the
+        // process-wide shard cache (loaded when the parent was read),
+        // and a partition whose sorted file list structurally equals
+        // the cached shard's list would serialize to byte-identical
+        // content → identical content hash → the same ref. At 10⁵
+        // files / 6k partitions this turns a 1-file append from
+        // re-serialize+SHA1+exists × every shard into one shard write —
+        // the planbench commit_one number.
+        val parentRefs: Map[Map[String, String], (ShardRef, Seq[FileEntry])] =
+          (if (sPruned.parentId >= 0) snapshotIfExists(sPruned.parentId) else None)
+            .map(_.shards.flatMap { r =>
+              Option(GraftTable.shardCache.get((root, r.path)))
+                .filter(_.nonEmpty).map(fs => fs.head.partition -> (r, fs))
+            }.toMap).getOrElse(Map.empty)
         val refs = sPruned.files.groupBy(_.partition)
           .toSeq.sortBy(_._1.toSeq.sorted.mkString("/"))
-          .map { case (_, fs) =>
-            val body = SnapshotCodec.shardToBytes(ShardManifest(fs.sortBy(_.path)))
-            val sha = java.security.MessageDigest.getInstance("SHA-1")
-              .digest(body).map("%02x".format(_)).mkString
-            val name = s"shard-$sha.json"
-            if (!io.exists(name)) {
-              try io.writeNew(name, body)
-              catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () } // racer wrote identical bytes
+          .map { case (part, fs) =>
+            val sorted = fs.sortBy(_.path)
+            parentRefs.get(part) match {
+              case Some((r, cached)) if cached == sorted => r
+              case _ =>
+                val body = SnapshotCodec.shardToBytes(ShardManifest(sorted))
+                val sha = java.security.MessageDigest.getInstance("SHA-1")
+                  .digest(body).map("%02x".format(_)).mkString
+                val name = s"shard-$sha.json"
+                if (!io.exists(name)) {
+                  try io.writeNew(name, body)
+                  catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () } // racer wrote identical bytes
+                }
+                // seed the cache so the NEXT commit's unchanged-check
+                // hits without re-reading the shard from storage
+                GraftTable.shardCache.putIfAbsent((root, name), sorted)
+                ShardRef(name, fs.size.toLong)
             }
-            ShardRef(name, fs.size.toLong)
           }
         sPruned.copy(files = Seq.empty, shards = refs)
       }
@@ -3074,9 +3097,10 @@ object GraftTable {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Tables are rebuilt in place by the driver-contract queries —
-    * invalidate any cached snapshots under this root.
+    * invalidate any cached snapshots under this root. (private[graft]:
+    * ScaleBench's plan-latency probe busts it to time COLD opens.)
     */
-  private[lake] def invalidate(root: String): Unit = {
+  private[graft] def invalidate(root: String): Unit = {
     snapshotCache.keySet.removeIf(_._1 == root)
     shardCache.keySet.removeIf(_._1 == root)
     tagCache.remove(root)
