@@ -1668,6 +1668,67 @@ class PipelineSpec extends SparkSpec {
       "overlap ordering (full > half > none) must survive the sketch")
   }
 
+  test("planted skew soak: PostingDfCap bounds the inverted-index fan-out and " +
+    "BucketCap bounds the LSH bucket expansion, planted near-dups still recovered") {
+    import spark.implicits._
+    // ---- C4 mega-posting corpus: one boilerplate sentence in EVERY
+    // doc (df = 2500 ≫ PostingDfCap) — uncapped, the self-join would
+    // emit C(2500,2) ≈ 3.1M candidate rows from those shingles alone ----
+    val boiler = "subscribe to our newsletter for daily updates"
+    val rnd = new scala.util.Random(0x5EAC)
+    def body(n: Int) = (0 until n).map(_ => s"tok${rnd.nextInt(100000)}x").mkString(" ")
+    val regular = (0L until 2500L).map(id => (id, s"${body(20)} $boiler"))
+    // planted near-dups: a 40-word shared body + 2-word unique tail +
+    // boilerplate — their candidate evidence is the SUB-CAP body
+    // shingles, their full-set Jaccard ≈ 0.95
+    val planted = (0 until 8).flatMap { k =>
+      val shared = body(40)
+      Seq((10000L + 2 * k, s"$shared alpha$k beta$k $boiler"),
+          (10001L + 2 * k, s"$shared gamma$k delta$k $boiler"))
+    }
+    val corpus = (regular ++ planted).toDF("doc_id", "text")
+    // the fixture is REAL skew: boilerplate shingles exceed the cap
+    val dfs = corpus
+      .select(explode(exprs.shingleHashes(col("text"), 3)).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val mega = dfs.filter(col("df") > Dedup.PostingDfCap).count()
+    assert(mega >= 4, s"fixture must plant over-cap shingles, saw $mega")
+    // surviving (sub-cap) fan-out is bounded: Σ C(df,2) over kept
+    // shingles stays candidate-tiny — no reducer sees a mega posting
+    val volume = dfs.filter(col("df") <= Dedup.PostingDfCap)
+      .agg(sum((col("df") * (col("df") - 1) / 2).cast("long"))).head().getLong(0)
+    assert(volume < 100000L, s"capped candidate volume must be bounded, saw $volume")
+    val pairs = Dedup.ngramJaccardOf(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (k <- 0 until 8)
+      assert(pairs.contains((10000L + 2 * k, 10001L + 2 * k)),
+        s"planted near-dup pair $k must be recovered via its sub-cap shingles")
+    assert(!pairs.exists { case (a, b) => a < 2500L && b < 2500L },
+      "boilerplate-only overlap must never produce a pair")
+
+    // ---- C2 mega-bucket corpus: a 1000-doc identical-text flood
+    // collapses into ONE LSH bucket per band; bucketPairs caps the
+    // expansion at C(BucketCap,2) instead of C(1000,2) ----
+    val flood = (0L until 1000L).map(id => (id, s"common flood text ${body(0)} " +
+      "the very same duplicated document body repeated everywhere verbatim"))
+    val floodPlanted = (0 until 4).flatMap { k =>
+      val shared = body(40)
+      Seq((20000L + 2 * k, s"$shared alpha$k beta$k"),
+          (20001L + 2 * k, s"$shared gamma$k delta$k"))
+    }
+    val corpus2 = (flood ++ floodPlanted).toDF("doc_id", "text")
+    val got2 = Dedup.minhashOf(corpus2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val floodPairs = got2.filter { case (a, b) => a < 1000L && b < 1000L }
+    val capN = Dedup.BucketCap.toLong
+    assert(floodPairs.size.toLong === capN * (capN - 1) / 2,
+      s"flood expansion must be exactly C($capN,2), saw ${floodPairs.size}")
+    assert(floodPairs.forall { case (a, b) => a < capN && b < capN },
+      "the capped slice keeps the lowest doc ids (deterministic quarantine set)")
+    for (k <- 0 until 4)
+      assert(got2.contains((20000L + 2 * k, 20001L + 2 * k)),
+        s"planted near-dup pair $k must survive the flood bucket cap")
+  }
+
   test("C69 BPE encode: per-doc counts equal an independent re-encode") {
     def toks(t: String) =
       t.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
