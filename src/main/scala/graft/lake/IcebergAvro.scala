@@ -226,7 +226,16 @@ object IcebergAvro {
     writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(1))
     meta.foreach { case (k, v) => writer.setMeta(k, v) }
     val bos = new ByteArrayOutputStream()
-    writer.create(schema, bos)
+    // DETERMINISTIC sync marker (Avro's default is time+random): derive
+    // the 16 bytes from the schema + metadata + file name, so exporting
+    // the same table twice emits byte-identical manifests — which makes
+    // golden-bytes fixtures possible (IcebergExportSpec) and keeps
+    // exports content-addressable. The marker only needs to be unlikely
+    // to collide with record bytes; a SHA-1 prefix is as good as random.
+    val sync = java.security.MessageDigest.getInstance("SHA-1")
+      .digest((schema.toString + meta.toSeq.sorted.mkString(",") + path.getName)
+        .getBytes("UTF-8")).take(16)
+    writer.create(schema, bos, sync)
     records.foreach(writer.append)
     writer.close()
     val bytes = bos.toByteArray

@@ -390,4 +390,107 @@ class IcebergExportSpec extends SparkSpec {
     assert(impJson.read().exceptAll(impAvro.read()).count() === 0)
     assert(impAvro.read().exceptAll(t.read()).count() === 0)
   }
+
+  /** Golden-bytes fixture (r10 mandate): the remaining export risk is
+    * writer/reader self-consistency — both could share a misreading of
+    * the Iceberg spec. This pins one complete export (metadata JSON,
+    * Avro manifest lists + manifests, JSON twins) BYTE-FOR-BYTE against
+    * committed fixtures, so ANY serialization drift is a loud diff
+    * reviewable against the spec text. The source table is built from
+    * hand-written manifests (fixed ids, timestamps, paths, stats) at a
+    * fixed root, and the Avro layer's sync markers are content-derived,
+    * so the export is fully deterministic. Regenerate deliberately with
+    * GRAFT_GOLDEN_REGEN=1 after a reviewed format change.
+    */
+  test("golden-bytes: the fixed-table export is byte-identical to the committed fixture") {
+    import graft.lake.{ColStat, DeleteFileEntry, DepSpec, FileEntry, Snapshot, SnapshotCodec}
+    import java.nio.file.{Files, Paths}
+    val root = "/tmp/graft-golden-fixture"
+    def wipe(dir: String): Unit = {
+      val p = Paths.get(dir)
+      if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => { Files.delete(f); () })
+      }
+    }
+    wipe(root)
+    val metaDir = Paths.get(root, "meta")
+    Files.createDirectories(metaDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType)))
+    def fe(path: String, p: String, rows: Long, bytes: Long,
+        lo: Long, hi: Long, addedBy: Long) =
+      FileEntry(path, Map("p" -> p), rows, bytes,
+        Map("id" -> ColStat("bigint", lo.toString, hi.toString, 0L),
+            "v" -> ColStat("string", "alpha", "omega", 2L)), addedBy)
+    val s0 = Snapshot(
+      id = 0L, parentId = -1L, tsMillis = 1700000000000L, operation = "create",
+      schemaJson = schema.json, partitionCols = Seq("p"),
+      deps = Seq(DepSpec("id", "p", "bucket[4]")),
+      files = Seq(
+        fe("data/p=a/f0.parquet", "a", 100L, 4096L, 1L, 100L, 0L),
+        fe("data/p=b/f1.parquet", "b", 50L, 2048L, 101L, 150L, 0L)),
+      addedFiles = 2, deletedFiles = 0,
+      properties = Map("owner" -> "golden", "write.delete.mode" -> "merge-on-read"))
+    val s1 = s0.copy(
+      id = 1L, parentId = 0L, tsMillis = 1700000001000L, operation = "append",
+      files = s0.files :+ fe("data/p=a/f2.parquet", "a", 25L, 1024L, 151L, 175L, 1L),
+      addedFiles = 1, deletedFiles = 0,
+      deleteFiles = Seq(DeleteFileEntry("deletes/d0.parquet", 3L, addedBy = 1L,
+        bytes = 128L, equalityCols = Seq("id"))))
+    Files.write(metaDir.resolve("snapshot-0.json"), SnapshotCodec.toJson(s0).getBytes("UTF-8"))
+    Files.write(metaDir.resolve("snapshot-1.json"), SnapshotCodec.toJson(s1).getBytes("UTF-8"))
+    Files.write(metaDir.resolve("version-hint.txt"), "1".getBytes("UTF-8"))
+    GraftTable.invalidate(root)
+    // manifest lists embed their own absolute output location, so the
+    // export path is part of the fixture — one fixed dir, exported twice
+    val out1 = "/tmp/graft-golden-export"
+    wipe(out1)
+    val t = new GraftTable(root, spark)
+    IcebergExport.exportMetadata(t, out1)
+    def artifacts(dir: String): Seq[(String, Array[Byte])] = {
+      val d = Paths.get(dir, "metadata")
+      val names = Files.list(d).map[String](_.getFileName.toString)
+        .sorted().toArray.toSeq.map(_.toString)
+        .filterNot(_.endsWith(".crc")) // Hadoop local-FS checksum sidecars
+      names.map(n => n -> Files.readAllBytes(d.resolve(n)))
+    }
+    val a1 = artifacts(out1)
+    wipe(out1)
+    IcebergExport.exportMetadata(t, out1)
+    val a2 = artifacts(out1)
+    // determinism first: two exports of the same table, identical bytes
+    assert(a1.map(_._1) === a2.map(_._1))
+    for (((n, b), (_, b2)) <- a1.zip(a2))
+      assert(java.util.Arrays.equals(b, b2), s"export of $n is not deterministic")
+    // golden compare (or regenerate with GRAFT_GOLDEN_REGEN=1)
+    val fixDir = Paths.get("src/test/resources/iceberg_golden")
+    def hex(b: Array[Byte]): String =
+      b.map("%02x".format(_)).mkString.grouped(120).mkString("\n") + "\n"
+    if (sys.env.contains("GRAFT_GOLDEN_REGEN")) {
+      wipe(fixDir.toString)
+      Files.createDirectories(fixDir)
+      for ((n, b) <- a1) Files.write(fixDir.resolve(n + ".hex"), hex(b).getBytes("UTF-8"))
+      fail(s"fixtures regenerated under $fixDir — review the diff and commit")
+    }
+    assert(Files.exists(fixDir), "committed fixture dir missing")
+    val fixNames = Files.list(fixDir).map[String](_.getFileName.toString)
+      .sorted().toArray.toSeq.map(_.toString.stripSuffix(".hex"))
+    assert(a1.map(_._1) === fixNames, "export artifact set drifted from the fixture")
+    for ((n, b) <- a1) {
+      val want = new String(Files.readAllBytes(fixDir.resolve(n + ".hex")), "UTF-8")
+        .filterNot(_ == '\n')
+      val got = b.map("%02x".format(_)).mkString
+      if (got != want) {
+        val at = got.zip(want).indexWhere { case (x, y) => x != y } / 2
+        fail(s"$n drifted from the golden fixture at byte ~$at of ${b.length}: " +
+          s"got …${got.slice(2 * at - 16, 2 * at + 24)}… " +
+          s"want …${want.slice(2 * at - 16, 2 * at + 24)}… " +
+          "(review against the Iceberg spec, then GRAFT_GOLDEN_REGEN=1)")
+      }
+    }
+  }
 }
