@@ -452,6 +452,92 @@ object ScaleBench {
     println(s"""{"metric":"planbench_total","value":${results.values.sum},"unit":"sec","queries":$qs,"sf":"files"}""")
   }
 
+  /** Streaming state-size probe
+    * (`SPARK_GRAFT_SCALEBENCH_STREAMSTATE=1`): lake ops carry 10×
+    * probes, streams were only wall-timed — this reads PEAK
+    * `numRowsTotal` from every stateful operator's
+    * StateOperatorProgress (via a StreamingQueryListener, zero
+    * operator-code instrumentation) at 1× and 10× input volume with
+    * IDENTICAL key/window cardinality (copies only mint new
+    * event/vec ids; event_type, user_id, label, ts are reused):
+    *  - keyed aggregations (D1 window agg, D18 top-k, D15
+    *    transformWithState, D20 drift monitor) must hold state ∝
+    *    keys×windows — the 10× ratio gate is 1.5;
+    *  - the D14 stream-stream join legitimately buffers ROWS inside
+    *    the watermark horizon, so its gate is eviction, not flatness:
+    *    peak buffered rows must stay well under the total joined
+    *    input (watermark eviction fired), and the 10× ratio ≤ 10×
+    *    input growth.
+    */
+  private def streamStateBench(spark: SparkSession, base: String): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val root = "/root/repo/target/streamstate"
+    for ((label, copies) <- Seq(("x1", 1), ("x10", 10))) {
+      val dir = s"$root/$label"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_DONE"))) {
+        val ev = spark.read.parquet(s"$base/events.parquet")
+        (0 until copies).map(i =>
+            ev.withColumn("event_id", col("event_id") + lit(i * 10000000L)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        val em = spark.read.parquet(s"$base/embeddings.parquet")
+        (0 until copies).map(i =>
+            em.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$dir/_DONE"))
+        ()
+      }
+    }
+    val peak = scala.collection.concurrent.TrieMap[String, Long]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryIdle(e: StreamingQueryListener.QueryIdleEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val name = e.progress.name
+        if (name != null) {
+          val rows = e.progress.stateOperators.map(_.numRowsTotal).sum
+          peak(name) = math.max(peak.getOrElse(name, 0L), rows)
+        }
+      }
+    }
+    spark.streams.addListener(listener)
+    val ops = Seq("stream_window_agg", "stream_topk", "stream_tws",
+      "stream_drift_monitor", "stream_stream_join")
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    try {
+      for (op <- ops; label <- Seq("x1", "x10")) {
+        val dir = s"$root/$label"
+        val before = peak.keySet.toSet
+        SparkEntry.queries(op)(spark, dir).count()
+        var tries = 0
+        def fresh = peak.keySet.diff(before)
+        while (fresh.isEmpty && tries < 100) { Thread.sleep(100); tries += 1 }
+        require(fresh.nonEmpty, s"no StateOperatorProgress observed for $op at $label")
+        val rows = fresh.map(peak).max
+        println(f"[streamstate] $op%-22s $label%-4s peak_state_rows=$rows")
+        results(s"${op}_$label") = rows.toDouble
+      }
+    } finally spark.streams.removeListener(listener)
+    val evRows = spark.read.parquet(s"$root/x10/events.parquet").count()
+    for (op <- ops) {
+      val r = results(s"${op}_x10") / math.max(results(s"${op}_x1"), 1.0)
+      println(f"[streamstate] ratio $op%-22s ${r}%5.2f")
+      results(s"${op}_ratio") = r
+      if (op != "stream_stream_join")
+        require(r <= 1.5,
+          s"$op keyed state grew ${r}x at 10x volume — state is tracking rows, not keys")
+      else {
+        require(r <= 10.5, s"join state grew ${r}x — super-linear in input")
+        require(results(s"${op}_x10") < evRows,
+          s"join peak state ${results(s"${op}_x10")} did not evict below total input $evRows")
+      }
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"streamstate_total","value":${results.values.sum},"unit":"rows","queries":$qs,"sf":"$base"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/target/sf1")
@@ -468,6 +554,11 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.contains("SPARK_GRAFT_SCALEBENCH_PLAN")) {
       planBench(spark)
+      spark.stop()
+      return
+    }
+    if (sys.env.contains("SPARK_GRAFT_SCALEBENCH_STREAMSTATE")) {
+      streamStateBench(spark, base)
       spark.stop()
       return
     }
