@@ -356,6 +356,17 @@ class LakeSpec extends SparkSpec {
       .filter(_.startsWith("shard-")).toSet
     assert(onDisk === s2.shards.map(_.path).toSet, "GC keeps exactly the live shards")
     assert(t.read().count() === n0 + 500, "reads intact after GC")
+    // cold-cache reuse (the r10 fast path: unchanged partitions re-point
+    // to the PARENT's shard ref without re-serializing): bust the
+    // process-wide caches, append to one partition, and the other
+    // partitions' shard files must still be reused verbatim
+    GraftTable.invalidate(t.root)
+    val t2 = new GraftTable(t.root, spark)
+    t2.append(o.filter(col("o_orderstatus") === "O").limit(100).repartition(1))
+    val s3 = t2.current
+    assert(s3.shards.map(_.path).toSet.intersect(s2.shards.map(_.path).toSet).size === 2,
+      "cold-cache append still reuses unchanged partitions' shards")
+    assert(t2.read().count() === n0 + 600)
   }
 
   test("concurrent appends from racing threads all land exactly once (rebase under lock)") {
