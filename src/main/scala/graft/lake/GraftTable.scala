@@ -779,8 +779,23 @@ final class GraftTable(val root: String, spark: SparkSession) {
       w.option("maxRecordsPerFile", n) }
     val writer = bloomCols.foldLeft(writer0) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true") }
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(staging.toString)
+    // Timestamps are written as INT64 micros, not Spark's legacy INT96
+    // default: INT96 chunks carry NO footer statistics, so a table's
+    // timestamp columns would get neither manifest min/max pruning nor
+    // metadata-only MIN/MAX answers ([[graft.sql.GraftMetaAggRule]]) —
+    // and micros is what Iceberg/Delta writers emit. Session-conf
+    // scoped around the one staging write (no per-write parquet option
+    // exists); restored even on failure.
+    val TsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val prevTsType = spark.conf.getOption(TsTypeKey)
+    spark.conf.set(TsTypeKey, "TIMESTAMP_MICROS")
+    try {
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+        .parquet(staging.toString)
+    } finally prevTsType match {
+      case Some(v) => spark.conf.set(TsTypeKey, v)
+      case None    => spark.conf.unset(TsTypeKey)
+    }
 
     // Plan dest names on the driver (pure path arithmetic over one
     // recursive LIST), then MOVE FILES AND READ FOOTERS IN THE CLUSTER:

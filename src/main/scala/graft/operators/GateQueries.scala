@@ -1307,6 +1307,67 @@ object GateQueries {
   val lakeIcebergRoundtripSql: String =
     s"SELECT $selSql FROM orders WHERE o_orderkey % 23 <> 0 ORDER BY o_orderkey"
 
+  // ---- A87 metadata-only aggregates ----------------------------------
+
+  /** `lake_meta_agg` (A87): COUNT(*)/COUNT(col)/MIN/MAX with a
+    * partition-column filter and GROUP BY is answered entirely from
+    * the snapshot manifest ([[graft.sql.GraftMetaAggRule]]) — the
+    * executed plan contains NO file scan (asserted), so at 100 TB the
+    * query costs O(#manifest entries) on the driver and zero data I/O.
+    * A data-column predicate on the same table is asserted to fall
+    * back to the scan plan (exactness guard), and the metadata answer
+    * for it must equal the scan answer. The returned rows are
+    * data-derived and DuckDB-oracled.
+    */
+  def lakeMetaAgg(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val o = orders(s, d)
+    // two commits → ≥2 files per partition: the fold must span files
+    val t = GraftTable.create(s, work(d, "metaagg"),
+      byStatus(o.filter(col("o_orderkey") % 2 === 0)), Seq("o_orderstatus"))
+    t.append(byStatus(o.filter(col("o_orderkey") % 2 === 1)))
+    GraftCatalog.register("gate_metaagg", t.root)
+    val q = s.sql(
+      """SELECT o_orderstatus AS st, count(*) AS n, count(o_custkey) AS n_cust,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  min(o_orderdate) AS first_dt, max(o_orderdate) AS last_dt
+        |FROM gate_metaagg WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus ORDER BY st""".stripMargin)
+    val out = q.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case st: QueryStageExec       => scans(st.plan)
+        case f: FileSourceScanExec    => Seq(f)
+        case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+      }
+    require(scans(q.queryExecution.executedPlan).isEmpty,
+      s"metadata aggregate must read zero data files:\n${q.queryExecution.executedPlan}")
+    require(q.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "the aggregate subtree must fold to a manifest-derived LocalRelation")
+    // exactness guard: a data-column predicate cannot be answered from
+    // partition values — the rule must bail to the scan plan, and the
+    // scan answer must match a manifest-side recount
+    val fb = s.sql("SELECT count(*) AS n FROM gate_metaagg WHERE o_totalprice > 100.0")
+    val fbRows = fb.collect().head.getLong(0)
+    require(scans(fb.queryExecution.executedPlan).nonEmpty,
+      "a data-column filter must fall back to the scan plan")
+    val direct = o.filter(col("o_totalprice") > 100.0).count()
+    require(fbRows == direct, s"fallback answer drifted: $fbRows vs $direct")
+    s.createDataFrame(s.sparkContext.parallelize(out.toSeq), q.schema)
+  }
+
+  val lakeMetaAggSql: String =
+    """SELECT o_orderstatus AS st, count(*) AS n, count(o_custkey) AS n_cust,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+      |  min(o_orderdate) AS first_dt, max(o_orderdate) AS last_dt
+      |FROM orders WHERE o_orderstatus <> 'P'
+      |GROUP BY o_orderstatus ORDER BY st""".stripMargin
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1346,6 +1407,7 @@ object GateQueries {
     "lake_changes_sql"      -> (lakeChangesSql _),
     "lake_iceberg_export"   -> (lakeIcebergExport _),
     "lake_iceberg_roundtrip" -> (lakeIcebergRoundtrip _),
+    "lake_meta_agg"         -> (lakeMetaAgg _),
     "lake_clustering_check" -> (lakeClusteringCheck _))
 
   val oracles: Map[String, String] = Map(
@@ -1385,5 +1447,6 @@ object GateQueries {
     "lake_changes_sql"      -> lakeChangesSqlSql,
     "lake_iceberg_export"   -> lakeIcebergExportSql,
     "lake_iceberg_roundtrip" -> lakeIcebergRoundtripSql,
+    "lake_meta_agg"         -> lakeMetaAggSql,
     "lake_clustering_check" -> lakeClusteringCheckSql)
 }

@@ -1333,6 +1333,82 @@ object TextOps {
        |WHERE pick_rank <= k
        |ORDER BY lang, pick_rank""".stripMargin
 
+  /** C73 `sample_epochs`: token-budget allocation with epoch
+    * repetition — the data-constrained-scaling recipe (Muennighoff
+    * 2023: repeating up to ~4 epochs is near-as-good as fresh data,
+    * beyond that returns decay): each source gets a token budget; the
+    * source's corpus is repeated floor(budget/T_s) full epochs (capped
+    * at [[EpochCap]] — over-budget tokens beyond the cap are
+    * deliberately dropped), and the remainder becomes a fractional
+    * epoch admitted by hash threshold (expected token mass = the
+    * remainder; the C45/C33 admission pattern — deterministic,
+    * shuffle-free, reproducible at any parallelism). Output is the
+    * exploded training plan `(doc_id, source, n_tok, epoch)`.
+    *
+    * Scale shape: ONE corpus scan + a |sources|-row aggregate
+    * broadcast back + a map-side explode — no corpus-wide shuffle and
+    * no window anywhere, so the plan is scan-bound at 100 TB. All
+    * boundary arithmetic is engine-portable: budgets round once from
+    * the 1-dp multiplier grid, full epochs use integer division, and
+    * the admission threshold floors an exact-integer-ratio double.
+    * Budgets here are derived from each source's own token mass by a
+    * hashed multiplier (0.4×/1×/2.5×/5.2× — under-, exactly-, over-,
+    * and cap-exceeding-budget regimes all exercised); a production
+    * caller passes absolute per-source budgets instead.
+    */
+  val EpochCap = 4L
+  def sampleEpochs(s: SparkSession, d: String): DataFrame = {
+    val Mod = 1000000007L
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+    val mults = Seq(0.4, 1.0, 2.5, 5.2)
+    val srcBudget = docs.groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("t"))
+      .withColumn("mult", element_at(
+        typedLit(mults), (pmod(exprs.polyHash(col("source")), lit(4L)) + 1L).cast("int")))
+      .withColumn("budget", round(col("mult") * col("t")).cast("long"))
+      .withColumn("full", least(expr("budget DIV t"), lit(EpochCap)))
+      // the fractional epoch exists only below the cap; at the cap the
+      // overrun is dropped (the whole point of the 4-epoch rule)
+      .withColumn("thr", when(col("full") < EpochCap,
+        floor((col("budget") - col("full") * col("t")).cast("double") / col("t")
+          * lit(Mod.toDouble)).cast("long")).otherwise(lit(0L)))
+      .select(col("source"), col("full"), col("thr"))
+    val h = pmod(pmod(col("doc_id"), lit(Mod)) * lit(2654435761L) + lit(987654321L), lit(Mod))
+    docs.join(broadcast(srcBudget), "source")
+      .withColumn("repeats", col("full") + when(h < col("thr"), 1L).otherwise(0L))
+      // sequence(1, 0) would generate DESCENDING [1, 0] — guard repeats=0
+      .filter(col("repeats") >= 1L)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        explode(sequence(lit(1L), col("repeats"))).as("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
+  val sampleEpochsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, CAST(len($tokensSql) AS BIGINT) AS n_tok FROM documents),
+       |st AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS t FROM d GROUP BY source),
+       |b AS (
+       |  SELECT source, t,
+       |    CAST(round((CASE list_reduce(list_transform(string_split(source, ''),
+       |        ch -> ascii(ch)::BIGINT), (a, x) -> (a * 31 + x) % 1000000007) % 4
+       |      WHEN 0 THEN 0.4 WHEN 1 THEN 1.0 WHEN 2 THEN 2.5 ELSE 5.2 END) * t) AS BIGINT) AS budget
+       |  FROM st),
+       |e AS (
+       |  SELECT source, t, budget, least(budget // t, 4) AS "full",
+       |    CASE WHEN least(budget // t, 4) < 4 THEN
+       |      CAST(floor(CAST(budget - least(budget // t, 4) * t AS DOUBLE) / t * 1000000007.0) AS BIGINT)
+       |    ELSE 0 END AS thr
+       |  FROM b),
+       |r AS (
+       |  SELECT d.doc_id, d.source, d.n_tok,
+       |    e."full" + CASE WHEN ((d.doc_id % 1000000007) * 2654435761 + 987654321) % 1000000007 < e.thr
+       |      THEN 1 ELSE 0 END AS repeats
+       |  FROM d JOIN e USING (source))
+       |SELECT doc_id, source, n_tok, CAST(unnest(generate_series(1, repeats)) AS BIGINT) AS epoch
+       |FROM r WHERE repeats >= 1
+       |ORDER BY doc_id, epoch""".stripMargin
+
   /** C46 `text_bigram_lp`: interpolated bigram language-model score —
     * the CCNet/KenLM perplexity-filter family one order up from C20's
     * unigram. The model is trained on the corpus it scores (per-bigram
@@ -2198,6 +2274,7 @@ object TextOps {
     "text_vocab_coverage" -> (vocabCoverage _),
     "text_boilerplate" -> (boilerplate _),
     "sample_temperature" -> (sampleTemperature _),
+    "sample_epochs"    -> (sampleEpochs _),
     "text_bigram_lp"   -> (bigramLp _),
     "text_nb_quality"  -> (nbQuality _),
     "sample_importance" -> (sampleImportance _),
@@ -2239,6 +2316,7 @@ object TextOps {
     "text_vocab_coverage" -> vocabCoverageSql,
     "text_boilerplate" -> boilerplateSql,
     "sample_temperature" -> sampleTemperatureSql,
+    "sample_epochs"    -> sampleEpochsSql,
     "text_bigram_lp"   -> bigramLpSql,
     "text_nb_quality"  -> nbQualitySql,
     "sample_importance" -> sampleImportanceSql,

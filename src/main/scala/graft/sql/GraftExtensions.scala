@@ -43,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // IcebergTableWriteRule.scala:21-41)
     ext.injectPostHocResolutionRule(session => GraftWriteInterceptRule(session))
     ext.injectOptimizerRule(session => DepPredicateRule(session))
+    // COUNT/MIN/MAX over partition-filtered graft scans answered from
+    // manifest stats alone — zero data files read (SURVEY.md §2.A87)
+    ext.injectOptimizerRule(session => GraftMetaAggRule(session))
     // session-catalog stats follow every commit (see GraftSparkBridge)
     GraftSparkBridge.installStatsHook()
     GraftExtensions.functions.foreach(ext.injectFunction)

@@ -12,6 +12,7 @@ object OneOff {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .appName("graft-oneoff").getOrCreate()
     graft.SparkEntry.queries(name)(spark, sfDir)

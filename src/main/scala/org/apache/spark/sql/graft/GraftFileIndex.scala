@@ -24,8 +24,8 @@ import graft.lake.{FileEntry, Pruning, Snapshot}
   */
 class GraftFileIndex(
     spark: SparkSession,
-    tableRoot: String,
-    snapshot: Snapshot,
+    val tableRoot: String,
+    val snapshot: Snapshot,
     fullSchema: StructType) extends FileIndex {
 
   // ONLY the declared partition columns ride the directory row: a dep
@@ -98,10 +98,19 @@ class GraftFileIndex(
     }.toSeq
   }
 
-  // Hive null sentinel → null (the exact partition predicate evaluates
-  // three-valued against it); a bare toLong here would throw on any
-  // table that ever wrote a null partition value, bricking all reads.
   private def castPartitionValue(raw: String, dt: DataType): Any =
+    GraftFileIndex.castPartitionValue(raw, dt)
+}
+
+object GraftFileIndex {
+
+  /** Hive null sentinel → null (the exact partition predicate evaluates
+    * three-valued against it); a bare toLong here would throw on any
+    * table that ever wrote a null partition value, bricking all reads.
+    * Shared with [[graft.sql.GraftMetaAggRule]], whose exact per-file
+    * partition-predicate evaluation must agree with `listFiles` exactly.
+    */
+  def castPartitionValue(raw: String, dt: DataType): Any =
     if (raw == Pruning.HiveNullPartition) null
     else dt match {
       case org.apache.spark.sql.types.LongType    => raw.toLong
@@ -112,9 +121,6 @@ class GraftFileIndex(
       case org.apache.spark.sql.types.BooleanType => raw.toBoolean
       case _                                      => UTF8String.fromString(raw)
     }
-}
-
-object GraftFileIndex {
 
   /** DataFrame over a snapshot, planned by [[GraftFileIndex]]. */
   def relation(

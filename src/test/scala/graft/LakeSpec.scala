@@ -2103,4 +2103,108 @@ class LakeSpec extends SparkSpec {
     t.update(col("k") === 1L, Map("price" -> lit(-9.0)))
     assert(t.read().filter(col("price") < 0).count() === 1)
   }
+
+  // ---- A87 metadata-only aggregates ----------------------------------
+
+  private def fileScans(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def go(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+      case st: QueryStageExec       => go(st.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other => other.children.flatMap(go) ++ other.subqueries.flatMap(go)
+    }
+    go(df.queryExecution.executedPlan)
+  }
+
+  /** Run `sql` with the metadata-aggregate rule on and off; assert the
+    * expected plan shape (metadata answers read zero files, bails keep
+    * the scan) and exact row equality between the two paths.
+    */
+  private def metaAggBoth(sql: String, expectMeta: Boolean): Unit = {
+    val Key = "spark.graft.metaAgg.enabled"
+    spark.conf.set(Key, "true")
+    val on = spark.sql(sql)
+    val onRows = on.collect()
+    if (expectMeta)
+      assert(fileScans(on).isEmpty, s"expected a metadata-only plan for: $sql\n${on.queryExecution.executedPlan}")
+    else
+      assert(fileScans(on).nonEmpty, s"expected a bail-to-scan plan for: $sql\n${on.queryExecution.executedPlan}")
+    spark.conf.set(Key, "false")
+    val offRows = try spark.sql(sql).collect() finally spark.conf.set(Key, "true")
+    assert(onRows.map(_.toString).sorted.toSeq === offRows.map(_.toString).sorted.toSeq,
+      s"metadata answer diverged from the scan for: $sql")
+  }
+
+  test("A87 metadata aggregates: randomized manifest answers == scan answers; exact bail rules") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(87)
+    def batch(n: Int, base: Int) = (1 to n).map { i =>
+      val p: String = rnd.nextInt(5) match { case 0 => null; case k => s"p$k" }
+      ((base + i).toLong,
+        if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(rnd.nextInt(100000).toLong - 50000),
+        if (rnd.nextInt(7) == 0) null else java.lang.Double.valueOf(math.round(rnd.nextGaussian() * 1e6) / 1e3),
+        if (rnd.nextInt(5) == 0) null else s"s${rnd.nextInt(1000)}",
+        p,
+        new java.sql.Timestamp(1600000000000L + rnd.nextInt(1000000000).toLong))
+    }.toDF("id", "v", "x", "s", "p", "ts")
+    val t = GraftTable.create(spark, tmp("metaagg-rand"),
+      batch(700, 0).repartition(col("p")), Seq("p"))
+    t.append(batch(500, 1000).repartition(col("p")))
+    t.append(batch(300, 2000).repartition(2, col("p"))) // multiple files per partition
+    graft.sql.GraftCatalog.register("metaagg_rand", t.root)
+
+    val aggList = """count(*) AS n, count(v) AS nv, count(x) AS nx, count(s) AS ns,
+      | count(p) AS np, min(id) AS i0, max(id) AS i1, min(v) AS v0, max(v) AS v1,
+      | min(x) AS x0, max(x) AS x1, min(ts) AS t0, max(ts) AS t1""".stripMargin
+    // scalar + grouped + partition-filtered shapes all answer from metadata
+    metaAggBoth(s"SELECT $aggList FROM metaagg_rand", expectMeta = true)
+    metaAggBoth(s"SELECT p, $aggList FROM metaagg_rand GROUP BY p", expectMeta = true)
+    metaAggBoth(s"SELECT $aggList FROM metaagg_rand WHERE p = 'p2'", expectMeta = true)
+    metaAggBoth(s"SELECT p, $aggList FROM metaagg_rand WHERE p > 'p1' GROUP BY p", expectMeta = true)
+    metaAggBoth(s"SELECT $aggList FROM metaagg_rand WHERE p IS NULL", expectMeta = true)
+    metaAggBoth(s"SELECT p, min(p) AS p0, max(p) AS p1, count(*) AS n FROM metaagg_rand " +
+      "WHERE p IS NOT NULL GROUP BY p", expectMeta = true) // min/max ON a partition col: exact
+    // empty survivor set: scalar answers (0, nulls); grouped answers no rows
+    metaAggBoth(s"SELECT $aggList FROM metaagg_rand WHERE p = 'nope'", expectMeta = true)
+    metaAggBoth(s"SELECT p, count(*) AS n FROM metaagg_rand WHERE p = 'nope' GROUP BY p",
+      expectMeta = true)
+
+    // exact bail rules — each keeps the scan plan and the right answer
+    metaAggBoth("SELECT min(s) AS s0 FROM metaagg_rand", expectMeta = false) // string footer bounds are not exact
+    metaAggBoth("SELECT count(*) AS n FROM metaagg_rand WHERE id > 1500", expectMeta = false) // data-column filter
+    metaAggBoth("SELECT count(DISTINCT v) AS n FROM metaagg_rand", expectMeta = false)
+    metaAggBoth("SELECT sum(v) AS sv FROM metaagg_rand", expectMeta = false) // not stat-expressible
+    metaAggBoth("SELECT p, count(*) AS n FROM metaagg_rand GROUP BY p HAVING count(*) > 10",
+      expectMeta = true) // HAVING filters ABOVE the folded aggregate — still metadata-only
+
+    // pending MOR deletes poison manifest counts → must bail, stay correct
+    t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    t.delete(col("id") % 17 === 0)
+    assert(t.current.deleteFiles.nonEmpty, "precondition: pending MOR delete")
+    metaAggBoth(s"SELECT $aggList FROM metaagg_rand", expectMeta = false)
+    metaAggBoth("SELECT p, count(*) AS n FROM metaagg_rand GROUP BY p", expectMeta = false)
+  }
+
+  test("A87 metadata aggregates: widened column stays exact; fresh column without stats bails") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("metaagg-widen"),
+      Seq((1, "a"), (7, "a"), (3, "b")).toDF("k", "g").repartition(col("g")), Seq("g"))
+    t.widenColumn("k", org.apache.spark.sql.types.LongType)
+    t.append(Seq((9000000000L, "a"), (-4L, "b")).toDF("k", "g").repartition(col("g")))
+    graft.sql.GraftCatalog.register("metaagg_widen", t.root)
+    // old int32 footer stats + new int64 stats fold into one exact long answer
+    metaAggBoth("SELECT g, min(k) AS k0, max(k) AS k1, count(k) AS n FROM metaagg_widen GROUP BY g",
+      expectMeta = true)
+    // a column added AFTER the first files exist has no stats in them:
+    // count/min/max on it must keep the scan and still be right
+    t.addColumn("w", org.apache.spark.sql.types.LongType)
+    t.append(Seq((5L, 42L, "a"), (6L, 17L, "b")).toDF("k", "w", "g").repartition(col("g")))
+    metaAggBoth("SELECT count(w) AS nw, min(w) AS w0, max(w) AS w1 FROM metaagg_widen",
+      expectMeta = false)
+    // count(*) doesn't touch the fresh column — still metadata-only
+    metaAggBoth("SELECT count(*) AS n FROM metaagg_widen", expectMeta = true)
+  }
 }

@@ -1968,4 +1968,48 @@ class PipelineSpec extends SparkSpec {
         s1 > s2 || (s1 == s2 && c1 < c2) })
     }
   }
+
+  test("C73 sample_epochs: plan equals a from-scratch Scala recompute; cap + regimes hold") {
+    import org.apache.spark.sql.functions.{col, lower, split}
+    val out = graft.pipeline.TextOps.sampleEpochs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // from-scratch recompute: plain Scala over the raw parquet, no
+    // shared code with the operator beyond the declared contract
+    val Mod = 1000000007L
+    def polyHash(s: String): Long = graft.functions.Hashing.polyHashString(s)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), lower(col("text")))
+      .collect().map { r =>
+        val toks = r.getString(2).split("[^a-z0-9]+").count(_.nonEmpty).toLong
+        (r.getLong(0), r.getString(1), toks)
+      }
+    val totals = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val mults = Seq(0.4, 1.0, 2.5, 5.2)
+    val expected = docs.flatMap { case (id, src, nTok) =>
+      val t = totals(src)
+      val budget = math.round(mults((polyHash(src) % 4).toInt) * t)
+      val full = math.min(budget / t, 4L)
+      val thr = if (full < 4L)
+        math.floor((budget - full * t).toDouble / t * Mod.toDouble).toLong else 0L
+      val hash = ((id % Mod) * 2654435761L + 987654321L) % Mod
+      val reps = full + (if (hash < thr) 1L else 0L)
+      (1L to reps).map(e => (id, src, nTok, e))
+    }.sortBy(r => (r._1, r._4))
+    assert(out.toSeq === expected.toSeq)
+    // the 5.2x source family hits the 4-epoch cap and never exceeds it
+    val bySrc = out.groupBy(_._2).view.mapValues(_.map(_._4).max).toMap
+    val capped = totals.keys.filter(s => mults((polyHash(s) % 4).toInt) == 5.2)
+    assert(capped.nonEmpty && capped.forall(s => bySrc(s) == 4L), "cap regime present and capped")
+    assert(out.forall(_._4 <= 4L), "no epoch beyond the cap anywhere")
+    // an under-budget (0.4x) source emits ONLY fractional-epoch rows
+    val under = totals.keys.filter(s => mults((polyHash(s) % 4).toInt) == 0.4)
+    assert(under.nonEmpty && under.forall(s => bySrc.get(s).forall(_ == 1L)))
+    // admitted fractional token mass lands near the remainder (hash uniformity)
+    under.foreach { s =>
+      val t = totals(s)
+      val want = math.round(0.4 * t).toDouble
+      val got = out.filter(_._2 == s).map(_._3).sum.toDouble
+      assert(got > 0.1 * want && got < 2.5 * want, s"fractional mass off for $s: $got vs $want")
+    }
+  }
 }
