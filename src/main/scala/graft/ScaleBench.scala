@@ -437,13 +437,29 @@ object ScaleBench {
         t.readIncremental(t.currentId - 1, t.currentId).count()
       }
       require(inc == 1, s"incremental diff of the 1-file commit must be 1 row, saw $inc")
+      // A87 metadata aggregate: grouped count+min+max folded from the
+      // manifest — the whole query IS planning, so its scaling with
+      // file count is the claim's direct measurement (zero data reads,
+      // asserted on the optimized plan)
+      graft.sql.GraftCatalog.register(s"planbench_$n", t.root)
+      val (tMeta, metaCnt) = timed {
+        val df = spark.sql(s"SELECT p, count(*) AS c, min(v) AS v0, max(v) AS v1 " +
+          s"FROM planbench_$n GROUP BY p")
+        require(df.queryExecution.optimizedPlan.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+          "meta-agg probe must fold to a LocalRelation")
+        df.collect().map(_.getLong(1)).sum
+      }
+      require(metaCnt == n + 2, s"meta-agg count must cover all ${n + 2} rows, saw $metaCnt")
       for ((k, v) <- Seq("commit_bulk" -> tBulk, "commit_one" -> tOne,
-          "open_cold" -> tOpen, "scan_pruned" -> tPrune, "incremental" -> tIncr)) {
+          "open_cold" -> tOpen, "scan_pruned" -> tPrune, "incremental" -> tIncr,
+          "meta_agg" -> tMeta)) {
         println(f"[planbench] n=$n%-7d $k%-12s $v%8.3f s")
         results(s"${k}_$n") = v
       }
     }
-    for (k <- Seq("commit_bulk", "commit_one", "open_cold", "scan_pruned", "incremental")) {
+    for (k <- Seq("commit_bulk", "commit_one", "open_cold", "scan_pruned", "incremental",
+        "meta_agg")) {
       val a = math.log(results(s"${k}_100000") / results(s"${k}_1000")) / math.log(100.0)
       println(f"[planbench] exponent $k%-12s alpha=$a%5.2f")
       results(s"${k}_alpha") = a

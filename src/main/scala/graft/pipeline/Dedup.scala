@@ -676,6 +676,130 @@ object Dedup {
        |FROM g WHERE doc_id % 3 <> 0 AND doc_id NOT IN (SELECT doc_a FROM bad)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** D21 `stream_neardup_gate`: continuous crawl ingestion with
+    * NEAR-DUP admission — the streaming form of C31 where the index
+    * GROWS as batches land: each micro-batch probes the persisted
+    * band index (a graft lake table of `(doc_id, band, key)` minhash
+    * postings), exact-verifies band collisions by Jaccard ≥ 0.5
+    * against the persisted shingle sets, rejects contaminated docs,
+    * and appends the survivors' bands/sets back — so a batch-2 doc
+    * near-duplicate of a batch-1 ADMISSION is rejected even though
+    * neither was in the seed corpus. Admission is defined against the
+    * index state at batch start (bulk-ingest semantics; within-batch
+    * dups are C30/C2's job), and batch boundaries are pinned
+    * (4 staged files, mod-times ascending, maxFilesPerTrigger=1), so
+    * the result replays exactly and the oracle unrolls the same four
+    * probe→admit→extend stages in SQL with EXACT Jaccard (green ⇔ the
+    * band index missed nothing).
+    *
+    * Scale shape: per batch the work is O(batch bands) probing a
+    * keyed index join + O(collisions) verification — the corpus is
+    * never rescanned, and the index/sets tables are the same
+    * persisted artifacts C31's scaladoc prescribes for 100 TB; lake
+    * appends make the gate restartable (tagged batches replay
+    * idempotently).
+    */
+  def streamNearDupGate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.lake.GraftTable
+    val docs = Tables.documents(s, d)
+    val existing = docs.filter(col("doc_id") % 3 === 0)
+    val incoming = docs.filter(col("doc_id") % 3 =!= 0)
+    val base = s"/root/repo/target/lakework/sngate-${math.abs(d.hashCode)}"
+    val conf = s.sparkContext.hadoopConfiguration
+    val baseP = new org.apache.hadoop.fs.Path(base)
+    val hfs = baseP.getFileSystem(conf)
+    if (hfs.exists(baseP)) hfs.delete(baseP, true)
+    // four deterministic single-file batches; mod-times ascending pin
+    // the FileStreamSource processing order
+    val stage = s"$base/stage"
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(stage))
+    val t0 = System.currentTimeMillis() - 3600 * 1000L
+    (0 until 4).foreach { k =>
+      val tmp = s"$base/tmp-$k"
+      incoming.filter(pmod(col("doc_id"), lit(4L)) === k).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = hfs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+      val dst = new org.apache.hadoop.fs.Path(s"$stage/batch-$k.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(hfs, part, hfs, dst, false, conf)
+      hfs.setTimes(dst, t0 + k * 1000L, -1)
+    }
+    def bandsOf(df: DataFrame): DataFrame =
+      shingleHashesOf(df)
+        .select(col("doc_id"), posexplode(
+          exprs.minHashBands(col("hs"), Seed, 128, 32)).as(Seq("band", "key")))
+    GraftTable.create(s, s"$base/idx", bandsOf(existing))
+    GraftTable.create(s, s"$base/sets", shinglesOf(existing))
+    GraftTable.createEmpty(s, s"$base/res",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType))),
+      Seq.empty, Seq.empty)
+    val q = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch.localCheckpoint() // one stage read, many joins
+        val idxT = new GraftTable(s"$base/idx", s)
+        val setsT = new GraftTable(s"$base/sets", s)
+        val cand = bandsOf(b).select(col("doc_id").as("doc_a"), col("band"), col("key"))
+          .join(idxT.read().select(col("doc_id").as("doc_b"), col("band"), col("key")),
+            Seq("band", "key"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        val pairs = cand
+          .join(shinglesOf(b).select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+          .join(setsT.read().select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
+        val bad = verified(pairs).select(col("doc_a").as("doc_id")).distinct()
+        val admitted = b.join(bad, Seq("doc_id"), "left_anti").localCheckpoint()
+        new GraftTable(s"$base/res", s)
+          .appendBatch(admitted.select(col("doc_id"), col("source")), s"sngate-$id")
+        idxT.appendBatch(bandsOf(admitted), s"sngate-$id")
+        setsT.appendBatch(shinglesOf(admitted), s"sngate-$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    new GraftTable(s"$base/res", s).read()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_admitted"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: the four probe→admit→extend stages unrolled in SQL with
+    * EXACT cross-boundary Jaccard per stage — no sketch anywhere.
+    */
+  val streamNearDupGateSql: String = {
+    val stages = (0 until 4).map { k =>
+      s"""b$k AS (SELECT doc_id FROM g WHERE doc_id % 3 <> 0 AND doc_id % 4 = $k),
+         |rej$k AS (
+         |  SELECT DISTINCT p.doc_a AS doc_id FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |    FROM s a JOIN s b ON a.sh = b.sh
+         |    JOIN b$k ba ON ba.doc_id = a.doc_id
+         |    JOIN idx$k ib ON ib.doc_id = b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN sz x ON x.doc_id = p.doc_a JOIN sz y ON y.doc_id = p.doc_b
+         |  WHERE p.c * 1.0 / (x.n + y.n - p.c) >= 0.5),
+         |adm$k AS (SELECT doc_id FROM b$k WHERE doc_id NOT IN (SELECT doc_id FROM rej$k)),
+         |idx${k + 1} AS (SELECT doc_id FROM idx$k UNION ALL SELECT doc_id FROM adm$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (
+       |  SELECT doc_id, source, ${TextOps.tokensSql} AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, source, list_distinct(CASE WHEN len(t) >= 3
+       |    THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |    ELSE [] END) AS shs
+       |  FROM w),
+       |s AS (SELECT doc_id, unnest(shs) AS sh FROM g),
+       |sz AS (SELECT doc_id, len(shs) AS n FROM g),
+       |idx0 AS (SELECT doc_id FROM g WHERE doc_id % 3 = 0),
+       |$stages,
+       |adm AS (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1
+       |        UNION ALL SELECT doc_id FROM adm2 UNION ALL SELECT doc_id FROM adm3)
+       |SELECT g.source, count(*) AS n_admitted
+       |FROM g JOIN adm USING (doc_id)
+       |GROUP BY g.source ORDER BY g.source""".stripMargin
+  }
+
   /** C16 `dedup_clusters`: verified near-dup *pairs* → canonical
     * *clusters* — the step a curation pipeline actually needs (keep
     * one doc per component, drop the rest). Hash-min label

@@ -983,7 +983,8 @@ object StreamOps {
     "stream_lake_source" -> (lakeSource _),
     "stream_lake_e2e"    -> (lakeE2e _),
     "stream_changelog"   -> (changelogStream _),
-    "stream_incremental_dedup" -> (incrementalDedupStream _))
+    "stream_incremental_dedup" -> (incrementalDedupStream _),
+    "stream_neardup_gate" -> (graft.pipeline.Dedup.streamNearDupGate _))
 
   val oracles: Map[String, String] = Map(
     "stream_drift_monitor" -> graft.pipeline.VectorOps.embeddingDriftSql,
@@ -1005,7 +1006,8 @@ object StreamOps {
     "stream_lake_source" -> lakeSourceSql,
     "stream_lake_e2e"    -> lakeE2eSql,
     "stream_changelog"   -> changelogStreamSql,
-    "stream_incremental_dedup" -> incrementalDedupStreamSql)
+    "stream_incremental_dedup" -> incrementalDedupStreamSql,
+    "stream_neardup_gate" -> graft.pipeline.Dedup.streamNearDupGateSql)
 
   /** D15's StatefulProcessor: a running per-key (count, sum) held in
     * typed ValueState — defined at member level so the task closure

@@ -866,6 +866,43 @@ class StreamingSpec extends SparkSpec {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
     }
   }
+
+  test("D21 stream_neardup_gate: planted corpus pins the growing-index semantics") {
+    import spark.implicits._
+    // hand-crafted Jaccard geometry (3-shingles on whitespace tokens):
+    //   S  (seed, id 3)   : distinct text
+    //   A  (batch0, id 4) : unique            -> ADMITTED
+    //   F  (batch0, id 8) : J(F,A)=0.8 same batch -> ADMITTED (batch-start semantics)
+    //   B  (batch1, id 13): J(B,A)=0.8, J(B,seeds)<0.5 -> REJECTED only
+    //                       because batch0 ADMITTED A (the growth path)
+    //   C  (batch1, id 5) : J(C,S)=0.8        -> REJECTED by the seed
+    //   E  (batch2, id 10): J(E,B)=0.6 but B was rejected (its bands
+    //                       never landed) and J(E,A)=0.4, J(E,F)=0.33
+    //                       -> ADMITTED (rejects must NOT extend the index)
+    //   D  (batch3, id 7) : unique            -> ADMITTED
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (3L, "one two three four five six seven eight nine ten"),
+      (6L, "red orange yellow green blue indigo violet black white grey"),
+      (4L, tA),
+      (8L, tA + " nu xi"),
+      (13L, tA + " lambda mu"),
+      (5L, "one two three four five six seven eight nine ten eleven twelve"),
+      (10L, "epsilon zeta eta theta iota kappa lambda mu"),
+      (7L, "cat dog fish bird mouse horse sheep goat cow duck"))
+      .map { case (id, tx) => (id, tx, "en", s"s$id", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = "/root/repo/target/laketest/sngate-planted"
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { java.nio.file.Files.delete(f); () })
+    docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = graft.pipeline.Dedup.streamNearDupGate(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("s4" -> 1L, "s7" -> 1L, "s8" -> 1L, "s10" -> 1L),
+      s"admission set diverged: $out")
+  }
 }
 
 object StreamingSpec {
@@ -902,4 +939,5 @@ object StreamingSpec {
         l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
           .location.inputFiles.toSet
     }.head
+
 }
