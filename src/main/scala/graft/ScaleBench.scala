@@ -145,7 +145,11 @@ object ScaleBench {
     // the drift monitor streams 10× the vectors through bounded state
     "text_bpe_train", "text_bpe_encode", "text_compression",
     "text_normalize", "stream_drift_monitor",
-    "corpus_source_overlap", "dedup_decontaminate")
+    "corpus_source_overlap", "dedup_decontaminate",
+    // r10 ops: the sketch dial is constant-per-source aggregation, the
+    // epoch planner is scan+explode, the near-dup gate re-stages 10×
+    // the docs through the same 4 batches (per-batch probe volume 10×)
+    "corpus_source_overlap_sketch", "sample_epochs", "stream_neardup_gate")
 
   /** Lake DML + streaming-source scale probe: the same operation
     * sequence at 1× and 10× data, so commit latency, COW rewrite

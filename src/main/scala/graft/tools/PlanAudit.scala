@@ -60,6 +60,15 @@ private[graft] object PlanAudit {
     q18.collect()
     val after = q18.queryExecution.executedPlan.toString
     println("q18 post-AQE broadcast: " + after.contains("BroadcastHashJoin"))
+    // r10 additions
+    shape("sample_epochs", graft.pipeline.TextOps.sampleEpochs(spark, d))
+    shape("corpus_source_overlap_sketch", graft.pipeline.Dedup.sourceOverlapSketch(spark, d))
+    // the epoch planner's ONLY exchange is the |sources|-row aggregate;
+    // the corpus side is scan + broadcast-join + explode
+    val se = graft.pipeline.TextOps.sampleEpochs(spark, d)
+    val sePlan = se.queryExecution.executedPlan.toString
+    println("sample_epochs corpus shuffle-free: " +
+      !sePlan.contains("SortMergeJoin") + " broadcast: " + sePlan.contains("BroadcastHashJoin"))
     spark.stop()
   }
 }

@@ -72,6 +72,18 @@ class DmlModelSpec extends SparkSpec {
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
         assert(gotAsOf == toSet3(history(id)),
           s"seed=$seed step=$step: AS OF $id diverged from recorded model")
+        // A87 metadata aggregates across every randomized table state:
+        // whether the rule folds to the manifest or bails (pending MOR
+        // deletes, stats gaps), the ANSWER must equal the model — a
+        // stale-manifest or wrong-bail bug surfaces here immediately
+        val aggRow = t.read().agg(
+          count(lit(1)).as("n"), min(col("k")).as("k0"), max(col("k")).as("k1")).head()
+        assert(aggRow.getLong(0) == model.size.toLong,
+          s"seed=$seed step=$step: meta/scan count ${aggRow.getLong(0)} != model ${model.size}")
+        if (model.nonEmpty) {
+          assert(aggRow.getLong(1) == model.keys.min && aggRow.getLong(2) == model.keys.max,
+            s"seed=$seed step=$step: min/max diverged from model")
+        } else assert(aggRow.isNullAt(1) && aggRow.isNullAt(2))
       }
 
       for (step <- 1 to 24) {

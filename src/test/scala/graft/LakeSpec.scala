@@ -2180,6 +2180,12 @@ class LakeSpec extends SparkSpec {
     metaAggBoth("SELECT p, count(*) AS n FROM metaagg_rand GROUP BY p HAVING count(*) > 10",
       expectMeta = true) // HAVING filters ABOVE the folded aggregate — still metadata-only
 
+    // the DataFrame API folds through the same rule as SQL
+    val dfApi = t.read().agg(count(lit(1)).as("n"), min(col("id")).as("i0"))
+    val dfRow = dfApi.head()
+    assert(fileScans(dfApi).isEmpty, "DF-API aggregate must fold to metadata too")
+    assert(dfRow.getLong(0) == 1500L && dfRow.getLong(1) == 1L)
+
     // pending MOR deletes poison manifest counts → must bail, stay correct
     t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
     t.delete(col("id") % 17 === 0)
