@@ -690,13 +690,41 @@ final class GraftTable(val root: String, spark: SparkSession) {
         case (k, v) if k.startsWith(GraftTable.CheckPropPrefix) =>
           k.stripPrefix(GraftTable.CheckPropPrefix) -> v
       }
+      // validation actions run on a CollectMetrics-STRIPPED copy of the
+      // batch plan: under write.stats.ndv=auto the batch carries the
+      // write's NDV Observation, and Observation.get latches the FIRST
+      // completed action — a validation isEmpty would otherwise harvest
+      // garbage sketches from its own limit-1 pass and starve the write's
+      lazy val dfValidate = {
+        val stripped = dfIn.queryExecution.logical.transform {
+          case cm: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => cm.child
+        }
+        org.apache.spark.sql.graft.Shim.ofRows(spark, stripped)
+      }
       checks.foreach { case (name, predicate) =>
-        val bad = dfIn.filter(!coalesce(expr(predicate), lit(true)))
+        val bad = dfValidate.filter(!coalesce(expr(predicate), lit(true)))
         if (!bad.isEmpty)
           throw new IllegalArgumentException(
             s"CHECK constraint '$name' ($predicate) violated by the " +
               s"incoming batch on table $root — write aborted, no files written")
       }
+      // NOT NULL columns (A88): unlike CHECK, a NULL fails — one narrow
+      // scan of the write batch per constrained column, atomic abort.
+      // Keyed on the EXPLICIT `notnull.<col>` property, never on bare
+      // schema nullability: tuple-encoder DataFrames mark primitive
+      // columns non-nullable incidentally, and an implicit extra batch
+      // action here would also fire any attached NDV Observation early
+      // (Observation.get latches the FIRST action on the plan)
+      current.properties.keys
+        .filter(_.startsWith(GraftTable.NotNullPropPrefix))
+        .map(_.stripPrefix(GraftTable.NotNullPropPrefix))
+        .filter(dfIn.columns.contains)
+        .foreach { c =>
+          if (!dfValidate.filter(col(c).isNull).isEmpty)
+            throw new IllegalArgumentException(
+              s"NOT NULL constraint on $c violated by the incoming " +
+                s"batch on table $root — write aborted, no files written")
+        }
     }
     // renamed columns are written under their frozen physical name so
     // all files of the table share one on-disk schema (a REPLACE's new
@@ -1844,6 +1872,78 @@ final class GraftTable(val root: String, spark: SparkSession) {
     this
   }
 
+  /** NOT NULL constraints (Delta `ALTER COLUMN … SET/DROP NOT NULL`
+    * parity, SURVEY.md §2.A88): flips the column's schema nullability
+    * in a metadata-only snapshot. `SET NOT NULL` must prove the
+    * existing data complies first — metadata-FIRST: if every live
+    * file's footer stats record zero nulls for the column (and every
+    * partition value is non-null for a partition column), the proof
+    * costs zero data I/O at any table size; only files without exact
+    * null counts fall back to one narrow IS NULL scan over just those
+    * files. Enforcement happens on every subsequent write in the
+    * single writeFiles funnel (violating batches abort atomically,
+    * like CHECK constraints — but NULL fails here, the opposite of
+    * CHECK's SQL pass-on-NULL). Nullability is per-snapshot schema:
+    * time travel reads old snapshots with their recorded flag.
+    */
+  def setColumnNullability(name: String, nullable: Boolean): GraftTable = {
+    val f = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(s"no column $name on table $root"))
+    val propKey = GraftTable.NotNullPropPrefix + f.name
+    if (f.nullable == nullable && current.properties.contains(propKey) == !nullable)
+      return this // idempotent
+    if (!nullable) validateNoNulls(name)
+    val cur = current
+    val fields = schema.fields.map(x =>
+      if (x.name.equalsIgnoreCase(name)) x.copy(nullable = nullable) else x)
+    // the write-funnel enforcement keys on the EXPLICIT property (bare
+    // schema non-nullability also arrives incidentally from tuple
+    // encoders and must not start aborting writes); both flip in ONE
+    // snapshot so time travel sees consistent flag+enforcement state
+    val props = if (nullable) cur.properties - propKey
+                else cur.properties + (propKey -> "true")
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "set-nullability", schemaJson = StructType(fields).json,
+      properties = props, addedFiles = 0, deletedFiles = 0))
+    this
+  }
+
+  /** The compliance proof behind `SET NOT NULL`, commit-free so a
+    * multi-column statement can validate EVERY column before the first
+    * snapshot lands. Metadata-first; throws on any existing null.
+    */
+  private[graft] def validateNoNulls(name: String): Unit = {
+    val cur = current
+    val f = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(s"no column $name on table $root"))
+    val phys = GraftTable.physicalName(f)
+    if (cur.partitionCols.contains(f.name)) {
+      val bad = cur.files.filter(fe => fe.rows > 0L &&
+        !fe.partition.get(f.name).exists(_ != Pruning.HiveNullPartition))
+      // a null partition value is a definite violation — no scan needed
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"SET NOT NULL on ${f.name} refused: null partition value present")
+    } else {
+      // files whose stats PROVE a null refuse without any scan
+      val provenBad = cur.files.filter(_.stats.get(phys).exists(_.nulls > 0L))
+      if (provenBad.nonEmpty) throw new IllegalArgumentException(
+        s"SET NOT NULL on ${f.name} refused: ${provenBad.size} file(s) record " +
+          s"${provenBad.map(_.stats(phys).nulls).sum} null value(s)")
+      // stats-less files (schema evolution, adopted files): one narrow
+      // scan over JUST those files decides exactly
+      val needScan = cur.files.filter(fe =>
+        fe.rows > 0L && fe.stats.get(phys).isEmpty)
+      if (needScan.nonEmpty) {
+        // the relation aliases physical names back to logical ones
+        val sub = org.apache.spark.sql.graft.GraftFileIndex.relation(
+          spark, root, cur.copy(files = needScan, shards = Seq.empty))
+        require(sub.filter(col(f.name).isNull).isEmpty,
+          s"SET NOT NULL on ${f.name} refused: existing rows contain nulls")
+      }
+    }
+  }
+
   /** ANALYZE-equivalent: one distributed pass computing approximate
     * NDV (HyperLogLog++) per atomic column, persisted as
     * `stats.ndv.<col>` table properties in an `analyze` snapshot —
@@ -2916,8 +3016,13 @@ object GraftTable {
     "create", "append", "overwrite", "overwrite-partition",
     "overwrite-dynamic", "delete", "truncate", "update", "merge",
     "merge-delete", "repartition-spec", "set-properties", "add-column",
-    "drop-column", "rename-column", "widen-column", "analyze", "optimize",
-    "compact", "rollback", "adopt", "apply-deletes")
+    "drop-column", "rename-column", "widen-column", "set-nullability",
+    "analyze", "optimize", "compact", "rollback", "adopt", "apply-deletes")
+
+  /** TBLPROPERTIES prefix marking a column NOT NULL (A88): write-time
+    * enforcement keys on this, never on bare schema nullability.
+    */
+  val NotNullPropPrefix = "notnull."
 
   /** TBLPROPERTIES key routing DELETE between copy-on-write (default)
     * and merge-on-read position deletes.

@@ -1307,6 +1307,65 @@ object GateQueries {
   val lakeIcebergRoundtripSql: String =
     s"SELECT $selSql FROM orders WHERE o_orderkey % 23 <> 0 ORDER BY o_orderkey"
 
+  // ---- A88 NOT NULL constraints ---------------------------------------
+
+  /** `lake_notnull` (A88): `ALTER COLUMN … SET NOT NULL` proves
+    * existing compliance from footer null counts (zero data I/O here —
+    * the metadata-first path), subsequent violating writes abort
+    * atomically in the writeFiles funnel (file set unchanged —
+    * asserted), `DROP NOT NULL` re-admits nulls, and a second SET is
+    * refused by the now-recorded per-file null counts alone. The
+    * returned relation filters the synthetic null rows back out so the
+    * oracle is plain SQL over orders.
+    */
+  def lakeNotNull(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val t = GraftTable.create(s, work(d, "notnullq"),
+      byStatus(o.filter(col("o_orderkey") % 2 === 0)), Seq("o_orderstatus"))
+    GraftCatalog.register("gate_notnull", t.root)
+    s.sql("ALTER TABLE gate_notnull ALTER COLUMN o_custkey SET NOT NULL")
+    require(new GraftTable(t.root, s).schema("o_custkey").nullable == false,
+      "schema must record the constraint")
+    // violating batch: whole write aborts, no partial files
+    val files0 = new GraftTable(t.root, s).current.files.map(_.path).toSet
+    val bad = byStatus(o.filter(col("o_orderkey") % 2 === 1)
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 5 === 1, lit(null)).otherwise(col("o_custkey"))))
+    val refused =
+      try { new GraftTable(t.root, s).append(bad); false }
+      catch { case e: IllegalArgumentException => e.getMessage.contains("NOT NULL") }
+    require(refused, "null batch must be refused")
+    require(new GraftTable(t.root, s).current.files.map(_.path).toSet == files0,
+      "refused write must leave the file set untouched")
+    // compliant batch lands
+    new GraftTable(t.root, s).append(byStatus(o.filter(col("o_orderkey") % 2 === 1)))
+    // drop → nulls admitted; re-tightening is refused by footer stats alone
+    s.sql("ALTER TABLE gate_notnull ALTER COLUMN o_custkey DROP NOT NULL")
+    import s.implicits._
+    new GraftTable(t.root, s).append(
+      // mixed null/non-null per partition file: the footer records an
+      // exact null count, so the re-tightening below is refused from
+      // stats ALONE (an all-null file would take the narrow-scan path)
+      Seq((2000000001L, Option.empty[Long], "F", 1.0),
+          (2000000002L, Option.empty[Long], "O", 2.0),
+          (2000000003L, Option(7L), "F", 3.0),
+          (2000000004L, Option(9L), "O", 4.0))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .withColumn("o_orderdate", lit(null).cast("timestamp"))
+        .withColumn("o_orderpriority", lit(null).cast("string"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .repartition(col("o_orderstatus")))
+    val retightened =
+      try { s.sql("ALTER TABLE gate_notnull ALTER COLUMN o_custkey SET NOT NULL"); false }
+      catch { case e: Exception => e.getMessage.contains("null value") }
+    require(retightened, "SET NOT NULL over data with nulls must refuse via stats")
+    sel(new GraftTable(t.root, s).read().filter(col("o_orderkey") < 2000000000L))
+  }
+
+  val lakeNotNullSql: String =
+    s"SELECT $selSql FROM orders ORDER BY o_orderkey"
+
   // ---- A87 metadata-only aggregates ----------------------------------
 
   /** `lake_meta_agg` (A87): COUNT(*)/COUNT(col)/MIN/MAX with a
@@ -1408,6 +1467,7 @@ object GateQueries {
     "lake_iceberg_export"   -> (lakeIcebergExport _),
     "lake_iceberg_roundtrip" -> (lakeIcebergRoundtrip _),
     "lake_meta_agg"         -> (lakeMetaAgg _),
+    "lake_notnull"          -> (lakeNotNull _),
     "lake_clustering_check" -> (lakeClusteringCheck _))
 
   val oracles: Map[String, String] = Map(
@@ -1448,5 +1508,6 @@ object GateQueries {
     "lake_iceberg_export"   -> lakeIcebergExportSql,
     "lake_iceberg_roundtrip" -> lakeIcebergRoundtripSql,
     "lake_meta_agg"         -> lakeMetaAggSql,
+    "lake_notnull"          -> lakeNotNullSql,
     "lake_clustering_check" -> lakeClusteringCheckSql)
 }

@@ -714,6 +714,33 @@ case class GraftWidenColumnCommand(
   }
 }
 
+/** ALTER TABLE t ALTER COLUMN c SET NOT NULL / DROP NOT NULL — NOT
+  * NULL constraints ([[graft.lake.GraftTable.setColumnNullability]]):
+  * SET proves existing compliance metadata-first (footer null counts /
+  * partition values; only stats-less files pay a narrow scan), writes
+  * enforce afterwards in the single writeFiles funnel. All columns
+  * validate BEFORE any snapshot commits, so a failed multi-column
+  * statement leaves the table untouched (the UNSET TBLPROPERTIES
+  * atomicity rule).
+  */
+case class GraftSetNullabilityCommand(
+    name: String, cols: Seq[(String, Boolean)]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    val t = new GraftTable(root, session)
+    cols.foreach { case (c, _) =>
+      require(t.schema.fields.exists(_.name.equalsIgnoreCase(c)),
+        s"no column $c on table $name") }
+    // prove compliance for EVERY tightened column before the first
+    // commit — a failed multi-column statement leaves the table untouched
+    cols.foreach { case (c, nullable) => if (!nullable) t.validateNoNulls(c) }
+    cols.foreach { case (c, nullable) => t.setColumnNullability(c, nullable) }
+    GraftSparkBridge.refreshSchema(session, name)
+    Seq.empty
+  }
+}
+
 /** DELETE FROM t [WHERE pred] — copy-on-write snapshot delete
   * ([[graft.lake.GraftTable.delete]]). The predicate is carried as an
   * opaque [[org.apache.spark.sql.Column]] (not an Expression field):

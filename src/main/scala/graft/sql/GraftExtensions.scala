@@ -384,8 +384,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           if identName(rc.table).exists(GraftCatalog.lookup(_).isDefined) =>
         GraftRenameColumnCommand(identName(rc.table).get,
           fieldName(rc.column), rc.newName)
-      // ALTER COLUMN … TYPE only (position/comment/nullability changes
-      // are not graft metadata) → metadata-only widening
+      // ALTER COLUMN … TYPE only (position/comment changes are not
+      // graft metadata) → metadata-only widening
       case ac: logical.AlterColumns
           if identName(ac.table).exists(GraftCatalog.lookup(_).isDefined) &&
             ac.specs.forall(sp => sp.newDataType.isDefined &&
@@ -393,6 +393,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
               sp.newPosition.isEmpty) =>
         GraftWidenColumnCommand(identName(ac.table).get,
           ac.specs.map(sp => (fieldName(sp.column), sp.newDataType.get)))
+      // ALTER COLUMN … SET/DROP NOT NULL → NOT NULL constraint (A88):
+      // SET proves compliance metadata-first, writes enforce after
+      case ac: logical.AlterColumns
+          if identName(ac.table).exists(GraftCatalog.lookup(_).isDefined) &&
+            ac.specs.forall(sp => sp.newNullability.isDefined &&
+              sp.newDataType.isEmpty && sp.newComment.isEmpty &&
+              sp.newPosition.isEmpty) =>
+        GraftSetNullabilityCommand(identName(ac.table).get,
+          ac.specs.map(sp => (fieldName(sp.column), sp.newNullability.get)))
       case sp: logical.SetTableProperties
           if identName(sp.table).exists(GraftCatalog.lookup(_).isDefined) =>
         GraftSetPropertiesCommand(identName(sp.table).get, sp.properties)

@@ -2180,6 +2180,10 @@ class LakeSpec extends SparkSpec {
     metaAggBoth("SELECT p, count(*) AS n FROM metaagg_rand GROUP BY p HAVING count(*) > 10",
       expectMeta = true) // HAVING filters ABOVE the folded aggregate — still metadata-only
 
+    // DISTINCT over a partition column is the grouped fold with no agg
+    // functions (Spark's OptimizeMetadataOnlyQuery shape, manifest-backed)
+    metaAggBoth("SELECT DISTINCT p FROM metaagg_rand", expectMeta = true)
+
     // the DataFrame API folds through the same rule as SQL
     val dfApi = t.read().agg(count(lit(1)).as("n"), min(col("id")).as("i0"))
     val dfRow = dfApi.head()
@@ -2192,6 +2196,49 @@ class LakeSpec extends SparkSpec {
     assert(t.current.deleteFiles.nonEmpty, "precondition: pending MOR delete")
     metaAggBoth(s"SELECT $aggList FROM metaagg_rand", expectMeta = false)
     metaAggBoth("SELECT p, count(*) AS n FROM metaagg_rand GROUP BY p", expectMeta = false)
+  }
+
+  test("A88 NOT NULL: stats-less files take the narrow scan; multi-column SET is atomic") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("notnull-scan"),
+      Seq((1L, Some(10.0), "a"), (2L, Some(20.0), "b")).toDF("k", "v", "g")
+        .repartition(col("g")), Seq("g"))
+    // a column added AFTER the first files exist: those files carry no
+    // stats for it and read as null → SET NOT NULL must detect the
+    // nulls through the narrow scan over exactly those files
+    t.addColumn("w", org.apache.spark.sql.types.LongType)
+    val ex = intercept[IllegalArgumentException] { t.setColumnNullability("w", nullable = false) }
+    assert(ex.getMessage.contains("existing rows contain nulls"))
+    assert(t.schema("w").nullable, "failed SET must not flip the flag")
+    // fill w everywhere (COW rewrite refreshes stats) → SET succeeds
+    t.update(lit(true), Map("w" -> col("k") * 10L))
+    t.setColumnNullability("w", nullable = false)
+    assert(!t.schema("w").nullable)
+    // enforcement: an UPDATE writing a null w aborts atomically
+    val pre = t.read().collect().map(_.toString).sorted.toSeq
+    val ex2 = intercept[IllegalArgumentException] {
+      t.update(col("k") === 1L, Map("w" -> lit(null).cast("long")))
+    }
+    assert(ex2.getMessage.contains("NOT NULL"))
+    assert(t.read().collect().map(_.toString).sorted.toSeq === pre)
+    // time travel reads the pre-constraint schema with its own flag
+    assert(new GraftTable(t.root, spark).snapshots.size >= 3)
+    // multi-column statement: one compliant + one violating column →
+    // NOTHING commits (k stays nullable=false-able, v untouched)
+    graft.sql.GraftCatalog.register("notnull_scan_t", t.root)
+    t.setColumnNullability("w", nullable = true) // re-open w
+    t.append(Seq((3L, Option.empty[Double], 30L, "a")).toDF("k", "v", "w", "g")
+      .repartition(col("g"))) // plant a null in v
+    val idBefore = t.currentId
+    val schemaBefore = new GraftTable(t.root, spark).schema
+    val ex3 = intercept[Exception] {
+      spark.sql("ALTER TABLE notnull_scan_t ALTER COLUMN w SET NOT NULL, v SET NOT NULL")
+    }
+    assert(ex3.getMessage.contains("refused"))
+    val t2 = new GraftTable(t.root, spark)
+    assert(t2.currentId == idBefore, "failed multi-column SET must commit nothing")
+    assert(t2.schema === schemaBefore, "failed multi-column SET must not flip any flag")
+    assert(t2.schema("w").nullable && t2.schema("v").nullable)
   }
 
   test("A87 metadata aggregates: widened column stays exact; fresh column without stats bails") {
