@@ -199,6 +199,42 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
   override def prettyName: String = "graft_shingle_hashes"
 }
 
+/** Distinct 64-bit hashes of a string's CHARACTER n-grams (q-gram
+  * index input for edit-distance candidates); codegen'd narrow kernel.
+  */
+case class CharGramHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.charGramHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.charGramHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_chargram_hashes"
+}
+
+/** |A ∩ B| of two SORTED long arrays (linear merge, codegen'd) — the
+  * q-gram count-filter kernel for edit-distance candidates.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Hashing.intersectCount(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Hashing.intersectCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_intersect_count"
+}
+
 /** MinHash-LSH band keys of an array<long> of shingle hashes. */
 case class MinHashBands(child: Expression, seed: Long, nHashes: Int, nBands: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -421,6 +457,9 @@ object exprs {
   def nfcNormalize(c: Column): Column = col(NfcNormalize(ex(c)))
   def wordShingles(c: Column, n: Int): Column = col(WordShingles(ex(c), n))
   def shingleHashes(c: Column, n: Int): Column = col(ShingleHashes(ex(c), n))
+  def charGramHashes(c: Column, n: Int): Column = col(CharGramHashes(ex(c), n))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    col(SortedIntersectCount(ex(a), ex(b)))
   /** Multiset variant: every n-gram occurrence, duplicates preserved. */
   def shingleHashesAll(c: Column, n: Int): Column =
     col(ShingleHashes(ex(c), n, distinct = false))

@@ -299,6 +299,46 @@ object Hashing {
     new GenericArrayData(out)
   }
 
+  /** Distinct 64-bit hashes of the CHARACTER n-grams of a string,
+    * SORTED ascending — the q-gram input for edit-distance candidate
+    * filtering (the character-level counterpart of [[shingleHashes]]'s
+    * word shingles; sorted so [[intersectCount]] runs as a linear
+    * merge). Caller lowercases/normalizes upstream; strings shorter
+    * than n yield the empty set.
+    */
+  def charGramHashes(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    if (str.length < n) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    val last = str.length - n
+    while (i <= last) {
+      seen.add(fnv64(str.substring(i, i + n)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** |A ∩ B| of two SORTED long arrays in one linear merge — the
+    * per-pair count-filter kernel (the builtin `array_intersect`
+    * builds a hash set per call and evaluates interpreted).
+    */
+  def intersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** MinHash-LSH band keys from a doc's set of 64-bit shingle hashes.
     * Permutation i is `min over shingles of mix64(h ^ mix64(seed+i))`
     * (a universal-enough family); the nHashes minima are folded into

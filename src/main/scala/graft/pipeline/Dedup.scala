@@ -676,6 +676,91 @@ object Dedup {
        |FROM g WHERE doc_id % 3 <> 0 AND doc_id NOT IN (SELECT doc_a FROM bad)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** C74 `dedup_edit_distance`: CHARACTER-level near-dup pairs at a
+    * small ABSOLUTE edit distance — the typo/OCR-noise class
+    * (`levenshtein ≤ [[EdMax]] = 8`) that word-shingle Jaccard
+    * under-weights on short texts (one in-word typo kills every word
+    * shingle crossing it). Exact distances are reported.
+    *
+    * The threshold is deliberately absolute, not relative: the q-gram
+    * COUNT FILTER (one edit destroys at most q distinct grams, so
+    * ED ≤ d forces |G_a ∩ G_b| ≥ max(|G|) − q·d) only has filtering
+    * power while q·d ≪ |G| — a 15%-of-length budget makes the bound
+    * vacuous and degenerates to the all-pairs join on ANY engine.
+    *
+    * Candidate plan — EXACT at every step, so the result provably
+    * equals the uncapped oracle (no recall caveat to spec away):
+    *  1. LENGTH BANDING: ED ≥ |len_a − len_b|, so qualifying pairs sit
+    *     within EdMax characters of each other — a band join on
+    *     `len DIV (EdMax+1)` cells (the C22/q_range_join cell trick:
+    *     one side probes its 3 adjacent cells) yields only
+    *     similar-length pairs. Lossless by arithmetic.
+    *  2. q-gram COUNT FILTER, columnar: each pair intersects its two
+    *     precomputed sorted gram-hash arrays (`array_intersect`, one
+    *     narrow kernel per pair — NO inverted-index self-join, whose
+    *     volume is Σ df² and detonates on low-entropy corpora where
+    *     every gram is near-universal). Lossless by the q-gram lemma.
+    *  3. survivors pay ONE exact codegen'd `levenshtein` each.
+    * Degenerate-length caveat (documented, not hidden): if the whole
+    * corpus shares one length cell, step 1 admits O(n²/cells) pairs
+    * and step 2's per-pair kernel is the bound — the classic PassJoin
+    * segment index is the escalation for that shape; real corpora
+    * spread lengths. At 100 TB the band join shuffles each doc's gram
+    * array once (≈ corpus volume, the same class as C1's body hash),
+    * and Levenshtein runs only on count-filter survivors.
+    */
+  def editDistancePairs(s: SparkSession, d: String): DataFrame =
+    editDistancePairsOf(Tables.documents(s, d))
+
+  /** Absolute ED threshold (typo/OCR class) and the q-gram width. */
+  val EdMax = 8
+  val EdQ = 5
+  def editDistancePairsOf(docs: DataFrame): DataFrame = {
+    val g0 = docs.select(col("doc_id"), lower(col("text")).as("t"))
+      .withColumn("len", length(col("t")))
+      .withColumn("gs", exprs.charGramHashes(col("t"), EdQ))
+      .withColumn("n", size(col("gs")))
+      .withColumn("bkt", expr(s"len DIV ${EdMax + 1}"))
+    val aSide = g0.select(col("doc_id").as("doc_a"), col("t").as("t_a"),
+        col("len").as("len_a"), col("gs").as("gs_a"), col("n").as("n_a"),
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("cell"))
+    val bSide = g0.select(col("doc_id").as("doc_b"), col("t").as("t_b"),
+        col("len").as("len_b"), col("gs").as("gs_b"), col("n").as("n_b"),
+        col("bkt").as("cell"))
+    aSide.join(bSide, Seq("cell"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(abs(col("len_a") - col("len_b")) <= EdMax)
+      // codegen'd linear merge over the sorted gram arrays — the
+      // builtin array_intersect builds a hash set per pair, interpreted
+      .withColumn("i", exprs.sortedIntersectCount(col("gs_a"), col("gs_b")))
+      .filter(col("i") >= greatest(col("n_a"), col("n_b")) - lit(EdQ * EdMax))
+      // banded DP: O(len·EdMax) per survivor, -1 = above threshold
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), EdMax).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= EdMax)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle: length filter + the same lossless q-gram count filter over
+    * gram STRINGS + the same absolute-threshold Levenshtein verify —
+    * every stage exact on both engines, so equality is unconditional.
+    */
+  val editDistancePairsSql: String =
+    s"""WITH low AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, t, length(t) AS len, list_distinct(CASE WHEN length(t) >= $EdQ
+       |    THEN list_transform(range(1, length(t) - ${EdQ - 2}), i -> substring(t, i, $EdQ))
+       |    ELSE [] END) AS gs
+       |  FROM low),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.t AS t_a, b.t AS t_b
+       |  FROM g a JOIN g b
+       |    ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= $EdMax
+       |   AND len(list_intersect(a.gs, b.gs)) >= greatest(len(a.gs), len(b.gs)) - ${EdQ * EdMax})
+       |SELECT doc_a, doc_b, CAST(levenshtein(t_a, t_b) AS BIGINT) AS dist
+       |FROM cand WHERE levenshtein(t_a, t_b) <= $EdMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** D21 `stream_neardup_gate`: continuous crawl ingestion with
     * NEAR-DUP admission — the streaming form of C31 where the index
     * GROWS as batches land: each micro-batch probes the persisted
@@ -1292,6 +1377,7 @@ object Dedup {
     "dedup_apply"         -> (dedupApply _),
     "dedup_incremental"      -> (incrementalExact _),
     "dedup_incremental_near" -> (incrementalNear _),
+    "dedup_edit_distance" -> (editDistancePairs _),
     "dedup_incremental_bloom" -> (incrementalBloom _),
     "dedup_simhash_check"    -> (simhashCheck _),
     "dataset_similarity_check" -> (datasetSimilarityCheck _))
@@ -1317,6 +1403,7 @@ object Dedup {
     "dedup_apply"         -> dedupApplySql,
     "dedup_incremental"      -> incrementalExactSql,
     "dedup_incremental_near" -> incrementalNearSql,
+    "dedup_edit_distance" -> editDistancePairsSql,
     "dedup_incremental_bloom" -> incrementalBloomSql,
     "dataset_similarity_check" -> datasetSimilarityCheckSql)
 }

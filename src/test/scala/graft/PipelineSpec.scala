@@ -1969,6 +1969,67 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("C74 edit-distance dedup: planted typo pairs exact, far pairs excluded") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(74)
+    val alpha = "abcdefghijklmnopqrstuvwxyz 0123456789"
+    def randText(n: Int): String =
+      (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def mutate(s: String, k: Int): String = {
+      val chars = s.toCharArray
+      val pos = rnd.shuffle(chars.indices.toList).take(k)
+      pos.foreach { p =>
+        var c = alpha(rnd.nextInt(alpha.length))
+        while (c == chars(p)) c = alpha(rnd.nextInt(alpha.length))
+        chars(p) = c
+      }
+      new String(chars)
+    }
+    // 40 unique docs + 6 planted near-pairs (k <= EdMax edits) + a
+    // planted FAR pair (40% divergence) + heavy shared boilerplate
+    // prefix on some docs (low-entropy grams must not flood candidates)
+    val boiler = "the quick brown fox jumps over the lazy dog again and again "
+    val uniques = (1 to 40).map(i => (i.toLong, randText(200)))
+    val nears = (1 to 6).flatMap { j =>
+      val base = (if (j % 2 == 0) boiler else "") + randText(200)
+      Seq((100L + j * 2, base), (101L + j * 2, mutate(base, 1 + rnd.nextInt(graft.pipeline.Dedup.EdMax))))
+    }
+    val fars = {
+      val base = randText(200)
+      Seq((300L, base), (301L, mutate(base, 80)))
+    }
+    val docs = (uniques ++ nears ++ fars)
+      .map { case (id, tx) => (id, tx, "en", "s", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.pipeline.Dedup.editDistancePairsOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gotPairs = got.map(t => (t._1, t._2)).toSet
+    val wantPairs = (1 to 6).map(j => (100L + j * 2, 101L + j * 2)).toSet
+    assert(wantPairs.subsetOf(gotPairs),
+      s"planted near pairs missing: ${wantPairs -- gotPairs}")
+    assert(!gotPairs.contains((300L, 301L)), "far pair must not pass the absolute threshold")
+    // every reported distance verifies against a from-scratch DP
+    def lev(a: String, b: String): Long = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length).toLong
+    }
+    val textOf = (uniques ++ nears ++ fars).toMap
+    got.foreach { case (a, b, dist) =>
+      assert(dist === lev(textOf(a).toLowerCase, textOf(b).toLowerCase),
+        s"distance for ($a,$b) diverges from the independent DP")
+      assert(dist <= graft.pipeline.Dedup.EdMax)
+    }
+  }
+
   test("C73 sample_epochs: plan equals a from-scratch Scala recompute; cap + regimes hold") {
     import org.apache.spark.sql.functions.{col, lower, split}
     val out = graft.pipeline.TextOps.sampleEpochs(spark, sfDir)
