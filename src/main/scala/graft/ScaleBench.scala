@@ -149,7 +149,9 @@ object ScaleBench {
     // r10 ops: the sketch dial is constant-per-source aggregation, the
     // epoch planner is scan+explode, the near-dup gate re-stages 10×
     // the docs through the same 4 batches (per-batch probe volume 10×)
-    "corpus_source_overlap_sketch", "sample_epochs", "stream_neardup_gate")
+    "corpus_source_overlap_sketch", "sample_epochs", "stream_neardup_gate",
+    // length-banded candidates: pair volume tracks docs-per-length-cell
+    "dedup_edit_distance")
 
   /** Lake DML + streaming-source scale probe: the same operation
     * sequence at 1× and 10× data, so commit latency, COW rewrite
