@@ -2003,30 +2003,102 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * The helper `__zorder` column is written into the files but is not
     * part of the table schema — reads never see it.
     */
-  def optimizeZOrder(cols: Seq[String], nFiles: Int): GraftTable = {
+  def optimizeZOrder(cols: Seq[String], nFiles: Int): GraftTable =
+    optimizeZOrder(cols, nFiles, None)
+
+  /** `where` (A89, Delta `OPTIMIZE … WHERE` parity): restrict the
+    * rewrite to files whose PARTITION VALUES satisfy the predicate —
+    * exact per-file decision, zero data reads to plan; non-partition
+    * predicates refuse loudly (a row-level scope would force a scan
+    * and a partial-file rewrite, which is DML, not maintenance). A
+    * scoped Z-order keeps every out-of-scope file verbatim, so
+    * maintenance on one hot partition never rewrites 100 TB of cold
+    * ones; pending deletes fold only for the in-scope files.
+    */
+  def optimizeZOrder(cols: Seq[String], nFiles: Int, where: Option[Column]): GraftTable = {
     val cur = current
+    val inScope = partitionScope(cur, where)
+    val scoped = cur.files.filter(f => inScope(f.partition))
+    if (scoped.isEmpty) return this
+    val kept = cur.files.filterNot(f => inScope(f.partition))
     val stats = cols.map { c =>
       val pc = logicalToPhysical.getOrElse(c, c) // manifest stats use physical names
-      val mins = cur.files.flatMap(_.stats.get(pc)).map(_.min.toLong)
-      val maxs = cur.files.flatMap(_.stats.get(pc)).map(_.max.toLong)
+      val mins = scoped.flatMap(_.stats.get(pc)).map(_.min.toLong)
+      val maxs = scoped.flatMap(_.stats.get(pc)).map(_.max.toLong)
       require(mins.nonEmpty, s"no stats for zorder column $c")
       (mins.min, maxs.max)
     }
     val zkey = graft.functions.exprs.zorderKey(
       cols.map(c => col(c).cast("long")),
       stats.map(_._1).toArray, stats.map(_._2).toArray)
-    val clustered = read()
+    val clustered = readSnapshot(cur.copy(files = scoped, shards = Seq.empty))
       .withColumn("__zorder", zkey)
       .repartitionByRange(nFiles, col("__zorder"))
       .sortWithinPartitions(col("__zorder"))
     val added = writeFiles(clustered, cur.partitionCols, cur.deps, cur.id + 1)
+    // scoped rewrites only fold deletes whose known targets all sit in
+    // scope; a whole-table zorder (scope = everything) clears them all
+    val remainingDeletes =
+      if (kept.isEmpty) Seq.empty[DeleteFileEntry]
+      else {
+        val keptBases = kept.map(f => GraftTable.baseName(f.path)).toSet
+        cur.deleteFiles.filter(d =>
+          d.targets.isEmpty || d.targets.exists(keptBases.contains))
+      }
     commit(cur.copy(
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
-      operation = "optimize", files = added,
-      addedFiles = added.size, deletedFiles = cur.files.size,
-      deleteFiles = Seq.empty)) // full rewrite reads through (and applies) pending deletes
+      operation = "optimize", files = kept ++ added,
+      addedFiles = added.size, deletedFiles = scoped.size,
+      deleteFiles = remainingDeletes))
     this
   }
+
+  /** Exact partition-scope predicate for maintenance commands: the
+    * same interpreted evaluation the file index uses, or everything
+    * when absent. Refuses non-partition references loudly.
+    */
+  private def partitionScope(
+      cur: Snapshot, where: Option[Column]): Map[String, String] => Boolean =
+    where match {
+      case None => _ => true
+      case Some(c) =>
+        import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, BoundReference, Predicate => CPredicate}
+        val partFields = cur.partitionCols.map { pc =>
+          schema.fields.find(_.name.equalsIgnoreCase(pc)).getOrElse(
+            org.apache.spark.sql.types.StructField(pc, StringType))
+        }
+        // resolve the unresolved Column against a dummy projection of
+        // the partition columns so attribute references bind by name
+        val dummy = spark.createDataFrame(
+          new java.util.ArrayList[Row](), StructType(partFields))
+        val resolved = (try dummy.filter(c).queryExecution.analyzed catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"OPTIMIZE WHERE references a non-partition column — maintenance " +
+                s"scopes are partition-granular (partition columns: " +
+                s"${cur.partitionCols.mkString(", ")}): ${e.getMessage}")
+        }).collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }.headOption.getOrElse(
+          throw new IllegalArgumentException("OPTIMIZE WHERE predicate did not resolve"))
+        require(resolved.deterministic, "OPTIMIZE WHERE must be deterministic")
+        val pred = CPredicate.createInterpreted(resolved.transform {
+          case a: AttributeReference =>
+            val i = partFields.indexWhere(_.name.equalsIgnoreCase(a.name))
+            require(i >= 0,
+              s"OPTIMIZE WHERE references non-partition column ${a.name} — " +
+                "maintenance scopes are partition-granular")
+            BoundReference(i, partFields(i).dataType, nullable = true)
+        })
+        (pvals: Map[String, String]) => {
+          val row = org.apache.spark.sql.catalyst.InternalRow.fromSeq(partFields.map { f =>
+            pvals.get(f.name)
+              .map(v => org.apache.spark.sql.graft.GraftFileIndex.castPartitionValue(v, f.dataType))
+              .orNull
+          })
+          pred.eval(row)
+        }
+    }
 
   /** OPTIMIZE (bin-packing compaction): every partition holding more
     * than one file whose total size fits `targetBytes` is rewritten
@@ -2036,10 +2108,18 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * the rewrite touches only fragmented partitions, planned entirely
     * from manifest metadata.
     */
-  def optimizeCompact(targetBytes: Long): GraftTable = {
+  def optimizeCompact(targetBytes: Long): GraftTable =
+    optimizeCompact(targetBytes, None)
+
+  /** `where`: partition-scoped compaction (A89) — see
+    * [[optimizeZOrder]]'s scoped overload for the contract.
+    */
+  def optimizeCompact(targetBytes: Long, where: Option[Column]): GraftTable = {
     val cur = current
+    val inScope = partitionScope(cur, where)
     val fragParts = cur.files.groupBy(_.partition).collect {
-      case (p, fs) if fs.size > 1 && fs.map(_.bytes).sum <= targetBytes => p
+      case (p, fs) if fs.size > 1 && fs.map(_.bytes).sum <= targetBytes &&
+        inScope(p) => p
     }.toSet
     // Delete-aware selection: partitions whose pending merge-on-read
     // deletes cover ≥ `write.compact.delete-ratio` of their rows
@@ -2053,7 +2133,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     // scan's natural parallelism — forcing them through the
     // one-file-per-partition packing would make an arbitrarily large
     // dense partition a single-task straggler.
-    val foldSel = deleteDenseParts(cur) -- fragParts
+    val foldSel = deleteDenseParts(cur).filter(inScope) -- fragParts
     if (fragParts.isEmpty && foldSel.isEmpty) return this
     val kept = cur.files.filterNot(f =>
       fragParts.contains(f.partition) || foldSel.contains(f.partition))

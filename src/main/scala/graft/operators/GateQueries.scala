@@ -1307,6 +1307,42 @@ object GateQueries {
   val lakeIcebergRoundtripSql: String =
     s"SELECT $selSql FROM orders WHERE o_orderkey % 23 <> 0 ORDER BY o_orderkey"
 
+  // ---- A89 OPTIMIZE … WHERE -------------------------------------------
+
+  /** `lake_optimize_where` (A89): partition-scoped maintenance —
+    * `OPTIMIZE t WHERE <partition pred>` compacts ONLY the matching
+    * partitions (out-of-scope file sets stay byte-identical, asserted
+    * on paths), the scoped ZORDER spelling rewrites only its scope,
+    * and a non-partition predicate refuses loudly. On a 100 TB table
+    * this is the difference between maintaining one hot partition and
+    * rewriting the world. Data is asserted invariant and the returned
+    * relation is DuckDB-oracled.
+    */
+  def lakeOptimizeWhere(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val t = GraftTable.create(s, work(d, "optwhereq"),
+      byStatus(o.filter(col("o_orderkey") % 3 === 0)), Seq("o_orderstatus"))
+    t.append(byStatus(o.filter(col("o_orderkey") % 3 === 1)))
+    t.append(byStatus(o.filter(col("o_orderkey") % 3 === 2)))
+    GraftCatalog.register("gate_optwhere", t.root)
+    def filesOf(st: String) = new GraftTable(t.root, s).current.files
+      .filter(_.partition.get("o_orderstatus").contains(st)).map(_.path).toSet
+    val (f0, o0, p0) = (filesOf("F"), filesOf("O"), filesOf("P"))
+    require(f0.size == 3, s"precondition: fragmented F partition, saw ${f0.size}")
+    s.sql("OPTIMIZE gate_optwhere WHERE o_orderstatus = 'F'")
+    require(filesOf("F").size == 1, "scoped compact must pack F to one file")
+    require(filesOf("O") == o0 && filesOf("P") == p0,
+      "out-of-scope partitions must keep their exact files")
+    val refused =
+      try { s.sql("OPTIMIZE gate_optwhere WHERE o_totalprice > 0"); false }
+      catch { case e: Exception => e.getMessage.contains("non-partition column") }
+    require(refused, "row-granular scope must refuse")
+    sel(new GraftTable(t.root, s).read())
+  }
+
+  val lakeOptimizeWhereSql: String =
+    s"SELECT $selSql FROM orders ORDER BY o_orderkey"
+
   // ---- A88 NOT NULL constraints ---------------------------------------
 
   /** `lake_notnull` (A88): `ALTER COLUMN … SET NOT NULL` proves
@@ -1468,6 +1504,7 @@ object GateQueries {
     "lake_iceberg_roundtrip" -> (lakeIcebergRoundtrip _),
     "lake_meta_agg"         -> (lakeMetaAgg _),
     "lake_notnull"          -> (lakeNotNull _),
+    "lake_optimize_where"   -> (lakeOptimizeWhere _),
     "lake_clustering_check" -> (lakeClusteringCheck _))
 
   val oracles: Map[String, String] = Map(
@@ -1509,5 +1546,6 @@ object GateQueries {
     "lake_iceberg_roundtrip" -> lakeIcebergRoundtripSql,
     "lake_meta_agg"         -> lakeMetaAggSql,
     "lake_notnull"          -> lakeNotNullSql,
+    "lake_optimize_where"   -> lakeOptimizeWhereSql,
     "lake_clustering_check" -> lakeClusteringCheckSql)
 }

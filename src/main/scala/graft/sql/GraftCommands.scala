@@ -284,7 +284,8 @@ case class GraftInsertCommand(
   * SQL, like Delta/Iceberg's OPTIMIZE statement).
   */
 case class GraftOptimizeCommand(
-    name: String, zorderCols: Seq[String]) extends LeafRunnableCommand {
+    name: String, zorderCols: Seq[String],
+    where: Option[String] = None) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val root = GraftCatalog.lookup(name).getOrElse(
       throw new IllegalArgumentException(s"graft table not registered: $name"))
@@ -292,14 +293,20 @@ case class GraftOptimizeCommand(
     // `write.target-file-size` table property overrides the 512 MiB default
     val target = t.properties.get("write.target-file-size")
       .map(_.toLong).getOrElse(512L << 20)
+    // OPTIMIZE … WHERE (A89): partition-granular scope, validated and
+    // evaluated against partition VALUES only (non-partition columns
+    // refuse loudly inside partitionScope)
+    val scope = where.map(org.apache.spark.sql.functions.expr)
     // maintenance folds pending merge-on-read deletes back into data
     // files first — the read-side anti-join tax ends at OPTIMIZE
     // (zorder full-rewrites read through the deletes, so it subsumes
-    // the apply on its own)
+    // the apply on its own). A scoped compact keeps the deletes of
+    // out-of-scope partitions pending (their files are untouched).
     if (zorderCols.isEmpty) {
-      t.applyDeletes()
-      t.optimizeCompact(targetBytes = target)
-    } else t.optimizeZOrder(zorderCols, nFiles = math.max(1, t.current.files.size / 2))
+      if (scope.isEmpty) t.applyDeletes()
+      t.optimizeCompact(targetBytes = target, where = scope)
+    } else t.optimizeZOrder(zorderCols,
+      nFiles = math.max(1, t.current.files.size / 2), where = scope)
     Seq.empty
   }
 }

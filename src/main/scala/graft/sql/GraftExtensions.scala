@@ -191,7 +191,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // — statements Spark's parser has no grammar for; intercepted before
   // delegation (same technique as the reference's `as of` prefix).
   private val OptimizeRe =
-    """(?is)\s*optimize\s+([\w.]+)\s*(?:zorder\s+by\s*\(([^)]*)\))?\s*""".r
+    """(?is)\s*optimize\s+([\w.]+)(?:\s+where\s+(.+?))?\s*(?:zorder\s+by\s*\(([^)]*)\))?\s*""".r
   private val VacuumRe =
     """(?is)\s*vacuum\s+([\w.]+)(?:\s+retain\s+(\d+))?\s*""".r
   // ALTER TABLE t REPARTITION BY (c1, …) [DEPENDENCIES 'src=dest:transform,…']
@@ -267,9 +267,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     sqlText match {
-      case OptimizeRe(name, zcols) if GraftCatalog.lookup(name).isDefined =>
+      case OptimizeRe(name, wherePred, zcols) if GraftCatalog.lookup(name).isDefined =>
         return GraftOptimizeCommand(name.toLowerCase,
-          Option(zcols).toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)))
+          Option(zcols).toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
+          Option(wherePred).map(_.trim).filter(_.nonEmpty))
       case VacuumRe(name, keep) if GraftCatalog.lookup(name).isDefined =>
         return GraftVacuumCommand(name.toLowerCase, Option(keep).map(_.toLong))
       case RepartitionRe(name, cols, deps) if GraftCatalog.lookup(name).isDefined =>

@@ -2198,6 +2198,38 @@ class LakeSpec extends SparkSpec {
     metaAggBoth("SELECT p, count(*) AS n FROM metaagg_rand GROUP BY p", expectMeta = false)
   }
 
+  test("A89 OPTIMIZE WHERE: partition-scoped compaction/zorder leaves out-of-scope files verbatim") {
+    import spark.implicits._
+    def batch(tag: Int) = Seq(
+      (tag * 10L + 1, tag * 1.0, "a"), (tag * 10L + 2, tag * 2.0, "b"),
+      (tag * 10L + 3, tag * 3.0, "c")).toDF("k", "v", "g").repartition(col("g"))
+    val t = GraftTable.create(spark, tmp("optwhere"), batch(1), Seq("g"))
+    t.append(batch(2)); t.append(batch(3)) // 3 files per partition
+    graft.sql.GraftCatalog.register("optwhere_t", t.root)
+    val pre = t.read().collect().map(_.toString).sorted.toSeq
+    def filesOf(part: String) = new GraftTable(t.root, spark).current.files
+      .filter(_.partition.get("g").contains(part)).map(_.path).toSet
+    val (b0, c0) = (filesOf("b"), filesOf("c"))
+    assert(filesOf("a").size == 3)
+    spark.sql("OPTIMIZE optwhere_t WHERE g = 'a'")
+    assert(filesOf("a").size == 1, "scoped compact must pack the matching partition")
+    assert(filesOf("b") == b0 && filesOf("c") == c0,
+      "out-of-scope partitions must keep their exact files")
+    // scoped ZORDER rewrites only the matching partition
+    val a1 = filesOf("a")
+    spark.sql("OPTIMIZE optwhere_t WHERE g = 'b' ZORDER BY (k)")
+    assert(filesOf("a") == a1 && filesOf("c") == c0)
+    assert(filesOf("b").size >= 1 && filesOf("b") != b0, "scope must rewrite b")
+    assert(new GraftTable(t.root, spark).read().collect().map(_.toString).sorted.toSeq === pre,
+      "maintenance must never change data")
+    // non-partition scope refuses loudly (row-granular scope would be DML)
+    val ex = intercept[Exception] { spark.sql("OPTIMIZE optwhere_t WHERE k > 5") }
+    assert(ex.getMessage.contains("non-partition column"))
+    // API parity
+    new GraftTable(t.root, spark).optimizeCompact(512L << 20, Some(col("g") === "zzz"))
+    assert(new GraftTable(t.root, spark).read().count() == 9)
+  }
+
   test("A88 NOT NULL: stats-less files take the narrow scan; multi-column SET is atomic") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("notnull-scan"),
