@@ -218,7 +218,7 @@ case class GraftMetaAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
       })
     }
     def partRow(f: FileEntry): Option[InternalRow] = {
-      val vals = partFields.map { pf =>
+      val vals = partFields.toSeq.map { pf =>
         f.partition.get(pf.name) match {
           case Some(raw) => GraftFileIndex.castPartitionValue(raw, pf.dataType)
           case None      => return None // a file missing a partition value: bail, never guess
