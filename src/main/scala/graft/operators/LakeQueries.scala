@@ -766,6 +766,11 @@ object LakeQueries {
     t.stageAppend(n.filter(col("n_nationkey") === 15)) // parked, never published
     t.append(n.filter(col("n_nationkey") > 15))
     t.rollback(2L)
+    // `DESCRIBE HISTORY t` (Delta spelling) must be row-for-row the view
+    graft.sql.GraftCatalog.register("lake_hist_t", t.root)
+    val viaSql = s.sql("DESCRIBE HISTORY lake_hist_t").collect().map(_.toString).toSeq
+    val viaView = t.historyView.orderBy(col("snapshot_id")).collect().map(_.toString).toSeq
+    require(viaSql == viaView, "DESCRIBE HISTORY must equal the $history view")
     t.historyView.orderBy(col("snapshot_id"))
   }
 

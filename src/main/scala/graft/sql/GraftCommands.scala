@@ -358,6 +358,27 @@ case class GraftShowTablesCommand() extends LeafRunnableCommand {
   * subtracted), snapshot count, current id + operation, property
   * count. The numbers every ops runbook asks for first.
   */
+/** DESCRIBE HISTORY t — Delta's history statement over the `$history`
+  * lineage view (A90): snapshot id, parent, operation, and whether the
+  * snapshot is an ancestor of the current head (parked WAP stages and
+  * rolled-back branches read false). Pure manifest metadata.
+  */
+case class GraftDescribeHistoryCommand(name: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    AttributeReference("snapshot_id", LongType, nullable = false)(),
+    AttributeReference("parent_id", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("is_current_ancestor", BooleanType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"graft table not registered: $name"))
+    new GraftTable(root, session).historyView
+      .orderBy(col("snapshot_id")).collect().toSeq
+  }
+}
+
 case class GraftDescribeDetailCommand(name: String) extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
   import org.apache.spark.sql.types.{LongType, StringType}

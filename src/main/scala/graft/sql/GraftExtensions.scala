@@ -232,6 +232,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // builtin DESCRIBE TABLE is untouched (different keyword)
   private val DescribeDetailRe =
     """(?is)\s*describe\s+detail\s+([\w.]+)\s*""".r
+  // DESCRIBE HISTORY t — Delta's history statement: the `$history`
+  // lineage view (snapshot id, parent, operation, is_current_ancestor)
+  private val DescribeHistoryRe =
+    """(?is)\s*describe\s+history\s+([\w.]+)\s*""".r
   // RESTORE TABLE t TO VERSION AS OF n / TO TIMESTAMP AS OF 'ts' —
   // Delta's restore statement (A81): rollback as a NEW commit
   private val RestoreVersionRe =
@@ -295,6 +299,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         return GraftRefreshMatViewCommand(name.toLowerCase)
       case DescribeDetailRe(name) if GraftCatalog.lookup(name).isDefined =>
         return GraftDescribeDetailCommand(name.toLowerCase)
+      case DescribeHistoryRe(name) if GraftCatalog.lookup(name).isDefined =>
+        return GraftDescribeHistoryCommand(name.toLowerCase)
       case CallRe(proc, rawArgs) =>
         return GraftCallCommand(proc, parseCallArgs(rawArgs))
       case CommentTableRe(name, text) if GraftCatalog.lookup(name).isDefined =>

@@ -2190,12 +2190,21 @@ class LakeSpec extends SparkSpec {
     assert(fileScans(dfApi).isEmpty, "DF-API aggregate must fold to metadata too")
     assert(dfRow.getLong(0) == 1500L && dfRow.getLong(1) == 1L)
 
+    // time travel: the rule folds from the AS-OF snapshot's manifest,
+    // not the current one (count at snapshot 1 = the first batch alone)
+    metaAggBoth("AS OF '1' SELECT count(*) AS n, min(id) AS i0, max(id) AS i1 FROM metaagg_rand",
+      expectMeta = true)
+    val asOf1 = spark.sql("AS OF '1' SELECT count(*) AS n FROM metaagg_rand").head().getLong(0)
+    assert(asOf1 === 700L, s"AS OF 1 metadata count must see only the create batch, got $asOf1")
+
     // pending MOR deletes poison manifest counts → must bail, stay correct
     t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
     t.delete(col("id") % 17 === 0)
     assert(t.current.deleteFiles.nonEmpty, "precondition: pending MOR delete")
     metaAggBoth(s"SELECT $aggList FROM metaagg_rand", expectMeta = false)
     metaAggBoth("SELECT p, count(*) AS n FROM metaagg_rand GROUP BY p", expectMeta = false)
+    // and the HISTORICAL snapshot (no deletes) still folds from metadata
+    metaAggBoth("AS OF '1' SELECT count(*) AS n FROM metaagg_rand", expectMeta = true)
   }
 
   test("A89 OPTIMIZE WHERE: partition-scoped compaction/zorder leaves out-of-scope files verbatim") {
