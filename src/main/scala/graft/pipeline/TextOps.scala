@@ -2199,6 +2199,67 @@ object TextOps {
        |FROM dt JOIN venc USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** C75 `text_tokenizer_eval`: per-LANGUAGE tokenizer quality report —
+    * fertility (BPE tokens per word) and compression (word chars per
+    * BPE token) for the C68-trained tokenizer, the standard
+    * multilingual-tokenizer disparity table (XLM-R/NLLB practice: a
+    * language whose fertility runs ~2× English pays double the
+    * sequence length for the same content, which mis-weights any
+    * token-budgeted mixture — C73's budgets are exactly where this
+    * feeds). Same shape as C69: the merge fold runs over the DISTINCT
+    * VOCABULARY (narrow maps, broadcast back), the corpus contributes
+    * one scan; per-language rollup is a map-side-combined aggregation.
+    * Integer sums throughout; the two ratios round once at 6 dp.
+    */
+  def tokenizerEval(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeTrainOf(s, Tables.documents(s, d), BpeEncodeMerges).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+    val vocab = docs.select(col("w")).distinct()
+    val encoded = merges.foldLeft(vocab.withColumn("enc",
+        concat(regexp_replace(col("w"), "(.)", "||$1"), lit("||")))) { case (df, (l, r)) =>
+      df.withColumn("enc", expr(s"replace(enc, '|$l||$r|', '|$l$r|')"))
+    }.select(col("w"), length(col("w")).cast("long").as("n_chars_w"),
+      size(expr("filter(split(enc, '[|][|]'), x -> x != '')")).cast("long").as("n_bpe"))
+    docs.join(broadcast(encoded), "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chars_w")).as("n_chars"),
+        sum(col("n_bpe")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words").cast("double"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"), 6)
+          .as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
+  val tokenizerEvalSql: String =
+    s"""WITH RECURSIVE ${bpeWithBlock(BpeEncodeMerges)},
+       |dt AS (SELECT lang, unnest($tokensSql) AS w FROM documents),
+       |vw AS (SELECT DISTINCT w FROM dt),
+       |rec(iter, w, enc) AS (
+       |  SELECT 0, w, regexp_replace(w, '(.)', '||\\1', 'g') || '||' FROM vw
+       |  UNION ALL
+       |  SELECT r.iter + 1, r.w,
+       |    CASE WHEN m.lhs IS NULL THEN r.enc
+       |         ELSE replace(r.enc, '|' || m.lhs || '||' || m.rhs || '|',
+       |                      '|' || m.lhs || m.rhs || '|') END
+       |  FROM rec r LEFT JOIN merges m ON m.merge_rank = r.iter + 1
+       |  WHERE r.iter < (SELECT count(*) FROM merges)),
+       |venc AS (
+       |  SELECT w, CAST(length(w) AS BIGINT) AS n_chars_w,
+       |    CAST(len(list_filter(string_split(enc, '||'), x -> x <> '')) AS BIGINT) AS n_bpe
+       |  FROM rec WHERE iter = (SELECT count(*) FROM merges))
+       |SELECT lang, count(*) AS n_words,
+       |  CAST(sum(n_chars_w) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       |  round(CAST(sum(n_bpe) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fertility,
+       |  round(CAST(sum(n_chars_w) AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE), 6) AS chars_per_token
+       |FROM dt JOIN venc USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** C72 `quality_auc`: exact ROC-AUC of the C39 quality classifier
     * against its own training labels (the calibration number a filter
     * design is judged by — "does the model-based gate actually rank
@@ -2275,6 +2336,7 @@ object TextOps {
     "text_boilerplate" -> (boilerplate _),
     "sample_temperature" -> (sampleTemperature _),
     "sample_epochs"    -> (sampleEpochs _),
+    "text_tokenizer_eval" -> (tokenizerEval _),
     "text_bigram_lp"   -> (bigramLp _),
     "text_nb_quality"  -> (nbQuality _),
     "sample_importance" -> (sampleImportance _),
@@ -2317,6 +2379,7 @@ object TextOps {
     "text_boilerplate" -> boilerplateSql,
     "sample_temperature" -> sampleTemperatureSql,
     "sample_epochs"    -> sampleEpochsSql,
+    "text_tokenizer_eval" -> tokenizerEvalSql,
     "text_bigram_lp"   -> bigramLpSql,
     "text_nb_quality"  -> nbQualitySql,
     "sample_importance" -> sampleImportanceSql,

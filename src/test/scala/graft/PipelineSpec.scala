@@ -1761,6 +1761,44 @@ class PipelineSpec extends SparkSpec {
     assert(expect.forall { case (_, nw, nb) => nb >= nw })
   }
 
+  test("C75 tokenizer eval: per-language fertility/compression equals an independent re-encode") {
+    def toks(t: String) =
+      t.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val merges = TextOps.bpeTrain(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+      .take(TextOps.BpeEncodeMerges)
+    def encode(w: String): Int = {
+      var syms: Seq[String] = w.map(_.toString)
+      for ((l, r) <- merges) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toSeq
+      }
+      syms.length
+    }
+    val words = Tables.documents(spark, sfDir).select("lang", "text").collect()
+      .flatMap(r => toks(r.getString(1)).map(w => (r.getString(0), w)))
+    val expect = words.groupBy(_._1).view.mapValues { ws =>
+      val nW = ws.length.toLong
+      val nC = ws.map(_._2.length.toLong).sum
+      val nB = ws.map(w => encode(w._2).toLong).sum
+      (nW, nC, nB,
+        math.round(nB.toDouble / nW * 1e6) / 1e6,
+        math.round(nC.toDouble / nB * 1e6) / 1e6)
+    }.toMap
+    val got = TextOps.tokenizerEval(spark, sfDir).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got === expect)
+    // fertility >= 1 everywhere (merges only shrink), compression <= max word len
+    assert(got.values.forall { case (_, _, _, f, c) => f >= 1.0 && c >= 1.0 })
+  }
+
   test("C67 NFC normalization: decomposed converges to precomposed, ASCII untouched") {
     import spark.implicits._
     val df = Seq(
