@@ -718,8 +718,19 @@ final class GraftTable(val root: String, spark: SparkSession) {
       current.properties.keys
         .filter(_.startsWith(GraftTable.NotNullPropPrefix))
         .map(_.stripPrefix(GraftTable.NotNullPropPrefix))
-        .filter(dfIn.columns.contains)
         .foreach { c =>
+          // a batch that OMITS the column is a violation, not a pass:
+          // the file would be written without the column and every row
+          // would read back null under a nullable=false schema —
+          // silently defeating the constraint AND handing Spark's
+          // nullability-based optimizations a false premise. Batches
+          // with an initial-default column were materialized above and
+          // arrive present here.
+          if (!dfIn.columns.contains(c))
+            throw new IllegalArgumentException(
+              s"NOT NULL constraint on $c violated: the incoming batch " +
+                s"omits the column (table $root) — write aborted, no " +
+                "files written; add the column or declare a DEFAULT")
           if (!dfValidate.filter(col(c).isNull).isEmpty)
             throw new IllegalArgumentException(
               s"NOT NULL constraint on $c violated by the incoming " +
@@ -1812,17 +1823,40 @@ final class GraftTable(val root: String, spark: SparkSession) {
     require(!cur.deleteFiles.exists(_.equalityCols.contains(from)),
       s"cannot rename column $from: referenced by a pending equality " +
         "delete (run applyDeletes/OPTIMIZE first)")
+    // CHECK predicates are stored as SQL text keyed by constraint name —
+    // after a rename their analysis would fail at the NEXT write with a
+    // confusing unresolved-column error; refuse here with the real cause
+    cur.properties.foreach { case (k, pred) =>
+      if (k.startsWith(GraftTable.CheckPropPrefix)) {
+        val refs = spark.sessionState.sqlParser.parseExpression(pred).collect {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            ua.nameParts.head
+        }
+        require(!refs.exists(_.equalsIgnoreCase(from)),
+          s"cannot rename column $from: referenced by CHECK constraint " +
+            s"'${k.stripPrefix(GraftTable.CheckPropPrefix)}' ($pred) — " +
+            "drop the constraint first")
+      }
+    }
     val fields = sch.fields.map { f =>
       if (f.name != from) f
       else StructField(to, f.dataType, f.nullable,
         new MetadataBuilder().withMetadata(f.metadata)
           .putString(GraftTable.PhysicalNameKey, GraftTable.physicalName(f)).build())
     }
-    // analyzed NDV follows the column (keyed by logical name)
-    val props = cur.properties.get(s"stats.ndv.$from") match {
-      case Some(v) => cur.properties - s"stats.ndv.$from" + (s"stats.ndv.$to" -> v)
-      case None    => cur.properties
-    }
+    // per-column properties follow the column (keyed by logical name):
+    // analyzed NDV, and crucially the NOT NULL enforcement key — left
+    // under the old name, write-time enforcement would silently stop
+    // while the schema still records nullable=false, letting nulls land
+    // under a non-nullable schema (wrong-answer surface via Spark's
+    // nullability-based optimizations)
+    val props = Seq("stats.ndv.", GraftTable.NotNullPropPrefix)
+      .foldLeft(cur.properties) { (ps, prefix) =>
+        ps.get(prefix + from) match {
+          case Some(v) => ps - (prefix + from) + (prefix + to -> v)
+          case None    => ps
+        }
+      }
     commit(cur.copy(
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
       operation = "rename-column", schemaJson = StructType(fields).json,
@@ -1886,13 +1920,22 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * CHECK's SQL pass-on-NULL). Nullability is per-snapshot schema:
     * time travel reads old snapshots with their recorded flag.
     */
-  def setColumnNullability(name: String, nullable: Boolean): GraftTable = {
+  def setColumnNullability(name: String, nullable: Boolean): GraftTable =
+    setColumnNullability(name, nullable, preValidated = false)
+
+  /** `preValidated = true` skips the compliance proof — for callers
+    * (the multi-column SQL command) that already ran [[validateNoNulls]]
+    * on every tightened column before the first commit; without it each
+    * SET NOT NULL pays the stats-less-file IS NULL scan twice.
+    */
+  private[graft] def setColumnNullability(
+      name: String, nullable: Boolean, preValidated: Boolean): GraftTable = {
     val f = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
       throw new IllegalArgumentException(s"no column $name on table $root"))
     val propKey = GraftTable.NotNullPropPrefix + f.name
     if (f.nullable == nullable && current.properties.contains(propKey) == !nullable)
       return this // idempotent
-    if (!nullable) validateNoNulls(name)
+    if (!nullable && !preValidated) validateNoNulls(name)
     val cur = current
     val fields = schema.fields.map(x =>
       if (x.name.equalsIgnoreCase(name)) x.copy(nullable = nullable) else x)
@@ -1935,9 +1978,13 @@ final class GraftTable(val root: String, spark: SparkSession) {
       val needScan = cur.files.filter(fe =>
         fe.rows > 0L && fe.stats.get(phys).isEmpty)
       if (needScan.nonEmpty) {
-        // the relation aliases physical names back to logical ones
-        val sub = org.apache.spark.sql.graft.GraftFileIndex.relation(
-          spark, root, cur.copy(files = needScan, shards = Seq.empty))
+        // the relation aliases physical names back to logical ones AND
+        // applies initial defaults: files predating an ADD COLUMN …
+        // DEFAULT logically read the default, not null — a raw-relation
+        // scan here would refuse SET NOT NULL on a column every row of
+        // which reads a non-null default
+        val sub = relationWithDefaults(
+          cur.copy(files = needScan, shards = Seq.empty), withRowPos = false)
         require(sub.filter(col(f.name).isNull).isEmpty,
           s"SET NOT NULL on ${f.name} refused: existing rows contain nulls")
       }
@@ -3510,8 +3557,23 @@ object GraftTable {
         val name = c.getPath.toDotString
         val st = c.getStatistics
         if (st != null && st.hasNonNullValue) {
+          // non-micros TIMESTAMP annotations (adopt() accepts arbitrary
+          // external parquet, e.g. TIMESTAMP_MILLIS writers): the long
+          // domain is NOT Spark's epoch-micros, so a recorded "long"
+          // stat would make pruning AND metadata-only MIN/MAX silently
+          // off by 1000× — record no stat for the column instead (the
+          // scan path converts units correctly; only the stats plane
+          // must bail). Graft's own writes are always TIMESTAMP_MICROS.
+          val tsUnitOk = c.getPrimitiveType.getLogicalTypeAnnotation match {
+            case ts: org.apache.parquet.schema.LogicalTypeAnnotation
+                       .TimestampLogicalTypeAnnotation =>
+              ts.getUnit ==
+                org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
+            case _ => true
+          }
           val (tpe, mn, mx): (String, Any, Any) =
             c.getPrimitiveType.getPrimitiveTypeName match {
+              case _ if !tsUnitOk => (null, null, null)
               case PrimitiveTypeName.INT64 | PrimitiveTypeName.INT32 =>
                 ("long",
                   st.genericGetMin.asInstanceOf[Number].longValue,

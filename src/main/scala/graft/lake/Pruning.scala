@@ -270,6 +270,27 @@ object Pruning {
     else dt match {
       case LongType | IntegerType | ShortType | ByteType => raw.toLong
       case DoubleType | FloatType                        => raw.toDouble
+      // temporal partition dirs hold the Spark-written string
+      // ("2024-01-05", "2024-01-05 12:30:00") while litValue normalizes
+      // DATE/TIMESTAMP literals to epoch-days/micros Longs — comparing
+      // the raw string against those throws "incomparable", bricking
+      // every partition-pruned scan with a temporal predicate. Parse to
+      // the same Long domain (timestamps in the session timezone, the
+      // convention Spark's PartitioningUtils applies).
+      case DateType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .stringToDate(UTF8String.fromString(raw))
+          .map(_.toLong).getOrElse(raw: Any)
+      case TimestampType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .stringToTimestamp(UTF8String.fromString(raw),
+            org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+              org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+          .getOrElse(raw: Any)
+      case TimestampNTZType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .stringToTimestampWithoutTimeZone(UTF8String.fromString(raw))
+          .getOrElse(raw: Any)
       case _                                             => raw
     }
 

@@ -1,0 +1,267 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.exprs
+import graft.lake.GraftTable
+
+/** Persisted IVFPQ ANN index (SURVEY.md §2.C76) — the build/query
+  * lifecycle split the in-call family (C13/C26/C42/C55) deliberately
+  * lacks. The in-call variants re-train quantizers and re-encode the
+  * corpus on every invocation; at 100 TB the encode pass is a batch
+  * job to amortize, so here it becomes one:
+  *
+  *  - [[build]] trains the coarse quantizer + per-list residual PQ
+  *    codebooks (the exact C42 training path, [[VectorOps.pqBooks]] /
+  *    [[VectorOps.pqBooksPerList]]) and commits TWO graft lake tables
+  *    under the index root: `books` (the nlist×(1+M·K) codebook rows,
+  *    KBs at any corpus size) and `codes` (one row per corpus vector:
+  *    cluster id + M nibble codes, PARTITIONED BY cluster — so the
+  *    inverted lists ARE lake partitions and probing is partition
+  *    pruning, the A15 machinery).
+  *  - [[query]] answers a query batch from the persisted tables alone:
+  *    one bounded codebook load (≤ nlist·(1+M·K) rows by construction,
+  *    the adjudicated k×dim-collect class), probe → per-(query,list)
+  *    ADC LUTs → codegen'd ADC scan over ONLY the probed partitions →
+  *    exact top-50 rerank against the corpus. Zero training or encode
+  *    jobs — the spec pins this via the [[BuildGroup]] job-group marker.
+  *  - [[append]] extends the index for new corpus rows at O(delta):
+  *    assign + encode the delta against the FROZEN codebooks (narrow
+  *    maps over the delta only) and lake-append into `codes` — the A27
+  *    incremental shape; existing files are untouched.
+  *
+  * Trade recorded: appended vectors are quantized under codebooks
+  * trained before they arrived (standard FAISS practice — recall on
+  * the delta degrades only if its distribution drifts from the build
+  * corpus; the C64 drift monitor is the detector, and a periodic
+  * [[build]] is the re-train).
+  *
+  * Reference scope: the reference engine has no vector surface at all
+  * (hbutani/icebergSQL manages tables); this is part of the mandated
+  * LLM-pipeline layer, composed from the same lake control plane
+  * (`GraftTable`) the A-block is built on.
+  */
+object AnnIndex {
+
+  /** Job-group id set around every build/append job — the spec's
+    * handle for asserting query runs launch ZERO training/encode work.
+    */
+  val BuildGroup = "graft-ann-index-build"
+  val QueryGroup = "graft-ann-index-query"
+
+  import VectorOps.{EmbDim, IvfLists, IvfProbes, NQueries, PqK, PqM, TopK}
+
+  private def booksRoot(indexRoot: String) = s"$indexRoot/books"
+  private def codesRoot(indexRoot: String) = s"$indexRoot/codes"
+
+  /** The frozen quantizers, loaded from the `books` table. */
+  final case class Quantizers(
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Array[Double]]]])
+
+  private def inGroup[A](s: SparkSession, group: String, desc: String)(f: => A): A = {
+    s.sparkContext.setJobGroup(group, desc, interruptOnCancel = false)
+    try f finally s.sparkContext.clearJobGroup()
+  }
+
+  /** Train quantizers on `corpus` (vec_id, embedding) and commit the
+    * index tables under `indexRoot`. The training path is C42's
+    * verbatim: capped deterministic sample, coarse k-means, shared
+    * residual PQ books, one per-list refinement pass. The corpus pays
+    * exactly ONE full encode pass (cluster assignment + residual +
+    * per-list codes, all codegen'd narrow maps) — the pass [[query]]
+    * never repeats.
+    */
+  def build(s: SparkSession, corpus: DataFrame, indexRoot: String): Unit =
+    inGroup(s, BuildGroup, s"ANN index build -> $indexRoot") {
+      val all = corpus.select(col("vec_id"), col("embedding"))
+      val train = VectorOps.trainSample(all)
+      val cents = VectorOps.ivfCentroids(all, train)
+      def clustered(df: DataFrame): DataFrame =
+        df.withColumn("cluster", exprs.nearestCentroid(col("embedding"), cents))
+      def residualized(df: DataFrame): DataFrame =
+        df.withColumn("embedding", exprs.centroidResidual(col("embedding"), cents))
+      val pqAll = residualized(clustered(all))
+      val pqTrain = residualized(clustered(train))
+      val shared = VectorOps.pqBooks(pqAll, pqTrain)
+      val books = VectorOps.pqBooksPerList(pqTrain, shared)
+
+      // books table: centroid rows (m = code = -1) + per-list PQ rows —
+      // nlist·(1 + M·K) rows total, constant in the corpus size
+      import s.implicits._
+      val rows =
+        cents.indices.map(c => ("centroid", c, -1, -1, cents(c).toSeq)) ++
+          books.indices.flatMap(c => (0 until PqM).flatMap(m => (0 until PqK).map(k =>
+            ("pq", c, m, k, books(c)(m)(k).toSeq))))
+      GraftTable.create(s, booksRoot(indexRoot),
+        rows.toDF("kind", "cluster", "m", "code", "vec").coalesce(1))
+
+      // codes table: the compressed corpus, inverted lists as lake
+      // partitions (repartition by cluster → one file per list)
+      val codes = encodeWith(pqAll, books)
+      GraftTable.create(s, codesRoot(indexRoot),
+        codes.repartition(col("cluster")), Seq("cluster"))
+    }
+
+  /** Encode already-clustered residual rows against per-list books —
+    * the one narrow map both [[build]] and [[append]] share.
+    * Input: (vec_id, embedding = residual, cluster).
+    */
+  private def encodeWith(pqRows: DataFrame,
+      books: Array[Array[Array[Array[Double]]]]): DataFrame = {
+    def augFor(m: Int) = books.map(b => VectorOps.pqAugBook(b(m)))
+    pqRows.select(col("vec_id").as("n_id"), col("cluster"),
+      array((0 until PqM).map(m => exprs.nearestCentroidBy(
+        VectorOps.pqAug(col("embedding"), m), col("cluster"), augFor(m))): _*).as("codes"))
+  }
+
+  /** Load the frozen quantizers — one bounded collect (the books table
+    * has nlist·(1+M·K) rows by construction, independent of corpus
+    * size).
+    */
+  def load(s: SparkSession, indexRoot: String): Quantizers = {
+    val rows = new GraftTable(booksRoot(indexRoot), s).read()
+      .select(col("kind"), col("cluster"), col("m"), col("code"), col("vec"))
+      .collect()
+    val cents = rows.filter(_.getString(0) == "centroid")
+      .sortBy(_.getInt(1))
+      .map(_.getSeq[Double](4).toArray)
+    val pq = rows.filter(_.getString(0) == "pq")
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3)) -> r.getSeq[Double](4).toArray)
+      .toMap
+    val books = Array.tabulate(cents.length)(c =>
+      Array.tabulate(PqM)(m => Array.tabulate(PqK)(k => pq((c, m, k)))))
+    Quantizers(cents, books)
+  }
+
+  /** Extend the index for `delta` (vec_id, embedding) rows: assign +
+    * encode against the FROZEN codebooks (narrow maps over the delta
+    * only — zero training jobs, zero existing-file rewrites) and
+    * lake-append into `codes`. O(delta) at any index size.
+    */
+  def append(s: SparkSession, delta: DataFrame, indexRoot: String): Unit =
+    inGroup(s, BuildGroup, s"ANN index append -> $indexRoot") {
+      val q = load(s, indexRoot)
+      val pqRows = delta.select(col("vec_id"), col("embedding"))
+        .withColumn("cluster", exprs.nearestCentroid(col("embedding"), q.cents))
+        .withColumn("embedding", exprs.centroidResidual(col("embedding"), q.cents))
+      new GraftTable(codesRoot(indexRoot), s)
+        .append(encodeWith(pqRows, q.books).repartition(col("cluster")))
+    }
+
+  private def probeLutBytes(nq: Long): Long =
+    nq * IvfProbes * (PqM.toLong * PqK * 8 + 80)
+  private def candBytes(nq: Long): Long = nq * 50L * 24
+  private def qBytes(nq: Long): Long = nq * (EmbDim.toLong * 4 + 32)
+
+  /** Answer `queries` (query_id, embedding) from the persisted index:
+    * probe nprobe lists per query, partition-prune the codes table to
+    * the probed lists (the distinct-probed-cluster pull is ≤ nlist
+    * values — bounded by the index geometry, not the query volume),
+    * ADC-scan only those lists' codes, exact-rerank the ADC top-50
+    * against `corpus`. Query-side constants ride
+    * [[VectorOps.queryGated]]: small batches broadcast, unbounded
+    * batches shuffle on their keys — the C42 scan plan, with the
+    * encode/training stages replaced by table reads.
+    */
+  def query(s: SparkSession, indexRoot: String, corpus: DataFrame,
+      queries: DataFrame, batchHint: Long): DataFrame =
+    inGroup(s, QueryGroup, s"ANN index query <- $indexRoot") {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val qz = load(s, indexRoot)
+      val K = PqK
+
+      // probes: nprobe nearest centroids per query + the raw coarse
+      // dot (the additive term of the residual-ADC score)
+      val centsDf = broadcast(qz.cents.zipWithIndex
+        .map { case (c, i) => (i, c) }.toSeq.toDF("cluster", "c_emb"))
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("c_dot").desc, col("cluster"))
+      val q = queries.select(col("query_id"), col("embedding"))
+      val probes = q.crossJoin(centsDf)
+        .withColumn("c_dot", exprs.cosineSimFD(col("embedding"), col("c_emb")))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= IvfProbes)
+        .select(col("query_id"), col("cluster"),
+          exprs.dotFD(col("embedding"), col("c_emb")).as("qc_dot"))
+
+      // partition pruning: the probed-list set is ≤ nlist values no
+      // matter how many queries probe — collect it and push an IN
+      // filter so the lake scan lists only those partitions' files
+      val probedClusters = probes.select(col("cluster")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val codesT = new GraftTable(codesRoot(indexRoot), s)
+      val codes =
+        if (probedClusters.length == qz.cents.length) codesT.read()
+        else codesT.scan(col("cluster").isin(probedClusters.map(Int.box): _*))
+
+      // per-(query, probed-list) ADC LUTs against the broadcast books
+      val booksDf = broadcast(qz.books.indices.flatMap(c =>
+        (0 until PqM).flatMap(m => (0 until K).map(k =>
+          (c, m, k, qz.books(c)(m)(k))))).toDF("cluster", "m", "code", "c_sub"))
+      val qsubs = q.select(col("query_id"),
+        explode(array((0 until PqM).map(m => struct(
+          lit(m).as("m"),
+          VectorOps.pqSubvec(col("embedding"), m).cast("array<double>").as("q_sub"))): _*)).as("qs"))
+        .select(col("query_id"), col("qs.m").as("m"), col("qs.q_sub").as("q_sub"))
+      val luts = probes.join(qsubs, "query_id")
+        .join(booksDf, Seq("cluster", "m"))
+        .withColumn("dot", aggregate(
+          zip_with(col("q_sub"), col("c_sub"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x))
+        .groupBy(col("query_id"), col("cluster"), col("qc_dot"))
+        .agg(array_sort(collect_list(struct(
+          (col("m") * K + col("code")).as("i"), col("dot").as("v")))).as("pairs"))
+        .select(col("query_id"), col("cluster"), col("qc_dot"),
+          transform(col("pairs"), p => p.getField("v")).as("lut"))
+
+      val approx = codes
+        .join(VectorOps.queryGated(luts, probeLutBytes(batchHint)), Seq("cluster"))
+        .filter(col("query_id") =!= col("n_id"))
+        .withColumn("a_score",
+          exprs.adcScore(col("codes"), col("lut"), K) + col("qc_dot"))
+      val wApprox = Window.partitionBy(col("query_id"))
+        .orderBy(col("a_score").desc, col("n_id"))
+      val cand = approx.withColumn("arank", row_number().over(wApprox))
+        .filter(col("arank") <= 50)
+        .select(col("query_id"), col("n_id"))
+
+      val qEmb = queries.select(col("query_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("n_id"))
+      VectorOps.queryGated(
+          cand.join(VectorOps.queryGated(qEmb, qBytes(batchHint)), "query_id"),
+          candBytes(batchHint) + qBytes(batchHint))
+        .join(corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")), "n_id")
+        .withColumn("cos_sim", round(exprs.cosineSim(col("q_emb"), col("n_emb")), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("n_id").as("neighbor_id"), col("cos_sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+
+  private def workRoot(d: String) =
+    s"/root/repo/target/lakework/annindex-${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+
+  /** `ann_ivfpq_persisted` driver entry: build the index tables once,
+    * then answer the standard NQueries×TopK batch purely from them —
+    * the same output contract as `ann_ivfpq` (probabilistic recall →
+    * rows-only driver check; the `_check` twin oracles the
+    * dominance/completeness invariants).
+    */
+  def annIvfPqPersisted(s: SparkSession, d: String): DataFrame = {
+    val root = workRoot(d)
+    val corpus = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    build(s, corpus, root)
+    query(s, root, corpus,
+      corpus.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      NQueries.toLong)
+  }
+
+  def annIvfPqPersistedCheck(s: SparkSession, d: String): DataFrame =
+    VectorOps.annCheck(s, d, annIvfPqPersisted)
+}

@@ -761,6 +761,161 @@ object Dedup {
        |FROM cand WHERE levenshtein(t_a, t_b) <= $EdMax
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- C74 PassJoin dial -----------------------------------------------
+
+  /** PassJoin segment indexing (Li, Deng, Feng 2011, re-derived) — the
+    * escalation for [[editDistancePairsOf]]'s documented degenerate
+    * shape: a corpus concentrated in ONE length cell makes the cell
+    * join admit O(n²/cells) candidate pairs, with only the per-pair
+    * q-gram kernel between that volume and the DP. The segment index
+    * replaces "same length cell" with a far sharper candidate
+    * condition: partition every string into τ+1 segments — with ≤ τ
+    * edits, pigeonhole preserves at least one segment EXACTLY, at a
+    * start shift x bounded by |x| + |Δ−x| ≤ τ (prefix edits ≥ |x|,
+    * suffix edits ≥ |Δ−x|, Δ = length gap). So candidates are an
+    * EQUALITY join on (segment ordinal, indexed length, segment text):
+    * random same-length strings almost never share an aligned segment,
+    * and candidate volume tracks TRUE near-pairs instead of n².
+    *
+    * Cost shape: the probe side enumerates the static (i, Δ, x) triple
+    * set — |triples| ≈ (τ+1)²·(τ+1) ≈ 690 substring keys per doc at
+    * τ = 8 — so the index is O(n·τ²) rows regardless of the length
+    * histogram. That constant factor is why this is a DIAL (the
+    * [[VectorOps.embeddingPairsAtCapped]] pattern), not the default:
+    * on length-spread corpora the cell join's candidates are already
+    * near-linear and 690× beats it nowhere; on uniform-length corpora
+    * the cell join is quadratic and this stays bounded. Both routes
+    * share the exact verify (q-gram count filter + banded DP), so both
+    * equal the uncapped oracle unconditionally.
+    *
+    * Strings shorter than τ+1 chars have empty segments (pigeonhole
+    * void) and take the direct small-side path: they may pair only
+    * with strings of length < 2(τ+1), so that fallback join is tiny by
+    * construction and exact.
+    */
+  def editDistancePairsPassJoinOf(docs: DataFrame): DataFrame = {
+    val g0 = edPrep(docs)
+    edVerify(g0, editDistancePassJoinCandidates(g0))
+  }
+
+  def editDistancePairsPassJoin(s: SparkSession, d: String): DataFrame =
+    editDistancePairsPassJoinOf(Tables.documents(s, d))
+
+  /** (doc_id, t, len, gs, n) — the shared prep both routes verify from. */
+  private[graft] def edPrep(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), lower(col("text")).as("t"))
+      .withColumn("len", length(col("t")))
+      .withColumn("gs", exprs.charGramHashes(col("t"), EdQ))
+      .withColumn("n", size(col("gs")))
+
+  /** Candidate (doc_a < doc_b) id pairs via the length-cell join — the
+    * default route's candidate stage, exposed so the degenerate-shape
+    * spec can MEASURE its volume against the segment index's.
+    */
+  private[graft] def editDistanceCellCandidates(g0: DataFrame): DataFrame = {
+    val c = g0.withColumn("bkt", expr(s"len DIV ${EdMax + 1}"))
+    val aSide = c.select(col("doc_id").as("doc_a"), col("len").as("len_a"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("cell"))
+    val bSide = c.select(col("doc_id").as("doc_b"), col("len").as("len_b"),
+      col("bkt").as("cell"))
+    aSide.join(bSide, Seq("cell"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(abs(col("len_a") - col("len_b")) <= EdMax)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Candidate (doc_a < doc_b) id pairs via the PassJoin segment index. */
+  private[graft] def editDistancePassJoinCandidates(g0: DataFrame): DataFrame = {
+    val tau = EdMax
+    val k = tau + 1
+    // segment convention over a length-l string: base = l DIV k,
+    // rem = l MOD k; the first k−rem segments take base chars, the
+    // last rem take base+1; start(i) = i·base + max(0, i−(k−rem))
+    def segLen(l: Column, i: Int): Column =
+      floor(l / k).cast("int") + when(lit(i) >= lit(k) - pmod(l, lit(k)), 1).otherwise(0)
+    def segStart(l: Column, i: Int): Column =
+      (floor(l / k).cast("int") * i) + greatest(lit(0), lit(i) - (lit(k) - pmod(l, lit(k))))
+
+    // index side: every string of length ≥ k contributes its k segments
+    val idx = g0.filter(col("len") >= k)
+      .select(col("doc_id").as("doc_s"), col("len").as("len_s"),
+        explode(array((0 until k).map(i => struct(lit(i).as("i"),
+          col("t").substr(segStart(col("len"), i) + 1, segLen(col("len"), i))
+            .as("seg"))): _*)).as("e"))
+      .select(col("doc_s"), col("len_s"), col("e.i").as("i"), col("e.seg").as("seg"))
+
+    // probe side: the STATIC (segment i, length gap Δ, shift x) triple
+    // set — x ranges over the |x| + |Δ−x| ≤ τ window, so every exact
+    // segment preservation an optimal alignment allows is enumerated
+    val triples: Seq[(Int, Int, Int)] = for {
+      i <- 0 until k
+      dl <- 0 to tau
+      lo = math.ceil((dl - tau) / 2.0).toInt
+      hi = dl + (tau - dl) / 2
+      x <- lo to hi
+    } yield (i, dl, x)
+    val probe = g0.select(col("doc_id").as("doc_r"), col("t").as("t_r"),
+        col("len").as("len_r"),
+        explode(array(triples.map { case (i, dl, x) =>
+          struct(lit(i).as("i"), (col("len") - dl).as("l"), lit(x).as("x"))
+        }: _*)).as("p"))
+      .select(col("doc_r"), col("t_r"), col("len_r"),
+        col("p.i").as("i"), col("p.l").as("len_s"), col("p.x").as("x"))
+      .withColumn("q",
+        (0 until k).foldLeft(lit(-1)) { (acc, i) =>
+          when(col("i") === i, segStart(col("len_s"), i) + col("x")).otherwise(acc) })
+      .withColumn("slen",
+        (0 until k).foldLeft(lit(-1)) { (acc, i) =>
+          when(col("i") === i, segLen(col("len_s"), i)).otherwise(acc) })
+      .filter(col("len_s") >= k && col("q") >= 0 &&
+        col("q") + col("slen") <= col("len_r"))
+      .select(col("doc_r"), col("len_r"), col("i"), col("len_s"),
+        col("t_r").substr(col("q") + 1, col("slen")).as("seg"))
+
+    val segPairs = probe.join(idx, Seq("i", "len_s", "seg"))
+      .filter(col("doc_s") =!= col("doc_r"))
+      // the shorter side is the indexed side; equal lengths pair once
+      .filter(col("len_s") < col("len_r") ||
+        (col("len_s") === col("len_r") && col("doc_s") < col("doc_r")))
+      .select(least(col("doc_s"), col("doc_r")).as("doc_a"),
+        greatest(col("doc_s"), col("doc_r")).as("doc_b"))
+
+    // strings below k chars: pigeonhole void — direct pairing against
+    // everything within the length window (partner length < k + τ + 1,
+    // so both sides of this fallback are short-string subsets)
+    val tiny = g0.filter(col("len") < k)
+      .select(col("doc_id").as("doc_s"), col("len").as("len_s"))
+    val near = g0.filter(col("len") < k + tau + 1)
+      .select(col("doc_id").as("doc_r"), col("len").as("len_r"))
+    val tinyPairs = tiny.crossJoin(near)
+      .filter(col("doc_s") =!= col("doc_r"))
+      .filter(abs(col("len_s") - col("len_r")) <= tau)
+      .filter(col("len_s") < col("len_r") ||
+        (col("len_s") === col("len_r") && col("doc_s") < col("doc_r")))
+      .select(least(col("doc_s"), col("doc_r")).as("doc_a"),
+        greatest(col("doc_s"), col("doc_r")).as("doc_b"))
+
+    segPairs.unionByName(tinyPairs).distinct()
+  }
+
+  /** The shared exact verify: q-gram count filter + banded DP over the
+    * candidate id pairs — identical maths to [[editDistancePairsOf]]'s
+    * fused tail, so any candidate route that is a SUPERSET of the true
+    * pair set yields the identical result.
+    */
+  private[graft] def edVerify(g0: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
+      .join(g0.select(col("doc_id").as("doc_a"), col("t").as("t_a"),
+        col("gs").as("gs_a"), col("n").as("n_a")), "doc_a")
+      .join(g0.select(col("doc_id").as("doc_b"), col("t").as("t_b"),
+        col("gs").as("gs_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("ic", exprs.sortedIntersectCount(col("gs_a"), col("gs_b")))
+      .filter(col("ic") >= greatest(col("n_a"), col("n_b")) - lit(EdQ * EdMax))
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), EdMax).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= EdMax)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** D21 `stream_neardup_gate`: continuous crawl ingestion with
     * NEAR-DUP admission — the streaming form of C31 where the index
     * GROWS as batches land: each micro-batch probes the persisted

@@ -293,7 +293,7 @@ object VectorOps {
     * probed lists cannot analytically guarantee it at every scale, so
     * the exact-equality oracle belongs to [[annBruteforce]] alone.
     */
-  private def annCheck(s: SparkSession, d: String,
+  private[pipeline] def annCheck(s: SparkSession, d: String,
       variant: (SparkSession, String) => DataFrame): DataFrame = {
     val bf = annBruteforce(s, d).select(
       col("query_id"), col("rank"), col("cos_sim").as("bf_cos"))
@@ -330,7 +330,7 @@ object VectorOps {
     */
   val QueryBroadcastMaxBytes: Long = 32L << 20
 
-  private def queryGated(df: DataFrame, estBytes: Long): DataFrame =
+  private[pipeline] def queryGated(df: DataFrame, estBytes: Long): DataFrame =
     if (estBytes <= QueryBroadcastMaxBytes) broadcast(df) else df
 
   /** Quantizer-training cap: Lloyd iterations run over a deterministic
@@ -369,7 +369,7 @@ object VectorOps {
     * iterations over the capped [[trainSample]]. Only the k×dim
     * centroid matrix ever reaches the driver.
     */
-  private def ivfCentroids(all: DataFrame, train: DataFrame): Array[Array[Double]] =
+  private[pipeline] def ivfCentroids(all: DataFrame, train: DataFrame): Array[Array[Double]] =
     kmeansFit(all.filter(col("vec_id") >= 100), train, IvfLists)
 
   /** The shared coarse-quantizer fit (IVF, IVFPQ, and the k-means
@@ -476,17 +476,18 @@ object VectorOps {
     * quantizer in front — both building blocks are here. Probabilistic
     * recall → rows-only driver check; the spec bounds recall@5 vs C6.
     */
-  private val PqM = 8; private val PqK = 16; private val PqSub = EmbDim / PqM
+  private[pipeline] val PqM = 8; private[pipeline] val PqK = 16
+  private[pipeline] val PqSub = EmbDim / PqM
   /** Lloyd iterations for the PQ codebooks — each costs one small agg
     * over the capped [[trainSample]], so the dial is cheap at any SF.
     */
   private val PqLloydIterations = 2
 
-  private def pqSubvec(embc: Column, m: Int): Column = slice(embc, m * PqSub + 1, PqSub)
+  private[pipeline] def pqSubvec(embc: Column, m: Int): Column = slice(embc, m * PqSub + 1, PqSub)
   // L2 augmentation: x' = [x, 1], c' = [c, -|c|^2/2] (see annPq scaladoc)
-  private def pqAug(embc: Column, m: Int): Column =
+  private[pipeline] def pqAug(embc: Column, m: Int): Column =
     concat(pqSubvec(embc, m), array(lit(1.0f)))
-  private def pqAugBook(book: Array[Array[Double]]): Array[Array[Double]] =
+  private[pipeline] def pqAugBook(book: Array[Array[Double]]): Array[Array[Double]] =
     book.map(c => c :+ (-c.map(x => x * x).sum / 2))
 
   /** PQ codebook training shared by PQ and IVFPQ: deterministic init
@@ -494,7 +495,7 @@ object VectorOps {
     * iterations over the capped [[trainSample]], one shuffle each:
     * explode (m, code, dim) → mean.
     */
-  private def pqBooks(all: DataFrame, train: DataFrame,
+  private[pipeline] def pqBooks(all: DataFrame, train: DataFrame,
       iterations: Int = PqLloydIterations): Array[Array[Array[Double]]] = {
     val M = PqM; val K = PqK; val Sub = PqSub
     var books: Array[Array[Array[Double]]] = {
@@ -566,7 +567,7 @@ object VectorOps {
     * nlist×M×K×sub mean matrix (~16k doubles at the defaults) ever
     * reaches the driver.
     */
-  private def pqBooksPerList(train: DataFrame,
+  private[pipeline] def pqBooksPerList(train: DataFrame,
       shared: Array[Array[Array[Double]]]): Array[Array[Array[Array[Double]]]] = {
     val M = PqM; val K = PqK
     var books: Array[Array[Array[Array[Double]]]] =
@@ -1293,6 +1294,8 @@ object VectorOps {
     "ann_ivfpq_check" -> (annIvfPqCheck _),
     "ann_sq"          -> (annSq _),
     "ann_sq_check"    -> (annSqCheck _),
+    "ann_ivfpq_persisted"       -> (AnnIndex.annIvfPqPersisted _),
+    "ann_ivfpq_persisted_check" -> (AnnIndex.annIvfPqPersistedCheck _),
     "ann_ivf"         -> (annIvf _))
 
   val oracles: Map[String, String] = Map(
@@ -1306,5 +1309,6 @@ object VectorOps {
     "ann_ivf_check"   -> annCheckSql,
     "ann_pq_check"    -> annCheckSql,
     "ann_sq_check"    -> annCheckSql,
-    "ann_ivfpq_check" -> annCheckSql)
+    "ann_ivfpq_check" -> annCheckSql,
+    "ann_ivfpq_persisted_check" -> annCheckSql)
 }

@@ -763,7 +763,8 @@ case class GraftSetNullabilityCommand(
     // prove compliance for EVERY tightened column before the first
     // commit — a failed multi-column statement leaves the table untouched
     cols.foreach { case (c, nullable) => if (!nullable) t.validateNoNulls(c) }
-    cols.foreach { case (c, nullable) => t.setColumnNullability(c, nullable) }
+    cols.foreach { case (c, nullable) =>
+      t.setColumnNullability(c, nullable, preValidated = true) }
     GraftSparkBridge.refreshSchema(session, name)
     Seq.empty
   }

@@ -134,9 +134,14 @@ case class GraftMetaAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
       lr.output.collect { case a: AttributeReference => a.exprId -> a }.toMap
     val partNames: Set[String] = gfi.partitionSchema.fieldNames.toSet
     // partition-value parsing must be representable for grouping output
+    // — exactly the types castPartitionValue parses to their INTERNAL
+    // representation (temporal types parse to days/micros, so they
+    // qualify; anything castPartitionValue would UTF8String-fallback
+    // must bail to the scan)
     def partCastable(dt: DataType): Boolean = dt match {
-      case LongType | IntegerType | ShortType | DoubleType | FloatType |
-           BooleanType | StringType => true
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+           FloatType | BooleanType | StringType | DateType |
+           TimestampType | TimestampNTZType => true
       case _ => false
     }
 
@@ -177,17 +182,26 @@ case class GraftMetaAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
         (ar.name, ar.dataType, partNames.contains(ar.name)))
     val specs: Seq[AggSpec] = aggExprs.map {
       case Alias(AggregateExpression(fn, Complete, false, None, _), _) => fn match {
+        // partition-column specs must ALSO pass partCastable: partVal
+        // reads the value castPartitionValue parsed, and that parser
+        // falls back to UTF8String for Date/Timestamp/Short/Byte — an
+        // ungated MIN/MAX/COUNT on such a partition column would emit
+        // UTF8String into a LocalRelation whose attribute carries the
+        // temporal/narrow type (ClassCastException or garbage). Same
+        // gate filters and groupings already apply.
         case Count(Seq(l: Literal)) if l.value != null => CountStar
         case Count(Seq(e)) => colSpec(e) match {
-          case Some((n, dt, p)) => CountCol(n, dt, p)
-          case None             => return None
+          case Some((n, dt, p)) if !p || partCastable(dt) => CountCol(n, dt, p)
+          case _                                          => return None
         }
         case Min(e) => colSpec(e) match {
-          case Some((n, dt, p)) if minMaxAnswerable(dt, p) => MinMax(n, dt, p, isMin = true)
+          case Some((n, dt, p)) if minMaxAnswerable(dt, p) && (!p || partCastable(dt)) =>
+            MinMax(n, dt, p, isMin = true)
           case _ => return None
         }
         case Max(e) => colSpec(e) match {
-          case Some((n, dt, p)) if minMaxAnswerable(dt, p) => MinMax(n, dt, p, isMin = false)
+          case Some((n, dt, p)) if minMaxAnswerable(dt, p) && (!p || partCastable(dt)) =>
+            MinMax(n, dt, p, isMin = false)
           case _ => return None
         }
         case _ => return None

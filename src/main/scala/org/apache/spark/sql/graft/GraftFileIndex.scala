@@ -116,9 +116,34 @@ object GraftFileIndex {
       case org.apache.spark.sql.types.LongType    => raw.toLong
       case org.apache.spark.sql.types.IntegerType => raw.toInt
       case org.apache.spark.sql.types.ShortType   => raw.toShort
+      case org.apache.spark.sql.types.ByteType    => raw.toByte
       case org.apache.spark.sql.types.DoubleType  => raw.toDouble
       case org.apache.spark.sql.types.FloatType   => raw.toFloat
       case org.apache.spark.sql.types.BooleanType => raw.toBoolean
+      // temporal partition columns: the dir value is the unescaped
+      // Spark-written string ("2024-01-05", "2024-01-05 12:30:00") and
+      // the internal value MUST be days/micros — a UTF8String fallback
+      // here poisons the vectorized reader's partition-column populate
+      // (ClassCastException on every read of a date-partitioned table).
+      // Timestamp strings are interpreted in the session timezone, the
+      // same convention Spark's own PartitioningUtils applies.
+      case org.apache.spark.sql.types.DateType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .stringToDate(UTF8String.fromString(raw)).getOrElse(
+            throw new IllegalArgumentException(
+              s"unparseable DATE partition value: $raw"))
+      case org.apache.spark.sql.types.TimestampType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .stringToTimestamp(UTF8String.fromString(raw),
+            org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+              org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+          .getOrElse(throw new IllegalArgumentException(
+            s"unparseable TIMESTAMP partition value: $raw"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .stringToTimestampWithoutTimeZone(UTF8String.fromString(raw))
+          .getOrElse(throw new IllegalArgumentException(
+            s"unparseable TIMESTAMP_NTZ partition value: $raw"))
       case _                                      => UTF8String.fromString(raw)
     }
 

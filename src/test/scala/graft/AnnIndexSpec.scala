@@ -1,0 +1,135 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+
+import graft.lake.GraftTable
+import graft.pipeline.{AnnIndex, VectorOps}
+
+/** C76 persisted ANN index: the build/query lifecycle contract.
+  * The load-bearing assertions, in order:
+  *  1. query runs launch ZERO build/encode jobs (job-group marker);
+  *  2. queries are pure reads — no index-table snapshot moves;
+  *  3. the answer quality matches the in-call C42 contract
+  *     (dominance + completeness + recall floor vs brute force);
+  *  4. append is O(delta): frozen books, untouched existing files,
+  *     exactly-delta new rows, and the delta is immediately findable.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  private val root = "/root/repo/target/laketest/annindex-spec"
+
+  private def corpus = Tables.embeddings(spark, sfDir)
+    .select(col("vec_id"), col("embedding"))
+
+  private def queriesDf = corpus
+    .filter(col("vec_id") < VectorOps.NQueries)
+    .select(col("vec_id").as("query_id"), col("embedding"))
+
+  private def snapIds = (
+    new GraftTable(s"$root/books", spark).currentId,
+    new GraftTable(s"$root/codes", spark).currentId)
+
+  test("build/query split: queries launch zero training or encode jobs and move no snapshot") {
+    val buildJobs = new AtomicInteger(0)
+    val queryPhaseBuildJobs = new AtomicInteger(0)
+    val inQueryPhase = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g == AnnIndex.BuildGroup) {
+          buildJobs.incrementAndGet()
+          if (inQueryPhase.get()) queryPhaseBuildJobs.incrementAndGet()
+        }
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      AnnIndex.build(spark, corpus, root)
+      Thread.sleep(500)
+      assert(buildJobs.get() > 0, "build must run training/encode jobs")
+      val builtSnaps = snapIds
+
+      inQueryPhase.set(true)
+      val r1 = AnnIndex.query(spark, root, corpus, queriesDf,
+        VectorOps.NQueries.toLong).collect()
+      val r2 = AnnIndex.query(spark, root, corpus, queriesDf,
+        VectorOps.NQueries.toLong).collect()
+      Thread.sleep(500)
+      assert(queryPhaseBuildJobs.get() === 0,
+        "query runs must launch ZERO training/encode jobs")
+      assert(snapIds === builtSnaps, "queries must not commit to the index tables")
+      assert(r1.map(_.toString).toSeq === r2.map(_.toString).toSeq,
+        "same index + same queries => identical answers")
+
+      // quality: the C42 contract vs brute force on the same corpus
+      val exact = VectorOps.annBruteforce(spark, sfDir).collect()
+      val exactByQr = exact.map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) -> r.getAs[Double]("cos_sim")).toMap
+      assert(r1.length === VectorOps.NQueries * VectorOps.TopK, "completeness")
+      r1.foreach { r =>
+        val bf = exactByQr((r.getAs[Long]("query_id"), r.getAs[Long]("rank")))
+        assert(r.getAs[Double]("cos_sim") <= bf + 1e-9,
+          s"dominance: approx cos must never beat exact at the same rank ($r vs $bf)")
+      }
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      val recall = r1.map(key).toSet.intersect(exact.map(key).toSet).size.toDouble / exact.length
+      assert(recall >= 0.5, s"persisted-index recall $recall below the C42 floor")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("append is O(delta): frozen books, existing files untouched, delta immediately findable") {
+    AnnIndex.build(spark, corpus, root)
+    val codesT = new GraftTable(s"$root/codes", spark)
+    val booksId = new GraftTable(s"$root/books", spark).currentId
+    val preFiles = codesT.current.files.map(f => f.path -> f.rows).toMap
+    val preRows = codesT.current.files.map(_.rows).sum
+
+    // delta: near-copies of two corpus vectors under fresh high ids
+    // (the planted-corpus trick — last dims zeroed, cos ≈ 0.9+)
+    val delta = corpus.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 500000000L).as("vec_id"),
+        concat(slice(col("embedding"), 1, VectorOps.PlantKeepDims),
+          array(Seq.fill(VectorOps.EmbDim - VectorOps.PlantKeepDims)(lit(0.0f)): _*))
+          .as("embedding"))
+    val nDelta = delta.count()
+    AnnIndex.append(spark, delta, root)
+
+    val t2 = new GraftTable(s"$root/codes", spark)
+    assert(new GraftTable(s"$root/books", spark).currentId === booksId,
+      "append must never retrain: the books table is frozen")
+    assert(t2.current.operation === "append")
+    val postFiles = t2.current.files.map(f => f.path -> f.rows).toMap
+    preFiles.foreach { case (p, n) =>
+      assert(postFiles.get(p).contains(n), s"existing index file $p must be untouched") }
+    assert(postFiles.values.sum === preRows + nDelta,
+      "append must add exactly the delta's rows")
+
+    // the appended vectors are immediately findable: querying each
+    // planted copy must surface its original as a high-cos neighbor
+    val extended = corpus.unionByName(delta)
+    val got = AnnIndex.query(spark, root, extended,
+      delta.select(col("vec_id").as("query_id"), col("embedding")), nDelta)
+      .collect()
+    (0 until 2).foreach { i =>
+      val hits = got.filter(r => r.getAs[Long]("query_id") == 500000000L + i)
+        .map(r => r.getAs[Long]("neighbor_id"))
+      assert(hits.contains(i.toLong),
+        s"planted near-copy of vec $i must retrieve its original, got ${hits.toSeq}")
+    }
+  }
+
+  test("driver entries: persisted results well-formed; check twin green") {
+    val df = AnnIndex.annIvfPqPersisted(spark, sfDir)
+    assert(df.columns.toSeq === Seq("query_id", "neighbor_id", "cos_sim", "rank"))
+    assert(df.count() === VectorOps.NQueries.toLong * VectorOps.TopK)
+    val chk = AnnIndex.annIvfPqPersistedCheck(spark, sfDir).collect().head
+    assert(chk.getLong(0) === 0L && chk.getLong(1) === 0L,
+      s"check twin must be green, got $chk")
+  }
+}

@@ -2301,4 +2301,105 @@ class LakeSpec extends SparkSpec {
     // count(*) doesn't touch the fresh column — still metadata-only
     metaAggBoth("SELECT count(*) AS n FROM metaagg_widen", expectMeta = true)
   }
+
+  test("A88 NOT NULL survives RENAME COLUMN and rejects column-omitting batches") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("notnull-rename"),
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "w", "g")
+        .repartition(col("g")), Seq("g"))
+    t.setColumnNullability("w", nullable = false)
+    // a batch that OMITS the constrained column is a violation (the
+    // file would read back all-null under a nullable=false schema)
+    val exOmit = intercept[IllegalArgumentException] {
+      t.append(Seq((3L, "a")).toDF("k", "g").repartition(col("g")))
+    }
+    assert(exOmit.getMessage.contains("omits the column"))
+    assert(t.read().count() === 2, "aborted write must land nothing")
+    // rename migrates the enforcement key: a null in the RENAMED column
+    // still aborts, and the omission rule follows the new name too
+    t.renameColumn("w", "weight")
+    val exNull = intercept[IllegalArgumentException] {
+      t.append(Seq((4L, Option.empty[Long], "b")).toDF("k", "weight", "g")
+        .repartition(col("g")))
+    }
+    assert(exNull.getMessage.contains("NOT NULL constraint on weight"))
+    val exOmit2 = intercept[IllegalArgumentException] {
+      t.append(Seq((5L, "a")).toDF("k", "g").repartition(col("g")))
+    }
+    assert(exOmit2.getMessage.contains("weight"))
+    // compliant batch under the new name lands; old-name files read fine
+    t.append(Seq((6L, 60L, "b")).toDF("k", "weight", "g").repartition(col("g")))
+    assert(t.read().filter(col("weight") === 60L).count() === 1)
+    assert(t.read().filter(col("weight").isNull).count() === 0)
+    // a column with an initial DEFAULT satisfies the constraint even
+    // when the batch omits it (write-default materializes before check)
+    t.addColumnWithDefault("src", StringType, "'web'")
+    t.setColumnNullability("src", nullable = false)
+    t.append(Seq((7L, 70L, "a")).toDF("k", "weight", "g").repartition(col("g")))
+    assert(t.read().filter(col("src") === "web").count() === t.read().count())
+    // renaming a column referenced by a CHECK predicate refuses loudly
+    t.addCheckConstraint("w_pos", "weight > 0")
+    val exChk = intercept[Exception] { t.renameColumn("weight", "wt") }
+    assert(exChk.getMessage.contains("CHECK constraint"))
+    assert(new GraftTable(t.root, spark).schema.fieldNames.contains("weight"))
+  }
+
+  test("date-partitioned tables read, prune, and answer meta-aggregates exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-05")),
+      (2L, java.sql.Date.valueOf("2024-03-09")),
+      (3L, java.sql.Date.valueOf("2023-11-30"))).toDF("id", "d")
+    val t = GraftTable.create(spark, tmp("metaagg-datepart"),
+      df.repartition(col("d")), Seq("d"))
+    graft.sql.GraftCatalog.register("metaagg_datepart", t.root)
+    // the read path itself: partition values must parse to internal
+    // days (a UTF8String fallback ClassCastExceptions every scan)
+    assert(t.read().count() === 3)
+    assert(t.read().filter(col("d") === java.sql.Date.valueOf("2024-03-09"))
+      .select("id").head().getLong(0) === 2L)
+    // partition pruning on the date column drops files exactly
+    val (survivors, total, _) = t.pruneFiles(col("d") >= java.sql.Date.valueOf("2024-01-01"))
+    assert(total === 3 && survivors.size === 2)
+    // metadata-only aggregates fold date partition values exactly
+    metaAggBoth("SELECT min(d) AS d0, max(d) AS d1, count(d) AS nd FROM metaagg_datepart",
+      expectMeta = true)
+    metaAggBoth("SELECT d, count(*) AS n FROM metaagg_datepart GROUP BY d",
+      expectMeta = true)
+    metaAggBoth("SELECT count(*) AS n FROM metaagg_datepart WHERE d > DATE'2024-01-01'",
+      expectMeta = true)
+  }
+
+  test("adopted TIMESTAMP_MILLIS parquet records no long stats: pruning and meta-agg stay exact") {
+    import spark.implicits._
+    val root = tmp("adopt-millis")
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-06-15 12:30:00")),
+      (3L, java.sql.Timestamp.valueOf("2024-12-31 23:59:59"))).toDF("id", "ts")
+    val TsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(TsTypeKey)
+    spark.conf.set(TsTypeKey, "TIMESTAMP_MILLIS")
+    try df.coalesce(1).write.mode("overwrite").parquet(s"$root/data")
+    finally prev match {
+      case Some(v) => spark.conf.set(TsTypeKey, v)
+      case None    => spark.conf.unset(TsTypeKey)
+    }
+    val t = GraftTable.adopt(spark, root)
+    // the millis-long stat domain is NOT Spark's epoch-micros: harvest
+    // must record NO stat for ts (a "long" stat would mis-prune by 1000×)
+    assert(t.current.files.forall(!_.stats.contains("ts")),
+      "millis-annotated timestamp column must not carry a long footer stat")
+    assert(t.current.files.forall(_.stats.contains("id")),
+      "plain int64 columns still harvest stats")
+    graft.sql.GraftCatalog.register("adopt_millis", t.root)
+    // meta-agg on ts bails to the scan and answers exactly
+    metaAggBoth("SELECT min(ts) AS t0, max(ts) AS t1 FROM adopt_millis", expectMeta = false)
+    // stats pruning cannot drop the file for a predicate its (absent)
+    // stats can't decide: a mid-2024 filter still reads the one file
+    assert(t.scan(col("ts") >= java.sql.Timestamp.valueOf("2024-06-01 00:00:00")).count() === 2)
+    // and graft's OWN micros writes keep harvesting ts stats as before
+    val t2 = GraftTable.create(spark, tmp("micros-own"), df)
+    assert(t2.current.files.forall(_.stats.contains("ts")))
+  }
 }

@@ -2068,6 +2068,70 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("C74 PassJoin dial: uniform-length corpus — cell join quadratic, segment index bounded, results identical") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val rnd = new scala.util.Random(741)
+    val alpha = "abcdefghijklmnopqrstuvwxyz 0123456789"
+    def randText(n: Int): String =
+      (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def substitute(s: String, k: Int): String = {
+      val chars = s.toCharArray
+      rnd.shuffle(chars.indices.toList).take(k).foreach { p =>
+        var c = alpha(rnd.nextInt(alpha.length))
+        while (c == chars(p)) c = alpha(rnd.nextInt(alpha.length))
+        chars(p) = c
+      }
+      new String(chars)
+    }
+    // THE degenerate shape: every doc exactly 120 chars → one length
+    // cell → the cell join admits all n(n−1)/2 pairs
+    val n = 1200
+    val uniques = (1 to n).map(i => (i.toLong, randText(120)))
+    // planted near-pairs: substitutions (same length), a deletion pair
+    // (length gap Δ > 0 exercises the probe's Δ windows), and a tiny
+    // pair below the segment floor (exercises the fallback route)
+    val nearSub = (1 to 8).flatMap { j =>
+      val base = randText(120)
+      Seq((10000L + j * 2, base),
+        (10001L + j * 2, substitute(base, 1 + rnd.nextInt(Dedup.EdMax))))
+    }
+    val delBase = randText(120)
+    val nearDel = Seq((20000L, delBase), (20001L, delBase.substring(6)) /* Δ=6 */)
+    val tinyPair = Seq((30000L, "abcdefgh"), (30001L, "abcdefghij"))
+    val docs = (uniques ++ nearSub ++ nearDel ++ tinyPair)
+      .map { case (id, tx) => (id, tx, "en", "s", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val g0 = Dedup.edPrep(docs).localCheckpoint()
+    val cellCands = Dedup.editDistanceCellCandidates(g0).count()
+    val pjCands = Dedup.editDistancePassJoinCandidates(g0).count()
+    val quad = n.toLong * (n - 1) / 2
+    assert(cellCands >= quad,
+      s"precondition: the cell join must be quadratic here ($cellCands < $quad)")
+    assert(pjCands <= cellCands / 50,
+      s"segment index must stay bounded on the uniform-length corpus: " +
+        s"$pjCands candidates vs $cellCands for the cell join")
+
+    // both routes equal each other AND the planted truth
+    val viaCell = Dedup.editDistancePairsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaPj = Dedup.editDistancePairsPassJoinOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaPj === viaCell,
+      s"routes diverge: onlyCell=${viaCell -- viaPj} onlyPj=${viaPj -- viaCell}")
+    val wantPairs = (1 to 8).map(j => (10000L + j * 2, 10001L + j * 2)).toSet +
+      ((20000L, 20001L)) + ((30000L, 30001L))
+    val gotPairs = viaPj.map(t => (t._1, t._2))
+    assert(wantPairs.subsetOf(gotPairs), s"planted pairs missing: ${wantPairs -- gotPairs}")
+
+    // and on a realistic length-spread corpus the dial changes nothing
+    val real = Tables.documents(spark, sfDir)
+    val realCell = Dedup.editDistancePairsOf(real).collect().map(_.toString).toSeq
+    val realPj = Dedup.editDistancePairsPassJoinOf(real).collect().map(_.toString).toSeq
+    assert(realPj === realCell, "dial must be result-identical on the documents table")
+  }
+
   test("C73 sample_epochs: plan equals a from-scratch Scala recompute; cap + regimes hold") {
     import org.apache.spark.sql.functions.{col, lower, split}
     val out = graft.pipeline.TextOps.sampleEpochs(spark, sfDir)
