@@ -449,6 +449,85 @@ case class ZOrderKey(children: Seq[Expression], mins: Array[Long], maxs: Array[L
 }
 
 /** Column-API entry points (the public surface of this package). */
+/** Deletion-vector membership: true iff `pos` is set in the serialized
+  * [[graft.lake.GraftDv]] bitmap. The read path's per-row kernel for
+  * DV-mode merge-on-read — one directory binary search + one container
+  * probe on the raw bytes, inside whole-stage codegen.
+  */
+case class DvContains(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType, LongType)
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(dv: Any, pos: Any): Any =
+    graft.lake.GraftDv.contains(dv.asInstanceOf[Array[Byte]], pos.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.lake.GraftDv.contains($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DvContains =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_dv_contains"
+}
+
+/** Union of two serialized deletion vectors (commit-time merge: the
+  * new delete's bitmap ∪ the file's existing DV — evaluated on
+  * one-row-per-file frames, never in a scan hot path).
+  */
+case class DvUnion(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.lake.GraftDv.union(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.lake.GraftDv.union($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DvUnion =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_dv_union"
+}
+
+/** Cardinality of a serialized deletion vector (directory sum). */
+case class DvCardinality(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(dv: Any): Any =
+    graft.lake.GraftDv.cardinality(dv.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.lake.GraftDv.cardinality($c)")
+  override protected def withNewChildInternal(newChild: Expression): DvCardinality =
+    copy(child = newChild)
+  override def prettyName: String = "graft_dv_cardinality"
+}
+
+/** Positions in `left` missing from `right` (right null ⇒ all of
+  * left) — changelog's in-window DV-deletion reconstruction; output is
+  * bounded by the window's actual deletions.
+  */
+case class DvDiffPositions(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // right-null means "no prior DV": diff = all of left — so null
+  // handling is custom, not nullSafeEval
+  override def nullable: Boolean = left.nullable
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) null
+    else {
+      val b = right.eval(input)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        graft.lake.GraftDv.diffPositions(a.asInstanceOf[Array[Byte]],
+          if (b == null) null else b.asInstanceOf[Array[Byte]]))
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DvDiffPositions =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_dv_diff_positions"
+}
+
 object exprs {
   private def col(e: Expression): Column = Shim.column(e)
   private def ex(c: Column): Expression = Shim.expression(c)
@@ -490,4 +569,9 @@ object exprs {
     col(SqRecNorm(ex(codes), lo, span255))
   def zorderKey(cs: Seq[Column], mins: Array[Long], maxs: Array[Long]): Column =
     col(ZOrderKey(cs.map(ex), mins, maxs))
+  def dvContains(dv: Column, pos: Column): Column = col(DvContains(ex(dv), ex(pos)))
+  def dvUnion(a: Column, b: Column): Column = col(DvUnion(ex(a), ex(b)))
+  def dvCardinality(dv: Column): Column = col(DvCardinality(ex(dv)))
+  def dvDiffPositions(a: Column, b: Column): Column = col(DvDiffPositions(ex(a), ex(b)))
+  def dvAgg(pos: Column): Column = Shim.column(DvAgg(ex(pos)).toAggregateExpression())
 }

@@ -12,7 +12,7 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, explode, expr, lit, max_by, sum, when}
 import org.apache.spark.sql.types._
 
 /** A graft-managed table: Spark-native data plane (`df.write.parquet`)
@@ -1091,6 +1091,13 @@ final class GraftTable(val root: String, spark: SparkSession) {
         && Pruning.extractExact(pred)
           .forall(cs => !(cs.nonEmpty && cs.keySet.forall(cur.partitionCols.contains))))
       return deleteMerge(pred)
+    // TBLPROPERTIES('write.delete.mode'='dv') routes to the
+    // deletion-vector path (same partition-delete fast-path exception)
+    if (cur.properties.get(GraftTable.DeleteModeProp).contains("dv")
+        && uniqueBaseNames(cur)
+        && Pruning.extractExact(pred)
+          .forall(cs => !(cs.nonEmpty && cs.keySet.forall(cur.partitionCols.contains))))
+      return deleteDv(pred)
     // Metadata-only fast path: if the predicate is EXACTLY a
     // conjunction of constraints on partition columns, every row of a
     // matching file matches (partition values are constant per file) —
@@ -1178,6 +1185,126 @@ final class GraftTable(val root: String, spark: SparkSession) {
     this
   }
 
+  /** DELETE WHERE — DELETION VECTORS (`write.delete.mode=dv`): like
+    * [[deleteMerge]] the data file list is unchanged, but instead of
+    * appending a position-delete FILE per commit, the matched
+    * positions fold into ONE merged roaring-style bitmap per data file
+    * ([[GraftDv]], Delta DV / Iceberg v3 deletion-vector semantics):
+    * the commit writes a parquet of `(file_name, dv, rows)` rows whose
+    * bitmaps are the UNION of the new positions with the file's
+    * existing vector, and the manifest keeps the invariant that every
+    * data file's live bitmap is owned by exactly one dv entry (older
+    * entries shrink their `targets`/`rows` bookkeeping; readers also
+    * dedupe to the newest bitmap per file, so the invariant is belt
+    * AND suspenders). Read-side cost is therefore O(1) bitmap probes
+    * per data file no matter how many delete commits accumulated —
+    * position-delete mode pays an anti-join input that GROWS with the
+    * commit count until OPTIMIZE. The bitmap build is a
+    * [[graft.functions.DvAgg]] grouped aggregate (buffer ∝ touched
+    * 64Ki-row chunks, never a position list). The one caveat: the
+    * merged dv parquet is written `coalesce(1)` — one row per touched
+    * file, bytes ∝ min(2·deletes, rows/8) per file; a delete touching
+    * millions of files at once should be (and is, via the partition
+    * fast path / COW pruning) a different plan.
+    */
+  def deleteDv(pred: Column): GraftTable = {
+    val cur = current
+    if (!uniqueBaseNames(cur)) return delete(pred)
+    import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
+    val (cands, _, _) = pruneFiles(pred)
+    val (dvOld, otherDels) = cur.deleteFiles.partition(_.dv)
+    var newEntry: Option[DeleteFileEntry] = None
+    var shrunk: Seq[DeleteFileEntry] = dvOld
+    if (cands.nonEmpty) {
+      val live = readSnapshotPos(cur.copy(files = cands, shards = Seq.empty))
+      val hits = live.filter(pred <=> lit(true))
+        .select(col(PosFileCol).as("file_name"), col(PosIdxCol).as("row_index"))
+      val newDv = hits.groupBy(col("file_name"))
+        .agg(graft.functions.exprs.dvAgg(col("row_index")).as("dv_new"))
+      val merged =
+        if (dvOld.isEmpty)
+          newDv.select(col("file_name"), col("dv_new").as("dv"))
+        else {
+          val old = dvRows(dvOld).withColumnRenamed("dv", "dv_old")
+          newDv.join(old, Seq("file_name"), "left")
+            .select(col("file_name"),
+              when(col("dv_old").isNull, col("dv_new"))
+                .otherwise(graft.functions.exprs.dvUnion(col("dv_new"), col("dv_old")))
+                .as("dv"))
+        }
+      val relDir = s"deletes/${cur.id + 1}-dv-${UUID.randomUUID()}"
+      val dirStr = s"$root/$relDir"
+      merged
+        .withColumn("rows", graft.functions.exprs.dvCardinality(col("dv")))
+        .coalesce(1).write.mode("overwrite").parquet(dirStr)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dirP = new org.apache.hadoop.fs.Path(dirStr)
+      val hfs = dirP.getFileSystem(conf)
+      // per-file (basename, cardinality) — bounded by the touched-file
+      // count, which the manifest's `targets` list must hold anyway
+      val perFile = spark.read.parquet(dirStr)
+        .select(col("file_name"), col("rows")).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      if (perFile.isEmpty) hfs.delete(dirP, true)
+      else {
+        val part = hfs.listStatus(dirP).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName).head
+        newEntry = Some(DeleteFileEntry(
+          s"$relDir/${part.getPath.getName}", perFile.map(_._2).sum,
+          GraftTable.PendingAddedBy, part.getLen,
+          targets = perFile.map(_._1).toSeq.sorted, dv = true))
+        // shrink superseded entries: their bitmaps for the touched
+        // files now live in the new entry — drop those basenames from
+        // `targets` and their cardinality from `rows` (exact: computed
+        // from the old parquets in ONE job), dropping entries that end
+        // up covering nothing
+        val touched = perFile.map(_._1).toSet
+        val overlapping = dvOld.filter(_.targets.exists(touched.contains))
+        if (overlapping.nonEmpty) {
+          val replacedCards: Map[String, Long] = overlapping.map { e =>
+              spark.read.parquet(GraftTable.resolveEntry(root, e.path))
+                .filter(col("file_name").isin(e.targets.filter(touched.contains): _*))
+                .withColumn("p", lit(e.path))
+            }.reduce(_ unionByName _)
+            .groupBy(col("p"))
+            .agg(sum(graft.functions.exprs.dvCardinality(col("dv"))).as("c"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          shrunk = dvOld.flatMap { e =>
+            if (!e.targets.exists(touched.contains)) Some(e)
+            else {
+              val remaining = e.targets.filterNot(touched.contains)
+              if (remaining.isEmpty) None
+              else Some(e.copy(targets = remaining,
+                rows = e.rows - replacedCards.getOrElse(e.path, 0L)))
+            }
+          }
+        }
+      }
+    }
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "delete", files = cur.files,
+      addedFiles = 0, deletedFiles = 0,
+      deleteFiles = otherDels ++ shrunk ++ newEntry.toSeq))
+    this
+  }
+
+  /** The live `(file_name, dv)` bitmap rows of a dv entry set: one
+    * parquet read per entry, deduped to the NEWEST bitmap per data
+    * file (a re-deleted file's merged vector lives in the newer
+    * entry). Row count = Σ entry targets — delete-set metadata scale,
+    * never data scale.
+    */
+  private[graft] def dvRows(dels: Seq[DeleteFileEntry]): DataFrame =
+    dels.map { d =>
+        spark.read.schema("file_name STRING, dv BINARY, rows BIGINT")
+          .parquet(GraftTable.resolveEntry(root, d.path))
+          .select(col("file_name"), col("dv"), lit(d.addedBy).as("__dv_seq"))
+      }.reduce(_ unionByName _)
+      .groupBy(col("file_name"))
+      .agg(max_by(col("dv"), col("__dv_seq")).as("dv"))
+
   /** Write `(file_name, row_index)` rows as position-delete parquet
     * under `deletes/`; returns the registered entries (empty when the
     * predicate matched nothing — the empty directory is removed).
@@ -1242,7 +1369,11 @@ final class GraftTable(val root: String, spark: SparkSession) {
   def applyDeletes(): GraftTable = {
     val cur = current
     if (cur.deleteFiles.isEmpty) return this
-    val (eqDels, posDels) = cur.deleteFiles.partition(_.equalityCols.nonEmpty)
+    val (eqDels, rest) = cur.deleteFiles.partition(_.equalityCols.nonEmpty)
+    val (dvDels, posDels) = rest.partition(_.dv)
+    // dv targets are complete by construction — affected set is
+    // manifest metadata, zero delete-parquet I/O
+    val dvAffected: Set[String] = dvDels.flatMap(_.targets).toSet
     val posAffected: Set[String] =
       if (posDels.isEmpty) Set.empty
       else deleteRows(posDels)
@@ -1255,7 +1386,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
       if (eqDels.isEmpty) Set.empty
       else eqDeleteCandidates(cur.files, eqDels)
         .map(f => GraftTable.baseName(f.path)).toSet
-    val affected = posAffected ++ eqAffected
+    val affected = posAffected ++ eqAffected ++ dvAffected
     val (cands, kept) = cur.files.partition(f => affected.contains(GraftTable.baseName(f.path)))
     val survivors = readSnapshot(cur.copy(files = cands, shards = Seq.empty))
     val added =
@@ -2291,7 +2422,11 @@ final class GraftTable(val root: String, spark: SparkSession) {
       val fromDel = from.deleteFiles.map(_.path).toSet
       to.deleteFiles.filterNot(d => fromDel.contains(d.path))
     }
-    val (newEq, newPos) = newDels.partition(_.equalityCols.nonEmpty)
+    val (newEq, newPosAll) = newDels.partition(_.equalityCols.nonEmpty)
+    // dv entries diff by BITMAP, not by path (a merge commit rewrites a
+    // file's vector under a new path while the old entry shrinks) —
+    // handled below as dvDeletedDf, so keep them out of the position set
+    val newPos = newPosAll.filterNot(_.dv)
     import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
     val common = from.files.filter(f => toPaths.contains(f.path))
     val posDeletedDf =
@@ -2318,7 +2453,36 @@ final class GraftTable(val root: String, spark: SparkSession) {
             .map(_.drop(PosFileCol, PosIdxCol))
         }
       }
-    val deletes = (posDeletedDf.toSeq ++ eqDeletedDf.toSeq)
+    // deletion vectors: in-window victims are exactly the positions in
+    // `to`'s per-file bitmap missing from `from`'s (vectors only grow
+    // along forward history — merge = union) — the diff explodes to
+    // O(in-window deletions) coordinates, never a full vector rescan
+    val dvDeletedDf = {
+      val toDvE = to.deleteFiles.filter(_.dv)
+      if (toDvE.isEmpty) None
+      else {
+        val fromDvE = from.deleteFiles.filter(_.dv)
+        val toRows = dvRows(toDvE)
+        val joined =
+          if (fromDvE.isEmpty) toRows.withColumn("dv_from", lit(null).cast("binary"))
+          else {
+            val f = dvRows(fromDvE)
+              .withColumnRenamed("dv", "dv_from")
+              .withColumnRenamed("file_name", "__dv_file_from")
+            toRows.join(f, toRows("file_name") === f("__dv_file_from"), "left")
+              .drop("__dv_file_from")
+          }
+        val diff = joined.select(col("file_name"),
+          explode(graft.functions.exprs.dvDiffPositions(col("dv"), col("dv_from")))
+            .as("row_index"))
+        val base = readSnapshotPos(from.copy(files = common, shards = Seq.empty))
+        Some(base.join(diff,
+            base(PosFileCol) === diff("file_name") && base(PosIdxCol) === diff("row_index"),
+            "left_semi")
+          .drop(PosFileCol, PosIdxCol))
+      }
+    }
+    val deletes = (posDeletedDf.toSeq ++ eqDeletedDf.toSeq ++ dvDeletedDf.toSeq)
       .foldLeft(removedDf.exceptAll(addedDf))(_ unionAll _)
     addedDf.exceptAll(removedDf)
       .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert"))
@@ -2669,7 +2833,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
     if (s.deleteFiles.isEmpty) withPos
     else {
       import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
-      val (eqDels, posDels) = s.deleteFiles.partition(_.equalityCols.nonEmpty)
+      val (eqDels, rest) = s.deleteFiles.partition(_.equalityCols.nonEmpty)
+      val (dvDels, posDels) = rest.partition(_.dv)
       // point deletes keep the set broadcast-small (that is the point
       // of MOR) so the scan side never shuffles; a bulk MOR MERGE can
       // grow it to data scale, where deleteRowsHinted drops the hint
@@ -2684,7 +2849,25 @@ final class GraftTable(val root: String, spark: SparkSession) {
             withPos(PosFileCol) === dels("file_name") && withPos(PosIdxCol) === dels("row_index"),
             "left_anti")
         }
-      if (eqDels.isEmpty) afterPos else minusEqDeletes(afterPos, s, eqDels)
+      // deletion vectors: ONE bitmap row per data file joins the scan
+      // (broadcast under the same size gate) and the per-row test is
+      // the codegen'd [[graft.functions.DvContains]] probe — read
+      // amplification is O(1) per file regardless of how many delete
+      // commits produced the vectors
+      val afterDv =
+        if (dvDels.isEmpty) afterPos
+        else {
+          val dvs = dvRows(dvDels)
+          val limit = s.properties.get(GraftTable.DeleteBroadcastProp).map(_.toLong)
+            .getOrElse(GraftTable.DefaultDeleteBroadcastBytes)
+          val hinted =
+            if (GraftTable.deleteSetBytes(dvDels) <= limit) broadcast(dvs) else dvs
+          afterPos.join(hinted, afterPos(PosFileCol) === dvs("file_name"), "left")
+            .filter(col("dv").isNull ||
+              !graft.functions.exprs.dvContains(col("dv"), afterPos(PosIdxCol)))
+            .drop("file_name", "dv")
+        }
+      if (eqDels.isEmpty) afterDv else minusEqDeletes(afterDv, s, eqDels)
     }
   }
 
@@ -2882,7 +3065,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
   def deletesView: DataFrame = {
     import spark.implicits._
     current.deleteFiles.map(d => (d.path, d.rows, d.addedBy,
-        if (d.equalityCols.nonEmpty) "equality" else "position",
+        if (d.equalityCols.nonEmpty) "equality"
+        else if (d.dv) "dv" else "position",
         d.equalityCols.mkString(",")))
       .toDF("file_path", "n_deleted_rows", "added_by_snapshot",
         "kind", "equality_columns")

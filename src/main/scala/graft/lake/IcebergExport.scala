@@ -115,6 +115,14 @@ object IcebergExport {
     val fieldIds: Map[String, Int] =
       schema.fields.zipWithIndex.map { case (f, i) => f.name -> (i + 1) }.toMap
     val snaps = t.snapshots.sortBy(_.id)
+    // Iceberg v2 manifests have no deletion-vector representation (DVs
+    // are v3 puffin blobs) — exporting a dv entry as a position-delete
+    // manifest row would point readers at a parquet with the WRONG
+    // schema. Refuse loudly; applyDeletes + expire clears the history.
+    require(!snaps.exists(_.deleteFiles.exists(_.dv)),
+      "iceberg export: table history contains deletion-vector entries, " +
+        "which Iceberg v2 metadata cannot represent — run " +
+        "applyDeletes()/OPTIMIZE and expire the dv snapshots first")
     val cur = t.current
     val qualifiedRoot = fs.makeQualified(new HPath(t.root)).toString
 

@@ -80,7 +80,15 @@ final case class FileEntry(
   */
 final case class DeleteFileEntry(
     path: String, rows: Long, addedBy: Long = 0L, bytes: Long = 0L,
-    equalityCols: Seq[String] = Seq.empty, targets: Seq[String] = Seq.empty)
+    equalityCols: Seq[String] = Seq.empty, targets: Seq[String] = Seq.empty,
+    // DELETION-VECTOR flavor (`write.delete.mode=dv`): `path` is a
+    // parquet of `(file_name, dv binary)` — ONE merged GraftDv bitmap
+    // per covered data file (never a position list). `targets` is the
+    // COMPLETE covered-basename set (the merge invariant: each data
+    // file's current bitmap lives in exactly one dv entry), `rows` the
+    // exact summed cardinality. N point-delete commits against a file
+    // therefore cost the reader ONE bitmap probe, not N anti-joins.
+    dv: Boolean = false)
 
 /** A column dependency `src → dest : transform` (reference:
   * utils/Transforms.scala:30; Config.scala:77 COLUMN_DEPENDENCIES option). Declares

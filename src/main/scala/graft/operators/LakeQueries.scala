@@ -549,6 +549,39 @@ object LakeQueries {
        |  AND o_orderkey <> 7
        |ORDER BY o_orderkey""".stripMargin
 
+  // ---- A90 DELETE WHERE (deletion vectors) ---------------------------
+
+  /** `lake_delete_dv`: merge-on-read deletes stored as per-file bitmap
+    * DELETION VECTORS ([[graft.lake.GraftDv]]) — three stacked delete
+    * commits whose vectors MERGE (one live bitmap per data file, the
+    * read-amplification contract the in-entry requires), read back
+    * through the bitmap-probe scan and oracle-checked row-for-row.
+    */
+  def lakeDeleteDv(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "dvdel"),
+      byStatus(orders(s, d)), Seq("o_orderstatus"))
+    t.setProperty(GraftTable.DeleteModeProp, "dv")
+    t.delete(col("o_orderstatus") === "O" && col("o_totalprice") > 200000)
+    val filesAfter = t.current.files.map(_.path).toSet
+    require(t.current.deleteFiles.nonEmpty && t.current.deleteFiles.forall(_.dv),
+      "dv delete must register deletion-vector entries")
+    // two stacked point deletes: vectors merge instead of accumulating
+    t.delete(col("o_orderkey") === 7L)
+    t.delete(col("o_orderkey") === 32L)
+    require(t.current.files.map(_.path).toSet == filesAfter,
+      "dv deletes must not rewrite data files")
+    val owners = t.current.deleteFiles.filter(_.dv).flatMap(_.targets)
+    require(owners.distinct.size == owners.size,
+      "each data file's bitmap must live in exactly one dv entry")
+    sel(t.read())
+  }
+
+  val lakeDeleteDvSql =
+    s"""SELECT $selSql FROM orders
+       |WHERE NOT (o_orderstatus = 'O' AND o_totalprice > 200000)
+       |  AND o_orderkey NOT IN (7, 32)
+       |ORDER BY o_orderkey""".stripMargin
+
   // ---- A23 UPDATE SET WHERE (copy-on-write) --------------------------
 
   def lakeUpdate(s: SparkSession, d: String): DataFrame = {
@@ -1227,6 +1260,7 @@ object LakeQueries {
     "lake_zorder"              -> (lakeZOrder _),
     "lake_delete"              -> (lakeDelete _),
     "lake_delete_mor"          -> (lakeDeleteMor _),
+    "lake_delete_dv"           -> (lakeDeleteDv _),
     "lake_update_mor"          -> (lakeUpdateMor _),
     "lake_merge"               -> (lakeMerge _),
     "lake_merge_mor"           -> (lakeMergeMor _),
@@ -1280,6 +1314,7 @@ object LakeQueries {
     "lake_zorder"              -> lakeZOrderSql,
     "lake_delete"              -> lakeDeleteSql,
     "lake_delete_mor"          -> lakeDeleteMorSql,
+    "lake_delete_dv"           -> lakeDeleteDvSql,
     "lake_update_mor"          -> lakeUpdateMorSql,
     "lake_merge"               -> lakeMergeSql,
     "lake_merge_mor"           -> lakeMergeMorSql,

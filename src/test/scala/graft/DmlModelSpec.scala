@@ -115,11 +115,19 @@ class DmlModelSpec extends SparkSpec {
             t.optimizeCompact(targetBytes = 1L << 20)
           case 6 => // maintenance: fold pending MOR deletes (content no-op)
             t.applyDeletes()
-          case 7 => // flip DELETE/UPDATE between COW and MOR
-            val m = if (rnd.nextBoolean()) "merge-on-read" else "copy-on-write"
-            t.setProperty(GraftTable.DeleteModeProp, m)
-            t.setProperty(GraftTable.UpdateModeProp, m)
-            t.setProperty(GraftTable.MergeModeProp, m)
+          case 7 => // flip DELETE between COW / MOR / deletion vectors,
+            // UPDATE+MERGE between COW / MOR — mixed pending delete
+            // flavors (position + equality + dv) are exactly the
+            // interaction surface this soak exists for
+            val dm = rnd.nextInt(3) match {
+              case 0 => "copy-on-write"
+              case 1 => "merge-on-read"
+              case _ => "dv"
+            }
+            val um = if (rnd.nextBoolean()) "merge-on-read" else "copy-on-write"
+            t.setProperty(GraftTable.DeleteModeProp, dm)
+            t.setProperty(GraftTable.UpdateModeProp, um)
+            t.setProperty(GraftTable.MergeModeProp, um)
           case 8 => // overwrite with a filtered projection of the model
             val keep = rnd.nextInt(7).toLong
             model = model.filter { case (_, (g, _)) => g != keep }

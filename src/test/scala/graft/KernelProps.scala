@@ -271,3 +271,57 @@ object IcebergBoundProps extends Properties("IcebergBounds") {
         encodeBound(IntegerType, v.toString).get(0) == v.toByte
     }
 }
+
+/** The deletion-vector bitmap codec ([[graft.lake.GraftDv]]): set
+  * semantics over the serialized form, both container flavors (sparse
+  * ARRAY ≤ 4096, dense BITMAP), and canonical bytes.
+  */
+object GraftDvProps extends Properties("GraftDv") {
+  import graft.lake.GraftDv
+
+  // position sets spanning sparse AND dense containers: a dense cluster
+  // inside one 64Ki chunk (forces BITMAP) plus scattered positions
+  // (force ARRAY), up to the 2^47 position ceiling
+  private val posSet: Gen[Set[Long]] = for {
+    scatter <- Gen.listOf(Gen.chooseNum(0L, (1L << 40) - 1))
+    base <- Gen.chooseNum(0L, 1L << 20)
+    denseN <- Gen.chooseNum(0, 6000)
+  } yield (scatter ++ (0 until denseN).map(i => base + i * 2L)).toSet
+
+  private def ser(s: Set[Long]): Array[Byte] = GraftDv.fromPositions(s.iterator)
+
+  property("contains == set membership (hits and misses)") = forAll(posSet) { s =>
+    val bytes = ser(s)
+    val probesIn = s.take(50)
+    val probesOut = s.take(50).map(_ + 1).filterNot(s.contains) ++
+      Seq(0L, 65535L, 65536L, (1L << 46) + 7).filterNot(s.contains)
+    probesIn.forall(GraftDv.contains(bytes, _)) &&
+      probesOut.forall(!GraftDv.contains(bytes, _))
+  }
+
+  property("positions round-trips and cardinality is exact") = forAll(posSet) { s =>
+    val bytes = ser(s)
+    GraftDv.positions(bytes).toSet == s &&
+      GraftDv.cardinality(bytes) == s.size.toLong
+  }
+
+  property("union == set union; serialization is canonical") =
+    forAll(posSet, posSet) { (a, b) =>
+      val u = GraftDv.union(ser(a), ser(b))
+      GraftDv.positions(u).toSet == (a ++ b) &&
+        java.util.Arrays.equals(u, ser(a ++ b))
+    }
+
+  property("diffPositions == set difference; null prior = all") =
+    forAll(posSet, posSet) { (a, b) =>
+      GraftDv.diffPositions(ser(a), ser(b)).toSet == (a -- b) &&
+        GraftDv.diffPositions(ser(a), null).toSet == a
+    }
+
+  property("builder merge matches union across chunk boundaries") =
+    forAll(posSet, posSet) { (a, b) =>
+      val ba = GraftDv.newBuilder(); a.foreach(GraftDv.add(ba, _))
+      val bb = GraftDv.newBuilder(); b.foreach(GraftDv.add(bb, _))
+      GraftDv.positions(GraftDv.serialize(GraftDv.mergeInto(ba, bb))).toSet == (a ++ b)
+    }
+}

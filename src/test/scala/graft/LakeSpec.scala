@@ -2370,6 +2370,82 @@ class LakeSpec extends SparkSpec {
       expectMeta = true)
   }
 
+  test("deletion vectors: N point deletes merge to one bitmap per file; lifecycle-aware") {
+    import spark.implicits._
+    def mk(name: String) = {
+      val rows = (1L to 300L).map(k => (k, k % 3, k * 1.5))
+      GraftTable.create(spark, tmp(name),
+        rows.toDF("k", "g", "v").repartition(col("g")), Seq("g"))
+    }
+    val t = mk("dv-life")
+    t.setProperty(GraftTable.DeleteModeProp, "dv")
+    val model = scala.collection.mutable.Map((1L to 300L).map(k => k -> (k % 3, k * 1.5)): _*)
+
+    // N small deletes, several hitting the SAME files
+    val n = 6
+    val deletedSnapIds = scala.collection.mutable.ArrayBuffer[Long]()
+    (0 until n).foreach { i =>
+      val ks = Seq(10L + i, 100L + i, 200L + i)
+      ks.foreach(model.remove)
+      t.delete(col("k").isin(ks.map(Long.box): _*))
+      deletedSnapIds += t.currentId
+      val got = t.read().select("k").collect().map(_.getLong(0)).toSet
+      assert(got === model.keySet.toSet, s"after dv delete $i")
+    }
+    val cur = t.current
+    val dvEntries = cur.deleteFiles.filter(_.dv)
+    assert(dvEntries.nonEmpty && cur.deleteFiles.forall(_.dv))
+    // THE read-amplification invariant: every data file's live bitmap
+    // is owned by exactly ONE dv entry — N delete commits never stack
+    // N probe inputs per file (position-delete mode would carry N
+    // entries into every read's anti-join)
+    val owners = dvEntries.flatMap(_.targets)
+    assert(owners.distinct.size === owners.size,
+      s"a data file's bitmap must live in exactly one dv entry: $owners")
+    assert(cur.deletedRows === (3 * n).toLong, "merged cardinality bookkeeping must be exact")
+    // contrast fixture: the same deletes in position mode DO stack N entries
+    val tp = mk("dv-life-pos")
+    tp.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    (0 until n).foreach(i => tp.delete(col("k").isin(Seq(10L + i, 100L + i, 200L + i).map(Long.box): _*)))
+    assert(tp.current.deleteFiles.size >= n,
+      "position mode: at least one delete file per commit stacks into every read")
+
+    // time travel sees each intermediate vector state
+    val mid = deletedSnapIds(2)
+    assert(t.readAsOfId(mid).count() === 300L - 9L)
+    // $deletes kind
+    assert(t.deletesView.select("kind").collect().map(_.getString(0)).toSet === Set("dv"))
+
+    // changelog across the last three deletes reports exactly those rows
+    val cdcFrom = deletedSnapIds(2); val cdcTo = deletedSnapIds(5)
+    val cdc = t.changelog(cdcFrom, cdcTo).collect()
+    assert(cdc.forall(_.getAs[String]("_change_type") == "delete"))
+    assert(cdc.map(_.getAs[Long]("k")).toSet ===
+      (3 until 6).flatMap(i => Seq(10L + i, 100L + i, 200L + i)).toSet)
+
+    // position deletes from a MOR UPDATE coexist with pending vectors
+    t.setProperty(GraftTable.UpdateModeProp, "merge-on-read")
+    t.update(col("k") === 50L, Map("v" -> lit(-5.0)))
+    model(50L) = (50L % 3, -5.0)
+    assert(t.current.deleteFiles.exists(!_.dv) && t.current.deleteFiles.exists(_.dv))
+    assert(t.read().filter(col("k") === 50L).select("v").head().getDouble(0) === -5.0)
+    assert(t.read().count() === model.size.toLong)
+
+    // OPTIMIZE/applyDeletes folds vectors into rewritten files
+    t.applyDeletes()
+    assert(t.current.deleteFiles.isEmpty)
+    assert(t.read().select("k").collect().map(_.getLong(0)).toSet === model.keySet.toSet)
+
+    // a COW rewrite that drops every target prunes the dv entry
+    t.setProperty(GraftTable.DeleteModeProp, "dv")
+    t.delete(col("k") === 20L); model.remove(20L)
+    assert(t.current.deleteFiles.exists(_.dv))
+    t.setProperty(GraftTable.DeleteModeProp, "copy-on-write")
+    t.delete(col("k") >= 0L || col("k").isNull) // full rewrite... matches all
+    assert(t.current.deleteFiles.isEmpty, "stale dv entries must prune after a full rewrite")
+    assert(t.read().count() === 0L)
+  }
+
   test("adopted TIMESTAMP_MILLIS parquet records no long stats: pruning and meta-agg stay exact") {
     import spark.implicits._
     val root = tmp("adopt-millis")
