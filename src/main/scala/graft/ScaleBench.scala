@@ -602,6 +602,36 @@ object ScaleBench {
     println(s"""{"metric":"dvbench_total","value":${results.values.sum},"unit":"sec","queries":$qs,"sf":"$dir"}""")
   }
 
+  /** Production-k BPE trainer probe (C68): the driver-local merge loop
+    * on a WIDENED synthetic vocabulary (2^16 random words, Zipf
+    * counts — far past any real capped word table's pair diversity),
+    * timed at k ∈ {1024, 4096, 32768}. The claim under test: with the
+    * posting-index delta updates + lazy max-heap argmax, a 32k-merge
+    * vocabulary costs ~the init scan, not O(k·|pairs|).
+    */
+  private def bpeProbe(): Unit = {
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val nWords = 65536
+    val wf = (0 until nWords).map { i =>
+      val len = 6 + rnd.nextInt(12)
+      ((1 to len).map(_ => alpha(rnd.nextInt(26))).mkString,
+        math.max(1L, (nWords.toDouble / (i + 1)).toLong))
+    }.distinct.toArray
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (k <- Seq(1024, 4096, 32768)) {
+      val t0 = System.nanoTime()
+      val out = graft.pipeline.TextOps.bpeMergeLoop(wf, k)
+      val dt = (System.nanoTime() - t0) / 1e9
+      results(s"bpe_k$k") = dt
+      println(f"[bpeprobe] k=$k%-6d merges=${out.size}%-6d time=$dt%8.2f s")
+    }
+    val a = math.log(results("bpe_k32768") / results("bpe_k1024")) / math.log(32.0)
+    println(f"[bpeprobe] exponent alpha=$a%5.2f (flat ⇒ init-dominated)")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"bpeprobe_total","value":${results.values.sum},"unit":"sec","queries":$qs,"sf":"synthetic-65536"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/target/sf1")
@@ -623,6 +653,11 @@ object ScaleBench {
     }
     if (sys.env.contains("SPARK_GRAFT_SCALEBENCH_DV")) {
       dvBench(spark, base)
+      spark.stop()
+      return
+    }
+    if (sys.env.contains("SPARK_GRAFT_SCALEBENCH_BPE")) {
+      bpeProbe()
       spark.stop()
       return
     }

@@ -528,6 +528,44 @@ case class DvDiffPositions(left: Expression, right: Expression)
   override def prettyName: String = "graft_dv_diff_positions"
 }
 
+/** Viterbi piece count of a word under a plan-constant unigram-LM
+  * vocabulary ([[graft.pipeline.UnigramLm.Vocab]]) — C77's distributed
+  * encode kernel: the few-KB vocab rides as a reference object, the
+  * per-row work is one lattice DP over the word.
+  */
+case class UnigramSegmentN(child: Expression, vocab: graft.pipeline.UnigramLm.Vocab)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    graft.pipeline.UnigramLm.segmentCount(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], vocab)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vocab", vocab, "graft.pipeline.UnigramLm.Vocab")
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.UnigramLm.segmentCount($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnigramSegmentN =
+    copy(child = newChild)
+  override def prettyName: String = "graft_unigram_segment_n"
+}
+
+/** The Viterbi segmentation itself, pieces space-joined (spec surface). */
+case class UnigramSegment(child: Expression, vocab: graft.pipeline.UnigramLm.Vocab)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    graft.pipeline.UnigramLm.segmentJoined(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], vocab)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vocab", vocab, "graft.pipeline.UnigramLm.Vocab")
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.UnigramLm.segmentJoined($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnigramSegment =
+    copy(child = newChild)
+  override def prettyName: String = "graft_unigram_segment"
+}
+
 object exprs {
   private def col(e: Expression): Column = Shim.column(e)
   private def ex(c: Column): Expression = Shim.expression(c)
@@ -574,4 +612,8 @@ object exprs {
   def dvCardinality(dv: Column): Column = col(DvCardinality(ex(dv)))
   def dvDiffPositions(a: Column, b: Column): Column = col(DvDiffPositions(ex(a), ex(b)))
   def dvAgg(pos: Column): Column = Shim.column(DvAgg(ex(pos)).toAggregateExpression())
+  def unigramSegmentN(c: Column, v: graft.pipeline.UnigramLm.Vocab): Column =
+    col(UnigramSegmentN(ex(c), v))
+  def unigramSegment(c: Column, v: graft.pipeline.UnigramLm.Vocab): Column =
+    col(UnigramSegment(ex(c), v))
 }

@@ -1998,18 +1998,37 @@ object TextOps {
       pairCnt(p) = pairCnt.getOrElse(p, 0L) + m * cnts(wi)
       posting.getOrElseUpdate(p, mutable.Set.empty) += wi
     }
+    // per-merge argmax via a LAZY max-heap with the scan's exact
+    // selection order (count desc, then "l r" ascending by UTF-8
+    // bytes): every count change pushes a fresh snapshot, pops
+    // validate against the live map and discard stale entries. This is
+    // what makes production-k training driver-cheap — the plain
+    // live-map scan re-reads O(|pairs|) per merge and measures ~8×
+    // slower at k=4096 on a 2^16 vocab (see BENCH_NOTES_r11 bpeprobe);
+    // selection equality stays pinned by the randomized C68 spec.
+    val heapOrd = new Ordering[(Long, String, (String, String))] {
+      def compare(a: (Long, String, (String, String)),
+          b: (Long, String, (String, String))): Int =
+        if (a._1 != b._1) java.lang.Long.compare(a._1, b._1)
+        else if (a._2 == b._2) 0
+        else if (utf8Lt(a._2, b._2)) 1 else -1 // smaller key pops first
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, (String, String))](heapOrd)
+    for ((p, n) <- pairCnt) heap.enqueue((n, p._1 + " " + p._2, p))
+    def pushCurrent(p: (String, String)): Unit =
+      pairCnt.get(p).foreach(n => heap.enqueue((n, p._1 + " " + p._2, p)))
     val out = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var rank = 1
     while (rank <= k && pairCnt.nonEmpty) {
       var best: (String, String) = null
       var bestN = Long.MinValue
-      for ((p, n) <- pairCnt) {
-        if (n > bestN || (n == bestN && utf8Lt(p._1 + " " + p._2, best._1 + " " + best._2))) {
-          best = p; bestN = n
-        }
+      while (best == null) {
+        val (n, _, p) = heap.dequeue()
+        if (pairCnt.get(p).contains(n)) { best = p; bestN = n }
       }
       val (l, r) = best
       out += ((rank.toLong, l, r, bestN))
+      val changed = mutable.Set.empty[(String, String)]
       // rescan only the posting-list words; delta-update the pair maps
       for (wi <- posting(best).toArray) {
         val before = wordPairs(words(wi))
@@ -2031,12 +2050,16 @@ object TextOps {
           if (d != 0L) {
             val n = pairCnt.getOrElse(p, 0L) + d * cnts(wi)
             if (n <= 0L) pairCnt.remove(p) else pairCnt(p) = n
+            changed += p
           }
           if (after.getOrElse(p, 0L) > 0L)
             posting.getOrElseUpdate(p, mutable.Set.empty) += wi
           else posting.get(p).foreach { s => s -= wi; if (s.isEmpty) posting.remove(p) }
         }
       }
+      // one fresh heap snapshot per changed pair per merge (not per
+      // touched word) — heap size stays O(init + Σ changed)
+      changed.foreach(pushCurrent)
       rank += 1
     }
     out.toSeq
@@ -2364,10 +2387,14 @@ object TextOps {
     "pipeline_corpus_e2e" -> (pipelineE2e _),
     "text_chunk"       -> (textChunk _),
     "text_bpe_pairs"   -> (bpePairs _),
+    "text_unigram_train"  -> (UnigramLm.unigramTrain _),
+    "text_unigram_encode" -> (UnigramLm.unigramEncode _),
+    "text_unigram_check"  -> (UnigramLm.unigramCheck _),
     "text_tfidf"       -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
     "quality_auc"      -> qualityAucSql,
+    "text_unigram_check" -> UnigramLm.unigramCheckSql,
     "text_bpe_train"   -> bpeTrainSql,
     "text_bpe_encode"  -> bpeEncodeSql,
     "text_normalize"   -> textNormalizeSql,

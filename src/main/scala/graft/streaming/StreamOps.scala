@@ -568,6 +568,16 @@ object StreamOps {
     * stream is then rolled up per purchase-hour. State partitions on
     * user_id, so the join scales horizontally with no skewed global
     * state.
+    *
+    * STATE BUDGET (rate-proportional, inherent to the operator): peak
+    * buffered rows ≈ ingest rate × (watermark horizon + join window +
+    * trigger span) — the watermark only advances BETWEEN micro-batches,
+    * so unbounded admission (one AvailableNow mega-batch) buffers the
+    * whole backlog before anything evicts. The guard is time-ordered,
+    * trigger-bounded admission (`maxFilesPerTrigger` /
+    * `maxRowsPerTrigger` / `maxOffsetsPerTrigger` on the source):
+    * StreamingSpec D14c pins the budget formula at 1× and 10× rate
+    * (throttled peak 49/168 rows vs 412/4120 buffer-everything).
     */
   def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
     // State-partition sizing (SCOPED set/restore — the conf is read at

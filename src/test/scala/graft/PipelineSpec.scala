@@ -1442,6 +1442,64 @@ class PipelineSpec extends SparkSpec {
     assert(refBpeTrain(wf, TextOps.BpeMerges * 2) === expect)
   }
 
+  test("C77 unigram-LM tokenizer: EM monotone, Viterbi optimal vs brute force, " +
+    "invariants hold, fertility comparable to BPE") {
+    import graft.pipeline.UnigramLm
+    val docs = Tables.documents(spark, sfDir)
+    val (vocab, llTrace) = UnigramLm.trainOf(spark, docs)
+    // EM contract: corpus log-likelihood never decreases WITHIN a
+    // round (pruning between rounds may drop it — that is the trade
+    // pruning makes; each post-prune EM run must still be monotone)
+    val perRound = llTrace.grouped(UnigramLm.EmItersPerRound).toSeq
+    perRound.foreach { r =>
+      r.sliding(2).foreach { case Seq(a, b) =>
+        assert(b >= a - 1e-9, s"EM decreased the likelihood: $a -> $b (trace $llTrace)")
+      case _ => () }
+    }
+    // hard invariants (the check twin's contract, re-asserted here)
+    val chk = UnigramLm.unigramCheck(spark, sfDir).collect().head
+    (0 until 4).foreach(i => assert(chk.getLong(i) === 0L, s"violation col $i: $chk"))
+    // Viterbi optimality: brute-force enumerate ALL segmentations of
+    // sample words (independent recursion, no shared code) and assert
+    // the kernel's piece count achieves the max probability
+    val v = new UnigramLm.Vocab(vocab.map(_._1), vocab.map(_._2))
+    val lpMap = vocab.toMap
+    def allSegs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(UnigramLm.MaxPieceLen, w.length)).flatMap { k =>
+        val h = w.substring(0, k)
+        if (!lpMap.contains(h)) Seq.empty
+        else allSegs(w.substring(k)).map(h +: _)
+      }
+    val words = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .distinct().limit(60).collect().map(_.getString(0))
+    words.foreach { w =>
+      val segs = allSegs(w)
+      assert(segs.nonEmpty, s"no segmentation for corpus word $w")
+      val bestLp = segs.map(_.map(lpMap).sum).max
+      val got = UnigramLm.viterbi(w, v)
+      assert(got.mkString("") === w)
+      assert(math.abs(got.map(lpMap).sum - bestLp) < 1e-9,
+        s"viterbi suboptimal on $w: ${got.toSeq} vs best $bestLp")
+    }
+    // determinism: training twice gives byte-equal vocabularies
+    val (vocab2, _) = UnigramLm.trainOf(spark, docs)
+    assert(vocab2.toSeq === vocab.toSeq)
+    // fertility vs C68 BPE on the same corpus (the C75 comparison):
+    // both tokenizers over the same words — unigram's ML segmentation
+    // should never be drastically WORSE than BPE's greedy merges
+    val ug = UnigramLm.unigramEncode(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("fertility")).toMap
+    val bpe = TextOps.bpeEncode(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("fertility")).toMap
+    assert(ug.keySet === bpe.keySet)
+    val ugMean = ug.values.sum / ug.size
+    val bpeMean = bpe.values.sum / bpe.size
+    info(f"fertility: unigram=$ugMean%.4f bpe=$bpeMean%.4f")
+    assert(ugMean <= bpeMean * 1.25 + 1e-9,
+      s"unigram fertility $ugMean should be comparable to BPE's $bpeMean")
+  }
+
   test("C63/C68 randomized corpora: span removal and BPE match pure-Scala references exactly") {
     import spark.implicits._
     def toks(t: String) =

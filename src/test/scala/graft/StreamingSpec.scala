@@ -202,6 +202,143 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size === 2) // (u1 10:00→10:10) and (u2 10:05→10:35 boundary)
   }
 
+  test("D14c state budget: time-ordered admission keeps join state under the rate×horizon " +
+    "budget at 10× rate; unthrottled single-batch buffers everything") {
+    // THE RECIPE (the operator-level guard for D14's rate-proportional
+    // state): a stream-stream join buffers every input row inside the
+    // watermark horizon, so peak state ∝ ingest RATE × (horizon +
+    // trigger span) — never total history — PROVIDED admission is
+    // time-ordered and trigger-bounded (maxFilesPerTrigger over
+    // ts-sorted files here; maxRowsPerTrigger/maxOffsetsPerTrigger are
+    // the same dial on other sources). Without the bound, one
+    // AvailableNow mega-batch buffers the full corpus: the watermark
+    // only advances BETWEEN batches, so nothing evicts mid-batch.
+    // This spec pins the budget formula at 1× and 10× the ingest rate.
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wmMin = 10; val joinMin = 5
+    val ev0 = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+
+    def stage(dir: String, df: org.apache.spark.sql.DataFrame, nFiles: Int): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val hfs = p.getFileSystem(conf)
+      if (hfs.exists(p)) hfs.delete(p, true)
+      hfs.mkdirs(p)
+      val rows = df.orderBy(col("ts")).collect()
+      val sch = df.schema
+      val per = math.max(1, (rows.length + nFiles - 1) / nFiles)
+      val t0 = System.currentTimeMillis() - 3600 * 1000L
+      rows.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+        val tmp = s"$dir-tmp-$i"
+        spark.createDataFrame(java.util.Arrays.asList(chunk: _*), sch)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = hfs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+        val dst = new org.apache.hadoop.fs.Path(f"$dir/batch-$i%03d.parquet")
+        org.apache.hadoop.fs.FileUtil.copy(hfs, part, hfs, dst, true, conf)
+        hfs.setTimes(dst, t0 + i * 1000L, -1)
+      }
+    }
+
+    val peak = scala.collection.concurrent.TrieMap[String, Long]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryIdle(e: StreamingQueryListener.QueryIdleEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val n = e.progress.name
+        if (n != null) {
+          val rows = e.progress.stateOperators.map(_.numRowsTotal).sum
+          peak(n) = math.max(peak.getOrElse(n, 0L), rows)
+        }
+      }
+    }
+
+    def runJoin(dir: String, name: String, filesPerTrigger: Option[Int]): Set[String] = {
+      val sch = ev0.schema
+      def side = filesPerTrigger
+        .foldLeft(spark.readStream.schema(sch))((r, n) => r.option("maxFilesPerTrigger", n))
+        .parquet(dir)
+      val clicks = side.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", s"$wmMin minutes")
+      val buys = side.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
+        .withWatermark("p_ts", s"$wmMin minutes")
+      val q = clicks.join(buys,
+          col("c_user") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr(s"INTERVAL $joinMin MINUTES"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).collect()
+        .map(r => s"${r.getAs[Long]("c_user")}|${r.getAs[Timestamp]("c_ts")}|" +
+          s"${r.getAs[Timestamp]("p_ts")}|${r.getAs[Double]("p_value")}").toSet
+    }
+
+    // rate-proportional budget from the DATA: the max click+purchase
+    // row count in any sliding window of (horizon + 2 trigger spans) —
+    // horizon = watermark + join window; the 2× covers watermark lag
+    // (it advances between batches) plus the in-flight batch
+    def budgetOf(df: org.apache.spark.sql.DataFrame, nFiles: Int): Long = {
+      val tss = df.select(col("ts")).orderBy(col("ts")).collect().map(_.getTimestamp(0).getTime)
+      val span = (tss.last - tss.head) / nFiles
+      val win = (wmMin + joinMin) * 60000L + 2 * span
+      var best = 0L; var lo = 0
+      tss.indices.foreach { hi =>
+        while (tss(hi) - tss(lo) > win) lo += 1
+        best = math.max(best, (hi - lo + 1).toLong)
+      }
+      best
+    }
+
+    val batchExpected = {
+      val c = ev0.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val p = ev0.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
+      c.join(p, col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr(s"INTERVAL $joinMin MINUTES"))
+        .collect().map(r => s"${r.getAs[Long]("c_user")}|${r.getAs[Timestamp]("c_ts")}|" +
+          s"${r.getAs[Timestamp]("p_ts")}|${r.getAs[Double]("p_value")}").toSet
+    }
+
+    spark.streams.addListener(listener)
+    try {
+      for ((label, copies, nFiles) <- Seq(("x1", 1, 10), ("x10", 10, 40))) {
+        val ev = (0 until copies).map(i =>
+            ev0.withColumn("event_id", col("event_id") + lit(i * 10000000L)))
+          .reduce(_ unionByName _)
+        val total = ev.count()
+        val dir = s"/root/repo/target/laketest/ssbudget-$label"
+        stage(dir, ev, nFiles)
+        val gotThrottled = runJoin(dir, s"ssb_thr_$label", Some(1))
+        val gotUnthrottled = runJoin(dir, s"ssb_unb_$label", None)
+        // correctness is unchanged by the throttle (and ×N-copy inputs
+        // produce the batch pair set ×N² per user pairing — just
+        // compare the two streaming runs to each other and, at 1×, to
+        // the batch join)
+        assert(gotThrottled === gotUnthrottled, s"$label: throttle changed the answer")
+        if (copies == 1) assert(gotThrottled === batchExpected)
+        val thrPeak = peak(s"ssb_thr_$label")
+        val unbPeak = peak(s"ssb_unb_$label")
+        val budget = budgetOf(ev, nFiles)
+        info(f"$label: throttled peak=$thrPeak budget=$budget unthrottled peak=$unbPeak total=$total")
+        assert(thrPeak <= budget,
+          s"$label: throttled peak state $thrPeak exceeds the rate×horizon budget $budget")
+        // the unbounded run buffers the entire corpus in one batch —
+        // the failure mode the recipe exists to prevent
+        assert(unbPeak >= total,
+          s"$label: expected the single-batch run to buffer everything ($unbPeak < $total)")
+        assert(thrPeak.toDouble <= unbPeak.toDouble / 2,
+          s"$label: the throttle must cut peak state materially ($thrPeak vs $unbPeak)")
+      }
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("D14b: stream-stream LEFT OUTER join emits null-padded unmatched rows after the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
