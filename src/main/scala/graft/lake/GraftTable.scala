@@ -1290,6 +1290,51 @@ final class GraftTable(val root: String, spark: SparkSession) {
     this
   }
 
+  /** Hide the rows a deletion-vector set kills: one bitmap row per
+    * data file joins the scan (broadcast under the A56 size gate) and
+    * the per-row test is the codegen'd [[graft.functions.DvContains]]
+    * probe. `df` must carry the `_graft_file`/`_graft_pos` position
+    * columns. Shared by the batch read path and the streaming source
+    * (a static delete frame — stream-static-safe).
+    */
+  private[graft] def minusDvDeletes(df: DataFrame,
+      props: Map[String, String], dvDels: Seq[DeleteFileEntry]): DataFrame = {
+    import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
+    val dvs = dvRows(dvDels)
+    val limit = props.get(GraftTable.DeleteBroadcastProp).map(_.toLong)
+      .getOrElse(GraftTable.DefaultDeleteBroadcastBytes)
+    val hinted =
+      if (GraftTable.deleteSetBytes(dvDels) <= limit) broadcast(dvs) else dvs
+    df.join(hinted, df(PosFileCol) === dvs("file_name"), "left")
+      .filter(col("dv").isNull ||
+        !graft.functions.exprs.dvContains(col("dv"), df(PosIdxCol)))
+      .drop("file_name", "dv")
+  }
+
+  /** The `(file_name, row_index)` coordinates present in `toDels`'
+    * bitmaps but not `fromDels`' — the in-window deletion set both the
+    * batch changelog and the streaming change feed reconstruct victims
+    * from. Output is O(in-window deletions) rows, never a vector
+    * rescan; vectors only grow along forward history (merge = union),
+    * so the diff is exact.
+    */
+  private[graft] def dvDiffRows(toDels: Seq[DeleteFileEntry],
+      fromDels: Seq[DeleteFileEntry]): DataFrame = {
+    val toRows = dvRows(toDels)
+    val joined =
+      if (fromDels.isEmpty) toRows.withColumn("dv_from", lit(null).cast("binary"))
+      else {
+        val f = dvRows(fromDels)
+          .withColumnRenamed("dv", "dv_from")
+          .withColumnRenamed("file_name", "__dv_file_from")
+        toRows.join(f, toRows("file_name") === f("__dv_file_from"), "left")
+          .drop("__dv_file_from")
+      }
+    joined.select(col("file_name"),
+      explode(graft.functions.exprs.dvDiffPositions(col("dv"), col("dv_from")))
+        .as("row_index"))
+  }
+
   /** The live `(file_name, dv)` bitmap rows of a dv entry set: one
     * parquet read per entry, deduped to the NEWEST bitmap per data
     * file (a re-deleted file's merged vector lives in the newer
@@ -2461,20 +2506,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
       val toDvE = to.deleteFiles.filter(_.dv)
       if (toDvE.isEmpty) None
       else {
-        val fromDvE = from.deleteFiles.filter(_.dv)
-        val toRows = dvRows(toDvE)
-        val joined =
-          if (fromDvE.isEmpty) toRows.withColumn("dv_from", lit(null).cast("binary"))
-          else {
-            val f = dvRows(fromDvE)
-              .withColumnRenamed("dv", "dv_from")
-              .withColumnRenamed("file_name", "__dv_file_from")
-            toRows.join(f, toRows("file_name") === f("__dv_file_from"), "left")
-              .drop("__dv_file_from")
-          }
-        val diff = joined.select(col("file_name"),
-          explode(graft.functions.exprs.dvDiffPositions(col("dv"), col("dv_from")))
-            .as("row_index"))
+        val diff = dvDiffRows(toDvE, from.deleteFiles.filter(_.dv))
         val base = readSnapshotPos(from.copy(files = common, shards = Seq.empty))
         Some(base.join(diff,
             base(PosFileCol) === diff("file_name") && base(PosIdxCol) === diff("row_index"),
@@ -2856,17 +2888,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
       // commits produced the vectors
       val afterDv =
         if (dvDels.isEmpty) afterPos
-        else {
-          val dvs = dvRows(dvDels)
-          val limit = s.properties.get(GraftTable.DeleteBroadcastProp).map(_.toLong)
-            .getOrElse(GraftTable.DefaultDeleteBroadcastBytes)
-          val hinted =
-            if (GraftTable.deleteSetBytes(dvDels) <= limit) broadcast(dvs) else dvs
-          afterPos.join(hinted, afterPos(PosFileCol) === dvs("file_name"), "left")
-            .filter(col("dv").isNull ||
-              !graft.functions.exprs.dvContains(col("dv"), afterPos(PosIdxCol)))
-            .drop("file_name", "dv")
-        }
+        else minusDvDeletes(afterPos, s.properties, dvDels)
       if (eqDels.isEmpty) afterDv else minusEqDeletes(afterDv, s, eqDels)
     }
   }

@@ -299,7 +299,14 @@ class GraftSource(
       // while small — GraftTable.deleteRowsHinted/minusEqDeletes); an
       // append-only stream never retracts earlier batches.
       import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
-      val (eqLive, posLive) = liveDels.partition(_.equalityCols.nonEmpty)
+      val (eqLive, rest) = liveDels.partition(_.equalityCols.nonEmpty)
+      // deletion vectors (A90): a dv entry's parquet is (file_name,
+      // dv, rows) bitmaps, NOT (file_name, row_index) coordinates —
+      // it must go through the bitmap probe, never the position
+      // anti-join. A dv entry stamped ≤ startId cannot target delta
+      // files (its bitmap froze at its commit), so the same age filter
+      // applies.
+      val (dvLive, posLive) = rest.partition(_.dv)
       var out = rel
       if (posLive.nonEmpty) {
         val dels = table.deleteRowsHinted(endSnap.properties, posLive)
@@ -307,6 +314,8 @@ class GraftSource(
           out(PosFileCol) === dels("file_name") && out(PosIdxCol) === dels("row_index"),
           "left_anti")
       }
+      if (dvLive.nonEmpty)
+        out = table.minusDvDeletes(out, endSnap.properties, dvLive)
       if (eqLive.nonEmpty)
         out = table.minusEqDeletes(out,
           endSnap.copy(files = delta, shards = Seq.empty), eqLive)
@@ -377,25 +386,29 @@ class GraftSource(
     def posJoin(rel: DataFrame, dels: DataFrame, how: String): DataFrame =
       rel.join(dels,
         rel(PosFileCol) === dels("file_name") && rel(PosIdxCol) === dels("row_index"), how)
-    // hide rows a (position ++ equality) delete set kills; `files` is
-    // the addedBy-stamp universe equality sequencing reads
+    // hide rows a (position ++ dv ++ equality) delete set kills;
+    // `files` is the addedBy-stamp universe equality sequencing reads
     def applyDels(rel: DataFrame, files: Seq[graft.lake.FileEntry],
-        pos: Seq[DeleteFileEntry], eq: Seq[DeleteFileEntry]): DataFrame = {
+        pos: Seq[DeleteFileEntry], eq: Seq[DeleteFileEntry],
+        dv: Seq[DeleteFileEntry] = Seq.empty): DataFrame = {
       var out = rel
       if (pos.nonEmpty)
         out = posJoin(out, table.deleteRowsHinted(endSnap.properties, pos), "left_anti")
+      if (dv.nonEmpty)
+        out = table.minusDvDeletes(out, endSnap.properties, dv)
       if (eq.nonEmpty)
         out = table.minusEqDeletes(out, endSnap.copy(files = files, shards = Seq.empty), eq)
       out
     }
     if (startId <= 0) {
       // initial load: the end snapshot's full logical content, as inserts
-      val (eqD, posD) = endSnap.deleteFiles.partition(_.equalityCols.nonEmpty)
+      val (eqD, restD) = endSnap.deleteFiles.partition(_.equalityCols.nonEmpty)
+      val (dvD, posD) = restD.partition(_.dv)
       val rel = GraftFileIndex.relation(spark, root, endSnap.copy(shards = Seq.empty),
         isStreaming = true, withRowPos = endSnap.deleteFiles.nonEmpty)
       val visible =
         if (endSnap.deleteFiles.isEmpty) rel
-        else applyDels(rel, endSnap.files, posD, eqD).drop(PosFileCol, PosIdxCol)
+        else applyDels(rel, endSnap.files, posD, eqD, dvD).drop(PosFileCol, PosIdxCol)
       return withChangeType(visible, "insert").select(order: _*)
     }
     // window lineage (startId, endId], oldest-first
@@ -431,17 +444,27 @@ class GraftSource(
         val startDel = table.snapshot(startId).deleteFiles.map(_.path).toSet
         endSnap.deleteFiles.filterNot(d => startDel.contains(d.path))
       } else
-        additive.flatMap(s => s.deleteFiles.filter(_.addedBy == s.id))
+        additive.flatMap(s => s.deleteFiles.filter(d => d.addedBy == s.id && !d.dv))
           .groupBy(_.path).map(_._2.head).toSeq
-    val (winEq, winPos) = winDels.partition(_.equalityCols.nonEmpty)
+    val (winEq, winPos) = winDels.filterNot(_.dv).partition(_.equalityCols.nonEmpty)
+    // deletion vectors diff by BITMAP, not by entry path (a merge
+    // commit rewrites a file's vector under a new path while the old
+    // entry shrinks): the in-window victims are exactly dv(end) ∖
+    // dv(start) per file, reconstructed below. The END snapshot's
+    // age-filtered entries are the current owners of every bitmap an
+    // in-window dv commit touched (an entry stamped ≤ startId cannot
+    // target in-window files).
+    val winDv: Seq[DeleteFileEntry] = endSnap.deleteFiles.filter(d =>
+      d.dv && (d.addedBy == 0L || d.addedBy > startId))
+    val anyDels = winDels.nonEmpty || winDv.nonEmpty
     val insRel = GraftFileIndex.relation(spark, root,
       endSnap.copy(files = insFiles, shards = Seq.empty),
-      isStreaming = true, withRowPos = winDels.nonEmpty)
-    val inserts = applyDels(insRel, insFiles, winPos, winEq)
+      isStreaming = true, withRowPos = anyDels)
+    val inserts = applyDels(insRel, insFiles, winPos, winEq, winDv)
     val insTagged = withChangeType(
-      if (winDels.isEmpty) inserts else inserts.drop(PosFileCol, PosIdxCol),
+      if (!anyDels) inserts else inserts.drop(PosFileCol, PosIdxCol),
       "insert").select(order: _*)
-    if (winDels.isEmpty) return insTagged
+    if (!anyDels) return insTagged
     def base(p: String): String = p.substring(p.lastIndexOf('/') + 1)
     // deletes committed at or before the window start — rows they
     // already killed were never visible at startId and must not re-emit
@@ -486,17 +509,51 @@ class GraftSource(
           val preRel = GraftFileIndex.relation(spark, root,
             endSnap.copy(files = cands, shards = Seq.empty),
             isStreaming = true, withRowPos = true)
-          // winPos applies here too: a row position-deleted IN-WINDOW
-          // already streamed as posPre's delete — letting it reach the
-          // equality split would emit the same pre-image twice (a
-          // retraction consumer would subtract it twice)
-          val preBase = applyDels(preRel, cands, startPos ++ winPos, startEq)
+          // winPos and the dv bitmaps apply here too: a row position-
+          // or dv-deleted IN-WINDOW already streamed as its own delete
+          // (and a row dv-dead BEFORE the window was never visible at
+          // start) — letting either reach the equality split would
+          // emit a pre-image twice / wrongly (a retraction consumer
+          // would subtract it twice)
+          val preBase = applyDels(preRel, cands, startPos ++ winPos, startEq,
+            endSnap.deleteFiles.filter(_.dv))
           table.eqDeleteSplit(preBase,
               endSnap.copy(files = cands, shards = Seq.empty), winEq)._2
             .map(_.drop(PosFileCol, PosIdxCol))
         }
       }
-    (posPre.toSeq ++ eqPre.toSeq).foldLeft(insTagged)((acc, d) =>
+    // dv pre-images: in-window victims = dv(end) ∖ dv(start) coordinates
+    // on PRE-WINDOW files (in-window insert files were suppressed on the
+    // insert side instead — Delta CDC semantics: added-and-deleted
+    // in-window appears as neither). Coordinates are exact, so no
+    // overlap with posPre (each victim is claimed by exactly one delete
+    // mechanism: the dv scan at its commit applied all pending deletes)
+    val dvPre: Option[DataFrame] =
+      if (winDv.isEmpty) None
+      else {
+        val diff = table.dvDiffRows(
+          endSnap.deleteFiles.filter(_.dv),
+          table.snapshot(startId).deleteFiles.filter(_.dv))
+        // touched-file pull: bounded by the dv target lists, which the
+        // manifest already holds driver-side
+        val targets = winDv.flatMap(_.targets).toSet
+        val preFiles = snaps.flatMap(s => s.files.filter(f =>
+            targets.contains(base(f.path)) && f.addedBy <= startId))
+          .groupBy(_.path).map(_._2.head).toSeq
+        if (preFiles.isEmpty) None
+        else {
+          val preRel = GraftFileIndex.relation(spark, root,
+            endSnap.copy(files = preFiles, shards = Seq.empty),
+            isStreaming = true, withRowPos = true)
+          val preBase = applyDels(preRel, preFiles, Seq.empty, startEq)
+          Some(preBase.join(diff,
+              preBase(PosFileCol) === diff("file_name") &&
+                preBase(PosIdxCol) === diff("row_index"),
+              "left_semi")
+            .drop(PosFileCol, PosIdxCol))
+        }
+      }
+    (posPre.toSeq ++ eqPre.toSeq ++ dvPre.toSeq).foldLeft(insTagged)((acc, d) =>
       acc.unionByName(withChangeType(d, "delete").select(order: _*)))
   }
 

@@ -894,6 +894,87 @@ class StreamingSpec extends SparkSpec {
     assert(changes.isEmpty, s"in-window add+delete must cancel: $changes")
   }
 
+  test("D12-dv: readChangeFeed over DELETION-VECTOR commits reconstructs victims from bitmap diffs") {
+    import spark.implicits._
+    val root = "/root/repo/target/laketest/cdcstream-dv"
+    val ckpt = "/root/repo/target/laketest/cdcstream-dv-ckpt"
+    for (p <- Seq(root, ckpt)) {
+      val f = new java.io.File(p)
+      if (f.exists()) { import scala.sys.process._; Seq("rm", "-rf", p).! }
+    }
+    val t = GraftTable.create(spark, root,
+      (1L to 12L).map(i => (i, s"k$i")).toDF("id", "k"))
+    t.setProperty(GraftTable.DeleteModeProp, "dv")
+    val changes = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
+    def drainOnce(): Unit = {
+      val q = spark.readStream.format("graft.streaming.GraftSourceProvider")
+        .option("path", root).option("readChangeFeed", "true").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          changes ++= batch.select("_change_type", "id", "k").collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getString(2))); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // initial load with a PENDING vector: dv-dead rows must not load
+    t.delete(col("id") === 1L)
+    drainOnce()
+    assert(changes.toSet === (2L to 12L).map(i => ("insert", i, s"k$i")).toSet,
+      s"initial load must apply the pending vector: $changes")
+    changes.clear()
+    // one window spanning: an append, TWO stacked dv deletes (the
+    // second MERGES the first file's vector — entry paths churn, the
+    // bitmap diff must still name exactly the new victims), and an
+    // in-window add+dv-delete pair that must cancel
+    t.append(Seq((20L, "t"), (21L, "u")).toDF("id", "k"))
+    t.delete(col("id") === 2L)
+    t.delete(col("id").isin(3L, 21L)) // 21 was added in-window → cancels
+    drainOnce()
+    assert(changes.toSet === Set(
+      ("insert", 20L, "t"),
+      ("delete", 2L, "k2"), ("delete", 3L, "k3")
+    ), s"dv window changes: $changes")
+    changes.clear()
+    // fold-back maintenance stays silent; the next dv delete still streams
+    t.applyDeletes()
+    drainOnce()
+    assert(changes.isEmpty, s"applyDeletes must not re-emit: $changes")
+    t.delete(col("id") === 4L)
+    drainOnce()
+    assert(changes.toSet === Set(("delete", 4L, "k4")), s"post-fold dv delete: $changes")
+    // retractions shape over a fresh dv table: incremental state
+    // converges to the batch table under dv deletes
+    val root2 = s"$root-retr"; val ckpt2 = s"$ckpt-retr"
+    for (p <- Seq(root2, ckpt2)) {
+      val f = new java.io.File(p)
+      if (f.exists()) { import scala.sys.process._; Seq("rm", "-rf", p).! }
+    }
+    val t2 = GraftTable.create(spark, root2,
+      (1L to 8L).map(i => (i, i * 10L)).toDF("id", "v"))
+    t2.setProperty(GraftTable.DeleteModeProp, "dv")
+    val state = scala.collection.mutable.Map.empty[Long, Long]
+    def drainRetr(): Unit = {
+      val q = spark.readStream.format("graft.streaming.GraftSourceProvider")
+        .option("path", root2).option("deletesAsRetractions", "true").load()
+        .writeStream.option("checkpointLocation", ckpt2)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("_graft_retract", "id", "v").collect().foreach { r =>
+            if (r.getBoolean(0)) state.remove(r.getLong(1))
+            else state(r.getLong(1)) = r.getLong(2)
+          }; ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainRetr()
+    t2.delete(col("id").isin(2L, 5L))
+    t2.delete(col("id") === 7L)
+    drainRetr()
+    val want = t2.read().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state.toMap === want, s"retraction state diverged: $state vs $want")
+  }
+
   test("D12b: a copy-on-write rewrite stops the change feed unless skipChangeCommits") {
     import spark.implicits._
     val root = "/root/repo/target/laketest/cdccow"
