@@ -1213,55 +1213,73 @@ final class GraftTable(val root: String, spark: SparkSession) {
     import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
     val (cands, _, _) = pruneFiles(pred)
     val (dvOld, otherDels) = cur.deleteFiles.partition(_.dv)
-    var newEntry: Option[DeleteFileEntry] = None
-    var shrunk: Seq[DeleteFileEntry] = dvOld
-    if (cands.nonEmpty) {
-      val live = readSnapshotPos(cur.copy(files = cands, shards = Seq.empty))
-      val hits = live.filter(pred <=> lit(true))
-        .select(col(PosFileCol).as("file_name"), col(PosIdxCol).as("row_index"))
-      val newDv = hits.groupBy(col("file_name"))
-        .agg(graft.functions.exprs.dvAgg(col("row_index")).as("dv_new"))
-      val merged =
-        if (dvOld.isEmpty)
-          newDv.select(col("file_name"), col("dv_new").as("dv"))
-        else {
-          val old = dvRows(dvOld).withColumnRenamed("dv", "dv_old")
-          newDv.join(old, Seq("file_name"), "left")
-            .select(col("file_name"),
-              when(col("dv_old").isNull, col("dv_new"))
-                .otherwise(graft.functions.exprs.dvUnion(col("dv_new"), col("dv_old")))
-                .as("dv"))
-        }
-      val relDir = s"deletes/${cur.id + 1}-dv-${UUID.randomUUID()}"
-      val dirStr = s"$root/$relDir"
-      merged
-        .withColumn("rows", graft.functions.exprs.dvCardinality(col("dv")))
-        .coalesce(1).write.mode("overwrite").parquet(dirStr)
-      val conf = spark.sparkContext.hadoopConfiguration
-      val dirP = new org.apache.hadoop.fs.Path(dirStr)
-      val hfs = dirP.getFileSystem(conf)
-      // per-file (basename, cardinality) — bounded by the touched-file
-      // count, which the manifest's `targets` list must hold anyway
-      val perFile = spark.read.parquet(dirStr)
-        .select(col("file_name"), col("rows")).collect()
-        .map(r => r.getString(0) -> r.getLong(1))
-      if (perFile.isEmpty) hfs.delete(dirP, true)
+    val dvList =
+      if (cands.isEmpty) dvOld
       else {
-        val part = hfs.listStatus(dirP).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .sortBy(_.getPath.getName).head
-        newEntry = Some(DeleteFileEntry(
-          s"$relDir/${part.getPath.getName}", perFile.map(_._2).sum,
-          GraftTable.PendingAddedBy, part.getLen,
-          targets = perFile.map(_._1).toSeq.sorted, dv = true))
-        // shrink superseded entries: their bitmaps for the touched
-        // files now live in the new entry — drop those basenames from
-        // `targets` and their cardinality from `rows` (exact: computed
-        // from the old parquets in ONE job), dropping entries that end
-        // up covering nothing
-        val touched = perFile.map(_._1).toSet
-        val overlapping = dvOld.filter(_.targets.exists(touched.contains))
-        if (overlapping.nonEmpty) {
+        val live = readSnapshotPos(cur.copy(files = cands, shards = Seq.empty))
+        val hits = live.filter(pred <=> lit(true))
+          .select(col(PosFileCol).as("file_name"), col(PosIdxCol).as("row_index"))
+        mergedDvEntries(hits, cur.id + 1, dvOld)._1
+      }
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "delete", files = cur.files,
+      addedFiles = 0, deletedFiles = 0,
+      deleteFiles = otherDels ++ dvList))
+    this
+  }
+
+  /** The dv commit kernel shared by DELETE/UPDATE/MERGE in dv mode:
+    * aggregate `hits` (file_name, row_index) into per-file bitmaps
+    * ([[graft.functions.DvAgg]]), UNION with each touched file's
+    * existing vector, write one merged parquet, and rebuild ownership —
+    * superseded old entries shrink their `targets`/`rows` bookkeeping
+    * exactly (one job over the old parquets), entries left covering
+    * nothing drop. Returns (the REPLACEMENT dv entry list, whether any
+    * row matched); non-dv entries are the caller's to carry.
+    */
+  private def mergedDvEntries(hits: DataFrame, snapId: Long,
+      dvOld: Seq[DeleteFileEntry]): (Seq[DeleteFileEntry], Boolean) = {
+    val newDv = hits.groupBy(col("file_name"))
+      .agg(graft.functions.exprs.dvAgg(col("row_index")).as("dv_new"))
+    val merged =
+      if (dvOld.isEmpty)
+        newDv.select(col("file_name"), col("dv_new").as("dv"))
+      else {
+        val old = dvRows(dvOld).withColumnRenamed("dv", "dv_old")
+        newDv.join(old, Seq("file_name"), "left")
+          .select(col("file_name"),
+            when(col("dv_old").isNull, col("dv_new"))
+              .otherwise(graft.functions.exprs.dvUnion(col("dv_new"), col("dv_old")))
+              .as("dv"))
+      }
+    val relDir = s"deletes/$snapId-dv-${UUID.randomUUID()}"
+    val dirStr = s"$root/$relDir"
+    merged
+      .withColumn("rows", graft.functions.exprs.dvCardinality(col("dv")))
+      .coalesce(1).write.mode("overwrite").parquet(dirStr)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirP = new org.apache.hadoop.fs.Path(dirStr)
+    val hfs = dirP.getFileSystem(conf)
+    // per-file (basename, cardinality) — bounded by the touched-file
+    // count, which the manifest's `targets` list must hold anyway
+    val perFile = spark.read.parquet(dirStr)
+      .select(col("file_name"), col("rows")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    if (perFile.isEmpty) { hfs.delete(dirP, true); (dvOld, false) }
+    else {
+      val part = hfs.listStatus(dirP).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName).head
+      val newEntry = DeleteFileEntry(
+        s"$relDir/${part.getPath.getName}", perFile.map(_._2).sum,
+        GraftTable.PendingAddedBy, part.getLen,
+        targets = perFile.map(_._1).toSeq.sorted, dv = true)
+      val touched = perFile.map(_._1).toSet
+      val overlapping = dvOld.filter(_.targets.exists(touched.contains))
+      val shrunk =
+        if (overlapping.isEmpty) dvOld
+        else {
           val replacedCards: Map[String, Long] = overlapping.map { e =>
               spark.read.parquet(GraftTable.resolveEntry(root, e.path))
                 .filter(col("file_name").isin(e.targets.filter(touched.contains): _*))
@@ -1270,7 +1288,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
             .groupBy(col("p"))
             .agg(sum(graft.functions.exprs.dvCardinality(col("dv"))).as("c"))
             .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-          shrunk = dvOld.flatMap { e =>
+          dvOld.flatMap { e =>
             if (!e.targets.exists(touched.contains)) Some(e)
             else {
               val remaining = e.targets.filterNot(touched.contains)
@@ -1280,14 +1298,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
             }
           }
         }
-      }
+      (shrunk :+ newEntry, true)
     }
-    commit(cur.copy(
-      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
-      operation = "delete", files = cur.files,
-      addedFiles = 0, deletedFiles = 0,
-      deleteFiles = otherDels ++ shrunk ++ newEntry.toSeq))
-    this
   }
 
   /** Hide the rows a deletion-vector set kills: one bitmap row per
@@ -1560,8 +1572,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
     import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
     val (cands, _, _) = pruneFiles(pred)
     val sch = schema
-    val (delEntries, added) =
-      if (cands.isEmpty) (Seq.empty[DeleteFileEntry], Seq.empty[FileEntry])
+    val (newDeleteList, added) =
+      if (cands.isEmpty) (cur.deleteFiles, Seq.empty[FileEntry])
       else {
         val live = readSnapshotPos(cur.copy(files = cands, shards = Seq.empty))
         // two consumers (delete positions + post-images) — persist so the
@@ -1569,10 +1581,22 @@ final class GraftTable(val root: String, spark: SparkSession) {
         val matched = live.filter(pred <=> lit(true))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val dels = writeDeleteFiles(
-            matched.select(col(PosFileCol).as("file_name"), col(PosIdxCol).as("row_index")),
-            cur.id + 1)
-          if (dels.isEmpty) (dels, Seq.empty[FileEntry])
+          val hits = matched.select(
+            col(PosFileCol).as("file_name"), col(PosIdxCol).as("row_index"))
+          // write.delete.mode=dv governs the POSITION-DELETE
+          // representation everywhere it is written: a dv-mode MOR
+          // update folds the pre-image coordinates into the per-file
+          // bitmaps instead of appending a position file per commit
+          val (delList, any) =
+            if (cur.properties.get(GraftTable.DeleteModeProp).contains("dv")) {
+              val (dvOld, other) = cur.deleteFiles.partition(_.dv)
+              val (dvList, matchedAny) = mergedDvEntries(hits, cur.id + 1, dvOld)
+              (other ++ dvList, matchedAny)
+            } else {
+              val dels = writeDeleteFiles(hits, cur.id + 1)
+              (cur.deleteFiles ++ dels, dels.nonEmpty)
+            }
+          if (!any) (cur.deleteFiles, Seq.empty[FileEntry])
           else {
             val depDests = cur.deps.map(_.dest).toSet.filterNot(set.keySet.contains)
             val base = matched.drop(PosFileCol, PosIdxCol)
@@ -1585,7 +1609,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
               }
             }
             val updated = base.select(projected: _*).drop(depDests.toSeq: _*)
-            (dels, writeFiles(updated, cur.partitionCols, cur.deps, cur.id + 1))
+            (delList, writeFiles(updated, cur.partitionCols, cur.deps, cur.id + 1))
           }
         } finally matched.unpersist()
       }
@@ -1593,7 +1617,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
       operation = "update", files = cur.files ++ added,
       addedFiles = added.size, deletedFiles = 0,
-      deleteFiles = cur.deleteFiles ++ delEntries))
+      deleteFiles = newDeleteList))
     this
   }
 
@@ -1688,20 +1712,34 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * (default) resolves exact coordinates, paying one pruned target
     * scan for a cheaper read side.
     */
-  private def morDeleteEntries(
-      cur: Snapshot, srcKeys: DataFrame, keyCols: Seq[String]): Seq[DeleteFileEntry] =
-    if (cur.properties.get(GraftTable.MergeDeleteKindProp).contains("equality"))
-      writeEqDeleteFiles(srcKeys, keyCols, cur.id + 1)
-    else {
+  /** The MOR merge/merge-delete deletion list, routed by flavor —
+    * returns (the snapshot's FULL replacement deleteFiles list, whether
+    * anything was deleted). Equality and position flavors append;
+    * dv-mode position hits fold into the per-file bitmaps
+    * ([[mergedDvEntries]]), which REPLACES superseded dv entries.
+    */
+  private def morDeleteList(
+      cur: Snapshot, srcKeys: DataFrame, keyCols: Seq[String]): (Seq[DeleteFileEntry], Boolean) =
+    if (cur.properties.get(GraftTable.MergeDeleteKindProp).contains("equality")) {
+      val dels = writeEqDeleteFiles(srcKeys, keyCols, cur.id + 1)
+      (cur.deleteFiles ++ dels, dels.nonEmpty)
+    } else {
       import org.apache.spark.sql.graft.GraftFileIndex.{PosFileCol, PosIdxCol}
       val cands = sourceKeyCandidates(srcKeys, keyCols)
-      if (cands.isEmpty) Seq.empty[DeleteFileEntry]
+      if (cands.isEmpty) (cur.deleteFiles, false)
       else {
         val matched = readSnapshotPos(cur.copy(files = cands, shards = Seq.empty))
           .join(sourceKeysHinted(cur.properties, srcKeys), keyCols, "left_semi")
-        writeDeleteFiles(
-          matched.select(col(PosFileCol).as("file_name"), col(PosIdxCol).as("row_index")),
-          cur.id + 1)
+        val hits = matched.select(
+          col(PosFileCol).as("file_name"), col(PosIdxCol).as("row_index"))
+        if (cur.properties.get(GraftTable.DeleteModeProp).contains("dv")) {
+          val (dvOld, other) = cur.deleteFiles.partition(_.dv)
+          val (dvList, any) = mergedDvEntries(hits, cur.id + 1, dvOld)
+          (other ++ dvList, any)
+        } else {
+          val dels = writeDeleteFiles(hits, cur.id + 1)
+          (cur.deleteFiles ++ dels, dels.nonEmpty)
+        }
       }
     }
 
@@ -1727,13 +1765,13 @@ final class GraftTable(val root: String, spark: SparkSession) {
   private def mergeMor(
       source: DataFrame, srcKeys: DataFrame, keyCols: Seq[String]): GraftTable = {
     val cur = current
-    val delEntries = morDeleteEntries(cur, srcKeys, keyCols)
+    val (delList, _) = morDeleteList(cur, srcKeys, keyCols)
     val added = writeFiles(source, cur.partitionCols, cur.deps, cur.id + 1)
     commit(cur.copy(
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
       operation = "merge", files = cur.files ++ added,
       addedFiles = added.size, deletedFiles = 0,
-      deleteFiles = cur.deleteFiles ++ delEntries))
+      deleteFiles = delList))
     this
   }
 
@@ -1875,12 +1913,12 @@ final class GraftTable(val root: String, spark: SparkSession) {
       // coordinates. Both leave every data file in place.
       if (cur.properties.get(GraftTable.MergeModeProp).contains("merge-on-read")
           && uniqueBaseNames(cur)) {
-        val dels = morDeleteEntries(cur, srcKeys, keyCols)
-        if (dels.nonEmpty) commit(cur.copy(
+        val (delList, any) = morDeleteList(cur, srcKeys, keyCols)
+        if (any) commit(cur.copy(
           id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
           operation = "merge-delete", files = cur.files,
           addedFiles = 0, deletedFiles = 0,
-          deleteFiles = cur.deleteFiles ++ dels))
+          deleteFiles = delList))
         return this
       }
       val cands = sourceKeyCandidates(srcKeys, keyCols)

@@ -243,6 +243,66 @@ object AnnIndex {
         .orderBy(col("query_id"), col("rank"))
     }
 
+  /** Property on the `codes` table recording the corpus snapshot the
+    * index is synced THROUGH — [[sync]]'s incremental watermark.
+    */
+  val SyncedSnapshotProp = "ann.synced.snapshot"
+
+  /** Build the index from a graft lake corpus table and stamp the
+    * sync watermark at its current snapshot — the entry point for
+    * lake-maintained indexes.
+    */
+  def buildFromTable(s: SparkSession, corpus: GraftTable, indexRoot: String): Unit = {
+    val snapId = corpus.currentId
+    build(s, corpus.read().select(col("vec_id"), col("embedding")), indexRoot)
+    new GraftTable(codesRoot(indexRoot), s)
+      .setProperty(SyncedSnapshotProp, snapId.toString)
+    ()
+  }
+
+  /** Maintain the index against its lake corpus table: encode ONLY the
+    * rows appended since the recorded watermark snapshot (the A27
+    * incremental-read shape — the delta is planned from manifest
+    * `addedBy` stamps, the pre-sync corpus is never rescanned), append
+    * them under the FROZEN codebooks, and advance the watermark — one
+    * metadata commit. Returns the delta row count (from manifest row
+    * counts, no count() job). The window must be append-only: a
+    * rewrite (COW delete/update, overwrite, rollback) changes rows the
+    * index already encoded, which an append cannot express — sync
+    * refuses loudly and the remedy is [[buildFromTable]] (the same
+    * contract the A27 incremental reader documents).
+    */
+  def sync(s: SparkSession, corpus: GraftTable, indexRoot: String): Long = {
+    val codesT = new GraftTable(codesRoot(indexRoot), s)
+    val last = codesT.properties.getOrElse(SyncedSnapshotProp,
+      throw new IllegalStateException(
+        s"index at $indexRoot has no sync watermark — build it with " +
+          "buildFromTable first")).toLong
+    val cur = corpus.currentId
+    if (cur == last) return 0L
+    // append-only window proof from the manifests alone
+    var id = cur
+    while (id > last) {
+      val snap = corpus.snapshot(id)
+      require(snap.deletedFiles == 0 && snap.deleteFiles.forall(_.addedBy <= last),
+        s"corpus snapshot $id ('${snap.operation}') rewrites or deletes rows " +
+          s"the index already encoded — incremental sync cannot express that; " +
+          "rebuild with buildFromTable")
+      id = snap.parentId
+    }
+    val from = corpus.snapshot(last).files.map(_.path).toSet
+    val deltaRows = corpus.snapshot(cur).files
+      .filterNot(f => from.contains(f.path)).map(_.rows).sum
+    if (deltaRows > 0L) {
+      append(s, corpus.readIncremental(last, cur)
+        .select(col("vec_id"), col("embedding")), indexRoot)
+      ()
+    }
+    new GraftTable(codesRoot(indexRoot), s)
+      .setProperty(SyncedSnapshotProp, cur.toString)
+    deltaRows
+  }
+
   private def workRoot(d: String) =
     s"/root/repo/target/lakework/annindex-${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
 

@@ -124,6 +124,50 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("lake-maintained index: sync encodes only the A27 snapshot delta; rewrites refuse") {
+    import org.apache.spark.sql.functions.{array, concat, lit, slice}
+    val corpusRoot = "/root/repo/target/laketest/annindex-corpus"
+    val t = GraftTable.create(spark, corpusRoot, corpus)
+    AnnIndex.buildFromTable(spark, t, root)
+    val codesT = new GraftTable(s"$root/codes", spark)
+    assert(codesT.properties(AnnIndex.SyncedSnapshotProp).toLong === t.currentId)
+    val preFiles = codesT.current.files.map(_.path).toSet
+    val preRows = codesT.current.files.map(_.rows).sum
+
+    // no-op sync: nothing new, zero encode, watermark unchanged
+    assert(AnnIndex.sync(spark, t, root) === 0L)
+    assert(new GraftTable(s"$root/codes", spark).current.files.map(_.path).toSet === preFiles)
+
+    // two appends, one sync: exactly the delta encodes
+    def planted(offset: Long, take: Int) = corpus.filter(col("vec_id") < take)
+      .select((col("vec_id") + offset).as("vec_id"),
+        concat(slice(col("embedding"), 1, VectorOps.PlantKeepDims),
+          array(Seq.fill(VectorOps.EmbDim - VectorOps.PlantKeepDims)(lit(0.0f)): _*))
+          .as("embedding"))
+    t.append(planted(600000000L, 2))
+    t.append(planted(700000000L, 1))
+    val n = AnnIndex.sync(spark, t, root)
+    assert(n === 3L, s"sync must report the manifest delta, got $n")
+    val t2 = new GraftTable(s"$root/codes", spark)
+    assert(t2.properties(AnnIndex.SyncedSnapshotProp).toLong === t.currentId)
+    preFiles.foreach(p => assert(t2.current.files.exists(_.path == p),
+      s"sync must not touch existing index file $p"))
+    assert(t2.current.files.map(_.rows).sum === preRows + 3L)
+    // the synced rows are immediately findable through the index
+    val got = AnnIndex.query(spark, root, t.read().select(col("vec_id"), col("embedding")),
+      planted(600000000L, 2).select(col("vec_id").as("query_id"), col("embedding")), 2L)
+      .collect()
+    (0 until 2).foreach { i =>
+      assert(got.filter(_.getAs[Long]("query_id") == 600000000L + i)
+        .map(_.getAs[Long]("neighbor_id")).contains(i.toLong))
+    }
+
+    // a rewrite in the window refuses: the index cannot express it
+    t.delete(col("vec_id") === 600000000L)
+    val ex = intercept[IllegalArgumentException] { AnnIndex.sync(spark, t, root) }
+    assert(ex.getMessage.contains("rebuild"))
+  }
+
   test("driver entries: persisted results well-formed; check twin green") {
     val df = AnnIndex.annIvfPqPersisted(spark, sfDir)
     assert(df.columns.toSeq === Seq("query_id", "neighbor_id", "cos_sim", "rank"))

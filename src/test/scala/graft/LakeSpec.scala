@@ -2423,12 +2423,35 @@ class LakeSpec extends SparkSpec {
     assert(cdc.map(_.getAs[Long]("k")).toSet ===
       (3 until 6).flatMap(i => Seq(10L + i, 100L + i, 200L + i)).toSet)
 
-    // position deletes from a MOR UPDATE coexist with pending vectors
+    // dv mode governs the position-delete REPRESENTATION everywhere:
+    // a MOR UPDATE's pre-image coordinates fold into the bitmaps (no
+    // position entry appears), post-images append normally
     t.setProperty(GraftTable.UpdateModeProp, "merge-on-read")
     t.update(col("k") === 50L, Map("v" -> lit(-5.0)))
     model(50L) = (50L % 3, -5.0)
-    assert(t.current.deleteFiles.exists(!_.dv) && t.current.deleteFiles.exists(_.dv))
+    assert(t.current.deleteFiles.forall(_.dv),
+      s"dv-mode MOR update must not write position entries: ${t.current.deleteFiles}")
     assert(t.read().filter(col("k") === 50L).select("v").head().getDouble(0) === -5.0)
+    assert(t.read().count() === model.size.toLong)
+    // keyed MOR MERGE (position flavor) folds its pre-images the same way
+    t.setProperty(GraftTable.MergeModeProp, "merge-on-read")
+    t.merge(Seq((60L, 60L % 3, -6.0), (9001L, 9001L % 3, 1.0))
+      .toDF("k", "g", "v").repartition(col("g")), Seq("k"))
+    model(60L) = (60L % 3, -6.0); model(9001L) = (9001L % 3, 1.0)
+    assert(t.current.deleteFiles.forall(_.dv),
+      s"dv-mode MOR merge must not write position entries: ${t.current.deleteFiles}")
+    val ownersAfter = t.current.deleteFiles.flatMap(_.targets)
+    assert(ownersAfter.distinct.size === ownersAfter.size,
+      "one-owner invariant must survive update/merge dv folds")
+    assert(t.read().filter(col("k") === 60L).select("v").head().getDouble(0) === -6.0)
+    assert(t.read().count() === model.size.toLong)
+    // equality-flavor merges still write equality entries (dv only
+    // replaces the POSITION representation)
+    t.setProperty(GraftTable.MergeDeleteKindProp, "equality")
+    t.merge(Seq((70L, 70L % 3, -7.0)).toDF("k", "g", "v").repartition(col("g")), Seq("k"))
+    model(70L) = (70L % 3, -7.0)
+    assert(t.current.deleteFiles.exists(_.equalityCols.nonEmpty))
+    assert(t.read().filter(col("k") === 70L).select("v").head().getDouble(0) === -7.0)
     assert(t.read().count() === model.size.toLong)
 
     // OPTIMIZE/applyDeletes folds vectors into rewritten files
