@@ -69,6 +69,26 @@ private[graft] object PlanAudit {
     val sePlan = se.queryExecution.executedPlan.toString
     println("sample_epochs corpus shuffle-free: " +
       !sePlan.contains("SortMergeJoin") + " broadcast: " + sePlan.contains("BroadcastHashJoin"))
+    // r11 additions
+    shape("ann_ivfpq_persisted", graft.pipeline.AnnIndex.annIvfPqPersisted(spark, d))
+    shape("text_unigram_encode", graft.pipeline.UnigramLm.unigramEncode(spark, d))
+    shape("dedup_passjoin", graft.pipeline.Dedup.editDistancePairsPassJoin(spark, d))
+    // dv-mode read: the delete side must be ONE broadcast bitmap join,
+    // never a cartesian/nested-loop; build a small dv table inline
+    locally {
+      import org.apache.spark.sql.functions.col
+      val root = "/root/repo/target/lakework/planaudit-dv"
+      val t = graft.lake.GraftTable.create(spark, root,
+        graft.Tables.orders(spark, d).repartition(col("o_orderstatus")),
+        Seq("o_orderstatus"))
+      t.setProperty(graft.lake.GraftTable.DeleteModeProp, "dv")
+      t.delete(col("o_orderkey") % 97 === 0)
+      t.delete(col("o_orderkey") % 101 === 0)
+      val rd = t.read()
+      shape("lake dv read", rd)
+      println("dv read broadcast bitmap join: " +
+        rd.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+    }
     spark.stop()
   }
 }
