@@ -528,6 +528,49 @@ case class DvDiffPositions(left: Expression, right: Expression)
   override def prettyName: String = "graft_dv_diff_positions"
 }
 
+/** Hilbert-curve key over up to 4 integral columns (see
+  * [[Hashing.hilbertKey]]) — OPTIMIZE's alternative clustering curve
+  * (`write.optimize.curve=hilbert`): unit-step adjacency gives files
+  * tighter per-column min/max ranges than Morton's boundary jumps.
+  */
+case class HilbertKey(children: Seq[Expression], mins: Array[Long], maxs: Array[Long])
+    extends Expression {
+  require(children.nonEmpty && children.size <= 4, "1..4 hilbert columns")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = new Array[Long](children.size)
+    var i = 0
+    while (i < children.size) {
+      val v = children(i).eval(input)
+      vals(i) = if (v == null) mins(i) else v.asInstanceOf[Long]
+      i += 1
+    }
+    Hashing.hilbertKey(vals, mins, maxs)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val minsRef = ctx.addReferenceObj("mins", mins, "long[]")
+    val maxsRef = ctx.addReferenceObj("maxs", maxs, "long[]")
+    val arr = ctx.freshName("hvals")
+    val evals = children.map(_.genCode(ctx))
+    val fills = evals.zipWithIndex.map { case (e, i) =>
+      s"""${e.code}
+         |$arr[$i] = ${e.isNull} ? $minsRef[$i] : ${e.value};""".stripMargin
+    }.mkString("\n")
+    ev.copy(
+      code = org.apache.spark.sql.catalyst.expressions.codegen.CodeBlock(
+        Seq(s"""long[] $arr = new long[${children.size}];
+               |$fills
+               |long ${ev.value} = graft.functions.Hashing.hilbertKey($arr, $minsRef, $maxsRef);""".stripMargin),
+        Seq.empty),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HilbertKey = copy(children = newChildren)
+  override def prettyName: String = "graft_hilbert_key"
+}
+
 /** Viterbi piece count of a word under a plan-constant unigram-LM
   * vocabulary ([[graft.pipeline.UnigramLm.Vocab]]) — C77's distributed
   * encode kernel: the few-KB vocab rides as a reference object, the
@@ -607,6 +650,8 @@ object exprs {
     col(SqRecNorm(ex(codes), lo, span255))
   def zorderKey(cs: Seq[Column], mins: Array[Long], maxs: Array[Long]): Column =
     col(ZOrderKey(cs.map(ex), mins, maxs))
+  def hilbertKey(cs: Seq[Column], mins: Array[Long], maxs: Array[Long]): Column =
+    col(HilbertKey(cs.map(ex), mins, maxs))
   def dvContains(dv: Column, pos: Column): Column = col(DvContains(ex(dv), ex(pos)))
   def dvUnion(a: Column, b: Column): Column = col(DvUnion(ex(a), ex(b)))
   def dvCardinality(dv: Column): Column = col(DvCardinality(ex(dv)))

@@ -416,6 +416,77 @@ object Hashing {
     z
   }
 
+  /** Hilbert-curve key over ≤4 integral columns, same domain scaling
+    * as [[zorderKey]] (per-column manifest min/max → 16-bit grid).
+    * Hilbert beats Morton on clustering locality: consecutive curve
+    * positions are ALWAYS grid-adjacent (Morton's bit-interleave takes
+    * long jumps at power-of-two boundaries), so range-partitioned
+    * files straddle fewer distinct value ranges per column. Encode is
+    * Skilling's transpose algorithm (Skilling 2004, "Programming the
+    * Hilbert curve" — public-domain classic) re-derived: inverse-undo
+    * + Gray-decode the axes in place, then bit-interleave the
+    * transposed coordinates; the codec properties pin bijectivity and
+    * the unit-step adjacency invariant on full small grids.
+    */
+  def hilbertKey(vals: Array[Long], mins: Array[Long], maxs: Array[Long]): Long = {
+    val n = vals.length
+    val x = new Array[Long](n)
+    var c = 0
+    while (c < n) {
+      val lo = mins(c); val hi = maxs(c)
+      val range = hi - lo
+      x(c) =
+        if (range <= 0L) 0L
+        else {
+          val v = math.min(math.max(vals(c), lo), hi) - lo
+          if (range < (1L << 47)) v * 65535L / range
+          else v / (range / 65535L + 1L)
+        }
+      c += 1
+    }
+    hilbertIndex(x, 16)
+  }
+
+  /** Hilbert index of a point already on the 2^bits grid (n = x.length
+    * dims, n·bits ≤ 63). Exposed bits-parametric so the property tests
+    * can exhaustively cover full grids at small orders.
+    */
+  def hilbertIndex(x: Array[Long], bits: Int): Long = {
+    val n = x.length
+    // Skilling: AxesToTranspose (in place on a copy)
+    val t = java.util.Arrays.copyOf(x, n)
+    var q = 1L << (bits - 1)
+    while (q > 1L) {
+      val p = q - 1L
+      var i = 0
+      while (i < n) {
+        if ((t(i) & q) != 0L) t(0) ^= p
+        else { val s = (t(0) ^ t(i)) & p; t(0) ^= s; t(i) ^= s }
+        i += 1
+      }
+      q >>= 1
+    }
+    var i = 1
+    while (i < n) { t(i) ^= t(i - 1); i += 1 }
+    var g = 0L
+    q = 1L << (bits - 1)
+    while (q > 1L) { if ((t(n - 1) & q) != 0L) g ^= q - 1L; q >>= 1 }
+    i = 0
+    while (i < n) { t(i) ^= g; i += 1 }
+    // interleave the transposed coordinates, MSB-first, dim 0 highest
+    var key = 0L
+    var b = bits - 1
+    while (b >= 0) {
+      var d = 0
+      while (d < n) {
+        key = (key << 1) | ((t(d) >>> b) & 1L)
+        d += 1
+      }
+      b -= 1
+    }
+    key
+  }
+
   /** Asymmetric-distance (ADC) score for a PQ-coded vector: sum over
     * subspaces m of lut[m*k + code_m], where lut holds the query's
     * per-subspace dot products with every codebook entry.

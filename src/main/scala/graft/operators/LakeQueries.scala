@@ -500,6 +500,25 @@ object LakeQueries {
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |WHERE o_custkey >= 100 AND o_custkey < 200 ORDER BY o_orderkey""".stripMargin
 
+  /** A20b `lake_zorder_hilbert`: the same clustering compaction under
+    * `write.optimize.curve=hilbert` — content identical, pruning on
+    * the non-layout column still works, and the curve's locality
+    * advantage is measured in the spec (LakeSpec A20b).
+    */
+  def lakeZOrderHilbert(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "zorderhil"),
+      orders(s, d).repartitionByRange(8, col("o_orderkey")))
+    t.setProperty(GraftTable.OptimizeCurveProp, "hilbert")
+    t.optimizeZOrder(Seq("o_custkey", "o_orderkey"), nFiles = 8)
+    t.scan(col("o_custkey") >= 100L && col("o_custkey") < 200L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val lakeZOrderHilbertSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_custkey >= 100 AND o_custkey < 200 ORDER BY o_orderkey""".stripMargin
+
   // ---- A21 DELETE WHERE (copy-on-write) ------------------------------
 
   def lakeDelete(s: SparkSession, d: String): DataFrame = {
@@ -1067,6 +1086,35 @@ object LakeQueries {
       |SELECT o_orderkey, 0.0, 'insert' FROM u
       |ORDER BY _change_type, o_orderkey, o_totalprice""".stripMargin
 
+  /** A90 `lake_changelog_dv`: the row-level changelog over DELETION-
+    * VECTOR commits — the CDC window spans three stacked dv deletes
+    * (the later ones MERGE earlier files' vectors, churning entry
+    * paths), and the reconstructed victims must come out of the bitmap
+    * DIFF exactly: every deleted pre-image once, nothing else.
+    */
+  def lakeChangelogDv(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "changelogdv"),
+      byStatus(orders(s, d)), Seq("o_orderstatus"))
+    t.setProperty(GraftTable.DeleteModeProp, "dv")
+    val from = t.currentId
+    t.delete(col("o_orderkey") % 97 === 0)
+    t.delete(col("o_orderkey") % 101 === 0)
+    t.delete(col("o_orderkey") === 7L)
+    require(t.current.deleteFiles.nonEmpty && t.current.deleteFiles.forall(_.dv),
+      "changelog-dv fixture must run on deletion vectors")
+    t.changelog(from, t.currentId)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("_change_type"))
+      .orderBy(col("_change_type"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  val lakeChangelogDvSql =
+    """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+      |       'delete' AS _change_type
+      |FROM orders
+      |WHERE o_orderkey % 97 = 0 OR o_orderkey % 101 = 0 OR o_orderkey = 7
+      |ORDER BY _change_type, o_orderkey, o_totalprice""".stripMargin
+
   // ---- CTAS with table management (SQL surface, 2-part name) --------
 
   def lakeCtas(s: SparkSession, d: String): DataFrame = {
@@ -1258,9 +1306,11 @@ object LakeQueries {
     "lake_rename_column"       -> (lakeRenameColumn _),
     "lake_sql_asof"            -> (lakeSqlAsOf _),
     "lake_zorder"              -> (lakeZOrder _),
+    "lake_zorder_hilbert"      -> (lakeZOrderHilbert _),
     "lake_delete"              -> (lakeDelete _),
     "lake_delete_mor"          -> (lakeDeleteMor _),
     "lake_delete_dv"           -> (lakeDeleteDv _),
+    "lake_changelog_dv"        -> (lakeChangelogDv _),
     "lake_update_mor"          -> (lakeUpdateMor _),
     "lake_merge"               -> (lakeMerge _),
     "lake_merge_mor"           -> (lakeMergeMor _),
@@ -1312,9 +1362,11 @@ object LakeQueries {
     "lake_rename_column"       -> lakeRenameColumnSql,
     "lake_sql_asof"            -> lakeSqlAsOfSql,
     "lake_zorder"              -> lakeZOrderSql,
+    "lake_zorder_hilbert"      -> lakeZOrderHilbertSql,
     "lake_delete"              -> lakeDeleteSql,
     "lake_delete_mor"          -> lakeDeleteMorSql,
     "lake_delete_dv"           -> lakeDeleteDvSql,
+    "lake_changelog_dv"        -> lakeChangelogDvSql,
     "lake_update_mor"          -> lakeUpdateMorSql,
     "lake_merge"               -> lakeMergeSql,
     "lake_merge_mor"           -> lakeMergeMorSql,

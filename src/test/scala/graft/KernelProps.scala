@@ -272,6 +272,45 @@ object IcebergBoundProps extends Properties("IcebergBounds") {
     }
 }
 
+/** Hilbert-curve encode ([[Hashing.hilbertIndex]]): exhaustive small
+  * grids pin the two defining invariants — bijectivity onto
+  * [0, 2^(n·bits)) and UNIT-STEP adjacency of consecutive curve
+  * positions (the locality property Morton lacks at power-of-two
+  * boundaries).
+  */
+object HilbertProps extends Properties("Hilbert") {
+  import graft.functions.Hashing.hilbertIndex
+
+  private def fullGrid(n: Int, bits: Int): Map[Long, Array[Long]] = {
+    val side = 1 << bits
+    def rec(d: Int, acc: List[Long]): Iterator[Array[Long]] =
+      if (d == 0) Iterator(acc.toArray)
+      else (0 until side).iterator.flatMap(v => rec(d - 1, v.toLong :: acc))
+    rec(n, Nil).map(p => hilbertIndex(p, bits) -> p).toMap
+  }
+
+  property("bijective and unit-step adjacent on full grids (n=2..4, bits=2..4)") =
+    Prop.all((for (n <- 2 to 4; bits <- 2 to 4) yield {
+      val m = fullGrid(n, bits)
+      val total = math.pow(1 << bits, n).toLong
+      val bij = m.size.toLong == total && m.keys.forall(k => k >= 0 && k < total)
+      val adj = (0L until total - 1).forall { k =>
+        m(k).zip(m(k + 1)).map { case (a, b) => math.abs(a - b) }.sum == 1L
+      }
+      (bij && adj) :| s"n=$n bits=$bits"
+    }): _*)
+
+  property("hilbertKey clamps and scales like zorderKey (domain edges stable)") =
+    forAll(Gen.chooseNum(-1000L, 1000L), Gen.chooseNum(1L, 1000L)) { (lo, span) =>
+      val mins = Array(lo, lo); val maxs = Array(lo + span, lo + span)
+      val below = graft.functions.Hashing.hilbertKey(Array(lo - 50, lo), mins, maxs)
+      val atLo = graft.functions.Hashing.hilbertKey(Array(lo, lo), mins, maxs)
+      val above = graft.functions.Hashing.hilbertKey(Array(lo + span + 50, lo + span), mins, maxs)
+      val atHi = graft.functions.Hashing.hilbertKey(Array(lo + span, lo + span), mins, maxs)
+      below == atLo && above == atHi
+    }
+}
+
 /** The deletion-vector bitmap codec ([[graft.lake.GraftDv]]): set
   * semantics over the serialized form, both container flavors (sparse
   * ARRAY ≤ 4096, dense BITMAP), and canonical bytes.

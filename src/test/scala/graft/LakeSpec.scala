@@ -2370,6 +2370,46 @@ class LakeSpec extends SparkSpec {
       expectMeta = true)
   }
 
+  test("A20b hilbert clustering: content identical, pruning works, locality beats morton") {
+    import spark.implicits._
+    // deterministic uniform 2D grid — the shape where curve locality
+    // differences are crisp (and deterministic data + deterministic
+    // range partitioning make the comparison reproducible)
+    val grid = (for (x <- 0L until 96L; y <- 0L until 96L)
+      yield (x * 96 + y, x, y)).toDF("id", "x", "y")
+    def clusterCost(curve: String): (Double, Set[String]) = {
+      val t = GraftTable.create(spark, tmp(s"hilbert-$curve"),
+        grid.repartitionByRange(8, col("id")))
+      t.setProperty(GraftTable.OptimizeCurveProp, curve)
+      t.optimizeZOrder(Seq("x", "y"), nFiles = 16)
+      // locality metric: Σ over files of the normalized (x-range +
+      // y-range) each file's footer covers — smaller = tighter files =
+      // more pruning for predicates on either column
+      val cost = t.current.files.map { f =>
+        val sx = f.stats("x"); val sy = f.stats("y")
+        (sx.max.toLong - sx.min.toLong + sy.max.toLong - sy.min.toLong) / 95.0
+      }.sum
+      val content = t.read().collect().map(_.toString).toSet
+      (cost, content)
+    }
+    val (mortonCost, mortonContent) = clusterCost("morton")
+    val (hilbertCost, hilbertContent) = clusterCost("hilbert")
+    assert(hilbertContent === mortonContent, "clustering must never change content")
+    assert(hilbertContent.size === 96 * 96)
+    info(f"locality cost: morton=$mortonCost%.2f hilbert=$hilbertCost%.2f")
+    assert(hilbertCost <= mortonCost,
+      s"hilbert locality ($hilbertCost) must not lose to morton ($mortonCost) on a uniform grid")
+    // pruning on the non-layout column still fires under hilbert
+    val t = new GraftTable(tmp("hilbert-hilbert"), spark)
+    val (survivors, total, _) = t.pruneFiles(col("y") >= 10L && col("y") < 20L)
+    assert(total === 16 && survivors.size < total,
+      s"hilbert files must stats-prune on y (${survivors.size}/$total)")
+    // unknown curve refuses loudly
+    t.setProperty(GraftTable.OptimizeCurveProp, "peano")
+    val ex = intercept[IllegalArgumentException] { t.optimizeZOrder(Seq("x"), 4) }
+    assert(ex.getMessage.contains("write.optimize.curve"))
+  }
+
   test("deletion vectors: N point deletes merge to one bitmap per file; lifecycle-aware") {
     import spark.implicits._
     def mk(name: String) = {
