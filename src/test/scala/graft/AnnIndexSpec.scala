@@ -168,6 +168,40 @@ class AnnIndexSpec extends SparkSpec {
     assert(ex.getMessage.contains("rebuild"))
   }
 
+  test("probing IS partition pruning: a single query's scan plans only its nprobe lists' files") {
+    AnnIndex.build(spark, corpus, root)
+    val codesT = new GraftTable(s"$root/codes", spark)
+    val nFiles = codesT.current.files.size
+    assert(nFiles > VectorOps.IvfProbes,
+      s"precondition: more list files ($nFiles) than probes (${VectorOps.IvfProbes})")
+    // one query probes IvfProbes of the nlist clusters — the codes
+    // scan must plan at most that many partition files (this is the
+    // A15 machinery doing ANN list selection)
+    val oneQuery = corpus.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = AnnIndex.query(spark, root, corpus, oneQuery, 1L).collect()
+    assert(got.length === VectorOps.TopK)
+    // re-derive the probed set and check the pruned file plan directly
+    val qz = AnnIndex.load(spark, root)
+    val probed = {
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val centsDf = qz.cents.zipWithIndex.map { case (c, i) => (i, c) }
+        .toSeq.toDF("cluster", "c_emb")
+      val w = Window.partitionBy(col("query_id")).orderBy(col("c_dot").desc, col("cluster"))
+      oneQuery.crossJoin(centsDf)
+        .withColumn("c_dot", graft.functions.exprs.cosineSimFD(col("embedding"), col("c_emb")))
+        .withColumn("prn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("prn") <= VectorOps.IvfProbes)
+        .select("cluster").collect().map(_.getInt(0)).toSet
+    }
+    assert(probed.size === VectorOps.IvfProbes)
+    val (survivors, total, _) = codesT.pruneFiles(
+      col("cluster").isin(probed.toSeq.map(Int.box): _*))
+    assert(total === nFiles && survivors.size <= VectorOps.IvfProbes,
+      s"codes scan must prune to the probed lists: ${survivors.size}/$total")
+  }
+
   test("driver entries: persisted results well-formed; check twin green") {
     val df = AnnIndex.annIvfPqPersisted(spark, sfDir)
     assert(df.columns.toSeq === Seq("query_id", "neighbor_id", "cos_sim", "rank"))
