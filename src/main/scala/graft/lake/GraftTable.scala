@@ -1229,6 +1229,37 @@ final class GraftTable(val root: String, spark: SparkSession) {
     this
   }
 
+  /** Convert pending POSITION-delete files into deletion vectors — the
+    * migration path onto A90 (Iceberg v3's position-delete→DV rewrite):
+    * read the position parquets (delete-set scale, never data scale),
+    * fold their coordinates into per-file bitmaps merged with any
+    * existing vectors, and swap the entries in ONE commit. Equality
+    * deletes are untouched (no coordinates to vectorize); logical
+    * content is identical before and after (the commit is classified
+    * data-preserving, so change feeds stay silent across it) — the
+    * payoff is the A90 read contract (one bitmap probe per file
+    * instead of N anti-join inputs) WITHOUT paying applyDeletes' data
+    * rewrite. The natural follow-up to flipping an existing MOR table
+    * to `write.delete.mode=dv`.
+    */
+  def convertDeletesToDv(): GraftTable = {
+    val cur = current
+    val posDels = cur.deleteFiles.filter(d => d.equalityCols.isEmpty && !d.dv)
+    if (posDels.isEmpty) return this
+    require(uniqueBaseNames(cur),
+      "position→dv conversion needs unique file basenames (adopted table?)")
+    val hits = deleteRows(posDels)
+    val (dvOld, eqDels) = cur.deleteFiles.filterNot(posDels.contains)
+      .partition(_.dv)
+    val (dvList, _) = mergedDvEntries(hits, cur.id + 1, dvOld)
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "convert-deletes", files = cur.files,
+      addedFiles = 0, deletedFiles = 0,
+      deleteFiles = eqDels ++ dvList))
+    this
+  }
+
   /** The dv commit kernel shared by DELETE/UPDATE/MERGE in dv mode:
     * aggregate `hits` (file_name, row_index) into per-file bitmaps
     * ([[graft.functions.DvAgg]]), UNION with each touched file's

@@ -843,6 +843,12 @@ case class GraftCallCommand(
           .getOrElse(GraftTable.DefaultOrphanGraceMillis)
         val removed = t.vacuumOrphans(grace)
         s"removed ${removed.size} orphan files"
+      case "rewrite_position_delete_files" =>
+        // position→dv conversion (Iceberg v3 procedure parity): swap
+        // pending position-delete files for per-file deletion vectors
+        val before = t.current.deleteFiles.count(d => d.equalityCols.isEmpty && !d.dv)
+        t.convertDeletesToDv()
+        s"converted $before position-delete file(s) to deletion vectors"
       case "rewrite_data_files" =>
         // maintenance folds pending MOR deletes first, like OPTIMIZE
         t.applyDeletes()
@@ -858,7 +864,7 @@ case class GraftCallCommand(
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other (supported: rollback_to_snapshot, " +
           "expire_snapshots, remove_orphan_files, rewrite_data_files, " +
-          "cherrypick_snapshot, fast_forward)")
+          "rewrite_position_delete_files, cherrypick_snapshot, fast_forward)")
     }
     val cur = new GraftTable(root, session).currentId
     Seq(Row(proc.toLowerCase, prev, cur, detail))

@@ -545,7 +545,11 @@ class GraftSource(
           val preRel = GraftFileIndex.relation(spark, root,
             endSnap.copy(files = preFiles, shards = Seq.empty),
             isStreaming = true, withRowPos = true)
-          val preBase = applyDels(preRel, preFiles, Seq.empty, startEq)
+          // startPos matters here: a position→dv CONVERSION in-window
+          // makes the bitmap diff name coordinates that were already
+          // position-dead at the window start — those rows were never
+          // visible at startId and must not emit as deletes
+          val preBase = applyDels(preRel, preFiles, startPos, startEq)
           Some(preBase.join(diff,
               preBase(PosFileCol) === diff("file_name") &&
                 preBase(PosIdxCol) === diff("row_index"),
@@ -578,7 +582,8 @@ object GraftSource {
     * change feed skips them wholesale (see [[GraftSource.cdcBatch]]).
     */
   private[streaming] val DataPreservingOps: Set[String] =
-    Set("compact", "optimize", "apply-deletes", "repartition-spec")
+    Set("compact", "optimize", "apply-deletes", "repartition-spec",
+      "convert-deletes")
 
   /** Manifest files in (addedBy, path) order — the stable total order
     * sub-snapshot offsets are defined over. Path cuts (unlike ranks)

@@ -2509,6 +2509,49 @@ class LakeSpec extends SparkSpec {
     assert(t.read().count() === 0L)
   }
 
+  test("position→dv conversion: one commit swaps representations, content and counts exact") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("convert-dv"),
+      (1L to 200L).map(i => (i, i % 4, i * 1.0)).toDF("k", "g", "v")
+        .repartition(col("g")), Seq("g"))
+    t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    t.setProperty(GraftTable.UpdateModeProp, "merge-on-read")
+    t.delete(col("k") % 13 === 0)
+    t.delete(col("k") === 2L)
+    t.update(col("k") === 3L, Map("v" -> lit(-3.0)))
+    t.setProperty(GraftTable.MergeModeProp, "merge-on-read")
+    t.setProperty(GraftTable.MergeDeleteKindProp, "equality")
+    t.merge(Seq((5L, 5L % 4, -5.0)).toDF("k", "g", "v").repartition(col("g")), Seq("k"))
+    val before = t.read().collect().map(_.toString).sorted.toSeq
+    val deletedBefore = t.current.deletedRows
+    val posBefore = t.current.deleteFiles.count(d => d.equalityCols.isEmpty && !d.dv)
+    assert(posBefore > 0 && t.current.deleteFiles.exists(_.equalityCols.nonEmpty))
+    graft.sql.GraftCatalog.register("convert_dv_t", t.root)
+    val res = spark.sql(
+      "CALL system.rewrite_position_delete_files(table => 'convert_dv_t')").head()
+    assert(res.getString(3).contains(s"converted $posBefore"))
+    val t2 = new GraftTable(t.root, spark)
+    assert(t2.current.operation === "convert-deletes")
+    assert(!t2.current.deleteFiles.exists(d => d.equalityCols.isEmpty && !d.dv),
+      "no position entries may survive the conversion")
+    assert(t2.current.deleteFiles.exists(_.dv) &&
+      t2.current.deleteFiles.exists(_.equalityCols.nonEmpty),
+      "dv entries replace position ones; equality entries stay")
+    assert(t2.read().collect().map(_.toString).sorted.toSeq === before,
+      "conversion must never change logical content")
+    assert(t2.current.deletedRows === deletedBefore,
+      "deletedRows accounting must be exact across the swap")
+    val owners = t2.current.deleteFiles.filter(_.dv).flatMap(_.targets)
+    assert(owners.distinct.size === owners.size)
+    // the batch changelog across the conversion is EMPTY (data-preserving)
+    assert(t2.changelog(t2.currentId - 1, t2.currentId).isEmpty,
+      "conversion is data-preserving: the change feed must stay silent")
+    // idempotent: a second call is a no-op commit-free
+    val id = t2.currentId
+    t2.convertDeletesToDv()
+    assert(t2.currentId === id)
+  }
+
   test("adopted TIMESTAMP_MILLIS parquet records no long stats: pruning and meta-agg stay exact") {
     import spark.implicits._
     val root = tmp("adopt-millis")

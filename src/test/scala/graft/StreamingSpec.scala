@@ -973,6 +973,22 @@ class StreamingSpec extends SparkSpec {
     drainRetr()
     val want = t2.read().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(state.toMap === want, s"retraction state diverged: $state vs $want")
+    // an in-window position→dv CONVERSION must stay silent: the
+    // pre-existing position deletes' coordinates reappear as bitmap
+    // growth, but those rows were dead at the window start (dvPre
+    // applies startPos — without it every converted victim re-emits)
+    t2.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    t2.delete(col("id") === 1L)
+    drainRetr() // consume the position delete normally
+    val preConv = state.toMap
+    t2.convertDeletesToDv()
+    t2.setProperty(GraftTable.DeleteModeProp, "dv")
+    t2.delete(col("id") === 8L) // one real in-window dv delete alongside
+    drainRetr()
+    val want2 = t2.read().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state.toMap === want2, s"post-conversion state diverged: $state vs $want2")
+    assert((preConv.keySet -- state.keySet) === Set(8L),
+      "only the genuine in-window delete may retract across a conversion")
   }
 
   test("D12b: a copy-on-write rewrite stops the change feed unless skipChangeCommits") {
