@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.Shim
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the graft hot paths. Each generates a
   * single static call into [[Hashing]], so they participate in
@@ -609,6 +610,30 @@ case class UnigramSegment(child: Expression, vocab: graft.pipeline.UnigramLm.Voc
   override def prettyName: String = "graft_unigram_segment"
 }
 
+/** Plan-constant keyed lookup: string key → long value, `default` when
+  * the key is absent. The map (collected driver-side, bounded by
+  * construction — |langs|/|sources| rows) rides along as ONE reference
+  * object, so per-key quotas/thresholds become a pure narrow map over
+  * the corpus instead of a broadcast join whose tiny build subtree is
+  * re-planned per reference (the C45/C33 apportionment-chain fix).
+  */
+case class ConstLongLookup(child: Expression,
+    m: java.util.HashMap[UTF8String, java.lang.Long], default: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.constLookup(m, input.asInstanceOf[UTF8String], default)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("quotas", m, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Hashing.constLookup($ref, $c, ${default}L)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ConstLongLookup =
+    copy(child = newChild)
+  override def prettyName: String = "graft_const_lookup"
+}
+
 object exprs {
   private def col(e: Expression): Column = Shim.column(e)
   private def ex(c: Column): Expression = Shim.expression(c)
@@ -657,6 +682,11 @@ object exprs {
   def dvCardinality(dv: Column): Column = col(DvCardinality(ex(dv)))
   def dvDiffPositions(a: Column, b: Column): Column = col(DvDiffPositions(ex(a), ex(b)))
   def dvAgg(pos: Column): Column = Shim.column(DvAgg(ex(pos)).toAggregateExpression())
+  def constLookup(c: Column, m: Map[String, Long], default: Long): Column = {
+    val hm = new java.util.HashMap[UTF8String, java.lang.Long](m.size * 2)
+    m.foreach { case (k, v) => hm.put(UTF8String.fromString(k), java.lang.Long.valueOf(v)) }
+    col(ConstLongLookup(ex(c), hm, default))
+  }
   def unigramSegmentN(c: Column, v: graft.pipeline.UnigramLm.Vocab): Column =
     col(UnigramSegmentN(ex(c), v))
   def unigramSegment(c: Column, v: graft.pipeline.UnigramLm.Vocab): Column =

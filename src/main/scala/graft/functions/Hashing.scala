@@ -33,6 +33,15 @@ object Hashing {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  /** Plan-constant string→long probe for [[ConstLongLookup]]: the map
+    * is keyed by UTF8String so the per-row probe allocates nothing.
+    */
+  def constLookup(m: java.util.HashMap[UTF8String, java.lang.Long],
+      key: UTF8String, dflt: Long): Long = {
+    val v = m.get(key)
+    if (v == null) dflt else v.longValue()
+  }
+
   def polyHashString(s: String): Long = {
     var acc = 0L
     var i = 0

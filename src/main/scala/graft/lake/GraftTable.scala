@@ -2034,15 +2034,44 @@ final class GraftTable(val root: String, spark: SparkSession) {
     require(!cur.partitionCols.contains(name), s"cannot drop partition column $name")
     require(!cur.deps.exists(d => d.src == name || d.dest == name),
       s"cannot drop column $name: used by a dependency transform")
+    // CHECK predicates are SQL text: dropping a referenced column would
+    // make the NEXT write fail deep in expr() analysis with an
+    // unresolved-column error far from the cause — refuse here
+    requireNoCheckReference(cur, name, "drop")
     val remaining = StructType(sch.fields.filterNot(_.name == name))
     require(remaining.nonEmpty, "cannot drop the last column")
     commit(cur.copy(
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
       operation = "drop-column", schemaJson = remaining.json,
-      // a later column re-using the name must not inherit stale NDV
-      properties = cur.properties - s"stats.ndv.$name",
+      // per-column properties go WITH the column — a stale notnull.<col>
+      // bricks every later write ("batch omits the column"), a stale
+      // stats.ndv/hll poisons a re-added same-name column, a stale
+      // comment ghosts through DESCRIBE
+      properties = GraftTable.ColumnPropPrefixes
+        .foldLeft(cur.properties)((ps, p) => ps - (p + name)),
       addedFiles = 0, deletedFiles = 0))
     this
+  }
+
+  /** Refuse a column DDL when any `check.*` predicate references the
+    * column (by parse, not substring — `v2 > 0` must not pin `v`).
+    * Shared guard for rename and drop: both would otherwise defer the
+    * failure to the next write's predicate analysis.
+    */
+  private def requireNoCheckReference(
+      cur: Snapshot, col: String, verb: String): Unit = {
+    cur.properties.foreach { case (k, pred) =>
+      if (k.startsWith(GraftTable.CheckPropPrefix)) {
+        val refs = spark.sessionState.sqlParser.parseExpression(pred).collect {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            ua.nameParts.head
+        }
+        require(!refs.exists(_.equalsIgnoreCase(col)),
+          s"cannot $verb column $col: referenced by CHECK constraint " +
+            s"'${k.stripPrefix(GraftTable.CheckPropPrefix)}' ($pred) — " +
+            "drop the constraint first")
+      }
+    }
   }
 
   /** ALTER TABLE … RENAME COLUMN — metadata-only. The on-disk parquet
@@ -2071,18 +2100,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     // CHECK predicates are stored as SQL text keyed by constraint name —
     // after a rename their analysis would fail at the NEXT write with a
     // confusing unresolved-column error; refuse here with the real cause
-    cur.properties.foreach { case (k, pred) =>
-      if (k.startsWith(GraftTable.CheckPropPrefix)) {
-        val refs = spark.sessionState.sqlParser.parseExpression(pred).collect {
-          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-            ua.nameParts.head
-        }
-        require(!refs.exists(_.equalsIgnoreCase(from)),
-          s"cannot rename column $from: referenced by CHECK constraint " +
-            s"'${k.stripPrefix(GraftTable.CheckPropPrefix)}' ($pred) — " +
-            "drop the constraint first")
-      }
-    }
+    requireNoCheckReference(cur, from, "rename")
     val fields = sch.fields.map { f =>
       if (f.name != from) f
       else StructField(to, f.dataType, f.nullable,
@@ -2090,12 +2108,15 @@ final class GraftTable(val root: String, spark: SparkSession) {
           .putString(GraftTable.PhysicalNameKey, GraftTable.physicalName(f)).build())
     }
     // per-column properties follow the column (keyed by logical name):
-    // analyzed NDV, and crucially the NOT NULL enforcement key — left
-    // under the old name, write-time enforcement would silently stop
-    // while the schema still records nullable=false, letting nulls land
+    // analyzed NDV + its HLL sketch (left behind, auto-NDV would start
+    // a fresh delta-only sketch under the new name and OVERWRITE the
+    // CBO's table-level distinctCount with last-batch NDV), the column
+    // comment, and crucially the NOT NULL enforcement key — left under
+    // the old name, write-time enforcement would silently stop while
+    // the schema still records nullable=false, letting nulls land
     // under a non-nullable schema (wrong-answer surface via Spark's
     // nullability-based optimizations)
-    val props = Seq("stats.ndv.", GraftTable.NotNullPropPrefix)
+    val props = GraftTable.ColumnPropPrefixes
       .foldLeft(cur.properties) { (ps, prefix) =>
         ps.get(prefix + from) match {
           case Some(v) => ps - (prefix + from) + (prefix + to -> v)
@@ -3512,6 +3533,21 @@ object GraftTable {
     * [[GraftTable.addCheckConstraint]]).
     */
   val CheckPropPrefix = "check."
+
+  /** Every table-property prefix keyed by a COLUMN name. Column DDL
+    * must treat these as one class: RENAME migrates each `<prefix><from>`
+    * to `<prefix><to>`, DROP removes each `<prefix><col>` — a key left
+    * under a gone/old name is live state pointed at nothing (a stale
+    * `notnull.<col>` rejects every later write because the batch
+    * "omits" a column the schema no longer has; a stale `stats.hll.`
+    * makes auto-NDV either restart from a delta-only sketch after a
+    * rename, collapsing the CBO's distinctCount to last-batch NDV, or
+    * merge a re-added same-name column into the dead sketch). Adding a
+    * per-column property? Register its prefix here and both DDL paths
+    * handle it.
+    */
+  val ColumnPropPrefixes: Seq[String] =
+    Seq("stats.ndv.", "stats.hll.", "comment.col.", NotNullPropPrefix)
 
   /** Schema-field metadata keys for initial-default columns (see
     * [[GraftTable.addColumnWithDefault]]): the default's SQL text and

@@ -956,9 +956,15 @@ object TextOps {
     * provably identical because whenever ≥ k_l rows survive, the k_l
     * globally-lowest hashes are all below the threshold and their
     * relative order is unchanged. A per-stratum safety check (tiny
-    * aggregate) routes any stratum with < k_l survivors — possible only
-    * on a pathological hash distribution — through the full-rank
-    * fallback branch, which is empty by construction on uniform data.
+    * aggregate) folds any stratum with < k_l survivors — possible only
+    * on a pathological hash distribution — back to the full-rank
+    * fallback by lifting its threshold to MOD (admit-everything).
+    *
+    * Plan shape: the |langs|-row quota/threshold table is collected
+    * once (bounded by construction) and injected as a plan-constant
+    * [[graft.functions.ConstLongLookup]], so the corpus-side plan is
+    * scan → narrow filter → one rank window — no broadcast join whose
+    * tiny apportionment subtree gets re-planned per reference.
     */
   def sampleStratified(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -970,25 +976,21 @@ object TextOps {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         pmod(col("doc_id") * lit(2654435761L), lit(Mod)).as("h"))
-    // k_l = ceil(cnt/4); the lang table is tiny (one map-side-combined agg)
-    val k = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
-      .select(col("lang"), floor((col("cnt") + lit(3L)) / lit(4L)).cast("long").as("k"))
-    val safety = k.join(
-        docs.filter(col("h") < thr).groupBy(col("lang"))
-          .agg(count(lit(1)).as("scnt")), Seq("lang"), "left")
-      .select(col("lang"), col("k"),
-        (coalesce(col("scnt"), lit(0L)) >= col("k")).as("safe"))
-    // ONE branch, not a safe/fallback union: admit `h < thr OR NOT
-    // safe`. In a safe stratum the k lowest hashes all clear the
-    // threshold (rank identical to the full sort); in an unsafe
-    // stratum the NOT-safe disjunct admits every row, which IS the
-    // full-rank fallback — same exactness, half the plan (the tiny
-    // quota chain is referenced once per pass instead of per branch).
+    // k_l = ceil(cnt/4); |langs| rows collected (bounded by construction)
+    val kMap = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1) + 3L) / 4L).toMap
+    // safety probe: strata where < k_l rows clear the prefilter lift
+    // their threshold to MOD — the single-filter equivalent of the
+    // full-rank fallback branch
+    val scnt = docs.filter(col("h") < thr).groupBy(col("lang"))
+      .agg(count(lit(1)).as("scnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val effThr = kMap.map { case (l, k) =>
+      l -> (if (scnt.getOrElse(l, 0L) >= k) thr else Mod) }
     val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
-    docs.join(broadcast(safety), "lang")
-      .filter(col("h") < thr || !col("safe"))
+    docs.filter(col("h") < exprs.constLookup(col("lang"), effThr, Mod))
       .withColumn("pick_rank", row_number().over(w).cast("long"))
-      .filter(col("pick_rank") <= col("k"))
+      .filter(col("pick_rank") <= exprs.constLookup(col("lang"), kMap, 0L))
       .select(col("doc_id"), col("lang"), col("pick_rank"))
       .orderBy(col("lang"), col("pick_rank"))
   }
@@ -1239,72 +1241,74 @@ object TextOps {
     * q_l ∝ (n_l/N)^α with α=0.3, a fixed total budget K apportioned by
     * the largest-remainder method (exact, no RNG), then per-language
     * selection of the k_l lowest-Knuth-hash documents — reproducible at
-    * any parallelism. The language table is tiny (one groupBy away), so
-    * the apportionment windows run over |langs| rows; the only
+    * any parallelism. The apportionment runs on the DRIVER over the
+    * collected |langs|-row count table (bounded by construction) with
+    * arithmetic that replicates the engines' step for step — pow^α
+    * rounds to 6 dp via the same HALF_UP BigDecimal snap Spark's
+    * `round` uses, the weight sum re-snaps to the 6-dp grid so
+    * summation order can't move floor(K·w/sw) — and the resulting
+    * quota/threshold maps ride into the corpus plan as plan-constant
+    * [[graft.functions.ConstLongLookup]] expressions. The only
     * data-proportional work is one per-language rank window (C33's
     * shape — at 100 TB a hash-threshold prefilter bounds each sorted
-    * partition to ~k_l before ranking). Quantization: the only
-    * transcendental, pow^α, rounds to 6 dp; everything after is
-    * IEEE-identical arithmetic on both engines. Languages smaller than
+    * partition to ~2·k_l before ranking). Languages smaller than
     * their inflated quota contribute all n_l docs (total may fall
     * short of K — documented, matches the oracle).
     */
   val TempK = 200
   def sampleTemperature(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
-    val lc = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-    val tot = lc.agg(sum(col("n")).cast("double").as("nn"))
-    val w = lc.crossJoin(broadcast(tot))
-      .select(col("lang"), col("n"),
-        round(pow(col("n").cast("double") / col("nn"), lit(0.3)), 6).as("w"))
-    // sw re-quantized to the 6-dp grid: the per-language weights are
-    // already 6-dp, but Spark and DuckDB may sum them in different
-    // orders — snapping the sum keeps floor(K*w/sw) engine-identical
-    val sw = w.agg(round(sum(col("w")), 6).as("sw"))
-    val base = w.crossJoin(broadcast(sw))
-      .select(col("lang"), col("n"),
-        floor(lit(TempK) * col("w") / col("sw")).cast("long").as("k0"),
-        (lit(TempK) * col("w") / col("sw") -
-         floor(lit(TempK) * col("w") / col("sw"))).as("rem"))
-    val leftover = base.agg((lit(TempK.toLong) - sum(col("k0"))).as("leftover"))
-    // |langs|-row windows: the single-partition sort is over the tiny
-    // language table, never the corpus
-    val quota = base.crossJoin(broadcast(leftover))
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("rem").desc, col("lang"))).cast("long"))
-      .select(col("lang"), col("n"),
-        least(col("n"), col("k0") +
-          when(col("rnk") <= col("leftover"), 1L).otherwise(0L)).as("k"))
     val Mod = 1000000007L
-    val h = pmod(pmod(col("doc_id"), lit(Mod)) * lit(2654435761L) + lit(12345L),
-      lit(Mod))
+    val docs = Tables.documents(s, d)
+    // |langs| rows to the driver; everything below is exact integer or
+    // grid-snapped double arithmetic, identical to what the engines
+    // compute from the same counts
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nn = counts.values.sum.toDouble
+    val wMap = counts.map { case (l, n) => l -> round6(math.pow(n / nn, 0.3)) }
+    // sw re-quantized to the 6-dp grid: the per-language weights are
+    // already 6-dp, but engines may sum them in different orders —
+    // snapping the sum keeps floor(K*w/sw) engine-identical
+    val sw = round6(wMap.toSeq.sortBy(_._1).map(_._2).sum)
+    val k0 = wMap.map { case (l, w) => l -> math.floor(TempK * w / sw).toLong }
+    val rem = wMap.map { case (l, w) =>
+      l -> (TempK * w / sw - math.floor(TempK * w / sw)) }
+    val leftover = TempK - k0.values.sum
+    // largest-remainder ranks: rem desc, lang asc (0-based here, the
+    // SQL's row_number is 1-based — `< leftover` vs `<= leftover`)
+    val rnk = rem.toSeq.sortBy { case (l, r) => (-r, l) }
+      .map(_._1).zipWithIndex.toMap
+    val kMap = counts.map { case (l, n) =>
+      l -> math.min(n, k0(l) + (if (rnk(l) < leftover) 1L else 0L)) }
     // Hash-threshold prefilter: the hash is uniform on [0, MOD), so
     // admitting h < 2·(k_l/n_l)·MOD keeps ~2× the quota before the rank
     // window — the per-language sort sees ~2·k_l rows, not n_l (at
     // 100 TB that is ~400 docs per language instead of the corpus).
     // Exactness: whenever ≥ k_l rows survive, the k_l lowest hashes are
-    // all below the threshold with order preserved; the per-language
-    // safety aggregate routes any short stratum through the full-rank
-    // fallback (empty by construction on uniform hashes).
-    val thrQ = quota.withColumn("thr",
-      least(lit(Mod), ceil(lit(2.0) * col("k") * lit(Mod.toDouble) / col("n"))).cast("long"))
+    // all below the threshold with order preserved.
+    val thrMap = kMap.map { case (l, k) =>
+      l -> math.min(Mod,
+        math.ceil(2.0 * k * Mod.toDouble / counts(l)).toLong) }
+    val h = pmod(pmod(col("doc_id"), lit(Mod)) * lit(2654435761L) + lit(12345L),
+      lit(Mod))
     val hashed = docs.select(col("doc_id"), col("lang")).withColumn("h", h)
-    val safety = thrQ.join(
-        hashed.join(broadcast(thrQ), "lang").filter(col("h") < col("thr"))
-          .groupBy(col("lang")).agg(count(lit(1)).as("scnt")), Seq("lang"), "left")
-      .select(col("lang"), col("k"), col("thr"),
-        (coalesce(col("scnt"), lit(0L)) >= col("k")).as("safe"))
-    // ONE branch (see sampleStratified): `h < thr OR NOT safe` admits
-    // exactly the survivor set in safe strata and every row in unsafe
-    // ones, so a single rank window replaces the safe/fallback union —
-    // the tiny apportionment chain is planned once per pass, not per
-    // branch.
+    // safety probe (one tiny aggregate): a stratum with < k_l survivors
+    // — possible only on a pathological hash distribution — lifts its
+    // threshold to MOD, which IS the full-rank fallback
+    val scnt = hashed.filter(col("h") < exprs.constLookup(col("lang"), thrMap, 0L))
+      .groupBy(col("lang")).agg(count(lit(1)).as("scnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val effThr = kMap.map { case (l, k) =>
+      l -> (if (scnt.getOrElse(l, 0L) >= k) thrMap(l) else Mod) }
+    // corpus-side plan: scan → narrow const-lookup filter → one rank
+    // window — the tiny quota chain never appears in it
     val rw = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
-    hashed.join(broadcast(safety), "lang")
-      .filter(col("h") < col("thr") || !col("safe"))
+    hashed.filter(col("h") < exprs.constLookup(col("lang"), effThr, Mod))
       .withColumn("pick_rank", row_number().over(rw).cast("long"))
-      .filter(col("pick_rank") <= col("k"))
+      .filter(col("pick_rank") <= exprs.constLookup(col("lang"), kMap, 0L))
       .select(col("doc_id"), col("lang"), col("pick_rank"))
       .orderBy(col("lang"), col("pick_rank"))
   }

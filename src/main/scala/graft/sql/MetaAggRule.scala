@@ -300,7 +300,7 @@ case class GraftMetaAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (groupCols.isEmpty) Seq(foldGroup(survivors).getOrElse(return None))
       else survivors
         .groupBy { case (_, row) => groupCols.map(g => partVal(row, g._2, g._3)) }
-        .toSeq.sortBy(_._1.map(v => if (v == null) "" else v.toString).mkString(" "))
+        .toSeq.sortBy(_._1.map(v => if (v == null) "" else v.toString).mkString("\u0000"))
         .map { case (_, fs) => foldGroup(fs).getOrElse(return None) }
 
     val out = aggExprs.map(_.toAttribute)

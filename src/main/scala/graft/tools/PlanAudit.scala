@@ -22,6 +22,7 @@ private[graft] object PlanAudit {
     shape("text_boilerplate", graft.pipeline.TextOps.boilerplate(spark, d))
     shape("corpus_threshold_sweep", graft.pipeline.TextOps.thresholdSweep(spark, d))
     shape("sample_temperature", graft.pipeline.TextOps.sampleTemperature(spark, d))
+    shape("sample_stratified", graft.pipeline.TextOps.sampleStratified(spark, d))
     shape("mm_video_frames", graft.pipeline.Multimodal.mmVideoFrames(spark, d))
     // the vocab must reach the corpus join as a TakeOrdered + broadcast,
     // the threshold sweep must be ONE aggregate over the scan

@@ -87,7 +87,7 @@ class DmlModelSpec extends SparkSpec {
       }
 
       for (step <- 1 to 24) {
-        rnd.nextInt(15) match {
+        rnd.nextInt(16) match {
           case 0 | 1 => // append a block of fresh keys
             val ks = nextKey until (nextKey + 5 + rnd.nextInt(10))
             nextKey = ks.end
@@ -175,6 +175,41 @@ class DmlModelSpec extends SparkSpec {
             cl.append(df(spark, Map(999999L -> (0L, 0.0))).repartition(1))
             assert(t.read().filter(col("k") === 999999L).count() === 0L,
               s"seed=$seed step=$step: clone append leaked into the source")
+          case 15 => // column-DDL-under-constraints personality (the
+            // r11 class: per-column properties must migrate/remove as
+            // one unit whatever MOR/sort/NDV state the table is in).
+            // Full lifecycle in one step so no schema residue leaks
+            // into the other ops: add w/ DEFAULT → SET NOT NULL →
+            // COMMENT → CHECK → rename refused → drop refused → drop
+            // constraint → rename → append (must stay writable) → drop
+            // → append again (the r11 brick: stale notnull.<col>)
+            val cn = s"x$step"
+            t.addColumnWithDefault(cn, org.apache.spark.sql.types.LongType, "7")
+            t.setColumnNullability(cn, nullable = false)
+            t.setProperty(s"comment.col.$cn", "soak extra")
+            t.addCheckConstraint(s"chk$step", s"$cn > 0")
+            intercept[Exception](t.renameColumn(cn, s"${cn}_r"))
+            intercept[Exception](t.dropColumn(cn))
+            t.dropCheckConstraint(s"chk$step")
+            t.renameColumn(cn, s"${cn}_r")
+            val p = t.current.properties
+            assert(p.contains(s"notnull.${cn}_r") && !p.contains(s"notnull.$cn") &&
+              p.get(s"comment.col.${cn}_r").contains("soak extra") &&
+              !p.contains(s"comment.col.$cn"),
+              s"seed=$seed step=$step: per-column properties must follow the rename")
+            // a 3-col append omitting the NOT NULL column: the DEFAULT
+            // materializes, so this must land
+            val ks1 = nextKey until (nextKey + 3); nextKey = ks1.end
+            val rows1 = ks1.map(k => k -> (k % 7, k * 1.5)).toMap
+            model ++= rows1
+            t.append(df(spark, rows1).repartition(1))
+            t.dropColumn(s"${cn}_r")
+            assert(!t.current.properties.exists(_._1.endsWith(s".${cn}_r")),
+              s"seed=$seed step=$step: drop must remove every per-column property")
+            val ks2 = nextKey until (nextKey + 3); nextKey = ks2.end
+            val rows2 = ks2.map(k => k -> (k % 7, k * 1.5)).toMap
+            model ++= rows2
+            t.append(df(spark, rows2).repartition(1))
           case 14 => // REPLACE TABLE with a transformed projection —
             // same schema, wholly new contents through the RTAS path
             // (fresh write funnel, constraint/rename reset), history

@@ -2344,6 +2344,78 @@ class LakeSpec extends SparkSpec {
     assert(new GraftTable(t.root, spark).schema.fieldNames.contains("weight"))
   }
 
+  test("column DDL migrates/removes per-column properties as one class (A34/A88)") {
+    import spark.implicits._
+    // --- DROP after SET NOT NULL: the table must stay writable ---
+    val t = GraftTable.create(spark, tmp("colprops-drop"),
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "g")
+        .repartition(col("g")), Seq("g"))
+    t.setColumnNullability("v", nullable = false)
+    assert(t.current.properties.contains("notnull.v"))
+    t.dropColumn("v")
+    val afterDrop = t.current.properties
+    GraftTable.ColumnPropPrefixes.foreach { p =>
+      assert(!afterDrop.contains(p + "v"), s"drop must remove ${p}v")
+    }
+    // the r11-reproduced brick: a stale notnull.v made every later
+    // append throw "the incoming batch omits the column"
+    t.append(Seq((3L, "a")).toDF("k", "g").repartition(col("g")))
+    assert(t.read().count() === 3, "table stays writable after dropping a NOT NULL column")
+
+    // --- DROP refused when a CHECK predicate references the column ---
+    val tc = GraftTable.create(spark, tmp("colprops-check"),
+      Seq((1L, 5L), (2L, 6L)).toDF("k", "v"))
+    tc.addCheckConstraint("v_pos", "v > 0")
+    val exChk = intercept[Exception] { tc.dropColumn("v") }
+    assert(exChk.getMessage.contains("CHECK constraint"))
+    assert(new GraftTable(tc.root, spark).schema.fieldNames.contains("v"),
+      "refused drop must not commit")
+    // reference detection is by parse, not substring: a column whose
+    // name merely CONTAINS the predicate's column stays droppable
+    tc.addColumn("v2", org.apache.spark.sql.types.LongType)
+    tc.dropColumn("v2")
+    // dropping the constraint re-opens the drop
+    tc.dropCheckConstraint("v_pos")
+    tc.dropColumn("v")
+    assert(!new GraftTable(tc.root, spark).schema.fieldNames.contains("v"))
+
+    // --- RENAME preserves auto-NDV continuity + the column comment ---
+    val df = (1L to 200L).map(i => (i, s"u${i % 10}")).toDF("id", "grp")
+    val tr = GraftTable.create(spark, tmp("colprops-rename"), df)
+    tr.setProperty(GraftTable.NdvModeProp, "auto")
+    tr.analyzeNdv() // seed full-coverage sketches
+    tr.setProperty("comment.col.id", "primary key")
+    val seeded = tr.current.properties("stats.ndv.id").toLong
+    assert(seeded >= 190 && seeded <= 210, s"analyze must seed ~200, got $seeded")
+    tr.renameColumn("id", "doc_id")
+    val afterRename = tr.current.properties
+    assert(!afterRename.contains("stats.hll.id") && afterRename.contains("stats.hll.doc_id"),
+      "the HLL sketch must follow the rename — left behind, the next " +
+        "append restarts a delta-only sketch and collapses the CBO's NDV")
+    assert(afterRename.get("comment.col.doc_id").contains("primary key") &&
+      !afterRename.contains("comment.col.id"), "column comment follows the rename")
+    // the r11 wrong-stats surface: append a SMALL batch after the
+    // rename; NDV must track the union (~210), not the 10-row delta
+    tr.append((201L to 210L).map(i => (i, "z")).toDF("doc_id", "grp"))
+    val estAfter = tr.current.properties("stats.ndv.doc_id").toLong
+    assert(estAfter >= 200 && estAfter <= 220,
+      s"auto-NDV after rename must stay table-level (~210), got $estAfter " +
+        "(a delta-only value here means the sketch did not migrate)")
+
+    // --- re-added same-name column must not merge into a dead sketch ---
+    val td = GraftTable.create(spark, tmp("colprops-readd"), df)
+    td.setProperty(GraftTable.NdvModeProp, "auto")
+    td.analyzeNdv()
+    assert(td.current.properties.contains("stats.hll.grp"))
+    td.dropColumn("grp")
+    assert(!td.current.properties.contains("stats.hll.grp"))
+    td.addColumn("grp", StringType)
+    td.append(Seq((1000L, "only")).toDF("id", "grp"))
+    val readd = td.current.properties.get("stats.ndv.grp").map(_.toLong)
+    assert(readd.forall(_ <= 2),
+      s"re-added grp has 1 distinct value; merging the stale sketch would inflate it: $readd")
+  }
+
   test("date-partitioned tables read, prune, and answer meta-aggregates exactly") {
     import spark.implicits._
     val df = Seq(
