@@ -474,6 +474,132 @@ object ScaleBench {
     println(s"""{"metric":"planbench_total","value":${results.values.sum},"unit":"sec","queries":$qs,"sf":"files"}""")
   }
 
+  /** Distributed orphan-sweep probe
+    * (`SPARK_GRAFT_SCALEBENCH_VACUUM=1`): the r11 scale-killer was a
+    * single-threaded driver-side recursive listFiles over the payload
+    * tree. Past [[graft.lake.GraftTable.VacuumDriverFiles]] the driver
+    * now lists only TOP-LEVEL partition dirs; each dir's recursive
+    * walk runs as a cluster task and only CANDIDATE paths are
+    * collected. This plants n referenced payloads (hard links of one
+    * seed — the probe times listing, not parquet IO) across 64
+    * partition dirs plus a FIXED 8 orphans, then times the dry-run
+    * sweep and the real vacuum at n = 1k/10k/100k. Claims measured:
+    * the candidate collect stays exactly 8 at every n (bounded by
+    * #orphans, never #files) and the sweep exponent α =
+    * log(t₁₀₀ₖ/t₁ₖ)/log 100 stays well under 1 (per-file work rides
+    * executor tasks; the driver's share is O(#dirs + #orphans)).
+    */
+  private def vacuumBench(spark: SparkSession): Unit = {
+    import graft.lake.GraftTable
+    def timed[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val r = f; ((System.nanoTime() - t0) / 1e9, r)
+    }
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val counts = Seq(1000, 10000, 100000)
+    for (n <- counts) {
+      val root = s"/root/repo/target/lakework/vacbench_$n"
+      val rm = new java.io.File(root)
+      if (rm.exists()) { import scala.sys.process._; Seq("rm", "-rf", root).! }
+      val seedDf = spark.range(1).select(col("id").as("v"), lit("part0").as("p"))
+      val t = GraftTable.create(spark, root, seedDf, Seq("p"))
+      val seed = t.current.files.head
+      val rootPath = java.nio.file.Paths.get(root)
+      val seedAbs = rootPath.resolve(seed.path)
+      // seed copies live OUTSIDE data/ so they are never sweep
+      // candidates; rotation keeps hard links under ext4's per-inode cap
+      val seedCopies = (0 to n / 50000).map { c =>
+        val p = rootPath.resolve(s"seed_copy_$c.parquet")
+        java.nio.file.Files.copy(seedAbs, p)
+        p
+      }
+      val bulkId = t.currentId + 1
+      val nDirs = 64
+      val entries = (0 until n).map { i =>
+        val part = s"part${i % nDirs}"
+        val rel = s"data/p=$part/vb_$i.parquet"
+        val dst = rootPath.resolve(rel)
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.createLink(dst, seedCopies(i / 50000))
+        seed.copy(path = rel, partition = Map("p" -> part), addedBy = bulkId)
+      }
+      t.commitAppend(entries, "append")
+      // fixed 8 lost-race orphans: planned id 1 was committed by someone
+      // else, so the structural guard lets the age gate sweep them
+      (0 until 8).foreach { i =>
+        java.nio.file.Files.createLink(
+          rootPath.resolve(s"data/p=part${i % nDirs}/1-$i-orphan.parquet"),
+          seedCopies.head)
+      }
+      val (tDry, cands) = timed { t.orphansView(graceMillis = 0).collect() }
+      require(cands.length == 8,
+        s"dry-run must collect exactly the 8 planted orphans, saw ${cands.length}")
+      val (tVac, removed) = timed { t.vacuumOrphans(graceMillis = 0).size }
+      require(removed == 8, s"vacuum must sweep exactly 8, saw $removed")
+      require(t.read().count() == n + 1, "referenced data untouched")
+      for ((k, v) <- Seq("sweep_dry" -> tDry, "sweep_vac" -> tVac)) {
+        println(f"[vacbench] n=$n%-7d $k%-10s $v%8.3f s  candidates=8")
+        results(s"${k}_$n") = v
+      }
+    }
+    for (k <- Seq("sweep_dry", "sweep_vac")) {
+      val a = math.log(results(s"${k}_100000") / results(s"${k}_1000")) / math.log(100.0)
+      println(f"[vacbench] exponent $k%-10s alpha=$a%5.2f")
+      results(s"${k}_alpha") = a
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"vacbench_total","value":${results.values.sum},"unit":"sec","queries":$qs,"sf":"files"}""")
+  }
+
+  /** DV point-probe cost vs container count
+    * (`SPARK_GRAFT_SCALEBENCH_DVPROBE=1`, pure JVM — no Spark): GDV1
+    * recomputed each probe's payload offset by a linear directory walk,
+    * so per-row cost grew with container count (~160 containers on a
+    * 10M-row file with spread deletes). GDV2 carries the offset in the
+    * directory entry. This builds vectors with FIXED cardinality spread
+    * over 16 / 160 / 1600 containers and times 2M random `contains`
+    * probes on both encodings: GDV2 must stay flat (α≈0) while GDV1
+    * exhibits the walk.
+    */
+  private def dvProbeBench(): Unit = {
+    import graft.lake.GraftDv
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val card = 32000
+    val probesN = 2000000
+    val rnd = new java.util.Random(7)
+    for (nCont <- Seq(16, 160, 1600)) {
+      val span = nCont.toLong << 16
+      val positions = (0 until card).map(i => (i.toLong * span) / card).distinct
+      val b = GraftDv.newBuilder(); positions.foreach(GraftDv.add(b, _))
+      val v2 = GraftDv.serialize(b)
+      val v1 = GraftDv.serializeLegacy(b)
+      val probes = Array.fill(probesN)(math.abs(rnd.nextLong()) % span)
+      def timeProbes(bytes: Array[Byte]): Double = {
+        var sink = 0
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < probesN) {
+          if (GraftDv.contains(bytes, probes(i))) sink += 1
+          i += 1
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        require(sink >= 0); dt
+      }
+      timeProbes(v2); timeProbes(v1) // warm up codegen/JIT
+      val t2 = timeProbes(v2)
+      val t1 = timeProbes(v1)
+      println(f"[dvprobe] containers=$nCont%-5d gdv2=$t2%7.3f s  gdv1=$t1%7.3f s  (2M probes)")
+      results(s"gdv2_$nCont") = t2
+      results(s"gdv1_$nCont") = t1
+    }
+    for (k <- Seq("gdv2", "gdv1")) {
+      val a = math.log(results(s"${k}_1600") / results(s"${k}_16")) / math.log(100.0)
+      println(f"[dvprobe] exponent $k alpha=$a%5.2f")
+      results(s"${k}_alpha") = a
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"dvprobe_total","value":${results.values.sum},"unit":"sec","queries":$qs,"sf":"containers"}""")
+  }
+
   /** Streaming state-size probe
     * (`SPARK_GRAFT_SCALEBENCH_STREAMSTATE=1`): lake ops carry 10×
     * probes, streams were only wall-timed — this reads PEAK
@@ -653,6 +779,16 @@ object ScaleBench {
     }
     if (sys.env.contains("SPARK_GRAFT_SCALEBENCH_DV")) {
       dvBench(spark, base)
+      spark.stop()
+      return
+    }
+    if (sys.env.contains("SPARK_GRAFT_SCALEBENCH_VACUUM")) {
+      vacuumBench(spark)
+      spark.stop()
+      return
+    }
+    if (sys.env.contains("SPARK_GRAFT_SCALEBENCH_DVPROBE")) {
+      dvProbeBench()
       spark.stop()
       return
     }

@@ -11,13 +11,22 @@ import java.nio.{ByteBuffer, ByteOrder}
   * tracks min(2·cardinality, rows/8) bytes and a point lookup is one
   * directory binary-search + one container probe.
   *
-  * Layout (little-endian):
+  * Layout (little-endian), current "GDV2" format:
   * {{{
-  *   magic  u32 = 0x47445631 ("GDV1")
+  *   magic  u32 = 0x47445632 ("GDV2")
   *   n      u32   container count
-  *   dir    n × { key u32, type u8 (0=array,1=bitmap), card u32 }
+  *   dir    n × { key u32, type u8 (0=array,1=bitmap), card u32, off u32 }
   *   payloads in dir order: array → card×u16, bitmap → 8192 bytes
   * }}}
+  * `off` is the container payload's byte offset relative to the end of
+  * the directory, so a point probe is O(log n) FLAT: directory binary
+  * search, read `off`, probe — no walk. The original "GDV1" layout
+  * (13-byte stride minus the `off` field) carried no offsets, so every
+  * probe re-summed the preceding containers' payload sizes —
+  * O(#containers) PER ROW on the scan's hot path (a 10M-row file with
+  * spread deletes has ~160 containers). Writers emit GDV2; readers
+  * accept both magics (GDV1 vectors persist in committed tables).
+  *
   * Containers are keyed by `pos >>> 16` in ascending order; positions
   * must be in [0, 2^47) (u32 key × u16 low bits). Serialization is
   * deterministic (sorted keys, canonical container choice at the 4096
@@ -29,9 +38,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object GraftDv {
 
-  final val Magic = 0x47445631
+  final val Magic = 0x47445631   // legacy, read-only
+  final val Magic2 = 0x47445632  // current, written
   final val ArrayMax = 4096
   final val BitmapBytes = 8192
+  private final val Gdv1Stride = 9
+  private final val Gdv2Stride = 13
 
   /** Mutable build state: container key → 1024-word bitmap. Used as
     * the aggregation buffer; containers stay bitmaps while building
@@ -83,11 +95,64 @@ object GraftDv {
       }
     }
     val n = entries.size()
-    val bb = ByteBuffer.allocate(8 + n * 9 + payload).order(ByteOrder.LITTLE_ENDIAN)
+    val bb = ByteBuffer.allocate(8 + n * Gdv2Stride + payload)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(Magic2); bb.putInt(n)
+    var i = 0
+    var off = 0
+    while (i < n) {
+      val (key, words, card) = entries.get(i)
+      bb.putInt(key); bb.put(if (card <= ArrayMax) 0.toByte else 1.toByte); bb.putInt(card)
+      bb.putInt(off)
+      off += (if (card <= ArrayMax) 2 * card else BitmapBytes)
+      i += 1
+    }
+    i = 0
+    while (i < n) {
+      val (_, words, card) = entries.get(i)
+      if (card <= ArrayMax) {
+        var w = 0
+        while (w < 1024) {
+          var word = words(w)
+          while (word != 0) {
+            val bit = java.lang.Long.numberOfTrailingZeros(word)
+            bb.putShort(((w << 6) | bit).toShort)
+            word &= word - 1
+          }
+          w += 1
+        }
+      } else {
+        var w = 0
+        while (w < 1024) { bb.putLong(words(w)); w += 1 }
+      }
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** GDV1 serializer, kept ONLY as a test fixture: committed tables may
+    * carry GDV1 vectors, so the read path keeps decoding them and the
+    * property suite round-trips BOTH magics. Writers always emit GDV2.
+    */
+  private[graft] def serializeLegacy(b: Builder): Array[Byte] = {
+    val entries = new java.util.ArrayList[(Int, Array[Long], Int)]()
+    val it = b.entrySet().iterator()
+    var payload = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val card = containerCard(e.getValue)
+      if (card > 0) {
+        entries.add((e.getKey, e.getValue, card))
+        payload += (if (card <= ArrayMax) 2 * card else BitmapBytes)
+      }
+    }
+    val n = entries.size()
+    val bb = ByteBuffer.allocate(8 + n * Gdv1Stride + payload)
+      .order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(Magic); bb.putInt(n)
     var i = 0
     while (i < n) {
-      val (key, words, card) = entries.get(i)
+      val (key, _, card) = entries.get(i)
       bb.putInt(key); bb.put(if (card <= ArrayMax) 0.toByte else 1.toByte); bb.putInt(card)
       i += 1
     }
@@ -117,11 +182,16 @@ object GraftDv {
   def deserialize(bytes: Array[Byte]): Builder = {
     val b = newBuilder()
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    require(bb.getInt() == Magic, "not a GDV1 deletion vector")
+    val magic = bb.getInt()
+    require(magic == Magic || magic == Magic2, "not a GDV1/GDV2 deletion vector")
     val n = bb.getInt()
     val dir = new Array[(Int, Byte, Int)](n)
     var i = 0
-    while (i < n) { dir(i) = (bb.getInt(), bb.get(), bb.getInt()); i += 1 }
+    while (i < n) {
+      dir(i) = (bb.getInt(), bb.get(), bb.getInt())
+      if (magic == Magic2) bb.getInt() // cumulative offset: implicit in dir order here
+      i += 1
+    }
     i = 0
     while (i < n) {
       val (key, tpe, card) = dir(i)
@@ -152,35 +222,43 @@ object GraftDv {
   /** Point membership on the SERIALIZED form — the read path's per-row
     * kernel: directory binary search (the directory is fixed-width and
     * key-sorted) + one container probe; no deserialization, no
-    * allocation beyond the ByteBuffer view.
+    * allocation beyond the ByteBuffer view. GDV2 reads the payload
+    * offset straight from the directory entry (O(log n) flat); legacy
+    * GDV1 vectors fall back to re-summing the preceding containers.
     */
   def contains(bytes: Array[Byte], pos: Long): Boolean = {
     if (pos < 0 || pos >= (1L << 47)) return false
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    if (bb.getInt(0) != Magic) return false
+    val magic = bb.getInt(0)
+    if (magic != Magic && magic != Magic2) return false
+    val stride = if (magic == Magic2) Gdv2Stride else Gdv1Stride
     val n = bb.getInt(4)
     val key = (pos >>> 16).toInt
-    // binary search the 9-byte-stride directory
+    // binary search the fixed-stride directory
     var lo = 0; var hi = n - 1; var found = -1
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
-      val k = bb.getInt(8 + mid * 9)
+      val k = bb.getInt(8 + mid * stride)
       if (k == key) { found = mid; lo = hi + 1 }
       else if (k < key) lo = mid + 1
       else hi = mid - 1
     }
     if (found < 0) return false
-    // payload offset: sum of preceding containers' payload sizes
-    var off = 8 + n * 9
-    var i = 0
-    while (i < found) {
-      val tpe = bb.get(8 + i * 9 + 4)
-      val card = bb.getInt(8 + i * 9 + 5)
-      off += (if (tpe == 0) 2 * card else BitmapBytes)
-      i += 1
+    var off = 8 + n * stride
+    if (magic == Magic2) {
+      off += bb.getInt(8 + found * Gdv2Stride + 9)
+    } else {
+      // GDV1: payload offset = sum of preceding containers' sizes
+      var i = 0
+      while (i < found) {
+        val tpe = bb.get(8 + i * Gdv1Stride + 4)
+        val card = bb.getInt(8 + i * Gdv1Stride + 5)
+        off += (if (tpe == 0) 2 * card else BitmapBytes)
+        i += 1
+      }
     }
-    val tpe = bb.get(8 + found * 9 + 4)
-    val card = bb.getInt(8 + found * 9 + 5)
+    val tpe = bb.get(8 + found * stride + 4)
+    val card = bb.getInt(8 + found * stride + 5)
     val low = (pos & 0xffff).toInt
     if (tpe == 0) {
       var alo = 0; var ahi = card - 1
@@ -200,10 +278,12 @@ object GraftDv {
 
   def cardinality(bytes: Array[Byte]): Long = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    require(bb.getInt(0) == Magic, "not a GDV1 deletion vector")
+    val magic = bb.getInt(0)
+    require(magic == Magic || magic == Magic2, "not a GDV1/GDV2 deletion vector")
+    val stride = if (magic == Magic2) Gdv2Stride else Gdv1Stride
     val n = bb.getInt(4)
     var c = 0L; var i = 0
-    while (i < n) { c += bb.getInt(8 + i * 9 + 5); i += 1 }
+    while (i < n) { c += bb.getInt(8 + i * stride + 5); i += 1 }
     c
   }
 

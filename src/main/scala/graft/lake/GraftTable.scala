@@ -851,11 +851,10 @@ final class GraftTable(val root: String, spark: SparkSession) {
     val hfs = stagingP.getFileSystem(hconf)
     val stagingUri = hfs.makeQualified(stagingP).toUri.getPath
     val listed = scala.collection.mutable.ArrayBuffer[String]()
-    val it = hfs.listFiles(stagingP, true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+    GraftTable.walkFiles(hfs, stagingP) { st =>
+      if (st.getPath.getName.endsWith(".parquet"))
         listed += st.getPath.toUri.getPath
+      true
     }
     // sbucket tables: embed the file's bucket id in its name using
     // Spark's own bucket-file suffix, so the read path can hand the
@@ -2834,71 +2833,140 @@ final class GraftTable(val root: String, spark: SparkSession) {
     val hfs = rootP.getFileSystem(conf)
     val rootUri = hfs.makeQualified(rootP).toUri.getPath
     val removed = scala.collection.mutable.ArrayBuffer[(String, String)]()
-    // `<snapId>-…` prefix of an engine-written payload name; None for
-    // adopted files (which are always referenced anyway)
-    def plannedId(name: String): Option[Long] = {
-      val dash = name.indexOf('-')
-      if (dash <= 0) None
-      else { val p = name.substring(0, dash); if (p.forall(_.isDigit)) Some(p.toLong) else None }
+
+    // Bounded driver probe: count payload files until the inline cap.
+    // Tables that fit complete entirely on the driver (a Spark job's
+    // ~1 s launch overhead would dominate a handful of local stats);
+    // anything larger switches to the DISTRIBUTED sweep below, where
+    // the driver lists only TOP-LEVEL children and the recursive walks
+    // run as cluster tasks — at object-store scale (millions of files)
+    // the LIST calls issue from every executor in parallel and only
+    // CANDIDATE paths come back (bounded by #orphans, never #files —
+    // the reason Delta's VACUUM distributes its listing).
+    var inlineFiles = 0
+    var fits = true
+    for (sub <- Seq("data", "deletes") if fits) {
+      val dir = new org.apache.hadoop.fs.Path(rootP, sub)
+      if (hfs.exists(dir)) fits = GraftTable.walkFiles(hfs, dir) { _ =>
+        inlineFiles += 1
+        inlineFiles <= GraftTable.VacuumDriverFiles
+      }
     }
-    // stale staging trees from crashed writers — aged by newest content
-    Option(hfs.globStatus(new org.apache.hadoop.fs.Path(rootP, ".staging-*")))
-      .getOrElse(Array.empty).foreach { st =>
-        var newest = st.getModificationTime
-        val cit = hfs.listFiles(st.getPath, true)
-        while (cit.hasNext) newest = math.max(newest, cit.next().getModificationTime)
+
+    val stagingTrees = Option(hfs.globStatus(
+      new org.apache.hadoop.fs.Path(rootP, ".staging-*"))).getOrElse(Array.empty)
+
+    if (fits) {
+      // ---- inline sweep (small table): one driver walk per tree ----
+      // stale staging trees from crashed writers — aged by newest content
+      stagingTrees.foreach { st =>
+        val newest = GraftTable.newestMtimeIn(
+          st.getPath.toString, st.getModificationTime)
         if (newest < cutoff) {
           if (delete) hfs.delete(st.getPath, true)
           removed += ((st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/"),
             "staging-tree"))
         }
       }
-    for (sub <- Seq("data", "deletes")) {
-      val dir = new org.apache.hadoop.fs.Path(rootP, sub)
-      if (hfs.exists(dir)) {
-        val it = hfs.listFiles(dir, true)
-        while (it.hasNext) {
-          val st = it.next()
+      for (sub <- Seq("data", "deletes")) {
+        val dir = new org.apache.hadoop.fs.Path(rootP, sub)
+        if (hfs.exists(dir)) GraftTable.walkFiles(hfs, dir) { st =>
           val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-          // delete files live under deletes/<snapId>-<uuid>/part….parquet:
-          // the planned id rides the DIRECTORY name there
-          val payloadId =
-            if (sub == "deletes")
-              rel.split('/').drop(1).headOption.flatMap(plannedId)
-            else plannedId(st.getPath.getName)
-          // only parquet payloads are manifest-referenced candidates —
-          // writer markers (_SUCCESS etc.) are inert and skipped
-          if (st.isFile && st.getPath.getName.endsWith(".parquet")
-              && !referenced.contains(rel)
-              && payloadId.forall(_ <= maxId) // structural in-flight guard
-              && st.getModificationTime < cutoff) {
+          if (GraftTable.orphanCandidate(sub, rel,
+              st.getPath.getName, st.getModificationTime,
+              referenced.contains, maxId, cutoff)) {
             if (delete) hfs.delete(st.getPath, false)
             removed += ((rel, "unreferenced-payload"))
           }
+          true
         }
       }
+    } else {
+      // ---- distributed sweep (large table) ----
+      val sc = spark.sparkContext
+      val slices = math.max(1, sc.defaultParallelism)
+      // staging trees age as one tiny job (O(#crashed writers) tasks,
+      // each walking only its own tree)
+      if (stagingTrees.nonEmpty) {
+        val units = stagingTrees.map(st => (st.getPath.toString, st.getModificationTime)).toSeq
+        val newest = sc.parallelize(units, math.min(units.size, slices))
+          .map { case (dir, m) => (dir, GraftTable.newestMtimeIn(dir, m)) }
+          .collect()
+        newest.foreach { case (dir, n) =>
+          if (n < cutoff) {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            if (delete) hfs.delete(p, true)
+            removed += ((p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/"),
+              "staging-tree"))
+          }
+        }
+      }
+      // payload candidates: top-level files are judged right here from
+      // their listStatus; each top-level DIRECTORY (partition dir /
+      // delete-file dir) becomes one cluster task
+      val refBc = sc.broadcast(referenced)
+      val dirUnits = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      for (sub <- Seq("data", "deletes")) {
+        val dir = new org.apache.hadoop.fs.Path(rootP, sub)
+        if (hfs.exists(dir)) hfs.listStatus(dir).foreach { st =>
+          if (st.isDirectory) dirUnits += ((st.getPath.toString, sub))
+          else {
+            val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+            if (GraftTable.orphanCandidate(sub, rel, st.getPath.getName,
+                st.getModificationTime, referenced.contains, maxId, cutoff)) {
+              if (delete) hfs.delete(st.getPath, false)
+              removed += ((rel, "unreferenced-payload"))
+            }
+          }
+        }
+      }
+      val rootUriCap = rootUri
+      val candidates =
+        if (dirUnits.isEmpty) Array.empty[String]
+        else sc.parallelize(dirUnits.toSeq, math.min(dirUnits.size, slices * 4))
+          .flatMap { case (dir, sub) =>
+            GraftTable.orphanCandidatesIn(dir, rootUriCap, sub,
+              refBc.value, maxId, cutoff) }
+          .collect()
+      candidates.foreach { rel =>
+        if (delete)
+          hfs.delete(new org.apache.hadoop.fs.Path(rootP, rel), false)
+        removed += ((rel, "unreferenced-payload"))
+      }
+      refBc.unpersist(blocking = false)
     }
+
     // a delete-file dir whose parquet payloads are all gone (folded back
     // and expired, or just swept — including THIS pass, whose unlinks
-    // refresh the dir mtime) is cruft — remove the husk
+    // refresh the dir mtime) is cruft — remove the husk. Enumeration is
+    // a top-level listStatus (O(#delete dirs)); the per-dir content
+    // probe walks only aged/swept dirs and stops at the first parquet.
     val sweptDirs = removed.collect {
       case (r, _) if r.startsWith("deletes/") => r.split('/').take(2).mkString("/")
     }.toSet
     val delRoot = new org.apache.hadoop.fs.Path(rootP, "deletes")
-    if (hfs.exists(delRoot)) hfs.listStatus(delRoot).foreach { st =>
-      val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-      if (st.isDirectory && (st.getModificationTime < cutoff || sweptDirs.contains(rel))) {
-        val files = hfs.listFiles(st.getPath, true)
-        var hasParquet = false
-        while (files.hasNext && !hasParquet)
-          hasParquet = files.next().getPath.getName.endsWith(".parquet")
-        // dry-run: payloads were only flagged, not removed, so a dir
-        // that would empty out this pass still has parquet — only the
-        // genuinely-empty aged husk is reported (the conservative read)
-        if (!hasParquet) {
-          if (delete) hfs.delete(st.getPath, true)
-          removed += ((rel, "empty-delete-dir"))
-        }
+    if (hfs.exists(delRoot)) {
+      val aged = hfs.listStatus(delRoot).filter { st =>
+        val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+        st.isDirectory && (st.getModificationTime < cutoff || sweptDirs.contains(rel))
+      }
+      // dry-run: payloads were only flagged, not removed, so a dir
+      // that would empty out this pass still has parquet — only the
+      // genuinely-empty aged husk is reported (the conservative read)
+      val empty: Seq[String] =
+        if (fits || aged.isEmpty)
+          aged.toSeq.filter(st => !GraftTable.hasParquetIn(st.getPath.toString))
+            .map(_.getPath.toString)
+        else spark.sparkContext
+          .parallelize(aged.map(_.getPath.toString).toSeq,
+            math.min(aged.length, math.max(1, spark.sparkContext.defaultParallelism)))
+          .filter(dir => !GraftTable.hasParquetIn(dir))
+          .collect().toSeq
+      empty.foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        if (delete) hfs.delete(p, true)
+        removed += ((p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/"),
+          "empty-delete-dir"))
       }
     }
     removed.toSeq.distinct.sortBy(_._1)
@@ -3752,30 +3820,38 @@ object GraftTable {
     // k=v directory columns); afterwards all planning is manifest-only
     val schema = spark.read.parquet(dataP.toString).schema
     val dataUri = hfs.makeQualified(dataP).toUri.getPath
-    def partsOf(p: org.apache.hadoop.fs.Path): Seq[(String, String)] =
-      p.toUri.getPath.stripPrefix(dataUri).stripPrefix("/")
-        .split('/').toSeq.dropRight(1)
-        .filter(_.contains('='))
-        .map { seg =>
-          val i = seg.indexOf('=')
-          seg.substring(0, i) -> unescapePath(seg.substring(i + 1))
-        }
-    val listed = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
-    val it = hfs.listFiles(dataP, true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet")) listed += st.getPath
-    }
-    val files = listed.toSeq.sortBy(_.toUri.getPath)
-    val work = files.map(p => (p.toString, partsOf(p).toMap))
-    val partCols = files.headOption.map(partsOf(_).map(_._1)).getOrElse(Seq.empty)
+    // Listing + footer-stats harvest in ONE cluster pass: the driver
+    // lists only the TOP level of data/ (partition dirs, or bare files
+    // for an unpartitioned tree); each directory becomes a task that
+    // recursively lists its own subtree and stats every parquet it
+    // finds. An adopt is the one-time takeover of a pre-existing hive
+    // tree — possibly millions of files on an object store — so
+    // neither the LIST calls nor the footer reads may serialize on
+    // the driver.
     val rootStr = root
-    val entries =
-      if (work.isEmpty) Seq.empty[FileEntry]
-      else spark.sparkContext
-        .parallelize(work, math.min(work.size, spark.sparkContext.defaultParallelism))
-        .map { case (path, pv) => statEntry(rootStr, path, pv) }
+    val top = hfs.listStatus(dataP)
+    val topDirs = top.filter(_.isDirectory).map(_.getPath.toString).toSeq
+    val topFiles = top
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSeq
+    val sc = spark.sparkContext
+    val slices = math.max(1, sc.defaultParallelism)
+    val fromDirs =
+      if (topDirs.isEmpty) Seq.empty[FileEntry]
+      else sc.parallelize(topDirs, math.min(topDirs.size, slices * 4))
+        .flatMap(dir => adoptEntriesIn(rootStr, dir, dataUri))
         .collect().toSeq
+    val fromFiles =
+      if (topFiles.isEmpty) Seq.empty[FileEntry]
+      else sc.parallelize(topFiles, math.min(topFiles.size, slices))
+        .map(p => statEntry(rootStr, p, Map.empty[String, String]))
+        .collect().toSeq
+    val entries = (fromDirs ++ fromFiles).sortBy(_.path)
+    // partition-column ORDER from the first entry's directory segments
+    // (identical across the tree by hive-layout construction)
+    val partCols = entries.headOption.map(
+      _.path.split('/').drop(1).dropRight(1).filter(_.contains('='))
+        .map(_.takeWhile(_ != '=')).toSeq).getOrElse(Seq.empty)
     val t = new GraftTable(root, spark)
     t.commit(Snapshot(
       id = 1, parentId = -1L, tsMillis = System.currentTimeMillis(),
@@ -3801,6 +3877,31 @@ object GraftTable {
   }
 
   /** Footer-stat one existing file (no move) — runs in a cluster task. */
+  /** Cluster task for [[adopt]]: recursively list ONE partition subtree
+    * and harvest footer stats for every parquet payload in it — the
+    * executor-side half of adopt's distributed listing.
+    */
+  private def adoptEntriesIn(root: String, dirStr: String,
+      dataUri: String): Seq[FileEntry] = {
+    val p = new org.apache.hadoop.fs.Path(dirStr)
+    val fs = p.getFileSystem(taskConf)
+    val out = scala.collection.mutable.ArrayBuffer[FileEntry]()
+    walkFiles(fs, p) { st =>
+      if (st.getPath.getName.endsWith(".parquet")) {
+        val pv = st.getPath.toUri.getPath.stripPrefix(dataUri).stripPrefix("/")
+          .split('/').toSeq.dropRight(1)
+          .filter(_.contains('='))
+          .map { seg =>
+            val i = seg.indexOf('=')
+            seg.substring(0, i) -> unescapePath(seg.substring(i + 1))
+          }.toMap
+        out += statEntry(root, st.getPath.toString, pv)
+      }
+      true
+    }
+    out.toSeq
+  }
+
   private def statEntry(root: String, path: String,
       partVals: Map[String, String]): FileEntry = {
     val conf = taskConf
@@ -3845,6 +3946,105 @@ object GraftTable {
     * XML resources; per-file construction shows up at commit time.
     */
   @transient private lazy val taskConf = new Configuration()
+
+  /** Payload-file count up to which [[GraftTable.orphanScan]] sweeps
+    * inline on the driver; larger tables distribute the listing.
+    */
+  val VacuumDriverFiles = 1024
+
+  /** Recursive file walk via `listStatusIterator`. The metadata plane
+    * never needs block locations, and `listFiles(p, recursive=true)`
+    * computes them PER FILE — measured ~100× the cost of a plain
+    * status listing on location-computing filesystems. Directories
+    * recurse; `visit` sees files only. Returns early when `visit`
+    * returns false (short-circuit probes).
+    */
+  private[lake] def walkFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path)(
+      visit: org.apache.hadoop.fs.FileStatus => Boolean): Boolean = {
+    val it = fs.listStatusIterator(p)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isDirectory) {
+        if (!walkFiles(fs, st.getPath)(visit)) return false
+      } else if (!visit(st)) return false
+    }
+    true
+  }
+
+  /** `<snapId>-…` prefix of an engine-written payload name; None for
+    * adopted files (which are always referenced anyway).
+    */
+  private[lake] def plannedIdOf(name: String): Option[Long] = {
+    val dash = name.indexOf('-')
+    if (dash <= 0) None
+    else {
+      val p = name.substring(0, dash)
+      if (p.forall(_.isDigit)) Some(p.toLong) else None
+    }
+  }
+
+  /** The orphan-candidate predicate, shared verbatim by the inline
+    * driver sweep and the cluster walkers: a parquet payload (writer
+    * markers are inert), unreferenced by any live snapshot, whose
+    * planned snapshot id is not ahead of the manifest (structural
+    * in-flight guard) and whose mtime has aged past the grace cutoff.
+    * Delete files live under `deletes/<snapId>-<uuid>/part….parquet`,
+    * so the planned id rides the DIRECTORY name there.
+    */
+  private[lake] def orphanCandidate(sub: String, rel: String, name: String,
+      mtime: Long, referenced: String => Boolean, maxId: Long,
+      cutoff: Long): Boolean = {
+    val payloadId =
+      if (sub == "deletes") rel.split('/').drop(1).headOption.flatMap(plannedIdOf)
+      else plannedIdOf(name)
+    name.endsWith(".parquet") && !referenced(rel) &&
+      payloadId.forall(_ <= maxId) && mtime < cutoff
+  }
+
+  /** Cluster task: recursively list ONE payload subtree and return only
+    * its orphan candidates — the task-side half of the distributed
+    * sweep (each executor issues its own LIST calls; the driver never
+    * walks the tree).
+    */
+  private[lake] def orphanCandidatesIn(dirStr: String, rootUri: String,
+      sub: String, referenced: scala.collection.Set[String], maxId: Long,
+      cutoff: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dirStr)
+    val fs = p.getFileSystem(taskConf)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    walkFiles(fs, p) { st =>
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      if (orphanCandidate(sub, rel, st.getPath.getName,
+          st.getModificationTime, referenced.contains, maxId, cutoff))
+        out += rel
+      true
+    }
+    out.toSeq
+  }
+
+  /** Cluster task: newest mtime anywhere inside a staging tree (a live
+    * long write keeps refreshing its own protection).
+    */
+  private[lake] def newestMtimeIn(dirStr: String, dirMtime: Long): Long = {
+    val p = new org.apache.hadoop.fs.Path(dirStr)
+    val fs = p.getFileSystem(taskConf)
+    var newest = dirMtime
+    walkFiles(fs, p) { st =>
+      newest = math.max(newest, st.getModificationTime); true
+    }
+    newest
+  }
+
+  /** Does the subtree contain any parquet payload? Stops at the first
+    * hit; runs driver-side for small tables, as a cluster task for
+    * large ones.
+    */
+  private[lake] def hasParquetIn(dirStr: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dirStr)
+    val fs = p.getFileSystem(taskConf)
+    !walkFiles(fs, p)(st => !st.getPath.getName.endsWith(".parquet"))
+  }
 
   /** Move one staged file to its final location and harvest its footer
     * stats — runs INSIDE a cluster task (Hadoop FileSystem API, so any

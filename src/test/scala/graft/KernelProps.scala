@@ -363,4 +363,28 @@ object GraftDvProps extends Properties("GraftDv") {
       val bb = GraftDv.newBuilder(); b.foreach(GraftDv.add(bb, _))
       GraftDv.positions(GraftDv.serialize(GraftDv.mergeInto(ba, bb))).toSet == (a ++ b)
     }
+
+  // GDV1 is the committed-table legacy format: the read path must keep
+  // answering it bit-for-bit like GDV2 (contains/positions/cardinality),
+  // and a deserialize→serialize round-trip must UPGRADE it to GDV2
+  private def serLegacy(s: Set[Long]): Array[Byte] = {
+    val b = GraftDv.newBuilder(); s.foreach(GraftDv.add(b, _))
+    GraftDv.serializeLegacy(b)
+  }
+
+  property("legacy GDV1 bytes answer identically to GDV2") = forAll(posSet) { s =>
+    val v1 = serLegacy(s)
+    val v2 = ser(s)
+    val probes = s.take(50) ++ s.take(50).map(_ + 1) ++
+      Seq(0L, 65535L, 65536L, (1L << 46) + 7)
+    probes.forall(p => GraftDv.contains(v1, p) == GraftDv.contains(v2, p)) &&
+      GraftDv.positions(v1).toSet == s &&
+      GraftDv.cardinality(v1) == s.size.toLong
+  }
+
+  property("GDV1 round-trips through the builder into canonical GDV2") =
+    forAll(posSet) { s =>
+      java.util.Arrays.equals(
+        GraftDv.serialize(GraftDv.deserialize(serLegacy(s))), ser(s))
+    }
 }

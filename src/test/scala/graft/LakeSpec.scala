@@ -1348,6 +1348,56 @@ class LakeSpec extends SparkSpec {
     assert(t.read().count() === nRows - 1)
   }
 
+  test("orphan sweep distributes past the inline threshold with identical semantics") {
+    val root = tmp("vacdist")
+    val t = GraftTable.create(spark, root,
+      spark.range(1).select(col("id").as("v"), lit("part0").as("p")), Seq("p"))
+    val seed = t.current.files.head
+    val rootPath = java.nio.file.Paths.get(root)
+    val seedAbs = rootPath.resolve(seed.path)
+    // hardlink past the inline cap so the sweep takes the DISTRIBUTED
+    // branch (driver lists only top-level dirs; walks run as tasks)
+    val n = GraftTable.VacuumDriverFiles + 80
+    val bulkId = t.currentId + 1
+    val entries = (0 until n).map { i =>
+      val rel = s"data/p=part${i % 16}/vd_$i.parquet"
+      val dst = rootPath.resolve(rel)
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.createLink(dst, seedAbs)
+      seed.copy(path = rel, partition = Map("p" -> s"part${i % 16}"), addedBy = bulkId)
+    }
+    t.commitAppend(entries, "append")
+    // plants: a dead lost-race orphan inside a partition dir, one at
+    // the TOP level of data/ (the inline-at-driver branch of the
+    // distributed sweep), an in-flight payload the structural guard
+    // must protect, and a stale staging tree
+    def plant(rel: String): java.nio.file.Path = {
+      val p = rootPath.resolve(rel)
+      java.nio.file.Files.createLink(p, seedAbs)
+      p
+    }
+    val orphanDir = plant("data/p=part3/1-9-orphan.parquet")
+    val orphanTop = plant("data/1-8-toporphan.parquet")
+    val inflight = plant("data/p=part5/999-0-inflight.parquet")
+    val staging = java.nio.file.Paths.get(root, ".staging-cafe")
+    java.nio.file.Files.createDirectories(staging)
+    java.nio.file.Files.write(staging.resolve("part-0.parquet"), Array[Byte](1))
+    // inside the grace period nothing is swept
+    assert(t.vacuumOrphans(graceMillis = 60000).isEmpty)
+    // dry-run view finds exactly the dead plants, distributed
+    val viewed = t.orphansView(graceMillis = 0).collect().map(_.getString(0)).toSet
+    assert(viewed === Set("data/p=part3/1-9-orphan.parquet",
+      "data/1-8-toporphan.parquet", ".staging-cafe"), s"viewed: $viewed")
+    val removed = t.vacuumOrphans(graceMillis = 0)
+    assert(removed.toSet === viewed, "vacuum must sweep exactly the dry-run set")
+    assert(!java.nio.file.Files.exists(orphanDir) &&
+      !java.nio.file.Files.exists(orphanTop) && !java.nio.file.Files.exists(staging))
+    assert(java.nio.file.Files.exists(inflight),
+      "a payload stamped beyond every committed snapshot is in-flight — never swept")
+    java.nio.file.Files.delete(inflight)
+    assert(t.read().count() === n + 1, "referenced data untouched")
+  }
+
   test("appendBatch replay is recognized after snapshot expiration") {
     val o = Tables.orders(spark, sfDir).limit(200)
     val base = o.repartition(col("o_orderstatus"))
