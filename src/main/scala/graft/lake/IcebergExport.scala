@@ -685,6 +685,21 @@ object IcebergExport {
         // drops a delete nothing predates) and resurrect its victims
         addedBy = e.sequenceNumber.getOrElse(curId))
     }
+    // Spec evolution guard: graft attaches partition values from the
+    // manifest for every column of the CURRENT (default) spec, so a
+    // live file written under an OLDER spec — whose partition tuple
+    // lacks those fields — would scan with fabricated nulls (wrong
+    // answers, not an error). Refuse loudly at import time; the remedy
+    // is a compaction/rewrite to the current spec in the source engine.
+    files.find(f => !partitionCols.forall(f.partition.contains)).foreach { f =>
+      throw new IllegalArgumentException(
+        s"import: data file ${f.path} was written under a different " +
+          s"partition spec — its partition values ${f.partition.keySet} " +
+          s"do not cover the default spec's columns " +
+          s"${partitionCols.mkString("[", ", ", "]")}; rewrite the file " +
+          "to the current spec in the source engine before importing")
+    }
+
     val deleteFiles = delEntries.map { e =>
       DeleteFileEntry(
         path = e.filePath,

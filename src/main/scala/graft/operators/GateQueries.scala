@@ -1282,6 +1282,134 @@ object GateQueries {
     """SELECT count(*) AS record_count_total, true AS file_counts_match
       |FROM orders WHERE o_orderkey < 8000""".stripMargin
 
+  /** `lake_iceberg_foreign` (A91): import of FOREIGN Iceberg metadata —
+    * every other bridge entry round-trips this bridge's own exports,
+    * which share its field-id allocation, micros-only footers, and
+    * graft-transform spec extras. This entry authors the tree the way
+    * an EXTERNAL writer would: TIMESTAMP_MILLIS parquet footers,
+    * scrambled non-positional field ids (id=4 name=1 price=7 ts=3
+    * cat=2), a required/optional mix, a multi-spec history whose
+    * default-spec-id is not 0, real Avro manifests, and zero graft
+    * extras. The import must read it EXACTLY — stats landing on the
+    * right columns through the id scramble, timestamp bounds dropped
+    * (the mis-united-bound class would prune or meta-agg 1000× off),
+    * millis footers decoding to the same instants — and the per-cat
+    * aggregate of the imported table oracles against plain SQL over
+    * the source rows.
+    */
+  def lakeIcebergForeign(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.{IcebergAvro, IcebergExport}
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val root = work(d, "icefrn")
+    val rm = new java.io.File(root)
+    if (rm.exists()) { import scala.sys.process._; Seq("rm", "-rf", root).! }
+    val src = orders(s, d).filter(col("o_orderkey") < 4000)
+      .select(col("o_orderkey").as("id"),
+        concat(lit("c"), col("o_custkey")).as("name"),
+        col("o_totalprice").as("price"),
+        col("o_orderdate").cast("timestamp").as("ts"),
+        col("o_orderstatus").as("cat"))
+    val cats = src.select("cat").distinct().collect().map(_.getString(0)).sorted
+    val prevTs = s.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+      cats.foreach(c => src.filter(col("cat") === c).drop("cat")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/data/cat=$c"))
+    } finally s.conf.set("spark.sql.parquet.outputTimestampType", prevTs)
+    // per-cat manifest bounds from one tiny aggregate (|cats| rows)
+    val bounds = src.groupBy(col("cat")).agg(
+      count(lit(1)).as("n"), min(col("id")).as("id0"), max(col("id")).as("id1"),
+      min(col("price")).as("p0"), max(col("price")).as("p1"),
+      min(col("ts")).cast("long").as("t0"), max(col("ts")).cast("long").as("t1"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val idToType = Map(4 -> LongType, 1 -> StringType, 7 -> DoubleType,
+      3 -> TimestampType, 2 -> StringType)
+    val entries = cats.map { c =>
+      val p = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/data/cat=$c"))
+        .iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      val b = bounds(c)
+      IcebergAvro.DecodedEntry(status = 1, snapshotId = 77L,
+        sequenceNumber = Some(5L), content = 0, filePath = p.toString,
+        fileFormat = "PARQUET", partition = Map("cat" -> c),
+        rows = b.getLong(1), bytes = java.nio.file.Files.size(p),
+        lower = Map(4 -> b.getLong(2).toString, 7 -> b.getDouble(4).toString,
+          3 -> (b.getLong(6) * 1000000L).toString),
+        upper = Map(4 -> b.getLong(3).toString, 7 -> b.getDouble(5).toString,
+          3 -> (b.getLong(7) * 1000000L).toString),
+        nulls = Map.empty, equalityIds = Seq.empty)
+    }.toSeq
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/metadata"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val mPath = s"$root/metadata/m0.avro"
+    val mLen = IcebergAvro.writeManifest(fs, new org.apache.hadoop.fs.Path(mPath),
+      partitionFields = Seq(("cat", StringType, 1001)), idToType = idToType,
+      content = "data", entries = entries, schemaJson = "{}", specJson = "{}",
+      specId = 1)
+    val mlPath = s"$root/metadata/ml77.avro"
+    IcebergAvro.writeManifestList(fs, new org.apache.hadoop.fs.Path(mlPath),
+      77L, -1L, 5L, Seq(IcebergAvro.MlEntry(mPath, mLen, 1, 0, 5L, 5L, 77L,
+        entries.size, 0, 0, entries.map(_.rows).sum, 0L, 0L)))
+    val md =
+      s"""{
+         |  "format-version": 2,
+         |  "location": "$root",
+         |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+         |    {"id": 4, "name": "id", "required": true, "type": "long"},
+         |    {"id": 1, "name": "name", "required": false, "type": "string"},
+         |    {"id": 7, "name": "price", "required": false, "type": "double"},
+         |    {"id": 3, "name": "ts", "required": false, "type": "timestamptz"},
+         |    {"id": 2, "name": "cat", "required": false, "type": "string"}]}],
+         |  "current-schema-id": 0,
+         |  "partition-specs": [
+         |    {"spec-id": 0, "fields": [{"name": "id_bucket",
+         |      "transform": "bucket[4]", "source-id": 4, "field-id": 1000}]},
+         |    {"spec-id": 1, "fields": [{"name": "cat",
+         |      "transform": "identity", "source-id": 2, "field-id": 1001}]}],
+         |  "default-spec-id": 1,
+         |  "current-snapshot-id": 77,
+         |  "snapshots": [{"snapshot-id": 77, "sequence-number": 5,
+         |    "timestamp-ms": 1700000000000, "manifest-list": "$mlPath",
+         |    "summary": {"operation": "append"}}],
+         |  "refs": {"main": {"snapshot-id": 77, "type": "branch"}}
+         |}""".stripMargin
+    val mdPath = java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json")
+    java.nio.file.Files.write(mdPath, md.getBytes("UTF-8"))
+    val t = IcebergExport.importMetadata(s, mdPath.toString, root + "-imp")
+    // invariants: scrambled ids land stats on the right columns; the
+    // timestamp bounds are dropped; required → non-nullable; the
+    // default spec is selected from the multi-spec list with no dep
+    require(!t.schema("id").nullable && t.schema("name").nullable,
+      "required/optional must map to nullability")
+    require(t.current.partitionCols == Seq("cat") && t.current.deps.isEmpty,
+      "default spec selected; foreign bucket claims no graft dep")
+    require(t.current.files.forall(f => f.stats.contains("price") &&
+      f.stats("price").tpe == "double" && !f.stats.contains("ts")),
+      "double stats import, timestamp stats must be dropped")
+    // stats prune on price; NEVER on ts (no stats — a mis-united bound
+    // would wrongly prune here); partition pruning on cat intact
+    val (survP, totP, _) = t.pruneFiles(col("price") > lit(1e12))
+    require(totP == cats.length && survP.isEmpty, "price stats must prune")
+    val (survT, totT, _) = t.pruneFiles(
+      col("ts") > lit(java.sql.Timestamp.valueOf("2099-01-01 00:00:00")))
+    require(survT.size == totT, "ts must not stats-prune on an import")
+    // per-cat aggregate of the imported table — millis footers must
+    // decode to the same instants the oracle computes from the dates
+    t.read().groupBy(col("cat")).agg(
+        count(lit(1)).as("n"), min(col("id")).as("id_min"),
+        max(col("price")).as("price_max"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("ts_min"))
+      .orderBy(col("cat"))
+  }
+
+  val lakeIcebergForeignSql: String =
+    """SELECT o_orderstatus AS cat, count(*) AS n,
+      |  min(o_orderkey) AS id_min, max(o_totalprice) AS price_max,
+      |  strftime(CAST(min(o_orderdate) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_min
+      |FROM orders WHERE o_orderkey < 4000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** `lake_iceberg_roundtrip` (A69): the full bridge — export a table
     * (with a pending MOR delete) to Iceberg-spec metadata, IMPORT it
     * into a fresh root (zero bytes copied, absolute references), and
@@ -1501,6 +1629,7 @@ object GateQueries {
     "lake_refddl"           -> (lakeRefDdl _),
     "lake_changes_sql"      -> (lakeChangesSql _),
     "lake_iceberg_export"   -> (lakeIcebergExport _),
+    "lake_iceberg_foreign"  -> (lakeIcebergForeign _),
     "lake_iceberg_roundtrip" -> (lakeIcebergRoundtrip _),
     "lake_meta_agg"         -> (lakeMetaAgg _),
     "lake_notnull"          -> (lakeNotNull _),
@@ -1543,6 +1672,7 @@ object GateQueries {
     "lake_refddl"           -> lakeRefDdlSql,
     "lake_changes_sql"      -> lakeChangesSqlSql,
     "lake_iceberg_export"   -> lakeIcebergExportSql,
+    "lake_iceberg_foreign"  -> lakeIcebergForeignSql,
     "lake_iceberg_roundtrip" -> lakeIcebergRoundtripSql,
     "lake_meta_agg"         -> lakeMetaAggSql,
     "lake_notnull"          -> lakeNotNullSql,

@@ -250,58 +250,74 @@ object AnnIndex {
 
   /** Build the index from a graft lake corpus table and stamp the
     * sync watermark at its current snapshot — the entry point for
-    * lake-maintained indexes.
+    * lake-maintained indexes. The codes table is put in equality
+    * merge-on-read mode so [[sync]]'s delete-fold is O(deletes) with
+    * zero target I/O (the key list itself is the delete file; the
+    * query path applies it on read through the ordinary lake scan).
     */
   def buildFromTable(s: SparkSession, corpus: GraftTable, indexRoot: String): Unit = {
     val snapId = corpus.currentId
     build(s, corpus.read().select(col("vec_id"), col("embedding")), indexRoot)
-    new GraftTable(codesRoot(indexRoot), s)
-      .setProperty(SyncedSnapshotProp, snapId.toString)
+    val codesT = new GraftTable(codesRoot(indexRoot), s)
+    codesT.setProperty(GraftTable.MergeModeProp, "merge-on-read")
+    codesT.setProperty(GraftTable.MergeDeleteKindProp, "equality")
+    codesT.setProperty(SyncedSnapshotProp, snapId.toString)
     ()
   }
 
-  /** Maintain the index against its lake corpus table: encode ONLY the
-    * rows appended since the recorded watermark snapshot (the A27
-    * incremental-read shape — the delta is planned from manifest
-    * `addedBy` stamps, the pre-sync corpus is never rescanned), append
-    * them under the FROZEN codebooks, and advance the watermark — one
-    * metadata commit. Returns the delta row count (from manifest row
-    * counts, no count() job). The window must be append-only: a
-    * rewrite (COW delete/update, overwrite, rollback) changes rows the
-    * index already encoded, which an append cannot express — sync
-    * refuses loudly and the remedy is [[buildFromTable]] (the same
-    * contract the A27 incremental reader documents).
+  /** Maintain the index against its lake corpus table — one row-level
+    * changelog over the watermark window (A43: cost scales with the
+    * CHANGED files, the pre-sync corpus is never rescanned) classifies
+    * the delta:
+    *
+    *  - INSERTED vectors are encoded under the FROZEN codebooks and
+    *    lake-appended (narrow maps over the delta only);
+    *  - DELETED vectors — the #1 real consumer is dedup, which DELETES
+    *    from the corpus — fold as one keyed equality-delete on the
+    *    codes table: O(deletes) bytes written, zero target I/O, and
+    *    the query path hides them on read like any MOR delete;
+    *  - a vec_id on BOTH sides of the changelog is a REWRITTEN vector,
+    *    which the frozen-codebook index cannot re-express without a
+    *    rewrite — sync refuses loudly and the remedy is
+    *    [[buildFromTable]].
+    *
+    * Returns the number of changed rows folded (inserts + deletes).
     */
-  def sync(s: SparkSession, corpus: GraftTable, indexRoot: String): Long = {
-    val codesT = new GraftTable(codesRoot(indexRoot), s)
-    val last = codesT.properties.getOrElse(SyncedSnapshotProp,
-      throw new IllegalStateException(
-        s"index at $indexRoot has no sync watermark — build it with " +
-          "buildFromTable first")).toLong
-    val cur = corpus.currentId
-    if (cur == last) return 0L
-    // append-only window proof from the manifests alone
-    var id = cur
-    while (id > last) {
-      val snap = corpus.snapshot(id)
-      require(snap.deletedFiles == 0 && snap.deleteFiles.forall(_.addedBy <= last),
-        s"corpus snapshot $id ('${snap.operation}') rewrites or deletes rows " +
-          s"the index already encoded — incremental sync cannot express that; " +
-          "rebuild with buildFromTable")
-      id = snap.parentId
+  def sync(s: SparkSession, corpus: GraftTable, indexRoot: String): Long =
+    inGroup(s, BuildGroup, s"ANN index sync -> $indexRoot") {
+      val codesT = new GraftTable(codesRoot(indexRoot), s)
+      val last = codesT.properties.getOrElse(SyncedSnapshotProp,
+        throw new IllegalStateException(
+          s"index at $indexRoot has no sync watermark — build it with " +
+            "buildFromTable first")).toLong
+      val cur = corpus.currentId
+      if (cur == last) return 0L
+      val ch = corpus.changelog(last, cur)
+        .select(col("_change_type").as("op"), col("vec_id"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // a rewritten vector shows up as delete(old)+insert(new) under
+        // ONE vec_id — refuse before touching the index
+        val rewritten = ch.groupBy(col("vec_id"))
+          .agg(countDistinct(col("op")).as("ops"))
+          .filter(col("ops") > 1).limit(1).count()
+        require(rewritten == 0L,
+          s"corpus window $last -> $cur rewrites vectors the index already " +
+            "encoded — a frozen-codebook index cannot re-encode in place; " +
+            "rebuild with buildFromTable")
+        val delKeys = ch.filter(col("op") === "delete")
+          .select(col("vec_id").as("n_id"))
+        val nDel = delKeys.count()
+        if (nDel > 0L) codesT.mergeDelete(delKeys, Seq("n_id"))
+        val ins = ch.filter(col("op") === "insert")
+          .select(col("vec_id"), col("embedding"))
+        val nIns = ins.count()
+        if (nIns > 0L) append(s, ins, indexRoot)
+        new GraftTable(codesRoot(indexRoot), s)
+          .setProperty(SyncedSnapshotProp, cur.toString)
+        nIns + nDel
+      } finally { ch.unpersist(); () }
     }
-    val from = corpus.snapshot(last).files.map(_.path).toSet
-    val deltaRows = corpus.snapshot(cur).files
-      .filterNot(f => from.contains(f.path)).map(_.rows).sum
-    if (deltaRows > 0L) {
-      append(s, corpus.readIncremental(last, cur)
-        .select(col("vec_id"), col("embedding")), indexRoot)
-      ()
-    }
-    new GraftTable(codesRoot(indexRoot), s)
-      .setProperty(SyncedSnapshotProp, cur.toString)
-    deltaRows
-  }
 
   private def workRoot(d: String) =
     s"/root/repo/target/lakework/annindex-${d.replaceAll("[^0-9a-zA-Z.]", "_")}"

@@ -162,8 +162,36 @@ class AnnIndexSpec extends SparkSpec {
         .map(_.getAs[Long]("neighbor_id")).contains(i.toLong))
     }
 
-    // a rewrite in the window refuses: the index cannot express it
+    // a PURE delete in the window FOLDS (the dedup shape: the corpus
+    // consumer deletes rows): one keyed equality delete on the codes
+    // table — zero retrain, zero rewrites of existing code files, and
+    // the victim never comes back as a neighbor
+    val booksIdPre = new GraftTable(s"$root/books", spark).currentId
     t.delete(col("vec_id") === 600000000L)
+    assert(AnnIndex.sync(spark, t, root) === 1L)
+    val t3 = new GraftTable(s"$root/codes", spark)
+    assert(new GraftTable(s"$root/books", spark).currentId === booksIdPre,
+      "delete-fold must never retrain")
+    assert(t3.properties(AnnIndex.SyncedSnapshotProp).toLong === t.currentId)
+    preFiles.foreach(p => assert(t3.current.files.exists(_.path == p),
+      s"delete-fold must be zero-target-I/O, rewrote $p"))
+    assert(t3.current.deleteFiles.exists(_.equalityCols == Seq("n_id")),
+      "the fold must land as an equality delete (O(deletes) bytes)")
+    // vec 600000000 was a planted near-copy of vec 0: querying vec 0
+    // must no longer surface the deleted twin
+    val ghosts = AnnIndex.query(spark, root,
+        t.read().select(col("vec_id"), col("embedding")),
+        corpus.filter(col("vec_id") === 0L)
+          .select(col("vec_id").as("query_id"), col("embedding")), 1L)
+      .collect().map(_.getAs[Long]("neighbor_id"))
+    assert(!ghosts.contains(600000000L),
+      s"ghost neighbor survived the delete-fold: ${ghosts.toSeq}")
+
+    // a REWRITE (same vec_id, changed vector) still refuses: the
+    // frozen-codebook index cannot re-encode in place
+    t.update(col("vec_id") === 700000000L, Map("embedding" ->
+      concat(slice(col("embedding"), 1, VectorOps.PlantKeepDims - 2),
+        array(Seq.fill(VectorOps.EmbDim - VectorOps.PlantKeepDims + 2)(lit(0.5f)): _*))))
     val ex = intercept[IllegalArgumentException] { AnnIndex.sync(spark, t, root) }
     assert(ex.getMessage.contains("rebuild"))
   }

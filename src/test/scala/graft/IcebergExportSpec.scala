@@ -493,4 +493,171 @@ class IcebergExportSpec extends SparkSpec {
       }
     }
   }
+
+  /** Foreign-writer fixture (r11 mandate): every prior import test
+    * round-trips THIS bridge's own exports, which share its field-id
+    * allocation, micros-only footers, and graft-transform extras. This
+    * hand-authors an Iceberg v2 tree the way an EXTERNAL writer would
+    * emit it — scrambled non-positional field ids, required/optional
+    * mix, TIMESTAMP_MILLIS parquet footers, multi-spec history with a
+    * non-zero default-spec-id, real Avro manifests, zero graft extras —
+    * and proves the import either reads it exactly or refuses loudly.
+    */
+  test("foreign Iceberg metadata: scrambled ids, millis footers, multi-spec, no graft extras") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val root = "/root/repo/target/laketest/iceforeign"
+    val rm = new java.io.File(root)
+    if (rm.exists()) { import scala.sys.process._; Seq("rm", "-rf", root).! }
+    // -- foreign DATA files: genuine TIMESTAMP_MILLIS footers ----------
+    val rows = Seq(
+      (1L, "alpha", 10.5, java.sql.Timestamp.valueOf("2021-03-04 05:06:07"), "a"),
+      (2L, null.asInstanceOf[String], 99.25, java.sql.Timestamp.valueOf("2022-08-09 10:11:12"), "a"),
+      (3L, "gamma", 7.75, java.sql.Timestamp.valueOf("2020-01-02 03:04:05"), "b"))
+    val df = rows.toDF("id", "name", "price", "ts", "cat")
+    val prevTsType = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+      for (cat <- Seq("a", "b"))
+        df.filter(col("cat") === cat).drop("cat").coalesce(1)
+          .write.parquet(s"$root/data/cat=$cat")
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
+    import scala.jdk.CollectionConverters._
+    def partFile(cat: String): java.nio.file.Path =
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/data/cat=$cat"))
+        .iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    val fileA = partFile("a"); val fileB = partFile("b")
+    // -- foreign MANIFESTS: scrambled field ids, micros bounds ---------
+    // ids deliberately non-positional: id=4 name=1 price=7 ts=3 cat=2
+    val idToType = Map(4 -> LongType, 1 -> StringType, 7 -> DoubleType,
+      3 -> TimestampType, 2 -> StringType)
+    def micros(s: String): String =
+      (java.sql.Timestamp.valueOf(s).getTime * 1000L).toString
+    def entry(p: java.nio.file.Path, cat: String, lo: Map[Int, String],
+        up: Map[Int, String], nulls: Map[Int, Long], nRows: Long) =
+      IcebergAvro.DecodedEntry(status = 1, snapshotId = 77L,
+        sequenceNumber = Some(5L), content = 0, filePath = p.toString,
+        fileFormat = "PARQUET", partition = Map("cat" -> cat),
+        rows = nRows, bytes = java.nio.file.Files.size(p),
+        lower = lo, upper = up, nulls = nulls, equalityIds = Seq.empty)
+    val entries = Seq(
+      entry(fileA, "a",
+        lo = Map(4 -> "1", 7 -> "10.5", 1 -> "alpha",
+          3 -> micros("2021-03-04 05:06:07")),
+        up = Map(4 -> "2", 7 -> "99.25", 1 -> "alpha",
+          3 -> micros("2022-08-09 10:11:12")),
+        nulls = Map(1 -> 1L), nRows = 2L),
+      entry(fileB, "b",
+        lo = Map(4 -> "3", 7 -> "7.75", 1 -> "gamma",
+          3 -> micros("2020-01-02 03:04:05")),
+        up = Map(4 -> "3", 7 -> "7.75", 1 -> "gamma",
+          3 -> micros("2020-01-02 03:04:05")),
+        nulls = Map.empty, nRows = 1L))
+    val metaDir = java.nio.file.Paths.get(s"$root/metadata")
+    java.nio.file.Files.createDirectories(metaDir)
+    val fs = hfs(root)
+    val mPath = s"$root/metadata/m0.avro"
+    val mLen = IcebergAvro.writeManifest(fs, new HPath(mPath),
+      partitionFields = Seq(("cat", StringType, 1001)),
+      idToType = idToType, content = "data", entries = entries,
+      schemaJson = "{}", specJson = "{}", specId = 1)
+    val mlPath = s"$root/metadata/ml77.avro"
+    IcebergAvro.writeManifestList(fs, new HPath(mlPath), 77L, -1L, 5L, Seq(
+      IcebergAvro.MlEntry(mPath, mLen, 1, 0, 5L, 5L, 77L, 2, 0, 0, 3L, 0L, 0L)))
+    // -- foreign METADATA json: multi-spec, default-spec-id=1, refs ----
+    def metadataJson(specOverride: Option[String] = None): String = {
+      val specs = specOverride.getOrElse(
+        """[{"spec-id":0,"fields":[{"name":"id_bucket","transform":"bucket[4]","source-id":4,"field-id":1000}]},
+          | {"spec-id":1,"fields":[{"name":"cat","transform":"identity","source-id":2,"field-id":1001}]}]"""
+          .stripMargin)
+      s"""{
+         |  "format-version": 2,
+         |  "table-uuid": "0f0e0d0c-0b0a-0908-0706-050403020100",
+         |  "location": "$root",
+         |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+         |    {"id": 4, "name": "id", "required": true, "type": "long"},
+         |    {"id": 1, "name": "name", "required": false, "type": "string"},
+         |    {"id": 7, "name": "price", "required": false, "type": "double"},
+         |    {"id": 3, "name": "ts", "required": false, "type": "timestamptz"},
+         |    {"id": 2, "name": "cat", "required": false, "type": "string"}]}],
+         |  "current-schema-id": 0,
+         |  "partition-specs": $specs,
+         |  "default-spec-id": 1,
+         |  "current-snapshot-id": 77,
+         |  "snapshots": [{"snapshot-id": 77, "sequence-number": 5,
+         |    "timestamp-ms": 1700000000000,
+         |    "manifest-list": "$mlPath", "summary": {"operation": "append"}}],
+         |  "refs": {"main": {"snapshot-id": 77, "type": "branch"},
+         |           "rel": {"snapshot-id": 77, "type": "tag"},
+         |           "old": {"snapshot-id": 42, "type": "branch"}},
+         |  "properties": {"owner": "someone"}
+         |}""".stripMargin
+    }
+    val mdPath = metaDir.resolve("v1.metadata.json")
+    java.nio.file.Files.write(mdPath, metadataJson().getBytes("UTF-8"))
+    val t = IcebergExport.importMetadata(spark, mdPath.toString, root + "-imp")
+    // schema: declared order, required → nullable=false, ids scrambled
+    assert(t.schema.fieldNames.toSeq === Seq("id", "name", "price", "ts", "cat"))
+    assert(!t.schema("id").nullable && t.schema("name").nullable)
+    assert(t.schema("ts").dataType === TimestampType)
+    // default spec (id 1) selected out of the multi-spec list; the
+    // foreign bucket spec imports no dependency claim
+    assert(t.current.partitionCols === Seq("cat"))
+    assert(t.current.deps.isEmpty)
+    // stats landed on the RIGHT columns through the id scramble; the
+    // timestamp bounds are DROPPED (the micros/millis-unit hazard class:
+    // a mis-united bound would prune or meta-agg 1000x off)
+    val stA = t.current.files.find(_.partition("cat") == "a").get.stats
+    assert(stA("id").min == "1" && stA("id").max == "2")
+    assert(stA("price").tpe == "double" && stA("price").max == "99.25")
+    assert(stA("name").nulls == 1L)
+    assert(!stA.contains("ts"), "timestamp bounds must not import as stats")
+    // reads: MILLIS footers decode exactly (not 1000x off), partition
+    // values attach from the manifest
+    val got = t.read().select("id", "name", "price", "ts", "cat")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getTimestamp(3), r.getString(4))).toSet
+    assert(got === rows.toSet)
+    // pruning: price stats prune; ts never prunes (stats absent); cat
+    // partition-prunes
+    val (survP, totP, _) = t.pruneFiles(col("price") > lit(1e12))
+    assert(totP === 2 && survP.isEmpty, "double stats must prune")
+    val (survT, totT, _) = t.pruneFiles(
+      col("ts") > lit(java.sql.Timestamp.valueOf("2099-01-01 00:00:00")))
+    assert(totT === 2 && survT.size === 2, "no ts stats -> no ts pruning")
+    assert(t.scan(col("cat") === "a").count() === 2)
+    // refs: tag at the imported snapshot re-created, stale branch skipped
+    assert(t.refId("rel").contains(77L) && t.refId("old").isEmpty)
+    assert(t.current.properties.get("owner").contains("someone"))
+    // -- refusals ------------------------------------------------------
+    // (a) live file written under a non-default spec: partition values
+    // don't cover the current spec's columns — refuse, never fabricate
+    val mPath0 = s"$root/metadata/m_oldspec.avro"
+    val mLen0 = IcebergAvro.writeManifest(fs, new HPath(mPath0),
+      partitionFields = Seq(("id_bucket", IntegerType, 1000)),
+      idToType = idToType, content = "data",
+      entries = Seq(entry(fileB, "b", Map.empty, Map.empty, Map.empty, 1L)
+        .copy(partition = Map("id_bucket" -> "3"))),
+      schemaJson = "{}", specJson = "{}", specId = 0)
+    val mlPathMix = s"$root/metadata/ml_mix.avro"
+    IcebergAvro.writeManifestList(fs, new HPath(mlPathMix), 77L, -1L, 5L, Seq(
+      IcebergAvro.MlEntry(mPath, mLen, 1, 0, 5L, 5L, 77L, 2, 0, 0, 3L, 0L, 0L),
+      IcebergAvro.MlEntry(mPath0, mLen0, 0, 0, 5L, 5L, 77L, 1, 0, 0, 1L, 0L, 0L)))
+    val mdMix = metaDir.resolve("v_mix.metadata.json")
+    java.nio.file.Files.write(mdMix,
+      metadataJson().replace(mlPath, mlPathMix).getBytes("UTF-8"))
+    val exMix = intercept[IllegalArgumentException] {
+      IcebergExport.importMetadata(spark, mdMix.toString, root + "-imp-mix")
+    }
+    assert(exMix.getMessage.contains("different partition spec"))
+    // (b) format-version 1 refused loudly
+    val mdV1 = metaDir.resolve("v_v1.metadata.json")
+    java.nio.file.Files.write(mdV1,
+      metadataJson().replace("\"format-version\": 2", "\"format-version\": 1")
+        .getBytes("UTF-8"))
+    val exV1 = intercept[IllegalArgumentException] {
+      IcebergExport.importMetadata(spark, mdV1.toString, root + "-imp-v1")
+    }
+    assert(exV1.getMessage.contains("format-version"))
+  }
 }
