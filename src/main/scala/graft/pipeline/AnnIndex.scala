@@ -319,6 +319,81 @@ object AnnIndex {
       } finally { ch.unpersist(); () }
     }
 
+  /** D22 `stream_ann_sync`: streaming maintenance of the persisted
+    * index — the serving loop every embedding-backed retrieval system
+    * runs: a crawl stream lake-sinks into the corpus table
+    * (exactly-once `appendBatch`) and each micro-batch is followed by
+    * one [[sync]], so the index trails the corpus by at most a batch.
+    * Mid-stream the corpus DELETES a vector (the dedup shape) and the
+    * sync folds it as the keyed equality delete — hidden from every
+    * subsequent read with zero target I/O, no retrain (books table
+    * never moves past its build snapshot). Deterministic invariants →
+    * constant relation pinned by a VALUES oracle (the `_check`
+    * pattern; ANN recall itself stays with the C76 entries).
+    */
+  def streamAnnSync(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = s"/root/repo/target/lakework/annsync-${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+    val conf = s.sparkContext.hadoopConfiguration
+    val baseP = new org.apache.hadoop.fs.Path(base)
+    val hfs = baseP.getFileSystem(conf)
+    if (hfs.exists(baseP)) hfs.delete(baseP, true)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val existing = emb.filter(col("vec_id") % 2 === 0)
+    val incoming = emb.filter(col("vec_id") % 2 =!= 0)
+    val corpusT = GraftTable.create(s, s"$base/corpus", existing)
+    buildFromTable(s, corpusT, s"$base/idx")
+    val booksIdPre = new GraftTable(booksRoot(s"$base/idx"), s).currentId
+    // victim arrives in batch 0, is deleted during batch 1's commit
+    val victim = incoming.filter(pmod(col("vec_id"), lit(3L)) === 0L)
+      .agg(min(col("vec_id"))).head().getLong(0)
+    // three deterministic single-file batches, mod-times pin the order
+    val stage = s"$base/stage"
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(stage))
+    val t0 = System.currentTimeMillis() - 3600 * 1000L
+    (0 until 3).foreach { k =>
+      val tmp = s"$base/tmp-$k"
+      incoming.filter(pmod(col("vec_id"), lit(3L)) === k).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = hfs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+      val dst = new org.apache.hadoop.fs.Path(s"$stage/batch-$k.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(hfs, part, hfs, dst, false, conf)
+      hfs.setTimes(dst, t0 + k * 1000L, -1)
+    }
+    val q = s.readStream.schema(existing.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val corpus = new GraftTable(s"$base/corpus", s)
+        corpus.appendBatch(batch, s"annsync-$id")
+        if (id == 1L) corpus.delete(col("vec_id") === victim)
+        sync(s, corpus, s"$base/idx")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val corpus = new GraftTable(s"$base/corpus", s)
+    val codesT = new GraftTable(codesRoot(s"$base/idx"), s)
+    import s.implicits._
+    Seq((
+      // the index trails the corpus by zero batches after the stream
+      codesT.properties(SyncedSnapshotProp).toLong == corpus.currentId,
+      // every live corpus vector is encoded, none twice, victim hidden
+      codesT.read().count() == corpus.read().count(),
+      codesT.read().filter(col("n_id") === victim).count() == 0L,
+      // the fold landed as an equality delete, not a rewrite
+      codesT.current.deleteFiles.exists(_.equalityCols == Seq("n_id")),
+      // zero retrain across the whole stream
+      new GraftTable(booksRoot(s"$base/idx"), s).currentId == booksIdPre))
+      .toDF("watermark_current", "rows_match", "victim_hidden",
+        "fold_is_equality", "books_frozen")
+  }
+
+  val streamAnnSyncSql: String =
+    """SELECT * FROM (VALUES (true, true, true, true, true))
+      |AS t(watermark_current, rows_match, victim_hidden,
+      |     fold_is_equality, books_frozen)""".stripMargin
+
   private def workRoot(d: String) =
     s"/root/repo/target/lakework/annindex-${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
 

@@ -235,6 +235,53 @@ object VectorOps {
        |QUALIFY rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** C78 `mine_hard_negatives`: hard-negative mining for
+    * embedding-model training (the DPR/SimCSE/E5 recipe): for each
+    * anchor, the [[HardNegK]] most-similar corpus vectors whose cosine
+    * sits BELOW the near-dup ceiling — the closest NON-duplicates, the
+    * negatives that actually move a contrastive loss (above the
+    * ceiling they are positives/dups mislabeled as negatives; far
+    * below it they are easy negatives the loss ignores). Exact band +
+    * rank here so the full semantics oracle; at 100 TB the identical
+    * ceiling-filter + rank composes onto the persisted index
+    * ([[AnnIndex.query]]'s probed-partition scan with the filter
+    * before the rerank window), so mining rides partition pruning
+    * instead of this demonstration cross join.
+    */
+  val HardNegK = 8
+  val HardNegCeil = 0.95
+  def mineHardNegatives(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("q_emb"))
+    val c = emb(s, d, "n")
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    broadcast(q).join(c, col("anchor_id") =!= col("n_id"))
+      .withColumn("cos_sim", round(exprs.cosineSim(col("q_emb"), col("n_emb")), 6))
+      .filter(col("cos_sim") < HardNegCeil)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= HardNegK)
+      .select(col("anchor_id"), col("n_id").as("negative_id"),
+        col("cos_sim"), col("rank"))
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
+  val mineHardNegativesSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sims AS (
+       |  SELECT q.vec_id AS anchor_id, n.vec_id AS negative_id,
+       |    round(list_dot_product(q.v, n.v)
+       |          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS cos_sim
+       |  FROM e q JOIN e n ON q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < $NQueries)
+       |SELECT anchor_id, negative_id, cos_sim,
+       |  row_number() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, negative_id) AS rank
+       |FROM sims
+       |WHERE cos_sim < $HardNegCeil
+       |QUALIFY rank <= $HardNegK
+       |ORDER BY anchor_id, rank""".stripMargin
+
   /** C7 `ann_lsh`: sign-random-projection LSH — 32-bit signatures,
     * 8 bands × 4 bits (8 hash tables); a corpus vector is a candidate
     * iff it shares a band value with the query. Only candidates pay the exact cosine;
@@ -1286,6 +1333,7 @@ object VectorOps {
     "dedup_embedding" -> (embeddingPairs _),
     "ann_pq"          -> (annPq _),
     "ann_bruteforce"  -> (annBruteforce _),
+    "mine_hard_negatives" -> (mineHardNegatives _),
     "ann_lsh"         -> (annLsh _),
     "ann_lsh_check"   -> (annLshCheck _),
     "ann_ivf_check"   -> (annIvfCheck _),
@@ -1305,6 +1353,7 @@ object VectorOps {
     "dedup_semantic_kmeans_check" -> semanticDedupKmeansCheckSql,
     "dedup_embedding" -> embeddingPairsSql,
     "ann_bruteforce"  -> annBruteforceSql,
+    "mine_hard_negatives" -> mineHardNegativesSql,
     "ann_lsh_check"   -> annCheckSql,
     "ann_ivf_check"   -> annCheckSql,
     "ann_pq_check"    -> annCheckSql,

@@ -994,7 +994,8 @@ object StreamOps {
     "stream_lake_e2e"    -> (lakeE2e _),
     "stream_changelog"   -> (changelogStream _),
     "stream_incremental_dedup" -> (incrementalDedupStream _),
-    "stream_neardup_gate" -> (graft.pipeline.Dedup.streamNearDupGate _))
+    "stream_neardup_gate" -> (graft.pipeline.Dedup.streamNearDupGate _),
+    "stream_ann_sync"     -> (graft.pipeline.AnnIndex.streamAnnSync _))
 
   val oracles: Map[String, String] = Map(
     "stream_drift_monitor" -> graft.pipeline.VectorOps.embeddingDriftSql,
@@ -1017,7 +1018,8 @@ object StreamOps {
     "stream_lake_e2e"    -> lakeE2eSql,
     "stream_changelog"   -> changelogStreamSql,
     "stream_incremental_dedup" -> incrementalDedupStreamSql,
-    "stream_neardup_gate" -> graft.pipeline.Dedup.streamNearDupGateSql)
+    "stream_neardup_gate" -> graft.pipeline.Dedup.streamNearDupGateSql,
+    "stream_ann_sync"     -> graft.pipeline.AnnIndex.streamAnnSyncSql)
 
   /** D15's StatefulProcessor: a running per-key (count, sum) held in
     * typed ValueState — defined at member level so the task closure

@@ -2233,4 +2233,30 @@ class PipelineSpec extends SparkSpec {
       assert(got > 0.1 * want && got < 2.5 * want, s"fractional mass off for $s: $got vs $want")
     }
   }
+  test("C78 hard negatives: below the ceiling, exactly the closest non-dups per anchor") {
+    import graft.pipeline.VectorOps
+    val got = VectorOps.mineHardNegatives(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 < VectorOps.HardNegCeil), "every negative below the ceiling")
+    // recompute the exact expectation from raw embeddings in plain Scala
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    got.groupBy(_._1).foreach { case (a, rs) =>
+      val expect = vecs.toSeq.filter(_._1 != a)
+        .map { case (n, v) => (n, cos(vecs(a), v)) }
+        .filter(_._2 < VectorOps.HardNegCeil)
+        .sortBy { case (n, c) => (-c, n) }
+        .take(VectorOps.HardNegK)
+      val gotA = rs.sortBy(_._4).map(r => (r._2, r._3)).toSeq
+      assert(gotA == expect, s"anchor $a: got $gotA expected $expect")
+    }
+  }
 }

@@ -1137,6 +1137,11 @@ class StreamingSpec extends SparkSpec {
     assert(out === Map("s4" -> 1L, "s7" -> 1L, "s8" -> 1L, "s10" -> 1L),
       s"admission set diverged: $out")
   }
+  test("D22 stream_ann_sync: per-batch index maintenance holds every invariant") {
+    val row = graft.pipeline.AnnIndex.streamAnnSync(spark, sfDir).head()
+    (0 until row.length).foreach(i =>
+      assert(row.getBoolean(i), s"invariant ${row.schema.fieldNames(i)} violated"))
+  }
 }
 
 object StreamingSpec {
