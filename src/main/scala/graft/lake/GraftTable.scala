@@ -930,12 +930,14 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * deleted bytes. O(#added) exists-calls, appends only.
     */
   private def verifyPayloads(added: Seq[FileEntry]): Unit = {
-    val rootP = new HPath(root)
-    val missing = added.filterNot(f => io.fs.exists(new HPath(rootP, f.path)))
+    // O(#added) existence round trips — inline when small, a cluster
+    // job past DriverPathOps (a 10⁵-file bulk adopt/append must not
+    // serialize HEAD calls on the driver)
+    val missing = GraftTable.missingPaths(spark, root, added.map(_.path))
     if (missing.nonEmpty) throw new java.io.IOException(
       s"append payloads vanished before commit (orphan vacuum raced this " +
         s"write? raise ${GraftTable.OrphanGraceProp}): " +
-        missing.map(_.path).take(5).mkString(", "))
+        missing.take(5).mkString(", "))
   }
 
   private[graft] def commitAppend(added: Seq[FileEntry], op: String,
@@ -2662,12 +2664,12 @@ final class GraftTable(val root: String, spark: SparkSession) {
       val expTags = expired.map(snapshot(_).operation)
         .filterNot(GraftTable.StandardOps.contains).distinct
       if (expTags.nonEmpty) withCommitLock { expTags.foreach(recordTag) }
-      val rootP = new HPath(root)
       // absolute entries are a shallow clone's references into its
       // SOURCE table — the clone never owns them, so expiration must
-      // drop the reference without touching the bytes
-      orphans.filterNot(GraftTable.isAbsoluteEntry)
-        .foreach(rel => io.fs.delete(new HPath(rootP, rel), false))
+      // drop the reference without touching the bytes. Bulk expires
+      // unlink from executors (DriverPathOps gate).
+      GraftTable.deletePaths(spark, root,
+        orphans.filterNot(GraftTable.isAbsoluteEntry))
       expired.foreach(id => io.delete(s"snapshot-$id.json"))
       // GC manifest shards no live snapshot points at (content-addressed
       // files are shared across snapshots, so liveness is by reference)
@@ -2928,11 +2930,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
             GraftTable.orphanCandidatesIn(dir, rootUriCap, sub,
               refBc.value, maxId, cutoff) }
           .collect()
-      candidates.foreach { rel =>
-        if (delete)
-          hfs.delete(new org.apache.hadoop.fs.Path(rootP, rel), false)
-        removed += ((rel, "unreferenced-payload"))
-      }
+      if (delete) GraftTable.deletePaths(spark, root, candidates.toSeq)
+      candidates.foreach(rel => removed += ((rel, "unreferenced-payload")))
       refBc.unpersist(blocking = false)
     }
 
@@ -3951,6 +3950,60 @@ object GraftTable {
     * inline on the driver; larger tables distribute the listing.
     */
   val VacuumDriverFiles = 1024
+
+  /** Per-path FS operation count (exists / delete) up to which the
+    * metadata plane works inline on the driver; larger sets ship to
+    * executors — at object-store latency each op is a ~10-20 ms round
+    * trip, so a 10⁵-file bulk commit's existence check or a bulk
+    * expire's unlink pass would otherwise serialize into minutes on
+    * the driver.
+    */
+  val DriverPathOps = 256
+
+  /** Root-relative paths in `rels` that do NOT exist — inline for a
+    * handful, cluster-parallel past [[DriverPathOps]].
+    */
+  private[lake] def missingPaths(spark: org.apache.spark.sql.SparkSession,
+      root: String, rels: Seq[String]): Seq[String] = {
+    if (rels.size <= DriverPathOps) {
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      rels.filterNot(r => fs.exists(new org.apache.hadoop.fs.Path(rootP, r)))
+    } else {
+      val rootStr = root
+      spark.sparkContext
+        .parallelize(rels, math.min(rels.size, spark.sparkContext.defaultParallelism * 4))
+        .filter { r =>
+          val p = new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(rootStr), r)
+          !p.getFileSystem(taskConf).exists(p)
+        }
+        .collect().toSeq
+    }
+  }
+
+  /** Delete root-relative paths — inline for a handful,
+    * cluster-parallel past [[DriverPathOps]] (non-recursive; callers
+    * pass files, never trees).
+    */
+  private[lake] def deletePaths(spark: org.apache.spark.sql.SparkSession,
+      root: String, rels: Seq[String]): Unit = {
+    if (rels.size <= DriverPathOps) {
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      rels.foreach(r => fs.delete(new org.apache.hadoop.fs.Path(rootP, r), false))
+    } else {
+      val rootStr = root
+      spark.sparkContext
+        .parallelize(rels, math.min(rels.size, spark.sparkContext.defaultParallelism * 4))
+        .foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(rootStr), r)
+          p.getFileSystem(taskConf).delete(p, false)
+          ()
+        }
+    }
+  }
 
   /** Recursive file walk via `listStatusIterator`. The metadata plane
     * never needs block locations, and `listFiles(p, recursive=true)`

@@ -1398,6 +1398,34 @@ class LakeSpec extends SparkSpec {
     assert(t.read().count() === n + 1, "referenced data untouched")
   }
 
+  test("bulk commit existence check distributes and still names the vanished payload") {
+    val root = tmp("bulkverify")
+    val t = GraftTable.create(spark, root,
+      spark.range(1).select(col("id").as("v"), lit("p0").as("p")), Seq("p"))
+    val seed = t.current.files.head
+    val rootPath = java.nio.file.Paths.get(root)
+    val seedAbs = rootPath.resolve(seed.path)
+    val n = GraftTable.DriverPathOps + 60
+    val bulkId = t.currentId + 1
+    val entries = (0 until n).map { i =>
+      val rel = s"data/p=p0/bv_$i.parquet"
+      java.nio.file.Files.createLink(rootPath.resolve(rel), seedAbs)
+      seed.copy(path = rel, partition = Map("p" -> "p0"), addedBy = bulkId)
+    }
+    // a vacuum-raced payload vanishes before the commit: the (cluster-
+    // distributed past DriverPathOps) existence check must refuse and
+    // name it, and nothing may land
+    java.nio.file.Files.delete(rootPath.resolve(entries(7).path))
+    val idBefore = t.currentId
+    val ex = intercept[java.io.IOException] { t.commitAppend(entries, "append") }
+    assert(ex.getMessage.contains("bv_7.parquet"))
+    assert(new GraftTable(root, spark).currentId === idBefore, "failed commit lands nothing")
+    // restore → the same bulk commit goes through
+    java.nio.file.Files.createLink(rootPath.resolve(entries(7).path), seedAbs)
+    t.commitAppend(entries, "append")
+    assert(t.read().count() === n + 1L)
+  }
+
   test("appendBatch replay is recognized after snapshot expiration") {
     val o = Tables.orders(spark, sfDir).limit(200)
     val base = o.repartition(col("o_orderstatus"))
