@@ -634,6 +634,26 @@ case class ConstLongLookup(child: Expression,
   override def prettyName: String = "graft_const_lookup"
 }
 
+/** Double twin of [[ConstLongLookup]] — per-key thresholds (quantile
+  * cut points, calibrated gates) as a plan constant.
+  */
+case class ConstDoubleLookup(child: Expression,
+    m: java.util.HashMap[UTF8String, java.lang.Double], default: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.constLookupD(m, input.asInstanceOf[UTF8String], default)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("thresholds", m, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Hashing.constLookupD($ref, $c, ${default}D)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ConstDoubleLookup =
+    copy(child = newChild)
+  override def prettyName: String = "graft_const_lookup_d"
+}
+
 object exprs {
   private def col(e: Expression): Column = Shim.column(e)
   private def ex(c: Column): Expression = Shim.expression(c)
@@ -686,6 +706,11 @@ object exprs {
     val hm = new java.util.HashMap[UTF8String, java.lang.Long](m.size * 2)
     m.foreach { case (k, v) => hm.put(UTF8String.fromString(k), java.lang.Long.valueOf(v)) }
     col(ConstLongLookup(ex(c), hm, default))
+  }
+  def constLookupD(c: Column, m: Map[String, Double], default: Double): Column = {
+    val hm = new java.util.HashMap[UTF8String, java.lang.Double](m.size * 2)
+    m.foreach { case (k, v) => hm.put(UTF8String.fromString(k), java.lang.Double.valueOf(v)) }
+    col(ConstDoubleLookup(ex(c), hm, default))
   }
   def unigramSegmentN(c: Column, v: graft.pipeline.UnigramLm.Vocab): Column =
     col(UnigramSegmentN(ex(c), v))

@@ -42,6 +42,13 @@ object Hashing {
     if (v == null) dflt else v.longValue()
   }
 
+  /** Double twin of [[constLookup]] for [[ConstDoubleLookup]]. */
+  def constLookupD(m: java.util.HashMap[UTF8String, java.lang.Double],
+      key: UTF8String, dflt: Double): Double = {
+    val v = m.get(key)
+    if (v == null) dflt else v.doubleValue()
+  }
+
   def polyHashString(s: String): Long = {
     var acc = 0L
     var i = 0

@@ -467,13 +467,21 @@ object TextOps {
     val sc = unigramLogprobCore(docs)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .withColumn("nlp", round(col("logprob") / col("n_toks"), 6))
+    // |langs|-row cut-point table collected once (bounded by
+    // construction) and injected as plan-constant threshold lookups —
+    // the bucket pass is then ONE score subtree + a narrow map, not a
+    // second planned copy joined against a broadcast quantile subtree
     val th = sc.groupBy(col("lang")).agg(
-      round(expr("percentile(nlp, 0.333333)"), 6).as("t1"),
-      round(expr("percentile(nlp, 0.666667)"), 6).as("t2"))
-    sc.join(broadcast(th), "lang")
-      .select(col("doc_id"), col("lang"), col("nlp"),
-        when(col("nlp") > col("t2"), "head")
-          .when(col("nlp") > col("t1"), "middle")
+        round(expr("percentile(nlp, 0.333333)"), 6).as("t1"),
+        round(expr("percentile(nlp, 0.666667)"), 6).as("t2"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val t1 = exprs.constLookupD(col("lang"), th.map { case (k, v) => k -> v._1 },
+      Double.MaxValue)
+    val t2 = exprs.constLookupD(col("lang"), th.map { case (k, v) => k -> v._2 },
+      Double.MaxValue)
+    sc.select(col("doc_id"), col("lang"), col("nlp"),
+        when(col("nlp") > t2, "head")
+          .when(col("nlp") > t1, "middle")
           .otherwise("tail").as("ppl_bucket"))
       .orderBy(col("doc_id"))
   }
