@@ -495,6 +495,9 @@ final class GraftTable(val root: String, spark: SparkSession) {
       added.foreach(f =>
         hfs.delete(new org.apache.hadoop.fs.Path(rootP, f.path), false))
     }
+    // the streaming sink is auto-compaction's primary customer: a
+    // batch-per-minute stream otherwise accumulates a file per batch
+    if (committed) maybeAutoCompact()
     committed
   }
 
@@ -1002,7 +1005,33 @@ final class GraftTable(val root: String, spark: SparkSession) {
     val (dfObs, obs) = ndvObserveIfAuto(cur, df)
     val added = writeFiles(dfObs, cur.partitionCols, cur.deps, cur.id + 1)
     commitAppend(added, "append", ndvFromObs(obs))
+    maybeAutoCompact()
     this
+  }
+
+  /** A92 auto-compaction (Delta `autoOptimize.autoCompact` parity):
+    * with `write.auto-compact=true`, every row-adding append is
+    * followed by a small-file check — pure manifest arithmetic, zero
+    * I/O — and, past `write.auto-compact.min-files` sub-half-target
+    * files in any partition, by one [[compactSmallFiles]] commit. The
+    * streaming small-file problem solved at its source: a
+    * micro-batch-per-minute sink stays at O(target-size) files per
+    * partition forever instead of accumulating one file per batch
+    * until a scheduled OPTIMIZE. Best-effort by design: the append has
+    * already committed, so a compaction that loses a concurrent-commit
+    * race (or fails for any reason) is swallowed — the next append
+    * retries it.
+    */
+  private def maybeAutoCompact(): Unit = {
+    val p = current.properties
+    if (p.get(GraftTable.AutoCompactProp).contains("true")) {
+      val target = p.get(GraftTable.TargetFileSizeProp).map(_.toLong)
+        .getOrElse(GraftTable.DefaultAutoCompactTarget)
+      val minFiles = p.get(GraftTable.AutoCompactMinFilesProp).map(_.toInt)
+        .getOrElse(GraftTable.DefaultAutoCompactMinFiles)
+      try { compactSmallFiles(target, minFiles); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** INSERT OVERWRITE (whole table). */
@@ -2490,6 +2519,41 @@ final class GraftTable(val root: String, spark: SparkSession) {
     this
   }
 
+  /** FILE-granular small-file packing — the [[maybeAutoCompact]]
+    * kernel, also callable directly: in every partition holding at
+    * least `minFiles` files under half the target, pack exactly THOSE
+    * files (one task per partition value; `write.target-file-size`
+    * still caps outputs) and leave already-right-sized files alone —
+    * unlike [[optimizeCompact]]'s partition-granular bin-packing,
+    * which skips any partition whose total exceeds the target and so
+    * can never bound a steadily-growing streaming partition. Reads of
+    * the packed subset apply pending deletes (the rewrite folds them
+    * for those files; commit-time target pruning drops the stale
+    * entries), and untouched files keep theirs.
+    */
+  def compactSmallFiles(targetBytes: Long, minFiles: Int): GraftTable = {
+    val cur = current
+    val smallSel = cur.files.groupBy(_.partition).values.flatMap { fs =>
+      val smalls = fs.filter(_.bytes < targetBytes / 2)
+      if (smalls.size >= minFiles) smalls else Seq.empty
+    }.toSeq
+    if (smallSel.isEmpty) return this
+    val smallPaths = smallSel.map(_.path).toSet
+    val kept = cur.files.filterNot(f => smallPaths.contains(f.path))
+    val frag = readSnapshot(cur.copy(files = smallSel, shards = Seq.empty))
+    val packed =
+      if (cur.partitionCols.nonEmpty)
+        frag.repartition(cur.partitionCols.map(col): _*)
+      else frag.repartition(math.max(1,
+        math.ceil(smallSel.map(_.bytes).sum.toDouble / targetBytes).toInt))
+    val added = writeFiles(packed, cur.partitionCols, cur.deps, cur.id + 1)
+    commit(cur.copy(
+      id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+      operation = "compact", files = kept ++ added,
+      addedFiles = added.size, deletedFiles = smallSel.size))
+    this
+  }
+
   /** Partitions whose pending-delete density crosses the compaction
     * ratio. Position entries attribute their rows to each recorded
     * target's partition (multi-target entries over-attribute —
@@ -3524,6 +3588,21 @@ object GraftTable {
     * enforcement keys on this, never on bare schema nullability.
     */
   val NotNullPropPrefix = "notnull."
+
+  /** TBLPROPERTIES key: written-file size cap, honored by the write
+    * funnel, OPTIMIZE, and auto-compaction.
+    */
+  val TargetFileSizeProp = "write.target-file-size"
+
+  /** A92 auto-compaction properties: `write.auto-compact=true` runs a
+    * manifest-only small-file check after every append and packs
+    * partitions holding ≥ `write.auto-compact.min-files` files under
+    * half the target ([[GraftTable.compactSmallFiles]]).
+    */
+  val AutoCompactProp = "write.auto-compact"
+  val AutoCompactMinFilesProp = "write.auto-compact.min-files"
+  val DefaultAutoCompactMinFiles = 8
+  val DefaultAutoCompactTarget: Long = 128L << 20
 
   /** TBLPROPERTIES key routing DELETE between copy-on-write (default)
     * and merge-on-read position deletes.

@@ -1282,6 +1282,37 @@ object GateQueries {
     """SELECT count(*) AS record_count_total, true AS file_counts_match
       |FROM orders WHERE o_orderkey < 8000""".stripMargin
 
+  /** `lake_autocompact` (A92): Delta-autoCompact-parity small-file
+    * maintenance — `write.auto-compact=true` follows every append with
+    * a manifest-only small-file check and packs partitions holding ≥
+    * min-files sub-half-target files. Eight streaming-style tagged
+    * appends land; the entry requires a compact snapshot fired and
+    * per-partition file counts stayed bounded, then returns the full
+    * table — the oracle proves packing changed NOTHING about content.
+    */
+  def lakeAutoCompact(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(d, "acq"),
+      byStatus(orders(s, d).filter(col("o_orderkey") < 2000)),
+      Seq("o_orderstatus"))
+    t.setProperty(GraftTable.AutoCompactProp, "true")
+    t.setProperty(GraftTable.AutoCompactMinFilesProp, "4")
+    (0 until 8).foreach { k =>
+      val lo = 2000 + 250 * k
+      t.appendBatch(byStatus(orders(s, d)
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") < lo + 250)), s"acq-$k")
+    }
+    require(t.snapshots.exists(_.operation == "compact"),
+      "auto-compaction must fire across 8 small appends")
+    val perPart = t.current.files.groupBy(_.partition).map(_._2.size)
+    require(perPart.max < 9,
+      s"9 writes per partition must stay packed, saw $perPart")
+    sel(t.read())
+  }
+
+  val lakeAutoCompactSql: String =
+    s"""SELECT $selSql FROM orders WHERE o_orderkey < 4000
+       |ORDER BY o_orderkey""".stripMargin
+
   /** `lake_iceberg_foreign` (A91): import of FOREIGN Iceberg metadata —
     * every other bridge entry round-trips this bridge's own exports,
     * which share its field-id allocation, micros-only footers, and
@@ -1630,6 +1661,7 @@ object GateQueries {
     "lake_changes_sql"      -> (lakeChangesSql _),
     "lake_iceberg_export"   -> (lakeIcebergExport _),
     "lake_iceberg_foreign"  -> (lakeIcebergForeign _),
+    "lake_autocompact"      -> (lakeAutoCompact _),
     "lake_iceberg_roundtrip" -> (lakeIcebergRoundtrip _),
     "lake_meta_agg"         -> (lakeMetaAgg _),
     "lake_notnull"          -> (lakeNotNull _),
@@ -1673,6 +1705,7 @@ object GateQueries {
     "lake_changes_sql"      -> lakeChangesSqlSql,
     "lake_iceberg_export"   -> lakeIcebergExportSql,
     "lake_iceberg_foreign"  -> lakeIcebergForeignSql,
+    "lake_autocompact"      -> lakeAutoCompactSql,
     "lake_iceberg_roundtrip" -> lakeIcebergRoundtripSql,
     "lake_meta_agg"         -> lakeMetaAggSql,
     "lake_notnull"          -> lakeNotNullSql,

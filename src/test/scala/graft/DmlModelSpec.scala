@@ -47,6 +47,12 @@ class DmlModelSpec extends SparkSpec {
       if (rnd.nextBoolean()) t.setProperty(GraftTable.SortColsProp, "k")
       if (rnd.nextBoolean())
         t.setProperty(GraftTable.MergeDeleteKindProp, "equality")
+      if (rnd.nextBoolean()) {
+        // auto-compaction interleaves content-invariant compact commits
+        // with every DML flavor — the packing must never change results
+        t.setProperty(GraftTable.AutoCompactProp, "true")
+        t.setProperty(GraftTable.AutoCompactMinFilesProp, "3")
+      }
 
       // snapshot id → model state at that snapshot, for as-of checks
       var history: Map[Long, Map[Long, (Long, Double)]] =

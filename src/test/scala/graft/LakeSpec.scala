@@ -1398,6 +1398,41 @@ class LakeSpec extends SparkSpec {
     assert(t.read().count() === n + 1, "referenced data untouched")
   }
 
+  test("A92 auto-compaction: streaming-style appends keep file counts bounded, content exact") {
+    import spark.implicits._
+    def batch(k: Int) = (0 until 20)
+      .map(i => (k * 100L + i, (i % 2).toString)).toDF("k", "g")
+      .repartition(col("g"))
+    val t = GraftTable.create(spark, tmp("autocompact"), batch(0), Seq("g"))
+    t.setProperty(GraftTable.AutoCompactProp, "true")
+    t.setProperty(GraftTable.AutoCompactMinFilesProp, "4")
+    // below the threshold nothing compacts (no churn on every append)
+    t.append(batch(1))
+    assert(!t.snapshots.exists(_.operation == "compact"),
+      "no compaction below min-files")
+    // streaming-style small appends: file count must stay bounded by
+    // the packing, not grow one-per-batch
+    (2 until 10).foreach(k => assert(t.appendBatch(batch(k), s"ac-$k")))
+    assert(t.snapshots.exists(_.operation == "compact"),
+      "auto-compaction must have fired past min-files")
+    val perPart = t.current.files.groupBy(_.partition).map(_._2.size)
+    assert(perPart.max < 8,
+      s"10 appends x 2 partitions must stay packed, saw per-partition counts $perPart")
+    // content is exactly the union of the batches
+    assert(t.read().count() === 200L)
+    assert(t.read().agg(sum(col("k"))).head().getLong(0) ===
+      (0 until 10).map(k => (0 until 20).map(i => k * 100L + i).sum).sum)
+    // pending MOR deletes on packed files fold through the rewrite
+    t.setProperty(GraftTable.DeleteModeProp, "merge-on-read")
+    t.delete(col("k") % 100L < 5L)
+    (10 until 14).foreach(k => assert(t.appendBatch(batch(k), s"ac-$k")))
+    assert(t.read().count() === 200L - 50L + 80L)
+    assert(t.read().filter(col("k") % 100L < 5L && col("k") < 1000L).count() === 0L,
+      "folded deletes must not resurrect")
+    // a replayed tag after compaction still skips (ledger untouched)
+    assert(!t.appendBatch(batch(5), "ac-5"))
+  }
+
   test("bulk commit existence check distributes and still names the vanished payload") {
     val root = tmp("bulkverify")
     val t = GraftTable.create(spark, root,
