@@ -433,12 +433,21 @@ object Dedup {
       .withColumn("i", size(array_intersect(col("shs_a"), col("shs_b"))))
       .withColumn("na", size(col("shs_a")))
       .withColumn("nb", size(col("shs_b")))
-    def dir(src: String, sup: String, n: String) =
-      base.filter(col(n) >= MinContainShingles &&
-          col("i").cast("double") / col(n) >= ContainmentThreshold)
-        .select(col(src).as("doc_src"), col(sup).as("doc_sup"),
-          round(col("i").cast("double") / col(n), 6).as("containment"))
-    dir("doc_a", "doc_b", "na").unionByName(dir("doc_b", "doc_a", "nb"))
+    // both containment directions from ONE pass: a map-side explode to
+    // (src, sup, |src|) rows — a union of two filtered selections would
+    // re-plan (and re-execute) the whole candidate+verify subtree per
+    // direction
+    base.select(col("i"), explode(array(
+        struct(col("doc_a").as("doc_src"), col("doc_b").as("doc_sup"),
+          col("na").as("n")),
+        struct(col("doc_b").as("doc_src"), col("doc_a").as("doc_sup"),
+          col("nb").as("n")))).as("e"))
+      .select(col("e.doc_src").as("doc_src"), col("e.doc_sup").as("doc_sup"),
+        col("i"), col("e.n").as("n"))
+      .filter(col("n") >= MinContainShingles &&
+        col("i").cast("double") / col("n") >= ContainmentThreshold)
+      .select(col("doc_src"), col("doc_sup"),
+        round(col("i").cast("double") / col("n"), 6).as("containment"))
       .orderBy(col("doc_src"), col("doc_sup"))
   }
 
