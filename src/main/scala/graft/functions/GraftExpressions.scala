@@ -626,6 +626,8 @@ case class ConstLongLookup(child: Expression,
     Hashing.constLookup(m, input.asInstanceOf[UTF8String], default)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("quotas", m, "java.util.HashMap")
+    // `${default}L` is valid Java for EVERY Long: -9223372036854775808L
+    // parses as unary minus on the max-negative literal (JLS 3.10.1)
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.Hashing.constLookup($ref, $c, ${default}L)")
   }
@@ -646,8 +648,12 @@ case class ConstDoubleLookup(child: Expression,
     Hashing.constLookupD(m, input.asInstanceOf[UTF8String], default)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("thresholds", m, "java.util.HashMap")
+    // the default goes out as raw bits: a NaN/Infinity default would
+    // otherwise interpolate as `NaND`/`InfinityD` — invalid Java
+    val bits = java.lang.Double.doubleToLongBits(default)
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.Hashing.constLookupD($ref, $c, ${default}D)")
+      s"graft.functions.Hashing.constLookupD($ref, $c, " +
+        s"java.lang.Double.longBitsToDouble(${bits}L))")
   }
   override protected def withNewChildInternal(newChild: Expression): ConstDoubleLookup =
     copy(child = newChild)

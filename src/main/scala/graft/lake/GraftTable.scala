@@ -1025,12 +1025,23 @@ final class GraftTable(val root: String, spark: SparkSession) {
   private def maybeAutoCompact(): Unit = {
     val p = current.properties
     if (p.get(GraftTable.AutoCompactProp).contains("true")) {
-      val target = p.get(GraftTable.TargetFileSizeProp).map(_.toLong)
-        .getOrElse(GraftTable.DefaultAutoCompactTarget)
-      val minFiles = p.get(GraftTable.AutoCompactMinFilesProp).map(_.toInt)
-        .getOrElse(GraftTable.DefaultAutoCompactMinFiles)
-      try { compactSmallFiles(target, minFiles); () }
-      catch { case scala.util.control.NonFatal(_) => () }
+      // everything — including property parsing — inside the try: the
+      // append already committed, so a malformed numeric property must
+      // not surface a successful write as a failure
+      try {
+        val target = p.get(GraftTable.TargetFileSizeProp).map(_.toLong)
+          .getOrElse(GraftTable.DefaultAutoCompactTarget)
+        val minFiles = p.get(GraftTable.AutoCompactMinFilesProp).map(_.toInt)
+          .getOrElse(GraftTable.DefaultAutoCompactMinFiles)
+        compactSmallFiles(target, minFiles); ()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // best-effort by contract, but a PERSISTENTLY failing
+          // compaction lets small files accumulate unboundedly — the
+          // exact problem the feature bounds — so give operators a
+          // (rate-limited) signal instead of silence
+          GraftTable.warnAutoCompactFailure(root, e)
+      }
     }
   }
 
@@ -2589,15 +2600,77 @@ final class GraftTable(val root: String, spark: SparkSession) {
   /** Incremental read between two snapshots: the rows of data files
     * present in `toId` but not `fromId` — exactly the appended data
     * for append-only history, which is what incremental consumers
-    * (downstream ETL, training-data refresh) checkpoint on. A snapshot
-    * in between that rewrote files (delete/update/compact) surfaces
-    * rewritten files as additions; consumers needing row-level CDC
-    * diff on keys downstream.
+    * (downstream ETL, training-data refresh) checkpoint on. Files
+    * added by CONTENT-INVARIANT rewrite commits (compact — including
+    * A92 auto-compaction — OPTIMIZE, apply-deletes) are skipped when
+    * everything they repacked was already visible at `fromId`
+    * ([[rewriteCarrySkips]]): they carry no new rows by construction,
+    * and without the skip a table that is both a streaming sink and an
+    * incremental source would re-emit every packed row each time
+    * compaction fires (Delta marks such commits `dataChange=false`
+    * for the same reason). A data-CHANGING rewrite in between
+    * (copy-on-write delete/update) still surfaces rewritten files as
+    * additions; consumers needing row-level truth use [[changelog]].
     */
   def readIncremental(fromId: Long, toId: Long): DataFrame = {
     val from = snapshot(fromId).files.map(_.path).toSet
     val to = snapshot(toId)
-    readSnapshot(to.copy(files = to.files.filterNot(f => from.contains(f.path))))
+    val carry = rewriteCarrySkips(fromId, toId, f => from.contains(f.path))
+    readSnapshot(to.copy(files = to.files.filterNot(f =>
+      from.contains(f.path) || carry.contains(f.path))))
+  }
+
+  /** Paths of files added by content-invariant rewrite snapshots
+    * (the [[GraftTable.ContentInvariantOps]] class — Delta's
+    * `dataChange=false`) inside `(startId, endId]` that carry ONLY
+    * rows a consumer positioned at the window start has already seen —
+    * the files an incremental/streaming reader must skip to keep its
+    * each-row-once contract when auto-compaction or OPTIMIZE
+    * interleaves with appends.
+    *
+    * Gating is per OUTPUT partition against the files the rewrite
+    * removed there: a packed file is skippable iff every source file
+    * of its partition satisfies `consumed` (or was itself skipped by
+    * an earlier in-window rewrite — consumed-ness propagates through
+    * rewrite chains, oldest-first). If ANY source arrived in-window
+    * unseen, the packed file still emits — rows are never lost; the
+    * only duplication is the pre-existing spanning-batch case. A
+    * partition-spec rewrite regroups rows across partition keys, so it
+    * gates at whole-commit granularity. An expired snapshot inside the
+    * window disables skipping (conservative: emit everything, the
+    * documented pre-skip behavior). O(window) cached manifest reads,
+    * zero data I/O.
+    */
+  private[graft] def rewriteCarrySkips(startId: Long, endId: Long,
+      consumed: FileEntry => Boolean): Set[String] = {
+    if (startId <= 0 || endId <= startId) return Set.empty
+    var snaps = List.empty[Snapshot]
+    var a = endId
+    while (a > startId) {
+      snapshotIfExists(a) match {
+        case Some(s) => snaps ::= s; a = s.parentId
+        case None    => return Set.empty
+      }
+      if (a < 0) return Set.empty // chain root above startId: disjoint history
+    }
+    val skips = scala.collection.mutable.Set[String]()
+    def seen(f: FileEntry): Boolean = consumed(f) || skips.contains(f.path)
+    for (s <- snaps if GraftTable.ContentInvariantOps(s.operation) && s.parentId >= 0;
+         prev <- snapshotIfExists(s.parentId)) {
+      val prevPaths = prev.files.map(_.path).toSet
+      val curPaths = s.files.map(_.path).toSet
+      val removed = prev.files.filterNot(f => curPaths.contains(f.path))
+      val added = s.files.filterNot(f => prevPaths.contains(f.path))
+      if (s.partitionCols == prev.partitionCols) {
+        val byPart = removed.groupBy(_.partition)
+        added.foreach { f =>
+          val srcs = byPart.getOrElse(f.partition, Seq.empty)
+          if (srcs.nonEmpty && srcs.forall(seen)) skips += f.path
+        }
+      } else if (removed.nonEmpty && removed.forall(seen))
+        skips ++= added.map(_.path)
+    }
+    skips.toSet
   }
 
   /** Row-level change-data-capture between two snapshots (Iceberg's
@@ -3599,10 +3672,39 @@ object GraftTable {
     * partitions holding ≥ `write.auto-compact.min-files` files under
     * half the target ([[GraftTable.compactSmallFiles]]).
     */
+  /** Snapshot operations that move bytes without changing logical
+    * content (Delta's `dataChange=false` class): their added files
+    * carry only rows that were already visible in the parent snapshot.
+    * Incremental/streaming consumers skip them via
+    * [[GraftTable.rewriteCarrySkips]]; the CDC feed contributes
+    * nothing for them by the same classification.
+    */
+  val ContentInvariantOps: Set[String] =
+    Set("compact", "optimize", "apply-deletes", "repartition-spec",
+      "convert-deletes")
+
   val AutoCompactProp = "write.auto-compact"
   val AutoCompactMinFilesProp = "write.auto-compact.min-files"
   val DefaultAutoCompactMinFiles = 8
   val DefaultAutoCompactTarget: Long = 128L << 20
+
+  /** Rate limiter for auto-compaction failure warnings: at most one
+    * line per table per minute, so a compaction that loses every
+    * commit race to a hot concurrent writer reports without flooding.
+    */
+  private val autoCompactWarnAt =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val AutoCompactWarnIntervalMs = 60000L
+  private[lake] def warnAutoCompactFailure(root: String, e: Throwable): Unit = {
+    val now = System.currentTimeMillis()
+    val prev = autoCompactWarnAt.get(root)
+    if (prev == null || now - prev >= AutoCompactWarnIntervalMs) {
+      autoCompactWarnAt.put(root, now)
+      org.slf4j.LoggerFactory.getLogger(classOf[GraftTable]).warn(
+        s"auto-compaction of $root failed (best-effort, append already " +
+          s"committed; small files will accumulate until one succeeds): $e")
+    }
+  }
 
   /** TBLPROPERTIES key routing DELETE between copy-on-write (default)
     * and merge-on-read position deletes.

@@ -41,9 +41,15 @@ import graft.lake.{DeleteFileEntry, GraftTable, Snapshot}
   * Scale notes: getOffset is one version-hint read (plus O(delta)
   * cached manifest reads under admission caps); getBatch plans from
   * manifests only (no listing), and a batch's input is exactly the
-  * appended files — consumers never rescan history. Snapshots that
-  * REWRITE files (delete/update/compact) surface rewritten files as
-  * additions, same contract as [[graft.lake.GraftTable.readIncremental]];
+  * appended files — consumers never rescan history. Content-invariant
+  * rewrites (compact/auto-compact/OPTIMIZE/apply-deletes) are SKIPPED
+  * when everything they repacked was already consumed
+  * ([[graft.lake.GraftTable.rewriteCarrySkips]], the dataChange=false
+  * contract) — so a table that is both a streaming sink with
+  * `write.auto-compact=true` AND a streaming source stays
+  * exactly-once. Data-CHANGING rewrites (copy-on-write
+  * delete/update) still surface rewritten files as additions, same
+  * contract as [[graft.lake.GraftTable.readIncremental]];
   * pure-append workloads (the streaming case) see each row once.
   * Schema is pinned at stream start (streaming requires it); evolve
   * the table ⇒ restart the stream.
@@ -269,17 +275,34 @@ class GraftSource(
     val (startId, startP) = start.map(parseOffset).getOrElse((0L, None))
     if (changeFeed) return cdcBatch(startId, endId, endSnap)
     if (retractions) return retractionBatch(startId, endId, endSnap)
+    // a file added by an in-window content-invariant rewrite (A92
+    // auto-compaction, OPTIMIZE) whose repacked sources were all on
+    // the consumed side of the start cut carries zero unseen rows —
+    // skip it, or a table used as sink AND source re-emits every
+    // packed row each time compaction fires (the dataChange=false
+    // contract; rewriteCarrySkips never skips unseen content)
+    lazy val startPaths =
+      start.map(o => table.snapshot(parseOffset(o)._1).files.map(_.path).toSet)
+        .getOrElse(Set.empty[String])
+    val consumedAtStart: graft.lake.FileEntry => Boolean = f =>
+      if (f.addedBy > 0L)
+        f.addedBy < startId || (f.addedBy == startId && startP.forall(f.path <= _))
+      else startPaths.contains(f.path) // pre-stamp manifests: membership
+    val carry =
+      if (start.isEmpty) Set.empty[String]
+      else table.rewriteCarrySkips(startId, endId, consumedAtStart)
     val delta =
       if (endSnap.files.forall(_.addedBy > 0L))
         GraftSource.orderedFiles(endSnap.files).collect {
           case (f, a)
               if (a > startId || (a == startId && startP.exists(f.path > _))) &&
-                 (a < endId || (a == endId && endP.forall(f.path <= _))) => f
+                 (a < endId || (a == endId && endP.forall(f.path <= _))) &&
+                 !carry.contains(f.path) => f
         }
       else {
         val seen = start.map(o => table.snapshot(parseOffset(o)._1).files.map(_.path).toSet)
           .getOrElse(Set.empty[String])
-        endSnap.files.filterNot(f => seen.contains(f.path))
+        endSnap.files.filterNot(f => seen.contains(f.path) || carry.contains(f.path))
       }
     // a batch can span an append AND a later merge-on-read delete of
     // rows in the appended files — without the filter below those rows
@@ -582,8 +605,7 @@ object GraftSource {
     * change feed skips them wholesale (see [[GraftSource.cdcBatch]]).
     */
   private[streaming] val DataPreservingOps: Set[String] =
-    Set("compact", "optimize", "apply-deletes", "repartition-spec",
-      "convert-deletes")
+    graft.lake.GraftTable.ContentInvariantOps
 
   /** Manifest files in (addedBy, path) order — the stable total order
     * sub-snapshot offsets are defined over. Path cuts (unlike ranks)

@@ -517,6 +517,34 @@ class LakeSpec extends SparkSpec {
     assert(t.readIncremental(3, 3).count() === 0)
   }
 
+  test("incremental read skips content-invariant compaction commits") {
+    val o = Tables.orders(spark, sfDir)
+    val t = GraftTable.create(spark, tmp("increm-compact"),
+      byStatus2(o.filter(col("o_orderkey") < 3000)), Seq("o_orderstatus"))
+    t.append(byStatus2(o.filter(col("o_orderkey") >= 3000 && col("o_orderkey") < 4000)))
+    val consumedAt = t.currentId
+    t.compactSmallFiles(targetBytes = 1L << 30, minFiles = 1)
+    assert(t.current.operation === "compact")
+    val compactAt = t.currentId
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    // the compact commit repacked only rows already visible at the
+    // window start — an incremental consumer checkpointed there must
+    // see NOTHING (pre-fix it re-emitted every packed row)
+    assert(t.readIncremental(consumedAt, compactAt).count() === 0)
+    // a window SPANNING the append and the compaction still emits the
+    // packed files (their sources include unseen in-window rows — the
+    // skip never loses data); in-window rows are all present
+    assert(keys(o.filter(col("o_orderkey") >= 3000 && col("o_orderkey") < 4000))
+      .subsetOf(keys(t.readIncremental(1, compactAt))))
+    // post-compaction appends flow through; the compact files stay skipped
+    t.append(byStatus2(o.filter(col("o_orderkey") >= 6000)))
+    assert(keys(t.readIncremental(compactAt, t.currentId)) ===
+      keys(o.filter(col("o_orderkey") >= 6000)))
+    assert(keys(t.readIncremental(consumedAt, t.currentId)) ===
+      keys(o.filter(col("o_orderkey") >= 6000)))
+  }
+
   private def byKeyMod(o: org.apache.spark.sql.DataFrame, r: Int) =
     o.filter(col("o_orderkey") % 4 === r).repartition(col("o_orderstatus"))
   private def byStatus2(df: org.apache.spark.sql.DataFrame) =
@@ -1431,6 +1459,12 @@ class LakeSpec extends SparkSpec {
       "folded deletes must not resurrect")
     // a replayed tag after compaction still skips (ledger untouched)
     assert(!t.appendBatch(batch(5), "ac-5"))
+    // best-effort means BEST-EFFORT: a malformed numeric property must
+    // not surface the already-committed append as a failure
+    t.setProperty(GraftTable.AutoCompactMinFilesProp, "not-a-number")
+    val before = t.read().count()
+    t.append(batch(20))
+    assert(t.read().count() === before + 20L)
   }
 
   test("bulk commit existence check distributes and still names the vanished payload") {
