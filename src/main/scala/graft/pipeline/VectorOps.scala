@@ -242,11 +242,12 @@ object VectorOps {
     * negatives that actually move a contrastive loss (above the
     * ceiling they are positives/dups mislabeled as negatives; far
     * below it they are easy negatives the loss ignores). Exact band +
-    * rank here so the full semantics oracle; at 100 TB the identical
-    * ceiling-filter + rank composes onto the persisted index
-    * ([[AnnIndex.query]]'s probed-partition scan with the filter
-    * before the rerank window), so mining rides partition pruning
-    * instead of this demonstration cross join.
+    * rank here so the full semantics oracle; the scale path is
+    * [[AnnIndex.mineHardNegatives]] — the identical ceiling-filter +
+    * rank composed onto the persisted index's probed-partition scan,
+    * O(anchors × probed-lists) instead of this anchors × corpus
+    * demonstration join — invariant-checked against this oracle by
+    * `mine_hard_negatives_indexed_check`.
     */
   val HardNegK = 8
   val HardNegCeil = 0.95
@@ -1344,6 +1345,8 @@ object VectorOps {
     "ann_sq_check"    -> (annSqCheck _),
     "ann_ivfpq_persisted"       -> (AnnIndex.annIvfPqPersisted _),
     "ann_ivfpq_persisted_check" -> (AnnIndex.annIvfPqPersistedCheck _),
+    "mine_hard_negatives_indexed"       -> (AnnIndex.mineHardNegativesIndexed _),
+    "mine_hard_negatives_indexed_check" -> (AnnIndex.mineHardNegativesIndexedCheck _),
     "ann_ivf"         -> (annIvf _))
 
   val oracles: Map[String, String] = Map(
@@ -1359,5 +1362,6 @@ object VectorOps {
     "ann_pq_check"    -> annCheckSql,
     "ann_sq_check"    -> annCheckSql,
     "ann_ivfpq_check" -> annCheckSql,
-    "ann_ivfpq_persisted_check" -> annCheckSql)
+    "ann_ivfpq_persisted_check" -> annCheckSql,
+    "mine_hard_negatives_indexed_check" -> AnnIndex.mineHardNegativesIndexedCheckSql)
 }

@@ -238,4 +238,30 @@ class AnnIndexSpec extends SparkSpec {
     assert(chk.getLong(0) === 0L && chk.getLong(1) === 0L,
       s"check twin must be green, got $chk")
   }
+
+  test("index-composed hard-negative mining: invariants hold and recall >= 0.9 vs the exact miner") {
+    val idx = AnnIndex.mineHardNegativesIndexed(spark, sfDir).collect()
+    val exact = VectorOps.mineHardNegatives(spark, sfDir).collect()
+    // every returned negative sits strictly below the near-dup ceiling
+    idx.foreach(r => assert(r.getAs[Double]("cos_sim") < VectorOps.HardNegCeil,
+      s"negative at/above the ceiling: $r"))
+    // rank-dominance: the exact miner picks from the FULL corpus, so
+    // the indexed miner's cosine can never exceed it at the same rank
+    val exactByAr = exact.map(r =>
+      (r.getAs[Long]("anchor_id"), r.getAs[Long]("rank")) -> r.getAs[Double]("cos_sim")).toMap
+    idx.foreach { r =>
+      val x = exactByAr((r.getAs[Long]("anchor_id"), r.getAs[Long]("rank")))
+      assert(r.getAs[Double]("cos_sim") <= x + 1e-9,
+        s"dominance: indexed cos must never beat exact at the same rank ($r vs $x)")
+    }
+    assert(idx.length === exact.length, "completeness: full k per anchor")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("anchor_id"), r.getAs[Long]("negative_id"))
+    val recall = idx.map(key).toSet.intersect(exact.map(key).toSet)
+      .size.toDouble / exact.length
+    assert(recall >= 0.9, s"indexed-miner recall $recall below 0.9 vs the exact miner")
+    // the check twin reports the same invariants as driver-oracled zeros
+    val chk = AnnIndex.mineHardNegativesIndexedCheck(spark, sfDir).collect().head
+    assert((0 to 2).forall(chk.getLong(_) == 0L), s"check twin must be green, got $chk")
+  }
 }
