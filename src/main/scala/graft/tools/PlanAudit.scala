@@ -2,8 +2,19 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
+/** Physical-plan gate over the entries whose plan shape carries the
+  * 100 TB claim. FAILS (exit 1) on any CartesianProduct, or on more
+  * BroadcastNestedLoopJoins than the entry's documented allowance —
+  * every allowance below is a bounded-side BNLJ by construction
+  * (query-batch broadcasts gated by [[graft.pipeline.VectorOps
+  * .queryGated]], sub-k-char PassJoin tiny-string blocks, plan-constant
+  * threshold rows), not a data-sized nested loop. Run with `--plant`
+  * to verify the gate itself trips: it audits a deliberate cartesian
+  * and must exit 1.
+  */
 private[graft] object PlanAudit {
   def main(args: Array[String]): Unit = {
+    val plant = args.contains("--plant")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -11,11 +22,19 @@ private[graft] object PlanAudit {
       .config("spark.ui.enabled", "false")
       .appName("planaudit").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
-    def shape(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    val d = args.filterNot(_.startsWith("--")).headOption
+      .getOrElse("/root/testdata/sf0.01")
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    def shape(name: String, df: org.apache.spark.sql.DataFrame,
+        allowBnlj: Int = 0): Unit = {
       val p = df.queryExecution.executedPlan.toString
       def count(s: String) = s.r.findAllIn(p).size
-      println(f"== $name%-28s exchanges=${count("Exchange")}%2d reused=${count("ReusedExchange")}%2d bhj=${count("BroadcastHashJoin")}%2d smj=${count("SortMergeJoin")}%2d cartesian=${count("CartesianProduct")}%2d bnlj=${count("BroadcastNestedLoop")}%2d")
+      val cartesian = count("CartesianProduct")
+      val bnlj = count("BroadcastNestedLoop")
+      println(f"== $name%-28s exchanges=${count("Exchange")}%2d reused=${count("ReusedExchange")}%2d bhj=${count("BroadcastHashJoin")}%2d smj=${count("SortMergeJoin")}%2d cartesian=$cartesian%2d bnlj=$bnlj%2d")
+      if (cartesian > 0) failures += s"$name: $cartesian CartesianProduct"
+      if (bnlj > allowBnlj)
+        failures += s"$name: $bnlj BroadcastNestedLoop (allowed $allowBnlj)"
     }
     shape("dedup_semantic_kmeans", graft.pipeline.VectorOps.semanticDedupKmeans(spark, d))
     shape("text_vocab_coverage", graft.pipeline.TextOps.vocabCoverage(spark, d))
@@ -28,34 +47,28 @@ private[graft] object PlanAudit {
     // the threshold sweep must be ONE aggregate over the scan
     println("vocab TakeOrdered: " + graft.pipeline.TextOps.vocabCoverage(spark, d)
       .queryExecution.sparkPlan.toString.contains("TakeOrderedAndProject"))
-    // round-9 late additions
+    // round-9 late additions; the single ann/bm25/ppl BNLJ legs are the
+    // queryGated query-batch broadcasts / plan-constant threshold rows
     shape("text_entropy", graft.pipeline.TextOps.charEntropy(spark, d))
-    shape("text_ppl_buckets", graft.pipeline.TextOps.pplBuckets(spark, d))
+    shape("text_ppl_buckets", graft.pipeline.TextOps.pplBuckets(spark, d), allowBnlj = 1)
     shape("corpus_vocab_growth", graft.pipeline.TextOps.vocabGrowth(spark, d))
     shape("dedup_containment", graft.pipeline.Dedup.containment(spark, d))
-    shape("ann_sq", graft.pipeline.VectorOps.annSq(spark, d))
-    shape("ann_sq bigbatch", graft.pipeline.VectorOps.annSqBatch(spark, d, 10000000L))
-    shape("ann_ivfpq (residual)", graft.pipeline.VectorOps.annIvfPq(spark, d))
-    shape("ann_ivfpq bigbatch", graft.pipeline.VectorOps.annIvfPqBatch(spark, d, 10000000L))
-    shape("ann_pq bigbatch", graft.pipeline.VectorOps.annPqBatch(spark, d, 10000000L))
+    shape("ann_sq", graft.pipeline.VectorOps.annSq(spark, d), allowBnlj = 1)
+    shape("ann_sq bigbatch", graft.pipeline.VectorOps.annSqBatch(spark, d, 10000000L), allowBnlj = 1)
+    shape("ann_ivfpq (residual)", graft.pipeline.VectorOps.annIvfPq(spark, d), allowBnlj = 1)
+    shape("ann_ivfpq bigbatch", graft.pipeline.VectorOps.annIvfPqBatch(spark, d, 10000000L), allowBnlj = 1)
+    shape("ann_pq bigbatch", graft.pipeline.VectorOps.annPqBatch(spark, d, 10000000L), allowBnlj = 1)
     shape("q18 (AQE)", graft.operators.CoreQueries.q18BigOrders(spark, d))
     // wave-3/4 additions
-    shape("text_bm25", graft.pipeline.TextOps.bm25(spark, d))
+    shape("text_bm25", graft.pipeline.TextOps.bm25(spark, d), allowBnlj = 1)
     shape("corpus_zipf", graft.pipeline.TextOps.corpusZipf(spark, d))
     shape("dedup_span_removal", graft.pipeline.Dedup.spanRemoval(spark, d))
     shape("corpus_embedding_drift", graft.pipeline.VectorOps.embeddingDrift(spark, d))
-    shape("search_hybrid_rrf", graft.pipeline.VectorOps.hybridRrf(spark, d))
+    shape("search_hybrid_rrf", graft.pipeline.VectorOps.hybridRrf(spark, d), allowBnlj = 2)
     shape("text_bpe_encode", graft.pipeline.TextOps.bpeEncode(spark, d))
     // bm25's top-N must plan as TakeOrderedAndProject, never a global sort
     println("bm25 TakeOrdered: " + graft.pipeline.TextOps.bm25(spark, d)
       .queryExecution.sparkPlan.toString.contains("TakeOrderedAndProject"))
-    // ppl buckets at runtime: the LM-score subtree feeds BOTH the
-    // threshold aggregate and the final join — AQE must reuse the
-    // exchange so the corpus is scored once, not twice
-    val ppl = graft.pipeline.TextOps.pplBuckets(spark, d)
-    ppl.collect()
-    println("ppl buckets runtime exchange reuse: " +
-      ppl.queryExecution.executedPlan.toString.contains("ReusedExchange"))
     // q18 at runtime: does AQE broadcast the tiny survivor set?
     val q18 = graft.operators.CoreQueries.q18BigOrders(spark, d)
     q18.collect()
@@ -71,9 +84,9 @@ private[graft] object PlanAudit {
     println("sample_epochs corpus shuffle-free: " +
       !sePlan.contains("SortMergeJoin") + " broadcast: " + sePlan.contains("BroadcastHashJoin"))
     // r11 additions
-    shape("ann_ivfpq_persisted", graft.pipeline.AnnIndex.annIvfPqPersisted(spark, d))
+    shape("ann_ivfpq_persisted", graft.pipeline.AnnIndex.annIvfPqPersisted(spark, d), allowBnlj = 2)
     shape("text_unigram_encode", graft.pipeline.UnigramLm.unigramEncode(spark, d))
-    shape("dedup_passjoin", graft.pipeline.Dedup.editDistancePairsPassJoin(spark, d))
+    shape("dedup_passjoin", graft.pipeline.Dedup.editDistancePairsPassJoin(spark, d), allowBnlj = 1)
     // dv-mode read: the delete side must be ONE broadcast bitmap join,
     // never a cartesian/nested-loop; build a small dv table inline
     locally {
@@ -90,6 +103,45 @@ private[graft] object PlanAudit {
       println("dv read broadcast bitmap join: " +
         rd.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
     }
+    // r12/r13 additions: both miners (the exact oracle's anchors×corpus
+    // join is a deliberate broadcast non-equi demonstration plan — 1
+    // bounded BNLJ; the indexed miner must share the persisted-query
+    // shape), the foreign-Iceberg import's read, the auto-compacted
+    // read, and the synced index's query path (equality-MOR codes)
+    shape("mine_hard_negatives (exact)", graft.pipeline.VectorOps.mineHardNegatives(spark, d), allowBnlj = 1)
+    shape("mine_hard_negatives_indexed", graft.pipeline.AnnIndex.mineHardNegativesIndexed(spark, d), allowBnlj = 2)
+    shape("lake_iceberg_foreign read", graft.operators.GateQueries.lakeIcebergForeign(spark, d))
+    shape("lake_autocompact read", graft.operators.GateQueries.lakeAutoCompact(spark, d))
+    locally {
+      import org.apache.spark.sql.functions.col
+      val root = "/root/repo/target/lakework/planaudit-annsync"
+      val corpusRoot = s"$root/corpus"
+      val emb = graft.Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("embedding"))
+      val corpusT = graft.lake.GraftTable.create(spark, corpusRoot, emb)
+      graft.pipeline.AnnIndex.buildFromTable(spark, corpusT, s"$root/idx")
+      corpusT.delete(col("vec_id") % 37 === 1)
+      graft.pipeline.AnnIndex.sync(spark, corpusT, s"$root/idx")
+      val q = corpusT.read().filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      shape("synced index query (MOR codes)",
+        graft.pipeline.AnnIndex.query(spark, s"$root/idx", corpusT.read(), q, 10L),
+        allowBnlj = 2)
+    }
+    if (plant) {
+      // gate self-test: a deliberate cartesian must fail the run
+      // (broadcast disabled so the plan is CartesianProduct, not a
+      // small-side BNLJ — both classes fail, this pins the former)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = graft.Tables.region(spark, d)
+      shape("planted cartesian", a.crossJoin(a.select(org.apache.spark.sql.functions.col("r_regionkey").as("rk2"))))
+    }
     spark.stop()
+    if (failures.nonEmpty) {
+      println("PLANAUDIT FAIL:")
+      failures.foreach(f => println("  " + f))
+      sys.exit(1)
+    }
+    println("PLANAUDIT OK")
   }
 }
