@@ -1184,13 +1184,19 @@ object VectorOps {
     * Σ 1/(60+rank) over the top-[[RrfDepth]] of each modality, top-10
     * per query emitted. The query set is the C6 convention (id <
     * [[NQueries]]); a query's lexical form is its own distinct token
-    * set (query-by-example). Shapes at 100 TB: the query×term table is
-    * tiny and broadcast into the tf join; index stats (df, avgdl) are
-    * scalar/term-keyed aggregates; each modality cuts to RrfDepth
-    * BEFORE the fusion join, so the fused table is ≤ 2·depth·queries
-    * rows. Ranks compare 6-dp-snapped scores with id tie-breaks, so
-    * both engines rank identically; absent-modality ranks surface as
-    * -1 (never NULL — nullable BIGINT would dtype-drift the gate).
+    * set (query-by-example). Shapes at 100 TB: the candidate universe
+    * (docs⋈embs) is materialized ONCE (localCheckpoint — the standard
+    * cache-before-multi-pass shape; on a real cluster a reliable
+    * persist) and every pass reads it, instead of re-deriving the join
+    * per leg; document frequency rides a count window OVER the tf
+    * table, so the tokenized corpus is aggregated once, not twice (the
+    * r12 audit's doubled-subtree finding); the query×term table is
+    * tiny and broadcast into the tf join; each modality cuts to
+    * RrfDepth BEFORE the fusion join, so the fused table is ≤
+    * 2·depth·queries rows. Ranks compare 6-dp-snapped scores with id
+    * tie-breaks, so both engines rank identically; absent-modality
+    * ranks surface as -1 (never NULL — nullable BIGINT would
+    * dtype-drift the gate).
     */
   val RrfK = 60
   val RrfDepth = 50
@@ -1201,12 +1207,21 @@ object VectorOps {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), graft.pipeline.TextOps.tokens(col("text")).as("toks"))
     val embs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // the shared corpus subtree: one join, one materialization, every
+    // pass below reads the checkpointed blocks
     val cands = docs.join(embs, docs("doc_id") === embs("vec_id"))
       .select(col("doc_id"), col("toks"), col("embedding"))
-    // lexical half: BM25 (C61's constants) of each query's token set
-    val qterms = cands.filter(col("doc_id") < NQueries)
-      .select(col("doc_id").as("query_id"),
-        explode(array_distinct(col("toks"))).as("term"))
+      .localCheckpoint(true)
+    // the query batch (tiny) — shared by the lexical and semantic legs
+    val qset = cands.filter(col("doc_id") < NQueries)
+      .select(col("doc_id").as("query_id"), col("toks"), col("embedding"))
+      .localCheckpoint(true)
+    val qterms = qset.select(col("query_id"),
+      explode(array_distinct(col("toks"))).as("term"))
+    // lexical half: BM25 (C61's constants) of each query's token set;
+    // df is a count window over tf (tf is unique per (cand, term), so
+    // the window count IS the containing-doc count) — one aggregation
+    // pass over the tokenized corpus total
     val stats = cands.agg(
       count(lit(1)).as("n_docs"),
       (sum(size(col("toks")).cast("long")).cast("double") /
@@ -1216,17 +1231,14 @@ object VectorOps {
         explode(col("toks")).as("term"))
       .groupBy(col("cand_id"), col("term"))
       .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
-    val idf = tf.groupBy(col("term"))
-      .agg(count_distinct(col("cand_id")).as("df"))
-      .crossJoin(broadcast(stats))
-      .select(col("term"),
-        round(log(lit(1.0) +
-          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5))), 6).as("idf"),
-        col("avgdl"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
     val wq = Window.partitionBy(col("query_id"))
-    val bm = tf.join(broadcast(idf), "term").join(broadcast(qterms), "term")
+    val bm = tf.join(broadcast(qterms), "term")
       .filter(col("cand_id") =!= col("query_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", round(log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))), 6))
       .withColumn("contrib", round(col("idf") *
         (col("tf").cast("double") * lit(2.2)) /
         (col("tf").cast("double") +
@@ -1239,8 +1251,7 @@ object VectorOps {
       .filter(col("r_bm25") <= RrfDepth)
       .select(col("query_id"), col("cand_id"), col("r_bm25"))
     // semantic half: exact cosine, C6's ranking convention
-    val q = cands.filter(col("doc_id") < NQueries)
-      .select(col("doc_id").as("query_id"), col("embedding").as("q_emb"))
+    val q = qset.select(col("query_id"), col("embedding").as("q_emb"))
     val cos = broadcast(q)
       .join(cands.select(col("doc_id").as("cand_id"), col("embedding").as("c_emb")),
         col("query_id") =!= col("cand_id"))
@@ -1249,12 +1260,17 @@ object VectorOps {
         .over(wq.orderBy(col("cos_sim").desc, col("cand_id"))).cast("long"))
       .filter(col("r_cos") <= RrfDepth)
       .select(col("query_id"), col("cand_id"), col("r_cos"))
-    bm.join(cos, Seq("query_id", "cand_id"), "full_outer")
-      .withColumn("rrf", round(
-        coalesce(lit(1.0) / (lit(60.0) + col("r_bm25").cast("double")), lit(0.0)) +
-        coalesce(lit(1.0) / (lit(60.0) + col("r_cos").cast("double")), lit(0.0)), 6))
-      .withColumn("r_bm25", coalesce(col("r_bm25"), lit(-1L)))
-      .withColumn("r_cos", coalesce(col("r_cos"), lit(-1L)))
+    // fusion as union + max-agg (ranks are ≥1, -1 the absent sentinel,
+    // so max picks the present rank) — one keyed shuffle instead of a
+    // two-sided sort-merge full-outer join
+    val rrfOf = (r: Column) =>
+      when(r > 0L, lit(1.0) / (lit(60.0) + r.cast("double"))).otherwise(lit(0.0))
+    bm.withColumn("r_cos", lit(-1L))
+      .unionByName(cos.withColumn("r_bm25", lit(-1L))
+        .select(col("query_id"), col("cand_id"), col("r_bm25"), col("r_cos")))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(max(col("r_bm25")).as("r_bm25"), max(col("r_cos")).as("r_cos"))
+      .withColumn("rrf", round(rrfOf(col("r_bm25")) + rrfOf(col("r_cos")), 6))
       .withColumn("rank", row_number()
         .over(wq.orderBy(col("rrf").desc, col("cand_id"))).cast("long"))
       .filter(col("rank") <= HybridTopK)
