@@ -379,7 +379,7 @@ object ScaleBench {
   /** Plan-latency probe at FILE-COUNT scale
     * (`SPARK_GRAFT_SCALEBENCH_PLAN=1`): every 100 TB claim rests on
     * O(metadata) planning, so this measures the metadata plane directly
-    * at 1k/10k/100k manifest entries — payloads are hardlinks of one
+    * at 1k/10k/100k/1M manifest entries — payloads are hardlinks of one
     * seed parquet (the probe times manifests, not parquet IO):
     *  - `commit_bulk`: one N-file append commit (payload existence
     *    checks + shard serialization + manifest write),
@@ -399,7 +399,9 @@ object ScaleBench {
       val t0 = System.nanoTime(); val r = f; ((System.nanoTime() - t0) / 1e9, r)
     }
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val counts = Seq(1000, 10000, 100000)
+    // 1M is the last untested decade before real 100 TB table sizes
+    // (100 TB / 128 MB target files ≈ 800k entries)
+    val counts = Seq(1000, 10000, 100000, 1000000)
     for (n <- counts) {
       val root = s"/root/repo/target/lakework/planbench_$n"
       val seedDf = spark.range(1).select(col("id").as("v"), lit("0").as("p"))
@@ -463,10 +465,16 @@ object ScaleBench {
         println(f"[planbench] n=$n%-7d $k%-12s $v%8.3f s")
         results(s"${k}_$n") = v
       }
+      // the 1M rung leaves ~1M dirents behind — sweep it once measured
+      if (n >= 1000000) {
+        import scala.sys.process._
+        Seq("rm", "-rf", root).!
+      }
     }
     for (k <- Seq("commit_bulk", "commit_one", "open_cold", "scan_pruned", "incremental",
         "meta_agg")) {
-      val a = math.log(results(s"${k}_100000") / results(s"${k}_1000")) / math.log(100.0)
+      val a = math.log(results(s"${k}_${counts.last}") / results(s"${k}_${counts.head}")) /
+        math.log(counts.last.toDouble / counts.head)
       println(f"[planbench] exponent $k%-12s alpha=$a%5.2f")
       results(s"${k}_alpha") = a
     }

@@ -74,10 +74,27 @@ final class GraftTable(val root: String, spark: SparkSession) {
     GraftTable.snapshotCache.computeIfAbsent((root, id), { _ =>
       val s = SnapshotCodec.fromJson(io.readString(s"snapshot-$id.json"))
       if (s.shards.isEmpty) s
-      else s.copy(files = s.shards.flatMap(r =>
-        GraftTable.shardCache.computeIfAbsent((root, r.path), { _ =>
-          SnapshotCodec.shardFromBytes(io.readBytes(r.path)).files
-        })))
+      else {
+        // cold open of a big table parses tens of thousands of shard
+        // files — read them in parallel (order restored below; the
+        // shard cache is a ConcurrentHashMap and FileSystem reads are
+        // thread-safe), so open latency is bounded by IO bandwidth,
+        // not shard count × per-file latency
+        def load(r: ShardRef): Seq[FileEntry] =
+          GraftTable.shardCache.computeIfAbsent((root, r.path), { _ =>
+            SnapshotCodec.shardFromBytes(io.readBytes(r.path)).files
+          })
+        val refs = s.shards.toArray
+        val files =
+          if (refs.length < 64) refs.toSeq.flatMap(load)
+          else {
+            val out = new Array[Seq[FileEntry]](refs.length)
+            java.util.stream.IntStream.range(0, refs.length).parallel()
+              .forEach(i => out(i) = load(refs(i)))
+            out.toSeq.flatten
+          }
+        s.copy(files = files)
+      }
     })
 
   /** [[snapshot]] that answers None for an expired/never-existed id
@@ -164,7 +181,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * `snapshot-<id>.json`, and the loser fails here instead of
     * silently clobbering the winner's commit.
     */
-  private def stage(s0in: Snapshot): Unit = {
+  private def stage(s0in: Snapshot,
+      appendedParts: Option[Set[Map[String, String]]] = None): Unit = {
     io.mkdirs()
     // Stamp freshly written files (addedBy = PendingAddedBy) with the
     // FINAL snapshot id — it is only known here, after rebase/step-over
@@ -218,46 +236,79 @@ final class GraftTable(val root: String, spark: SparkSession) {
     // tens-of-MB JSON, and readers re-parse only the changed shard.
     // Any `shards` carried in via copy() from a parent snapshot are
     // recomputed from the in-memory file list (never trusted stale).
+    // Shards live under meta/shards/ so the top-level listing that
+    // snapshot-id discovery pays on every commit stays O(#snapshots) —
+    // at 10⁶ files / 62k shards a flat layout made every snapshotIds
+    // call a 62k-entry listing (the planbench commit_one finding).
+    // Legacy tables with top-level `shard-*.json` read fine (refs
+    // record relative paths) and are GC'd from both locations.
+    def writeShard(sorted: Seq[FileEntry]): ShardRef = {
+      val body = SnapshotCodec.shardToBytes(ShardManifest(sorted))
+      val sha = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(body).map("%02x".format(_)).mkString
+      val name = s"shards/shard-$sha.json"
+      if (!io.exists(name)) {
+        io.mkdirsFor(name)
+        try io.writeNew(name, body)
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () } // racer wrote identical bytes
+      }
+      // seed the cache so the NEXT commit's unchanged-check hits
+      // without re-reading the shard from storage
+      GraftTable.shardCache.putIfAbsent((root, name), sorted)
+      ShardRef(name, sorted.size.toLong)
+    }
     val s =
       if (sPruned.files.size < GraftTable.ShardFilesThreshold)
         sPruned.copy(shards = Seq.empty)
       else {
-        // Unchanged partitions re-point to the PARENT's shard without
-        // any serialization: the parent's refs are recovered from the
-        // process-wide shard cache (loaded when the parent was read),
-        // and a partition whose sorted file list structurally equals
-        // the cached shard's list would serialize to byte-identical
-        // content → identical content hash → the same ref. At 10⁵
-        // files / 6k partitions this turns a 1-file append from
-        // re-serialize+SHA1+exists × every shard into one shard write —
-        // the planbench commit_one number.
-        val parentRefs: Map[Map[String, String], (ShardRef, Seq[FileEntry])] =
+        val cachedShards: Seq[Option[(ShardRef, Seq[FileEntry])]] =
           (if (sPruned.parentId >= 0) snapshotIfExists(sPruned.parentId) else None)
-            .map(_.shards.flatMap { r =>
-              Option(GraftTable.shardCache.get((root, r.path)))
-                .filter(_.nonEmpty).map(fs => fs.head.partition -> (r, fs))
-            }.toMap).getOrElse(Map.empty)
-        val refs = sPruned.files.groupBy(_.partition)
-          .toSeq.sortBy(_._1.toSeq.sorted.mkString("/"))
-          .map { case (part, fs) =>
-            val sorted = fs.sortBy(_.path)
-            parentRefs.get(part) match {
-              case Some((r, cached)) if cached == sorted => r
-              case _ =>
-                val body = SnapshotCodec.shardToBytes(ShardManifest(sorted))
-                val sha = java.security.MessageDigest.getInstance("SHA-1")
-                  .digest(body).map("%02x".format(_)).mkString
-                val name = s"shard-$sha.json"
-                if (!io.exists(name)) {
-                  try io.writeNew(name, body)
-                  catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () } // racer wrote identical bytes
-                }
-                // seed the cache so the NEXT commit's unchanged-check
-                // hits without re-reading the shard from storage
-                GraftTable.shardCache.putIfAbsent((root, name), sorted)
-                ShardRef(name, fs.size.toLong)
+            .map(_.shards).getOrElse(Seq.empty)
+            .map(r => Option(GraftTable.shardCache.get((root, r.path)))
+              .filter(_.nonEmpty).map(r -> _))
+        // APPEND fast path: the caller declared exactly which
+        // partitions gained files, so every other partition's shard
+        // ref carries over VERBATIM — no full-list groupBy, no
+        // per-partition equality sweep. Commit cost becomes
+        // O(touched partitions + #shards), not O(files).
+        val fastRefs: Option[Seq[ShardRef]] = appendedParts match {
+          case Some(changed) if cachedShards.nonEmpty && cachedShards.forall(_.isDefined) =>
+            val cached = cachedShards.flatten
+            val byPart = sPruned.files.filter(f => changed.contains(f.partition))
+              .groupBy(_.partition)
+            val inParent = scala.collection.mutable.HashSet[Map[String, String]]()
+            val kept = cached.map { case (r, fs) =>
+              val part = fs.head.partition
+              if (changed.contains(part)) {
+                inParent += part
+                writeShard(byPart(part).sortBy(_.path))
+              } else r
             }
-          }
+            val fresh = (byPart.keySet -- inParent).toSeq
+              .sortBy(p => byPart(p).iterator.map(_.path).min)
+              .map(p => writeShard(byPart(p).sortBy(_.path)))
+            Some(kept ++ fresh)
+          case _ => None
+        }
+        // Generic path: unchanged partitions re-point to the PARENT's
+        // shard without any serialization — a partition whose sorted
+        // file list structurally equals the cached shard's list would
+        // serialize to byte-identical content → identical content hash
+        // → the same ref.
+        val refs = fastRefs.getOrElse {
+          val parentRefs: Map[Map[String, String], (ShardRef, Seq[FileEntry])] =
+            cachedShards.flatten
+              .map { case (r, fs) => fs.head.partition -> (r, fs) }.toMap
+          sPruned.files.groupBy(_.partition)
+            .toSeq.sortBy(_._2.iterator.map(_.path).min)
+            .map { case (part, fs) =>
+              val sorted = fs.sortBy(_.path)
+              parentRefs.get(part) match {
+                case Some((r, cached)) if cached == sorted => r
+                case _ => writeShard(sorted)
+              }
+            }
+        }
         sPruned.copy(files = Seq.empty, shards = refs)
       }
     try {
@@ -354,7 +405,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
         id = math.max(cur.id, snapshotIds.max) + 1, parentId = cur.id,
         tsMillis = nextTs(Some(cur)), operation = "append",
         files = cur.files ++ delta, addedFiles = delta.size, deletedFiles = 0)
-      stage(next)
+      stage(next, Some(delta.iterator.map(_.partition).toSet))
       publishGuarded(next.id, cur.id)
       next.id
     }
@@ -379,7 +430,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
         stage(cur.copy(
           id = nid, parentId = cur.id, tsMillis = nextTs(Some(cur)),
           operation = "append", files = cur.files ++ added,
-          addedFiles = added.size, deletedFiles = 0))
+          addedFiles = added.size, deletedFiles = 0),
+          Some(added.iterator.map(_.partition).toSet))
         staged = true
       } catch { case _: java.util.ConcurrentModificationException => nid += 1 }
     }
@@ -480,7 +532,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
           tsMillis = nextTs(Some(c)), operation = batchTag,
           files = c.files ++ added, addedFiles = added.size, deletedFiles = 0,
           properties = GraftTable.mergeNdvProps(c.properties, ndvDelta))
-        stage(next)
+        stage(next, Some(added.iterator.map(_.partition).toSet))
         publishGuarded(next.id, c.id)
         recordTag(batchTag)
         true
@@ -613,7 +665,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
           stage(head.copy(
             id = nid, parentId = head.id, tsMillis = nextTs(Some(head)),
             operation = "append", files = head.files ++ added,
-            addedFiles = added.size, deletedFiles = 0))
+            addedFiles = added.size, deletedFiles = 0),
+            Some(added.iterator.map(_.partition).toSet))
           staged = true
         } catch { case _: java.util.ConcurrentModificationException => nid += 1 }
       }
@@ -959,7 +1012,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
         tsMillis = nextTs(Some(cur)), operation = op,
         files = cur.files ++ added, addedFiles = added.size, deletedFiles = 0,
         properties = GraftTable.mergeNdvProps(cur.properties, ndvDelta))
-      stage(next)
+      stage(next, Some(added.iterator.map(_.partition).toSet))
       publishGuarded(next.id, cur.id)
       next
     }
@@ -2811,12 +2864,13 @@ final class GraftTable(val root: String, spark: SparkSession) {
       // GC manifest shards no live snapshot points at (content-addressed
       // files are shared across snapshots, so liveness is by reference)
       val liveShards = retained.flatMap(id => snapshot(id).shards.map(_.path)).toSet
-      io.listNames()
-        .filter(n => n.startsWith("shard-") && !liveShards.contains(n))
-        .foreach { n =>
-          GraftTable.shardCache.remove((root, n))
-          io.delete(n)
-        }
+      val onDisk = io.listNames().filter(_.startsWith("shard-")) ++
+        io.listNames("shards").collect {
+          case n if n.startsWith("shard-") => s"shards/$n" }
+      onDisk.filterNot(liveShards.contains).foreach { n =>
+        GraftTable.shardCache.remove((root, n))
+        io.delete(n)
+      }
     }
     // absolute (clone-referenced) entries were intentionally left
     // untouched above — reporting them as removed would mislead callers

@@ -125,6 +125,22 @@ final class MetaIO(root: String, private[lake] val conf: Configuration) {
     if (!fs.exists(metaPath)) Seq.empty
     else fs.listStatus(metaPath).toSeq.map(_.getPath.getName)
 
+  /** Flat listing of a meta SUBdirectory (empty when absent) — keeps
+    * bulk populations (manifest shards) out of the top-level listing
+    * that snapshot-id discovery pays on every commit.
+    */
+  def listNames(sub: String): Seq[String] = {
+    val p = new HPath(metaPath, sub)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  /** Ensure the parent directory of `name` exists (for names carrying
+    * a subdirectory, e.g. `shards/...`; local CREATE_NEW does not
+    * create parents).
+    */
+  def mkdirsFor(name: String): Unit = { fs.mkdirs(path(name).getParent); () }
+
   def mkdirs(): Unit = { fs.mkdirs(metaPath); () }
 }
 

@@ -346,7 +346,8 @@ object GateQueries {
     val n = t.read().count()
     t.expire(keepFrom = t.currentId)
     val io = new graft.lake.MetaIO(t.root, s.sparkContext.hadoopConfiguration)
-    val onDisk = io.listNames().filter(_.startsWith("shard-")).toSet
+    val onDisk = (io.listNames().filter(_.startsWith("shard-")) ++
+      io.listNames("shards").map(n => s"shards/$n")).toSet
     val gced = onDisk == s2.shards.map(_.path).toSet
     val intact = t.read().count() == n
     import s.implicits._

@@ -351,9 +351,9 @@ class LakeSpec extends SparkSpec {
       "unchanged partitions reuse their shard files verbatim")
     // expire: shards referenced only by the expired snapshot are GC'd
     t.expire(keepFrom = t.currentId)
-    val onDisk = java.nio.file.Files.list(java.nio.file.Paths.get(t.root, "meta"))
+    val onDisk = java.nio.file.Files.list(java.nio.file.Paths.get(t.root, "meta", "shards"))
       .iterator().asScala.map(_.getFileName.toString)
-      .filter(_.startsWith("shard-")).toSet
+      .filter(_.startsWith("shard-")).map(n => s"shards/$n").toSet
     assert(onDisk === s2.shards.map(_.path).toSet, "GC keeps exactly the live shards")
     assert(t.read().count() === n0 + 500, "reads intact after GC")
     // cold-cache reuse (the r10 fast path: unchanged partitions re-point
