@@ -88,6 +88,97 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.toSet === (1L to 8L).toSet, s"rows lost: got ${emitted.sorted}")
   }
 
+  test("composition soak: sink + auto-compact + retention + dv deletes + ANN sync hold their bounds TOGETHER over 50 micro-batches") {
+    import spark.implicits._
+    import graft.pipeline.AnnIndex
+    val base = "/root/repo/target/laketest/compose-soak"
+    for (p <- Seq(base)) {
+      val f = new java.io.File(p)
+      if (f.exists()) { import scala.sys.process._; Seq("rm", "-rf", p).! }
+    }
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val rows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def df(gs: Seq[(Long, Array[Float])]) = gs.toDF("vec_id", "embedding")
+    // seed with the even half (quantizer training needs a real corpus);
+    // the odd half arrives as 50 micro-batches
+    val byGroup: Map[Int, Seq[(Long, Array[Float])]] =
+      rows.filter(_._1 % 2 == 1).groupBy { case (id, _) => 1 + ((id / 2) % 50L).toInt }
+        .map { case (k, v) => k -> v.toSeq }
+    val t = GraftTable.create(spark, s"$base/corpus",
+      df(rows.filter(_._1 % 2 == 0).toSeq))
+    t.setProperty(GraftTable.AutoCompactProp, "true")
+    t.setProperty(GraftTable.AutoCompactMinFilesProp, "4")
+    t.setProperty(GraftTable.MaxSnapshotsProp, "12")
+    t.setProperty(GraftTable.DeleteModeProp, "dv")
+    AnnIndex.buildFromTable(spark, t, s"$base/idx")
+    val codesT = new GraftTable(s"$base/idx/codes", spark)
+    // the index's codes table is itself a streaming-append target (one
+    // file per sync) — same small-file problem, same remedy
+    codesT.setProperty(GraftTable.AutoCompactProp, "true")
+    codesT.setProperty(GraftTable.AutoCompactMinFilesProp, "4")
+    val deleted = scala.collection.mutable.Set[Long]()
+    val arrived = scala.collection.mutable.Set[Long](
+      rows.filter(_._1 % 2 == 0).map(_._1).toSeq: _*)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Int]
+    val q = mem.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Int], _: Long) =>
+        batch.collect().toSeq.foreach { k =>
+          val corpus = new GraftTable(s"$base/corpus", spark)
+          corpus.appendBatch(df(byGroup(k).toSeq), s"soak-$k")
+          arrived ++= byGroup(k).map(_._1)
+          if (k % 7 == 0) {
+            // cross-window dv delete: oldest still-live vector
+            val victim = (arrived -- deleted).min
+            corpus.delete(col("vec_id") === victim); deleted += victim
+          }
+          if (k % 11 == 0) {
+            // same-window delete: a vector from the batch just appended
+            val victim = byGroup(k).map(_._1).max
+            corpus.delete(col("vec_id") === victim); deleted += victim
+          }
+          AnnIndex.sync(spark, corpus, s"$base/idx")
+        }
+        ()
+      }
+      .start()
+    try (1 to 50).foreach { k => mem.addData(k); q.processAllAvailable() }
+    finally q.stop()
+    val corpus = new GraftTable(s"$base/corpus", spark)
+    // BOUND 1 — files: auto-compaction held on BOTH tables under
+    // interleaved appends, dv deletes, and index syncs
+    assert(corpus.current.files.size <= 8,
+      s"corpus files unbounded: ${corpus.current.files.size}")
+    // codes is partitioned by cluster, so the compaction bound is
+    // PER-PARTITION (min-files=4 steady state, plus the tail appended
+    // since the last pack)
+    val codesPerPart = codesT.current.files.groupBy(_.partition).values.map(_.size)
+    assert(codesPerPart.max <= 8,
+      s"codes per-partition files unbounded: ${codesPerPart.toSeq.sorted.reverse.take(3)}")
+    assert(codesT.snapshots.exists(_.operation == "compact"),
+      "codes auto-compaction never fired — the bound above is vacuous")
+    // BOUND 2 — snapshots: retention held while every commit flavor
+    // (append, compact, delete, property) interleaved
+    assert(corpus.snapshots.size <= 13,
+      s"corpus snapshots unbounded: ${corpus.snapshots.size}")
+    // BOUND 3 — index parity: codes row-for-row with the live corpus,
+    // every deleted vector hidden, watermark current
+    val live = corpus.read().select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(live === rows.map(_._1).toSet -- deleted, "corpus content drifted")
+    val codeIds = codesT.read().select("n_id").collect().map(_.getLong(0)).toSet
+    assert(codeIds === live, "index out of parity with corpus")
+    assert(codesT.properties(AnnIndex.SyncedSnapshotProp).toLong === corpus.currentId,
+      "sync watermark stale")
+    // and the composed index still ANSWERS: no ghost neighbors
+    val qdf = corpus.read().filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val nbrs = AnnIndex.query(spark, s"$base/idx", corpus.read(), qdf, 5L)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(nbrs.intersect(deleted.toSet).isEmpty,
+      s"ghost neighbors from deleted vectors: ${nbrs.intersect(deleted.toSet)}")
+  }
+
   test("D6b: maxSnapshotsPerTrigger bounds each micro-batch to one snapshot's files") {
     import spark.implicits._
     val root = "/root/repo/target/laketest/streamsrc-cap"
