@@ -126,7 +126,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * metastore for object stores. Held for one manifest write + one
     * rename — never during data writes.
     */
-  private def withCommitLock[T](f: => T): T = {
+  private[lake] def withCommitLock[T](f: => T): T = {
     io.mkdirs()
     commitLock.acquire()
     try f finally commitLock.release()
@@ -344,7 +344,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     publishGuarded(id, cur)
   }
 
-  private def publishUnlocked(id: Long): Unit = {
+  private[lake] def publishUnlocked(id: Long): Unit = {
     require(io.exists(s"snapshot-$id.json"),
       s"no staged snapshot $id under $root")
     io.writeAtomic(GraftTable.HintName, id.toString.getBytes(StandardCharsets.UTF_8))
@@ -364,7 +364,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * ConcurrentModificationException with a microseconds-wide residual
     * (the check-to-swap gap) instead of the whole critical section.
     */
-  private def publishGuarded(id: Long, parent: Long): Unit = {
+  private[lake] def publishGuarded(id: Long, parent: Long): Unit = {
     val live = if (hasCurrent) currentId else -1L
     if (live != parent)
       throw new java.util.ConcurrentModificationException(

@@ -1,0 +1,146 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A93: atomic multi-table transactions (SURVEY.md §2.A93) — commit
+  * appends to N graft tables so that, after recovery, either every
+  * table shows its new snapshot or none does. The single-table commit
+  * protocol (stage → CAS-validated pointer swing under the table's
+  * commit lock) generalizes with a durable intent record:
+  *
+  *  1. STAGE each append as a write-audit-publish snapshot (no lock,
+  *     no pointer movement — [[GraftTable.stageAppend]]);
+  *  2. take every participant's commit lock in sorted-root order
+  *     (total order ⇒ deadlock-free against concurrent transactions);
+  *  3. CAS-validate each table (its pointer still equals the staged
+  *     snapshot's parent) — a conflict here ABORTS the whole
+  *     transaction before anything published: staged snapshots and
+  *     their payload files are dropped ([[GraftTable.abandonStaged]]);
+  *  4. write the INTENT file — one exclusive create in the
+  *     coordinator's meta dir naming every (root, stagedId, parentId).
+  *     This is the commit point: before it nothing is visible, after
+  *     it recovery always rolls FORWARD;
+  *  5. publish every table (pointer swings, still under the locks);
+  *  6. delete the intent.
+  *
+  * Crash semantics (the documented trade, same class as Hive ACID /
+  * multi-table coordinators): a coordinator that dies between 4 and 6
+  * leaves a window where some tables show the new state — atomicity is
+  * restored by [[recover]], which re-publishes the rest (rebasing onto
+  * any commits that landed meanwhile via the append cherry-pick) and
+  * is safe to run at any time, from any process, repeatedly. A crash
+  * before 4 leaves only orphaned staged snapshots (ordinary WAP
+  * abandons, swept by vacuum).
+  *
+  * Reference scope: the reference delegates single-table commits to
+  * its embedded table format and has no cross-table story; this is the
+  * piece a corpus+index pipeline actually needs (e.g. a dedup DELETE
+  * on the corpus and the matching ANN-index fold landing as one unit).
+  */
+object GraftTxn {
+
+  import com.fasterxml.jackson.databind.ObjectMapper
+  import com.fasterxml.jackson.module.scala.{ClassTagExtensions, DefaultScalaModule}
+  private val Mapper: ObjectMapper with ClassTagExtensions = {
+    val m = new ObjectMapper() with ClassTagExtensions
+    m.registerModule(DefaultScalaModule)
+    m
+  }
+
+  final case class TxnPart(root: String, stagedId: Long, parentId: Long)
+  private final case class TxnRecord(parts: Seq[TxnPart])
+
+  /** Stage `df` onto each table and atomically publish all of them.
+    * Returns the published snapshot ids in the caller's table order.
+    * Throws `ConcurrentModificationException` if any table moved
+    * between staging and the locked validation — then NOTHING was
+    * published and every staged snapshot was abandoned.
+    */
+  def commit(spark: SparkSession, parts: Seq[(GraftTable, DataFrame)]): Seq[Long] = {
+    require(parts.nonEmpty, "empty transaction")
+    val staged = parts.map { case (t, df) => t -> t.stageAppend(df) }
+    publishStaged(spark, staged)
+    staged.map(_._2)
+  }
+
+  /** Atomically publish snapshots already staged (the WAP shape: stage,
+    * audit each with [[GraftTable.readAsOfId]], then land them as one
+    * unit). Participants must be distinct tables.
+    */
+  def publishStaged(spark: SparkSession, staged: Seq[(GraftTable, Long)]): Unit = {
+    require(staged.nonEmpty, "empty transaction")
+    val sorted = staged.sortBy(_._1.root)
+    require(sorted.map(_._1.root).distinct.size == sorted.size,
+      "a table may appear once per transaction")
+    val ps = sorted.map { case (t, sid) => (t, sid, t.snapshot(sid).parentId) }
+    def withLocks[T](ts: List[GraftTable])(f: => T): T = ts match {
+      case Nil => f
+      case h :: rest => h.withCommitLock(withLocks(rest)(f))
+    }
+    withLocks(ps.map(_._1).toList) {
+      val conflicted = ps.filter { case (t, _, pid) => t.currentId != pid }
+      if (conflicted.nonEmpty) {
+        // abort BEFORE the intent: nothing published, stages dropped
+        ps.foreach { case (t, sid, _) =>
+          try t.abandonStaged(sid)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        throw new java.util.ConcurrentModificationException(
+          s"transaction aborted: ${conflicted.map(_._1.root).mkString(", ")} " +
+            "moved since staging; nothing was published")
+      }
+      val txnName = writeIntent(ps.map(p => (p._1, p._2)))
+      // commit point passed — roll forward, never back
+      ps.foreach { case (t, sid, pid) => t.publishGuarded(sid, pid) }
+      ps.head._1.io.delete(txnName)
+      ()
+    }
+  }
+
+  /** Write only the intent record (the commit point) without
+    * publishing anything — the specs use this to construct the exact
+    * crash states [[recover]] must repair. The coordinator is the
+    * sorted-first participant, matching [[publishStaged]].
+    */
+  private[graft] def writeIntent(staged: Seq[(GraftTable, Long)]): String = {
+    val sorted = staged.sortBy(_._1.root)
+    val name = s"txn-${java.util.UUID.randomUUID()}.json"
+    sorted.head._1.io.writeNew(name, Mapper.writeValueAsBytes(TxnRecord(
+      sorted.map { case (t, sid) => TxnPart(t.root, sid, t.snapshot(sid).parentId) })))
+    name
+  }
+
+  /** Roll forward transactions whose coordinator died mid-publish:
+    * every intent file under `coordinatorRoot` is replayed — tables
+    * already past their staged snapshot are skipped (ancestor check),
+    * tables still on the staged parent publish directly, and tables
+    * that took unrelated commits in the crash window get the staged
+    * append REBASED onto their current state
+    * ([[GraftTable.publishCherryPick]] — sound because transaction
+    * members are appends). Idempotent; returns the number of
+    * transactions completed.
+    */
+  def recover(spark: SparkSession, coordinatorRoot: String): Int = {
+    val coord = new GraftTable(coordinatorRoot, spark)
+    val txns = coord.io.listNames().filter(_.startsWith("txn-")).sorted
+    txns.foreach { n =>
+      val rec = Mapper.readValue[TxnRecord](coord.io.readBytes(n))
+      rec.parts.foreach { p =>
+        val t = new GraftTable(p.root, spark)
+        val published = {
+          // is stagedId an ancestor of (or equal to) current?
+          var a = t.currentId
+          var found = false
+          while (a >= 0 && !found) {
+            if (a == p.stagedId) found = true
+            else a = t.snapshotIfExists(a).map(_.parentId).getOrElse(-1L)
+          }
+          found
+        }
+        if (!published) { t.publishCherryPick(p.stagedId); () }
+      }
+      coord.io.delete(n)
+    }
+    txns.size
+  }
+}

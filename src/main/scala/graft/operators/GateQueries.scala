@@ -1314,6 +1314,42 @@ object GateQueries {
     s"""SELECT $selSql FROM orders WHERE o_orderkey < 4000
        |ORDER BY o_orderkey""".stripMargin
 
+  /** `lake_txn` (A93): atomic multi-table transaction — one
+    * [[graft.lake.GraftTxn.commit]] lands appends on TWO tables as a
+    * unit; then a deliberately conflicting transaction (a commit slips
+    * in between staging and publish) must abort with NEITHER side
+    * published and its stages abandoned. The oracle sees exactly
+    * (both initial loads) + (both txn-1 appends) + (the conflicting
+    * commit) — nothing from the aborted transaction, on either table.
+    */
+  def lakeTxn(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.GraftTxn
+    val o = orders(s, d)
+    def slice(lo: Long, hi: Long) =
+      byStatus(o.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi))
+    val t1 = GraftTable.create(s, work(d, "txna"), slice(0, 1000), Seq("o_orderstatus"))
+    val t2 = GraftTable.create(s, work(d, "txnb"), slice(5000, 6000), Seq("o_orderstatus"))
+    GraftTxn.commit(s, Seq(t1 -> slice(1000, 2000), t2 -> slice(6000, 7000)))
+    require(t1.read().count() > 0 && t2.read().count() > 0)
+    // conflicting transaction: stage both, then t2 moves
+    val s1 = t1.stageAppend(slice(2000, 3000))
+    val s2 = t2.stageAppend(slice(7000, 8000))
+    t2.append(slice(9000, 9500))
+    val aborted =
+      try { GraftTxn.publishStaged(s, Seq(t1 -> s1, t2 -> s2)); false }
+      catch { case _: java.util.ConcurrentModificationException => true }
+    require(aborted, "a conflicting transaction must abort")
+    require(!t1.snapshotIds.contains(s1), "aborted stage must be dropped")
+    sel(t1.read().unionByName(t2.read()))
+  }
+
+  val lakeTxnSql: String =
+    s"""SELECT $selSql FROM orders
+       |WHERE o_orderkey < 2000
+       |   OR (o_orderkey >= 5000 AND o_orderkey < 7000)
+       |   OR (o_orderkey >= 9000 AND o_orderkey < 9500)
+       |ORDER BY o_orderkey""".stripMargin
+
   /** `lake_iceberg_foreign` (A91): import of FOREIGN Iceberg metadata —
     * every other bridge entry round-trips this bridge's own exports,
     * which share its field-id allocation, micros-only footers, and
@@ -1663,6 +1699,7 @@ object GateQueries {
     "lake_iceberg_export"   -> (lakeIcebergExport _),
     "lake_iceberg_foreign"  -> (lakeIcebergForeign _),
     "lake_autocompact"      -> (lakeAutoCompact _),
+    "lake_txn"              -> (lakeTxn _),
     "lake_iceberg_roundtrip" -> (lakeIcebergRoundtrip _),
     "lake_meta_agg"         -> (lakeMetaAgg _),
     "lake_notnull"          -> (lakeNotNull _),
@@ -1707,6 +1744,7 @@ object GateQueries {
     "lake_iceberg_export"   -> lakeIcebergExportSql,
     "lake_iceberg_foreign"  -> lakeIcebergForeignSql,
     "lake_autocompact"      -> lakeAutoCompactSql,
+    "lake_txn"              -> lakeTxnSql,
     "lake_iceberg_roundtrip" -> lakeIcebergRoundtripSql,
     "lake_meta_agg"         -> lakeMetaAggSql,
     "lake_notnull"          -> lakeNotNullSql,
