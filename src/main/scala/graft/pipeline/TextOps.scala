@@ -1131,6 +1131,132 @@ object TextOps {
        |FROM toks JOIN w USING (term), pr
        |GROUP BY doc_id, pr.prior ORDER BY doc_id""".stripMargin
 
+  /** C79 `text_lr_quality`: DISCRIMINATIVE model-based quality
+    * filtering — the fastText-classifier recipe (Joulin et al. 2016;
+    * the CCNet/LLaMA data pipelines train exactly this shape) as a
+    * linear model over term counts, trained IN SPARK by [[LrIters]]
+    * unrolled iterations of full-batch gradient descent. Complements
+    * C39's generative Naive Bayes: same planted labels (source
+    * whitelist), but weights learned by minimizing prediction error
+    * instead of counting, so correlated terms stop double-counting.
+    *
+    * Every arithmetic step is chosen to be BIT-IDENTICAL across
+    * engines, which is what lets a 3-iteration training loop oracle
+    * exactly in DuckDB:
+    *  - the sigmoid is the ALGEBRAIC σ̃(s) = ½(1 + s/(1+|s|)) — no
+    *    exp(), whose last-ulp differs between libm and the JVM;
+    *    +, −, ×, / are IEEE correctly-rounded and identical;
+    *  - per-doc errors and weights live on the integer millionth grid
+    *    (floor(x·10⁶), floor deterministic), so every SUM is an exact
+    *    integer sum — order-independent at any parallelism
+    *    (the C64 quantize-before-sum trick);
+    *  - gradient sums ride decimal(38,0) (a long would overflow near
+    *    10⁹ docs × 10⁹ per-row products).
+    *
+    * Scale shape: the token table materializes once (localCheckpoint,
+    * the C65 cache-before-multi-pass pattern) and each iteration is
+    * one |vocab|-keyed join + two keyed aggregations — no broadcast of
+    * the weight table (vocab is unbounded; AQE picks sides), no
+    * driver-side math beyond the doc count. Weights checkpoint per
+    * iteration: without it iteration k's plan re-executes every prior
+    * iteration twice (each wᵢ feeds both the scoring join and the
+    * update), going exponential in depth.
+    */
+  val LrIters = 5
+  val LrEta = 0.2
+
+  def lrQuality(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("y", when(col("source").isin("src0", "src1", "src2", "src3"),
+        lit(1.0)).otherwise(lit(0.0)))
+    val toks = docs
+      .select(col("doc_id"), col("y"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("y"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val n = toks.select(col("doc_id")).distinct().count()
+    val sig = (sm: Column) => {
+      val sr = sm.cast("double") / lit(1000000.0)
+      lit(0.5) * (lit(1.0) + sr / (lit(1.0) + abs(sr)))
+    }
+    var w: DataFrame = null // (term, wm) — weights in millionths
+    for (_ <- 1 to LrIters) {
+      val em = {
+        val scored =
+          if (w == null)
+            toks.select(col("doc_id"), col("y")).distinct()
+              .withColumn("sm", lit(0L))
+          else toks.join(w, Seq("term"), "left_outer")
+            .groupBy(col("doc_id"), col("y"))
+            .agg(sum(col("tf") * coalesce(col("wm"), lit(0L))).as("sm"))
+        scored.select(col("doc_id"),
+          floor((sig(col("sm")) - col("y")) * lit(1000000.0)).as("em"))
+      }
+      val grad = toks.join(em, "doc_id")
+        .groupBy(col("term"))
+        .agg(sum((col("tf") * col("em")).cast("decimal(38,0)")).as("gm"))
+        .select(col("term"),
+          floor(lit(LrEta) * col("gm").cast("double") / lit(n.toDouble)).as("dm"))
+      w = (if (w == null) grad.select(col("term"), (-col("dm")).as("wm"))
+           else w.join(grad, Seq("term"), "full_outer")
+             .select(col("term"),
+               (coalesce(col("wm"), lit(0L)) - coalesce(col("dm"), lit(0L))).as("wm")))
+        .localCheckpoint(true)
+    }
+    toks.join(w, Seq("term"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_toks"),
+        sum(col("tf") * coalesce(col("wm"), lit(0L))).as("score_m"))
+      .select(col("doc_id"), col("n_toks"), col("score_m"),
+        (col("score_m") > 0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lrQualitySql: String = {
+    // the GD iterations unroll as generated CTE chains; arithmetic
+    // mirrors the Spark side op for op (algebraic sigmoid, millionth
+    // grid, floor, eta)
+    val sig = (x: String) => s"(0.5 * (1.0 + ($x) / (1.0 + abs($x))))"
+    def gradCte(i: Int, eSrc: String) =
+      s"""g$i AS (
+         |  SELECT term, CAST(floor($LrEta * CAST(sum(CAST(tf * em AS DECIMAL(38,0))) AS DOUBLE) / n.n)
+         |         AS BIGINT) AS dm
+         |  FROM toks JOIN $eSrc USING (doc_id), n GROUP BY term, n.n)"""
+    val iters = (2 to LrIters).map { i =>
+      s"""s$i AS (
+         |  SELECT doc_id, any_value(y) AS y, sum(tf * coalesce(wm, 0)) AS sm
+         |  FROM toks LEFT JOIN w${i - 1} USING (term) GROUP BY doc_id),
+         |e$i AS (
+         |  SELECT doc_id, CAST(floor((${sig(s"CAST(sm AS DOUBLE) / 1000000.0")} - y)
+         |    * 1000000.0) AS BIGINT) AS em FROM s$i),
+         |${gradCte(i, s"e$i")},
+         |w$i AS (
+         |  SELECT term, coalesce(wm, 0) - coalesce(dm, 0) AS wm
+         |  FROM w${i - 1} FULL OUTER JOIN g$i USING (term))"""
+    }.mkString(",\n")
+    s"""WITH docs AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN source IN ('src0','src1','src2','src3')
+       |         THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, y, term, count(*) AS tf
+       |  FROM (SELECT doc_id, y, unnest($tokensSql) AS term FROM docs)
+       |  GROUP BY doc_id, y, term),
+       |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM toks),
+       |e1 AS (
+       |  SELECT doc_id, CAST(floor((0.5 - y) * 1000000.0) AS BIGINT) AS em
+       |  FROM (SELECT DISTINCT doc_id, y FROM toks)),
+       |${gradCte(1, "e1")},
+       |w1 AS (SELECT term, -dm AS wm FROM g1),
+       |$iters
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+       |  CAST(sum(tf * coalesce(wm, 0)) AS BIGINT) AS score_m,
+       |  sum(tf * coalesce(wm, 0)) > 0 AS keep
+       |FROM toks LEFT JOIN w$LrIters USING (term)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** C43 `sample_importance`: DSIR-style importance resampling (Xie et
     * al. 2023, "Data Selection for Language Models via Importance
     * Resampling") — reweight a raw corpus toward a target distribution
@@ -2374,6 +2500,7 @@ object TextOps {
     "text_tokenizer_eval" -> (tokenizerEval _),
     "text_bigram_lp"   -> (bigramLp _),
     "text_nb_quality"  -> (nbQuality _),
+    "text_lr_quality"  -> (lrQuality _),
     "sample_importance" -> (sampleImportance _),
     "corpus_profile"   -> (corpusProfile _),
     "sample_pack"      -> (samplePack _),
@@ -2421,6 +2548,7 @@ object TextOps {
     "text_tokenizer_eval" -> tokenizerEvalSql,
     "text_bigram_lp"   -> bigramLpSql,
     "text_nb_quality"  -> nbQualitySql,
+    "text_lr_quality"  -> lrQualitySql,
     "sample_importance" -> sampleImportanceSql,
     "corpus_profile"   -> corpusProfileSql,
     "sample_pack"      -> samplePackSql,

@@ -1260,6 +1260,27 @@ class PipelineSpec extends SparkSpec {
     assert(meanPos > meanNeg, s"no separation: pos mean $meanPos vs neg $meanNeg")
   }
 
+  test("C79 LR quality: GD training separates the planted labels and is run-stable") {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("pos", col("source").isin("src0", "src1", "src2", "src3"))
+    val posIds = docs.filter(col("pos")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = TextOps.lrQuality(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Boolean]("keep") === (r.getAs[Long]("score_m") > 0L)))
+    // the trained model must actually discriminate: train-set accuracy
+    // well above the majority-class baseline
+    val correct = out.count(r => posIds.contains(r.getLong(0)) == r.getAs[Boolean]("keep"))
+    val acc = correct.toDouble / out.length
+    val majority = math.max(posIds.size, out.length - posIds.size).toDouble / out.length
+    assert(acc >= math.max(0.8, majority),
+      s"train accuracy $acc below max(0.8, majority $majority)")
+    // deterministic: the integer-grid arithmetic must reproduce scores
+    // exactly across runs (this is what lets the GD loop oracle in SQL)
+    val again = TextOps.lrQuality(spark, sfDir).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq,
+      "training must be bit-stable across runs")
+  }
+
   test("C43 importance resampling: selection is exactly Gumbel-top-k without replacement") {
     val k = TextOps.ImportanceK
     val sel = TextOps.sampleImportance(spark, sfDir).collect()
