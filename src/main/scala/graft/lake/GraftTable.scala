@@ -391,9 +391,14 @@ final class GraftTable(val root: String, spark: SparkSession) {
     if (id == cur.id) id
     else if (staged.parentId == cur.id) { publishGuarded(id, cur.id); id }
     else {
-      require(staged.operation == "append" && staged.deletedFiles == 0,
-        s"cherry-pick supports append snapshots only; $id is '${staged.operation}'")
       val parentPaths = snapshot(staged.parentId).files.map(_.path).toSet
+      // APPEND-SHAPED structurally, whatever the operation label says
+      // (tagged transaction members carry their batch tag as the op):
+      // rebase is sound iff the snapshot only ADDS files vs its parent
+      require(staged.deletedFiles == 0 &&
+          parentPaths.subsetOf(staged.files.iterator.map(_.path).toSet),
+        s"cherry-pick supports append-shaped snapshots only; $id " +
+          s"('${staged.operation}') removes files")
       // Reset the rebased delta's addedBy to pending: the files carry the
       // parked STAGED id, which is <= the live current id whenever a rebase
       // is needed, so incremental/streaming readers filtering
@@ -403,7 +408,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
         .map(_.copy(addedBy = GraftTable.PendingAddedBy))
       val next = cur.copy(
         id = math.max(cur.id, snapshotIds.max) + 1, parentId = cur.id,
-        tsMillis = nextTs(Some(cur)), operation = "append",
+        tsMillis = nextTs(Some(cur)), operation = staged.operation,
         files = cur.files ++ delta, addedFiles = delta.size, deletedFiles = 0)
       stage(next, Some(delta.iterator.map(_.partition).toSet))
       publishGuarded(next.id, cur.id)
@@ -417,7 +422,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * [[publish]] goes live or [[abandonStaged]] drops it. The
     * quarantine-before-serve pattern for data-quality gates.
     */
-  def stageAppend(df: DataFrame): Long = {
+  def stageAppend(df: DataFrame, op: String = "append"): Long = {
     val cur = current
     val added = writeFiles(df, cur.partitionCols, cur.deps, cur.id + 1)
     // staging does not take the commit lock (it never moves the
@@ -429,7 +434,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
       try {
         stage(cur.copy(
           id = nid, parentId = cur.id, tsMillis = nextTs(Some(cur)),
-          operation = "append", files = cur.files ++ added,
+          operation = op, files = cur.files ++ added,
           addedFiles = added.size, deletedFiles = 0),
           Some(added.iterator.map(_.partition).toSet))
         staged = true
@@ -475,7 +480,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
       GraftTable.ledgerSeeded.add(root)
     }
 
-  private def consumedTags: Set[String] = {
+  private[lake] def consumedTags: Set[String] = {
     seedLedger()
     // the ledger only ever grows, so its SIZE is a valid cache token —
     // a long-running stream sink parses it once, not once per batch
@@ -500,7 +505,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * don't all support append), so a concurrent unlocked writer could
     * drop a tag, not just duplicate one.
     */
-  private def recordTag(tag: String): Unit = {
+  private[lake] def recordTag(tag: String): Unit = {
     val prior = if (io.exists(GraftTable.LedgerName)) io.readString(GraftTable.LedgerName) else ""
     io.writeAtomic(GraftTable.LedgerName, (prior + tag + "\n").getBytes(StandardCharsets.UTF_8))
   }

@@ -48,7 +48,7 @@ object GraftTxn {
   }
 
   final case class TxnPart(root: String, stagedId: Long, parentId: Long)
-  private final case class TxnRecord(parts: Seq[TxnPart])
+  private final case class TxnRecord(parts: Seq[TxnPart], tag: String = "")
 
   /** Stage `df` onto each table and atomically publish all of them.
     * Returns the published snapshot ids in the caller's table order.
@@ -63,11 +63,37 @@ object GraftTxn {
     staged.map(_._2)
   }
 
+  /** Exactly-once tagged transaction — [[GraftTable.appendBatch]]'s
+    * idempotence contract lifted to N tables: a replayed micro-batch
+    * whose tag was already consumed is skipped WHOLESALE (false) —
+    * never a partial re-append on some member. The coordinator
+    * (sorted-first table) owns the tag: its ledger is checked inside
+    * the locks before the intent and recorded after the publishes,
+    * member snapshots carry the tag as their operation label (closing
+    * the publish→record crash window the same way appendBatch does),
+    * and [[recover]] re-records the tag when it completes a crashed
+    * transaction. Returns true iff this call's data landed.
+    */
+  def commitTagged(spark: SparkSession, tag: String,
+      parts: Seq[(GraftTable, DataFrame)]): Boolean = {
+    require(parts.nonEmpty, "empty transaction")
+    require(tag.nonEmpty, "empty tag")
+    val coord = parts.map(_._1).minBy(_.root)
+    if (coord.consumedTags.contains(tag)) return false // fast path, re-checked locked
+    val staged = parts.map { case (t, df) => t -> t.stageAppend(df, tag) }
+    publishStagedImpl(spark, staged, Some(tag))
+  }
+
   /** Atomically publish snapshots already staged (the WAP shape: stage,
     * audit each with [[GraftTable.readAsOfId]], then land them as one
     * unit). Participants must be distinct tables.
     */
   def publishStaged(spark: SparkSession, staged: Seq[(GraftTable, Long)]): Unit = {
+    publishStagedImpl(spark, staged, None); ()
+  }
+
+  private def publishStagedImpl(spark: SparkSession,
+      staged: Seq[(GraftTable, Long)], tag: Option[String]): Boolean = {
     require(staged.nonEmpty, "empty transaction")
     val sorted = staged.sortBy(_._1.root)
     require(sorted.map(_._1.root).distinct.size == sorted.size,
@@ -77,23 +103,32 @@ object GraftTxn {
       case Nil => f
       case h :: rest => h.withCommitLock(withLocks(rest)(f))
     }
+    def abandonAll(): Unit = ps.foreach { case (t, sid, _) =>
+      try t.abandonStaged(sid)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     withLocks(ps.map(_._1).toList) {
-      val conflicted = ps.filter { case (t, _, pid) => t.currentId != pid }
-      if (conflicted.nonEmpty) {
-        // abort BEFORE the intent: nothing published, stages dropped
-        ps.foreach { case (t, sid, _) =>
-          try t.abandonStaged(sid)
-          catch { case scala.util.control.NonFatal(_) => () }
+      // tag re-check inside the locks: a concurrent same-tag replayer
+      // may have won — skip wholesale, never partially re-append
+      if (tag.exists(ps.head._1.consumedTags.contains)) {
+        abandonAll()
+        false
+      } else {
+        val conflicted = ps.filter { case (t, _, pid) => t.currentId != pid }
+        if (conflicted.nonEmpty) {
+          // abort BEFORE the intent: nothing published, stages dropped
+          abandonAll()
+          throw new java.util.ConcurrentModificationException(
+            s"transaction aborted: ${conflicted.map(_._1.root).mkString(", ")} " +
+              "moved since staging; nothing was published")
         }
-        throw new java.util.ConcurrentModificationException(
-          s"transaction aborted: ${conflicted.map(_._1.root).mkString(", ")} " +
-            "moved since staging; nothing was published")
+        val txnName = writeIntent(ps.map(p => (p._1, p._2)), tag)
+        // commit point passed — roll forward, never back
+        ps.foreach { case (t, sid, pid) => t.publishGuarded(sid, pid) }
+        tag.foreach(ps.head._1.recordTag) // still under the coordinator's lock
+        ps.head._1.io.delete(txnName)
+        true
       }
-      val txnName = writeIntent(ps.map(p => (p._1, p._2)))
-      // commit point passed — roll forward, never back
-      ps.foreach { case (t, sid, pid) => t.publishGuarded(sid, pid) }
-      ps.head._1.io.delete(txnName)
-      ()
     }
   }
 
@@ -102,11 +137,13 @@ object GraftTxn {
     * crash states [[recover]] must repair. The coordinator is the
     * sorted-first participant, matching [[publishStaged]].
     */
-  private[graft] def writeIntent(staged: Seq[(GraftTable, Long)]): String = {
+  private[graft] def writeIntent(staged: Seq[(GraftTable, Long)],
+      tag: Option[String] = None): String = {
     val sorted = staged.sortBy(_._1.root)
     val name = s"txn-${java.util.UUID.randomUUID()}.json"
     sorted.head._1.io.writeNew(name, Mapper.writeValueAsBytes(TxnRecord(
-      sorted.map { case (t, sid) => TxnPart(t.root, sid, t.snapshot(sid).parentId) })))
+      sorted.map { case (t, sid) => TxnPart(t.root, sid, t.snapshot(sid).parentId) },
+      tag.getOrElse(""))))
     name
   }
 
@@ -124,7 +161,8 @@ object GraftTxn {
     val coord = new GraftTable(coordinatorRoot, spark)
     val txns = coord.io.listNames().filter(_.startsWith("txn-")).sorted
     txns.foreach { n =>
-      val rec = Mapper.readValue[TxnRecord](coord.io.readBytes(n))
+      val rec0 = Mapper.readValue[TxnRecord](coord.io.readBytes(n))
+      val rec = if (rec0.tag == null) rec0.copy(tag = "") else rec0 // pre-tag intents
       rec.parts.foreach { p =>
         val t = new GraftTable(p.root, spark)
         val published = {
@@ -138,6 +176,14 @@ object GraftTxn {
           found
         }
         if (!published) { t.publishCherryPick(p.stagedId); () }
+      }
+      // the completed transaction's tag becomes durable on the
+      // coordinator, closing the publish→record crash window
+      if (rec.tag.nonEmpty) {
+        val ct = new GraftTable(rec.parts.map(_.root).min, spark)
+        ct.withCommitLock {
+          if (!ct.consumedTags.contains(rec.tag)) ct.recordTag(rec.tag)
+        }
       }
       coord.io.delete(n)
     }

@@ -213,6 +213,65 @@ object StreamOps {
     """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** D23 `stream_txn_sink`: each micro-batch lands on TWO tables as
+    * one atomic, exactly-once unit — the ingest+audit shape (data plus
+    * a per-batch accounting row that billing/monitoring reads) every
+    * production sink grows eventually, and the first streaming
+    * consumer of A93 ([[graft.lake.GraftTxn.commitTagged]]). The D4
+    * tag contract lifts to the pair: after every commit the SAME tag
+    * is deliberately replayed and must be skipped WHOLESALE — never a
+    * partial re-append on one member. The entry's own audit
+    * reconciliation (Σ audit.n_rows == data row count, one audit row
+    * per batch) would catch a half-landed or double-landed batch on
+    * either side; the oracle then aggregates the data table against
+    * the events truth.
+    */
+  def txnSink(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.{GraftTable, GraftTxn}
+    import org.apache.spark.sql.types._
+    import s.implicits._
+    val base = s"/root/repo/target/lakework/streamtxn-${math.abs(d.hashCode)}"
+    val src = eventsStream(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val dataT = GraftTable.createEmpty(s, s"$base/data",
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType))),
+      Seq.empty, Seq.empty)
+    val auditT = GraftTable.createEmpty(s, s"$base/audit",
+      StructType(Seq(StructField("batch_tag", StringType),
+        StructField("n_rows", LongType))),
+      Seq.empty, Seq.empty)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val tag = s"txn-batch-$id"
+        val audit = Seq((tag, batch.count())).toDF("batch_tag", "n_rows")
+        val landed = GraftTxn.commitTagged(s, tag,
+          Seq(dataT -> batch, auditT -> audit))
+        val replayed = GraftTxn.commitTagged(s, tag,
+          Seq(dataT -> batch, auditT -> audit))
+        require(landed && !replayed,
+          s"batch $id: first commit must land (got $landed), replay must " +
+            s"be recognized and skipped (got $replayed)")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val audit = auditT.read()
+    val audited = audit.agg(sum(col("n_rows"))).head().getLong(0)
+    val rows = dataT.read().count()
+    require(audited == rows,
+      s"audit ledger says $audited rows, data table holds $rows — a batch " +
+        "half-landed or double-landed")
+    require(audit.count() == audit.select("batch_tag").distinct().count(),
+      "duplicate audit rows: a replayed batch re-appended")
+    dataT.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val txnSinkSql: String = lakeSinkSql
+
   /** D19 `stream_matview`: streaming materialized-view maintenance —
     * the full lakehouse serving loop in one query: micro-batches land
     * in the base table through the D4 exactly-once tagged sink, and
@@ -986,6 +1045,7 @@ object StreamOps {
     "stream_matview"     -> (matviewStream _),
     "stream_sessionize"  -> (sessionize _),
     "stream_lake_sink"   -> (lakeSink _),
+    "stream_txn_sink"    -> (txnSink _),
     "stream_check_gate"  -> (checkGate _),
     "stream_dedup"       -> (dedupStream _),
     "stream_corpus_filter" -> (corpusFilterStream _),
@@ -1010,6 +1070,7 @@ object StreamOps {
     "stream_matview"     -> matviewStreamSql,
     "stream_sessionize"  -> sessionizeSql,
     "stream_lake_sink"   -> lakeSinkSql,
+    "stream_txn_sink"    -> txnSinkSql,
     "stream_check_gate"  -> checkGateSql,
     "stream_dedup"       -> dedupStreamSql,
     "stream_corpus_filter" -> corpusFilterStreamSql,

@@ -69,6 +69,32 @@ class TxnSpec extends SparkSpec {
     assert(GraftTxn.recover(spark, coord) === 0)
   }
 
+  test("tagged transactions are exactly-once across replays AND across the recovery path") {
+    val t1 = GraftTable.create(spark, tmp("g1"), slice(0, 500), Seq("o_orderstatus"))
+    val t2 = GraftTable.create(spark, tmp("g2"), slice(5000, 5500), Seq("o_orderstatus"))
+    val coord = Seq(t1, t2).minBy(_.root)
+    assert(GraftTxn.commitTagged(spark, "b-1",
+      Seq(t1 -> slice(500, 1000), t2 -> slice(5500, 6000))))
+    // replay of a consumed tag is skipped WHOLESALE, both tables untouched
+    val (c1, c2) = (t1.currentId, t2.currentId)
+    assert(!GraftTxn.commitTagged(spark, "b-1",
+      Seq(t1 -> slice(500, 1000), t2 -> slice(5500, 6000))))
+    assert(t1.currentId === c1 && t2.currentId === c2)
+    assert(keys(t1) === keysOf(slice(0, 1000)))
+    // crash window: intent written with the tag, nothing published —
+    // recovery completes the txn AND makes the tag durable, so a
+    // subsequent replay of the same batch is still recognized
+    val s1 = t1.stageAppend(slice(1000, 1500), "b-2")
+    val s2 = t2.stageAppend(slice(6000, 6500), "b-2")
+    GraftTxn.writeIntent(Seq(t1 -> s1, t2 -> s2), Some("b-2"))
+    assert(GraftTxn.recover(spark, coord.root) === 1)
+    assert(keys(t1) === keysOf(slice(0, 1500)) && keys(t2) === keysOf(slice(5000, 6500)))
+    assert(!GraftTxn.commitTagged(spark, "b-2",
+      Seq(t1 -> slice(1000, 1500), t2 -> slice(6000, 6500))),
+      "a tag completed by RECOVERY must still be recognized on replay")
+    assert(keys(t1) === keysOf(slice(0, 1500)), "recovery-completed batch re-appended")
+  }
+
   test("recovery rebases the unpublished half onto commits that landed in the crash window") {
     val t1 = GraftTable.create(spark, tmp("c1"), slice(0, 500), Seq("o_orderstatus"))
     val t2 = GraftTable.create(spark, tmp("c2"), slice(5000, 5500), Seq("o_orderstatus"))
