@@ -128,6 +128,11 @@ private[graft] object PlanAudit {
         graft.pipeline.AnnIndex.query(spark, s"$root/idx", corpusT.read(), q, 10L),
         allowBnlj = 2)
     }
+    // r13 additions: the GD-trained classifier (token table must
+    // checkpoint once, no weight broadcast), and the transactional
+    // entries' read paths
+    shape("text_lr_quality", graft.pipeline.TextOps.lrQuality(spark, d))
+    shape("lake_txn read", graft.operators.GateQueries.lakeTxn(spark, d))
     if (plant) {
       // gate self-test: a deliberate cartesian must fail the run
       // (broadcast disabled so the plan is CartesianProduct, not a
