@@ -3435,6 +3435,13 @@ final class GraftTable(val root: String, spark: SparkSession) {
         "n_added_files", "n_deleted_files", "n_files", "n_rows")
   }
 
+  /** `` t$txns `` — in-flight multi-table transactions this table
+    * coordinates (A93 [[GraftTxn.txnsView]]): empty on a healthy
+    * table, `pending` rows mean a crashed coordinator to roll forward
+    * via `CALL system.recover_txns`.
+    */
+  def txnsView: DataFrame = GraftTxn.txnsView(spark, root)
+
   /** `` t$files `` — current snapshot's file inventory. */
   def filesView: DataFrame = {
     import spark.implicits._

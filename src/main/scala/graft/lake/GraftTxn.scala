@@ -107,6 +107,10 @@ object GraftTxn {
       try t.abandonStaged(sid)
       catch { case scala.util.control.NonFatal(_) => () }
     }
+    // pre-seed the coordinator's tag ledger OUTSIDE the locks: the
+    // first consumedTags on a table may fold legacy snapshot tags into
+    // the ledger under the commit lock, which is not reentrant
+    tag.foreach(_ => ps.head._1.consumedTags)
     withLocks(ps.map(_._1).toList) {
       // tag re-check inside the locks: a concurrent same-tag replayer
       // may have won — skip wholesale, never partially re-append
@@ -157,6 +161,40 @@ object GraftTxn {
     * members are appends). Idempotent; returns the number of
     * transactions completed.
     */
+  /** Has `sid` been published on `t` — i.e. is it current or an
+    * ancestor of current? Shared by [[recover]] and [[txnsView]].
+    */
+  private def isPublished(t: GraftTable, sid: Long): Boolean = {
+    var a = t.currentId
+    while (a >= 0) {
+      if (a == sid) return true
+      a = t.snapshotIfExists(a).map(_.parentId).getOrElse(-1L)
+    }
+    false
+  }
+
+  /** `$txns` metadata view: the in-flight (crashed-coordinator)
+    * transactions recorded under `coordinatorRoot`'s meta dir — one
+    * row per participant with its roll-forward state. Empty on a
+    * healthy table; any `pending` row is an invitation to run
+    * `CALL system.recover_txns(...)`. Bounded by construction: intent
+    * files exist only between a commit point and its cleanup.
+    */
+  def txnsView(spark: SparkSession, coordinatorRoot: String): DataFrame = {
+    import spark.implicits._
+    val coord = new GraftTable(coordinatorRoot, spark)
+    val rows = coord.io.listNames().filter(_.startsWith("txn-")).sorted.flatMap { n =>
+      val rec0 = Mapper.readValue[TxnRecord](coord.io.readBytes(n))
+      val rec = if (rec0.tag == null) rec0.copy(tag = "") else rec0
+      rec.parts.map { p =>
+        val t = new GraftTable(p.root, spark)
+        (n, rec.tag, p.root, p.stagedId, p.parentId,
+          if (isPublished(t, p.stagedId)) "published" else "pending")
+      }
+    }
+    rows.toDF("txn_file", "tag", "table_root", "staged_id", "parent_id", "state")
+  }
+
   def recover(spark: SparkSession, coordinatorRoot: String): Int = {
     val coord = new GraftTable(coordinatorRoot, spark)
     val txns = coord.io.listNames().filter(_.startsWith("txn-")).sorted
@@ -165,22 +203,13 @@ object GraftTxn {
       val rec = if (rec0.tag == null) rec0.copy(tag = "") else rec0 // pre-tag intents
       rec.parts.foreach { p =>
         val t = new GraftTable(p.root, spark)
-        val published = {
-          // is stagedId an ancestor of (or equal to) current?
-          var a = t.currentId
-          var found = false
-          while (a >= 0 && !found) {
-            if (a == p.stagedId) found = true
-            else a = t.snapshotIfExists(a).map(_.parentId).getOrElse(-1L)
-          }
-          found
-        }
-        if (!published) { t.publishCherryPick(p.stagedId); () }
+        if (!isPublished(t, p.stagedId)) { t.publishCherryPick(p.stagedId); () }
       }
       // the completed transaction's tag becomes durable on the
       // coordinator, closing the publish→record crash window
       if (rec.tag.nonEmpty) {
         val ct = new GraftTable(rec.parts.map(_.root).min, spark)
+        ct.consumedTags // pre-seed the ledger OUTSIDE the lock (seeding locks; the lock is not reentrant)
         ct.withCommitLock {
           if (!ct.consumedTags.contains(rec.tag)) ct.recordTag(rec.tag)
         }

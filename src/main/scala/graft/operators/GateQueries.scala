@@ -1343,6 +1343,44 @@ object GateQueries {
     sel(t1.read().unionByName(t2.read()))
   }
 
+  /** `lake_txn_recover` (A93 operational surface): the crashed-
+    * coordinator lifecycle through the SQL plane — a transaction
+    * crashes after publishing one of two members; `$txns` shows one
+    * `published` and one `pending` participant under the recorded
+    * intent; `CALL system.recover_txns` rolls the pending half
+    * forward; the view drains and both tables carry the batch.
+    */
+  def lakeTxnRecover(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.GraftTxn
+    val o = orders(s, d)
+    def slice(lo: Long, hi: Long) =
+      byStatus(o.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi))
+    // sorted-first root is the coordinator — name them so t1 is it
+    val t1 = GraftTable.create(s, work(d, "txra"), slice(0, 1000), Seq("o_orderstatus"))
+    val t2 = GraftTable.create(s, work(d, "txrb"), slice(5000, 6000), Seq("o_orderstatus"))
+    GraftCatalog.register("gate_txnrec", t1.root)
+    val s1 = t1.stageAppend(slice(1000, 2000), "crash-batch")
+    val s2 = t2.stageAppend(slice(6000, 7000), "crash-batch")
+    GraftTxn.writeIntent(Seq(t1 -> s1, t2 -> s2), Some("crash-batch"))
+    t1.publish(s1) // coordinator dies here
+    val view = s.sql("SELECT state FROM `gate_txnrec$txns` ORDER BY table_root")
+      .collect().map(_.getString(0)).toSeq
+    val viewRight = view == Seq("published", "pending")
+    val call = s.sql("CALL system.recover_txns('gate_txnrec')").head()
+    val callRight = call.getString(3) == "rolled forward 1 transaction(s)"
+    val drained = s.sql(s"SELECT count(*) FROM `gate_txnrec$$txns`").head().getLong(0) == 0L
+    val landed =
+      new GraftTable(t1.root, s).read().count() == slice(0, 2000).count() &&
+      new GraftTable(t2.root, s).read().count() == slice(5000, 7000).count()
+    import s.implicits._
+    Seq((viewRight, callRight, drained, landed))
+      .toDF("view_states", "call_detail", "view_drained", "both_landed")
+  }
+
+  val lakeTxnRecoverSql: String =
+    """SELECT true AS view_states, true AS call_detail,
+      |  true AS view_drained, true AS both_landed""".stripMargin
+
   val lakeTxnSql: String =
     s"""SELECT $selSql FROM orders
        |WHERE o_orderkey < 2000
@@ -1700,6 +1738,7 @@ object GateQueries {
     "lake_iceberg_foreign"  -> (lakeIcebergForeign _),
     "lake_autocompact"      -> (lakeAutoCompact _),
     "lake_txn"              -> (lakeTxn _),
+    "lake_txn_recover"      -> (lakeTxnRecover _),
     "lake_iceberg_roundtrip" -> (lakeIcebergRoundtrip _),
     "lake_meta_agg"         -> (lakeMetaAgg _),
     "lake_notnull"          -> (lakeNotNull _),
@@ -1745,6 +1784,7 @@ object GateQueries {
     "lake_iceberg_foreign"  -> lakeIcebergForeignSql,
     "lake_autocompact"      -> lakeAutoCompactSql,
     "lake_txn"              -> lakeTxnSql,
+    "lake_txn_recover"      -> lakeTxnRecoverSql,
     "lake_iceberg_roundtrip" -> lakeIcebergRoundtripSql,
     "lake_meta_agg"         -> lakeMetaAggSql,
     "lake_notnull"          -> lakeNotNullSql,

@@ -861,10 +861,16 @@ case class GraftCallCommand(
       case "fast_forward" =>
         val b = required(1, "branch")
         t.fastForward(b); s"fast-forwarded main to branch '$b'"
+      case "recover_txns" =>
+        // roll forward crashed multi-table transactions this table
+        // coordinates (A93 — see GraftTxn.recover)
+        val nRec = graft.lake.GraftTxn.recover(session, root)
+        s"rolled forward $nRec transaction(s)"
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other (supported: rollback_to_snapshot, " +
           "expire_snapshots, remove_orphan_files, rewrite_data_files, " +
-          "rewrite_position_delete_files, cherrypick_snapshot, fast_forward)")
+          "rewrite_position_delete_files, cherrypick_snapshot, fast_forward, " +
+          "recover_txns)")
     }
     val cur = new GraftTable(root, session).currentId
     Seq(Row(proc.toLowerCase, prev, cur, detail))

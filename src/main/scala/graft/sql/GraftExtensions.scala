@@ -563,6 +563,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           case "$manifests"  => Shim.logicalPlan(t.manifestsView)
           case "$clustering" => Shim.logicalPlan(t.clusteringView)
           case "$orphans"    => Shim.logicalPlan(t.orphansView())
+          case "$txns"       => Shim.logicalPlan(t.txnsView)
           case other => throw new IllegalArgumentException(
             s"unknown metadata view suffix '$other' on graft table '$base'")
         }
