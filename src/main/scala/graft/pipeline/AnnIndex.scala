@@ -362,23 +362,36 @@ object AnnIndex {
         .select(col("_change_type").as("op"), col("vec_id"), col("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // a rewritten vector shows up as delete(old)+insert(new) under
-        // ONE vec_id — refuse before touching the index
-        val rewritten = ch.groupBy(col("vec_id"))
-          .agg(countDistinct(col("op")).as("ops"))
-          .filter(col("ops") > 1).limit(1).count()
+        // ONE pass over the cached changelog classifies the window
+        // (r13 optimization — was three jobs: rewritten-check, delete
+        // count, insert count): per-vec_id op spread, folded to the
+        // three counters. A rewritten vector shows up as
+        // delete(old)+insert(new) under ONE vec_id — refuse before
+        // touching the index.
+        val stats = ch.groupBy(col("vec_id"))
+          .agg(countDistinct(col("op")).as("nops"),
+            count(lit(1)).as("n"), max(col("op")).as("op1"))
+          .agg(
+            coalesce(sum(when(col("nops") > 1, 1L).otherwise(0L)), lit(0L))
+              .as("rewritten"),
+            coalesce(sum(when(col("nops") === 1 && col("op1") === "delete",
+              col("n")).otherwise(0L)), lit(0L)).as("dels"),
+            coalesce(sum(when(col("nops") === 1 && col("op1") === "insert",
+              col("n")).otherwise(0L)), lit(0L)).as("inss"))
+          .head()
+        val rewritten = stats.getLong(0)
         require(rewritten == 0L,
           s"corpus window $last -> $cur rewrites vectors the index already " +
             "encoded — a frozen-codebook index cannot re-encode in place; " +
             "rebuild with buildFromTable")
-        val delKeys = ch.filter(col("op") === "delete")
-          .select(col("vec_id").as("n_id"))
-        val nDel = delKeys.count()
-        if (nDel > 0L) codesT.mergeDelete(delKeys, Seq("n_id"))
-        val ins = ch.filter(col("op") === "insert")
-          .select(col("vec_id"), col("embedding"))
-        val nIns = ins.count()
-        if (nIns > 0L) append(s, ins, indexRoot)
+        val nDel = stats.getLong(1)
+        if (nDel > 0L) codesT.mergeDelete(
+          ch.filter(col("op") === "delete").select(col("vec_id").as("n_id")),
+          Seq("n_id"))
+        val nIns = stats.getLong(2)
+        if (nIns > 0L) append(s,
+          ch.filter(col("op") === "insert").select(col("vec_id"), col("embedding")),
+          indexRoot)
         new GraftTable(codesRoot(indexRoot), s)
           .setProperty(SyncedSnapshotProp, cur.toString)
         nIns + nDel

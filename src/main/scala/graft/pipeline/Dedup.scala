@@ -113,7 +113,17 @@ object Dedup {
     * sub-shingle-length docs share no content evidence (and 0/0 is a
     * crash under ANSI mode, which every empty document would trigger).
     */
-  private def verified(pairs: DataFrame): DataFrame = {
+  private def verified(pairs: DataFrame): DataFrame =
+    verifiedUnordered(pairs).orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[verified]] without the final global sort — for consumers that
+    * aggregate, join, or materialize (localCheckpoint) the pair set:
+    * a checkpoint executes the plan as written, so an inherited
+    * `orderBy` there costs a full range-exchange + sort that nothing
+    * downstream reads (r13 optimization; the catalyst EliminateSorts
+    * rule only saves the lazy consumers, never a checkpointed one).
+    */
+  private def verifiedUnordered(pairs: DataFrame): DataFrame = {
     val inter = size(array_intersect(col("shs_a"), col("shs_b")))
     val union = size(col("shs_a")) + size(col("shs_b")) - inter
     pairs
@@ -123,7 +133,6 @@ object Dedup {
       .withColumn("jaccard_raw", col("inter_n").cast("double") / col("union_n"))
       .filter(col("jaccard_raw") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 6).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   private def joinShingleSets(docs: DataFrame, cand: DataFrame): DataFrame = {
@@ -216,7 +225,7 @@ object Dedup {
     // output here but absent from the capped C4 index — using the capped
     // set would raise spurious precision violations on template-heavy
     // corpora.
-    val exactPairs = ngramJaccardOf(docs, postingDfCap = Int.MaxValue)
+    val exactPairs = ngramJaccardPairsOf(docs, postingDfCap = Int.MaxValue)
       .select(col("doc_a"), col("doc_b"))
     val precisionViolations =
       verifiedPairs.join(exactPairs, Seq("doc_a", "doc_b"), "left_anti").count()
@@ -298,7 +307,14 @@ object Dedup {
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccardOf(Tables.documents(s, d))
 
-  def ngramJaccardOf(docs: DataFrame, postingDfCap: Int = PostingDfCap): DataFrame = {
+  def ngramJaccardOf(docs: DataFrame, postingDfCap: Int = PostingDfCap): DataFrame =
+    ngramJaccardPairsOf(docs, postingDfCap).orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[ngramJaccardOf]] without the final presentation sort — the form
+    * internal consumers (clustering, the threshold sweep) compose on.
+    */
+  private[graft] def ngramJaccardPairsOf(docs: DataFrame,
+      postingDfCap: Int = PostingDfCap): DataFrame = {
     // inverted index on 64-bit shingle hashes: long join/group keys
     // shuffle ~3× less than the shingle strings; a hash collision can
     // only ADD a candidate (never lose one), and the exact string-set
@@ -328,7 +344,7 @@ object Dedup {
       .filter(col("i") * (1.0 + JaccardThreshold) >=
               (col("n_a") + col("n_b")) * JaccardThreshold)
       .select(col("doc_a"), col("doc_b"))
-    verified(joinShingleSets(docs, cand))
+    verifiedUnordered(joinShingleSets(docs, cand))
   }
 
   /** Shared oracle for C2/C4: exact shingle-set Jaccard ≥ 0.5. */
@@ -502,8 +518,16 @@ object Dedup {
     */
   def dedupThresholdSweep(s: SparkSession, d: String): DataFrame = {
     val grid = (10 to 20).map(_ / 20.0)
-    val pairs = ngramJaccard(s, d)
+    // materialize the verified pair set ONCE: the pair-count and
+    // doc-count curves are two separate aggregations, and without the
+    // checkpoint each re-executes the entire candidate-generation +
+    // exact-verify subtree (measured 2× the task time of the C4 pass
+    // itself at sf0.1; at 100 TB it would repeat the corpus scan).
+    // Unordered form: a checkpoint executes the plan as written, so
+    // the presentation sort would otherwise be paid here for nothing.
+    val pairs = ngramJaccardPairsOf(Tables.documents(s, d))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .localCheckpoint(true)
     val pk = grid.zipWithIndex.map { case (t, i) =>
       sum(when(col("jaccard") >= t, 1L).otherwise(0L)).as(s"p$i") }
     val pcounts = pairs.agg(pk.head, pk.tail: _*)
@@ -652,7 +676,8 @@ object Dedup {
     // exact verify across the boundary (shingle sets of both sides)
     val incSets = shinglesOf(incoming).select(col("doc_id").as("doc_a"), col("shs").as("shs_a"))
     val exSets = shinglesOf(existing).select(col("doc_id").as("doc_b"), col("shs").as("shs_b"))
-    val contaminated = verified(cand.join(incSets, "doc_a").join(exSets, "doc_b"))
+    val contaminated = verifiedUnordered(
+        cand.join(incSets, "doc_a").join(exSets, "doc_b"))
       .select(col("doc_a").as("doc_id")).distinct()
     incoming.join(contaminated, Seq("doc_id"), "left_anti")
       .groupBy(col("source")).agg(count(lit(1)).as("n_admitted"))
@@ -998,7 +1023,8 @@ object Dedup {
         val pairs = cand
           .join(shinglesOf(b).select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
           .join(setsT.read().select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
-        val bad = verified(pairs).select(col("doc_a").as("doc_id")).distinct()
+        val bad = verifiedUnordered(pairs)
+          .select(col("doc_a").as("doc_id")).distinct()
         val admitted = b.join(bad, Seq("doc_id"), "left_anti").localCheckpoint()
         new GraftTable(s"$base/res", s)
           .appendBatch(admitted.select(col("doc_id"), col("source")), s"sngate-$id")
@@ -1073,12 +1099,32 @@ object Dedup {
     clustersOf(Tables.documents(s, d))
 
   def clustersOf(docs: DataFrame): DataFrame = {
-    val pairs = ngramJaccardOf(docs).select(col("doc_a"), col("doc_b"))
+    val labels = clusterLabelsOf(docs)
+    // isolated docs (no verified pair) are their own cluster and never
+    // participate in propagation — attach them once at the end instead
+    // of dragging the whole corpus through every round
+    docs.select(col("doc_id"))
+      .join(labels, col("doc_id") === col("v"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Label-propagation fixpoint over ONLY the vertices that appear in a
+    * verified near-dup pair (r13 optimization): a vertex with no edges
+    * can neither change its own label nor anyone else's, so iterating
+    * over the full corpus — the pre-r13 shape — paid a corpus-sized
+    * join + eager checkpoint per round for rows that were constant by
+    * construction. Pairs are a tiny fraction of a deduplicated corpus
+    * at 100 TB; every round now costs O(|paired vertices|).
+    * Returns (v, label) for paired vertices; label = component min id.
+    */
+  private[pipeline] def clusterLabelsOf(docs: DataFrame): DataFrame = {
+    val pairs = ngramJaccardPairsOf(docs).select(col("doc_a"), col("doc_b"))
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true) // reused every round — don't recompute the verify join
-    var labels = docs
-      .select(col("doc_id").as("v"), col("doc_id").as("label"))
+    var labels = sym.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
@@ -1093,8 +1139,7 @@ object Dedup {
       labels = next.select(col("v"), col("label"))
       rounds += 1
     }
-    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy(col("doc_id"))
+    labels
   }
 
   /** Recursive-CTE oracle: reach(v, r) = "r reaches v" over the
@@ -1137,9 +1182,12 @@ object Dedup {
     */
   def dedupApply(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val keep = clustersOf(docs).filter(col("doc_id") === col("cluster_id"))
-      .select(col("doc_id"))
-    docs.join(keep, "doc_id")
+    // kept ⟺ doc_id == cluster_id ⟺ NOT(label < v); only paired
+    // vertices can be non-canonical, so anti-join the (tiny) loser set
+    // instead of inner-joining the full corpus-sized label table
+    val nonCanon = clusterLabelsOf(docs).filter(col("label") < col("v"))
+      .select(col("v").as("doc_id"))
+    docs.join(nonCanon, Seq("doc_id"), "left_anti")
       .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("source"))
   }

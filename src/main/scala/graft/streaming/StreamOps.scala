@@ -734,15 +734,19 @@ object StreamOps {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val cached = batch.cache()
           try {
-            // deletes first (an in-batch update is its delete+insert
-            // pair), both as KEYED distributed DML — no change row
-            // ever passes through the driver
-            val dels = cached.filter(col("_change_type") === "delete")
-              .select(col("event_id"))
-            if (!dels.isEmpty) b.mergeDelete(dels, Seq("event_id"))
-            val ins = cached.filter(col("_change_type") === "insert")
-              .drop("_change_type")
-            if (!ins.isEmpty) b.merge(ins, Seq("event_id"))
+            // ONE pass classifies the batch (r13 optimization — was two
+            // isEmpty probe jobs); deletes first (an in-batch update is
+            // its delete+insert pair), both as KEYED distributed DML —
+            // no change row ever passes through the driver, only the
+            // two counters
+            val kinds = cached.groupBy(col("_change_type")).count()
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            if (kinds.getOrElse("delete", 0L) > 0L)
+              b.mergeDelete(cached.filter(col("_change_type") === "delete")
+                .select(col("event_id")), Seq("event_id"))
+            if (kinds.getOrElse("insert", 0L) > 0L)
+              b.merge(cached.filter(col("_change_type") === "insert")
+                .drop("_change_type"), Seq("event_id"))
             ()
           } finally { cached.unpersist(); () }
         }
@@ -762,19 +766,26 @@ object StreamOps {
     // paying the per-delete-file sequencing join
     b.applyDeletes()
     // row-for-row replication check (stronger than the aggregate
-    // oracle): the replica must equal the source as a multiset.
-    // Both sides cached — the two exceptAll directions and the final
-    // rollup otherwise re-scan each table twice.
-    val aC = a.read().cache()
+    // oracle): the replica must equal the source as a multiset —
+    // computed as ONE signed-multiplicity aggregation (±1 weights,
+    // groupBy the full row, any nonzero sum = divergence) instead of
+    // two exceptAll passes: half the shuffled bytes and one job
+    // instead of two over what at 100 TB is the full replica
+    // (r13 optimization). The replica side stays cached for the final
+    // rollup.
     val bC = b.read().cache()
     try {
-      val drift = bC.exceptAll(aC).count() + aC.exceptAll(bC).count()
-      require(drift == 0, s"replica diverged from source by $drift rows")
+      val cols = b.schema.fieldNames.toSeq.map(col)
+      val drift = a.read().select(cols :+ lit(1L).as("w"): _*)
+        .unionAll(bC.select(cols :+ lit(-1L).as("w"): _*))
+        .groupBy(cols: _*).agg(sum(col("w")).as("w"))
+        .filter(col("w") =!= 0L).limit(1).count()
+      require(drift == 0, s"replica diverged from source")
       bC.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("event_type"))
         .localCheckpoint(eager = true) // materialize before unpersist
-    } finally { aC.unpersist(); bC.unpersist(); () }
+    } finally { bC.unpersist(); () }
   }
 
   /** Oracle: A's final state from the raw events — `id%7=0` deleted,
