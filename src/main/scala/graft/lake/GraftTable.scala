@@ -2736,10 +2736,11 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * Copy-on-write DML rewrites whole files, so file-diffing alone
     * over-reports; the row-level truth is recovered by cancellation —
     * rows present in BOTH the removed and the added files (the
-    * surviving rows a rewrite carried over byte-identically) drop out
-    * of `EXCEPT ALL` in each direction. Cost scales with the CHANGED
-    * files only (the from∩to file set is never read); the EXCEPT ALL
-    * is one hash-partitioned anti-semantics shuffle over those files —
+    * surviving rows a rewrite carried over byte-identically) cancel
+    * under a signed-multiplicity aggregation (±1 weights, one union +
+    * one hash shuffle — the EXCEPT-ALL-per-direction equivalent that
+    * reads each delta side once instead of twice). Cost scales with
+    * the CHANGED files only (the from∩to file set is never read) —
     * at 100 TB that is the delta, not the table. An UPDATE surfaces as
     * delete(old row) + insert(new row).
     */
@@ -2811,12 +2812,30 @@ final class GraftTable(val root: String, spark: SparkSession) {
           .drop(PosFileCol, PosIdxCol))
       }
     }
-    val deletes = (posDeletedDf.toSeq ++ eqDeletedDf.toSeq ++ dvDeletedDf.toSeq)
-      .foldLeft(removedDf.exceptAll(addedDf))(_ unionAll _)
-    addedDf.exceptAll(removedDf)
-      .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert"))
-      .unionByName(deletes
-        .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")))
+    // One signed-multiplicity pass replaces the two EXCEPT ALL
+    // directions (r13 optimization): exceptAll executes BOTH child
+    // subtrees per direction, so added/removed files were each scanned
+    // (and their MOR-delete joins re-run) twice, behind two shuffles.
+    // Here each side is read once with a ±1 weight; w = n_added −
+    // n_removed per distinct row, w > 0 ⇒ w inserts, w < 0 ⇒ |w|
+    // deletes — exactly exceptAll's multiset in each direction, from
+    // one union + one hash aggregation over the delta.
+    val fileDiff = {
+      import org.apache.spark.sql.functions._
+      val dataCols = addedDf.columns.toSeq
+      val w = "_changelog_w"
+      addedDf.withColumn(w, lit(1L))
+        .unionAll(removedDf.withColumn(w, lit(-1L)))
+        .groupBy(dataCols.map(col): _*).agg(sum(col(w)).as(w))
+        .filter(col(w) =!= 0L)
+        .withColumn("_rep", explode(sequence(lit(1L), abs(col(w)))))
+        .select(dataCols.map(col) :+
+          when(col(w) > 0L, lit("insert")).otherwise(lit("delete"))
+            .as("_change_type"): _*)
+    }
+    val morDeletes = posDeletedDf.toSeq ++ eqDeletedDf.toSeq ++ dvDeletedDf.toSeq
+    morDeletes.foldLeft(fileDiff)((acc, df) => acc.unionByName(
+      df.withColumn("_change_type", org.apache.spark.sql.functions.lit("delete"))))
   }
 
   /** Roll the table back to an earlier snapshot's file set — recorded

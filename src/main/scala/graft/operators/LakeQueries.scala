@@ -1228,7 +1228,9 @@ object LakeQueries {
     val mvRoot = work(d, "mvview")
     val mvFull = new GraftTable(mvRoot, s).read()
     val rec = MatView.recompute(s, mvRoot)
-    require(mvFull.exceptAll(rec).isEmpty && rec.exceptAll(mvFull).isEmpty,
+    // one-pass multiset check: the two-direction exceptAll form ran the
+    // full recompute subtree (and the view read) twice (r13 optimization)
+    require(graft.Checks.multisetDriftCount(mvFull, rec) == 0L,
       "incremental refresh diverged from the full recompute")
     s.sql("SELECT o_orderstatus, n_orders, cents FROM graft.mv_orders ORDER BY o_orderstatus")
   }

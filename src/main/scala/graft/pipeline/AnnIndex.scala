@@ -427,18 +427,9 @@ object AnnIndex {
     val victim = incoming.filter(pmod(col("vec_id"), lit(3L)) === 0L)
       .agg(min(col("vec_id"))).head().getLong(0)
     // three deterministic single-file batches, mod-times pin the order
+    // (one partitioned write job for all three — r13 optimization)
     val stage = s"$base/stage"
-    hfs.mkdirs(new org.apache.hadoop.fs.Path(stage))
-    val t0 = System.currentTimeMillis() - 3600 * 1000L
-    (0 until 3).foreach { k =>
-      val tmp = s"$base/tmp-$k"
-      incoming.filter(pmod(col("vec_id"), lit(3L)) === k).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = hfs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
-      val dst = new org.apache.hadoop.fs.Path(s"$stage/batch-$k.parquet")
-      org.apache.hadoop.fs.FileUtil.copy(hfs, part, hfs, dst, false, conf)
-      hfs.setTimes(dst, t0 + k * 1000L, -1)
-    }
+    StageFiles.stage(s, incoming, pmod(col("vec_id"), lit(3L)), 3, stage)
     val q = s.readStream.schema(existing.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
       .writeStream

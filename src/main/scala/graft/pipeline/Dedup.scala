@@ -985,19 +985,10 @@ object Dedup {
     val hfs = baseP.getFileSystem(conf)
     if (hfs.exists(baseP)) hfs.delete(baseP, true)
     // four deterministic single-file batches; mod-times ascending pin
-    // the FileStreamSource processing order
+    // the FileStreamSource processing order (one partitioned write job
+    // for all four — r13 optimization)
     val stage = s"$base/stage"
-    hfs.mkdirs(new org.apache.hadoop.fs.Path(stage))
-    val t0 = System.currentTimeMillis() - 3600 * 1000L
-    (0 until 4).foreach { k =>
-      val tmp = s"$base/tmp-$k"
-      incoming.filter(pmod(col("doc_id"), lit(4L)) === k).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = hfs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
-      val dst = new org.apache.hadoop.fs.Path(s"$stage/batch-$k.parquet")
-      org.apache.hadoop.fs.FileUtil.copy(hfs, part, hfs, dst, false, conf)
-      hfs.setTimes(dst, t0 + k * 1000L, -1)
-    }
+    StageFiles.stage(s, incoming, pmod(col("doc_id"), lit(4L)), 4, stage)
     def bandsOf(df: DataFrame): DataFrame =
       shingleHashesOf(df)
         .select(col("doc_id"), posexplode(

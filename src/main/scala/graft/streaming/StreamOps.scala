@@ -256,13 +256,16 @@ object StreamOps {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val audit = auditT.read()
-    val audited = audit.agg(sum(col("n_rows"))).head().getLong(0)
+    // one pass over the audit ledger for all three counters (was three
+    // jobs: sum, count, distinct-count — r13 optimization)
+    val aStats = auditT.read().agg(sum(col("n_rows")),
+      count(lit(1)), countDistinct(col("batch_tag"))).head()
+    val audited = aStats.getLong(0)
     val rows = dataT.read().count()
     require(audited == rows,
       s"audit ledger says $audited rows, data table holds $rows — a batch " +
         "half-landed or double-landed")
-    require(audit.count() == audit.select("batch_tag").distinct().count(),
+    require(aStats.getLong(1) == aStats.getLong(2),
       "duplicate audit rows: a replayed batch re-appended")
     dataT.read()
       .groupBy(col("event_type"))
@@ -775,12 +778,8 @@ object StreamOps {
     // rollup.
     val bC = b.read().cache()
     try {
-      val cols = b.schema.fieldNames.toSeq.map(col)
-      val drift = a.read().select(cols :+ lit(1L).as("w"): _*)
-        .unionAll(bC.select(cols :+ lit(-1L).as("w"): _*))
-        .groupBy(cols: _*).agg(sum(col("w")).as("w"))
-        .filter(col("w") =!= 0L).limit(1).count()
-      require(drift == 0, s"replica diverged from source")
+      require(graft.Checks.multisetDriftCount(a.read(), bC) == 0L,
+        "replica diverged from source")
       bC.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("event_type"))
@@ -879,7 +878,9 @@ object StreamOps {
     while (drainOnce() > 0 && spins < 10) spins += 1
     require(batches == 4, s"7 files / cap 2 must split into 4 batches, got $batches")
     val out = s.read.parquet(sink)
-    require(out.select(col("event_id")).distinct().count() == out.count(),
+    // one job for both counters (was two — r13 optimization)
+    val oStats = out.agg(count(lit(1)), countDistinct(col("event_id"))).head()
+    require(oStats.getLong(1) == oStats.getLong(0),
       "every row must be delivered exactly once across the splits")
     out.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))

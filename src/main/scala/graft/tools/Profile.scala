@@ -50,7 +50,9 @@ object Profile {
     spark.sparkContext.addSparkListener(listener)
 
     val entries =
-      if (args.length > 1) args.drop(1).toSeq
+      if (args.length > 1 && args(1) == "--all")
+        graft.SparkEntry.queries.keys.toSeq.sorted.filterNot(_.endsWith("_check"))
+      else if (args.length > 1) args.drop(1).toSeq
       else Seq(
         "stream_ann_sync", "stream_cdc_apply", "stream_neardup_gate",
         "ann_ivfpq_persisted", "dedup_apply", "lake_autocompact",
