@@ -906,11 +906,17 @@ object CoreQueries {
     * both engines so the equality compares identical values.
     */
   def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    // rev feeds BOTH the global max and the equality match; without the
+    // eager checkpoint each consumer re-plans the whole fact aggregation
+    // (the r13 post-execution plan showed two identical lineitem scans +
+    // shuffles — AQE does not reuse across these subtrees). rev is
+    // |suppliers| rows — supplier-dimension-sized at any SF.
     val rev = Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(money(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("total_revenue"))
+      .localCheckpoint(true)
     val top = rev.agg(max(col("total_revenue")).as("mx"))
     Tables.supplier(s, d)
       .join(rev, col("s_suppkey") === col("l_suppkey"))
@@ -973,20 +979,28 @@ object CoreQueries {
     * once as the probe, once as a LEFT SEMI (some OTHER supplier
     * shipped on the order) and once as a LEFT ANTI (no OTHER supplier
     * shipped late) — each an equi-join on l_orderkey with a residual
-    * `suppkey <>` inequality, never a nested loop. All three legs
-    * shuffle on the same key, so the exchange is reused across the
-    * semi and anti probes; supplier is joined un-hinted (it grows with
-    * SF — AQE broadcasts it while it fits, the q3/q5 policy).
+    * `suppkey <>` inequality, never a nested loop. The shared leg is
+    * materialized once (eager checkpoint, r13) — the planner does NOT
+    * reuse the exchange across the probe/semi/anti consumers, so the
+    * unchecked form executed the fact join three times; supplier is
+    * joined un-hinted (it grows with SF — AQE broadcasts it while it
+    * fits, the q3/q5 policy).
     * Reference parity: the multi-EXISTS SQL surface of
     * /root/reference/src/test/scala/org/apache/spark/sql/iceberg/AbstractTest.scala
     * generalized to the classic waiting-supplier chain.
     */
   def q21Waiting(s: SparkSession, d: String): DataFrame = {
+    // the projected fact leg is consumed THREE times (probe, semi,
+    // anti); without the eager checkpoint each leg re-planned the
+    // lineitem⋈orders join (3 scans of each table in the r13
+    // before-plan — AQE does not reuse across the legs). Narrow
+    // projection first (two keys + one boolean), then materialize once.
     val base = Tables.lineitem(s, d)
       .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (datediff(col("l_shipdate"), col("o_orderdate")) > 180).as("late"))
+      .localCheckpoint(true)
     val l1 = base.filter(col("late"))
     val others = base.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
     val lateOthers = l1.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
@@ -1093,12 +1107,14 @@ object CoreQueries {
     * partsupp, so the part×supplier cost surface is DERIVED from the
     * fact table: min observed unit price per (partkey, suppkey)). The
     * shape under test: a per-group minimum computed over a join-derived
-    * surface, matched BACK by equality to recover the full supplier
-    * rows — the classic aggregate-then-rejoin decorrelation of Q2's
-    * correlated MIN subquery. The cost surface stays an UNROUNDED
-    * double end to end: min() is order-independent, so the equality
-    * join compares bit-identical values on both engines. region/nation
-    * dims are broadcast (fixed size), supplier joins un-hinted (AQE).
+    * surface, with the full supplier rows recovered by an equality
+    * filter against that minimum — Q2's correlated MIN subquery
+    * decorrelated as min-over-window (since r13; the earlier
+    * aggregate-then-rejoin form planned the cost subtree twice). The
+    * cost surface stays an UNROUNDED double end to end: min() is
+    * order-independent, so the equality compares bit-identical values
+    * on both engines. region/nation dims are broadcast (fixed size),
+    * supplier joins un-hinted (AQE).
     */
   def q2MinCost(s: SparkSession, d: String): DataFrame = {
     val ps = Tables.lineitem(s, d)
@@ -1113,10 +1129,17 @@ object CoreQueries {
     // both engines hold bit-identical values, and a cosmetic 2-dp round
     // would flip on the .xx5 ties that 2-dp-price / even-qty quotients
     // produce constantly (observed at sf0.1).
+    // min-over-window instead of aggregate-then-rejoin (r13
+    // optimization): the rejoin form planned the whole ps⋈eu subtree —
+    // including the fact-table groupBy — TWICE with no exchange reuse
+    // (9 scans in the before-plan, plans/r13/q2_min_cost_before.txt);
+    // the window computes the same per-part min from one pass and the
+    // equality filter keeps bit-identical rows (same min over the same
+    // doubles).
     val cost = ps.join(eu, col("l_suppkey") === col("s_suppkey"))
-    val mn = cost.groupBy(col("l_partkey").as("mk"))
-      .agg(min(col("unit_cost")).as("min_cost"))
-    cost.join(mn, col("l_partkey") === col("mk") && col("unit_cost") === col("min_cost"))
+    val wMin = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    cost.withColumn("min_cost", min(col("unit_cost")).over(wMin))
+      .filter(col("unit_cost") === col("min_cost"))
       .join(Tables.part(s, d).filter(col("p_type") === "LARGE" && col("p_size") <= 25),
         col("p_partkey") === col("l_partkey"))
       .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
@@ -1268,10 +1291,15 @@ object CoreQueries {
           .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
+    // value feeds both the threshold aggregate and the filter; the
+    // eager checkpoint materializes the fact aggregation ONCE (the
+    // unchecked form planned the lineitem semi-join + groupBy twice —
+    // same finding as q15/q2, r13 optimization). |parts| rows at any SF.
     val value = Tables.lineitem(s, d)
       .join(sn, col("l_suppkey") === col("s_suppkey"), "leftsemi")
       .groupBy(col("l_partkey"))
       .agg(sum(col("l_quantity")).as("pq"))
+      .localCheckpoint(true)
     val thresh = value.agg((lit(1.5) * avg(col("pq"))).as("t"))
     value.join(broadcast(thresh))
       .filter(col("pq") > col("t"))
@@ -1354,20 +1382,27 @@ object CoreQueries {
   /** B45 `q17_small_qty` (TPC-H Q17 shape): revenue that would be lost
     * by dropping small-quantity lines — a CORRELATED per-part average
     * (each line compares against ITS part's avg quantity), decorrelated
-    * to an aggregate-then-rejoin on the part key. Distinct from
+    * to a per-part window over the brand-joined lines (since r13; the
+    * earlier aggregate-then-rejoin scanned the fact table twice and
+    * shuffled every part's average). Distinct from
     * B12/`q_subquery_avg`, whose scalar subquery is uncorrelated
     * (one global threshold). Quantities are integer-valued doubles, so
     * the per-part avg and the 0.5× threshold are float-exact on both
     * engines — the inequality cannot flip between them.
     */
   def q17SmallQty(s: SparkSession, d: String): DataFrame = {
-    val pa = Tables.lineitem(s, d)
-      .groupBy(col("l_partkey").as("pk"))
-      .agg(avg(col("l_quantity")).as("avg_qty"))
+    // the correlated per-part avg as a window OVER the Brand#5-joined
+    // lines (r13 optimization): the part join keeps EVERY line of a
+    // matching part, so the window sees the part's complete line set
+    // and equals the old full-fact aggregate-then-rejoin — which
+    // scanned lineitem twice and shuffled the per-part avg of ALL
+    // parts, not just the brand's. avg of integer-valued doubles is
+    // order-independent, so the inequality cannot flip.
+    val wPart = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
     Tables.lineitem(s, d)
       .join(Tables.part(s, d).filter(col("p_brand") === "Brand#5"),
         col("l_partkey") === col("p_partkey"))
-      .join(pa, col("pk") === col("l_partkey"))
+      .withColumn("avg_qty", avg(col("l_quantity")).over(wPart))
       .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
       // 2-dp prices sum exactly as DECIMAL(18,4) — order-independent.
       .agg(money(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double") / 7.0)

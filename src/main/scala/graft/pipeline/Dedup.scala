@@ -323,13 +323,16 @@ object Dedup {
       .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("sh"))
     // [[PostingDfCap]]: drop boilerplate shingles (document frequency
     // above the cap) before the self-join — the quadratic pair blow-up
-    // is bounded at cap² per shingle. One extra hash-keyed agg + join,
-    // both on the key the index shuffles on anyway.
-    val rare = sh0.groupBy(col("sh"))
-      .agg(count(lit(1)).as("df"))
+    // is bounded at cap² per shingle. df is a count window over the
+    // posting list (one exchange on the key the index shuffles on
+    // anyway), and the capped list materializes ONCE: the earlier
+    // agg + join + two self-join sides planned the tokenize + shingle
+    // chain three times with no exchange reuse (r13 optimization).
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    val sh = sh0.withColumn("df", count(lit(1)).over(wDf))
       .filter(col("df") <= postingDfCap)
-      .select(col("sh"))
-    val sh = sh0.join(rare, Seq("sh"))
+      .select(col("doc_id"), col("n"), col("sh"))
+      .localCheckpoint(true)
     val a = sh.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("sh"))
     val b = sh.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("sh"))
     val cand = a.join(b, Seq("sh"))
@@ -431,11 +434,14 @@ object Dedup {
   def containmentOf(docs: DataFrame, postingDfCap: Int = PostingDfCap): DataFrame = {
     val sh0 = shingleHashesOf(docs)
       .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("sh"))
-    val rare = sh0.groupBy(col("sh"))
-      .agg(count(lit(1)).as("df"))
+    // df-window + one materialization of the capped posting list — the
+    // C4 rewrite verbatim (see ngramJaccardPairsOf): the agg + join +
+    // two self-join sides planned the shingle chain three times.
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    val sh = sh0.withColumn("df", count(lit(1)).over(wDf))
       .filter(col("df") <= postingDfCap)
-      .select(col("sh"))
-    val sh = sh0.join(rare, Seq("sh"))
+      .select(col("doc_id"), col("n"), col("sh"))
+      .localCheckpoint(true)
     val a = sh.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("sh"))
     val b = sh.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("sh"))
     val cand = a.join(b, Seq("sh"))
@@ -1326,9 +1332,13 @@ object Dedup {
       graft.pipeline.TextOps.tokens(col("text")).as("toks"), col("text"))
     val grams = base.select(col("doc_id"),
       posexplode(exprs.shingleHashesAll(col("text"), SpanN)).as(Seq("pos", "sh")))
-    val rep = grams.groupBy(col("sh"))
-      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2).select(col("sh"))
-    val starts = grams.join(rep, "sh").groupBy(col("doc_id"))
+    // gram multiplicity as a count window (one exchange on the hash the
+    // old agg+join shuffled on anyway) — the separate repeated-gram
+    // table re-planned the gram chain twice (r13 optimization, the
+    // text_dup_spans rewrite). Kept rows identical: cnt ≥ 2 ≡ the join.
+    val wSh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    val starts = grams.withColumn("cnt", count(lit(1)).over(wSh))
+      .filter(col("cnt") >= 2).groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
     base.join(starts, Seq("doc_id"), "left")
       .withColumn("starts",

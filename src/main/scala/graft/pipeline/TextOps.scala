@@ -249,11 +249,16 @@ object TextOps {
   def corpusDivergence(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("source"), explode(tokens(col("text"))).as("term"))
+    // ONE tokenize pass: the three coarser count tables all derive from
+    // the (source, term) counts by exact integer roll-up — unchecked,
+    // each aggregation re-planned the tokenize+explode chain (4
+    // documents scans in the before-plan; r13 optimization)
     val byST = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_st"))
-    val byT = toks.groupBy(col("term")).agg(count(lit(1)).as("c_t"))
-    val byS = toks.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
-    val tot = toks.agg(count(lit(1)).cast("double").as("n_tot"),
-      count_distinct(col("term")).cast("double").as("v"))
+      .localCheckpoint(true)
+    val byT = byST.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
+    val byS = byST.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val tot = byT.agg(sum(col("c_t")).cast("double").as("n_tot"),
+      count(lit(1)).cast("double").as("v"))
     val grid = byT.crossJoin(broadcast(byS)).crossJoin(broadcast(tot))
     val joined = grid.join(byST, Seq("source", "term"), "left")
       .withColumn("c_st", coalesce(col("c_st"), lit(0L)))
@@ -421,10 +426,16 @@ object TextOps {
     * form for downstream stages (C54 buckets on it).
     */
   def unigramLogprobCore(docs: DataFrame): DataFrame = {
+    // one tokenize pass (r13 optimization): the token stream
+    // materializes once and the grand total rolls up from the vocab
+    // counts — unchecked, vocab / total / scoring join each re-planned
+    // the tokenize+explode chain (3 scans). Same integer counts, same
+    // per-instance addends.
     val toks = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .localCheckpoint(true)
     val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
-    val total = toks.agg(count(lit(1)).cast("double").as("n_total"))
+    val total = vocab.agg(sum(col("c")).cast("double").as("n_total"))
     toks.join(vocab, "term").crossJoin(broadcast(total))
       .withColumn("lp", round(log(col("c") / col("n_total")), 6))
       .groupBy(col("doc_id"))
@@ -458,15 +469,21 @@ object TextOps {
     * `approx_percentile`, which is the documented production dial for
     * threshold-style buckets (ties all land in one bucket either way,
     * so the label is threshold-stable, unlike rank quotas). The
-    * LM-score subtree feeds both the threshold aggregate and the
-    * per-doc join, and AQE reuses its exchange at runtime (verified:
-    * PlanAudit shows ReusedExchange) — the corpus is scored once.
+    * LM-score subtree feeds both the threshold collect and the bucket
+    * pass — two separate ACTIONS, so it is eagerly checkpointed and
+    * the corpus is scored once (r13; plan-level exchange reuse cannot
+    * span actions).
     */
   def pplBuckets(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // materialize the scored corpus ONCE (r13 optimization): the
+    // cut-point collect is a separate ACTION, so no plan-level reuse
+    // can carry the score subtree over to the bucket pass — unchecked,
+    // the whole LM-score subtree executed twice
     val sc = unigramLogprobCore(docs)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .withColumn("nlp", round(col("logprob") / col("n_toks"), 6))
+      .localCheckpoint(true)
     // |langs|-row cut-point table collected once (bounded by
     // construction) and injected as plan-constant threshold lookups —
     // the bucket pass is then ONE score subtree + a narrow map, not a
@@ -701,14 +718,17 @@ object TextOps {
   def dupSpansOf(docs: DataFrame): DataFrame = {
     val grams = docs.select(col("doc_id"),
       explode(exprs.shingleHashesAll(col("text"), 20)).as("sh"))
-    val rep = grams.groupBy(col("sh"))
-      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
-      .select(col("sh"), lit(true).as("is_rep"))
+    // corpus-wide gram multiplicity as a count window over the gram
+    // stream (one exchange on the hash — the key the old agg+join
+    // shuffled on anyway): the separate repeated-gram table re-planned
+    // the gram chain twice (r13 optimization). is_rep per instance ≡
+    // cnt ≥ 2, identical row for row.
+    val wSh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
     docs.select(col("doc_id"))
-      .join(grams.join(rep, Seq("sh"), "left")
+      .join(grams.withColumn("cnt", count(lit(1)).over(wSh))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("is_rep").isNotNull, 1L).otherwise(0L)).as("n_rep")),
+            sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_rep")),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
@@ -799,8 +819,14 @@ object TextOps {
     val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+    // document frequency as a count window OVER the tf table (tf is
+    // unique per (doc, term), so count-per-term ≡ df) — the separate
+    // df aggregation + join planned the tokenize+groupBy subtree twice
+    // with no exchange reuse (r13 optimization, the same rewrite the
+    // hybrid-RRF lexical leg got in r13's build half)
+    val wDf = Window.partitionBy(col("term"))
+    val scored = tf.withColumn("df", count(lit(1)).over(wDf))
+      .crossJoin(broadcast(n))
       .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
@@ -1072,11 +1098,18 @@ object TextOps {
   def nbQuality(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .withColumn("pos", col("source").isin("src0", "src1", "src2", "src3"))
+    // both materializations are r13 optimizations: the unchecked DAG
+    // planned the tokenize+explode chain four times (termCounts,
+    // totals, weights, scoring join) with no exchange reuse. The
+    // checkpoints preserve the numeric structure exactly — same
+    // multiset of per-instance addends, only computed once.
     val toks = docs.select(col("doc_id"), col("pos"),
       explode(tokens(col("text"))).as("term"))
+      .localCheckpoint(true)
     val termCounts = toks.groupBy(col("term")).agg(
       sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
       sum(when(col("pos"), 0L).otherwise(1L)).as("cn"))
+      .localCheckpoint(true)
     val totals = termCounts.agg(
       sum(col("cp")).cast("double").as("totp"),
       sum(col("cn")).cast("double").as("totn"),
@@ -1274,11 +1307,16 @@ object TextOps {
   val ImportanceK = 200
   def sampleImportance(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // one tokenize pass + one vocab-table pass (r13 optimization, the
+    // nbQuality pattern: the unchecked DAG planned tokenize 3× and the
+    // term counts 2× with no exchange reuse)
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(tokens(col("text"))).as("term"))
+      .localCheckpoint(true)
     val termCounts = toks.groupBy(col("term")).agg(
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
       count(lit(1)).as("cr"))
+      .localCheckpoint(true)
     val totals = termCounts.agg(
       sum(col("ct")).cast("double").as("tott"),
       sum(col("cr")).cast("double").as("totr"),
@@ -1569,6 +1607,12 @@ object TextOps {
     */
   def bigramLp(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // materialize the bigram stream and the unigram counts once (r13
+    // optimization): bigr feeds the count aggregation AND the scoring
+    // join, uni feeds totals AND both weight joins — unchecked, the
+    // tokenize chain planned five times (5 documents scans in the
+    // before-plan). Checkpoints keep the per-instance addend multiset
+    // identical.
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
     val bigr = toks
@@ -1576,7 +1620,9 @@ object TextOps {
         Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
       .filter(col("w2").isNotNull)
       .select(col("doc_id"), col("term").as("w1"), col("w2"))
+      .localCheckpoint(true)
     val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val totals = uni.agg(sum(col("c")).cast("double").as("nn"),
       count(lit(1)).cast("double").as("v"))
     val bigCounts = bigr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
@@ -1797,15 +1843,18 @@ object TextOps {
       .filter(col("term").isin(Bm25Terms: _*))
     val tf = qtoks.groupBy(col("doc_id"), col("term"))
       .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
-    val df = qtoks.groupBy(col("term"))
-      .agg(count_distinct(col("doc_id")).as("df"))
-    val idf = df.crossJoin(broadcast(corpus))
-      .select(col("term"),
-        round(log(lit(1.0) +
-          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5))), 6).as("idf"),
-        col("avgdl"))
-    val scored = tf.join(broadcast(idf), "term")
+    // df as a count window OVER tf (unique per (doc, term), so
+    // count-per-term ≡ count_distinct(doc_id)) — the separate df
+    // aggregation + join re-planned the tokenize+explode subtree a
+    // third time (corpus stats, tf, df each tokenized the corpus;
+    // r13 optimization, same rewrite as text_tfidf). idf arithmetic is
+    // unchanged: same df per term, same 6-dp round.
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val scored = tf.withColumn("df", count(lit(1)).over(wTerm))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf", round(log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))), 6))
       .withColumn("contrib", round(col("idf") *
         (col("tf").cast("double") * lit(2.2)) /
         (col("tf").cast("double") +

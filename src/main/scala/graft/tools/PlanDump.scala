@@ -24,13 +24,22 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // PLANDUMP_EXEC=1 additionally executes the query and appends the
+    // POST-execution plan (AQE's final plan — runtime exchange reuse,
+    // coalesced reads, join-strategy rewrites only show up there)
+    val exec = sys.env.get("PLANDUMP_EXEC").contains("1")
     for (name <- entries) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
+      val full = if (!exec) txt else {
+        df.collect()
+        txt + "\n\n== Final Plan (post-execution, AQE) ==\n" +
+          df.queryExecution.executedPlan.toString
+      }
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"),
-        txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"[plandump] $name -> $outDir/${name}_$suffix.txt")
     }
     spark.stop()
