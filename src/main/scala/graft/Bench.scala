@@ -56,14 +56,20 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
-    // the driver's log capture truncates long lines — persist the full
-    // per-query JSON as a file artifact so every round's numbers stay
-    // comparable query-by-query without a re-run
+    // the driver's log capture keeps only a ~4 KB stdout tail, which the
+    // ~8 KB per-query line above has overflowed every round since r02
+    // (PERF_*.per_query empty, BENCH_*.parsed null — r13 verdict item 1).
+    // Persist the full line as a file artifact, and END stdout with a
+    // SHORT summary line that always survives the tail: total/failed/sf
+    // plus the artifact path. The full contract line is still printed
+    // (above) and still carries every per-query timing.
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench-latest.json"),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case scala.util.control.NonFatal(_) => () } // best-effort artifact
+    val artifact = new java.io.File("target/bench-latest.json").getAbsolutePath
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir","queries_file":"$artifact"}""")
     spark.stop()
   }
 }

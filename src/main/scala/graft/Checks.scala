@@ -15,6 +15,13 @@ object Checks {
     * (limit-1 short-circuit: any witness row ends the job).
     */
   def multisetDriftCount(a: DataFrame, b: DataFrame): Long = {
+    // schema-width agreement up front: projecting b to a's columns
+    // would let a relation with EXTRA columns pass the equality check
+    // silently — the exceptAll form this replaced failed loudly on
+    // such drift (r13 advice)
+    require(a.columns.toSet == b.columns.toSet,
+      s"multiset check on diverging schemas: ${a.columns.sorted.mkString(",")} " +
+        s"vs ${b.columns.sorted.mkString(",")}")
     val cols = a.columns.toSeq.map(col)
     a.select(cols :+ lit(1L).as("_w"): _*)
       .unionAll(b.select(cols :+ lit(-1L).as("_w"): _*))

@@ -1002,7 +1002,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
   }
 
   private[graft] def commitAppend(added: Seq[FileEntry], op: String,
-      ndvDelta: Map[String, Array[Byte]] = Map.empty): Snapshot = {
+      ndvDelta: Map[String, Array[Byte]] = Map.empty,
+      extraProps: Map[String, String] = Map.empty): Snapshot = {
     // verified OUTSIDE the lock: vacuum never holds it, so the check is
     // equally effective before, and O(#added) exists-calls must not
     // stretch the critical section (a stretched holder looks stale)
@@ -1016,7 +1017,7 @@ final class GraftTable(val root: String, spark: SparkSession) {
         id = math.max(cur.id, snapshotIds.max) + 1, parentId = cur.id,
         tsMillis = nextTs(Some(cur)), operation = op,
         files = cur.files ++ added, addedFiles = added.size, deletedFiles = 0,
-        properties = GraftTable.mergeNdvProps(cur.properties, ndvDelta))
+        properties = GraftTable.mergeNdvProps(cur.properties, ndvDelta) ++ extraProps)
       stage(next, Some(added.iterator.map(_.partition).toSet))
       publishGuarded(next.id, cur.id)
       next
@@ -1058,11 +1059,17 @@ final class GraftTable(val root: String, spark: SparkSession) {
   /** INSERT INTO — append snapshot (reference: InsertIntoIcebergTable
     * append mode). Concurrent appends both succeed via rebase-retry.
     */
-  def append(df: DataFrame): GraftTable = {
+  def append(df: DataFrame): GraftTable = append(df, Map.empty)
+
+  /** [[append]] with property updates riding the SAME commit — one
+    * snapshot instead of append + set-properties (r14: the ANN sync
+    * watermark rides its fold's commit).
+    */
+  def append(df: DataFrame, extraProps: Map[String, String]): GraftTable = {
     val cur = current
     val (dfObs, obs) = ndvObserveIfAuto(cur, df)
     val added = writeFiles(dfObs, cur.partitionCols, cur.deps, cur.id + 1)
-    commitAppend(added, "append", ndvFromObs(obs))
+    commitAppend(added, "append", ndvFromObs(obs), extraProps)
     maybeAutoCompact()
     this
   }
@@ -2030,7 +2037,14 @@ final class GraftTable(val root: String, spark: SparkSession) {
     * tiny against the table, so the rewrite cost is the matched files,
     * not the data size.
     */
-  def mergeDelete(source: DataFrame, keyCols: Seq[String]): GraftTable = {
+  def mergeDelete(source: DataFrame, keyCols: Seq[String]): GraftTable =
+    mergeDelete(source, keyCols, Map.empty)
+
+  /** [[mergeDelete]] with property updates riding the SAME commit (see
+    * the two-arg [[append]]).
+    */
+  def mergeDelete(source: DataFrame, keyCols: Seq[String],
+      extraProps: Map[String, String]): GraftTable = {
     val cur = current
     // deletion-list keys evaluated once for both the bounds agg and the
     // anti-join (same single-evaluation shape as [[merge]])
@@ -2048,11 +2062,23 @@ final class GraftTable(val root: String, spark: SparkSession) {
           id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
           operation = "merge-delete", files = cur.files,
           addedFiles = 0, deletedFiles = 0,
-          deleteFiles = delList))
+          deleteFiles = delList,
+          properties = cur.properties ++ extraProps))
+        else if (extraProps.nonEmpty)
+          commit(cur.copy(
+            id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+            operation = "set-properties", addedFiles = 0, deletedFiles = 0,
+            properties = cur.properties ++ extraProps))
         return this
       }
       val cands = sourceKeyCandidates(srcKeys, keyCols)
-      if (cands.isEmpty) return this
+      if (cands.isEmpty) {
+        if (extraProps.nonEmpty) commit(cur.copy(
+          id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
+          operation = "set-properties", addedFiles = 0, deletedFiles = 0,
+          properties = cur.properties ++ extraProps))
+        return this
+      }
       val candPaths = cands.map(_.path).toSet
       val kept = cur.files.filterNot(f => candPaths.contains(f.path))
       val baseCols = schema.fieldNames.toSeq
@@ -2064,7 +2090,8 @@ final class GraftTable(val root: String, spark: SparkSession) {
       commit(cur.copy(
         id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
         operation = "merge-delete", files = kept ++ added,
-        addedFiles = added.size, deletedFiles = cands.size))
+        addedFiles = added.size, deletedFiles = cands.size,
+        properties = cur.properties ++ extraProps))
       this
     } finally { srcKeys.unpersist(blocking = false); () }
   }
@@ -2823,12 +2850,17 @@ final class GraftTable(val root: String, spark: SparkSession) {
     val fileDiff = {
       import org.apache.spark.sql.functions._
       val dataCols = addedDf.columns.toSeq
-      val w = "_changelog_w"
+      // collision-checked internal name: withColumn on a table that
+      // genuinely carried a `_changelog_w` column would silently
+      // REPLACE user data in the multiset key (r13 advice)
+      val w = Iterator.from(0)
+        .map(i => if (i == 0) "_changelog_w" else s"_changelog_w$i")
+        .find(n => !dataCols.contains(n) && !dataCols.contains(n + "_rep")).get
       addedDf.withColumn(w, lit(1L))
         .unionAll(removedDf.withColumn(w, lit(-1L)))
         .groupBy(dataCols.map(col): _*).agg(sum(col(w)).as(w))
         .filter(col(w) =!= 0L)
-        .withColumn("_rep", explode(sequence(lit(1L), abs(col(w)))))
+        .withColumn(w + "_rep", explode(sequence(lit(1L), abs(col(w)))))
         .select(dataCols.map(col) :+
           when(col(w) > 0L, lit("insert")).otherwise(lit("delete"))
             .as("_change_type"): _*)

@@ -991,16 +991,19 @@ object CoreQueries {
     */
   def q21Waiting(s: SparkSession, d: String): DataFrame = {
     // the projected fact leg is consumed THREE times (probe, semi,
-    // anti); without the eager checkpoint each leg re-planned the
+    // anti); without the eager materialization each leg re-planned the
     // lineitem⋈orders join (3 scans of each table in the r13
     // before-plan — AQE does not reuse across the legs). Narrow
     // projection first (two keys + one boolean), then materialize once.
-    val base = Tables.lineitem(s, d)
+    // Fault-tolerant persist, not localCheckpoint (r14): this leg is
+    // FACT-cardinality — lineage must survive executor loss at 100 TB
+    // (graft.Mat; the dimension-sized q15/q11 aggregates keep their
+    // checkpoints).
+    val base = graft.Mat.fact(Tables.lineitem(s, d)
       .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
-        (datediff(col("l_shipdate"), col("o_orderdate")) > 180).as("late"))
-      .localCheckpoint(true)
+        (datediff(col("l_shipdate"), col("o_orderdate")) > 180).as("late")))
     val l1 = base.filter(col("late"))
     val others = base.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
     val lateOthers = l1.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))

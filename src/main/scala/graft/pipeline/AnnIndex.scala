@@ -141,14 +141,15 @@ object AnnIndex {
     * only — zero training jobs, zero existing-file rewrites) and
     * lake-append into `codes`. O(delta) at any index size.
     */
-  def append(s: SparkSession, delta: DataFrame, indexRoot: String): Unit =
+  def append(s: SparkSession, delta: DataFrame, indexRoot: String,
+      extraProps: Map[String, String] = Map.empty): Unit =
     inGroup(s, BuildGroup, s"ANN index append -> $indexRoot") {
       val q = load(s, indexRoot)
       val pqRows = delta.select(col("vec_id"), col("embedding"))
         .withColumn("cluster", exprs.nearestCentroid(col("embedding"), q.cents))
         .withColumn("embedding", exprs.centroidResidual(col("embedding"), q.cents))
       new GraftTable(codesRoot(indexRoot), s)
-        .append(encodeWith(pqRows, q.books).repartition(col("cluster")))
+        .append(encodeWith(pqRows, q.books).repartition(col("cluster")), extraProps)
     }
 
   private def probeLutBytes(nq: Long): Long =
@@ -385,15 +386,21 @@ object AnnIndex {
             "encoded — a frozen-codebook index cannot re-encode in place; " +
             "rebuild with buildFromTable")
         val nDel = stats.getLong(1)
+        val nIns = stats.getLong(2)
+        // the watermark property rides the LAST fold commit instead of
+        // paying its own set-properties snapshot (r14, verdict item 9):
+        // one commit per sync saved on every insert- or delete-only
+        // window; the empty window keeps the explicit property commit
+        val wm = Map(SyncedSnapshotProp -> cur.toString)
         if (nDel > 0L) codesT.mergeDelete(
           ch.filter(col("op") === "delete").select(col("vec_id").as("n_id")),
-          Seq("n_id"))
-        val nIns = stats.getLong(2)
+          Seq("n_id"), if (nIns > 0L) Map.empty[String, String] else wm)
         if (nIns > 0L) append(s,
           ch.filter(col("op") === "insert").select(col("vec_id"), col("embedding")),
-          indexRoot)
-        new GraftTable(codesRoot(indexRoot), s)
-          .setProperty(SyncedSnapshotProp, cur.toString)
+          indexRoot, wm)
+        if (nDel == 0L && nIns == 0L)
+          new GraftTable(codesRoot(indexRoot), s)
+            .setProperty(SyncedSnapshotProp, cur.toString)
         nIns + nDel
       } finally { ch.unpersist(); () }
     }

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Mat, Tables}
 import graft.functions.exprs
 
 /** Deduplication operators (SURVEY.md §2.C1–C4). The family, in the
@@ -135,8 +135,20 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 6).as("jaccard"))
   }
 
-  private def joinShingleSets(docs: DataFrame, cand: DataFrame): DataFrame = {
-    val sets = shinglesOf(docs)
+  private def joinShingleSets(docs: DataFrame, cand0: DataFrame): DataFrame = {
+    // keys-first prune (r14, guide §3.2 shape): semi-join the shingle-
+    // set table on the candidate doc ids BEFORE the doc_a/doc_b payload
+    // joins, so at 100 TB the expensive string-shingle materialization
+    // runs only for docs that appear in a candidate pair (the semi-join
+    // pushes below the shinglesOf projection — join key doc_id exists
+    // under it). cand is lazily cached: it feeds the id set and both
+    // joins, and its candidate-generation subtree must execute once.
+    val cand = Mat.smallLazy(cand0)
+    // no distinct: a LEFT SEMI probe tolerates duplicate ids, and the
+    // distinct would cost an extra exchange for nothing
+    val ids = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    val sets = shinglesOf(docs).join(ids, Seq("doc_id"), "left_semi")
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
@@ -319,20 +331,35 @@ object Dedup {
     // shuffle ~3× less than the shingle strings; a hash collision can
     // only ADD a candidate (never lose one), and the exact string-set
     // verification filters those out.
-    val sh0 = shingleHashesOf(docs)
+    // the exploded posting stream materializes ONCE (fault-tolerant
+    // persist, see [[graft.Mat]]): the earlier agg + join + two
+    // self-join sides planned the tokenize + shingle chain three times
+    // with no exchange reuse (r13 optimization). Repartitioned BY THE
+    // JOIN KEY before caching — the same one exchange of the postings
+    // r13's count-window paid, but with NO per-key buffering, and the
+    // cached hashpartitioning(sh) serves the df groupBy, the cap
+    // anti-join AND both self-join sides exchange-free.
+    val sh0 = Mat.fact(shingleHashesOf(docs)
       .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("sh"))
+      .repartition(col("sh")))
     // [[PostingDfCap]]: drop boilerplate shingles (document frequency
     // above the cap) before the self-join — the quadratic pair blow-up
-    // is bounded at cap² per shingle. df is a count window over the
-    // posting list (one exchange on the key the index shuffles on
-    // anyway), and the capped list materializes ONCE: the earlier
-    // agg + join + two self-join sides planned the tokenize + shingle
-    // chain three times with no exchange reuse (r13 optimization).
-    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-    val sh = sh0.withColumn("df", count(lit(1)).over(wDf))
-      .filter(col("df") <= postingDfCap)
-      .select(col("doc_id"), col("n"), col("sh"))
-      .localCheckpoint(true)
+    // is bounded at cap² per shingle. df comes from a map-side-combined
+    // groupBy over the cached stream and the cap lands as a LEFT ANTI
+    // join against the (tiny) over-cap shingle set, which AQE
+    // broadcasts — NOT as a count window, which would buffer every
+    // instance of exactly the hot boilerplate shingles the cap exists
+    // to kill inside one window task (r13's skew regression, r14 fix:
+    // guide §2.5 — AQE skew handling applies to joins, never windows).
+    val sh =
+      if (postingDfCap == Int.MaxValue) sh0
+      else {
+        val hot = Mat.smallLazy(sh0.groupBy(col("sh"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > postingDfCap)
+          .select(col("sh")))
+        sh0.join(hot, Seq("sh"), "left_anti")
+      }
     val a = sh.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("sh"))
     val b = sh.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("sh"))
     val cand = a.join(b, Seq("sh"))
@@ -432,16 +459,24 @@ object Dedup {
     containmentOf(Tables.documents(s, d))
 
   def containmentOf(docs: DataFrame, postingDfCap: Int = PostingDfCap): DataFrame = {
-    val sh0 = shingleHashesOf(docs)
+    // one materialization of the posting stream + groupBy-df landed as
+    // an anti-join against the tiny over-cap set — the C4 shape
+    // verbatim (see ngramJaccardPairsOf: one shingle-chain pass, df
+    // skew-immune via partial aggregation, hot keys never buffered in
+    // a single window task, key-partitioned cache feeds every leg
+    // exchange-free).
+    val sh0 = Mat.fact(shingleHashesOf(docs)
       .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("sh"))
-    // df-window + one materialization of the capped posting list — the
-    // C4 rewrite verbatim (see ngramJaccardPairsOf): the agg + join +
-    // two self-join sides planned the shingle chain three times.
-    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-    val sh = sh0.withColumn("df", count(lit(1)).over(wDf))
-      .filter(col("df") <= postingDfCap)
-      .select(col("doc_id"), col("n"), col("sh"))
-      .localCheckpoint(true)
+      .repartition(col("sh")))
+    val sh =
+      if (postingDfCap == Int.MaxValue) sh0
+      else {
+        val hot = Mat.smallLazy(sh0.groupBy(col("sh"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > postingDfCap)
+          .select(col("sh")))
+        sh0.join(hot, Seq("sh"), "left_anti")
+      }
     val a = sh.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("sh"))
     val b = sh.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("sh"))
     val cand = a.join(b, Seq("sh"))
@@ -526,14 +561,14 @@ object Dedup {
     val grid = (10 to 20).map(_ / 20.0)
     // materialize the verified pair set ONCE: the pair-count and
     // doc-count curves are two separate aggregations, and without the
-    // checkpoint each re-executes the entire candidate-generation +
-    // exact-verify subtree (measured 2× the task time of the C4 pass
+    // materialization each re-executes the entire candidate-generation
+    // + exact-verify subtree (measured 2× the task time of the C4 pass
     // itself at sf0.1; at 100 TB it would repeat the corpus scan).
-    // Unordered form: a checkpoint executes the plan as written, so
-    // the presentation sort would otherwise be paid here for nothing.
-    val pairs = ngramJaccardPairsOf(Tables.documents(s, d))
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .localCheckpoint(true)
+    // Unordered form: the materialization executes the plan as
+    // written, so the presentation sort would otherwise be paid here
+    // for nothing. Fault-tolerant persist, not localCheckpoint (r14).
+    val pairs = Mat.fact(ngramJaccardPairsOf(Tables.documents(s, d))
+      .select(col("doc_a"), col("doc_b"), col("jaccard")))
     val pk = grid.zipWithIndex.map { case (t, i) =>
       sum(when(col("jaccard") >= t, 1L).otherwise(0L)).as(s"p$i") }
     val pcounts = pairs.agg(pk.head, pk.tail: _*)
@@ -1330,15 +1365,20 @@ object Dedup {
   def spanRemovalOf(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"),
       graft.pipeline.TextOps.tokens(col("text")).as("toks"), col("text"))
-    val grams = base.select(col("doc_id"),
+    // gram stream materialized ONCE (fault-tolerant persist) so the
+    // repeated-gram detection and the position collect share one gram
+    // chain (r13 kept one pass with a count window; r14 replaces the
+    // window with a map-side-combined groupBy + semi-join — a window
+    // by gram hash buffers every instance of exactly the hot repeated
+    // grams in one task, and AQE skew handling never applies to
+    // windows, guide §2.5). Kept rows identical: cnt ≥ 2 ≡ the join.
+    val grams = Mat.fact(base.select(col("doc_id"),
       posexplode(exprs.shingleHashesAll(col("text"), SpanN)).as(Seq("pos", "sh")))
-    // gram multiplicity as a count window (one exchange on the hash the
-    // old agg+join shuffled on anyway) — the separate repeated-gram
-    // table re-planned the gram chain twice (r13 optimization, the
-    // text_dup_spans rewrite). Kept rows identical: cnt ≥ 2 ≡ the join.
-    val wSh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-    val starts = grams.withColumn("cnt", count(lit(1)).over(wSh))
-      .filter(col("cnt") >= 2).groupBy(col("doc_id"))
+      .repartition(col("sh")))
+    val rep = grams.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("sh"))
+    val starts = grams.join(rep, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
     base.join(starts, Seq("doc_id"), "left")
       .withColumn("starts",

@@ -24,7 +24,17 @@ private[graft] object StageFiles {
       .write.mode("overwrite").partitionBy("_k").parquet(tmp)
     val t0 = System.currentTimeMillis() - 3600 * 1000L
     (0 until n).foreach { k =>
-      val part = hfs.globStatus(new Path(s"$tmp/_k=$k/part-*.parquet")).head.getPath
+      // partitionBy skips empty partition values, so a batch key with
+      // zero rows produces no _k=<k> directory — fail with the batch
+      // named instead of an opaque head-of-empty-array crash (r13
+      // advice; the per-batch coalesce(1) writes this replaced staged
+      // an empty file silently, which FileStreamSource would then
+      // deliver as an empty batch the entries never intended)
+      val parts = hfs.globStatus(new Path(s"$tmp/_k=$k/part-*.parquet"))
+      require(parts != null && parts.nonEmpty,
+        s"StageFiles.stage: batch key $k of $n has zero rows — every " +
+          "staged micro-batch must be non-empty")
+      val part = parts.head.getPath
       val dst = new Path(s"$stageDir/batch-$k.parquet")
       hfs.rename(part, dst)
       hfs.setTimes(dst, t0 + k * 1000L, -1)

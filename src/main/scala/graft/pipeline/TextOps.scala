@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Mat, Tables}
 import graft.functions.exprs
 
 /** Text-analysis operators for the training-data pipeline (SURVEY.md
@@ -252,9 +252,10 @@ object TextOps {
     // ONE tokenize pass: the three coarser count tables all derive from
     // the (source, term) counts by exact integer roll-up — unchecked,
     // each aggregation re-planned the tokenize+explode chain (4
-    // documents scans in the before-plan; r13 optimization)
-    val byST = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_st"))
-      .localCheckpoint(true)
+    // documents scans in the before-plan; r13 optimization; r14 swaps
+    // the localCheckpoint for a fault-tolerant persist, see graft.Mat)
+    val byST = Mat.fact(
+      toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_st")))
     val byT = byST.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
     val byS = byST.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
     val tot = byT.agg(sum(col("c_t")).cast("double").as("n_tot"),
@@ -430,10 +431,11 @@ object TextOps {
     // materializes once and the grand total rolls up from the vocab
     // counts — unchecked, vocab / total / scoring join each re-planned
     // the tokenize+explode chain (3 scans). Same integer counts, same
-    // per-instance addends.
-    val toks = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .localCheckpoint(true)
+    // per-instance addends. Fault-tolerant persist (r14, graft.Mat):
+    // the exploded stream is fact-sized, so lineage must survive
+    // executor loss.
+    val toks = Mat.fact(docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term")))
     val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val total = vocab.agg(sum(col("c")).cast("double").as("n_total"))
     toks.join(vocab, "term").crossJoin(broadcast(total))
@@ -480,10 +482,9 @@ object TextOps {
     // cut-point collect is a separate ACTION, so no plan-level reuse
     // can carry the score subtree over to the bucket pass — unchecked,
     // the whole LM-score subtree executed twice
-    val sc = unigramLogprobCore(docs)
+    val sc = Mat.fact(unigramLogprobCore(docs)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-      .withColumn("nlp", round(col("logprob") / col("n_toks"), 6))
-      .localCheckpoint(true)
+      .withColumn("nlp", round(col("logprob") / col("n_toks"), 6)))
     // |langs|-row cut-point table collected once (bounded by
     // construction) and injected as plan-constant threshold lookups —
     // the bucket pass is then ONE score subtree + a narrow map, not a
@@ -716,19 +717,25 @@ object TextOps {
     * gram strings (injective-hash argument, as `text_repetition`).
     */
   def dupSpansOf(docs: DataFrame): DataFrame = {
-    val grams = docs.select(col("doc_id"),
-      explode(exprs.shingleHashesAll(col("text"), 20)).as("sh"))
-    // corpus-wide gram multiplicity as a count window over the gram
-    // stream (one exchange on the hash — the key the old agg+join
-    // shuffled on anyway): the separate repeated-gram table re-planned
-    // the gram chain twice (r13 optimization). is_rep per instance ≡
+    // gram stream materialized ONCE (fault-tolerant persist, graft.Mat)
+    // so the repeated-gram table and the per-doc tally share one gram
+    // chain (the r13 goal). Multiplicity comes from a map-side-combined
+    // groupBy joined back on the hash — NOT the r13 count window, which
+    // buffered every instance of exactly the hot repeated grams in one
+    // window task (AQE skew handling applies to joins, never windows —
+    // guide §2.5; the repeated-gram table is a small fraction of the
+    // stream, so AQE broadcasts the join-back). is_rep per instance ≡
     // cnt ≥ 2, identical row for row.
-    val wSh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    val grams = Mat.fact(docs.select(col("doc_id"),
+      explode(exprs.shingleHashesAll(col("text"), 20)).as("sh"))
+      .repartition(col("sh")))
+    val rep = grams.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("sh"), lit(true).as("is_rep"))
     docs.select(col("doc_id"))
-      .join(grams.withColumn("cnt", count(lit(1)).over(wSh))
+      .join(grams.join(rep, Seq("sh"), "left")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_rep")),
+            sum(when(col("is_rep").isNotNull, 1L).otherwise(0L)).as("n_rep")),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
@@ -817,15 +824,21 @@ object TextOps {
     // corpus size rides the same DAG as a broadcast 1-row aggregate —
     // no separate count() job before the real work starts
     val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    // document frequency as a count window OVER the tf table (tf is
-    // unique per (doc, term), so count-per-term ≡ df) — the separate
-    // df aggregation + join planned the tokenize+groupBy subtree twice
-    // with no exchange reuse (r13 optimization, the same rewrite the
-    // hybrid-RRF lexical leg got in r13's build half)
-    val wDf = Window.partitionBy(col("term"))
-    val scored = tf.withColumn("df", count(lit(1)).over(wDf))
+    // tf materializes ONCE (fault-tolerant persist) and document
+    // frequency rolls up from it with a map-side-combined groupBy
+    // joined back on term (tf is unique per (doc, term), so
+    // count-per-term ≡ df). r13 computed df as a count window over tf,
+    // which put every row of a hot term (stopwords — the most frequent
+    // keys in any corpus) into ONE window task; AQE skew handling
+    // applies to the join-back but never to windows (guide §2.5), and
+    // the partial aggregation collapses hot keys map-side. The df
+    // aggregation + join of r12 planned the tokenize+groupBy subtree
+    // twice; the cache keeps it at one pass.
+    val tf = Mat.fact(docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfT, "term")
       .crossJoin(broadcast(n))
       .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
     val w = Window.partitionBy(col("doc_id"))
@@ -1101,15 +1114,18 @@ object TextOps {
     // both materializations are r13 optimizations: the unchecked DAG
     // planned the tokenize+explode chain four times (termCounts,
     // totals, weights, scoring join) with no exchange reuse. The
-    // checkpoints preserve the numeric structure exactly — same
-    // multiset of per-instance addends, only computed once.
-    val toks = docs.select(col("doc_id"), col("pos"),
-      explode(tokens(col("text"))).as("term"))
-      .localCheckpoint(true)
-    val termCounts = toks.groupBy(col("term")).agg(
+    // materializations preserve the numeric structure exactly — same
+    // multiset of per-instance addends, only computed once. r14 swaps
+    // both localCheckpoints for fault-tolerant persists (graft.Mat);
+    // the vocab-sized termCounts one is lazy — totals and weights run
+    // in the same action, so the first leg populates the cache with no
+    // extra materialization job (the un-amortized checkpoint job was
+    // the r13 sf0.1 regression on this entry).
+    val toks = Mat.fact(docs.select(col("doc_id"), col("pos"),
+      explode(tokens(col("text"))).as("term")))
+    val termCounts = Mat.smallLazy(toks.groupBy(col("term")).agg(
       sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
-      sum(when(col("pos"), 0L).otherwise(1L)).as("cn"))
-      .localCheckpoint(true)
+      sum(when(col("pos"), 0L).otherwise(1L)).as("cn")))
     val totals = termCounts.agg(
       sum(col("cp")).cast("double").as("totp"),
       sum(col("cn")).cast("double").as("totn"),
@@ -1202,11 +1218,14 @@ object TextOps {
     val docs = Tables.documents(s, d)
       .withColumn("y", when(col("source").isin("src0", "src1", "src2", "src3"),
         lit(1.0)).otherwise(lit(0.0)))
-    val toks = docs
+    // fault-tolerant persist of the fact-sized token table (r14); the
+    // per-iteration weight tables below keep localCheckpoint — they are
+    // vocab-sized and the TRUNCATION is the point (without it iteration
+    // k's plan re-executes every prior iteration twice)
+    val toks = Mat.fact(docs
       .select(col("doc_id"), col("y"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("y"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .agg(count(lit(1)).as("tf")))
     val n = toks.select(col("doc_id")).distinct().count()
     val sig = (sm: Column) => {
       val sr = sm.cast("double") / lit(1000000.0)
@@ -1309,14 +1328,13 @@ object TextOps {
     val docs = Tables.documents(s, d)
     // one tokenize pass + one vocab-table pass (r13 optimization, the
     // nbQuality pattern: the unchecked DAG planned tokenize 3× and the
-    // term counts 2× with no exchange reuse)
-    val toks = docs.select(col("doc_id"), col("lang"),
-      explode(tokens(col("text"))).as("term"))
-      .localCheckpoint(true)
-    val termCounts = toks.groupBy(col("term")).agg(
+    // term counts 2× with no exchange reuse; r14: fault-tolerant
+    // persists, the vocab-sized one lazy — see nbQuality)
+    val toks = Mat.fact(docs.select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("term")))
+    val termCounts = Mat.smallLazy(toks.groupBy(col("term")).agg(
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr"))
-      .localCheckpoint(true)
+      count(lit(1)).as("cr")))
     val totals = termCounts.agg(
       sum(col("ct")).cast("double").as("tott"),
       sum(col("cr")).cast("double").as("totr"),
@@ -1615,14 +1633,15 @@ object TextOps {
     // identical.
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
-    val bigr = toks
+    val bigr = Mat.fact(toks
       .withColumn("w2", lead(col("term"), 1).over(
         Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
       .filter(col("w2").isNotNull)
-      .select(col("doc_id"), col("term").as("w1"), col("w2"))
-      .localCheckpoint(true)
-    val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .select(col("doc_id"), col("term").as("w1"), col("w2")))
+    // vocab-sized: lazy persist — totals and the two weight joins run
+    // in one action, so the first leg populates the cache and the
+    // r13 checkpoint job (the sf0.1 regression on this entry) is gone
+    val uni = Mat.smallLazy(toks.groupBy(col("term")).agg(count(lit(1)).as("c")))
     val totals = uni.agg(sum(col("c")).cast("double").as("nn"),
       count(lit(1)).cast("double").as("v"))
     val bigCounts = bigr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
@@ -1841,16 +1860,19 @@ object TextOps {
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
     val qtoks = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .filter(col("term").isin(Bm25Terms: _*))
-    val tf = qtoks.groupBy(col("doc_id"), col("term"))
-      .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
-    // df as a count window OVER tf (unique per (doc, term), so
-    // count-per-term ≡ count_distinct(doc_id)) — the separate df
-    // aggregation + join re-planned the tokenize+explode subtree a
-    // third time (corpus stats, tf, df each tokenized the corpus;
-    // r13 optimization, same rewrite as text_tfidf). idf arithmetic is
-    // unchanged: same df per term, same 6-dp round.
-    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
-    val scored = tf.withColumn("df", count(lit(1)).over(wTerm))
+    // tf (only the query-term rows — bounded by |terms|·|docs|) is
+    // cached once; df rolls up from it with a map-side-combined groupBy
+    // joined back on term (tf is unique per (doc, term), so
+    // count-per-term ≡ count_distinct(doc_id)). r13 computed df as a
+    // count window partitioned by term — with 4 query terms that is AT
+    // MOST 4 window partitions, each a single task buffering every
+    // matching document at 100 TB; the groupBy+join keeps one tokenize
+    // pass (the r13 goal) while staying skew-immune (guide §2.5). idf
+    // arithmetic is unchanged: same df per term, same 6-dp round.
+    val tf = graft.Mat.fact(qtoks.groupBy(col("doc_id"), col("term"))
+      .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf")))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfT, "term")
       .crossJoin(broadcast(corpus))
       .withColumn("idf", round(log(lit(1.0) +
         (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /

@@ -1208,11 +1208,14 @@ object VectorOps {
       .select(col("doc_id"), graft.pipeline.TextOps.tokens(col("text")).as("toks"))
     val embs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     // the shared corpus subtree: one join, one materialization, every
-    // pass below reads the checkpointed blocks
-    val cands = docs.join(embs, docs("doc_id") === embs("vec_id"))
-      .select(col("doc_id"), col("toks"), col("embedding"))
-      .localCheckpoint(true)
-    // the query batch (tiny) — shared by the lexical and semantic legs
+    // pass below reads the cached blocks. Fault-tolerant RDD-level
+    // persist (r14, graft.Mat.factRows) — this is the corpus×embeddings
+    // join, fact-sized AND array-heavy (toks + embedding), where the
+    // SQL columnar cache would re-encode/decode per consumer.
+    val cands = graft.Mat.factRows(docs.join(embs, docs("doc_id") === embs("vec_id"))
+      .select(col("doc_id"), col("toks"), col("embedding")))
+    // the query batch (tiny, bounded by NQueries) — shared by the
+    // lexical and semantic legs; localCheckpoint is fine at this size
     val qset = cands.filter(col("doc_id") < NQueries)
       .select(col("doc_id").as("query_id"), col("toks"), col("embedding"))
       .localCheckpoint(true)
@@ -1226,14 +1229,22 @@ object VectorOps {
       count(lit(1)).as("n_docs"),
       (sum(size(col("toks")).cast("long")).cast("double") /
         count(lit(1)).cast("double")).as("avgdl"))
-    val tf = cands
+    // r14 de-skew (guide §2.5): tf is semi-pruned to the query-term
+    // rows FIRST (df per term = its tf-row count, unchanged by keeping
+    // only the terms the scoring reads), cached once, and df rolls up
+    // from it with a map-side-combined groupBy joined back — the r13
+    // count window over ALL terms put every row of a hot term into one
+    // window task and computed df for terms the query never touches.
+    val qtermSet = qterms.select(col("term")).distinct()
+    val tf = graft.Mat.smallLazy(cands
       .select(col("doc_id").as("cand_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
+      .join(broadcast(qtermSet), Seq("term"), "left_semi")
       .groupBy(col("cand_id"), col("term"))
-      .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf")))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val wq = Window.partitionBy(col("query_id"))
-    val bm = tf.join(broadcast(qterms), "term")
+    val bm = tf.join(dfT, "term").join(broadcast(qterms), "term")
       .filter(col("cand_id") =!= col("query_id"))
       .crossJoin(broadcast(stats))
       .withColumn("idf", round(log(lit(1.0) +

@@ -23,6 +23,33 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamOps {
 
+  /** True when a single-source streaming checkpoint's LAST written
+    * offset equals snapshot `id` — i.e. the source is already drained
+    * through the table head and another AvailableNow start would run
+    * empty. [[graft.streaming.GraftSource]] serializes a whole-snapshot
+    * position as a bare LongOffset number on the offsets file's last
+    * line; a mid-snapshot path-cut offset (GraftFileOffset json) never
+    * matches, so the check errs toward draining again (r14
+    * optimization: replaces unconditional protective re-drains, each a
+    * full — empty — query start).
+    */
+  private def drainedThrough(s: SparkSession, ckpt: String, id: Long): Boolean = {
+    try {
+      val dir = new org.apache.hadoop.fs.Path(s"$ckpt/offsets")
+      val hfs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!hfs.exists(dir)) return false
+      val last = hfs.listStatus(dir).map(_.getPath)
+        .filter(p => p.getName.nonEmpty && p.getName.forall(_.isDigit))
+        .sortBy(_.getName.toLong).lastOption
+      last.exists { p =>
+        val in = hfs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        txt.linesIterator.toSeq.lastOption.exists(_.trim == id.toString)
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS) → normalize `ts` to a
     * microsecond TimestampType by branching on the type this Spark
     * actually loaded (epoch-nanos long under the legacy conf on older
@@ -594,7 +621,12 @@ object StreamOps {
     t.delete(col("event_id") % 7 === 0)            // MOR point deletes
     t.update(col("event_id") % 11 === 0,           // MOR update (delete+insert)
       Map("value" -> (col("value") * 2)))
-    drainOnce(); drainOnce() // two commits: the v1 AvailableNow wrapper may batch-split
+    // two commits pending: the v1 AvailableNow wrapper may batch-split,
+    // so drain again ONLY if the checkpoint's last offset shows the
+    // first drain stopped short — the unconditional second drain paid
+    // a whole empty query start per run (r13 verdict item 9 / r14)
+    drainOnce()
+    if (!drainedThrough(s, ckpt, t.currentId)) drainOnce()
     s.read.parquet(feed)
       .withColumnRenamed("_change_type", "change_type")
       .groupBy(col("change_type"), col("event_type"))
@@ -874,8 +906,13 @@ object StreamOps {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination(); admitted
     }
+    // drain until the checkpoint's offset catches the table head — the
+    // r13 loop spun one extra EMPTY query start just to observe the 0
+    // (r14: the drained-offset check replaces the terminating drain)
     var spins = 0
-    while (drainOnce() > 0 && spins < 10) spins += 1
+    while (!drainedThrough(s, ckpt, t.currentId) && spins < 10) {
+      drainOnce(); spins += 1
+    }
     require(batches == 4, s"7 files / cap 2 must split into 4 batches, got $batches")
     val out = s.read.parquet(sink)
     // one job for both counters (was two — r13 optimization)
