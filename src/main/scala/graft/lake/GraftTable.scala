@@ -1970,12 +1970,18 @@ final class GraftTable(val root: String, spark: SparkSession) {
     */
   def properties: Map[String, String] = current.properties
 
-  def setProperty(key: String, value: String): GraftTable = {
+  def setProperty(key: String, value: String): GraftTable =
+    setProperties(Map(key -> value))
+
+  /** Batch form: N properties land as ONE snapshot instead of N
+    * metadata commits (r14 — the ANN index build stamped three).
+    */
+  def setProperties(kvs: Map[String, String]): GraftTable = {
     val cur = current
     commit(cur.copy(
       id = cur.id + 1, parentId = cur.id, tsMillis = nextTs(Some(cur)),
       operation = "set-properties",
-      properties = cur.properties + (key -> value),
+      properties = cur.properties ++ kvs,
       addedFiles = 0, deletedFiles = 0))
     this
   }

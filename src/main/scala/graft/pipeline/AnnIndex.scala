@@ -95,14 +95,32 @@ object AnnIndex {
         cents.indices.map(c => ("centroid", c, -1, -1, cents(c).toSeq)) ++
           books.indices.flatMap(c => (0 until PqM).flatMap(m => (0 until PqK).map(k =>
             ("pq", c, m, k, books(c)(m)(k).toSeq))))
-      GraftTable.create(s, booksRoot(indexRoot),
-        rows.toDF("kind", "cluster", "m", "code", "vec").coalesce(1))
+      // the two index tables are independent once the codebooks are
+      // trained — overlap the (driver-light) books write with the
+      // corpus encode+write from a second thread, so the encode's task
+      // tail back-fills while the books commit runs (guide §2.6).
+      // Job-group/description are thread-local: re-tag inside the
+      // thread so the BuildGroup marker the specs pin stays intact.
+      val booksThread = new Thread(() => {
+        s.sparkContext.setJobGroup(BuildGroup,
+          s"ANN index build (books) -> $indexRoot", interruptOnCancel = false)
+        GraftTable.create(s, booksRoot(indexRoot),
+          rows.toDF("kind", "cluster", "m", "code", "vec").coalesce(1))
+        ()
+      }, "graft-ann-books-write")
+      booksThread.setDaemon(true)
+      val booksFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      booksThread.setUncaughtExceptionHandler((_, e) => booksFailure.set(e))
+      booksThread.start()
 
       // codes table: the compressed corpus, inverted lists as lake
       // partitions (repartition by cluster → one file per list)
       val codes = encodeWith(pqAll, books)
       GraftTable.create(s, codesRoot(indexRoot),
         codes.repartition(col("cluster")), Seq("cluster"))
+      booksThread.join()
+      if (booksFailure.get() != null) throw booksFailure.get()
+      ()
     }
 
   /** Encode already-clustered residual rows against per-list books —
@@ -326,9 +344,11 @@ object AnnIndex {
     val snapId = corpus.currentId
     build(s, corpus.read().select(col("vec_id"), col("embedding")), indexRoot)
     val codesT = new GraftTable(codesRoot(indexRoot), s)
-    codesT.setProperty(GraftTable.MergeModeProp, "merge-on-read")
-    codesT.setProperty(GraftTable.MergeDeleteKindProp, "equality")
-    codesT.setProperty(SyncedSnapshotProp, snapId.toString)
+    // one metadata commit, not three (r14)
+    codesT.setProperties(Map(
+      GraftTable.MergeModeProp -> "merge-on-read",
+      GraftTable.MergeDeleteKindProp -> "equality",
+      SyncedSnapshotProp -> snapId.toString))
     ()
   }
 

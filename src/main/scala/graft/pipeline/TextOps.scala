@@ -254,7 +254,7 @@ object TextOps {
     // each aggregation re-planned the tokenize+explode chain (4
     // documents scans in the before-plan; r13 optimization; r14 swaps
     // the localCheckpoint for a fault-tolerant persist, see graft.Mat)
-    val byST = Mat.fact(
+    val byST = Mat.factRows(
       toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_st")))
     val byT = byST.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
     val byS = byST.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
@@ -434,7 +434,7 @@ object TextOps {
     // per-instance addends. Fault-tolerant persist (r14, graft.Mat):
     // the exploded stream is fact-sized, so lineage must survive
     // executor loss.
-    val toks = Mat.fact(docs
+    val toks = Mat.factRows(docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term")))
     val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val total = vocab.agg(sum(col("c")).cast("double").as("n_total"))
@@ -482,7 +482,7 @@ object TextOps {
     // cut-point collect is a separate ACTION, so no plan-level reuse
     // can carry the score subtree over to the bucket pass — unchecked,
     // the whole LM-score subtree executed twice
-    val sc = Mat.fact(unigramLogprobCore(docs)
+    val sc = Mat.factRows(unigramLogprobCore(docs)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .withColumn("nlp", round(col("logprob") / col("n_toks"), 6)))
     // |langs|-row cut-point table collected once (bounded by
@@ -834,7 +834,7 @@ object TextOps {
     // the partial aggregation collapses hot keys map-side. The df
     // aggregation + join of r12 planned the tokenize+groupBy subtree
     // twice; the cache keeps it at one pass.
-    val tf = Mat.fact(docs
+    val tf = Mat.factRows(docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1121,9 +1121,9 @@ object TextOps {
     // in the same action, so the first leg populates the cache with no
     // extra materialization job (the un-amortized checkpoint job was
     // the r13 sf0.1 regression on this entry).
-    val toks = Mat.fact(docs.select(col("doc_id"), col("pos"),
+    val toks = Mat.factRows(docs.select(col("doc_id"), col("pos"),
       explode(tokens(col("text"))).as("term")))
-    val termCounts = Mat.smallLazy(toks.groupBy(col("term")).agg(
+    val termCounts = Mat.factRows(toks.groupBy(col("term")).agg(
       sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
       sum(when(col("pos"), 0L).otherwise(1L)).as("cn")))
     val totals = termCounts.agg(
@@ -1222,7 +1222,7 @@ object TextOps {
     // per-iteration weight tables below keep localCheckpoint — they are
     // vocab-sized and the TRUNCATION is the point (without it iteration
     // k's plan re-executes every prior iteration twice)
-    val toks = Mat.fact(docs
+    val toks = Mat.factRows(docs
       .select(col("doc_id"), col("y"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("y"), col("term"))
       .agg(count(lit(1)).as("tf")))
@@ -1330,9 +1330,9 @@ object TextOps {
     // nbQuality pattern: the unchecked DAG planned tokenize 3× and the
     // term counts 2× with no exchange reuse; r14: fault-tolerant
     // persists, the vocab-sized one lazy — see nbQuality)
-    val toks = Mat.fact(docs.select(col("doc_id"), col("lang"),
+    val toks = Mat.factRows(docs.select(col("doc_id"), col("lang"),
       explode(tokens(col("text"))).as("term")))
-    val termCounts = Mat.smallLazy(toks.groupBy(col("term")).agg(
+    val termCounts = Mat.factRows(toks.groupBy(col("term")).agg(
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
       count(lit(1)).as("cr")))
     val totals = termCounts.agg(
@@ -1633,7 +1633,7 @@ object TextOps {
     // identical.
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
-    val bigr = Mat.fact(toks
+    val bigr = Mat.factRows(toks
       .withColumn("w2", lead(col("term"), 1).over(
         Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
       .filter(col("w2").isNotNull)
@@ -1641,7 +1641,7 @@ object TextOps {
     // vocab-sized: lazy persist — totals and the two weight joins run
     // in one action, so the first leg populates the cache and the
     // r13 checkpoint job (the sf0.1 regression on this entry) is gone
-    val uni = Mat.smallLazy(toks.groupBy(col("term")).agg(count(lit(1)).as("c")))
+    val uni = Mat.factRows(toks.groupBy(col("term")).agg(count(lit(1)).as("c")))
     val totals = uni.agg(sum(col("c")).cast("double").as("nn"),
       count(lit(1)).cast("double").as("v"))
     val bigCounts = bigr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
@@ -1869,7 +1869,7 @@ object TextOps {
     // matching document at 100 TB; the groupBy+join keeps one tokenize
     // pass (the r13 goal) while staying skew-immune (guide §2.5). idf
     // arithmetic is unchanged: same df per term, same 6-dp round.
-    val tf = graft.Mat.fact(qtoks.groupBy(col("doc_id"), col("term"))
+    val tf = graft.Mat.factRows(qtoks.groupBy(col("doc_id"), col("term"))
       .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf")))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfT, "term")

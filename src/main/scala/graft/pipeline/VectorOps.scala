@@ -1236,7 +1236,7 @@ object VectorOps {
     // count window over ALL terms put every row of a hot term into one
     // window task and computed df for terms the query never touches.
     val qtermSet = qterms.select(col("term")).distinct()
-    val tf = graft.Mat.smallLazy(cands
+    val tf = graft.Mat.factRows(cands
       .select(col("doc_id").as("cand_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
       .join(broadcast(qtermSet), Seq("term"), "left_semi")
