@@ -1871,7 +1871,9 @@ object TextOps {
     // arithmetic is unchanged: same df per term, same 6-dp round.
     val tf = graft.Mat.factRows(qtoks.groupBy(col("doc_id"), col("term"))
       .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf")))
-    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // dfT is provably ≤ |Bm25Terms| rows at ANY corpus size — hint the
+    // broadcast so the join-back never plans an exchange of tf
+    val dfT = broadcast(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
     val scored = tf.join(dfT, "term")
       .crossJoin(broadcast(corpus))
       .withColumn("idf", round(log(lit(1.0) +

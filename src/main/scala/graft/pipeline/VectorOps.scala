@@ -1242,7 +1242,9 @@ object VectorOps {
       .join(broadcast(qtermSet), Seq("term"), "left_semi")
       .groupBy(col("cand_id"), col("term"))
       .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf")))
-    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // dfT is bounded by the distinct query terms — the same bound that
+    // already broadcasts qterms — so hint it and keep tf exchange-free
+    val dfT = broadcast(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
     val wq = Window.partitionBy(col("query_id"))
     val bm = tf.join(dfT, "term").join(broadcast(qterms), "term")
       .filter(col("cand_id") =!= col("query_id"))
